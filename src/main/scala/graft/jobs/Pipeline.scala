@@ -1,0 +1,57 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.TaIngest
+import graft.lake.Lake
+import graft.model.{CheckRegistry, CheckSpec}
+import graft.views.Views
+
+/** End-to-end pipeline: entry points A (scheduled ingest) + B (catalog +
+  * view refresh) fused into one Spark job (SURVEY.md §3).
+  *
+  * Input is a DataFrame of raw TA JSON documents (one row per
+  * (account, check) response — from fixtures in tests, from a live-API
+  * DataSourceV2 in production) and optionally a DataFrame of tag
+  * observations. The reference's four Step Functions state machines
+  * collapse into this one declarative plan: the per-account/per-check `Map`
+  * fan-out is partition parallelism, the 50-account batching and poll/wait
+  * loops are obsolete under Spark's scheduler.
+  */
+object Pipeline {
+
+  final case class Config(
+      lakeRoot: String,
+      specs: Seq[CheckSpec] = CheckRegistry.supported,
+      tagKeys: Seq[String] = Nil,
+      maskPii: Boolean = false,
+      csvFidelity: Boolean = false)
+
+  /** Ingest one batch of raw docs (+ tag observations) into the lake. */
+  def ingest(raw: DataFrame, tagObs: Option[DataFrame], cfg: Config): Unit = {
+    cfg.specs.foreach { spec =>
+      Lake.writeDetails(TaIngest.details(raw, spec, cfg.maskPii),
+        cfg.lakeRoot, spec, cfg.csvFidelity)
+    }
+    Lake.writeSummary(TaIngest.summary(raw, cfg.maskPii), cfg.lakeRoot,
+      cfg.csvFidelity)
+    tagObs.foreach { obs =>
+      Lake.writeTags(TaIngest.tags(obs, cfg.tagKeys), cfg.lakeRoot,
+        cfg.csvFidelity)
+    }
+  }
+
+  /** Register lake tables + build views (entry point B). Returns the
+    * created view names. */
+  def refreshCatalog(spark: SparkSession, cfg: Config): Seq[String] = {
+    Lake.registerTables(spark, cfg.lakeRoot, cfg.specs,
+      tagsPresent = cfg.tagKeys.nonEmpty, cfg.csvFidelity)
+    Views.createAll(spark, cfg.tagKeys)
+  }
+
+  def run(spark: SparkSession, raw: DataFrame, tagObs: Option[DataFrame],
+      cfg: Config): Seq[String] = {
+    ingest(raw, tagObs, cfg)
+    refreshCatalog(spark, cfg)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.CheckSpec
+
+/** Partitioned-lake writers and catalog registration — the Spark
+  * re-expression of the reference's S3 layout + Glue crawler
+  * (`extract-ta-data-lambda.py:100-114`, template:3155-3233).
+  *
+  * Layout mirrors the reference prefixes but with Hive-style partition keys
+  * so partition pruning is automatic:
+  *   <root>/TA-Reports/<category>/check_<id>/year=YYYY/month=M/day=D/
+  *   <root>/TA-Reports/<category>/Summary/year=.../
+  *   <root>/Tags/year=.../   (resourceType is a column, not a path segment,
+  *                            so one `tags` table covers all types)
+  *
+  * Parquet by default (columnar, vectorized scan); `csvFidelity = true`
+  * reproduces the reference's CSV bytes for fidelity tests. Writes are
+  * append-mode: each run adds a new y/m/d partition, exactly like the
+  * reference's per-run S3 prefixes (SURVEY.md §2.8).
+  */
+object Lake {
+
+  /** Derive partition columns from the ingest `date` column (MM-dd-yyyy,
+    * get-accounts-info-lambda.py:110). Non-padded month/day values match
+    * the reference's `str(date.today().month)` path segments. */
+  private def withYmd(df: DataFrame): DataFrame = df
+    .withColumn("year", split(col("date"), "-").getItem(2).cast("int"))
+    .withColumn("month", split(col("date"), "-").getItem(0).cast("int"))
+    .withColumn("day", split(col("date"), "-").getItem(1).cast("int"))
+
+  def detailsPath(root: String, spec: CheckSpec): String =
+    s"$root/TA-Reports/${spec.category}/${spec.tableName}"
+
+  def summaryPath(root: String, category: String = "cost_optimizing"): String =
+    s"$root/TA-Reports/$category/Summary"
+
+  def tagsPath(root: String): String = s"$root/Tags"
+
+  private def write(df: DataFrame, path: String, csvFidelity: Boolean): Unit = {
+    // K6 empty-relation elision (extract-ta-data-lambda.py:153,187): an
+    // empty write would leave a file-less directory that later breaks
+    // schema inference at registration. isEmpty is a limit-1 job — cheap
+    // relative to the write it guards.
+    if (df.isEmpty) return
+    val w = withYmd(df).write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day")
+    if (csvFidelity) w.option("header", "true").csv(path) else w.parquet(path)
+  }
+
+  def writeDetails(df: DataFrame, root: String, spec: CheckSpec,
+      csvFidelity: Boolean = false): Unit =
+    write(df, detailsPath(root, spec), csvFidelity)
+
+  def writeSummary(df: DataFrame, root: String,
+      csvFidelity: Boolean = false): Unit =
+    write(df, summaryPath(root), csvFidelity)
+
+  def writeTags(df: DataFrame, root: String,
+      csvFidelity: Boolean = false): Unit =
+    write(df, tagsPath(root), csvFidelity)
+
+  private def read(spark: SparkSession, path: String,
+      csvFidelity: Boolean): DataFrame =
+    if (csvFidelity)
+      spark.read.option("header", "true").csv(path)
+    else spark.read.parquet(path)
+
+  /** Register lake tables in the session catalog — the Glue-crawler step
+    * (S7). Schema comes from parquet footers (or CSV header + string types
+    * in fidelity mode, matching the crawler's all-strings inference);
+    * partition discovery picks up year/month/day automatically. Returns the
+    * registered table names. */
+  def registerTables(spark: SparkSession, root: String,
+      specs: Seq[CheckSpec], tagsPresent: Boolean,
+      csvFidelity: Boolean = false): Seq[String] = {
+    val checkTables = specs.flatMap { spec =>
+      val p = detailsPath(root, spec)
+      if (exists(spark, p)) {
+        read(spark, p, csvFidelity).createOrReplaceTempView(spec.tableName)
+        Some(spec.tableName)
+      } else None
+    }
+    val summaryTable =
+      if (exists(spark, summaryPath(root))) {
+        read(spark, summaryPath(root), csvFidelity)
+          .createOrReplaceTempView("summary")
+        Seq("summary")
+      } else Nil
+    val tagTable =
+      if (tagsPresent && exists(spark, tagsPath(root))) {
+        read(spark, tagsPath(root), csvFidelity).createOrReplaceTempView("tags")
+        Seq("tags")
+      } else Nil
+    checkTables ++ summaryTable ++ tagTable
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

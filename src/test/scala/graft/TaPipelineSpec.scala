@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ingest.TaIngest
+import graft.jobs.Pipeline
+import graft.model.CheckRegistry
+
+/** End-to-end golden test: synthetic TA JSON (FIXTURES.md §1) -> ingest ->
+  * partitioned lake -> catalog -> views -> golden assertions on the richest
+  * view (LowUtilizationAmazonEC2Instances_view) and summary_view, covering
+  * S1/P1-P5/P12/J1/J2/J4/A1-A4/K3-K6 and the money/timestamp/zero-guard
+  * scalar semantics. */
+class TaPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val date = "01-15-2024"
+  private val dt = "2024-01-15 09:00:00"
+
+  private def ec2Doc(savings: String, instanceId: String,
+      extraResource: String = ""): String = {
+    val meta = Seq("us-east-1a", instanceId, "web-1", "t3.large", savings) ++
+      (1 to 14).map(d => s"$d.0%") ++
+      Seq("2.8%", "0.55%", "14 days")
+    val metaJson = meta.map(m => s""""$m"""").mkString("[", ",", "]")
+    s"""{"result":{"checkId":"Qch7DwouX1","status":"warning",
+       "resourcesSummary":{"resourcesProcessed":120,"resourcesFlagged":14,
+         "resourcesIgnored":1,"resourcesSuppressed":2},
+       "categorySpecificSummary":{"costOptimizing":{
+         "estimatedMonthlySavings":1234.56,"estimatedPercentMonthlySavings":0.17}},
+       "flaggedResources":[
+         {"status":"warning","region":"us-east-1","resourceId":"r1",
+          "isSuppressed":false,"metadata":$metaJson},
+         {"status":"ok","region":"us-east-1","resourceId":"r2",
+          "isSuppressed":false,"metadata":$metaJson}$extraResource]}}"""
+  }
+
+  // one flagged resource with a comma in the money cell (tests P4 strip)
+  private val commaResource =
+    s""",{"status":"error","region":"us-east-1","resourceId":"r3",
+       "isSuppressed":false,"metadata":["us-east-1b","i-comma","db-1",
+       "m5.xlarge","$$1,234.50",${(1 to 14).map(d => s""""$d.0%"""").mkString(",")},
+       "9.9%","0.75%","7 days"]}"""
+
+  // no costOptimizing block -> summary savings default to 0 (:146-147)
+  private val eipDoc =
+    """{"result":{"checkId":"Z4AUBRNSmz","status":"warning",
+       "resourcesSummary":{"resourcesProcessed":10,"resourcesFlagged":2,
+         "resourcesIgnored":0,"resourcesSuppressed":0},
+       "categorySpecificSummary":{},
+       "flaggedResources":[
+         {"status":"warning","region":"eu-west-1","resourceId":"ip1",
+          "isSuppressed":false,"metadata":["eu-west-1","52.1.2.3"]}]}}"""
+
+  private def rawDf: DataFrame = Seq(
+    (ec2Doc("$55.30", "i-0aaa", commaResource), date, dt,
+      "Low Utilization Amazon EC2 Instances",
+      "123456789012", "Acme Corp", "ops@acme.example"),
+    (eipDoc, date, dt, "Unassociated Elastic IP Addresses",
+      "123456789012", "Acme Corp", "ops@acme.example"),
+    (ec2Doc("$77.10", "i-0bbb"), date, dt,
+      "Low Utilization Amazon EC2 Instances",
+      "999988887777", "Beta LLC", "eng@beta.example"))
+    .toDF("json", "Date", "DateTime", "CheckName",
+      "AccountId", "AccountName", "AccountEmail")
+
+  private def tagObs: DataFrame = Seq(
+    // two observations for the same ARN: last (obs_seq 2) wins
+    ("arn:aws:ec2:us-east-1:123456789012:instance/i-0aaa", "CostCenter",
+      "cc-OLD", 1L),
+    ("arn:aws:ec2:us-east-1:123456789012:instance/i-0aaa", "CostCenter",
+      "cc-123", 2L),
+    ("arn:aws:ec2:us-east-1:123456789012:instance/i-0aaa", "Env", "prod", 1L),
+    // unrelated tag key: filtered out by the customer-key allowlist
+    ("arn:aws:ec2:us-east-1:123456789012:instance/i-0aaa", "Noise", "x", 1L))
+    .toDF("ResourceArn", "Key", "Value", "obs_seq")
+    .withColumn("RegionName", lit("us-east-1"))
+    .withColumn("ResourceType", lit("ec2:instance"))
+    .withColumn("Date", lit(date)).withColumn("DateTime", lit(dt))
+    .withColumn("AccountId", lit("123456789012"))
+    .withColumn("AccountName", lit("Acme Corp"))
+    .withColumn("AccountEmail", lit("ops@acme.example"))
+
+  private lazy val lakeRoot = {
+    val dir = Files.createTempDirectory("graft-lake").toString
+    val cfg = Pipeline.Config(dir, CheckRegistry.supported,
+      tagKeys = Seq("CostCenter", "Env"))
+    val created = Pipeline.run(spark, rawDf, Some(tagObs), cfg)
+    assert(created.contains("LowUtilizationAmazonEC2Instances_view"))
+    assert(created.contains("summary_view"))
+    dir
+  }
+
+  test("lake layout: partitioned y/m/d parquet under reference prefixes") {
+    val p = new java.io.File(
+      s"$lakeRoot/TA-Reports/cost_optimizing/check_qch7dwoux1/year=2024/month=1/day=15")
+    assert(p.isDirectory, s"missing partition dir $p")
+  }
+
+  test("details: status filter keeps warning/error only, comma stripped") {
+    lakeRoot
+    val ec2 = spark.table("check_qch7dwoux1")
+    // 2 docs x 1 warning + 1 error row with comma; 'ok' rows dropped (P2)
+    assert(ec2.count() == 3)
+    val commaRow = ec2.filter($"`instance id`" === "i-comma").collect().head
+    assert(commaRow.getAs[String]("estimated monthly savings") == "$1234.50")
+  }
+
+  test("EC2 view: money parse, cpu substr cast, timestamp, tag join") {
+    lakeRoot
+    val v = spark.table("LowUtilizationAmazonEC2Instances_view")
+    val row = v.filter($"`instance id`" === "i-0aaa").collect().head
+    assert(row.getAs[java.math.BigDecimal]("estimated_monthly_savings")
+      .toString == "55.30")
+    assert(row.getAs[java.math.BigDecimal]("average_cpu_utilization_14_days")
+      .toString == "2.8000")
+    assert(row.getAs[java.sql.Timestamp]("date_time")
+      .toString == "2024-01-15 09:00:00.0")
+    // J1: tag joined on (instance id, datetime); A3 last-wins value
+    assert(row.getAs[String]("costcenter") == "cc-123")
+    assert(row.getAs[String]("env") == "prod")
+    // row without tags: left join keeps it, tag cols null
+    val untagged = v.filter($"`instance id`" === "i-0bbb").collect().head
+    assert(untagged.getAs[String]("costcenter") == null)
+  }
+
+  test("summary_view: ratio with verbatim string zero guard ('120'->'121')") {
+    lakeRoot
+    val s = spark.table("summary_view")
+      .filter($"checkid" === "Qch7DwouX1" && $"accountid" === "123456789012")
+      .collect().head
+    val opt = s.getAs[java.math.BigDecimal]("optimizationPercent").doubleValue()
+    // (1 - 14/121) * 100 — denominator mutated by the fidelity guard
+    assert(math.abs(opt - (1.0 - 14.0 / 121.0) * 100.0) < 1e-6)
+    val trueOpt = s.getAs[java.math.BigDecimal]("trueoptimizationPercent").doubleValue()
+    assert(math.abs(trueOpt - (1.0 - (14.0 - 3.0) / 121.0) * 100.0) < 1e-6)
+    // EIP summary: no costOptimizing block -> 0 defaults
+    val eip = spark.table("summary_view").filter($"checkid" === "Z4AUBRNSmz")
+      .collect().head
+    assert(eip.getAs[String]("estimatedmonthlysavings").toDouble == 0.0)
+  }
+
+  test("tags table: pivot columns, arn-derived resourceid") {
+    lakeRoot
+    val t = spark.table("tags").collect().head
+    assert(t.getAs[String]("resourceid") == "i-0aaa")
+    assert(t.getAs[String]("costcenter") == "cc-123")
+    assert(t.getAs[String]("regionname") == "us-east-1")
+  }
+
+  test("PII masking at ingest when enabled") {
+    val masked = TaIngest.details(rawDf, CheckRegistry.lowUtilEc2,
+      maskPii = true)
+    val r = masked.filter($"`instance id`" === "i-0bbb").collect().head
+    assert(r.getAs[String]("accountid") == "9XXXXXXX7777")
+    assert(r.getAs[String]("accountname") == "Bet-MASKED-LLC")
+  }
+
+  test("J2 join elision: no tag keys -> view has no tag columns") {
+    lakeRoot // ensure tables registered
+    val defs = graft.views.Views.definitions(Nil, tagged = false)
+    spark.sql(defs("LowUtilizationAmazonEC2Instances_view"))
+    val cols = spark.table("LowUtilizationAmazonEC2Instances_view").columns
+    assert(!cols.contains("costcenter"))
+    // restore the tagged view for other tests
+    spark.sql(graft.views.Views
+      .definitions(Seq("CostCenter", "Env"), tagged = true)(
+        "LowUtilizationAmazonEC2Instances_view"))
+  }
+}
