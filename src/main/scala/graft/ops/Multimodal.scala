@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libraries): `decodeStub` derives deterministic fake features from the
+  * bytes. Everything around the stub — the schema, the typed Dataset
+  * boundary, the mapPartitions batch shape, the partitioning story — is the
+  * real Spark plumbing a production decode (JNI/ONNX/ffmpeg per executor)
+  * would plug into: swap `fakeDecode` for the real library call and nothing
+  * else changes.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (width/height/etc are fake in the stub). */
+  final case class MediaFeatures(media_id: Long, kind: String,
+      n_bytes: Int, byte_sum: Long, width: Int, height: Int)
+
+  /** A deterministic stand-in for a media-decode call. Marked STUB: real
+    * decode would parse the payload with an image/audio codec here. */
+  private def fakeDecode(r: MediaRow): MediaFeatures = {
+    var s = 0L
+    var i = 0
+    while (i < r.payload.length) { s += (r.payload(i) & 0xff); i += 1 }
+    MediaFeatures(r.media_id, r.kind, r.payload.length, s,
+      width = (s % 1920).toInt, height = (s % 1080).toInt)
+  }
+
+  /** Batch feature extraction: one decoder init per partition (the
+    * expensive part for real codecs), streaming rows through it. Executors
+    * each handle their partitions independently — scales with the cluster. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val codec = HeavyCodec.init() once per partition
+      rows.map(fakeDecode)
+    }
+  }
+
+  /** Frame sampling for video-like payloads: explode n deterministic frame
+    * offsets per row; each frame keeps a byte-slice hash so downstream
+    * dedup/similarity can run on frames like any other column. */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val stride = math.max(1, r.payload.length / nFrames)
+      (0 until nFrames).iterator.map { f =>
+        val off = f * stride
+        val end = math.min(r.payload.length, off + stride)
+        var h = 1125899906842597L // deterministic FNV-ish slice hash (stub)
+        var i = off
+        while (i < end) { h = h * 31 + (r.payload(i) & 0xff); i += 1 }
+        (r.media_id, f, off, end - off, h)
+      }
+    }.toDF("media_id", "frame_idx", "offset", "n_bytes", "frame_hash")
+  }
+
+  /** Build a media table from the documents fixture: text bytes stand in
+    * for payloads. Demonstrates the schema + partitioning (hash by id so
+    * payload batches spread evenly regardless of size skew). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame,
+      partitions: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        concat(lit("img/"), col("source")).as("kind"),
+        col("text").cast("binary").as("payload"))
+      .repartition(partitions, col("media_id"))
+      .as[MediaRow]
+  }
+}

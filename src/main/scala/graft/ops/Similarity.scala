@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextKit._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding: array<float>, label)`).
+  *
+  * Two paths:
+  *  - `bruteTopK`: exact cosine top-k — the correctness baseline. The query
+  *    set is broadcast; the corpus side streams, so the cost is one scan of
+  *    the corpus per batch of queries (fine at any corpus size when the
+  *    query batch is bounded).
+  *  - `lshTopK`: sign-bit LSH (axis hyperplanes): corpus and queries are
+  *    bucketed by the sign pattern of the leading dimensions and only
+  *    same-bucket pairs are scored — the 100 TB path: candidate generation
+  *    is a bucket equi-join (shuffle on bucket id), never all-pairs.
+  */
+object Similarity {
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      normSqQ(col("embedding")).as("nsq"))
+
+  /** Exact cosine top-k for the query rows (vec_id < nQueries), self
+    * excluded; rank ties broken by candidate id. */
+  def bruteTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nsq", "qnsq")
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotQ(col("qe"), col("embedding")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-bit bucket id over the first `bits` dimensions. The sign of a
+    * float is exact, so bucketing is engine-independent. */
+  def signBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map(d =>
+      when(element_at(emb, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed top-k: same contract as bruteTopK but candidates are
+    * restricted to the query's bucket. Recall < 1 by construction; the
+    * bucket join replaces the full scan. */
+  def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      bits: Int = 6): DataFrame = {
+    val e = withNorm(emb).withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nsq").as("qnsq"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotQ(col("qe"), col("embedding")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

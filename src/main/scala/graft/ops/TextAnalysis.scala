@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextKit._
+
+/** Text-analysis operators for training-data curation over
+  * `documents(doc_id, text, lang, source, n_chars)`. All pure column
+  * arithmetic — no UDFs, everything stays in whole-stage codegen and
+  * parallelizes trivially. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and deterministic; real deployments
+    * plug in bigger lists via the same shape. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "des"),
+    "es" -> Seq("el", "los", "de", "y", "en", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "mit"))
+
+  private def scoreFor(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language-ID: per-language stopword hit counts + argmax prediction
+    * (ties and all-zero -> "und", deterministic by score desc then language
+    * code). Output keeps the per-language scores for inspection. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = docs.select(
+      col("doc_id") +: langs.map(l =>
+        scoreFor(toks, stopwords(l)).as(s"score_$l")): _*)
+    // argmax via a sorted struct array: (-score, lang) ascending head
+    val best = array(langs.map(l =>
+      struct((-col(s"score_$l")).as("neg"), lit(l).as("lang"))): _*)
+    scored.select(col("doc_id") +: langs.map(l => col(s"score_$l")) :+
+      when(array_max(array(langs.map(l => col(s"score_$l")): _*)) === 0,
+        lit("und"))
+        .otherwise(array_sort(best).getItem(0).getField("lang"))
+        .as("predicted_lang"): _*)
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * short-doc flag, and a composite 0..1 score. Ratios are double
+    * divisions of exact integers — deterministic. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        col("n_chars"),
+        scoreFor(toks, allStop).as("n_stopwords"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        ((col("n_chars") - (col("n_tokens") - 1)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("mean_token_len"),
+        (col("n_stopwords").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("stopword_ratio"),
+        (col("n_tokens") < 30).as("too_short"))
+      .select(col("*"),
+        (when(col("too_short"), 0.0).otherwise(1.0) *
+          (lit(1.0) - col("stopword_ratio"))).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other non-space chars) + distinct
+    * token count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(array_distinct(tokens(col("text")))).as("distinct_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+        .as("bpe_ish_tokens"))
+
+  /** Positional power table for the rolling fingerprint: 31^(p mod 8),
+    * bounded so (hash % 1000003) * 31^7 * maxTokens stays well inside
+    * int64. */
+  private val pow31: Seq[Long] =
+    (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)
+
+  /** Document fingerprint: positional polynomial rolling hash
+    * sum((md5hash(tok) % 1000003) * 31^(pos mod 8)) mod (2^31-1).
+    * Pure integer arithmetic — engine-independent, order-independent sum. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val powArr = array(pow31.map(lit(_)): _*)
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
+      .select(col("doc_id"),
+        ((md5Long(col("t")) % 1000003L) *
+          element_at(powArr, (col("p") % 8) + 1)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % 2147483647L).as("fingerprint"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared text/vector primitives for the LLM-data-pipeline operators.
+  *
+  * Cross-engine determinism (the DuckDB oracle hash-compares results):
+  *  - token hashing goes through md5 (identical in any engine) with the
+  *    first 15 hex digits parsed as a 60-bit non-negative long;
+  *  - embedding math quantizes floats to exact integers
+  *    (`round(toDouble(x) * 1e7)`): both engines round the same IEEE double
+  *    with the same half-away-from-zero rule, and everything after is
+  *    overflow-safe BIGINT arithmetic — order-independent, so safe under
+  *    distributed partial aggregation.
+  */
+object TextKit {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit stable hash of a string: first 15 hex digits of md5, with an
+    * optional seed prefix (for the minhash family). DuckDB equivalent:
+    * `('0x' || substr(md5(seed || t), 1, 15))::BIGINT`. */
+  def md5Long(c: Column, seed: Option[Int] = None): Column = {
+    val seeded = seed.map(s => concat(lit(s.toString), c)).getOrElse(c)
+    conv(substring(md5(seeded), 1, 15), 16, 10).cast(LongType)
+  }
+
+  /** Word n-gram shingles from a token array; empty when there are fewer
+    * than n tokens (guards Spark's descending `sequence(1,0)`). */
+  def shingles(toks: Column, n: Int = 2): Column = {
+    val make = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= n, make).otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Quantize a float/double column to an exact integer at 1e7 scale. */
+  def quant(x: Column): Column =
+    round(x.cast(DoubleType) * lit(1e7)).cast(LongType)
+
+  /** Exact integer dot product of two float-array columns (element count
+    * must match). Stays inside codegen via higher-order functions. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => quant(x) * quant(y)), lit(0L), _ + _)
+
+  /** Exact integer squared norm. */
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Cosine from exact integer dot/norms — double division/sqrt of
+    * identical integers is deterministic across engines. */
+  def cosineQ(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast(DoubleType) / (sqrt(n1.cast(DoubleType)) * sqrt(n2.cast(DoubleType)))
+
+  /** DuckDB SQL fragments mirroring the above (kept adjacent so the two
+    * dialects evolve together). */
+  object ducksql {
+    def md5Long(expr: String, seed: Option[Int] = None): String = {
+      val seeded = seed.map(s => s"'$s' || $expr").getOrElse(expr)
+      s"('0x' || substr(md5($seeded), 1, 15))::BIGINT"
+    }
+    def quant(expr: String): String =
+      s"CAST(round(CAST($expr AS DOUBLE) * 1e7, 0) AS BIGINT)"
+    /** dot of two DuckDB list expressions of length `dim`. */
+    def dotQ(a: String, b: String, dim: Int = 64): String =
+      s"list_sum(list_transform(generate_series(1, $dim), " +
+        s"i -> ${quant(s"$a[i]")} * ${quant(s"$b[i]")}))"
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+
+/** LLM-data-pipeline operator queries (dedup / similarity / text analysis /
+  * multimodal) over the documents + embeddings tables, each with a DuckDB
+  * oracle. Hashing goes through md5 (engine-independent) and embedding math
+  * through integer quantization (TextKit), so results hash-match exactly. */
+object OpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    "q21_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy("canonical_id")),
+    "q22_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    "q23_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    "q24_dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d)).orderBy("doc_id")),
+    "q25_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDup(emb(s, d)).orderBy("vec_a", "vec_b")),
+    "q26_ann_brute" -> ((s, d) =>
+      Similarity.bruteTopK(emb(s, d)).orderBy("query_id", "rank")),
+    "q27_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d)).orderBy("query_id", "rank")),
+    "q28_langid" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "q29_quality" -> ((s, d) =>
+      TextAnalysis.quality(docs(s, d)).orderBy("doc_id")),
+    "q30_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
+    "q31_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "q32_multimodal_meta" -> ((s, d) =>
+      docs(s, d).select(col("doc_id").as("media_id"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
+        .orderBy("media_id")))
+
+  private val H = (j: Int) => TextKit.ducksql.md5Long("s", Some(j))
+  private val tokH = TextKit.ducksql.md5Long("t")
+
+  /** Shared CTE fragments. */
+  private val SHINGLES =
+    """sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+           i -> toks[i] || ' ' || toks[i+1])) AS s
+         FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)))"""
+
+  private val JACCARD_TAIL = (tau: Double) =>
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+         FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s GROUP BY 1, 2)
+       SELECT i.doc_a, i.doc_b,
+         CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+       FROM inter i JOIN sizes na ON i.doc_a = na.doc_id
+       JOIN sizes nb ON i.doc_b = nb.doc_id
+       WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= $tau
+       ORDER BY i.doc_a, i.doc_b"""
+
+  private def dotQ(a: String, b: String) = TextKit.ducksql.dotQ(a, b)
+
+  private val EMB_NORM =
+    s"""e AS (SELECT vec_id, embedding,
+         ${dotQ("embedding", "embedding")} AS nsq FROM embeddings)"""
+
+  val oracles: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      s"""SELECT ${TextKit.ducksql.md5Long("text")} AS text_hash,
+         min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY canonical_id""",
+    "q22_dedup_ngram" ->
+      s"""WITH $SHINGLES,
+         rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+           WHERE df <= 20 AND df >= 2),
+         candsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM candsh l JOIN candsh r ON l.s = r.s AND l.doc_id < r.doc_id),
+         ${JACCARD_TAIL(0.5)}""",
+    "q23_dedup_minhash" ->
+      s"""WITH $SHINGLES,
+         sig AS (SELECT doc_id,
+           ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}
+           FROM sh GROUP BY doc_id),
+         banded AS (${(0 until 4).map(b =>
+             s"SELECT doc_id, $b AS band, CAST(h${2*b} AS VARCHAR) || '_' || CAST(h${2*b+1} AS VARCHAR) AS key FROM sig")
+           .mkString(" UNION ALL ")}),
+         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+             AND l.doc_id < r.doc_id),
+         ${JACCARD_TAIL(0.6)}""",
+    "q24_dedup_simhash" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, $tokH AS h FROM
+           (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
+         bits AS (SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+           FROM tok, generate_series(0, 15) AS g(b) GROUP BY doc_id, b)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN sgn >= 0 THEN (1::BIGINT << b) ELSE 0 END)
+             AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q25_dedup_embedding" ->
+      s"""WITH $EMB_NORM
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE) /
+             (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+             AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE) /
+             (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4
+         ORDER BY vec_a, vec_b""",
+    "q26_ann_brute" ->
+      s"""WITH $EMB_NORM,
+         q AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq
+           FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+             (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+             AS cosine
+           FROM q, e WHERE e.vec_id != query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q27_ann_lsh" ->
+      s"""WITH eb AS (SELECT vec_id, embedding,
+           ${dotQ("embedding", "embedding")} AS nsq,
+           list_sum(list_transform(generate_series(1, 6), d ->
+             CASE WHEN embedding[d] >= 0 THEN (1::BIGINT << (d - 1))
+               ELSE 0 END)) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq,
+           bucket FROM eb WHERE vec_id < 10),
+         scored AS (SELECT query_id, eb.vec_id AS neighbor_id,
+           CAST(${dotQ("qe", "eb.embedding")} AS DOUBLE) /
+             (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(eb.nsq AS DOUBLE)))
+             AS cosine
+           FROM q JOIN eb ON q.bucket = eb.bucket
+           WHERE eb.vec_id != q.query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q28_langid" -> {
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      def inList(l: String) =
+        TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("(", ",", ")")
+      val scores = langs.map(l =>
+        s"len(list_filter(toks, t -> t IN ${inList(l)})) AS score_$l")
+        .mkString(", ")
+      val m = s"greatest(${langs.map(l => s"score_$l").mkString(",")})"
+      val pick = langs.map(l => s"WHEN score_$l = $m THEN '$l'")
+        .mkString(" ")
+      s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         CASE WHEN $m = 0 THEN 'und' $pick END AS predicted_lang
+         FROM (SELECT doc_id, $scores FROM
+           (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
+         ORDER BY doc_id"""
+    },
+    "q29_quality" ->
+      """SELECT doc_id, n_tokens, n_chars,
+         CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+         CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+         n_tokens < 30 AS too_short,
+         (CASE WHEN n_tokens < 30 THEN 0.0 ELSE 1.0 END) *
+           (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+         FROM (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           len(list_filter(toks, t -> t IN ('the','a','of','and','to','in',
+             'le','la','et','de','un','des','el','los','y','en','una',
+             'der','die','und','das','ein','mit'))) AS n_stop
+           FROM (SELECT doc_id, n_chars, string_split(text,' ') AS toks
+             FROM documents))
+         ORDER BY doc_id""",
+    "q30_token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+         len(list_distinct(string_split(text,' '))) AS distinct_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+           AS bpe_ish_tokens
+         FROM documents ORDER BY doc_id""",
+    "q31_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, t, i FROM (SELECT doc_id,
+           unnest(string_split(text,' ')) AS t,
+           generate_subscripts(string_split(text,' '), 1) AS i
+           FROM documents))
+         SELECT doc_id,
+           CAST(sum(($tokH % 1000003) *
+             ([1,31,961,29791,923521,28629151,887503681,27512614111])[((i-1) % 8) + 1])
+             % 2147483647 AS BIGINT) AS fingerprint
+         FROM tok GROUP BY doc_id ORDER BY doc_id""",
+    "q32_multimodal_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         hex(encode(substr(text, 1, 8))) AS head_hex
+         FROM documents ORDER BY media_id""")
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   type Q = (SparkSession, String) => DataFrame
 
-  def all: Map[String, Q] = CoreQueries.queries
+  def all: Map[String, Q] = CoreQueries.queries ++ OpsQueries.queries
 
-  def oracles: Map[String, String] = CoreQueries.oracles
+  def oracles: Map[String, String] = CoreQueries.oracles ++ OpsQueries.oracles
 }
