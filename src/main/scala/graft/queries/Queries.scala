@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   type Q = (SparkSession, String) => DataFrame
 
-  def all: Map[String, Q] = CoreQueries.queries ++ OpsQueries.queries
+  def all: Map[String, Q] =
+    CoreQueries.queries ++ OpsQueries.queries ++ StreamQueries.queries
 
-  def oracles: Map[String, String] = CoreQueries.oracles ++ OpsQueries.oracles
+  def oracles: Map[String, String] =
+    CoreQueries.oracles ++ OpsQueries.oracles ++ StreamQueries.oracles
 }

@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming coverage with batch-equivalent oracles: the
+  * streaming result of a windowed aggregation over a finite source equals
+  * the batch aggregation, so DuckDB can check it. */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q33_stream_hourly" -> ((s, d) => StreamingOps.hourlyCounts(s, d)),
+    "q34_sessionize" -> ((s, d) =>
+      StreamingOps.sessionize(s, d).orderBy("user_id", "start_us")))
+
+  val oracles: Map[String, String] = Map(
+    "q33_stream_hourly" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         SELECT user_id, min(ts) AS start_us, max(ts) AS end_us,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""
+  )
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events table.
+  *
+  * The reference has no streaming surface (scheduled batch only, SURVEY.md
+  * §2.8); these are the north-star extensions expressed the Spark way:
+  * readStream -> event-time window aggregation with a watermark ->
+  * AvailableNow trigger, and arbitrary stateful sessionization via
+  * flatMapGroupsWithState. The same code incrementalizes on a real stream;
+  * here the parquet file drives it to completion synchronously.
+  */
+object StreamingOps {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Hourly tumbling-window counts + exact value sums per event type.
+    * Event time = ts (ns) truncated to microseconds; the output carries the
+    * window start as epoch seconds (exact integer — cross-engine safe).
+    * Watermark included so the plan is a genuine append-mode streaming agg
+    * with bounded state at scale. */
+  def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "hourly_counts_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // The streaming file source requires a directory: point it at the SF
+    // dir and glob-filter to the events file.
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("window.start").cast(LongType).as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour_start", "event_type")
+  }
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Sessionization with a gap timeout via flatMapGroupsWithState — the
+    * custom-state extension point. In batch mode Spark runs the function
+    * once per key over all rows (no timeouts fire), which is exactly the
+    * deterministic gap-split below; on a stream the same code emits sessions
+    * incrementally as the processing-time timeout expires. */
+  def sessionize(spark: SparkSession, sfDir: String,
+      gapUs: Long = 3600L * 1000000): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.schema(eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), expr("ts DIV 1000").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val sessions = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts - s.last <= gapUs =>
+                cur = Some(SessionState(s.start, e.ts, s.n + 1))
+              case Some(s) =>
+                out += Session(user, s.start, s.last, s.n)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(s => out += Session(user, s.start, s.last, s.n))
+          state.remove()
+          out.iterator
+      }
+    sessions.toDF()
+  }
+}
