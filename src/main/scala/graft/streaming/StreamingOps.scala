@@ -24,9 +24,14 @@ object StreamingOps {
   /** Hourly tumbling-window counts + exact value sums per event type.
     * Event time = ts (ns) truncated to microseconds; the output carries the
     * window start as epoch seconds (exact integer — cross-engine safe).
-    * Watermark included so the plan is a genuine append-mode streaming agg
-    * with bounded state at scale. */
-  def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    *
+    * `watermarked = true` runs the production shape — append mode with a
+    * 1-hour watermark, so state stays bounded and late data is handled —
+    * but by design it never finalizes the trailing window of a finite
+    * source. `false` (default) uses complete mode so the result equals the
+    * batch aggregation, which is what the DuckDB oracle checks. */
+  def hourlyCounts(spark: SparkSession, sfDir: String,
+      watermarked: Boolean = false): DataFrame = {
     val name = "hourly_counts_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // The streaming file source requires a directory: point it at the SF
     // dir and glob-filter to the events file.
@@ -34,15 +39,16 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
-    val agg = stream
-      .withWatermark("event_time", "1 hour")
+    val agg = (if (watermarked) stream.withWatermark("event_time", "1 hour")
+      else stream)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType)
           .as("sum_value"))
       .select(col("window.start").cast(LongType).as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
-    val q = agg.writeStream.outputMode(OutputMode.Append)
+    val q = agg.writeStream
+      .outputMode(if (watermarked) OutputMode.Append else OutputMode.Complete)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
