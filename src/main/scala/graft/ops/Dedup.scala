@@ -26,24 +26,53 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Distinct (doc_id, bigram-shingle) pairs — the shared relation behind
+    * the minhash/Jaccard family. Callers that use it more than once cache
+    * it (at lake scale: persist to executor storage, one shuffle amortized
+    * across candidate generation and verification). */
+  def shingleSet(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(shinglesOf(col("text"))).as("s"))
+    .distinct()
+
   /** MinHash signatures over word-bigram shingles: `numHashes` independent
     * hash slots h0..h{k-1}, each `min(md5(seed || shingle))`. One explode +
     * one hash aggregation. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
-      .distinct()
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
+    minhashSignaturesOf(shingleSet(docs), numHashes)
+
+  private def minhashSignaturesOf(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes)
       .map(j => min(md5Long(col("s"), Some(j))).as(s"h$j"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Ordered id pairs within each group of `df` sharing `keys` — the LSH
+    * bucket-to-candidate-pairs step without a self-join: one aggregation
+    * collects each bucket's ids, a combination explode emits (a, b) with
+    * a < b. Avoids recomputing the upstream pipeline on both join sides.
+    * At scale, a pathological stop-bucket would blow up either formulation;
+    * callers bound bucket size upstream (df caps, band width). */
+  private def pairsWithinGroups(df: DataFrame, keys: Seq[String],
+      id: String): DataFrame = {
+    val sorted = sort_array(collect_set(col(id)))
+    val buckets = df.groupBy(keys.map(col): _*).agg(sorted.as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val combos = flatten(transform(
+      sequence(lit(1), size(col("ids")) - 1),
+      i => transform(slice(col("ids"), i + 1, size(col("ids"))),
+        y => struct(element_at(col("ids"), i).as("a"), y.as("b")))))
+    buckets.select(explode(combos).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash + LSH near-dup pairs: band the signature (rows-per-band=2),
-    * bucket-join within bands for candidates, then verify true bigram
-    * Jaccard >= tau. Returns (doc_a, doc_b, jaccard). */
+    * bucket candidates within bands, then verify true bigram Jaccard >=
+    * tau. Returns (doc_a, doc_b, jaccard). */
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
       numHashes: Int = 8): DataFrame = {
-    val sig = minhashSignatures(docs, numHashes)
+    val sh = shingleSet(docs).persist()
+    val sig = minhashSignaturesOf(sh, numHashes)
     val bands = numHashes / 2
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
@@ -51,20 +80,14 @@ object Dedup {
           concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
             .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(docs, cand, tau)
+    val cand = pairsWithinGroups(banded, Seq("band", "key"), "doc_id")
+    verifyJaccard(sh, cand, tau)
   }
 
-  /** True bigram-shingle Jaccard for given candidate pairs. */
-  private def verifyJaccard(docs: DataFrame, cand: DataFrame,
+  /** True bigram-shingle Jaccard for given candidate pairs over a (cached)
+    * shingle set. */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
       tau: Double): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
-      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -105,28 +128,25 @@ object Dedup {
     * linear-ish at scale), then true Jaccard (over all shingles) >= tau. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5,
       maxDf: Int = 20): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
-      .distinct()
+    val sh = shingleSet(docs).persist()
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val candSh = sh.join(rare, "s")
-    val cand = candSh.as("l").join(candSh.as("r"),
-        col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(docs, cand, tau)
+    val candSh = sh.join(rare.select("s"), "s")
+    val cand = pairsWithinGroups(candSh, Seq("s"), "doc_id")
+    verifyJaccard(sh, cand, tau)
   }
 
   /** Embedding cosine near-dup: exact integer-quantized cosine over
     * candidate pairs. Small inputs go brute force; the documented scale
     * path is Similarity.lshBuckets-style blocking first. */
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.4): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
-      normSqQ(col("embedding")).as("nsq"))
+    // quantize once per row; the O(n^2) stage below is then a codegen'd
+    // integer loop per pair (LongArrayDot), not per-element lambdas
+    val e = emb.select(col("vec_id"), quantVec(col("embedding")).as("qv"))
+      .withColumn("nsq", dotPre(col("qv"), col("qv")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineQ(dotQ(col("a.embedding"), col("b.embedding")),
+        cosineQ(dotPre(col("a.qv"), col("b.qv")),
           col("a.nsq"), col("b.nsq")).as("cosine"))
       .filter(col("cosine") >= tau)
   }

@@ -21,21 +21,23 @@ import TextKit._
   */
 object Similarity {
 
+  /** Quantize once per row (qv: array<bigint>) so pairwise scoring is a
+    * codegen'd integer loop (LongArrayDot), not per-element lambdas. */
   private def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      normSqQ(col("embedding")).as("nsq"))
+        quantVec(col("embedding")).as("qv"))
+      .withColumn("nsq", dotPre(col("qv"), col("qv")))
 
   /** Exact cosine top-k for the query rows (vec_id < nQueries), self
     * excluded; rank ties broken by candidate id. */
   def bruteTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = withNorm(emb)
     val q = e.filter(col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("embedding", "qe")
-      .withColumnRenamed("nsq", "qnsq")
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineQ(dotQ(col("qe"), col("embedding")), col("qnsq"), col("nsq"))
+        cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -56,12 +58,12 @@ object Similarity {
       bits: Int = 6): DataFrame = {
     val e = withNorm(emb).withColumn("bucket", signBucket(col("embedding"), bits))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nsq").as("qnsq"), col("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineQ(dotQ(col("qe"), col("embedding")), col("qnsq"), col("nsq"))
+        cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

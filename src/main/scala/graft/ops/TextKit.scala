@@ -28,8 +28,15 @@ object TextKit {
     conv(substring(md5(seeded), 1, 15), 16, 10).cast(LongType)
   }
 
+  /** Word n-gram shingles straight from the text column — native
+    * single-pass expression (graft.functions.WordShingles); empty array
+    * when there are fewer than n tokens. */
+  def shinglesOf(text: Column, n: Int = 2): Column =
+    graft.functions.WordShingles(text, n)
+
   /** Word n-gram shingles from a token array; empty when there are fewer
-    * than n tokens (guards Spark's descending `sequence(1,0)`). */
+    * than n tokens (guards Spark's descending `sequence(1,0)`). Kept for
+    * callers that already hold a token array; prefer shinglesOf(text). */
   def shingles(toks: Column, n: Int = 2): Column = {
     val make = transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
@@ -40,10 +47,19 @@ object TextKit {
   def quant(x: Column): Column =
     round(x.cast(DoubleType) * lit(1e7)).cast(LongType)
 
+  /** Quantize a float-array column to array<bigint> — do this ONCE per row
+    * before any pairwise stage, so the O(pairs) work is pure integer
+    * arithmetic (graft.functions.LongArrayDot, codegen'd). */
+  def quantVec(a: Column): Column = transform(a, x => quant(x))
+
+  /** Exact integer dot product of two PRE-QUANTIZED long-array columns. */
+  def dotPre(a: Column, b: Column): Column =
+    graft.functions.LongArrayDot(a, b)
+
   /** Exact integer dot product of two float-array columns (element count
-    * must match). Stays inside codegen via higher-order functions. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => quant(x) * quant(y)), lit(0L), _ + _)
+    * must match). Convenience form; pairwise stages should pre-quantize
+    * with quantVec and use dotPre instead. */
+  def dotQ(a: Column, b: Column): Column = dotPre(quantVec(a), quantVec(b))
 
   /** Exact integer squared norm. */
   def normSqQ(a: Column): Column = dotQ(a, a)
