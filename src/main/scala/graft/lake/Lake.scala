@@ -62,6 +62,14 @@ object Lake {
       csvFidelity: Boolean = false): Unit =
     write(df, tagsPath(root), csvFidelity)
 
+  /** K7 error-log sink (refresh-ta-check-lambda.py:54-63): failure records
+    * land under Logs/<kind>/y/m/d as their own small table instead of the
+    * reference's one-file-per-account text logs. Expects columns
+    * (date, accountid, message). */
+  def writeErrorLog(df: DataFrame, root: String,
+      kind: String = "AssumeRoleFailure"): Unit =
+    write(df, s"$root/Logs/$kind", csvFidelity = false)
+
   private def read(spark: SparkSession, path: String,
       csvFidelity: Boolean): DataFrame =
     if (csvFidelity)

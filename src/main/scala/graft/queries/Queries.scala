@@ -9,8 +9,10 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   def all: Map[String, Q] =
-    CoreQueries.queries ++ OpsQueries.queries ++ StreamQueries.queries
+    CoreQueries.queries ++ OpsQueries.queries ++ StreamQueries.queries ++
+      TaQueries.queries
 
   def oracles: Map[String, String] =
-    CoreQueries.oracles ++ OpsQueries.oracles ++ StreamQueries.oracles
+    CoreQueries.oracles ++ OpsQueries.oracles ++ StreamQueries.oracles ++
+      TaQueries.oracles
 }

@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 source for TA check results — the live-API variant of S1
+  * (`extract-ta-data-lambda.py:70-75`): one InputPartition per
+  * (account, check), so a 1000-account x 8-check ingest fans out as 8000
+  * independent partition reads across the cluster, replacing the
+  * reference's Step Functions `Map` states (template:1704,1210).
+  *
+  * The per-partition fetch is STUBBED with a deterministic synthetic
+  * document (this container has no network): a production build would call
+  * `support.describe_trusted_advisor_check_result` inside
+  * [[TaFetchStub.fetch]] with per-partition credentials, and nothing else
+  * here changes. Output schema matches TaIngest's expected input exactly.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.TaCheckResultSource")
+  *   .option("accounts", "123456789012:Acme:ops@acme.example,...")
+  *   .option("checks", "Qch7DwouX1,hjLMh88uM8")
+  *   .option("date", "01-15-2024").option("datetime", "2024-01-15 09:00:00")
+  *   .load()
+  * }}}
+  */
+class TaCheckResultSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TaCheckResultSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TaTable(properties.asScala.toMap)
+}
+
+object TaCheckResultSource {
+  /** Matches TaIngest's expected raw columns. */
+  val schema: StructType = StructType(Seq(
+    "json", "Date", "DateTime", "CheckName",
+    "AccountId", "AccountName", "AccountEmail")
+    .map(StructField(_, StringType, nullable = false)))
+}
+
+private[sources] class TaTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "ta_check_results"
+  override def schema(): StructType = TaCheckResultSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TaScan(props ++ options.asScala)
+}
+
+private[sources] case class TaPartition(accountId: String, accountName: String,
+    accountEmail: String, checkId: String, checkName: String,
+    date: String, dateTime: String) extends InputPartition
+
+private[sources] class TaScan(opts: Map[String, String])
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = TaCheckResultSource.schema
+  override def toBatch: Batch = this
+  override def description(): String = "graft TA check-result scan"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val accounts = opts.getOrElse("accounts", "").split(",")
+      .filter(_.nonEmpty).map { a =>
+        val parts = a.split(":")
+        (parts(0), parts.lift(1).getOrElse(parts(0)),
+          parts.lift(2).getOrElse(parts(0)))
+      }
+    val checks = opts.getOrElse("checks", "").split(",").filter(_.nonEmpty)
+    val date = opts.getOrElse("date", "01-01-2024")
+    val dt = opts.getOrElse("datetime", "2024-01-01 00:00:00")
+    for {
+      (id, nm, em) <- accounts
+      c <- checks
+    } yield TaPartition(id, nm, em, c,
+      graft.model.CheckRegistry.byId.get(c).map(_.name).getOrElse(c),
+      date, dt): InputPartition
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TaReaderFactory
+}
+
+private[sources] class TaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TaPartition]
+    new PartitionReader[InternalRow] {
+      private var consumed = false
+      override def next(): Boolean = if (consumed) false else { consumed = true; true }
+      override def get(): InternalRow = {
+        val json = TaFetchStub.fetch(p.accountId, p.checkId)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(json), UTF8String.fromString(p.date),
+          UTF8String.fromString(p.dateTime), UTF8String.fromString(p.checkName),
+          UTF8String.fromString(p.accountId), UTF8String.fromString(p.accountName),
+          UTF8String.fromString(p.accountEmail)))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** STUB for the Support API call — deterministic synthetic response keyed
+  * by (account, check). A real deployment swaps this body for the
+  * assume-role + `describe_trusted_advisor_check_result` HTTP call
+  * (extract-ta-data-lambda.py:70-75,89-95); the partitioning, schema, and
+  * everything downstream stay identical. */
+object TaFetchStub {
+  def fetch(accountId: String, checkId: String): String = {
+    val seed = (accountId + checkId).hashCode & 0x7fffffff
+    val flagged = seed % 5 + 1
+    val resources = (0 until flagged).map { i =>
+      val meta = (Seq(s"az-$i", s"res-$accountId-$i", s"name-$i", "t3.large",
+        "$" + (10 + (seed + i) % 90) + ".50") ++
+        (1 to 14).map(d => s"$d.0%") ++
+        Seq(s"${(seed + i) % 10}.5%", "0.25%", s"${i + 3} days"))
+        .map(m => s""""$m"""").mkString("[", ",", "]")
+      s"""{"status":"warning","region":"us-east-1","resourceId":"r$i",
+         "isSuppressed":false,"metadata":$meta}"""
+    }.mkString(",")
+    s"""{"result":{"checkId":"$checkId","status":"warning",
+       "resourcesSummary":{"resourcesProcessed":${flagged * 10},
+         "resourcesFlagged":$flagged,"resourcesIgnored":0,"resourcesSuppressed":1},
+       "categorySpecificSummary":{"costOptimizing":{
+         "estimatedMonthlySavings":${seed % 1000}.25,
+         "estimatedPercentMonthlySavings":0.1}},
+       "flaggedResources":[$resources]}}"""
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Functions._
+
+/** Property-based checks (SURVEY.md §5.4) — ScalaCheck generators driven
+  * through the real column expressions. The scalatest-scalacheck bridge
+  * isn't on the offline classpath, so generators are sampled directly with
+  * a fixed seed (deterministic, still property-shaped). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def runBatch(in: Seq[String], c: org.apache.spark.sql.Column): Seq[Any] =
+    in.toDF("v").select(c.as("r")).collect().toSeq.map(_.get(0))
+
+  test("parseMoney parses any generated $d+.dd string exactly") {
+    val money = for {
+      d <- Gen.choose(0L, 999999999L)
+      c <- Gen.choose(0, 99)
+    } yield (d, c)
+    val cases = samples(money, 50)
+    val out = runBatch(cases.map { case (d, c) => f"$$$d%d.$c%02d" },
+      parseMoney(col("v")))
+    cases.zip(out).foreach { case ((d, c), r) =>
+      assert(r != null && r.toString == f"$d%d.$c%02d")
+    }
+  }
+
+  test("maskAccountId masks every 12-digit run, idempotent") {
+    val acct = Gen.listOfN(12, Gen.numChar).map(_.mkString)
+    val cases = samples(acct, 50)
+    val masked = runBatch(cases.map(a => s"pre $a post"), maskAccountId(col("v")))
+    cases.zip(masked).foreach { case (a, m) =>
+      assert(m == s"pre ${a(1)}XXXXXXX${a.substring(8)} post")
+    }
+    val again = runBatch(masked.map(_.toString), maskAccountId(col("v")))
+    masked.zip(again).foreach { case (m, m2) => assert(m == m2) }
+  }
+
+  test("arnResourceId returns suffix after last / (or last : fallback)") {
+    val id = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(19).mkString)
+    val cases = samples(id, 30)
+    val slash = runBatch(cases.map(r => s"arn:aws:ec2:us-east-1:1:instance/$r"),
+      arnResourceId(col("v")))
+    cases.zip(slash).foreach { case (r, got) => assert(got == r) }
+    val colonOnly = cases.filter(!_.contains("/"))
+    val colon = runBatch(colonOnly.map(r => s"arn:aws:redshift:$r"),
+      arnResourceId(col("v")))
+    colonOnly.zip(colon).foreach { case (r, got) => assert(got == r) }
+  }
+
+  test("last-wins tag dedup keeps one row per ARN with max-seq value") {
+    val obsGen = Gen.listOfN(30, for {
+      arn <- Gen.oneOf("arn:a/x", "arn:b/y", "arn:c/z")
+      v <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+      seq <- Gen.choose(1L, 1000L)
+    } yield (arn, "K", v, seq))
+    samples(obsGen, 5).foreach { rows =>
+      val df = rows.toDF("ResourceArn", "Key", "Value", "obs_seq")
+        .withColumn("RegionName", org.apache.spark.sql.functions.lit("r"))
+        .withColumn("ResourceType", org.apache.spark.sql.functions.lit("t"))
+        .withColumn("Date", org.apache.spark.sql.functions.lit("01-01-2024"))
+        .withColumn("DateTime", org.apache.spark.sql.functions.lit("x"))
+        .withColumn("AccountId", org.apache.spark.sql.functions.lit("1"))
+        .withColumn("AccountName", org.apache.spark.sql.functions.lit("n"))
+        .withColumn("AccountEmail", org.apache.spark.sql.functions.lit("e"))
+      val out = graft.ingest.TaIngest.tags(df, Seq("K")).collect()
+      assert(out.length == rows.map(_._1).distinct.length)
+      rows.groupBy(_._1).foreach { case (arn, rs) =>
+        val maxSeq = rs.map(_._4).max
+        val winners = rs.filter(_._4 == maxSeq)
+        if (winners.length == 1) {
+          val got = out.find(_.getAs[String]("resourcearn") == arn).get
+          assert(got.getAs[String]("k") == winners.head._3)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.TaIngest
+import graft.lake.Lake
+import graft.model.CheckRegistry
+
+/** Specs for the source/sink surface: the DSv2 TA source (S1 live-API
+  * shape), accounts CSV scan with header detection (S5), CSV fidelity lake
+  * mode (K1-K5), and the error-log sink (K7). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DSv2 source: one partition per (account, check), ingest-ready rows") {
+    val df = spark.read.format("graft.sources.TaCheckResultSource")
+      .option("accounts",
+        "123456789012:Acme:ops@acme.example,999988887777:Beta:eng@beta.example")
+      .option("checks", "Qch7DwouX1,hjLMh88uM8")
+      .option("date", "01-15-2024")
+      .option("datetime", "2024-01-15 09:00:00")
+      .load()
+    assert(df.rdd.getNumPartitions == 4) // 2 accounts x 2 checks
+    assert(df.count() == 4)
+    assert(df.columns.toSeq == Seq("json", "Date", "DateTime", "CheckName",
+      "AccountId", "AccountName", "AccountEmail"))
+    // and it feeds straight into the normalizer
+    val details = TaIngest.details(df, CheckRegistry.lowUtilEc2)
+    assert(details.count() > 0)
+    val r = details.collect().head
+    assert(r.getAs[String]("checkname") == "Low Utilization Amazon EC2 Instances")
+  }
+
+  test("accounts CSV: header-position detection, extras ignored, ACTIVE filter") {
+    val dir = Files.createTempDirectory("graft-accts")
+    val csv = dir.resolve("accounts.csv")
+    Files.writeString(csv,
+      """Extra, AccountEmail ,Status,accountid,AccountName
+        |x,ops@acme.example,ACTIVE,123456789012,Acme
+        |y,eng@beta.example,SUSPENDED,999988887777,Beta
+        |z,dev@c.example,active,111122223333,Gamma
+        |""".stripMargin)
+    val df = graft.sources.AccountsSource.fromCsv(spark, csv.toString,
+      "01-15-2024", "2024-01-15 09:00:00")
+    val rows = df.orderBy("AccountId").collect()
+    assert(rows.length == 2) // SUSPENDED filtered; 'active' case-insensitive
+    assert(rows(0).getAs[String]("AccountName") == "Gamma")
+    assert(rows(1).getAs[String]("AccountEmail") == "ops@acme.example")
+  }
+
+  test("CSV fidelity lake mode: string-typed roundtrip with partition dirs") {
+    val root = Files.createTempDirectory("graft-csvlake").toString
+    val raw = spark.read.format("graft.sources.TaCheckResultSource")
+      .option("accounts", "123456789012:Acme:ops@acme.example")
+      .option("checks", "Qch7DwouX1")
+      .option("date", "01-15-2024")
+      .option("datetime", "2024-01-15 09:00:00").load()
+    val details = TaIngest.details(raw, CheckRegistry.lowUtilEc2)
+    Lake.writeDetails(details, root, CheckRegistry.lowUtilEc2, csvFidelity = true)
+    val back = spark.read.option("header", "true")
+      .csv(s"$root/TA-Reports/cost_optimizing/check_qch7dwoux1")
+    assert(back.count() == details.count())
+    // crawler semantics: everything is a string
+    assert(back.schema.fields.filter(f =>
+      !Seq("year", "month", "day").contains(f.name))
+      .forall(_.dataType.typeName == "string"))
+    assert(back.columns.contains("estimated monthly savings"))
+  }
+
+  test("error-log sink: failure rows land under Logs/<kind>/y/m/d") {
+    val root = Files.createTempDirectory("graft-errlog").toString
+    val errs = Seq(("01-15-2024", "123456789012", "AccessDenied on AssumeRole"))
+      .toDF("date", "accountid", "message")
+    Lake.writeErrorLog(errs, root)
+    val back = spark.read.parquet(s"$root/Logs/AssumeRoleFailure")
+    assert(back.count() == 1)
+    assert(back.select("year").head.getInt(0) == 2024)
+  }
+}
