@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+/** SparkSessionExtensions registration + skew utilities. Own session (needs
+  * withExtensions at build time). */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ExtensionsSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .getOrCreate()
+
+  test("long_array_dot callable from SQL") {
+    val r = spark.sql(
+      "SELECT long_array_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+      .collect().head.getLong(0)
+    assert(r == 32L)
+  }
+
+  test("word_shingles callable from SQL") {
+    val r = spark.sql("SELECT word_shingles('a b c d', 2) AS s")
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("a b", "b c", "c d"))
+  }
+
+  test("saltedJoin equals plain join and spreads the hot key") {
+    import spark.implicits._
+    // heavily skewed big side: 90% of rows share key 1
+    val big = (1 to 2000).map(i => (if (i <= 1800) 1L else (i % 50).toLong, i))
+      .toDF("k", "payload")
+    val small = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k"), "inner")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), factor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.orderBy("payload").collect().map(_.toSeq.toSet).toSeq ==
+      plain.orderBy("payload").collect().map(_.toSeq.toSet).toSeq)
+    // left join parity incl. unmatched keys
+    val bigWithMiss = big.union(Seq((999L, -1)).toDF("k", "payload"))
+    val saltedLeft = Skew.saltedJoin(bigWithMiss, small, Seq("k"), 4, "left")
+    assert(saltedLeft.count() == bigWithMiss.count())
+    assert(saltedLeft.filter($"k" === 999L).collect().head.isNullAt(2))
+    // diagnostic finds the hot key
+    val hot = Skew.hotKeys(big, Seq("k"), minCount = 1000).collect()
+    assert(hot.length == 1 && hot.head.getLong(0) == 1L)
+  }
+}
