@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,56 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) top-k: a deterministic coarse quantizer — every
+    * 31st vector is a centroid — partitions the corpus into cells by
+    * nearest centroid (exact integer squared-L2 via quantized dot
+    * products); queries probe their `nprobe` nearest cells and score only
+    * vectors assigned there. The 100 TB shape: the centroid set is tiny and
+    * broadcast, cell assignment is one scan + one window, and search
+    * shuffles only on cell id. A production build replaces the modulo
+    * centroid choice with k-means — everything downstream is unchanged. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      nprobe: Int = 2, centroidStride: Int = 31): DataFrame = {
+    val e = withNorm(emb)
+    val cent = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"),
+        col("nsq").as("cnsq"))
+    // squared L2 in quantized space: |a|^2 + |c|^2 - 2 a.c (exact integers)
+    def distTo(nsq: Column, qv: Column): Column =
+      nsq + col("cnsq") - lit(2L) * dotPre(qv, col("cqv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("qv"), col("nsq"), col("cent_id"),
+        distTo(col("nsq"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nsq"), col("cent_id").as("cell"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("qqv"), col("qnsq"), col("cent_id"),
+        (col("qnsq") + col("cnsq") - lit(2L) * dotPre(col("qqv"), col("cqv")))
+          .as("dist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qqv"), col("qnsq"),
+        col("cent_id").as("cell"))
+    val scored = probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      // a vector can sit in only one cell, but two probed cells both join
+      // the same (query, neighbor) never happens; distinct not needed
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
   }
 
   /** Sign-bit bucket id over the first `bits` dimensions. The sign of a

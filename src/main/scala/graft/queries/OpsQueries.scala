@@ -31,6 +31,8 @@ object OpsQueries {
       Similarity.bruteTopK(emb(s, d)).orderBy("query_id", "rank")),
     "q27_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d)).orderBy("query_id", "rank")),
+    "q36_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d)).orderBy("query_id", "rank")),
     "q28_langid" -> ((s, d) =>
       TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "q29_quality" -> ((s, d) =>
@@ -146,6 +148,33 @@ object OpsQueries {
              AS cosine
            FROM q JOIN eb ON q.bucket = eb.bucket
            WHERE eb.vec_id != q.query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q36_ann_ivf" ->
+      s"""WITH $EMB_NORM,
+         cent AS (SELECT vec_id AS cent_id, embedding AS ce, nsq AS cnsq
+           FROM e WHERE vec_id % 31 = 0),
+         assigned AS (SELECT vec_id, embedding, nsq, cent_id AS cell FROM (
+           SELECT e.vec_id, e.embedding, e.nsq, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               e.nsq + c.cnsq - 2 * ${dotQ("e.embedding", "c.ce")}, c.cent_id)
+               AS rn
+           FROM e, cent c) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq
+           FROM e WHERE vec_id < 10),
+         probes AS (SELECT query_id, qe, qnsq, cent_id AS cell FROM (
+           SELECT q.query_id, q.qe, q.qnsq, c.cent_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               q.qnsq + c.cnsq - 2 * ${dotQ("q.qe", "c.ce")}, c.cent_id) AS rn
+           FROM q, cent c) WHERE rn <= 2),
+         scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           CAST(${dotQ("p.qe", "a.embedding")} AS DOUBLE) /
+             (sqrt(CAST(p.qnsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE)))
+             AS cosine
+           FROM probes p JOIN assigned a ON p.cell = a.cell
+           WHERE a.vec_id != p.query_id)
          SELECT query_id, neighbor_id, cosine, rank FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
