@@ -54,4 +54,27 @@ object Pipeline {
     ingest(raw, tagObs, cfg)
     refreshCatalog(spark, cfg)
   }
+
+  /** Incremental ingest: a Structured Streaming file source watches a
+    * landing directory of JSON-lines TA response envelopes (same schema the
+    * DSv2 source emits) and appends each micro-batch into the partitioned
+    * lake via foreachBatch — the continuous replacement for the reference's
+    * monthly cron (template:17-21): drop files, partitions appear. The
+    * checkpoint makes re-processing exactly-once per file. Runs to
+    * completion with AvailableNow (batch-like); pass a processing-time
+    * trigger for a long-lived daemon. */
+  def ingestStream(spark: SparkSession, landingDir: String, cfg: Config,
+      checkpoint: String): Unit = {
+    val raw = spark.readStream
+      .schema(graft.sources.TaCheckResultSource.schema)
+      .json(landingDir)
+    val q = raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingest(batch, None, cfg)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.jobs.Pipeline
+import graft.model.CheckRegistry
+import graft.sources.TaFetchStub
+
+/** Streaming surfaces: incremental lake ingest from a landing directory
+  * (exactly-once per file via checkpoint) and the watermarked variant of
+  * the hourly aggregation. */
+class StreamingSpec extends SparkSpec {
+
+  private def envelope(accountId: String, checkId: String): String = {
+    val json = TaFetchStub.fetch(accountId, checkId)
+      .replace("\"", "\\\"").replaceAll("\\s*\n\\s*", " ")
+    s"""{"json":"$json","Date":"01-15-2024","DateTime":"2024-01-15 09:00:00",
+       |"CheckName":"${CheckRegistry.byId(checkId).name}","AccountId":"$accountId",
+       |"AccountName":"Acct $accountId","AccountEmail":"a@example.com"}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("ingestStream: landing files append into the lake exactly once") {
+    val landing = Files.createTempDirectory("graft-landing")
+    val lake = Files.createTempDirectory("graft-streamlake").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val cfg = Pipeline.Config(lake, Seq(CheckRegistry.lowUtilEc2))
+
+    Files.writeString(landing.resolve("batch1.jsonl"),
+      envelope("100000000001", "Qch7DwouX1") + "\n" +
+        envelope("100000000002", "Qch7DwouX1") + "\n")
+    Pipeline.ingestStream(spark, landing.toString, cfg, ckpt)
+    Pipeline.refreshCatalog(spark, cfg)
+    val n1 = spark.table("check_qch7dwoux1").count()
+    assert(n1 > 0)
+
+    // second file: only its rows are appended (checkpoint skips batch1)
+    Files.writeString(landing.resolve("batch2.jsonl"),
+      envelope("100000000003", "Qch7DwouX1") + "\n")
+    Pipeline.ingestStream(spark, landing.toString, cfg, ckpt)
+    Pipeline.refreshCatalog(spark, cfg)
+    val n2 = spark.table("check_qch7dwoux1").count()
+    assert(n2 > n1)
+    val perAccount = spark.table("check_qch7dwoux1")
+      .groupBy("accountid").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perAccount.keySet ==
+      Set("100000000001", "100000000002", "100000000003"))
+    // rerun with no new files: nothing changes (exactly-once per file)
+    Pipeline.ingestStream(spark, landing.toString, cfg, ckpt)
+    Pipeline.refreshCatalog(spark, cfg)
+    assert(spark.table("check_qch7dwoux1").count() == n2)
+  }
+
+  test("watermarked hourly aggregation drops only the unfinalized tail") {
+    val complete = graft.streaming.StreamingOps
+      .hourlyCounts(spark, "/root/testdata/sf0.001").count()
+    val appended = graft.streaming.StreamingOps
+      .hourlyCounts(spark, "/root/testdata/sf0.001", watermarked = true).count()
+    assert(appended > 0 && appended <= complete)
+    // the append-mode deficit is at most one window per event type
+    assert(complete - appended <= 5)
+  }
+}
