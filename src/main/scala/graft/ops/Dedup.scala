@@ -150,4 +150,30 @@ object Dedup {
           col("a.nsq"), col("b.nsq")).as("cosine"))
       .filter(col("cosine") >= tau)
   }
+
+  /** Scale-path embedding near-dup: candidates are restricted to pairs
+    * sharing a sign-bit LSH bucket (Similarity.signBucket), so the pair
+    * stage shuffles on bucket id and the per-bucket work is |bucket|^2
+    * instead of a global cross join. Recall < 1 by construction: pairs
+    * whose sign patterns differ in the leading dimensions are never
+    * compared — the standard LSH trade, bounded by using few bits. */
+  def embeddingNearDupBlocked(emb: DataFrame, tau: Double = 0.4,
+      bits: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"), quantVec(col("embedding")).as("qv"),
+        Similarity.signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("nsq", dotPre(col("qv"), col("qv")))
+    val cand = pairsWithinGroups(
+      e.select(col("bucket"), col("vec_id").as("doc_id")),
+      Seq("bucket"), "doc_id")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    cand
+      .join(e.select(col("vec_id"), col("qv"), col("nsq")).as("a"),
+        col("vec_a") === col("a.vec_id"))
+      .join(e.select(col("vec_id").as("vid_b"), col("qv").as("qv_b"),
+        col("nsq").as("nsq_b")).as("b"), col("vec_b") === col("vid_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineQ(dotPre(col("a.qv"), col("qv_b")), col("a.nsq"), col("nsq_b"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
 }

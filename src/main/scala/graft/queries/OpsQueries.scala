@@ -27,6 +27,8 @@ object OpsQueries {
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "q25_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(emb(s, d)).orderBy("vec_a", "vec_b")),
+    "q37_dedup_embedding_blocked" -> ((s, d) =>
+      Dedup.embeddingNearDupBlocked(emb(s, d)).orderBy("vec_a", "vec_b")),
     "q26_ann_brute" -> ((s, d) =>
       Similarity.bruteTopK(emb(s, d)).orderBy("query_id", "rank")),
     "q27_ann_lsh" -> ((s, d) =>
@@ -117,6 +119,22 @@ object OpsQueries {
              (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
              AS cosine
          FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE) /
+             (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4
+         ORDER BY vec_a, vec_b""",
+    "q37_dedup_embedding_blocked" ->
+      s"""WITH eb AS (SELECT vec_id, embedding,
+           ${dotQ("embedding", "embedding")} AS nsq,
+           list_sum(list_transform(generate_series(1, 4), d ->
+             CASE WHEN embedding[d] >= 0 THEN (1::BIGINT << (d - 1))
+               ELSE 0 END)) AS bucket
+           FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE) /
+             (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+             AS cosine
+         FROM eb a JOIN eb b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE) /
              (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4
          ORDER BY vec_a, vec_b""",

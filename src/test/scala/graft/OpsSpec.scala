@@ -79,6 +79,44 @@ class OpsSpec extends SparkSpec {
     assert(perDoc(3L)._1 <= 44)
   }
 
+  test("MinHashAgg typed aggregator equals the column-form signatures") {
+    import graft.ops.TextKit._
+    import org.apache.spark.sql.functions.{col, explode}
+    val k = 8
+    // per-shingle k-slot hash arrays, then the typed aggregator
+    val perShingle = Dedup.shingleSet(docs)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.array(
+          (0 until k).map(j => md5Long(col("s"), Some(j))): _*).as("hs"))
+    val agg = perShingle
+      .as[(Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.ops.MinHashAgg.column(k))
+      .collect().toMap
+    val expected = Dedup.minhashSignatures(docs, k).collect()
+      .map(r => r.getLong(0) -> (1 to k).map(i => r.getLong(i)).toSeq).toMap
+    assert(agg.keySet == expected.keySet)
+    agg.foreach { case (id, sig) =>
+      assert(sig.toSeq == expected(id), s"doc $id")
+    }
+  }
+
+  test("blocked embedding near-dup is a subset of brute pairs, same cosines") {
+    val emb = (0L to 99L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 5) % 11 - 5).toFloat / 6f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val brute = Dedup.embeddingNearDup(emb, tau = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = Dedup.embeddingNearDupBlocked(emb, tau = 0.2, bits = 3)
+      .collect()
+    assert(blocked.nonEmpty)
+    blocked.foreach { r =>
+      val key = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(brute.contains(key) && brute(key) == r.getAs[Double]("cosine"))
+    }
+  }
+
   test("langid/quality/fingerprint shapes and determinism") {
     val l = TextAnalysis.langId(docs).collect()
     assert(l.length == 4)
