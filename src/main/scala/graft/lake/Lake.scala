@@ -99,7 +99,13 @@ object Lake {
       } else Nil
     val tagTable =
       if (tagsPresent && exists(spark, tagsPath(root))) {
-        read(spark, tagsPath(root), csvFidelity).createOrReplaceTempView("tags")
+        // dynamic tag schema (SURVEY §1.3): runs written under different
+        // CustomerKeys configs have different column sets; mergeSchema
+        // unions them (missing keys read as null) — the Glue-crawler
+        // UPDATE_IN_DATABASE evolution policy, natively.
+        val t = if (csvFidelity) read(spark, tagsPath(root), csvFidelity)
+          else spark.read.option("mergeSchema", "true").parquet(tagsPath(root))
+        t.createOrReplaceTempView("tags")
         Seq("tags")
       } else Nil
     checkTables ++ summaryTable ++ tagTable

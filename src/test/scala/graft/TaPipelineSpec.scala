@@ -159,6 +159,44 @@ class TaPipelineSpec extends SparkSpec {
     assert(r.getAs[String]("accountname") == "Bet-MASKED-LLC")
   }
 
+  test("dynamic tag schema: later runs with new keys merge into one table") {
+    lakeRoot // base lake written with keys CostCenter, Env
+    val laterObs = Seq(
+      ("arn:aws:ec2:us-east-1:123456789012:volume/vol-9", "Team", "data", 1L))
+      .toDF("ResourceArn", "Key", "Value", "obs_seq")
+      .withColumn("RegionName", lit("us-east-1"))
+      .withColumn("ResourceType", lit("ec2:volume"))
+      .withColumn("Date", lit("01-16-2024"))
+      .withColumn("DateTime", lit("2024-01-16 09:00:00"))
+      .withColumn("AccountId", lit("123456789012"))
+      .withColumn("AccountName", lit("Acme Corp"))
+      .withColumn("AccountEmail", lit("ops@acme.example"))
+    // config changed: only key "Team" now — different column set
+    graft.lake.Lake.writeTags(
+      graft.ingest.TaIngest.tags(laterObs, Seq("Team")), lakeRoot)
+    graft.lake.Lake.registerTables(spark, lakeRoot,
+      graft.model.CheckRegistry.supported, tagsPresent = true)
+    val tags = spark.table("tags")
+    assert(Set("costcenter", "env", "team").subsetOf(tags.columns.toSet))
+    val volRow = tags.filter($"resourceid" === "vol-9").collect().head
+    assert(volRow.getAs[String]("team") == "data")
+    assert(volRow.getAs[String]("costcenter") == null)
+    val oldRow = tags.filter($"resourceid" === "i-0aaa").collect().head
+    assert(oldRow.getAs[String]("costcenter") == "cc-123")
+    assert(oldRow.getAs[String]("team") == null)
+  }
+
+  test("Athena-fidelity cast: malformed decimal input errors (ANSI mode)") {
+    // Athena errors on CAST('garbage' AS decimal); Spark 4 ANSI mode (our
+    // default) reproduces that instead of silently yielding null
+    val ex = intercept[Exception] {
+      Seq("not-money").toDF("v")
+        .selectExpr("CAST(v AS decimal(18,2))").collect()
+    }
+    assert(ex.getMessage.contains("CAST_INVALID_INPUT") ||
+      ex.getMessage.toLowerCase.contains("cannot be cast"))
+  }
+
   test("J2 join elision: no tag keys -> view has no tag columns") {
     lakeRoot // ensure tables registered
     val defs = graft.views.Views.definitions(Nil, tagged = false)
