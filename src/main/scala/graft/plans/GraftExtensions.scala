@@ -23,6 +23,27 @@ import graft.functions.{LongArrayDot, WordShingles}
   * by Spark's built-in PropagateEmptyRelation plus the view builder's
   * build-time probe (J2).
   */
+object GraftExtensions {
+  /** Late registration on an existing session — withExtensions only takes
+    * effect for sessions created after it, so long-lived apps (and shared
+    * test sessions) attach the functions this way. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.GraftBridge.registerTempFunction
+    registerTempFunction(spark, "long_array_dot",
+      (children: Seq[Expression]) => LongArrayDot(children(0), children(1)))
+    registerTempFunction(spark, "word_shingles",
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles width must be a literal, got $other")
+        }
+        WordShingles(children(0), n)
+      })
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =

@@ -8,14 +8,21 @@ import graft.ops.Skew
 /** SparkSessionExtensions registration + skew utilities. Own session (needs
   * withExtensions at build time). */
 class ExtensionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("ExtensionsSpec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.plans.GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // withExtensions covers fresh sessions (spark-sql CLI path, verified
+    // separately); under the full suite an existing session is reused, so
+    // attach the functions via late registration too
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("ExtensionsSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    graft.plans.GraftExtensions.register(s)
+    s
+  }
 
   test("long_array_dot callable from SQL") {
     val r = spark.sql(
