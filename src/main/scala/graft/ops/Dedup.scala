@@ -85,22 +85,25 @@ object Dedup {
   }
 
   /** True bigram-shingle Jaccard for given candidate pairs over a (cached)
-    * shingle set. */
+    * shingle set. Each doc's shingle set is aggregated to one array row, so
+    * verification is two narrow joins on the pair table plus a per-pair
+    * array_intersect — no exploded-row pair join. The per-doc side is one
+    * row per document (auto-broadcast when small; a hash join keyed by doc
+    * id at scale). */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame,
       tau: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"))
+      .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast(DoubleType) /
-          (col("na.n") + col("nb.n") - col("inter")).cast(DoubleType))
-          .as("jaccard"))
+        (inter.cast(DoubleType) /
+          (col("na") + col("nb") - inter).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 
