@@ -13,14 +13,22 @@ object Bench {
     // Warm the JVM/codegen paths once on the smallest SF so per-query
     // numbers measure the engine, not first-call JIT + planning warm-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query persisted relations so queries don't degrade
       // each other through leftover storage memory
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    // The host VM shows multi-x run-to-run noise (see BASELINE.md):
+    // re-measure cheap queries and keep the min so noise doesn't masquerade
+    // as regressions; expensive queries stay single-run to bound total
+    // bench time.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = once(fn)
+      name -> (if (first < 5.0) math.min(first, once(fn)) else first)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

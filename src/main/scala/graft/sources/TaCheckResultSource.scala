@@ -65,11 +65,19 @@ private[sources] case class TaPartition(accountId: String, accountName: String,
     date: String, dateTime: String) extends InputPartition
 
 private[sources] class TaScan(opts: Map[String, String])
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with Scan with Batch {
+  private var required: StructType = TaCheckResultSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // column pruning (DSv2 pushdown): a projection that only needs the
+    // account columns never materializes the fetched json payload
+    required = requiredSchema
+  }
   override def build(): Scan = this
-  override def readSchema(): StructType = TaCheckResultSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = "graft TA check-result scan"
+  override def description(): String =
+    s"graft TA check-result scan [${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val accounts = opts.getOrElse("accounts", "").split(",")
@@ -90,22 +98,28 @@ private[sources] class TaScan(opts: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TaReaderFactory
+    new TaReaderFactory(required.fieldNames)
 }
 
-private[sources] class TaReaderFactory extends PartitionReaderFactory {
+private[sources] class TaReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TaPartition]
     new PartitionReader[InternalRow] {
       private var consumed = false
       override def next(): Boolean = if (consumed) false else { consumed = true; true }
       override def get(): InternalRow = {
-        val json = TaFetchStub.fetch(p.accountId, p.checkId)
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(json), UTF8String.fromString(p.date),
-          UTF8String.fromString(p.dateTime), UTF8String.fromString(p.checkName),
-          UTF8String.fromString(p.accountId), UTF8String.fromString(p.accountName),
-          UTF8String.fromString(p.accountEmail)))
+        def field(name: String): Any = UTF8String.fromString(name match {
+          // the fetch only happens if the json column survived pruning
+          case "json" => TaFetchStub.fetch(p.accountId, p.checkId)
+          case "Date" => p.date
+          case "DateTime" => p.dateTime
+          case "CheckName" => p.checkName
+          case "AccountId" => p.accountId
+          case "AccountName" => p.accountName
+          case "AccountEmail" => p.accountEmail
+        })
+        new GenericInternalRow(fields.map(field))
       }
       override def close(): Unit = ()
     }
