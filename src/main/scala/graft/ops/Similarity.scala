@@ -61,27 +61,35 @@ object Similarity {
     // squared L2 in quantized space: |a|^2 + |c|^2 - 2 a.c (exact integers)
     def distTo(nsq: Column, qv: Column): Column =
       nsq + col("cnsq") - lit(2L) * dotPre(qv, col("cqv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cent_id"))
+    // nearest centroid via min(struct(dist, cent_id)): a hash aggregation
+    // with map-side combine instead of a per-vector window sort — the
+    // shape that matters when assignment touches the whole corpus. qv/nsq
+    // are functionally dependent on vec_id, so first() is deterministic.
     val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("qv"), col("nsq"), col("cent_id"),
-        distTo(col("nsq"), col("qv")).as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("nsq"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("qv"), col("nsq"),
+        struct(distTo(col("nsq"), col("qv")).as("dist"),
+          col("cent_id").as("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("qv")).as("qv"), first(col("nsq")).as("nsq"),
+        min(col("dc")).as("m"))
+      .select(col("vec_id"), col("qv"), col("nsq"), col("m.cid").as("cell"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nsq").as("qnsq"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cent_id"))
+    // nprobe nearest cells per query: collect the (tiny) centroid distance
+    // list, sort, slice — one aggregation + explode, no window shuffle
     val probes = q.join(broadcast(cent))
-      .select(col("query_id"), col("qqv"), col("qnsq"), col("cent_id"),
-        (col("qnsq") + col("cnsq") - lit(2L) * dotPre(col("qqv"), col("cqv")))
-          .as("dist"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qqv"), col("qnsq"),
-        col("cent_id").as("cell"))
+        struct((col("qnsq") + col("cnsq") -
+          lit(2L) * dotPre(col("qqv"), col("cqv"))).as("dist"),
+          col("cent_id").as("cid")).as("dc"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qqv")).as("qqv"), first(col("qnsq")).as("qnsq"),
+        slice(sort_array(collect_list(col("dc"))), 1, nprobe).as("near"))
+      .select(col("query_id"), col("qqv"), col("qnsq"),
+        explode(col("near")).as("dc"))
+      .select(col("query_id"), col("qqv"), col("qnsq"),
+        col("dc.cid").as("cell"))
     val scored = probes.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
