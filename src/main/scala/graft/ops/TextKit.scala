@@ -21,11 +21,14 @@ object TextKit {
   def tokens(text: Column): Column = split(text, " ")
 
   /** 60-bit stable hash of a string: first 15 hex digits of md5, with an
-    * optional seed prefix (for the minhash family). DuckDB equivalent:
+    * optional seed prefix (for the minhash family). Computed by the native
+    * graft.functions.Md5Long60 (digest bytes straight to long); equality
+    * with the composable `conv(substring(md5(x),1,15),16,10)` form is
+    * spec-pinned. DuckDB equivalent:
     * `('0x' || substr(md5(seed || t), 1, 15))::BIGINT`. */
   def md5Long(c: Column, seed: Option[Int] = None): Column = {
     val seeded = seed.map(s => concat(lit(s.toString), c)).getOrElse(c)
-    conv(substring(md5(seeded), 1, 15), 16, 10).cast(LongType)
+    graft.functions.Md5Long60(seeded)
   }
 
   /** Word n-gram shingles straight from the text column — native

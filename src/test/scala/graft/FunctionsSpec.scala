@@ -61,6 +61,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("Md5Long60 equals the conv(substring(md5)) chain on random strings") {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    import org.apache.spark.sql.types.LongType
+    val rnd = new scala.util.Random(42)
+    val inputs = (0 until 200).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(30) + 1).mkString) ++
+      Seq("", " ", "the quick", "0", "ünïcödé £§")
+    val df = inputs.toDF("v").select(col("v"),
+      graft.functions.Md5Long60(col("v")).as("native"),
+      conv(substring(md5(col("v")), 1, 15), 16, 10).cast(LongType)
+        .as("chain"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"mismatch for '${r.getString(0)}'")
+      assert(r.getLong(1) >= 0L)
+    }
+  }
+
   test("zeroGuardFidelity replaces every '0' digit (the reference bug)") {
     assert(one("0", zeroGuardFidelity(col("v"))) == "1")
     assert(one("105", zeroGuardFidelity(col("v"))) == "115")
