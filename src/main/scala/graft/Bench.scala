@@ -13,14 +13,19 @@ object Bench {
     // Warm the JVM/codegen paths once on the smallest SF so per-query
     // numbers measure the engine, not first-call JIT + planning warm-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Returns elapsed seconds, or -1.0 when the query threw: a broken query
+    // must surface as a failure sentinel, never as a (near-zero) speedup.
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"bench query failed: ${t.getClass.getName}: ${t.getMessage}")
+          false }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query persisted relations so queries don't degrade
       // each other through leftover storage memory
       spark.catalog.clearCache()
-      dt
+      if (ok) dt else -1.0
     }
     // The host VM shows multi-x run-to-run noise (see BASELINE.md):
     // re-measure cheap queries and keep the min so noise doesn't masquerade
@@ -28,12 +33,13 @@ object Bench {
     // bench time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = once(fn)
-      name -> (if (first < 5.0) math.min(first, once(fn)) else first)
+      name -> (if (first >= 0 && first < 5.0) math.min(first, once(fn)) else first)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,8 +25,9 @@ case class Md5Long60(child: Expression)
   override def prettyName: String = "md5_long60"
 
   override def nullSafeEval(input: Any): Any = {
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
+    // per-thread digest instance: a JCA provider lookup per row would tax
+    // the minhash hot path this expression exists to speed up
+    val d = Md5Long60.digest.get().digest(input.asInstanceOf[UTF8String].getBytes)
     // first 15 hex digits = bytes 0..6 fully + high nibble of byte 7
     var v = 0L
     var i = 0
@@ -39,6 +40,11 @@ case class Md5Long60(child: Expression)
 }
 
 object Md5Long60 {
+  // MessageDigest.digest(bytes) resets the instance after each call, so a
+  // cached per-thread instance is safe for repeated single-shot use
+  private[functions] val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def apply(c: Column): Column =
     GraftBridge.column(Md5Long60(GraftBridge.expression(c)))
 }

@@ -59,8 +59,15 @@ object TaIngest {
     * Output column names are the lowercased `Header_<id>` names — the same
     * lowercasing the Glue crawler applies (SURVEY.md §7 case-sensitivity
     * note). All columns are strings (fidelity with the CSV/crawler lake). */
-  def details(raw: DataFrame, spec: CheckSpec, maskPii: Boolean = false): DataFrame = {
-    val fr = parsed(raw)
+  def details(raw: DataFrame, spec: CheckSpec, maskPii: Boolean = false): DataFrame =
+    detailsParsed(parsed(raw), spec, maskPii)
+
+  /** details() over an already-`parsed` DataFrame — lets a pipeline parse
+    * (and persist) the source once and derive all per-check projections from
+    * it, instead of re-scanning the source per check (with a live Support
+    * API source each extra scan is a full re-fetch). */
+  def detailsParsed(p: DataFrame, spec: CheckSpec, maskPii: Boolean = false): DataFrame = {
+    val fr = p
       .filter(col("ta.result.checkId") === spec.id)
       .select(col("Date"), col("DateTime"), col("CheckName"),
         col("AccountId"), col("AccountName"), col("AccountEmail"),
@@ -87,8 +94,11 @@ object TaIngest {
     * service-computed aggregate fields with `0` defaults when the
     * costOptimizing block is absent (extract-ta-data-lambda.py:133-147).
     * String-typed like the CSV lake. */
-  def summary(raw: DataFrame, maskPii: Boolean = false): DataFrame = {
-    val p = parsed(raw)
+  def summary(raw: DataFrame, maskPii: Boolean = false): DataFrame =
+    summaryParsed(parsed(raw), maskPii)
+
+  /** summary() over an already-`parsed` DataFrame (see detailsParsed). */
+  def summaryParsed(p: DataFrame, maskPii: Boolean = false): DataFrame = {
     p.select(
       col("Date").as("date"), col("DateTime").as("datetime"),
       col("CheckName").as("checkname"),

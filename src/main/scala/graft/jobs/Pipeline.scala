@@ -27,14 +27,39 @@ object Pipeline {
       maskPii: Boolean = false,
       csvFidelity: Boolean = false)
 
-  /** Ingest one batch of raw docs (+ tag observations) into the lake. */
+  /** Ingest one batch of raw docs (+ tag observations) into the lake.
+    *
+    * The source is scanned ONCE: the parsed batch is persisted, so the
+    * per-check detail writes and the summary write all read the cached
+    * parse instead of re-scanning (with a live Support-API source every
+    * extra scan is a full re-fetch of all (account, check) responses — 9
+    * re-fetches per run in the naive form). One small aggregation over the
+    * cache replaces the per-write `isEmpty` pre-jobs: it yields, per check,
+    * the row count and the number of flaggedResources passing the
+    * warning/error status filter, which decides exactly which writes the
+    * K6 empty-relation elision skips. */
   def ingest(raw: DataFrame, tagObs: Option[DataFrame], cfg: Config): Unit = {
-    cfg.specs.foreach { spec =>
-      Lake.writeDetails(TaIngest.details(raw, spec, cfg.maskPii),
-        cfg.lakeRoot, spec, cfg.csvFidelity)
-    }
-    Lake.writeSummary(TaIngest.summary(raw, cfg.maskPii), cfg.lakeRoot,
-      cfg.csvFidelity)
+    import org.apache.spark.sql.functions._
+    val p = TaIngest.parsed(raw).persist()
+    try {
+      val stats = p.groupBy(col("ta.result.checkId").as("cid"))
+        .agg(count(lit(1)).as("n"),
+          sum(size(filter(col("ta.result.flaggedResources"),
+            r => r.getField("status").isin("warning", "error")))).as("flagged"))
+        .collect()
+      val flaggedByCheck = stats.iterator
+        .filterNot(_.isNullAt(0))
+        .map(r => r.getString(0) -> (if (r.isNullAt(2)) 0L else r.getLong(2)))
+        .toMap
+      cfg.specs.foreach { spec =>
+        if (flaggedByCheck.getOrElse(spec.id, 0L) > 0L)
+          Lake.writeDetails(TaIngest.detailsParsed(p, spec, cfg.maskPii),
+            cfg.lakeRoot, spec, cfg.csvFidelity, assumeNonEmpty = true)
+      }
+      if (stats.map(_.getLong(1)).sum > 0L)
+        Lake.writeSummary(TaIngest.summaryParsed(p, cfg.maskPii), cfg.lakeRoot,
+          cfg.csvFidelity, assumeNonEmpty = true)
+    } finally { p.unpersist(blocking = false); () }
     tagObs.foreach { obs =>
       Lake.writeTags(TaIngest.tags(obs, cfg.tagKeys), cfg.lakeRoot,
         cfg.csvFidelity)

@@ -39,24 +39,26 @@ object Lake {
 
   def tagsPath(root: String): String = s"$root/Tags"
 
-  private def write(df: DataFrame, path: String, csvFidelity: Boolean): Unit = {
+  private def write(df: DataFrame, path: String, csvFidelity: Boolean,
+      assumeNonEmpty: Boolean = false): Unit = {
     // K6 empty-relation elision (extract-ta-data-lambda.py:153,187): an
     // empty write would leave a file-less directory that later breaks
-    // schema inference at registration. isEmpty is a limit-1 job — cheap
-    // relative to the write it guards.
-    if (df.isEmpty) return
+    // schema inference at registration. The isEmpty guard is a limit-1 job;
+    // pipelines that already established non-emptiness in one upstream
+    // aggregation (Pipeline.ingest) pass assumeNonEmpty to skip it.
+    if (!assumeNonEmpty && df.isEmpty) return
     val w = withYmd(df).write.mode(SaveMode.Append)
       .partitionBy("year", "month", "day")
     if (csvFidelity) w.option("header", "true").csv(path) else w.parquet(path)
   }
 
   def writeDetails(df: DataFrame, root: String, spec: CheckSpec,
-      csvFidelity: Boolean = false): Unit =
-    write(df, detailsPath(root, spec), csvFidelity)
+      csvFidelity: Boolean = false, assumeNonEmpty: Boolean = false): Unit =
+    write(df, detailsPath(root, spec), csvFidelity, assumeNonEmpty)
 
   def writeSummary(df: DataFrame, root: String,
-      csvFidelity: Boolean = false): Unit =
-    write(df, summaryPath(root), csvFidelity)
+      csvFidelity: Boolean = false, assumeNonEmpty: Boolean = false): Unit =
+    write(df, summaryPath(root), csvFidelity, assumeNonEmpty)
 
   def writeTags(df: DataFrame, root: String,
       csvFidelity: Boolean = false): Unit =

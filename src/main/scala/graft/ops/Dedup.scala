@@ -17,12 +17,33 @@ import TextKit._
   */
 object Dedup {
 
+  /** Relations persisted by the pair generators below. Bench/Verify release
+    * storage via `spark.catalog.clearCache()`; long-lived sessions call
+    * [[releaseCaches]] after materializing a returned DataFrame so repeated
+    * invocations don't accumulate cached relations in executor storage. */
+  private val persistedRelations =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    persistedRelations.add(p)
+    p
+  }
+
+  /** Unpersist every relation cached by prior Dedup calls. */
+  def releaseCaches(): Unit = {
+    persistedRelations.forEach(df => { df.unpersist(blocking = false); () })
+    persistedRelations.clear()
+  }
+
   /** Exact dedup: one canonical row (min doc_id) per distinct text, with
-    * the duplicate count. Hash-groupBy on md5(text) — the 64-bit prefix is
-    * collision-safe far beyond 100 TB row counts and keeps the shuffle key
-    * narrow instead of shuffling full document bodies. */
+    * the duplicate count. Hash-groupBy on the FULL 128-bit md5(text) digest
+    * (hex) — birthday-collision probability stays negligible at 100 TB row
+    * counts (a 60-bit key would start merging distinct texts around 2^30
+    * docs), while the 32-char shuffle key is still narrow relative to
+    * shuffling full document bodies. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5Long(col("text")).as("text_hash"))
+    docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
@@ -50,12 +71,28 @@ object Dedup {
     * bucket-to-candidate-pairs step without a self-join: one aggregation
     * collects each bucket's ids, a combination explode emits (a, b) with
     * a < b. Avoids recomputing the upstream pipeline on both join sides.
-    * At scale, a pathological stop-bucket would blow up either formulation;
-    * callers bound bucket size upstream (df caps, band width). */
+    *
+    * `maxBucket` is the hot-bucket guard that makes this survive adversarial
+    * (dup-heavy) data at 100 TB: groups larger than the cap are dropped
+    * BEFORE their ids are collected, so one hot bucket can never materialize
+    * a giant array row or a |bucket|^2 combination explode. The dropped
+    * pairs are near-always exact duplicates or degenerate shingles — exact
+    * dedup upstream is the operator for those (same precedence the
+    * stop-shingle `maxDf` cap applies in ngramJaccardPairs). Pass
+    * Int.MaxValue when the caller already bounds group size upstream. */
   private def pairsWithinGroups(df: DataFrame, keys: Seq[String],
-      id: String): DataFrame = {
+      id: String, maxBucket: Int): DataFrame = {
+    val bounded =
+      if (maxBucket == Int.MaxValue) df
+      else {
+        val ok = df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucket)
+          .drop("bucket_n")
+        df.join(ok, keys)
+      }
     val sorted = sort_array(collect_set(col(id)))
-    val buckets = df.groupBy(keys.map(col): _*).agg(sorted.as("ids"))
+    val buckets = bounded.groupBy(keys.map(col): _*).agg(sorted.as("ids"))
       .filter(size(col("ids")) >= 2)
     val combos = flatten(transform(
       sequence(lit(1), size(col("ids")) - 1),
@@ -67,11 +104,12 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup pairs: band the signature (rows-per-band=2),
-    * bucket candidates within bands, then verify true bigram Jaccard >=
-    * tau. Returns (doc_a, doc_b, jaccard). */
+    * bucket candidates within bands (band-buckets hotter than `maxBucket`
+    * are dropped — see pairsWithinGroups), then verify true bigram
+    * Jaccard >= tau. Returns (doc_a, doc_b, jaccard). */
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
-      numHashes: Int = 8): DataFrame = {
-    val sh = shingleSet(docs).persist()
+      numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
+    val sh = tracked(shingleSet(docs))
     val sig = minhashSignaturesOf(sh, numHashes)
     val bands = numHashes / 2
     val banded = sig.select(col("doc_id"),
@@ -80,7 +118,7 @@ object Dedup {
           concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
             .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = pairsWithinGroups(banded, Seq("band", "key"), "doc_id")
+    val cand = pairsWithinGroups(banded, Seq("band", "key"), "doc_id", maxBucket)
     verifyJaccard(sh, cand, tau)
   }
 
@@ -131,11 +169,12 @@ object Dedup {
     * linear-ish at scale), then true Jaccard (over all shingles) >= tau. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5,
       maxDf: Int = 20): DataFrame = {
-    val sh = shingleSet(docs).persist()
+    val sh = tracked(shingleSet(docs))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val candSh = sh.join(rare.select("s"), "s")
-    val cand = pairsWithinGroups(candSh, Seq("s"), "doc_id")
+    // group size is already bounded by the maxDf join above
+    val cand = pairsWithinGroups(candSh, Seq("s"), "doc_id", Int.MaxValue)
     verifyJaccard(sh, cand, tau)
   }
 
@@ -161,13 +200,13 @@ object Dedup {
     * whose sign patterns differ in the leading dimensions are never
     * compared — the standard LSH trade, bounded by using few bits. */
   def embeddingNearDupBlocked(emb: DataFrame, tau: Double = 0.4,
-      bits: Int = 4): DataFrame = {
+      bits: Int = 4, maxBucket: Int = 4096): DataFrame = {
     val e = emb.select(col("vec_id"), quantVec(col("embedding")).as("qv"),
         Similarity.signBucket(col("embedding"), bits).as("bucket"))
       .withColumn("nsq", dotPre(col("qv"), col("qv")))
     val cand = pairsWithinGroups(
       e.select(col("bucket"), col("vec_id").as("doc_id")),
-      Seq("bucket"), "doc_id")
+      Seq("bucket"), "doc_id", maxBucket)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     cand
       .join(e.select(col("vec_id"), col("qv"), col("nsq")).as("a"),

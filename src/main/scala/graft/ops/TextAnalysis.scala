@@ -74,22 +74,23 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
         .as("bpe_ish_tokens"))
 
-  /** Positional power table for the rolling fingerprint: 31^(p mod 8),
-    * bounded so (hash % 1000003) * 31^7 * maxTokens stays well inside
-    * int64. */
+  /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)
 
   /** Document fingerprint: positional polynomial rolling hash
-    * sum((md5hash(tok) % 1000003) * 31^(pos mod 8)) mod (2^31-1).
+    * sum(((md5hash(tok) % 1000003) * 31^(pos mod 8)) mod p) mod p with
+    * p = 2^31-1. Each term is reduced mod p BEFORE the sum (sum-of-mods mod
+    * p == mod-of-sum), so partial sums stay below 2^31 * nTokens — no int64
+    * overflow at any document length, and identical to DuckDB's HUGEINT sum.
     * Pure integer arithmetic — engine-independent, order-independent sum. */
   def fingerprint(docs: DataFrame): DataFrame = {
     val powArr = array(pow31.map(lit(_)): _*)
     docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
       .select(col("doc_id"),
-        ((md5Long(col("t")) % 1000003L) *
-          element_at(powArr, (col("p") % 8) + 1)).as("term"))
+        (((md5Long(col("t")) % 1000003L) *
+          element_at(powArr, (col("p") % 8) + 1)) % 2147483647L).as("term"))
       .groupBy(col("doc_id"))
       .agg((sum(col("term")) % 2147483647L).as("fingerprint"))
   }

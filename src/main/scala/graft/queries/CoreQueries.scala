@@ -192,8 +192,10 @@ object CoreQueries {
     val asDec = col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType)
     val money = concat(lit("$"),
       regexp_replace(asDec, "(\\d)(\\d{3}\\.)", "$1,$2"), lit(" "))
+    // Surfaced as DOUBLE per the determinism rules above: raw DecimalType at
+    // the boundary hashes differently between Spark parquet and DuckDB.
     o.select(col("o_orderkey"),
-        parseMoney(stripCommas(money)).as("parsed_savings"))
+        parseMoney(stripCommas(money)).cast(DoubleType).as("parsed_savings"))
       .orderBy("o_orderkey")
   }
 
@@ -382,7 +384,7 @@ object CoreQueries {
          FROM customer ORDER BY c_custkey""",
     "q14_money_parse" ->
       """SELECT o_orderkey,
-         CAST(rtrim(replace(replace(substr(m,2),'$',''),',','')) AS DECIMAL(18,2))
+         CAST(CAST(rtrim(replace(replace(substr(m,2),'$',''),',','')) AS DECIMAL(18,2)) AS DOUBLE)
            AS parsed_savings
          FROM (SELECT o_orderkey,
            '$' || regexp_replace(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),

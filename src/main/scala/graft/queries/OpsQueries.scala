@@ -23,6 +23,12 @@ object OpsQueries {
       Dedup.ngramJaccardPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
     "q23_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+    "q38_dedup_hot_cluster" -> ((s, d) =>
+      Dedup.minhashLshPairs(
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, lit(hotText))
+            .otherwise(col("text")).as("text")))
+        .orderBy("doc_a", "doc_b")),
     "q24_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "q25_dedup_embedding" -> ((s, d) =>
@@ -53,11 +59,38 @@ object OpsQueries {
   private val tokH = TextKit.ducksql.md5Long("t")
 
   /** Shared CTE fragments. */
-  private val SHINGLES =
-    """sh AS (SELECT DISTINCT doc_id, s FROM (
+  private def SHINGLES_FROM(src: String) =
+    s"""sh AS (SELECT DISTINCT doc_id, s FROM (
          SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
            i -> toks[i] || ' ' || toks[i+1])) AS s
-         FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)))"""
+         FROM (SELECT doc_id, string_split(text,' ') AS toks FROM $src)))"""
+
+  private val SHINGLES = SHINGLES_FROM("documents")
+
+  /** MinHash+LSH CTE chain (band width 2, band-bucket cap 64) mirroring
+    * Dedup.minhashLshPairs over shingle source `src`. */
+  private def MINHASH_BODY(src: String) =
+    s"""${SHINGLES_FROM(src)},
+       sig AS (SELECT doc_id,
+         ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}
+         FROM sh GROUP BY doc_id),
+       banded0 AS (${(0 until 4).map(b =>
+           s"SELECT doc_id, $b AS band, CAST(h${2*b} AS VARCHAR) || '_' || CAST(h${2*b+1} AS VARCHAR) AS key FROM sig")
+         .mkString(" UNION ALL ")}),
+       ok AS (SELECT band, key FROM banded0 GROUP BY band, key
+         HAVING count(*) <= 64),
+       banded AS (SELECT banded0.* FROM banded0 JOIN ok
+         ON banded0.band = ok.band AND banded0.key = ok.key),
+       cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+           AND l.doc_id < r.doc_id),
+       ${JACCARD_TAIL(0.6)}"""
+
+  /** The q38 hot-cluster rewrite: every 10th doc becomes one identical text
+    * (a 500-doc duplicate cluster at sf0.1) — the adversarial dup-heavy
+    * shape the band-bucket cap exists for. */
+  private[queries] val hotText =
+    "the quick brown fox jumps over the lazy dog again and again"
 
   private val JACCARD_TAIL = (tau: Double) =>
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -79,7 +112,7 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" ->
-      s"""SELECT ${TextKit.ducksql.md5Long("text")} AS text_hash,
+      """SELECT md5(text) AS text_hash,
          min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY canonical_id""",
     "q22_dedup_ngram" ->
@@ -91,17 +124,12 @@ object OpsQueries {
            FROM candsh l JOIN candsh r ON l.s = r.s AND l.doc_id < r.doc_id),
          ${JACCARD_TAIL(0.5)}""",
     "q23_dedup_minhash" ->
-      s"""WITH $SHINGLES,
-         sig AS (SELECT doc_id,
-           ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}
-           FROM sh GROUP BY doc_id),
-         banded AS (${(0 until 4).map(b =>
-             s"SELECT doc_id, $b AS band, CAST(h${2*b} AS VARCHAR) || '_' || CAST(h${2*b+1} AS VARCHAR) AS key FROM sig")
-           .mkString(" UNION ALL ")}),
-         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
-             AND l.doc_id < r.doc_id),
-         ${JACCARD_TAIL(0.6)}""",
+      s"""WITH ${MINHASH_BODY("documents")}""",
+    "q38_dedup_hot_cluster" ->
+      s"""WITH hotdocs AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN '$hotText' ELSE text END AS text
+           FROM documents),
+         ${MINHASH_BODY("hotdocs")}""",
     "q24_dedup_simhash" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, $tokH AS h FROM
            (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
@@ -123,12 +151,15 @@ object OpsQueries {
              (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= 0.4
          ORDER BY vec_a, vec_b""",
     "q37_dedup_embedding_blocked" ->
-      s"""WITH eb AS (SELECT vec_id, embedding,
+      s"""WITH eb0 AS (SELECT vec_id, embedding,
            ${dotQ("embedding", "embedding")} AS nsq,
            list_sum(list_transform(generate_series(1, 4), d ->
              CASE WHEN embedding[d] >= 0 THEN (1::BIGINT << (d - 1))
                ELSE 0 END)) AS bucket
-           FROM embeddings)
+           FROM embeddings),
+         okb AS (SELECT bucket FROM eb0 GROUP BY bucket
+           HAVING count(*) <= 4096),
+         eb AS (SELECT eb0.* FROM eb0 JOIN okb ON eb0.bucket = okb.bucket)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(${dotQ("a.embedding", "b.embedding")} AS DOUBLE) /
              (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
@@ -239,8 +270,9 @@ object OpsQueries {
            generate_subscripts(string_split(text,' '), 1) AS i
            FROM documents))
          SELECT doc_id,
-           CAST(sum(($tokH % 1000003) *
+           CAST(sum((($tokH % 1000003) *
              ([1,31,961,29791,923521,28629151,887503681,27512614111])[((i-1) % 8) + 1])
+             % 2147483647)
              % 2147483647 AS BIGINT) AS fingerprint
          FROM tok GROUP BY doc_id ORDER BY doc_id""",
     "q32_multimodal_meta" ->

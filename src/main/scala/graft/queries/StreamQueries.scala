@@ -12,8 +12,11 @@ object StreamQueries {
 
   val queries: Map[String, Q] = Map(
     "q33_stream_hourly" -> ((s, d) => StreamingOps.hourlyCounts(s, d)),
+    // bounded-memory sorted-pass form (one open session per task, no
+    // per-user buffering); the flatMapGroupsWithState streaming form is
+    // spec-pinned to produce identical sessions
     "q34_sessionize" -> ((s, d) =>
-      StreamingOps.sessionize(s, d).orderBy("user_id", "start_us")))
+      StreamingOps.sessionizeSorted(s, d).orderBy("user_id", "start_us")))
 
   val oracles: Map[String, String] = Map(
     "q33_stream_hourly" ->

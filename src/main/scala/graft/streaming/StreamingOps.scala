@@ -31,28 +31,55 @@ object StreamingOps {
     * source. `false` (default) uses complete mode so the result equals the
     * batch aggregation, which is what the DuckDB oracle checks. */
   def hourlyCounts(spark: SparkSession, sfDir: String,
-      watermarked: Boolean = false): DataFrame = {
+      watermarked: Boolean = false, sinkDir: Option[String] = None): DataFrame = {
+    require(sinkDir.isEmpty || watermarked,
+      "file sink runs in append mode and therefore requires the watermark")
     val name = "hourly_counts_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    // The streaming file source requires a directory: point it at the SF
-    // dir and glob-filter to the events file.
-    val stream = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
-    val agg = (if (watermarked) stream.withWatermark("event_time", "1 hour")
-      else stream)
-      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType)
-          .as("sum_value"))
-      .select(col("window.start").cast(LongType).as("hour_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode(if (watermarked) OutputMode.Append else OutputMode.Complete)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).orderBy("hour_start", "event_type")
+    // A streaming aggregation allocates one state-store per shuffle
+    // partition; at this state size (a few thousand windows) 32 stores are
+    // pure fixed overhead, so the stream runs with a handful and the
+    // session's batch setting is restored afterwards. On a real cluster
+    // this knob scales with state volume, not with cores.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      // The streaming file source requires a directory: point it at the SF
+      // dir and glob-filter to the events file.
+      val stream = spark.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      val agg = (if (watermarked) stream.withWatermark("event_time", "1 hour")
+        else stream)
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType)
+            .as("sum_value"))
+        .select(col("window.start").cast(LongType).as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val q = sinkDir match {
+        // production shape: watermarked append straight to a parquet sink —
+        // results never pass through the driver
+        case Some(dir) =>
+          agg.writeStream.outputMode(OutputMode.Append)
+            .format("parquet").option("path", dir)
+            .option("checkpointLocation", s"$dir-checkpoint")
+            .trigger(Trigger.AvailableNow()).start()
+        // oracle twin: complete mode to an in-memory table so the finite
+        // source's full aggregation is comparable against DuckDB
+        case None =>
+          agg.writeStream
+            .outputMode(if (watermarked) OutputMode.Append else OutputMode.Complete)
+            .format("memory").queryName(name)
+            .trigger(Trigger.AvailableNow()).start()
+      }
+      q.awaitTermination()
+      sinkDir match {
+        case Some(dir) =>
+          spark.read.parquet(dir).orderBy("hour_start", "event_type")
+        case None => spark.table(name).orderBy("hour_start", "event_type")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   final case class Event(event_id: Long, ts: Long, user_id: Long,
@@ -61,11 +88,71 @@ object StreamingOps {
   final case class Session(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long)
 
+  private def eventsTyped(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    spark.read.schema(eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), expr("ts DIV 1000").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+  }
+
+  /** Gap sessionization, bounded-memory batch shape: shuffle by user, sort
+    * WITHIN partitions by (user, ts, id) — one Exchange + local sort, the
+    * same cost any per-user computation pays — then a single forward pass
+    * per partition emits a session whenever the gap closes or the user
+    * changes. Peak memory per task is ONE open session, independent of how
+    * hot a user is; a million-event user streams through instead of being
+    * buffered (the flatMapGroupsWithState form below materializes each
+    * user's history per call, which is the 100 TB hot-key risk). */
+  def sessionizeSorted(spark: SparkSession, sfDir: String,
+      gapUs: Long = 3600L * 1000000): DataFrame = {
+    import spark.implicits._
+    eventsTyped(spark, sfDir)
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { rows =>
+        new Iterator[Session] {
+          private var open = false
+          private var user = 0L
+          private var st: SessionState = null
+          private var pending: Session = null
+          private def advance(): Unit = {
+            while (pending == null && rows.hasNext) {
+              val e = rows.next()
+              if (!open) {
+                open = true; user = e.user_id
+                st = SessionState(e.ts, e.ts, 1)
+              } else if (e.user_id == user && e.ts - st.last <= gapUs) {
+                st = SessionState(st.start, e.ts, st.n + 1)
+              } else {
+                pending = Session(user, st.start, st.last, st.n)
+                user = e.user_id
+                st = SessionState(e.ts, e.ts, 1)
+              }
+            }
+            if (pending == null && open && !rows.hasNext) {
+              pending = Session(user, st.start, st.last, st.n)
+              open = false
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): Session = {
+            advance(); val r = pending; pending = null; r
+          }
+        }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+  }
+
   /** Sessionization with a gap timeout via flatMapGroupsWithState — the
     * custom-state extension point. In batch mode Spark runs the function
     * once per key over all rows (no timeouts fire), which is exactly the
     * deterministic gap-split below; on a stream the same code emits sessions
-    * incrementally as the processing-time timeout expires. */
+    * incrementally as the processing-time timeout expires. NOTE the
+    * `rows.toSeq` buffers one user's full history per call — fine for
+    * streaming micro-batches, a hot-key risk in batch mode at scale; the
+    * batch scale path is [[sessionizeSorted]]. */
   def sessionize(spark: SparkSession, sfDir: String,
       gapUs: Long = 3600L * 1000000): DataFrame = {
     import spark.implicits._
