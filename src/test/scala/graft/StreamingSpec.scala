@@ -61,4 +61,38 @@ class StreamingSpec extends SparkSpec {
     // the append-mode deficit is at most one window per event type
     assert(complete - appended <= 5)
   }
+
+  test("watermarked file sink equals the oracle twin up to the watermark") {
+    import org.apache.spark.sql.functions.col
+    val ops = graft.streaming.StreamingOps
+    val sink = Files.createTempDirectory("graft-hourly-sink").toString + "/out"
+    val viaFile = ops.hourlyCounts(spark, "/root/testdata/sf0.001",
+      watermarked = true, sinkDir = Some(sink)).collect().toSet
+    // production path never materializes through the driver: rows land in
+    // the parquet sink and must match the memory-append twin exactly...
+    val viaMemory = ops.hourlyCounts(spark, "/root/testdata/sf0.001",
+      watermarked = true).collect().toSet
+    assert(viaFile == viaMemory)
+    // ...and every finalized window carries the exact complete-mode value
+    val complete = ops.hourlyCounts(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    viaFile.foreach { r =>
+      val full = complete((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == full.getLong(2) &&
+        r.getDouble(3) == full.getDouble(3))
+    }
+    assert(viaFile.nonEmpty)
+    // sanity: the sink really is a file sink
+    assert(spark.read.parquet(sink).count() == viaFile.size)
+  }
+
+  test("sorted-pass sessionizer equals flatMapGroupsWithState sessions") {
+    val ops = graft.streaming.StreamingOps
+    val sorted = ops.sessionizeSorted(spark, "/root/testdata/sf0.001")
+      .orderBy("user_id", "start_us").collect().toSeq
+    val stateful = ops.sessionize(spark, "/root/testdata/sf0.001")
+      .orderBy("user_id", "start_us").collect().toSeq
+    assert(sorted.nonEmpty)
+    assert(sorted == stateful)
+  }
 }
