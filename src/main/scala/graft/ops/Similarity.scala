@@ -44,35 +44,87 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) top-k: a deterministic coarse quantizer — every
-    * 31st vector is a centroid — partitions the corpus into cells by
-    * nearest centroid (exact integer squared-L2 via quantized dot
-    * products); queries probe their `nprobe` nearest cells and score only
-    * vectors assigned there. The 100 TB shape: the centroid set is tiny and
-    * broadcast, cell assignment is one scan + one window, and search
-    * shuffles only on cell id. A production build replaces the modulo
-    * centroid choice with k-means — everything downstream is unchanged. */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
-      nprobe: Int = 2, centroidStride: Int = 31): DataFrame = {
-    val e = withNorm(emb)
-    val cent = e.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"),
-        col("nsq").as("cnsq"))
-    // squared L2 in quantized space: |a|^2 + |c|^2 - 2 a.c (exact integers)
-    def distTo(nsq: Column, qv: Column): Column =
-      nsq + col("cnsq") - lit(2L) * dotPre(qv, col("cqv"))
-    // nearest centroid via min(struct(dist, cent_id)): a hash aggregation
-    // with map-side combine instead of a per-vector window sort — the
-    // shape that matters when assignment touches the whole corpus. qv/nsq
-    // are functionally dependent on vec_id, so first() is deterministic.
-    val assigned = e.join(broadcast(cent))
+  /** Offset that makes every per-dimension sum positive before the
+    * truncating integer division in the k-means centroid update, so
+    * Spark's `div` and DuckDB's `//` (both plain integer division on
+    * positive operands) floor identically. Quantized components are
+    * ~|1e7|; 2^30 dominates while n*(2^30+1e7) stays far inside int64. */
+  private val KmOff = 1L << 30
+
+  /** Deterministic fixed-k init: the k vectors with the smallest
+    * md5-hash rank — a pseudo-random sample both engines reproduce. */
+  private def initCentroids(e: DataFrame, k: Int): Seq[Array[Long]] =
+    e.select(col("qv"))
+      .orderBy(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+        col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Long](0).toArray).toSeq
+
+  private def centDf(e: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (a, i) => (i.toLong, a.toSeq) }
+      .toDF("cent_id", "cqv")
+      .withColumn("cnsq", dotPre(col("cqv"), col("cqv")))
+  }
+
+  /** Nearest-centroid cell per vector — a hash aggregation with map-side
+    * combine (min over (dist, cent_id) structs), not a per-vector window
+    * sort. Exact integer squared-L2: |a|^2 + |c|^2 - 2 a.c. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
       .select(col("vec_id"), col("qv"), col("nsq"),
-        struct(distTo(col("nsq"), col("qv")).as("dist"),
+        struct((col("nsq") + col("cnsq") -
+          lit(2L) * dotPre(col("qv"), col("cqv"))).as("dist"),
           col("cent_id").as("cid")).as("dc"))
       .groupBy(col("vec_id"))
       .agg(first(col("qv")).as("qv"), first(col("nsq")).as("nsq"),
         min(col("dc")).as("m"))
       .select(col("vec_id"), col("qv"), col("nsq"), col("m.cid").as("cell"))
+
+  /** Fixed-k Lloyd's iterations over pre-quantized vectors, fully
+    * deterministic and integer-exact (so the DuckDB oracle reproduces it
+    * bit-for-bit): hash-rank sampled init, assignment by exact integer
+    * squared-L2, centroid update by positive-offset integer floor
+    * division; a cell that loses all members keeps its previous centroid.
+    * The centroid set (k x dim longs) is the ONLY driver-side data — it is
+    * collected and re-broadcast per iteration, which is how k-means trains
+    * at any corpus size (at 100 TB you additionally train on a sample and
+    * only the final assignment touches the full corpus). */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
+    var cents = initCentroids(e, k)
+    for (_ <- 0 until iters) {
+      val updated = assignCells(e, centDf(e, cents))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("v") + lit(KmOff)).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("d"), (expr("s div n") - lit(KmOff)).as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val dims = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+          cell.toInt -> Array.tabulate(dims.size)(dims(_))
+        }
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) top-k: a fixed-k k-means coarse quantizer
+    * ([[kmeansCentroids]] — k independent of corpus size, so the broadcast
+    * centroid set and the assignment work never grow with the data)
+    * partitions the corpus into cells by nearest centroid; queries probe
+    * their `nprobe` nearest cells and score only vectors assigned there.
+    * The 100 TB shape: the centroid set is tiny and broadcast, cell
+    * assignment is one scan + one hash aggregation, and search shuffles
+    * only on cell id. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters))
+    val assigned = assignCells(e, cent)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nsq").as("qnsq"))

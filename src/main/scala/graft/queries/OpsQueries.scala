@@ -110,6 +110,63 @@ object OpsQueries {
     s"""e AS (SELECT vec_id, embedding,
          ${dotQ("embedding", "embedding")} AS nsq FROM embeddings)"""
 
+  /** Mirror of Similarity.ivfTopK's fixed-k k-means quantizer (k=8, 2
+    * Lloyd iterations, deterministic hash-rank init, positive-offset
+    * integer floor division in the centroid update) + the IVF probe/score
+    * tail. All arithmetic is exact integers until the final cosine. */
+  private val IVF_ORACLE: String = {
+    def dotL(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), d -> $a[d]*$b[d]))"
+    val md5rank = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    def assign(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, qv, nsq, cid AS cell FROM (
+         SELECT s.vec_id, s.qv, s.nsq, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY s.nsq + ${dotL("c.cqv", "c.cqv")}
+               - 2*${dotL("s.qv", "c.cqv")}, c.cid) AS rn
+         FROM en s, $cents c) WHERE rn = 1)"""
+    def update(a: String, prev: String, out: String) =
+      s"""${out}_u AS (SELECT cell, d,
+           CAST((sum(qv[d] + 1073741824) // count(*)) - 1073741824 AS BIGINT)
+             AS cv
+         FROM $a, generate_series(1, 64) g(d) GROUP BY cell, d),
+         ${out}_c AS (SELECT cell AS cid, list(cv ORDER BY d) AS cqv
+           FROM ${out}_u GROUP BY cell),
+         $out AS (SELECT * FROM ${out}_c UNION ALL
+           SELECT cid, cqv FROM $prev
+           WHERE cid NOT IN (SELECT cid FROM ${out}_c))"""
+    s"""WITH eq AS (SELECT vec_id,
+         list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
+         FROM embeddings),
+       en AS (SELECT vec_id, qv, ${dotL("qv", "qv")} AS nsq FROM eq),
+       c0 AS (SELECT rn - 1 AS cid, qv AS cqv FROM
+         (SELECT qv, row_number() OVER (ORDER BY $md5rank, vec_id) AS rn
+          FROM eq) WHERE rn <= 8),
+       ${assign("c0", "a1")},
+       ${update("a1", "c0", "c1")},
+       ${assign("c1", "a2")},
+       ${update("a2", "c1", "c2")},
+       ${assign("c2", "assigned")},
+       q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
+         WHERE vec_id < 10),
+       probes AS (SELECT query_id, qqv, qnsq, cid AS cell FROM (
+         SELECT q.query_id, q.qqv, q.qnsq, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY q.qnsq + ${dotL("c.cqv", "c.cqv")}
+               - 2*${dotL("q.qqv", "c.cqv")}, c.cid) AS rn
+         FROM q, c2 c) WHERE rn <= 2),
+       scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(${dotL("p.qqv", "a.qv")} AS DOUBLE) /
+           (sqrt(CAST(p.qnsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE)))
+           AS cosine
+         FROM probes p JOIN assigned a ON p.cell = a.cell
+         WHERE a.vec_id != p.query_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       WHERE rank <= 3 ORDER BY query_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
@@ -201,33 +258,7 @@ object OpsQueries {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
-    "q36_ann_ivf" ->
-      s"""WITH $EMB_NORM,
-         cent AS (SELECT vec_id AS cent_id, embedding AS ce, nsq AS cnsq
-           FROM e WHERE vec_id % 31 = 0),
-         assigned AS (SELECT vec_id, embedding, nsq, cent_id AS cell FROM (
-           SELECT e.vec_id, e.embedding, e.nsq, c.cent_id,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               e.nsq + c.cnsq - 2 * ${dotQ("e.embedding", "c.ce")}, c.cent_id)
-               AS rn
-           FROM e, cent c) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq
-           FROM e WHERE vec_id < 10),
-         probes AS (SELECT query_id, qe, qnsq, cent_id AS cell FROM (
-           SELECT q.query_id, q.qe, q.qnsq, c.cent_id,
-             row_number() OVER (PARTITION BY q.query_id ORDER BY
-               q.qnsq + c.cnsq - 2 * ${dotQ("q.qe", "c.ce")}, c.cent_id) AS rn
-           FROM q, cent c) WHERE rn <= 2),
-         scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-           CAST(${dotQ("p.qe", "a.embedding")} AS DOUBLE) /
-             (sqrt(CAST(p.qnsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE)))
-             AS cosine
-           FROM probes p JOIN assigned a ON p.cell = a.cell
-           WHERE a.vec_id != p.query_id)
-         SELECT query_id, neighbor_id, cosine, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q36_ann_ivf" -> IVF_ORACLE,
     "q28_langid" -> {
       val langs = TextAnalysis.stopwords.keys.toSeq.sorted
       def inList(l: String) =

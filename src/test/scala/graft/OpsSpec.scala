@@ -59,6 +59,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf: fixed-k kmeans quantizer, centroid count independent of corpus size") {
+    def corpus(n: Long) = (0L until n).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 7f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    // same k centroids whether the corpus has 60 or 200 vectors (the r1
+    // stride quantizer grew O(n)); ivf results carry exact brute cosines
+    Seq(60L, 200L).foreach { n =>
+      val ivf = Similarity.ivfTopK(corpus(n), nQueries = 3, k = 3,
+        nCells = 4, trainIters = 2).collect()
+      assert(ivf.nonEmpty)
+      val brute = Similarity.bruteTopK(corpus(n), nQueries = 3, k = (n - 1).toInt)
+        .select("query_id", "neighbor_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      ivf.foreach { r =>
+        val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(brute(key) == r.getAs[Double]("cosine"))
+      }
+    }
+    // deterministic: two trainings agree exactly
+    val e = corpus(100L)
+      .select(col("vec_id"),
+        graft.ops.TextKit.quantVec(col("embedding")).as("qv"))
+      .withColumn("nsq", graft.ops.TextKit.dotPre(col("qv"), col("qv")))
+    val c1 = Similarity.kmeansCentroids(e, k = 5, iters = 2)
+    val c2 = Similarity.kmeansCentroids(e, k = 5, iters = 2)
+    assert(c1.length == 5)
+    assert(c1.map(_.toSeq) == c2.map(_.toSeq))
+  }
+
   test("multimodal: feature extraction is deterministic, frames partition the payload") {
     val media = Multimodal.mediaFromDocuments(spark, docs, partitions = 2)
     val feats = Multimodal.extractFeatures(media).collect()
