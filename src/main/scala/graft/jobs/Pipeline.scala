@@ -25,7 +25,10 @@ object Pipeline {
       specs: Seq[CheckSpec] = CheckRegistry.supported,
       tagKeys: Seq[String] = Nil,
       maskPii: Boolean = false,
-      csvFidelity: Boolean = false)
+      csvFidelity: Boolean = false,
+      /** true = durable catalog tables + persistent views (the reference's
+        * Glue/Athena catalog); false = session-scoped temp views. */
+      persistentCatalog: Boolean = false)
 
   /** Ingest one batch of raw docs (+ tag observations) into the lake.
     *
@@ -70,8 +73,9 @@ object Pipeline {
     * created view names. */
   def refreshCatalog(spark: SparkSession, cfg: Config): Seq[String] = {
     Lake.registerTables(spark, cfg.lakeRoot, cfg.specs,
-      tagsPresent = cfg.tagKeys.nonEmpty, cfg.csvFidelity)
-    Views.createAll(spark, cfg.tagKeys)
+      tagsPresent = cfg.tagKeys.nonEmpty, cfg.csvFidelity,
+      persistent = cfg.persistentCatalog)
+    Views.createAll(spark, cfg.tagKeys, temporary = !cfg.persistentCatalog)
   }
 
   def run(spark: SparkSession, raw: DataFrame, tagObs: Option[DataFrame],

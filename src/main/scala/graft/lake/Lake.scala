@@ -82,35 +82,73 @@ object Lake {
     * (S7). Schema comes from parquet footers (or CSV header + string types
     * in fidelity mode, matching the crawler's all-strings inference);
     * partition discovery picks up year/month/day automatically. Returns the
-    * registered table names. */
+    * registered table names.
+    *
+    * `persistent = false` (default) registers session-scoped temp views —
+    * the ephemeral mode the query harness uses. `persistent = true` is the
+    * durable-catalog mode matching the reference's Glue tables
+    * (template:3155-3233): each table becomes an EXTERNAL partitioned
+    * catalog table over the lake path (drop+recreate refreshes the schema,
+    * exactly the crawler's UPDATE_IN_DATABASE evolution policy; the data is
+    * never touched), followed by partition recovery (the crawler's
+    * partition sync). Any second SparkSession sharing the metastore — and,
+    * with Hive support enabled, any later restart — sees the tables. */
   def registerTables(spark: SparkSession, root: String,
       specs: Seq[CheckSpec], tagsPresent: Boolean,
-      csvFidelity: Boolean = false): Seq[String] = {
+      csvFidelity: Boolean = false, persistent: Boolean = false): Seq[String] = {
+    def register(name: String, path: String, mergeSchema: Boolean): Unit = {
+      val df =
+        if (mergeSchema && !csvFidelity)
+          // dynamic tag schema (SURVEY §1.3): runs written under different
+          // CustomerKeys configs have different column sets; mergeSchema
+          // unions them (missing keys read as null) — the Glue-crawler
+          // UPDATE_IN_DATABASE evolution policy, natively.
+          spark.read.option("mergeSchema", "true").parquet(path)
+        else read(spark, path, csvFidelity)
+      if (persistent) registerExternal(spark, name, path, df, csvFidelity)
+      else df.createOrReplaceTempView(name)
+    }
     val checkTables = specs.flatMap { spec =>
       val p = detailsPath(root, spec)
       if (exists(spark, p)) {
-        read(spark, p, csvFidelity).createOrReplaceTempView(spec.tableName)
+        register(spec.tableName, p, mergeSchema = false)
         Some(spec.tableName)
       } else None
     }
     val summaryTable =
       if (exists(spark, summaryPath(root))) {
-        read(spark, summaryPath(root), csvFidelity)
-          .createOrReplaceTempView("summary")
+        register("summary", summaryPath(root), mergeSchema = false)
         Seq("summary")
       } else Nil
     val tagTable =
       if (tagsPresent && exists(spark, tagsPath(root))) {
-        // dynamic tag schema (SURVEY §1.3): runs written under different
-        // CustomerKeys configs have different column sets; mergeSchema
-        // unions them (missing keys read as null) — the Glue-crawler
-        // UPDATE_IN_DATABASE evolution policy, natively.
-        val t = if (csvFidelity) read(spark, tagsPath(root), csvFidelity)
-          else spark.read.option("mergeSchema", "true").parquet(tagsPath(root))
-        t.createOrReplaceTempView("tags")
+        register("tags", tagsPath(root), mergeSchema = true)
         Seq("tags")
       } else Nil
     checkTables ++ summaryTable ++ tagTable
+  }
+
+  private val partitionCols = Seq("year", "month", "day")
+
+  /** Durable external table over a partitioned lake path: explicit schema
+    * (from `df`, the already-inferred read), Hive-style partition columns,
+    * then partition recovery. Dropping first refreshes evolved schemas and
+    * clears any temp view shadowing the name (a persistent view may not
+    * reference temp relations). */
+  private def registerExternal(spark: SparkSession, name: String,
+      path: String, df: DataFrame, csvFidelity: Boolean): Unit = {
+    spark.catalog.dropTempView(name)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val cols = df.schema.fields
+      .filterNot(f => partitionCols.contains(f.name))
+      .map(f => s"`${f.name}` ${f.dataType.sql}") ++
+      partitionCols.map(p => s"`$p` INT")
+    val fmt = if (csvFidelity) "CSV OPTIONS (header 'true')" else "PARQUET"
+    spark.sql(s"""CREATE TABLE `$name` (${cols.mkString(", ")})
+      USING $fmt
+      PARTITIONED BY (${partitionCols.map(p => s"`$p`").mkString(", ")})
+      LOCATION '$path'""")
+    spark.sql(s"MSCK REPAIR TABLE `$name`")
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

@@ -41,14 +41,22 @@ object Views {
   private def tagCols(tagKeys: Seq[String], tagged: Boolean): String =
     if (!tagged) "" else tagKeys.map(k => s", `tags`.`${k.toLowerCase}`").mkString(" ")
 
+  /** `CREATE OR REPLACE TEMPORARY VIEW` (session-scoped, default) vs the
+    * reference's durable `CREATE OR REPLACE VIEW`
+    * (create-athena-views-lambda.py:84-86 — Athena views persist in Glue). */
+  private def createKw(temporary: Boolean): String =
+    if (temporary) "CREATE OR REPLACE TEMPORARY VIEW"
+    else "CREATE OR REPLACE VIEW"
+
   /** One view's SELECT body; `derived` are the extra projected columns. */
   private def view(name: String, t: String, derived: Seq[String],
-      tagKeys: Seq[String], tagged: Boolean, joinKey: Option[String]): String = {
+      tagKeys: Seq[String], tagged: Boolean, joinKey: Option[String],
+      temporary: Boolean): String = {
     val from = joinKey match {
       case Some(k) => joinOrBare(t, k, tagged)
       case None => s"FROM `$t`"
     }
-    s"""CREATE OR REPLACE TEMPORARY VIEW $name AS
+    s"""${createKw(temporary)} $name AS
        SELECT `$t`.*, ${derived.mkString(", ")}
        ${tagCols(tagKeys, tagged && joinKey.isDefined)}
        $from"""
@@ -57,11 +65,12 @@ object Views {
   /** All 10 view definitions (9 check views + summary_view), keyed by view
     * name. `tagged` = the reference's `Tags != '' and status == 'PRESENT'`
     * gate (create-athena-views-lambda.py:93 etc.). */
-  def definitions(tagKeys: Seq[String], tagged: Boolean): Map[String, String] = {
+  def definitions(tagKeys: Seq[String], tagged: Boolean,
+      temporary: Boolean = true): Map[String, String] = {
     val tg = tagged && tagKeys.nonEmpty
     def checkView(spec: CheckSpec, derived: Seq[String]): (String, String) =
       spec.viewName -> view(spec.viewName, spec.tableName,
-        derived, tagKeys, tg, spec.tagJoinKey)
+        derived, tagKeys, tg, spec.tagJoinKey, temporary)
 
     Map(
       // create-athena-views-lambda.py:84-93
@@ -106,7 +115,7 @@ object Views {
         money("check_cx3c2r1chu", "estimated on-demand cost post recommended ri purchase monthly", "estimated_on-demand_cost_post_recommended_ri_purchase_monthly"))),
       // :144-149 — summary_view with the string '0'->'1' zero guard, verbatim
       "summary_view" ->
-        s"""CREATE OR REPLACE TEMPORARY VIEW summary_view AS
+        s"""${createKw(temporary)} summary_view AS
            SELECT summary.*, ${ts("summary")} AS `date_time`,
            ((1 - (CAST(`resourcesflagged` AS decimal(10,2)) /
              CAST(replace(CAST(`resourcesprocessed` AS string), '0', '1') AS decimal(10,2)))) * 100) AS `optimizationPercent`,
@@ -130,15 +139,22 @@ object Views {
     "summary_view")
 
   /** Create the views whose base tables exist in the catalog. `tagged` is
-    * decided like the reference: tag keys configured AND tags table present. */
+    * decided like the reference: tag keys configured AND tags table present.
+    * `temporary = false` persists the views in the catalog (the reference's
+    * durable Athena views) — requires the base tables to be catalog tables,
+    * not temp views (Lake.registerTables persistent mode). */
   def createAll(spark: SparkSession, tagKeys: Seq[String],
-      onlySubmitted: Boolean = true): Seq[String] = {
-    val tagged = tagKeys.nonEmpty && spark.catalog.tableExists("tags")
-    val defs = definitions(tagKeys, tagged)
+      onlySubmitted: Boolean = true, temporary: Boolean = true): Seq[String] = {
+    // a persistent view may only reference catalog tables — a same-named
+    // temp view left by an earlier ephemeral run does not count
+    def usable(table: String): Boolean =
+      spark.catalog.tableExists(table) &&
+        (temporary || !spark.catalog.getTable(table).isTemporary)
+    val tagged = tagKeys.nonEmpty && usable("tags")
+    val defs = definitions(tagKeys, tagged, temporary)
     val names = if (onlySubmitted) submittedViews else defs.keys.toSeq
     names.filter { name =>
-      val table = baseTable(name)
-      spark.catalog.tableExists(table) && { spark.sql(defs(name)); true }
+      usable(baseTable(name)) && { spark.sql(defs(name)); true }
     }
   }
 

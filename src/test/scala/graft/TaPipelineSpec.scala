@@ -208,4 +208,29 @@ class TaPipelineSpec extends SparkSpec {
       .definitions(Seq("CostCenter", "Env"), tagged = true)(
         "LowUtilizationAmazonEC2Instances_view"))
   }
+
+  // deliberately LAST: persistent registration drops same-named temp views
+  test("persistent catalog: a second session sees tables and views") {
+    val dir = Files.createTempDirectory("graft-perslake").toString
+    val cfg = Pipeline.Config(dir, Seq(CheckRegistry.lowUtilEc2),
+      tagKeys = Seq("CostCenter", "Env"), persistentCatalog = true)
+    val created = Pipeline.run(spark, rawDf, Some(tagObs), cfg)
+    assert(created.contains("LowUtilizationAmazonEC2Instances_view"))
+    // a fresh session shares the metastore but has NO temp state — the
+    // reference's durable Glue/Athena contract: tables and views survive
+    val s2 = spark.newSession()
+    assert(s2.catalog.tableExists("check_qch7dwoux1"))
+    assert(s2.catalog.tableExists("tags"))
+    assert(s2.catalog.getTable("check_qch7dwoux1").tableType != "TEMPORARY")
+    val v = s2.table("LowUtilizationAmazonEC2Instances_view")
+    val row = v.filter(col("`instance id`") === "i-0aaa").collect().head
+    assert(row.getAs[java.math.BigDecimal]("estimated_monthly_savings")
+      .toString == "55.30")
+    assert(row.getAs[String]("costcenter") == "cc-123")
+    // partition recovery found the y/m/d dirs
+    assert(s2.sql("SHOW PARTITIONS check_qch7dwoux1").count() >= 1)
+    // re-running the catalog refresh (a later "crawler" pass) is idempotent
+    Pipeline.refreshCatalog(s2, cfg)
+    assert(s2.table("LowUtilizationAmazonEC2Instances_view").count() == v.count())
+  }
 }
