@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-regression harness: pins the physical-plan properties the 100 TB
+  * design depends on (VERDICT r1 item 7). If an edit makes a dim join stop
+  * broadcasting, un-pushes a filter, or introduces an accidental cartesian
+  * product, these fail before any bench run would show it. */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("dim sides of q05/q19 plan as broadcast hash joins") {
+    // the fact side must never shuffle for these joins at scale
+    assert(plan("q05_twokey_left_join").contains("BroadcastHashJoin"))
+    assert(plan("q19_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("filters and projections push down to the parquet scans") {
+    val p01 = plan("q01_pricing_summary")
+    assert(p01.contains("PushedFilters:") && p01.contains("l_shipdate"),
+      "q01 shipdate filter must reach the lineitem scan")
+    // column pruning: a 5-column aggregate must not scan the wide columns
+    assert(!p01.contains("l_comment"), "q01 scan reads pruned columns")
+    val p09 = plan("q09_status_filter")
+    assert(p09.contains("PushedFilters:") && p09.contains("event_type"),
+      "q09 isin filter must reach the events scan")
+  }
+
+  test("no cartesian or nested-loop joins outside the deliberate q06") {
+    // equi-join queries: a cartesian/NLJ here is always a plan regression
+    val equiJoinQueries = Seq(
+      "q01_pricing_summary", "q02_ratio_guard", "q03_lastwins_dedup",
+      "q04_pivot", "q05_twokey_left_join", "q07_arn_extract",
+      "q08_schema_projection", "q09_status_filter", "q12_allowlist_filter",
+      "q16_summary", "q18_topk", "q19_join_agg", "q20_set_ops",
+      "q21_dedup_exact", "q22_dedup_ngram", "q23_dedup_minhash",
+      "q24_dedup_simhash", "q31_fingerprint")
+    equiJoinQueries.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+    // q06 IS the cross product (5x25 rows, deliberate)
+    val p06 = plan("q06_cross_join")
+    assert(p06.contains("CartesianProduct") ||
+      p06.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen spans cover the hot paths") {
+    // AQE only annotates codegen spans in the FINAL plan — execute THIS
+    // plan first (count() would plan a different query)
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(finalPlan("q01_pricing_summary").contains("[codegen id :"))
+    assert(finalPlan("q19_join_agg").contains("[codegen id :"))
+    assert(finalPlan("q22_dedup_ngram").contains("[codegen id :"))
+  }
+}
