@@ -33,6 +33,49 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[String]("checkname") == "Low Utilization Amazon EC2 Instances")
   }
 
+  test("tags DSv2 source: type x region fan-out, paginated last-wins, e2e tag join") {
+    val account = "123456789012:Acme:ops@acme.example"
+    def obs = spark.read.format("graft.sources.TagObservationSource")
+      .option("accounts", account)
+      .option("resourceTypes", "ec2:instance,ec2:volume")
+      .option("regions", "us-east-1,eu-west-1")
+      .option("date", "01-15-2024")
+      .option("datetime", "2024-01-15 09:00:00")
+      .load()
+    // fan-out: 1 account x 2 types x 2 regions (get-tags-lambda.py:66-87)
+    assert(obs.rdd.getNumPartitions == 4)
+    assert(obs.select("ResourceType").distinct().count() == 2)
+    assert(obs.select("RegionName").distinct().count() == 2)
+    // pagination: the trailing page re-observes resource 0's CostCenter;
+    // obs_seq (page order) must rank it above the first observation
+    val firstArn = obs.filter($"ResourceArn".contains("instance/res-") &&
+        $"RegionName" === "us-east-1")
+      .orderBy("obs_seq").select("ResourceArn").head.getString(0)
+    val cc = obs.filter($"ResourceArn" === firstArn && $"Key" === "CostCenter")
+    assert(cc.count() >= 1)
+    val pivoted = TaIngest.tags(obs, Seq("CostCenter", "Env"))
+    assert(pivoted.groupBy("resourcearn").count()
+      .filter($"count" > 1).count() == 0) // A3: one row per ARN
+    val ccRow = pivoted.filter($"resourcearn" === firstArn).head
+    assert(ccRow.getAs[String]("costcenter").startsWith("CostCenter-updated-"),
+      "last page's re-observation must win")
+    // e2e: TA source + tags source -> lake -> EC2 view joins on
+    // (instance id = tags.resourceid AND datetime) and hits, because the
+    // stub tag ARNs in us-east-1 carry TaFetchStub's res-<account>-<i> ids
+    val root = Files.createTempDirectory("graft-taglake").toString
+    val raw = spark.read.format("graft.sources.TaCheckResultSource")
+      .option("accounts", account).option("checks", "Qch7DwouX1")
+      .option("date", "01-15-2024")
+      .option("datetime", "2024-01-15 09:00:00").load()
+    graft.jobs.Pipeline.run(spark, raw, Some(obs),
+      graft.jobs.Pipeline.Config(root, Seq(CheckRegistry.lowUtilEc2),
+        tagKeys = Seq("CostCenter", "Env")))
+    val v = spark.table("LowUtilizationAmazonEC2Instances_view")
+    assert(v.count() > 0)
+    assert(v.filter($"costcenter".isNotNull || $"env".isNotNull).count() > 0,
+      "tag join must attach at least one tag value")
+  }
+
   test("accounts CSV: header-position detection, extras ignored, ACTIVE filter") {
     val dir = Files.createTempDirectory("graft-accts")
     val csv = dir.resolve("accounts.csv")
