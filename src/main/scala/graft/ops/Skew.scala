@@ -18,16 +18,23 @@ object Skew {
   /** Equi-join `big` with `small` on `keys`, spreading each big-side key
     * over `factor` partitions. Result equals `big.join(small, keys, how)`
     * for inner/left joins (each big row matches exactly one salted copy).
-    * The salt is derived deterministically from the row's full content hash
-    * so repeated runs produce identical partitioning (no rand()).
+    *
+    * The salt must vary WITHIN a hot key even when its rows are textually
+    * identical — exactly the dedup-adjacent case (r1 verdict: a content
+    * hash sends every duplicate row to one salt, re-creating the hot
+    * partition). `monotonically_increasing_id` is unique per row by
+    * construction, so duplicates spread uniformly; the salt never reaches
+    * the output, so its run-to-run partition assignment (stable for a
+    * given partitioning, not across repartitions) affects placement only.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 8, how: String = "inner"): DataFrame = {
     require(factor >= 1)
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(factor)))
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
     val replicated = small
-      .withColumn("__salt", explode(array((0 until factor).map(lit(_)): _*)))
+      .withColumn("__salt",
+        explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
     saltedBig.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
 

@@ -49,6 +49,19 @@ object OpsQueries {
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
     "q31_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // Skew.saltedJoin on a deliberately hot derived key: result must equal
+    // the plain join (the salt only changes partition placement), which is
+    // exactly what the DuckDB oracle computes
+    "q39_skew_join" -> ((s, d) => {
+      val big = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          pmod(col("user_id"), lit(25L)).as("nkey"))
+      val small = Tables(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
+      Skew.saltedJoin(big, small, Seq("nkey"), factor = 8)
+        .select(col("event_id"), col("user_id"), col("n_name"))
+        .orderBy("event_id")
+    }),
     "q32_multimodal_meta" -> ((s, d) =>
       docs(s, d).select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).as("n_bytes"),
@@ -306,6 +319,10 @@ object OpsQueries {
              % 2147483647)
              % 2147483647 AS BIGINT) AS fingerprint
          FROM tok GROUP BY doc_id ORDER BY doc_id""",
+    "q39_skew_join" ->
+      """SELECT e.event_id, e.user_id, n.n_name
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         ORDER BY e.event_id""",
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 8))) AS head_hex

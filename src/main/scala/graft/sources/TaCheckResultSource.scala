@@ -110,8 +110,11 @@ private[sources] class TaReaderFactory(fields: Array[String])
       override def next(): Boolean = if (consumed) false else { consumed = true; true }
       override def get(): InternalRow = {
         def field(name: String): Any = UTF8String.fromString(name match {
-          // the fetch only happens if the json column survived pruning
-          case "json" => TaFetchStub.fetch(p.accountId, p.checkId)
+          // the fetch only happens if the json column survived pruning;
+          // throttled API responses back off in place (template:1218-1236)
+          // instead of failing the whole partition read
+          case "json" => Retry.withBackoff(Retry.tooManyRequests)(
+            TaFetchStub.fetch(p.accountId, p.checkId))
           case "Date" => p.date
           case "DateTime" => p.dateTime
           case "CheckName" => p.checkName

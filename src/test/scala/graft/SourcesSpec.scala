@@ -112,6 +112,36 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.contains("estimated monthly savings"))
   }
 
+  test("retry policy: exponential backoff, bounded attempts, selective") {
+    import graft.sources.Retry
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    // transient failure twice, then success — template retry semantics
+    val out = Retry.withBackoff(Retry.tooManyRequests, sleep = delays += _) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("TooManyRequests") else "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(delays.toSeq == Seq(2000L, 4000L)) // 2 s interval, backoff x2
+    // exhausted attempts: the last failure propagates
+    calls = 0
+    val ex = intercept[RuntimeException] {
+      Retry.withBackoff(Retry.statesAll, sleep = _ => ()) {
+        calls += 1; throw new RuntimeException("down")
+      }
+    }
+    assert(ex.getMessage == "down" && calls == 2)
+    // non-retryable errors fail immediately
+    calls = 0
+    intercept[java.io.IOException] {
+      Retry.withBackoff(Retry.tooManyRequests,
+        isRetryable = _.isInstanceOf[RuntimeException], sleep = _ => ()) {
+        calls += 1; throw new java.io.IOException("denied")
+      }
+    }
+    assert(calls == 1)
+  }
+
   test("error-log sink: failure rows land under Logs/<kind>/y/m/d") {
     val root = Files.createTempDirectory("graft-errlog").toString
     val errs = Seq(("01-15-2024", "123456789012", "AccessDenied on AssumeRole"))
