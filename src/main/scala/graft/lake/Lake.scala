@@ -47,7 +47,14 @@ object Lake {
     // pipelines that already established non-emptiness in one upstream
     // aggregation (Pipeline.ingest) pass assumeNonEmpty to skip it.
     if (!assumeNonEmpty && df.isEmpty) return
-    val w = withYmd(df).write.mode(SaveMode.Append)
+    // REBALANCE on the partition keys (AQE) collapses the one-tiny-file-
+    // per-source-partition write pattern into few right-sized files per
+    // y/m/d dir, and — unlike a plain repartition(ymd) — still SPLITS a
+    // hot day across tasks when a single partition's data is large, so
+    // the same write path holds at 100 TB/day.
+    val ymd = withYmd(df)
+    val w = ymd.hint("rebalance", col("year"), col("month"), col("day"))
+      .write.mode(SaveMode.Append)
       .partitionBy("year", "month", "day")
     if (csvFidelity) w.option("header", "true").csv(path) else w.parquet(path)
   }
