@@ -112,25 +112,40 @@ object Dedup {
     val sh = tracked(shingleSet(docs))
     val sig = minhashSignaturesOf(sh, numHashes)
     val bands = numHashes / 2
-    val banded = sig.select(col("doc_id"),
+    // persisted: the hot-bucket cap reads banded twice (bucket counts +
+    // the join back), and recomputing it would redo the 8 md5 min-aggs
+    val banded = tracked(sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
             .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key")))
     val cand = pairsWithinGroups(banded, Seq("band", "key"), "doc_id", maxBucket)
     verifyJaccard(sh, cand, tau)
   }
 
   /** True bigram-shingle Jaccard for given candidate pairs over a (cached)
-    * shingle set. Each doc's shingle set is aggregated to one array row, so
-    * verification is two narrow joins on the pair table plus a per-pair
-    * array_intersect — no exploded-row pair join. The per-doc side is one
-    * row per document (auto-broadcast when small; a hash join keyed by doc
-    * id at scale). */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
+    * shingle set. The shingle set is first SEMI-FILTERED to documents that
+    * actually appear in a candidate pair — candidates are a tiny fraction
+    * of the corpus, so the expensive collect_set aggregation touches only
+    * those docs instead of every document (AQE broadcasts the id set when
+    * small; a hash join keyed by doc id otherwise). Each doc's shingles
+    * then aggregate to one array row, so verification is two narrow joins
+    * on the pair table plus a per-pair array_intersect — no exploded-row
+    * pair join. */
+  private def verifyJaccard(sh: DataFrame, cand0: DataFrame,
       tau: Double): DataFrame = {
-    val docSets = sh.groupBy(col("doc_id"))
+    // cand feeds three consumers (the id filter + both pair joins):
+    // persist so candidate generation runs once
+    val cand = tracked(cand0)
+    // the id set is bounded by the hot-bucket/df caps upstream, so it
+    // broadcasts; without the hint this plans as a sort-merge join that
+    // sorts the whole shingle set
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val docSets = sh.join(broadcast(candIds), "doc_id")
+      .groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
     val inter = size(array_intersect(col("sa"), col("sb")))
