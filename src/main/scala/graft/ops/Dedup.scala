@@ -67,32 +67,33 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Hot-bucket guard: keep only rows of `df` whose `keys` group has
+    * between 2 and `maxBucket` members. This is what makes bucketed pair
+    * generation survive adversarial (dup-heavy) data at 100 TB: over-cap
+    * groups are dropped BEFORE their ids are collected, so one hot bucket
+    * can never materialize a giant array row or a |bucket|^2 combination
+    * explode. The dropped pairs are near-always exact duplicates or
+    * degenerate shingles — exact dedup upstream is the operator for those
+    * (same precedence as ngramJaccardPairs' stop-shingle `maxDf` cap).
+    * Callers pass a CACHED df, since it is read twice (counts + join). */
+  private def capGroups(df: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val ok = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    df.join(ok, keys)
+  }
+
   /** Ordered id pairs within each group of `df` sharing `keys` — the LSH
     * bucket-to-candidate-pairs step without a self-join: one aggregation
     * collects each bucket's ids, a combination explode emits (a, b) with
     * a < b. Avoids recomputing the upstream pipeline on both join sides.
-    *
-    * `maxBucket` is the hot-bucket guard that makes this survive adversarial
-    * (dup-heavy) data at 100 TB: groups larger than the cap are dropped
-    * BEFORE their ids are collected, so one hot bucket can never materialize
-    * a giant array row or a |bucket|^2 combination explode. The dropped
-    * pairs are near-always exact duplicates or degenerate shingles — exact
-    * dedup upstream is the operator for those (same precedence the
-    * stop-shingle `maxDf` cap applies in ngramJaccardPairs). Pass
-    * Int.MaxValue when the caller already bounds group size upstream. */
+    * Callers bound group size first (capGroups / maxDf). */
   private def pairsWithinGroups(df: DataFrame, keys: Seq[String],
-      id: String, maxBucket: Int): DataFrame = {
-    val bounded =
-      if (maxBucket == Int.MaxValue) df
-      else {
-        val ok = df.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") <= maxBucket)
-          .drop("bucket_n")
-        df.join(ok, keys)
-      }
+      id: String): DataFrame = {
     val sorted = sort_array(collect_set(col(id)))
-    val buckets = bounded.groupBy(keys.map(col): _*).agg(sorted.as("ids"))
+    val buckets = df.groupBy(keys.map(col): _*).agg(sorted.as("ids"))
       .filter(size(col("ids")) >= 2)
     val combos = flatten(transform(
       sequence(lit(1), size(col("ids")) - 1),
@@ -105,8 +106,8 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs: band the signature (rows-per-band=2),
     * bucket candidates within bands (band-buckets hotter than `maxBucket`
-    * are dropped — see pairsWithinGroups), then verify true bigram
-    * Jaccard >= tau. Returns (doc_a, doc_b, jaccard). */
+    * are dropped — see capGroups), then verify true bigram Jaccard >= tau.
+    * Returns (doc_a, doc_b, jaccard). */
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
       numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
     val sh = tracked(shingleSet(docs))
@@ -120,31 +121,29 @@ object Dedup {
           concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
             .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key")))
-    val cand = pairsWithinGroups(banded, Seq("band", "key"), "doc_id", maxBucket)
-    verifyJaccard(sh, cand, tau)
+    val members = capGroups(banded, Seq("band", "key"), maxBucket)
+    val cand = pairsWithinGroups(members, Seq("band", "key"), "doc_id")
+    // docs in any kept bucket — a superset of the pair docs, derived from
+    // the CACHED banded relation so no pair-table materialization is needed
+    val candDocs = members.select(col("doc_id")).distinct()
+    verifyJaccard(sh, cand, tau, candDocs)
   }
 
   /** True bigram-shingle Jaccard for given candidate pairs over a (cached)
-    * shingle set. The shingle set is first SEMI-FILTERED to documents that
-    * actually appear in a candidate pair — candidates are a tiny fraction
-    * of the corpus, so the expensive collect_set aggregation touches only
-    * those docs instead of every document (AQE broadcasts the id set when
-    * small; a hash join keyed by doc id otherwise). Each doc's shingles
-    * then aggregate to one array row, so verification is two narrow joins
-    * on the pair table plus a per-pair array_intersect — no exploded-row
-    * pair join. */
-  private def verifyJaccard(sh: DataFrame, cand0: DataFrame,
-      tau: Double): DataFrame = {
-    // cand feeds three consumers (the id filter + both pair joins):
-    // persist so candidate generation runs once
-    val cand = tracked(cand0)
-    // the id set is bounded by the hot-bucket/df caps upstream, so it
-    // broadcasts; without the hint this plans as a sort-merge join that
-    // sorts the whole shingle set
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val docSets = sh.join(broadcast(candIds), "doc_id")
+    * shingle set. `candDocs` (ids of docs that can appear in a pair, cheap
+    * to derive from the caller's cached candidate-generation relations) is
+    * semi-joined onto the shingle set first, so the expensive collect_set
+    * aggregation touches only candidate docs — a tiny, cap-bounded
+    * fraction of the corpus — instead of every document. Each doc's
+    * shingles then aggregate to one array row, so verification is two
+    * narrow joins on the pair table plus a per-pair array_intersect — no
+    * exploded-row pair join. */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
+      tau: Double, candDocs: DataFrame): DataFrame = {
+    // the candidate-doc id set is bounded by the hot-bucket/df caps
+    // upstream, so it broadcasts; without the hint this plans as a
+    // sort-merge join that sorts the whole shingle set
+    val docSets = sh.join(broadcast(candDocs), "doc_id")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
@@ -187,10 +186,11 @@ object Dedup {
     val sh = tracked(shingleSet(docs))
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val candSh = sh.join(rare.select("s"), "s")
-    // group size is already bounded by the maxDf join above
-    val cand = pairsWithinGroups(candSh, Seq("s"), "doc_id", Int.MaxValue)
-    verifyJaccard(sh, cand, tau)
+    // group size is already bounded by the maxDf join; persisted because
+    // both the pair explode and the candidate-doc id set read it
+    val candSh = tracked(sh.join(rare.select("s"), "s"))
+    val cand = pairsWithinGroups(candSh, Seq("s"), "doc_id")
+    verifyJaccard(sh, cand, tau, candSh.select(col("doc_id")).distinct())
   }
 
   /** Embedding cosine near-dup: exact integer-quantized cosine over
@@ -219,9 +219,11 @@ object Dedup {
     val e = emb.select(col("vec_id"), quantVec(col("embedding")).as("qv"),
         Similarity.signBucket(col("embedding"), bits).as("bucket"))
       .withColumn("nsq", dotPre(col("qv"), col("qv")))
+    // cached: capGroups reads the bucket projection twice
+    val bucketed = tracked(
+      e.select(col("bucket"), col("vec_id").as("doc_id")))
     val cand = pairsWithinGroups(
-      e.select(col("bucket"), col("vec_id").as("doc_id")),
-      Seq("bucket"), "doc_id", maxBucket)
+      capGroups(bucketed, Seq("bucket"), maxBucket), Seq("bucket"), "doc_id")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     cand
       .join(e.select(col("vec_id"), col("qv"), col("nsq")).as("a"),
