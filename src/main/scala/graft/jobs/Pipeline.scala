@@ -54,14 +54,34 @@ object Pipeline {
         .filterNot(_.isNullAt(0))
         .map(r => r.getString(0) -> (if (r.isNullAt(2)) 0L else r.getLong(2)))
         .toMap
-      cfg.specs.foreach { spec =>
-        if (flaggedByCheck.getOrElse(spec.id, 0L) > 0L)
-          Lake.writeDetails(TaIngest.detailsParsed(p, spec, cfg.maskPii),
-            cfg.lakeRoot, spec, cfg.csvFidelity, assumeNonEmpty = true)
-      }
-      if (stats.map(_.getLong(1)).sum > 0L)
-        Lake.writeSummary(TaIngest.summaryParsed(p, cfg.maskPii), cfg.lakeRoot,
-          cfg.csvFidelity, assumeNonEmpty = true)
+      // The per-table writes go to disjoint paths and all read the cached
+      // parse, so they are submitted CONCURRENTLY: Spark's scheduler
+      // interleaves their jobs instead of paying one driver round-trip per
+      // table in sequence (9 sequential write jobs dominated q35's wall
+      // time in round 1). Bounded pool; failures propagate via Await.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val writes =
+          cfg.specs.filter(s => flaggedByCheck.getOrElse(s.id, 0L) > 0L)
+            .map { spec =>
+              scala.concurrent.Future {
+                Lake.writeDetails(TaIngest.detailsParsed(p, spec, cfg.maskPii),
+                  cfg.lakeRoot, spec, cfg.csvFidelity, assumeNonEmpty = true)
+              }
+            } ++
+          (if (stats.map(_.getLong(1)).sum > 0L)
+            Seq(scala.concurrent.Future {
+              Lake.writeSummary(TaIngest.summaryParsed(p, cfg.maskPii),
+                cfg.lakeRoot, cfg.csvFidelity, assumeNonEmpty = true)
+            })
+          else Nil)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writes),
+          scala.concurrent.duration.Duration.Inf)
+        ()
+      } finally pool.shutdown()
     } finally { p.unpersist(blocking = false); () }
     tagObs.foreach { obs =>
       Lake.writeTags(TaIngest.tags(obs, cfg.tagKeys), cfg.lakeRoot,
