@@ -59,6 +59,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash LSH on a realistic vocabulary: planted near-dups found, pairs exact") {
+    // the driver testdata's tiny shingle vocabulary (BASELINE.md) makes
+    // bands collide unrealistically often; this corpus has a 2000-word
+    // vocabulary, so bucket collisions carry signal
+    val rng = new scala.util.Random(42)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    def doc(): Vector[String] = Vector.fill(40)(vocab(rng.nextInt(2000)))
+    val bases = (0 until 150).map(_ => doc())
+    val rows = bases.zipWithIndex
+      .map { case (d, i) => (i.toLong, d.mkString(" ")) } ++
+      (0 until 30).map { i => // planted near-dup: one token changed
+        (1000L + i, bases(i).updated(20, vocab(rng.nextInt(2000))).mkString(" "))
+      }
+    val pairs = Dedup.minhashLshPairs(rows.toDF("doc_id", "text"), tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall: a one-token edit keeps bigram Jaccard ~0.9; with 4 bands of
+    // width 2 the detect probability per pair is ~1-(1-j^2)^4 ~ 0.99
+    val planted = (0 until 30).map(i => (i.toLong, 1000L + i))
+    val found = planted.count(pairs.contains)
+    assert(found >= 27, s"LSH recall too low: $found/30 planted pairs")
+    // precision/exactness: every reported jaccard equals a from-scratch
+    // set computation over the same shingles
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val byId = rows.toMap
+    pairs.foreach { case ((a, b), j) =>
+      val (sa, sb) = (shingles(byId(a)), shingles(byId(b)))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j == expect, s"pair ($a,$b): $j != $expect")
+      assert(j >= 0.6)
+    }
+  }
+
   test("ivf: fixed-k kmeans quantizer, centroid count independent of corpus size") {
     def corpus(n: Long) = (0L until n).map { i =>
       (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 7f), 0)
