@@ -91,12 +91,23 @@ object Similarity {
     * division; a cell that loses all members keeps its previous centroid.
     * The centroid set (k x dim longs) is the ONLY driver-side data — it is
     * collected and re-broadcast per iteration, which is how k-means trains
-    * at any corpus size (at 100 TB you additionally train on a sample and
-    * only the final assignment touches the full corpus). */
-  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
-    var cents = initCentroids(e, k)
+    * at any corpus size.
+    *
+    * `trainSampleMod` > 1 trains on the deterministic 1/mod hash-sample of
+    * the corpus (vec_id md5 bucket 0) — the 100 TB shape, where Lloyd
+    * iterations never scan the full data and only the final cell
+    * assignment does. Sampling is hash-based, not rand(), so training is
+    * reproducible on any partitioning. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
+      trainSampleMod: Int = 1): Seq[Array[Long]] = {
+    val train =
+      if (trainSampleMod <= 1) e
+      else e.filter(
+        pmod(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+          lit(trainSampleMod.toLong)) === 0)
+    var cents = initCentroids(train, k)
     for (_ <- 0 until iters) {
-      val updated = assignCells(e, centDf(e, cents))
+      val updated = assignCells(train, centDf(train, cents))
         .select(col("cell"), posexplode(col("qv")).as(Seq("d", "v")))
         .groupBy(col("cell"), col("d"))
         .agg(sum(col("v") + lit(KmOff)).as("s"), count(lit(1)).as("n"))

@@ -119,6 +119,11 @@ class OpsSpec extends SparkSpec {
     val c2 = Similarity.kmeansCentroids(e, k = 5, iters = 2)
     assert(c1.length == 5)
     assert(c1.map(_.toSeq) == c2.map(_.toSeq))
+    // sample-trained (100 TB shape): still k centroids, still deterministic
+    val cs1 = Similarity.kmeansCentroids(e, k = 5, iters = 2, trainSampleMod = 3)
+    val cs2 = Similarity.kmeansCentroids(e, k = 5, iters = 2, trainSampleMod = 3)
+    assert(cs1.length == 5)
+    assert(cs1.map(_.toSeq) == cs2.map(_.toSeq))
   }
 
   test("multimodal: feature extraction is deterministic, frames partition the payload") {
