@@ -47,13 +47,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct (doc_id, bigram-shingle) pairs — the shared relation behind
-    * the minhash/Jaccard family. Callers that use it more than once cache
-    * it (at lake scale: persist to executor storage, one shuffle amortized
-    * across candidate generation and verification). */
+  /** (doc_id, bigram-shingle) rows straight from the explode — the shared
+    * relation behind the minhash/Jaccard family. Deliberately NOT
+    * deduplicated: every consumer is duplicate-insensitive (min-hash
+    * aggregation, collect_set set semantics, count-distinct df), so a
+    * distinct() here would cost a full shuffle of the largest relation in
+    * the pipeline for nothing. The relation is narrow (scan + explode) and
+    * callers cache it across candidate generation and verification. */
   def shingleSet(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), explode(shinglesOf(col("text"))).as("s"))
-    .distinct()
 
   /** MinHash signatures over word-bigram shingles: `numHashes` independent
     * hash slots h0..h{k-1}, each `min(md5(seed || shingle))`. One explode +
@@ -184,7 +186,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5,
       maxDf: Int = 20): DataFrame = {
     val sh = tracked(shingleSet(docs))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // df = number of DOCS containing the shingle (sh is not deduplicated)
+    val rare = sh.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     // group size is already bounded by the maxDf join; persisted because
     // both the pair explode and the candidate-doc id set read it
