@@ -165,9 +165,12 @@ object Dedup {
     * document's distinct token hashes, sign -> bit. One explode + one agg;
     * the bit loop is column arithmetic, not extra passes. */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    // per-doc token dedup happens inside the row (array_distinct) — a
+    // global distinct() would shuffle the exploded relation for the same
+    // result, since tokens only repeat within a document
     val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("t"))
       .select(col("doc_id"), md5Long(col("t")).as("h"))
     val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
