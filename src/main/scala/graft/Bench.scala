@@ -29,11 +29,13 @@ object Bench {
     }
     // The host VM shows multi-x run-to-run noise (see BASELINE.md):
     // re-measure cheap queries and keep the min so noise doesn't masquerade
-    // as regressions; expensive queries stay single-run to bound total
-    // bench time.
+    // as regressions. Queries at/above the threshold stay single-run — both
+    // to bound total bench time and because a query with session-memoized
+    // state (q35 builds its lake once) must report its COLD cost, not a
+    // warm rerun.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = once(fn)
-      name -> (if (first >= 0 && first < 5.0) math.min(first, once(fn)) else first)
+      name -> (if (first >= 0 && first < 2.0) math.min(first, once(fn)) else first)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

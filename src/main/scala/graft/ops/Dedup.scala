@@ -53,9 +53,18 @@ object Dedup {
     * aggregation, collect_set set semantics, count-distinct df), so a
     * distinct() here would cost a full shuffle of the largest relation in
     * the pipeline for nothing. The relation is narrow (scan + explode) and
-    * callers cache it across candidate generation and verification. */
-  def shingleSet(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), explode(shinglesOf(col("text"))).as("s"))
+    * callers cache it across candidate generation and verification.
+    *
+    * A corpus that arrives in fewer partitions than the cluster has slots
+    * (one small parquet file -> ONE task running all the shingle + hash
+    * CPU) is spread out first; at real scale the scan already has more
+    * partitions than slots and no extra shuffle is paid. */
+  def shingleSet(docs: DataFrame): DataFrame = {
+    val slots = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
+    spread.select(col("doc_id"), explode(shinglesOf(col("text"))).as("s"))
+  }
 
   /** MinHash signatures over word-bigram shingles: `numHashes` independent
     * hash slots h0..h{k-1}, each `min(md5(seed || shingle))`. One explode +
