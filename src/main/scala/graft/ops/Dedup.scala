@@ -59,12 +59,8 @@ object Dedup {
     * (one small parquet file -> ONE task running all the shingle + hash
     * CPU) is spread out first; at real scale the scan already has more
     * partitions than slots and no extra shuffle is paid. */
-  def shingleSet(docs: DataFrame): DataFrame = {
-    val slots = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
-    spread.select(col("doc_id"), explode(shinglesOf(col("text"))).as("s"))
-  }
+  def shingleSet(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"), explode(shinglesOf(col("text"))).as("s"))
 
   /** MinHash signatures over word-bigram shingles: `numHashes` independent
     * hash slots h0..h{k-1}, each `min(md5(seed || shingle))`. One explode +
@@ -214,7 +210,7 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.4): DataFrame = {
     // quantize once per row; the O(n^2) stage below is then a codegen'd
     // integer loop per pair (LongArrayDot), not per-element lambdas
-    val e = emb.select(col("vec_id"), quantVec(col("embedding")).as("qv"))
+    val e = spread(emb).select(col("vec_id"), quantVec(col("embedding")).as("qv"))
       .withColumn("nsq", dotPre(col("qv"), col("qv")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -231,7 +227,7 @@ object Dedup {
     * compared — the standard LSH trade, bounded by using few bits. */
   def embeddingNearDupBlocked(emb: DataFrame, tau: Double = 0.4,
       bits: Int = 4, maxBucket: Int = 4096): DataFrame = {
-    val e = emb.select(col("vec_id"), quantVec(col("embedding")).as("qv"),
+    val e = spread(emb).select(col("vec_id"), quantVec(col("embedding")).as("qv"),
         Similarity.signBucket(col("embedding"), bits).as("bucket"))
       .withColumn("nsq", dotPre(col("qv"), col("qv")))
     // cached: capGroups reads the bucket projection twice

@@ -24,7 +24,7 @@ object Similarity {
   /** Quantize once per row (qv: array<bigint>) so pairwise scoring is a
     * codegen'd integer loop (LongArrayDot), not per-element lambdas. */
   private def withNorm(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"),
+    spread(emb).select(col("vec_id"), col("embedding"),
         quantVec(col("embedding")).as("qv"))
       .withColumn("nsq", dotPre(col("qv"), col("qv")))
 

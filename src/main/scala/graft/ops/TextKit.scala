@@ -17,6 +17,16 @@ import org.apache.spark.sql.types._
   */
 object TextKit {
 
+  /** Spread an under-partitioned input across the cluster's task slots —
+    * a small corpus arriving as one parquet file would otherwise run a
+    * whole CPU-heavy narrow stage (hashing, quantization) on one task. At
+    * real scale the scan has more partitions than slots and this is a
+    * no-op (no shuffle added). */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
