@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextKit._
@@ -39,9 +38,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
   /** Offset that makes every per-dimension sum positive before the
@@ -160,9 +157,7 @@ object Similarity {
           .as("cosine"))
       // a vector can sit in only one cell, but two probed cells both join
       // the same (query, neighbor) never happens; distinct not needed
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+    TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
   /** Sign-bit bucket id over the first `bits` dimensions. The sign of a
@@ -186,8 +181,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
   }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k aggregator over (id, score) rows — the scalable tail for
+  * the ANN operators.
+  *
+  * The window form (`row_number() OVER (PARTITION BY query ORDER BY score
+  * DESC)`) funnels EVERY candidate score of one query into a single task
+  * and sorts it there; with a billion-row corpus per query that task is the
+  * job. This aggregator keeps at most k entries per buffer, the merge is
+  * associative and commutative, and Spark runs it with map-side combine —
+  * the shuffle carries one k-entry buffer per (query, partition), and no
+  * task ever holds more than k rows per query. Ordering matches the window
+  * form exactly: score descending, id ascending on ties.
+  */
+class TopKAgg(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  // buffers are kept sorted (score desc, id asc) and capped at k
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)],
+      row: (Long, Double)): Seq[(Double, Long)] =
+    insert(buf, (row._2, row._1))
+
+  private def insert(buf: Seq[(Double, Long)],
+      e: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.size >= k && !better(e, buf.last)) buf
+    else {
+      val i = buf.indexWhere(b => better(e, b)) match {
+        case -1 => buf.size
+        case n => n
+      }
+      (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+
+  override def merge(a: Seq[(Double, Long)],
+      b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+}
+
+object TopKAgg {
+
+  /** Top-k per `queryCol` from (idCol, scoreCol) rows. Output columns:
+    * (queryCol, neighbor_id, cosine, rank) — identical rows and ranks to
+    * the `row_number` window form, produced without a per-query sort. */
+  def topKPerQuery(scored: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    scored.groupBy(col(queryCol))
+      .agg(agg(col(idCol), col(scoreCol)).as("top"))
+      .select(col(queryCol), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col(queryCol), col("e._2").as("neighbor_id"),
+        col("e._1").as("cosine"), (col("p") + 1).cast("int").as("rank"))
+  }
+}

@@ -92,6 +92,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("TopKAgg equals the row_number window form, including score ties") {
+    import org.apache.spark.sql.expressions.Window
+    // only 10 distinct scores over 40 neighbors -> the (score desc,
+    // id asc) tie-break is genuinely exercised
+    val scored = (for { q <- 0L until 5L; n <- 0L until 40L }
+      yield (q, n, ((n * 7 + q) % 10).toDouble / 10.0))
+      .toDF("query_id", "neighbor_id", "cosine")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val viaAgg = rows(
+      TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val viaWindow = rows(scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 6))
+    assert(viaAgg.size == 30)
+    assert(viaAgg == viaWindow)
+  }
+
   test("ivf: fixed-k kmeans quantizer, centroid count independent of corpus size") {
     def corpus(n: Long) = (0L until n).map { i =>
       (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 7f), 0)
