@@ -17,24 +17,9 @@ import TextKit._
   */
 object Dedup {
 
-  /** Relations persisted by the pair generators below. Bench/Verify release
-    * storage via `spark.catalog.clearCache()`; long-lived sessions call
-    * [[releaseCaches]] after materializing a returned DataFrame so repeated
-    * invocations don't accumulate cached relations in executor storage. */
-  private val persistedRelations =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
-
-  private def tracked(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    persistedRelations.add(p)
-    p
-  }
-
-  /** Unpersist every relation cached by prior Dedup calls. */
-  def releaseCaches(): Unit = {
-    persistedRelations.forEach(df => { df.unpersist(blocking = false); () })
-    persistedRelations.clear()
-  }
+  /** Unpersist every relation cached by prior ops calls (delegates to the
+    * shared TextKit tracker; kept here for API continuity). */
+  def releaseCaches(): Unit = TextKit.releaseCaches()
 
   /** Exact dedup: one canonical row (min doc_id) per distinct text, with
     * the duplicate count. Hash-groupBy on the FULL 128-bit md5(text) digest

@@ -130,7 +130,9 @@ object Similarity {
     * only on cell id. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2): DataFrame = {
-    val e = withNorm(emb)
+    // cached: training iterations + the final assignment + the probe set
+    // all read the quantized corpus (~6 passes otherwise)
+    val e = tracked(withNorm(emb))
     val cent = centDf(e, kmeansCentroids(e, nCells, trainIters))
     val assigned = assignCells(e, cent)
     val q = e.filter(col("vec_id") < nQueries)

@@ -17,6 +17,27 @@ import org.apache.spark.sql.types._
   */
 object TextKit {
 
+  /** Relations persisted by the ops operators (dedup pair generators, IVF
+    * training). Bench/Verify release storage via
+    * `spark.catalog.clearCache()`; long-lived sessions call
+    * [[releaseCaches]] after materializing a returned DataFrame so
+    * repeated invocations don't accumulate cached relations. */
+  private val persistedRelations =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.DataFrame]())
+
+  private[ops] def tracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.persist()
+    persistedRelations.add(p)
+    p
+  }
+
+  /** Unpersist every relation cached by prior ops calls. */
+  def releaseCaches(): Unit = {
+    persistedRelations.forEach(df => { df.unpersist(blocking = false); () })
+    persistedRelations.clear()
+  }
+
   /** Spread an under-partitioned input across the cluster's task slots —
     * a small corpus arriving as one parquet file would otherwise run a
     * whole CPU-heavy narrow stage (hashing, quantization) on one task. At
