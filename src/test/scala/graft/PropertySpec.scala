@@ -83,4 +83,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("TopKAgg equals a reference sort on random scored sets") {
+    val scoredGen = Gen.listOfN(120, for {
+      q <- Gen.choose(0L, 3L)
+      n <- Gen.choose(0L, 50L)
+      s <- Gen.choose(0, 20).map(_.toDouble / 20.0) // coarse -> many ties
+    } yield (q, n, s))
+    samples(scoredGen, 5).foreach { rows =>
+      // the aggregator consumes one row per (query, id): dedup like the
+      // ANN scorers do (a pair is scored exactly once)
+      val distinctRows = rows.groupBy(r => (r._1, r._2))
+        .map(_._2.head).toSeq
+      val df = distinctRows.toDF("query_id", "neighbor_id", "cosine")
+      val got = graft.ops.TopKAgg
+        .topKPerQuery(df, "query_id", "neighbor_id", "cosine", 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      distinctRows.groupBy(_._1).foreach { case (q, rs) =>
+        val expect = rs.map(r => (r._3, r._2))
+          .sortBy { case (s, n) => (-s, n) }.take(5)
+        expect.zipWithIndex.foreach { case ((s, n), i) =>
+          assert(got((q, i + 1)) == ((n, s)),
+            s"query $q rank ${i + 1}: got ${got((q, i + 1))} want ($n,$s)")
+        }
+      }
+    }
+  }
 }

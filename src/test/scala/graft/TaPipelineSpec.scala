@@ -209,6 +209,31 @@ class TaPipelineSpec extends SparkSpec {
         "LowUtilizationAmazonEC2Instances_view"))
   }
 
+  test("partition pruning: a day-filtered query scans only that day's files") {
+    val dir = Files.createTempDirectory("graft-prunelake").toString
+    val cfg = Pipeline.Config(dir, Seq(CheckRegistry.lowUtilEc2))
+    // two ingest runs on different days -> two y/m/d partitions
+    Pipeline.ingest(rawDf, None, cfg)
+    val day2 = rawDf
+      .withColumn("Date", lit("01-16-2024"))
+      .withColumn("DateTime", lit("2024-01-16 09:00:00"))
+    Pipeline.ingest(day2, None, cfg)
+    val table = spark.read.parquet(
+      s"$dir/TA-Reports/cost_optimizing/check_qch7dwoux1")
+    assert(table.select("day").distinct().count() == 2)
+    val pruned = table.filter($"year" === 2024 && $"month" === 1 && $"day" === 16)
+    // the day filter must prune at the source, not post-scan: the plan's
+    // scan node carries it as a partition filter over one partition dir
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"day filter did not reach the scan:\n$plan")
+    assert(pruned.count() == table.count() / 2)
+    val files = pruned.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("day=16")),
+      "pruned scan read files outside the requested partition")
+  }
+
   // deliberately LAST: persistent registration drops same-named temp views
   test("persistent catalog: a second session sees tables and views") {
     val dir = Files.createTempDirectory("graft-perslake").toString
