@@ -62,6 +62,27 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "offset", "n_bytes", "frame_hash")
   }
 
+  /** Column-level frame sampling over text payloads — the engine-checkable
+    * twin of [[sampleFrames]]: same offset/stride math, but the slice
+    * fingerprint is the md5-based 60-bit hash (cross-engine) instead of
+    * the JVM rolling hash, and slicing is character-based so any engine
+    * computes identical frames. Pure column expressions: stays in
+    * whole-stage codegen, one explode per document. */
+  def frameSlices(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val stride = greatest(lit(1),
+      expr(s"length(text) div $nFrames").cast("int"))
+    docs.select(col("doc_id").as("media_id"), col("text"),
+        stride.as("stride"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * col("stride")).as("offset"),
+        col("text").substr(col("frame_idx") * col("stride") + 1,
+          col("stride")).as("slice"))
+      .select(col("media_id"), col("frame_idx"), col("offset"),
+        length(col("slice")).as("n_chars"),
+        TextKit.md5Long(col("slice")).as("frame_hash"))
+  }
+
   /** Build a media table from the documents fixture: text bytes stand in
     * for payloads. Demonstrates the schema + partitioning (hash by id so
     * payload batches spread evenly regardless of size skew). */

@@ -62,6 +62,8 @@ object OpsQueries {
         .select(col("event_id"), col("user_id"), col("n_name"))
         .orderBy("event_id")
     }),
+    "q40_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSlices(docs(s, d)).orderBy("media_id", "frame_idx")),
     "q32_multimodal_meta" -> ((s, d) =>
       docs(s, d).select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).as("n_bytes"),
@@ -323,6 +325,16 @@ object OpsQueries {
       """SELECT e.event_id, e.user_id, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
          ORDER BY e.event_id""",
+    "q40_multimodal_frames" ->
+      s"""SELECT media_id, frame_idx, frame_idx * stride AS offset,
+         length(sub) AS n_chars, ${TextKit.ducksql.md5Long("sub")} AS frame_hash
+         FROM (
+           SELECT doc_id AS media_id, f AS frame_idx, stride,
+             substr(text, f * stride + 1, stride) AS sub
+           FROM (SELECT doc_id, text,
+             greatest(1, CAST(length(text) // 4 AS INT)) AS stride
+             FROM documents), generate_series(0, 3) g(f))
+         ORDER BY media_id, frame_idx""",
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 8))) AS head_hex
