@@ -62,6 +62,30 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "offset", "n_bytes", "frame_hash")
   }
 
+  /** Aspect-preserving resize planning over extracted features: fit each
+    * (width, height) into a maxW x maxH box with integer permille math
+    * (deterministic, no floating point). Never upscales. A production
+    * pipeline runs the actual pixel resample inside the per-partition
+    * codec (extractFeatures' mapPartitions); the planned dimensions and
+    * the column shape are exactly what it consumes. */
+  def resizePlan(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
+    val w = col("width")
+    val h = col("height")
+    // integer permille scale: floor of exact small-int division (values
+    // stay far below 2^53, so floor(a/b) == a div b, deterministically)
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(a / b).cast("long")
+    val scale = least(lit(1000L),
+      when(w > 0, idiv(lit(maxW.toLong) * 1000L, w)).otherwise(lit(1000L)),
+      when(h > 0, idiv(lit(maxH.toLong) * 1000L, h)).otherwise(lit(1000L)))
+    feats.toDF().select(col("media_id"), col("kind"), w, h,
+        scale.as("scale_permille"))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("scale_permille"),
+        idiv(w * col("scale_permille"), lit(1000L)).cast("int").as("out_width"),
+        idiv(h * col("scale_permille"), lit(1000L)).cast("int").as("out_height"))
+  }
+
   /** Column-level frame sampling over text payloads — the engine-checkable
     * twin of [[sampleFrames]]: same offset/stride math, but the slice
     * fingerprint is the md5-based 60-bit hash (cross-engine) instead of

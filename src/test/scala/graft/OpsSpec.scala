@@ -157,6 +157,17 @@ class OpsSpec extends SparkSpec {
     // identical payloads -> identical features (deterministic stub)
     assert(feats(0).byte_sum == feats(1).byte_sum)
     assert(feats(0).width == feats(0).byte_sum % 1920)
+    // resize planning: fits the box, never upscales, keeps aspect ratio
+    val plan = Multimodal.resizePlan(Multimodal.extractFeatures(media),
+      maxW = 100, maxH = 50).collect()
+    plan.foreach { r =>
+      val (w0, h0) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (w1, h1) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      val s = r.getAs[Long]("scale_permille")
+      assert(w1 <= 100 && h1 <= 50, s"($w0,$h0)->($w1,$h1) exceeds the box")
+      assert(s <= 1000, "resize plan must never upscale")
+      assert(w1 == w0 * s / 1000 && h1 == h0 * s / 1000)
+    }
     val frames = Multimodal.sampleFrames(media, nFrames = 4)
     assert(frames.count() == 16)
     val perDoc = frames.groupBy("media_id")
