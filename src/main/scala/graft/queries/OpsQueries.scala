@@ -62,6 +62,18 @@ object OpsQueries {
         .select(col("event_id"), col("user_id"), col("n_name"))
         .orderBy("event_id")
     }),
+    // as-of join: each purchase attributed to the user's latest click at or
+    // before it (ties to the larger click event_id) — one union + one
+    // window pass, no per-row subquery
+    "q41_asof_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", "event_id")
+        .orderBy("event_id")
+    }),
     "q40_multimodal_frames" -> ((s, d) =>
       Multimodal.frameSlices(docs(s, d)).orderBy("media_id", "frame_idx")),
     "q32_multimodal_meta" -> ((s, d) =>
@@ -325,6 +337,20 @@ object OpsQueries {
       """SELECT e.event_id, e.user_id, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
          ORDER BY e.event_id""",
+    "q41_asof_join" ->
+      """SELECT user_id, event_id, ts_us,
+           asof_event_id, asof_ts_us, asof_value FROM (
+         SELECT p.user_id, p.event_id, p.ts_us,
+           c.event_id AS asof_event_id, c.ts_us AS asof_ts_us,
+           c.value AS asof_value,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+         ) WHERE rn = 1 ORDER BY event_id""",
     "q40_multimodal_frames" ->
       s"""SELECT media_id, frame_idx, frame_idx * stride AS offset,
          length(sub) AS n_chars, ${TextKit.ducksql.md5Long("sub")} AS frame_hash

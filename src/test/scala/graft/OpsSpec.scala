@@ -92,6 +92,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: latest at-or-before right row per key, ties and misses") {
+    val left = Seq(
+      (1L, 100L, 10L), // after two clicks -> newest (t=9) wins
+      (1L, 101L, 5L),  // exactly at a click ts -> same-instant counts
+      (1L, 102L, 1L),  // before any click -> null
+      (2L, 103L, 50L)  // other key: isolated
+    ).toDF("user_id", "event_id", "ts_us")
+    val right = Seq(
+      (1L, 200L, 5L, 1.0),
+      (1L, 201L, 9L, 2.0),
+      (1L, 202L, 5L, 3.0), // same ts as 200 -> larger event_id wins the tie
+      (2L, 203L, 49L, 4.0)
+    ).toDF("user_id", "event_id", "ts_us", "value")
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts_us", "event_id")
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(100L) == (Some(201L), Some(2.0)))
+    assert(out(101L) == (Some(202L), Some(3.0))) // tie: 202 > 200
+    assert(out(102L) == (None, None))
+    assert(out(103L) == (Some(203L), Some(4.0)))
+  }
+
   test("TopKAgg equals the row_number window form, including score ties") {
     import org.apache.spark.sql.expressions.Window
     // only 10 distinct scores over 40 neighbors -> the (score desc,
