@@ -62,6 +62,20 @@ object OpsQueries {
         .select(col("event_id"), col("user_id"), col("n_name"))
         .orderBy("event_id")
     }),
+    // range join: purchases inside a 30-minute window after an error,
+    // bin-bucketed so the plan is an equi join, never a nested loop
+    "q42_range_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + lit(1800000000L)).as("end_us"))
+      RangeJoin.pointInInterval(purchases, errors, Seq("user_id"),
+          "ts_us", "start_us", "end_us", binSize = 1800000000L)
+        .orderBy("purchase_id", "error_id")
+    }),
     // as-of join: each purchase attributed to the user's latest click at or
     // before it (ties to the larger click event_id) — one union + one
     // window pass, no per-row subquery
@@ -337,6 +351,17 @@ object OpsQueries {
       """SELECT e.event_id, e.user_id, n.n_name
          FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
          ORDER BY e.event_id""",
+    "q42_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts_us,
+           e.event_id AS error_id, e.ts_us AS start_us,
+           e.ts_us + 1800000000 AS end_us
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'error') e
+           ON p.user_id = e.user_id
+           AND p.ts_us BETWEEN e.ts_us AND e.ts_us + 1800000000
+         ORDER BY purchase_id, error_id""",
     "q41_asof_join" ->
       """SELECT user_id, event_id, ts_us,
            asof_event_id, asof_ts_us, asof_value FROM (
