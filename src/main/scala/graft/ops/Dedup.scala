@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,6 +13,13 @@ import TextKit._
   * Candidate generation always goes through an inverted index (shingle or
   * LSH bucket) with a document-frequency cap so a stop-shingle can't create
   * a quadratic bucket; verification only runs on candidate pairs.
+  *
+  * CPU design: text is hashed exactly ONCE per shingle occurrence (one
+  * md5); everything downstream — the k minhash slots, band keys, Jaccard
+  * verification — is integer arithmetic over that hash. The k-seeded-md5
+  * form this replaced spent ~k× the CPU of the whole pipeline inside
+  * per-row digest calls, which is both slower and far more sensitive to a
+  * contended host.
   */
 object Dedup {
 
@@ -32,13 +38,11 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
-  /** (doc_id, bigram-shingle) rows straight from the explode — the shared
-    * relation behind the minhash/Jaccard family. Deliberately NOT
-    * deduplicated: every consumer is duplicate-insensitive (min-hash
+  /** (doc_id, bigram-shingle) rows straight from the explode. Deliberately
+    * NOT deduplicated: every consumer is duplicate-insensitive (min-hash
     * aggregation, collect_set set semantics, count-distinct df), so a
     * distinct() here would cost a full shuffle of the largest relation in
-    * the pipeline for nothing. The relation is narrow (scan + explode) and
-    * callers cache it across candidate generation and verification.
+    * the pipeline for nothing.
     *
     * A corpus that arrives in fewer partitions than the cluster has slots
     * (one small parquet file -> ONE task running all the shingle + hash
@@ -47,97 +51,117 @@ object Dedup {
   def shingleSet(docs: DataFrame): DataFrame =
     spread(docs).select(col("doc_id"), explode(shinglesOf(col("text"))).as("s"))
 
-  /** MinHash signatures over word-bigram shingles: `numHashes` independent
-    * hash slots h0..h{k-1}, each `min(md5(seed || shingle))`. One explode +
-    * one hash aggregation. */
+  /** (doc_id, m) with m = the 60-bit md5 of each shingle occurrence — the
+    * shared relation behind the minhash/Jaccard family, and the ONLY place
+    * the family touches a digest. Callers cache it (8 bytes/shingle beats
+    * re-hashing and beats caching shingle strings). */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    shingleSet(docs).select(col("doc_id"), md5Long(col("s")).as("m"))
+
+  /** Modulus for the universal-hash minhash slots: 2^31 - 1 (prime).
+    * All arithmetic stays inside non-negative BIGINT in both engines:
+    * a*(m%P)+b < 2^62. */
+  val P: Long = 2147483647L
+  /** Fixed multipliers/offsets for slots h0..h7 (primes / well-known
+    * constants — any fixed values < P work; pinned so the DuckDB oracle
+    * can mirror them). */
+  val hashA: IndexedSeq[Long] = Vector(
+    1103515245L, 1299709L, 15485863L, 32452843L,
+    49979687L, 67867967L, 86028121L, 104395301L)
+  val hashB: IndexedSeq[Long] = Vector(
+    12345L, 271828L, 314159L, 161803L,
+    141421L, 173205L, 223606L, 244948L)
+
+  /** Slot-j universal hash of a 60-bit md5 column: (a_j*(m%P)+b_j) % P.
+    * One multiply-add per slot instead of one md5 per slot. */
+  def slotHash(m: Column, j: Int): Column =
+    (lit(hashA(j)) * (m % lit(P)) + lit(hashB(j))) % lit(P)
+
+  /** MinHash signatures over word-bigram shingles: `numHashes` slots
+    * h0..h{k-1}, each `min(slotHash(md5(shingle), j))`. One explode + ONE
+    * md5 per shingle + one integer min-aggregation. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
-    minhashSignaturesOf(shingleSet(docs), numHashes)
+    minhashSignaturesOf(shingleHashes(docs), numHashes)
 
-  private def minhashSignaturesOf(sh: DataFrame, numHashes: Int): DataFrame = {
+  private def minhashSignaturesOf(shm: DataFrame, numHashes: Int): DataFrame = {
+    require(numHashes <= hashA.length, s"at most ${hashA.length} hash slots")
     val mins = (0 until numHashes)
-      .map(j => min(md5Long(col("s"), Some(j))).as(s"h$j"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .map(j => min(slotHash(col("m"), j)).as(s"h$j"))
+    shm.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** Hot-bucket guard: keep only rows of `df` whose `keys` group has
-    * between 2 and `maxBucket` members. This is what makes bucketed pair
-    * generation survive adversarial (dup-heavy) data at 100 TB: over-cap
-    * groups are dropped BEFORE their ids are collected, so one hot bucket
-    * can never materialize a giant array row or a |bucket|^2 combination
-    * explode. The dropped pairs are near-always exact duplicates or
-    * degenerate shingles — exact dedup upstream is the operator for those
-    * (same precedence as ngramJaccardPairs' stop-shingle `maxDf` cap).
-    * Callers pass a CACHED df, since it is read twice (counts + join). */
-  private def capGroups(df: DataFrame, keys: Seq[String],
-      maxBucket: Int): DataFrame = {
-    val ok = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    df.join(ok, keys)
-  }
+  /** Group members per key with the hot-bucket guard applied in a SINGLE
+    * bounded aggregation: each group keeps its up-to-(maxBucket+1) smallest
+    * distinct ids (BoundedMinSet — bounded executor memory even for a
+    * 10^9-member bucket), then groups that overflowed maxBucket or have a
+    * single member are dropped. Kept groups hold their EXACT membership.
+    * Dropping over-cap groups is what makes bucketed pair generation
+    * survive adversarial (dup-heavy) data at 100 TB: the dropped pairs are
+    * near-always exact duplicates or degenerate shingles — exact dedup
+    * upstream is the operator for those. */
+  private def boundedBuckets(df: DataFrame, keys: Seq[String], id: String,
+      maxBucket: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(BoundedMinSet(maxBucket + 1, col(id)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
 
-  /** Ordered id pairs within each group of `df` sharing `keys` — the LSH
-    * bucket-to-candidate-pairs step without a self-join: one aggregation
-    * collects each bucket's ids, a combination explode emits (a, b) with
-    * a < b. Avoids recomputing the upstream pipeline on both join sides.
-    * Callers bound group size first (capGroups / maxDf). */
-  private def pairsWithinGroups(df: DataFrame, keys: Seq[String],
-      id: String): DataFrame = {
-    val sorted = sort_array(collect_set(col(id)))
-    val buckets = df.groupBy(keys.map(col): _*).agg(sorted.as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val combos = flatten(transform(
-      sequence(lit(1), size(col("ids")) - 1),
-      i => transform(slice(col("ids"), i + 1, size(col("ids"))),
-        y => struct(element_at(col("ids"), i).as("a"), y.as("b")))))
-    buckets.select(explode(combos).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
-  }
+  /** Ordered id pairs from a bucketed `ids` array column: a two-step
+    * explode (position, then the tail slice) so per-row memory is O(cap),
+    * never the O(cap^2) a single flattened combination array would
+    * materialize. The ids arrive sorted (BoundedMinSet), so a < b holds
+    * by construction. */
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
 
   /** MinHash + LSH near-dup pairs: band the signature (rows-per-band=2),
     * bucket candidates within bands (band-buckets hotter than `maxBucket`
-    * are dropped — see capGroups), then verify true bigram Jaccard >= tau.
-    * Returns (doc_a, doc_b, jaccard). */
+    * are dropped — see boundedBuckets), then verify true bigram Jaccard
+    * (over shingle hashes) >= tau. Returns (doc_a, doc_b, jaccard). */
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
       numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
-    val sh = tracked(shingleSet(docs))
-    val sig = minhashSignaturesOf(sh, numHashes)
+    val shm = tracked(shingleHashes(docs))
+    val sig = minhashSignaturesOf(shm, numHashes)
     val bands = numHashes / 2
-    // persisted: the hot-bucket cap reads banded twice (bucket counts +
-    // the join back), and recomputing it would redo the 8 md5 min-aggs
-    val banded = tracked(sig.select(col("doc_id"),
+    // band key as ONE integer: h_{2b}*P + h_{2b+1} < 2^62 — integer
+    // shuffle/compare keys instead of concatenated strings
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
-            .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key")))
-    val members = capGroups(banded, Seq("band", "key"), maxBucket)
-    val cand = pairsWithinGroups(members, Seq("band", "key"), "doc_id")
-    // docs in any kept bucket — a superset of the pair docs, derived from
-    // the CACHED banded relation so no pair-table materialization is needed
-    val candDocs = members.select(col("doc_id")).distinct()
-    verifyJaccard(sh, cand, tau, candDocs)
+          (col(s"h${2 * b}") * lit(P) + col(s"h${2 * b + 1}")).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    // persisted: read twice (pair explode + the candidate-doc id set)
+    val buckets = tracked(
+      boundedBuckets(banded, Seq("band", "key"), "doc_id", maxBucket))
+    // a pair can share several band-buckets -> distinct
+    val cand = pairsFromBuckets(buckets).distinct()
+    val candDocs = buckets.select(explode(col("ids")).as("doc_id")).distinct()
+    verifyJaccard(shm, cand, tau, candDocs)
   }
 
-  /** True bigram-shingle Jaccard for given candidate pairs over a (cached)
-    * shingle set. `candDocs` (ids of docs that can appear in a pair, cheap
-    * to derive from the caller's cached candidate-generation relations) is
-    * semi-joined onto the shingle set first, so the expensive collect_set
-    * aggregation touches only candidate docs — a tiny, cap-bounded
-    * fraction of the corpus — instead of every document. Each doc's
-    * shingles then aggregate to one array row, so verification is two
-    * narrow joins on the pair table plus a per-pair array_intersect — no
-    * exploded-row pair join. */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
+  /** True bigram-shingle Jaccard (over 60-bit shingle hashes — collisions
+    * are negligible and the oracle mirrors the hashing) for given candidate
+    * pairs over a (cached) shingle-hash set. `candDocs` (ids of docs that
+    * can appear in a pair, cheap to derive from the caller's cached
+    * candidate-generation relations) is semi-joined onto the shingle set
+    * first, so the expensive collect_set aggregation touches only candidate
+    * docs — a tiny, cap-bounded fraction of the corpus — instead of every
+    * document. Each doc's shingle hashes then aggregate to one long-array
+    * row, so verification is two narrow joins on the pair table plus a
+    * per-pair integer array_intersect — no exploded-row pair join. */
+  private def verifyJaccard(shm: DataFrame, cand: DataFrame,
       tau: Double, candDocs: DataFrame): DataFrame = {
     // the candidate-doc id set is bounded by the hot-bucket/df caps
     // upstream, so it broadcasts; without the hint this plans as a
     // sort-merge join that sorts the whole shingle set
-    val docSets = sh.join(broadcast(candDocs), "doc_id")
+    val docSets = shm.join(broadcast(candDocs), "doc_id")
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss"))
+      .agg(collect_set(col("m")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
@@ -172,26 +196,27 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** N-gram Jaccard near-dup pairs via a frequency-capped inverted index:
-    * shingles occurring in more than `maxDf` docs are dropped from candidate
-    * generation (stop-shingle guard — this is what keeps the pair join
-    * linear-ish at scale), then true Jaccard (over all shingles) >= tau. */
+  /** N-gram Jaccard near-dup pairs via a frequency-capped inverted index
+    * over shingle HASHES: shingles occurring in more than `maxDf` docs are
+    * dropped from candidate generation (stop-shingle guard — this is what
+    * keeps the pair join linear-ish at scale), then true Jaccard (over all
+    * shingle hashes) >= tau. Hashing first means the inverted index
+    * shuffles 8-byte keys, not shingle strings. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5,
       maxDf: Int = 20): DataFrame = {
-    val sh = tracked(shingleSet(docs))
-    // df = number of DOCS containing the shingle (sh is not deduplicated)
-    val rare = sh.groupBy(col("s")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    // group size is already bounded by the maxDf join; persisted because
-    // both the pair explode and the candidate-doc id set read it
-    val candSh = tracked(sh.join(rare.select("s"), "s"))
-    val cand = pairsWithinGroups(candSh, Seq("s"), "doc_id")
-    verifyJaccard(sh, cand, tau, candSh.select(col("doc_id")).distinct())
+    val shm = tracked(shingleHashes(docs))
+    // df = number of DOCS containing the shingle (shm is not deduplicated);
+    // the df band keeps only discriminative shingles, so each kept group is
+    // small and pairsFromBuckets' cap (maxDf) is exact, not lossy
+    val buckets = tracked(boundedBuckets(shm, Seq("m"), "doc_id", maxDf))
+    val cand = pairsFromBuckets(buckets).distinct()
+    val candDocs = buckets.select(explode(col("ids")).as("doc_id")).distinct()
+    verifyJaccard(shm, cand, tau, candDocs)
   }
 
   /** Embedding cosine near-dup: exact integer-quantized cosine over
     * candidate pairs. Small inputs go brute force; the documented scale
-    * path is Similarity.lshBuckets-style blocking first. */
+    * path is embeddingNearDupBlocked. */
   def embeddingNearDup(emb: DataFrame, tau: Double = 0.4): DataFrame = {
     // quantize once per row; the O(n^2) stage below is then a codegen'd
     // integer loop per pair (LongArrayDot), not per-element lambdas
@@ -212,14 +237,15 @@ object Dedup {
     * compared — the standard LSH trade, bounded by using few bits. */
   def embeddingNearDupBlocked(emb: DataFrame, tau: Double = 0.4,
       bits: Int = 4, maxBucket: Int = 4096): DataFrame = {
-    val e = spread(emb).select(col("vec_id"), quantVec(col("embedding")).as("qv"),
+    // cached: the pair table joins back to it twice for vectors/norms
+    val e = tracked(spread(emb)
+      .select(col("vec_id"), quantVec(col("embedding")).as("qv"),
         Similarity.signBucket(col("embedding"), bits).as("bucket"))
-      .withColumn("nsq", dotPre(col("qv"), col("qv")))
-    // cached: capGroups reads the bucket projection twice
-    val bucketed = tracked(
-      e.select(col("bucket"), col("vec_id").as("doc_id")))
-    val cand = pairsWithinGroups(
-      capGroups(bucketed, Seq("bucket"), maxBucket), Seq("bucket"), "doc_id")
+      .withColumn("nsq", dotPre(col("qv"), col("qv"))))
+    // each vector lives in exactly one bucket -> pairs are already unique
+    val cand = pairsFromBuckets(boundedBuckets(
+        e.select(col("bucket"), col("vec_id")), Seq("bucket"), "vec_id",
+        maxBucket))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     cand
       .join(e.select(col("vec_id"), col("qv"), col("nsq")).as("a"),

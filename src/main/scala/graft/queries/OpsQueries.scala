@@ -96,12 +96,19 @@ object OpsQueries {
           hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
         .orderBy("media_id")))
 
-  private val H = (j: Int) => TextKit.ducksql.md5Long("s", Some(j))
   private val tokH = TextKit.ducksql.md5Long("t")
 
-  /** Shared CTE fragments. */
+  /** Mirror of Dedup.slotHash: (a_j*(m%P)+b_j) % P over the 60-bit shingle
+    * md5 — one md5 per shingle, k integer multiply-adds (constants shared
+    * with the Spark side). */
+  private val H = (j: Int) =>
+    s"(${Dedup.hashA(j)} * (m % ${Dedup.P}) + ${Dedup.hashB(j)}) % ${Dedup.P}"
+
+  /** Shared CTE fragments: distinct (doc, shingle-hash) pairs — the whole
+    * Jaccard family runs over the 60-bit hash, mirroring shingleHashes. */
   private def SHINGLES_FROM(src: String) =
-    s"""sh AS (SELECT DISTINCT doc_id, s FROM (
+    s"""sh AS (SELECT DISTINCT doc_id, ${TextKit.ducksql.md5Long("s")} AS m
+         FROM (
          SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
            i -> toks[i] || ' ' || toks[i+1])) AS s
          FROM (SELECT doc_id, string_split(text,' ') AS toks FROM $src)))"""
@@ -116,7 +123,7 @@ object OpsQueries {
          ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}
          FROM sh GROUP BY doc_id),
        banded0 AS (${(0 until 4).map(b =>
-           s"SELECT doc_id, $b AS band, CAST(h${2*b} AS VARCHAR) || '_' || CAST(h${2*b+1} AS VARCHAR) AS key FROM sig")
+           s"SELECT doc_id, $b AS band, h${2*b} * ${Dedup.P} + h${2*b+1} AS key FROM sig")
          .mkString(" UNION ALL ")}),
        ok AS (SELECT band, key FROM banded0 GROUP BY band, key
          HAVING count(*) <= 64),
@@ -137,7 +144,7 @@ object OpsQueries {
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-         JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s GROUP BY 1, 2)
+         JOIN sh b ON b.doc_id = c.doc_b AND a.m = b.m GROUP BY 1, 2)
        SELECT i.doc_a, i.doc_b,
          CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
        FROM inter i JOIN sizes na ON i.doc_a = na.doc_id
@@ -215,11 +222,11 @@ object OpsQueries {
          FROM documents GROUP BY 1 ORDER BY canonical_id""",
     "q22_dedup_ngram" ->
       s"""WITH $SHINGLES,
-         rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         rare AS (SELECT m FROM (SELECT m, count(*) AS df FROM sh GROUP BY m)
            WHERE df <= 20 AND df >= 2),
-         candsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+         candsh AS (SELECT sh.doc_id, sh.m FROM sh JOIN rare ON sh.m = rare.m),
          cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM candsh l JOIN candsh r ON l.s = r.s AND l.doc_id < r.doc_id),
+           FROM candsh l JOIN candsh r ON l.m = r.m AND l.doc_id < r.doc_id),
          ${JACCARD_TAIL(0.5)}""",
     "q23_dedup_minhash" ->
       s"""WITH ${MINHASH_BODY("documents")}""",

@@ -207,10 +207,10 @@ class OpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, explode}
     val k = 8
     // per-shingle k-slot hash arrays, then the typed aggregator
-    val perShingle = Dedup.shingleSet(docs)
+    val perShingle = Dedup.shingleHashes(docs)
       .select(col("doc_id"),
         org.apache.spark.sql.functions.array(
-          (0 until k).map(j => md5Long(col("s"), Some(j))): _*).as("hs"))
+          (0 until k).map(j => Dedup.slotHash(col("m"), j)): _*).as("hs"))
     val agg = perShingle
       .as[(Long, Array[Long])]
       .groupByKey(_._1)
