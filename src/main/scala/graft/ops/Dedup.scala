@@ -140,7 +140,7 @@ object Dedup {
       boundedBuckets(banded, Seq("band", "key"), "doc_id", maxBucket))
     // a pair can share several band-buckets -> distinct
     val cand = pairsFromBuckets(buckets).distinct()
-    val candDocs = buckets.select(explode(col("ids")).as("doc_id")).distinct()
+    val candDocs = buckets.select(explode(col("ids")).as("doc_id"))
     verifyJaccard(shm, cand, tau, candDocs)
   }
 
@@ -158,8 +158,10 @@ object Dedup {
       tau: Double, candDocs: DataFrame): DataFrame = {
     // the candidate-doc id set is bounded by the hot-bucket/df caps
     // upstream, so it broadcasts; without the hint this plans as a
-    // sort-merge join that sorts the whole shingle set
-    val docSets = shm.join(broadcast(candDocs), "doc_id")
+    // sort-merge join that sorts the whole shingle set. left_semi keeps
+    // set semantics without the callers paying a distinct() shuffle on
+    // their (duplicated) bucket-membership projection
+    val docSets = shm.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("m")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
@@ -210,7 +212,7 @@ object Dedup {
     // small and pairsFromBuckets' cap (maxDf) is exact, not lossy
     val buckets = tracked(boundedBuckets(shm, Seq("m"), "doc_id", maxDf))
     val cand = pairsFromBuckets(buckets).distinct()
-    val candDocs = buckets.select(explode(col("ids")).as("doc_id")).distinct()
+    val candDocs = buckets.select(explode(col("ids")).as("doc_id"))
     verifyJaccard(shm, cand, tau, candDocs)
   }
 

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops._
-import graft.ops.TextKit._
 
+/** Ad-hoc stage breakdown for the minhash LSH pipeline (not a CI test). */
 object ProfileQ23 {
   def t[A](name: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -17,22 +17,25 @@ object ProfileQ23 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
-    val sh = Dedup.shingleSet(docs).persist()
-    t("sh materialize")(sh.count())
-    val mins = (0 until 8).map(j => min(md5Long(col("s"), Some(j))).as(s"h$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val shm = Dedup.shingleHashes(docs).persist()
+    t("shm materialize")(shm.count())
+    val mins = (0 until 8).map(j => min(Dedup.slotHash(col("m"), j)).as(s"h$j"))
+    val sig = shm.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     t("sig count")(sig.count())
     t("sig count again")(sig.count())
     val banded = sig.select(col("doc_id"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))): _*)).as("bk"))
+        (col(s"h${2 * b}") * lit(Dedup.P) + col(s"h${2 * b + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
-    t("cand count")(cand.count())
-    t("full q23")(Dedup.minhashLshPairs(docs).count())
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(BoundedMinSet(65, col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 64)).persist()
+    t("buckets count")(buckets.count())
+    t("buckets again")(buckets.count())
+    shm.unpersist(); buckets.unpersist()
+    t("full q23 cold")(Dedup.minhashLshPairs(docs).count())
+    TextKit.releaseCaches()
+    t("full q23 again")(Dedup.minhashLshPairs(docs).count())
     spark.stop()
   }
 }
