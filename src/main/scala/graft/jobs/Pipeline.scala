@@ -58,7 +58,11 @@ object Pipeline {
       // parse, so they are submitted CONCURRENTLY: Spark's scheduler
       // interleaves their jobs instead of paying one driver round-trip per
       // table in sequence (9 sequential write jobs dominated q35's wall
-      // time in round 1). Bounded pool; failures propagate via Await.
+      // time in round 1). Bounded pool. Every future is awaited to
+      // COMPLETION (not fail-fast) before the first failure is rethrown —
+      // otherwise a sibling write would outlive ingest, re-deriving the
+      // unpersisted parse (a full live-API refetch) and appending lake
+      // files after the caller has already seen the error.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -77,11 +81,12 @@ object Pipeline {
                 cfg.lakeRoot, cfg.csvFidelity, assumeNonEmpty = true)
             })
           else Nil)
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(writes),
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            writes.map(_.transform(scala.util.Success(_)))),
           scala.concurrent.duration.Duration.Inf)
-        ()
-      } finally pool.shutdown()
+        settled.foreach(_.get) // rethrow the first failure, if any
+      } finally { pool.shutdownNow(); () }
     } finally { p.unpersist(blocking = false); () }
     tagObs.foreach { obs =>
       Lake.writeTags(TaIngest.tags(obs, cfg.tagKeys), cfg.lakeRoot,

@@ -139,22 +139,49 @@ object Lake {
 
   /** Durable external table over a partitioned lake path: explicit schema
     * (from `df`, the already-inferred read), Hive-style partition columns,
-    * then partition recovery. Dropping first refreshes evolved schemas and
-    * clears any temp view shadowing the name (a persistent view may not
-    * reference temp relations). */
+    * then partition recovery. Clears any temp view shadowing the name
+    * first (a persistent view may not reference temp relations).
+    *
+    * Refresh is non-windowing for concurrent sessions sharing the
+    * metastore (the documented persistent-mode use case): an existing
+    * table is kept in place — unchanged schemas just re-sync partitions,
+    * and the common evolution (new tag columns appearing in later runs)
+    * is applied via ALTER TABLE ADD COLUMNS. Only an incompatible change
+    * (type change / column removal — which the lake's append-only writers
+    * never produce) falls back to drop+recreate, the crawler's
+    * UPDATE_IN_DATABASE "recreate" edge. */
   private def registerExternal(spark: SparkSession, name: String,
       path: String, df: DataFrame, csvFidelity: Boolean): Unit = {
     spark.catalog.dropTempView(name)
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val cols = df.schema.fields
+    val dataCols = df.schema.fields
       .filterNot(f => partitionCols.contains(f.name))
-      .map(f => s"`${f.name}` ${f.dataType.sql}") ++
-      partitionCols.map(p => s"`$p` INT")
     val fmt = if (csvFidelity) "CSV OPTIONS (header 'true')" else "PARQUET"
-    spark.sql(s"""CREATE TABLE `$name` (${cols.mkString(", ")})
-      USING $fmt
-      PARTITIONED BY (${partitionCols.map(p => s"`$p`").mkString(", ")})
-      LOCATION '$path'""")
+    def create(): Unit = {
+      val cols = dataCols.map(f => s"`${f.name}` ${f.dataType.sql}") ++
+        partitionCols.map(p => s"`$p` INT")
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS `$name` (${cols.mkString(", ")})
+        USING $fmt
+        PARTITIONED BY (${partitionCols.map(p => s"`$p`").mkString(", ")})
+        LOCATION '$path'""")
+    }
+    if (!spark.catalog.tableExists(name)) create()
+    else {
+      val current = spark.table(name).schema.fields
+        .filterNot(f => partitionCols.contains(f.name))
+        .map(f => (f.name.toLowerCase, f.dataType)).toMap
+      val added = dataCols.filterNot(f => current.contains(f.name.toLowerCase))
+      val compatible = current.size + added.length == dataCols.length &&
+        dataCols.forall(f => current.get(f.name.toLowerCase)
+          .forall(_ == f.dataType))
+      if (compatible) {
+        if (added.nonEmpty)
+          spark.sql(s"ALTER TABLE `$name` ADD COLUMNS (" +
+            added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        create()
+      }
+    }
     spark.sql(s"MSCK REPAIR TABLE `$name`")
   }
 

@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
 class TopKAgg(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  // buffers are kept sorted (score desc, id asc) and capped at k
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // buffers are kept sorted (score desc, id asc) and capped at k.
+  // Double.compare (not >) so degenerate scores order exactly like
+  // Spark's DESC sort: NaN sorts as the largest value, -0.0 < 0.0.
+  // Null scores cannot reach the aggregator (non-nullable input
+  // encoder); topKPerQuery filters them out up front.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
@@ -56,11 +62,17 @@ object TopKAgg {
 
   /** Top-k per `queryCol` from (idCol, scoreCol) rows. Output columns:
     * (queryCol, neighbor_id, cosine, rank) — identical rows and ranks to
-    * the `row_number` window form, produced without a per-query sort. */
+    * the `row_number` window form over non-null, non-NaN scores. Null/NaN
+    * scores (a zero-norm vector makes Spark's divide return null, and
+    * 0/0 arithmetic can surface NaN) are dropped up front: null would
+    * fail the non-nullable input encoder, and a NaN "similarity" ranking
+    * above every real score is never the ANN answer a caller wants. */
   def topKPerQuery(scored: DataFrame, queryCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val agg = udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    scored.groupBy(col(queryCol))
+    scored
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+      .groupBy(col(queryCol))
       .agg(agg(col(idCol), col(scoreCol)).as("top"))
       .select(col(queryCol), posexplode(col("top")).as(Seq("p", "e")))
       .select(col(queryCol), col("e._2").as("neighbor_id"),

@@ -31,10 +31,17 @@ import graft.model.CheckRegistry
 object TaQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Fixed dump location for the oracle's copy of the flagship check table
-    * (inside the repo tree; overwritten per session, identical content —
-    * the stub corpus is deterministic). */
-  val oracleDumpPath = "/root/repo/tmp/q35_check_qch7dwoux1"
+  /** Dump location for the oracle's copy of the flagship check table
+    * (overwritten per session, identical content — the stub corpus is
+    * deterministic). Configurable via GRAFT_Q35_DUMP (env) or
+    * graft.q35.dump (system property); defaults under java.io.tmpdir so
+    * the query never writes into the source checkout and works from any
+    * checkout location. The oracle SQL below interpolates the same value,
+    * so Spark dump and DuckDB read always agree within a run. */
+  val oracleDumpPath: String =
+    sys.env.get("GRAFT_Q35_DUMP")
+      .orElse(sys.props.get("graft.q35.dump"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_q35_check_qch7dwoux1")
 
   private val builtLake = new ConcurrentHashMap[SparkSession, String]()
 

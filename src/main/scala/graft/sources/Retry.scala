@@ -1,6 +1,7 @@
 package graft.sources
 
 import scala.annotation.tailrec
+import scala.util.control.NonFatal
 
 /** Driver-side retry with exponential backoff around per-partition API
   * fetches — the reference's Step Functions Retry blocks as a library
@@ -21,14 +22,29 @@ object Retry {
   /** States.ALL catch-all policy (template:1228-1233). */
   val statesAll: Policy = Policy(2, 1000, 2.0)
 
-  /** Run `body`, retrying on exceptions `isRetryable` accepts, sleeping
-    * `initialDelayMs * backoff^i` between attempts. `sleep` is injectable
-    * for tests. The last failure propagates unchanged. */
+  /** Throttle-shaped failures — the only class the template grants the
+    * long 6-attempt budget (template:1222). Matched on type name/message
+    * because the engine has no SDK dependency to share exception types
+    * with. */
+  def isThrottle(t: Throwable): Boolean = {
+    val s = t.getClass.getSimpleName + " " + String.valueOf(t.getMessage)
+    s.contains("TooManyRequests") || s.contains("Throttling") ||
+      s.contains("ThrottledException") || s.contains("Rate exceeded") ||
+      s.contains("429")
+  }
+
+  /** Run `body`, retrying on NonFatal exceptions `isRetryable` accepts,
+    * sleeping `initialDelayMs * backoff^i` between attempts. Fatal VM
+    * errors and interrupts (a task kill) always propagate immediately —
+    * they are never retried regardless of the predicate. `sleep` is
+    * injectable for tests. The last failure propagates unchanged. */
   def withBackoff[T](policy: Policy,
       isRetryable: Throwable => Boolean = _ => true,
       sleep: Long => Unit = Thread.sleep)(body: => T): T = {
     @tailrec def go(attempt: Int, delayMs: Long): T = {
-      val r = try Right(body) catch { case t: Throwable => Left(t) }
+      // NonFatal excludes InterruptedException, VirtualMachineError, etc. —
+      // those rethrow from here without touching the retry budget
+      val r = try Right(body) catch { case NonFatal(t) => Left(t) }
       r match {
         case Right(v) => v
         case Left(t) if attempt >= policy.attempts || !isRetryable(t) => throw t
@@ -38,5 +54,34 @@ object Retry {
       }
     }
     go(1, policy.initialDelayMs)
+  }
+
+  /** The template's retrier list as one wrapper: throttle errors draw from
+    * the 6-attempt TooManyRequests budget, every other NonFatal failure
+    * from the 2-attempt States.ALL budget — each with its own delay
+    * schedule, mirroring how Step Functions matches the FIRST applicable
+    * retrier per error (template:1218-1236). */
+  def withTemplateRetry[T](sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    var throttleAttempts = 0
+    var otherAttempts = 0
+    var throttleDelay = tooManyRequests.initialDelayMs
+    var otherDelay = statesAll.initialDelayMs
+    while (true) {
+      val r = try Right(body) catch { case NonFatal(t) => Left(t) }
+      r match {
+        case Right(v) => return v
+        case Left(t) if isThrottle(t) =>
+          throttleAttempts += 1
+          if (throttleAttempts >= tooManyRequests.attempts) throw t
+          sleep(throttleDelay)
+          throttleDelay = (throttleDelay * tooManyRequests.backoff).toLong
+        case Left(t) =>
+          otherAttempts += 1
+          if (otherAttempts >= statesAll.attempts) throw t
+          sleep(otherDelay)
+          otherDelay = (otherDelay * statesAll.backoff).toLong
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -113,7 +113,7 @@ private[sources] class TaReaderFactory(fields: Array[String])
           // the fetch only happens if the json column survived pruning;
           // throttled API responses back off in place (template:1218-1236)
           // instead of failing the whole partition read
-          case "json" => Retry.withBackoff(Retry.tooManyRequests)(
+          case "json" => Retry.withTemplateRetry()(
             TaFetchStub.fetch(p.accountId, p.checkId))
           case "Date" => p.date
           case "DateTime" => p.dateTime

@@ -137,6 +137,18 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("TopKAgg: degenerate scores — nulls and NaNs dropped, result well-defined") {
+    val scored = Seq(
+      (0L, 1L, Some(0.9)), (0L, 2L, Some(Double.NaN)), (0L, 3L, None),
+      (0L, 4L, Some(0.7)), (0L, 5L, Some(0.8)))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val top = TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    // NaN (id 2) and null (id 3) never outrank real similarities
+    assert(top.toSeq == Seq((1L, 0.9), (5L, 0.8)))
+  }
+
   test("ivf: fixed-k kmeans quantizer, centroid count independent of corpus size") {
     def corpus(n: Long) = (0L until n).map { i =>
       (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat / 7f), 0)

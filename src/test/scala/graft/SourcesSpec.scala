@@ -140,6 +140,35 @@ class SourcesSpec extends SparkSpec {
       }
     }
     assert(calls == 1)
+    // interrupts (task kill) are never swallowed into the retry budget,
+    // even under the permissive default predicate
+    calls = 0
+    intercept[InterruptedException] {
+      Retry.withBackoff(Retry.tooManyRequests, sleep = _ => ()) {
+        calls += 1; throw new InterruptedException("task killed")
+      }
+    }
+    assert(calls == 1)
+    Thread.interrupted() // clear the flag for the suite
+  }
+
+  test("template retry: throttle and catch-all draw from separate budgets") {
+    import graft.sources.Retry
+    // throttle-shaped failures get the 6-attempt budget
+    var calls = 0
+    val out = Retry.withTemplateRetry(sleep = _ => ()) {
+      calls += 1
+      if (calls < 5) throw new RuntimeException("TooManyRequestsException") else "ok"
+    }
+    assert(out == "ok" && calls == 5)
+    // non-throttle failures exhaust the 2-attempt States.ALL budget
+    calls = 0
+    intercept[IllegalStateException] {
+      Retry.withTemplateRetry(sleep = _ => ()) {
+        calls += 1; throw new IllegalStateException("auth failure")
+      }
+    }
+    assert(calls == 2)
   }
 
   test("error-log sink: failure rows land under Logs/<kind>/y/m/d") {
