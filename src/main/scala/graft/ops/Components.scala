@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair table — the clustering
+  * step that turns pairwise dedup output (minhashLshPairs,
+  * ngramJaccardPairs, embeddingNearDupBlocked) into duplicate GROUPS, so a
+  * pipeline can keep one canonical document per cluster instead of
+  * reasoning about overlapping pairs.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labeled with its own id; each round every node (1) takes the
+  * minimum label among itself and its neighbors, then (2) replaces its
+  * label with its label's label (pointer jumping — the shortcut step of
+  * Shiloach-Vishkin-style CC). Step 1 alone needs diameter rounds (a
+  * path-shaped duplicate chain — exactly what chained near-dups produce —
+  * makes that linear); step 2 halves the remaining pointer depth each
+  * round, so convergence is O(log diameter) rounds. Converged labels are
+  * the minimum id of each component — a deterministic canonical cluster
+  * id.
+  *
+  * Scale design (100 TB): each round is two shuffle joins (edges × labels
+  * and labels × labels, all keyed by id) plus one min-aggregation — no
+  * driver-side graph, no per-component state. The convergence probe is a
+  * count on the materialized next-labels relation — one cheap action per
+  * round, the same pattern GraphX/Pregel uses. Each round's labels are
+  * localCheckpoint'ed (eager): the round's plan references the previous
+  * labels FOUR times (twice in the neighbor-min union, twice in the
+  * pointer-jump self-join), so without lineage truncation the logical
+  * plan grows 4^round and Catalyst re-analysis — not execution — becomes
+  * the cost. On a cluster where executor loss matters, swap
+  * localCheckpoint for reliable `checkpoint` against the checkpoint dir;
+  * the loop shape is unchanged. The alternating large-star/small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond") additionally shrinks the EDGE set as it converges; worth it
+  * when edges outnumber nodes by enough that the per-round edge join
+  * dominates.
+  */
+object Components {
+
+  /** (doc_id, component_id) for every id appearing in `pairs`, where
+    * component_id is the minimum doc id of the connected component.
+    * Deterministic; only ids present in at least one pair are returned
+    * (isolated docs are their own trivial component by definition). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // undirected: propagate labels both ways. localCheckpoint (not just
+    // persist): edges and labels are re-referenced every round, and
+    // truncated lineage keeps each round's plan constant-size (see
+    // scaladoc).
+    val edges = e0.union(e0.select(col("dst"), col("src"))).localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      // eager localCheckpoint: the pointer-jump self-join reads hop on
+      // both sides — materialized once, not recomputed per side
+      val hop = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // pointer jump: follow the label one more step (labels are node ids,
+      // so every label resolves; coalesce is belt-and-braces for roots)
+      val next = hop.as("x")
+        .join(hop.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+          col("x.label") === col("y.lid"), "left")
+        .select(col("x.id"), coalesce(col("y.llabel"), col("x.label")).as("label"))
+        .localCheckpoint() // eager: materializes + truncates lineage
+      // labels only ever decrease, so "changed" is a strict-less count
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).count()
+      hop.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+      if (sys.props.contains("graft.cc.debug"))
+        println(s"CC round $iter changed=$changed")
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("label").as("component_id"))
+  }
+
+  /** Duplicate-cluster summary over a pair table: one row per component
+    * with its canonical (minimum) doc id and member count — the shape a
+    * keep-one-per-cluster dedup filter consumes. */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

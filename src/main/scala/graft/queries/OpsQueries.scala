@@ -29,6 +29,10 @@ object OpsQueries {
           when(col("doc_id") % 10 === 0, lit(hotText))
             .otherwise(col("text")).as("text")))
         .orderBy("doc_a", "doc_b")),
+    "q43_dedup_components" -> ((s, d) =>
+      Components.connectedComponents(
+        Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
     "q24_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "q25_dedup_embedding" -> ((s, d) =>
@@ -116,8 +120,9 @@ object OpsQueries {
   private val SHINGLES = SHINGLES_FROM("documents")
 
   /** MinHash+LSH CTE chain (band width 2, band-bucket cap 64) mirroring
-    * Dedup.minhashLshPairs over shingle source `src`. */
-  private def MINHASH_BODY(src: String) =
+    * Dedup.minhashLshPairs over shingle source `src`, ending with the
+    * verified `pairs` CTE. */
+  private def MINHASH_CHAIN(src: String) =
     s"""${SHINGLES_FROM(src)},
        sig AS (SELECT doc_id,
          ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}
@@ -132,7 +137,11 @@ object OpsQueries {
        cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
            AND l.doc_id < r.doc_id),
-       ${JACCARD_TAIL(0.6)}"""
+       ${JACCARD_PAIRS(0.6)}"""
+
+  private def MINHASH_BODY(src: String) =
+    s"""${MINHASH_CHAIN(src)}
+       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""
 
   /** The q38 hot-cluster rewrite: every 10th doc becomes one identical text
     * (a 500-doc duplicate cluster at sf0.1) — the adversarial dup-heavy
@@ -140,17 +149,22 @@ object OpsQueries {
   private[queries] val hotText =
     "the quick brown fox jumps over the lazy dog again and again"
 
-  private val JACCARD_TAIL = (tau: Double) =>
+  /** Verified near-dup pairs as a CTE (composable — q43 builds components
+    * on top of it). */
+  private val JACCARD_PAIRS = (tau: Double) =>
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-         JOIN sh b ON b.doc_id = c.doc_b AND a.m = b.m GROUP BY 1, 2)
-       SELECT i.doc_a, i.doc_b,
-         CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
-       FROM inter i JOIN sizes na ON i.doc_a = na.doc_id
-       JOIN sizes nb ON i.doc_b = nb.doc_id
-       WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= $tau
-       ORDER BY i.doc_a, i.doc_b"""
+         JOIN sh b ON b.doc_id = c.doc_b AND a.m = b.m GROUP BY 1, 2),
+       pairs AS (SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+         FROM inter i JOIN sizes na ON i.doc_a = na.doc_id
+         JOIN sizes nb ON i.doc_b = nb.doc_id
+         WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= $tau)"""
+
+  private val JACCARD_TAIL = (tau: Double) =>
+    s"""${JACCARD_PAIRS(tau)}
+       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""
 
   private def dotQ(a: String, b: String) = TextKit.ducksql.dotQ(a, b)
 
@@ -230,6 +244,17 @@ object OpsQueries {
          ${JACCARD_TAIL(0.5)}""",
     "q23_dedup_minhash" ->
       s"""WITH ${MINHASH_BODY("documents")}""",
+    // transitive closure over the verified near-dup pairs; component id =
+    // min doc id reachable (same labeling the Spark min-propagation
+    // converges to)
+    "q43_dedup_components" ->
+      s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS component_id
+         FROM r GROUP BY a ORDER BY doc_id""",
     "q38_dedup_hot_cluster" ->
       s"""WITH hotdocs AS (SELECT doc_id,
            CASE WHEN doc_id % 10 = 0 THEN '$hotText' ELSE text END AS text

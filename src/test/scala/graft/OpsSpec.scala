@@ -137,6 +137,19 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("connected components: min-label propagation over pair tables") {
+    // two chains and a triangle: {1,2,3,4} path, {10,11,12} cycle, {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Components.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val cl = Components.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 4L, 10L -> 3L, 20L -> 2L))
+  }
+
   test("TopKAgg: degenerate scores — nulls and NaNs dropped, result well-defined") {
     val scored = Seq(
       (0L, 1L, Some(0.9)), (0L, 2L, Some(Double.NaN)), (0L, 3L, None),

@@ -234,6 +234,39 @@ class TaPipelineSpec extends SparkSpec {
       "pruned scan read files outside the requested partition")
   }
 
+  test("compaction: fragmented partitions rewritten in place, data identical") {
+    import graft.lake.Compaction
+    val dir = Files.createTempDirectory("graft-compactlake").toString
+    val cfg = Pipeline.Config(dir, Seq(CheckRegistry.lowUtilEc2))
+    // three same-day ingest runs fragment day=15; one run on day=16 stays
+    // at its natural file count and must be left untouched
+    Pipeline.ingest(rawDf, None, cfg)
+    Pipeline.ingest(rawDf, None, cfg)
+    Pipeline.ingest(rawDf, None, cfg)
+    val day2 = rawDf
+      .withColumn("Date", lit("01-16-2024"))
+      .withColumn("DateTime", lit("2024-01-16 09:00:00"))
+    Pipeline.ingest(day2, None, cfg)
+    val tablePath = s"$dir/TA-Reports/cost_optimizing/check_qch7dwoux1"
+    val before = spark.read.parquet(tablePath)
+      .orderBy("accountid", "`instance id`", "day")
+      .collect().map(_.toString).toSeq
+    def nFiles(day: Int) =
+      new java.io.File(s"$tablePath/year=2024/month=1/day=$day")
+        .listFiles().count(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    assert(nFiles(15) == 3, "precondition: 3 appends -> 3 files")
+    val day16Before = nFiles(16)
+    val reports = Compaction.compactLake(spark, dir, maxFiles = 1)
+    assert(reports.map(_.partition).forall(_.contains("day=15")),
+      "only the fragmented partition is rewritten")
+    assert(nFiles(15) == 1 && day16Before == nFiles(16))
+    val after = spark.read.parquet(tablePath)
+      .orderBy("accountid", "`instance id`", "day")
+      .collect().map(_.toString).toSeq
+    assert(after == before, "compaction must not change table contents")
+  }
+
   // deliberately LAST: persistent registration drops same-named temp views
   test("persistent catalog: a second session sees tables and views") {
     val dir = Files.createTempDirectory("graft-perslake").toString
