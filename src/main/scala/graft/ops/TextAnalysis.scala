@@ -74,6 +74,51 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
         .as("bpe_ish_tokens"))
 
+  /** Vocabulary building: corpus-wide token statistics — term frequency
+    * (total occurrences) and document frequency — for the `topK` most
+    * frequent tokens (ties broken by token, deterministic). The explode +
+    * two-level aggregation is the canonical shape: the (doc, token)
+    * pre-aggregation gives map-side combining on the zipfian head ("the"
+    * never funnels raw rows to one reducer), and the final top-k is a
+    * TakeOrdered over the (small) distinct-token relation, not a global
+    * sort of the corpus. */
+  def vocabulary(docs: DataFrame, topK: Int = 500): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("token"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topK)
+
+  /** Deterministic per-language stratified sample: keep a document iff
+    * md5(doc_id) mod 100 falls under its language's percentage. Hash-based
+    * (not rand()) so the sample is reproducible across runs, engines and
+    * partitionings — the property a training-data pipeline needs for
+    * resumable/auditable subsampling. The rate table rides along as a
+    * broadcast-sized literal map; a narrow filter, no shuffle at all. */
+  def stratifiedSample(docs: DataFrame,
+      pctByLang: Map[String, Int] = Map("en" -> 10, "fr" -> 30, "es" -> 30,
+        "de" -> 50), defaultPct: Int = 20): DataFrame = {
+    val pct = pctByLang.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultPct): Column) { case ((l, p), acc) =>
+        when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+    docs.filter(md5Long(col("doc_id").cast(StringType)) % 100 < pct)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Text normalization for dedup/training: lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim — emitted as the
+    * normalized length + md5 (the downstream exact-dedup key) rather than
+    * re-shipping the body. Pure codegen'd string expressions. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col("doc_id"),
+      length(norm).as("n_chars_norm"), md5(norm).as("norm_hash"))
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

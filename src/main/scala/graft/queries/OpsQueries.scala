@@ -45,6 +45,12 @@ object OpsQueries {
       Similarity.lshTopK(emb(s, d)).orderBy("query_id", "rank")),
     "q36_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d)).orderBy("query_id", "rank")),
+    "q44_vocabulary" -> ((s, d) =>
+      TextAnalysis.vocabulary(docs(s, d))),
+    "q45_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
+    "q46_normalize" -> ((s, d) =>
+      TextAnalysis.normalize(docs(s, d)).orderBy("doc_id")),
     "q28_langid" -> ((s, d) =>
       TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "q29_quality" -> ((s, d) =>
@@ -332,6 +338,26 @@ object OpsQueries {
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "q36_ann_ivf" -> IVF_ORACLE,
+    "q44_vocabulary" ->
+      """SELECT token, tf, df FROM (
+         SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM (
+           SELECT doc_id, token, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS token
+             FROM documents)
+           GROUP BY doc_id, token)
+         GROUP BY token)
+         ORDER BY tf DESC, token LIMIT 500""",
+    "q45_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         WHERE ${TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")} % 100 <
+           CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 10
+             WHEN lang = 'es' THEN 30 WHEN lang = 'fr' THEN 30 ELSE 20 END
+         ORDER BY doc_id""",
+    "q46_normalize" ->
+      """SELECT doc_id, length(n) AS n_chars_norm, md5(n) AS norm_hash FROM (
+         SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+         FROM documents) ORDER BY doc_id""",
     "q28_langid" -> {
       val langs = TextAnalysis.stopwords.keys.toSeq.sorted
       def inList(l: String) =

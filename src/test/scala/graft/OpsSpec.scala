@@ -265,6 +265,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary/sample/normalize: deterministic curation ops") {
+    val v = TextAnalysis.vocabulary(docs, topK = 3).collect()
+    assert(v.length == 3)
+    // "the": 2x in docs 0-1, 1x in doc 2 -> tf 5, df 3; top slot
+    assert(v.head.getAs[String]("token") == "the" &&
+      v.head.getAs[Long]("tf") == 5L && v.head.getAs[Long]("df") == 3L)
+    // hash sampling is a pure function of doc_id + rates: repeated runs agree
+    val s1 = TextAnalysis.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // 100% rate keeps everything; 0% keeps nothing
+    assert(TextAnalysis.stratifiedSample(docs, Map.empty, defaultPct = 100)
+      .count() == 4)
+    assert(TextAnalysis.stratifiedSample(docs, Map.empty, defaultPct = 0)
+      .count() == 0)
+    val n = TextAnalysis.normalize(
+      Seq((0L, "  Hello,   WORLD!2  ")).toDF("doc_id", "text")).collect().head
+    assert(n.getAs[Int]("n_chars_norm") == 12) // "hello world2"
+  }
+
   test("langid/quality/fingerprint shapes and determinism") {
     val l = TextAnalysis.langId(docs).collect()
     assert(l.length == 4)
