@@ -51,6 +51,56 @@ class PlanSpec extends SparkSpec {
       p06.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed tables co-locate the join: no exchange") {
+    // the 100 TB shape for a repeated big-big equi-join: bucket + sort both
+    // sides by the key once at write time, and every later join runs
+    // shuffle-free and sort-free. 8 buckets here stand in for thousands.
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val items = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    // repartition by the key first: one file per bucket, which is what
+    // lets the scan's sortBy metadata ELIDE the join sort (Spark re-sorts
+    // multi-file buckets)
+    orders.repartition(8, col("o_orderkey"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite")
+      .saveAsTable("orders_bucketed")
+    items.repartition(8, col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite")
+      .saveAsTable("lineitem_bucketed")
+    // at this toy scale the planner would rightly broadcast instead (and
+    // skip bucketed reads); disable broadcast so the test exercises the
+    // big-big path the buckets exist for
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("lineitem_bucketed"),
+          col("o_orderkey") === col("l_orderkey"))
+      val p = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+      // the property the buckets buy: NO shuffle of either side — at
+      // 100 TB the Exchange IS the cost of a big-big join. (Spark 4 still
+      // inserts defensive local Sorts under the SMJ; they are per-bucket
+      // in-memory sorts, not the data movement the buckets eliminate.)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"scan must read bucket metadata:\n$p")
+      assert(joined.count() ==
+        items.join(orders, col("o_orderkey") === col("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
