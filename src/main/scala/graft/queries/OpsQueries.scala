@@ -33,6 +33,22 @@ object OpsQueries {
       Components.connectedComponents(
         Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
+    // the end product of exact dedup: the REJECTED rows (non-canonical
+    // duplicates), via anti-join against the canonical-id set — at scale a
+    // narrow shuffle on doc_id (or broadcast when the dup set is small).
+    // The corpus has no natural byte-identical dupes, so every 7th doc is
+    // rewritten to one fixed text (the q38 pattern) to make the check
+    // non-trivial.
+    "q47_dedup_rejects" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(hotText)).otherwise(col("text"))
+          .as("text"),
+        col("lang"), col("source"))
+      d0.join(Dedup.exact(d0).select(col("canonical_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
     "q24_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d)).orderBy("doc_id")),
     "q25_dedup_embedding" -> ((s, d) =>
@@ -338,6 +354,13 @@ object OpsQueries {
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "q36_ann_ivf" -> IVF_ORACLE,
+    "q47_dedup_rejects" ->
+      s"""WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '$hotText' ELSE text END AS text,
+           lang, source FROM documents)
+         SELECT doc_id, lang, source FROM d
+         WHERE doc_id NOT IN (SELECT min(doc_id) FROM d GROUP BY md5(text))
+         ORDER BY doc_id""",
     "q44_vocabulary" ->
       """SELECT token, tf, df FROM (
          SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM (
