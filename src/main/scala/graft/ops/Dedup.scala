@@ -93,17 +93,20 @@ object Dedup {
   /** Group members per key with the hot-bucket guard applied in a SINGLE
     * bounded aggregation: each group keeps its up-to-(maxBucket+1) smallest
     * distinct ids (BoundedMinSet — bounded executor memory even for a
-    * 10^9-member bucket), then groups that overflowed maxBucket or have a
-    * single member are dropped. Kept groups hold their EXACT membership.
-    * Dropping over-cap groups is what makes bucketed pair generation
-    * survive adversarial (dup-heavy) data at 100 TB: the dropped pairs are
-    * near-always exact duplicates or degenerate shingles — exact dedup
-    * upstream is the operator for those. */
+    * 10^9-member bucket), then groups that overflowed maxBucket are
+    * dropped (and, for within-corpus pair generation, so are singleton
+    * groups — `minSize` = 1 keeps them for cross-corpus probing, where a
+    * lone corpus doc can still pair with an incoming doc). Kept groups
+    * hold their EXACT membership. Dropping over-cap groups is what makes
+    * bucketed pair generation survive adversarial (dup-heavy) data at
+    * 100 TB: the dropped pairs are near-always exact duplicates or
+    * degenerate shingles — exact dedup upstream is the operator for
+    * those. */
   private def boundedBuckets(df: DataFrame, keys: Seq[String], id: String,
-      maxBucket: Int): DataFrame =
+      maxBucket: Int, minSize: Int = 2): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(BoundedMinSet(maxBucket + 1, col(id)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")).between(minSize, maxBucket))
 
   /** Ordered id pairs from a bucketed `ids` array column: a two-step
     * explode (position, then the tail slice) so per-row memory is O(cap),
@@ -122,19 +125,25 @@ object Dedup {
     * bucket candidates within bands (band-buckets hotter than `maxBucket`
     * are dropped — see boundedBuckets), then verify true bigram Jaccard
     * (over shingle hashes) >= tau. Returns (doc_a, doc_b, jaccard). */
-  def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
-      numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
-    val shm = tracked(shingleHashes(docs))
+  /** (doc_id, band, key) LSH band rows from a shingle-hash relation: the
+    * signature banded with rows-per-band=2 and the band key folded into
+    * ONE integer (h_{2b}*P + h_{2b+1} < 2^62) — integer shuffle/compare
+    * keys instead of concatenated strings. */
+  private def bandedOf(shm: DataFrame, numHashes: Int): DataFrame = {
     val sig = minhashSignaturesOf(shm, numHashes)
     val bands = numHashes / 2
-    // band key as ONE integer: h_{2b}*P + h_{2b+1} < 2^62 — integer
-    // shuffle/compare keys instead of concatenated strings
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           (col(s"h${2 * b}") * lit(P) + col(s"h${2 * b + 1}")).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
+      numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
+    val shm = tracked(shingleHashes(docs))
+    val banded = bandedOf(shm, numHashes)
     // persisted: read twice (pair explode + the candidate-doc id set)
     val buckets = tracked(
       boundedBuckets(banded, Seq("band", "key"), "doc_id", maxBucket))
@@ -142,6 +151,40 @@ object Dedup {
     val cand = pairsFromBuckets(buckets).distinct()
     val candDocs = buckets.select(explode(col("ids")).as("doc_id"))
     verifyJaccard(shm, cand, tau, candDocs)
+  }
+
+  /** Incremental (cross-corpus) near-dup: pairs (doc_a in `corpus`,
+    * doc_b in `fresh`) whose bigram Jaccard >= tau — the admission check a
+    * training pipeline runs on each incoming batch against the already-
+    * ingested corpus, without re-pairing the corpus against itself.
+    * Doc ids must be disjoint across the two inputs.
+    *
+    * Scale shape: the corpus side is banded and hot-bucket-capped once (in
+    * production those band rows are precomputed and stored with the
+    * corpus; here they derive from the corpus input), then candidates come
+    * from an equi-join of the incoming batch's band rows against the
+    * capped corpus buckets — work proportional to the BATCH, not the
+    * corpus. Corpus-corpus and fresh-fresh pairs are never generated.
+    * Singleton corpus buckets are kept (minSize = 1): a lone corpus doc
+    * can still match an incoming doc. */
+  def minhashLshPairsAgainst(corpus: DataFrame, fresh: DataFrame,
+      tau: Double = 0.6, numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
+    val shmC = tracked(shingleHashes(corpus))
+    val shmF = tracked(shingleHashes(fresh))
+    val buckets = boundedBuckets(bandedOf(shmC, numHashes),
+      Seq("band", "key"), "doc_id", maxBucket, minSize = 1)
+    // a pair can share several band-buckets -> distinct; persisted because
+    // both the verify join and the candidate-doc sets read it
+    val cand = tracked(buckets
+      .join(bandedOf(shmF, numHashes)
+        .select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .select(explode(col("ids")).as("doc_a"), col("doc_b"))
+      .distinct())
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b")))
+    // ids are disjoint, so one unioned shingle relation serves both sides
+    verifyJaccard(shmC.union(shmF), cand, tau, candDocs)
   }
 
   /** True bigram-shingle Jaccard (over 60-bit shingle hashes — collisions

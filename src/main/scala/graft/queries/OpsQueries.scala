@@ -33,6 +33,15 @@ object OpsQueries {
       Components.connectedComponents(
         Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
+    // incremental dedup: every 10th doc plays the incoming batch, the
+    // rest the ingested corpus; cross-side near-dups only
+    "q48_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.minhashLshPairsAgainst(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_a", "doc_b")
+    }),
     // the end product of exact dedup: the REJECTED rows (non-canonical
     // duplicates), via anti-join against the canonical-id set — at scale a
     // narrow shuffle on doc_id (or broadcast when the dup set is small).
@@ -141,17 +150,22 @@ object OpsQueries {
 
   private val SHINGLES = SHINGLES_FROM("documents")
 
-  /** MinHash+LSH CTE chain (band width 2, band-bucket cap 64) mirroring
-    * Dedup.minhashLshPairs over shingle source `src`, ending with the
-    * verified `pairs` CTE. */
-  private def MINHASH_CHAIN(src: String) =
+  /** Shingle hashes + signatures + band rows over `src` — the shared
+    * prefix of the within-corpus and cross-corpus minhash chains. */
+  private def SIG_BANDS(src: String) =
     s"""${SHINGLES_FROM(src)},
        sig AS (SELECT doc_id,
          ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}
          FROM sh GROUP BY doc_id),
        banded0 AS (${(0 until 4).map(b =>
            s"SELECT doc_id, $b AS band, h${2*b} * ${Dedup.P} + h${2*b+1} AS key FROM sig")
-         .mkString(" UNION ALL ")}),
+         .mkString(" UNION ALL ")})"""
+
+  /** MinHash+LSH CTE chain (band width 2, band-bucket cap 64) mirroring
+    * Dedup.minhashLshPairs over shingle source `src`, ending with the
+    * verified `pairs` CTE. */
+  private def MINHASH_CHAIN(src: String) =
+    s"""${SIG_BANDS(src)},
        ok AS (SELECT band, key FROM banded0 GROUP BY band, key
          HAVING count(*) <= 64),
        banded AS (SELECT banded0.* FROM banded0 JOIN ok
@@ -354,6 +368,22 @@ object OpsQueries {
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "q36_ann_ivf" -> IVF_ORACLE,
+    // cross-corpus: band over ALL docs (a doc's signature depends only on
+    // its own shingles), split sides by doc_id % 10, cap CORPUS buckets
+    // only (singletons kept - a lone corpus doc can match an incoming
+    // doc), candidates = corpus x fresh within a shared (band, key)
+    "q48_dedup_incremental" ->
+      s"""WITH ${SIG_BANDS("documents")},
+         bc AS (SELECT * FROM banded0 WHERE doc_id % 10 != 0),
+         bf AS (SELECT * FROM banded0 WHERE doc_id % 10 = 0),
+         ok AS (SELECT band, key FROM bc GROUP BY band, key
+           HAVING count(*) <= 64),
+         bck AS (SELECT bc.* FROM bc JOIN ok
+           ON bc.band = ok.band AND bc.key = ok.key),
+         cand AS (SELECT DISTINCT bck.doc_id AS doc_a, bf.doc_id AS doc_b
+           FROM bck JOIN bf ON bck.band = bf.band AND bck.key = bf.key),
+         ${JACCARD_PAIRS(0.6)}
+         SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
     "q47_dedup_rejects" ->
       s"""WITH d AS (SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 THEN '$hotText' ELSE text END AS text,

@@ -137,6 +137,23 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("incremental dedup: cross-side pairs only, exact jaccard") {
+    // corpus has its own duplicate pair (0,1) which must NOT appear;
+    // fresh doc 100 duplicates corpus text, 101 shares nothing
+    val corpus = docs
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en", "s9", 43L),
+      (101L, "unrelated fresh content with novel words", "en", "s9", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.minhashLshPairsAgainst(corpus, fresh, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 100L)) && pairs((0L, 100L)) == 1.0)
+    assert(pairs.contains((1L, 100L)) && pairs((1L, 100L)) == 1.0)
+    // every pair is (corpus, fresh): no corpus-corpus, no fresh-fresh
+    assert(pairs.keys.forall { case (a, b) => a < 100L && b >= 100L })
+    assert(!pairs.keys.exists(_._2 == 101L))
+  }
+
   test("connected components: min-label propagation over pair tables") {
     // two chains and a triangle: {1,2,3,4} path, {10,11,12} cycle, {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
