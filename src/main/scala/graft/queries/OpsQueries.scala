@@ -33,6 +33,24 @@ object OpsQueries {
       Components.connectedComponents(
         Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
+    // the MinHashAgg typed-Aggregator extension point, oracle-gated: fold
+    // per-shingle k-slot hash arrays with element-wise min (map-side
+    // combinable) and unpack the signature to columns
+    "q49_minhash_udaf" -> ((s, d) => {
+      import s.implicits._
+      val k = 8
+      val perShingle = Dedup.shingleHashes(docs(s, d))
+        .select(col("doc_id"),
+          array((0 until k).map(j => Dedup.slotHash(col("m"), j)): _*)
+            .as("hs"))
+      perShingle.as[(Long, Array[Long])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(MinHashAgg.column(k).name("sig"))
+        .select(col("key").as("doc_id") +:
+          (0 until k).map(j => col("sig").getItem(j).as(s"h$j")): _*)
+        .orderBy("doc_id")
+    }),
     // incremental dedup: every 10th doc plays the incoming batch, the
     // rest the ingested corpus; cross-side near-dups only
     "q48_dedup_incremental" -> ((s, d) => {
@@ -368,6 +386,11 @@ object OpsQueries {
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "q36_ann_ivf" -> IVF_ORACLE,
+    "q49_minhash_udaf" ->
+      s"""WITH $SHINGLES
+         SELECT doc_id,
+           ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}
+         FROM sh GROUP BY doc_id ORDER BY doc_id""",
     // cross-corpus: band over ALL docs (a doc's signature depends only on
     // its own shingles), split sides by doc_id % 10, cap CORPUS buckets
     // only (singletons kept - a lone corpus doc can match an incoming
