@@ -81,6 +81,11 @@ object Components {
         println(s"CC round $iter changed=$changed")
     }
     edges.unpersist(blocking = false)
+    // with pointer jumping, maxIters=50 covers diameters up to ~2^50 —
+    // hitting it means something is wrong; wrong labels must not be
+    // returned silently
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
   }
 

@@ -38,7 +38,9 @@ class PlanSpec extends SparkSpec {
       "q08_schema_projection", "q09_status_filter", "q12_allowlist_filter",
       "q16_summary", "q18_topk", "q19_join_agg", "q20_set_ops",
       "q21_dedup_exact", "q22_dedup_ngram", "q23_dedup_minhash",
-      "q24_dedup_simhash", "q31_fingerprint")
+      "q24_dedup_simhash", "q31_fingerprint", "q44_vocabulary",
+      "q45_stratified_sample", "q46_normalize", "q47_dedup_rejects",
+      "q48_dedup_incremental", "q49_minhash_udaf")
     equiJoinQueries.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
