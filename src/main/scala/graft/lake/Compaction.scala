@@ -35,7 +35,10 @@ object Compaction {
   /** Leaf partition directories (year=.../month=.../day=...) under `root`. */
   private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
     def walk(dir: Path): Seq[Path] = {
-      val children = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      // skip hidden dirs: a crashed compaction's ._compacting/._retired
+      // leftovers must never be taken for partitions
+      val children = fs.listStatus(dir).filter(_.isDirectory)
+        .map(_.getPath).filter(p => isDataFile(p))
       if (children.isEmpty) Seq(dir)
       else children.toIndexedSeq.flatMap(walk)
     }
@@ -58,8 +61,11 @@ object Compaction {
       else {
         val bytes = files.map(fs.getFileStatus(_).getLen).sum
         val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        val staged = new Path(dir.getParent, dir.getName + ".compacting")
-        val retired = new Path(dir.getParent, dir.getName + ".retired")
+        // dot-prefixed: Spark's file index and our own partition walk both
+        // ignore hidden dirs, so a crash mid-swap can't surface staged or
+        // retired files as a bogus day=... partition
+        val staged = new Path(dir.getParent, "." + dir.getName + ".compacting")
+        val retired = new Path(dir.getParent, "." + dir.getName + ".retired")
         fs.delete(staged, true); fs.delete(retired, true)
         // rewrite the partition's rows only — no partition columns in a
         // leaf dir, so the files drop back in place schema-identically
