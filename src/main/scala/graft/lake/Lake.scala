@@ -170,7 +170,19 @@ object Lake {
         .filterNot(f => partitionCols.contains(f.name))
         .map(f => (f.name.toLowerCase, f.dataType)).toMap
       val added = dataCols.filterNot(f => current.contains(f.name.toLowerCase))
-      val compatible = current.size + added.length == dataCols.length &&
+      // an existing table must also still point at THIS lake path — a
+      // schema-compatible table over a different (old/moved) location
+      // would silently serve stale data if only MSCK'd
+      val sameLocation = {
+        val loc = org.apache.spark.sql.graftbridge.GraftBridge
+          .tableLocation(spark, name)
+        val want = new org.apache.hadoop.fs.Path(path)
+        new org.apache.hadoop.fs.Path(loc) ==
+          want.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(want)
+      }
+      val compatible = sameLocation &&
+        current.size + added.length == dataCols.length &&
         dataCols.forall(f => current.get(f.name.toLowerCase)
           .forall(_ == f.dataType))
       if (compatible) {

@@ -25,19 +25,35 @@ import org.apache.spark.sql.functions._
   * driver-side graph, no per-component state. The convergence probe is a
   * count on the materialized next-labels relation — one cheap action per
   * round, the same pattern GraphX/Pregel uses. Each round's labels are
-  * localCheckpoint'ed (eager): the round's plan references the previous
-  * labels FOUR times (twice in the neighbor-min union, twice in the
-  * pointer-jump self-join), so without lineage truncation the logical
-  * plan grows 4^round and Catalyst re-analysis — not execution — becomes
-  * the cost. On a cluster where executor loss matters, swap
-  * localCheckpoint for reliable `checkpoint` against the checkpoint dir;
-  * the loop shape is unchanged. The alternating large-star/small-star
-  * algorithm (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond") additionally shrinks the EDGE set as it converges; worth it
-  * when edges outnumber nodes by enough that the per-round edge join
-  * dominates.
+  * lineage-TRUNCATED (a cached LogicalRDD over the round's InternalRow
+  * RDD): the round's plan references the previous labels FOUR times
+  * (twice in the neighbor-min union, twice in the pointer-jump
+  * self-join), so without truncation the logical plan grows 4^round and
+  * Catalyst re-analysis — not execution — becomes the cost (observed:
+  * 45 s for a 477-node graph, 3 s truncated). Truncation goes through
+  * the CacheManager (not localCheckpoint, whose blocks Dataset.unpersist
+  * cannot release), so each round frees the previous round's storage and
+  * peak memory stays at two label generations + the edge set. The
+  * alternating large-star/small-star algorithm (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond") additionally shrinks
+  * the EDGE set as it converges; worth it when edges outnumber nodes by
+  * enough that the per-round edge join dominates.
   */
 object Components {
+
+  /** Constant-size cached plan over `df`'s result: a LogicalRDD wrapping
+    * the executed plan's InternalRow RDD, persisted through the
+    * CacheManager so unpersist() actually frees the blocks (the
+    * localCheckpoint alternative truncates lineage too, but its blocks
+    * live outside the CacheManager and Dataset.unpersist can't release
+    * them). Lazy: the first action on the returned frame materializes
+    * the cache; a cache miss (executor loss) recomputes through the
+    * wrapped RDD's own lineage. */
+  private def truncated(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.GraftBridge
+      .internalCreateDataFrame(df.sparkSession, df.queryExecution.toRdd,
+        df.schema)
+      .persist()
 
   /** (doc_id, component_id) for every id appearing in `pairs`, where
     * component_id is the minimum doc id of the connected component.
@@ -46,31 +62,29 @@ object Components {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
     val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    // undirected: propagate labels both ways. localCheckpoint (not just
-    // persist): edges and labels are re-referenced every round, and
-    // truncated lineage keeps each round's plan constant-size (see
-    // scaladoc).
-    val edges = e0.union(e0.select(col("dst"), col("src"))).localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // undirected: propagate labels both ways. Truncated + cached: edges
+    // and labels are re-referenced every round, and constant-size plans
+    // keep Catalyst re-analysis out of the per-round cost (see scaladoc).
+    val edges = truncated(e0.union(e0.select(col("dst"), col("src"))))
+    var labels = truncated(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      // eager localCheckpoint: the pointer-jump self-join reads hop on
-      // both sides — materialized once, not recomputed per side
-      val hop = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      // truncated + cached: the pointer-jump self-join reads hop on both
+      // sides — materialized once, not recomputed per side
+      val hop = truncated(labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       // pointer jump: follow the label one more step (labels are node ids,
       // so every label resolves; coalesce is belt-and-braces for roots)
-      val next = hop.as("x")
+      val next = truncated(hop.as("x")
         .join(hop.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
           col("x.label") === col("y.lid"), "left")
-        .select(col("x.id"), coalesce(col("y.llabel"), col("x.label")).as("label"))
-        .localCheckpoint() // eager: materializes + truncates lineage
-      // labels only ever decrease, so "changed" is a strict-less count
+        .select(col("x.id"), coalesce(col("y.llabel"), col("x.label")).as("label")))
+      // labels only ever decrease, so "changed" is a strict-less count;
+      // this action materializes hop's and next's caches
       changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).count()
       hop.unpersist(blocking = false)

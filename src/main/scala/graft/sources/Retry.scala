@@ -26,11 +26,14 @@ object Retry {
     * long 6-attempt budget (template:1222). Matched on type name/message
     * because the engine has no SDK dependency to share exception types
     * with. */
+  private val status429 = "(^|\\D)429(\\D|$)".r
   def isThrottle(t: Throwable): Boolean = {
     val s = t.getClass.getSimpleName + " " + String.valueOf(t.getMessage)
     s.contains("TooManyRequests") || s.contains("Throttling") ||
       s.contains("ThrottledException") || s.contains("Rate exceeded") ||
-      s.contains("429")
+      // standalone 429 only — "4290"/"offset 14295" must not draw the
+      // 6-attempt budget for a deterministic failure
+      status429.findFirstIn(s).isDefined
   }
 
   /** Run `body`, retrying on NonFatal exceptions `isRetryable` accepts,

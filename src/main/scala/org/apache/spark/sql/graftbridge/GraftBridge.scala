@@ -20,4 +20,25 @@ object GraftBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Storage location URI of a catalog table (sessionState is
+    * private[sql]). */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+      name: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .location
+
+  /** DataFrame over an InternalRow RDD (spark.internalCreateDataFrame is
+    * private[sql]). Used to truncate iterative-algorithm lineage while
+    * keeping the result inside the CacheManager (unlike localCheckpoint,
+    * whose blocks Dataset.unpersist cannot release): the wrapped plan is a
+    * constant-size LogicalRDD, persist()/unpersist() work normally, and no
+    * InternalRow<->Row conversion is paid. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -169,6 +169,11 @@ class SourcesSpec extends SparkSpec {
       }
     }
     assert(calls == 2)
+    // classification: standalone 429 is throttle; digits merely containing
+    // 429 are not
+    assert(Retry.isThrottle(new RuntimeException("HTTP 429 from api")))
+    assert(!Retry.isThrottle(new RuntimeException("parse error at offset 4290")))
+    assert(!Retry.isThrottle(new RuntimeException("row 14293 malformed")))
   }
 
   test("error-log sink: failure rows land under Logs/<kind>/y/m/d") {

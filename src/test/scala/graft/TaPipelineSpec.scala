@@ -265,6 +265,23 @@ class TaPipelineSpec extends SparkSpec {
       .orderBy("accountid", "`instance id`", "day")
       .collect().map(_.toString).toSeq
     assert(after == before, "compaction must not change table contents")
+    // crash recovery: simulate a run that died between the two swap
+    // renames — the partition exists only as the hidden .retired dir; the
+    // next compaction pass must restore it, not lose it
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(
+      s"$tablePath/year=2024/month=1/day=15")
+    val retired = new org.apache.hadoop.fs.Path(
+      s"$tablePath/year=2024/month=1/.day=15.retired")
+    assert(fs.rename(live, retired))
+    Compaction.compactLake(spark, dir, maxFiles = 1)
+    assert(fs.exists(live) && !fs.exists(retired),
+      "interrupted swap must be restored")
+    val restored = spark.read.parquet(tablePath)
+      .orderBy("accountid", "`instance id`", "day")
+      .collect().map(_.toString).toSeq
+    assert(restored == before, "recovered partition must hold its data")
   }
 
   // deliberately LAST: persistent registration drops same-named temp views
