@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): each round is two shuffle joins (edges × labels
   * and labels × labels, all keyed by id) plus one min-aggregation — no
-  * driver-side graph, no per-component state. The convergence probe is a
-  * count on the materialized next-labels relation — one cheap action per
-  * round, the same pattern GraphX/Pregel uses. Each round's labels are
+  * driver-side graph, no per-component state. The convergence probe
+  * exploits monotonicity: labels only ever DECREASE (each step takes a
+  * min over a set containing the current label), so the rounds converged
+  * exactly when sum(label) stops falling — ONE map-side-combinable
+  * aggregate per round (decimal(38,0) sums stay exact at any id range),
+  * replacing the earlier next⋈prev join probe. Each round's labels are
   * lineage-TRUNCATED (a cached LogicalRDD over the round's InternalRow
   * RDD): the round's plan references the previous labels FOUR times
   * (twice in the neighbor-min union, twice in the pointer-jump
@@ -68,9 +71,14 @@ object Components {
     val edges = truncated(e0.union(e0.select(col("dst"), col("src"))))
     var labels = truncated(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
+    // exact at any scale: 10^12 ids each up to 10^12 still fit decimal(38,0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels) // also materializes the initial caches
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
       // truncated + cached: the pointer-jump self-join reads hop on both
@@ -83,23 +91,30 @@ object Components {
         .join(hop.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
           col("x.label") === col("y.lid"), "left")
         .select(col("x.id"), coalesce(col("y.llabel"), col("x.label")).as("label")))
-      // labels only ever decrease, so "changed" is a strict-less count;
-      // this action materializes hop's and next's caches
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
+      // labels only ever decrease, so an unchanged sum means NO label
+      // moved — one aggregate action (which also materializes hop's and
+      // next's caches), no per-round probe join
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       hop.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
       if (sys.props.contains("graft.cc.debug"))
-        println(s"CC round $iter changed=$changed")
+        println(s"CC round $iter sum=$curSum")
     }
     edges.unpersist(blocking = false)
     // with pointer jumping, maxIters=50 covers diameters up to ~2^50 —
     // hitting it means something is wrong; wrong labels must not be
     // returned silently
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
+    // the returned frame reads the still-persisted labels cache (callers
+    // usually aggregate over it repeatedly); the CACHED frame itself is
+    // registered so TextKit.releaseCaches() frees it like every other
+    // ops-layer cache (a projection would not match the cache entry)
+    TextKit.register(labels)
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
   }
 

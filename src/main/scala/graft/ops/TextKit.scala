@@ -32,6 +32,15 @@ object TextKit {
     p
   }
 
+  /** Track an ALREADY-persisted relation (e.g. a frame returned to the
+    * caller still cached, like connectedComponents' final labels) so
+    * [[releaseCaches]] can free it — without this, long-lived sessions
+    * accumulate cached relations only a full clearCache() could release. */
+  private[ops] def register(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    persistedRelations.add(df)
+    df
+  }
+
   /** Unpersist every relation cached by prior ops calls. */
   def releaseCaches(): Unit = {
     persistedRelations.forEach(df => { df.unpersist(blocking = false); () })

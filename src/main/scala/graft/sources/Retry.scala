@@ -6,20 +6,26 @@ import scala.util.control.NonFatal
 /** Driver-side retry with exponential backoff around per-partition API
   * fetches — the reference's Step Functions Retry blocks as a library
   * (`deployment/aws-trusted-advisor-explorer.template:1218-1236`:
-  * TooManyRequests -> 6 attempts, 2 s interval, backoff x2;
-  * States.ALL -> 2 attempts). Spark task retries
+  * TooManyRequests -> MaxAttempts 6, 2 s interval, backoff x2;
+  * States.ALL -> MaxAttempts 2). Step Functions MaxAttempts counts
+  * RETRIES after the first failed execution, so the total execution
+  * budget is attempts + 1 (7 and 3) — mirrored here. Spark task retries
   * (`spark.task.maxFailures`) restart a whole partition read; this wraps
   * the individual HTTP call so a throttled Support/Tagging API response
   * backs off in place instead of failing the task.
   */
 object Retry {
 
+  /** `attempts` = the template's MaxAttempts: the number of RETRIES
+    * granted after the first failure, so total executions = attempts + 1. */
   final case class Policy(attempts: Int, initialDelayMs: Long, backoff: Double)
 
-  /** TooManyRequestsException policy (template:1222-1227). */
+  /** TooManyRequestsException policy (template:1222-1227): 6 retries,
+    * 7 total executions. */
   val tooManyRequests: Policy = Policy(6, 2000, 2.0)
 
-  /** States.ALL catch-all policy (template:1228-1233). */
+  /** States.ALL catch-all policy (template:1228-1233): 2 retries,
+    * 3 total executions. */
   val statesAll: Policy = Policy(2, 1000, 2.0)
 
   /** Throttle-shaped failures — the only class the template grants the
@@ -50,7 +56,8 @@ object Retry {
       val r = try Right(body) catch { case NonFatal(t) => Left(t) }
       r match {
         case Right(v) => v
-        case Left(t) if attempt >= policy.attempts || !isRetryable(t) => throw t
+        // attempt counts EXECUTIONS; MaxAttempts more may follow the first
+        case Left(t) if attempt > policy.attempts || !isRetryable(t) => throw t
         case Left(_) =>
           sleep(delayMs)
           go(attempt + 1, (delayMs * policy.backoff).toLong)
@@ -73,14 +80,16 @@ object Retry {
       val r = try Right(body) catch { case NonFatal(t) => Left(t) }
       r match {
         case Right(v) => return v
+        // >: a class's FIRST failure never consumes its retry budget —
+        // MaxAttempts counts retries, so budget N allows N+1 executions
         case Left(t) if isThrottle(t) =>
           throttleAttempts += 1
-          if (throttleAttempts >= tooManyRequests.attempts) throw t
+          if (throttleAttempts > tooManyRequests.attempts) throw t
           sleep(throttleDelay)
           throttleDelay = (throttleDelay * tooManyRequests.backoff).toLong
         case Left(t) =>
           otherAttempts += 1
-          if (otherAttempts >= statesAll.attempts) throw t
+          if (otherAttempts > statesAll.attempts) throw t
           sleep(otherDelay)
           otherDelay = (otherDelay * statesAll.backoff).toLong
       }

@@ -37,15 +37,17 @@ object StreamingOps {
     val name = "hourly_counts_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // A streaming aggregation allocates one state-store per shuffle
     // partition; at this state size (a few thousand windows) 32 stores are
-    // pure fixed overhead, so the stream runs with a handful and the
-    // session's batch setting is restored afterwards. On a real cluster
-    // this knob scales with state volume, not with cores.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    // pure fixed overhead, so the stream runs with a handful. The override
+    // lives in a CLONED session (same SparkContext/executors, isolated
+    // SQL conf), so concurrent queries on the caller's session never see
+    // it — mutating the shared conf raced them. On a real cluster this
+    // knob scales with state volume, not with cores.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    locally {
       // The streaming file source requires a directory: point it at the SF
       // dir and glob-filter to the events file.
-      val stream = spark.readStream.schema(eventsSchema)
+      val stream = ss.readStream.schema(eventsSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
         .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
@@ -75,11 +77,15 @@ object StreamingOps {
       }
       q.awaitTermination()
       sinkDir match {
+        // read back through the CALLER's session (plain batch reads), so
+        // the returned frame carries the caller's conf, not the clone's
         case Some(dir) =>
           spark.read.parquet(dir).orderBy("hour_start", "event_type")
-        case None => spark.table(name).orderBy("hour_start", "event_type")
+        // the memory sink registers its table in the session that started
+        // the stream — the clone
+        case None => ss.table(name).orderBy("hour_start", "event_type")
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   final case class Event(event_id: Long, ts: Long, user_id: Long,

@@ -123,14 +123,16 @@ class SourcesSpec extends SparkSpec {
     }
     assert(out == "ok" && calls == 3)
     assert(delays.toSeq == Seq(2000L, 4000L)) // 2 s interval, backoff x2
-    // exhausted attempts: the last failure propagates
+    // exhausted attempts: the last failure propagates. MaxAttempts counts
+    // retries AFTER the first failure (Step Functions semantics), so
+    // States.ALL's budget of 2 means 3 total executions.
     calls = 0
     val ex = intercept[RuntimeException] {
       Retry.withBackoff(Retry.statesAll, sleep = _ => ()) {
         calls += 1; throw new RuntimeException("down")
       }
     }
-    assert(ex.getMessage == "down" && calls == 2)
+    assert(ex.getMessage == "down" && calls == 3)
     // non-retryable errors fail immediately
     calls = 0
     intercept[java.io.IOException] {
@@ -161,14 +163,15 @@ class SourcesSpec extends SparkSpec {
       if (calls < 5) throw new RuntimeException("TooManyRequestsException") else "ok"
     }
     assert(out == "ok" && calls == 5)
-    // non-throttle failures exhaust the 2-attempt States.ALL budget
+    // non-throttle failures exhaust the States.ALL budget: MaxAttempts 2
+    // = 2 retries after the first failure = 3 executions
     calls = 0
     intercept[IllegalStateException] {
       Retry.withTemplateRetry(sleep = _ => ()) {
         calls += 1; throw new IllegalStateException("auth failure")
       }
     }
-    assert(calls == 2)
+    assert(calls == 3)
     // classification: standalone 429 is throttle; digits merely containing
     // 429 are not
     assert(Retry.isThrottle(new RuntimeException("HTTP 429 from api")))
