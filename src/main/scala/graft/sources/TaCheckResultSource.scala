@@ -133,17 +133,77 @@ private[sources] class TaReaderFactory(fields: Array[String])
   * by (account, check). A real deployment swaps this body for the
   * assume-role + `describe_trusted_advisor_check_result` HTTP call
   * (extract-ta-data-lambda.py:70-75,89-95); the partitioning, schema, and
-  * everything downstream stay identical. */
+  * everything downstream stay identical.
+  *
+  * Metadata is synthesized PER CHECK to match that check's positional
+  * `Schema_<id>` mapping (CheckRegistry / template:450-467), so every
+  * derived column of every Athena view parses real values: plain `$NN.CC`
+  * money where the views apply `substr(x,2)` + `replace('$')`
+  * (create-athena-views-lambda.py:90,98,107), QUOTED money (`"$NN.CC"`)
+  * for RDS's double-delete variant (`replace('$')` + `replace('"')`,
+  * :116), and an ISO-'T' timestamp for RI lease expiration's
+  * `replace(x,'T',' ')` parse (:133). The resource-id-ish cell every
+  * tag join key maps to keeps the `res-<account>-<i>` shape the tag
+  * source's stub ARNs carry. */
 object TaFetchStub {
   def fetch(accountId: String, checkId: String): String = {
     val seed = (accountId + checkId).hashCode & 0x7fffffff
     val flagged = seed % 5 + 1
+    def money(n: Long, cents: String) = "$" + (10 + n % 90) + "." + cents
+    // JSON-escaped embedded quotes: the metadata CELL VALUE is "$NN.75"
+    // (quotes included), the byte shape RDS's view strips
+    def quotedMoney(n: Long) = "\\\"" + money(n, "75") + "\\\""
+    def metadata(i: Int): Seq[String] = {
+      val rid = s"res-$accountId-$i"
+      checkId match {
+        // EC2 low utilization (Schema_Qch7DwouX1: status,region,0..21)
+        case "Qch7DwouX1" =>
+          Seq(s"az-$i", rid, s"name-$i", "t3.large", money(seed + i, "50")) ++
+            (1 to 14).map(d => s"$d.0%") ++
+            Seq(s"${(seed + i) % 10}.5%", "0.25%", s"${i + 3} days")
+        // EBS (0..8): Region,VolId,VolName,VolType,VolSize,MonthlyCost,...
+        case "DAvU99Dc4C" =>
+          Seq("us-east-1", rid, s"vol-name-$i", "gp3",
+            s"${100 + (seed + i) % 400}", money(seed + i, "25"),
+            s"snap-$i", s"snap-name-$i", s"${i + 30} days")
+        // idle LB (0..3): Region,LBName,Reason,Savings
+        case "hjLMh88uM8" =>
+          Seq("us-east-1", rid, "Low request count", money(seed + i, "50"))
+        // idle RDS (0..6): ...,SavingsOnDemand carries EMBEDDED QUOTES
+        case "Ti39halfu8" =>
+          Seq("us-east-1", rid, "No", "db.m5.large", s"${100 + i}",
+            s"${i + 7}", quotedMoney(seed + i))
+        // Redshift (0..5): Status,Region,Cluster,InstType,Reason,Savings
+        case "G31sQ1E9U" =>
+          Seq("warning", "us-east-1", rid, "dc2.large",
+            "Underutilized cluster", money(seed + i, "25"))
+        // RI lease expiration (0..9): money x2 + ISO-'T' expiration date
+        case "1e93e4c0b5" =>
+          Seq("warning", "us-east-1a", "m5.large", "Linux/UNIX", s"${i + 1}",
+            money(seed + i, "50"), money(seed + i + 1, "25"),
+            s"2024-0${i % 9 + 1}-15T0$i:30:00Z", s"ri-$accountId-$i",
+            "Lease expiring")
+        // Route 53 latency records (0..3)
+        case "51fC20e7I2" =>
+          Seq(rid, s"Z${seed % 900 + 100}$i", s"rrs-$i.example.com.", "A")
+        // unassociated EIP (0..1): Region,IP
+        case "Z4AUBRNSmz" =>
+          Seq("us-east-1", s"52.${(seed + i) % 200}.$i.7")
+        // RI optimization (0..11): defined but not in SupportedChecks
+        case "cX3c2R1chu" =>
+          Seq("us-east-1", "m5.large", "Linux/UNIX", s"${i + 1}", "0.85",
+            money(seed + i, "25"), money(seed + i + 2, "50"),
+            money(seed + i + 3, "75"), money(seed + i + 4, "25"),
+            "6", "30", "1")
+        // unknown check ids keep the generic EC2-ish shape
+        case _ =>
+          Seq(s"az-$i", rid, s"name-$i", "t3.large", money(seed + i, "50")) ++
+            (1 to 14).map(d => s"$d.0%") ++
+            Seq(s"${(seed + i) % 10}.5%", "0.25%", s"${i + 3} days")
+      }
+    }
     val resources = (0 until flagged).map { i =>
-      val meta = (Seq(s"az-$i", s"res-$accountId-$i", s"name-$i", "t3.large",
-        "$" + (10 + (seed + i) % 90) + ".50") ++
-        (1 to 14).map(d => s"$d.0%") ++
-        Seq(s"${(seed + i) % 10}.5%", "0.25%", s"${i + 3} days"))
-        .map(m => s""""$m"""").mkString("[", ",", "]")
+      val meta = metadata(i).map(m => s""""$m"""").mkString("[", ",", "]")
       s"""{"status":"warning","region":"us-east-1","resourceId":"r$i",
          "isSuppressed":false,"metadata":$meta}"""
     }.mkString(",")
