@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
   * readers never see a mix of old and new files; the brief absent-window
   * between renames matches the reference's own crawler-refresh semantics
   * (run it in the catalog-refresh maintenance slot, template:22-26).
+  *
+  * Concurrent APPENDERS (e.g. Pipeline.ingestStream) are safe: the
+  * rewrite consumes an explicit file list recorded in a manifest, and
+  * before the retired copy is deleted, any file that arrived after the
+  * read — and was therefore swept into the retired dir by the rename —
+  * is moved back into the live partition (see restoreStraysAndClean).
+  * Readers during the swap still see either all-old or all-new, never a
+  * mix.
   */
 object Compaction {
 
@@ -56,13 +64,63 @@ object Compaction {
     else Nil
   }
 
+  /** Name of the read-set manifest a compaction run plants inside the
+    * staged (then live) dir: one original data-file name per line. The
+    * `_` prefix keeps it invisible to Spark's file index and to
+    * [[isDataFile]]. It is the crash-safe record of exactly which files
+    * the rewrite consumed, so files a CONCURRENT WRITER appended after
+    * the read — which travel into the retired dir with the rename — can
+    * be told apart from compacted-away originals and moved back instead
+    * of deleted. */
+  private val ManifestName = "_graft_compaction_manifest"
+
+  private def readManifest(fs: FileSystem, dir: Path): Option[Set[String]] = {
+    val p = new Path(dir, ManifestName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet)
+      finally in.close()
+    }
+  }
+
+  private def writeManifest(fs: FileSystem, dir: Path,
+      names: Iterable[String]): Unit = {
+    val out = fs.create(new Path(dir, ManifestName), true)
+    try out.write(names.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Move every data file in `retired` that is NOT in the read manifest —
+    * a concurrent writer's append that rode along with the rename — back
+    * into the live dir, then drop retired + manifest. Without this, the
+    * final delete(retired) silently destroyed those appends. */
+  private def restoreStraysAndClean(fs: FileSystem, dir: Path,
+      retired: Path): Unit = {
+    readManifest(fs, dir).foreach { read =>
+      if (fs.exists(retired)) {
+        fs.listStatus(retired).map(_.getPath)
+          .filter(p => isDataFile(p) && !read.contains(p.getName))
+          .foreach { stray =>
+            val dest = new Path(dir, stray.getName)
+            require(!fs.exists(dest) && fs.rename(stray, dest),
+              s"compaction: cannot restore concurrent append $stray")
+          }
+      }
+      fs.delete(retired, true)
+      fs.delete(new Path(dir, ManifestName), false)
+    }
+  }
+
   /** Recover a partition from an interrupted previous compaction run.
-    * The swap sequence is: stage -> rename(dir, retired) ->
-    * rename(staged, dir) -> delete(retired). Each crash point leaves a
-    * distinguishable state: if the live dir exists, any leftover
-    * staged/retired dirs are incomplete/already-copied artifacts — delete
-    * them; if the live dir is GONE, the retired dir holds the only copy of
-    * the data — rename it back before doing anything else. */
+    * The swap sequence is: stage(+manifest) -> rename(dir, retired) ->
+    * rename(staged, dir) -> restore strays -> delete(retired). Each crash
+    * point leaves a distinguishable state: if the live dir is GONE, the
+    * retired dir holds the only copy of the data — rename it back before
+    * anything else; if the live dir exists AND carries a manifest, the
+    * swap completed but cleanup didn't — finish the stray restore; a
+    * leftover staged dir is always an incomplete rewrite — delete it. */
   private def recover(fs: FileSystem, dir: Path): Unit = {
     val staged = new Path(dir.getParent, "." + dir.getName + ".compacting")
     val retired = new Path(dir.getParent, "." + dir.getName + ".retired")
@@ -70,7 +128,12 @@ object Compaction {
       require(fs.rename(retired, dir),
         s"compaction recovery: cannot restore $retired to $dir")
     fs.delete(staged, true)
-    if (fs.exists(dir)) fs.delete(retired, true)
+    if (fs.exists(dir)) {
+      restoreStraysAndClean(fs, dir, retired)
+      // no manifest (pre-swap crash already rolled back above, or a
+      // legacy run): the retired dir is a fully-superseded copy
+      fs.delete(retired, true)
+    }
   }
 
   /** Compact every y/m/d partition of `tablePath` that holds more than
@@ -99,19 +162,30 @@ object Compaction {
         // retired files as a bogus day=... partition
         val staged = new Path(dir.getParent, "." + dir.getName + ".compacting")
         val retired = new Path(dir.getParent, "." + dir.getName + ".retired")
-        // rewrite the partition's rows only — no partition columns in a
-        // leaf dir, so the files drop back in place. mergeSchema: a
-        // partition whose appends evolved the schema (the tags table's
-        // changing CustomerKeys) must keep the UNION of columns — a
-        // single-footer inference would silently drop the others' columns
-        spark.read.option("mergeSchema", "true").parquet(dir.toString)
+        // rewrite the EXPLICIT file list captured above — not the dir —
+        // so the read set, the manifest, and the stray diff below agree
+        // exactly even while a concurrent writer keeps appending. No
+        // partition columns in a leaf dir, so the files drop back in
+        // place. mergeSchema: a partition whose appends evolved the
+        // schema (the tags table's changing CustomerKeys) must keep the
+        // UNION of columns — a single-footer inference would silently
+        // drop the others' columns
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
           .repartition(nOut)
           .write.parquet(staged.toString)
+        // the manifest travels with the staged dir into the live position,
+        // so the "which files did the rewrite consume" record survives a
+        // crash at every point after the swap
+        writeManifest(fs, staged, files.map(_.getPath.getName))
         // atomic-enough swap: two renames, no old/new mixing; a crash at
         // any point is undone by recover() on the next run
         require(fs.rename(dir, retired), s"compaction: cannot retire $dir")
         require(fs.rename(staged, dir), s"compaction: cannot swap in $staged")
-        fs.delete(retired, true)
+        // files a concurrent writer appended between the read and the
+        // retire rename are in `retired` but not in the manifest: move
+        // them back, then drop retired + manifest
+        restoreStraysAndClean(fs, dir, retired)
         val after = fs.listStatus(dir).map(_.getPath).count(isDataFile)
         Some(Report(dir.toString, files.length, after))
       }

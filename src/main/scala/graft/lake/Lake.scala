@@ -181,14 +181,33 @@ object Lake {
           want.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .makeQualified(want)
       }
+      // CSV files are read POSITIONALLY: ALTER ADD COLUMNS appends the
+      // new column to the end of the table schema, which silently
+      // misaligns every column after the new one in files whose physical
+      // layout differs — so schema evolution on a csvFidelity table
+      // always drops+recreates (re-inferring from the current headers),
+      // and the additive ALTER path is parquet-only (parquet reads
+      // resolve columns BY NAME, order-independent).
       val compatible = sameLocation &&
         current.size + added.length == dataCols.length &&
         dataCols.forall(f => current.get(f.name.toLowerCase)
-          .forall(_ == f.dataType))
+          .forall(_ == f.dataType)) &&
+        (added.isEmpty || !csvFidelity)
       if (compatible) {
         if (added.nonEmpty)
-          spark.sql(s"ALTER TABLE `$name` ADD COLUMNS (" +
-            added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+          try
+            spark.sql(s"ALTER TABLE `$name` ADD COLUMNS (" +
+              added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+          catch {
+            // concurrent sessions race the same additive refresh; the
+            // loser's duplicate-column failure is success IF the winner
+            // added what we wanted — re-verify instead of rethrowing
+            case scala.util.control.NonFatal(e) =>
+              val now = spark.table(name).schema.fieldNames
+                .map(_.toLowerCase).toSet
+              if (!added.forall(f => now.contains(f.name.toLowerCase)))
+                throw e
+          }
       } else {
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         create()

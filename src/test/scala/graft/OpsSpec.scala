@@ -222,6 +222,42 @@ class OpsSpec extends SparkSpec {
     assert(pre.count() < e.count())
   }
 
+  test("skew: hotKeys flags the 100x account, salting spreads its rows") {
+    // the ingest-shaped adversarial case: one account carries ~100x the
+    // flagged resources of its peers. hotKeys is the diagnostic that
+    // decides a join needs salting; saltedJoin must then (a) keep the
+    // answer identical to the plain join and (b) actually spread the hot
+    // key's rows across reducers instead of funneling them to one task.
+    val hotAcct = "111122223333"
+    val big = ((1 to 800).map(i => (hotAcct, s"r$i")) ++
+      (1 to 8).flatMap(a => (1 to 8).map(i => (f"${a + 2000L}%012d", s"r$i"))))
+      .toDF("accountid", "resource")
+    val dim = ((hotAcct, "Hot Corp") +:
+      (1 to 8).map(a => (f"${a + 2000L}%012d", s"Acct $a")))
+      .toDF("accountid", "accountname")
+    val hk = Skew.hotKeys(big, Seq("accountid"), minCount = 100).collect()
+    assert(hk.length == 1 && hk.head.getString(0) == hotAcct)
+    val plain = big.join(dim, Seq("accountid"))
+      .orderBy("accountid", "resource").collect().toSeq
+    val salted = Skew.saltedJoin(big, dim, Seq("accountid"))
+      .select("accountid", "resource", "accountname")
+      .orderBy("accountid", "resource").collect().toSeq
+    assert(salted == plain, "salt must not change the join result")
+    // placement: hash-partitioned by the key alone, every hot row lands in
+    // ONE partition; keyed by (key, salt) they spread over the factor
+    def maxPartition(df: org.apache.spark.sql.DataFrame,
+        cols: Seq[org.apache.spark.sql.Column]): Int =
+      df.repartition(16, cols: _*).rdd
+        .mapPartitions(it => Iterator(it.size)).collect().max
+    val funneled = maxPartition(big, Seq(col("accountid")))
+    val spread = maxPartition(
+      big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L))),
+      Seq(col("accountid"), col("__salt")))
+    assert(funneled >= 800, "precondition: unsalted hot key funnels")
+    assert(spread * 2 <= funneled,
+      s"salting must spread the hot key: max $spread vs funneled $funneled")
+  }
+
   test("multimodal: feature extraction is deterministic, frames partition the payload") {
     val media = Multimodal.mediaFromDocuments(spark, docs, partitions = 2)
     val feats = Multimodal.extractFeatures(media).collect()

@@ -284,6 +284,72 @@ class TaPipelineSpec extends SparkSpec {
     assert(restored == before, "recovered partition must hold its data")
   }
 
+  test("tags lake layout: one y/m/d table covers all resource types (pinned deviation)") {
+    // the reference writes Tags/<resourceType>/y/m/d
+    // (extract-tag-data-lambda.py:141); this lake deliberately keeps ONE
+    // y/m/d-partitioned tags table with resourcetype as a COLUMN, so a
+    // single `tags` relation serves every check view's join and new
+    // resource types never require a crawler/table change. This test PINS
+    // that layout (COVERAGE.md documents the deviation) — if it ever
+    // changes, the views' tag join and this assertion move together.
+    import graft.lake.Lake
+    val root = Files.createTempDirectory("graft-tagslayout").toString
+    val twoTypes = tagObs.union(
+      tagObs
+        .withColumn("ResourceArn",
+          regexp_replace($"ResourceArn", "instance/i-0aaa", "volume/vol-9"))
+        .withColumn("ResourceType", lit("ec2:volume")))
+    Lake.writeTags(TaIngest.tags(twoTypes, Seq("CostCenter", "Env")), root)
+    val tagsDir = new java.io.File(s"$root/Tags")
+    val subdirs = tagsDir.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("year=")),
+      s"Tags partitions directly by y/m/d, got: ${subdirs.mkString(",")}")
+    val back = spark.read.parquet(s"$root/Tags")
+    assert(back.select("resourcetype").distinct().count() == 2,
+      "both resource types must live in the one tags table")
+  }
+
+  test("compaction: a concurrent append swept into the retired dir is restored, not deleted") {
+    import graft.lake.Compaction
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-straylake").toString
+    val cfg = Pipeline.Config(dir, Seq(CheckRegistry.lowUtilEc2))
+    Pipeline.ingest(rawDf, None, cfg)
+    Pipeline.ingest(rawDf, None, cfg)
+    val tablePath = s"$dir/TA-Reports/cost_optimizing/check_qch7dwoux1"
+    Compaction.compactTable(spark, tablePath, maxFiles = 1)
+    val before = spark.read.parquet(tablePath).count()
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$tablePath/year=2024/month=1/day=15")
+    val retired = new Path(s"$tablePath/year=2024/month=1/.day=15.retired")
+    // reconstruct the exact crash state after rename(staged, dir): the
+    // retired dir holds the consumed original PLUS a file a concurrent
+    // writer appended after the read; the live dir carries the manifest
+    // naming only the consumed file
+    val dataFile = fs.listStatus(live).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .head
+    fs.mkdirs(retired)
+    fs.createNewFile(new Path(retired, "consumed-original.parquet"))
+    // the stray is a REAL parquet file (recover only moves it, but the
+    // table must still read afterwards)
+    org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+      new Path(retired, "part-concurrent-append.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(live, "_graft_compaction_manifest")
+    val out = fs.create(manifest, true)
+    out.write("consumed-original.parquet".getBytes("UTF-8")); out.close()
+    // recover (piggybacks on the next compaction pass over the table)
+    Compaction.compactTable(spark, tablePath, maxFiles = 100)
+    assert(!fs.exists(retired), "retired dir must be cleaned up")
+    assert(!fs.exists(manifest), "manifest must be cleaned up")
+    assert(fs.exists(new Path(live, "part-concurrent-append.parquet")),
+      "the concurrent append must be moved back into the live partition")
+    assert(spark.read.parquet(tablePath).count() == 2 * before,
+      "restored rows must be readable (stray duplicates the data file)")
+  }
+
   // deliberately LAST: persistent registration drops same-named temp views
   test("persistent catalog: a second session sees tables and views") {
     val dir = Files.createTempDirectory("graft-perslake").toString
