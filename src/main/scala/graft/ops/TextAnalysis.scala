@@ -119,6 +119,53 @@ object TextAnalysis {
       length(norm).as("n_chars_norm"), md5(norm).as("norm_hash"))
   }
 
+  /** Per-document keyword extraction: the `k` most discriminative tokens
+    * per document, ranked by (tf desc, df asc, token) — the TF-IDF-shaped
+    * ordering with INTEGER keys only. (A float idf = ln(N/df) would carry
+    * the same ordering but `ln` is not bit-identical across engines'
+    * libm implementations, so the score itself stays out of the hashed
+    * output.) Shape at scale: one exploded (doc, token) pre-aggregation
+    * (map-side combine on the zipfian head), the token-level df relation
+    * derived FROM the cached tf relation (no second corpus scan), joined
+    * back on token, then a per-document window — the window partitions
+    * by doc_id, so its sort is per-document (bounded by a doc's distinct
+    * tokens), never a global sort. */
+  def keywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = tracked(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+  }
+
+  /** PII scrubbing over free text: email addresses and long digit runs
+    * masked with fixed placeholders. Emits the redaction counts and the
+    * scrubbed text's length + md5 (the downstream dedup/audit key)
+    * instead of re-shipping the body. The patterns stay inside the
+    * RE2/Java-regex common subset (character classes, bounded repeats)
+    * so every engine applies the identical masking; pure codegen'd
+    * string expressions, embarrassingly parallel. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longDigitsPattern = "[0-9]{6,}"
+
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+      longDigitsPattern, "<NUM>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailPattern)).as("n_emails"),
+      regexp_count(col("text"), lit(longDigitsPattern)).as("n_long_numbers"),
+      length(scrubbed).as("n_chars_scrubbed"),
+      md5(scrubbed).as("scrubbed_hash"))
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

@@ -110,6 +110,26 @@ object OpsQueries {
         .orderBy("doc_a", "doc_b")),
     "q44_vocabulary" -> ((s, d) =>
       TextAnalysis.vocabulary(docs(s, d))),
+    "q61_doc_keywords" -> ((s, d) =>
+      TextAnalysis.keywords(docs(s, d)).orderBy("doc_id", "rank")),
+    // duplicate-cluster summary: the keep-one-per-cluster shape a dedup
+    // pipeline consumes (canonical id + member count per component)
+    "q62_dup_clusters" -> ((s, d) =>
+      Components.clusters(
+        Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("component_id")),
+    // PII scrub over a corpus where every 4th doc gets a planted email +
+    // long number (the synthetic corpus has none naturally)
+    "q63_pii_scrub" -> ((s, d) =>
+      TextAnalysis.scrubPii(
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" contact user"),
+              (col("doc_id") % 50).cast("string"),
+              lit("@example.com ref 12345678"),
+              (col("doc_id") % 10).cast("string")))
+            .otherwise(col("text")).as("text")))
+        .orderBy("doc_id")),
     "q45_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
     "q46_normalize" -> ((s, d) =>
@@ -451,6 +471,48 @@ object OpsQueries {
          SELECT doc_id, lang, source FROM d
          WHERE doc_id NOT IN (SELECT min(doc_id) FROM d GROUP BY md5(text))
          ORDER BY doc_id""",
+    "q61_doc_keywords" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token
+           FROM documents) GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+         SELECT doc_id, rank, token, tf, df FROM (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rank
+           FROM tf JOIN df USING (token))
+         WHERE rank <= 5 ORDER BY doc_id, rank""",
+    // component summary over the same verified-pair closure as q43
+    "q62_dup_clusters" ->
+      s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+           FROM r GROUP BY a)
+         SELECT component_id, count(*) AS n_members FROM comp
+         GROUP BY component_id ORDER BY component_id""",
+    // same planted mutation; DuckDB regexp_replace needs the 'g' flag for
+    // the replace-all semantics Spark applies by default
+    "q63_pii_scrub" ->
+      s"""WITH piidocs AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+             THEN text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+               || '@example.com ref 12345678' || CAST(doc_id % 10 AS VARCHAR)
+             ELSE text END AS text
+           FROM documents),
+         scrub AS (SELECT doc_id, text,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS s
+           FROM piidocs)
+         SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{6,}')) AS n_long_numbers,
+           length(s) AS n_chars_scrubbed, md5(s) AS scrubbed_hash
+         FROM scrub ORDER BY doc_id""",
     "q44_vocabulary" ->
       """SELECT token, tf, df FROM (
          SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM (
