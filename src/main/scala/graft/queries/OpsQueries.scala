@@ -113,10 +113,12 @@ object OpsQueries {
     "q61_doc_keywords" -> ((s, d) =>
       TextAnalysis.keywords(docs(s, d)).orderBy("doc_id", "rank")),
     // duplicate-cluster summary: the keep-one-per-cluster shape a dedup
-    // pipeline consumes (canonical id + member count per component)
+    // pipeline consumes (canonical id + member count per component).
+    // Pairs come from the n-gram family so the bench doesn't re-pay the
+    // minhash+CC chain q43 already measures; the CC layer is identical.
     "q62_dup_clusters" -> ((s, d) =>
       Components.clusters(
-        Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        Dedup.ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("component_id")),
     // PII scrub over a corpus where every 4th doc gets a planted email +
     // long number (the synthetic corpus has none naturally)
@@ -482,9 +484,15 @@ object OpsQueries {
                ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rank
            FROM tf JOIN df USING (token))
          WHERE rank <= 5 ORDER BY doc_id, rank""",
-    // component summary over the same verified-pair closure as q43
+    // component summary over the q22 (n-gram) verified-pair closure
     "q62_dup_clusters" ->
-      s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
+      s"""WITH RECURSIVE $SHINGLES,
+         rare AS (SELECT m FROM (SELECT m, count(*) AS df FROM sh GROUP BY m)
+           WHERE df <= 20 AND df >= 2),
+         candsh AS (SELECT sh.doc_id, sh.m FROM sh JOIN rare ON sh.m = rare.m),
+         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM candsh l JOIN candsh r ON l.m = r.m AND l.doc_id < r.doc_id),
+         ${JACCARD_PAIRS(0.5)},
          e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs),
          r AS (SELECT a, b FROM e
