@@ -118,6 +118,86 @@ object Components {
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * variant that SHRINKS the edge set as it converges. Prefer it over
+    * [[connectedComponents]] when edges far outnumber nodes (a dup-heavy
+    * pair table): min-label propagation pays the FULL edge relation in
+    * every round's join, while these star operations rewrite the edge
+    * set itself, so each round's shuffle tracks the current — rapidly
+    * contracting — edge count.
+    *
+    * One round = large-star then small-star, each a groupBy-min plus a
+    * projection over the symmetric edge set:
+    *  - large-star: every node u connects each LARGER neighbor to
+    *    min(N(u) ∪ u) — long chains shortcut toward small ids;
+    *  - small-star: every node u connects its smaller-or-equal
+    *    neighborhood (and itself) to that minimum — stars flatten.
+    * Both preserve connectivity; alternation converges to a forest of
+    * stars whose centers are the component minima. Convergence probe:
+    * the (distinct) edge set is unchanged — an except + count over the
+    * cached, shrinking relations. Same lineage-truncation discipline as
+    * connectedComponents (each round re-references the previous edge
+    * set several times). */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val allNodes = truncated(
+      e0.select(col("src").as("id"))
+        .union(e0.select(col("dst"))).distinct())
+    def symmetric(df: DataFrame): DataFrame =
+      df.union(df.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    var edges = truncated(symmetric(e0))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // large-star: for each directed (src, dst > src): (dst, m) with
+      // m = min over src's FULL neighborhood (and src itself)
+      val mins = edges.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("mn"))
+      val ls = truncated(symmetric(
+        edges.join(mins, "src")
+          .filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("mn").as("dst"))
+          .filter(col("src") =!= col("dst"))))
+      // small-star: each node links its smaller neighbors AND itself to
+      // the minimum of its smaller neighborhood
+      val sm = ls.filter(col("dst") < col("src"))
+      val smins = sm.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      val ss = truncated(symmetric(
+        sm.join(smins, "src")
+          .filter(col("dst") =!= col("mn"))
+          .select(col("dst").as("src"), col("mn").as("dst"))
+          .union(smins.select(col("src"), col("mn").as("dst")))
+          .filter(col("src") =!= col("dst"))))
+      // set equality of distinct relations: same count and no novel edge
+      converged = ss.count() == edges.count() &&
+        ss.except(edges).isEmpty
+      ls.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      edges = ss
+      iter += 1
+      if (sys.props.contains("graft.cc.debug"))
+        println(s"CC-stars round $iter edges=${edges.count()}")
+    }
+    require(converged,
+      s"connectedComponentsStars did not converge in $maxIters rounds")
+    // converged star forest: every non-root has exactly one (larger ->
+    // smaller) edge, to its component's minimum; roots label themselves
+    val nonRoot = edges.filter(col("src") > col("dst"))
+      .select(col("src").as("id"), col("dst").as("label"))
+    val roots = allNodes.join(nonRoot.select(col("id")), Seq("id"),
+        "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val labels = truncated(nonRoot.union(roots))
+    edges.unpersist(blocking = false)
+    allNodes.unpersist(blocking = false)
+    TextKit.register(labels)
+    labels.select(col("id").as("doc_id"), col("label").as("component_id"))
+  }
+
   /** Duplicate-cluster summary over a pair table: one row per component
     * with its canonical (minimum) doc id and member count — the shape a
     * keep-one-per-cluster dedup filter consumes. */

@@ -120,6 +120,16 @@ object OpsQueries {
       Components.clusters(
         Dedup.ngramJaccardPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("component_id")),
+    // alternating large-star/small-star CC (the edge-shrinking variant)
+    // over deterministic 10-node chains — diameter 9 exercises several
+    // star alternations; labels must equal the transitive closure
+    "q64_components_stars" -> ((s, d) =>
+      Components.connectedComponentsStars(
+        docs(s, d)
+          .filter(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + lit(1L)).as("doc_b")))
+        .orderBy("doc_id")),
     // PII scrub over a corpus where every 4th doc gets a planted email +
     // long number (the synthetic corpus has none naturally)
     "q63_pii_scrub" -> ((s, d) =>
@@ -501,6 +511,15 @@ object OpsQueries {
            FROM r GROUP BY a)
          SELECT component_id, count(*) AS n_members FROM comp
          GROUP BY component_id ORDER BY component_id""",
+    "q64_components_stars" ->
+      """WITH RECURSIVE p AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+           FROM documents WHERE doc_id % 10 != 9),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM p
+           UNION SELECT doc_b, doc_a FROM p),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS component_id
+         FROM r GROUP BY a ORDER BY doc_id""",
     // same planted mutation; DuckDB regexp_replace needs the 'g' flag for
     // the replace-all semantics Spark applies by default
     "q63_pii_scrub" ->

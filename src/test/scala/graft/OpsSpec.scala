@@ -165,6 +165,23 @@ class OpsSpec extends SparkSpec {
     val cl = Components.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl == Map(1L -> 4L, 10L -> 3L, 20L -> 2L))
+    // the alternating large-star/small-star variant labels identically
+    val stars = Components.connectedComponentsStars(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == cc)
+    // and on a longer chain + dense clique mix (the edge-heavy shape the
+    // variant exists for): a 30-node path and a 12-node clique
+    val chain = (100L until 129L).map(i => (i, i + 1))
+    val clique = for (a <- 200L until 212L; b <- (a + 1) until 212L)
+      yield (a, b)
+    val mix = (chain ++ clique).toDF("doc_a", "doc_b")
+    val a1 = Components.connectedComponents(mix).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Components.connectedComponentsStars(mix).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2)
+    assert(a2.filter(_._1 >= 200L).values.toSet == Set(200L))
+    assert(a2.filter(_._1 < 200L).values.toSet == Set(100L))
   }
 
   test("TopKAgg: degenerate scores — nulls and NaNs dropped, result well-defined") {

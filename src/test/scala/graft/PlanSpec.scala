@@ -40,7 +40,11 @@ class PlanSpec extends SparkSpec {
       "q21_dedup_exact", "q22_dedup_ngram", "q23_dedup_minhash",
       "q24_dedup_simhash", "q31_fingerprint", "q44_vocabulary",
       "q45_stratified_sample", "q46_normalize", "q47_dedup_rejects",
-      "q48_dedup_incremental", "q49_minhash_udaf")
+      "q48_dedup_incremental", "q49_minhash_udaf",
+      // q36/q50 (IVF) are excluded like q06: their broadcast of the k x dim
+      // centroid set against every vector IS a deliberate BNLJ cross
+      "q60_dedup_dupheavy", "q61_doc_keywords",
+      "q62_dup_clusters", "q63_pii_scrub")
     equiJoinQueries.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
