@@ -166,6 +166,29 @@ object TextAnalysis {
       md5(scrubbed).as("scrubbed_hash"))
   }
 
+  /** Per-language exact length percentiles by NEAREST RANK: the value at
+    * row ceil(p*n/100) of each language's (n_chars, doc_id) order — the
+    * length thresholds a curation pipeline derives before filtering.
+    * Interpolating percentile definitions differ between engines (and
+    * between Spark's percentile/percentile_approx themselves), so the
+    * rank is selected with pure integer arithmetic: target =
+    * (p*n + 99) div 100. One shuffle on lang; the window sort is
+    * per-language. Ties at the target rank are value-identical by
+    * construction, so the doc_id tiebreak affects only which row —
+    * never which value — is emitted. */
+  def lengthPercentiles(docs: DataFrame,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val ranked = docs.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        byLang.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+    ranked
+      .withColumn("p", explode(array(ps.map(lit(_)): _*)))
+      .filter(col("rn") === expr("(p * n + 99) div 100"))
+      .select(col("lang"), col("p"), col("n_chars").as("len_at_p"))
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

@@ -112,6 +112,8 @@ object OpsQueries {
       TextAnalysis.vocabulary(docs(s, d))),
     "q61_doc_keywords" -> ((s, d) =>
       TextAnalysis.keywords(docs(s, d)).orderBy("doc_id", "rank")),
+    "q65_length_percentiles" -> ((s, d) =>
+      TextAnalysis.lengthPercentiles(docs(s, d)).orderBy("lang", "p")),
     // duplicate-cluster summary: the keep-one-per-cluster shape a dedup
     // pipeline consumes (canonical id + member count per component).
     // Pairs come from the n-gram family so the bench doesn't re-pay the
@@ -511,6 +513,18 @@ object OpsQueries {
            FROM r GROUP BY a)
          SELECT component_id, count(*) AS n_members FROM comp
          GROUP BY component_id ORDER BY component_id""",
+    // nearest-rank selection with integer arithmetic — interpolating
+    // percentile functions are NOT cross-engine deterministic
+    "q65_length_percentiles" ->
+      """WITH ranked AS (SELECT lang, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+             AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, p, n_chars AS len_at_p
+         FROM ranked, (VALUES (50), (90), (99)) t(p)
+         WHERE rn = (p * n + 99) // 100
+         ORDER BY lang, p""",
     "q64_components_stars" ->
       """WITH RECURSIVE p AS (SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
            FROM documents WHERE doc_id % 10 != 9),

@@ -44,7 +44,7 @@ class PlanSpec extends SparkSpec {
       // q36/q50 (IVF) are excluded like q06: their broadcast of the k x dim
       // centroid set against every vector IS a deliberate BNLJ cross
       "q60_dedup_dupheavy", "q61_doc_keywords",
-      "q62_dup_clusters", "q63_pii_scrub")
+      "q62_dup_clusters", "q63_pii_scrub", "q65_length_percentiles")
     equiJoinQueries.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")

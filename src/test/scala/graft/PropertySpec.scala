@@ -84,6 +84,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("both CC variants agree with a reference union-find on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(2, 28)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    samples(graphGen, 6).filter(_.nonEmpty).foreach { edges =>
+      // driver-side union-find reference (tiny graphs)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = component MIN, which is what both variants emit
+      val expect = nodes.map { v =>
+        val members = nodes.filter(u => find(u) == find(v))
+        v -> members.min
+      }.toMap
+      val df = edges.toDF("doc_a", "doc_b")
+      val a1 = graft.ops.Components.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val a2 = graft.ops.Components.connectedComponentsStars(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a1 == expect, s"min-label CC diverged on $edges")
+      assert(a2 == expect, s"star-contraction CC diverged on $edges")
+      graft.ops.TextKit.releaseCaches()
+    }
+  }
+
   test("TopKAgg equals a reference sort on random scored sets") {
     val scoredGen = Gen.listOfN(120, for {
       q <- Gen.choose(0L, 3L)
