@@ -1,0 +1,127 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import TextKit._
+
+/** Distributed Bloom filter over BIGINT keys, built as a typed Aggregator
+  * (bitwise-OR merge — associative/commutative, so Spark runs it with
+  * map-side partial aggregation: the shuffle carries one numBits/64-long
+  * array per partition, never the key stream) and probed with pure
+  * codegen'd column arithmetic (md5-based double hashing + shiftright/AND
+  * bit tests over the broadcast literal word array — no UDF).
+  *
+  * The point at 100 TB is [[Bloom.rejectFilter]]: a rejection anti-join
+  * where the blocklist is too large to broadcast-hash-join outright but
+  * its BITS fit anywhere. Rows the filter proves absent (the overwhelming
+  * majority in a typical curation pass) are kept with ZERO shuffle; only
+  * possible members — true rejects plus the small false-positive slice —
+  * travel through the exact anti-join. False positives therefore cost
+  * only wasted join work, never a wrong answer.
+  */
+class BloomAgg(numBits: Int, numHashes: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(numBits % 64 == 0 && numBits > 0, s"numBits must be a positive multiple of 64, got $numBits")
+  require(numHashes >= 1 && numHashes <= 8, s"numHashes must be in [1,8], got $numHashes")
+
+  override def zero: Array[Long] = new Array[Long](numBits / 64)
+
+  override def reduce(buf: Array[Long], id: Long): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      val p = Bloom.position(id, i, numBits)
+      buf(p >>> 6) |= 1L << (p & 63)
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+}
+
+object Bloom {
+
+  /** JVM mirror of TextKit.md5Long (graft.functions.Md5Long60): the first
+    * 15 hex digits of md5(s) as a non-negative long. The aggregator hashes
+    * with THIS and the probe column hashes with the expression form — the
+    * two must agree bit for bit, which FunctionsSpec pins. */
+  private[ops] def md5Long60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Bit position i of key `id`: double hashing h1 + i*h2 (mod numBits),
+    * with h1 = md5Long(id), h2 = md5Long("1" || id) — the same seeded form
+    * TextKit.md5Long(c, seed=1) produces. Both operands are < 2^60 and
+    * i <= 7, so the Java-wrapping sum matches Spark's wrapping long
+    * arithmetic exactly; floorMod matches pmod on the column side. */
+  private[ops] def position(id: Long, i: Int, numBits: Int): Int = {
+    val h1 = md5Long60(id.toString)
+    val h2 = md5Long60("1" + id.toString)
+    Math.floorMod(h1 + i.toLong * h2, numBits.toLong).toInt
+  }
+
+  /** Build the filter's word array over a BIGINT key column. Distributed:
+    * partitions fold keys into local bit arrays, merge is a bitwise OR;
+    * only the final numBits/64 longs reach the driver. */
+  def build(keys: DataFrame, keyCol: String, numBits: Int = 1 << 16,
+      numHashes: Int = 4): Array[Long] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.select(col(keyCol).cast(LongType)).as[Long]
+      .select(new BloomAgg(numBits, numHashes).toColumn.name("bloom"))
+      .head()
+  }
+
+  /** Membership probe as a pure column expression over the literal word
+    * array: for each of the numHashes positions, shiftright the word and
+    * test the low bit. All integer arithmetic, fully codegen'd; `words`
+    * rides into the task binary as a literal (8 KiB at the default 2^16
+    * bits). */
+  def mightContain(words: Array[Long], key: Column, numBits: Int = 1 << 16,
+      numHashes: Int = 4): Column = {
+    val arr = typedlit(words.toSeq)
+    val h1 = md5Long(key.cast(StringType))
+    val h2 = md5Long(key.cast(StringType), seed = Some(1))
+    (0 until numHashes).map { i =>
+      val p = pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong))
+      val word = element_at(arr,
+        call_function("shiftright", p.cast(IntegerType), lit(6)) + 1)
+      call_function("shiftright", word, pmod(p, lit(64L)).cast(IntegerType))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Exact rejection filter: rows of `big` whose `idCol` is NOT in
+    * `blocklist.blockCol`, equal to a plain left_anti join but with the
+    * Bloom fast path: definite non-members short-circuit with no shuffle,
+    * only possible members pay the exact anti-join. */
+  def rejectFilter(big: DataFrame, idCol: String, blocklist: DataFrame,
+      blockCol: String, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    val words = build(blocklist, blockCol, numBits, numHashes)
+    val maybe = mightContain(words, col(idCol), numBits, numHashes)
+    val definite = big.filter(!maybe)
+    val suspects = big.filter(maybe)
+      .join(blocklist.select(col(blockCol).cast(LongType).as(idCol)),
+        Seq(idCol), "left_anti")
+    definite.unionByName(suspects)
+  }
+}

@@ -38,6 +38,87 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Line-level corpus dedup (the C4/RefinedWeb boilerplate-removal
+    * shape): any line occurring in >= minDf documents corpus-wide (nav
+    * bars, cookie banners, license footers) is dropped from EVERY
+    * document, and each document is rebuilt from its surviving lines in
+    * original order. Emits per-document kept/dropped counts plus the
+    * rebuilt text's length and md5 (the downstream dedup/audit key).
+    *
+    * Scale shape: lines explode once (positions ride along); the
+    * frequent-line relation is the count aggregate FILTERED to df >= minDf
+    * — tiny by construction (only boilerplate crosses the threshold), so
+    * the anti-join's build side is small even when the corpus is not; the
+    * rebuild is one narrow shuffle on doc_id, and each document's
+    * reassembly sorts only its OWN lines (array_sort over the collected
+    * (pos, line) structs — no window, no global sort). Documents losing
+    * every line surface with n_lines_kept = 0 and the empty-string hash,
+    * ready for a length filter downstream. */
+  def lineDedup(docs: DataFrame, sep: String = "\n",
+      minDf: Long = 10L): DataFrame = {
+    val lines = tracked(spread(docs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line"))))
+    val frequent = lines.groupBy(col("lh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("lh"))
+    val kept = lines.join(frequent, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("rebuilt"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), java.util.regex.Pattern.quote(sep)))
+          .as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_lines_dropped"),
+        length(coalesce(col("rebuilt"), lit(""))).as("n_chars_kept"),
+        md5(coalesce(col("rebuilt"), lit(""))).as("rebuilt_hash"))
+  }
+
+  /** Train/test contamination detection: for every (corpus doc, benchmark
+    * doc) pair sharing word n-grams, the count of DISTINCT shared n-grams
+    * and its share of the benchmark doc's n-gram set; pairs at or above
+    * `tau` are flagged. This is the decontamination pass a training
+    * pipeline runs before export — did a benchmark item leak into the
+    * crawl?
+    *
+    * Scale shape: both sides reduce to distinct (id, 60-bit n-gram hash)
+    * pairs; the benchmark side is SMALL by definition (eval suites are
+    * MBs against a 100 TB corpus), so it broadcasts and the corpus
+    * streams through a broadcast hash join — no corpus shuffle at all
+    * until the (doc, bench) pair aggregation, whose cardinality is
+    * bounded by actual overlap, not corpus size. */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 5,
+      tau: Double = 0.5): DataFrame = {
+    val cSh = spread(corpus)
+      .select(col("doc_id"), explode(shinglesOf(col("text"), n)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("m"))
+      .distinct()
+    val bSh = bench
+      .select(col("bench_id"), explode(shinglesOf(col("text"), n)).as("s"))
+      .select(col("bench_id"), md5Long(col("s")).as("m"))
+      .distinct()
+    val bSize = bSh.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_ngrams"))
+    cSh.join(broadcast(bSh), Seq("m"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(bSize), Seq("bench_id"))
+      .withColumn("contamination",
+        col("overlap").cast(DoubleType) / col("bench_ngrams").cast(DoubleType))
+      .filter(col("contamination") >= tau)
+      .select(col("doc_id"), col("bench_id"), col("overlap"),
+        col("bench_ngrams"), col("contamination"))
+  }
+
   /** (doc_id, bigram-shingle) rows straight from the explode. Deliberately
     * NOT deduplicated: every consumer is duplicate-insensitive (min-hash
     * aggregation, collect_set set semantics, count-distinct df), so a

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import TextKit._
+
+/** Training-data export: deterministic hash sharding. A training run wants
+  * the corpus split into a fixed number of shards whose membership is a
+  * pure function of the row key — reproducible across runs, engines and
+  * input partitionings (rand()-based assignment is none of those), and
+  * uniformly sized without inspecting the data (md5 is uniform over keys
+  * regardless of key skew or ranges).
+  *
+  * 100 TB shape: assignment is a narrow projection (no shuffle);
+  * [[exportShards]] pays exactly ONE shuffle — repartition by the shard
+  * column so each shard's rows land in one task — then writes one
+  * key-sorted file per shard directory. Readers (data loaders) get
+  * per-shard files they can stream independently; at petabyte scale raise
+  * `nShards` until a shard fits a loader worker. */
+object Export {
+
+  /** Add a `shard` column: md5(id) mod nShards — NOT id mod nShards, so
+    * structured key spaces (sequential ids, ids-with-stride) still spread
+    * uniformly. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard",
+      pmod(md5Long(col(idCol).cast(StringType)), lit(nShards.toLong)))
+  }
+
+  /** Write one Hive shard directory (`shard=k/`) per shard, one file per
+    * directory, rows sorted by `idCol` within the file (deterministic
+    * bytes given deterministic input). */
+  def exportShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    shardAssign(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Per-shard manifest: row count, total characters, and an
+    * order-independent id checksum (sum of 60-bit id hashes mod 2^31-1 —
+    * bounded far under BIGINT overflow at any realistic shard size). The
+    * audit artifact an export job emits next to the shards. */
+  def shardSummary(df: DataFrame, idCol: String, nShards: Int,
+      charsCol: String = "n_chars"): DataFrame =
+    shardAssign(df, idCol, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("sum_chars"),
+        sum(md5Long(col(idCol).cast(StringType)) % lit(Dedup.P))
+          .as("id_checksum"))
+}

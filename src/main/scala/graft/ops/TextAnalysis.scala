@@ -189,6 +189,69 @@ object TextAnalysis {
       .select(col("lang"), col("p"), col("n_chars").as("len_at_p"))
   }
 
+  /** Exact corpus heavy hitters (frequent bigram shingles) via the
+    * standard two-pass scheme: pass 1 folds the shingle stream into a
+    * mergeable Misra-Gries sketch ([[MisraGriesAgg]] — one <= k-entry map
+    * per partition crosses the shuffle, never the stream), whose <= k
+    * candidate keys PROVABLY include every item with count > n/(k+1);
+    * pass 2 recounts ONLY the candidates exactly (broadcast semi-join,
+    * map-side-combined count) and keeps those with cnt * phi >= n.
+    * Requiring k + 1 > phi makes the threshold n/phi strictly above the
+    * sketch's miss bound, so the final answer is EXACT — the property the
+    * DuckDB oracle checks. Use over a plain groupBy-count when the
+    * distinct-item space is too large to shuffle (token/n-gram vocabulary
+    * at web scale) but the report wants only the >= n/phi head. */
+  def heavyHitters(docs: DataFrame, phi: Long = 1000L,
+      k: Int = 2000): DataFrame = {
+    require(k + 1 > phi,
+      s"sketch size k=$k must exceed phi=$phi - 1 for exactness")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = tracked(Dedup.shingleSet(docs)) // (doc_id, s), occurrences
+    val sketch = sh.select(col("s")).as[String]
+      .select(MisraGriesAgg.column(k).name("sk"))
+      .head()
+    val candidates = sketch.counters.keys.toSeq.sorted
+    val exact = sh.join(
+        broadcast(candidates.toDF("s")), Seq("s"), "left_semi")
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"))
+    exact.filter(col("cnt") * lit(phi) >= lit(sketch.n))
+      .select(col("s").as("shingle"), col("cnt"))
+  }
+
+  /** Within-document repetition metrics (the Gopher-style quality
+    * signals): most-repeated-token share and duplicate-bigram share.
+    * Two-level aggregation — the (doc, token) pre-count gives map-side
+    * combining, the per-doc rollup is a narrow shuffle on doc_id; ratios
+    * are double divisions of exact integers. Documents with fewer than
+    * two tokens have no bigrams: their dup_bigram_ratio is 0. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val tok = tf.groupBy(col("doc_id")).agg(
+      sum(col("tf")).as("n_tokens"),
+      max(col("tf")).as("max_token_tf"),
+      count(lit(1)).as("n_distinct_tokens"))
+    val bg = Dedup.shingleSet(docs).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      countDistinct(col("s")).as("n_distinct_bigrams"))
+    tok.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("max_token_tf"),
+        col("n_distinct_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"))
+      .select(col("*"),
+        (col("max_token_tf").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("top_token_ratio"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams"))
+            .cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("dup_bigram_ratio"))
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

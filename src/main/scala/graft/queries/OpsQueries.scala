@@ -144,6 +144,66 @@ object OpsQueries {
               (col("doc_id") % 10).cast("string")))
             .otherwise(col("text")).as("text")))
         .orderBy("doc_id")),
+    // exact two-pass heavy hitters: Misra-Gries sketch (k=2000) proposes
+    // candidates, an exact recount keeps bigrams with cnt*1000 >= n —
+    // identical to the oracle's full GROUP BY .. HAVING
+    "q66_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(docs(s, d)).orderBy("shingle")),
+    // line-level corpus dedup: every doc gains a shared footer line (df ~
+    // corpus/20) and all but every 3rd a shared header (df ~ 2/3 corpus);
+    // both cross the minDf=10 bar and are stripped, bodies survive
+    "q67_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\n"), lit(lineFooter),
+              (col("doc_id") % 20).cast("string")))
+            .otherwise(concat(lit(lineHeader), lit("\n"), col("text"),
+              lit("\n"), lit(lineFooter),
+              (col("doc_id") % 20).cast("string")))
+            .as("text")))
+        .orderBy("doc_id")),
+    // train/test contamination: docs with doc_id % 101 == 0 play the
+    // benchmark; every corpus doc with doc_id % 10 == 3 gets its
+    // deterministic bench ref ((doc_id % 5) * 101) appended — those pairs
+    // must be flagged at tau = 0.5 over distinct 5-gram overlap
+    "q68_contamination" -> ((s, d) => {
+      val d0 = docs(s, d)
+      val bench = d0.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val planted = d0.filter(col("doc_id") % 101 =!= 0)
+        .join(broadcast(bench.select(col("bench_id"), col("text").as("btext"))),
+          (col("doc_id") % 5) * 101 === col("bench_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" "), col("btext")))
+            .otherwise(col("text")).as("text"))
+      Dedup.contamination(planted, bench).orderBy("doc_id", "bench_id")
+    }),
+    // Bloom-gated rejection filter over the q47 planted-dup corpus: the
+    // blocklist is the non-canonical duplicate ids; definite non-members
+    // bypass the join entirely, possible members pay the exact anti-join —
+    // the result must equal the plain NOT IN
+    "q69_bloom_rejects" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(hotText)).otherwise(col("text"))
+          .as("text"),
+        col("lang"), col("source"))
+      val blocklist = d0.join(
+          Dedup.exact(d0).select(col("canonical_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+      Bloom.rejectFilter(
+          d0.select(col("doc_id"), col("lang"), col("source")),
+          "doc_id", blocklist, "doc_id")
+        .orderBy("doc_id")
+    }),
+    // deterministic hash sharding for training export: the per-shard
+    // manifest (count, chars, order-independent id checksum)
+    "q70_shard_export" -> ((s, d) =>
+      Export.shardSummary(docs(s, d), "doc_id", nShards = 16)
+        .orderBy("shard")),
+    "q71_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
     "q45_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
     "q46_normalize" -> ((s, d) =>
@@ -256,6 +316,20 @@ object OpsQueries {
     * shape the band-bucket cap exists for. */
   private[queries] val hotText =
     "the quick brown fox jumps over the lazy dog again and again"
+
+  /** Planted boilerplate for the q67 line-dedup corpus: a shared header
+    * line (df ~ 2/3 corpus) and 20 footer-line variants (df ~ corpus/20),
+    * both far over the minDf=10 strip threshold. */
+  private[queries] val lineHeader = "begin corpus shared boilerplate header"
+  private[queries] val lineFooter = "shared footer group "
+
+  /** (id, 5-gram shingle) occurrences over `src(…, text)` — the DuckDB
+    * mirror of Dedup.contamination's shinglesOf(text, 5) explode. */
+  private def NGRAM5(src: String, id: String) =
+    s"""SELECT $id, unnest(list_transform(generate_series(1, len(toks)-4),
+       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+         || toks[i+3] || ' ' || toks[i+4])) AS s
+       FROM (SELECT $id, string_split(text,' ') AS toks FROM $src)"""
 
   /** Verified near-dup pairs as a CTE (composable — q43 builds components
     * on top of it). */
@@ -554,6 +628,105 @@ object OpsQueries {
            len(regexp_extract_all(text, '[0-9]{6,}')) AS n_long_numbers,
            length(s) AS n_chars_scrubbed, md5(s) AS scrubbed_hash
          FROM scrub ORDER BY doc_id""",
+    // full GROUP BY .. HAVING over every bigram occurrence — exactly what
+    // the sketch-propose + exact-recount two-pass must reproduce
+    "q66_heavy_hitters" ->
+      """WITH shq AS (SELECT unnest(list_transform(
+           generate_series(1, len(toks)-1),
+           i -> toks[i] || ' ' || toks[i+1])) AS s
+           FROM (SELECT string_split(text,' ') AS toks FROM documents)),
+         tot AS (SELECT count(*) AS n FROM shq),
+         cnt AS (SELECT s, count(*) AS cnt FROM shq GROUP BY s)
+         SELECT s AS shingle, cnt FROM cnt, tot
+         WHERE cnt * 1000 >= n ORDER BY shingle""",
+    "q67_line_dedup" ->
+      s"""WITH built AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+             THEN text || chr(10) || '$lineFooter'
+               || CAST(doc_id % 20 AS VARCHAR)
+             ELSE '$lineHeader' || chr(10) || text || chr(10)
+               || '$lineFooter' || CAST(doc_id % 20 AS VARCHAR)
+           END AS text FROM documents),
+         ln0 AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ls)),
+             i -> {'pos': i, 'line': ls[i]})) AS u
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             FROM built)),
+         ln AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ln0),
+         freq AS (SELECT md5(line) AS lh FROM ln GROUP BY md5(line)
+           HAVING count(*) >= 10),
+         kept AS (SELECT * FROM ln
+           WHERE md5(line) NOT IN (SELECT lh FROM freq)),
+         reb AS (SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS rebuilt
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, coalesce(n_kept, 0) AS n_lines_kept,
+           len(string_split(b.text, chr(10))) - coalesce(n_kept, 0)
+             AS n_lines_dropped,
+           length(coalesce(rebuilt, '')) AS n_chars_kept,
+           md5(coalesce(rebuilt, '')) AS rebuilt_hash
+         FROM built b LEFT JOIN reb USING (doc_id) ORDER BY doc_id""",
+    "q68_contamination" ->
+      s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents
+           WHERE doc_id % 101 = 0),
+         corpus AS (SELECT d.doc_id,
+           CASE WHEN d.doc_id % 10 = 3 THEN d.text || ' ' || b.text
+             ELSE d.text END AS text
+           FROM documents d JOIN bench b ON b.bench_id = (d.doc_id % 5) * 101
+           WHERE d.doc_id % 101 != 0),
+         csh AS (SELECT DISTINCT doc_id, ${TextKit.ducksql.md5Long("s")} AS m
+           FROM (${NGRAM5("corpus", "doc_id")})),
+         bsh AS (SELECT DISTINCT bench_id, ${TextKit.ducksql.md5Long("s")} AS m
+           FROM (${NGRAM5("bench", "bench_id")})),
+         bsize AS (SELECT bench_id, count(*) AS bench_ngrams FROM bsh
+           GROUP BY bench_id),
+         ov AS (SELECT c.doc_id, b.bench_id, count(*) AS overlap
+           FROM csh c JOIN bsh b ON c.m = b.m GROUP BY 1, 2)
+         SELECT o.doc_id, o.bench_id, o.overlap, s.bench_ngrams,
+           CAST(o.overlap AS DOUBLE) / s.bench_ngrams AS contamination
+         FROM ov o JOIN bsize s USING (bench_id)
+         WHERE CAST(o.overlap AS DOUBLE) / s.bench_ngrams >= 0.5
+         ORDER BY doc_id, bench_id""",
+    // the complement of q47: kept docs; the Spark side must land on the
+    // identical set whatever the bloom's false positives are
+    "q69_bloom_rejects" ->
+      s"""WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '$hotText' ELSE text END AS text,
+           lang, source FROM documents)
+         SELECT doc_id, lang, source FROM d
+         WHERE doc_id IN (SELECT min(doc_id) FROM d GROUP BY md5(text))
+         ORDER BY doc_id""",
+    "q70_shard_export" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH sh2 AS (SELECT $h % 16 AS shard, n_chars,
+           $h % ${Dedup.P} AS hq FROM documents)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(hq) AS BIGINT) AS id_checksum
+         FROM sh2 GROUP BY shard ORDER BY shard"""
+    },
+    "q71_repetition" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token
+           FROM documents) GROUP BY doc_id, token),
+         tok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           max(tf) AS max_token_tf, count(*) AS n_distinct_tokens
+           FROM tf GROUP BY doc_id),
+         shq AS (SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(toks)-1),
+           i -> toks[i] || ' ' || toks[i+1])) AS s
+           FROM (SELECT doc_id, string_split(text,' ') AS toks
+             FROM documents)),
+         bg AS (SELECT doc_id, count(*) AS n_bigrams,
+           count(DISTINCT s) AS n_distinct_bigrams FROM shq GROUP BY doc_id)
+         SELECT t.doc_id, n_tokens, max_token_tf, n_distinct_tokens,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           CAST(max_token_tf AS DOUBLE) / n_tokens AS top_token_ratio,
+           CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+             ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+           END AS dup_bigram_ratio
+         FROM tok t LEFT JOIN bg USING (doc_id) ORDER BY doc_id""",
     "q44_vocabulary" ->
       """SELECT token, tf, df FROM (
          SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM (

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Specs for the round-4 curation operators: Misra-Gries heavy hitters,
+  * line-level dedup, contamination detection, the Bloom rejection filter,
+  * shard export, and repetition metrics. The oracle gate (q66-q71) pins
+  * each against DuckDB end to end; these pin the algorithmic guarantees
+  * and edge cases the planted corpora don't reach. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Misra-Gries ----
+
+  private def zipfStream(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 40) "hot0" else if (r < 60) "hot1" else if (r < 70) "hot2"
+      else s"tail${rnd.nextInt(500)}"
+    }
+  }
+
+  test("misra-gries: every item over n/(k+1) survives reduce and merge") {
+    val stream = zipfStream(5000)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (k <- Seq(3, 10, 50)) {
+      val agg = new MisraGriesAgg(k)
+      // reduce-only path
+      val seq = stream.foldLeft(agg.zero)(agg.reduce)
+      // chunked reduce + merge path (what partial aggregation runs)
+      val merged = stream.grouped(617)
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      for (sk <- Seq(seq, merged)) {
+        assert(sk.n == stream.size)
+        assert(sk.counters.size <= k)
+        truth.foreach { case (item, c) =>
+          if (c > stream.size.toLong / (k + 1))
+            assert(sk.counters.contains(item),
+              s"k=$k lost $item with count $c > n/(k+1)")
+          // counters are lower bounds, never overcounts
+          sk.counters.get(item).foreach(est => assert(est <= c))
+        }
+      }
+    }
+  }
+
+  test("heavy hitters: sketch + exact recount equals the brute-force answer") {
+    val docs = zipfStream(800).grouped(40).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, phi = 20L, k = 40)
+      .orderBy("shingle")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sh = Dedup.shingleSet(docs).collect().map(_.getString(1)).toSeq
+    val n = sh.size.toLong
+    val want = sh.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 20L >= n }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  // ---- line dedup ----
+
+  test("line dedup: boilerplate lines strip, order survives, empty docs surface") {
+    val docs = Seq(
+      (0L, "banner\nunique zero\nfooter"),
+      (1L, "banner\nunique one a\nunique one b\nfooter"),
+      (2L, "banner\nfooter"), // nothing survives
+      (3L, "solo document line")) // untouched
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, minDf = 3L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_lines_kept") == 1L)
+    assert(r(1L).getAs[Long]("n_lines_kept") == 2L)
+    assert(r(1L).getAs[Long]("n_lines_dropped") == 2L)
+    // order: "unique one a\nunique one b", not the reverse
+    val expectHash = spark.sql(
+      "SELECT md5('unique one a\nunique one b')").head.getString(0)
+    assert(r(1L).getAs[String]("rebuilt_hash") == expectHash)
+    assert(r(2L).getAs[Long]("n_lines_kept") == 0L)
+    assert(r(2L).getAs[Int]("n_chars_kept") == 0)
+    assert(r(3L).getAs[Long]("n_lines_dropped") == 0L)
+  }
+
+  // ---- contamination ----
+
+  test("contamination: leaked benchmark text flags, clean docs don't") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("bench_id", "text")
+    val corpus = Seq(
+      (0L, "own words here nothing shared at all with anything else listed"),
+      (1L, "prefix text then alpha beta gamma delta epsilon zeta eta appended"))
+      .toDF("doc_id", "text")
+    val r = Dedup.contamination(corpus, bench, n = 5, tau = 0.5).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("doc_id") == 1L)
+    assert(r.head.getAs[Long]("bench_id") == 100L)
+    // all 3 bench 5-grams appear in doc 1
+    assert(r.head.getAs[Long]("overlap") == 3L)
+    assert(r.head.getAs[Double]("contamination") == 1.0)
+  }
+
+  // ---- bloom ----
+
+  test("bloom: no false negatives; rejectFilter equals plain anti-join") {
+    val rnd = new scala.util.Random(7)
+    val ids = (0 until 400).map(_ => rnd.nextLong() % 1000000L).distinct
+    val block = ids.filter(_ % 3 == 0)
+    val big = ids.toDF("id")
+    val blockDf = block.toDF("id")
+    val bits = Bloom.build(blockDf, "id", numBits = 1 << 12, numHashes = 4)
+    // every inserted key probes true
+    val probed = blockDf
+      .filter(Bloom.mightContain(bits, col("id"), 1 << 12, 4)).count()
+    assert(probed == block.size.toLong)
+    val got = Bloom.rejectFilter(big, "id", blockDf, "id",
+      numBits = 1 << 12, numHashes = 4).collect().map(_.getLong(0)).sorted
+    val want = big.join(blockDf, Seq("id"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("bloom: empty blocklist keeps everything without joining") {
+    val big = (1L to 50L).toDF("id")
+    val empty = Seq.empty[Long].toDF("id")
+    val r = Bloom.rejectFilter(big, "id", empty, "id")
+    assert(r.count() == 50L)
+  }
+
+  // ---- export ----
+
+  test("shard export: manifest matches brute force, layout is one dir per shard") {
+    val docs = (0L until 200L).map(i => (i, s"text $i", 10L + i % 7))
+      .toDF("doc_id", "text", "n_chars")
+    val summary = Export.shardSummary(docs, "doc_id", nShards = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val brute = Export.shardAssign(docs, "doc_id", 8)
+      .groupBy("shard").agg(count(lit(1)), sum("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(summary == brute)
+    assert(summary.values.map(_._1).sum == 200L)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      Export.exportShards(docs, "doc_id", 8, dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=")).toSeq
+      assert(shardDirs.map(_.getName).sorted ==
+        summary.keys.toSeq.sorted.map(s => s"shard=$s"))
+      // one data file per shard directory
+      shardDirs.foreach { sd =>
+        assert(sd.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      }
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 200L)
+      assert(back.join(docs, Seq("doc_id"), "left_anti").count() == 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  // ---- repetition ----
+
+  test("repetition metrics match hand computation") {
+    val docs = Seq((0L, "a a a b"), (1L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tokens") == 4L)
+    assert(r(0L).getAs[Long]("max_token_tf") == 3L)
+    assert(r(0L).getAs[Double]("top_token_ratio") == 0.75)
+    // bigrams: "a a", "a a", "a b" -> 3 total, 2 distinct
+    assert(r(0L).getAs[Long]("n_bigrams") == 3L)
+    assert(r(0L).getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(r(0L).getAs[Double]("dup_bigram_ratio") == 1.0 / 3.0)
+    assert(r(1L).getAs[Long]("n_bigrams") == 1L)
+    assert(r(1L).getAs[Double]("dup_bigram_ratio") == 0.0)
+  }
+}
