@@ -141,6 +141,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curation ops: the plan shapes the 100 TB design depends on") {
+    // q66: the recount joins the (tiny, <= k) candidate set as a BROADCAST
+    // semi join — the corpus-side shingle stream must never shuffle for it
+    assert(plan("q66_heavy_hitters").contains("BroadcastHashJoin LeftSemi"),
+      "heavy-hitter recount must broadcast the candidate set")
+    // q68: every join keyed on the benchmark side broadcasts (eval suites
+    // are MBs against the corpus); a sort-merge join here means the corpus
+    // shuffled against the bench
+    val p68 = plan("q68_contamination")
+    assert(!p68.contains("SortMergeJoin"),
+      "contamination must broadcast the benchmark side everywhere")
+    // bloom rejectFilter: a union whose definite-keep branch is a pure
+    // filter — exactly ONE anti-join in the whole plan (the suspects
+    // branch), however large the big side is
+    val big = Tables(spark, sf, "documents").select("doc_id", "lang")
+    val blocklist = Tables(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .select("doc_id")
+    val pBloom = graft.ops.Bloom.rejectFilter(big, "doc_id", blocklist, "doc_id")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pBloom.contains("Union"), "bloom reject filter lost its fast path")
+    val antiJoins = pBloom.linesIterator
+      .count(_.contains("Join type: LeftAnti"))
+    assert(antiJoins == 1,
+      s"bloom reject filter must anti-join only the suspects branch:\n$pBloom")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
