@@ -60,7 +60,7 @@ object Bloom {
     * 15 hex digits of md5(s) as a non-negative long. The aggregator hashes
     * with THIS and the probe column hashes with the expression form — the
     * two must agree bit for bit, which FunctionsSpec pins. */
-  private[ops] def md5Long60(s: String): Long = {
+  private[graft] def md5Long60(s: String): Long = {
     val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     var v = 0L
     var i = 0
@@ -73,7 +73,7 @@ object Bloom {
     * TextKit.md5Long(c, seed=1) produces. Both operands are < 2^60 and
     * i <= 7, so the Java-wrapping sum matches Spark's wrapping long
     * arithmetic exactly; floorMod matches pmod on the column side. */
-  private[ops] def position(id: Long, i: Int, numBits: Int): Int = {
+  private[graft] def position(id: Long, i: Int, numBits: Int): Int = {
     val h1 = md5Long60(id.toString)
     val h2 = md5Long60("1" + id.toString)
     Math.floorMod(h1 + i.toLong * h2, numBits.toLong).toInt

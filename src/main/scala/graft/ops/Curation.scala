@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextKit._
+
+/** The end-to-end training-data curation pipeline, composed from the
+  * operator kit — the documents-side counterpart of the TA flagship
+  * (jobs/Pipeline): normalize -> quality gate -> exact dedup on the
+  * normalized body -> deterministic stratified sample -> per-shard export
+  * manifest. One linear pass over the corpus:
+  *
+  *  - normalization and the token-count gate are narrow projections
+  *    (codegen'd string/array expressions, no shuffle);
+  *  - dedup is ONE hash aggregation on the 128-bit normalized-body
+  *    digest, keeping the min doc id per group (no join back: the
+  *    canonical row rides through the aggregate as a max_by/min_by
+  *    struct payload);
+  *  - the sample is a narrow hash filter (reproducible on any
+  *    partitioning);
+  *  - the manifest is one final aggregation on the shard key.
+  *
+  * Two shuffles total (dedup, manifest) regardless of corpus size. */
+object Curation {
+
+  /** Run the pipeline; returns the per-shard manifest: shard, surviving
+    * doc count, total normalized chars, order-independent id checksum. */
+  def curate(docs: DataFrame, minTokens: Int = 30,
+      pctByLang: Map[String, Int] = Map("en" -> 10, "fr" -> 30, "es" -> 30,
+        "de" -> 50),
+      defaultPct: Int = 20, nShards: Int = 16): DataFrame = {
+    val normed = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.normExpr(col("text")).as("norm"))
+      .filter(size(tokens(col("norm"))) >= minTokens)
+    // exact dedup on the normalized body: min doc id is canonical; its
+    // (doc_id, lang, n_chars) payload travels inside the aggregate via
+    // min_by, so no second pass or self-join re-fetches the winner's row
+    val canonical = normed
+      .groupBy(md5(col("norm")).as("norm_hash"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), length(col("norm")).as("n_chars_norm")),
+        col("doc_id")).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.n_chars_norm").as("n_chars_norm"))
+    val sampled = canonical
+      .filter(TextAnalysis.sampleKeep(pctByLang, defaultPct))
+    Export.shardSummary(sampled, "doc_id", nShards, charsCol = "n_chars_norm")
+  }
+}

@@ -40,6 +40,39 @@ object Export {
       .sortWithinPartitions("shard", idCol)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Sequence packing for pretraining batches: documents are laid out in
+    * a deterministic pseudo-random order (the md5 hash key — the
+    * reproducible "shuffle" a training run wants) and greedily packed
+    * into fixed token-budget bins: a document starting at running-token
+    * offset o lands in pack o div budget. Emits (doc_id, shard, pack_id,
+    * pack_pos, n_tokens).
+    *
+    * 100 TB shape: packing is per SHARD — the running sum is a window
+    * partitioned by the shard column, so shards pack in parallel and no
+    * global order/total sort exists anywhere; one shuffle on shard. A
+    * document longer than the budget still gets a pack (its own start
+    * offset's bin, overflowing it) — filter oversize docs upstream with
+    * [[TextAnalysis.lengthPercentiles]]-derived bounds if undesired. */
+  def packSequences(docs: DataFrame, budget: Long = 2048L,
+      nShards: Int = 8): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    val base = shardAssign(docs, "doc_id", nShards)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("hkey", md5Long(col("doc_id").cast(StringType)))
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div ${budget}L"))
+      .withColumn("pack_pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("pack_id"))
+          .orderBy(col("hkey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("pack_pos"),
+        col("n_tokens"))
+  }
+
   /** Per-shard manifest: row count, total characters, and an
     * order-independent id checksum (sum of 60-bit id hashes mod 2^31-1 —
     * bounded far under BIGINT overflow at any realistic shard size). The

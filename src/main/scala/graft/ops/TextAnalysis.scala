@@ -91,6 +91,18 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
 
+  /** The deterministic per-language keep predicate behind
+    * [[stratifiedSample]]: md5(doc_id) mod 100 under the language's
+    * percentage. Exposed so pipeline compositions reuse the exact
+    * semantics. */
+  def sampleKeep(pctByLang: Map[String, Int], defaultPct: Int): Column = {
+    val pct = pctByLang.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultPct): Column) { case ((l, p), acc) =>
+        when(col("lang") === l, lit(p)).otherwise(acc)
+      }
+    md5Long(col("doc_id").cast(StringType)) % 100 < pct
+  }
+
   /** Deterministic per-language stratified sample: keep a document iff
     * md5(doc_id) mod 100 falls under its language's percentage. Hash-based
     * (not rand()) so the sample is reproducible across runs, engines and
@@ -99,22 +111,23 @@ object TextAnalysis {
     * broadcast-sized literal map; a narrow filter, no shuffle at all. */
   def stratifiedSample(docs: DataFrame,
       pctByLang: Map[String, Int] = Map("en" -> 10, "fr" -> 30, "es" -> 30,
-        "de" -> 50), defaultPct: Int = 20): DataFrame = {
-    val pct = pctByLang.toSeq.sortBy(_._1)
-      .foldRight(lit(defaultPct): Column) { case ((l, p), acc) =>
-        when(col("lang") === l, lit(p)).otherwise(acc)
-      }
-    docs.filter(md5Long(col("doc_id").cast(StringType)) % 100 < pct)
+        "de" -> 50), defaultPct: Int = 20): DataFrame =
+    docs.filter(sampleKeep(pctByLang, defaultPct))
       .select(col("doc_id"), col("lang"), col("source"))
-  }
 
   /** Text normalization for dedup/training: lowercase, strip everything
     * outside [a-z0-9 ], collapse whitespace runs, trim — emitted as the
     * normalized length + md5 (the downstream exact-dedup key) rather than
     * re-shipping the body. Pure codegen'd string expressions. */
+  /** The normalization expression itself (lowercase, strip to
+    * [a-z0-9 ], collapse runs, trim) — exposed so pipeline compositions
+    * share the exact semantics with [[normalize]]. */
+  def normExpr(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   def normalize(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = normExpr(col("text"))
     docs.select(col("doc_id"),
       length(norm).as("n_chars_norm"), md5(norm).as("norm_hash"))
   }

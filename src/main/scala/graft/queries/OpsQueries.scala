@@ -204,6 +204,17 @@ object OpsQueries {
         .orderBy("shard")),
     "q71_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    // sequence packing: per-shard deterministic pseudo-random order +
+    // running token sums -> fixed-budget pack assignment, shards pack in
+    // parallel (window partitioned by shard, no global sort)
+    "q72_sequence_packing" -> ((s, d) =>
+      Export.packSequences(docs(s, d), budget = 2048L, nShards = 8)
+        .orderBy("doc_id")),
+    // the curation flagship: normalize -> token gate -> exact dedup on
+    // the normalized body (min_by payload, no join-back) -> stratified
+    // sample -> shard manifest; two shuffles end to end
+    "q73_curation_pipeline" -> ((s, d) =>
+      Curation.curate(docs(s, d)).orderBy("shard")),
     "q45_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
     "q46_normalize" -> ((s, d) =>
@@ -727,6 +738,43 @@ object OpsQueries {
              ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
            END AS dup_bigram_ratio
          FROM tok t LEFT JOIN bg USING (doc_id) ORDER BY doc_id""",
+    "q72_sequence_packing" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH base AS (SELECT doc_id, h % 8 AS shard,
+           len(string_split(text,' ')) AS n_tokens, h AS hkey
+           FROM (SELECT doc_id, text, $h AS h FROM documents)),
+         p AS (SELECT doc_id, shard, n_tokens, hkey,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY hkey, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+           FROM base),
+         p2 AS (SELECT doc_id, shard, n_tokens, hkey,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id FROM p)
+         SELECT doc_id, shard, pack_id,
+           row_number() OVER (PARTITION BY shard, pack_id
+             ORDER BY hkey, doc_id) AS pack_pos,
+           n_tokens
+         FROM p2 ORDER BY doc_id"""
+    },
+    "q73_curation_pipeline" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH normed AS (SELECT doc_id, lang,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+           FROM documents),
+         gated AS (SELECT * FROM normed
+           WHERE len(string_split(norm, ' ')) >= 30),
+         canon AS (SELECT arg_min(doc_id, doc_id) AS doc_id,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(length(norm), doc_id) AS n_chars_norm
+           FROM gated GROUP BY md5(norm)),
+         sampled AS (SELECT * FROM canon
+           WHERE $h % 100 < CASE lang WHEN 'de' THEN 50 WHEN 'en' THEN 10
+             WHEN 'es' THEN 30 WHEN 'fr' THEN 30 ELSE 20 END)
+         SELECT $h % 16 AS shard, count(*) AS n_docs,
+           CAST(sum(n_chars_norm) AS BIGINT) AS sum_chars,
+           CAST(sum($h % ${Dedup.P}) AS BIGINT) AS id_checksum
+         FROM sampled GROUP BY shard ORDER BY shard"""
+    },
     "q44_vocabulary" ->
       """SELECT token, tf, df FROM (
          SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM (

@@ -164,6 +164,64 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- sequence packing ----
+
+  test("sequence packing: pack = start-offset div budget, shards independent") {
+    val docs = (0L until 120L).map(i => (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Export.packSequences(docs, budget = 16L, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(got.length == 120)
+    // driver recompute: group by shard, order by (hkey, id), running sum
+    val byShard = got.groupBy(_._2)
+    byShard.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (Bloom.md5Long60(r._1.toString), r._1))
+      var cum = 0L
+      ordered.foreach { case (_, _, packId, _, n) =>
+        assert(packId == cum / 16L, s"pack id must be start-offset div budget")
+        cum += n
+      }
+      // pack_pos is 1..k within each pack in the same order
+      ordered.groupBy(_._3).foreach { case (_, packRows) =>
+        assert(packRows.map(_._4).sorted.toSeq == (1 to packRows.size))
+      }
+    }
+    // every shard used (uniform hash over 120 ids)
+    assert(byShard.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  // ---- curation pipeline ----
+
+  test("curation pipeline equals the composed individual operators") {
+    val mk = (i: Long, lang: String, toks: Int, dup: Boolean) =>
+      (i, (if (dup) Seq.fill(toks)("Dup!") else (0 until toks).map(t => s"W${(i * 31 + t) % 97}x")).mkString(" "), lang)
+    val docs = ((0L until 40L).map(i => mk(i, if (i % 2 == 0) "en" else "de", 35, i < 10)) ++
+      Seq(mk(100L, "en", 5, false))) // under the 30-token gate
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.curate(docs, nShards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute force: normalize, gate, dedup (min id), sample, manifest
+    val norm = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.normExpr(col("text")).as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.split(" ", -1).length >= 30)
+    val canon = norm.groupBy(_._3).map(_._2.minBy(_._1)).toSeq
+    val sampled = canon.filter { case (id, lang, _) =>
+      Bloom.md5Long60(id.toString) % 100 <
+        (if (lang == "en") 10 else if (lang == "de") 50 else 20)
+    }
+    val want = sampled.groupBy { case (id, _, _) => Bloom.md5Long60(id.toString) % 4 }
+      .map { case (shard, rows) =>
+        shard -> (rows.size.toLong, rows.map(_._3.length.toLong).sum,
+          rows.map(r => Bloom.md5Long60(r._1.toString) % Dedup.P).sum)
+      }
+    assert(got == want)
+    // the planted duplicates collapsed: ids 1..9 are gone, 0 may survive
+    assert(!got.isEmpty)
+    val survivors = sampled.map(_._1).toSet
+    assert(survivors.intersect((1L to 9L).toSet).isEmpty)
+  }
+
   // ---- repetition ----
 
   test("repetition metrics match hand computation") {
