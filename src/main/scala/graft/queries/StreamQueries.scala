@@ -16,7 +16,10 @@ object StreamQueries {
     // per-user buffering); the flatMapGroupsWithState streaming form is
     // spec-pinned to produce identical sessions
     "q34_sessionize" -> ((s, d) =>
-      StreamingOps.sessionizeSorted(s, d).orderBy("user_id", "start_us")))
+      StreamingOps.sessionizeSorted(s, d).orderBy("user_id", "start_us")),
+    // the dedup registry as streaming aggregation state; equals the batch
+    // q21 operator on a finite source (min/count are order-insensitive)
+    "q74_stream_dedup" -> ((s, d) => StreamingOps.streamingDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q33_stream_hourly" ->
@@ -33,6 +36,10 @@ object StreamQueries {
              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m)
          SELECT user_id, min(ts) AS start_us, max(ts) AS end_us,
            count(*) AS n_events
-         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
+    "q74_stream_dedup" ->
+      """SELECT md5(text) AS text_hash,
+         min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY canonical_id"""
   )
 }

@@ -88,6 +88,41 @@ object StreamingOps {
     }
   }
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup: the incremental form of
+    * [[graft.ops.Dedup.exact]]. The dedup registry — one (content hash ->
+    * canonical min doc id, copy count) entry per distinct document — IS
+    * the streaming aggregation state, maintained incrementally across
+    * micro-batches by min/count merges; an ingest stream consults/extends
+    * it batch by batch instead of re-scanning the corpus. State size is
+    * one row per DISTINCT document (the hash, not the body), partitioned
+    * across the state stores by the shuffle — no single store holds the
+    * registry. On a finite source the result equals the batch operator
+    * exactly (min and count are order-insensitive), which is what the
+    * DuckDB oracle checks; `dropDuplicates` gives the row-level streaming
+    * variant but keeps an ARRIVAL-ORDER-dependent survivor, so the
+    * deterministic registry is the oracle-able shape. */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = ss.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    stream.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("canonical_id")
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

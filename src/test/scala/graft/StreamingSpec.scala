@@ -95,4 +95,38 @@ class StreamingSpec extends SparkSpec {
     assert(sorted.nonEmpty)
     assert(sorted == stateful)
   }
+
+  test("streaming dedup registry equals the batch operator") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps.streamingDedup(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val batch = graft.ops.Dedup.exact(
+        spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // the row-level streaming variant (dropDuplicates) keeps an arrival-
+    // dependent survivor but must agree on the set of distinct contents
+    import org.apache.spark.sql.functions.md5
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val name = "dd_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    ss.readStream.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .withColumn("text_hash", md5(org.apache.spark.sql.functions.col("text")))
+      .dropDuplicates("text_hash")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val survivors = ss.table(name).collect().map(_.getAs[String]("text_hash"))
+    assert(survivors.length == survivors.distinct.length)
+    assert(survivors.toSet == batch.keySet)
+  }
 }
