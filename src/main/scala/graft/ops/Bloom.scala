@@ -117,7 +117,11 @@ object Bloom {
   def rejectFilter(big: DataFrame, idCol: String, blocklist: DataFrame,
       blockCol: String, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
     val words = build(blocklist, blockCol, numBits, numHashes)
-    val maybe = mightContain(words, col(idCol), numBits, numHashes)
+    // a NULL id hashes to NULL and would vanish from BOTH filter branches;
+    // route it to the suspects side, whose anti-join keeps it (NULL never
+    // equals a blocklist key) — matching the plain left_anti exactly
+    val maybe = coalesce(
+      mightContain(words, col(idCol), numBits, numHashes), lit(true))
     val definite = big.filter(!maybe)
     val suspects = big.filter(maybe)
       .join(blocklist.select(col(blockCol).cast(LongType).as(idCol)),

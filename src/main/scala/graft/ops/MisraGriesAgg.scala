@@ -35,7 +35,10 @@ class MisraGriesAgg(k: Int) extends Aggregator[String, MgSketch, MgSketch] {
       case Some(c) => m.updated(item, c + 1L)
       case None if m.size < k => m.updated(item, 1L)
       case None =>
-        // decrement-all step; zeros vacate their slots, new item discarded
+        // decrement-all step; zeros vacate their slots, new item discarded.
+        // Costs O(k) but can fire at most n/(k+1) times over the stream
+        // (each event destroys k+1 units of count mass, arrivals create
+        // one each), so the amortized per-arrival cost stays O(1).
         m.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
     }
     MgSketch(next, buf.n + 1L)

@@ -131,6 +131,17 @@ class CurationSpec extends SparkSpec {
     assert(r.count() == 50L)
   }
 
+  test("bloom: null ids survive like the plain anti-join keeps them") {
+    val big = Seq[java.lang.Long](1L, 2L, null, 7L).toDF("id")
+    val blockDf = Seq(7L).toDF("id")
+    val got = Bloom.rejectFilter(big, "id", blockDf, "id")
+      .collect().map(r => Option(r.get(0))).toSet
+    val want = big.join(blockDf, Seq("id"), "left_anti")
+      .collect().map(r => Option(r.get(0))).toSet
+    assert(got == want)
+    assert(got.contains(None), "the null id row must be kept")
+  }
+
   // ---- export ----
 
   test("shard export: manifest matches brute force, layout is one dir per shard") {
