@@ -73,6 +73,36 @@ object Export {
         col("n_tokens"))
   }
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows with `overlap` tokens of left context carried into each next
+    * chunk (the RAG/pretraining prep step). Chunk i covers tokens
+    * [i*stride, i*stride + chunkTokens) with stride = chunkTokens -
+    * overlap; chunk count = ceil(n/stride) (>= 1 — empty-ish docs still
+    * emit their one chunk), the trailing chunk simply truncates. Emits
+    * (doc_id, chunk_idx, chunk_n_tokens, chunk_hash) — the hash is the
+    * downstream chunk-level dedup/audit key; re-shipping chunk BODIES is
+    * the consumer's call (same slice expression).
+    *
+    * 100 TB shape: pure narrow column arithmetic (split + sequence
+    * explode + slice), NO shuffle at all — chunking parallelizes with the
+    * scan, and the output row count is corpus tokens / stride. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        expr(s"greatest(1, (n + ${stride - 1}) div $stride)") - 1)))
+      .withColumn("chunk",
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("chunk_n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
   /** Per-shard manifest: row count, total characters, and an
     * order-independent id checksum (sum of 60-bit id hashes mod 2^31-1 —
     * bounded far under BIGINT overflow at any realistic shard size). The

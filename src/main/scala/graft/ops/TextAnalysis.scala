@@ -265,6 +265,35 @@ object TextAnalysis {
           .as("dup_bigram_ratio"))
   }
 
+  /** Corpus-frequency quality score — the integer-exact stand-in for the
+    * CCNet-style LM-perplexity filter: per document, the total corpus
+    * term-frequency mass of its tokens and the mean corpus tf per token.
+    * Rare-token-heavy documents (gibberish, mangled encodings) score low;
+    * boilerplate scores high; both tails are filter candidates. A real
+    * log-prob would be ln-based and ln is not bit-identical across libm
+    * implementations, so the HASHED columns stay integer (+ one double
+    * division of exact integers).
+    *
+    * Shape at scale: the corpus tf relation derives FROM the cached
+    * (doc, token) pre-aggregation (no second scan); the join back is on
+    * token — the zipfian head is one corpus row joining df(token)
+    * doc-rows, so at web scale broadcast the head (it is tiny) or salt it
+    * ([[Skew.saltedJoin]]); the per-doc rollup is a narrow shuffle. */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val tf = tracked(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf_doc")))
+    val corpus = tf.groupBy(col("token")).agg(sum(col("tf_doc")).as("tf"))
+    tf.join(corpus, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf_doc")).as("n_tokens"),
+        sum(col("tf_doc") * col("tf")).as("freq_mass"))
+      .select(col("doc_id"), col("n_tokens"), col("freq_mass"),
+        (col("freq_mass").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("mean_token_tf"))
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

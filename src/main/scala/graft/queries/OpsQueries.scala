@@ -215,6 +215,14 @@ object OpsQueries {
     // sample -> shard manifest; two shuffles end to end
     "q73_curation_pipeline" -> ((s, d) =>
       Curation.curate(docs(s, d)).orderBy("shard")),
+    // context-window chunking: 64-token windows, 16-token overlap — pure
+    // narrow column arithmetic, zero shuffle
+    "q75_chunking" -> ((s, d) =>
+      Export.chunkDocuments(docs(s, d)).orderBy("doc_id", "chunk_idx")),
+    // corpus-frequency quality score (the integer-exact CCNet-style
+    // LM-filter stand-in)
+    "q76_unigram_score" -> ((s, d) =>
+      TextAnalysis.unigramScore(docs(s, d)).orderBy("doc_id")),
     "q45_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
     "q46_normalize" -> ((s, d) =>
@@ -738,6 +746,30 @@ object OpsQueries {
              ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
            END AS dup_bigram_ratio
          FROM tok t LEFT JOIN bg USING (doc_id) ORDER BY doc_id""",
+    "q75_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+           len(string_split(text,' ')) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+           unnest(generate_series(0, greatest(1, (n + 47) // 48) - 1))
+             AS chunk_idx FROM t),
+         ch AS (SELECT doc_id, chunk_idx,
+           toks[chunk_idx*48 + 1 : least(chunk_idx*48 + 64, n)] AS chunk
+           FROM c)
+         SELECT doc_id, chunk_idx, len(chunk) AS chunk_n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+         FROM ch ORDER BY doc_id, chunk_idx""",
+    "q76_unigram_score" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token
+           FROM documents) GROUP BY doc_id, token),
+         corpus AS (SELECT token, CAST(sum(tf_doc) AS BIGINT) AS tf
+           FROM tf GROUP BY token)
+         SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_tokens,
+           CAST(sum(tf_doc * tf) AS BIGINT) AS freq_mass,
+           CAST(CAST(sum(tf_doc * tf) AS BIGINT) AS DOUBLE) /
+             CAST(sum(tf_doc) AS BIGINT) AS mean_token_tf
+         FROM tf JOIN corpus USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q72_sequence_packing" -> {
       val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
       s"""WITH base AS (SELECT doc_id, h % 8 AS shard,

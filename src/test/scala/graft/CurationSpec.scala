@@ -233,6 +233,49 @@ class CurationSpec extends SparkSpec {
     assert(survivors.intersect((1L to 9L).toSet).isEmpty)
   }
 
+  // ---- chunking ----
+
+  test("chunking: stride/overlap reconstruction matches a driver recompute") {
+    val docs = Seq(
+      (0L, (1 to 150).map(i => s"t$i").mkString(" ")), // 4 chunks
+      (1L, (1 to 64).map(i => s"u$i").mkString(" ")),  // one full window, 2 chunks (ceil(64/48))
+      (2L, "tiny doc"))                                 // 1 chunk
+      .toDF("doc_id", "text")
+    val got = Export.chunkDocuments(docs, chunkTokens = 64, overlap = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getString(3))).toMap
+    val want = Seq(0L -> 150, 1L -> 64, 2L -> 2).flatMap { case (id, n) =>
+      val toks = docs.filter(col("doc_id") === id)
+        .head.getString(1).split(" ", -1)
+      val nChunks = math.max(1, (n + 47) / 48)
+      (0 until nChunks).map { i =>
+        val chunk = toks.slice(i * 48, math.min(i * 48 + 64, n))
+        (id, i.toLong) -> (chunk.length,
+          spark.sql(s"SELECT md5('${chunk.mkString(" ")}')").head.getString(0))
+      }
+    }.toMap
+    assert(got == want)
+    // overlap property: chunk i+1 begins with the last `overlap` tokens
+    // of chunk i's window (same underlying token range)
+    assert(got((0L, 0L))._1 == 64 && got((0L, 1L))._1 == 64 &&
+      got((0L, 2L))._1 == 54) // 150 - 2*48
+  }
+
+  test("unigram score equals the brute-force frequency mass") {
+    val docs = Seq(
+      (0L, "the the rare"), (1L, "the common common"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.unigramScore(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    // corpus tf: the=3, rare=1, common=2
+    assert(r(0L) == ((3L, 3L * 2 + 1L * 1, (3.0 * 2 + 1) / 3))
+      || r(0L) == ((3L, 7L, 7.0 / 3)))
+    assert(r(1L)._2 == 3L * 1 + 2L * 2) // the*1 + common*2·... = 3 + 4
+    TextKit.releaseCaches()
+  }
+
   // ---- repetition ----
 
   test("repetition metrics match hand computation") {
