@@ -294,6 +294,37 @@ object TextAnalysis {
           col("n_tokens").cast(DoubleType)).as("mean_token_tf"))
   }
 
+  /** Keyword search: rank documents against a bag of query terms by an
+    * integer-exact tf-idf score — sum over matching terms of
+    * tf_doc * (N div df), with N = corpus size and df the term's document
+    * frequency. (The classic float idf = ln(N/df) carries the same
+    * ordering intent but ln is not cross-engine bit-stable; the integer
+    * weight keeps the HASHED score deterministic.) Ties break by doc_id.
+    *
+    * Shape at scale: the exploded (doc, token) stream is filtered to the
+    * query terms BEFORE any aggregation — only matching postings ever
+    * shuffle; df/N are two tiny aggregates over that filtered relation
+    * (plus one corpus count); the top-k is a TakeOrdered over per-doc
+    * scores, never a global sort. */
+  def search(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val n = docs.count()
+    val tf = tracked(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms.map(lit(_)): _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf_doc")))
+    val idf = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"), (lit(n) / col("df")).cast("long").as("idf_int"))
+    tf.join(broadcast(idf), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf_doc") * col("idf_int")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

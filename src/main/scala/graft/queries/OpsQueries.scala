@@ -223,6 +223,10 @@ object OpsQueries {
     // LM-filter stand-in)
     "q76_unigram_score" -> ((s, d) =>
       TextAnalysis.unigramScore(docs(s, d)).orderBy("doc_id")),
+    // keyword search: integer tf-idf ranking, postings filtered before
+    // any shuffle, top-k via TakeOrdered
+    "q77_search" -> ((s, d) =>
+      TextAnalysis.search(docs(s, d), Seq("table", "join", "fast"))),
     "q45_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
     "q46_normalize" -> ((s, d) =>
@@ -770,6 +774,18 @@ object OpsQueries {
              CAST(sum(tf_doc) AS BIGINT) AS mean_token_tf
          FROM tf JOIN corpus USING (token)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q77_search" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token
+           FROM documents)
+           WHERE token IN ('table','join','fast') GROUP BY doc_id, token),
+         idf AS (SELECT token,
+           CAST((SELECT count(*) FROM documents) // count(*) AS BIGINT)
+             AS idf_int FROM tf GROUP BY token)
+         SELECT doc_id, CAST(sum(tf_doc * idf_int) AS BIGINT) AS score,
+           count(*) AS n_terms_hit
+         FROM tf JOIN idf USING (token) GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 20""",
     "q72_sequence_packing" -> {
       val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
       s"""WITH base AS (SELECT doc_id, h % 8 AS shard,

@@ -276,6 +276,23 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  // ---- search ----
+
+  test("search ranks by integer tf-idf, ties by doc id") {
+    val docs = Seq(
+      (0L, "table table table join other words"),
+      (1L, "join join fast filler filler filler"),
+      (2L, "nothing relevant at all in here six"),
+      (3L, "fast fast fast fast fast fast fast"))
+      .toDF("doc_id", "text")
+    // df: table=1, join=2, fast=2; N=4 -> idf: table 4, join 2, fast 2
+    val r = TextAnalysis.search(docs, Seq("table", "join", "fast"), k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // scores: d0 = 3*4 + 1*2 = 14; d1 = 2*2 + 1*2 = 6; d3 = 7*2 = 14
+    assert(r.toSeq == Seq((0L, 14L, 2L), (3L, 14L, 1L), (1L, 6L, 2L)))
+    TextKit.releaseCaches()
+  }
+
   // ---- repetition ----
 
   test("repetition metrics match hand computation") {
