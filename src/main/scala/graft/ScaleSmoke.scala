@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling evidence for the dedup family: replicate the sf corpus k times
+  * and measure the minhash+LSH chain (and its connected-components
+  * consumer) at 1x vs kx. Two corpus shapes:
+  *
+  *  - "clean": each replica's text gets a replica tag appended, so
+  *    replicas are NOT near-dups of each other — candidate pairs grow
+  *    ~linearly and the chain should scale near-linearly in corpus size;
+  *  - "adversarial": byte-identical replicas, so EVERY document sits in a
+  *    k-way duplicate cluster — the shape the band-bucket caps and the
+  *    size-gated verify join exist for; super-linear pair growth is
+  *    expected (pairs ~ k^2 per cluster) but bounded by the caps.
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [k]. Prints one JSON line per
+  * measurement; not part of the driver contract (Bench stays the graded
+  * artifact). */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    val n = base.count()
+
+    // perturb=true prefixes EVERY token with the replica id, making the
+    // replicas' shingle spaces disjoint (true near-dup-free growth: a
+    // weaker perturbation — appending a tag — leaves replicas at ~0.93
+    // Jaccard and the corpus becomes all k-way clusters)
+    def replicate(times: Int, perturb: Boolean): DataFrame =
+      base.withColumn("r", explode(sequence(lit(0), lit(times - 1))))
+        .select((col("doc_id") * times + col("r")).as("doc_id"),
+          (if (perturb)
+            array_join(transform(split(col("text"), " "),
+              t => concat(lit("r"), col("r"), t)), " ")
+           else col("text")).as("text"))
+
+    def time(label: String, docs: DataFrame, rows: Long): Unit = {
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs)
+      val nPairs = pairs.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nComp = graft.ops.Components.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b"))).count()
+      val tComp = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      base.cache(); base.count()
+      println(f"""{"experiment":"$label","rows":$rows,"pairs":$nPairs,""" +
+        f""""labeled":$nComp,"pairs_sec":$tPairs%.2f,"cc_sec":$tComp%.2f}""")
+    }
+
+    // JIT/codegen warm-up so base_1x doesn't carry first-call cost
+    graft.ops.Dedup.minhashLshPairs(replicate(1, perturb = true).limit(200)).count()
+    spark.catalog.clearCache(); base.cache(); base.count()
+
+    time("base_1x", replicate(1, perturb = true), n)
+    time(s"clean_${k}x", replicate(k, perturb = true), n * k)
+    time(s"adversarial_${k}x", replicate(k, perturb = false), n * k)
+    spark.stop()
+  }
+}
