@@ -95,23 +95,33 @@ object Dedup {
     * MBs against a 100 TB corpus), so it broadcasts and the corpus
     * streams through a broadcast hash join — no corpus shuffle at all
     * until the (doc, bench) pair aggregation, whose cardinality is
-    * bounded by actual overlap, not corpus size. */
+    * bounded by actual overlap, not corpus size. The broadcast is SIZE-
+    * GATED like the Jaccard-verify semi join (the hint is a promise, not
+    * advice — an unexpectedly huge "benchmark" must degrade to a shuffled
+    * join, not OOM the driver): the bench n-gram relation broadcasts only
+    * when its row count, measured off the same pass that computes the
+    * per-bench sizes, stays under `broadcastNgramLimit`. */
   def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 5,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, broadcastNgramLimit: Long = 5000000L): DataFrame = {
     val cSh = spread(corpus)
       .select(col("doc_id"), explode(shinglesOf(col("text"), n)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("m"))
       .distinct()
-    val bSh = bench
+    val bSh = tracked(bench
       .select(col("bench_id"), explode(shinglesOf(col("text"), n)).as("s"))
       .select(col("bench_id"), md5Long(col("s")).as("m"))
-      .distinct()
+      .distinct())
+    // one cheap count on the cached relation decides BOTH hints: the
+    // per-bench size relation has at most as many rows as bSh
+    val bTotal = bSh.count()
+    val gate = (df: DataFrame) =>
+      if (bTotal <= broadcastNgramLimit) broadcast(df) else df
     val bSize = bSh.groupBy(col("bench_id"))
       .agg(count(lit(1)).as("bench_ngrams"))
-    cSh.join(broadcast(bSh), Seq("m"))
+    cSh.join(gate(bSh), Seq("m"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
-      .join(broadcast(bSize), Seq("bench_id"))
+      .join(gate(bSize), Seq("bench_id"))
       .withColumn("contamination",
         col("overlap").cast(DoubleType) / col("bench_ngrams").cast(DoubleType))
       .filter(col("contamination") >= tau)

@@ -152,6 +152,33 @@ class PlanSpec extends SparkSpec {
     val p68 = plan("q68_contamination")
     assert(!p68.contains("SortMergeJoin"),
       "contamination must broadcast the benchmark side everywhere")
+    // ...but the hint is size-gated: limit 0 must fall back to a shuffled
+    // join with identical answers (the q60 pattern for verifyJaccard)
+    locally {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val corpus = Tables(spark, sf, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val bench = corpus
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+          .withColumnRenamed("doc_id", "bench_id")
+        val hinted = graft.ops.Dedup.contamination(corpus, bench, tau = 0.9)
+        val gated = graft.ops.Dedup.contamination(corpus, bench, tau = 0.9,
+          broadcastNgramLimit = 0L)
+        val pg = gated.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        assert(!pg.contains("BroadcastHashJoin"),
+          s"limit=0 must not force-broadcast the bench side:\n$pg")
+        assert(hinted.orderBy("doc_id", "bench_id").collect().toSeq ==
+          gated.orderBy("doc_id", "bench_id").collect().toSeq,
+          "plan switch changed the answers")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        graft.ops.Dedup.releaseCaches()
+      }
+    }
     // bloom rejectFilter: a union whose definite-keep branch is a pure
     // filter — exactly ONE anti-join in the whole plan (the suspects
     // branch), however large the big side is
