@@ -384,6 +384,31 @@ object Dedup {
       candDocBound(buckets), broadcastDocLimit)
   }
 
+  /** Long-exact-substring duplicate detection — the fixed-window
+    * approximation of suffix-array training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): two
+    * documents sharing ANY identical `window`-token run are reported with
+    * the count of distinct shared windows (a w-token shared run yields
+    * w - window + 1 hits, so the count also grades overlap length).
+    *
+    * Scale shape: same inverted-index discipline as the rest of the
+    * family — one hash per window occurrence, distinct (doc, window-hash)
+    * pairs, a document-frequency band (2..maxDf) so boilerplate windows
+    * shared by half the corpus can't go quadratic (they are boilerplate,
+    * not plagiarism — [[lineDedup]] is the tool for those), O(cap)
+    * per-row pair explode. */
+  def sharedSubstringPairs(docs: DataFrame, window: Int = 20,
+      maxDf: Int = 50): DataFrame = {
+    val wsh = tracked(spread(docs)
+      .select(col("doc_id"), explode(shinglesOf(col("text"), window)).as("s"))
+      .select(col("doc_id"), md5Long(col("s")).as("m"))
+      .distinct())
+    val buckets = boundedBuckets(wsh, Seq("m"), "doc_id", maxDf)
+    pairsFromBuckets(buckets)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Embedding cosine near-dup: exact integer-quantized cosine over
     * candidate pairs. Small inputs go brute force; the documented scale
     * path is embeddingNearDupBlocked. */

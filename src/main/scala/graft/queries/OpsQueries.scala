@@ -227,6 +227,19 @@ object OpsQueries {
     // any shuffle, top-k via TakeOrdered
     "q77_search" -> ((s, d) =>
       TextAnalysis.search(docs(s, d), Seq("table", "join", "fast"))),
+    // shared-substring dedup: every 9th doc gains a 24-token passage
+    // shared within its doc_id % 225 group -> each in-group pair must
+    // report its 5 shared 20-token windows (group sizes stay under the
+    // df cap at every SF; natural text contributes nothing at window 20)
+    "q78_substring_pairs" -> ((s, d) =>
+      Dedup.sharedSubstringPairs(
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 9 === 4,
+            concat(col("text"), lit(" "), concat_ws(" ",
+              (0 until 24).map(i => concat(lit(s"sp${i}g"),
+                (col("doc_id") % 225).cast("string"))): _*)))
+            .otherwise(col("text")).as("text")))
+        .orderBy("doc_a", "doc_b")),
     "q45_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
     "q46_normalize" -> ((s, d) =>
@@ -786,6 +799,28 @@ object OpsQueries {
            count(*) AS n_terms_hit
          FROM tf JOIN idf USING (token) GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 20""",
+    "q78_substring_pairs" -> {
+      val passage = (0 until 24)
+        .map(i => s"'sp${i}g' || CAST(doc_id % 225 AS VARCHAR)")
+        .mkString(" || ' ' || ")
+      val win20 = (0 until 20).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+      s"""WITH plantdocs AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 4 THEN text || ' ' || $passage
+             ELSE text END AS text FROM documents),
+         wsh AS (SELECT DISTINCT doc_id, ${TextKit.ducksql.md5Long("s")} AS m
+           FROM (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks)-19),
+               i -> $win20)) AS s
+             FROM (SELECT doc_id, string_split(text,' ') AS toks
+               FROM plantdocs))),
+         ok AS (SELECT m FROM wsh GROUP BY m
+           HAVING count(*) BETWEEN 2 AND 50),
+         cand AS (SELECT wsh.* FROM wsh JOIN ok USING (m))
+         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           count(*) AS shared_windows
+         FROM cand l JOIN cand r ON l.m = r.m AND l.doc_id < r.doc_id
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+    },
     "q72_sequence_packing" -> {
       val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
       s"""WITH base AS (SELECT doc_id, h % 8 AS shard,

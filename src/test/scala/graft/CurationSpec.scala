@@ -276,6 +276,24 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  // ---- shared substrings ----
+
+  test("substring pairs: a shared 25-token run yields its 6 windows") {
+    val run = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma delta"),
+      (1L, s"one two three four $run five"),
+      (2L, "totally unrelated text with plenty of words but no shared runs at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.sharedSubstringPairs(docs).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 0L && r.head.getLong(1) == 1L)
+    // 25-token run -> 25 - 20 + 1 = 6 distinct shared windows; the
+    // boundary windows differ (different surrounding text)
+    assert(r.head.getLong(2) == 6L)
+    TextKit.releaseCaches()
+  }
+
   // ---- search ----
 
   test("search ranks by integer tf-idf, ties by doc id") {
