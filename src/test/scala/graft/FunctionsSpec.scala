@@ -78,6 +78,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Md5Long60 and LongArrayDot compile inside whole-stage codegen") {
+    // forbid the silent interpreted fallback: a janino compile error in
+    // either expression's generated code must FAIL here, not quietly
+    // split the codegen span on the dedup family's hottest path
+    import org.apache.spark.sql.functions.{concat, lit, sum, array}
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val h = spark.range(100)
+        .select((graft.functions.Md5Long60(
+          concat(lit("x"), col("id").cast("string"))) % 1000003L).as("h"))
+        .agg(sum(col("h"))).head.getLong(0)
+      assert(h > 0L)
+      val d = spark.range(100)
+        .select(graft.functions.LongArrayDot(
+          array(col("id"), lit(2L)), array(lit(3L), col("id"))).as("d"))
+        .agg(sum(col("d"))).head.getLong(0)
+      assert(d == (0 until 100).map(i => i * 3L + 2L * i).sum)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("zeroGuardFidelity replaces every '0' digit (the reference bug)") {
     assert(one("0", zeroGuardFidelity(col("v"))) == "1")
     assert(one("105", zeroGuardFidelity(col("v"))) == "115")
