@@ -86,6 +86,35 @@ class CurationSpec extends SparkSpec {
     assert(r(3L).getAs[Long]("n_lines_dropped") == 0L)
   }
 
+  test("line dedup equals a brute-force recompute on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(13)
+    val pool = (0 until 60).map(i => s"line body $i")
+    val corpus = (0L until 50L).map { i =>
+      (i, (0 until rnd.nextInt(6) + 1)
+        .map(_ => pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }
+    val got = Dedup.lineDedup(corpus.toDF("doc_id", "text"), minDf = 6L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4))).toMap
+    // df counts OCCURRENCES (a line twice in one doc counts twice)
+    val df = corpus.flatMap(_._2.split("\n", -1)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val want = corpus.map { case (id, t) =>
+      val ls = t.split("\n", -1)
+      val kept = ls.filter(l => df(l) < 6L)
+      val rebuilt = kept.mkString("\n")
+      id -> (kept.length.toLong, (ls.length - kept.length).toLong,
+        rebuilt.length, md5hex(rebuilt))
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0), "fixture must drop some lines")
+    assert(want.values.exists(_._1 > 0), "fixture must keep some lines")
+    TextKit.releaseCaches()
+  }
+
   // ---- contamination ----
 
   test("contamination: leaked benchmark text flags, clean docs don't") {
@@ -291,6 +320,33 @@ class CurationSpec extends SparkSpec {
     // 25-token run -> 25 - 20 + 1 = 6 distinct shared windows; the
     // boundary windows differ (different surrounding text)
     assert(r.head.getLong(2) == 6L)
+    TextKit.releaseCaches()
+  }
+
+  test("substring pairs equal a brute-force recompute on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"w$i")
+    // short docs from a tiny vocab at window=3: natural collisions abound
+    val corpus = (0L until 60L).map { i =>
+      (i, (0 until rnd.nextInt(12) + 3)
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Dedup.sharedSubstringPairs(
+        corpus.toDF("doc_id", "text"), window = 3, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force with the same df band
+    val windows = corpus.flatMap { case (id, t) =>
+      t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(w => (id, w.mkString(" "))).toSeq.distinct
+    }
+    val byWin = windows.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.sorted)
+      .filter { case (_, ids) => ids.length >= 2 && ids.length <= 10 }
+    val want = byWin.toSeq.flatMap { case (_, ids) =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must produce natural collisions")
     TextKit.releaseCaches()
   }
 

@@ -78,7 +78,7 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("Md5Long60 and LongArrayDot compile inside whole-stage codegen") {
+  test("all three native expressions compile inside whole-stage codegen") {
     // forbid the silent interpreted fallback: a janino compile error in
     // either expression's generated code must FAIL here, not quietly
     // split the codegen span on the dedup family's hottest path
@@ -95,6 +95,11 @@ class FunctionsSpec extends SparkSpec {
           array(col("id"), lit(2L)), array(lit(3L), col("id"))).as("d"))
         .agg(sum(col("d"))).head.getLong(0)
       assert(d == (0 until 100).map(i => i * 3L + 2L * i).sum)
+      val sh = spark.range(100)
+        .select(graft.functions.WordShingles(
+          concat(lit("a b c d"), col("id").cast("string")), 2).as("sh"))
+        .selectExpr("sum(size(sh)) AS s").head.getLong(0)
+      assert(sh == 300L)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
