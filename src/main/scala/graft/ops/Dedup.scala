@@ -231,6 +231,51 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
+  /** The stored LSH index of a corpus: capped (band, key) buckets with
+    * exact member-id arrays — what a production pipeline precomputes and
+    * persists NEXT TO the corpus, so each incoming batch (or stream)
+    * probes the index without ever touching corpus text again. Singleton
+    * buckets kept: a lone corpus doc can still match an incoming doc. */
+  def corpusBandIndex(corpus: DataFrame, numHashes: Int = 8,
+      maxBucket: Int = 64): DataFrame =
+    boundedBuckets(bandedOf(tracked(shingleHashes(corpus)), numHashes),
+      Seq("band", "key"), "doc_id", maxBucket, minSize = 1)
+
+  /** MinHash signatures computed ROW-LOCALLY: hash the shingle array once
+    * (per-row transform), then each slot is an array_min over it — no
+    * shuffle at all, versus the aggregated form's groupBy. Numerically
+    * identical to [[minhashSignatures]] (spec-pinned): min over a doc's
+    * shingle multiset is the same whether folded per-row or per-group.
+    * The property that matters: a streaming DataFrame can run THIS before
+    * a stream-static join (a streaming groupBy could not precede one),
+    * and at batch scale the signature stage costs zero exchanges. Docs
+    * with fewer than 2 tokens (no shingles) are dropped, matching the
+    * aggregated path. */
+  def signaturesLocal(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+    require(numHashes <= hashA.length, s"at most ${hashA.length} hash slots")
+    // spread() inspects the batch RDD; a streaming relation can't (and
+    // needn't — micro-batches arrive pre-partitioned by the source)
+    (if (docs.isStreaming) docs else spread(docs))
+      .select(col("doc_id"),
+        transform(shinglesOf(col("text")), s => md5Long(s)).as("ms"))
+      .filter(size(col("ms")) > 0)
+      .select(col("doc_id") +: (0 until numHashes).map(j =>
+        array_min(transform(col("ms"), m => slotHash(m, j))).as(s"h$j")): _*)
+  }
+
+  /** Row-local LSH band rows (same folded integer keys as the aggregated
+    * path) — the probe side of [[corpusBandIndex]]. */
+  def bandRowsLocal(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+    val bands = numHashes / 2
+    signaturesLocal(docs, numHashes)
+      .select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            (col(s"h${2 * b}") * lit(P) + col(s"h${2 * b + 1}")).as("key"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
   /** Default cap on the candidate-doc id count still broadcast to the
     * Jaccard-verify semi join: 8M ids x ~16 B/row is ~128 MB — well inside
     * executor memory and the 8 GB broadcast hard limit, far above every

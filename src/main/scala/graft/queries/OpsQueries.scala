@@ -320,7 +320,7 @@ object OpsQueries {
 
   /** Shingle hashes + signatures + band rows over `src` — the shared
     * prefix of the within-corpus and cross-corpus minhash chains. */
-  private def SIG_BANDS(src: String) =
+  private[queries] def SIG_BANDS(src: String) =
     s"""${SHINGLES_FROM(src)},
        sig AS (SELECT doc_id,
          ${(0 until 8).map(j => s"min(${H(j)}) AS h$j").mkString(", ")}

@@ -19,7 +19,10 @@ object StreamQueries {
       StreamingOps.sessionizeSorted(s, d).orderBy("user_id", "start_us")),
     // the dedup registry as streaming aggregation state; equals the batch
     // q21 operator on a finite source (min/count are order-insensitive)
-    "q74_stream_dedup" -> ((s, d) => StreamingOps.streamingDedup(s, d)))
+    "q74_stream_dedup" -> ((s, d) => StreamingOps.streamingDedup(s, d)),
+    // stream-static admission: row-local signatures on the stream probe
+    // the corpus's stored LSH index; equals the q48 candidate set
+    "q79_stream_admission" -> ((s, d) => StreamingOps.streamAdmission(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q33_stream_hourly" ->
@@ -40,6 +43,19 @@ object StreamQueries {
     "q74_stream_dedup" ->
       """SELECT md5(text) AS text_hash,
          min(doc_id) AS canonical_id, count(*) AS n_copies
-         FROM documents GROUP BY 1 ORDER BY canonical_id"""
+         FROM documents GROUP BY 1 ORDER BY canonical_id""",
+    // the candidate CTE of the q48 incremental chain: corpus bands capped
+    // (singletons kept), fresh side joins on (band, key)
+    "q79_stream_admission" ->
+      s"""WITH ${OpsQueries.SIG_BANDS("documents")},
+         bc AS (SELECT * FROM banded0 WHERE doc_id % 10 != 0),
+         bf AS (SELECT * FROM banded0 WHERE doc_id % 10 = 0),
+         ok AS (SELECT band, key FROM bc GROUP BY band, key
+           HAVING count(*) <= 64),
+         bck AS (SELECT bc.* FROM bc JOIN ok
+           ON bc.band = ok.band AND bc.key = ok.key)
+         SELECT DISTINCT bck.doc_id AS doc_a, bf.doc_id AS doc_b
+         FROM bck JOIN bf ON bck.band = bf.band AND bck.key = bf.key
+         ORDER BY doc_a, doc_b"""
   )
 }

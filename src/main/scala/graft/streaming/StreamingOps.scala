@@ -123,6 +123,44 @@ object StreamingOps {
     ss.table(name).orderBy("canonical_id")
   }
 
+  /** Streaming near-dup ADMISSION: each micro-batch of incoming documents
+    * probes the corpus's stored LSH index ([[graft.ops.Dedup.corpusBandIndex]])
+    * through a STREAM-STATIC join and emits (corpus doc, incoming doc)
+    * candidate pairs — the q48 incremental-dedup chain running at ingest
+    * time. The streaming side computes its signatures ROW-LOCALLY
+    * ([[graft.ops.Dedup.bandRowsLocal]] — array_min over the row's own
+    * shingle hashes), because a streaming groupBy could not precede the
+    * join; the static side is the precomputed capped bucket index. A
+    * stateful dropDuplicates collapses pairs that share several bands.
+    * On a finite source the emitted set equals the batch candidate set
+    * (oracle-checked); on a real stream the same plan admits each batch
+    * incrementally against a corpus it never re-scans. */
+  def streamAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_admission_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val corpus = ss.read.schema(docsSchema)
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val index = graft.ops.Dedup.corpusBandIndex(corpus)
+    val fresh = ss.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    graft.ops.Dedup.bandRowsLocal(fresh)
+      .withColumnRenamed("doc_id", "doc_b")
+      .join(index, Seq("band", "key"))
+      .select(explode(col("ids")).as("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("doc_a", "doc_b")
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

@@ -305,6 +305,25 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  // ---- row-local signatures ----
+
+  test("row-local minhash signatures equal the aggregated form") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val local = Dedup.signaturesLocal(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val agg = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(local.nonEmpty)
+    assert(local == agg)
+    // short docs (no shingles) drop from both paths
+    val tiny = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+    assert(Dedup.signaturesLocal(tiny).collect().map(_.getLong(0)).toSet
+      == Set(2L))
+    TextKit.releaseCaches()
+  }
+
   // ---- shared substrings ----
 
   test("substring pairs: a shared 25-token run yields its 6 windows") {
