@@ -288,6 +288,11 @@ object Dedup {
       numHashes: Int = 8, maxBucket: Int = 64,
       broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {
     val shm = tracked(shingleHashes(docs))
+    // signatures via the aggregated path: it reuses the CACHED shm the
+    // verify stage reads anyway, so the signature groupBy is the only
+    // marginal cost. The row-local alternative (bandRowsLocal) re-hashes
+    // every shingle from text and measured no faster here — it exists for
+    // the streaming probe, where an aggregation cannot precede the join.
     val banded = bandedOf(shm, numHashes)
     // persisted: read twice (pair explode + the candidate-doc id set)
     val buckets = tracked(
