@@ -41,6 +41,51 @@ object Similarity {
     TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the keyword ranking
+    * ([[TextAnalysis.search]]'s integer tf-idf) and the embedding cosine
+    * ranking against one query vector, joined on document id (assumes
+    * doc_id-aligned embeddings, the `documents`/`embeddings` convention).
+    * RRF score = sum over systems of 1/(rrfK + rank) — computed from
+    * INTEGER ranks, so the doubles are bit-identical cross-engine; a doc
+    * missing from one system contributes only the other's term. The
+    * modern lexical+semantic search shape, end to end in two broadcast
+    * joins plus a TakeOrdered.
+    *
+    * Scale shape: each system contributes only its top-`poolSize`
+    * candidates (TakeOrdered — the standard RRF-over-pools form, never a
+    * full-corpus ranking): the keyword side only ever shuffles matching
+    * postings, the vector side streams the corpus past one broadcast
+    * query vector, and the rank windows run over pool-sized (constant)
+    * relations, so their single-task sort is bounded by `poolSize`
+    * whatever the corpus size. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long = 0L, k: Int = 10, poolSize: Int = 100,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kw = TextAnalysis.search(docs, terms, k = poolSize)
+      .withColumn("kw_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("kw_rank"))
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("qv").as("qqv"), col("nsq").as("qnsq"))
+    val vec = e.join(broadcast(q), col("vec_id") =!= lit(queryVecId))
+      .select(col("vec_id").as("doc_id"),
+        cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(poolSize)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (col("kw_rank") + lit(rrfK)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vec_rank") + lit(rrfK)), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Offset that makes every per-dimension sum positive before the
     * truncating integer division in the k-means centroid update, so
     * Spark's `div` and DuckDB's `//` (both plain integer division on

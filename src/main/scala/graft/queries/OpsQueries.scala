@@ -227,6 +227,11 @@ object OpsQueries {
     // any shuffle, top-k via TakeOrdered
     "q77_search" -> ((s, d) =>
       TextAnalysis.search(docs(s, d), Seq("table", "join", "fast"))),
+    // hybrid retrieval: RRF fusion of the integer tf-idf keyword pool
+    // and the cosine pool against query vector 0 (doc_id-aligned)
+    "q80_hybrid_search" -> ((s, d) =>
+      Similarity.hybridSearch(docs(s, d), emb(s, d),
+        Seq("table", "join", "fast"))),
     // shared-substring dedup: every 9th doc gains a 24-token passage
     // shared within its doc_id % 225 group -> each in-group pair must
     // report its 5 shared 20-token windows (group sizes stay under the
@@ -799,6 +804,35 @@ object OpsQueries {
            count(*) AS n_terms_hit
          FROM tf JOIN idf USING (token) GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 20""",
+    "q80_hybrid_search" ->
+      s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token
+           FROM documents)
+           WHERE token IN ('table','join','fast') GROUP BY doc_id, token),
+         idf AS (SELECT token,
+           CAST((SELECT count(*) FROM documents) // count(*) AS BIGINT)
+             AS idf_int FROM tf GROUP BY token),
+         kw0 AS (SELECT doc_id, CAST(sum(tf_doc * idf_int) AS BIGINT)
+             AS score
+           FROM tf JOIN idf USING (token) GROUP BY doc_id
+           ORDER BY score DESC, doc_id LIMIT 100),
+         kw AS (SELECT doc_id, row_number()
+             OVER (ORDER BY score DESC, doc_id) AS kw_rank FROM kw0),
+         $EMB_NORM,
+         q AS (SELECT embedding AS qe, nsq AS qnsq FROM e WHERE vec_id = 0),
+         v0 AS (SELECT e.vec_id AS doc_id,
+             CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+               (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+               AS cosine
+           FROM e, q WHERE e.vec_id != 0
+           ORDER BY cosine DESC, doc_id LIMIT 100),
+         v AS (SELECT doc_id, row_number()
+             OVER (ORDER BY cosine DESC, doc_id) AS vec_rank FROM v0)
+         SELECT doc_id, kw_rank, vec_rank,
+           coalesce(1.0 / (kw_rank + 60), 0) + coalesce(1.0 / (vec_rank + 60), 0)
+             AS rrf
+         FROM kw FULL OUTER JOIN v USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "q78_substring_pairs" -> {
       val passage = (0 until 24)
         .map(i => s"'sp${i}g' || CAST(doc_id % 225 AS VARCHAR)")

@@ -386,6 +386,28 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("hybrid search fuses keyword and vector ranks by RRF") {
+    val docs = Seq(
+      (0L, "table table table join other words"),
+      (1L, "join join fast filler filler filler"),
+      (2L, "nothing relevant at all in here six"),
+      (3L, "fast fast fast fast fast fast fast"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 0), (3L, Array(-1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hybridSearch(docs, emb, Seq("table", "join", "fast"))
+      .collect().map(x => (x.getLong(0), x.getDouble(3)))
+    // kw ranks: d0=1, d3=2, d1=3 (score ties break by id; d2 absent)
+    // vec ranks vs v0: d1=1 (cos 1), d2=2 (cos 0), d3=3 (cos -1)
+    val expect = Seq(
+      1L -> (1.0 / 63 + 1.0 / 61), 3L -> (1.0 / 62 + 1.0 / 63),
+      0L -> 1.0 / 61, 2L -> 1.0 / 62)
+    assert(r.toSeq == expect)
+    TextKit.releaseCaches()
+  }
+
   // ---- repetition ----
 
   test("repetition metrics match hand computation") {
