@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LongArrayDot, WordShingles}
+import graft.functions.{LongArrayDot, Md5Long60, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql` users (and the view layer)
@@ -41,6 +41,8 @@ object GraftExtensions {
         }
         WordShingles(children(0), n)
       })
+    registerTempFunction(spark, "md5_long60",
+      (children: Seq[Expression]) => Md5Long60(children(0)))
   }
 }
 
@@ -70,5 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(children(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long60"),
+      info("md5_long60",
+        "md5_long60(s) - first 15 hex digits of md5(s) as a non-negative BIGINT"),
+      (children: Seq[Expression]) => Md5Long60(children(0))))
   }
 }

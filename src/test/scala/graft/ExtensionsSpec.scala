@@ -37,6 +37,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == Seq("a b", "b c", "c d"))
   }
 
+  test("md5_long60 callable from SQL, equals the conv chain") {
+    val r = spark.sql(
+      """SELECT md5_long60('abc') AS native,
+         CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS chain""")
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) >= 0L)
+  }
+
   test("saltedJoin equals plain join and spreads the hot key") {
     import spark.implicits._
     // heavily skewed big side: 90% of rows share key 1
