@@ -48,7 +48,10 @@ object ScaleSmoke {
 
     def time(label: String, docs: DataFrame, rows: Long): Unit = {
       val t0 = System.nanoTime()
-      val pairs = graft.ops.Dedup.minhashLshPairs(docs)
+      // persisted BEFORE the count so the CC window measures CC alone —
+      // an unpersisted pair frame would re-run the whole verify pipeline
+      // inside the t1 window and charge it to cc_sec
+      val pairs = graft.ops.Dedup.minhashLshPairs(docs).persist()
       val nPairs = pairs.count()
       val tPairs = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()

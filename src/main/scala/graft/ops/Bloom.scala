@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, DataFrame, Encoder, TypedColumn}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -32,9 +30,12 @@ class BloomAgg(numBits: Int, numHashes: Int)
   override def zero: Array[Long] = new Array[Long](numBits / 64)
 
   override def reduce(buf: Array[Long], id: Long): Array[Long] = {
+    // both digests computed ONCE per key, not once per hash index
+    val h1 = Bloom.md5Long60(id.toString)
+    val h2 = Bloom.md5Long60("1" + id.toString)
     var i = 0
     while (i < numHashes) {
-      val p = Bloom.position(id, i, numBits)
+      val p = Math.floorMod(h1 + i.toLong * h2, numBits.toLong).toInt
       buf(p >>> 6) |= 1L << (p & 63)
       i += 1
     }
@@ -56,37 +57,32 @@ class BloomAgg(numBits: Int, numHashes: Int)
 
 object Bloom {
 
-  /** JVM mirror of TextKit.md5Long (graft.functions.Md5Long60): the first
-    * 15 hex digits of md5(s) as a non-negative long. The aggregator hashes
-    * with THIS and the probe column hashes with the expression form — the
-    * two must agree bit for bit, which FunctionsSpec pins. */
-  private[graft] def md5Long60(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+  /** JVM mirror of TextKit.md5Long: delegates to the SAME
+    * graft.functions.Md5Long60.hash the expression form runs (cached
+    * per-thread digest — no JCA provider lookup per key), so the
+    * aggregator and the column probe agree bit for bit by construction. */
+  private[graft] def md5Long60(s: String): Long =
+    graft.functions.Md5Long60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
-  /** Bit position i of key `id`: double hashing h1 + i*h2 (mod numBits),
-    * with h1 = md5Long(id), h2 = md5Long("1" || id) — the same seeded form
+  /** Build the filter's word array over a BIGINT key column. Bit
+    * position i of a key is double hashing h1 + i*h2 (mod numBits), with
+    * h1 = md5Long(id), h2 = md5Long("1" || id) — the seeded form
     * TextKit.md5Long(c, seed=1) produces. Both operands are < 2^60 and
     * i <= 7, so the Java-wrapping sum matches Spark's wrapping long
-    * arithmetic exactly; floorMod matches pmod on the column side. */
-  private[graft] def position(id: Long, i: Int, numBits: Int): Int = {
-    val h1 = md5Long60(id.toString)
-    val h2 = md5Long60("1" + id.toString)
-    Math.floorMod(h1 + i.toLong * h2, numBits.toLong).toInt
-  }
-
-  /** Build the filter's word array over a BIGINT key column. Distributed:
+    * arithmetic exactly; floorMod matches pmod on the column side.
+    * Distributed:
     * partitions fold keys into local bit arrays, merge is a bitwise OR;
     * only the final numBits/64 longs reach the driver. */
   def build(keys: DataFrame, keyCol: String, numBits: Int = 1 << 16,
       numHashes: Int = 4): Array[Long] = {
     val spark = keys.sparkSession
     import spark.implicits._
-    keys.select(col(keyCol).cast(LongType)).as[Long]
+    // NULL keys match nothing in the exact anti-join, so dropping them
+    // here preserves rejectFilter's equality with the plain left_anti
+    // (and .as[Long] would throw on a null otherwise)
+    keys.select(col(keyCol).cast(LongType))
+      .filter(col(keyCol).isNotNull).as[Long]
       .select(new BloomAgg(numBits, numHashes).toColumn.name("bloom"))
       .head()
   }
@@ -117,11 +113,16 @@ object Bloom {
   def rejectFilter(big: DataFrame, idCol: String, blocklist: DataFrame,
       blockCol: String, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
     val words = build(blocklist, blockCol, numBits, numHashes)
-    // a NULL id hashes to NULL and would vanish from BOTH filter branches;
-    // route it to the suspects side, whose anti-join keeps it (NULL never
-    // equals a blocklist key) — matching the plain left_anti exactly
+    // probe the SAME key representation the builder hashed (cast to
+    // BIGINT first): hashing the raw string of a non-bigint id column
+    // ("007", "7.0") would silently diverge from the join's coerced
+    // equality and mis-route true rejects to the definite-keep branch.
+    // A NULL id (or a value that cannot cast) hashes to NULL and would
+    // vanish from BOTH filter branches; route it to the suspects side,
+    // whose anti-join keeps it — matching the plain left_anti exactly.
     val maybe = coalesce(
-      mightContain(words, col(idCol), numBits, numHashes), lit(true))
+      mightContain(words, col(idCol).cast(LongType), numBits, numHashes),
+      lit(true))
     val definite = big.filter(!maybe)
     val suspects = big.filter(maybe)
       .join(blocklist.select(col(blockCol).cast(LongType).as(idCol)),

@@ -61,8 +61,11 @@ object Dedup {
         posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line"))))
+    // df = distinct DOCUMENTS containing the line (not occurrences): one
+    // spammy doc repeating its own unique line minDf times must not get
+    // that line classified as corpus-wide boilerplate
     val frequent = lines.groupBy(col("lh"))
-      .agg(count(lit(1)).as("df"))
+      .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select(col("lh"))
     val kept = lines.join(frequent, Seq("lh"), "left_anti")
@@ -220,8 +223,15 @@ object Dedup {
     * signature banded with rows-per-band=2 and the band key folded into
     * ONE integer (h_{2b}*P + h_{2b+1} < 2^62) — integer shuffle/compare
     * keys instead of concatenated strings. */
-  private def bandedOf(shm: DataFrame, numHashes: Int): DataFrame = {
-    val sig = minhashSignaturesOf(shm, numHashes)
+  private def bandedOf(shm: DataFrame, numHashes: Int): DataFrame =
+    bandFold(minhashSignaturesOf(shm, numHashes), numHashes)
+
+  /** Fold a signature frame (doc_id, h0..h{n-1}) into (doc_id, band, key)
+    * rows — rows-per-band = 2, key = h_{2b}*P + h_{2b+1} < 2^62. The ONE
+    * definition of the band key: both the aggregated index path and the
+    * row-local streaming probe go through it, so the spec-pinned equality
+    * between them cannot drift. */
+  private def bandFold(sig: DataFrame, numHashes: Int): DataFrame = {
     val bands = numHashes / 2
     sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
@@ -265,16 +275,8 @@ object Dedup {
 
   /** Row-local LSH band rows (same folded integer keys as the aggregated
     * path) — the probe side of [[corpusBandIndex]]. */
-  def bandRowsLocal(docs: DataFrame, numHashes: Int = 8): DataFrame = {
-    val bands = numHashes / 2
-    signaturesLocal(docs, numHashes)
-      .select(col("doc_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            (col(s"h${2 * b}") * lit(P) + col(s"h${2 * b + 1}")).as("key"))): _*))
-          .as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-  }
+  def bandRowsLocal(docs: DataFrame, numHashes: Int = 8): DataFrame =
+    bandFold(signaturesLocal(docs, numHashes), numHashes)
 
   /** Default cap on the candidate-doc id count still broadcast to the
     * Jaccard-verify semi join: 8M ids x ~16 B/row is ~128 MB — well inside

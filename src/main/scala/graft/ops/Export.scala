@@ -77,8 +77,11 @@ object Export {
     * windows with `overlap` tokens of left context carried into each next
     * chunk (the RAG/pretraining prep step). Chunk i covers tokens
     * [i*stride, i*stride + chunkTokens) with stride = chunkTokens -
-    * overlap; chunk count = ceil(n/stride) (>= 1 — empty-ish docs still
-    * emit their one chunk), the trailing chunk simply truncates. Emits
+    * overlap; chunk count = ceil(max(n - overlap, 1) / stride) (>= 1 —
+    * empty-ish docs still emit their one chunk), so the trailing chunk
+    * truncates but is never a pure suffix of the previous chunk (a count
+    * of ceil(n/stride) would emit a fully-contained duplicate chunk
+    * whenever 1 <= n mod stride <= overlap). Emits
     * (doc_id, chunk_idx, chunk_n_tokens, chunk_hash) — the hash is the
     * downstream chunk-level dedup/audit key; re-shipping chunk BODIES is
     * the consumer's call (same slice expression).
@@ -95,7 +98,7 @@ object Export {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
       .withColumn("chunk_idx", explode(sequence(lit(0L),
-        expr(s"greatest(1, (n + ${stride - 1}) div $stride)") - 1)))
+        expr(s"greatest(1, (n - $overlap + ${stride - 1}) div $stride)") - 1)))
       .withColumn("chunk",
         slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
       .select(col("doc_id"), col("chunk_idx"),

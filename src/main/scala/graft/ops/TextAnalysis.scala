@@ -115,10 +115,6 @@ object TextAnalysis {
     docs.filter(sampleKeep(pctByLang, defaultPct))
       .select(col("doc_id"), col("lang"), col("source"))
 
-  /** Text normalization for dedup/training: lowercase, strip everything
-    * outside [a-z0-9 ], collapse whitespace runs, trim — emitted as the
-    * normalized length + md5 (the downstream exact-dedup key) rather than
-    * re-shipping the body. Pure codegen'd string expressions. */
   /** The normalization expression itself (lowercase, strip to
     * [a-z0-9 ], collapse runs, trim) — exposed so pipeline compositions
     * share the exact semantics with [[normalize]]. */
@@ -126,6 +122,10 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Text normalization for dedup/training: lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim — emitted as the
+    * normalized length + md5 (the downstream exact-dedup key) rather than
+    * re-shipping the body. Pure codegen'd string expressions. */
   def normalize(docs: DataFrame): DataFrame = {
     val norm = normExpr(col("text"))
     docs.select(col("doc_id"),

@@ -695,7 +695,7 @@ object OpsQueries {
              FROM built)),
          ln AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ln0),
          freq AS (SELECT md5(line) AS lh FROM ln GROUP BY md5(line)
-           HAVING count(*) >= 10),
+           HAVING count(DISTINCT doc_id) >= 10),
          kept AS (SELECT * FROM ln
            WHERE md5(line) NOT IN (SELECT lh FROM freq)),
          reb AS (SELECT doc_id, count(*) AS n_kept,
@@ -772,7 +772,7 @@ object OpsQueries {
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
            len(string_split(text,' ')) AS n FROM documents),
          c AS (SELECT doc_id, toks, n,
-           unnest(generate_series(0, greatest(1, (n + 47) // 48) - 1))
+           unnest(generate_series(0, greatest(1, (n - 16 + 47) // 48) - 1))
              AS chunk_idx FROM t),
          ch AS (SELECT doc_id, chunk_idx,
            toks[chunk_idx*48 + 1 : least(chunk_idx*48 + 64, n)] AS chunk

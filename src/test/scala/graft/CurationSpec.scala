@@ -99,9 +99,10 @@ class CurationSpec extends SparkSpec {
     val got = Dedup.lineDedup(corpus.toDF("doc_id", "text"), minDf = 6L)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4))).toMap
-    // df counts OCCURRENCES (a line twice in one doc counts twice)
-    val df = corpus.flatMap(_._2.split("\n", -1)).groupBy(identity).view
-      .mapValues(_.size.toLong).toMap
+    // df counts distinct DOCUMENTS (a line twice in one doc counts once)
+    val df = corpus.flatMap { case (id, t) =>
+      t.split("\n", -1).distinct.map(l => (l, id))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
     val want = corpus.map { case (id, t) =>
       val ls = t.split("\n", -1)
       val kept = ls.filter(l => df(l) < 6L)
@@ -158,6 +159,31 @@ class CurationSpec extends SparkSpec {
     val empty = Seq.empty[Long].toDF("id")
     val r = Bloom.rejectFilter(big, "id", empty, "id")
     assert(r.count() == 50L)
+  }
+
+  test("bloom: string id columns and null blocklist keys match the anti-join") {
+    // "007" must coerce like the join does, not hash as a raw string
+    val big = Seq("007", "7", "12", "0042").toDF("id")
+    val blockDf = Seq[java.lang.Long](7L, 42L, null).toDF("id")
+    val got = Bloom.rejectFilter(big, "id", blockDf, "id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val want = big.join(blockDf, Seq("id"), "left_anti")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want)
+    assert(got == Seq("12"), "coerced 007/0042 are true rejects")
+  }
+
+  test("line dedup: a spammy doc repeating its own line is not boilerplate") {
+    val docs = Seq(
+      (0L, Seq.fill(12)("my own repeated line").mkString("\n")),
+      (1L, "another doc entirely"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, minDf = 10L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_lines_kept"))
+      .toMap
+    // df counts DISTINCT docs: the line appears in one doc, so it stays
+    assert(r(0L) == 12L)
+    assert(r(1L) == 1L)
   }
 
   test("bloom: null ids survive like the plain anti-join keeps them") {
@@ -266,8 +292,8 @@ class CurationSpec extends SparkSpec {
 
   test("chunking: stride/overlap reconstruction matches a driver recompute") {
     val docs = Seq(
-      (0L, (1 to 150).map(i => s"t$i").mkString(" ")), // 4 chunks
-      (1L, (1 to 64).map(i => s"u$i").mkString(" ")),  // one full window, 2 chunks (ceil(64/48))
+      (0L, (1 to 150).map(i => s"t$i").mkString(" ")), // 3 chunks
+      (1L, (1 to 64).map(i => s"u$i").mkString(" ")),  // exactly one window, ONE chunk
       (2L, "tiny doc"))                                 // 1 chunk
       .toDF("doc_id", "text")
     val got = Export.chunkDocuments(docs, chunkTokens = 64, overlap = 16)
@@ -277,7 +303,7 @@ class CurationSpec extends SparkSpec {
     val want = Seq(0L -> 150, 1L -> 64, 2L -> 2).flatMap { case (id, n) =>
       val toks = docs.filter(col("doc_id") === id)
         .head.getString(1).split(" ", -1)
-      val nChunks = math.max(1, (n + 47) / 48)
+      val nChunks = math.max(1, (n - 16 + 47) / 48)
       (0 until nChunks).map { i =>
         val chunk = toks.slice(i * 48, math.min(i * 48 + 64, n))
         (id, i.toLong) -> (chunk.length,
@@ -285,8 +311,9 @@ class CurationSpec extends SparkSpec {
       }
     }.toMap
     assert(got == want)
-    // overlap property: chunk i+1 begins with the last `overlap` tokens
-    // of chunk i's window (same underlying token range)
+    // no chunk is a pure suffix of its predecessor: every chunk past the
+    // first must extend beyond the previous chunk's end
+    assert(!got.contains((1L, 1L)), "64 tokens fit one window -> one chunk")
     assert(got((0L, 0L))._1 == 64 && got((0L, 1L))._1 == 64 &&
       got((0L, 2L))._1 == 54) // 150 - 2*48
   }
