@@ -435,6 +435,38 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("every curation operator is total on empty and single-doc corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((7L, "just one single document here")).toDF("doc_id", "text")
+    val emptyFull = empty
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L))
+    val oneFull = one
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    for (docs <- Seq(empty, one)) {
+      assert(TextAnalysis.heavyHitters(docs, phi = 20L, k = 40).count() >= 0)
+      assert(Dedup.lineDedup(docs).count() == docs.count())
+      assert(Dedup.sharedSubstringPairs(docs).count() == 0)
+      assert(Export.chunkDocuments(docs).count() == docs.count())
+      assert(Export.packSequences(docs).count() == docs.count())
+      assert(TextAnalysis.repetition(docs).count() == docs.count())
+      assert(Dedup.signaturesLocal(docs).count() <= docs.count())
+    }
+    for (docs <- Seq(emptyFull, oneFull)) {
+      assert(TextAnalysis.unigramScore(docs).count() == docs.count())
+      assert(Curation.curate(docs).count() >= 0)
+      assert(Export.shardSummary(docs, "doc_id", 4).count() <= docs.count())
+      assert(TextAnalysis.search(docs, Seq("single")).count() <= docs.count())
+      assert(Dedup.contamination(docs, docs
+        .select(col("doc_id").as("bench_id"), col("text"))).count() >= 0)
+    }
+    // empty blocklist AND empty big side
+    assert(Bloom.rejectFilter(empty.select(col("doc_id").as("id")), "id",
+      empty.select(col("doc_id").as("id")), "id").count() == 0)
+    TextKit.releaseCaches()
+  }
+
   // ---- repetition ----
 
   test("repetition metrics match hand computation") {
