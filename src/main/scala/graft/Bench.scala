@@ -51,7 +51,10 @@ object Bench {
           s2.conf.set("spark.sql.shuffle.partitions", cpus)
           once(fn, s2)
         } else once(fn)
-      name -> (if (first >= 0 && second >= 0) math.min(first, second) else first)
+      // EITHER run failing surfaces as the -1 sentinel: a query that
+      // passes once but breaks on the rerun (or whose fresh-session
+      // rerun mechanism breaks) is intermittently broken, not healthy
+      name -> math.min(first, second)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -23,13 +23,20 @@ import org.apache.spark.sql.SparkSession
   * between renames matches the reference's own crawler-refresh semantics
   * (run it in the catalog-refresh maintenance slot, template:22-26).
   *
-  * Concurrent APPENDERS (e.g. Pipeline.ingestStream) are safe: the
-  * rewrite consumes an explicit file list recorded in a manifest, and
-  * before the retired copy is deleted, any file that arrived after the
-  * read — and was therefore swept into the retired dir by the rename —
-  * is moved back into the live partition (see restoreStraysAndClean).
-  * Readers during the swap still see either all-old or all-new, never a
-  * mix.
+  * Concurrent APPENDERS (e.g. Pipeline.ingestStream): a COMMITTED
+  * concurrent append is never lost — the rewrite consumes an explicit
+  * file list recorded in a manifest, and before the retired copy is
+  * deleted, any entry that arrived after the read (data file or a
+  * writer's in-flight `_temporary` staging dir) and was swept into the
+  * retired dir by the rename is moved back into the live partition
+  * (restoreStraysAndClean). An append that lands in the brief
+  * absent-dir window and recreates the live partition is folded
+  * together with the compacted files instead of breaking the swap
+  * (swapIn's merge fallback, finished by recover() after a crash). A
+  * write IN FLIGHT across the retire rename additionally relies on the
+  * standard Spark task-retry path (its swept staging dir is restored,
+  * and a retried task re-stages under the live dir). Readers during the
+  * swap still see either all-old or all-new, never a mix.
   */
 object Compaction {
 
@@ -47,6 +54,11 @@ object Compaction {
     * it. Hidden dirs themselves are never treated as partitions. */
   private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
     def walk(dir: Path): Seq[Path] = {
+      // a partition dir is a LEAF by definition — never recurse into it:
+      // hidden content nested inside (an appender-race staged dir, a
+      // restored _temporary) must not be misread as a sibling partition,
+      // or recovery would process a bogus path and delete the real one
+      if (dir.getName.startsWith("day=")) return Seq(dir)
       val children = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       val visible = children.filter(isDataFile)
       val interrupted = children.filterNot(isDataFile).flatMap { p =>
@@ -92,24 +104,74 @@ object Compaction {
     finally out.close()
   }
 
-  /** Move every data file in `retired` that is NOT in the read manifest —
-    * a concurrent writer's append that rode along with the rename — back
-    * into the live dir, then drop retired + manifest. Without this, the
-    * final delete(retired) silently destroyed those appends. */
+  /** Move every child of `src` into `dst` (recursing into a child dir
+    * that already exists at the destination — e.g. a writer's freshly
+    * recreated `_temporary`), then drop the empty `src`. Compacted part
+    * files carry fresh UUID names, so a genuine name collision on a FILE
+    * means corrupted state and fails loudly. */
+  private def mergeInto(fs: FileSystem, src: Path, dst: Path): Unit = {
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    fs.listStatus(src).foreach(st => moveEntry(fs, st, dst))
+    fs.delete(src, true)
+  }
+
+  /** Move one directory entry into `dst`. Collisions: two dirs merge
+    * recursively (a writer's recreated `_temporary`); a bookkeeping
+    * marker (`_SUCCESS` and friends — any non-data FILE) is dropped in
+    * favor of the destination's copy; a DATA-file collision means
+    * corrupted state (compacted part names are fresh UUIDs) and fails
+    * loudly. */
+  private def moveEntry(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus, dst: Path): Unit = {
+    val dest = new Path(dst, st.getPath.getName)
+    if (!fs.exists(dest))
+      require(fs.rename(st.getPath, dest),
+        s"compaction: cannot move ${st.getPath} to $dest")
+    else if (st.isDirectory && fs.getFileStatus(dest).isDirectory)
+      mergeInto(fs, st.getPath, dest)
+    else if (!st.isDirectory && !isDataFile(st.getPath))
+      fs.delete(st.getPath, false)
+    else require(false,
+      s"compaction: cannot merge ${st.getPath} onto existing $dest")
+  }
+
+  /** Move every entry in `retired` that is NOT in the read manifest —
+    * a concurrent writer's append (data file OR in-flight `_temporary`
+    * staging dir) that rode along with the rename — back into the live
+    * dir, then drop retired + manifest. Without this, the final
+    * delete(retired) silently destroyed those appends. */
   private def restoreStraysAndClean(fs: FileSystem, dir: Path,
       retired: Path): Unit = {
     readManifest(fs, dir).foreach { read =>
       if (fs.exists(retired)) {
-        fs.listStatus(retired).map(_.getPath)
-          .filter(p => isDataFile(p) && !read.contains(p.getName))
-          .foreach { stray =>
-            val dest = new Path(dir, stray.getName)
-            require(!fs.exists(dest) && fs.rename(stray, dest),
-              s"compaction: cannot restore concurrent append $stray")
-          }
+        fs.listStatus(retired)
+          .filter(st => st.getPath.getName != ManifestName &&
+            !read.contains(st.getPath.getName))
+          .foreach(st => moveEntry(fs, st, dir))
       }
       fs.delete(retired, true)
       fs.delete(new Path(dir, ManifestName), false)
+    }
+  }
+
+  /** Swap the staged dir into the live position. The plain rename wins
+    * when the live dir is still absent (the normal case). If a concurrent
+    * appender RECREATED the live dir inside the brief absent window, the
+    * rename either fails (strict filesystems refuse an existing dst) or
+    * "succeeds" by NESTING the staged dir inside the recreated one (HDFS
+    * dst-exists semantics) — detected by the manifest not sitting at the
+    * live dir's top level. Both cases fold the staged contents into the
+    * live dir entry by entry, so the appender's files and the compacted
+    * files coexist and the manifest lands where the stray restore reads
+    * it. */
+  private def swapIn(fs: FileSystem, staged: Path, dir: Path): Unit = {
+    val renamed = fs.rename(staged, dir)
+    if (!renamed || !fs.exists(new Path(dir, ManifestName))) {
+      val nested = new Path(dir, staged.getName)
+      val src = if (fs.exists(nested)) nested else staged
+      require(fs.exists(new Path(src, ManifestName)),
+        s"compaction: staged dir lost in swap of $dir")
+      mergeInto(fs, src, dir)
     }
   }
 
@@ -127,6 +189,13 @@ object Compaction {
     if (!fs.exists(dir) && fs.exists(retired))
       require(fs.rename(retired, dir),
         s"compaction recovery: cannot restore $retired to $dir")
+    // a crash between the appender-race nesting and its fold leaves the
+    // staged dir (with its manifest) NESTED inside the live dir, hidden
+    // from readers — finish the fold before anything else so the
+    // compacted rows surface and the manifest is back in place
+    val nested = new Path(dir, staged.getName)
+    if (fs.exists(nested) && fs.exists(new Path(nested, ManifestName)))
+      mergeInto(fs, nested, dir)
     fs.delete(staged, true)
     if (fs.exists(dir)) {
       restoreStraysAndClean(fs, dir, retired)
@@ -181,7 +250,7 @@ object Compaction {
         // atomic-enough swap: two renames, no old/new mixing; a crash at
         // any point is undone by recover() on the next run
         require(fs.rename(dir, retired), s"compaction: cannot retire $dir")
-        require(fs.rename(staged, dir), s"compaction: cannot swap in $staged")
+        swapIn(fs, staged, dir)
         // files a concurrent writer appended between the read and the
         // retire rename are in `retired` but not in the manifest: move
         // them back, then drop retired + manifest

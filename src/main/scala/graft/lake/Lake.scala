@@ -200,12 +200,15 @@ object Lake {
               added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
           catch {
             // concurrent sessions race the same additive refresh; the
-            // loser's duplicate-column failure is success IF the winner
-            // added what we wanted — re-verify instead of rethrowing
+            // loser's duplicate-column failure is success ONLY if the
+            // winner added the same column with the same TYPE — a
+            // same-named column of a different type is a real schema
+            // conflict that must surface, not be swallowed
             case scala.util.control.NonFatal(e) =>
-              val now = spark.table(name).schema.fieldNames
-                .map(_.toLowerCase).toSet
-              if (!added.forall(f => now.contains(f.name.toLowerCase)))
+              val now = spark.table(name).schema
+                .map(f => f.name.toLowerCase -> f.dataType).toMap
+              if (!added.forall(f =>
+                  now.get(f.name.toLowerCase).contains(f.dataType)))
                 throw e
           }
       } else {

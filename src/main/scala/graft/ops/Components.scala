@@ -71,10 +71,14 @@ object Components {
     val edges = truncated(e0.union(e0.select(col("dst"), col("src"))))
     var labels = truncated(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
-    // exact at any scale: 10^12 ids each up to 10^12 still fit decimal(38,0)
+    // exact at any scale: 10^12 ids each up to 10^12 still fit decimal(38,0).
+    // sum() over ZERO rows is NULL — an empty pair table is a normal input
+    // (a clean corpus has no near-dups), so it must read as 0, not NPE.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head.getDecimal(0)
+      Option(df.agg(
+          sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels) // also materializes the initial caches
     var iter = 0
     var converged = false
@@ -141,11 +145,14 @@ object Components {
     * set several times). */
   def connectedComponentsStars(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
-    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val e00 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // node universe BEFORE the self-edge filter: a doc appearing only in
+    // a reflexive pair (42, 42) is its own trivial component and must be
+    // labeled, exactly as connectedComponents labels it
     val allNodes = truncated(
-      e0.select(col("src").as("id"))
-        .union(e0.select(col("dst"))).distinct())
+      e00.select(col("src").as("id"))
+        .union(e00.select(col("dst"))).distinct())
+    val e0 = e00.filter(col("src") =!= col("dst"))
     def symmetric(df: DataFrame): DataFrame =
       df.union(df.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -192,6 +199,10 @@ object Components {
         "left_anti")
       .select(col("id"), col("id").as("label"))
     val labels = truncated(nonRoot.union(roots))
+    // materialize the labels cache BEFORE dropping its inputs — otherwise
+    // the caller's first action re-runs the final round's joins and the
+    // allNodes distinct scan through lineage with the caches already gone
+    labels.count()
     edges.unpersist(blocking = false)
     allNodes.unpersist(blocking = false)
     TextKit.register(labels)

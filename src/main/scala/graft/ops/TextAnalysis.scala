@@ -169,12 +169,15 @@ object TextAnalysis {
   val longDigitsPattern = "[0-9]{6,}"
 
   def scrubPii(docs: DataFrame): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(col("text"), emailPattern, "<EMAIL>"),
-      longDigitsPattern, "<NUM>")
+    val emailScrubbed = regexp_replace(col("text"), emailPattern, "<EMAIL>")
+    val scrubbed = regexp_replace(emailScrubbed, longDigitsPattern, "<NUM>")
     docs.select(col("doc_id"),
       regexp_count(col("text"), lit(emailPattern)).as("n_emails"),
-      regexp_count(col("text"), lit(longDigitsPattern)).as("n_long_numbers"),
+      // counted AFTER the email pass so each count is the number of
+      // replacements that stage actually performed: a digit run inside
+      // an email address is redacted by <EMAIL>, not double-reported
+      regexp_count(emailScrubbed, lit(longDigitsPattern))
+        .as("n_long_numbers"),
       length(scrubbed).as("n_chars_scrubbed"),
       md5(scrubbed).as("scrubbed_hash"))
   }

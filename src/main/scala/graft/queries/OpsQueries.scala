@@ -659,16 +659,18 @@ object OpsQueries {
              ELSE text END AS text
            FROM documents),
          scrub AS (SELECT doc_id, text,
-           regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '[0-9]{6,}', '<NUM>', 'g') AS s
-           FROM piidocs)
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+             AS es
+           FROM piidocs),
+         scrub2 AS (SELECT doc_id, text, es,
+           regexp_replace(es, '[0-9]{6,}', '<NUM>', 'g') AS s FROM scrub)
          SELECT doc_id,
            len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, '[0-9]{6,}')) AS n_long_numbers,
+           len(regexp_extract_all(es, '[0-9]{6,}')) AS n_long_numbers,
            length(s) AS n_chars_scrubbed, md5(s) AS scrubbed_hash
-         FROM scrub ORDER BY doc_id""",
+         FROM scrub2 ORDER BY doc_id""",
     // full GROUP BY .. HAVING over every bigram occurrence — exactly what
     // the sketch-propose + exact-recount two-pass must reproduce
     "q66_heavy_hitters" ->

@@ -332,6 +332,22 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("connected components: empty and self-pair-only inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Components.connectedComponents(empty).count() == 0)
+    assert(Components.connectedComponentsStars(empty).count() == 0)
+    // a doc appearing only in a reflexive pair is its own component in
+    // BOTH variants
+    val selfOnly = Seq((42L, 42L), (1L, 2L)).toDF("doc_a", "doc_b")
+    for (labels <- Seq(Components.connectedComponents(selfOnly),
+        Components.connectedComponentsStars(selfOnly))) {
+      val m = labels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == Map(42L -> 42L, 1L -> 1L, 2L -> 1L))
+    }
+    TextKit.releaseCaches()
+  }
+
   // ---- row-local signatures ----
 
   test("row-local minhash signatures equal the aggregated form") {

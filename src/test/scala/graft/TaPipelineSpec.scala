@@ -350,6 +350,62 @@ class TaPipelineSpec extends SparkSpec {
       "restored rows must be readable (stray duplicates the data file)")
   }
 
+  test("compaction: appender races (nested staged dir, swept _temporary) recover") {
+    import graft.lake.Compaction
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-racelake").toString
+    val cfg = Pipeline.Config(dir, Seq(CheckRegistry.lowUtilEc2))
+    Pipeline.ingest(rawDf, None, cfg)
+    Pipeline.ingest(rawDf, None, cfg)
+    val tablePath = s"$dir/TA-Reports/cost_optimizing/check_qch7dwoux1"
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$tablePath/year=2024/month=1/day=15")
+    val retired = new Path(s"$tablePath/year=2024/month=1/.day=15.retired")
+    val baseline = spark.read.parquet(tablePath).count()
+
+    // STATE A — crash after HDFS dst-exists rename NESTED the staged dir
+    // inside a live dir an appender recreated: live holds only the
+    // appender's file + the hidden nested staged dir; retired holds the
+    // consumed originals
+    val originals = fs.listStatus(live).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+    val nested = new Path(live, ".day=15.compacting")
+    fs.mkdirs(nested)
+    fs.mkdirs(retired)
+    // "compact" = copy all originals into nested (stands in for the real
+    // rewrite), manifest inside nested names them as consumed
+    originals.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new Path(nested, "compacted-" + p.getName), false,
+        spark.sparkContext.hadoopConfiguration)
+      require(fs.rename(p, new Path(retired, p.getName)))
+    }
+    val mf = fs.create(new Path(nested, "_graft_compaction_manifest"), true)
+    mf.write(originals.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    mf.close()
+    // appender's committed file (copy of a compacted one) + its in-flight
+    // _temporary staging dir swept into retired
+    val appended = new Path(live, "part-racing-append.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(nested, "compacted-" + originals.head.getName), fs, appended,
+      false, spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(retired, "_temporary/0/task-attempt"))
+    fs.createNewFile(new Path(retired, "_temporary/0/task-attempt/part-inflight"))
+
+    Compaction.compactTable(spark, tablePath, maxFiles = 100)
+    assert(!fs.exists(nested), "nested staged dir must be folded into live")
+    assert(!fs.exists(retired), "retired dir must be cleaned up")
+    assert(fs.exists(appended), "the racing append must survive")
+    assert(fs.exists(new Path(live, "_temporary/0/task-attempt/part-inflight")),
+      "the in-flight staging dir must be restored for the writer's retry")
+    // compacted rows + the appended copy are all readable (Spark ignores
+    // the restored _-prefixed staging dir)
+    val oneFileRows = spark.read.parquet(
+      new Path(live, "compacted-" + originals.head.getName).toString).count()
+    assert(spark.read.parquet(tablePath).count() == baseline + oneFileRows)
+  }
+
   // deliberately LAST: persistent registration drops same-named temp views
   test("persistent catalog: a second session sees tables and views") {
     val dir = Files.createTempDirectory("graft-perslake").toString
