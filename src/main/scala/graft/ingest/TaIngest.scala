@@ -131,27 +131,37 @@ object TaIngest {
     * ARN — `max_by(value, obs_seq)` gives last-wins without a window shuffle.
     */
   def tags(tagObs: DataFrame, customerKeys: Seq[String]): DataFrame = {
-    val filtered = tagObs.filter(col("Key").isin(customerKeys: _*))
-    val pivoted = filtered
+    // ONE aggregation keyed by ARN — one scan of the (possibly live-API)
+    // source, where the previous pivot+meta-join shape scanned it twice
+    // (doubling Tagging-API sweeps and racing two snapshots of a mutating
+    // source). Per-key last-wins cells come from max_by over key-gated
+    // (value, seq) pairs — max_by skips NULL orderings, so other keys'
+    // rows never compete and an absent key yields NULL exactly like the
+    // pivot did; meta columns are plain max_by over the full group; the
+    // former inner join's "has at least one customer-key observation"
+    // gate is one more aggregate.
+    val tagCells = customerKeys.map(k =>
+      max_by(when(col("Key") === k, col("Value")),
+        when(col("Key") === k, col("obs_seq"))).as(k.toLowerCase))
+    val aggs = Seq(
+      max_by(col("Date"), col("obs_seq")).as("date"),
+      max_by(col("DateTime"), col("obs_seq")).as("datetime"),
+      max_by(col("AccountId"), col("obs_seq")).as("accountid"),
+      max_by(col("AccountName"), col("obs_seq")).as("accountname"),
+      max_by(col("AccountEmail"), col("obs_seq")).as("accountemail"),
+      max_by(col("RegionName"), col("obs_seq")).as("regionname"),
+      max_by(col("ResourceType"), col("obs_seq")).as("resourcetype")) ++
+      tagCells :+
+      max(col("Key").isin(customerKeys: _*)).as("has_key")
+    tagObs
       .groupBy(col("ResourceArn").as("resourcearn"))
-      .pivot("Key", customerKeys)
-      .agg(expr("max_by(Value, obs_seq)"))
-    val meta = tagObs
-      .groupBy(col("ResourceArn").as("resourcearn"))
-      .agg(
-        expr("max_by(Date, obs_seq)").as("date"),
-        expr("max_by(DateTime, obs_seq)").as("datetime"),
-        expr("max_by(AccountId, obs_seq)").as("accountid"),
-        expr("max_by(AccountName, obs_seq)").as("accountname"),
-        expr("max_by(AccountEmail, obs_seq)").as("accountemail"),
-        expr("max_by(RegionName, obs_seq)").as("regionname"),
-        expr("max_by(ResourceType, obs_seq)").as("resourcetype"))
-    val tagCols = customerKeys.map(k => col(s"p.`$k`").as(k.toLowerCase))
-    meta.as("m").join(pivoted.as("p"), Seq("resourcearn"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("has_key"))
       .select(
-        Seq(col("m.date"), col("m.datetime"), col("m.accountid"),
-          col("m.accountname"), col("m.accountemail"), col("m.regionname"),
-          col("m.resourcetype"), col("resourcearn"),
-          arnResourceId(col("resourcearn")).as("resourceid")) ++ tagCols: _*)
+        Seq(col("date"), col("datetime"), col("accountid"),
+          col("accountname"), col("accountemail"), col("regionname"),
+          col("resourcetype"), col("resourcearn"),
+          arnResourceId(col("resourcearn")).as("resourceid")) ++
+          customerKeys.map(k => col(s"`${k.toLowerCase}`")): _*)
   }
 }

@@ -36,7 +36,18 @@ import org.apache.spark.sql.SparkSession
   * write IN FLIGHT across the retire rename additionally relies on the
   * standard Spark task-retry path (its swept staging dir is restored,
   * and a retried task re-stages under the live dir). Readers during the
-  * swap still see either all-old or all-new, never a mix.
+  * swap still see either all-old or all-new, never a mix. Overlapping
+  * COMPACTION runs are excluded per partition by an exclusive-create
+  * lock file (stale locks broken after 1 h).
+  *
+  * Filesystem contract: the swap/recovery guarantees assume ATOMIC
+  * DIRECTORY RENAME and atomic exclusive create — HDFS and POSIX
+  * filesystems deliver both. Raw object stores (S3A) emulate rename as
+  * per-object copy+delete, which breaks the all-old/all-new reader
+  * guarantee and the crash-state taxonomy; on S3, run compaction
+  * against an HDFS/EBS staging copy or use a table format whose commit
+  * protocol is object-store-native — do NOT point this at s3a:// and
+  * expect the rename guarantees to hold.
   */
 object Compaction {
 
@@ -109,9 +120,18 @@ object Compaction {
     * recreated `_temporary`), then drop the empty `src`. Compacted part
     * files carry fresh UUID names, so a genuine name collision on a FILE
     * means corrupted state and fails loudly. */
+  /** Fold `src` into `dst` with the MANIFEST MOVED LAST: the manifest's
+    * location is the crash-recovery signal for "the complete compacted
+    * copy lives here", so it must not arrive at the destination before
+    * the part files do — a crash mid-fold must leave the manifest with
+    * the remaining source files, never at a destination that only holds
+    * some of them. */
   private def mergeInto(fs: FileSystem, src: Path, dst: Path): Unit = {
     if (!fs.exists(dst)) fs.mkdirs(dst)
-    fs.listStatus(src).foreach(st => moveEntry(fs, st, dst))
+    val (manifest, rest) = fs.listStatus(src)
+      .partition(_.getPath.getName == ManifestName)
+    rest.foreach(st => moveEntry(fs, st, dst))
+    manifest.foreach(st => moveEntry(fs, st, dst))
     fs.delete(src, true)
   }
 
@@ -151,6 +171,27 @@ object Compaction {
       }
       fs.delete(retired, true)
       fs.delete(new Path(dir, ManifestName), false)
+    }
+  }
+
+  /** Per-partition mutual exclusion between COMPACTION runs (appenders
+    * never take it): an exclusive-create lock file next to the partition.
+    * Without it, an overlapping run's recover() deletes the first run's
+    * in-flight staged dir mid-rewrite. A lock older than `staleMs`
+    * (default 1 h — a partition rewrite is minutes) is presumed crashed
+    * and broken. Atomic on filesystems with exclusive create (HDFS,
+    * POSIX); see the header for the object-store caveat. */
+  private def acquireLock(fs: FileSystem, lock: Path,
+      staleMs: Long = 3600000L): Boolean = {
+    def tryCreate(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    tryCreate() || {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleMs
+        catch { case _: java.io.FileNotFoundException => true }
+      stale && { fs.delete(lock, false); tryCreate() }
     }
   }
 
@@ -196,6 +237,19 @@ object Compaction {
     val nested = new Path(dir, staged.getName)
     if (fs.exists(nested) && fs.exists(new Path(nested, ManifestName)))
       mergeInto(fs, nested, dir)
+    // a TOP-LEVEL staged dir still holding its manifest, WITH the retired
+    // dir present, is a COMPLETE rewrite whose merge-fallback swap
+    // crashed mid-fold (the retire rename had already happened; the
+    // manifest moves last, so its presence proves every part file is
+    // still in staged): ROLL FORWARD by finishing the fold — the
+    // originals live only in retired and are superseded. Without a
+    // retired dir this is the ordinary pre-swap crash (originals intact
+    // in the live dir): folding would DUPLICATE rows, so the staged copy
+    // is rolled back (deleted) instead. A staged dir without a manifest
+    // is an incomplete rewrite — always deleted.
+    if (fs.exists(dir) && fs.exists(retired) &&
+        fs.exists(new Path(staged, ManifestName)))
+      mergeInto(fs, staged, dir)
     fs.delete(staged, true)
     if (fs.exists(dir)) {
       restoreStraysAndClean(fs, dir, retired)
@@ -217,6 +271,9 @@ object Compaction {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     leafDirs(fs, root).flatMap { dir =>
+      val lock = new Path(dir.getParent, "." + dir.getName + ".lock")
+      if (!acquireLock(fs, lock)) None // another run owns this partition
+      else try {
       recover(fs, dir)
       val files =
         if (fs.exists(dir)) fs.listStatus(dir).filter(s => isDataFile(s.getPath))
@@ -258,6 +315,7 @@ object Compaction {
         val after = fs.listStatus(dir).map(_.getPath).count(isDataFile)
         Some(Report(dir.toString, files.length, after))
       }
+      } finally fs.delete(lock, false)
     }
   }
 

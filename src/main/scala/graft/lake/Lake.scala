@@ -68,8 +68,26 @@ object Lake {
     write(df, summaryPath(root), csvFidelity, assumeNonEmpty)
 
   def writeTags(df: DataFrame, root: String,
-      csvFidelity: Boolean = false): Unit =
+      csvFidelity: Boolean = false): Unit = {
+    // CSV is read back POSITIONALLY with one header for the whole tree:
+    // appending runs whose column set changed (reordered/shrunken
+    // CustomerKeys) would silently misalign every later column across the
+    // table. Parquet tolerates drift (mergeSchema resolves by NAME);
+    // fidelity mode must refuse it at write time, loudly.
+    if (csvFidelity) {
+      val path = tagsPath(root)
+      val spark = df.sparkSession
+      if (exists(spark, path)) {
+        val existing = spark.read.option("header", "true").csv(path).columns
+        require(existing.sameElements(df.columns),
+          s"csvFidelity tags append changes the column set: table has " +
+            s"[${existing.mkString(",")}], append has " +
+            s"[${df.columns.mkString(",")}] — rewrite the table (or drop " +
+            "fidelity mode, whose parquet path merges schemas by name)")
+      }
+    }
     write(df, tagsPath(root), csvFidelity)
+  }
 
   /** K7 error-log sink (refresh-ta-check-lambda.py:54-63): failure records
     * land under Logs/<kind>/y/m/d as their own small table instead of the

@@ -27,14 +27,17 @@ object AccountsSource {
       sys.error(s"no accountid column in $path: ${raw.columns.mkString(",")}"))
     val nameCol = find("accountname").getOrElse(id)
     val email = find("accountemail").getOrElse(id)
+    // the reference strips every cell (get-accounts-info-lambda.py:145-148)
+    // — whitespace-padded CSV cells must not leak into account ids the
+    // whole lake keys on (equality joins, assume-role ARNs)
     val statusFiltered = find("status") match {
-      case Some(s) => raw.filter(upper(col(s"`$s`")) === "ACTIVE")
+      case Some(s) => raw.filter(upper(trim(col(s"`$s`"))) === "ACTIVE")
       case None => raw
     }
     statusFiltered.select(
-      col(s"`$id`").as("AccountId"),
-      col(s"`$nameCol`").as("AccountName"),
-      col(s"`$email`").as("AccountEmail"),
+      trim(col(s"`$id`")).as("AccountId"),
+      trim(col(s"`$nameCol`")).as("AccountName"),
+      trim(col(s"`$email`")).as("AccountEmail"),
       lit(date).as("Date"), lit(dateTime).as("DateTime"))
   }
 

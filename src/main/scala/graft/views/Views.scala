@@ -32,7 +32,7 @@ object Views {
 
   private def joinOrBare(t: String, key: String, tagged: Boolean): String =
     if (tagged)
-      s"""FROM $t LEFT JOIN tags
+      s"""FROM `$t` LEFT JOIN tags
          ON ((`$t`.`${key.toLowerCase}` = `tags`.`resourceid`)
          AND (`$t`.`datetime` = `tags`.`datetime`))"""
     else s"FROM `$t`"
@@ -52,10 +52,10 @@ object Views {
   private def view(name: String, t: String, derived: Seq[String],
       tagKeys: Seq[String], tagged: Boolean, joinKey: Option[String],
       temporary: Boolean): String = {
-    val from = joinKey match {
-      case Some(k) => joinOrBare(t, k, tagged)
-      case None => s"FROM `$t`"
-    }
+    // one producer for the FROM clause: a keyless view is just the
+    // untagged branch of joinOrBare (no duplicated string to drift)
+    val from = joinOrBare(t, joinKey.getOrElse(""),
+      tagged && joinKey.isDefined)
     s"""${createKw(temporary)} $name AS
        SELECT `$t`.*, ${derived.mkString(", ")}
        ${tagCols(tagKeys, tagged && joinKey.isDefined)}
