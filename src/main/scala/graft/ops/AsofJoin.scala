@@ -35,7 +35,10 @@ object AsofJoin {
     val rStructType = StructType(
       rCols.map(c => StructField(c, right.schema(c).dataType)))
 
-    val rSide = right.select(
+    // a NULL-time right row would sort NULLS FIRST and masquerade as
+    // "earlier than everything", attaching to left rows with no true
+    // predecessor; SQL's `r.ts <= l.ts` excludes them, so we do too
+    val rSide = right.filter(col(timeCol).isNotNull).select(
       keys.map(col) ++ Seq(
         col(timeCol).as("__t"), lit(0).as("__side"),
         col(tieCol).cast("long").as("__tie"),

@@ -111,7 +111,10 @@ object Components {
     edges.unpersist(blocking = false)
     // with pointer jumping, maxIters=50 covers diameters up to ~2^50 —
     // hitting it means something is wrong; wrong labels must not be
-    // returned silently
+    // returned silently. Free the last round's cache on the failure path
+    // too: a caller that catches and retries must not leak blocks only a
+    // full clearCache() could reclaim.
+    if (!converged) labels.unpersist(blocking = false)
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
     // the returned frame reads the still-persisted labels cache (callers
@@ -188,6 +191,12 @@ object Components {
       iter += 1
       if (sys.props.contains("graft.cc.debug"))
         println(s"CC-stars round $iter edges=${edges.count()}")
+    }
+    // failure path frees every cache this call created (edges is the
+    // current round's relation; allNodes backs the root computation)
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      allNodes.unpersist(blocking = false)
     }
     require(converged,
       s"connectedComponentsStars did not converge in $maxIters rounds")

@@ -93,12 +93,13 @@ object Dedup {
     * pipeline runs before export — did a benchmark item leak into the
     * crawl?
     *
-    * Scale shape: both sides reduce to distinct (id, 60-bit n-gram hash)
-    * pairs; the benchmark side is SMALL by definition (eval suites are
-    * MBs against a 100 TB corpus), so it broadcasts and the corpus
-    * streams through a broadcast hash join — no corpus shuffle at all
-    * until the (doc, bench) pair aggregation, whose cardinality is
-    * bounded by actual overlap, not corpus size. The broadcast is SIZE-
+    * Scale shape: the benchmark side reduces to distinct (id, 60-bit
+    * n-gram hash) pairs and is SMALL by definition (eval suites are MBs
+    * against a 100 TB corpus), so it broadcasts; the corpus side stays a
+    * raw occurrence stream through the broadcast hash join — no corpus
+    * shuffle at all until the (doc, bench) pair aggregation (a
+    * count-distinct over the join's surviving rows), whose cardinality
+    * is bounded by actual overlap, not corpus size. The broadcast is SIZE-
     * GATED like the Jaccard-verify semi join (the hint is a promise, not
     * advice — an unexpectedly huge "benchmark" must degrade to a shuffled
     * join, not OOM the driver): the bench n-gram relation broadcasts only
@@ -106,10 +107,14 @@ object Dedup {
     * per-bench sizes, stays under `broadcastNgramLimit`. */
   def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 5,
       tau: Double = 0.5, broadcastNgramLimit: Long = 5000000L): DataFrame = {
+    // the corpus side stays an occurrence STREAM — no distinct(), which
+    // would shuffle the whole exploded n-gram relation before the join;
+    // the broadcast join filters it to bench-matching rows first, and the
+    // pair aggregation counts DISTINCT hashes so duplicate occurrences
+    // can't inflate the overlap
     val cSh = spread(corpus)
       .select(col("doc_id"), explode(shinglesOf(col("text"), n)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("m"))
-      .distinct()
     val bSh = tracked(bench
       .select(col("bench_id"), explode(shinglesOf(col("text"), n)).as("s"))
       .select(col("bench_id"), md5Long(col("s")).as("m"))
@@ -123,7 +128,7 @@ object Dedup {
       .agg(count(lit(1)).as("bench_ngrams"))
     cSh.join(gate(bSh), Seq("m"))
       .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("overlap"))
+      .agg(countDistinct(col("m")).as("overlap"))
       .join(gate(bSize), Seq("bench_id"))
       .withColumn("contamination",
         col("overlap").cast(DoubleType) / col("bench_ngrams").cast(DoubleType))
@@ -232,6 +237,10 @@ object Dedup {
     * row-local streaming probe go through it, so the spec-pinned equality
     * between them cannot drift. */
   private def bandFold(sig: DataFrame, numHashes: Int): DataFrame = {
+    // an odd count would silently drop the last slot; 1 would produce
+    // ZERO bands and an empty "no near-dups" answer with no error
+    require(numHashes >= 2 && numHashes % 2 == 0,
+      s"rows-per-band=2 banding needs an even numHashes >= 2, got $numHashes")
     val bands = numHashes / 2
     sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
@@ -451,10 +460,13 @@ object Dedup {
     * per-row pair explode. */
   def sharedSubstringPairs(docs: DataFrame, window: Int = 20,
       maxDf: Int = 50): DataFrame = {
-    val wsh = tracked(spread(docs)
+    // no distinct() and no cache: BoundedMinSet already ignores duplicate
+    // (doc, hash) occurrences and the relation has exactly one consumer —
+    // a distinct here would re-shuffle the largest relation in the op
+    // for nothing (the same rationale shingleSet documents)
+    val wsh = spread(docs)
       .select(col("doc_id"), explode(shinglesOf(col("text"), window)).as("s"))
       .select(col("doc_id"), md5Long(col("s")).as("m"))
-      .distinct())
     val buckets = boundedBuckets(wsh, Seq("m"), "doc_id", maxDf)
     pairsFromBuckets(buckets)
       .groupBy(col("doc_a"), col("doc_b"))

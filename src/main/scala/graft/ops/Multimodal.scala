@@ -54,10 +54,14 @@ object Multimodal {
       (0 until nFrames).iterator.map { f =>
         val off = f * stride
         val end = math.min(r.payload.length, off + stride)
+        // payloads shorter than nFrames leave trailing frames EMPTY
+        // (offset past the payload, zero bytes, seed hash) — matching the
+        // frameSlices twin's empty-substring behavior, never a negative
+        // byte count
         var h = 1125899906842597L // deterministic FNV-ish slice hash (stub)
         var i = off
         while (i < end) { h = h * 31 + (r.payload(i) & 0xff); i += 1 }
-        (r.media_id, f, off, end - off, h)
+        (r.media_id, f, off, math.max(0, end - off), h)
       }
     }.toDF("media_id", "frame_idx", "offset", "n_bytes", "frame_hash")
   }

@@ -30,6 +30,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 8, how: String = "inner"): DataFrame = {
     require(factor >= 1)
+    // salting replicates the SMALL side `factor` times, so any join type
+    // that can emit unmatched small-side rows (right/full/...) would emit
+    // them factor times — refuse instead of silently multiplying rows
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(how.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves semantics only for inner/left joins, got '$how'")
     val saltedBig = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(factor.toLong)))
     val replicated = small
