@@ -76,8 +76,13 @@ object TaIngest {
     val projected = spec.header.zip(spec.mapping).map {
       // digit token: positional metadata cell, comma-stripped
       // (extract-ta-data-lambda.py:169-175); null cells stay null.
+      // try_element_at: a flaggedResource whose metadata array is SHORTER
+      // than the mapping's max index reads as null — plain element_at
+      // under Spark 4's default ANSI mode would fail the whole ingest job
+      // on one malformed resource
       case (name, MetaIdx(i)) =>
-        stripCommas(element_at(col("r.metadata"), i + 1)).as(name.toLowerCase)
+        stripCommas(expr(s"try_element_at(r.metadata, ${i + 1})"))
+          .as(name.toLowerCase)
       // name token: field on the flaggedResource object
       case (name, Field(f)) => col(s"r.$f").cast(StringType).as(name.toLowerCase)
     }

@@ -114,9 +114,15 @@ object Pipeline {
     * DSv2 source emits) and appends each micro-batch into the partitioned
     * lake via foreachBatch — the continuous replacement for the reference's
     * monthly cron (template:17-21): drop files, partitions appear. The
-    * checkpoint makes re-processing exactly-once per file. Runs to
-    * completion with AvailableNow (batch-like); pass a processing-time
-    * trigger for a long-lived daemon. */
+    * checkpoint reads each landing FILE exactly once (source-side); the
+    * SINK side is at-least-once — a crash after some of a batch's lake
+    * appends but before the checkpoint commit replays the batch on
+    * restart, duplicating those appends. Make the consumer idempotent
+    * (exact dedup downstream — q21/q74 are the operators) or swap the
+    * foreachBatch body for a transactional table format when end-to-end
+    * exactly-once matters. Runs to completion with AvailableNow
+    * (batch-like); pass a processing-time trigger for a long-lived
+    * daemon. */
   def ingestStream(spark: SparkSession, landingDir: String, cfg: Config,
       checkpoint: String): Unit = {
     val raw = spark.readStream

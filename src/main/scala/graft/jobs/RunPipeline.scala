@@ -27,10 +27,14 @@ object RunPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val date = java.time.LocalDate.now()
+    // ONE UTC clock read: two separate now() calls could straddle
+    // midnight (date and datetime a day apart), and the session's
+    // timestamp semantics are pinned to UTC
+    val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+    val date = now.toLocalDate
     val dateStr = date.format(
       java.time.format.DateTimeFormatter.ofPattern("MM-dd-yyyy"))
-    val dtStr = java.time.LocalDateTime.now().format(
+    val dtStr = now.format(
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
     val accounts = (1 to nAccounts).map(i =>
       f"${100000000000L + i}%012d:Account $i:acct$i@example.com").mkString(",")

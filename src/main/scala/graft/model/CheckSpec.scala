@@ -11,8 +11,13 @@ final case class MetaIdx(i: Int) extends SchemaToken
 final case class Field(name: String) extends SchemaToken
 
 object SchemaToken {
+  // ASCII digits only, non-empty: "" is vacuously all-digits under forall
+  // (a doubled/trailing comma in a schema spec would crash deep inside
+  // toInt), and Unicode digits pass isDigit but not toInt
   def parse(token: String): SchemaToken =
-    if (token.forall(_.isDigit)) MetaIdx(token.toInt) else Field(token)
+    if (token.nonEmpty && token.forall(c => c >= '0' && c <= '9'))
+      MetaIdx(token.toInt)
+    else Field(token)
   def parseList(csv: String): Seq[SchemaToken] =
     csv.split(",").map(t => parse(t.trim)).toSeq
 }

@@ -24,25 +24,45 @@ import graft.functions.{LongArrayDot, Md5Long60, WordShingles}
   * build-time probe (J2).
   */
 object GraftExtensions {
+
+  /** Arity check surfacing a usable message instead of a raw
+    * IndexOutOfBounds from `children(i)` during analysis. */
+  private[plans] def checkArity(name: String, usage: String,
+      children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments ($usage), got ${children.length}")
+
+  /** The literal-int second argument of word_shingles, with a usable
+    * error for NULL / non-integral literals. */
+  private[plans] def literalWidth(children: Seq[Expression]): Int =
+    children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null && v.toString.matches("-?\\d+") => v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"word_shingles width must be an integer literal, got $other")
+    }
   /** Late registration on an existing session — withExtensions only takes
     * effect for sessions created after it, so long-lived apps (and shared
     * test sessions) attach the functions this way. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftbridge.GraftBridge.registerTempFunction
     registerTempFunction(spark, "long_array_dot",
-      (children: Seq[Expression]) => LongArrayDot(children(0), children(1)))
+      (children: Seq[Expression]) => {
+        checkArity("long_array_dot", "array<bigint>, array<bigint>", children, 2)
+        LongArrayDot(children(0), children(1))
+      })
     registerTempFunction(spark, "word_shingles",
       (children: Seq[Expression]) => {
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"word_shingles width must be a literal, got $other")
-        }
-        WordShingles(children(0), n)
+        checkArity("word_shingles", "text, n", children, 2)
+        WordShingles(children(0), literalWidth(children))
       })
     registerTempFunction(spark, "md5_long60",
-      (children: Seq[Expression]) => Md5Long60(children(0)))
+      (children: Seq[Expression]) => {
+        checkArity("md5_long60", "string", children, 1)
+        Md5Long60(children(0))
+      })
   }
 }
 
@@ -57,25 +77,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("long_array_dot"),
       info("long_array_dot",
         "long_array_dot(a, b) - exact integer dot product of two array<bigint>"),
-      (children: Seq[Expression]) =>
-        LongArrayDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        GraftExtensions.checkArity("long_array_dot",
+          "array<bigint>, array<bigint>", children, 2)
+        LongArrayDot(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n) - word n-gram shingles of a space-tokenized string"),
       (children: Seq[Expression]) => {
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"word_shingles width must be a literal, got $other")
-        }
-        WordShingles(children(0), n)
+        GraftExtensions.checkArity("word_shingles", "text, n", children, 2)
+        WordShingles(children(0), GraftExtensions.literalWidth(children))
       }))
     ext.injectFunction((
       FunctionIdentifier("md5_long60"),
       info("md5_long60",
         "md5_long60(s) - first 15 hex digits of md5(s) as a non-negative BIGINT"),
-      (children: Seq[Expression]) => Md5Long60(children(0))))
+      (children: Seq[Expression]) => {
+        GraftExtensions.checkArity("md5_long60", "string", children, 1)
+        Md5Long60(children(0))
+      }))
   }
 }

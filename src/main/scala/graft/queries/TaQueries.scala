@@ -42,7 +42,12 @@ object TaQueries {
   val dumpRoot: String =
     sys.env.get("GRAFT_Q35_DUMP")
       .orElse(sys.props.get("graft.q35.dump"))
-      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_ta_dump_qch7dwoux1")
+      // per-PROCESS unique default: a fixed path would let a concurrent
+      // JVM's overwrite race this run's DuckDB oracle reads of the same
+      // directory (the oracle SQL interpolates this value inside the same
+      // JVM, so both sides still agree within a run)
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_ta_dump_qch7dwoux1_${ProcessHandle.current().pid()}")
 
   private val builtLake = new ConcurrentHashMap[SparkSession, String]()
 
@@ -194,8 +199,12 @@ object TaQueries {
     // then converts to double — both engines correctly round the exact
     // value, so the doubles match bitwise. P applies the view's verbatim
     // '0'->'1' string-replace zero guard.
+    // n2's numerator (flagged - ignored - suppressed) CAN go negative
+    // (ignored + suppressed > flagged); Spark's decimal HALF_UP rounds
+    // away from zero while DuckDB's // floors toward -inf, so the
+    // negative branch mirrors half-away-from-zero explicitly
     "q58_view_summary" ->
-      s"""SELECT t.* EXCLUDE (p, n1, n2), $dt,
+      s"""SELECT t.* EXCLUDE (p, f2, n1, n2), $dt,
          CAST(1000000000000000 - 100 * n1 AS DOUBLE) / 1e13
            AS "optimizationPercent",
          CAST(1000000000000000 - 100 * n2 AS DOUBLE) / 1e13
@@ -203,12 +212,16 @@ object TaQueries {
          FROM (SELECT t0.*,
            (2 * CAST(resourcesflagged AS BIGINT) * 10000000000000 + p)
              // (2 * p) AS n1,
-           (2 * (CAST(resourcesflagged AS BIGINT)
-               - CAST(resourcesignored AS BIGINT)
-               - CAST(resourcessuppressed AS BIGINT)) * 10000000000000 + p)
-             // (2 * p) AS n2
+           CASE WHEN f2 >= 0
+             THEN (2 * f2 * 10000000000000 + p) // (2 * p)
+             ELSE -((2 * (-f2) * 10000000000000 + p) // (2 * p))
+           END AS n2
            FROM (SELECT *, CAST(replace(resourcesprocessed, '0', '1') AS BIGINT)
-             AS p FROM read_parquet('$dumpRoot/summary/*.parquet')) t0) t""",
+             AS p,
+             CAST(resourcesflagged AS BIGINT)
+               - CAST(resourcesignored AS BIGINT)
+               - CAST(resourcessuppressed AS BIGINT) AS f2
+             FROM read_parquet('$dumpRoot/summary/*.parquet')) t0) t""",
     // :84-93 — the flagship view's FULL rows (q35 gates its aggregate)
     "q59_view_ec2_full" ->
       s"""SELECT t.*, $dt,
