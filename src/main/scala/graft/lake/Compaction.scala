@@ -40,14 +40,16 @@ import org.apache.spark.sql.SparkSession
   * COMPACTION runs are excluded per partition by an exclusive-create
   * lock file (stale locks broken after 1 h).
   *
-  * Filesystem contract: the swap/recovery guarantees assume ATOMIC
-  * DIRECTORY RENAME and atomic exclusive create — HDFS and POSIX
-  * filesystems deliver both. Raw object stores (S3A) emulate rename as
-  * per-object copy+delete, which breaks the all-old/all-new reader
-  * guarantee and the crash-state taxonomy; on S3, run compaction
-  * against an HDFS/EBS staging copy or use a table format whose commit
-  * protocol is object-store-native — do NOT point this at s3a:// and
-  * expect the rename guarantees to hold.
+  * Filesystem contract: [[compactTable]]'s swap/recovery guarantees
+  * assume ATOMIC DIRECTORY RENAME and atomic exclusive create — HDFS
+  * and POSIX filesystems deliver both. Raw object stores (S3A) emulate
+  * rename as per-object copy+delete, which breaks the all-old/all-new
+  * reader guarantee and the crash-state taxonomy — on those, use
+  * [[compactTableManifest]]: the [[ManifestCommit]] protocol's only
+  * atomic primitive is a single-object put-if-absent (an S3 conditional
+  * PUT), so its guarantees hold on any store, readers resolve file sets
+  * through the committed manifest instead of directory listing, and no
+  * lock is needed at all.
   */
 object Compaction {
 
@@ -62,7 +64,11 @@ object Compaction {
     * including partitions that currently exist ONLY as a crashed run's
     * hidden .day=N.retired / .day=N.compacting leftovers — those name the
     * partition they belong to and must surface so recover() can restore
-    * it. Hidden dirs themselves are never treated as partitions. */
+    * it. Hidden dirs themselves are never treated as partitions.
+    * Package-private: ManifestCommit walks the same partition tree. */
+  private[lake] def leafPartitions(fs: FileSystem, root: Path): Seq[Path] =
+    leafDirs(fs, root)
+
   private def leafDirs(fs: FileSystem, root: Path): Seq[Path] = {
     def walk(dir: Path): Seq[Path] = {
       // a partition dir is a LEAF by definition — never recurse into it:
@@ -175,25 +181,68 @@ object Compaction {
   }
 
   /** Per-partition mutual exclusion between COMPACTION runs (appenders
-    * never take it): an exclusive-create lock file next to the partition.
-    * Without it, an overlapping run's recover() deletes the first run's
-    * in-flight staged dir mid-rewrite. A lock older than `staleMs`
-    * (default 1 h — a partition rewrite is minutes) is presumed crashed
-    * and broken. Atomic on filesystems with exclusive create (HDFS,
-    * POSIX); see the header for the object-store caveat. */
+    * never take it): an exclusive-create lock file next to the partition,
+    * holding the owner's UUID token. Without it, an overlapping run's
+    * recover() deletes the first run's in-flight staged dir mid-rewrite.
+    *
+    * A lock older than `staleMs` (default 1 h — a partition rewrite is
+    * minutes) is presumed crashed and BROKEN BY RENAME, not delete:
+    * rename is atomic, so of two runs that both observe the same stale
+    * lock, exactly one wins the rename (the loser's rename finds the
+    * source gone and aborts) — a plain delete would let the loser destroy
+    * the winner's freshly created lock and both proceed. After creating,
+    * the owner re-reads the file and proceeds only if its own token is
+    * inside; [[releaseLock]] applies the same token check so a run that
+    * outlived the stale window (its lock broken, a new owner installed)
+    * can no longer delete the new owner's lock on exit.
+    *
+    * Returns the owner token if acquired. Only FileAlreadyExists-shaped
+    * failures read as contention; other IOExceptions propagate — a
+    * transient RPC error must surface as an error, not as a partition
+    * silently skipped forever. Atomic on filesystems with exclusive
+    * create + atomic rename (HDFS, POSIX); object-store deployments use
+    * [[compactTableManifest]], which needs no lock at all. */
   private def acquireLock(fs: FileSystem, lock: Path,
-      staleMs: Long = 3600000L): Boolean = {
+      staleMs: Long = 3600000L): Option[String] = {
+    val token = java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    tryCreate() || {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(lock)) false else throw e
+      }
+    val created = tryCreate() || {
       val stale =
         try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime > staleMs
         catch { case _: java.io.FileNotFoundException => true }
-      stale && { fs.delete(lock, false); tryCreate() }
+      stale && {
+        // atomic break: exactly one contender wins the rename of the
+        // stale lock; the tombstone is then discarded
+        val tomb = new Path(lock.getParent, lock.getName + ".stale." + token)
+        val won = try fs.rename(lock, tomb)
+          catch { case _: java.io.IOException => false }
+        if (won) fs.delete(tomb, false)
+        (won || !fs.exists(lock)) && tryCreate()
+      }
     }
+    if (created && readLockToken(fs, lock).contains(token)) Some(token) else None
   }
+
+  private def readLockToken(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Delete the lock only while it still holds OUR token — a broken-and-
+    * reacquired lock belongs to someone else now. */
+  private def releaseLock(fs: FileSystem, lock: Path, token: String): Unit =
+    if (readLockToken(fs, lock).contains(token)) fs.delete(lock, false)
 
   /** Swap the staged dir into the live position. The plain rename wins
     * when the live dir is still absent (the normal case). If a concurrent
@@ -272,8 +321,9 @@ object Compaction {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     leafDirs(fs, root).flatMap { dir =>
       val lock = new Path(dir.getParent, "." + dir.getName + ".lock")
-      if (!acquireLock(fs, lock)) None // another run owns this partition
-      else try {
+      acquireLock(fs, lock) match {
+        case None => None // another run owns this partition
+        case Some(token) => try {
       recover(fs, dir)
       val files =
         if (fs.exists(dir)) fs.listStatus(dir).filter(s => isDataFile(s.getPath))
@@ -315,24 +365,115 @@ object Compaction {
         val after = fs.listStatus(dir).map(_.getPath).count(isDataFile)
         Some(Report(dir.toString, files.length, after))
       }
-      } finally fs.delete(lock, false)
+        } finally releaseLock(fs, lock, token)
+      }
     }
   }
 
+  /** Object-store-native compaction: same selection policy as
+    * [[compactTable]], but the swap is a [[ManifestCommit]] — write new
+    * uniquely-named files NEXT TO the old ones, then atomically commit a
+    * manifest that lists the new set and tombstones the old. No directory
+    * rename, no lock (optimistic manifest commit arbitrates both
+    * concurrent compactors and concurrent appends), no reader window:
+    * a manifest-resolved reader ([[ManifestCommit.readTable]]) sees the
+    * old file set until the single commit point and the new one after,
+    * on ANY filesystem — including stores whose rename is per-object
+    * copy+delete. Plain directory-listing readers of a manifest-mode
+    * table see old+new files mixed between commit and GC, which is why a
+    * manifest-mode deployment must read through the manifest; the two
+    * modes are otherwise layout-compatible ([[ManifestCommit.bootstrap]]
+    * adopts listing-mode partitions in place).
+    *
+    * Crash at any point loses nothing: pre-commit death leaves orphan
+    * `compact-*` files that [[ManifestCommit.gc]] collects after the
+    * grace; post-commit death leaves tombstoned originals for the same
+    * GC. Appends that land between snapshot and commit survive via the
+    * replaceFiles retry loop (the commit is re-based on the appender's
+    * version). `gcGraceMs` must exceed the longest reader scan; the
+    * default keeps superseded files for 15 minutes. */
+  def compactTableManifest(spark: SparkSession, tablePath: String,
+      maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024,
+      gcGraceMs: Long = 15L * 60 * 1000): Seq[Report] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    leafPartitions(fs, root).flatMap { dir =>
+      ManifestCommit.gc(fs, dir, gcGraceMs)
+      // sweep crashed runs' hidden staging dirs (run-unique names; the
+      // age gate keeps a live concurrent run's stage safe)
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("._compacting-") &&
+            System.currentTimeMillis() - st.getModificationTime >= gcGraceMs)
+          .foreach(st => fs.delete(st.getPath, true))
+      val snap = ManifestCommit.adoptNewFiles(fs, dir)
+      val files = snap.files.filter(_.endsWith(".parquet"))
+      if (files.length <= maxFiles || files.length != snap.files.length) None
+      else {
+        val paths = files.map(new Path(dir, _))
+        val bytes = paths.map(fs.getFileStatus(_).getLen).sum
+        val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        // stage the rewrite in a hidden, RUN-UNIQUE dir (no lock → two
+        // runs may stage concurrently; unique names keep them disjoint),
+        // then move each part file next to the originals under a fresh
+        // compact-* name. The per-file moves need no atomicity: the
+        // files are invisible to manifest readers until the commit.
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val staged = new Path(dir, s"._compacting-$runId")
+        spark.read.option("mergeSchema", "true")
+          .parquet(paths.map(_.toString): _*)
+          .repartition(nOut)
+          .write.parquet(staged.toString)
+        val produced = fs.listStatus(staged).toIndexedSeq
+          .filter(st => isDataFile(st.getPath) && st.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.map { case (st, i) =>
+            val name = s"${ManifestCommit.CompactedPrefix}$runId-part$i.parquet"
+            require(fs.rename(st.getPath, new Path(dir, name)),
+              s"compaction: cannot move ${st.getPath} into $dir")
+            name
+          }
+        fs.delete(staged, true)
+        val committed =
+          ManifestCommit.replaceFiles(fs, dir, files.toSet, produced)
+        committed match {
+          case Some(next) =>
+            ManifestCommit.gc(fs, dir, gcGraceMs)
+            Some(Report(dir.toString, files.length,
+              next.files.count(_.endsWith(".parquet"))))
+          case None =>
+            // a concurrent compactor already replaced (some of) our read
+            // set: discard our output — it duplicates rows the winner
+            // still serves
+            produced.foreach(n => fs.delete(new Path(dir, n), false))
+            None
+        }
+      }
+    }
+  }
+
+  /** Manifest-mode [[compactLake]]. */
+  def compactLakeManifest(spark: SparkSession, lakeRoot: String,
+      maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024,
+      gcGraceMs: Long = 15L * 60 * 1000): Seq[Report] =
+    tableRoots(spark, lakeRoot).flatMap(t =>
+      compactTableManifest(spark, t.toString, maxFiles, targetFileBytes, gcGraceMs))
+
   /** Compact every check/summary/tags table of a lake root. */
   def compactLake(spark: SparkSession, lakeRoot: String,
-      maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024): Seq[Report] = {
+      maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024): Seq[Report] =
+    tableRoots(spark, lakeRoot).flatMap(t =>
+      compactTable(spark, t.toString, maxFiles, targetFileBytes))
+
+  /** Table roots of a lake: <root>/TA-Reports/<category>/<table>, <root>/Tags. */
+  private def tableRoots(spark: SparkSession, lakeRoot: String): Seq[Path] = {
     val root = new Path(lakeRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // table roots: <root>/TA-Reports/<category>/<table>, <root>/Tags
     val reports = new Path(root, "TA-Reports")
-    val tableDirs =
-      (if (fs.exists(reports))
-        fs.listStatus(reports).filter(_.isDirectory).flatMap(cat =>
-          fs.listStatus(cat.getPath).filter(_.isDirectory).map(_.getPath))
-      else Array.empty[Path]) ++
-      Some(new Path(root, "Tags")).filter(fs.exists(_))
-    tableDirs.toIndexedSeq.flatMap(t =>
-      compactTable(spark, t.toString, maxFiles, targetFileBytes))
+    ((if (fs.exists(reports))
+      fs.listStatus(reports).filter(_.isDirectory).flatMap(cat =>
+        fs.listStatus(cat.getPath).filter(_.isDirectory).map(_.getPath))
+    else Array.empty[Path]) ++
+      Some(new Path(root, "Tags")).filter(fs.exists(_))).toIndexedSeq
   }
 }

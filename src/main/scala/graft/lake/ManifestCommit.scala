@@ -1,0 +1,313 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Object-store-native commit protocol for lake partitions — the S3-safe
+  * alternative to [[Compaction]]'s rename-swap (whose guarantees need
+  * atomic directory rename, which raw object stores do not have).
+  *
+  * Design (a deliberately minimal form of the public Delta/Iceberg commit
+  * idea): each leaf partition directory carries a `_graft_log/` of
+  * immutable, versioned manifest files. Manifest `v%08d.manifest` is the
+  * single source of truth for "which data files constitute this partition
+  * at version N" — readers resolve the highest valid version and read
+  * EXACTLY the files it lists, ignoring everything else in the directory.
+  * Data files are immutable and uniquely named, so the only atomicity the
+  * protocol needs is:
+  *
+  *   1. atomic single-object write of one small manifest (an object-store
+  *      PUT is atomic by definition; on HDFS/POSIX, exclusive create +
+  *      close of a sub-block file),
+  *   2. put-if-absent for the manifest name (S3 conditional PUT
+  *      `If-None-Match: *`; HDFS/POSIX exclusive create) — this is the
+  *      optimistic-concurrency arbiter: the first committer of version
+  *      N+1 wins, losers re-read and retry on top of the winner,
+  *   3. read-after-write list/get consistency (S3 has been strongly
+  *      consistent since 2020).
+  *
+  * NO directory rename, NO lock file, NO crash-state taxonomy: a writer
+  * that dies before its manifest commit leaves only unreferenced objects,
+  * invisible to every reader and removed later by [[gc]].
+  *
+  * Commit states (the complete set — each is observable only as
+  * "old manifest" or "new manifest", never a mix):
+  *   - data files written, manifest not yet committed → readers see the
+  *     previous version; the new files are orphans until commit or GC;
+  *   - manifest committed, superseded files not yet GC'd → readers see
+  *     the new version; the old files are tombstoned (recorded with a
+  *     removal timestamp in the committing manifest) and deleted by [[gc]]
+  *     once `graceMs` has passed — the grace must exceed the longest
+  *     reader's scan time, since an in-flight reader may still hold the
+  *     previous version's file list;
+  *   - two writers race version N+1 → exactly one create succeeds; the
+  *     loser re-reads N+1 and retries on top of it ([[appendFiles]] /
+  *     [[replaceFiles]] retry loops), so a compaction never loses a
+  *     concurrent append and vice versa.
+  *
+  * Scale: one manifest per leaf partition (not per table) keeps commit
+  * contention and manifest size proportional to a single y/m/d slice —
+  * at 100 TB the table-level commit rate is unbounded but per-partition
+  * writers are few (one ingest run + one compactor), so the optimistic
+  * loop converges in one or two rounds. Manifests are a few KiB; readers
+  * pay one LIST + one GET per partition, the same metadata cost the
+  * plain file listing already paid.
+  *
+  * Format: line 1 `#graft 1 <liveCount> <removedCount>` (the counts make
+  * a torn HDFS write detectable — [[currentSnapshot]] skips invalid
+  * manifests and [[tryCommit]] reclaims their version slot; an
+  * object-store PUT can never be torn), then `A <name>` per live file and
+  * `R <epochMs> <name>` per file removed by that commit.
+  */
+object ManifestCommit {
+
+  val LogDirName = "_graft_log"
+  private val ManifestSuffix = ".manifest"
+  private val Header = "#graft 1"
+
+  /** The live file set of one partition at one committed version. */
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  private def logDir(partition: Path) = new Path(partition, LogDirName)
+
+  private def manifestPath(partition: Path, version: Long) =
+    new Path(logDir(partition), f"v$version%08d$ManifestSuffix")
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(ManifestSuffix))
+      name.substring(1, name.length - ManifestSuffix.length).toLongOption
+    else None
+
+  /** Parsed manifest: live names and (removedAtMs, name) tombstones;
+    * None if torn/invalid (possible only on filesystems without atomic
+    * object PUT). */
+  private def parse(fs: FileSystem, p: Path): Option[(Seq[String], Seq[(Long, String)])] = {
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toIndexedSeq
+      finally in.close()
+    lines.headOption.filter(_.startsWith(Header)).flatMap { h =>
+      val counts = h.stripPrefix(Header).trim.split("\\s+")
+      val live = lines.tail.filter(_.startsWith("A ")).map(_.substring(2))
+      val removed = lines.tail.filter(_.startsWith("R ")).flatMap { l =>
+        l.substring(2).split(" ", 2) match {
+          case Array(ts, n) => ts.toLongOption.map(_ -> n)
+          case _            => None
+        }
+      }
+      counts match {
+        case Array(a, r) if a.toIntOption.contains(live.size) &&
+            r.toIntOption.contains(removed.size) => Some((live, removed))
+        case _ => None
+      }
+    }
+  }
+
+  private def listVersions(fs: FileSystem, partition: Path): Seq[Long] = {
+    val dir = logDir(partition)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq
+      .flatMap(st => versionOf(st.getPath.getName)).sorted
+  }
+
+  /** Highest VALID committed version, or None for a partition with no
+    * (parseable) log. Skipping an invalid head lands on the last durable
+    * commit — exactly the torn-write-is-no-commit semantics. */
+  def currentSnapshot(fs: FileSystem, partition: Path): Option[Snapshot] =
+    listVersions(fs, partition).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => parse(fs, manifestPath(partition, v))
+        .map(p => Snapshot(v, p._1)))
+      .nextOption()
+
+  /** Put-if-absent of manifest `version`. False = lost the race (a valid
+    * manifest already owns the slot). A torn manifest in the slot (HDFS
+    * crash) is reclaimed: deleted and overwritten by this committer. */
+  def tryCommit(fs: FileSystem, partition: Path, version: Long,
+      live: Seq[String], removed: Seq[(Long, String)] = Nil): Boolean = {
+    val p = manifestPath(partition, version)
+    fs.mkdirs(logDir(partition))
+    val body = (s"$Header ${live.size} ${removed.size}" +:
+      (live.map("A " + _) ++ removed.map { case (ts, n) => s"R $ts $n" }))
+      .mkString("\n")
+    def createExclusive(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+        // some filesystems surface dst-exists as a plain IOException;
+        // anything else (transient RPC failure) must propagate, not be
+        // silently read as contention
+        case e: java.io.IOException if fs.exists(p) => false
+      }
+    createExclusive() || {
+      // occupied slot: valid manifest → genuine conflict; torn manifest
+      // (never on an object store) → failed commit, reclaim the slot
+      parse(fs, p).isEmpty && { fs.delete(p, false); createExclusive() }
+    }
+  }
+
+  /** Adopt a partition written by the plain listing-mode writers: if no
+    * log exists, commit v1 listing the currently visible data files.
+    * Idempotent; returns the (possibly pre-existing) current snapshot. */
+  def bootstrap(fs: FileSystem, partition: Path): Snapshot =
+    currentSnapshot(fs, partition).getOrElse {
+      val files =
+        if (fs.exists(partition))
+          fs.listStatus(partition).toIndexedSeq
+            .filter(st => !st.isDirectory && isDataFile(st.getPath.getName))
+            .map(_.getPath.getName)
+        else Nil
+      tryCommit(fs, partition, 1L, files)
+      // whether we won or a racer did, the current snapshot is the truth
+      currentSnapshot(fs, partition)
+        .getOrElse(sys.error(s"manifest bootstrap failed for $partition"))
+    }
+
+  /** Append already-written data files to the live set (the manifest-mode
+    * equivalent of a directory append becoming visible). Optimistic:
+    * re-reads and retries on commit conflict. */
+  def appendFiles(fs: FileSystem, partition: Path, names: Seq[String],
+      maxAttempts: Int = 50): Snapshot = {
+    require(names.forall(isDataFile), s"not data-file names: $names")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val snap = bootstrap(fs, partition)
+      val live = snap.files ++ names.filterNot(snap.files.contains)
+      if (tryCommit(fs, partition, snap.version + 1, live))
+        return Snapshot(snap.version + 1, live)
+      attempt += 1
+    }
+    sys.error(s"manifest append: $maxAttempts straight commit conflicts on $partition")
+  }
+
+  /** Commit a compaction: atomically replace `consumed` with `produced`
+    * in the live set, tombstoning the consumed files for [[gc]]. Retries
+    * on conflict, carrying concurrent appends forward. Returns None —
+    * with nothing committed — if some consumed file is no longer live
+    * (a concurrent compactor already replaced it); the caller must then
+    * discard its produced files. */
+  def replaceFiles(fs: FileSystem, partition: Path, consumed: Set[String],
+      produced: Seq[String], nowMs: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 50): Option[Snapshot] = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val snap = bootstrap(fs, partition)
+      if (!consumed.subsetOf(snap.files.toSet)) return None
+      val live = snap.files.filterNot(consumed) ++ produced
+      val tombstones = consumed.toSeq.sorted.map(nowMs -> _)
+      if (tryCommit(fs, partition, snap.version + 1, live, tombstones))
+        return Some(Snapshot(snap.version + 1, live))
+      attempt += 1
+    }
+    sys.error(s"manifest replace: $maxAttempts straight commit conflicts on $partition")
+  }
+
+  /** Prefix marking files written by a manifest-mode compaction. Only
+    * files with this prefix may be GC'd as UNREFERENCED orphans (a
+    * crashed compactor's output): an unreferenced file WITHOUT it is an
+    * in-flight plain append that [[adoptNewFiles]] has not committed yet
+    * and must never be collected. */
+  val CompactedPrefix = "compact-"
+
+  /** Garbage-collect one partition: (a) files tombstoned at least
+    * `graceMs` ago by any retained manifest, (b) `compact-*` files
+    * referenced by NO manifest and older than `graceMs` (a crashed
+    * compactor's orphans). The grace must exceed the longest reader scan
+    * (tombstoned files may still be read through an older snapshot) and
+    * the longest compaction (an orphan may be a commit in flight).
+    * Returns deleted names. */
+  def gc(fs: FileSystem, partition: Path, graceMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val versions = listVersions(fs, partition)
+    if (versions.isEmpty || !fs.exists(partition)) return Nil
+    val parsed = versions.flatMap(v => parse(fs, manifestPath(partition, v)))
+    val live = currentSnapshot(fs, partition).map(_.files.toSet).getOrElse(Set.empty)
+    val referenced = parsed.flatMap(_._1).toSet ++ parsed.flatMap(_._2.map(_._2))
+    val expired = parsed.flatMap(_._2)
+      .filter { case (ts, n) => nowMs - ts >= graceMs && !live.contains(n) }
+      .map(_._2).toSet
+    val entries = fs.listStatus(partition).toIndexedSeq
+      .filter(st => !st.isDirectory && isDataFile(st.getPath.getName))
+    val doomed = entries.filter { st =>
+      val n = st.getPath.getName
+      expired.contains(n) ||
+        (n.startsWith(CompactedPrefix) && !referenced.contains(n) &&
+          nowMs - st.getModificationTime >= graceMs)
+    }
+    doomed.foreach(st => fs.delete(st.getPath, false))
+    doomed.map(_.getPath.getName)
+  }
+
+  /** Commit any visible data files a plain directory-append writer (e.g.
+    * Lake.write running in a manifest-mode deployment) added since the
+    * last commit: every visible data file that is neither live nor
+    * tombstoned joins the live set. Returns the resulting snapshot. */
+  def adoptNewFiles(fs: FileSystem, partition: Path): Snapshot = {
+    val snap = bootstrap(fs, partition)
+    val versions = listVersions(fs, partition)
+    val tombstoned = versions
+      .flatMap(v => parse(fs, manifestPath(partition, v)))
+      .flatMap(_._2.map(_._2)).toSet
+    val known = snap.files.toSet ++ tombstoned
+    val fresh =
+      if (fs.exists(partition))
+        fs.listStatus(partition).toIndexedSeq
+          .filter(st => !st.isDirectory && isDataFile(st.getPath.getName))
+          .map(_.getPath.getName).filter(!known.contains(_))
+      else Nil
+    if (fresh.isEmpty) snap else appendFiles(fs, partition, fresh)
+  }
+
+  /** All live data-file paths of a partitioned table under `tableRoot`:
+    * per leaf partition, the manifest's live set when a log exists, else
+    * the plain visible listing (listing-mode partitions interoperate).
+    * Missing listed files fail loudly — a manifest naming an absent file
+    * means GC ran with too short a grace, and silently dropping rows is
+    * the one unacceptable outcome. */
+  def liveFiles(fs: FileSystem, tableRoot: Path): Seq[Path] =
+    Compaction.leafPartitions(fs, tableRoot).flatMap { dir =>
+      currentSnapshot(fs, dir) match {
+        case Some(snap) =>
+          snap.files.map { n =>
+            val p = new Path(dir, n)
+            require(fs.exists(p),
+              s"manifest for $dir lists missing file $n — GC grace too short?")
+            p
+          }
+        case None =>
+          if (fs.exists(dir))
+            fs.listStatus(dir).toIndexedSeq
+              .filter(st => !st.isDirectory && isDataFile(st.getPath.getName))
+              .map(_.getPath)
+          else Nil
+      }
+    }
+
+  /** Manifest-resolved parquet read of a whole partitioned table:
+    * `basePath` keeps the year/month/day partition columns (and their
+    * pruning) exactly as a directory scan would, but the file set is the
+    * committed snapshot — readers never see a compactor's in-flight or
+    * superseded files regardless of filesystem rename semantics. */
+  def readTable(spark: SparkSession, tableRoot: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = liveFiles(fs, root).map(_.toString)
+    require(files.nonEmpty, s"no live files under $tableRoot")
+    spark.read
+      .option("basePath", tableRoot)
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
+  }
+}

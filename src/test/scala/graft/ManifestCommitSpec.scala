@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Compaction, ManifestCommit}
+
+/** Object-store commit protocol: every guarantee is exercised against the
+  * simulated no-atomic-rename filesystem ([[ObjStoreSimFileSystem]]) —
+  * readers resolve all-old or all-new through the MANIFEST, never through
+  * rename atomicity the store doesn't have. */
+class ManifestCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val hc = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.objsim.impl", classOf[ObjStoreSimFileSystem].getName)
+    c
+  }
+
+  private def objsimFs: FileSystem = new Path("objsim:///").getFileSystem(hc)
+
+  /** A y/m/d-partitioned table with `runs` appended runs (fragments) in
+    * day=1 and one run in day=2; returns (tableRoot, fs). */
+  private def fragmentedTable(scheme: String): (String, FileSystem) = {
+    hc // register the objsim scheme before the first Spark write
+    val local = Files.createTempDirectory("graft-manifest").toString
+    val root = s"$scheme$local/tbl"
+    val df = spark.range(200)
+      .select($"id", ($"id" % 7).as("v"), lit(2024).as("year"),
+        lit(1).as("month"), lit(1).as("day"))
+    (1 to 3).foreach { _ =>
+      df.coalesce(1).write.mode("append")
+        .partitionBy("year", "month", "day").parquet(root)
+    }
+    df.withColumn("day", lit(2)).coalesce(1).write.mode("append")
+      .partitionBy("year", "month", "day").parquet(root)
+    (root, new Path(root).getFileSystem(hc))
+  }
+
+  private def rows(tableRoot: String): Seq[String] =
+    ManifestCommit.readTable(spark, tableRoot)
+      .select("id", "v", "year", "month", "day")
+      .orderBy("day", "id").collect().map(_.toString).toSeq
+
+  test("manifest compaction: identical contents, fewer files, originals GC'd") {
+    val (root, fs) = fragmentedTable("objsim://")
+    val before = rows(root)
+    val day1 = new Path(s"$root/year=2024/month=1/day=1")
+    def dataFiles(dir: Path) = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dataFiles(day1).size == 3, "precondition: 3 appends -> 3 files")
+    val day2 = new Path(s"$root/year=2024/month=1/day=2")
+    val day2Before = dataFiles(day2)
+
+    val reports = Compaction.compactTableManifest(spark, root,
+      maxFiles = 1, gcGraceMs = 0L)
+    assert(reports.map(_.partition).forall(_.contains("day=1")),
+      "only the fragmented partition is rewritten")
+    assert(reports.head.filesAfter == 1)
+    assert(rows(root) == before, "compaction must not change contents")
+    val after = dataFiles(day1)
+    assert(after.size == 1 &&
+      after.head.startsWith(ManifestCommit.CompactedPrefix),
+      s"grace-0 GC must leave only the compacted file, got $after")
+    assert(dataFiles(day2) == day2Before, "day=2 untouched")
+    // idempotent: nothing left to compact
+    assert(Compaction.compactTableManifest(spark, root,
+      maxFiles = 1, gcGraceMs = 0L).isEmpty)
+  }
+
+  test("crash mid-move: listing shows a mix, manifest reader sees all-old; rerun completes to all-new") {
+    val (root, fs) = fragmentedTable("objsim://")
+    val before = rows(root)
+    val day1 = new Path(s"$root/year=2024/month=1/day=1")
+    val snap = ManifestCommit.adoptNewFiles(fs, day1)
+    assert(snap.files.size == 3)
+
+    // replicate compactTableManifest's stage+move window with a crash
+    // fuse armed during the per-file "rename" (copy+delete on this store)
+    val staged = new Path(day1, "._compacting-crashtest")
+    spark.read.parquet(snap.files.map(new Path(day1, _).toString): _*)
+      .repartition(1).write.parquet(staged.toString)
+    val parts = fs.listStatus(staged).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    ObjStoreSimFileSystem.fuse = 1 // survive the copy, die before delete
+    intercept[ObjStoreSimFileSystem.SimulatedCrash] {
+      parts.zipWithIndex.foreach { case (p, i) =>
+        fs.rename(p, new Path(day1,
+          s"${ManifestCommit.CompactedPrefix}crashtest-part$i.parquet"))
+      }
+    }
+    ObjStoreSimFileSystem.fuse = -1
+    // on disk: originals AND a half-moved compacted file coexist — the
+    // non-atomic rename left a mix a directory-listing reader would see
+    val names = fs.listStatus(day1).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(names.exists(_.startsWith(ManifestCommit.CompactedPrefix)) &&
+      names.count(!_.startsWith(ManifestCommit.CompactedPrefix)) == 3,
+      s"expected mixed listing after crash, got ${names.toSeq}")
+    // ...but the manifest reader still resolves exactly the old snapshot
+    assert(rows(root) == before, "reader must see all-old after crash")
+
+    // rerun: orphaned compact-* file + stale staging dir are collected,
+    // compaction completes, reader sees all-new (same rows, one file)
+    val reports = Compaction.compactTableManifest(spark, root,
+      maxFiles = 1, gcGraceMs = 0L)
+    assert(reports.nonEmpty)
+    assert(rows(root) == before)
+    val after = fs.listStatus(day1).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(after.length == 1 && after.head.startsWith(ManifestCommit.CompactedPrefix))
+    assert(!fs.exists(staged), "stale staging dir must be swept")
+  }
+
+  test("concurrent append between snapshot and commit is carried forward; losing compactor aborts") {
+    val dir = new Path("objsim://" +
+      Files.createTempDirectory("graft-mc-race").toString + "/day=1")
+    val fs = objsimFs
+    fs.mkdirs(dir)
+    def touch(n: String): Unit = fs.create(new Path(dir, n), false).close()
+    Seq("a.parquet", "b.parquet").foreach(touch)
+    val v1 = ManifestCommit.bootstrap(fs, dir)
+    assert(v1.version == 1 && v1.files.toSet == Set("a.parquet", "b.parquet"))
+
+    // compactor-1 snapshots v1 and stages its output c...
+    touch("compact-1-part0.parquet")
+    // ...an appender lands d and commits first (v2)
+    touch("d.parquet")
+    val v2 = ManifestCommit.appendFiles(fs, dir, Seq("d.parquet"))
+    assert(v2.version == 2)
+    // compactor-1's replace re-bases onto v2: d survives, a/b tombstoned
+    val v3 = ManifestCommit.replaceFiles(fs, dir, Set("a.parquet", "b.parquet"),
+      Seq("compact-1-part0.parquet"), nowMs = 1000L)
+    assert(v3.exists(s => s.version == 3 &&
+      s.files.toSet == Set("d.parquet", "compact-1-part0.parquet")))
+
+    // compactor-2 read the same v1 read-set; its replace must abort (None)
+    touch("compact-2-part0.parquet")
+    assert(ManifestCommit.replaceFiles(fs, dir, Set("a.parquet", "b.parquet"),
+      Seq("compact-2-part0.parquet"), nowMs = 1000L).isEmpty)
+
+    // GC honors grace: at now=1000+grace-1 the tombstoned a/b survive,
+    // at now=1000+grace they go; unreferenced compact-2 orphan goes by
+    // mod-time age; d and compact-1 (live) always survive
+    val grace = 60000L
+    assert(ManifestCommit.gc(fs, dir, grace, nowMs = 1000L + grace - 1)
+      .forall(n => !Set("a.parquet", "b.parquet", "d.parquet").contains(n)))
+    assert(fs.exists(new Path(dir, "a.parquet")))
+    val dead = ManifestCommit.gc(fs, dir, grace,
+      nowMs = System.currentTimeMillis() + grace)
+    assert(dead.toSet.intersect(Set("a.parquet", "b.parquet")) ==
+      Set("a.parquet", "b.parquet"))
+    assert(!fs.exists(new Path(dir, "compact-2-part0.parquet")),
+      "unreferenced compact-* orphan must be collected")
+    assert(fs.exists(new Path(dir, "d.parquet")) &&
+      fs.exists(new Path(dir, "compact-1-part0.parquet")))
+  }
+
+  test("torn manifest (non-atomic store write) is skipped by readers and reclaimed by committers") {
+    val dir = new Path("objsim://" +
+      Files.createTempDirectory("graft-mc-torn").toString + "/day=1")
+    val fs = objsimFs
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, "a.parquet"), false).close()
+    val v1 = ManifestCommit.bootstrap(fs, dir)
+    assert(v1.files == Seq("a.parquet"))
+    // a committer died mid-write: v2 exists but its counts don't match
+    val torn = new Path(dir, s"${ManifestCommit.LogDirName}/v00000002.manifest")
+    val out = fs.create(torn, false)
+    out.write("#graft 1 2 0\nA b.parquet".getBytes("UTF-8")); out.close()
+    assert(ManifestCommit.currentSnapshot(fs, dir).contains(v1),
+      "torn head manifest must fall back to the last valid version")
+    // the slot is reclaimable: a fresh commit of v2 wins it
+    fs.create(new Path(dir, "b.parquet"), false).close()
+    val v2 = ManifestCommit.appendFiles(fs, dir, Seq("b.parquet"))
+    assert(v2.version == 2 && v2.files.toSet == Set("a.parquet", "b.parquet"))
+  }
+
+  test("interop: listing-mode partitions read through readTable; adopt picks up plain appends") {
+    val (root, fs) = fragmentedTable("file://")
+    // no log anywhere yet: readTable == plain listing read
+    val plain = spark.read.parquet(root)
+      .select("id", "v", "year", "month", "day")
+      .orderBy("day", "id").collect().map(_.toString).toSeq
+    assert(rows(root) == plain)
+    // compact day=1 under the manifest, then a plain Lake-style append
+    // lands a new file; adoptNewFiles folds it into the live set
+    Compaction.compactTableManifest(spark, root, maxFiles = 1, gcGraceMs = 0L)
+    val day1 = new Path(s"$root/year=2024/month=1/day=1")
+    spark.range(5).select($"id", ($"id" % 7).as("v"))
+      .coalesce(1).write.mode("append").parquet(day1.toString)
+    val adopted = ManifestCommit.adoptNewFiles(fs, day1)
+    assert(adopted.files.exists(n => !n.startsWith(ManifestCommit.CompactedPrefix)),
+      "plain append must join the live set")
+    assert(ManifestCommit.readTable(spark, root).count() == plain.size + 5)
+  }
+}
