@@ -39,6 +39,20 @@ object RunPipeline {
     val accounts = (1 to nAccounts).map(i =>
       f"${100000000000L + i}%012d:Account $i:acct$i@example.com").mkString(",")
 
+    // P9/P10: the refresh → poll-until-fresh gate runs ahead of the
+    // extraction scan, exactly where the state machine's Choice loop sits
+    // (template:1247-1304) — per (account, check), refresh then poll until
+    // the status leaves enqueued/processing
+    val pairs = for {
+      i <- 1 to nAccounts
+      c <- graft.model.CheckRegistry.supported.map(_.id)
+    } yield (f"${100000000000L + i}%012d", c)
+    val outcomes = graft.sources.Refresh.awaitAll(
+      new graft.sources.TaRefreshStub, pairs)
+    println(s"refresh: ${outcomes.size} pairs, " +
+      s"${outcomes.map(_.polls).sum} verify calls, " +
+      s"${outcomes.count(_.exhausted)} exhausted")
+
     val raw = spark.read.format("graft.sources.TaCheckResultSource")
       .option("accounts", accounts)
       .option("checks", CheckRegistry.supported.map(_.id).mkString(","))
