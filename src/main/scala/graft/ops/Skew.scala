@@ -44,6 +44,26 @@ object Skew {
     saltedBig.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** AQE-native skew handling — the path to REACH FOR FIRST on any
+    * modern cluster: a plain equi-join pinned to a shuffled sort-merge
+    * (merge hint on both sides) so AQE's OptimizeSkewedJoin can split
+    * oversized partitions at runtime (`spark.sql.adaptive.enabled` +
+    * `spark.sql.adaptive.skewJoin.enabled`, both default-on). The split
+    * is transparent: full join-type generality, no replicated side, no
+    * factor to tune, and the runtime sizes the split from actual map
+    * output — strictly better information than any static salt.
+    *
+    * [[saltedJoin]] remains for the residual cases AQE cannot fix: a
+    * downstream operator that requires the join's hash partitioning
+    * (AQE skips splits that would break a required distribution unless
+    * forceOptimizeSkewedJoin is set), or a hot key so extreme that even
+    * one map block exceeds a reducer (AQE splits by map-output ranges).
+    * PlanSpec pins the q39 skew scenario handled by THIS path with no
+    * salting — skew=true on the join and a skew-split shuffle read. */
+  def aqeSkewJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      how: String = "inner"): DataFrame =
+    big.hint("merge").join(small.hint("merge"), keys, how)
+
   /** Per-key row counts above a threshold — the diagnostic used to decide
     * whether a join needs salting (or a broadcast) before shipping it. */
   def hotKeys(df: DataFrame, keys: Seq[String], minCount: Long): DataFrame =

@@ -195,6 +195,47 @@ class PlanSpec extends SparkSpec {
       s"bloom reject filter must anti-join only the suspects branch:\n$pBloom")
   }
 
+  test("AQE skew join: the q39 hot-key scenario splits at runtime, no salting") {
+    // the 100x-scale posture: lean on AQE's OptimizeSkewedJoin FIRST and
+    // keep saltedJoin for the residual cases. Thresholds are lowered so
+    // the toy data trips the same runtime split a 100 TB hot key would.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // q39's shape, amplified: ~90% of the big side lands on one key
+      val big = spark.range(120000).select(
+        col("id").as("event_id"),
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 25).as("nkey"),
+        concat(lit("payload-"), col("id")).as("payload"))
+      val small = spark.range(25).select(
+        col("id").as("nkey"), concat(lit("n"), col("id")).as("n_name"))
+      val aqe = graft.ops.Skew.aqeSkewJoin(big, small, Seq("nkey"))
+        .select("event_id", "n_name")
+      aqe.collect() // the skew split only exists in the FINAL adaptive plan
+      val p = aqe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("skew=true"),
+        s"AQE must mark the sort-merge join as skew-handled:\n$p")
+      assert(p.contains("AQEShuffleRead") && p.contains("skewed"),
+        s"the hot partition must be split by an AQE shuffle read:\n$p")
+      // equality: AQE split == manual salt == plain join
+      val plain = big.join(small, Seq("nkey")).select("event_id", "n_name")
+        .orderBy("event_id").collect().toSeq
+      assert(aqe.orderBy("event_id").collect().toSeq == plain)
+      val salted = graft.ops.Skew
+        .saltedJoin(big, small, Seq("nkey"), factor = 8)
+        .select("event_id", "n_name").orderBy("event_id").collect().toSeq
+      assert(salted == plain, "salted and AQE paths must agree")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
