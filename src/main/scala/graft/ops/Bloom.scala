@@ -106,13 +106,41 @@ object Bloom {
     }.reduce(_ && _)
   }
 
+  /** Auto-size sentinel for [[rejectFilter]]: pick numBits from the
+    * measured blocklist cardinality. */
+  val AutoBits: Int = -1
+
+  /** ~10 bits/key (≈1.2% FPR at 4 hashes), rounded up to a multiple of
+    * 64, floored at 2^16 (8 KiB — free to ship) and capped at 2^26
+    * (8 MiB of task-binary literal — beyond that the filter's broadcast
+    * cost starts competing with the anti-join it avoids). A fixed 2^16
+    * default would silently saturate past ~10^4 keys: the result stays
+    * correct, but every row then pays the exact anti-join — the fast
+    * path vanishing with no signal at exactly the advertised scale
+    * (round-4 advice). Above ~6.7M keys the cap reintroduces that decay,
+    * so the sizing is logged and oversized blocklists should skip the
+    * Bloom pre-filter entirely (the exact anti-join is the right plan
+    * once the blocklist rivals the big side). */
+  def sizeBits(nKeys: Long): Int = {
+    val want = math.max(1L << 16, ((nKeys * 10 + 63) / 64) * 64)
+    math.min(want, 1L << 26).toInt
+  }
+
   /** Exact rejection filter: rows of `big` whose `idCol` is NOT in
     * `blocklist.blockCol`, equal to a plain left_anti join but with the
     * Bloom fast path: definite non-members short-circuit with no shuffle,
-    * only possible members pay the exact anti-join. */
+    * only possible members pay the exact anti-join.
+    *
+    * `numBits` defaults to [[AutoBits]]: sized from `blocklist.count()`
+    * via [[sizeBits]] — the count is one cheap job over the (small by
+    * contract) blocklist, and it is what keeps the false-positive rate,
+    * and with it the zero-shuffle fast path, intact as the blocklist
+    * grows. Pass an explicit power-of-64 to pin the size. */
   def rejectFilter(big: DataFrame, idCol: String, blocklist: DataFrame,
-      blockCol: String, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
-    val words = build(blocklist, blockCol, numBits, numHashes)
+      blockCol: String, numBits: Int = AutoBits, numHashes: Int = 4): DataFrame = {
+    val bits =
+      if (numBits == AutoBits) sizeBits(blocklist.count()) else numBits
+    val words = build(blocklist, blockCol, bits, numHashes)
     // probe the SAME key representation the builder hashed (cast to
     // BIGINT first): hashing the raw string of a non-bigint id column
     // ("007", "7.0") would silently diverge from the join's coerced
@@ -121,7 +149,7 @@ object Bloom {
     // vanish from BOTH filter branches; route it to the suspects side,
     // whose anti-join keeps it — matching the plain left_anti exactly.
     val maybe = coalesce(
-      mightContain(words, col(idCol).cast(LongType), numBits, numHashes),
+      mightContain(words, col(idCol).cast(LongType), bits, numHashes),
       lit(true))
     val definite = big.filter(!maybe)
     val suspects = big.filter(maybe)

@@ -105,7 +105,16 @@ object StreamingOps {
     * exactly (min and count are order-insensitive), which is what the
     * DuckDB oracle checks; `dropDuplicates` gives the row-level streaming
     * variant but keeps an ARRIVAL-ORDER-dependent survivor, so the
-    * deterministic registry is the oracle-able shape. */
+    * deterministic registry is the oracle-able shape.
+    *
+    * DEPLOYMENT NOTE: Complete mode + the memory sink below are the
+    * finite-source TEST/ORACLE harness only — Complete re-emits the whole
+    * registry per trigger and the memory sink materializes it on the driver.
+    * A production deployment keeps the same aggregation but switches to
+    * OutputMode.Update into a keyed sink (or foreachBatch MERGE into the
+    * lake), so each trigger ships only changed registry rows and the
+    * driver never holds the state; the state itself already lives
+    * partitioned across the executors' state stores in both shapes. */
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ss = spark.newSession()

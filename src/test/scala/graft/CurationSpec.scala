@@ -186,6 +186,28 @@ class CurationSpec extends SparkSpec {
     assert(r(1L) == 1L)
   }
 
+  test("bloom: auto-sizing tracks blocklist cardinality, keeping the fast path selective") {
+    // sizeBits math: 2^16 floor, ~10 bits/key in 64-bit words, 2^26 cap
+    assert(Bloom.sizeBits(0) == 1 << 16)
+    assert(Bloom.sizeBits(6000) == 1 << 16)      // under the floor
+    assert(Bloom.sizeBits(100000) == 1000000)    // 10 bits/key, %64==0
+    assert(Bloom.sizeBits(100000) % 64 == 0)
+    assert(Bloom.sizeBits(100000000L) == 1 << 26) // capped
+    // a 30k-key blocklist saturates the old fixed 2^16 default (fill
+    // factor ~1 -> every probe true); auto-sizing keeps the filter
+    // selective: most non-members short-circuit without the join
+    val blockDf = spark.range(30000).select(($"id" * 7 + 3).as("id"))
+    val big = spark.range(100000).toDF("id")
+    val words = Bloom.build(blockDf, "id", Bloom.sizeBits(30000), 4)
+    val fill = words.map(java.lang.Long.bitCount).sum.toDouble /
+      (Bloom.sizeBits(30000).toDouble)
+    assert(fill < 0.4, f"auto-sized fill factor must stay low, got $fill%.2f")
+    val got = Bloom.rejectFilter(big, "id", blockDf, "id")
+      .count()
+    val want = big.join(blockDf, Seq("id"), "left_anti").count()
+    assert(got == want)
+  }
+
   test("bloom: null ids survive like the plain anti-join keeps them") {
     val big = Seq[java.lang.Long](1L, 2L, null, 7L).toDF("id")
     val blockDf = Seq(7L).toDF("id")
