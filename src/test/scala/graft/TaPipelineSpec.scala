@@ -406,6 +406,46 @@ class TaPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(tablePath).count() == baseline + oneFileRows)
   }
 
+  test("persistent catalog: tables AND views survive a full JVM restart (Hive metastore)") {
+    // the Athena-durability contract (create-athena-views-lambda.py:84-86)
+    // driven honestly: process 1 writes lake + persistent catalog into a
+    // Hive/derby metastore and EXITS; process 2 is a brand-new JVM that
+    // must see the tables and the temporary=false views cold. (In-JVM
+    // session clones share SharedState, and a second derby boot in one
+    // JVM deadlocks — only a real process boundary proves durability.)
+    val base = Files.createTempDirectory("graft-restart")
+    val (wh, lake, meta) = (s"$base/wh", s"$base/lake", s"$base/meta")
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def run(mode: String): (Int, String) = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+        "-Dderby.stream.error.file=" + s"$base/derby-$mode.log",
+        "-cp", sys.props("java.class.path"),
+        "graft.CatalogRestartMain", mode, wh, lake, meta)
+      val out = new StringBuilder
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val src = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+      try src.getLines().foreach(l => out.append(l).append('\n'))
+      finally src.close()
+      (p.waitFor(), out.toString)
+    }
+    val (wc, wout) = run("write")
+    assert(wc == 0 && wout.contains("WRITE_OK"),
+      s"write process failed:\n${wout.takeRight(4000)}")
+    val (rc, rout) = run("read")
+    assert(rc == 0 && rout.contains("RESTART_OK"),
+      s"restarted JVM lost catalog state:\n${rout.takeRight(4000)}")
+  }
+
   // deliberately LAST: persistent registration drops same-named temp views
   test("persistent catalog: a second session sees tables and views") {
     val dir = Files.createTempDirectory("graft-perslake").toString
