@@ -133,6 +133,21 @@ object Lake {
       if (persistent) registerExternal(spark, name, path, df, csvFidelity)
       else df.createOrReplaceTempView(name)
     }
+    // DELETE_FROM_DATABASE (template:3186-3188): a table whose lake data
+    // vanished is removed from the catalog on refresh, exactly as the
+    // crawler's DeleteBehavior drops Glue tables for deleted S3 prefixes.
+    // Without this, a stale persistent entry keeps serving scan-time
+    // errors (and a stale temp view serves the old cached relation)
+    // forever. Views over a dropped table dangle until the next
+    // Views.createAll pass — the crawler+Athena pairing behaves the same.
+    (specs.map(s => s.tableName -> detailsPath(root, s)) ++
+      Seq("summary" -> summaryPath(root), "tags" -> tagsPath(root)))
+      .filterNot { case (_, p) => exists(spark, p) }
+      .foreach { case (n, _) =>
+        spark.catalog.dropTempView(n)
+        if (persistent && spark.catalog.tableExists(n))
+          spark.sql(s"DROP TABLE IF EXISTS `$n`")
+      }
     val checkTables = specs.flatMap { spec =>
       val p = detailsPath(root, spec)
       if (exists(spark, p)) {
