@@ -22,7 +22,13 @@ object StreamQueries {
     "q74_stream_dedup" -> ((s, d) => StreamingOps.streamingDedup(s, d)),
     // stream-static admission: row-local signatures on the stream probe
     // the corpus's stored LSH index; equals the q48 candidate set
-    "q79_stream_admission" -> ((s, d) => StreamingOps.streamAdmission(s, d)))
+    "q79_stream_admission" -> ((s, d) => StreamingOps.streamAdmission(s, d)),
+    // the watermarked APPEND path's finalized windows: the data batch
+    // advances the watermark to max event time - 1h and the runner's
+    // watermark-change batch evicts every window closed under it, so the
+    // emitted prefix = the q33 aggregation minus the trailing open hour
+    "q81_stream_hourly_append" -> ((s, d) =>
+      StreamingOps.hourlyCounts(s, d, watermarked = true)))
 
   val oracles: Map[String, String] = Map(
     "q33_stream_hourly" ->
@@ -56,6 +62,17 @@ object StreamQueries {
            ON bc.band = ok.band AND bc.key = ok.key)
          SELECT DISTINCT bck.doc_id AS doc_a, bf.doc_id AS doc_b
          FROM bck JOIN bf ON bck.band = bf.band AND bck.key = bf.key
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+    // the finalized-window prefix: windows whose END is at or before the
+    // final watermark (max event time - 1h); the trailing hour stays open
+    "q81_stream_hourly_append" ->
+      """WITH c AS (SELECT max(epoch_us(ts)) - 3600000000 AS wm FROM events)
+         SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         FROM events, c
+         WHERE (epoch_us(ts) // 3600000000) * 3600000000
+           + 3600000000 <= c.wm
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

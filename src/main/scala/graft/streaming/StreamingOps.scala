@@ -26,10 +26,14 @@ object StreamingOps {
     * window start as epoch seconds (exact integer — cross-engine safe).
     *
     * `watermarked = true` runs the production shape — append mode with a
-    * 1-hour watermark, so state stays bounded and late data is handled —
-    * but by design it never finalizes the trailing window of a finite
-    * source. `false` (default) uses complete mode so the result equals the
-    * batch aggregation, which is what the DuckDB oracle checks. */
+    * 1-hour watermark, so state stays bounded and late data is handled.
+    * On a finite source it emits the FINALIZED prefix: after the data
+    * batch advances the watermark to (max event time − 1 h), the runner's
+    * watermark-change batch evicts every window ending at or before it —
+    * the trailing hour's windows stay open forever by design. That prefix
+    * is deterministic and q81 oracle-checks it (the q33 aggregation
+    * restricted to closed windows). `false` (default) uses complete mode
+    * so the result equals the whole batch aggregation (q33's oracle). */
   def hourlyCounts(spark: SparkSession, sfDir: String,
       watermarked: Boolean = false, sinkDir: Option[String] = None): DataFrame = {
     require(sinkDir.isEmpty || watermarked,
@@ -50,15 +54,7 @@ object StreamingOps {
       val stream = ss.readStream.schema(eventsSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
-      val agg = (if (watermarked) stream.withWatermark("event_time", "1 hour")
-        else stream)
-        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType)
-            .as("sum_value"))
-        .select(col("window.start").cast(LongType).as("hour_start"),
-          col("event_type"), col("n_events"), col("sum_value"))
+      val agg = hourlyAgg(stream, watermarked)
       val q = sinkDir match {
         // production shape: watermarked append straight to a parquet sink —
         // results never pass through the driver
@@ -86,6 +82,20 @@ object StreamingOps {
         case None => ss.table(name).orderBy("hour_start", "event_type")
       }
     }
+  }
+
+  /** The one hourly aggregation both twins run: tumbling 1-hour windows
+    * per event type, decimal-exact sums surfaced as double. */
+  private def hourlyAgg(stream: DataFrame, watermarked: Boolean): DataFrame = {
+    val timed = stream
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    (if (watermarked) timed.withWatermark("event_time", "1 hour") else timed)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("window.start").cast(LongType).as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
   }
 
   private val docsSchema = StructType(Seq(
