@@ -28,7 +28,10 @@ object Pipeline {
       csvFidelity: Boolean = false,
       /** true = durable catalog tables + persistent views (the reference's
         * Glue/Athena catalog); false = session-scoped temp views. */
-      persistentCatalog: Boolean = false)
+      persistentCatalog: Boolean = false,
+      /** K9: receives one event per successful catalog refresh
+        * (template:3284-3339); swap for an SNS publisher in deployment. */
+      notifier: Notify.Notifier = Notify.Log)
 
   /** Ingest one batch of raw docs (+ tag observations) into the lake.
     *
@@ -95,12 +98,33 @@ object Pipeline {
   }
 
   /** Register lake tables + build views (entry point B). Returns the
-    * created view names. */
+    * created view names. On success, publishes one K9 notification with
+    * the crawler-event fields (template:3313-3323): the
+    * created/updated/deleted split comes from diffing catalog visibility
+    * across the refresh, exactly what the crawler reports. */
   def refreshCatalog(spark: SparkSession, cfg: Config): Seq[String] = {
-    Lake.registerTables(spark, cfg.lakeRoot, cfg.specs,
+    val candidates = cfg.specs.map(_.tableName) ++ Seq("summary", "tags")
+    val before = candidates.filter(spark.catalog.tableExists).toSet
+    val registered = Lake.registerTables(spark, cfg.lakeRoot, cfg.specs,
       tagsPresent = cfg.tagKeys.nonEmpty, cfg.csvFidelity,
-      persistent = cfg.persistentCatalog)
-    Views.createAll(spark, cfg.tagKeys, temporary = !cfg.persistentCatalog)
+      persistent = cfg.persistentCatalog).toSet
+    val views = Views.createAll(spark, cfg.tagKeys,
+      temporary = !cfg.persistentCatalog)
+    val partitions =
+      if (cfg.persistentCatalog)
+        registered.toSeq.map(t =>
+          scala.util.Try(spark.sql(s"SHOW PARTITIONS `$t`").count())
+            .getOrElse(0L)).sum
+      else 0L
+    val (subject, body) = Notify.render(Notify.CatalogRefreshEvent(
+      completionDate = java.time.Instant.now().toString,
+      tablesCreated = (registered -- before).toSeq.sorted,
+      tablesUpdated = registered.intersect(before).toSeq.sorted,
+      tablesDeleted = (before -- registered).toSeq.sorted,
+      partitionsSynced = partitions,
+      viewsCreated = views))
+    cfg.notifier.publish(subject, body)
+    views
   }
 
   def run(spark: SparkSession, raw: DataFrame, tagObs: Option[DataFrame],

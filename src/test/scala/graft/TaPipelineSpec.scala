@@ -406,6 +406,40 @@ class TaPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(tablePath).count() == baseline + oneFileRows)
   }
 
+  test("K9 notification: each refresh publishes the crawler-event fields") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val recorder = new graft.jobs.Notify.Notifier {
+      override def publish(s: String, b: String): Unit = events += ((s, b))
+    }
+    val dir = Files.createTempDirectory("graft-notify").toString
+    val cfg = Pipeline.Config(dir, Seq(CheckRegistry.lowUtilEc2),
+      tagKeys = Seq("CostCenter", "Env"), notifier = recorder)
+    // deterministic created/updated split in the shared session: clear
+    // any same-named leftovers from other suites first
+    Seq(CheckRegistry.lowUtilEc2.tableName, "summary", "tags").foreach { n =>
+      spark.catalog.dropTempView(n)
+      spark.sql(s"DROP TABLE IF EXISTS `$n`")
+    }
+    Pipeline.run(spark, rawDf, Some(tagObs), cfg)
+    assert(events.size == 1)
+    val (subj1, body1) = events.head
+    assert(subj1.contains("successfully refreshed new Trusted Advisor Data"))
+    assert(body1.contains(s"tablesCreated: ${CheckRegistry.lowUtilEc2.tableName},summary,tags"))
+    assert(body1.contains("tablesDeleted: \n") || body1.endsWith("tablesDeleted: ") ||
+      body1.linesIterator.exists(_ == "tablesDeleted: "))
+    assert(body1.linesIterator.exists(l => l.startsWith("viewsCreated: ") &&
+      l.contains("LowUtilizationAmazonEC2Instances_view")))
+    // second refresh: same tables -> updated; tags data deleted -> deleted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/Tags"), true)
+    Pipeline.refreshCatalog(spark, cfg)
+    val (_, body2) = events(1)
+    assert(body2.linesIterator.exists(_ ==
+      s"tablesUpdated: ${CheckRegistry.lowUtilEc2.tableName},summary"))
+    assert(body2.linesIterator.exists(_ == "tablesDeleted: tags"))
+  }
+
   test("persistent catalog: tables AND views survive a full JVM restart (Hive metastore)") {
     // the Athena-durability contract (create-athena-views-lambda.py:84-86)
     // driven honestly: process 1 writes lake + persistent catalog into a
