@@ -208,6 +208,134 @@ object Similarity {
     TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the fixed-k
+    * k-means quantizer, then mark a vector as a duplicate when a
+    * LOWER-id vector in the SAME cell has cosine >= `tau` with it
+    * (`dup_of` = the smallest such partner — the deterministic
+    * keep-first policy). Output: one row per vector
+    * (`vec_id, cell, dup_of, is_dup`); the kept corpus is
+    * `filter(!is_dup)`.
+    *
+    * Scale shape: this is the whole point of SemDeDup — the O(n^2)
+    * cosine matrix is confined to within-cluster blocks. `nCells` grows
+    * with the corpus (n/1000-ish in the paper), so per-cell cost is
+    * bounded while the clustering itself stays one scan + a broadcast of
+    * k centroids per Lloyd iteration ([[kmeansCentroids]]; at 100 TB,
+    * train on the hash-sample via `trainSampleMod`). The within-cell
+    * self-join shuffles both sides on `cell` once; a pathological mega
+    * cell is the same hot-bucket problem the minhash path caps — here the
+    * cap is `nCells` itself (raise it; re-cluster is linear). All
+    * arithmetic is the integer-quantized cosine (TextKit), so the DuckDB
+    * oracle reproduces the output bit-for-bit. */
+  def semanticDedup(emb: DataFrame, nCells: Int = 8, tau: Double = 0.4,
+      trainIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val e = tracked(withNorm(emb))
+    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
+    val assigned = tracked(assignCells(e, cent))
+    val l = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("qv").as("qa"), col("nsq").as("na"))
+    val r = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("qv").as("qb"), col("nsq").as("nb"))
+    val dups = l.join(r, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosineQ(dotPre(col("qa"), col("qb")), col("na"), col("nb"))
+        >= tau)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** Product-quantization top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the `dim`-dimensional
+    * vector is split into `m` subspaces of dim/m; each subspace gets a
+    * `codesPerSub`-entry codebook and every vector is encoded as `m`
+    * small code ids — 8 bytes/vector instead of 256 (the 32x memory
+    * compression that lets a 100 TB corpus's candidate set live in
+    * executor memory). Search is asymmetric distance computation (ADC):
+    * the query computes an exact integer distance table to every
+    * codebook entry (m x codesPerSub = 128 longs), and a candidate's
+    * approximate squared-L2 is m table lookups summed — no per-pair
+    * vector math at all.
+    *
+    * Codebooks here are the deterministic hash-rank sample (the k-means
+    * init policy, zero Lloyd iterations) so the DuckDB oracle replicates
+    * them exactly; production would refine each subspace codebook with
+    * [[kmeansCentroids]]-style iterations — same train-on-sample shape,
+    * m independent small problems. Everything is exact integer
+    * arithmetic end to end (quantized subvectors, integer squared-L2,
+    * integer ADC sums), so ranking ties are stable and the output
+    * hash-matches cross-engine. Ties break by (adc, neighbor_id). */
+  def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      m: Int = 8, codesPerSub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subDim = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = tracked(spread(emb).select(col("vec_id"),
+      quantVec(col("embedding")).as("qv")))
+    // codebook: per subspace, the codesPerSub subvectors of the
+    // hash-rank-smallest vectors (k x dim longs on the driver, broadcast)
+    val sample = e
+      .orderBy(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+        col("vec_id"))
+      .limit(codesPerSub)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    val codebook = (for {
+      s <- 0 until m; c <- sample.indices
+    } yield (s, c.toLong, sample(c).slice(s * subDim, (s + 1) * subDim).toSeq))
+      .toDF("sub", "code", "cqv")
+    // encode: nearest codebook entry per (vector, subspace) — min over a
+    // broadcast join, map-side combinable, exactly assignCells' shape
+    val subbed = e.select(col("vec_id"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("qv"), s * subDim + 1, subDim).as("sqv"))): _*))
+        .as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.sqv").as("sqv"))
+    val encoded = subbed.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct((dotPre(col("sqv"), col("sqv")) + dotPre(col("cqv"), col("cqv"))
+          - lit(2L) * dotPre(col("sqv"), col("cqv"))).as("dist"),
+          col("code").as("c")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).getField("c").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_arrays(collect_list(col("sub")),
+        collect_list(col("code"))).as("cm"))
+      .select(col("vec_id"),
+        array((0 until m).map(s => element_at(col("cm"), s)): _*).as("codes"))
+    // ADC table per query: exact integer distance to all m x codesPerSub
+    // codebook entries, packed as one lookup array (sub*codesPerSub+code)
+    val qsub = subbed.filter(col("vec_id") < nQueries)
+    val qtab = qsub.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id").as("query_id"),
+        (col("sub") * codesPerSub + col("code")).as("slot"),
+        (dotPre(col("sqv"), col("sqv")) + dotPre(col("cqv"), col("cqv"))
+          - lit(2L) * dotPre(col("sqv"), col("cqv"))).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(map_from_arrays(collect_list(col("slot")),
+        collect_list(col("dist"))).as("dm"))
+      .select(col("query_id"),
+        array((0 until m * codesPerSub).map(i =>
+          element_at(col("dm"), i.toLong)): _*).as("tab"))
+    // score: m integer lookups per (query, candidate) — the compressed
+    // corpus streams past the broadcast tables, never the raw vectors
+    val adc = (0 until m).map(s =>
+      element_at(col("tab"),
+        (lit(s * codesPerSub) + element_at(col("codes"), s + 1)).cast("int") + 1))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(qtab),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+    TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
+  }
+
   /** Sign-bit bucket id over the first `bits` dimensions. The sign of a
     * float is exact, so bucketing is engine-independent. */
   def signBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =

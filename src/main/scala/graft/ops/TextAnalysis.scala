@@ -328,6 +328,114 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranking (Robertson & Spärck Jones; the Okapi form with
+    * k1 = 1.2, b = 0.75), integerized so the hashed score is
+    * cross-engine deterministic:
+    *
+    *   score(d) = sum over matching terms of
+    *     idf_int * ((tf * 44e11) div (2e7*tf + 6e6 + 18*rl))
+    *
+    * which is the classic tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with
+    * every constant cleared to integers at 2e7 scale, `rl` =
+    * round(1e6 * dl/avgdl) the ONE rounded division (IEEE-deterministic
+    * on exact integer inputs), and idf_int = N div df (the q77 integer
+    * idf — ln is not bit-stable cross-engine). The integer `div` happens
+    * BEFORE the idf multiply, so intermediates stay inside int64 up to
+    * tf ~ 2e6 and any corpus size, and the per-doc sum is an
+    * order-independent integer sum — safe under partial aggregation.
+    *
+    * Shape at scale (same as [[search]]): postings are filtered to the
+    * query terms BEFORE any shuffle; avgdl is one scan folded into a
+    * 2-value global aggregate; the final top-k is a TakeOrdered. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens(col("text")))).as("sumdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val rl = docs.select(col("doc_id"),
+      round(lit(1e6) * size(tokens(col("text"))).cast("double") / lit(avgdl))
+        .cast("long").as("rl"))
+    val tf = tracked(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms.map(lit(_)): _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val idf = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"), expr(s"$n div df").as("idf_int"))
+    tf.join(broadcast(idf), Seq("token"))
+      .join(rl, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("idf_int") *
+          expr("(tf * 4400000000000) div (20000000*tf + 6000000 + 18*rl)"))
+          .as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Budget column for the mixing ops: per-source token budget with a
+    * default. */
+  private def budgetCol(budgets: Map[String, Long], default: Long): Column =
+    budgets.foldLeft(lit(default)) { case (acc, (src, b)) =>
+      when(col("source") === src, lit(b)).otherwise(acc)
+    }
+
+  /** Training-mix construction, exact greedy form: admit documents per
+    * `source` (domain) in deterministic md5-hash order until that
+    * domain's token budget is reached (the admitted set may overshoot by
+    * at most the last document — the standard greedy cut). Output: the
+    * admitted rows with their token count and running total.
+    *
+    * Shape at scale: the cumulative sum is a window per source — fine
+    * when domains are many (they parallelize) but a single giant domain
+    * serializes its own sort; that regime is what [[tokenRateMix]] is
+    * for (rate-based, no window, one extra aggregate scan). */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("tok"),
+      md5Long(col("doc_id").cast(StringType)).as("h"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") - col("tok") < budgetCol(budgets, defaultBudget))
+      .select(col("doc_id"), col("source"), col("tok"), col("cum"))
+  }
+
+  /** Training-mix construction, rate form — the 100 TB path: one
+    * aggregate scan computes each domain's total token count, the admit
+    * rate is the exact integer permille-of-a-million
+    * `min(1e6, (1e6 * budget) div total)`, and a document is admitted
+    * when its md5 hash bucket falls under the rate. No window, no
+    * per-domain sort; admission is a stateless per-row predicate, so the
+    * op is one narrow scan after a broadcast of per-domain rates. Hits
+    * the budget in expectation (hash-uniform), not exactly — the
+    * documented trade against [[tokenBudgetMix]]'s greedy cut.
+    *
+    * Rate granularity is 1/10000; the guarded `b >= total` branch keeps
+    * the 10000*b product inside int64 for domains up to ~9e14 tokens
+    * (beyond ANSI-mode overflow would fail loudly, not corrupt). */
+  def tokenRateMix(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("tok"),
+      md5Long(col("doc_id").cast(StringType)).as("h"))
+    val rated = t.groupBy(col("source"))
+      .agg(sum(col("tok")).as("total"))
+      .withColumn("b", budgetCol(budgets, defaultBudget))
+      .select(col("source"),
+        when(col("b") >= col("total"), lit(10000L))
+          .otherwise(expr("(10000 * b) div total")).as("rate"))
+    t.join(broadcast(rated), Seq("source"))
+      .filter(pmod(col("h"), lit(10000L)) < col("rate"))
+      .select(col("doc_id"), col("source"), col("tok"))
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

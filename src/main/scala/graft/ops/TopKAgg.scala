@@ -58,6 +58,45 @@ class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
 }
 
+/** Ascending-order sibling of [[TopKAgg]] over exact integer scores —
+  * the PQ/ADC tail, where "best" is the SMALLEST integer distance and
+  * doubles would lose exactness past 2^53. Ordering: score asc, id asc
+  * on ties. Same bounded-buffer/map-side-combine scale contract. */
+class TopKAggLongAsc(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Long, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Long, Long)],
+      row: (Long, Long)): Seq[(Long, Long)] =
+    insert(buf, (row._2, row._1))
+
+  private def insert(buf: Seq[(Long, Long)],
+      e: (Long, Long)): Seq[(Long, Long)] = {
+    if (buf.size >= k && !better(e, buf.last)) buf
+    else {
+      val i = buf.indexWhere(b => better(e, b)) match {
+        case -1 => buf.size
+        case n => n
+      }
+      (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+
+  override def merge(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+}
+
 object TopKAgg {
 
   /** Top-k per `queryCol` from (idCol, scoreCol) rows. Output columns:
@@ -77,5 +116,22 @@ object TopKAgg {
       .select(col(queryCol), posexplode(col("top")).as(Seq("p", "e")))
       .select(col(queryCol), col("e._2").as("neighbor_id"),
         col("e._1").as("cosine"), (col("p") + 1).cast("int").as("rank"))
+  }
+
+  /** Ascending top-k per `queryCol` over exact LONG scores (null scores
+    * dropped — same rationale as [[topKPerQuery]]). Output columns:
+    * (queryCol, neighbor_id, <scoreCol>, rank), identical to the
+    * `row_number` window ordered (score ASC, id ASC). */
+  def topKPerQueryAsc(scored: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKAggLongAsc(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    scored
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(queryCol))
+      .agg(agg(col(idCol), col(scoreCol)).as("top"))
+      .select(col(queryCol), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col(queryCol), col("e._2").as("neighbor_id"),
+        col("e._1").as(scoreCol), (col("p") + 1).cast("int").as("rank"))
   }
 }

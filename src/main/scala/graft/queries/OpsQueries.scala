@@ -232,6 +232,28 @@ object OpsQueries {
     "q80_hybrid_search" -> ((s, d) =>
       Similarity.hybridSearch(docs(s, d), emb(s, d),
         Seq("table", "join", "fast"))),
+    // SemDeDup: k-means cells confine the O(n^2) cosine matrix to
+    // within-cluster blocks; keep-first (lowest id) per near-dup group
+    "q82_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(emb(s, d)).orderBy("vec_id")),
+    // integerized Okapi BM25 over the q77 query terms — doc-length
+    // normalization that plain tf-idf lacks, same postings-first shape
+    "q83_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Search(docs(s, d), Seq("table", "join", "fast"))),
+    // product-quantization ANN: 8-byte codes + ADC lookups instead of
+    // raw-vector math — the compressed-corpus search path
+    "q84_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // training-mix: greedy per-domain token-budget cut (exact form)
+    "q85_token_mix" -> ((s, d) =>
+      TextAnalysis.tokenBudgetMix(docs(s, d),
+        Map("src0" -> 700L, "src1" -> 0L), defaultBudget = 500L)
+        .orderBy("source", "doc_id")),
+    // training-mix: rate form — no per-domain window, the 100 TB path
+    "q86_token_rate_mix" -> ((s, d) =>
+      TextAnalysis.tokenRateMix(docs(s, d),
+        Map("src0" -> 700L, "src1" -> 0L), defaultBudget = 500L)
+        .orderBy("source", "doc_id")),
     // shared-substring dedup: every 9th doc gains a 24-token passage
     // shared within its doc_id % 225 group -> each in-group pair must
     // report its 5 shared 20-token windows (group sizes stay under the
@@ -402,11 +424,20 @@ object OpsQueries {
     * `trainMod` > 1 mirrors Similarity.kmeansCentroids' trainSampleMod:
     * init + Lloyd iterations run over the 1/mod md5 hash-sample (`ent`),
     * the final assignment and search over the full corpus. */
-  private def ivfOracle(trainMod: Int): String = {
-    def dotL(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, 64), d -> $a[d]*$b[d]))"
-    val md5rank = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
-    val sample = if (trainMod <= 1) "TRUE" else s"$md5rank % $trainMod = 0"
+  /** Integer dot of two 64-element DuckDB lists. */
+  private def dotL(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, 64), d -> $a[d]*$b[d]))"
+
+  private val md5rankVec =
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+
+  /** The shared fixed-k k-means CTE chain (k=8, 2 Lloyd iterations,
+    * hash-rank init, positive-offset integer floor division), ending in
+    * `assigned(vec_id, qv, nsq, cell)` over the FULL corpus and `en`
+    * (the quantized corpus) for tails that need it. Mirrors
+    * Similarity.kmeansCentroids + assignCells. */
+  private def kmeansChain(trainMod: Int): String = {
+    val sample = if (trainMod <= 1) "TRUE" else s"$md5rankVec % $trainMod = 0"
     def assign(src: String, cents: String, out: String) =
       s"""$out AS (SELECT vec_id, qv, nsq, cid AS cell FROM (
          SELECT s.vec_id, s.qv, s.nsq, c.cid,
@@ -424,19 +455,23 @@ object OpsQueries {
          $out AS (SELECT * FROM ${out}_c UNION ALL
            SELECT cid, cqv FROM $prev
            WHERE cid NOT IN (SELECT cid FROM ${out}_c))"""
-    s"""WITH eq AS (SELECT vec_id,
+    s"""eq AS (SELECT vec_id,
          list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
          FROM embeddings),
        en AS (SELECT vec_id, qv, ${dotL("qv", "qv")} AS nsq FROM eq),
        ent AS (SELECT * FROM en WHERE $sample),
        c0 AS (SELECT rn - 1 AS cid, qv AS cqv FROM
-         (SELECT qv, row_number() OVER (ORDER BY $md5rank, vec_id) AS rn
+         (SELECT qv, row_number() OVER (ORDER BY $md5rankVec, vec_id) AS rn
           FROM ent) WHERE rn <= 8),
        ${assign("ent", "c0", "a1")},
        ${update("a1", "c0", "c1")},
        ${assign("ent", "c1", "a2")},
        ${update("a2", "c1", "c2")},
-       ${assign("en", "c2", "assigned")},
+       ${assign("en", "c2", "assigned")}"""
+  }
+
+  private def ivfOracle(trainMod: Int): String = {
+    s"""WITH ${kmeansChain(trainMod)},
        q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
          WHERE vec_id < 10),
        probes AS (SELECT query_id, qqv, qnsq, cid AS cell FROM (
@@ -835,6 +870,117 @@ object OpsQueries {
              AS rrf
          FROM kw FULL OUTER JOIN v USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // SemDeDup over the shared k-means chain: within-cell pairs, cosine
+    // from exact integer dots, keep-first (min lower-id partner)
+    "q82_semantic_dedup" ->
+      s"""WITH ${kmeansChain(1)},
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(${dotL("a.qv", "b.qv")} AS DOUBLE) /
+               (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))
+               AS cos
+           FROM assigned a JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         dups AS (SELECT vb AS vec_id, min(va) AS dup_of FROM p
+           WHERE cos >= 0.4 GROUP BY vb)
+         SELECT a.vec_id, a.cell, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+         FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         ORDER BY a.vec_id""",
+    // integerized BM25: one rounded division (rl), integer div before
+    // the idf multiply, order-independent integer sum — see
+    // TextAnalysis.bm25Search for the constant derivation
+    "q83_bm25" ->
+      """WITH stats AS (SELECT count(*) AS n,
+           CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sumdl
+           FROM documents),
+         rl AS (SELECT doc_id, CAST(round(
+             1000000.0 * len(string_split(text,' ')) /
+               (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)), 0) AS BIGINT)
+             AS rl
+           FROM documents, stats),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token
+           FROM documents)
+           WHERE token IN ('table','join','fast') GROUP BY doc_id, token),
+         idf AS (SELECT token,
+           CAST((SELECT n FROM stats) // count(*) AS BIGINT) AS idf_int
+           FROM tf GROUP BY token)
+         SELECT tf.doc_id,
+           CAST(sum(idf.idf_int * ((tf.tf * 4400000000000) //
+             (20000000*tf.tf + 6000000 + 18*rl.rl))) AS BIGINT) AS score,
+           count(*) AS n_terms_hit
+         FROM tf JOIN idf USING (token) JOIN rl ON tf.doc_id = rl.doc_id
+         GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""",
+    // product quantization: hash-rank-sampled per-subspace codebooks,
+    // argmin encode, ADC = sum of 8 exact integer table entries
+    "q84_ann_pq" -> {
+      def dot8(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
+      s"""WITH eq AS (SELECT vec_id,
+           list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
+           FROM embeddings),
+         samp AS (SELECT qv, rn FROM (SELECT qv, row_number()
+             OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM eq)
+           WHERE rn <= 16),
+         cb AS (SELECT g.s AS sub, samp.rn - 1 AS code,
+             list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS cqv
+           FROM samp, generate_series(0, 7) g(s)),
+         sv AS (SELECT vec_id, g.s AS sub,
+             list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS sqv
+           FROM eq, generate_series(0, 7) g(s)),
+         enc AS (SELECT vec_id, sub, code FROM (
+           SELECT sv.vec_id, sv.sub, cb.code,
+             row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+               ORDER BY ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cqv", "cb.cqv")}
+                 - 2*${dot8("sv.sqv", "cb.cqv")}, cb.code) AS rn
+           FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rn = 1),
+         qt AS (SELECT sv.vec_id AS query_id, sv.sub, cb.code,
+             ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cqv", "cb.cqv")}
+               - 2*${dot8("sv.sqv", "cb.cqv")} AS dist
+           FROM sv JOIN cb ON sv.sub = cb.sub WHERE sv.vec_id < 10),
+         scored AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+             CAST(sum(qt.dist) AS BIGINT) AS adc
+           FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
+             AND enc.vec_id != qt.query_id
+           GROUP BY qt.query_id, enc.vec_id)
+         SELECT query_id, neighbor_id, adc, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+    // greedy token-budget mix: deterministic md5 admission order,
+    // running total per domain, admit while the budget is unmet
+    "q85_token_mix" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS tok, $h AS hkey
+           FROM documents),
+         c AS (SELECT doc_id, source, tok,
+           CAST(sum(tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+         SELECT doc_id, source, tok, cum FROM c
+         WHERE cum - tok < CASE WHEN source = 'src1' THEN 0
+           WHEN source = 'src0' THEN 700 ELSE 500 END
+         ORDER BY source, doc_id"""
+    },
+    // rate-form mix: per-domain admit rate in 1/10000ths from the
+    // domain's total token count; stateless hash-bucket admission
+    "q86_token_rate_mix" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS tok, $h AS hkey
+           FROM documents),
+         rated AS (SELECT source,
+           CASE WHEN b >= total THEN 10000
+             ELSE (10000 * b) // total END AS rate
+           FROM (SELECT source, CAST(sum(tok) AS BIGINT) AS total,
+             CASE WHEN source = 'src1' THEN 0
+               WHEN source = 'src0' THEN 700 ELSE 500 END AS b
+             FROM t GROUP BY source))
+         SELECT t.doc_id, t.source, t.tok
+         FROM t JOIN rated ON t.source = rated.source
+         WHERE t.hkey % 10000 < rated.rate
+         ORDER BY t.source, t.doc_id"""
+    },
     "q78_substring_pairs" -> {
       val passage = (0 until 24)
         .map(i => s"'sp${i}g' || CAST(doc_id % 225 AS VARCHAR)")

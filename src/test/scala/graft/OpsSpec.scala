@@ -376,4 +376,93 @@ class OpsSpec extends SparkSpec {
     assert(f1(0L) == f1(1L))
     assert(f1(0L) != f1(3L))
   }
+
+  // deterministic pseudo-random embedding fixture: rows i and i+25
+  // (i < 3) are exact duplicates, the rest pairwise distinct (the
+  // (base+1)*(d+1) mod 101 pattern never repeats for base in 0..49)
+  private lazy val semEmb = (0L to 49L).map { i =>
+    val base = if (i >= 25L && i < 28L) i - 25L else i
+    (i, Array.tabulate(64)(d =>
+      (((base + 1) * (d + 1)) % 101 - 50).toFloat / 51f), 0)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("semanticDedup: exact-duplicate vectors marked, keep-first, others kept") {
+    val r = Similarity.semanticDedup(semEmb, nCells = 4, tau = 0.999)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r.size == 50)
+    for (i <- 0L until 3L) {
+      // the twin (same vector => same cell, cosine 1) is a dup of the
+      // lower id; the lower id itself is kept
+      assert(r(i + 25L).getAs[Boolean]("is_dup"))
+      assert(r(i + 25L).getAs[Long]("dup_of") == i)
+      assert(!r(i).getAs[Boolean]("is_dup"))
+    }
+    assert(r.values.count(_.getAs[Boolean]("is_dup")) == 3)
+  }
+
+  test("pqTopK: an exact twin has the minimal ADC and ranks first") {
+    val top = Similarity.pqTopK(semEmb, nQueries = 3, k = 5)
+      .orderBy("query_id", "rank").collect()
+    for (q <- 0L until 3L) {
+      val rows = top.filter(_.getAs[Long]("query_id") == q)
+      assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      // adc is nondecreasing down the ranking
+      val adcs = rows.map(_.getAs[Long]("adc")).toSeq
+      assert(adcs == adcs.sorted)
+      // the exact twin shares the query's codes, so it attains the
+      // global-minimum ADC; it must appear with adc == the rank-1 adc
+      // (other vectors may tie on codes and outrank it by id only)
+      val twin = rows.find(_.getAs[Long]("neighbor_id") == q + 25L)
+      assert(twin.isDefined)
+      assert(twin.get.getAs[Long]("adc") == adcs.head)
+    }
+  }
+
+  test("TopKAggLongAsc equals the ascending row_number window form") {
+    val scored = Seq((0L, 1L, 5L), (0L, 2L, 3L), (0L, 3L, 3L), (0L, 4L, 9L),
+      (1L, 1L, 7L), (1L, 2L, 7L))
+      .toDF("query_id", "cand_id", "dist")
+    val agg = TopKAgg.topKPerQueryAsc(scored, "query_id", "cand_id", "dist", 2)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("dist"), r.getAs[Int]("rank"))).toSeq
+    assert(agg == Seq((0L, 2L, 3L, 1), (0L, 3L, 3L, 2),
+      (1L, 1L, 7L, 1), (1L, 2L, 7L, 2)))
+  }
+
+  test("bm25: length normalization ranks the shorter doc higher at equal tf") {
+    val d = Seq(
+      (0L, "apple pear", "en", "s0", 10L),
+      (1L, "apple pear " + Seq.fill(40)("filler").mkString(" "), "en", "s0", 50L),
+      (2L, "nothing relevant here", "en", "s0", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.bm25Search(d, Seq("apple", "pear"), k = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(2L)) // no matching term, no row
+    assert(r(0L).getAs[Long]("n_terms_hit") == 2)
+    assert(r(0L).getAs[Long]("score") > r(1L).getAs[Long]("score"))
+  }
+
+  test("token mixing: greedy budget cut and rate admission") {
+    val d = (0L to 39L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i, Seq.fill(10)("tok").mkString(" "), "en", src, 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // greedy: budget 45 admits docs while cum-tok < 45 => 5 docs (cum 50)
+    val g = TextAnalysis.tokenBudgetMix(d, Map("a" -> 45L, "b" -> 0L))
+      .collect()
+    assert(g.forall(_.getAs[String]("source") == "a"))
+    assert(g.length == 5)
+    assert(g.map(_.getAs[Long]("cum")).max == 50L)
+    // rate form: budget 0 => nothing; budget >= total => everything
+    val none = TextAnalysis.tokenRateMix(d, Map.empty, defaultBudget = 0L)
+    assert(none.count() == 0)
+    val all = TextAnalysis.tokenRateMix(d, Map.empty,
+      defaultBudget = Long.MaxValue)
+    assert(all.count() == 40)
+    // half rate admits roughly half of each domain via the hash bucket
+    val half = TextAnalysis.tokenRateMix(d, Map("a" -> 100L, "b" -> 100L))
+      .collect()
+    assert(half.nonEmpty && half.length < 40)
+  }
 }
