@@ -195,6 +195,37 @@ class PlanSpec extends SparkSpec {
       s"bloom reject filter must anti-join only the suspects branch:\n$pBloom")
   }
 
+  test("round-5 ops: plan shapes for mixing, bm25, PQ, semantic dedup") {
+    // q86 rate mix: the 100 TB claim is NO window — admission is a
+    // stateless per-row predicate after a broadcast of per-domain rates
+    val p86 = plan("q86_token_rate_mix")
+    assert(!p86.contains("Window"), s"rate mix must not plan a window:\n$p86")
+    assert(p86.contains("BroadcastHashJoin"),
+      "per-domain rates must broadcast against the corpus")
+    // q85 greedy mix: the one window is the per-domain running total —
+    // the documented cost of the exact form
+    val p85 = plan("q85_token_mix")
+    assert(p85.contains("Window"), "greedy mix lost its running-total window")
+    // q83 bm25: idf broadcasts; the top-k is a TakeOrdered, never a
+    // global sort of the scored corpus
+    val p83 = plan("q83_bm25")
+    assert(p83.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must be TakeOrdered:\n$p83")
+    assert(p83.contains("BroadcastHashJoin"), "bm25 idf side must broadcast")
+    // q84 PQ: scoring joins the broadcast ADC tables (deliberate BNLJ on
+    // the != predicate, the bruteTopK pattern); no cartesian anywhere,
+    // and the top-k is the bounded aggregator, not a window sort
+    val p84 = plan("q84_ann_pq")
+    assert(!p84.contains("CartesianProduct"))
+    assert(!p84.contains("Window"),
+      "PQ top-k must use the bounded aggregator, not a window")
+    // q82 semantic dedup: centroids broadcast; the within-cell self-join
+    // is an equi-join on cell, never a cartesian
+    val p82 = plan("q82_semantic_dedup")
+    assert(!p82.contains("CartesianProduct"))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("AQE skew join: the q39 hot-key scenario splits at runtime, no salting") {
     // the 100x-scale posture: lean on AQE's OptimizeSkewedJoin FIRST and
     // keep saltedJoin for the residual cases. Thresholds are lowered so
