@@ -336,6 +336,109 @@ object Similarity {
     TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
   }
 
+  /** IVF-PQ top-k — the production composition (FAISS's IndexIVFPQ,
+    * Jégou et al. 2011 §IV): the [[kmeansCentroids]] coarse quantizer
+    * partitions the corpus into cells, every vector is PQ-encoded as the
+    * RESIDUAL against its cell centroid (residuals are tighter than raw
+    * vectors, so the same code budget quantizes finer), and a query
+    * scores only the `nprobe` nearest cells via per-(query, cell) ADC
+    * tables over the residual codebook.
+    *
+    * The 100 TB shape, end to end: Lloyd training scans a hash-sample,
+    * the centroid set and codebooks are tiny driver/broadcast state,
+    * the stored index is 8 bytes of codes + one cell id per vector
+    * (32x memory compression), candidate generation is a cell equi-join
+    * (never a corpus scan), and per-candidate scoring is m integer
+    * table lookups. Codebooks are the deterministic hash-rank sample of
+    * residuals (zero Lloyd refinement — same policy and rationale as
+    * [[pqTopK]]); all arithmetic is exact integers, oracle-reproducible. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
+      trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subDim = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = tracked(withNorm(emb))
+    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
+    // residual = vector - its cell centroid, exact integer subtraction
+    val res = tracked(
+      assignCells(e, cent).join(broadcast(cent), col("cell") === col("cent_id"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("rv")))
+    def subRows(df: DataFrame, vecCol: String, keep: Seq[String]) =
+      df.select(keep.map(col) :+
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecCol), s * subDim + 1, subDim).as("sqv"))): _*))
+          .as("sv"): _*)
+        .select(keep.map(col) :+ col("sv.sub").as("sub") :+
+          col("sv.sqv").as("sqv"): _*)
+    // residual codebook: hash-rank-sampled residual subvectors
+    val sample = res
+      .orderBy(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+        col("vec_id"))
+      .limit(codesPerSub)
+      .select("rv").collect().map(_.getSeq[Long](0).toArray)
+    val codebook = (for {
+      s <- 0 until m; c <- sample.indices
+    } yield (s, c.toLong, sample(c).slice(s * subDim, (s + 1) * subDim).toSeq))
+      .toDF("sub", "code", "cbv")
+    def sqDist(a: Column, b: Column): Column =
+      dotPre(a, a) + dotPre(b, b) - lit(2L) * dotPre(a, b)
+    // encode: argmin residual-codebook entry per (vector, subspace)
+    val encoded = subRows(res, "rv", Seq("vec_id", "cell"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        struct(sqDist(col("sqv"), col("cbv")).as("dist"),
+          col("code").as("c")).as("dc"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(col("dc")).getField("c").as("code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(map_from_arrays(collect_list(col("sub")),
+        collect_list(col("code"))).as("cm"))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map(s => element_at(col("cm"), s)): _*).as("codes"))
+    // probes: nprobe nearest cells per query (the ivfTopK shape)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"))
+    val probes = q.join(broadcast(cent))
+      .select(col("query_id"), col("qqv"),
+        struct((col("qnsq") + col("cnsq") -
+          lit(2L) * dotPre(col("qqv"), col("cqv"))).as("dist"),
+          col("cent_id").as("cid")).as("dc"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qqv")).as("qqv"),
+        slice(sort_array(collect_list(col("dc"))), 1, nprobe).as("near"))
+      .select(col("query_id"), col("qqv"), explode(col("near")).as("dc"))
+      .select(col("query_id"), col("qqv"), col("dc.cid").as("cell"))
+    // per-(query, probed cell) residual + ADC table over the codebook
+    val qres = probes.join(broadcast(cent), col("cell") === col("cent_id"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qqv"), col("cqv"), (a, b) => a - b).as("qrv"))
+    val qtab = subRows(qres, "qrv", Seq("query_id", "cell"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("cell"),
+        (col("sub") * codesPerSub + col("code")).as("slot"),
+        sqDist(col("sqv"), col("cbv")).as("dist"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(map_from_arrays(collect_list(col("slot")),
+        collect_list(col("dist"))).as("dm"))
+      .select(col("query_id"), col("cell"),
+        array((0 until m * codesPerSub).map(i =>
+          element_at(col("dm"), i.toLong)): _*).as("tab"))
+    val adc = (0 until m).map(s =>
+      element_at(col("tab"),
+        (lit(s * codesPerSub) + element_at(col("codes"), s + 1)).cast("int") + 1))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(qtab), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+    TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
+  }
+
   /** Sign-bit bucket id over the first `bits` dimensions. The sign of a
     * float is exact, so bucketing is engine-independent. */
   def signBucket(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =

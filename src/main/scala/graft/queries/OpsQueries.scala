@@ -254,6 +254,10 @@ object OpsQueries {
       TextAnalysis.tokenRateMix(docs(s, d),
         Map("src0" -> 700L, "src1" -> 0L), defaultBudget = 500L)
         .orderBy("source", "doc_id")),
+    // IVF-PQ: coarse cells + residual PQ codes + per-cell ADC tables —
+    // the production compressed-index composition
+    "q87_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d)).orderBy("query_id", "rank")),
     // shared-substring dedup: every 9th doc gains a 24-token passage
     // shared within its doc_id % 225 group -> each in-group pair must
     // report its 5 shared 20-token windows (group sizes stay under the
@@ -942,6 +946,60 @@ object OpsQueries {
            FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
              AND enc.vec_id != qt.query_id
            GROUP BY qt.query_id, enc.vec_id)
+         SELECT query_id, neighbor_id, adc, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
+    // IVF-PQ over the shared k-means chain: residuals against the cell
+    // centroid, hash-rank residual codebooks, per-(query, cell) ADC
+    "q87_ann_ivfpq" -> {
+      def dot8(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
+      s"""WITH ${kmeansChain(1)},
+         res AS (SELECT a.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+               d -> a.qv[d] - c.cqv[d]) AS rv
+           FROM assigned a JOIN c2 c ON a.cell = c.cid),
+         samp AS (SELECT rv, rn FROM (SELECT rv, row_number()
+             OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM res)
+           WHERE rn <= 16),
+         cb AS (SELECT g.s AS sub, samp.rn - 1 AS code,
+             list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS cbv
+           FROM samp, generate_series(0, 7) g(s)),
+         rsv AS (SELECT vec_id, cell, g.s AS sub,
+             list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS sqv
+           FROM res, generate_series(0, 7) g(s)),
+         enc AS (SELECT vec_id, cell, sub, code FROM (
+           SELECT rsv.vec_id, rsv.cell, rsv.sub, cb.code,
+             row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
+               ORDER BY ${dot8("rsv.sqv", "rsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+                 - 2*${dot8("rsv.sqv", "cb.cbv")}, cb.code) AS rn
+           FROM rsv JOIN cb ON rsv.sub = cb.sub) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
+           WHERE vec_id < 10),
+         probes AS (SELECT query_id, qqv, cid AS cell FROM (
+           SELECT q.query_id, q.qqv, c.cid,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY q.qnsq + ${dotL("c.cqv", "c.cqv")}
+                 - 2*${dotL("q.qqv", "c.cqv")}, c.cid) AS rn
+           FROM q, c2 c) WHERE rn <= 2),
+         qres AS (SELECT p.query_id, p.cell,
+             list_transform(generate_series(1, 64),
+               d -> p.qqv[d] - c.cqv[d]) AS qrv
+           FROM probes p JOIN c2 c ON p.cell = c.cid),
+         qsv AS (SELECT query_id, cell, g.s AS sub,
+             list_transform(generate_series(1, 8), i -> qrv[g.s*8 + i]) AS sqv
+           FROM qres, generate_series(0, 7) g(s)),
+         qt AS (SELECT qsv.query_id, qsv.cell, qsv.sub, cb.code,
+             ${dot8("qsv.sqv", "qsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+               - 2*${dot8("qsv.sqv", "cb.cbv")} AS dist
+           FROM qsv JOIN cb ON qsv.sub = cb.sub),
+         scored AS (SELECT qt.query_id, e0.vec_id AS neighbor_id,
+             CAST(sum(qt.dist) AS BIGINT) AS adc
+           FROM enc e0 JOIN qt ON e0.cell = qt.cell AND e0.sub = qt.sub
+             AND e0.code = qt.code AND e0.vec_id != qt.query_id
+           GROUP BY qt.query_id, e0.vec_id)
          SELECT query_id, neighbor_id, adc, rank FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY adc, neighbor_id) AS rank FROM scored)

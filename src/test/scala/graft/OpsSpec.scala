@@ -418,6 +418,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: the twin shares cell, residual and codes — minimal ADC") {
+    val top = Similarity.ivfPqTopK(semEmb, nQueries = 3, k = 5, nCells = 4)
+      .orderBy("query_id", "rank").collect()
+    for (q <- 0L until 3L) {
+      val rows = top.filter(_.getAs[Long]("query_id") == q)
+      assert(rows.nonEmpty)
+      val adcs = rows.map(_.getAs[Long]("adc")).toSeq
+      assert(adcs == adcs.sorted)
+      // identical vector => same cell (always probed: it is the nearest
+      // cell to itself), same residual, same codes => global-min ADC
+      val twin = rows.find(_.getAs[Long]("neighbor_id") == q + 25L)
+      assert(twin.isDefined, s"twin of query $q missing from IVF-PQ top-k")
+      assert(twin.get.getAs[Long]("adc") == adcs.head)
+    }
+  }
+
   test("TopKAggLongAsc equals the ascending row_number window form") {
     val scored = Seq((0L, 1L, 5L), (0L, 2L, 3L), (0L, 3L, 3L), (0L, 4L, 9L),
       (1L, 1L, 7L), (1L, 2L, 7L))
