@@ -71,6 +71,39 @@ object ScaleSmoke {
     time("base_1x", replicate(1, perturb = true), n)
     time(s"clean_${k}x", replicate(k, perturb = true), n * k)
     time(s"adversarial_${k}x", replicate(k, perturb = false), n * k)
+
+    // ANN / semantic-dedup scaling: replicate the embeddings with a
+    // per-replica perturbation (distinct after 1e7 quantization), and
+    // grow nCells WITH the corpus — the SemDeDup/IVF contract is that
+    // per-cell work stays bounded while centroid state stays tiny.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val ne = embBase.count()
+    def embRep(times: Int): DataFrame =
+      embBase.withColumn("r", explode(sequence(lit(0), lit(times - 1))))
+        .select((col("vec_id") * times + col("r")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("r") * lit(1e-4)).as("embedding"))
+    def timeAnn(label: String, times: Int, cells: Int): Unit = {
+      val emb = embRep(times)
+      val t0 = System.nanoTime()
+      val nTop = graft.ops.Similarity
+        .ivfPqTopK(emb, nCells = cells, trainSampleMod = 4).count()
+      val tIvfpq = (System.nanoTime() - t0) / 1e9
+      graft.ops.Dedup.releaseCaches()
+      val t1 = System.nanoTime()
+      val nSem = graft.ops.Similarity
+        .semanticDedup(emb, nCells = cells, trainSampleMod = 4).count()
+      val tSem = (System.nanoTime() - t1) / 1e9
+      graft.ops.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      base.cache(); base.count(); embBase.cache(); embBase.count()
+      println(f"""{"experiment":"$label","rows":${ne * times},""" +
+        f""""cells":$cells,"topk":$nTop,"semdedup":$nSem,""" +
+        f""""ivfpq_sec":$tIvfpq%.2f,"semdedup_sec":$tSem%.2f}""")
+    }
+    timeAnn("ann_1x", 1, 8)
+    timeAnn(s"ann_${k}x", k, 8 * k)
     spark.stop()
   }
 }
