@@ -352,6 +352,11 @@ object TextAnalysis {
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(tokens(col("text")))).as("sumdl")).head()
     val n = stats.getLong(0)
+    if (n == 0L)
+      // empty corpus: sum() above is NULL and avgdl undefined — the
+      // answer is simply "no hits", with the normal output schema
+      return docs.limit(0).select(col("doc_id"),
+        lit(0L).as("score"), lit(0L).as("n_terms_hit"))
     val avgdl = stats.getLong(1).toDouble / n.toDouble
     val rl = docs.select(col("doc_id"),
       round(lit(1e6) * size(tokens(col("text"))).cast("double") / lit(avgdl))

@@ -502,6 +502,27 @@ class CurationSpec extends SparkSpec {
     // empty blocklist AND empty big side
     assert(Bloom.rejectFilter(empty.select(col("doc_id").as("id")), "id",
       empty.select(col("doc_id").as("id")), "id").count() == 0)
+    // round-5 ops: bm25 (empty corpus => empty result, not an NPE on the
+    // null token sum), both mixing forms
+    for (docs <- Seq(emptyFull, oneFull)) {
+      assert(TextAnalysis.bm25Search(docs, Seq("single")).count() <=
+        docs.count())
+      assert(TextAnalysis.tokenBudgetMix(docs, Map.empty).count() ==
+        docs.count())
+      assert(TextAnalysis.tokenRateMix(docs, Map.empty).count() ==
+        docs.count())
+    }
+    // embedding-side ops on empty and single-vector corpora
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val oneEmb = Seq((0L, Array.tabulate(64)(_.toFloat / 64f), 0))
+      .toDF("vec_id", "embedding", "label")
+    for (emb <- Seq(emptyEmb, oneEmb)) {
+      assert(Similarity.semanticDedup(emb, nCells = 2).count() == emb.count())
+      assert(Similarity.pqTopK(emb, nQueries = 2, k = 3).count() == 0)
+      assert(Similarity.ivfPqTopK(emb, nQueries = 2, k = 3,
+        nCells = 2).count() == 0)
+    }
     TextKit.releaseCaches()
   }
 
