@@ -97,7 +97,8 @@ object ScaleSmoke {
       val tSem = (System.nanoTime() - t1) / 1e9
       graft.ops.Dedup.releaseCaches()
       spark.catalog.clearCache()
-      base.cache(); base.count(); embBase.cache(); embBase.count()
+      // only the embedding base is read again after this point
+      embBase.cache(); embBase.count()
       println(f"""{"experiment":"$label","rows":${ne * times},""" +
         f""""cells":$cells,"topk":$nTop,"semdedup":$nSem,""" +
         f""""ivfpq_sec":$tIvfpq%.2f,"semdedup_sec":$tSem%.2f}""")

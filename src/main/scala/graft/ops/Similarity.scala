@@ -273,68 +273,99 @@ object Similarity {
       m: Int = 8, codesPerSub: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
-    val spark = emb.sparkSession
-    import spark.implicits._
     val e = tracked(spread(emb).select(col("vec_id"),
       quantVec(col("embedding")).as("qv")))
-    // codebook: per subspace, the codesPerSub subvectors of the
-    // hash-rank-smallest vectors (k x dim longs on the driver, broadcast)
-    val sample = e
-      .orderBy(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
-        col("vec_id"))
-      .limit(codesPerSub)
-      .collect()
-      .map(_.getSeq[Long](1).toArray)
-    val codebook = (for {
-      s <- 0 until m; c <- sample.indices
-    } yield (s, c.toLong, sample(c).slice(s * subDim, (s + 1) * subDim).toSeq))
-      .toDF("sub", "code", "cqv")
-    // encode: nearest codebook entry per (vector, subspace) — min over a
-    // broadcast join, map-side combinable, exactly assignCells' shape
-    val subbed = e.select(col("vec_id"),
-      explode(array((0 until m).map(s =>
-        struct(lit(s).as("sub"),
-          slice(col("qv"), s * subDim + 1, subDim).as("sqv"))): _*))
-        .as("sv"))
-      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.sqv").as("sqv"))
-    val encoded = subbed.join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"),
-        struct((dotPre(col("sqv"), col("sqv")) + dotPre(col("cqv"), col("cqv"))
-          - lit(2L) * dotPre(col("sqv"), col("cqv"))).as("dist"),
-          col("code").as("c")).as("dc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("dc")).getField("c").as("code"))
-      .groupBy(col("vec_id"))
-      .agg(map_from_arrays(collect_list(col("sub")),
-        collect_list(col("code"))).as("cm"))
-      .select(col("vec_id"),
-        array((0 until m).map(s => element_at(col("cm"), s)): _*).as("codes"))
-    // ADC table per query: exact integer distance to all m x codesPerSub
-    // codebook entries, packed as one lookup array (sub*codesPerSub+code)
-    val qsub = subbed.filter(col("vec_id") < nQueries)
-    val qtab = qsub.join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id").as("query_id"),
-        (col("sub") * codesPerSub + col("code")).as("slot"),
-        (dotPre(col("sqv"), col("sqv")) + dotPre(col("cqv"), col("cqv"))
-          - lit(2L) * dotPre(col("sqv"), col("cqv"))).as("dist"))
-      .groupBy(col("query_id"))
-      .agg(map_from_arrays(collect_list(col("slot")),
-        collect_list(col("dist"))).as("dm"))
-      .select(col("query_id"),
-        array((0 until m * codesPerSub).map(i =>
-          element_at(col("dm"), i.toLong)): _*).as("tab"))
+    val codebook = sampledCodebook(e, "qv", m, subDim, codesPerSub)
+    val encoded = encodeCodes(e, "qv", Seq("vec_id"), codebook, m, subDim)
+    val qtab = adcTables(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("qv")),
+      "qv", Seq("query_id"), codebook, m, subDim, codesPerSub)
     // score: m integer lookups per (query, candidate) — the compressed
     // corpus streams past the broadcast tables, never the raw vectors
-    val adc = (0 until m).map(s =>
-      element_at(col("tab"),
-        (lit(s * codesPerSub) + element_at(col("codes"), s + 1)).cast("int") + 1))
-      .reduce(_ + _)
     val scored = encoded.join(broadcast(qtab),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("adc"))
+        adcExpr(m, codesPerSub).as("adc"))
     TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
   }
+
+  /** One (keep..., sub, sqv) row per subspace of `vecCol`. */
+  private def subRows(df: DataFrame, vecCol: String, keep: Seq[String],
+      m: Int, subDim: Int): DataFrame =
+    df.select(keep.map(col) :+
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecCol), s * subDim + 1, subDim).as("sqv"))): _*))
+          .as("sv"): _*)
+      .select(keep.map(col) :+ col("sv.sub").as("sub") :+
+        col("sv.sqv").as("sqv"): _*)
+
+  /** Exact integer squared L2 between two pre-quantized vectors. */
+  private def sqDist(a: Column, b: Column): Column =
+    dotPre(a, a) + dotPre(b, b) - lit(2L) * dotPre(a, b)
+
+  /** Deterministic per-subspace codebook: the `codesPerSub` vectors of
+    * smallest md5-hash rank (the k-means init policy, zero Lloyd
+    * refinement), sliced into (sub, code, cbv) rows — m x codesPerSub x
+    * subDim longs on the driver, broadcast to every consumer. */
+  private def sampledCodebook(df: DataFrame, vecCol: String, m: Int,
+      subDim: Int, codesPerSub: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df
+      .orderBy(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+        col("vec_id"))
+      .limit(codesPerSub)
+      .select(vecCol).collect().map(_.getSeq[Long](0).toArray)
+    (for {
+      s <- 0 until m; c <- sample.indices
+    } yield (s, c.toLong, sample(c).slice(s * subDim, (s + 1) * subDim).toSeq))
+      .toDF("sub", "code", "cbv")
+  }
+
+  /** PQ encode: argmin codebook entry per (keep-key, subspace) — min
+    * over a broadcast join, map-side combinable (assignCells' shape) —
+    * packed to one `codes` array per keep-key. */
+  private def encodeCodes(df: DataFrame, vecCol: String, keep: Seq[String],
+      codebook: DataFrame, m: Int, subDim: Int): DataFrame =
+    subRows(df, vecCol, keep, m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(keep.map(col) :+ col("sub") :+
+        struct(sqDist(col("sqv"), col("cbv")).as("dist"),
+          col("code").as("c")).as("dc"): _*)
+      .groupBy((keep :+ "sub").map(col): _*)
+      .agg(min(col("dc")).getField("c").as("code"))
+      .groupBy(keep.map(col): _*)
+      .agg(map_from_arrays(collect_list(col("sub")),
+        collect_list(col("code"))).as("cm"))
+      .select(keep.map(col) :+
+        array((0 until m).map(s => element_at(col("cm"), s)): _*)
+          .as("codes"): _*)
+
+  /** Per-keep-key ADC table: exact integer distance from the keep-key's
+    * vector to ALL m x codesPerSub codebook entries, packed as one
+    * lookup array indexed sub*codesPerSub+code. */
+  private def adcTables(df: DataFrame, vecCol: String, keep: Seq[String],
+      codebook: DataFrame, m: Int, subDim: Int, codesPerSub: Int): DataFrame =
+    subRows(df, vecCol, keep, m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(keep.map(col) :+
+        (col("sub") * codesPerSub + col("code")).as("slot") :+
+        sqDist(col("sqv"), col("cbv")).as("dist"): _*)
+      .groupBy(keep.map(col): _*)
+      .agg(map_from_arrays(collect_list(col("slot")),
+        collect_list(col("dist"))).as("dm"))
+      .select(keep.map(col) :+
+        array((0 until m * codesPerSub).map(i =>
+          element_at(col("dm"), i.toLong)): _*).as("tab"): _*)
+
+  /** ADC score: sum of m integer table lookups (`tab`, `codes` in scope). */
+  private def adcExpr(m: Int, codesPerSub: Int): Column =
+    (0 until m).map(s =>
+      element_at(col("tab"),
+        (lit(s * codesPerSub) + element_at(col("codes"), s + 1)).cast("int") + 1))
+      .reduce(_ + _)
 
   /** IVF-PQ top-k — the production composition (FAISS's IndexIVFPQ,
     * Jégou et al. 2011 §IV): the [[kmeansCentroids]] coarse quantizer
@@ -358,8 +389,6 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
-    val spark = emb.sparkSession
-    import spark.implicits._
     val e = tracked(withNorm(emb))
     val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
     // residual = vector - its cell centroid, exact integer subtraction
@@ -367,39 +396,10 @@ object Similarity {
       assignCells(e, cent).join(broadcast(cent), col("cell") === col("cent_id"))
         .select(col("vec_id"), col("cell"),
           zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("rv")))
-    def subRows(df: DataFrame, vecCol: String, keep: Seq[String]) =
-      df.select(keep.map(col) :+
-        explode(array((0 until m).map(s =>
-          struct(lit(s).as("sub"),
-            slice(col(vecCol), s * subDim + 1, subDim).as("sqv"))): _*))
-          .as("sv"): _*)
-        .select(keep.map(col) :+ col("sv.sub").as("sub") :+
-          col("sv.sqv").as("sqv"): _*)
-    // residual codebook: hash-rank-sampled residual subvectors
-    val sample = res
-      .orderBy(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
-        col("vec_id"))
-      .limit(codesPerSub)
-      .select("rv").collect().map(_.getSeq[Long](0).toArray)
-    val codebook = (for {
-      s <- 0 until m; c <- sample.indices
-    } yield (s, c.toLong, sample(c).slice(s * subDim, (s + 1) * subDim).toSeq))
-      .toDF("sub", "code", "cbv")
-    def sqDist(a: Column, b: Column): Column =
-      dotPre(a, a) + dotPre(b, b) - lit(2L) * dotPre(a, b)
-    // encode: argmin residual-codebook entry per (vector, subspace)
-    val encoded = subRows(res, "rv", Seq("vec_id", "cell"))
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("cell"), col("sub"),
-        struct(sqDist(col("sqv"), col("cbv")).as("dist"),
-          col("code").as("c")).as("dc"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(col("dc")).getField("c").as("code"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(map_from_arrays(collect_list(col("sub")),
-        collect_list(col("code"))).as("cm"))
-      .select(col("vec_id"), col("cell"),
-        array((0 until m).map(s => element_at(col("cm"), s)): _*).as("codes"))
+    // residual codebook + per-(vector, cell) codes — the shared PQ kit
+    val codebook = sampledCodebook(res, "rv", m, subDim, codesPerSub)
+    val encoded = encodeCodes(res, "rv", Seq("vec_id", "cell"),
+      codebook, m, subDim)
     // probes: nprobe nearest cells per query (the ivfTopK shape)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
@@ -418,24 +418,12 @@ object Similarity {
     val qres = probes.join(broadcast(cent), col("cell") === col("cent_id"))
       .select(col("query_id"), col("cell"),
         zip_with(col("qqv"), col("cqv"), (a, b) => a - b).as("qrv"))
-    val qtab = subRows(qres, "qrv", Seq("query_id", "cell"))
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"), col("cell"),
-        (col("sub") * codesPerSub + col("code")).as("slot"),
-        sqDist(col("sqv"), col("cbv")).as("dist"))
-      .groupBy(col("query_id"), col("cell"))
-      .agg(map_from_arrays(collect_list(col("slot")),
-        collect_list(col("dist"))).as("dm"))
-      .select(col("query_id"), col("cell"),
-        array((0 until m * codesPerSub).map(i =>
-          element_at(col("dm"), i.toLong)): _*).as("tab"))
-    val adc = (0 until m).map(s =>
-      element_at(col("tab"),
-        (lit(s * codesPerSub) + element_at(col("codes"), s + 1)).cast("int") + 1))
-      .reduce(_ + _)
+    val qtab = adcTables(qres, "qrv", Seq("query_id", "cell"),
+      codebook, m, subDim, codesPerSub)
     val scored = encoded.join(broadcast(qtab), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcExpr(m, codesPerSub).as("adc"))
     TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
   }
 

@@ -309,14 +309,22 @@ object TextAnalysis {
     * shuffle; df/N are two tiny aggregates over that filtered relation
     * (plus one corpus count); the top-k is a TakeOrdered over per-doc
     * scores, never a global sort. */
+  /** Postings for the query terms only: (doc_id, token, `countAlias`)
+    * with the term filter applied BEFORE any shuffle — the shared
+    * candidate-generation stage of both rankers ([[search]], [[bm25Search]]),
+    * kept in one place so the two search paths can never diverge on
+    * tokenizer or filter semantics. */
+  private def matchingPostings(docs: DataFrame, terms: Seq[String],
+      countAlias: String): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms.map(lit(_)): _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as(countAlias))
+
   def search(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val n = docs.count()
-    val tf = tracked(
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .filter(col("token").isin(terms.map(lit(_)): _*))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf_doc")))
+    val tf = tracked(matchingPostings(docs, terms, "tf_doc"))
     val idf = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .select(col("token"), (lit(n) / col("df")).cast("long").as("idf_int"))
@@ -344,13 +352,20 @@ object TextAnalysis {
     * tf ~ 2e6 and any corpus size, and the per-doc sum is an
     * order-independent integer sum — safe under partial aggregation.
     *
-    * Shape at scale (same as [[search]]): postings are filtered to the
-    * query terms BEFORE any shuffle; avgdl is one scan folded into a
-    * 2-value global aggregate; the final top-k is a TakeOrdered. */
+    * Shape at scale (near [[search]]'s): postings are filtered to the
+    * query terms BEFORE any shuffle; document lengths are tokenized
+    * ONCE into a persisted (doc_id, dl) frame that serves both the
+    * 2-value avgdl aggregate and the length join; the matched-postings
+    * side of that join is small (it grows with the query terms'
+    * document frequency, not the corpus), so the planner broadcasts it
+    * and the corpus-side lengths stream unshuffled — a stopword-df
+    * term degrades it to a shuffled join (correct, slower), the same
+    * posture as the dedup verify joins. Final top-k is a TakeOrdered. */
   def bm25Search(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val stats = docs.agg(count(lit(1)).as("n"),
-      sum(size(tokens(col("text")))).as("sumdl")).head()
+    val dl = tracked(docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl")))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val n = stats.getLong(0)
     if (n == 0L)
       // empty corpus: sum() above is NULL and avgdl undefined — the
@@ -358,19 +373,14 @@ object TextAnalysis {
       return docs.limit(0).select(col("doc_id"),
         lit(0L).as("score"), lit(0L).as("n_terms_hit"))
     val avgdl = stats.getLong(1).toDouble / n.toDouble
-    val rl = docs.select(col("doc_id"),
-      round(lit(1e6) * size(tokens(col("text"))).cast("double") / lit(avgdl))
+    val rl = dl.select(col("doc_id"),
+      round(lit(1e6) * col("dl").cast("double") / lit(avgdl))
         .cast("long").as("rl"))
-    val tf = tracked(
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .filter(col("token").isin(terms.map(lit(_)): _*))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf")))
+    val tf = tracked(matchingPostings(docs, terms, "tf"))
     val idf = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .select(col("token"), expr(s"$n div df").as("idf_int"))
-    tf.join(broadcast(idf), Seq("token"))
-      .join(rl, Seq("doc_id"))
+    rl.join(tf.join(broadcast(idf), Seq("token")), Seq("doc_id"))
       .select(col("doc_id"),
         (col("idf_int") *
           expr("(tf * 4400000000000) div (20000000*tf + 6000000 + 18*rl)"))
@@ -414,8 +424,8 @@ object TextAnalysis {
 
   /** Training-mix construction, rate form — the 100 TB path: one
     * aggregate scan computes each domain's total token count, the admit
-    * rate is the exact integer permille-of-a-million
-    * `min(1e6, (1e6 * budget) div total)`, and a document is admitted
+    * rate is the exact integer fraction-of-10000
+    * `min(10000, (10000 * budget) div total)`, and a document is admitted
     * when its md5 hash bucket falls under the rate. No window, no
     * per-domain sort; admission is a stateless per-row predicate, so the
     * op is one narrow scan after a broadcast of per-domain rates. Hits

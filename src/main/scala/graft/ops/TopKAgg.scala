@@ -4,97 +4,72 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Bounded top-k aggregator over (id, score) rows — the scalable tail for
-  * the ANN operators.
+/** Shared bounded top-k machinery over (id, score) rows — the scalable
+  * tail for the ANN operators.
   *
-  * The window form (`row_number() OVER (PARTITION BY query ORDER BY score
-  * DESC)`) funnels EVERY candidate score of one query into a single task
+  * The window form (`row_number() OVER (PARTITION BY query ORDER BY
+  * score)`) funnels EVERY candidate score of one query into a single task
   * and sorts it there; with a billion-row corpus per query that task is the
   * job. This aggregator keeps at most k entries per buffer, the merge is
   * associative and commutative, and Spark runs it with map-side combine —
   * the shuffle carries one k-entry buffer per (query, partition), and no
-  * task ever holds more than k rows per query. Ordering matches the window
-  * form exactly: score descending, id ascending on ties.
-  */
-class TopKAgg(k: Int)
-    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  * task ever holds more than k rows per query. Subclasses define only the
+  * ordering (`better`); the bounded-insert/merge logic lives here once, so
+  * the descending-cosine and ascending-ADC tails cannot diverge. */
+abstract class BoundedTopK[S](k: Int)(bufEnc: Encoder[Seq[(S, Long)]])
+    extends Aggregator[(Long, S), Seq[(S, Long)], Seq[(S, Long)]] {
 
-  // buffers are kept sorted (score desc, id asc) and capped at k.
-  // Double.compare (not >) so degenerate scores order exactly like
-  // Spark's DESC sort: NaN sorts as the largest value, -0.0 < 0.0.
-  // Null scores cannot reach the aggregator (non-nullable input
-  // encoder); topKPerQuery filters them out up front.
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+  /** True when `a` outranks `b` (buffers are kept best-first). */
+  protected def better(a: (S, Long), b: (S, Long)): Boolean
+
+  final override def zero: Seq[(S, Long)] = Vector.empty
+
+  final override def reduce(buf: Seq[(S, Long)],
+      row: (Long, S)): Seq[(S, Long)] =
+    insert(buf, (row._2, row._1))
+
+  private def insert(buf: Seq[(S, Long)], e: (S, Long)): Seq[(S, Long)] = {
+    if (buf.size >= k && !better(e, buf.last)) buf
+    else {
+      val i = buf.indexWhere(b => better(e, b)) match {
+        case -1 => buf.size
+        case n => n
+      }
+      (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+
+  final override def merge(a: Seq[(S, Long)],
+      b: Seq[(S, Long)]): Seq[(S, Long)] =
+    b.foldLeft(a)(insert)
+
+  final override def finish(buf: Seq[(S, Long)]): Seq[(S, Long)] = buf
+
+  final override def bufferEncoder: Encoder[Seq[(S, Long)]] = bufEnc
+  final override def outputEncoder: Encoder[Seq[(S, Long)]] = bufEnc
+}
+
+/** Descending-score top-k over doubles. Ordering matches the window form
+  * exactly: score descending, id ascending on ties. Double.compare (not
+  * >) so degenerate scores order exactly like Spark's DESC sort: NaN
+  * sorts as the largest value, -0.0 < 0.0. Null scores cannot reach the
+  * aggregator (non-nullable input encoder); topKPerQuery filters them
+  * out up front. */
+class TopKAgg(k: Int) extends BoundedTopK[Double](k)(
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()) {
+  protected def better(a: (Double, Long), b: (Double, Long)): Boolean = {
     val c = java.lang.Double.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)
   }
-
-  override def zero: Seq[(Double, Long)] = Vector.empty
-
-  override def reduce(buf: Seq[(Double, Long)],
-      row: (Long, Double)): Seq[(Double, Long)] =
-    insert(buf, (row._2, row._1))
-
-  private def insert(buf: Seq[(Double, Long)],
-      e: (Double, Long)): Seq[(Double, Long)] = {
-    if (buf.size >= k && !better(e, buf.last)) buf
-    else {
-      val i = buf.indexWhere(b => better(e, b)) match {
-        case -1 => buf.size
-        case n => n
-      }
-      (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
-    }
-  }
-
-  override def merge(a: Seq[(Double, Long)],
-      b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    b.foldLeft(a)(insert)
-
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
-
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
 }
 
-/** Ascending-order sibling of [[TopKAgg]] over exact integer scores —
-  * the PQ/ADC tail, where "best" is the SMALLEST integer distance and
-  * doubles would lose exactness past 2^53. Ordering: score asc, id asc
-  * on ties. Same bounded-buffer/map-side-combine scale contract. */
-class TopKAggLongAsc(k: Int)
-    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-
-  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+/** Ascending-order sibling over exact integer scores — the PQ/ADC tail,
+  * where "best" is the SMALLEST integer distance and doubles would lose
+  * exactness past 2^53. Ordering: score asc, id asc on ties. */
+class TopKAggLongAsc(k: Int) extends BoundedTopK[Long](k)(
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()) {
+  protected def better(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  override def zero: Seq[(Long, Long)] = Vector.empty
-
-  override def reduce(buf: Seq[(Long, Long)],
-      row: (Long, Long)): Seq[(Long, Long)] =
-    insert(buf, (row._2, row._1))
-
-  private def insert(buf: Seq[(Long, Long)],
-      e: (Long, Long)): Seq[(Long, Long)] = {
-    if (buf.size >= k && !better(e, buf.last)) buf
-    else {
-      val i = buf.indexWhere(b => better(e, b)) match {
-        case -1 => buf.size
-        case n => n
-      }
-      (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
-    }
-  }
-
-  override def merge(a: Seq[(Long, Long)],
-      b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    b.foldLeft(a)(insert)
-
-  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
-
-  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
 }
 
 object TopKAgg {
