@@ -28,7 +28,12 @@ object StreamQueries {
     // watermark-change batch evicts every window closed under it, so the
     // emitted prefix = the q33 aggregation minus the trailing open hour
     "q81_stream_hourly_append" -> ((s, d) =>
-      StreamingOps.hourlyCounts(s, d, watermarked = true)))
+      StreamingOps.hourlyCounts(s, d, watermarked = true)),
+    // stream-static semantic admission: row-local quantization + sign
+    // bucket on the stream probe the corpus's vector index; equals the
+    // batch sign-bucket near-dup set across the split
+    "q88_stream_semantic" -> ((s, d) =>
+      StreamingOps.streamSemanticAdmission(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q33_stream_hourly" ->
@@ -73,6 +78,26 @@ object StreamQueries {
          FROM events, c
          WHERE (epoch_us(ts) // 3600000000) * 3600000000
            + 3600000000 <= c.wm
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // batch twin of the stream-static semantic admission: sign-bucket
+    // blocked cross-side cosine pairs (the q27 bucket + q25 cosine kit)
+    "q88_stream_semantic" -> {
+      val dotQ = graft.ops.TextKit.ducksql.dotQ(_: String, _: String)
+      s"""WITH eb AS (SELECT vec_id, embedding,
+           ${dotQ("embedding", "embedding")} AS nsq,
+           list_sum(list_transform(generate_series(1, 6), d ->
+             CASE WHEN embedding[d] >= 0 THEN (1::BIGINT << (d - 1))
+               ELSE 0 END)) AS bucket
+           FROM embeddings),
+         c AS (SELECT * FROM eb WHERE vec_id % 10 != 0),
+         f AS (SELECT * FROM eb WHERE vec_id % 10 = 0),
+         scored AS (SELECT c.vec_id AS vec_a, f.vec_id AS vec_b,
+           CAST(${dotQ("c.embedding", "f.embedding")} AS DOUBLE) /
+             (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(f.nsq AS DOUBLE)))
+             AS cosine
+           FROM c JOIN f ON c.bucket = f.bucket)
+         SELECT vec_a, vec_b, cosine FROM scored
+         WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+    }
   )
 }

@@ -180,6 +180,56 @@ object StreamingOps {
     ss.table(name).orderBy("doc_a", "doc_b")
   }
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming semantic admission: the embedding-space sibling of
+    * [[streamAdmission]]. The static side is the ingested corpus's
+    * sign-bucket LSH index (pre-quantized vectors keyed by
+    * [[graft.ops.Similarity.signBucket]]); the stream side computes its
+    * bucket and quantization ROW-LOCALLY (pure per-row expressions —
+    * legal on a stream, no pre-join groupBy needed), and admission is a
+    * stream-static equi-join on bucket plus the exact integer cosine
+    * test. Emits one (corpus vec_a, fresh vec_b, cosine) row per
+    * near-dup hit; a batch's work is proportional to the batch, and the
+    * corpus index is never re-derived. On a finite source the emitted
+    * set equals the batch LSH near-dup set (oracle-checked). */
+  def streamSemanticAdmission(spark: SparkSession, sfDir: String,
+      tau: Double = 0.4, bits: Int = 6): DataFrame = {
+    import graft.ops.{Similarity, TextKit}
+    val name = "stream_sem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    def quantNorm(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        TextKit.quantVec(col("embedding")).as("qv"),
+        Similarity.signBucket(col("embedding"), bits).as("bucket"))
+        .withColumn("nsq", TextKit.dotPre(col("qv"), col("qv")))
+    val corpus = quantNorm(ss.read.schema(embSchema)
+        .parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 10 =!= 0))
+      .select(col("bucket"), col("vec_id").as("vec_a"),
+        col("qv").as("qa"), col("nsq").as("na"))
+    val fresh = quantNorm(ss.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sfDir)
+        .filter(col("vec_id") % 10 === 0))
+      .select(col("bucket"), col("vec_id").as("vec_b"),
+        col("qv").as("qb"), col("nsq").as("nb"))
+    fresh.join(corpus, Seq("bucket"))
+      .select(col("vec_a"), col("vec_b"),
+        TextKit.cosineQ(TextKit.dotPre(col("qa"), col("qb")),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("vec_a", "vec_b")
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)

@@ -129,4 +129,32 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.length == survivors.distinct.length)
     assert(survivors.toSet == batch.keySet)
   }
+
+  test("stream semantic admission equals the batch sign-bucket pair set") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Similarity, TextKit}
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingOps
+      .streamSemanticAdmission(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: same quantization, bucket, and cosine, computed without
+    // any streaming machinery
+    val eb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), TextKit.quantVec(col("embedding")).as("qv"),
+        Similarity.signBucket(col("embedding"), 6).as("bucket"))
+      .withColumn("nsq", TextKit.dotPre(col("qv"), col("qv")))
+    val c = eb.filter(col("vec_id") % 10 =!= 0)
+      .select(col("bucket"), col("vec_id").as("vec_a"),
+        col("qv").as("qa"), col("nsq").as("na"))
+    val f = eb.filter(col("vec_id") % 10 === 0)
+      .select(col("bucket"), col("vec_id").as("vec_b"),
+        col("qv").as("qb"), col("nsq").as("nb"))
+    val batch = c.join(f, Seq("bucket"))
+      .select(col("vec_a"), col("vec_b"),
+        TextKit.cosineQ(TextKit.dotPre(col("qa"), col("qb")),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
 }
