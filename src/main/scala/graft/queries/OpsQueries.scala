@@ -258,6 +258,15 @@ object OpsQueries {
     // the production compressed-index composition
     "q87_ann_ivfpq" -> ((s, d) =>
       Similarity.ivfPqTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // REAL binary decode, oracle-checked: synthesized valid P5 PGM
+    // payloads parsed byte-by-byte back to header + pixel stats
+    "q89_pgm_decode" -> ((s, d) =>
+      Multimodal.decodePgm(Multimodal.pgmFromDocuments(docs(s, d)))
+        .toDF().orderBy("media_id")),
+    // REAL RIFF/WAVE decode: canonical 44-byte header + 16-bit PCM stats
+    "q90_wav_decode" -> ((s, d) =>
+      Multimodal.decodeWav(Multimodal.wavFromDocuments(docs(s, d)))
+        .toDF().orderBy("media_id")),
     // shared-substring dedup: every 9th doc gains a 24-token passage
     // shared within its doc_id % 225 group -> each in-group pair must
     // report its 5 shared 20-token windows (group sizes stay under the
@@ -1005,6 +1014,33 @@ object OpsQueries {
              ORDER BY adc, neighbor_id) AS rank FROM scored)
          WHERE rank <= 3 ORDER BY query_id, rank"""
     },
+    // the PGM payloads are synthesized from the text (first 128 ASCII
+    // bytes, space-padded), so the oracle recomputes the decoded stats
+    // from the text without ever seeing the binary — a genuine
+    // cross-representation check of the byte-level parser
+    "q89_pgm_decode" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents)
+         SELECT doc_id AS media_id, 16 AS width, 8 AS height, 255 AS maxval,
+           CAST(CAST(list_sum(p) AS BIGINT) * 1000 // 128 AS BIGINT)
+             AS mean_permille,
+           CAST(list_min(p) AS INT) AS min_px,
+           CAST(list_max(p) AS INT) AS max_px
+         FROM px ORDER BY media_id""",
+    // WAV samples derive only from the media id, so the oracle replays
+    // the sample formula and must match the byte-level PCM parse
+    "q90_wav_decode" ->
+      """WITH w AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         a AS (SELECT doc_id, n,
+           list_transform(generate_series(0, CAST(n - 1 AS INT)),
+             k -> abs((doc_id*31 + k*17) % 2048 - 1024)) AS s
+           FROM w)
+         SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+           16 AS bits, CAST(n AS INT) AS n_samples,
+           CAST(list_sum(s) AS BIGINT) AS abs_sum,
+           CAST(list_max(s) AS INT) AS peak
+         FROM a ORDER BY media_id""",
     // greedy token-budget mix: deterministic md5 admission order,
     // running total per domain, admit while the budget is unmet
     "q85_token_mix" -> {

@@ -434,6 +434,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PGM/WAV decoders: hand-checked stats, loud failure on garbage") {
+    val d = Seq((5L, "AB", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pgm = Multimodal.decodePgm(Multimodal.pgmFromDocuments(d))
+      .collect().head
+    // pixels: 'A'(65), 'B'(66), then 126 space pads (32)
+    assert(pgm.width == 16 && pgm.height == 8 && pgm.maxval == 255)
+    assert(pgm.min_px == 32 && pgm.max_px == 66)
+    assert(pgm.mean_permille == (65L + 66L + 126L * 32L) * 1000L / 128L)
+    val wav = Multimodal.decodeWav(Multimodal.wavFromDocuments(d))
+      .collect().head
+    assert(wav.sample_rate == 8000 && wav.n_channels == 1 && wav.bits == 16)
+    assert(wav.n_samples == 69)
+    assert(wav.abs_sum == (0 until 69)
+      .map(k => math.abs((5L * 31 + k * 17) % 2048 - 1024)).sum)
+    assert(wav.peak <= 1024)
+    // malformed payloads kill the task loudly — never silent fake stats
+    val garbage = Seq(Multimodal.MediaRow(1L, "img/pgm", Array[Byte](1, 2, 3)))
+      .toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePgm(garbage).collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(garbage).collect()
+    }
+  }
+
   test("TopKAggLongAsc equals the ascending row_number window form") {
     val scored = Seq((0L, 1L, 5L), (0L, 2L, 3L), (0L, 3L, 3L), (0L, 4L, 9L),
       (1L, 1L, 7L), (1L, 2L, 7L))
