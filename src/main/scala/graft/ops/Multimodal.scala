@@ -155,7 +155,10 @@ object Multimodal {
       }
   }
 
-  private def parsePgm(mediaId: Long, b: Array[Byte]): PgmFeatures = {
+  /** Parsed P5 header: dimensions + offset of the first pixel byte. */
+  private final case class PgmHeader(w: Int, h: Int, maxval: Int, off: Int)
+
+  private def parsePgmHeader(mediaId: Long, b: Array[Byte]): PgmHeader = {
     var i = 0
     def skipWs(): Unit = {
       while (i < b.length && (b(i) == '\n' || b(i) == ' ' ||
@@ -176,17 +179,50 @@ object Multimodal {
     i = 2
     val w = readInt(); val h = readInt(); val maxval = readInt()
     i += 1 // exactly one whitespace byte separates maxval from pixels
-    val n = w * h
-    require(b.length >= i + n, s"PGM $mediaId: truncated pixel data")
+    require(b.length >= i + w * h, s"PGM $mediaId: truncated pixel data")
+    PgmHeader(w, h, maxval, i)
+  }
+
+  private def parsePgm(mediaId: Long, b: Array[Byte]): PgmFeatures = {
+    val hd = parsePgmHeader(mediaId, b)
+    val n = hd.w * hd.h
     var s = 0L; var mn = 255; var mx = 0; var j = 0
     while (j < n) {
-      val v = b(i + j) & 0xff
+      val v = b(hd.off + j) & 0xff
       s += v; if (v < mn) mn = v; if (v > mx) mx = v
       j += 1
     }
-    PgmFeatures(mediaId, w, h, maxval,
+    PgmFeatures(mediaId, hd.w, hd.h, hd.maxval,
       if (n > 0) s * 1000L / n else 0L,
       if (n > 0) mn else 0, if (n > 0) mx else 0)
+  }
+
+  /** REAL nearest-neighbor resize: decode the P5 payload, sample the
+    * pixel grid with integer source-index math
+    * (src = out * srcDim div outDim), and re-encode a VALID PGM payload
+    * — bytes in, bytes out, the actual pixel resample [[resizePlan]]
+    * only plans for. Composes with [[decodePgm]] for a decode → resize
+    * → decode round trip (q91). */
+  def resizePgm(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val b = r.payload
+      val hd = parsePgmHeader(r.media_id, b)
+      val px = new Array[Byte](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = y * hd.h / outH
+        var x = 0
+        while (x < outW) {
+          px(y * outW + x) = b(hd.off + sy * hd.w + x * hd.w / outW)
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(r.media_id, r.kind,
+        s"P5\n$outW $outH\n${hd.maxval}\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ px)
+    })
   }
 
   /** Batch PGM decode — one row per image, genuine byte-level parsing in
@@ -257,6 +293,31 @@ object Multimodal {
   def decodeWav(media: Dataset[MediaRow]): Dataset[WavFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map(r => parseWav(r.media_id, r.payload)))
+  }
+
+  /** Windowed PCM energy — the spectrogram-feature stand-in, REAL bytes
+    * in: per fixed window of `winSamples` samples, the absolute-amplitude
+    * sum and peak (exact integers). The trailing window may be partial
+    * (`n_in_win` < winSamples). One explode per clip; everything stays
+    * per-row, no shuffle. */
+  def wavWindowEnergy(media: Dataset[MediaRow], winSamples: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val f = parseWav(r.media_id, r.payload)
+      val nw = (f.n_samples + winSamples - 1) / winSamples
+      (0 until nw).iterator.map { w =>
+        val from = w * winSamples
+        val to = math.min(f.n_samples, from + winSamples)
+        var e = 0L; var pk = 0; var k = from
+        while (k < to) {
+          val raw = leShort(r.payload, 44 + k * 2)
+          val a = math.abs(if (raw >= 0x8000) raw - 0x10000 else raw)
+          e += a; if (a > pk) pk = a
+          k += 1
+        }
+        (r.media_id, w, to - from, e, pk)
+      }
+    }.toDF("media_id", "win_idx", "n_in_win", "energy", "peak")
   }
 
   /** Build a media table from the documents fixture: text bytes stand in

@@ -267,6 +267,16 @@ object OpsQueries {
     "q90_wav_decode" -> ((s, d) =>
       Multimodal.decodeWav(Multimodal.wavFromDocuments(docs(s, d)))
         .toDF().orderBy("media_id")),
+    // decode -> REAL nearest-neighbor pixel resample -> re-encode ->
+    // decode again: the whole image path round-trips through valid bytes
+    "q91_pgm_resize" -> ((s, d) =>
+      Multimodal.decodePgm(Multimodal.resizePgm(
+          Multimodal.pgmFromDocuments(docs(s, d)), outW = 8, outH = 4))
+        .toDF().orderBy("media_id")),
+    // windowed PCM energy over the decoded samples (partial tail window)
+    "q92_wav_energy" -> ((s, d) =>
+      Multimodal.wavWindowEnergy(Multimodal.wavFromDocuments(docs(s, d)))
+        .orderBy("media_id", "win_idx")),
     // shared-substring dedup: every 9th doc gains a 24-token passage
     // shared within its doc_id % 225 group -> each in-group pair must
     // report its 5 shared 20-token windows (group sizes stay under the
@@ -1041,6 +1051,37 @@ object OpsQueries {
            CAST(list_sum(s) AS BIGINT) AS abs_sum,
            CAST(list_max(s) AS INT) AS peak
          FROM a ORDER BY media_id""",
+    // nearest-neighbor 16x8 -> 8x4: out pixel (x,y) samples src (2x,2y);
+    // the oracle replays that grid over the text-derived pixels
+    "q91_pgm_resize" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents),
+         r AS (SELECT doc_id, list_transform(generate_series(0, 31),
+           j -> p[(j // 8) * 2 * 16 + (j % 8) * 2 + 1]) AS rp FROM px)
+         SELECT doc_id AS media_id, 8 AS width, 4 AS height, 255 AS maxval,
+           CAST(CAST(list_sum(rp) AS BIGINT) * 1000 // 32 AS BIGINT)
+             AS mean_permille,
+           CAST(list_min(rp) AS INT) AS min_px,
+           CAST(list_max(rp) AS INT) AS max_px
+         FROM r ORDER BY media_id""",
+    // windowed energy: replay the sample formula per 16-sample window;
+    // the final window is partial when n % 16 != 0
+    "q92_wav_energy" ->
+      """WITH w AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         wi AS (SELECT doc_id, n,
+           unnest(generate_series(0, CAST((n - 1) // 16 AS INT))) AS win
+           FROM w),
+         e AS (SELECT doc_id, win,
+           list_transform(generate_series(CAST(win * 16 AS INT),
+               CAST(least(n, win * 16 + 16) - 1 AS INT)),
+             k -> abs((doc_id*31 + k*17) % 2048 - 1024)) AS s
+           FROM wi)
+         SELECT doc_id AS media_id, CAST(win AS INT) AS win_idx,
+           CAST(len(s) AS INT) AS n_in_win,
+           CAST(list_sum(s) AS BIGINT) AS energy,
+           CAST(list_max(s) AS INT) AS peak
+         FROM e ORDER BY media_id, win_idx""",
     // greedy token-budget mix: deterministic md5 admission order,
     // running total per domain, admit while the budget is unmet
     "q85_token_mix" -> {

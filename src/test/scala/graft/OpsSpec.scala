@@ -450,6 +450,24 @@ class OpsSpec extends SparkSpec {
     assert(wav.abs_sum == (0 until 69)
       .map(k => math.abs((5L * 31 + k * 17) % 2048 - 1024)).sum)
     assert(wav.peak <= 1024)
+    // resize 16x8 -> 8x4 samples src (2x, 2y): 'A'(0,0) survives,
+    // 'B'(1,0) is dropped, everything else is the space pad
+    val rz = Multimodal.decodePgm(Multimodal.resizePgm(
+        Multimodal.pgmFromDocuments(d), outW = 8, outH = 4))
+      .collect().head
+    assert(rz.width == 8 && rz.height == 4)
+    assert(rz.min_px == 32 && rz.max_px == 65)
+    assert(rz.mean_permille == (65L + 31L * 32L) * 1000L / 32L)
+    // windowed energy: n=69 samples -> 4 full windows + a 5-sample tail
+    val wins = Multimodal.wavWindowEnergy(
+        Multimodal.wavFromDocuments(d))
+      .orderBy("win_idx").collect()
+    assert(wins.length == 5)
+    assert(wins.take(4).forall(_.getAs[Int]("n_in_win") == 16))
+    assert(wins.last.getAs[Int]("n_in_win") == 5)
+    def amp(k: Int) = math.abs((5L * 31 + k * 17) % 2048 - 1024)
+    assert(wins.head.getAs[Long]("energy") == (0 until 16).map(amp).sum)
+    assert(wins.last.getAs[Long]("energy") == (64 until 69).map(amp).sum)
     // malformed payloads kill the task loudly — never silent fake stats
     val garbage = Seq(Multimodal.MediaRow(1L, "img/pgm", Array[Byte](1, 2, 3)))
       .toDS()
