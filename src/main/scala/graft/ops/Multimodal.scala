@@ -179,7 +179,15 @@ object Multimodal {
     i = 2
     val w = readInt(); val h = readInt(); val maxval = readInt()
     i += 1 // exactly one whitespace byte separates maxval from pixels
-    require(b.length >= i + w * h, s"PGM $mediaId: truncated pixel data")
+    // fail-loudly contract: reject degenerate dims (w*h checked in Long —
+    // a crafted 70000x70000 header must not overflow Int past the bound)
+    // and 2-byte-per-pixel images (maxval > 255) this parser would
+    // silently misread as 1 byte per pixel
+    require(w > 0 && h > 0, s"PGM $mediaId: degenerate dimensions ${w}x$h")
+    require(maxval > 0 && maxval <= 255,
+      s"PGM $mediaId: unsupported maxval $maxval (1-byte pixels only)")
+    require(b.length.toLong >= i.toLong + w.toLong * h,
+      s"PGM $mediaId: truncated pixel data")
     PgmHeader(w, h, maxval, i)
   }
 
@@ -264,7 +272,8 @@ object Multimodal {
   private def leShort(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
-  private def parseWav(mediaId: Long, b: Array[Byte]): WavFeatures = {
+  /** Canonical-WAV header fields (rate, channels, bits, n_samples). */
+  private def parseWavHeader(mediaId: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     def tag(o: Int) = new String(b, o, 4, ascii)
     require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE" &&
@@ -276,13 +285,24 @@ object Multimodal {
     require(bits == 16, s"WAV $mediaId: only 16-bit PCM supported")
     require(tag(36) == "data", s"WAV $mediaId: missing data chunk")
     val dataLen = leInt(b, 40)
-    require(b.length >= 44 + dataLen, s"WAV $mediaId: truncated data chunk")
-    val n = dataLen / 2
+    // fail-loudly contract: a negative or huge declared length must not
+    // pass the bound via Int overflow and yield silent zeroed stats
+    require(dataLen >= 0 && dataLen <= b.length - 44,
+      s"WAV $mediaId: bad data-chunk length $dataLen")
+    (rate, channels, bits, dataLen / 2)
+  }
+
+  /** Signed 16-bit LE PCM sample k. */
+  private def pcmSample(b: Array[Byte], k: Int): Int = {
+    val raw = leShort(b, 44 + k * 2)
+    if (raw >= 0x8000) raw - 0x10000 else raw
+  }
+
+  private def parseWav(mediaId: Long, b: Array[Byte]): WavFeatures = {
+    val (rate, channels, bits, n) = parseWavHeader(mediaId, b)
     var s = 0L; var peak = 0; var k = 0
     while (k < n) {
-      val raw = leShort(b, 44 + k * 2)
-      val v = if (raw >= 0x8000) raw - 0x10000 else raw
-      val a = math.abs(v)
+      val a = math.abs(pcmSample(b, k))
       s += a; if (a > peak) peak = a
       k += 1
     }
@@ -303,15 +323,14 @@ object Multimodal {
   def wavWindowEnergy(media: Dataset[MediaRow], winSamples: Int = 16): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val f = parseWav(r.media_id, r.payload)
-      val nw = (f.n_samples + winSamples - 1) / winSamples
+      val n = parseWavHeader(r.media_id, r.payload)._4
+      val nw = (n + winSamples - 1) / winSamples
       (0 until nw).iterator.map { w =>
         val from = w * winSamples
-        val to = math.min(f.n_samples, from + winSamples)
+        val to = math.min(n, from + winSamples)
         var e = 0L; var pk = 0; var k = from
         while (k < to) {
-          val raw = leShort(r.payload, 44 + k * 2)
-          val a = math.abs(if (raw >= 0x8000) raw - 0x10000 else raw)
+          val a = math.abs(pcmSample(r.payload, k))
           e += a; if (a > pk) pk = a
           k += 1
         }

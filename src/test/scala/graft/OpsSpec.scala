@@ -477,6 +477,26 @@ class OpsSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Multimodal.decodeWav(garbage).collect()
     }
+    // adversarial headers: dims whose product overflows Int, a 16-bit
+    // maxval this 1-byte parser cannot represent, and a negative WAV
+    // data-chunk length must all fail, never zero out silently
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bigDims = Seq(Multimodal.MediaRow(2L, "img/pgm",
+      "P5\n70000 70000\n255\n".getBytes(ascii) ++ Array[Byte](0))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePgm(bigDims).collect()
+    }
+    val deepPgm = Seq(Multimodal.MediaRow(3L, "img/pgm",
+      "P5\n2 2\n65535\n".getBytes(ascii) ++ Array.fill[Byte](8)(0))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePgm(deepPgm).collect()
+    }
+    val negWav = Multimodal.wavFromDocuments(d).collect().head.payload.clone()
+    java.util.Arrays.fill(negWav, 40, 44, 0xff.toByte) // dataLen = -1
+    val negDs = Seq(Multimodal.MediaRow(4L, "audio/wav", negWav)).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(negDs).collect()
+    }
   }
 
   test("TopKAggLongAsc equals the ascending row_number window form") {
