@@ -383,10 +383,24 @@ object Similarity {
     * table lookups. Codebooks are the deterministic hash-rank sample of
     * residuals (zero Lloyd refinement — same policy and rationale as
     * [[pqTopK]]); all arithmetic is exact integers, oracle-reproducible. */
-  def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
-      nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
+  /** A built IVF-PQ index — the build-once / search-many lifecycle a
+    * production deployment runs: `cent` (k x dim centroid longs) and
+    * `codebook` (m x codesPerSub residual codes) are tiny broadcastable
+    * state; `encoded` is the compressed corpus, 8 code bytes + a cell id
+    * per vector — persist it (or write it to the lake) and amortize the
+    * build across every query batch; `e` is the quantized corpus the
+    * query side draws vectors from. */
+  final case class IvfPqIndex(e: DataFrame, cent: DataFrame,
+      codebook: DataFrame, encoded: DataFrame, m: Int, codesPerSub: Int,
+      subDim: Int)
+
+  /** Build the IVF-PQ index: train the coarse quantizer (on the
+    * hash-sample when `trainSampleMod` > 1), assign cells, compute
+    * residuals, sample the residual codebook, and PQ-encode the corpus.
+    * Everything heavy here happens ONCE per corpus version. */
+  def buildIvfPq(emb: DataFrame, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): IvfPqIndex = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
     val e = tracked(withNorm(emb))
@@ -398,8 +412,24 @@ object Similarity {
           zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("rv")))
     // residual codebook + per-(vector, cell) codes — the shared PQ kit
     val codebook = sampledCodebook(res, "rv", m, subDim, codesPerSub)
-    val encoded = encodeCodes(res, "rv", Seq("vec_id", "cell"),
-      codebook, m, subDim)
+    val encoded = tracked(encodeCodes(res, "rv", Seq("vec_id", "cell"),
+      codebook, m, subDim))
+    IvfPqIndex(e, cent, codebook, encoded, m, codesPerSub, subDim)
+  }
+
+  def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
+      nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
+      trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
+      dim: Int = 64): DataFrame =
+    searchIvfPq(buildIvfPq(emb, nCells, trainIters, trainSampleMod,
+      m, codesPerSub, dim), nQueries, k, nprobe)
+
+  /** Search a prebuilt [[IvfPqIndex]]: probes, per-(query, cell) ADC
+    * tables, and the compressed-candidate scoring — no training, no
+    * encoding, no corpus scan beyond the probed cells. */
+  def searchIvfPq(ix: IvfPqIndex, nQueries: Int = 10, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val IvfPqIndex(e, cent, codebook, encoded, m, codesPerSub, subDim) = ix
     // probes: nprobe nearest cells per query (the ivfTopK shape)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),

@@ -499,6 +499,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index: build once, search many — stable and equal to the one-shot") {
+    val ix = Similarity.buildIvfPq(semEmb, nCells = 4)
+    def run() = Similarity.searchIvfPq(ix, nQueries = 3, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val first = run()
+    assert(first == run()) // searches over a prebuilt index are stable
+    val oneShot = Similarity.ivfPqTopK(semEmb, nQueries = 3, k = 5,
+      nCells = 4).orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(first == oneShot)
+  }
+
   test("TopKAggLongAsc equals the ascending row_number window form") {
     val scored = Seq((0L, 1L, 5L), (0L, 2L, 3L), (0L, 3L, 3L), (0L, 4L, 9L),
       (1L, 1L, 7L), (1L, 2L, 7L))
