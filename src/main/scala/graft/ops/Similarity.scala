@@ -60,9 +60,14 @@ object Similarity {
     * whatever the corpus size. */
   def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
       queryVecId: Long = 0L, k: Int = 10, poolSize: Int = 100,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60, useBm25: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kw = TextAnalysis.search(docs, terms, k = poolSize)
+    // either lexical ranker yields (doc_id, score, ...) ordered the same
+    // way; BM25 adds document-length normalization to the pool
+    val kw0 =
+      if (useBm25) TextAnalysis.bm25Search(docs, terms, k = poolSize)
+      else TextAnalysis.search(docs, terms, k = poolSize)
+    val kw = kw0
       .withColumn("kw_rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("kw_rank"))

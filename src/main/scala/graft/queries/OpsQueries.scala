@@ -236,6 +236,10 @@ object OpsQueries {
     // within-cluster blocks; keep-first (lowest id) per near-dup group
     "q82_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(emb(s, d)).orderBy("vec_id")),
+    // hybrid retrieval with the BM25 lexical pool (length-normalized)
+    "q93_hybrid_bm25" -> ((s, d) =>
+      Similarity.hybridSearch(docs(s, d), emb(s, d),
+        Seq("table", "join", "fast"), useBm25 = true)),
     // integerized Okapi BM25 over the q77 query terms — doc-length
     // normalization that plain tf-idf lacks, same postings-first shape
     "q83_bm25" -> ((s, d) =>
@@ -876,6 +880,45 @@ object OpsQueries {
              AS score
            FROM tf JOIN idf USING (token) GROUP BY doc_id
            ORDER BY score DESC, doc_id LIMIT 100),
+         kw AS (SELECT doc_id, row_number()
+             OVER (ORDER BY score DESC, doc_id) AS kw_rank FROM kw0),
+         $EMB_NORM,
+         q AS (SELECT embedding AS qe, nsq AS qnsq FROM e WHERE vec_id = 0),
+         v0 AS (SELECT e.vec_id AS doc_id,
+             CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+               (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+               AS cosine
+           FROM e, q WHERE e.vec_id != 0
+           ORDER BY cosine DESC, doc_id LIMIT 100),
+         v AS (SELECT doc_id, row_number()
+             OVER (ORDER BY cosine DESC, doc_id) AS vec_rank FROM v0)
+         SELECT doc_id, kw_rank, vec_rank,
+           coalesce(1.0 / (kw_rank + 60), 0) + coalesce(1.0 / (vec_rank + 60), 0)
+             AS rrf
+         FROM kw FULL OUTER JOIN v USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // q80's RRF shape with the q83 BM25 scorer as the lexical pool
+    "q93_hybrid_bm25" ->
+      s"""WITH stats AS (SELECT count(*) AS n,
+           CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sumdl
+           FROM documents),
+         rl AS (SELECT doc_id, CAST(round(
+             1000000.0 * len(string_split(text,' ')) /
+               (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)), 0) AS BIGINT)
+             AS rl
+           FROM documents, stats),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(text,' ')) AS token
+           FROM documents)
+           WHERE token IN ('table','join','fast') GROUP BY doc_id, token),
+         idf AS (SELECT token,
+           CAST((SELECT n FROM stats) // count(*) AS BIGINT) AS idf_int
+           FROM tf GROUP BY token),
+         kw0 AS (SELECT tf.doc_id,
+           CAST(sum(idf.idf_int * ((tf.tf * 4400000000000) //
+             (20000000*tf.tf + 6000000 + 18*rl.rl))) AS BIGINT) AS score
+           FROM tf JOIN idf USING (token) JOIN rl ON tf.doc_id = rl.doc_id
+           GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 100),
          kw AS (SELECT doc_id, row_number()
              OVER (ORDER BY score DESC, doc_id) AS kw_rank FROM kw0),
          $EMB_NORM,
