@@ -87,9 +87,15 @@ object ScaleSmoke {
     def timeAnn(label: String, times: Int, cells: Int): Unit = {
       val emb = embRep(times)
       val t0 = System.nanoTime()
-      val nTop = graft.ops.Similarity
-        .ivfPqTopK(emb, nCells = cells, trainSampleMod = 4).count()
+      val ix = graft.ops.Similarity
+        .buildIvfPq(emb, nCells = cells, trainSampleMod = 4)
+      val nTop = graft.ops.Similarity.searchIvfPq(ix).count()
       val tIvfpq = (System.nanoTime() - t0) / 1e9
+      // search-many amortization: a second query batch against the
+      // prebuilt index pays no training/encoding
+      val t2 = System.nanoTime()
+      graft.ops.Similarity.searchIvfPq(ix, nQueries = 20).count()
+      val tSearch = (System.nanoTime() - t2) / 1e9
       graft.ops.Dedup.releaseCaches()
       val t1 = System.nanoTime()
       val nSem = graft.ops.Similarity
@@ -101,7 +107,8 @@ object ScaleSmoke {
       embBase.cache(); embBase.count()
       println(f"""{"experiment":"$label","rows":${ne * times},""" +
         f""""cells":$cells,"topk":$nTop,"semdedup":$nSem,""" +
-        f""""ivfpq_sec":$tIvfpq%.2f,"semdedup_sec":$tSem%.2f}""")
+        f""""ivfpq_sec":$tIvfpq%.2f,"search_sec":$tSearch%.2f,""" +
+        f""""semdedup_sec":$tSem%.2f}""")
     }
     timeAnn("ann_1x", 1, 8)
     timeAnn(s"ann_${k}x", k, 8 * k)
