@@ -223,6 +223,20 @@ class PlanSpec extends SparkSpec {
     // is an equi-join on cell, never a cartesian
     val p82 = plan("q82_semantic_dedup")
     assert(!p82.contains("CartesianProduct"))
+    // q87 IVF-PQ: compressed candidates join broadcast ADC tables on
+    // cell (equi); top-k via the bounded aggregator, never a window
+    val p87 = plan("q87_ann_ivfpq")
+    assert(!p87.contains("CartesianProduct"))
+    assert(!p87.contains("Window"),
+      "IVF-PQ top-k must use the bounded aggregator, not a window")
+    assert(p87.contains("BroadcastHashJoin"),
+      "IVF-PQ scoring must broadcast the ADC tables against the cells")
+    // q93 BM25-pooled hybrid: rank windows run over pool-sized inputs
+    // fed by TakeOrdered limits, and nothing plans a cartesian
+    val p93 = plan("q93_hybrid_bm25")
+    assert(p93.contains("TakeOrderedAndProject"),
+      "hybrid pools must be TakeOrdered, not global sorts")
+    assert(!p93.contains("CartesianProduct"))
     graft.ops.Dedup.releaseCaches()
   }
 
