@@ -266,21 +266,28 @@ object Similarity {
     * approximate squared-L2 is m table lookups summed — no per-pair
     * vector math at all.
     *
-    * Codebooks here are the deterministic hash-rank sample (the k-means
-    * init policy, zero Lloyd iterations) so the DuckDB oracle replicates
-    * them exactly; production would refine each subspace codebook with
-    * [[kmeansCentroids]]-style iterations — same train-on-sample shape,
-    * m independent small problems. Everything is exact integer
+    * Codebooks default to the deterministic hash-rank sample (the
+    * k-means init policy); `trainIters` > 0 Lloyd-refines each subspace
+    * codebook ([[refineCodebook]] — all m subspaces trained in one job
+    * per iteration, the production path). Everything is exact integer
     * arithmetic end to end (quantized subvectors, integer squared-L2,
     * integer ADC sums), so ranking ties are stable and the output
     * hash-matches cross-engine. Ties break by (adc, neighbor_id). */
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
-      m: Int = 8, codesPerSub: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 8, codesPerSub: Int = 16, dim: Int = 64,
+      trainIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
     val e = tracked(spread(emb).select(col("vec_id"),
       quantVec(col("embedding")).as("qv")))
-    val codebook = sampledCodebook(e, "qv", m, subDim, codesPerSub)
+    // codebook: hash-rank sample, optionally Lloyd-refined per subspace
+    // (`trainIters` > 0 — the production training path)
+    val cb0 = sampleCodebookSeq(e, "qv", m, subDim, codesPerSub)
+    val cbSeq =
+      if (trainIters <= 0) cb0
+      else refineCodebook(subRows(e, "qv", Seq("vec_id"), m, subDim),
+        cb0, trainIters, subDim)
+    val codebook = codebookDf(e.sparkSession, cbSeq)
     val encoded = encodeCodes(e, "qv", Seq("vec_id"), codebook, m, subDim)
     val qtab = adcTables(
       e.filter(col("vec_id") < nQueries)
@@ -310,23 +317,72 @@ object Similarity {
   private def sqDist(a: Column, b: Column): Column =
     dotPre(a, a) + dotPre(b, b) - lit(2L) * dotPre(a, b)
 
-  /** Deterministic per-subspace codebook: the `codesPerSub` vectors of
-    * smallest md5-hash rank (the k-means init policy, zero Lloyd
-    * refinement), sliced into (sub, code, cbv) rows — m x codesPerSub x
-    * subDim longs on the driver, broadcast to every consumer. */
-  private def sampledCodebook(df: DataFrame, vecCol: String, m: Int,
-      subDim: Int, codesPerSub: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** Deterministic per-subspace codebook sample: the `codesPerSub`
+    * vectors of smallest md5-hash rank (the k-means init policy),
+    * sliced into (sub, code, cbv) tuples — m x codesPerSub x subDim
+    * longs on the driver. */
+  private def sampleCodebookSeq(df: DataFrame, vecCol: String, m: Int,
+      subDim: Int, codesPerSub: Int): Seq[(Int, Long, Seq[Long])] = {
     val sample = df
       .orderBy(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
         col("vec_id"))
       .limit(codesPerSub)
       .select(vecCol).collect().map(_.getSeq[Long](0).toArray)
-    (for {
+    for {
       s <- 0 until m; c <- sample.indices
-    } yield (s, c.toLong, sample(c).slice(s * subDim, (s + 1) * subDim).toSeq))
-      .toDF("sub", "code", "cbv")
+    } yield (s, c.toLong, sample(c).slice(s * subDim, (s + 1) * subDim).toSeq)
+  }
+
+  private def codebookDf(spark: org.apache.spark.sql.SparkSession,
+      cb: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cb.toDF("sub", "code", "cbv")
+  }
+
+  /** Hash-rank-sampled codebook as a broadcastable frame (zero Lloyd
+    * refinement — see [[refineCodebook]] for the trained form). */
+  private def sampledCodebook(df: DataFrame, vecCol: String, m: Int,
+      subDim: Int, codesPerSub: Int): DataFrame =
+    codebookDf(df.sparkSession,
+      sampleCodebookSeq(df, vecCol, m, subDim, codesPerSub))
+
+  /** Per-subspace Lloyd refinement of a PQ codebook — k-means in each of
+    * the m subspaces run as ONE Spark job per iteration (the subspace id
+    * rides in the grouping key): assign every (vector, subspace) to its
+    * nearest code, recompute each (sub, code) centroid by the same
+    * positive-offset integer floor division [[kmeansCentroids]] uses, and
+    * keep the previous entry for codes that lost all members. The
+    * codebook (m x codesPerSub x subDim longs) is the only driver-side
+    * state, collected and re-broadcast per iteration — training cost is
+    * `iters` scans of the subspace rows regardless of corpus size, and
+    * everything is exact integer arithmetic so the DuckDB oracle
+    * reproduces the trained codebook bit-for-bit. */
+  private def refineCodebook(subbed: DataFrame,
+      init: Seq[(Int, Long, Seq[Long])], iters: Int,
+      subDim: Int): Seq[(Int, Long, Seq[Long])] = {
+    val spark = subbed.sparkSession
+    var cb = init
+    for (_ <- 0 until iters) {
+      val updated = subbed.join(broadcast(codebookDf(spark, cb)), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sqv"),
+          struct(sqDist(col("sqv"), col("cbv")).as("dist"),
+            col("code").as("c")).as("dc"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(first(col("sqv")).as("sqv"), min(col("dc")).getField("c").as("code"))
+        .select(col("sub"), col("code"), posexplode(col("sqv")).as(Seq("d", "v")))
+        .groupBy(col("sub"), col("code"), col("d"))
+        .agg(sum(col("v") + lit(KmOff)).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("d"),
+          (expr("s div n") - lit(KmOff)).as("c"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          val dims = rows.map(r => r.getInt(2) -> r.getLong(3)).toMap
+          key -> (0 until subDim).map(dims(_))
+        }
+      cb = cb.map { case (s, c, v) => (s, c, updated.getOrElse((s, c), v)) }
+    }
+    cb
   }
 
   /** PQ encode: argmin codebook entry per (keep-key, subspace) — min

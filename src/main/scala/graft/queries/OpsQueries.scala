@@ -248,6 +248,11 @@ object OpsQueries {
     // raw-vector math — the compressed-corpus search path
     "q84_ann_pq" -> ((s, d) =>
       Similarity.pqTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // PQ with Lloyd-refined per-subspace codebooks (2 iterations, all
+    // subspaces trained in one job per iteration) — the trained form
+    "q94_ann_pq_trained" -> ((s, d) =>
+      Similarity.pqTopK(emb(s, d), trainIters = 2)
+        .orderBy("query_id", "rank")),
     // training-mix: greedy per-domain token-budget cut (exact form)
     "q85_token_mix" -> ((s, d) =>
       TextAnalysis.tokenBudgetMix(docs(s, d),
@@ -495,6 +500,70 @@ object OpsQueries {
        ${assign("ent", "c1", "a2")},
        ${update("a2", "c1", "c2")},
        ${assign("en", "c2", "assigned")}"""
+  }
+
+  /** PQ oracle chain, optionally with `trainIters` Lloyd refinement
+    * passes over the per-subspace codebooks (mirror of
+    * Similarity.refineCodebook — subspace id rides in every key, so all
+    * m subspaces train in one relational pass per iteration). */
+  private def pqOracle(trainIters: Int): String = {
+    def dot8(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
+    def assign(cbn: String, out: String) =
+      s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
+         SELECT sv.vec_id, sv.sub, sv.sqv, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+             ORDER BY ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+               - 2*${dot8("sv.sqv", "cb.cbv")}, cb.code) AS rn
+         FROM sv JOIN $cbn cb ON sv.sub = cb.sub) WHERE rn = 1)"""
+    def update(an: String, prev: String, out: String) =
+      s"""${out}_u AS (SELECT sub, code, d,
+           CAST((sum(sqv[d] + 1073741824) // count(*)) - 1073741824 AS BIGINT)
+             AS cv
+         FROM $an, generate_series(1, 8) g(d) GROUP BY sub, code, d),
+         ${out}_c AS (SELECT sub, code, list(cv ORDER BY d) AS cbv
+           FROM ${out}_u GROUP BY sub, code),
+         $out AS (SELECT * FROM ${out}_c UNION ALL
+           SELECT p.sub, p.code, p.cbv FROM $prev p
+           WHERE NOT EXISTS (SELECT 1 FROM ${out}_c c
+             WHERE c.sub = p.sub AND c.code = p.code))"""
+    val train = (1 to trainIters).map { i =>
+      val prev = s"cb${i - 1}"
+      s"${assign(prev, s"pa$i")},\n${update(s"pa$i", prev, s"cb$i")}"
+    }.mkString(",\n")
+    val cbF = s"cb$trainIters"
+    s"""WITH eq AS (SELECT vec_id,
+         list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
+         FROM embeddings),
+       samp AS (SELECT qv, rn FROM (SELECT qv, row_number()
+           OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM eq)
+         WHERE rn <= 16),
+       cb0 AS (SELECT g.s AS sub, samp.rn - 1 AS code,
+           list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS cbv
+         FROM samp, generate_series(0, 7) g(s)),
+       sv AS (SELECT vec_id, g.s AS sub,
+           list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS sqv
+         FROM eq, generate_series(0, 7) g(s)),
+       ${if (trainIters > 0) train + "," else ""}
+       enc AS (SELECT vec_id, sub, code FROM (
+         SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+             ORDER BY ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+               - 2*${dot8("sv.sqv", "cb.cbv")}, cb.code) AS rn
+         FROM sv JOIN $cbF cb ON sv.sub = cb.sub) WHERE rn = 1),
+       qt AS (SELECT sv.vec_id AS query_id, sv.sub, cb.code,
+           ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+             - 2*${dot8("sv.sqv", "cb.cbv")} AS dist
+         FROM sv JOIN $cbF cb ON sv.sub = cb.sub WHERE sv.vec_id < 10),
+       scored AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+           CAST(sum(qt.dist) AS BIGINT) AS adc
+         FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
+           AND enc.vec_id != qt.query_id
+         GROUP BY qt.query_id, enc.vec_id)
+       SELECT query_id, neighbor_id, adc, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY adc, neighbor_id) AS rank FROM scored)
+       WHERE rank <= 3 ORDER BY query_id, rank"""
   }
 
   private def ivfOracle(trainMod: Int): String = {
@@ -978,41 +1047,12 @@ object OpsQueries {
          GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20""",
     // product quantization: hash-rank-sampled per-subspace codebooks,
     // argmin encode, ADC = sum of 8 exact integer table entries
-    "q84_ann_pq" -> {
-      def dot8(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
-      s"""WITH eq AS (SELECT vec_id,
-           list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
-           FROM embeddings),
-         samp AS (SELECT qv, rn FROM (SELECT qv, row_number()
-             OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM eq)
-           WHERE rn <= 16),
-         cb AS (SELECT g.s AS sub, samp.rn - 1 AS code,
-             list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS cqv
-           FROM samp, generate_series(0, 7) g(s)),
-         sv AS (SELECT vec_id, g.s AS sub,
-             list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS sqv
-           FROM eq, generate_series(0, 7) g(s)),
-         enc AS (SELECT vec_id, sub, code FROM (
-           SELECT sv.vec_id, sv.sub, cb.code,
-             row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-               ORDER BY ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cqv", "cb.cqv")}
-                 - 2*${dot8("sv.sqv", "cb.cqv")}, cb.code) AS rn
-           FROM sv JOIN cb ON sv.sub = cb.sub) WHERE rn = 1),
-         qt AS (SELECT sv.vec_id AS query_id, sv.sub, cb.code,
-             ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cqv", "cb.cqv")}
-               - 2*${dot8("sv.sqv", "cb.cqv")} AS dist
-           FROM sv JOIN cb ON sv.sub = cb.sub WHERE sv.vec_id < 10),
-         scored AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
-             CAST(sum(qt.dist) AS BIGINT) AS adc
-           FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
-             AND enc.vec_id != qt.query_id
-           GROUP BY qt.query_id, enc.vec_id)
-         SELECT query_id, neighbor_id, adc, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY adc, neighbor_id) AS rank FROM scored)
-         WHERE rank <= 3 ORDER BY query_id, rank"""
-    },
+    "q84_ann_pq" -> pqOracle(0),
+    // same chain with 2 Lloyd refinement iterations over the codebook
+    // (mirrors Similarity.refineCodebook: assignment keyed by (vec, sub),
+    // centroid update by positive-offset integer floor division, codes
+    // that lose all members keep their previous entry)
+    "q94_ann_pq_trained" -> pqOracle(2),
     // IVF-PQ over the shared k-means chain: residuals against the cell
     // centroid, hash-rank residual codebooks, per-(query, cell) ADC
     "q87_ann_ivfpq" -> {

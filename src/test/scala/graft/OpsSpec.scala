@@ -499,6 +499,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK trainIters: the twin's minimal-ADC invariant survives training") {
+    // whatever codebook Lloyd refinement converges to, an exact twin
+    // still shares the query's argmin codes, so it attains the global
+    // minimum ADC — the invariant must hold for the trained form too
+    val top = Similarity.pqTopK(semEmb, nQueries = 3, k = 5, trainIters = 2)
+      .orderBy("query_id", "rank").collect()
+    for (q <- 0L until 3L) {
+      val rows = top.filter(_.getAs[Long]("query_id") == q)
+      val adcs = rows.map(_.getAs[Long]("adc")).toSeq
+      assert(adcs == adcs.sorted)
+      val twin = rows.find(_.getAs[Long]("neighbor_id") == q + 25L)
+      assert(twin.isDefined)
+      assert(twin.get.getAs[Long]("adc") == adcs.head)
+    }
+  }
+
   test("IVF-PQ index: build once, search many — stable and equal to the one-shot") {
     val ix = Similarity.buildIvfPq(semEmb, nCells = 4)
     def run() = Similarity.searchIvfPq(ix, nQueries = 3, k = 5)
