@@ -526,6 +526,29 @@ class OpsSpec extends SparkSpec {
     assert(first == oneShot)
   }
 
+  test("IVF-PQ index round-trips through the lake: write, reload, same answers") {
+    // the README claim "index state lives in the lake, not the driver":
+    // the three index relations are plain DataFrames, so they persist as
+    // parquet and a later session searches the reloaded index unchanged
+    val ix = Similarity.buildIvfPq(semEmb, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    ix.e.write.mode("overwrite").parquet(s"$dir/e")
+    ix.cent.write.mode("overwrite").parquet(s"$dir/cent")
+    ix.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    ix.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+    val reloaded = Similarity.IvfPqIndex(
+      spark.read.parquet(s"$dir/e"),
+      spark.read.parquet(s"$dir/cent"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/encoded"),
+      ix.m, ix.codesPerSub, ix.subDim)
+    val orig = Similarity.searchIvfPq(ix, nQueries = 3, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val fromLake = Similarity.searchIvfPq(reloaded, nQueries = 3, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(fromLake == orig)
+  }
+
   test("TopKAggLongAsc equals the ascending row_number window form") {
     val scored = Seq((0L, 1L, 5L), (0L, 2L, 3L), (0L, 3L, 3L), (0L, 4L, 9L),
       (1L, 1L, 7L), (1L, 2L, 7L))
