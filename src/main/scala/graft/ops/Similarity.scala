@@ -489,12 +489,32 @@ object Similarity {
     * tables, and the compressed-candidate scoring — no training, no
     * encoding, no corpus scan beyond the probed cells. */
   def searchIvfPq(ix: IvfPqIndex, nQueries: Int = 10, k: Int = 3,
-      nprobe: Int = 2): DataFrame = {
-    val IvfPqIndex(e, cent, codebook, encoded, m, codesPerSub, subDim) = ix
+      nprobe: Int = 2): DataFrame =
+    searchIvfPqTail(ix,
+      ix.e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          col("nsq").as("qnsq")),
+      k, nprobe)
+
+  /** Search a prebuilt index with EXTERNAL query vectors — the
+    * production case: queries are new data, not corpus members.
+    * `queries` is any (vec_id, embedding) frame; it is quantized with
+    * the corpus's scheme and scored against the compressed index, so a
+    * fresh batch's ANN admission costs probing + ADC only — the
+    * incremental shape (index once, every later batch proportional to
+    * the batch). */
+  def searchIvfPqWith(ix: IvfPqIndex, queries: DataFrame, k: Int = 3,
+      nprobe: Int = 2): DataFrame =
+    searchIvfPqTail(ix,
+      spread(queries).select(col("vec_id").as("query_id"),
+          quantVec(col("embedding")).as("qqv"))
+        .withColumn("qnsq", dotPre(col("qqv"), col("qqv"))),
+      k, nprobe)
+
+  private def searchIvfPqTail(ix: IvfPqIndex, q: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val IvfPqIndex(_, cent, codebook, encoded, m, codesPerSub, subDim) = ix
     // probes: nprobe nearest cells per query (the ivfTopK shape)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
-        col("nsq").as("qnsq"))
     val probes = q.join(broadcast(cent))
       .select(col("query_id"), col("qqv"),
         struct((col("qnsq") + col("cnsq") -

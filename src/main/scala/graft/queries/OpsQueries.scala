@@ -253,6 +253,14 @@ object OpsQueries {
     "q94_ann_pq_trained" -> ((s, d) =>
       Similarity.pqTopK(emb(s, d), trainIters = 2)
         .orderBy("query_id", "rank")),
+    // incremental ANN: index the 90% corpus once, search it with the
+    // fresh 10% as EXTERNAL query vectors (quantized independently)
+    "q95_ann_incremental" -> ((s, d) => {
+      val all = emb(s, d)
+      val ix = Similarity.buildIvfPq(all.filter(col("vec_id") % 10 =!= 0))
+      Similarity.searchIvfPqWith(ix, all.filter(col("vec_id") % 10 === 0))
+        .orderBy("query_id", "rank")
+    }),
     // training-mix: greedy per-domain token-budget cut (exact form)
     "q85_token_mix" -> ((s, d) =>
       TextAnalysis.tokenBudgetMix(docs(s, d),
@@ -468,7 +476,8 @@ object OpsQueries {
     * `assigned(vec_id, qv, nsq, cell)` over the FULL corpus and `en`
     * (the quantized corpus) for tails that need it. Mirrors
     * Similarity.kmeansCentroids + assignCells. */
-  private def kmeansChain(trainMod: Int): String = {
+  private def kmeansChain(trainMod: Int,
+      corpusPred: String = "TRUE"): String = {
     val sample = if (trainMod <= 1) "TRUE" else s"$md5rankVec % $trainMod = 0"
     def assign(src: String, cents: String, out: String) =
       s"""$out AS (SELECT vec_id, qv, nsq, cid AS cell FROM (
@@ -489,7 +498,7 @@ object OpsQueries {
            WHERE cid NOT IN (SELECT cid FROM ${out}_c))"""
     s"""eq AS (SELECT vec_id,
          list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
-         FROM embeddings),
+         FROM embeddings WHERE $corpusPred),
        en AS (SELECT vec_id, qv, ${dotL("qv", "qv")} AS nsq FROM eq),
        ent AS (SELECT * FROM en WHERE $sample),
        c0 AS (SELECT rn - 1 AS cid, qv AS cqv FROM
@@ -560,6 +569,62 @@ object OpsQueries {
          FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
            AND enc.vec_id != qt.query_id
          GROUP BY qt.query_id, enc.vec_id)
+       SELECT query_id, neighbor_id, adc, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY adc, neighbor_id) AS rank FROM scored)
+       WHERE rank <= 3 ORDER BY query_id, rank"""
+  }
+
+  /** IVF-PQ oracle: k-means chain over `corpusPred`'s rows, residual
+    * codebook + codes, then the probe/ADC tail over `queryCte` (a CTE
+    * chain ending in `q(query_id, qqv, qnsq)` — corpus members for q87,
+    * independently quantized fresh vectors for q95). */
+  private def ivfPqOracle(corpusPred: String, queryCte: String): String = {
+    def dot8(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
+    s"""WITH ${kmeansChain(1, corpusPred)},
+       res AS (SELECT a.vec_id, a.cell,
+           list_transform(generate_series(1, 64),
+             d -> a.qv[d] - c.cqv[d]) AS rv
+         FROM assigned a JOIN c2 c ON a.cell = c.cid),
+       samp AS (SELECT rv, rn FROM (SELECT rv, row_number()
+           OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM res)
+         WHERE rn <= 16),
+       cb AS (SELECT g.s AS sub, samp.rn - 1 AS code,
+           list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS cbv
+         FROM samp, generate_series(0, 7) g(s)),
+       rsv AS (SELECT vec_id, cell, g.s AS sub,
+           list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS sqv
+         FROM res, generate_series(0, 7) g(s)),
+       enc AS (SELECT vec_id, cell, sub, code FROM (
+         SELECT rsv.vec_id, rsv.cell, rsv.sub, cb.code,
+           row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
+             ORDER BY ${dot8("rsv.sqv", "rsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+               - 2*${dot8("rsv.sqv", "cb.cbv")}, cb.code) AS rn
+         FROM rsv JOIN cb ON rsv.sub = cb.sub) WHERE rn = 1),
+       $queryCte,
+       probes AS (SELECT query_id, qqv, cid AS cell FROM (
+         SELECT q.query_id, q.qqv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY q.qnsq + ${dotL("c.cqv", "c.cqv")}
+               - 2*${dotL("q.qqv", "c.cqv")}, c.cid) AS rn
+         FROM q, c2 c) WHERE rn <= 2),
+       qres AS (SELECT p.query_id, p.cell,
+           list_transform(generate_series(1, 64),
+             d -> p.qqv[d] - c.cqv[d]) AS qrv
+         FROM probes p JOIN c2 c ON p.cell = c.cid),
+       qsv AS (SELECT query_id, cell, g.s AS sub,
+           list_transform(generate_series(1, 8), i -> qrv[g.s*8 + i]) AS sqv
+         FROM qres, generate_series(0, 7) g(s)),
+       qt AS (SELECT qsv.query_id, qsv.cell, qsv.sub, cb.code,
+           ${dot8("qsv.sqv", "qsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+             - 2*${dot8("qsv.sqv", "cb.cbv")} AS dist
+         FROM qsv JOIN cb ON qsv.sub = cb.sub),
+       scored AS (SELECT qt.query_id, e0.vec_id AS neighbor_id,
+           CAST(sum(qt.dist) AS BIGINT) AS adc
+         FROM enc e0 JOIN qt ON e0.cell = qt.cell AND e0.sub = qt.sub
+           AND e0.code = qt.code AND e0.vec_id != qt.query_id
+         GROUP BY qt.query_id, e0.vec_id)
        SELECT query_id, neighbor_id, adc, rank FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY adc, neighbor_id) AS rank FROM scored)
@@ -1055,58 +1120,18 @@ object OpsQueries {
     "q94_ann_pq_trained" -> pqOracle(2),
     // IVF-PQ over the shared k-means chain: residuals against the cell
     // centroid, hash-rank residual codebooks, per-(query, cell) ADC
-    "q87_ann_ivfpq" -> {
-      def dot8(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
-      s"""WITH ${kmeansChain(1)},
-         res AS (SELECT a.vec_id, a.cell,
-             list_transform(generate_series(1, 64),
-               d -> a.qv[d] - c.cqv[d]) AS rv
-           FROM assigned a JOIN c2 c ON a.cell = c.cid),
-         samp AS (SELECT rv, rn FROM (SELECT rv, row_number()
-             OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM res)
-           WHERE rn <= 16),
-         cb AS (SELECT g.s AS sub, samp.rn - 1 AS code,
-             list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS cbv
-           FROM samp, generate_series(0, 7) g(s)),
-         rsv AS (SELECT vec_id, cell, g.s AS sub,
-             list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS sqv
-           FROM res, generate_series(0, 7) g(s)),
-         enc AS (SELECT vec_id, cell, sub, code FROM (
-           SELECT rsv.vec_id, rsv.cell, rsv.sub, cb.code,
-             row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
-               ORDER BY ${dot8("rsv.sqv", "rsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
-                 - 2*${dot8("rsv.sqv", "cb.cbv")}, cb.code) AS rn
-           FROM rsv JOIN cb ON rsv.sub = cb.sub) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
-           WHERE vec_id < 10),
-         probes AS (SELECT query_id, qqv, cid AS cell FROM (
-           SELECT q.query_id, q.qqv, c.cid,
-             row_number() OVER (PARTITION BY q.query_id
-               ORDER BY q.qnsq + ${dotL("c.cqv", "c.cqv")}
-                 - 2*${dotL("q.qqv", "c.cqv")}, c.cid) AS rn
-           FROM q, c2 c) WHERE rn <= 2),
-         qres AS (SELECT p.query_id, p.cell,
-             list_transform(generate_series(1, 64),
-               d -> p.qqv[d] - c.cqv[d]) AS qrv
-           FROM probes p JOIN c2 c ON p.cell = c.cid),
-         qsv AS (SELECT query_id, cell, g.s AS sub,
-             list_transform(generate_series(1, 8), i -> qrv[g.s*8 + i]) AS sqv
-           FROM qres, generate_series(0, 7) g(s)),
-         qt AS (SELECT qsv.query_id, qsv.cell, qsv.sub, cb.code,
-             ${dot8("qsv.sqv", "qsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
-               - 2*${dot8("qsv.sqv", "cb.cbv")} AS dist
-           FROM qsv JOIN cb ON qsv.sub = cb.sub),
-         scored AS (SELECT qt.query_id, e0.vec_id AS neighbor_id,
-             CAST(sum(qt.dist) AS BIGINT) AS adc
-           FROM enc e0 JOIN qt ON e0.cell = qt.cell AND e0.sub = qt.sub
-             AND e0.code = qt.code AND e0.vec_id != qt.query_id
-           GROUP BY qt.query_id, e0.vec_id)
-         SELECT query_id, neighbor_id, adc, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY adc, neighbor_id) AS rank FROM scored)
-         WHERE rank <= 3 ORDER BY query_id, rank"""
-    },
+    "q87_ann_ivfpq" -> ivfPqOracle("TRUE",
+      """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
+           WHERE vec_id < 10)"""),
+    // incremental ANN: the index builds on the 90% corpus only; the
+    // fresh 10% quantizes independently and searches the prebuilt index
+    "q95_ann_incremental" -> ivfPqOracle("vec_id % 10 != 0",
+      s"""qf AS (SELECT vec_id,
+           list_transform(embedding, x -> ${TextKit.ducksql.quant("x")})
+             AS qqv
+           FROM embeddings WHERE vec_id % 10 = 0),
+         q AS (SELECT vec_id AS query_id, qqv,
+           ${dotL("qqv", "qqv")} AS qnsq FROM qf)"""),
     // the PGM payloads are synthesized from the text (first 128 ASCII
     // bytes, space-padded), so the oracle recomputes the decoded stats
     // from the text without ever seeing the binary — a genuine

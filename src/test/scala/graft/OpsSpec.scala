@@ -526,6 +526,25 @@ class OpsSpec extends SparkSpec {
     assert(first == oneShot)
   }
 
+  test("searchIvfPqWith: external queries find their corpus twins") {
+    // index built WITHOUT rows 25..27; those rows then arrive as fresh
+    // external queries — each must find its exact copy (0..2) in the
+    // corpus at the global-minimum ADC
+    val corpus = semEmb.filter(col("vec_id") < 25 || col("vec_id") >= 28)
+    val fresh = semEmb.filter(col("vec_id") >= 25 && col("vec_id") < 28)
+    val ix = Similarity.buildIvfPq(corpus, nCells = 4)
+    val top = Similarity.searchIvfPqWith(ix, fresh, k = 5)
+      .orderBy("query_id", "rank").collect()
+    for (q <- 25L until 28L) {
+      val rows = top.filter(_.getAs[Long]("query_id") == q)
+      assert(rows.nonEmpty)
+      val adcs = rows.map(_.getAs[Long]("adc")).toSeq
+      val twin = rows.find(_.getAs[Long]("neighbor_id") == q - 25L)
+      assert(twin.isDefined, s"external query $q missed its corpus twin")
+      assert(twin.get.getAs[Long]("adc") == adcs.head)
+    }
+  }
+
   test("IVF-PQ index round-trips through the lake: write, reload, same answers") {
     // the README claim "index state lives in the lake, not the driver":
     // the three index relations are plain DataFrames, so they persist as
