@@ -520,9 +520,14 @@ class CurationSpec extends SparkSpec {
     for (emb <- Seq(emptyEmb, oneEmb)) {
       assert(Similarity.semanticDedup(emb, nCells = 2).count() == emb.count())
       assert(Similarity.pqTopK(emb, nQueries = 2, k = 3).count() == 0)
+      assert(Similarity.pqTopK(emb, nQueries = 2, k = 3,
+        trainIters = 1).count() == 0)
       assert(Similarity.ivfPqTopK(emb, nQueries = 2, k = 3,
         nCells = 2).count() == 0)
     }
+    // external-query search with an empty fresh batch over a 1-row index
+    val oneIx = Similarity.buildIvfPq(oneEmb, nCells = 2)
+    assert(Similarity.searchIvfPqWith(oneIx, emptyEmb).count() == 0)
     TextKit.releaseCaches()
   }
 
