@@ -168,11 +168,15 @@ object Multimodal {
       skipWs()
       require(i < b.length && b(i) >= '0' && b(i) <= '9',
         s"PGM $mediaId: expected integer at offset $i")
-      var v = 0
+      // accumulate in Long with a hard bound: a crafted 2^32+1 field must
+      // fail here, not wrap modulo 2^32 into a small "valid" dimension
+      var v = 0L
       while (i < b.length && b(i) >= '0' && b(i) <= '9') {
         v = v * 10 + (b(i) - '0'); i += 1
+        require(v <= 1000000000L,
+          s"PGM $mediaId: header field exceeds 1e9")
       }
-      v
+      v.toInt
     }
     require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
       s"media $mediaId is not a binary (P5) PGM")
@@ -212,6 +216,8 @@ object Multimodal {
     * only plans for. Composes with [[decodePgm]] for a decode → resize
     * → decode round trip (q91). */
   def resizePgm(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    require(outW > 0 && outH > 0,
+      s"resizePgm: target dimensions must be positive (got ${outW}x$outH)")
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map { r =>
       val b = r.payload
@@ -283,6 +289,9 @@ object Multimodal {
     val rate = leInt(b, 24)
     val bits = leShort(b, 34)
     require(bits == 16, s"WAV $mediaId: only 16-bit PCM supported")
+    // fail-loudly, not silently-interleaved: stereo frames would be
+    // windowed as alternating L/R "samples" with no signal to the caller
+    require(channels == 1, s"WAV $mediaId: only mono PCM supported")
     require(tag(36) == "data", s"WAV $mediaId: missing data chunk")
     val dataLen = leInt(b, 40)
     // fail-loudly contract: a negative or huge declared length must not
@@ -321,6 +330,8 @@ object Multimodal {
     * (`n_in_win` < winSamples). One explode per clip; everything stays
     * per-row, no shuffle. */
   def wavWindowEnergy(media: Dataset[MediaRow], winSamples: Int = 16): DataFrame = {
+    require(winSamples > 0,
+      s"wavWindowEnergy: winSamples must be positive (got $winSamples)")
     import media.sparkSession.implicits._
     media.flatMap { r =>
       val n = parseWavHeader(r.media_id, r.payload)._4

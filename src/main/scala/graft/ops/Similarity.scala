@@ -428,22 +428,6 @@ object Similarity {
         (lit(s * codesPerSub) + element_at(col("codes"), s + 1)).cast("int") + 1))
       .reduce(_ + _)
 
-  /** IVF-PQ top-k — the production composition (FAISS's IndexIVFPQ,
-    * Jégou et al. 2011 §IV): the [[kmeansCentroids]] coarse quantizer
-    * partitions the corpus into cells, every vector is PQ-encoded as the
-    * RESIDUAL against its cell centroid (residuals are tighter than raw
-    * vectors, so the same code budget quantizes finer), and a query
-    * scores only the `nprobe` nearest cells via per-(query, cell) ADC
-    * tables over the residual codebook.
-    *
-    * The 100 TB shape, end to end: Lloyd training scans a hash-sample,
-    * the centroid set and codebooks are tiny driver/broadcast state,
-    * the stored index is 8 bytes of codes + one cell id per vector
-    * (32x memory compression), candidate generation is a cell equi-join
-    * (never a corpus scan), and per-candidate scoring is m integer
-    * table lookups. Codebooks are the deterministic hash-rank sample of
-    * residuals (zero Lloyd refinement — same policy and rationale as
-    * [[pqTopK]]); all arithmetic is exact integers, oracle-reproducible. */
   /** A built IVF-PQ index — the build-once / search-many lifecycle a
     * production deployment runs: `cent` (k x dim centroid longs) and
     * `codebook` (m x codesPerSub residual codes) are tiny broadcastable
@@ -478,6 +462,23 @@ object Similarity {
     IvfPqIndex(e, cent, codebook, encoded, m, codesPerSub, subDim)
   }
 
+  /** IVF-PQ top-k — the production composition (FAISS's IndexIVFPQ,
+    * Jégou et al. 2011 §IV): the [[kmeansCentroids]] coarse quantizer
+    * partitions the corpus into cells, every vector is PQ-encoded as the
+    * RESIDUAL against its cell centroid (residuals are tighter than raw
+    * vectors, so the same code budget quantizes finer), and a query
+    * scores only the `nprobe` nearest cells via per-(query, cell) ADC
+    * tables over the residual codebook. One-shot convenience for
+    * [[buildIvfPq]] + [[searchIvfPq]].
+    *
+    * The 100 TB shape, end to end: Lloyd training scans a hash-sample,
+    * the centroid set and codebooks are tiny driver/broadcast state,
+    * the stored index is 8 bytes of codes + one cell id per vector
+    * (32x memory compression), candidate generation is a cell equi-join
+    * (never a corpus scan), and per-candidate scoring is m integer
+    * table lookups. Codebooks are the deterministic hash-rank sample of
+    * residuals (zero Lloyd refinement — same policy and rationale as
+    * [[pqTopK]]); all arithmetic is exact integers, oracle-reproducible. */
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
@@ -494,7 +495,7 @@ object Similarity {
       ix.e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
           col("nsq").as("qnsq")),
-      k, nprobe)
+      k, nprobe, excludeSelf = true)
 
   /** Search a prebuilt index with EXTERNAL query vectors — the
     * production case: queries are new data, not corpus members.
@@ -502,17 +503,20 @@ object Similarity {
     * the corpus's scheme and scored against the compressed index, so a
     * fresh batch's ANN admission costs probing + ADC only — the
     * incremental shape (index once, every later batch proportional to
-    * the batch). */
+    * the batch). Query ids live in their OWN namespace: a query whose
+    * vec_id happens to equal a corpus id is still scored against that
+    * corpus vector (no self-exclusion — that filter only makes sense
+    * when queries ARE corpus members, [[searchIvfPq]]'s case). */
   def searchIvfPqWith(ix: IvfPqIndex, queries: DataFrame, k: Int = 3,
       nprobe: Int = 2): DataFrame =
     searchIvfPqTail(ix,
       spread(queries).select(col("vec_id").as("query_id"),
           quantVec(col("embedding")).as("qqv"))
         .withColumn("qnsq", dotPre(col("qqv"), col("qqv"))),
-      k, nprobe)
+      k, nprobe, excludeSelf = false)
 
   private def searchIvfPqTail(ix: IvfPqIndex, q: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean): DataFrame = {
     val IvfPqIndex(_, cent, codebook, encoded, m, codesPerSub, subDim) = ix
     // probes: nprobe nearest cells per query (the ivfTopK shape)
     val probes = q.join(broadcast(cent))
@@ -531,10 +535,12 @@ object Similarity {
         zip_with(col("qqv"), col("cqv"), (a, b) => a - b).as("qrv"))
     val qtab = adcTables(qres, "qrv", Seq("query_id", "cell"),
       codebook, m, subDim, codesPerSub)
-    val scored = encoded.join(broadcast(qtab), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adcExpr(m, codesPerSub).as("adc"))
+    val scored0 = encoded.join(broadcast(qtab), Seq("cell"))
+    val scored =
+      (if (excludeSelf) scored0.filter(col("vec_id") =!= col("query_id"))
+       else scored0)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          adcExpr(m, codesPerSub).as("adc"))
     TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
   }
 

@@ -468,6 +468,10 @@ object OpsQueries {
   private def dotL(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, 64), d -> $a[d]*$b[d]))"
 
+  /** Integer dot of two 8-element (PQ subvector) DuckDB lists. */
+  private def dot8(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
+
   private val md5rankVec =
     "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
 
@@ -516,8 +520,6 @@ object OpsQueries {
     * Similarity.refineCodebook — subspace id rides in every key, so all
     * m subspaces train in one relational pass per iteration). */
   private def pqOracle(trainIters: Int): String = {
-    def dot8(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
     def assign(cbn: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
          SELECT sv.vec_id, sv.sub, sv.sqv, cb.code,
@@ -554,12 +556,7 @@ object OpsQueries {
            list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS sqv
          FROM eq, generate_series(0, 7) g(s)),
        ${if (trainIters > 0) train + "," else ""}
-       enc AS (SELECT vec_id, sub, code FROM (
-         SELECT sv.vec_id, sv.sub, cb.code,
-           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-             ORDER BY ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
-               - 2*${dot8("sv.sqv", "cb.cbv")}, cb.code) AS rn
-         FROM sv JOIN $cbF cb ON sv.sub = cb.sub) WHERE rn = 1),
+       ${assign(cbF, "enc")},
        qt AS (SELECT sv.vec_id AS query_id, sv.sub, cb.code,
            ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
              - 2*${dot8("sv.sqv", "cb.cbv")} AS dist
@@ -579,9 +576,8 @@ object OpsQueries {
     * codebook + codes, then the probe/ADC tail over `queryCte` (a CTE
     * chain ending in `q(query_id, qqv, qnsq)` — corpus members for q87,
     * independently quantized fresh vectors for q95). */
-  private def ivfPqOracle(corpusPred: String, queryCte: String): String = {
-    def dot8(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, 8), d -> $a[d]*$b[d]))"
+  private def ivfPqOracle(corpusPred: String, queryCte: String,
+      excludeSelf: Boolean = true): String = {
     s"""WITH ${kmeansChain(1, corpusPred)},
        res AS (SELECT a.vec_id, a.cell,
            list_transform(generate_series(1, 64),
@@ -623,7 +619,8 @@ object OpsQueries {
        scored AS (SELECT qt.query_id, e0.vec_id AS neighbor_id,
            CAST(sum(qt.dist) AS BIGINT) AS adc
          FROM enc e0 JOIN qt ON e0.cell = qt.cell AND e0.sub = qt.sub
-           AND e0.code = qt.code AND e0.vec_id != qt.query_id
+           AND e0.code = qt.code
+           ${if (excludeSelf) "AND e0.vec_id != qt.query_id" else ""}
          GROUP BY qt.query_id, e0.vec_id)
        SELECT query_id, neighbor_id, adc, rank FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1125,7 +1122,9 @@ object OpsQueries {
            WHERE vec_id < 10)"""),
     // incremental ANN: the index builds on the 90% corpus only; the
     // fresh 10% quantizes independently and searches the prebuilt index
-    "q95_ann_incremental" -> ivfPqOracle("vec_id % 10 != 0",
+    // (no self-exclusion: external query ids are their own namespace)
+    "q95_ann_incremental" -> ivfPqOracle(excludeSelf = false,
+      corpusPred = "vec_id % 10 != 0", queryCte =
       s"""qf AS (SELECT vec_id,
            list_transform(embedding, x -> ${TextKit.ducksql.quant("x")})
              AS qqv

@@ -497,6 +497,26 @@ class OpsSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Multimodal.decodeWav(negDs).collect()
     }
+    // a header field that would wrap modulo 2^32 into a small dimension
+    val wrapPgm = Seq(Multimodal.MediaRow(5L, "img/pgm",
+      "P5\n4294967297 1\n255\n".getBytes(ascii) ++ Array[Byte](0))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePgm(wrapPgm).collect()
+    }
+    // stereo PCM must be refused, not silently windowed over L/R frames
+    val stereo = Multimodal.wavFromDocuments(d).collect().head.payload.clone()
+    stereo(22) = 2 // nChannels = 2
+    val stereoDs = Seq(Multimodal.MediaRow(6L, "audio/wav", stereo)).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(stereoDs).collect()
+    }
+    // parameter validation fails fast on the driver with clear messages
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePgm(garbage, outW = 0, outH = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.wavWindowEnergy(garbage, winSamples = 0)
+    }
   }
 
   test("pqTopK trainIters: the twin's minimal-ADC invariant survives training") {
