@@ -260,6 +260,41 @@ object Dedup {
     boundedBuckets(bandedOf(tracked(shingleHashes(corpus)), numHashes),
       Seq("band", "key"), "doc_id", maxBucket, minSize = 1)
 
+  /** Raw, MERGEABLE band index: like [[corpusBandIndex]] but keeps
+    * over-cap buckets as maxBucket+1-entry SENTINELS instead of dropping
+    * them. Because BoundedMinSet keeps the SMALLEST ids, two raw indexes
+    * merge exactly: a bucket of size <= maxBucket is its COMPLETE id set
+    * (union the sides), and a sentinel on either side already implies
+    * the combined bucket overflows. So [[mergeBandIndex]] over raw
+    * partial indexes is bit-identical to rebuilding over the combined
+    * corpus — incremental index maintenance: index each ingest batch
+    * alone, merge into the stored index, never re-shingle old data.
+    * Convert to the query shape (hot sentinels dropped) with
+    * [[queryBandIndex]]. */
+  def bandIndexRaw(corpus: DataFrame, numHashes: Int = 8,
+      maxBucket: Int = 64): DataFrame =
+    bandedOf(tracked(shingleHashes(corpus)), numHashes)
+      .groupBy(col("band"), col("key"))
+      .agg(graft.ops.BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
+
+  /** Merge two raw band indexes — one re-aggregation with the same
+    * bounded-min-set aggregator (its own mergeability is the proof: the
+    * cap+1 smallest of the union of each side's cap+1 smallest IS the
+    * combined cap+1 smallest). Cost is proportional to the INDEXES, not
+    * the corpora: no shingles are recomputed. */
+  def mergeBandIndex(a: DataFrame, b: DataFrame,
+      maxBucket: Int = 64): DataFrame =
+    a.select(col("band"), col("key"), col("ids"))
+      .unionByName(b.select(col("band"), col("key"), col("ids")))
+      .select(col("band"), col("key"), explode(col("ids")).as("doc_id"))
+      .groupBy(col("band"), col("key"))
+      .agg(graft.ops.BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
+
+  /** The queryable shape of a raw index: hot sentinel buckets dropped —
+    * identical to [[corpusBandIndex]] over the same corpus. */
+  def queryBandIndex(raw: DataFrame, maxBucket: Int = 64): DataFrame =
+    raw.filter(size(col("ids")).between(1, maxBucket))
+
   /** MinHash signatures computed ROW-LOCALLY: hash the shingle array once
     * (per-row transform), then each slot is an array_min over it — no
     * shuffle at all, versus the aggregated form's groupBy. Numerically

@@ -253,6 +253,17 @@ object OpsQueries {
     "q94_ann_pq_trained" -> ((s, d) =>
       Similarity.pqTopK(emb(s, d), trainIters = 2)
         .orderBy("query_id", "rank")),
+    // incremental LSH-index maintenance: each half-corpus indexed alone,
+    // merged — must equal the full rebuild (bucket sizes oracle-checked,
+    // with over-cap buckets as 65-entry sentinels)
+    "q96_index_merge" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.mergeBandIndex(
+          Dedup.bandIndexRaw(all.filter(col("doc_id") % 2 === 0)),
+          Dedup.bandIndexRaw(all.filter(col("doc_id") % 2 =!= 0)))
+        .select(col("band"), col("key"), size(col("ids")).as("n_ids"))
+        .orderBy("band", "key")
+    }),
     // incremental ANN: index the 90% corpus once, search it with the
     // fresh 10% as EXTERNAL query vectors (quantized independently)
     "q95_ann_incremental" -> ((s, d) => {
@@ -1028,6 +1039,13 @@ object OpsQueries {
              AS rrf
          FROM kw FULL OUTER JOIN v USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // the merged half-indexes must reproduce the full corpus's bucket
+    // sizes exactly (sentinel cap at 65 = maxBucket + 1)
+    "q96_index_merge" ->
+      s"""WITH ${SIG_BANDS("documents")}
+         SELECT band, key,
+           CAST(least(count(DISTINCT doc_id), 65) AS INT) AS n_ids
+         FROM banded0 GROUP BY band, key ORDER BY band, key""",
     // q80's RRF shape with the q83 BM25 scorer as the lexical pool
     "q93_hybrid_bm25" ->
       s"""WITH stats AS (SELECT count(*) AS n,

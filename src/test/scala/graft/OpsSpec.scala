@@ -546,6 +546,26 @@ class OpsSpec extends SparkSpec {
     assert(first == oneShot)
   }
 
+  test("band index mergeability: half-indexes merge to the exact full rebuild") {
+    // includes duplicate texts (docs 0/1) so buckets span both halves
+    val full = Dedup.bandIndexRaw(docs, maxBucket = 2)
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    val merged = Dedup.mergeBandIndex(
+        Dedup.bandIndexRaw(docs.filter(col("doc_id") % 2 === 0), maxBucket = 2),
+        Dedup.bandIndexRaw(docs.filter(col("doc_id") % 2 =!= 0), maxBucket = 2),
+        maxBucket = 2)
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    assert(merged == full)
+    // the query shape drops sentinel (over-cap) buckets like
+    // corpusBandIndex does over the same corpus
+    val q = Dedup.queryBandIndex(Dedup.bandIndexRaw(docs), maxBucket = 64)
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    val direct = Dedup.corpusBandIndex(docs)
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    assert(q == direct)
+    TextKit.releaseCaches()
+  }
+
   test("searchIvfPqWith: external queries find their corpus twins") {
     // index built WITHOUT rows 25..27; those rows then arrive as fresh
     // external queries — each must find its exact copy (0..2) in the
