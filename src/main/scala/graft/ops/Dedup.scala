@@ -276,6 +276,32 @@ object Dedup {
     bandedOf(tracked(shingleHashes(corpus)), numHashes)
       .groupBy(col("band"), col("key"))
       .agg(graft.ops.BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
+      .select(col("band"), col("key"), col("ids").as("ids", capMeta(maxBucket)))
+
+  /** The cap rides ON the index as column metadata (it survives select,
+    * cache, and the parquet round trip of a persisted index), so a merge
+    * or query with a DIFFERENT cap than the one used at build time fails
+    * loudly instead of silently breaking the bit-identical-to-rebuild
+    * guarantee (the sentinel size and the bounded-min-set associativity
+    * both depend on every party agreeing on one cap). */
+  private val CapKey = "graft.lsh.maxBucket"
+
+  private def capMeta(maxBucket: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(CapKey, maxBucket.toLong).build()
+
+  /** Fail if `df` carries a build-time cap different from `maxBucket`.
+    * Frames without the metadata (hand-built fixtures, pre-upgrade
+    * indexes) pass through — the scaladoc contract still applies. */
+  private def requireCap(df: DataFrame, maxBucket: Int, op: String): Unit =
+    df.schema.fields.find(_.name == "ids").map(_.metadata)
+      .filter(_.contains(CapKey)).foreach { m =>
+        val built = m.getLong(CapKey)
+        require(built == maxBucket.toLong,
+          s"$op: maxBucket=$maxBucket does not match the cap the index " +
+            s"was built with ($built) — merging or querying with a " +
+            "different cap silently breaks merge-equals-rebuild")
+      }
 
   /** Merge two raw band indexes — one re-aggregation with the same
     * bounded-min-set aggregator (its own mergeability is the proof: the
@@ -283,17 +309,22 @@ object Dedup {
     * combined cap+1 smallest). Cost is proportional to the INDEXES, not
     * the corpora: no shingles are recomputed. */
   def mergeBandIndex(a: DataFrame, b: DataFrame,
-      maxBucket: Int = 64): DataFrame =
+      maxBucket: Int = 64): DataFrame = {
+    requireCap(a, maxBucket, "mergeBandIndex"); requireCap(b, maxBucket, "mergeBandIndex")
     a.select(col("band"), col("key"), col("ids"))
       .unionByName(b.select(col("band"), col("key"), col("ids")))
       .select(col("band"), col("key"), explode(col("ids")).as("doc_id"))
       .groupBy(col("band"), col("key"))
       .agg(graft.ops.BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
+      .select(col("band"), col("key"), col("ids").as("ids", capMeta(maxBucket)))
+  }
 
   /** The queryable shape of a raw index: hot sentinel buckets dropped —
     * identical to [[corpusBandIndex]] over the same corpus. */
-  def queryBandIndex(raw: DataFrame, maxBucket: Int = 64): DataFrame =
+  def queryBandIndex(raw: DataFrame, maxBucket: Int = 64): DataFrame = {
+    requireCap(raw, maxBucket, "queryBandIndex")
     raw.filter(size(col("ids")).between(1, maxBucket))
+  }
 
   /** MinHash signatures computed ROW-LOCALLY: hash the shingle array once
     * (per-row transform), then each slot is an array_min over it — no

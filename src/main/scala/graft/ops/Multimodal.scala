@@ -182,7 +182,14 @@ object Multimodal {
       s"media $mediaId is not a binary (P5) PGM")
     i = 2
     val w = readInt(); val h = readInt(); val maxval = readInt()
-    i += 1 // exactly one whitespace byte separates maxval from pixels
+    // exactly one whitespace byte separates maxval from pixels — and it
+    // must BE whitespace: a malformed payload with no separator would
+    // otherwise silently skip the first pixel and read everything off by
+    // one, producing wrong stats that still pass the truncation bound
+    require(i < b.length && (b(i) == '\n' || b(i) == ' ' ||
+      b(i) == '\t' || b(i) == '\r'),
+      s"PGM $mediaId: expected single whitespace after maxval at offset $i")
+    i += 1
     // fail-loudly contract: reject degenerate dims (w*h checked in Long —
     // a crafted 70000x70000 header must not overflow Int past the bound)
     // and 2-byte-per-pixel images (maxval > 255) this parser would

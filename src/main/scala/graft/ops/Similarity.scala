@@ -437,7 +437,11 @@ object Similarity {
     * query side draws vectors from. */
   final case class IvfPqIndex(e: DataFrame, cent: DataFrame,
       codebook: DataFrame, encoded: DataFrame, m: Int, codesPerSub: Int,
-      subDim: Int)
+      subDim: Int) {
+    /** Vector dimensionality the index was built for — external query
+      * batches must match it exactly ([[searchIvfPqWith]] enforces). */
+    def dim: Int = m * subDim
+  }
 
   /** Build the IVF-PQ index: train the coarse quantizer (on the
     * hash-sample when `trainSampleMod` > 1), assign cells, compute
@@ -511,9 +515,18 @@ object Similarity {
       nprobe: Int = 2): DataFrame =
     searchIvfPqTail(ix,
       spread(queries).select(col("vec_id").as("query_id"),
-          quantVec(col("embedding")).as("qqv"))
+          quantVec(assertDim(col("embedding"), ix.dim)).as("qqv"))
         .withColumn("qnsq", dotPre(col("qqv"), col("qqv"))),
       k, nprobe, excludeSelf = false)
+
+  /** Pass `emb` through iff its length is exactly `dim`, else fail the
+    * task loudly. Without this, a query batch whose vectors don't match
+    * the index dimensionality would slice short subvectors in the ADC
+    * tables and return silently wrong neighbors. */
+  private def assertDim(emb: Column, dim: Int): Column =
+    when(size(emb) === dim, emb).otherwise(raise_error(concat(
+      lit(s"query embedding dimension must equal index dim $dim, got "),
+      size(emb).cast("string"))))
 
   private def searchIvfPqTail(ix: IvfPqIndex, q: DataFrame, k: Int,
       nprobe: Int, excludeSelf: Boolean): DataFrame = {

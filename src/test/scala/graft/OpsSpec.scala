@@ -517,6 +517,13 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.wavWindowEnergy(garbage, winSamples = 0)
     }
+    // a non-whitespace byte where the single maxval/pixel separator
+    // belongs must fail, not shift the whole pixel read off by one
+    val noSep = Seq(Multimodal.MediaRow(7L, "img/pgm",
+      "P5\n2 2\n255X".getBytes(ascii) ++ Array.fill[Byte](4)(9))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePgm(noSep).collect()
+    }
   }
 
   test("pqTopK trainIters: the twin's minimal-ADC invariant survives training") {
@@ -566,6 +573,28 @@ class OpsSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("band index cap mismatch fails loudly (metadata rides the index)") {
+    val half = Dedup.bandIndexRaw(docs, maxBucket = 2)
+    // the cap survives select/cache; merging or querying with a different
+    // cap than the build's breaks merge-equals-rebuild, so it must throw
+    intercept[IllegalArgumentException] {
+      Dedup.mergeBandIndex(half, half, maxBucket = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.queryBandIndex(half, maxBucket = 64)
+    }
+    // matching caps stay accepted, including through a parquet round trip
+    // (a PERSISTED index must still carry its build-time cap)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandix").toString
+    half.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    intercept[IllegalArgumentException] {
+      Dedup.queryBandIndex(reloaded, maxBucket = 64)
+    }
+    assert(Dedup.mergeBandIndex(half, reloaded, maxBucket = 2).count() > 0)
+    TextKit.releaseCaches()
+  }
+
   test("searchIvfPqWith: external queries find their corpus twins") {
     // index built WITHOUT rows 25..27; those rows then arrive as fresh
     // external queries — each must find its exact copy (0..2) in the
@@ -583,6 +612,15 @@ class OpsSpec extends SparkSpec {
       assert(twin.isDefined, s"external query $q missed its corpus twin")
       assert(twin.get.getAs[Long]("adc") == adcs.head)
     }
+    // a query batch whose vectors don't match the index dimensionality
+    // must fail loudly, not slice short subvectors into silent garbage
+    val short = (0L to 2L)
+      .map(i => (i, Array.tabulate(32)(d => (d + i).toFloat / 64f)))
+      .toDF("vec_id", "embedding")
+    val thrown = intercept[Exception] {
+      Similarity.searchIvfPqWith(ix, short, k = 2).collect()
+    }
+    assert(thrown.getMessage.contains("index dim"))
   }
 
   test("IVF-PQ index round-trips through the lake: write, reload, same answers") {
