@@ -112,6 +112,41 @@ object ScaleSmoke {
     }
     timeAnn("ann_1x", 1, 8)
     timeAnn(s"ann_${k}x", k, 8 * k)
+
+    // retrieval QUALITY at scale: recall@10 of the compressed searches
+    // against the exact scan — raw ADC vs the exact-rerank lever — at 1x
+    // and kx. The claim under test: recall holds (or rises, since nCells
+    // tracks the corpus while nprobe stays fixed at the same fraction
+    // only if raised; here we keep nprobe=2 and report honestly) as the
+    // corpus grows, and the rerank lever stays worth its bounded cost.
+    def timeRecall(label: String, times: Int, cells: Int): Unit = {
+      val emb = embRep(times)
+      val exact = graft.ops.Similarity
+        .bruteTopK(emb, nQueries = 10, k = 10).cache()
+      exact.count()
+      val ix = graft.ops.Similarity
+        .buildIvfPq(emb, nCells = cells, trainSampleMod = 4)
+      val raw = graft.ops.Similarity.meanRecall(
+        graft.ops.Similarity.searchIvfPq(ix, nQueries = 10, k = 10), exact)
+      val t0 = System.nanoTime()
+      val rr = graft.ops.Similarity.meanRecall(
+        graft.ops.Similarity.searchIvfPq(ix, nQueries = 10, k = 10,
+          rerank = 100), exact)
+      val tRr = (System.nanoTime() - t0) / 1e9
+      val lsh = graft.ops.Similarity.meanRecall(
+        graft.ops.Similarity.lshTopK(emb, nQueries = 10, k = 10,
+          tables = 8), exact)
+      exact.unpersist()
+      graft.ops.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      embBase.cache(); embBase.count()
+      println(f"""{"experiment":"$label","rows":${ne * times},""" +
+        f""""cells":$cells,"recall_ivfpq_adc":$raw%.3f,""" +
+        f""""recall_ivfpq_rerank100":$rr%.3f,"recall_lsh8":$lsh%.3f,""" +
+        f""""rerank_search_sec":$tRr%.2f}""")
+    }
+    timeRecall("recall_1x", 1, 8)
+    timeRecall(s"recall_${k}x", k, 8 * k)
     spark.stop()
   }
 }

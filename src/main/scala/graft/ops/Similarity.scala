@@ -275,7 +275,7 @@ object Similarity {
     * hash-matches cross-engine. Ties break by (adc, neighbor_id). */
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       m: Int = 8, codesPerSub: Int = 16, dim: Int = 64,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0, rerank: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
     val e = tracked(spread(emb).select(col("vec_id"),
@@ -299,7 +299,43 @@ object Similarity {
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adcExpr(m, codesPerSub).as("adc"))
-    TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
+    if (rerank <= 0)
+      TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
+    else {
+      val eN = e.withColumn("nsq", dotPre(col("qv"), col("qv")))
+      rerankTail(
+        TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc",
+          rerank),
+        eN,
+        eN.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+            col("nsq").as("qnsq")),
+        k)
+    }
+  }
+
+  /** Exact-cosine re-rank of an ADC shortlist — the standard
+    * PQ-then-refine composition (FAISS's IndexRefineFlat; Jégou et al.
+    * 2011 §V): ADC finds a `rerank`-sized candidate shortlist from the
+    * compressed codes, then ONLY those candidates' raw vectors are
+    * fetched and scored exactly. Recall approaches the ADC shortlist's
+    * ceiling while per-query exact work stays `rerank` vectors — at
+    * 100 TB the corpus is still only ever touched through the compressed
+    * index; the raw-vector fetch is a broadcast-pair equi-join bounded
+    * by nQueries x rerank rows. Output matches [[bruteTopK]]'s shape
+    * (query_id, neighbor_id, cosine, rank). */
+  private def rerankTail(shortlist: DataFrame, e: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
+    val rescored = e.select(col("vec_id"), col("qv"), col("nsq"))
+      .join(broadcast(shortlist
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))),
+        Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qqv"), col("qnsq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+    TopKAgg.topKPerQuery(rescored, "query_id", "neighbor_id", "cosine", k)
   }
 
   /** One (keep..., sub, sqv) row per subspace of `vecCol`. */
@@ -486,20 +522,21 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
-      dim: Int = 64): DataFrame =
+      dim: Int = 64, rerank: Int = 0): DataFrame =
     searchIvfPq(buildIvfPq(emb, nCells, trainIters, trainSampleMod,
-      m, codesPerSub, dim), nQueries, k, nprobe)
+      m, codesPerSub, dim), nQueries, k, nprobe, rerank)
 
   /** Search a prebuilt [[IvfPqIndex]]: probes, per-(query, cell) ADC
     * tables, and the compressed-candidate scoring — no training, no
-    * encoding, no corpus scan beyond the probed cells. */
+    * encoding, no corpus scan beyond the probed cells. `rerank` > 0
+    * exact-rescored the ADC shortlist ([[rerankTail]]). */
   def searchIvfPq(ix: IvfPqIndex, nQueries: Int = 10, k: Int = 3,
-      nprobe: Int = 2): DataFrame =
+      nprobe: Int = 2, rerank: Int = 0): DataFrame =
     searchIvfPqTail(ix,
       ix.e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
           col("nsq").as("qnsq")),
-      k, nprobe, excludeSelf = true)
+      k, nprobe, excludeSelf = true, rerank)
 
   /** Search a prebuilt index with EXTERNAL query vectors — the
     * production case: queries are new data, not corpus members.
@@ -512,12 +549,12 @@ object Similarity {
     * corpus vector (no self-exclusion — that filter only makes sense
     * when queries ARE corpus members, [[searchIvfPq]]'s case). */
   def searchIvfPqWith(ix: IvfPqIndex, queries: DataFrame, k: Int = 3,
-      nprobe: Int = 2): DataFrame =
+      nprobe: Int = 2, rerank: Int = 0): DataFrame =
     searchIvfPqTail(ix,
       spread(queries).select(col("vec_id").as("query_id"),
           quantVec(assertDim(col("embedding"), ix.dim)).as("qqv"))
         .withColumn("qnsq", dotPre(col("qqv"), col("qqv"))),
-      k, nprobe, excludeSelf = false)
+      k, nprobe, excludeSelf = false, rerank)
 
   /** Pass `emb` through iff its length is exactly `dim`, else fail the
     * task loudly. Without this, a query batch whose vectors don't match
@@ -529,7 +566,7 @@ object Similarity {
       size(emb).cast("string"))))
 
   private def searchIvfPqTail(ix: IvfPqIndex, q: DataFrame, k: Int,
-      nprobe: Int, excludeSelf: Boolean): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean, rerank: Int = 0): DataFrame = {
     val IvfPqIndex(_, cent, codebook, encoded, m, codesPerSub, subDim) = ix
     // probes: nprobe nearest cells per query (the ivfTopK shape)
     val probes = q.join(broadcast(cent))
@@ -554,7 +591,49 @@ object Similarity {
        else scored0)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           adcExpr(m, codesPerSub).as("adc"))
-    TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
+    if (rerank <= 0)
+      TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc", k)
+    else rerankTail(
+      TopKAgg.topKPerQueryAsc(scored, "query_id", "neighbor_id", "adc",
+        rerank),
+      ix.e, q, k)
+  }
+
+  /** Retrieval-QUALITY measurement for the ANN family: per-query overlap
+    * between an approximate top-k (`approx`) and the exact brute-force
+    * top-k (`exact`) over the same corpus — recall@k, the property a user
+    * actually cares about (hash-determinism proves the approximate answer
+    * is REPEATABLE; this measures whether it FINDS the true neighbors).
+    * Both inputs are (query_id, neighbor_id, ...) frames, e.g. any of
+    * [[lshTopK]]/[[ivfTopK]]/[[pqTopK]]/[[ivfPqTopK]] against
+    * [[bruteTopK]] at the same k. Output: one row per query with the
+    * exact-neighbor count, the hit count, and integer-permille recall
+    * (exact integer division — deterministic cross-engine).
+    *
+    * Scale shape: two row-count-bounded frames (nQueries x k rows each)
+    * joined on their natural key — negligible next to the searches
+    * themselves, so measuring recall on a sampled query set is free even
+    * at 100 TB corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000 div n_exact").as("recall_permille"))
+  }
+
+  /** Corpus-level recall@k: total hits / total exact neighbors, in [0,1].
+    * Driver-side convenience for asserting recall floors in specs and
+    * ScaleSmoke; the distributed form is [[recallAtK]]. */
+  def meanRecall(approx: DataFrame, exact: DataFrame): Double = {
+    val t = recallAtK(approx, exact)
+      .agg(sum(col("n_hit")), sum(col("n_exact"))).head()
+    if (t.isNullAt(1) || t.getLong(1) == 0L) 0.0
+    else t.getLong(0).toDouble / t.getLong(1).toDouble
   }
 
   /** Sign-bit bucket id over the first `bits` dimensions. The sign of a
@@ -564,17 +643,47 @@ object Similarity {
       when(element_at(emb, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Sign-bit bucket over dimensions [t*bits, t*bits+bits) — hash table
+    * `t` of a multi-table LSH ([[lshTopK]]'s `tables` parameter). */
+  private def signBucketAt(emb: Column, bits: Int, t: Column): Column =
+    (0 until bits).map(d =>
+      when(element_at(emb, (t * bits + d + 1).cast("int")) >= 0,
+        lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** LSH-bucketed top-k: same contract as bruteTopK but candidates are
-    * restricted to the query's bucket. Recall < 1 by construction; the
-    * bucket join replaces the full scan. */
+    * restricted to the query's bucket(s). Recall < 1 by construction; the
+    * bucket join replaces the full scan.
+    *
+    * `tables` > 1 is the standard recall lever (multi-table LSH, e.g.
+    * Andoni & Indyk 2008): table t buckets on sign bits of dimensions
+    * [t*bits, (t+1)*bits), and a candidate need only collide in ONE
+    * table. Collision probability for a true neighbor rises from p to
+    * 1-(1-p)^L while the per-table bucket join stays exactly as cheap —
+    * corpus cost is L bucket rows per vector (linear in L, never
+    * all-pairs), so at 100 TB the recall/cost trade is tuned by L alone.
+    * The candidate pair set is deduplicated BEFORE scoring: a pair
+    * colliding in several tables is scored once. */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
-      bits: Int = 6): DataFrame = {
-    val e = withNorm(emb).withColumn("bucket", signBucket(col("embedding"), bits))
+      bits: Int = 6, tables: Int = 1): DataFrame = {
+    require(tables >= 1 && tables * bits <= 64,
+      s"tables=$tables x bits=$bits must fit the 64 dimensions")
+    val e = tracked(withNorm(emb))
+    val banded = e.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"))
+      .select(col("vec_id"), col("t"),
+        signBucketAt(col("embedding"), bits, col("t")).as("bucket"))
+    val qb = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    // candidates first, dedup across tables, THEN score once per pair
+    val cand = banded.join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
-        col("nsq").as("qnsq"), col("bucket"))
-    val scored = e.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+        col("nsq").as("qnsq"))
+    val scored = e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
           .as("cosine"))

@@ -86,6 +86,19 @@ object OpsQueries {
       Similarity.bruteTopK(emb(s, d)).orderBy("query_id", "rank")),
     "q27_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // multi-table LSH (4 tables over disjoint sign dimensions): the
+    // standard recall lever — collision in ANY table admits a candidate,
+    // pairs deduped before scoring. RecallSpec pins the recall lift.
+    "q100_ann_lsh_multi" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), tables = 4).orderBy("query_id", "rank")),
+    // PQ-then-refine: ADC shortlist of 50, exact-cosine re-rank — the
+    // FAISS IndexRefineFlat composition; output is bruteTopK-shaped
+    "q101_ann_pq_rerank" -> ((s, d) =>
+      Similarity.pqTopK(emb(s, d), rerank = 50).orderBy("query_id", "rank")),
+    // IVF-PQ with the same exact re-rank over the probed-cell shortlist
+    "q102_ann_ivfpq_rerank" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d), rerank = 50)
+        .orderBy("query_id", "rank")),
     "q36_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d)).orderBy("query_id", "rank")),
     // the 100 TB training shape: Lloyd iterations scan only the
@@ -526,11 +539,33 @@ object OpsQueries {
        ${assign("en", "c2", "assigned")}"""
   }
 
+  /** Exact-cosine re-rank tail shared by the PQ/IVF-PQ oracles (mirror
+    * of Similarity.rerankTail): ADC top-`rerank` shortlist per query,
+    * then exact integer-dot cosine over `en`-shaped quantized vectors,
+    * final top-3 by cosine. `scored` must be in scope as
+    * (query_id, neighbor_id, adc). */
+  private def rerankSql(rerank: Int, en: String): String =
+    s"""short AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY adc, neighbor_id) AS rn FROM scored)
+         WHERE rn <= $rerank),
+       resc AS (SELECT s.query_id, s.neighbor_id,
+           CAST(${dotL("qn.qv", "nb.qv")} AS DOUBLE) /
+             (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             AS cosine
+         FROM short s JOIN $en nb ON s.neighbor_id = nb.vec_id
+           JOIN $en qn ON s.query_id = qn.vec_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank FROM resc)
+       WHERE rank <= 3 ORDER BY query_id, rank"""
+
   /** PQ oracle chain, optionally with `trainIters` Lloyd refinement
     * passes over the per-subspace codebooks (mirror of
     * Similarity.refineCodebook — subspace id rides in every key, so all
-    * m subspaces train in one relational pass per iteration). */
-  private def pqOracle(trainIters: Int): String = {
+    * m subspaces train in one relational pass per iteration). `rerank`
+    * > 0 swaps the ADC tail for the exact-cosine re-rank. */
+  private def pqOracle(trainIters: Int, rerank: Int = 0): String = {
     def assign(cbn: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
          SELECT sv.vec_id, sv.sub, sv.sqv, cb.code,
@@ -576,11 +611,17 @@ object OpsQueries {
            CAST(sum(qt.dist) AS BIGINT) AS adc
          FROM enc JOIN qt ON enc.sub = qt.sub AND enc.code = qt.code
            AND enc.vec_id != qt.query_id
-         GROUP BY qt.query_id, enc.vec_id)
+         GROUP BY qt.query_id, enc.vec_id)${
+      if (rerank > 0)
+        s""",
+       pen AS (SELECT vec_id, qv, ${dotL("qv", "qv")} AS nsq FROM eq),
+       ${rerankSql(rerank, "pen")}"""
+      else
+        """
        SELECT query_id, neighbor_id, adc, rank FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY adc, neighbor_id) AS rank FROM scored)
-       WHERE rank <= 3 ORDER BY query_id, rank"""
+       WHERE rank <= 3 ORDER BY query_id, rank"""}"""
   }
 
   /** IVF-PQ oracle: k-means chain over `corpusPred`'s rows, residual
@@ -588,7 +629,7 @@ object OpsQueries {
     * chain ending in `q(query_id, qqv, qnsq)` — corpus members for q87,
     * independently quantized fresh vectors for q95). */
   private def ivfPqOracle(corpusPred: String, queryCte: String,
-      excludeSelf: Boolean = true): String = {
+      excludeSelf: Boolean = true, rerank: Int = 0): String = {
     s"""WITH ${kmeansChain(1, corpusPred)},
        res AS (SELECT a.vec_id, a.cell,
            list_transform(generate_series(1, 64),
@@ -632,11 +673,16 @@ object OpsQueries {
          FROM enc e0 JOIN qt ON e0.cell = qt.cell AND e0.sub = qt.sub
            AND e0.code = qt.code
            ${if (excludeSelf) "AND e0.vec_id != qt.query_id" else ""}
-         GROUP BY qt.query_id, e0.vec_id)
+         GROUP BY qt.query_id, e0.vec_id)${
+      if (rerank > 0)
+        s""",
+       ${rerankSql(rerank, "en")}"""
+      else
+        """
        SELECT query_id, neighbor_id, adc, rank FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY adc, neighbor_id) AS rank FROM scored)
-       WHERE rank <= 3 ORDER BY query_id, rank"""
+       WHERE rank <= 3 ORDER BY query_id, rank"""}"""
   }
 
   private def ivfOracle(trainMod: Int): String = {
@@ -765,6 +811,39 @@ object OpsQueries {
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "q36_ann_ivf" -> ivfOracle(1),
     "q50_ann_ivf_sampled" -> ivfOracle(4),
+    // 4-table sign LSH: table t buckets dims [6t, 6t+6); a pair matching
+    // in ANY table is a candidate, deduped before the exact-cosine score
+    "q100_ann_lsh_multi" ->
+      s"""WITH eb AS (SELECT vec_id, embedding,
+           ${dotQ("embedding", "embedding")} AS nsq FROM embeddings),
+         b AS (SELECT vec_id, g.t AS t,
+             list_sum(list_transform(generate_series(1, 6), d ->
+               CASE WHEN embedding[g.t*6 + d] >= 0
+                 THEN (1::BIGINT << (d - 1)) ELSE 0 END)) AS bucket
+           FROM embeddings, generate_series(0, 3) g(t)),
+         qb AS (SELECT vec_id AS query_id, t, bucket FROM b
+           WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT qb.query_id, b.vec_id FROM b JOIN qb
+           ON b.t = qb.t AND b.bucket = qb.bucket
+           WHERE b.vec_id != qb.query_id),
+         q AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq
+           FROM eb WHERE vec_id < 10),
+         scored AS (SELECT c.query_id, eb.vec_id AS neighbor_id,
+             CAST(${dotQ("qe", "eb.embedding")} AS DOUBLE) /
+               (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(eb.nsq AS DOUBLE)))
+               AS cosine
+           FROM cand c JOIN eb ON c.vec_id = eb.vec_id
+             JOIN q ON c.query_id = q.query_id)
+         SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    // PQ chain + ADC-shortlist-50 exact-cosine re-rank (FAISS refine)
+    "q101_ann_pq_rerank" -> pqOracle(0, rerank = 50),
+    // IVF-PQ chain + the same re-rank over the probed-cell shortlist
+    "q102_ann_ivfpq_rerank" -> ivfPqOracle("TRUE",
+      """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
+           WHERE vec_id < 10)""", rerank = 50),
     // same MinHash+LSH chain, over the 80%-mutated corpus; the Spark side
     // differs only in WHERE the verify semi join's id set travels
     // (shuffle, not broadcast), which must not change a single pair
