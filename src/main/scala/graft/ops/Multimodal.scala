@@ -8,16 +8,18 @@ import org.apache.spark.sql.functions._
   *
   * Two tiers of decode:
   *  - REAL: binary PGM images ([[decodePgm]]) and canonical PCM WAV audio
-  *    ([[decodeWav]]) parse genuine bytes — header fields + payload
-  *    statistics — with zero external codecs, oracle-checked end to end.
-  *  - STUBBED: compressed-codec formats (JPEG/MP3/H.264 — this container
-  *    has no such libraries): `fakeDecode` derives deterministic fake
-  *    features from the bytes. Everything around the stub — the schema,
-  *    the typed Dataset boundary, the mapPartitions batch shape, the
-  *    partitioning story — is the real Spark plumbing a production decode
-  *    (JNI/ONNX/ffmpeg per executor) plugs into: swap `fakeDecode` for
-  *    the real library call and nothing else changes (the PGM/WAV
-  *    decoders are exactly that swap, done).
+  *    ([[decodeWav]]) parse genuine bytes with zero external codecs, and
+  *    PNG/JPEG ([[decodeImage]]) decode genuine entropy-coded bitstreams
+  *    through the stock JDK's ImageIO — header fields + payload
+  *    statistics, oracle-checked end to end.
+  *  - STUBBED: codec formats the JDK cannot read (MP3/H.264):
+  *    `fakeDecode` derives deterministic fake features from the bytes.
+  *    Everything around the stub — the schema, the typed Dataset
+  *    boundary, the mapPartitions batch shape, the partitioning story —
+  *    is the real Spark plumbing a production decode (JNI/ONNX/ffmpeg
+  *    per executor) plugs into: swap `fakeDecode` for the real library
+  *    call and nothing else changes (the PGM/WAV/PNG/JPEG decoders are
+  *    exactly that swap, done).
   */
 object Multimodal {
 
@@ -355,6 +357,95 @@ object Multimodal {
         (r.media_id, w, to - from, e, pk)
       }
     }.toDF("media_id", "win_idx", "n_in_win", "energy", "peak")
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL compressed-codec decode — JPEG and PNG via the stock JDK's
+  // javax.imageio (no external dependency): genuine entropy-coded
+  // bitstreams (Huffman+DCT for JPEG, DEFLATE for PNG) are encoded on
+  // the executors and decoded back through the same mapPartitions batch
+  // path as PGM/WAV. PNG is lossless, so its decoded pixel statistics
+  // are oracle-checked cross-representation exactly like q89; JPEG is
+  // LOSSY, so its oracle checks the exactly-recoverable fields (width,
+  // height) plus a Spark-side tolerance gate on the decoded mean — the
+  // gate can only pass if the decode is genuinely faithful to the
+  // source pixels. With these, MP3/H.264 remain the only stubbed
+  // formats (no codec in the JDK).
+  // ---------------------------------------------------------------------
+
+  /** Decoded raster-image features (PNG/JPEG via ImageIO). */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      mean_permille: Long, min_px: Int, max_px: Int)
+
+  /** Grayscale image whose pixels are the first w*h ASCII bytes of the
+    * text, space-padded — the same pixel convention as
+    * [[pgmFromDocuments]], so PNG decode cross-checks against the PGM
+    * oracle math. */
+  private def grayImageFromText(text: String, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0,
+        if (i < tb.length) tb(i) & 0xff else ' '.toInt)
+      i += 1
+    }
+    img
+  }
+
+  private def encodeImages(docs: DataFrame, fmt: String, kind: String,
+      w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, text) =>
+        val out = new java.io.ByteArrayOutputStream()
+        val wrote = javax.imageio.ImageIO.write(
+          grayImageFromText(text, w, h), fmt, out)
+        require(wrote, s"no ImageIO writer for format $fmt")
+        MediaRow(id, kind, out.toByteArray)
+      })
+  }
+
+  /** REAL PNG payloads (DEFLATE-compressed, lossless) synthesized from
+    * the documents fixture — any external tool reads them back. */
+  def pngFromDocuments(docs: DataFrame, w: Int = 16, h: Int = 8): Dataset[MediaRow] =
+    encodeImages(docs, "png", "img/png", w, h)
+
+  /** REAL JPEG payloads (DCT+Huffman, lossy; ImageIO's default quality)
+    * synthesized from the documents fixture. */
+  def jpegFromDocuments(docs: DataFrame, w: Int = 16, h: Int = 8): Dataset[MediaRow] =
+    encodeImages(docs, "jpg", "img/jpeg", w, h)
+
+  /** Batch raster decode via ImageIO (PNG/JPEG/anything the JDK reads):
+    * per-partition decoder loop, genuine entropy-coded parsing. A
+    * payload ImageIO cannot decode fails the task loudly (the PGM/WAV
+    * contract). */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null,
+        s"media ${r.media_id}: payload is not a decodable image")
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      require(w > 0 && h > 0, s"media ${r.media_id}: degenerate ${w}x$h")
+      var s = 0L; var mn = 255; var mx = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          s += v; if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(r.media_id, w, h, s * 1000L / (w.toLong * h), mn, mx)
+    })
   }
 
   /** Build a media table from the documents fixture: text bytes stand in

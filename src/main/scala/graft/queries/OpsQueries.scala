@@ -318,6 +318,31 @@ object OpsQueries {
     "q92_wav_energy" -> ((s, d) =>
       Multimodal.wavWindowEnergy(Multimodal.wavFromDocuments(docs(s, d)))
         .orderBy("media_id", "win_idx")),
+    // REAL PNG round trip via the JDK's ImageIO: text-derived pixels ->
+    // DEFLATE-compressed PNG bytes -> entropy decode -> pixel stats; PNG
+    // is lossless so the oracle recomputes the stats from the text
+    // (q89's cross-representation check, now through a real compressed
+    // bitstream)
+    "q97_png_decode" -> ((s, d) =>
+      Multimodal.decodeImage(Multimodal.pngFromDocuments(docs(s, d)))
+        .toDF().orderBy("media_id")),
+    // REAL JPEG decode (DCT+Huffman, lossy): width/height recover
+    // exactly; the decoded mean must sit within 2 gray levels of the
+    // source-text mean — a tolerance gate only a faithful decode passes
+    // (garbage decode, wrong slice, or byte-shifted pixels all miss it)
+    "q103_jpeg_decode" -> ((s, d) => {
+      val feats = Multimodal.decodeImage(
+        Multimodal.jpegFromDocuments(docs(s, d))).toDF()
+      val src = docs(s, d).select(col("doc_id").as("media_id"),
+        expr("aggregate(transform(sequence(1, 128), i -> " +
+          "ascii(substring(rpad(text, 128, ' '), i, 1))), 0L, " +
+          "(a, x) -> a + CAST(x AS BIGINT)) * 1000 div 128").as("src_mean"))
+      feats.join(src, "media_id")
+        .select(col("media_id"), col("width"), col("height"),
+          (abs(col("mean_permille") - col("src_mean")) <= lit(2000L))
+            .as("mean_close"))
+        .orderBy("media_id")
+    }),
     // shared-substring dedup: every 9th doc gains a 24-token passage
     // shared within its doc_id % 225 group -> each in-group pair must
     // report its 5 shared 20-token windows (group sizes stay under the
@@ -1286,6 +1311,24 @@ object OpsQueries {
            CAST(list_sum(s) AS BIGINT) AS energy,
            CAST(list_max(s) AS INT) AS peak
          FROM e ORDER BY media_id, win_idx""",
+    // PNG is lossless: the decoded stats equal the text-derived pixel
+    // stats exactly (q89's oracle math, no maxval field)
+    "q97_png_decode" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents)
+         SELECT doc_id AS media_id, 16 AS width, 8 AS height,
+           CAST(CAST(list_sum(p) AS BIGINT) * 1000 // 128 AS BIGINT)
+             AS mean_permille,
+           CAST(list_min(p) AS INT) AS min_px,
+           CAST(list_max(p) AS INT) AS max_px
+         FROM px ORDER BY media_id""",
+    // JPEG is lossy: dims are exact, and the Spark side can only emit
+    // mean_close=TRUE by decoding the real bitstream faithfully
+    "q103_jpeg_decode" ->
+      """SELECT doc_id AS media_id, 16 AS width, 8 AS height,
+           TRUE AS mean_close
+         FROM documents ORDER BY media_id""",
     // greedy token-budget mix: deterministic md5 admission order,
     // running total per domain, admit while the budget is unmet
     "q85_token_mix" -> {

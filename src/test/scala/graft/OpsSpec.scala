@@ -526,6 +526,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO decode: PNG round-trips losslessly, JPEG within tolerance") {
+    val d = Seq((5L, "some moderately long document text for pixels", "en",
+      "s0", 46L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // PNG (DEFLATE) is lossless: decoded stats equal the PGM parse of
+    // the same text-derived pixel grid bit for bit
+    val png = Multimodal.decodeImage(Multimodal.pngFromDocuments(d))
+      .collect().head
+    val pgm = Multimodal.decodePgm(Multimodal.pgmFromDocuments(d))
+      .collect().head
+    assert((png.width, png.height) == (pgm.width, pgm.height))
+    assert(png.mean_permille == pgm.mean_permille)
+    assert((png.min_px, png.max_px) == (pgm.min_px, pgm.max_px))
+    // the PNG payload is a genuine compressed bitstream, not raw pixels
+    val pngBytes = Multimodal.pngFromDocuments(d).collect().head.payload
+    assert(pngBytes.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    // JPEG (DCT+Huffman, lossy): dims exact, mean within 2 gray levels
+    val jpgRow = Multimodal.jpegFromDocuments(d).collect().head
+    assert(jpgRow.payload.take(2).toSeq ==
+      Seq(0xff.toByte, 0xd8.toByte)) // SOI marker
+    val jpg = Multimodal.decodeImage(
+      Seq(jpgRow).toDS()).collect().head
+    assert((jpg.width, jpg.height) == (pgm.width, pgm.height))
+    assert(math.abs(jpg.mean_permille - pgm.mean_permille) <= 2000,
+      s"jpeg mean ${jpg.mean_permille} vs source ${pgm.mean_permille}")
+    // garbage bytes must kill the task, never yield silent fake features
+    val junk = Seq(Multimodal.MediaRow(9L, "img/jpeg",
+      Array.tabulate[Byte](64)(_.toByte))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImage(junk).collect()
+    }
+  }
+
   test("pqTopK trainIters: the twin's minimal-ADC invariant survives training") {
     // whatever codebook Lloyd refinement converges to, an exact twin
     // still shares the query's argmin codes, so it attains the global
