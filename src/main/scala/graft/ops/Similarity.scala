@@ -91,6 +91,78 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched hybrid retrieval — the production form of [[hybridSearch]]:
+    * `queries` is a DataFrame of (query_id, terms: array<string>,
+    * qvec_id) rows, each fused independently (per-query keyword pool +
+    * per-query cosine pool, RRF per query). One pass over the corpus
+    * serves the WHOLE batch:
+    *
+    *  - lexical: postings are filtered to the UNION of all queries'
+    *    terms before any shuffle (one filtered scan regardless of batch
+    *    size), idf is computed once over that filtered relation, and
+    *    per-(query, doc) scores fan out through a broadcast of the tiny
+    *    (query, term) relation.
+    *  - vector: the corpus streams once past the broadcast batch of
+    *    query vectors (drawn from `emb` by qvec_id).
+    *  - pools and the final fuse use the bounded [[TopKAgg]] aggregators
+    *    keyed by query_id — map-side combinable, no per-query window
+    *    sort, so no task ever holds more than poolSize rows per query
+    *    whatever the corpus size (the single-query form's TakeOrdered
+    *    argument, generalized to a batch).
+    *
+    * Output: (query_id, doc_id, kw_rank, vec_rank, rrf, rank), the q80
+    * shape plus the query key and explicit rank. */
+  def hybridSearchBatch(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+      k: Int = 10, poolSize: Int = 100, rrfK: Int = 60): DataFrame = {
+    val q = queries.select(col("query_id"), col("terms"), col("qvec_id"))
+    val qterms = q.select(col("query_id"), explode(col("terms")).as("token"))
+    val n = docs.count()
+    val tf = tracked(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf_doc")))
+    val idf = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("token"), expr(s"$n div df").as("idf_int"))
+    val kwScored = tf.join(broadcast(idf), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf_doc") * col("idf_int")).as("score"))
+    val kw = TopKAgg.topKPerQueryDesc(kwScored, "query_id", "doc_id",
+        "score", poolSize)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("kw_rank"))
+    val e = tracked(withNorm(emb))
+    val qv = q.select(col("query_id"), col("qvec_id"))
+      .join(e.select(col("vec_id").as("qvec_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq")), Seq("qvec_id"))
+    val vecScored = e.join(broadcast(qv), col("vec_id") =!= col("qvec_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+    val vec = TopKAgg.topKPerQuery(vecScored, "query_id", "doc_id",
+        "cosine", poolSize)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("kw_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (col("kw_rank") + lit(rrfK)), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vec_rank") + lit(rrfK)), lit(0.0)))
+          .as("rrf"))
+    // fused is pool-bounded (<= 2 * poolSize rows per query), so the
+    // rank joins below are joins between tiny relations
+    TopKAgg.topKPerQuery(
+        fused.select(col("query_id"), col("doc_id"), col("rrf")),
+        "query_id", "doc_id", "rrf", k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cosine").as("rrf"), col("rank"))
+      .join(kw, Seq("query_id", "doc_id"), "left")
+      .join(vec, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("kw_rank"),
+        col("vec_rank"), col("rrf"), col("rank"))
+  }
+
   /** Offset that makes every per-dimension sum positive before the
     * truncating integer division in the k-means centroid update, so
     * Spark's `div` and DuckDB's `//` (both plain integer division on

@@ -72,6 +72,16 @@ class TopKAggLongAsc(k: Int) extends BoundedTopK[Long](k)(
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
 }
 
+/** Descending sibling over exact integer scores — the lexical
+  * (tf-idf/BM25) pool tail, where "best" is the LARGEST integer score
+  * and doubles would lose exactness past 2^53. Ordering: score desc,
+  * id asc on ties. */
+class TopKAggLongDesc(k: Int) extends BoundedTopK[Long](k)(
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()) {
+  protected def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+}
+
 object TopKAgg {
 
   /** Top-k per `queryCol` from (idCol, scoreCol) rows. Output columns:
@@ -100,6 +110,22 @@ object TopKAgg {
   def topKPerQueryAsc(scored: DataFrame, queryCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val agg = udaf(new TopKAggLongAsc(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    scored
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(queryCol))
+      .agg(agg(col(idCol), col(scoreCol)).as("top"))
+      .select(col(queryCol), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col(queryCol), col("e._2").as("neighbor_id"),
+        col("e._1").as(scoreCol), (col("p") + 1).cast("int").as("rank"))
+  }
+
+  /** Descending top-k per `queryCol` over exact LONG scores. Output
+    * columns: (queryCol, neighbor_id, <scoreCol>, rank), identical to
+    * the `row_number` window ordered (score DESC, id ASC). */
+  def topKPerQueryDesc(scored: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKAggLongDesc(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     scored
       .filter(col(scoreCol).isNotNull)

@@ -253,6 +253,19 @@ object OpsQueries {
     "q93_hybrid_bm25" -> ((s, d) =>
       Similarity.hybridSearch(docs(s, d), emb(s, d),
         Seq("table", "join", "fast"), useBm25 = true)),
+    // BATCHED hybrid retrieval: 3 queries with distinct term sets and
+    // query vectors fused independently in one corpus pass — pools and
+    // fuse via the bounded per-query aggregators, no window sorts
+    "q99_hybrid_batch" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("table", "join", "fast"), 0L),
+        (1L, Seq("scan", "merge", "sort"), 1L),
+        (2L, Seq("stream", "window"), 2L))
+        .toDF("query_id", "terms", "qvec_id")
+      Similarity.hybridSearchBatch(docs(s, d), emb(s, d), qs)
+        .orderBy("query_id", "rank")
+    }),
     // integerized Okapi BM25 over the q77 query terms — doc-length
     // normalization that plain tf-idf lacks, same postings-first shape
     "q83_bm25" -> ((s, d) =>
@@ -1189,6 +1202,54 @@ object OpsQueries {
              AS rrf
          FROM kw FULL OUTER JOIN v USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // the q80 RRF shape generalized to a query BATCH: per-query pools
+    // (PARTITION BY query_id windows mirror the bounded aggregators),
+    // idf over the union term set, per-query fuse
+    "q99_hybrid_batch" ->
+      s"""WITH qdef AS (SELECT CAST(query_id AS BIGINT) AS query_id, terms,
+           CAST(qvec_id AS BIGINT) AS qvec_id
+           FROM (VALUES (0, ['table','join','fast'], 0),
+             (1, ['scan','merge','sort'], 1),
+             (2, ['stream','window'], 2)) v(query_id, terms, qvec_id)),
+         qt AS (SELECT query_id, unnest(terms) AS token FROM qdef),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM toks
+           WHERE token IN (SELECT DISTINCT token FROM qt)
+           GROUP BY doc_id, token),
+         idf AS (SELECT token,
+           CAST((SELECT count(*) FROM documents) // count(*) AS BIGINT)
+             AS idf_int
+           FROM tf GROUP BY token),
+         kws AS (SELECT qt.query_id, tf.doc_id,
+             CAST(sum(tf.tf_doc * idf.idf_int) AS BIGINT) AS score
+           FROM tf JOIN idf USING (token) JOIN qt USING (token)
+           GROUP BY qt.query_id, tf.doc_id),
+         kw AS (SELECT query_id, doc_id, kw_rank FROM (
+           SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS kw_rank FROM kws)
+           WHERE kw_rank <= 100),
+         $EMB_NORM,
+         qv AS (SELECT q.query_id, q.qvec_id, e.embedding AS qe,
+             e.nsq AS qnsq
+           FROM qdef q JOIN e ON e.vec_id = q.qvec_id),
+         vs AS (SELECT qv.query_id, e.vec_id AS doc_id,
+             CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+               (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+               AS cosine
+           FROM e, qv WHERE e.vec_id != qv.qvec_id),
+         vec AS (SELECT query_id, doc_id, vec_rank FROM (
+           SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, doc_id) AS vec_rank FROM vs)
+           WHERE vec_rank <= 100),
+         fused AS (SELECT query_id, doc_id, kw_rank, vec_rank,
+             coalesce(1.0 / (kw_rank + 60), 0) +
+               coalesce(1.0 / (vec_rank + 60), 0) AS rrf
+           FROM kw FULL OUTER JOIN vec USING (query_id, doc_id))
+         SELECT query_id, doc_id, kw_rank, vec_rank, rrf, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // SemDeDup over the shared k-means chain: within-cell pairs, cosine
     // from exact integer dots, keep-first (min lower-id partner)
     "q82_semantic_dedup" ->

@@ -656,6 +656,31 @@ class OpsSpec extends SparkSpec {
     assert(thrown.getMessage.contains("index dim"))
   }
 
+  test("hybridSearchBatch: batch query equals the single-query form; empty batch total") {
+    val dir = "/root/testdata/sf0.001"
+    val fdocs = spark.read.parquet(s"$dir/documents.parquet")
+    val femb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), Option(r.getAs[Any]("kw_rank")),
+        Option(r.getAs[Any]("vec_rank")), r.getAs[Double]("rrf"))
+    val single = Similarity
+      .hybridSearch(fdocs, femb, Seq("table", "join", "fast"))
+      .collect().map(row).toSeq
+    val qs = Seq((0L, Seq("table", "join", "fast"), 0L),
+      (7L, Seq("stream", "window"), 3L))
+      .toDF("query_id", "terms", "qvec_id")
+    val batch = Similarity.hybridSearchBatch(fdocs, femb, qs)
+    val batchQ0 = batch.filter(col("query_id") === 0L).orderBy("rank")
+      .collect().map(row).toSeq
+    assert(batchQ0 == single,
+      "batch query 0 must reproduce the single-query hybridSearch exactly")
+    // the second query fused independently and non-trivially
+    assert(batch.filter(col("query_id") === 7L).count() == 10)
+    // totality: an empty query batch yields an empty result, not a throw
+    assert(Similarity.hybridSearchBatch(fdocs, femb, qs.limit(0)).count() == 0)
+    TextKit.releaseCaches()
+  }
+
   test("IVF-PQ index round-trips through the lake: write, reload, same answers") {
     // the README claim "index state lives in the lake, not the driver":
     // the three index relations are plain DataFrames, so they persist as
