@@ -148,9 +148,11 @@ object Pipeline {
     * (batch-like); pass a processing-time trigger for a long-lived
     * daemon. */
   def ingestStream(spark: SparkSession, landingDir: String, cfg: Config,
-      checkpoint: String): Unit = {
-    val raw = spark.readStream
+      checkpoint: String, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
       .schema(graft.sources.TaCheckResultSource.schema)
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .json(landingDir)
     val q = raw.writeStream
       .option("checkpointLocation", checkpoint)

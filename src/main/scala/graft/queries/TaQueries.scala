@@ -106,6 +106,60 @@ object TaQueries {
     }: _*)
   }
 
+  private val builtStream = new ConcurrentHashMap[SparkSession, String]()
+
+  /** Streamed twin of [[buildLake]]: the SAME stub corpus lands as
+    * JSON-lines files in a watched directory and flows through
+    * [[Pipeline.ingestStream]] (file source -> foreachBatch -> lake
+    * appends) in TWO micro-batches (accounts 1-4, then 5-8, forced by
+    * maxFilesPerTrigger=1) into a FRESH lake root. No catalog entries are
+    * registered — the q35 session catalog keeps serving the batch lake —
+    * so the oracle comparison below proves the continuous path's LAKE
+    * BYTES reproduce the batch pipeline's, which is the at-least-once
+    * sink's correctness claim when no batch is replayed. */
+  private def buildStreamLake(spark: SparkSession): String = {
+    val accounts = (1 to 8).map(i =>
+      f"${100000000000L + i}%012d:Account $i:acct$i@example.com").mkString(",")
+    val raw = spark.read.format("graft.sources.TaCheckResultSource")
+      .option("accounts", accounts)
+      .option("checks", CheckRegistry.supported.map(_.id).mkString(","))
+      .option("date", "01-15-2024")
+      .option("datetime", "2024-01-15 09:00:00")
+      .load()
+    val work = Files.createTempDirectory("graft-q98-stream").toString
+    val landing = s"$work/landing"
+    // two landing files -> two micro-batches; append-mode JSON writes
+    // produce distinct part files under one watched dir
+    raw.filter(col("AccountId") <= "100000000004")
+      .coalesce(1).write.mode("append").json(landing)
+    raw.filter(col("AccountId") > "100000000004")
+      .coalesce(1).write.mode("append").json(landing)
+    val root = s"$work/lake"
+    Pipeline.ingestStream(spark, landing, Pipeline.Config(root),
+      s"$work/ckpt", maxFilesPerTrigger = Some(1))
+    root
+  }
+
+  /** q98: the continuous-ingest path must hash-equal the batch path. The
+    * Spark side aggregates the STREAMED lake's flagship check table with
+    * the view's money parse; the DuckDB oracle computes the identical
+    * aggregate from the BATCH pipeline's dump of the same stub corpus
+    * (q35's oracle SQL verbatim) — so any divergence between
+    * foreachBatch appends and the one-shot batch write (lost rows,
+    * duplicated appends, partition drift) hash-fails here. */
+  def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    ensureLake(spark) // the oracle reads the batch pipeline's dump
+    val root = builtStream.computeIfAbsent(spark, buildStreamLake(_))
+    spark.read.parquet(
+        graft.lake.Lake.detailsPath(root, CheckRegistry.lowUtilEc2))
+      .groupBy(col("accountid"))
+      .agg(count(lit(1)).as("n_flagged"),
+        sum(graft.functions.Functions.parseMoney(
+          col("`estimated monthly savings`"))).cast(DoubleType)
+          .as("total_savings"))
+      .orderBy("accountid")
+  }
+
   def taPipeline(spark: SparkSession, dir: String): DataFrame = {
     ensureLake(spark)
     spark.table("LowUtilizationAmazonEC2Instances_view")
@@ -120,6 +174,7 @@ object TaQueries {
 
   val queries: Map[String, Q] = Map(
     "q35_ta_pipeline" -> (taPipeline _),
+    "q98_stream_ingest" -> (streamIngest _),
     "q51_view_ebs" -> viewRows("UnderutilizedAmazonEBSVolumes_view"),
     "q52_view_elb" -> viewRows("IdleLoadBalancers_view"),
     "q53_view_rds" -> viewRows("AmazonRDSIdleDBInstances_view"),
@@ -152,6 +207,14 @@ object TaQueries {
 
   val oracles: Map[String, String] = Map(
     "q35_ta_pipeline" ->
+      s"""SELECT accountid, count(*) AS n_flagged,
+         CAST(sum(CAST(rtrim(replace(substr("estimated monthly savings", 2),
+             '$$', '')) AS DECIMAL(18,2))) AS DOUBLE) AS total_savings
+         FROM read_parquet('$dumpRoot/check_qch7dwoux1/*.parquet')
+         GROUP BY accountid ORDER BY accountid""",
+    // the STREAMED lake (Spark side) must reproduce the BATCH pipeline's
+    // lake: the oracle is q35's aggregate over the batch dump, verbatim
+    "q98_stream_ingest" ->
       s"""SELECT accountid, count(*) AS n_flagged,
          CAST(sum(CAST(rtrim(replace(substr("estimated monthly savings", 2),
              '$$', '')) AS DECIMAL(18,2))) AS DOUBLE) AS total_savings
