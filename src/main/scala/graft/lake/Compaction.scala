@@ -40,16 +40,18 @@ import org.apache.spark.sql.SparkSession
   * COMPACTION runs are excluded per partition by an exclusive-create
   * lock file (stale locks broken after 1 h).
   *
-  * Filesystem contract: [[compactTable]]'s swap/recovery guarantees
-  * assume ATOMIC DIRECTORY RENAME and atomic exclusive create — HDFS
-  * and POSIX filesystems deliver both. Raw object stores (S3A) emulate
-  * rename as per-object copy+delete, which breaks the all-old/all-new
-  * reader guarantee and the crash-state taxonomy — on those, use
-  * [[compactTableManifest]]: the [[ManifestCommit]] protocol's only
-  * atomic primitive is a single-object put-if-absent (an S3 conditional
-  * PUT), so its guarantees hold on any store, readers resolve file sets
-  * through the committed manifest instead of directory listing, and no
-  * lock is needed at all.
+  * Commit protocol: the DEFAULT ([[compactTable]]/[[compactLake]]) is
+  * the [[ManifestCommit]] path — its only atomic primitive is a
+  * single-object put-if-absent (an S3 conditional PUT), so ONE commit
+  * story holds on every store a 100 TB deployment actually runs on,
+  * lock-free, with no reader window; readers resolve file sets through
+  * the committed manifest ([[ManifestCommit.readTable]]). The older
+  * RENAME-SWAP path ([[compactTableRenameSwap]]) remains available
+  * behind its explicit name for HDFS/POSIX-only deployments that want
+  * plain directory-listing readers: its swap/recovery guarantees assume
+  * ATOMIC DIRECTORY RENAME and atomic exclusive create, which raw
+  * object stores (S3A per-object copy+delete) do NOT provide — never
+  * point it at one.
   */
 object Compaction {
 
@@ -308,14 +310,31 @@ object Compaction {
     }
   }
 
-  /** Compact every y/m/d partition of `tablePath` that holds more than
-    * `maxFiles` parquet data files, rewriting it into
-    * ceil(bytes / targetFileBytes) files. Returns one Report per
-    * rewritten partition. Parquet only — partitions without .parquet data
+  /** Compact every over-fragmented y/m/d partition of `tablePath` —
+    * the DEFAULT entry point, which commits through the
+    * [[ManifestCommit]] protocol ([[compactTableManifest]]): safe on
+    * any filesystem, lock-free, no reader window. */
+  def compactTable(spark: SparkSession, tablePath: String,
+      maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024,
+      gcGraceMs: Long = 15L * 60 * 1000): Seq[Report] =
+    compactTableManifest(spark, tablePath, maxFiles, targetFileBytes,
+      gcGraceMs)
+
+  /** Manifest-protocol [[compactLake]] — the default. */
+  def compactLake(spark: SparkSession, lakeRoot: String,
+      maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024,
+      gcGraceMs: Long = 15L * 60 * 1000): Seq[Report] =
+    tableRoots(spark, lakeRoot).flatMap(t =>
+      compactTableManifest(spark, t.toString, maxFiles, targetFileBytes,
+        gcGraceMs))
+
+  /** RENAME-SWAP compaction (HDFS/POSIX ONLY — see the object scaladoc):
+    * rewrites each over-fragmented partition and swaps it in with two
+    * directory renames. Parquet only — partitions without .parquet data
     * files (the CSV-fidelity lake reproduces reference bytes and must be
     * left exactly as written) are skipped, not corrupted. Also restores
     * any partition a previously crashed run left mid-swap. */
-  def compactTable(spark: SparkSession, tablePath: String,
+  def compactTableRenameSwap(spark: SparkSession, tablePath: String,
       maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024): Seq[Report] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -452,18 +471,19 @@ object Compaction {
     }
   }
 
-  /** Manifest-mode [[compactLake]]. */
+  /** Manifest-mode [[compactLake]] under its explicit name (alias of
+    * the default — kept so deployment scripts reading the round-5 README
+    * keep working). */
   def compactLakeManifest(spark: SparkSession, lakeRoot: String,
       maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024,
       gcGraceMs: Long = 15L * 60 * 1000): Seq[Report] =
-    tableRoots(spark, lakeRoot).flatMap(t =>
-      compactTableManifest(spark, t.toString, maxFiles, targetFileBytes, gcGraceMs))
+    compactLake(spark, lakeRoot, maxFiles, targetFileBytes, gcGraceMs)
 
-  /** Compact every check/summary/tags table of a lake root. */
-  def compactLake(spark: SparkSession, lakeRoot: String,
+  /** Rename-swap [[compactLake]] (HDFS/POSIX only). */
+  def compactLakeRenameSwap(spark: SparkSession, lakeRoot: String,
       maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024): Seq[Report] =
     tableRoots(spark, lakeRoot).flatMap(t =>
-      compactTable(spark, t.toString, maxFiles, targetFileBytes))
+      compactTableRenameSwap(spark, t.toString, maxFiles, targetFileBytes))
 
   /** Table roots of a lake: <root>/TA-Reports/<category>/<table>, <root>/Tags. */
   private def tableRoots(spark: SparkSession, lakeRoot: String): Seq[Path] = {

@@ -257,14 +257,56 @@ class TaPipelineSpec extends SparkSpec {
           !f.getName.startsWith("."))
     assert(nFiles(15) == 3, "precondition: 3 appends -> 3 files")
     val day16Before = nFiles(16)
-    val reports = Compaction.compactLake(spark, dir, maxFiles = 1)
+    // DEFAULT path = the manifest protocol (gc immediately so the plain
+    // listing read below converges to the committed set)
+    val reports = Compaction.compactLake(spark, dir, maxFiles = 1,
+      gcGraceMs = 0L)
     assert(reports.map(_.partition).forall(_.contains("day=15")),
       "only the fragmented partition is rewritten")
     assert(nFiles(15) == 1 && day16Before == nFiles(16))
+    // the default committed a MANIFEST version, not a rename swap
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(
+      s"$tablePath/year=2024/month=1/day=15")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(live,
+      graft.lake.ManifestCommit.LogDirName)),
+      "default compaction must commit through the manifest log")
     val after = spark.read.parquet(tablePath)
       .orderBy("accountid", "`instance id`", "day")
       .collect().map(_.toString).toSeq
     assert(after == before, "compaction must not change table contents")
+    // manifest-resolved readers agree with the listing after GC
+    val viaManifest = graft.lake.ManifestCommit.readTable(spark, tablePath)
+      .orderBy("accountid", "`instance id`", "day")
+      .collect().map(_.toString).toSeq
+    assert(viaManifest == before)
+    // a post-compaction APPEND is adopted into the next manifest commit
+    // and survives the next rewrite — the concurrent-appender story on
+    // the default path
+    Pipeline.ingest(rawDf, None, cfg)
+    Compaction.compactLake(spark, dir, maxFiles = 1, gcGraceMs = 0L)
+    val expected = before.size + 3 // one more rawDf ingest = 3 detail rows
+    assert(spark.read.parquet(tablePath).count() == expected)
+    assert(graft.lake.ManifestCommit.readTable(spark, tablePath).count()
+      == expected)
+  }
+
+  test("rename-swap compaction (HDFS path): crash between swap renames recovers") {
+    import graft.lake.Compaction
+    val dir = Files.createTempDirectory("graft-renameswap").toString
+    val cfg = Pipeline.Config(dir, Seq(CheckRegistry.lowUtilEc2))
+    Pipeline.ingest(rawDf, None, cfg)
+    Pipeline.ingest(rawDf, None, cfg)
+    val tablePath = s"$dir/TA-Reports/cost_optimizing/check_qch7dwoux1"
+    val before = spark.read.parquet(tablePath)
+      .orderBy("accountid", "`instance id`", "day")
+      .collect().map(_.toString).toSeq
+    val reports = Compaction.compactLakeRenameSwap(spark, dir, maxFiles = 1)
+    assert(reports.nonEmpty)
+    assert(spark.read.parquet(tablePath)
+      .orderBy("accountid", "`instance id`", "day")
+      .collect().map(_.toString).toSeq == before)
     // crash recovery: simulate a run that died between the two swap
     // renames — the partition exists only as the hidden .retired dir; the
     // next compaction pass must restore it, not lose it
@@ -275,7 +317,7 @@ class TaPipelineSpec extends SparkSpec {
     val retired = new org.apache.hadoop.fs.Path(
       s"$tablePath/year=2024/month=1/.day=15.retired")
     assert(fs.rename(live, retired))
-    Compaction.compactLake(spark, dir, maxFiles = 1)
+    Compaction.compactLakeRenameSwap(spark, dir, maxFiles = 1)
     assert(fs.exists(live) && !fs.exists(retired),
       "interrupted swap must be restored")
     val restored = spark.read.parquet(tablePath)
@@ -317,7 +359,7 @@ class TaPipelineSpec extends SparkSpec {
     Pipeline.ingest(rawDf, None, cfg)
     Pipeline.ingest(rawDf, None, cfg)
     val tablePath = s"$dir/TA-Reports/cost_optimizing/check_qch7dwoux1"
-    Compaction.compactTable(spark, tablePath, maxFiles = 1)
+    Compaction.compactTableRenameSwap(spark, tablePath, maxFiles = 1)
     val before = spark.read.parquet(tablePath).count()
     val fs = new Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -341,7 +383,7 @@ class TaPipelineSpec extends SparkSpec {
     val out = fs.create(manifest, true)
     out.write("consumed-original.parquet".getBytes("UTF-8")); out.close()
     // recover (piggybacks on the next compaction pass over the table)
-    Compaction.compactTable(spark, tablePath, maxFiles = 100)
+    Compaction.compactTableRenameSwap(spark, tablePath, maxFiles = 100)
     assert(!fs.exists(retired), "retired dir must be cleaned up")
     assert(!fs.exists(manifest), "manifest must be cleaned up")
     assert(fs.exists(new Path(live, "part-concurrent-append.parquet")),
@@ -393,7 +435,7 @@ class TaPipelineSpec extends SparkSpec {
     fs.mkdirs(new Path(retired, "_temporary/0/task-attempt"))
     fs.createNewFile(new Path(retired, "_temporary/0/task-attempt/part-inflight"))
 
-    Compaction.compactTable(spark, tablePath, maxFiles = 100)
+    Compaction.compactTableRenameSwap(spark, tablePath, maxFiles = 100)
     assert(!fs.exists(nested), "nested staged dir must be folded into live")
     assert(!fs.exists(retired), "retired dir must be cleaned up")
     assert(fs.exists(appended), "the racing append must survive")
