@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   *    size-gated verify join exist for; super-linear pair growth is
   *    expected (pairs ~ k^2 per cluster) but bounded by the caps.
   *
-  * Usage: runMain graft.ScaleSmoke [sfDir] [k]. Prints one JSON line per
-  * measurement; not part of the driver contract (Bench stays the graded
-  * artifact). */
+  * Usage: runMain graft.ScaleSmoke [sfDir] [k] [section]. Prints one
+  * JSON line per measurement; not part of the driver contract (Bench
+  * stays the graded artifact). `section` (dedup|ann|recall|skew)
+  * restricts to one experiment family. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = if (args.length > 1) args(1).toInt else 8
+    val only: Option[String] = if (args.length > 2) Some(args(2)) else None
+    def enabled(section: String): Boolean = only.forall(_ == section)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,13 +67,15 @@ object ScaleSmoke {
         f""""labeled":$nComp,"pairs_sec":$tPairs%.2f,"cc_sec":$tComp%.2f}""")
     }
 
-    // JIT/codegen warm-up so base_1x doesn't carry first-call cost
-    graft.ops.Dedup.minhashLshPairs(replicate(1, perturb = true).limit(200)).count()
-    spark.catalog.clearCache(); base.cache(); base.count()
+    if (enabled("dedup")) {
+      // JIT/codegen warm-up so base_1x doesn't carry first-call cost
+      graft.ops.Dedup.minhashLshPairs(replicate(1, perturb = true).limit(200)).count()
+      spark.catalog.clearCache(); base.cache(); base.count()
 
-    time("base_1x", replicate(1, perturb = true), n)
-    time(s"clean_${k}x", replicate(k, perturb = true), n * k)
-    time(s"adversarial_${k}x", replicate(k, perturb = false), n * k)
+      time("base_1x", replicate(1, perturb = true), n)
+      time(s"clean_${k}x", replicate(k, perturb = true), n * k)
+      time(s"adversarial_${k}x", replicate(k, perturb = false), n * k)
+    }
 
     // ANN / semantic-dedup scaling: replicate the embeddings with a
     // per-replica perturbation (distinct after 1e7 quantization), and
@@ -110,8 +115,10 @@ object ScaleSmoke {
         f""""ivfpq_sec":$tIvfpq%.2f,"search_sec":$tSearch%.2f,""" +
         f""""semdedup_sec":$tSem%.2f}""")
     }
-    timeAnn("ann_1x", 1, 8)
-    timeAnn(s"ann_${k}x", k, 8 * k)
+    if (enabled("ann")) {
+      timeAnn("ann_1x", 1, 8)
+      timeAnn(s"ann_${k}x", k, 8 * k)
+    }
 
     // retrieval QUALITY at scale: recall@10 of the compressed searches
     // against the exact scan — raw ADC vs the exact-rerank lever — at 1x
@@ -145,8 +152,69 @@ object ScaleSmoke {
         f""""recall_ivfpq_rerank100":$rr%.3f,"recall_lsh8":$lsh%.3f,""" +
         f""""rerank_search_sec":$tRr%.2f}""")
     }
-    timeRecall("recall_1x", 1, 8)
-    timeRecall(s"recall_${k}x", k, 8 * k)
+    if (enabled("recall")) {
+      timeRecall("recall_1x", 1, 8)
+      timeRecall(s"recall_${k}x", k, 8 * k)
+    }
+
+    // SKEWED-corpus evidence: ~25% of all rows land on ONE join key
+    // (~130x a normal key) and fan out 64-way through a sort-merge join.
+    // Same query twice: with AQE's runtime skew split vs with the split
+    // disabled (the unsplit plan serializes the hot partition through
+    // one reducer). Thresholds lowered exactly like PlanSpec's pin so
+    // the toy corpus trips the split a 100 TB hot key trips at defaults.
+    def timeSkew(label: String, times: Int): Unit = {
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128KB")
+      val prev = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      try {
+        // ~90% of all rows on ONE key (PlanSpec's q39-amplified shape).
+        // AQE splits a skewed partition by upstream MAP-BLOCK ranges, so
+        // the split granularity is bounded by the mapper count — 64 here
+        // stands in for the thousands a real cluster's scan stage has
+        // (the cached toy base would otherwise produce a handful).
+        val skewed = replicate(times, perturb = true)
+          .select(col("doc_id"), col("text"),
+            when(col("doc_id") % 10 < 9, lit(0L))
+              .otherwise(pmod(col("doc_id"), lit(397L))).as("key"))
+          .repartition(64)
+        val dim = spark.range(397).select(col("id").as("key"),
+          explode(sequence(lit(0), lit(127))).as("slot"))
+        def run(split: Boolean): (Double, Long) = {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", split.toString)
+          val t0 = System.nanoTime()
+          // per-joined-row md5 makes the hot partition's cost REAL: the
+          // unsplit plan funnels every hot-key row through one reducer's
+          // join+hash+aggregate pipeline; the split spreads exactly that
+          val r = graft.ops.Skew.aqeSkewJoin(skewed, dim, Seq("key"))
+            .agg(sum(length(md5(concat(col("text"),
+              col("slot").cast("string"))))).as("s"),
+              count(lit(1)).as("joined"))
+            .head
+          ((System.nanoTime() - t0) / 1e9, r.getLong(1))
+        }
+        run(split = true) // JIT/codegen warm-up, untimed
+        val (tSplit, n1) = run(split = true)
+        val (tUnsplit, n2) = run(split = false)
+        require(n1 == n2, s"skew split changed the answer: $n1 vs $n2")
+        println(f"""{"experiment":"$label","rows":${n * times},""" +
+          f""""joined":$n1,"split_sec":$tSplit%.2f,""" +
+          f""""unsplit_sec":$tUnsplit%.2f}""")
+      } finally {
+        prev.foreach {
+          case (c, Some(v)) => spark.conf.set(c, v)
+          case (c, None) => spark.conf.unset(c)
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      }
+    }
+    if (enabled("skew")) {
+      timeSkew("skew_1x", 1)
+      timeSkew(s"skew_${k}x", k)
+    }
     spark.stop()
   }
 }
