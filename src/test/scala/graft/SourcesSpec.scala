@@ -112,6 +112,80 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.contains("estimated monthly savings"))
   }
 
+  test("CSV fidelity: golden byte-level comparison against the reference layout") {
+    // The reference writes each detail file with Python's csv.writer
+    // (extract-ta-data-lambda.py:56-67,159-183): header row from the
+    // Header_<CheckId> env var + one row per warning/error resource,
+    // fields comma-stripped, no quoting triggered on benign values. This
+    // golden test hand-builds those EXACT bytes for one EC2 document and
+    // compares our fidelity CSV line by line. Documented deviations
+    // (COVERAGE.md "Known fidelity deviations"): the reference terminates
+    // lines with \r\n (csv.writer default) where Spark's univocity
+    // writer emits \n (its lineSep option is limited to one character);
+    // header case is lowercased at ingest (the reference's crawler
+    // lowercases at CATALOG level instead); and files are named
+    // part-*.csv under Hive-style year=/month=/day= dirs rather than
+    // checkId_accountId_date_HH-MM-SS.csv under y/m/d
+    // (extract-ta-data-lambda.py:100-114) — content bytes, not names,
+    // are the fidelity contract here.
+    val doc =
+      s"""{"result":{"checkId":"Qch7DwouX1","status":"warning",
+         "resourcesSummary":{"resourcesProcessed":120,"resourcesFlagged":14,
+           "resourcesIgnored":1,"resourcesSuppressed":2},
+         "categorySpecificSummary":{"costOptimizing":{
+           "estimatedMonthlySavings":1234.56,"estimatedPercentMonthlySavings":0.17}},
+         "flaggedResources":[
+           {"status":"warning","region":"us-east-1","resourceId":"r1",
+            "isSuppressed":false,"metadata":["us-east-1a","i-0aaa","web-1",
+            "t3.large","$$55.30",${(1 to 14).map(d => s""""$d.0%"""").mkString(",")},
+            "2.8%","0.55%","14 days"]},
+           {"status":"error","region":"us-east-1","resourceId":"r3",
+            "isSuppressed":false,"metadata":["us-east-1b","i-comma","db-1",
+            "m5.xlarge","$$1,234.50",${(1 to 14).map(d => s""""$d.0%"""").mkString(",")},
+            "9.9%","0.75%","7 days"]}]}}"""
+    val raw = Seq((doc, "01-15-2024", "2024-01-15 09:00:00",
+      "Low Utilization Amazon EC2 Instances",
+      "123456789012", "Acme Corp", "ops@acme.example"))
+      .toDF("json", "Date", "DateTime", "CheckName",
+        "AccountId", "AccountName", "AccountEmail")
+    val root = Files.createTempDirectory("graft-csvgolden").toString
+    Lake.writeDetails(TaIngest.details(raw, CheckRegistry.lowUtilEc2),
+      root, CheckRegistry.lowUtilEc2, csvFidelity = true)
+    // the reference bytes, hand-built (header verbatim from
+    // template:450-471; the $1,234.50 money cell comma-stripped by
+    // :175's replace)
+    val expectedHeader = "Date,DateTime,CheckName,Status,Region,AZ," +
+      "Instance Id,Instance Name,Instance Type,Estimated Monthly Savings," +
+      (1 to 13).map(d => s"Day$d").mkString(",") + ",Day14 Latest Day," +
+      "14-Day Average CPU Utilization,14-Day Average Network I/O," +
+      "Number of Days Low Utilization,AccountId,AccountName,AccountEmail"
+    val days = (1 to 14).map(d => s"$d.0%").mkString(",")
+    val row1 = "01-15-2024,2024-01-15 09:00:00," +
+      "Low Utilization Amazon EC2 Instances,warning,us-east-1,us-east-1a," +
+      s"i-0aaa,web-1,t3.large,$$55.30,$days,2.8%,0.55%,14 days," +
+      "123456789012,Acme Corp,ops@acme.example"
+    val row2 = "01-15-2024,2024-01-15 09:00:00," +
+      "Low Utilization Amazon EC2 Instances,error,us-east-1,us-east-1b," +
+      s"i-comma,db-1,m5.xlarge,$$1234.50,$days,9.9%,0.75%,7 days," +
+      "123456789012,Acme Corp,ops@acme.example"
+    val partDir = new java.io.File(
+      s"$root/TA-Reports/cost_optimizing/check_qch7dwoux1/year=2024/month=1/day=15")
+    val parts = partDir.listFiles()
+      .filter(f => f.getName.endsWith(".csv") && f.length() > 0)
+    assert(parts.nonEmpty, s"no CSV part files under $partDir")
+    val content = parts.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(!content.contains('\r'),
+      "line-ending deviation is \\n, not a stray \\r mix")
+    // byte-level: the full content must be exactly header + the two rows
+    // (either order — the rebalance write does not pin row order)
+    val lc = expectedHeader.toLowerCase
+    val perm1 = s"$lc\n$row1\n$row2\n"
+    val perm2 = s"$lc\n$row2\n$row1\n"
+    assert(content == perm1 || content == perm2,
+      s"fidelity CSV bytes diverged from the reference layout:\n$content")
+  }
+
   test("retry policy: exponential backoff, bounded attempts, selective") {
     import graft.sources.Retry
     val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
