@@ -281,6 +281,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 retrieval ops: bounded aggregators and broadcasts, no window sorts") {
+    // q99: the whole-batch hybrid fuse must run through the bounded
+    // per-query top-k aggregators — a PARTITION BY query_id window
+    // would funnel a corpus-sized candidate set into one sort task per
+    // query, exactly what hybridSearchBatch exists to avoid
+    val p99 = plan("q99_hybrid_batch")
+    assert(!p99.contains("Window"),
+      s"hybrid batch must not plan per-query window sorts:\n$p99")
+    assert(p99.contains("BroadcastHashJoin"),
+      "the (query, term) fan-out and query-vector joins must broadcast")
+    assert(!p99.contains("CartesianProduct"))
+    // q100: multi-table LSH — bucket probe, candidate dedup, and
+    // vector fetch are all broadcast equi-joins; candidates never
+    // cartesian against the corpus
+    val p100 = plan("q100_ann_lsh_multi")
+    assert(p100.contains("BroadcastHashJoin") &&
+      !p100.contains("CartesianProduct"))
+    // q101/q102: the exact re-rank fetches shortlist vectors via
+    // broadcast equi-joins — the corpus is never shuffled for the
+    // refine step
+    for (q <- Seq("q101_ann_pq_rerank", "q102_ann_ivfpq_rerank")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"), s"$q rerank plan regressed:\n$p")
+    }
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
