@@ -447,13 +447,6 @@ object Similarity {
     cb.toDF("sub", "code", "cbv")
   }
 
-  /** Hash-rank-sampled codebook as a broadcastable frame (zero Lloyd
-    * refinement — see [[refineCodebook]] for the trained form). */
-  private def sampledCodebook(df: DataFrame, vecCol: String, m: Int,
-      subDim: Int, codesPerSub: Int): DataFrame =
-    codebookDf(df.sparkSession,
-      sampleCodebookSeq(df, vecCol, m, subDim, codesPerSub))
-
   /** Per-subspace Lloyd refinement of a PQ codebook — k-means in each of
     * the m subspaces run as ONE Spark job per iteration (the subspace id
     * rides in the grouping key): assign every (vector, subspace) to its
@@ -553,11 +546,14 @@ object Similarity {
 
   /** Build the IVF-PQ index: train the coarse quantizer (on the
     * hash-sample when `trainSampleMod` > 1), assign cells, compute
-    * residuals, sample the residual codebook, and PQ-encode the corpus.
-    * Everything heavy here happens ONCE per corpus version. */
+    * residuals, sample the residual codebook (Lloyd-refined per
+    * subspace when `cbTrainIters` > 0 — [[refineCodebook]] over the
+    * residuals, the trained-product-quantizer production form), and
+    * PQ-encode the corpus. Everything heavy here happens ONCE per
+    * corpus version. */
   def buildIvfPq(emb: DataFrame, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
-      dim: Int = 64): IvfPqIndex = {
+      dim: Int = 64, cbTrainIters: Int = 0): IvfPqIndex = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
     val e = tracked(withNorm(emb))
@@ -568,7 +564,12 @@ object Similarity {
         .select(col("vec_id"), col("cell"),
           zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("rv")))
     // residual codebook + per-(vector, cell) codes — the shared PQ kit
-    val codebook = sampledCodebook(res, "rv", m, subDim, codesPerSub)
+    val cb0 = sampleCodebookSeq(res, "rv", m, subDim, codesPerSub)
+    val cbSeq =
+      if (cbTrainIters <= 0) cb0
+      else refineCodebook(subRows(res, "rv", Seq("vec_id"), m, subDim),
+        cb0, cbTrainIters, subDim)
+    val codebook = codebookDf(e.sparkSession, cbSeq)
     val encoded = tracked(encodeCodes(res, "rv", Seq("vec_id", "cell"),
       codebook, m, subDim))
     IvfPqIndex(e, cent, codebook, encoded, m, codesPerSub, subDim)
@@ -594,9 +595,9 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
-      dim: Int = 64, rerank: Int = 0): DataFrame =
+      dim: Int = 64, rerank: Int = 0, cbTrainIters: Int = 0): DataFrame =
     searchIvfPq(buildIvfPq(emb, nCells, trainIters, trainSampleMod,
-      m, codesPerSub, dim), nQueries, k, nprobe, rerank)
+      m, codesPerSub, dim, cbTrainIters), nQueries, k, nprobe, rerank)
 
   /** Search a prebuilt [[IvfPqIndex]]: probes, per-(query, cell) ADC
     * tables, and the compressed-candidate scoring — no training, no

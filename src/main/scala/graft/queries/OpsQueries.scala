@@ -99,6 +99,12 @@ object OpsQueries {
     "q102_ann_ivfpq_rerank" -> ((s, d) =>
       Similarity.ivfPqTopK(emb(s, d), rerank = 50)
         .orderBy("query_id", "rank")),
+    // IVF-PQ with a Lloyd-TRAINED residual codebook (2 iterations over
+    // the residual subvectors) — the trained-product-quantizer form,
+    // completing the q94 training story for the composed index
+    "q104_ann_ivfpq_trained" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d), cbTrainIters = 2)
+        .orderBy("query_id", "rank")),
     "q36_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d)).orderBy("query_id", "rank")),
     // the 100 TB training shape: Lloyd iterations scan only the
@@ -665,9 +671,38 @@ object OpsQueries {
   /** IVF-PQ oracle: k-means chain over `corpusPred`'s rows, residual
     * codebook + codes, then the probe/ADC tail over `queryCte` (a CTE
     * chain ending in `q(query_id, qqv, qnsq)` — corpus members for q87,
-    * independently quantized fresh vectors for q95). */
+    * independently quantized fresh vectors for q95). `cbTrainIters` > 0
+    * Lloyd-refines the residual codebook (mirror of
+    * Similarity.refineCodebook over residual subvectors: argmin
+    * assignment keyed (vec_id, sub) with code tie-break,
+    * positive-offset integer floor-division centroid update, codes that
+    * lose all members keep their previous entry). */
   private def ivfPqOracle(corpusPred: String, queryCte: String,
-      excludeSelf: Boolean = true, rerank: Int = 0): String = {
+      excludeSelf: Boolean = true, rerank: Int = 0,
+      cbTrainIters: Int = 0): String = {
+    def assign(cbn: String, out: String) =
+      s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
+         SELECT rsv.vec_id, rsv.sub, rsv.sqv, cb.code,
+           row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
+             ORDER BY ${dot8("rsv.sqv", "rsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
+               - 2*${dot8("rsv.sqv", "cb.cbv")}, cb.code) AS rn
+         FROM rsv JOIN $cbn cb ON rsv.sub = cb.sub) WHERE rn = 1)"""
+    def update(an: String, prev: String, out: String) =
+      s"""${out}_u AS (SELECT sub, code, d,
+           CAST((sum(sqv[d] + 1073741824) // count(*)) - 1073741824 AS BIGINT)
+             AS cv
+         FROM $an, generate_series(1, 8) g(d) GROUP BY sub, code, d),
+         ${out}_c AS (SELECT sub, code, list(cv ORDER BY d) AS cbv
+           FROM ${out}_u GROUP BY sub, code),
+         $out AS (SELECT * FROM ${out}_c UNION ALL
+           SELECT p.sub, p.code, p.cbv FROM $prev p
+           WHERE NOT EXISTS (SELECT 1 FROM ${out}_c c
+             WHERE c.sub = p.sub AND c.code = p.code))"""
+    val train = (1 to cbTrainIters).map { i =>
+      val prev = s"rcb${i - 1}"
+      s"${assign(prev, s"rpa$i")},\n${update(s"rpa$i", prev, s"rcb$i")}"
+    }.mkString(",\n")
+    val cbF = s"rcb$cbTrainIters"
     s"""WITH ${kmeansChain(1, corpusPred)},
        res AS (SELECT a.vec_id, a.cell,
            list_transform(generate_series(1, 64),
@@ -676,12 +711,14 @@ object OpsQueries {
        samp AS (SELECT rv, rn FROM (SELECT rv, row_number()
            OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM res)
          WHERE rn <= 16),
-       cb AS (SELECT g.s AS sub, samp.rn - 1 AS code,
+       rcb0 AS (SELECT g.s AS sub, samp.rn - 1 AS code,
            list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS cbv
          FROM samp, generate_series(0, 7) g(s)),
        rsv AS (SELECT vec_id, cell, g.s AS sub,
            list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS sqv
          FROM res, generate_series(0, 7) g(s)),
+       ${if (cbTrainIters > 0) train + "," else ""}
+       cb AS (SELECT * FROM $cbF),
        enc AS (SELECT vec_id, cell, sub, code FROM (
          SELECT rsv.vec_id, rsv.cell, rsv.sub, cb.code,
            row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
@@ -882,6 +919,10 @@ object OpsQueries {
     "q102_ann_ivfpq_rerank" -> ivfPqOracle("TRUE",
       """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
            WHERE vec_id < 10)""", rerank = 50),
+    // IVF-PQ with the residual codebook Lloyd-refined for 2 iterations
+    "q104_ann_ivfpq_trained" -> ivfPqOracle("TRUE",
+      """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
+           WHERE vec_id < 10)""", cbTrainIters = 2),
     // same MinHash+LSH chain, over the 80%-mutated corpus; the Spark side
     // differs only in WHERE the verify semi join's id set travels
     // (shuffle, not broadcast), which must not change a single pair

@@ -57,9 +57,12 @@ class RecallSpec extends SparkSpec {
       rerank = 50))
     val ivfpqR = recall(Similarity.ivfPqTopK(emb, nQueries = nQ, k = k,
       nprobe = 4, rerank = 50))
+    val ivfpqTR = recall(Similarity.ivfPqTopK(emb, nQueries = nQ, k = k,
+      nprobe = 4, rerank = 50, cbTrainIters = 2))
     info(f"recall@$k on $sfDir: lsh=$lsh%.3f ivf2=$ivf2%.3f ivf4=$ivf4%.3f " +
       f"pq=$pq%.3f pqT=$pqT%.3f ivfpq2=$ivfpq2%.3f ivfpq4=$ivfpq4%.3f " +
-      f"lshM8=$lshM%.3f pqR50=$pqR%.3f ivfpq4R50=$ivfpqR%.3f")
+      f"lshM8=$lshM%.3f pqR50=$pqR%.3f ivfpq4R50=$ivfpqR%.3f " +
+      f"ivfpq4TR50=$ivfpqTR%.3f")
     // floors: measured-minus-margin (see BASELINE.md recall table). The
     // fixture embeddings are near-ISOTROPIC (mean pairwise cosine ~0,
     // std 0.125, top-1 ~0.37) — the adversarial regime where neighbors
@@ -82,6 +85,8 @@ class RecallSpec extends SparkSpec {
     assert(pqR > pq, "exact re-rank must beat raw ADC ranking")
     assert(ivfpqR >= 0.30, f"IVF-PQ+rerank recall collapsed: $ivfpqR%.3f")
     assert(ivfpqR > ivfpq4, "exact re-rank must beat raw ADC ranking")
+    assert(ivfpqTR >= 0.30,
+      f"trained IVF-PQ+rerank recall collapsed: $ivfpqTR%.3f")
     // IVF candidates at nprobe=4 are a superset of nprobe=2's and scoring
     // is the exact cosine, so recall is provably monotone in nprobe (a
     // true top-k neighbor can only be displaced by another true top-k
