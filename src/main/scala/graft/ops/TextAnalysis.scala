@@ -297,6 +297,64 @@ object TextAnalysis {
           col("n_tokens").cast(DoubleType)).as("mean_token_tf"))
   }
 
+  /** Row-local bigram strings of a text column: "w1 w2" per adjacent
+    * token pair (tokens contain no spaces, so the join key is
+    * unambiguous). Empty for docs with fewer than 2 tokens. */
+  private def bigramsOf(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "),
+          element_at(t, (i + lit(1)).cast("int")))))
+      .otherwise(array())
+  }
+
+  /** Bigram language-model fluency score — the KenLM-style quality
+    * filter a training pipeline runs, integerized so the DuckDB oracle
+    * reproduces it bit-for-bit: per document, the mean conditional
+    * probability (in parts-per-million) of its bigrams under the
+    * corpus's own bigram model,
+    *
+    *   fluency_ppm = (sum over doc bigrams of
+    *                    bf_doc * ((C(w1 w2) * 1e6) div C(w1 ·)))
+    *                 div n_bigrams
+    *
+    * with C(w1 w2) the corpus bigram count and C(w1 ·) the count of w1
+    * as a bigram prefix. Docs whose word sequences follow corpus-common
+    * transitions score high; shuffled or glitchy text scores low —
+    * exactly the repetition/fluency axis the unigram score
+    * ([[unigramScore]]) cannot see. Docs with < 2 tokens emit
+    * n_bigrams = 0, fluency 0 (totality). C(w1 w2) * 1e6 stays inside
+    * int64 for any corpus below ~9e12 bigram occurrences of one pair.
+    *
+    * Shape at scale: bigram construction is ROW-LOCAL (a transform over
+    * the token array — zero shuffle before aggregation); the model is
+    * one hash aggregation over the (doc, bigram) pre-aggregation (the
+    * cached relation also feeds the score join, so the corpus is
+    * tokenized once); scoring shuffles doc-bigrams on the bigram key.
+    * The zipfian head is the usual skew: its rows pre-combine map-side
+    * in every aggregate, and the score join's hot prefixes broadcast
+    * (the model's head is tiny) or salt ([[Skew.saltedJoin]]) at web
+    * scale. */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val bgc = tracked(
+      docs.select(col("doc_id"), explode(bigramsOf(col("text"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("bf_doc")))
+    val corpus = bgc.groupBy(col("bg")).agg(sum(col("bf_doc")).as("cbg"))
+    val pre = corpus
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("cbg")).as("cpre"))
+    val scored = bgc.join(corpus, Seq("bg"))
+      .join(pre, split(col("bg"), " ").getItem(0) === col("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf_doc") * expr("(cbg * 1000000) div cpre")).as("mass"),
+        sum(col("bf_doc")).as("nbg"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nbg"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("mass div nbg"), lit(0L)).as("fluency_ppm"))
+  }
+
   /** Keyword search: rank documents against a bag of query terms by an
     * integer-exact tf-idf score — sum over matching terms of
     * tf_doc * (N div df), with N = corpus size and df the term's document

@@ -242,6 +242,11 @@ object OpsQueries {
     // LM-filter stand-in)
     "q76_unigram_score" -> ((s, d) =>
       TextAnalysis.unigramScore(docs(s, d)).orderBy("doc_id")),
+    // bigram LM fluency (KenLM-style filter, integer ppm): mean
+    // conditional probability of each doc's bigrams under the corpus's
+    // own bigram model — row-local bigram build, one model aggregation
+    "q105_bigram_score" -> ((s, d) =>
+      TextAnalysis.bigramScore(docs(s, d)).orderBy("doc_id")),
     // keyword search: integer tf-idf ranking, postings filtered before
     // any shuffle, top-k via TakeOrdered
     "q77_search" -> ((s, d) =>
@@ -1156,6 +1161,33 @@ object OpsQueries {
              CAST(sum(tf_doc) AS BIGINT) AS mean_token_tf
          FROM tf JOIN corpus USING (token)
          GROUP BY doc_id ORDER BY doc_id""",
+    // bigram fluency: row-local bigram lists, corpus bigram/prefix
+    // counts, exact integer ppm conditional probabilities
+    "q105_bigram_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, CAST(len(t) - 1 AS INT)),
+             i -> t[i] || ' ' || t[i + 1])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         bgc AS (SELECT doc_id, bg, count(*) AS bf_doc FROM bg
+           GROUP BY doc_id, bg),
+         corpus AS (SELECT bg, CAST(sum(bf_doc) AS BIGINT) AS cbg
+           FROM bgc GROUP BY bg),
+         pre AS (SELECT split_part(bg, ' ', 1) AS w1,
+             CAST(sum(cbg) AS BIGINT) AS cpre
+           FROM corpus GROUP BY 1),
+         scored AS (SELECT bgc.doc_id,
+             CAST(sum(bgc.bf_doc * ((corpus.cbg * 1000000) // pre.cpre))
+               AS BIGINT) AS mass,
+             CAST(sum(bgc.bf_doc) AS BIGINT) AS nbg
+           FROM bgc JOIN corpus USING (bg)
+             JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.w1
+           GROUP BY bgc.doc_id)
+         SELECT d.doc_id, coalesce(nbg, 0) AS n_bigrams,
+           coalesce(CAST(mass // nbg AS BIGINT), 0) AS fluency_ppm
+         FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+         ORDER BY d.doc_id""",
     "q77_search" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM (
            SELECT doc_id, unnest(string_split(text,' ')) AS token

@@ -656,6 +656,29 @@ class OpsSpec extends SparkSpec {
     assert(thrown.getMessage.contains("index dim"))
   }
 
+  test("bigramScore: fluent text outranks shuffled text; short docs total") {
+    val corpus = Seq(
+      // repeated common phrasing: bigrams recur across docs 0-2
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox sleeps near the lazy dog"),
+      (2L, "the quick brown cat jumps over the lazy dog"),
+      // same words as doc 0, shuffled: bigrams mostly unique
+      (3L, "dog the over quick lazy brown the jumps fox"),
+      (4L, "one"), // < 2 tokens: zero bigrams, zero score, still a row
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramScore(corpus).orderBy("doc_id").collect()
+    assert(out.length == 6, "every doc must emit a row (totality)")
+    val byId = out.map(x =>
+      x.getAs[Long]("doc_id") -> x.getAs[Long]("fluency_ppm")).toMap
+    assert(byId(0L) > byId(3L),
+      "corpus-fluent word order must outscore shuffled words")
+    assert(byId(4L) == 0L && byId(5L) == 0L)
+    assert(out.find(_.getAs[Long]("doc_id") == 4L).get
+      .getAs[Long]("n_bigrams") == 0L)
+    TextKit.releaseCaches()
+  }
+
   test("hybridSearchBatch: batch query equals the single-query form; empty batch total") {
     val dir = "/root/testdata/sf0.001"
     val fdocs = spark.read.parquet(s"$dir/documents.parquet")
