@@ -105,6 +105,14 @@ object OpsQueries {
     "q104_ann_ivfpq_trained" -> ((s, d) =>
       Similarity.ivfPqTopK(emb(s, d), cbTrainIters = 2)
         .orderBy("query_id", "rank")),
+    // STREAMING ANN admission against the prebuilt IVF-PQ index: the
+    // fresh 10% arrives as a stream and is scored against the
+    // compressed 90% corpus with row-local probe/ADC math (stream-legal
+    // — no aggregation before the stream-static cell join); emitted
+    // pairs equal the batch scored set under the same ADC gate
+    "q106_stream_ivfpq" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamIvfPqAdmission(s, d,
+        maxAdc = 125000000000000L)),
     "q36_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d)).orderBy("query_id", "rank")),
     // the 100 TB training shape: Lloyd iterations scan only the
@@ -684,7 +692,7 @@ object OpsQueries {
     * lose all members keep their previous entry). */
   private def ivfPqOracle(corpusPred: String, queryCte: String,
       excludeSelf: Boolean = true, rerank: Int = 0,
-      cbTrainIters: Int = 0): String = {
+      cbTrainIters: Int = 0, admitMaxAdc: Option[Long] = None): String = {
     def assign(cbn: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
          SELECT rsv.vec_id, rsv.sub, rsv.sqv, cb.code,
@@ -754,7 +762,12 @@ object OpsQueries {
            AND e0.code = qt.code
            ${if (excludeSelf) "AND e0.vec_id != qt.query_id" else ""}
          GROUP BY qt.query_id, e0.vec_id)${
-      if (rerank > 0)
+      if (admitMaxAdc.isDefined)
+        s"""
+       SELECT query_id, neighbor_id, adc FROM scored
+       WHERE adc <= ${admitMaxAdc.get}
+       ORDER BY query_id, neighbor_id"""
+      else if (rerank > 0)
         s""",
        ${rerankSql(rerank, "en")}"""
       else
@@ -928,6 +941,17 @@ object OpsQueries {
     "q104_ann_ivfpq_trained" -> ivfPqOracle("TRUE",
       """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
            WHERE vec_id < 10)""", cbTrainIters = 2),
+    // streamed admission == the batch scored set under the same gate
+    // (q95's external-query chain, threshold tail instead of top-k)
+    "q106_stream_ivfpq" -> ivfPqOracle(excludeSelf = false,
+      corpusPred = "vec_id % 10 != 0", queryCte =
+      s"""qf AS (SELECT vec_id,
+           list_transform(embedding, x -> ${TextKit.ducksql.quant("x")})
+             AS qqv
+           FROM embeddings WHERE vec_id % 10 = 0),
+         q AS (SELECT vec_id AS query_id, qqv,
+           ${dotL("qqv", "qqv")} AS qnsq FROM qf)""",
+      admitMaxAdc = Some(125000000000000L)),
     // same MinHash+LSH chain, over the 80%-mutated corpus; the Spark side
     // differs only in WHERE the verify semi join's id set travels
     // (shuffle, not broadcast), which must not change a single pair

@@ -230,6 +230,96 @@ object StreamingOps {
     ss.table(name).orderBy("vec_a", "vec_b")
   }
 
+  /** Streaming ANN admission against a PREBUILT IVF-PQ index — the
+    * continuous form of [[graft.ops.Similarity.searchIvfPqWith]]: the
+    * 90% corpus is indexed ONCE in batch (coarse centroids, residual
+    * codebook, 8-byte codes); the fresh 10% then arrives as a STREAM
+    * and each vector is scored against the compressed index with work
+    * proportional to the batch. Emits every (query, corpus candidate)
+    * pair from the query's `nprobe` nearest cells whose integer ADC
+    * distance is <= `maxAdc` — the admission gate a continuous ingest
+    * pipeline runs ("is this new document near anything we already
+    * hold?") without ever re-scanning or re-encoding the corpus.
+    *
+    * Stream legality is the design constraint and the point: a
+    * streaming DataFrame cannot aggregate before a join, so the probe
+    * and ADC stages — groupBys in the batch path — are re-expressed as
+    * PURE ROW-LOCAL expressions over the index's tiny driver-side
+    * state, embedded as literals (exactly the state a production
+    * executor would hold broadcast):
+    *  - cell probes: an array_sort over an 8-entry literal
+    *    (dist, cid) struct array, sliced to nprobe and exploded;
+    *  - the query residual: zip_with against the literal centroid
+    *    matrix indexed by the probed cell;
+    *  - ADC: per subspace, element_at into the literal codebook (the
+    *    candidate's stored code picks the entry) + an exact integer
+    *    zip_with/aggregate dot — no per-query distance TABLE needed.
+    * The only shuffle is the stream-static equi-join on cell id against
+    * the encoded corpus. All arithmetic mirrors the batch path's
+    * integers exactly, so on a finite source the emitted set equals the
+    * batch scored-candidate set under the same threshold
+    * (oracle-checked, q106). */
+  def streamIvfPqAdmission(spark: SparkSession, sfDir: String,
+      maxAdc: Long, nprobe: Int = 2): DataFrame = {
+    import graft.ops.{Similarity, TextKit}
+    val name = "stream_ivfpq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ix = Similarity.buildIvfPq(ss.read.schema(embSchema)
+      .parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 10 =!= 0))
+    val subDim = ix.subDim; val m = ix.m; val cps = ix.codesPerSub
+    // the index's driver-side state as literals: centroids (k x dim),
+    // centroid norms, the residual codebook (m*cps x subDim) and its
+    // per-entry norms — a few KB, the broadcast a real executor holds
+    val cents = ix.cent.orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cbook = ix.codebook.orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    require(cbook.length == m * cps, "codebook must be dense")
+    val centArr = typedLit(cents.map(_._2.toSeq).toSeq)
+    val cnorm = typedLit(cents.map(c => c._2.map(x => x * x).sum).toSeq)
+    val cbArr = typedLit(cbook.map(_._3.toSeq).toSeq)
+    val cbNorm = typedLit(cbook.map(e => e._3.map(x => x * x).sum).toSeq)
+    def dotLit(v: org.apache.spark.sql.Column,
+        w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(v, w, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val fresh = ss.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"),
+        TextKit.quantVec(col("embedding")).as("qqv"))
+      .withColumn("qnsq", dotLit(col("qqv"), col("qqv")))
+    // nprobe nearest cells, row-locally: literal centroid distances
+    val probeArr = array(cents.indices.map(i =>
+      struct((col("qnsq") + element_at(cnorm, i + 1) -
+        lit(2L) * dotLit(col("qqv"), element_at(centArr, i + 1))).as("dist"),
+        lit(cents(i)._1).as("cid"))): _*)
+    val probes = fresh
+      .select(col("query_id"), col("qqv"),
+        explode(slice(array_sort(probeArr), 1, nprobe)).as("dc"))
+      .select(col("query_id"), col("qqv"), col("dc.cid").as("cell"))
+      .withColumn("qrv", zip_with(col("qqv"),
+        element_at(centArr, (col("cell") + 1).cast("int")), (a, b) => a - b))
+    // stream-static equi-join on cell; ADC per candidate, row-locally
+    val adc = (0 until m).map { s =>
+      val idx = (lit(s * cps) + element_at(col("codes"), s + 1)).cast("int") + 1
+      val rs = slice(col("qrv"), s * subDim + 1, subDim)
+      dotLit(rs, rs) + element_at(cbNorm, idx) -
+        lit(2L) * dotLit(rs, element_at(cbArr, idx))
+    }.reduce(_ + _)
+    probes.join(ix.encoded, Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+      .filter(col("adc") <= maxAdc)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("query_id", "neighbor_id")
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long)
