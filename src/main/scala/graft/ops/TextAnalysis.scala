@@ -297,6 +297,52 @@ object TextAnalysis {
           col("n_tokens").cast(DoubleType)).as("mean_token_tf"))
   }
 
+  /** Synthesize REAL HTML pages from the documents fixture: the text is
+    * split across two <p> blocks and wrapped with genuine boilerplate —
+    * title, a nav with links, a script, a style, a footer. The markup
+    * is valid HTML any parser would read; [[extractHtmlText]] must
+    * genuinely strip it back out (the PGM/WAV synthesize-then-decode
+    * pattern applied to markup). */
+  def htmlFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>doc "), col("doc_id"), lit("</title>"),
+      lit("<style>p{margin:0}</style><script>var x=1;</script></head>"),
+      lit("<body><nav><a href=\"/\">home</a> <a href=\"/about\">about</a></nav>"),
+      lit("<p class=\"main\">"),
+      expr("substring(text, 1, length(text) div 2)"),
+      lit("</p><p>"),
+      expr("substring(text, length(text) div 2 + 1)"),
+      lit("</p><footer>copyright 2024</footer></body></html>")).as("html"))
+
+  /** HTML main-content extraction — the boilerplate-removal stage every
+    * web-crawl training pipeline runs (readability/trafilatura's job),
+    * as pure column expressions: script/style blocks are deleted FIRST
+    * (their payloads are code, not text — an all-tag strip alone would
+    * leak them into the output), the main text is the concatenation of
+    * <p> block contents, and `boilerplate_permille` measures how much
+    * of the page's visible text was chrome (nav/title/footer) — the
+    * quality signal crawl filters threshold on. Zero UDFs, zero
+    * shuffles: one codegen'd projection per page, so the op runs at
+    * scan speed on any corpus size. */
+  def extractHtmlText(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("clean", expr(
+        """regexp_replace(regexp_replace(html,
+           '(?s)<script[^>]*>.*?</script>', ''),
+           '(?s)<style[^>]*>.*?</style>', '')"""))
+      .withColumn("main_text", expr(
+        "array_join(regexp_extract_all(clean, '(?s)<p[^>]*>(.*?)</p>', 1), '')"))
+      .withColumn("title",
+        expr("regexp_extract(clean, '<title>(.*?)</title>', 1)"))
+      .withColumn("n_links",
+        expr("CAST(size(regexp_extract_all(clean, '<a ', 0)) AS BIGINT)"))
+      .withColumn("stripped_len", expr(
+        "CAST(length(regexp_replace(clean, '<[^>]*>', '')) AS BIGINT)"))
+      .select(col("doc_id"), col("main_text"), col("title"), col("n_links"),
+        col("stripped_len"),
+        expr("1000 - (CAST(length(main_text) AS BIGINT) * 1000 div stripped_len)")
+          .as("boilerplate_permille"))
+
   /** Row-local bigram strings of a text column: "w1 w2" per adjacent
     * token pair (tokens contain no spaces, so the join key is
     * unambiguous). Empty for docs with fewer than 2 tokens. */

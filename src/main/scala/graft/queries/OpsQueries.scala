@@ -255,6 +255,12 @@ object OpsQueries {
     // own bigram model — row-local bigram build, one model aggregation
     "q105_bigram_score" -> ((s, d) =>
       TextAnalysis.bigramScore(docs(s, d)).orderBy("doc_id")),
+    // HTML boilerplate removal: real markup synthesized from the text,
+    // extraction must recover the text exactly (cross-representation
+    // oracle — DuckDB recomputes from the text, never sees the HTML)
+    "q107_html_extract" -> ((s, d) =>
+      TextAnalysis.extractHtmlText(
+        TextAnalysis.htmlFromDocuments(docs(s, d))).orderBy("doc_id")),
     // keyword search: integer tf-idf ranking, postings filtered before
     // any shuffle, top-k via TakeOrdered
     "q77_search" -> ((s, d) =>
@@ -1212,6 +1218,20 @@ object OpsQueries {
            coalesce(CAST(mass // nbg AS BIGINT), 0) AS fluency_ppm
          FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
          ORDER BY d.doc_id""",
+    // the oracle never parses HTML: it recomputes every extracted field
+    // from the SOURCE text plus the wrapper's fixed boilerplate lengths
+    // ('home about' = 10 visible chars, 'copyright 2024' = 14), so only
+    // a genuinely correct markup strip can match
+    "q107_html_extract" ->
+      """SELECT doc_id, text AS main_text,
+           'doc ' || doc_id AS title,
+           CAST(2 AS BIGINT) AS n_links,
+           CAST(len('doc ' || doc_id) + 10 + len(text) + 14 AS BIGINT)
+             AS stripped_len,
+           CAST(1000 - (CAST(len(text) AS BIGINT) * 1000 //
+             (len('doc ' || doc_id) + 10 + len(text) + 14)) AS BIGINT)
+             AS boilerplate_permille
+         FROM documents ORDER BY doc_id""",
     "q77_search" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM (
            SELECT doc_id, unnest(string_split(text,' ')) AS token

@@ -656,6 +656,23 @@ class OpsSpec extends SparkSpec {
     assert(thrown.getMessage.contains("index dim"))
   }
 
+  test("extractHtmlText: recovers text exactly, drops script/style, empty total") {
+    val d = Seq((0L, "some plain document words here"), (1L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.extractHtmlText(TextAnalysis.htmlFromDocuments(d))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("main_text") == "some plain document words here")
+    assert(out(0).getAs[String]("title") == "doc 0")
+    assert(out(0).getAs[Long]("n_links") == 2L)
+    // script/style payloads must never leak into visible text
+    assert(!out(0).getAs[String]("main_text").contains("var x"))
+    assert(out(0).getAs[Long]("stripped_len") ==
+      "doc 0".length + 10L + 30L + 14L)
+    // empty document: extraction is total, page is all boilerplate
+    assert(out(1).getAs[String]("main_text") == "")
+    assert(out(1).getAs[Long]("boilerplate_permille") == 1000L)
+  }
+
   test("bigramScore: fluent text outranks shuffled text; short docs total") {
     val corpus = Seq(
       // repeated common phrasing: bigrams recur across docs 0-2
