@@ -215,6 +215,46 @@ object ScaleSmoke {
       timeSkew("skew_1x", 1)
       timeSkew(s"skew_${k}x", k)
     }
+
+    // BATCHED hybrid retrieval: 16 queries fused in ONE corpus pass vs
+    // 16 sequential single-query hybridSearch calls on the same corpus.
+    // The claim: the batch pays the corpus scans once (postings filter,
+    // vector stream), so wall time per query collapses as the batch
+    // grows — the production reason hybridSearchBatch exists.
+    if (enabled("hybrid")) {
+      import org.apache.spark.sql.DataFrame
+      val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val termPool = Seq("table", "join", "fast", "scan", "merge", "sort",
+        "stream", "window", "hash", "filter", "group", "order", "key",
+        "row", "batch", "vector")
+      val nQ = 16
+      val qs = {
+        import spark.implicits._
+        (0 until nQ).map(i =>
+          (i.toLong, Seq(termPool(i), termPool((i + 3) % 16)), i.toLong))
+          .toDF("query_id", "terms", "qvec_id")
+      }
+      // warm-up (JIT + parquet footers)
+      graft.ops.Similarity.hybridSearchBatch(docsAll, embAll, qs.limit(1)).count()
+      val t0 = System.nanoTime()
+      val nBatch = graft.ops.Similarity
+        .hybridSearchBatch(docsAll, embAll, qs).count()
+      val tBatch = (System.nanoTime() - t0) / 1e9
+      graft.ops.TextKit.releaseCaches()
+      val t1 = System.nanoTime()
+      var nSeq = 0L
+      for (i <- 0 until nQ) {
+        nSeq += graft.ops.Similarity.hybridSearch(docsAll, embAll,
+          Seq(termPool(i), termPool((i + 3) % 16)), queryVecId = i.toLong)
+          .count()
+        graft.ops.TextKit.releaseCaches()
+      }
+      val tSeq = (System.nanoTime() - t1) / 1e9
+      println(f"""{"experiment":"hybrid_batch","queries":$nQ,""" +
+        f""""batch_rows":$nBatch,"seq_rows":$nSeq,""" +
+        f""""batch_sec":$tBatch%.2f,"sequential_sec":$tSeq%.2f}""")
+    }
     spark.stop()
   }
 }
