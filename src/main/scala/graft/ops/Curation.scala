@@ -47,4 +47,39 @@ object Curation {
       .filter(TextAnalysis.sampleKeep(pctByLang, defaultPct))
     Export.shardSummary(sampled, "doc_id", nShards, charsCol = "n_chars_norm")
   }
+
+  /** WEB-CRAWL curation: markup in, training shards out — the
+    * crawl-side composition of the extraction/quality kit:
+    *
+    *  1. boilerplate removal ([[TextAnalysis.extractHtmlText]] — narrow
+    *     codegen'd projections) and the chrome gate
+    *     (`boilerplate_permille` <= `maxBoilerPermille`: pages that are
+    *     mostly navigation/footer are dropped before anything else
+    *     touches them);
+    *  2. bigram-fluency gate ([[TextAnalysis.bigramScore]] fit on the
+    *     gate SURVIVORS — corpus statistics come from cleaned text, the
+    *     CCNet ordering, so chrome never pollutes the language model);
+    *  3. exact dedup on the extracted body (one hash aggregation,
+    *     min-id canonical rides inside via min_by);
+    *  4. the per-shard export manifest ([[Export.shardSummary]]).
+    *
+    * Shuffle count: two model aggregations + the fluency join + dedup +
+    * manifest — each keyed, none corpus-quadratic; extraction and both
+    * gates are scan-speed projections. */
+  def curateCrawl(pages: DataFrame, maxBoilerPermille: Long = 150,
+      minFluencyPpm: Long = 34000, nShards: Int = 16): DataFrame = {
+    val extracted = TextAnalysis.extractHtmlText(pages)
+      .filter(col("boilerplate_permille") <= maxBoilerPermille)
+      .select(col("doc_id"), col("main_text").as("text"))
+    val fluent = TextAnalysis.bigramScore(extracted)
+      .filter(col("fluency_ppm") >= minFluencyPpm)
+      .select(col("doc_id"))
+    val kept = extracted.join(fluent, Seq("doc_id"))
+    val canonical = kept
+      .groupBy(md5(col("text")).as("body_hash"))
+      .agg(min_by(struct(col("doc_id"), length(col("text")).as("n_chars")),
+        col("doc_id")).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.n_chars").as("n_chars"))
+    Export.shardSummary(canonical, "doc_id", nShards)
+  }
 }

@@ -261,6 +261,13 @@ object OpsQueries {
     "q107_html_extract" -> ((s, d) =>
       TextAnalysis.extractHtmlText(
         TextAnalysis.htmlFromDocuments(docs(s, d))).orderBy("doc_id")),
+    // the crawl pipeline end to end: markup -> extraction -> chrome
+    // gate -> bigram-fluency gate (model fit on gate survivors) ->
+    // exact dedup -> shard manifest; oracle composes the q107/q105/q73
+    // chains from the raw text
+    "q108_crawl_curation" -> ((s, d) =>
+      Curation.curateCrawl(
+        TextAnalysis.htmlFromDocuments(docs(s, d))).orderBy("shard")),
     // keyword search: integer tf-idf ranking, postings filtered before
     // any shuffle, top-k via TakeOrdered
     "q77_search" -> ((s, d) =>
@@ -1232,6 +1239,45 @@ object OpsQueries {
              (len('doc ' || doc_id) + 10 + len(text) + 14)) AS BIGINT)
              AS boilerplate_permille
          FROM documents ORDER BY doc_id""",
+    // crawl curation: q107's extraction identity + chrome gate, q105's
+    // bigram chain over the GATED subcorpus, q73's dedup + shard tail
+    "q108_crawl_curation" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH ex AS (SELECT doc_id, text,
+           1000 - (CAST(len(text) AS BIGINT) * 1000 //
+             (len('doc ' || doc_id) + 10 + len(text) + 14)) AS boiler
+           FROM documents),
+         gated AS (SELECT doc_id, text FROM ex WHERE boiler <= 150),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM gated),
+         bg AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, CAST(len(t) - 1 AS INT)),
+             i -> t[i] || ' ' || t[i + 1])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         bgc AS (SELECT doc_id, bg, count(*) AS bf FROM bg
+           GROUP BY doc_id, bg),
+         corpus AS (SELECT bg, CAST(sum(bf) AS BIGINT) AS cbg
+           FROM bgc GROUP BY bg),
+         pre AS (SELECT split_part(bg, ' ', 1) AS w1,
+             CAST(sum(cbg) AS BIGINT) AS cpre
+           FROM corpus GROUP BY 1),
+         scored AS (SELECT bgc.doc_id,
+             CAST(sum(bgc.bf * ((corpus.cbg * 1000000) // pre.cpre))
+               AS BIGINT) AS mass,
+             CAST(sum(bgc.bf) AS BIGINT) AS nbg
+           FROM bgc JOIN corpus USING (bg)
+             JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.w1
+           GROUP BY bgc.doc_id),
+         fluent AS (SELECT doc_id FROM scored WHERE mass // nbg >= 34000),
+         kept AS (SELECT g.doc_id, g.text FROM gated g
+           JOIN fluent USING (doc_id)),
+         canon AS (SELECT arg_min(doc_id, doc_id) AS doc_id,
+             arg_min(length(text), doc_id) AS n_chars
+           FROM kept GROUP BY md5(text))
+         SELECT $h % 16 AS shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum($h % ${Dedup.P}) AS BIGINT) AS id_checksum
+         FROM canon GROUP BY shard ORDER BY shard"""
+    },
     "q77_search" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM (
            SELECT doc_id, unnest(string_split(text,' ')) AS token

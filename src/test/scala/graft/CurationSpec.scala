@@ -547,4 +547,23 @@ class CurationSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_bigrams") == 1L)
     assert(r(1L).getAs[Double]("dup_bigram_ratio") == 0.0)
   }
+
+  test("curateCrawl: both gates are selective, manifest accounts for survivors") {
+    val fdocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pages = TextAnalysis.htmlFromDocuments(fdocs)
+    val manifest = Curation.curateCrawl(pages).collect()
+    val nDocs = manifest.map(_.getAs[Long]("n_docs")).sum
+    val nTotal = fdocs.count()
+    assert(nDocs > 0, "the pipeline must keep some documents")
+    assert(nDocs < nTotal, "the gates must actually drop documents")
+    assert(manifest.forall(_.getAs[Long]("sum_chars") > 0L))
+    assert(manifest.map(_.getAs[Long]("shard")).distinct.length ==
+      manifest.length)
+    // loosening both gates to no-ops keeps strictly more documents
+    val open = Curation.curateCrawl(pages, maxBoilerPermille = 1000,
+      minFluencyPpm = 0).collect().map(_.getAs[Long]("n_docs")).sum
+    assert(open > nDocs)
+    TextKit.releaseCaches()
+  }
 }
