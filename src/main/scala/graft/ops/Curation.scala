@@ -68,9 +68,11 @@ object Curation {
     * gates are scan-speed projections. */
   def curateCrawl(pages: DataFrame, maxBoilerPermille: Long = 150,
       minFluencyPpm: Long = 34000, nShards: Int = 16): DataFrame = {
-    val extracted = TextAnalysis.extractHtmlText(pages)
+    // cached: the regex-heavy extraction would otherwise re-run for the
+    // bigram model scan, the score totality join, and the kept join
+    val extracted = tracked(TextAnalysis.extractHtmlText(pages)
       .filter(col("boilerplate_permille") <= maxBoilerPermille)
-      .select(col("doc_id"), col("main_text").as("text"))
+      .select(col("doc_id"), col("main_text").as("text")))
     val fluent = TextAnalysis.bigramScore(extracted)
       .filter(col("fluency_ppm") >= minFluencyPpm)
       .select(col("doc_id"))
