@@ -448,6 +448,45 @@ object Multimodal {
     })
   }
 
+  /** REAL raster resize through a compressed format: ImageIO decode,
+    * nearest-neighbor resample with the SAME integer source-index math
+    * as [[resizePgm]] (src = out * srcDim div outDim — so a lossless
+    * format round-trips bit-identical to the PGM path), re-encode in
+    * `fmt`. Composes with [[decodeImage]] for the decode → resize →
+    * re-encode → decode chain through genuine entropy-coded bytes
+    * (q109). Per-partition codec loop, fails loudly on garbage. */
+  def resizeImage(media: Dataset[MediaRow], outW: Int, outH: Int,
+      fmt: String = "png"): Dataset[MediaRow] = {
+    require(outW > 0 && outH > 0,
+      s"resizeImage: target dimensions must be positive (got ${outW}x$outH)")
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null,
+        s"media ${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      val src = img.getRaster
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val dst = out.getRaster
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          dst.setSample(x, y, 0, src.getSample(x * w / outW, sy, 0))
+          x += 1
+        }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(out, fmt, buf),
+        s"no ImageIO writer for format $fmt")
+      MediaRow(r.media_id, r.kind, buf.toByteArray)
+    })
+  }
+
   /** Build a media table from the documents fixture: text bytes stand in
     * for payloads. Demonstrates the schema + partitioning (hash by id so
     * payload batches spread evenly regardless of size skew). */

@@ -268,6 +268,14 @@ object OpsQueries {
     "q108_crawl_curation" -> ((s, d) =>
       Curation.curateCrawl(
         TextAnalysis.htmlFromDocuments(docs(s, d))).orderBy("shard")),
+    // decode -> nearest-neighbor resample -> re-encode -> decode, all
+    // through REAL PNG bitstreams (q91's round trip for a genuinely
+    // compressed format; same integer sampling math, so the oracle is
+    // q91's pixel-grid replay)
+    "q109_png_resize" -> ((s, d) =>
+      Multimodal.decodeImage(Multimodal.resizeImage(
+          Multimodal.pngFromDocuments(docs(s, d)), outW = 8, outH = 4))
+        .toDF().orderBy("media_id")),
     // keyword search: integer tf-idf ranking, postings filtered before
     // any shuffle, top-k via TakeOrdered
     "q77_search" -> ((s, d) =>
@@ -1547,6 +1555,20 @@ object OpsQueries {
            CAST(list_min(p) AS INT) AS min_px,
            CAST(list_max(p) AS INT) AS max_px
          FROM px ORDER BY media_id""",
+    // the resized-through-PNG grid equals q91's text-derived replay
+    // (PNG is lossless and the sampling math is shared with resizePgm)
+    "q109_png_resize" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents),
+         r AS (SELECT doc_id, list_transform(generate_series(0, 31),
+           j -> p[(j // 8) * 2 * 16 + (j % 8) * 2 + 1]) AS rp FROM px)
+         SELECT doc_id AS media_id, 8 AS width, 4 AS height,
+           CAST(CAST(list_sum(rp) AS BIGINT) * 1000 // 32 AS BIGINT)
+             AS mean_permille,
+           CAST(list_min(rp) AS INT) AS min_px,
+           CAST(list_max(rp) AS INT) AS max_px
+         FROM r ORDER BY media_id""",
     // JPEG is lossy: dims are exact, and the Spark side can only emit
     // mean_close=TRUE by decoding the real bitstream faithfully
     "q103_jpeg_decode" ->

@@ -557,6 +557,20 @@ class OpsSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Multimodal.decodeImage(junk).collect()
     }
+    // resize through PNG shares resizePgm's integer sampling math, so
+    // the two round trips produce identical pixel statistics
+    val viaPng = Multimodal.decodeImage(Multimodal.resizeImage(
+        Multimodal.pngFromDocuments(d), outW = 8, outH = 4))
+      .collect().head
+    val viaPgm = Multimodal.decodePgm(Multimodal.resizePgm(
+        Multimodal.pgmFromDocuments(d), outW = 8, outH = 4))
+      .collect().head
+    assert((viaPng.width, viaPng.height) == (viaPgm.width, viaPgm.height))
+    assert(viaPng.mean_permille == viaPgm.mean_permille)
+    assert((viaPng.min_px, viaPng.max_px) == (viaPgm.min_px, viaPgm.max_px))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImage(junk, outW = 0, outH = 4)
+    }
   }
 
   test("pqTopK trainIters: the twin's minimal-ADC invariant survives training") {
