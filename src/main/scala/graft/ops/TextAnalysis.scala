@@ -115,6 +115,30 @@ object TextAnalysis {
     docs.filter(sampleKeep(pctByLang, defaultPct))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Deterministic DISJOINT train/validation/test assignment — the
+    * split every training run needs, as a pure hash partition of the id
+    * space: bucket = md5(doc_id) mod 1000; buckets below `valPermille`
+    * are validation, the next `testPermille` are test, the rest train.
+    * Hash-based (not rand()) so the split is reproducible across runs,
+    * engines and partitionings, STABLE under corpus growth (a document's
+    * assignment never changes as others arrive — the property that keeps
+    * eval sets honest across snapshots), and disjoint by construction.
+    * Stratification per source/language falls out of hashing ids (each
+    * stratum is hash-split at the same rates in expectation). A narrow
+    * projection: no shuffle, no state. */
+  def trainValTestSplit(docs: DataFrame, valPermille: Int = 50,
+      testPermille: Int = 50): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"permille splits must be non-negative and sum <= 1000, got " +
+        s"$valPermille + $testPermille")
+    val bucket = md5Long(col("doc_id").cast(StringType)) % 1000
+    docs.select(col("doc_id"), col("source"), bucket.as("split_bucket"),
+      when(bucket < valPermille, "val")
+        .when(bucket < valPermille + testPermille, "test")
+        .otherwise("train").as("split"))
+  }
+
   /** The normalization expression itself (lowercase, strip to
     * [a-z0-9 ], collapse runs, trim) — exposed so pipeline compositions
     * share the exact semantics with [[normalize]]. */

@@ -250,6 +250,10 @@ object OpsQueries {
     // LM-filter stand-in)
     "q76_unigram_score" -> ((s, d) =>
       TextAnalysis.unigramScore(docs(s, d)).orderBy("doc_id")),
+    // deterministic disjoint train/val/test assignment: hash-partition
+    // of the id space, stable under corpus growth, zero shuffle
+    "q110_split" -> ((s, d) =>
+      TextAnalysis.trainValTestSplit(docs(s, d)).orderBy("doc_id")),
     // bigram LM fluency (KenLM-style filter, integer ppm): mean
     // conditional probability of each doc's bigrams under the corpus's
     // own bigram model — row-local bigram build, one model aggregation
@@ -1206,6 +1210,15 @@ object OpsQueries {
              CAST(sum(tf_doc) AS BIGINT) AS mean_token_tf
          FROM tf JOIN corpus USING (token)
          GROUP BY doc_id ORDER BY doc_id""",
+    // split assignment replayed from the same md5 bucket arithmetic
+    "q110_split" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source, $h % 1000 AS split_bucket,
+           CASE WHEN $h % 1000 < 50 THEN 'val'
+             WHEN $h % 1000 < 100 THEN 'test'
+             ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id"""
+    },
     // bigram fluency: row-local bigram lists, corpus bigram/prefix
     // counts, exact integer ppm conditional probabilities
     "q105_bigram_score" ->

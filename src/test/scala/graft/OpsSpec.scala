@@ -687,6 +687,27 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("boilerplate_permille") == 1000L)
   }
 
+  test("trainValTestSplit: stable under corpus growth, disjoint, validated") {
+    val more = docs.union(docs.select((col("doc_id") + 1000).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars")))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.trainValTestSplit(df, valPermille = 300,
+        testPermille = 300)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("split")).toMap
+    val small = assign(docs)
+    val grown = assign(more)
+    // a document's assignment NEVER changes as the corpus grows
+    assert(small.forall { case (id, s) => grown(id) == s })
+    // every doc gets exactly one split label; all three occur at 30/30/40
+    assert(grown.size == 8)
+    assert(grown.values.toSet.subsetOf(Set("train", "val", "test")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainValTestSplit(docs, valPermille = 600,
+        testPermille = 600)
+    }
+  }
+
   test("bigramScore: fluent text outranks shuffled text; short docs total") {
     val corpus = Seq(
       // repeated common phrasing: bigrams recur across docs 0-2
