@@ -258,7 +258,8 @@ object Similarity {
     val e = tracked(withNorm(emb))
     val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
     val assigned = assignCells(e, cent)
-    val q = e.filter(col("vec_id") < nQueries)
+    // nQueries < 0: EVERY vector queries (the kNN-graph shape)
+    val q = (if (nQueries < 0) e else e.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nsq").as("qnsq"))
     // nprobe nearest cells per query: collect the (tiny) centroid distance
@@ -283,6 +284,38 @@ object Similarity {
       // a vector can sit in only one cell, but two probed cells both join
       // the same (query, neighbor) never happens; distinct not needed
     TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
+  }
+
+  /** Corpus-level SEMANTIC CLUSTERING via a mutual-kNN graph — the
+    * standard embedding-clustering recipe at corpus scale: every vector
+    * queries the IVF index for its k nearest neighbors ([[ivfTopK]]
+    * with nQueries = -1 — candidate generation stays a cell equi-join,
+    * never all-pairs), an edge survives only if it is MUTUAL (i in
+    * kNN(j) AND j in kNN(i) — the classic noise filter: an isolated
+    * point near a cluster lists cluster members, but they don't list it
+    * back) and passes the cosine floor `tau`, and the surviving
+    * undirected graph is labeled by [[Components.connectedComponents]].
+    * Output: (doc_id, component_id) for every vector in at least one
+    * mutual edge — the cluster inventory a curation pipeline samples
+    * from (cap per cluster, keep one per cluster, ...).
+    *
+    * Scale shape: the kNN stage is the IVF search (bounded per-query
+    * work, k x n edges total); the mutual filter is one self-semi-join
+    * of a k*n-row edge list on its natural key; CC is the
+    * lineage-truncated pointer-jumping kit (log-diameter rounds). No
+    * stage is corpus-quadratic. */
+  def semanticClusters(emb: DataFrame, k: Int = 5, tau: Double = 0.3,
+      nCells: Int = 8, nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+    val top = ivfTopK(emb, nQueries = -1, k = k, nprobe = nprobe,
+      nCells = nCells, trainIters = trainIters)
+    val edges = tracked(top.filter(col("cosine") >= tau)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b")))
+    val mutual = edges
+      .join(edges.select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "leftsemi")
+      .filter(col("a") < col("b"))
+    Components.connectedComponents(
+      mutual.select(col("a").as("doc_a"), col("b").as("doc_b")))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

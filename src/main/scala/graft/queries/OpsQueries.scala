@@ -254,6 +254,11 @@ object OpsQueries {
     // of the id space, stable under corpus growth, zero shuffle
     "q110_split" -> ((s, d) =>
       TextAnalysis.trainValTestSplit(docs(s, d)).orderBy("doc_id")),
+    // semantic clustering: every vector queries the IVF index (kNN
+    // graph, never all-pairs), mutual edges above the cosine floor,
+    // connected components label the clusters
+    "q111_semantic_clusters" -> ((s, d) =>
+      Similarity.semanticClusters(emb(s, d)).orderBy("doc_id")),
     // bigram LM fluency (KenLM-style filter, integer ppm): mean
     // conditional probability of each doc's bigrams under the corpus's
     // own bigram model — row-local bigram build, one model aggregation
@@ -929,6 +934,36 @@ object OpsQueries {
          WHERE rank <= 3 ORDER BY query_id, rank""",
     "q36_ann_ivf" -> ivfOracle(1),
     "q50_ann_ivf_sampled" -> ivfOracle(4),
+    // the all-queries IVF kNN graph, mutual-edge filter, cosine floor,
+    // then q43's reachability min-label recursion
+    "q111_semantic_clusters" ->
+      s"""WITH RECURSIVE ${kmeansChain(1)},
+         q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en),
+         probes AS (SELECT query_id, qqv, qnsq, cid AS cell FROM (
+           SELECT q.query_id, q.qqv, q.qnsq, c.cid,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY q.qnsq + ${dotL("c.cqv", "c.cqv")}
+                 - 2*${dotL("q.qqv", "c.cqv")}, c.cid) AS rn
+           FROM q, c2 c) WHERE rn <= 2),
+         scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           CAST(${dotL("p.qqv", "a.qv")} AS DOUBLE) /
+             (sqrt(CAST(p.qnsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE)))
+             AS cosine
+           FROM probes p JOIN assigned a ON p.cell = a.cell
+           WHERE a.vec_id != p.query_id),
+         topk AS (SELECT query_id, neighbor_id, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+           WHERE rank <= 5),
+         edges AS (SELECT query_id AS a, neighbor_id AS b FROM topk
+           WHERE cosine >= 0.3),
+         mut AS (SELECT e1.a, e1.b FROM edges e1
+           JOIN edges e2 ON e1.a = e2.b AND e1.b = e2.a WHERE e1.a < e1.b),
+         e AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS component_id
+         FROM r GROUP BY a ORDER BY doc_id""",
     // 4-table sign LSH: table t buckets dims [6t, 6t+6); a pair matching
     // in ANY table is a candidate, deduped before the exact-cosine score
     "q100_ann_lsh_multi" ->

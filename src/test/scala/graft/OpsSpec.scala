@@ -687,6 +687,33 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("boilerplate_permille") == 1000L)
   }
 
+  test("semanticClusters: recovers planted clusters exactly") {
+    // 100 well-separated centers x 5 tight members (RecallSpec's
+    // clustered regime; the non-separable sin((c+1)(d+1)(d+3)K) center
+    // construction is full-rank — max inter-center cosine ~0.40, vs a
+    // rank-2 manifold a separable sin(f(c)+g(d)) would produce):
+    // mutual-kNN at k=4 must connect exactly the quintuplets — 100
+    // components, each of size 5, labeled by the min member id
+    val clustered = (0L until 500L).map { i =>
+      val c = (i % 100).toInt
+      val r = (i / 100).toInt
+      (i, Array.tabulate(64)(d =>
+        (math.sin((c + 1.0) * (d + 1.0) * (d + 3.0) * 104729.0) +
+          0.03 * math.sin(r * 997.0 + d)).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val labeled = Similarity.semanticClusters(clustered, k = 4, tau = 0.9)
+      .collect()
+    assert(labeled.length == 500, "every vector sits in a mutual edge")
+    val byComp = labeled.groupBy(_.getAs[Long]("component_id"))
+    assert(byComp.size == 100, s"expected 100 clusters, got ${byComp.size}")
+    byComp.foreach { case (comp, rows) =>
+      assert(rows.length == 5, s"cluster $comp has ${rows.length} members")
+      assert(rows.forall(_.getAs[Long]("doc_id") % 100 == comp),
+        s"cluster $comp mixed in foreign members")
+    }
+    TextKit.releaseCaches()
+  }
+
   test("trainValTestSplit: stable under corpus growth, disjoint, validated") {
     val more = docs.union(docs.select((col("doc_id") + 1000).as("doc_id"),
       col("text"), col("lang"), col("source"), col("n_chars")))

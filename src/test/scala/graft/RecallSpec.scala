@@ -100,14 +100,19 @@ class RecallSpec extends SparkSpec {
     import spark.implicits._
     // 100 well-separated cluster centers x 5 tightly-perturbed members —
     // the regime semantic retrieval actually runs in (clustered
-    // embedding space). Exact top-4 of a query is its 4 cluster twins
-    // (intra-cluster cosine ~0.999 vs inter-cluster ~0), so recall here
-    // measures whether the index RELIABLY finds true semantic neighbors.
+    // embedding space). The center construction is deliberately
+    // NON-separable (sin((c+1)(d+1)(d+3)K)) so centers span full rank
+    // with max inter-center cosine ~0.40 — a separable sin(f(c)+g(d))
+    // would put every center on a rank-2 manifold with near-parallel
+    // pairs. Exact top-4 of a query is its 4 cluster twins
+    // (intra-cluster cosine ~0.999), so recall here measures whether
+    // the index RELIABLY finds true semantic neighbors.
     val clustered = (0L until 500L).map { i =>
       val c = (i % 100).toInt
       val r = (i / 100).toInt
       (i, Array.tabulate(64)(d =>
-        (math.sin(c * 64.0 + d) + 0.03 * math.sin(r * 997.0 + d)).toFloat), 0)
+        (math.sin((c + 1.0) * (d + 1.0) * (d + 3.0) * 104729.0) +
+          0.03 * math.sin(r * 997.0 + d)).toFloat), 0)
     }.toDF("vec_id", "embedding", "label")
     val kC = 4
     val exactC = Similarity.bruteTopK(clustered, nQueries = nQ, k = kC)
