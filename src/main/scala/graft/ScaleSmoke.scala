@@ -216,6 +216,27 @@ object ScaleSmoke {
       timeSkew(s"skew_${k}x", k)
     }
 
+    // semantic clustering at scale: the mutual-kNN graph + CC chain with
+    // nCells tracking the corpus — per-cell candidate work stays bounded,
+    // so the kNN stage scales like the corpus and CC like the cluster
+    // diameter (log rounds), never all-pairs
+    if (enabled("cluster")) {
+      def timeCluster(label: String, times: Int, cells: Int): Unit = {
+        val emb = embRep(times)
+        val t0 = System.nanoTime()
+        val n = graft.ops.Similarity
+          .semanticClusters(emb, nCells = cells).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache()
+        embBase.cache(); embBase.count()
+        println(f"""{"experiment":"$label","rows":${ne * times},""" +
+          f""""cells":$cells,"labeled":$n,"cluster_sec":$t%.2f}""")
+      }
+      timeCluster("cluster_1x", 1, 8)
+      timeCluster(s"cluster_${k}x", k, 8 * k)
+    }
+
     // BATCHED hybrid retrieval: 16 queries fused in ONE corpus pass vs
     // 16 sequential single-query hybridSearch calls on the same corpus.
     // The claim: the batch pays the corpus scans once (postings filter,
