@@ -229,6 +229,39 @@ object TextAnalysis {
       .select(col("lang"), col("p"), col("n_chars").as("len_at_p"))
   }
 
+  /** One-row CORPUS REPORT CARD — the datasheet numbers a data team
+    * reviews before training on a snapshot: document/token totals,
+    * language/source coverage, the exact-duplicate rate, and
+    * nearest-rank token-length percentiles. All exact integers.
+    *
+    * Shape at scale: one pass builds the (doc, lang, source, n_tok,
+    * body-hash) base; totals and the dup rate are plain map-side-combined
+    * aggregates; the percentiles come from the TOKEN-LENGTH HISTOGRAM —
+    * the cumulative window runs over distinct lengths (a bounded domain:
+    * max document length, not corpus size), so the report never sorts
+    * documents globally. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = tracked(docs.select(col("doc_id"), col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      md5(col("text")).as("h")))
+    val totals = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dups = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(col("c") - 1).as("dup_docs"))
+    val n = base.count()
+    val cum = base.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("n_tok"))))
+    def pAt(p: Int) =
+      min(when(col("cum") >= lit((p * n + 99) / 100), col("n_tok")))
+        .as(s"p${p}_tokens")
+    totals.crossJoin(dups).crossJoin(cum.agg(pAt(50), pAt(90)))
+  }
+
   /** Exact corpus heavy hitters (frequent bigram shingles) via the
     * standard two-pass scheme: pass 1 folds the shingle stream into a
     * mergeable Misra-Gries sketch ([[MisraGriesAgg]] — one <= k-entry map

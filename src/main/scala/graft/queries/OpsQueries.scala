@@ -259,6 +259,10 @@ object OpsQueries {
     // connected components label the clusters
     "q111_semantic_clusters" -> ((s, d) =>
       Similarity.semanticClusters(emb(s, d)).orderBy("doc_id")),
+    // one-row corpus report card: totals, coverage, exact-dup rate,
+    // histogram-derived nearest-rank percentiles — the datasheet pass
+    "q112_corpus_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(docs(s, d))),
     // bigram LM fluency (KenLM-style filter, integer ppm): mean
     // conditional probability of each doc's bigrams under the corpus's
     // own bigram model — row-local bigram build, one model aggregation
@@ -1245,6 +1249,29 @@ object OpsQueries {
              CAST(sum(tf_doc) AS BIGINT) AS mean_token_tf
          FROM tf JOIN corpus USING (token)
          GROUP BY doc_id ORDER BY doc_id""",
+    // the report replayed: totals, dup groups via body-hash, percentiles
+    // from the cumulative token-length histogram (nearest rank)
+    "q112_corpus_report" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           md5(text) AS h FROM documents),
+         t AS (SELECT count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources FROM base),
+         d AS (SELECT
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_groups,
+           CAST(sum(c - 1) AS BIGINT) AS dup_docs
+           FROM (SELECT count(*) AS c FROM base GROUP BY h)),
+         cum AS (SELECT n_tok, sum(cnt) OVER (ORDER BY n_tok) AS cum
+           FROM (SELECT n_tok, count(*) AS cnt FROM base GROUP BY n_tok)),
+         p AS (SELECT
+           CAST(min(CASE WHEN cum >= (50 * (SELECT n_docs FROM t) + 99)
+             // 100 THEN n_tok END) AS BIGINT) AS p50_tokens,
+           CAST(min(CASE WHEN cum >= (90 * (SELECT n_docs FROM t) + 99)
+             // 100 THEN n_tok END) AS BIGINT) AS p90_tokens FROM cum)
+         SELECT * FROM t, d, p""",
     // split assignment replayed from the same md5 bucket arithmetic
     "q110_split" -> {
       val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")

@@ -687,6 +687,22 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("boilerplate_permille") == 1000L)
   }
 
+  test("corpusReport: one-row datasheet matches hand computation") {
+    val r = TextAnalysis.corpusReport(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 33L) // 9 + 9 + 9 + 6
+    assert(r.getAs[Long]("n_langs") == 2L)   // en, de
+    assert(r.getAs[Long]("n_sources") == 2L) // s0, s1
+    // docs 0 and 1 are byte-identical: one dup group, one excess copy
+    assert(r.getAs[Long]("dup_groups") == 1L)
+    assert(r.getAs[Long]("dup_docs") == 1L)
+    // token lengths sorted [6,9,9,9]: nearest-rank p50 -> rank 2 -> 9,
+    // p90 -> rank 4 -> 9
+    assert(r.getAs[Long]("p50_tokens") == 9L)
+    assert(r.getAs[Long]("p90_tokens") == 9L)
+    TextKit.releaseCaches()
+  }
+
   test("semanticClusters: recovers planted clusters exactly") {
     // 100 well-separated centers x 5 tight members (RecallSpec's
     // clustered regime; the non-separable sin((c+1)(d+1)(d+3)K) center
