@@ -256,9 +256,12 @@ object OpsQueries {
       TextAnalysis.trainValTestSplit(docs(s, d)).orderBy("doc_id")),
     // semantic clustering: every vector queries the IVF index (kNN
     // graph, never all-pairs), mutual edges above the cosine floor,
-    // connected components label the clusters
+    // connected components label the clusters. tau = 0.4 (not the 0.3
+    // default): on a near-isotropic corpus a lower floor admits
+    // noise-level edges whose sprawling chains cost CC rounds — the
+    // BASELINE-documented guidance applied
     "q111_semantic_clusters" -> ((s, d) =>
-      Similarity.semanticClusters(emb(s, d)).orderBy("doc_id")),
+      Similarity.semanticClusters(emb(s, d), tau = 0.4).orderBy("doc_id")),
     // one-row corpus report card: totals, coverage, exact-dup rate,
     // histogram-derived nearest-rank percentiles — the datasheet pass
     "q112_corpus_report" -> ((s, d) =>
@@ -960,7 +963,7 @@ object OpsQueries {
              ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
            WHERE rank <= 5),
          edges AS (SELECT query_id AS a, neighbor_id AS b FROM topk
-           WHERE cosine >= 0.3),
+           WHERE cosine >= 0.4),
          mut AS (SELECT e1.a, e1.b FROM edges e1
            JOIN edges e2 ON e1.a = e2.b AND e1.b = e2.a WHERE e1.a < e1.b),
          e AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
