@@ -113,7 +113,8 @@ object Similarity {
     * Output: (query_id, doc_id, kw_rank, vec_rank, rrf, rank), the q80
     * shape plus the query key and explicit rank. */
   def hybridSearchBatch(docs: DataFrame, emb: DataFrame, queries: DataFrame,
-      k: Int = 10, poolSize: Int = 100, rrfK: Int = 60): DataFrame = {
+      k: Int = 10, poolSize: Int = 100, rrfK: Int = 60,
+      useBm25: Boolean = false): DataFrame = {
     val q = queries.select(col("query_id"), col("terms"), col("qvec_id"))
     val qterms = q.select(col("query_id"), explode(col("terms")).as("token"))
     val n = docs.count()
@@ -125,10 +126,34 @@ object Similarity {
     val idf = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
       .select(col("token"), expr(s"$n div df").as("idf_int"))
-    val kwScored = tf.join(broadcast(idf), Seq("token"))
-      .join(broadcast(qterms), Seq("token"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("tf_doc") * col("idf_int")).as("score"))
+    // per-(query, doc) lexical score: tf-idf, or the integerized BM25
+    // ([[TextAnalysis.bm25Search]]'s exact constants — one rounded
+    // division for the length ratio, integer div before the idf
+    // multiply) fanned out by query through the broadcast (query, term)
+    // relation
+    val kwScored =
+      if (!useBm25)
+        tf.join(broadcast(idf), Seq("token"))
+          .join(broadcast(qterms), Seq("token"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("tf_doc") * col("idf_int")).as("score"))
+      else {
+        val dl = tracked(docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dl")))
+        val avgdl = dl.agg(sum(col("dl"))).head.getLong(0).toDouble / n
+        val rl = dl.select(col("doc_id"),
+          round(lit(1e6) * col("dl").cast("double") / lit(avgdl))
+            .cast("long").as("rl"))
+        tf.join(broadcast(idf), Seq("token"))
+          .join(rl, Seq("doc_id"))
+          .join(broadcast(qterms), Seq("token"))
+          .select(col("query_id"), col("doc_id"),
+            (col("idf_int") * expr(
+              "(tf_doc * 4400000000000) div " +
+                "(20000000*tf_doc + 6000000 + 18*rl)")).as("term_score"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("term_score")).as("score"))
+      }
     val kw = TopKAgg.topKPerQueryDesc(kwScored, "query_id", "doc_id",
         "score", poolSize)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),

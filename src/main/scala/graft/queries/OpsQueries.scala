@@ -322,6 +322,18 @@ object OpsQueries {
       Similarity.hybridSearchBatch(docs(s, d), emb(s, d), qs)
         .orderBy("query_id", "rank")
     }),
+    // the same batch with BM25 lexical pools (length-normalized — the
+    // q93 scorer fanned out per query)
+    "q113_hybrid_batch_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, Seq("table", "join", "fast"), 0L),
+        (1L, Seq("scan", "merge", "sort"), 1L),
+        (2L, Seq("stream", "window"), 2L))
+        .toDF("query_id", "terms", "qvec_id")
+      Similarity.hybridSearchBatch(docs(s, d), emb(s, d), qs,
+        useBm25 = true).orderBy("query_id", "rank")
+    }),
     // integerized Okapi BM25 over the q77 query terms — doc-length
     // normalization that plain tf-idf lacks, same postings-first shape
     "q83_bm25" -> ((s, d) =>
@@ -1473,6 +1485,62 @@ object OpsQueries {
          kws AS (SELECT qt.query_id, tf.doc_id,
              CAST(sum(tf.tf_doc * idf.idf_int) AS BIGINT) AS score
            FROM tf JOIN idf USING (token) JOIN qt USING (token)
+           GROUP BY qt.query_id, tf.doc_id),
+         kw AS (SELECT query_id, doc_id, kw_rank FROM (
+           SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS kw_rank FROM kws)
+           WHERE kw_rank <= 100),
+         $EMB_NORM,
+         qv AS (SELECT q.query_id, q.qvec_id, e.embedding AS qe,
+             e.nsq AS qnsq
+           FROM qdef q JOIN e ON e.vec_id = q.qvec_id),
+         vs AS (SELECT qv.query_id, e.vec_id AS doc_id,
+             CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+               (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+               AS cosine
+           FROM e, qv WHERE e.vec_id != qv.qvec_id),
+         vec AS (SELECT query_id, doc_id, vec_rank FROM (
+           SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, doc_id) AS vec_rank FROM vs)
+           WHERE vec_rank <= 100),
+         fused AS (SELECT query_id, doc_id, kw_rank, vec_rank,
+             coalesce(1.0 / (kw_rank + 60), 0) +
+               coalesce(1.0 / (vec_rank + 60), 0) AS rrf
+           FROM kw FULL OUTER JOIN vec USING (query_id, doc_id))
+         SELECT query_id, doc_id, kw_rank, vec_rank, rrf, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q99's batch shape with q93's integerized BM25 lexical scorer
+    "q113_hybrid_batch_bm25" ->
+      s"""WITH qdef AS (SELECT CAST(query_id AS BIGINT) AS query_id, terms,
+           CAST(qvec_id AS BIGINT) AS qvec_id
+           FROM (VALUES (0, ['table','join','fast'], 0),
+             (1, ['scan','merge','sort'], 1),
+             (2, ['stream','window'], 2)) v(query_id, terms, qvec_id)),
+         qt AS (SELECT query_id, unnest(terms) AS token FROM qdef),
+         stats AS (SELECT count(*) AS n,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+           FROM documents),
+         rl AS (SELECT doc_id, CAST(round(
+             1000000.0 * len(string_split(text, ' ')) /
+               (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)), 0) AS BIGINT)
+             AS rl
+           FROM documents, stats),
+         toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf_doc FROM toks
+           WHERE token IN (SELECT DISTINCT token FROM qt)
+           GROUP BY doc_id, token),
+         idf AS (SELECT token,
+           CAST((SELECT n FROM stats) // count(*) AS BIGINT) AS idf_int
+           FROM tf GROUP BY token),
+         kws AS (SELECT qt.query_id, tf.doc_id,
+             CAST(sum(idf.idf_int * ((tf.tf_doc * 4400000000000) //
+               (20000000*tf.tf_doc + 6000000 + 18*rl.rl))) AS BIGINT)
+               AS score
+           FROM tf JOIN idf USING (token) JOIN qt USING (token)
+             JOIN rl ON tf.doc_id = rl.doc_id
            GROUP BY qt.query_id, tf.doc_id),
          kw AS (SELECT query_id, doc_id, kw_rank FROM (
            SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id

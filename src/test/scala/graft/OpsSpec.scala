@@ -796,6 +796,17 @@ class OpsSpec extends SparkSpec {
     assert(batch.filter(col("query_id") === 7L).count() == 10)
     // totality: an empty query batch yields an empty result, not a throw
     assert(Similarity.hybridSearchBatch(fdocs, femb, qs.limit(0)).count() == 0)
+    // BM25 pools: batch query 0 reproduces the single-query BM25 form
+    val singleBm25 = Similarity
+      .hybridSearch(fdocs, femb, Seq("table", "join", "fast"),
+        useBm25 = true)
+      .collect().map(row).toSeq
+    val batchBm25 = Similarity
+      .hybridSearchBatch(fdocs, femb, qs, useBm25 = true)
+      .filter(col("query_id") === 0L).orderBy("rank")
+      .collect().map(row).toSeq
+    assert(batchBm25 == singleBm25,
+      "BM25 batch query 0 must reproduce the single-query form exactly")
     TextKit.releaseCaches()
   }
 
