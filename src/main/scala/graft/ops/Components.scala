@@ -218,6 +218,29 @@ object Components {
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
   }
 
+  /** Keep at most `m` deterministic representatives per cluster — the
+    * consumer that turns a (doc_id, component_id) labeling
+    * ([[connectedComponents]], [[graft.ops.Similarity.semanticClusters]],
+    * q62's duplicate clusters) into a curated keep-set: within each
+    * component, documents rank by their md5 hash (reproducible on any
+    * partitioning — no rand(), no arrival order) and the `m`
+    * smallest-ranked survive. Output: (component_id, doc_id, rank).
+    *
+    * Scale shape: one bounded per-cluster top-k aggregation
+    * ([[TopKAgg]]'s map-side-combinable kit — no task ever holds more
+    * than m rows per component), so a mega-cluster costs its row count
+    * once, never a per-cluster sort. */
+  def capPerCluster(labeled: DataFrame, m: Int = 2): DataFrame = {
+    require(m >= 1, s"capPerCluster: m must be positive (got $m)")
+    TopKAgg.topKPerQueryAsc(
+        labeled.select(col("component_id"), col("doc_id"),
+          TextKit.md5Long(col("doc_id")
+            .cast(org.apache.spark.sql.types.StringType)).as("hkey")),
+        "component_id", "doc_id", "hkey", m)
+      .select(col("component_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+  }
+
   /** Duplicate-cluster summary over a pair table: one row per component
     * with its canonical (minimum) doc id and member count — the shape a
     * keep-one-per-cluster dedup filter consumes. */
@@ -227,3 +250,4 @@ object Components {
       .groupBy(col("component_id"))
       .agg(count(lit(1)).as("n_members"))
 }
+

@@ -266,6 +266,13 @@ object OpsQueries {
     // histogram-derived nearest-rank percentiles — the datasheet pass
     "q112_corpus_report" -> ((s, d) =>
       TextAnalysis.corpusReport(docs(s, d))),
+    // per-cluster cap over the semantic clustering: at most 2
+    // hash-ranked representatives per component — clusters in, curated
+    // keep-set out, via the bounded per-cluster top-k aggregator
+    "q114_cluster_cap" -> ((s, d) =>
+      Components.capPerCluster(
+        Similarity.semanticClusters(emb(s, d), tau = 0.4))
+        .orderBy("component_id", "rank")),
     // bigram LM fluency (KenLM-style filter, integer ppm): mean
     // conditional probability of each doc's bigrams under the corpus's
     // own bigram model — row-local bigram build, one model aggregation
@@ -1264,6 +1271,42 @@ object OpsQueries {
              CAST(sum(tf_doc) AS BIGINT) AS mean_token_tf
          FROM tf JOIN corpus USING (token)
          GROUP BY doc_id ORDER BY doc_id""",
+    // q111's cluster labels + a per-component hash-rank cap of 2
+    "q114_cluster_cap" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE ${kmeansChain(1)},
+         q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en),
+         probes AS (SELECT query_id, qqv, qnsq, cid AS cell FROM (
+           SELECT q.query_id, q.qqv, q.qnsq, c.cid,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY q.qnsq + ${dotL("c.cqv", "c.cqv")}
+                 - 2*${dotL("q.qqv", "c.cqv")}, c.cid) AS rn
+           FROM q, c2 c) WHERE rn <= 2),
+         scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           CAST(${dotL("p.qqv", "a.qv")} AS DOUBLE) /
+             (sqrt(CAST(p.qnsq AS DOUBLE)) * sqrt(CAST(a.nsq AS DOUBLE)))
+             AS cosine
+           FROM probes p JOIN assigned a ON p.cell = a.cell
+           WHERE a.vec_id != p.query_id),
+         topk AS (SELECT query_id, neighbor_id, cosine FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+           WHERE rank <= 5),
+         edges AS (SELECT query_id AS a, neighbor_id AS b FROM topk
+           WHERE cosine >= 0.4),
+         mut AS (SELECT e1.a, e1.b FROM edges e1
+           JOIN edges e2 ON e1.a = e2.b AND e1.b = e2.a WHERE e1.a < e1.b),
+         e AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         lab AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+           FROM r GROUP BY a)
+         SELECT component_id, doc_id, rank FROM (
+           SELECT component_id, doc_id, row_number() OVER (
+             PARTITION BY component_id ORDER BY $h, doc_id) AS rank
+           FROM lab)
+         WHERE rank <= 2 ORDER BY component_id, rank"""
+    },
     // the report replayed: totals, dup groups via body-hash, percentiles
     // from the cumulative token-length histogram (nearest rank)
     "q112_corpus_report" ->

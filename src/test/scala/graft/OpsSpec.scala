@@ -727,6 +727,17 @@ class OpsSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("doc_id") % 100 == comp),
         s"cluster $comp mixed in foreign members")
     }
+    // per-cluster cap: exactly 2 hash-ranked representatives survive
+    // from each quintuplet, still members of their own cluster
+    val capped = Components.capPerCluster(
+      Similarity.semanticClusters(clustered, k = 4, tau = 0.9), m = 2)
+      .collect()
+    assert(capped.length == 200)
+    capped.groupBy(_.getAs[Long]("component_id")).foreach {
+      case (comp, rows) =>
+        assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
+        assert(rows.forall(_.getAs[Long]("doc_id") % 100 == comp))
+    }
     TextKit.releaseCaches()
   }
 
