@@ -140,7 +140,11 @@ object Similarity {
       else {
         val dl = tracked(docs.select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("dl")))
-        val avgdl = dl.agg(sum(col("dl"))).head.getLong(0).toDouble / n
+        // empty corpus: sum() is NULL and avgdl undefined — every
+        // downstream relation is empty anyway, so any finite avgdl works
+        val sumDl = Option(dl.agg(sum(col("dl"))).head.get(0))
+          .fold(0L)(_.asInstanceOf[Number].longValue)
+        val avgdl = if (n == 0L) 1.0 else sumDl.toDouble / n
         val rl = dl.select(col("doc_id"),
           round(lit(1e6) * col("dl").cast("double") / lit(avgdl))
             .cast("long").as("rl"))

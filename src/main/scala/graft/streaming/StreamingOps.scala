@@ -274,6 +274,10 @@ object StreamingOps {
     // per-entry norms — a few KB, the broadcast a real executor holds
     val cents = ix.cent.orderBy("cent_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // the literal centroid matrix is indexed POSITIONALLY by cell id —
+    // that is only correct while centDf assigns dense 0..k-1 ids
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },
+      "centroid ids must be dense 0..k-1 for positional literal indexing")
     val cbook = ix.codebook.orderBy("sub", "code").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
     require(cbook.length == m * cps, "codebook must be dense")

@@ -818,6 +818,13 @@ class OpsSpec extends SparkSpec {
       .collect().map(row).toSeq
     assert(batchBm25 == singleBm25,
       "BM25 batch query 0 must reproduce the single-query form exactly")
+    // totality: an EMPTY document corpus must not NPE on the undefined
+    // avgdl aggregate — the vector pool (independent of docs) still
+    // answers, with no lexical contribution on any row
+    val noDocs = Similarity.hybridSearchBatch(fdocs.limit(0), femb, qs,
+      useBm25 = true).collect()
+    assert(noDocs.nonEmpty && noDocs.forall(_.isNullAt(2)),
+      "vector-only results must carry null kw_rank")
     TextKit.releaseCaches()
   }
 
