@@ -798,7 +798,14 @@ object Similarity {
     * corpus cost is L bucket rows per vector (linear in L, never
     * all-pairs), so at 100 TB the recall/cost trade is tuned by L alone.
     * The candidate pair set is deduplicated BEFORE scoring: a pair
-    * colliding in several tables is scored once. */
+    * colliding in several tables is scored once.
+    *
+    * Candidate-set size: ~nQueries x n/2^bits rows per table before the
+    * cross-table dedup — it GROWS WITH THE CORPUS, so it is never
+    * broadcast: the dedup is a shuffle aggregation and the raw-vector
+    * fetch is a shuffle equi-join on vec_id. Only the bounded relations
+    * (the query buckets, nQueries x L rows, and the query vectors) carry
+    * broadcast hints. */
   def lshTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       bits: Int = 6, tables: Int = 1): DataFrame = {
     require(tables >= 1 && tables * bits <= 64,
@@ -810,14 +817,17 @@ object Similarity {
         signBucketAt(col("embedding"), bits, col("t")).as("bucket"))
     val qb = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
-    // candidates first, dedup across tables, THEN score once per pair
+    // candidates first, dedup across tables, THEN score once per pair.
+    // cand grows with the corpus (bucket occupancy ~ n/2^bits rows per
+    // query per table) — deduped via aggregation and joined by shuffle,
+    // never broadcast
     val cand = banded.join(broadcast(qb), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nsq").as("qnsq"))
-    val scored = e.join(broadcast(cand), Seq("vec_id"))
+    val scored = e.join(cand, Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
