@@ -16,8 +16,13 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
+  /** Streaming file sources need an explicit schema (no inference):
+    * events.ts is annotated timestamp[us] in the current lake, read as
+    * TimestampType; event-time micros come from `unix_micros(ts)` —
+    * identical to the batch loader's epoch-nanos `ts DIV 1000` currency
+    * (see [[graft.Tables]]). */
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -88,7 +93,7 @@ object StreamingOps {
     * per event type, decimal-exact sums surfaced as double. */
   private def hourlyAgg(stream: DataFrame, watermarked: Boolean): DataFrame = {
     val timed = stream
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", timestamp_micros(unix_micros(col("ts"))))
     (if (watermarked) timed.withWatermark("event_time", "1 hour") else timed)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -332,8 +337,7 @@ object StreamingOps {
 
   private def eventsTyped(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
-    spark.read.schema(eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+    graft.Tables(spark, sfDir, "events")
       .select(col("event_id"), expr("ts DIV 1000").as("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[Event]
@@ -398,8 +402,7 @@ object StreamingOps {
   def sessionize(spark: SparkSession, sfDir: String,
       gapUs: Long = 3600L * 1000000): DataFrame = {
     import spark.implicits._
-    val ev = spark.read.schema(eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val ev = graft.Tables(spark, sfDir, "events")
       .select(col("event_id"), expr("ts DIV 1000").as("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[Event]
