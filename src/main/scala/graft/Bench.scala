@@ -60,7 +60,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // Host load (1/5/15 min) rides in the artifact so a contended
+    // measurement window is adjudicable from the JSON alone — the
+    // driver's stdout capture has clipped past rounds to a 2000-char
+    // tail, so the full line is ALSO written to BENCH_LOCAL.json in the
+    // repo (snapshot-committed per round).
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","loadavg_end":"$loadavg"}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH_LOCAL.json write failed: ${t.getMessage}") }
     spark.stop()
   }
 }

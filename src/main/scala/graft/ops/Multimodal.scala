@@ -487,6 +487,116 @@ object Multimodal {
     })
   }
 
+  /** Per-frame features decoded from a real multi-frame container. */
+  final case class FrameFeatures(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, mean_permille: Long, min_px: Int,
+      max_px: Int)
+
+  /** Identity 256-level gray palette. Writing frames as TYPE_BYTE_INDEXED
+    * over this palette makes the GIF round trip BIT-EXACT: the encoder
+    * stores our palette + raw indices (no quantization — GIF is lossless
+    * at <= 256 colors), and the decoder's `getSample` returns the index,
+    * which IS the gray value. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** REAL animated-GIF payloads (LZW-compressed, multi-frame) synthesized
+    * from the documents fixture: frame f's w*h pixels are the text bytes
+    * at offset f*w*h (space-padded) — the frame axis is laid along the
+    * text, so any engine recomputes per-frame stats from substrings.
+    * Written through the stock JDK's GIF sequence writer
+    * (prepareWriteSequence/writeToSequence): genuine container framing +
+    * LZW entropy coding, readable by any external tool. */
+  def gifFromDocuments(docs: DataFrame, w: Int = 16, h: Int = 8,
+      nFrames: Int = 4): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        // one writer per partition (the codec-init cost model of
+        // extractFeatures), reset per payload via a fresh output stream
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        rows.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+            val raster = img.getRaster
+            val base = f * w * h
+            var i = 0
+            while (i < w * h) {
+              raster.setSample(i % w, i / w, 0,
+                if (base + i < tb.length) tb(base + i) & 0xff
+                else ' '.toInt)
+              i += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          MediaRow(id, "video/gif", out.toByteArray)
+        }
+      }
+  }
+
+  /** REAL frame sampling from a multi-frame container: decode every
+    * `every`-th frame of each GIF payload via the JDK's sequence reader
+    * (`getNumImages(true)` + per-frame `read`) and emit per-frame pixel
+    * stats. This is the video-frame-extraction shape end to end —
+    * container parse, frame seek, entropy decode, per-frame features —
+    * through genuine bytes (completing [[sampleFrames]], whose slice
+    * hashing stands in for codecs the JDK lacks). Per-partition reader
+    * loop; a payload the reader cannot parse fails the task loudly. */
+  def sampleGifFrames(media: Dataset[MediaRow],
+      every: Int = 1): Dataset[FrameFeatures] = {
+    require(every >= 1, s"sampleGifFrames: every=$every must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        // seekForwardOnly must stay false: getNumImages(allowSearch=true)
+        // scans the whole container for frame count
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"media ${r.media_id}: no decodable GIF frames")
+        val feats = (0 until n by every).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          require(w > 0 && h > 0,
+            s"media ${r.media_id} frame $f: degenerate ${w}x$h")
+          val raster = img.getRaster
+          var s = 0L; var mn = 255; var mx = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          FrameFeatures(r.media_id, f, w, h, s * 1000L / (w.toLong * h),
+            mn, mx)
+        }
+        iis.close()
+        feats
+      }
+    }
+  }
+
   /** Build a media table from the documents fixture: text bytes stand in
     * for payloads. Demonstrates the schema + partitioning (hash by id so
     * payload batches spread evenly regardless of size skew). */

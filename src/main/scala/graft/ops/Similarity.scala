@@ -409,18 +409,20 @@ object Similarity {
     * hash-matches cross-engine. Ties break by (adc, neighbor_id). */
   def pqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       m: Int = 8, codesPerSub: Int = 16, dim: Int = 64,
-      trainIters: Int = 0, rerank: Int = 0): DataFrame = {
+      trainIters: Int = 0, rerank: Int = 0,
+      cbSampleMod: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
     val e = tracked(spread(emb).select(col("vec_id"),
       quantVec(col("embedding")).as("qv")))
     // codebook: hash-rank sample, optionally Lloyd-refined per subspace
-    // (`trainIters` > 0 — the production training path)
+    // (`trainIters` > 0); `cbSampleMod` > 1 refines on the 1/mod
+    // hash-sample — the production training path at corpus scale
     val cb0 = sampleCodebookSeq(e, "qv", m, subDim, codesPerSub)
     val cbSeq =
       if (trainIters <= 0) cb0
       else refineCodebook(subRows(e, "qv", Seq("vec_id"), m, subDim),
-        cb0, trainIters, subDim)
+        cb0, trainIters, subDim, cbSampleMod)
     val codebook = codebookDf(e.sparkSession, cbSeq)
     val encoded = encodeCodes(e, "qv", Seq("vec_id"), codebook, m, subDim)
     val qtab = adcTables(
@@ -516,17 +518,29 @@ object Similarity {
     * positive-offset integer floor division [[kmeansCentroids]] uses, and
     * keep the previous entry for codes that lost all members. The
     * codebook (m x codesPerSub x subDim longs) is the only driver-side
-    * state, collected and re-broadcast per iteration — training cost is
-    * `iters` scans of the subspace rows regardless of corpus size, and
-    * everything is exact integer arithmetic so the DuckDB oracle
-    * reproduces the trained codebook bit-for-bit. */
+    * state, collected and re-broadcast per iteration, and everything is
+    * exact integer arithmetic so the DuckDB oracle reproduces the
+    * trained codebook bit-for-bit.
+    *
+    * `sampleMod` > 1 Lloyd-trains on the deterministic 1/mod hash-sample
+    * of the vectors (same vec_id md5 bucket [[kmeansCentroids]] uses for
+    * the coarse quantizer) — the 100 TB shape: a few-KB codebook never
+    * needs `iters` full-corpus scans, FAISS practice trains PQ on ~100k
+    * vectors. Only the final encode pass touches the full data. Sampling
+    * is hash-based, not rand(), so training is reproducible on any
+    * partitioning. */
   private def refineCodebook(subbed: DataFrame,
       init: Seq[(Int, Long, Seq[Long])], iters: Int,
-      subDim: Int): Seq[(Int, Long, Seq[Long])] = {
+      subDim: Int, sampleMod: Int = 1): Seq[(Int, Long, Seq[Long])] = {
     val spark = subbed.sparkSession
+    val train =
+      if (sampleMod <= 1) subbed
+      else subbed.filter(
+        pmod(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
+          lit(sampleMod.toLong)) === 0)
     var cb = init
     for (_ <- 0 until iters) {
-      val updated = subbed.join(broadcast(codebookDf(spark, cb)), Seq("sub"))
+      val updated = train.join(broadcast(codebookDf(spark, cb)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("sqv"),
           struct(sqDist(col("sqv"), col("cbv")).as("dist"),
             col("code").as("c")).as("dc"))
@@ -615,7 +629,8 @@ object Similarity {
     * corpus version. */
   def buildIvfPq(emb: DataFrame, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
-      dim: Int = 64, cbTrainIters: Int = 0): IvfPqIndex = {
+      dim: Int = 64, cbTrainIters: Int = 0,
+      cbSampleMod: Int = 1): IvfPqIndex = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
     val e = tracked(withNorm(emb))
@@ -630,7 +645,7 @@ object Similarity {
     val cbSeq =
       if (cbTrainIters <= 0) cb0
       else refineCodebook(subRows(res, "rv", Seq("vec_id"), m, subDim),
-        cb0, cbTrainIters, subDim)
+        cb0, cbTrainIters, subDim, cbSampleMod)
     val codebook = codebookDf(e.sparkSession, cbSeq)
     val encoded = tracked(encodeCodes(res, "rv", Seq("vec_id", "cell"),
       codebook, m, subDim))
@@ -657,9 +672,11 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1, m: Int = 8, codesPerSub: Int = 16,
-      dim: Int = 64, rerank: Int = 0, cbTrainIters: Int = 0): DataFrame =
+      dim: Int = 64, rerank: Int = 0, cbTrainIters: Int = 0,
+      cbSampleMod: Int = 1): DataFrame =
     searchIvfPq(buildIvfPq(emb, nCells, trainIters, trainSampleMod,
-      m, codesPerSub, dim, cbTrainIters), nQueries, k, nprobe, rerank)
+      m, codesPerSub, dim, cbTrainIters, cbSampleMod),
+      nQueries, k, nprobe, rerank)
 
   /** Search a prebuilt [[IvfPqIndex]]: probes, per-(query, cell) ADC
     * tables, and the compressed-candidate scoring — no training, no

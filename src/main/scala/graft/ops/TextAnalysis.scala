@@ -236,12 +236,14 @@ object TextAnalysis {
     *
     * Shape at scale: one pass builds the (doc, lang, source, n_tok,
     * body-hash) base; totals and the dup rate are plain map-side-combined
-    * aggregates; the percentiles come from the TOKEN-LENGTH HISTOGRAM —
-    * the cumulative window runs over distinct lengths (a bounded domain:
-    * max document length, not corpus size), so the report never sorts
-    * documents globally. */
+    * aggregates; the percentiles are exact nearest-rank via
+    * `percentile_disc` (smallest n_tok whose cumulative distribution
+    * reaches p — identical to min{v : cum >= ceil(p*n)}), a single
+    * distributed aggregate whose merge state is the per-partition
+    * length histogram (bounded by max document length, not corpus
+    * size). No global sort, no unpartitioned window, no driver-side
+    * count. */
   def corpusReport(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = tracked(docs.select(col("doc_id"), col("lang"), col("source"),
       size(tokens(col("text"))).cast("long").as("n_tok"),
       md5(col("text")).as("h")))
@@ -253,13 +255,10 @@ object TextAnalysis {
     val dups = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_groups"),
         sum(col("c") - 1).as("dup_docs"))
-    val n = base.count()
-    val cum = base.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("n_tok"))))
     def pAt(p: Int) =
-      min(when(col("cum") >= lit((p * n + 99) / 100), col("n_tok")))
-        .as(s"p${p}_tokens")
-    totals.crossJoin(dups).crossJoin(cum.agg(pAt(50), pAt(90)))
+      expr(s"percentile_disc(0.$p) WITHIN GROUP (ORDER BY n_tok)")
+        .cast("long").as(s"p${p}_tokens")
+    totals.crossJoin(dups).crossJoin(base.agg(pAt(50), pAt(90)))
   }
 
   /** Exact corpus heavy hitters (frequent bigram shingles) via the

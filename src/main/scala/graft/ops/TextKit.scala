@@ -51,10 +51,21 @@ object TextKit {
     * a small corpus arriving as one parquet file would otherwise run a
     * whole CPU-heavy narrow stage (hashing, quantization) on one task. At
     * real scale the scan has more partitions than slots and this is a
-    * no-op (no shuffle added). */
+    * no-op (no shuffle added). The partition count is ESTIMATED from
+    * optimizer statistics (size / maxPartitionBytes — the same arithmetic
+    * the file source uses to split scans), not from `df.rdd`: touching
+    * the RDD materializes the physical plan just to read a number. The
+    * estimate errs toward repartitioning, which never changes results —
+    * every downstream op is partitioning-agnostic (hash-based sampling,
+    * order-insensitive aggregates). */
   def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    val spark = df.sparkSession
+    val slots = spark.sparkContext.defaultParallelism
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = (sizeBytes / maxPartBytes) + (
+      if (sizeBytes % maxPartBytes == 0) 0 else 1)
+    if (estParts < slots) df.repartition(slots) else df
   }
 
   /** Whitespace tokens. */

@@ -16,8 +16,9 @@ import graft.functions.Functions._
   *    surfaced as double — safe under distributed partial aggregation;
   *  - no decimal division (scale rules differ between engines): divisions
   *    are done in double, which is IEEE-deterministic for identical inputs;
-  *  - `events.ts` is nanosecond-precision parquet -> surfaced as epoch
-  *    milliseconds (both engines truncate identically).
+  *  - `events.ts` surfaces as epoch nanoseconds via [[graft.Tables]]
+  *    (which absorbs the lake's physical encoding); queries work in
+  *    integer microseconds, `ts DIV 1000` == DuckDB `epoch_us(ts)`.
   */
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -105,6 +105,12 @@ object OpsQueries {
     "q104_ann_ivfpq_trained" -> ((s, d) =>
       Similarity.ivfPqTopK(emb(s, d), cbTrainIters = 2)
         .orderBy("query_id", "rank")),
+    // the 100 TB codebook-training shape: Lloyd refinement of the
+    // residual codebook scans only the deterministic 1/2 hash-sample
+    // (FAISS trains PQ on ~100k vectors); encode still covers the corpus
+    "q116_ann_ivfpq_cbsampled" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d), cbTrainIters = 2, cbSampleMod = 2)
+        .orderBy("query_id", "rank")),
     // STREAMING ANN admission against the prebuilt IVF-PQ index: the
     // fresh 10% arrives as a stream and is scored against the
     // compressed 90% corpus with row-local probe/ADC math (stream-legal
@@ -354,6 +360,11 @@ object OpsQueries {
     "q94_ann_pq_trained" -> ((s, d) =>
       Similarity.pqTopK(emb(s, d), trainIters = 2)
         .orderBy("query_id", "rank")),
+    // q94's training confined to the 1/2 hash-sample — codebook Lloyd
+    // iterations stop scaling with the corpus (the q50 lever, PQ side)
+    "q115_ann_pq_cbsampled" -> ((s, d) =>
+      Similarity.pqTopK(emb(s, d), trainIters = 2, cbSampleMod = 2)
+        .orderBy("query_id", "rank")),
     // incremental LSH-index maintenance: each half-corpus indexed alone,
     // merged — must equal the full rebuild (bucket sizes oracle-checked,
     // with over-cap buckets as 65-entry sentinels)
@@ -497,6 +508,15 @@ object OpsQueries {
     }),
     "q40_multimodal_frames" -> ((s, d) =>
       Multimodal.frameSlices(docs(s, d)).orderBy("media_id", "frame_idx")),
+    // REAL video-frame extraction end to end: text-derived frames ->
+    // multi-frame animated GIF (LZW, JDK sequence writer) -> container
+    // parse + every-2nd-frame decode -> per-frame stats; GIF is lossless
+    // at <= 256 colors so the oracle recomputes each sampled frame's
+    // stats from the text substring that frame encodes
+    "q117_gif_frames" -> ((s, d) =>
+      Multimodal.sampleGifFrames(
+        Multimodal.gifFromDocuments(docs(s, d)), every = 2)
+        .toDF().orderBy("media_id", "frame_idx")),
     "q32_multimodal_meta" -> ((s, d) =>
       docs(s, d).select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).as("n_bytes"),
@@ -678,14 +698,19 @@ object OpsQueries {
     * Similarity.refineCodebook — subspace id rides in every key, so all
     * m subspaces train in one relational pass per iteration). `rerank`
     * > 0 swaps the ADC tail for the exact-cosine re-rank. */
-  private def pqOracle(trainIters: Int, rerank: Int = 0): String = {
-    def assign(cbn: String, out: String) =
+  private def pqOracle(trainIters: Int, rerank: Int = 0,
+      cbSampleMod: Int = 1): String = {
+    // Lloyd refinement reads the 1/mod hash-sample (svt) when sampling;
+    // the final encode always reads the full sv — mirror of
+    // Similarity.refineCodebook's `sampleMod`.
+    val trainSrc = if (cbSampleMod <= 1) "sv" else "svt"
+    def assign(src: String, cbn: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
          SELECT sv.vec_id, sv.sub, sv.sqv, cb.code,
            row_number() OVER (PARTITION BY sv.vec_id, sv.sub
              ORDER BY ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
                - 2*${dot8("sv.sqv", "cb.cbv")}, cb.code) AS rn
-         FROM sv JOIN $cbn cb ON sv.sub = cb.sub) WHERE rn = 1)"""
+         FROM $src sv JOIN $cbn cb ON sv.sub = cb.sub) WHERE rn = 1)"""
     def update(an: String, prev: String, out: String) =
       s"""${out}_u AS (SELECT sub, code, d,
            CAST((sum(sqv[d] + 1073741824) // count(*)) - 1073741824 AS BIGINT)
@@ -699,7 +724,7 @@ object OpsQueries {
              WHERE c.sub = p.sub AND c.code = p.code))"""
     val train = (1 to trainIters).map { i =>
       val prev = s"cb${i - 1}"
-      s"${assign(prev, s"pa$i")},\n${update(s"pa$i", prev, s"cb$i")}"
+      s"${assign(trainSrc, prev, s"pa$i")},\n${update(s"pa$i", prev, s"cb$i")}"
     }.mkString(",\n")
     val cbF = s"cb$trainIters"
     s"""WITH eq AS (SELECT vec_id,
@@ -714,8 +739,11 @@ object OpsQueries {
        sv AS (SELECT vec_id, g.s AS sub,
            list_transform(generate_series(1, 8), i -> qv[g.s*8 + i]) AS sqv
          FROM eq, generate_series(0, 7) g(s)),
+       ${if (cbSampleMod > 1)
+        s"svt AS (SELECT * FROM sv WHERE $md5rankVec % $cbSampleMod = 0),"
+      else ""}
        ${if (trainIters > 0) train + "," else ""}
-       ${assign(cbF, "enc")},
+       ${assign("sv", cbF, "enc")},
        qt AS (SELECT sv.vec_id AS query_id, sv.sub, cb.code,
            ${dot8("sv.sqv", "sv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
              - 2*${dot8("sv.sqv", "cb.cbv")} AS dist
@@ -748,14 +776,19 @@ object OpsQueries {
     * lose all members keep their previous entry). */
   private def ivfPqOracle(corpusPred: String, queryCte: String,
       excludeSelf: Boolean = true, rerank: Int = 0,
-      cbTrainIters: Int = 0, admitMaxAdc: Option[Long] = None): String = {
-    def assign(cbn: String, out: String) =
+      cbTrainIters: Int = 0, admitMaxAdc: Option[Long] = None,
+      cbSampleMod: Int = 1): String = {
+    // Lloyd refinement reads the 1/mod hash-sample (rsvt) when sampling;
+    // the final encode always reads the full rsv — mirror of
+    // Similarity.refineCodebook's `sampleMod` over residual subvectors.
+    val trainSrc = if (cbSampleMod <= 1) "rsv" else "rsvt"
+    def assign(src: String, cbn: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
          SELECT rsv.vec_id, rsv.sub, rsv.sqv, cb.code,
            row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
              ORDER BY ${dot8("rsv.sqv", "rsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
                - 2*${dot8("rsv.sqv", "cb.cbv")}, cb.code) AS rn
-         FROM rsv JOIN $cbn cb ON rsv.sub = cb.sub) WHERE rn = 1)"""
+         FROM $src rsv JOIN $cbn cb ON rsv.sub = cb.sub) WHERE rn = 1)"""
     def update(an: String, prev: String, out: String) =
       s"""${out}_u AS (SELECT sub, code, d,
            CAST((sum(sqv[d] + 1073741824) // count(*)) - 1073741824 AS BIGINT)
@@ -769,7 +802,7 @@ object OpsQueries {
              WHERE c.sub = p.sub AND c.code = p.code))"""
     val train = (1 to cbTrainIters).map { i =>
       val prev = s"rcb${i - 1}"
-      s"${assign(prev, s"rpa$i")},\n${update(s"rpa$i", prev, s"rcb$i")}"
+      s"${assign(trainSrc, prev, s"rpa$i")},\n${update(s"rpa$i", prev, s"rcb$i")}"
     }.mkString(",\n")
     val cbF = s"rcb$cbTrainIters"
     s"""WITH ${kmeansChain(1, corpusPred)},
@@ -786,6 +819,9 @@ object OpsQueries {
        rsv AS (SELECT vec_id, cell, g.s AS sub,
            list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS sqv
          FROM res, generate_series(0, 7) g(s)),
+       ${if (cbSampleMod > 1)
+        s"rsvt AS (SELECT * FROM rsv WHERE $md5rankVec % $cbSampleMod = 0),"
+      else ""}
        ${if (cbTrainIters > 0) train + "," else ""}
        cb AS (SELECT * FROM $cbF),
        enc AS (SELECT vec_id, cell, sub, code FROM (
@@ -1027,6 +1063,10 @@ object OpsQueries {
     "q104_ann_ivfpq_trained" -> ivfPqOracle("TRUE",
       """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
            WHERE vec_id < 10)""", cbTrainIters = 2),
+    // residual-codebook refinement over the 1/2 hash-sample only
+    "q116_ann_ivfpq_cbsampled" -> ivfPqOracle("TRUE",
+      """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
+           WHERE vec_id < 10)""", cbTrainIters = 2, cbSampleMod = 2),
     // streamed admission == the batch scored set under the same gate
     // (q95's external-query chain, threshold tail instead of top-k)
     "q106_stream_ivfpq" -> ivfPqOracle(excludeSelf = false,
@@ -1658,6 +1698,7 @@ object OpsQueries {
     // centroid update by positive-offset integer floor division, codes
     // that lose all members keep their previous entry)
     "q94_ann_pq_trained" -> pqOracle(2),
+    "q115_ann_pq_cbsampled" -> pqOracle(2, cbSampleMod = 2),
     // IVF-PQ over the shared k-means chain: residuals against the cell
     // centroid, hash-rank residual codebooks, per-(query, cell) ADC
     "q87_ann_ivfpq" -> ivfPqOracle("TRUE",
@@ -1758,6 +1799,22 @@ object OpsQueries {
            CAST(list_min(rp) AS INT) AS min_px,
            CAST(list_max(rp) AS INT) AS max_px
          FROM r ORDER BY media_id""",
+    // animated-GIF frame sampling: frames 0 and 2 of 4, each frame's
+    // pixels = the 128 text bytes at offset frame*128 (space-padded) —
+    // the oracle replays exactly the sampled frames' substrings
+    "q117_gif_frames" ->
+      """WITH px AS (SELECT doc_id, f,
+           list_transform(generate_series(1, 128),
+             i -> unicode(substr(rpad(text, 512, ' '), f * 128 + i, 1)))
+             AS p
+           FROM documents, (VALUES (0), (2)) v(f))
+         SELECT doc_id AS media_id, f AS frame_idx, 16 AS width,
+           8 AS height,
+           CAST(CAST(list_sum(p) AS BIGINT) * 1000 // 128 AS BIGINT)
+             AS mean_permille,
+           CAST(list_min(p) AS INT) AS min_px,
+           CAST(list_max(p) AS INT) AS max_px
+         FROM px ORDER BY media_id, frame_idx""",
     // JPEG is lossy: dims are exact, and the Spark side can only emit
     // mean_close=TRUE by decoding the real bitstream faithfully
     "q103_jpeg_decode" ->

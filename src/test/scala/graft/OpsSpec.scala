@@ -573,6 +573,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF: frame sampling recovers per-frame stats bit-exact") {
+    // 300 printable chars: frames 0-1 fully from text, frame 2 partial
+    // (tail space-padded), frame 3 all padding
+    val t = (0 until 300).map(i => (33 + (i * 7) % 90).toChar).mkString
+    val d = Seq((7L, t, "en", "s0", t.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def expected(f: Int): (Long, Int, Int) = {
+      val px = (0 until 128).map(i =>
+        if (f * 128 + i < t.length) t(f * 128 + i).toInt else 32)
+      (px.map(_.toLong).sum * 1000L / 128L, px.min, px.max)
+    }
+    val frames = Multimodal.sampleGifFrames(Multimodal.gifFromDocuments(d))
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    for (fr <- frames) {
+      val (mean, mn, mx) = expected(fr.frame_idx)
+      assert((fr.width, fr.height) == (16, 8))
+      // GIF stores our identity gray palette + raw indices: lossless,
+      // so every sampled frame replays its text substring exactly
+      assert(fr.mean_permille == mean, s"frame ${fr.frame_idx} mean")
+      assert((fr.min_px, fr.max_px) == (mn, mx), s"frame ${fr.frame_idx}")
+    }
+    // every=2 seeks frames 0 and 2 only — sampling, not full decode
+    val sampled = Multimodal.sampleGifFrames(
+      Multimodal.gifFromDocuments(d), every = 2).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    // the payload is a genuine GIF container, readable by any tool
+    val payload = Multimodal.gifFromDocuments(d).collect().head.payload
+    assert(payload.take(6).map(_.toChar).mkString == "GIF89a")
+    // garbage bytes kill the task loudly, never silent fake frames
+    val junkGif = Seq(Multimodal.MediaRow(9L, "video/gif",
+      Array.tabulate[Byte](64)(_.toByte))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleGifFrames(junkGif).collect()
+    }
+  }
+
   test("pqTopK trainIters: the twin's minimal-ADC invariant survives training") {
     // whatever codebook Lloyd refinement converges to, an exact twin
     // still shares the query's argmin codes, so it attains the global
