@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def readLoadavg: String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // sampled BEFORE the session spins up 32 threads: this is the
+    // host's ambient load, the number that adjudicates a contended
+    // window (loadavg_end mostly measures the bench itself)
+    val loadavgStart = readLoadavg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,11 +74,7 @@ object Bench {
     // driver's stdout capture has clipped past rounds to a 2000-char
     // tail, so the full line is ALSO written to BENCH_LOCAL.json in the
     // repo (snapshot-committed per round).
-    def loadavg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","loadavg_end":"$loadavg"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","loadavg_start":"$loadavgStart","loadavg_end":"$readLoadavg"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")

@@ -8,17 +8,23 @@ import org.apache.spark.sql.functions._
   *
   * Two tiers of decode:
   *  - REAL: binary PGM images ([[decodePgm]]) and canonical PCM WAV audio
-  *    ([[decodeWav]]) parse genuine bytes with zero external codecs, and
-  *    PNG/JPEG ([[decodeImage]]) decode genuine entropy-coded bitstreams
-  *    through the stock JDK's ImageIO — header fields + payload
-  *    statistics, oracle-checked end to end.
-  *  - STUBBED: codec formats the JDK cannot read (MP3/H.264):
-  *    `fakeDecode` derives deterministic fake features from the bytes.
-  *    Everything around the stub — the schema, the typed Dataset
-  *    boundary, the mapPartitions batch shape, the partitioning story —
-  *    is the real Spark plumbing a production decode (JNI/ONNX/ffmpeg
-  *    per executor) plugs into: swap `fakeDecode` for the real library
-  *    call and nothing else changes (the PGM/WAV/PNG/JPEG decoders are
+  *    ([[decodeWav]]) parse genuine bytes with zero external codecs;
+  *    PNG/JPEG ([[decodeImage]]) and multi-frame GIF
+  *    ([[sampleGifFrames]]) decode genuine entropy-coded bitstreams
+  *    through the stock JDK's ImageIO; and the MP3 frame layer
+  *    ([[mp3Meta]]) and H.264 Annex-B NAL layer ([[h264Meta]]) are
+  *    walked byte-by-byte from their public bitstream framing (sync
+  *    words / start codes) — header fields + payload statistics,
+  *    oracle-checked end to end.
+  *  - STUBBED: only the ENTROPY-DECODE-TO-SAMPLES step of MP3/H.264
+  *    (Huffman subband synthesis / CABAC+DCT), which genuinely needs a
+  *    codec library the JDK lacks: `fakeDecode` derives deterministic
+  *    fake features from the bytes. Everything around the stub — the
+  *    schema, the typed Dataset boundary, the mapPartitions batch
+  *    shape, the container walk that locates each frame's payload — is
+  *    the real Spark plumbing a production decode (JNI/ONNX/ffmpeg per
+  *    executor) plugs into: swap `fakeDecode` for the real library call
+  *    and nothing else changes (the PGM/WAV/PNG/JPEG/GIF decoders are
   *    exactly that swap, done).
   */
 object Multimodal {
@@ -401,13 +407,22 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(rows => rows.map { case (id, text) =>
-        val out = new java.io.ByteArrayOutputStream()
-        val wrote = javax.imageio.ImageIO.write(
-          grayImageFromText(text, w, h), fmt, out)
-        require(wrote, s"no ImageIO writer for format $fmt")
-        MediaRow(id, kind, out.toByteArray)
-      })
+      .mapPartitions { rows =>
+        // one writer per partition (the extractFeatures codec-init cost
+        // model) — ImageIO.write would re-run the registry lookup and
+        // allocate a fresh writer per row
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+        require(it.hasNext, s"no ImageIO writer for format $fmt")
+        val writer = it.next()
+        rows.map { case (id, text) =>
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.write(grayImageFromText(text, w, h))
+          ios.close()
+          MediaRow(id, kind, out.toByteArray)
+        }
+      }
   }
 
   /** REAL PNG payloads (DEFLATE-compressed, lossless) synthesized from
@@ -460,31 +475,41 @@ object Multimodal {
     require(outW > 0 && outH > 0,
       s"resizeImage: target dimensions must be positive (got ${outW}x$outH)")
     import media.sparkSession.implicits._
-    media.mapPartitions(rows => rows.map { r =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(r.payload))
-      require(img != null,
-        s"media ${r.media_id}: payload is not a decodable image")
-      val w = img.getWidth; val h = img.getHeight
-      val src = img.getRaster
-      val out = new java.awt.image.BufferedImage(outW, outH,
-        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val dst = out.getRaster
-      var y = 0
-      while (y < outH) {
-        val sy = y * h / outH
-        var x = 0
-        while (x < outW) {
-          dst.setSample(x, y, 0, src.getSample(x * w / outW, sy, 0))
-          x += 1
+    media.mapPartitions { rows =>
+      // per-partition writer reuse (decode side stays on ImageIO.read —
+      // input formats can be mixed, the registry probe is the decoder
+      // dispatch there)
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+      require(it.hasNext, s"no ImageIO writer for format $fmt")
+      val writer = it.next()
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null,
+          s"media ${r.media_id}: payload is not a decodable image")
+        val w = img.getWidth; val h = img.getHeight
+        val src = img.getRaster
+        val out = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val dst = out.getRaster
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            dst.setSample(x, y, 0, src.getSample(x * w / outW, sy, 0))
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val buf = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+        writer.setOutput(ios)
+        writer.write(out)
+        ios.close()
+        MediaRow(r.media_id, r.kind, buf.toByteArray)
       }
-      val buf = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(out, fmt, buf),
-        s"no ImageIO writer for format $fmt")
-      MediaRow(r.media_id, r.kind, buf.toByteArray)
-    })
+    }
   }
 
   /** Per-frame features decoded from a real multi-frame container. */
@@ -595,6 +620,187 @@ object Multimodal {
         feats
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // MP3 frame layer + H.264 Annex-B NAL layer — the CONTAINER half of the
+  // two codec formats whose sample-decode stays stubbed. Both framings
+  // are public bitstream specs (11-bit frame sync + 32-bit header with
+  // tabulated bitrate/samplerate and a derivable frame length; 3/4-byte
+  // start codes + a 1-byte NAL header), so the walk is implementable
+  // byte-exactly with zero libraries. Payloads are synthesized VALID from
+  // the documents fixture, and the oracle recomputes the expected
+  // metadata from the SOURCE representation (doc_id arithmetic) — the
+  // q89/q97 cross-representation pattern: only a faithful walker agrees.
+  // ---------------------------------------------------------------------
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1-14. */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample-rate table, index 0-2. */
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Per-file MP3 frame-layer metadata: frame count, header-declared
+    * rates, and the exact 1152-samples-per-frame duration. */
+  final case class Mp3Features(media_id: Long, n_frames: Int,
+      bitrate_kbps: Int, sample_rate: Int, n_bytes: Long,
+      duration_ms: Long)
+
+  /** REAL MP3 frame streams synthesized from the documents fixture: per
+    * doc, `3 + doc_id % 4` frames of MPEG-1 Layer III framing — 0xFFFB
+    * sync+header, bitrate index `1 + doc_id % 14`, sample-rate index
+    * `doc_id % 3`, no padding — each frame exactly
+    * `144 * bitrate / sampleRate` bytes with deterministic non-zero
+    * noise standing in for the Huffman payload. Any MP3 tool walks
+    * these frames (the payload just decodes to noise). */
+  def mp3FromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val brIdx = 1 + (id % 14).toInt
+      val srIdx = (id % 3).toInt
+      val frameLen = 144 * Mp3Bitrates(brIdx) * 1000 / Mp3Rates(srIdx)
+      val nFrames = 3 + (id % 4).toInt
+      val out = new Array[Byte](nFrames * frameLen)
+      var f = 0
+      while (f < nFrames) {
+        val base = f * frameLen
+        out(base) = 0xFF.toByte          // sync 11111111
+        out(base + 1) = 0xFB.toByte      // sync 111 + MPEG1 + Layer III + no CRC
+        out(base + 2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
+        out(base + 3) = 0x00             // stereo, no flags
+        var i = 4
+        while (i < frameLen) {
+          out(base + i) = (((id * 31 + f * 17 + i * 7) % 255) + 1).toByte
+          i += 1
+        }
+        f += 1
+      }
+      MediaRow(id, "audio/mpeg", out)
+    }
+  }
+
+  /** REAL MP3 frame walk: validate the sync word + header at every
+    * computed frame boundary, read the tabulated bitrate/sample-rate,
+    * derive each frame's length, and walk to end-of-payload exactly.
+    * Truncated streams, broken sync, or reserved header indices fail
+    * the task loudly. `duration_ms` is the Layer III constant 1152
+    * samples per frame over the header rate — exact integer math. */
+  def mp3Meta(media: Dataset[MediaRow]): Dataset[Mp3Features] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val b = r.payload
+      require(b.length >= 4, s"media ${r.media_id}: truncated MP3")
+      var off = 0; var n = 0; var br = -1; var sr = -1
+      while (off < b.length) {
+        require(off + 4 <= b.length,
+          s"media ${r.media_id}: truncated frame header at $off")
+        require((b(off) & 0xFF) == 0xFF && (b(off + 1) & 0xE0) == 0xE0,
+          s"media ${r.media_id}: lost frame sync at $off")
+        require((b(off + 1) & 0x18) == 0x18 && (b(off + 1) & 0x06) == 0x02,
+          s"media ${r.media_id}: not MPEG-1 Layer III at $off")
+        val brIdx = (b(off + 2) & 0xF0) >>> 4
+        val srIdx = (b(off + 2) & 0x0C) >>> 2
+        require(brIdx >= 1 && brIdx <= 14,
+          s"media ${r.media_id}: reserved bitrate index $brIdx")
+        require(srIdx <= 2,
+          s"media ${r.media_id}: reserved sample-rate index $srIdx")
+        val pad = (b(off + 2) & 0x02) >>> 1
+        val fLen = 144 * Mp3Bitrates(brIdx) * 1000 / Mp3Rates(srIdx) + pad
+        // a fixed-rate stream: all frames must agree with the first
+        if (n == 0) { br = Mp3Bitrates(brIdx); sr = Mp3Rates(srIdx) }
+        else require(Mp3Bitrates(brIdx) == br && Mp3Rates(srIdx) == sr,
+          s"media ${r.media_id}: rate change mid-stream at $off")
+        off += fLen; n += 1
+      }
+      require(off == b.length,
+        s"media ${r.media_id}: trailing bytes after last frame")
+      Mp3Features(r.media_id, n, br, sr, b.length.toLong,
+        n.toLong * 1152L * 1000L / sr)
+    })
+  }
+
+  /** Per-file H.264 Annex-B NAL-layer metadata. */
+  final case class H264Features(media_id: Long, n_nals: Int,
+      has_sps: Boolean, has_pps: Boolean, n_idr: Int, n_slices: Int,
+      payload_bytes: Long)
+
+  /** REAL H.264 Annex-B byte streams synthesized from the documents
+    * fixture: 4-byte start code + SPS, 3-byte start codes + PPS, one
+    * IDR slice, then `1 + doc_id % 3` non-IDR slices — each NAL body
+    * deterministic non-zero noise (zero bytes are excluded, so no
+    * start-code emulation and no emulation-prevention bytes needed).
+    * Body sizes derive from doc_id, so the oracle replays them. */
+  def annexbFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val out = new java.io.ByteArrayOutputStream()
+      def nal(startLen: Int, header: Int, bodyLen: Int, seed: Long): Unit = {
+        if (startLen == 4) out.write(0)
+        out.write(0); out.write(0); out.write(1)
+        out.write(header)
+        var i = 0
+        while (i < bodyLen) {
+          out.write((((seed * 31 + i * 7) % 255) + 1).toInt)
+          i += 1
+        }
+      }
+      nal(4, 0x67, 10 + (id % 5).toInt, id)         // SPS (ref_idc 3, type 7)
+      nal(3, 0x68, 4 + (id % 3).toInt, id + 1)      // PPS (type 8)
+      nal(3, 0x65, 40 + (id % 25).toInt, id + 2)    // IDR slice (type 5)
+      val nSlices = 1 + (id % 3).toInt
+      var s = 0
+      while (s < nSlices) {                          // non-IDR slices (type 1)
+        nal(3, 0x41, 20 + ((id + s) % 30).toInt, id + 3 + s)
+        s += 1
+      }
+      MediaRow(id, "video/avc", out.toByteArray)
+    }
+  }
+
+  /** REAL Annex-B NAL walk: scan 3/4-byte start codes, validate the
+    * forbidden-zero bit, classify `nal_unit_type` (5 low bits), and
+    * account every payload byte to a NAL. Garbage before the first
+    * start code, or a set forbidden bit, fails the task loudly. */
+  def h264Meta(media: Dataset[MediaRow]): Dataset[H264Features] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val b = r.payload
+      def startCodeAt(i: Int): Int =
+        if (i + 3 <= b.length && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) 3
+        else if (i + 4 <= b.length && b(i) == 0 && b(i + 1) == 0 &&
+          b(i + 2) == 0 && b(i + 3) == 1) 4
+        else 0
+      require(startCodeAt(0) > 0,
+        s"media ${r.media_id}: no leading Annex-B start code")
+      var i = 0; var nNals = 0; var nIdr = 0; var nSlices = 0
+      var sps = false; var pps = false; var payload = 0L
+      while (i < b.length) {
+        val sc = startCodeAt(i)
+        require(sc > 0, s"media ${r.media_id}: lost start code at $i")
+        i += sc
+        require(i < b.length, s"media ${r.media_id}: start code at EOF")
+        val h = b(i) & 0xFF
+        require((h & 0x80) == 0,
+          s"media ${r.media_id}: forbidden_zero_bit set at $i")
+        val t = h & 0x1F
+        nNals += 1
+        t match {
+          case 7 => sps = true
+          case 8 => pps = true
+          case 5 => nIdr += 1; nSlices += 1
+          case 1 => nSlices += 1
+          case _ => ()
+        }
+        i += 1
+        val bodyStart = i
+        while (i < b.length && startCodeAt(i) == 0) i += 1
+        payload += (i - bodyStart).toLong
+      }
+      H264Features(r.media_id, nNals, sps, pps, nIdr, nSlices, payload)
+    })
   }
 
   /** Build a media table from the documents fixture: text bytes stand in

@@ -517,6 +517,20 @@ object OpsQueries {
       Multimodal.sampleGifFrames(
         Multimodal.gifFromDocuments(docs(s, d)), every = 2)
         .toDF().orderBy("media_id", "frame_idx")),
+    // REAL MP3 frame-layer walk: synthesized valid MPEG-1 Layer III
+    // frame streams -> sync/header validation at every computed frame
+    // boundary -> per-file rates + exact 1152-samples/frame duration;
+    // the oracle replays the metadata from doc_id arithmetic, so only
+    // a faithful byte walker agrees (the container half of the MP3
+    // story — sample decode stays behind the stub, no codec in the JDK)
+    "q118_mp3_meta" -> ((s, d) =>
+      Multimodal.mp3Meta(Multimodal.mp3FromDocuments(docs(s, d)))
+        .toDF().orderBy("media_id")),
+    // REAL H.264 Annex-B NAL walk: start-code scan, forbidden-bit
+    // check, nal_unit_type classification, per-NAL payload accounting
+    "q119_h264_nals" -> ((s, d) =>
+      Multimodal.h264Meta(Multimodal.annexbFromDocuments(docs(s, d)))
+        .toDF().orderBy("media_id")),
     "q32_multimodal_meta" -> ((s, d) =>
       docs(s, d).select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).as("n_bytes"),
@@ -1815,6 +1829,39 @@ object OpsQueries {
            CAST(list_min(p) AS INT) AS min_px,
            CAST(list_max(p) AS INT) AS max_px
          FROM px ORDER BY media_id, frame_idx""",
+    // MP3 frame layer: the oracle recomputes every header-declared
+    // value from the synthesis parameters (doc_id arithmetic) — frame
+    // count, tabulated rates, exact frame-length bytes, 1152-sample
+    // integer duration
+    "q118_mp3_meta" ->
+      """SELECT doc_id AS media_id,
+         CAST(3 + doc_id % 4 AS INT) AS n_frames,
+         CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+           CAST(1 + doc_id % 14 AS INT)) AS INT) AS bitrate_kbps,
+         CAST(list_extract([44100,48000,32000],
+           CAST(1 + doc_id % 3 AS INT)) AS INT) AS sample_rate,
+         CAST((3 + doc_id % 4) *
+           (144 * list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+              CAST(1 + doc_id % 14 AS INT)) * 1000
+            // list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT)))
+           AS BIGINT) AS n_bytes,
+         CAST((3 + doc_id % 4) * 1152 * 1000
+           // list_extract([44100,48000,32000], CAST(1 + doc_id % 3 AS INT))
+           AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+    // H.264 NAL layer: SPS + PPS + IDR + (1 + doc_id % 3) slices with
+    // doc_id-derived body sizes — the walker's counts and per-NAL byte
+    // accounting must reproduce them exactly
+    "q119_h264_nals" ->
+      """SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 3 AS INT) AS n_nals,
+         TRUE AS has_sps, TRUE AS has_pps,
+         1 AS n_idr,
+         CAST(2 + doc_id % 3 AS INT) AS n_slices,
+         CAST(54 + doc_id % 5 + doc_id % 3 + doc_id % 25 +
+           list_sum(list_transform(generate_series(0, CAST(doc_id % 3 AS INT)),
+             k -> 20 + (doc_id + k) % 30)) AS BIGINT) AS payload_bytes
+         FROM documents ORDER BY media_id""",
     // JPEG is lossy: dims are exact, and the Spark side can only emit
     // mean_close=TRUE by decoding the real bitstream faithfully
     "q103_jpeg_decode" ->

@@ -610,6 +610,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("MP3 frame walk + H.264 NAL walk: hand-checked metadata, loud failures") {
+    // doc_id=5: brIdx=6 (80kbps), srIdx=2 (32000), 3+5%4=4 frames,
+    // frameLen = 144*80000/32000 = 360
+    val d = Seq((5L, "irrelevant", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mp3 = Multimodal.mp3Meta(Multimodal.mp3FromDocuments(d))
+      .collect().head
+    assert(mp3.n_frames == 4 && mp3.bitrate_kbps == 80
+      && mp3.sample_rate == 32000)
+    assert(mp3.n_bytes == 4L * 360L)
+    assert(mp3.duration_ms == 4L * 1152L * 1000L / 32000L)
+    // the payload is genuine framing: sync + MPEG1 Layer III header
+    val mp3Bytes = Multimodal.mp3FromDocuments(d).collect().head.payload
+    assert((mp3Bytes(0) & 0xFF) == 0xFF && (mp3Bytes(1) & 0xFF) == 0xFB)
+    assert((mp3Bytes(360) & 0xFF) == 0xFF) // frame 2 starts where computed
+    // doc_id=5: SPS(10+0) PPS(4+2) IDR(40+5) + 1+5%3=3 slices
+    // (20+5%30, 20+6%30, 20+7%30) = 15+45+66+21 header-excluded bytes
+    val h264 = Multimodal.h264Meta(Multimodal.annexbFromDocuments(d))
+      .collect().head
+    assert(h264.n_nals == 6 && h264.has_sps && h264.has_pps)
+    assert(h264.n_idr == 1 && h264.n_slices == 4)
+    assert(h264.payload_bytes == 10L + 6L + 45L + 25L + 26L + 27L)
+    // garbage bytes fail the task loudly in both walkers
+    val junkMedia = Seq(Multimodal.MediaRow(9L, "audio/mpeg",
+      Array.tabulate[Byte](64)(i => (i + 1).toByte))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.mp3Meta(junkMedia).collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.h264Meta(junkMedia).collect()
+    }
+    // a TRUNCATED valid stream (mid-frame cut) also fails, not rounds
+    val cut = Seq(Multimodal.MediaRow(5L, "audio/mpeg",
+      Multimodal.mp3FromDocuments(d).collect().head.payload.take(500))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.mp3Meta(cut).collect()
+    }
+  }
+
   test("pqTopK trainIters: the twin's minimal-ADC invariant survives training") {
     // whatever codebook Lloyd refinement converges to, an exact twin
     // still shares the query's argmin codes, so it attains the global
