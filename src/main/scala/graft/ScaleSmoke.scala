@@ -157,6 +157,44 @@ object ScaleSmoke {
       timeRecall(s"recall_${k}x", k, 8 * k)
     }
 
+    // CODEBOOK-TRAINING scaling: the round-8 `cbSampleMod` claim. Coarse
+    // training is pinned flat (trainSampleMod grows with the corpus, so
+    // Lloyd always sees ~the same row count) to isolate the PQ-codebook
+    // term: with cbSampleMod=1 the two refinement iterations scan every
+    // (vector, subspace) row and the train window grows with the corpus;
+    // with cbSampleMod=k they scan the 1/k hash-sample and the window
+    // stays near the 1x cost. Encode (the once-per-corpus-version pass)
+    // grows linearly in BOTH — that pass is the contract, training is
+    // not. train_sec covers the driver-side k-means + Lloyd collects
+    // inside buildIvfPq; encode_sec forces the lazy encoded relation.
+    def timeCb(label: String, times: Int, cells: Int, mod: Int,
+        silent: Boolean = false): Unit = {
+      val emb = embRep(times)
+      val t0 = System.nanoTime()
+      val ix = graft.ops.Similarity.buildIvfPq(emb, nCells = cells,
+        trainIters = 2, trainSampleMod = 4 * times, cbTrainIters = 2,
+        cbSampleMod = mod)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nEnc = ix.encoded.count()
+      val tEnc = (System.nanoTime() - t1) / 1e9
+      graft.ops.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      embBase.cache(); embBase.count()
+      if (!silent)
+        println(f"""{"experiment":"$label","rows":${ne * times},""" +
+          f""""cells":$cells,"cb_sample_mod":$mod,"encoded":$nEnc,""" +
+          f""""train_sec":$tTrain%.2f,"encode_sec":$tEnc%.2f}""")
+    }
+    if (enabled("cbtrain")) {
+      // discarded warm-up: the first build pays codegen/JIT for the
+      // whole k-means + Lloyd chain and would masquerade as 1x cost
+      timeCb("warmup", 1, 8, 1, silent = true)
+      timeCb("cbtrain_full_1x", 1, 8, 1)
+      timeCb(s"cbtrain_full_${k}x", k, 8 * k, 1)
+      timeCb(s"cbtrain_sampled_${k}x", k, 8 * k, k)
+    }
+
     // SKEWED-corpus evidence: ~25% of all rows land on ONE join key
     // (~130x a normal key) and fan out 64-way through a sort-merge join.
     // Same query twice: with AQE's runtime skew split vs with the split
