@@ -16,15 +16,30 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Streaming file sources need an explicit schema (no inference):
-    * events.ts is annotated timestamp[us] in the current lake, read as
-    * TimestampType; event-time micros come from `unix_micros(ts)` —
-    * identical to the batch loader's epoch-nanos `ts DIV 1000` currency
-    * (see [[graft.Tables]]). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming file sources need an explicit schema (no inference), but
+    * the test lake has shipped events.ts in two physical encodings (see
+    * [[graft.Tables]]) — so the schema is picked per-source from a
+    * one-time batch footer probe: annotated timestamp -> TimestampType
+    * with `unix_micros(ts)` event time; plain INT64 nanoseconds ->
+    * LongType with `ts DIV 1000`. Both yield the same integer-micros
+    * currency the batch loader exposes. The probe reads footers only
+    * (no data scan) and happens once at stream-definition time on the
+    * driver. */
+  private def eventsStream(spark: SparkSession,
+      sfDir: String): (StructType, org.apache.spark.sql.Column) = {
+    val isTimestamp = scala.util.Try(
+        spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
+      .toOption.exists(t => t == TimestampType || t == TimestampNTZType)
+    val (tsField, micros) =
+      if (isTimestamp)
+        (StructField("ts", TimestampType), unix_micros(col("ts")))
+      else (StructField("ts", LongType), expr("ts DIV 1000"))
+    (StructType(Seq(
+      StructField("event_id", LongType), tsField,
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))),
+      micros)
+  }
 
   /** Hourly tumbling-window counts + exact value sums per event type.
     * Event time = ts (ns) truncated to microseconds; the output carries the
@@ -56,10 +71,11 @@ object StreamingOps {
     locally {
       // The streaming file source requires a directory: point it at the SF
       // dir and glob-filter to the events file.
-      val stream = ss.readStream.schema(eventsSchema)
+      val (schema, tsMicros) = eventsStream(ss, sfDir)
+      val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-      val agg = hourlyAgg(stream, watermarked)
+      val agg = hourlyAgg(stream, tsMicros, watermarked)
       val q = sinkDir match {
         // production shape: watermarked append straight to a parquet sink —
         // results never pass through the driver
@@ -91,9 +107,11 @@ object StreamingOps {
 
   /** The one hourly aggregation both twins run: tumbling 1-hour windows
     * per event type, decimal-exact sums surfaced as double. */
-  private def hourlyAgg(stream: DataFrame, watermarked: Boolean): DataFrame = {
+  private def hourlyAgg(stream: DataFrame,
+      tsMicros: org.apache.spark.sql.Column,
+      watermarked: Boolean): DataFrame = {
     val timed = stream
-      .withColumn("event_time", timestamp_micros(unix_micros(col("ts"))))
+      .withColumn("event_time", timestamp_micros(tsMicros))
     (if (watermarked) timed.withWatermark("event_time", "1 hour") else timed)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
