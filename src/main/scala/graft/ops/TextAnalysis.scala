@@ -139,6 +139,39 @@ object TextAnalysis {
         .otherwise("train").as("split"))
   }
 
+  /** CCNet-style quality buckets: stratify the corpus into `nBuckets`
+    * nearest-rank quantile buckets of bigram-LM fluency (0 = least
+    * fluent tail .. nBuckets-1 = most fluent head) — the head/middle/
+    * tail split CCNet uses to stratify web data by LM quality before
+    * per-bucket sampling ([[tokenRateMix]] / [[stratifiedSample]]
+    * compose downstream on the `bucket` column).
+    *
+    * Shape at scale: the score comes from [[bigramScore]] (one model
+    * aggregation); the boundaries are exact `percentile_disc`
+    * aggregates over the score distribution — a single distributed
+    * aggregate whose merge state is the per-partition score histogram —
+    * and assignment is a crossJoin of the one-row bounds frame with a
+    * when-chain. No global sort, no window, no driver-side count. Ties
+    * at a boundary fall into the LOWER bucket (the boundary value
+    * closes its bucket), so the split is deterministic cross-engine. */
+  def fluencyBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    val scored = bigramScore(docs)
+      .select(col("doc_id"), col("fluency_ppm"))
+    val boundCols = (1 until nBuckets).map { i =>
+      expr(s"percentile_disc(${i.toDouble / nBuckets}d) " +
+        "WITHIN GROUP (ORDER BY fluency_ppm)")
+        .cast("long").as(s"b$i")
+    }
+    val bounds = scored.agg(boundCols.head, boundCols.tail: _*)
+    val bucket = (1 until nBuckets).reverse
+      .foldLeft(lit(nBuckets - 1): Column) { (acc, i) =>
+        when(col("fluency_ppm") <= col(s"b$i"), lit(i - 1)).otherwise(acc)
+      }
+    scored.crossJoin(bounds)
+      .select(col("doc_id"), col("fluency_ppm"), bucket.as("bucket"))
+  }
+
   /** The normalization expression itself (lowercase, strip to
     * [a-z0-9 ], collapse runs, trim) — exposed so pipeline compositions
     * share the exact semantics with [[normalize]]. */

@@ -284,6 +284,11 @@ object OpsQueries {
     // own bigram model — row-local bigram build, one model aggregation
     "q105_bigram_score" -> ((s, d) =>
       TextAnalysis.bigramScore(docs(s, d)).orderBy("doc_id")),
+    // CCNet-style head/middle/tail quality stratification: exact
+    // nearest-rank fluency terciles via percentile_disc aggregates (no
+    // global sort, no window); per-bucket sampling composes downstream
+    "q120_fluency_buckets" -> ((s, d) =>
+      TextAnalysis.fluencyBuckets(docs(s, d)).orderBy("doc_id")),
     // HTML boilerplate removal: real markup synthesized from the text,
     // extraction must recover the text exactly (cross-representation
     // oracle — DuckDB recomputes from the text, never sees the HTML)
@@ -1420,6 +1425,46 @@ object OpsQueries {
            coalesce(CAST(mass // nbg AS BIGINT), 0) AS fluency_ppm
          FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
          ORDER BY d.doc_id""",
+    // CCNet buckets: the q105 fluency chain, then nearest-rank tercile
+    // boundaries from the cum histogram (the explicit twin of Spark's
+    // percentile_disc) and the tie-goes-lower CASE assignment
+    "q120_fluency_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, CAST(len(t) - 1 AS INT)),
+             i -> t[i] || ' ' || t[i + 1])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         bgc AS (SELECT doc_id, bg, count(*) AS bf_doc FROM bg
+           GROUP BY doc_id, bg),
+         corpus AS (SELECT bg, CAST(sum(bf_doc) AS BIGINT) AS cbg
+           FROM bgc GROUP BY bg),
+         pre AS (SELECT split_part(bg, ' ', 1) AS w1,
+             CAST(sum(cbg) AS BIGINT) AS cpre
+           FROM corpus GROUP BY 1),
+         scored AS (SELECT bgc.doc_id,
+             CAST(sum(bgc.bf_doc * ((corpus.cbg * 1000000) // pre.cpre))
+               AS BIGINT) AS mass,
+             CAST(sum(bgc.bf_doc) AS BIGINT) AS nbg
+           FROM bgc JOIN corpus USING (bg)
+             JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.w1
+           GROUP BY bgc.doc_id),
+         f AS (SELECT d.doc_id,
+             coalesce(CAST(mass // nbg AS BIGINT), 0) AS fluency_ppm
+           FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id),
+         nn AS (SELECT count(*) AS n FROM f),
+         cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS c FROM
+           (SELECT fluency_ppm AS v, count(*) AS cnt FROM f GROUP BY 1)),
+         b AS (SELECT
+           CAST(min(CASE WHEN c >= (1 * (SELECT n FROM nn) + 2) // 3
+             THEN v END) AS BIGINT) AS b1,
+           CAST(min(CASE WHEN c >= (2 * (SELECT n FROM nn) + 2) // 3
+             THEN v END) AS BIGINT) AS b2
+           FROM cum)
+         SELECT f.doc_id, f.fluency_ppm,
+           CASE WHEN f.fluency_ppm <= b.b1 THEN 0
+                WHEN f.fluency_ppm <= b.b2 THEN 1 ELSE 2 END AS bucket
+         FROM f, b ORDER BY f.doc_id""",
     // the oracle never parses HTML: it recomputes every extracted field
     // from the SOURCE text plus the wrapper's fixed boilerplate lengths
     // ('home about' = 10 visible chars, 'copyright 2024' = 14), so only

@@ -952,6 +952,28 @@ class OpsSpec extends SparkSpec {
     assert(r(0L).getAs[Long]("score") > r(1L).getAs[Long]("score"))
   }
 
+  test("fluency buckets: monotone in score, near-even sizes, ties go lower") {
+    // the real sf0.001 corpus: enough score spread for 3 distinct buckets
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rows = graft.ops.TextAnalysis.fluencyBuckets(d).collect()
+    assert(rows.length == d.count())
+    // bucket must be monotone non-decreasing in fluency_ppm
+    val sorted = rows.sortBy(_.getAs[Long]("fluency_ppm"))
+    assert(sorted.map(_.getAs[Int]("bucket")).toSeq ==
+      sorted.map(_.getAs[Int]("bucket")).toSeq.sorted)
+    // nearest-rank terciles: the lowest bucket holds at least ceil(n/3)
+    // docs (boundary ties pile DOWN, never up), every bucket non-empty
+    val n = rows.length
+    val sizes = rows.groupBy(_.getAs[Int]("bucket")).map { case (b, r) =>
+      b -> r.length
+    }
+    assert(sizes.keySet == Set(0, 1, 2))
+    assert(sizes(0) >= (n + 2) / 3)
+    // same doc ids in, same out (pure stratification, no filtering)
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      d.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("token mixing: greedy budget cut and rate admission") {
     val d = (0L to 39L).map { i =>
       val src = if (i % 2 == 0) "a" else "b"
