@@ -66,6 +66,64 @@ object Curation {
     * Shuffle count: two model aggregations + the fluency join + dedup +
     * manifest — each keyed, none corpus-quadratic; extraction and both
     * gates are scan-speed projections. */
+  /** The full PRETRAINING-RECIPE composition — the pipeline a data team
+    * runs to turn a raw corpus into a training mix, chaining five
+    * operators this kit already proves individually:
+    *
+    *  1. normalize ([[TextAnalysis.normExpr]] — narrow projection);
+    *  2. quality gate: drop the least-fluent tercile
+    *     ([[TextAnalysis.fluencyBuckets]] `bucket >= minBucket`, the
+    *     CCNet head+middle keep);
+    *  3. per-source cap: at most `perSourceCap` docs per source by
+    *     md5 hash-rank (the MassiveText per-domain cap — bounded
+    *     [[TopKAgg]] aggregator, never a window sort);
+    *  4. exact dedup on the normalized body (one hash aggregation,
+    *     min-id canonical carried inside via min_by);
+    *  5. deterministic train/val/test assignment (the
+    *     [[TextAnalysis.trainValTestSplit]] md5-bucket arithmetic),
+    *     rolled up to the per-(split, source) doc/token manifest.
+    *
+    * Shuffle count: the fluency model aggregation + bounds, the cap
+    * aggregation, the dedup aggregation, and the final manifest rollup
+    * — each keyed, none corpus-quadratic; every gate is a scan-speed
+    * projection or a broadcast-sized join. */
+  def pretrainRecipe(docs: DataFrame, perSourceCap: Int = 100,
+      minBucket: Int = 1, valPermille: Int = 50,
+      testPermille: Int = 50): DataFrame = {
+    require(perSourceCap >= 1, s"perSourceCap=$perSourceCap must be >= 1")
+    val normed = tracked(docs.select(col("doc_id"), col("source"),
+      TextAnalysis.normExpr(col("text")).as("text")))
+    // the LM is fit on cleaned text (the crawl-curation precedent):
+    // buckets come from the normalized corpus's own bigram model
+    val keep = TextAnalysis.fluencyBuckets(normed)
+      .filter(col("bucket") >= minBucket).select(col("doc_id"))
+    val gated = normed.join(keep, Seq("doc_id"))
+    val capped = TopKAgg.topKPerQueryAsc(
+        gated.select(col("source"), col("doc_id"),
+          md5Long(col("doc_id")
+            .cast(org.apache.spark.sql.types.StringType)).as("hkey")),
+        "source", "doc_id", "hkey", perSourceCap)
+      .select(col("neighbor_id").as("doc_id"))
+      .join(normed, Seq("doc_id"))
+    val canonical = capped
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+        col("doc_id")).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+        col("w.text").as("text"))
+    val splitBucket =
+      md5Long(col("doc_id")
+        .cast(org.apache.spark.sql.types.StringType)) % 1000
+    canonical
+      .select(col("source"),
+        when(splitBucket < valPermille, "val")
+          .when(splitBucket < valPermille + testPermille, "test")
+          .otherwise("train").as("split"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   def curateCrawl(pages: DataFrame, maxBoilerPermille: Long = 150,
       minFluencyPpm: Long = 34000, nShards: Int = 16): DataFrame = {
     // cached: the regex-heavy extraction would otherwise re-run for the

@@ -289,6 +289,12 @@ object OpsQueries {
     // global sort, no window); per-bucket sampling composes downstream
     "q120_fluency_buckets" -> ((s, d) =>
       TextAnalysis.fluencyBuckets(docs(s, d)).orderBy("doc_id")),
+    // the full pretraining recipe end to end: normalize -> CCNet tail
+    // drop -> per-source hash-rank cap (cap=15 so it BITES at sf0.01's
+    // ~17 gate survivors per source) -> exact dedup -> split manifest
+    "q121_pretrain_recipe" -> ((s, d) =>
+      graft.ops.Curation.pretrainRecipe(docs(s, d), perSourceCap = 15)
+        .orderBy("split", "source")),
     // HTML boilerplate removal: real markup synthesized from the text,
     // extraction must recover the text exactly (cross-representation
     // oracle — DuckDB recomputes from the text, never sees the HTML)
@@ -1465,6 +1471,63 @@ object OpsQueries {
            CASE WHEN f.fluency_ppm <= b.b1 THEN 0
                 WHEN f.fluency_ppm <= b.b2 THEN 1 ELSE 2 END AS bucket
          FROM f, b ORDER BY f.doc_id""",
+    // the recipe's oracle replays all five stages: normalize, the q120
+    // fluency chain over the NORMALIZED corpus (tail drop = ppm > b1),
+    // the per-source hash-rank cap as a window twin, min_by dedup, and
+    // the md5-bucket split rollup
+    "q121_pretrain_recipe" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH nrm AS (SELECT doc_id, source,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text
+           FROM documents),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM nrm),
+         bg AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, CAST(len(t) - 1 AS INT)),
+             i -> t[i] || ' ' || t[i + 1])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         bgc AS (SELECT doc_id, bg, count(*) AS bf_doc FROM bg
+           GROUP BY doc_id, bg),
+         corpus AS (SELECT bg, CAST(sum(bf_doc) AS BIGINT) AS cbg
+           FROM bgc GROUP BY bg),
+         pre AS (SELECT split_part(bg, ' ', 1) AS w1,
+             CAST(sum(cbg) AS BIGINT) AS cpre
+           FROM corpus GROUP BY 1),
+         scored AS (SELECT bgc.doc_id,
+             CAST(sum(bgc.bf_doc * ((corpus.cbg * 1000000) // pre.cpre))
+               AS BIGINT) AS mass,
+             CAST(sum(bgc.bf_doc) AS BIGINT) AS nbg
+           FROM bgc JOIN corpus USING (bg)
+             JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.w1
+           GROUP BY bgc.doc_id),
+         f AS (SELECT n.doc_id,
+             coalesce(CAST(mass // nbg AS BIGINT), 0) AS fluency_ppm
+           FROM nrm n LEFT JOIN scored ON n.doc_id = scored.doc_id),
+         nn AS (SELECT count(*) AS n FROM f),
+         cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS c FROM
+           (SELECT fluency_ppm AS v, count(*) AS cnt FROM f GROUP BY 1)),
+         bnd AS (SELECT
+           CAST(min(CASE WHEN c >= (1 * (SELECT n FROM nn) + 2) // 3
+             THEN v END) AS BIGINT) AS b1 FROM cum),
+         g AS (SELECT nrm.doc_id, nrm.source, nrm.text
+           FROM nrm JOIN f USING (doc_id), bnd
+           WHERE f.fluency_ppm > bnd.b1),
+         ranked AS (SELECT doc_id, source, text, row_number() OVER (
+             PARTITION BY source ORDER BY $h, doc_id) AS rn FROM g),
+         capped AS (SELECT doc_id, source, text FROM ranked
+           WHERE rn <= 15),
+         canon AS (SELECT min(doc_id) AS doc_id,
+             min_by(source, doc_id) AS source,
+             min_by(text, doc_id) AS text
+           FROM capped GROUP BY md5(text)),
+         spl AS (SELECT source,
+             CASE WHEN $h % 1000 < 50 THEN 'val'
+               WHEN $h % 1000 < 100 THEN 'test'
+               ELSE 'train' END AS split,
+             len(string_split(text, ' ')) AS n_tok FROM canon)
+         SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM spl GROUP BY 1, 2 ORDER BY 1, 2""" },
     // the oracle never parses HTML: it recomputes every extracted field
     // from the SOURCE text plus the wrapper's fixed boilerplate lengths
     // ('home about' = 10 visible chars, 'copyright 2024' = 14), so only
