@@ -308,6 +308,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-8 ops: quantile buckets and the recipe avoid window sorts") {
+    // q120: bucket boundaries are percentile_disc AGGREGATES — a global
+    // Window over the score distribution would single-task the corpus.
+    // (The query-level orderBy("doc_id") plans a final Sort; windows
+    // are the thing that must not appear.)
+    val p120 = plan("q120_fluency_buckets")
+    assert(!p120.contains("Window"),
+      s"fluency buckets must not plan a window:\n$p120")
+    // q121: the per-source cap must run through the bounded TopKAgg
+    // aggregator (a PARTITION BY source row_number would sort every
+    // source's gate survivors in one task), and no stage may cartesian
+    assert(p120.contains("ObjectHashAggregate"),
+      "percentile_disc must plan as a distributed aggregate")
+    val p121 = plan("q121_pretrain_recipe")
+    assert(!p121.contains("Window"),
+      s"recipe cap must stay a bounded aggregation, not a window:\n$p121")
+    assert(!p121.contains("CartesianProduct"),
+      s"recipe must not plan a corpus cartesian:\n$p121")
+    // the 1-row bounds frame joins as a broadcast; the cap runs through
+    // the bounded TopKAgg udaf (ObjectHashAggregate)
+    assert(p121.contains("BroadcastNestedLoopJoin") &&
+      p121.contains("ObjectHashAggregate"))
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
