@@ -314,6 +314,40 @@ object ScaleSmoke {
         f""""batch_rows":$nBatch,"seq_rows":$nSeq,""" +
         f""""batch_sec":$tBatch%.2f,"sequential_sec":$tSeq%.2f}""")
     }
+    // PRETRAIN-RECIPE scaling: the q121 five-stage composition at 1x vs
+    // kx on a perturbed corpus (per-replica token prefixes keep replicas
+    // distinct through normalize + dedup, so survivor counts scale too).
+    // The cap scales with the corpus (constant kept FRACTION), mirroring
+    // how a per-domain cap is tuned in production. The claim: wall time
+    // tracks corpus size (model aggregation + four keyed shuffles), no
+    // quadratic stage anywhere in the chain.
+    if (enabled("recipe")) {
+      def docsRep(times: Int): DataFrame =
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+          .withColumn("r", explode(sequence(lit(0), lit(times - 1))))
+          .select((col("doc_id") * times + col("r")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => concat(lit("r"), col("r"), t)), " ").as("text"),
+            col("source"))
+      def timeRecipe(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val t0 = System.nanoTime()
+        val groups = graft.ops.Curation
+          .pretrainRecipe(docsRep(times), perSourceCap = 15 * times)
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.ops.TextKit.releaseCaches()
+        spark.catalog.clearCache()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""cap":${15 * times},"manifest_groups":$groups,""" +
+            f""""recipe_sec":$sec%.2f}""")
+      }
+      timeRecipe("warmup", 1, silent = true)
+      timeRecipe("recipe_1x", 1)
+      timeRecipe(s"recipe_${k}x", k)
+    }
     spark.stop()
   }
 }
