@@ -67,9 +67,13 @@ object Similarity {
     val kw0 =
       if (useBm25) TextAnalysis.bm25Search(docs, terms, k = poolSize)
       else TextAnalysis.search(docs, terms, k = poolSize)
+    // rank windows run over POOL-SIZED relations (<= poolSize rows after
+    // the TakeOrdered), so their single-task sort is bounded by design;
+    // the constant partition key states that intent and keeps the
+    // "No Partition Defined" warning out of production logs
     val kw = kw0
       .withColumn("kw_rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
+        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("kw_rank"))
     val e = withNorm(emb)
     val q = e.filter(col("vec_id") === queryVecId)
@@ -80,7 +84,8 @@ object Similarity {
           .as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id")).limit(poolSize)
       .withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("doc_id"))))
+        Window.partitionBy(lit(0))
+          .orderBy(col("cosine").desc, col("doc_id"))))
       .select(col("doc_id"), col("vec_rank"))
     kw.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
