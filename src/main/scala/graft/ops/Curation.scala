@@ -66,6 +66,24 @@ object Curation {
     * Shuffle count: two model aggregations + the fluency join + dedup +
     * manifest — each keyed, none corpus-quadratic; extraction and both
     * gates are scan-speed projections. */
+  /** Deterministic per-key cap: keep at most `cap` rows per `keyCol`,
+    * chosen by md5 hash-rank of the id (ties by id) — the MassiveText
+    * per-domain cap as a standalone operator, the same policy
+    * [[Components.capPerCluster]] applies per duplicate cluster. Runs
+    * through the bounded [[TopKAgg]] aggregator: per-group state is `cap`
+    * (id, hash) pairs however hot the key, map-side combined, never a
+    * window sort of the key's rows. Output: (keyCol, doc_id, rank). */
+  def capPerKey(df: DataFrame, keyCol: String, cap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"capPerKey: cap=$cap must be >= 1")
+    TopKAgg.topKPerQueryAsc(
+        df.select(col(keyCol), col(idCol),
+          md5Long(col(idCol)
+            .cast(org.apache.spark.sql.types.StringType)).as("hkey")),
+        keyCol, idCol, "hkey", cap)
+      .select(col(keyCol), col("neighbor_id").as(idCol), col("rank"))
+  }
+
   /** The full PRETRAINING-RECIPE composition — the pipeline a data team
     * runs to turn a raw corpus into a training mix, chaining five
     * operators this kit already proves individually:
@@ -98,12 +116,8 @@ object Curation {
     val keep = TextAnalysis.fluencyBuckets(normed)
       .filter(col("bucket") >= minBucket).select(col("doc_id"))
     val gated = normed.join(keep, Seq("doc_id"))
-    val capped = TopKAgg.topKPerQueryAsc(
-        gated.select(col("source"), col("doc_id"),
-          md5Long(col("doc_id")
-            .cast(org.apache.spark.sql.types.StringType)).as("hkey")),
-        "source", "doc_id", "hkey", perSourceCap)
-      .select(col("neighbor_id").as("doc_id"))
+    val capped = capPerKey(gated, "source", perSourceCap)
+      .select(col("doc_id"))
       .join(normed, Seq("doc_id"))
     val canonical = capped
       .groupBy(md5(col("text")).as("h"))

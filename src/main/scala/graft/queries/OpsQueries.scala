@@ -295,6 +295,11 @@ object OpsQueries {
     "q121_pretrain_recipe" -> ((s, d) =>
       graft.ops.Curation.pretrainRecipe(docs(s, d), perSourceCap = 15)
         .orderBy("split", "source")),
+    // the per-domain cap standalone (MassiveText policy): at most 10
+    // hash-ranked docs per source, bounded aggregator, never a window
+    "q122_source_cap" -> ((s, d) =>
+      graft.ops.Curation.capPerKey(docs(s, d), "source", cap = 10)
+        .orderBy("source", "rank")),
     // HTML boilerplate removal: real markup synthesized from the text,
     // extraction must recover the text exactly (cross-representation
     // oracle — DuckDB recomputes from the text, never sees the HTML)
@@ -1471,6 +1476,15 @@ object OpsQueries {
            CASE WHEN f.fluency_ppm <= b.b1 THEN 0
                 WHEN f.fluency_ppm <= b.b2 THEN 1 ELSE 2 END AS bucket
          FROM f, b ORDER BY f.doc_id""",
+    // the cap oracle is the row_number window twin of the bounded
+    // aggregator: same (hash, id) order, same keep set
+    "q122_source_cap" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, doc_id, CAST(rn AS INT) AS rank FROM (
+           SELECT source, doc_id, row_number() OVER (
+             PARTITION BY source ORDER BY $h, doc_id) AS rn
+           FROM documents) WHERE rn <= 10 ORDER BY source, rank"""
+    },
     // the recipe's oracle replays all five stages: normalize, the q120
     // fluency chain over the NORMALIZED corpus (tail drop = ppm > b1),
     // the per-source hash-rank cap as a window twin, min_by dedup, and
