@@ -713,6 +713,41 @@ object Similarity {
         .withColumn("qnsq", dotPre(col("qqv"), col("qqv"))),
       k, nprobe, excludeSelf = false, rerank)
 
+  /** Incremental IVF-PQ index maintenance — add a batch of NEW vectors
+    * to a prebuilt index WITHOUT retraining: the production ingest path.
+    * The coarse centroids and the residual codebook are frozen training
+    * state (built once, on the corpus version the index was trained
+    * over); a fresh batch is quantized with the corpus's scheme,
+    * assigned to its nearest EXISTING cell, residual-encoded against the
+    * EXISTING codebook, and unioned into `encoded`. Work is proportional
+    * to the batch — one broadcast of the tiny centroid/codebook state,
+    * zero corpus scans, zero Lloyd iterations — so at 100 TB an hourly
+    * ingest batch costs minutes, not an index rebuild. This is FAISS's
+    * `IndexIVFPQ.add` semantics: accepted practice is that added vectors
+    * ride the original training state until drift warrants a scheduled
+    * re-train (a new corpus version, not an ingest-path concern).
+    *
+    * `batch` is any (vec_id, embedding) frame; dimensionality is
+    * enforced ([[assertDim]]) and ids must be NEW (caller contract — the
+    * id-disjointness check would cost a corpus-wide anti-join per batch,
+    * exactly what this path exists to avoid; lake writers already key by
+    * id upstream). Appending is split-invariant: adding b1 then b2
+    * yields the same index as adding b1 UNION b2 (each vector's cell and
+    * codes depend only on itself and the frozen state — pinned in
+    * OpsSpec), so ingest batching is a throughput knob, not a semantics
+    * knob. */
+  def appendIvfPq(ix: IvfPqIndex, batch: DataFrame): IvfPqIndex = {
+    val b = tracked(withNorm(spread(batch).select(col("vec_id"),
+      assertDim(col("embedding"), ix.dim).as("embedding"))))
+    val res = assignCells(b, ix.cent)
+      .join(broadcast(ix.cent), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("cqv"), (a, c) => a - c).as("rv"))
+    val encNew = encodeCodes(res, "rv", Seq("vec_id", "cell"),
+      ix.codebook, ix.m, ix.subDim)
+    ix.copy(e = ix.e.unionByName(b), encoded = ix.encoded.unionByName(encNew))
+  }
+
   /** Pass `emb` through iff its length is exactly `dim`, else fail the
     * task loudly. Without this, a query batch whose vectors don't match
     * the index dimensionality would slice short subvectors in the ADC

@@ -400,6 +400,18 @@ object OpsQueries {
       Similarity.searchIvfPqWith(ix, all.filter(col("vec_id") % 10 === 0))
         .orderBy("query_id", "rank")
     }),
+    // incremental ANN index MAINTENANCE (q95 searches the prebuilt
+    // index; this one GROWS it): build on the 90%, append the fresh 10%
+    // without retraining — frozen centroids + codebook, batch-only work
+    // — then search the grown index. Queries (vec_id < 10) span base
+    // AND appended members; appended vectors are full candidates.
+    "q123_ann_ivfpq_append" -> ((s, d) => {
+      val all = emb(s, d)
+      val ix = Similarity.buildIvfPq(all.filter(col("vec_id") % 10 =!= 0))
+      Similarity.searchIvfPq(
+          Similarity.appendIvfPq(ix, all.filter(col("vec_id") % 10 === 0)))
+        .orderBy("query_id", "rank")
+    }),
     // training-mix: greedy per-domain token-budget cut (exact form)
     "q85_token_mix" -> ((s, d) =>
       TextAnalysis.tokenBudgetMix(docs(s, d),
@@ -666,10 +678,14 @@ object OpsQueries {
     * hash-rank init, positive-offset integer floor division), ending in
     * `assigned(vec_id, qv, nsq, cell)` over the FULL corpus and `en`
     * (the quantized corpus) for tails that need it. Mirrors
-    * Similarity.kmeansCentroids + assignCells. */
+    * Similarity.kmeansCentroids + assignCells. `trainPred` restricts
+    * init + Lloyd training (NOT assignment) to a sub-corpus — the
+    * append-without-retrain oracle, where fresh vectors are assigned
+    * to centroids trained before they existed. */
   private def kmeansChain(trainMod: Int,
-      corpusPred: String = "TRUE"): String = {
-    val sample = if (trainMod <= 1) "TRUE" else s"$md5rankVec % $trainMod = 0"
+      corpusPred: String = "TRUE", trainPred: String = "TRUE"): String = {
+    val sample0 = if (trainMod <= 1) "TRUE" else s"$md5rankVec % $trainMod = 0"
+    val sample = s"($sample0) AND ($trainPred)"
     def assign(src: String, cents: String, out: String) =
       s"""$out AS (SELECT vec_id, qv, nsq, cid AS cell FROM (
          SELECT s.vec_id, s.qv, s.nsq, c.cid,
@@ -807,11 +823,15 @@ object OpsQueries {
   private def ivfPqOracle(corpusPred: String, queryCte: String,
       excludeSelf: Boolean = true, rerank: Int = 0,
       cbTrainIters: Int = 0, admitMaxAdc: Option[Long] = None,
-      cbSampleMod: Int = 1): String = {
+      cbSampleMod: Int = 1, trainPred: String = "TRUE"): String = {
     // Lloyd refinement reads the 1/mod hash-sample (rsvt) when sampling;
     // the final encode always reads the full rsv — mirror of
     // Similarity.refineCodebook's `sampleMod` over residual subvectors.
-    val trainSrc = if (cbSampleMod <= 1) "rsv" else "rsvt"
+    // `trainPred` freezes ALL training (k-means, codebook sample, Lloyd)
+    // to the base sub-corpus while encode/search cover everything — the
+    // mirror of Similarity.appendIvfPq's add-without-retrain.
+    val trainSrc =
+      if (cbSampleMod <= 1 && trainPred == "TRUE") "rsv" else "rsvt"
     def assign(src: String, cbn: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, sqv, code FROM (
          SELECT rsv.vec_id, rsv.sub, rsv.sqv, cb.code,
@@ -835,13 +855,14 @@ object OpsQueries {
       s"${assign(trainSrc, prev, s"rpa$i")},\n${update(s"rpa$i", prev, s"rcb$i")}"
     }.mkString(",\n")
     val cbF = s"rcb$cbTrainIters"
-    s"""WITH ${kmeansChain(1, corpusPred)},
+    s"""WITH ${kmeansChain(1, corpusPred, trainPred)},
        res AS (SELECT a.vec_id, a.cell,
            list_transform(generate_series(1, 64),
              d -> a.qv[d] - c.cqv[d]) AS rv
          FROM assigned a JOIN c2 c ON a.cell = c.cid),
        samp AS (SELECT rv, rn FROM (SELECT rv, row_number()
-           OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM res)
+           OVER (ORDER BY $md5rankVec, vec_id) AS rn FROM res
+           WHERE $trainPred)
          WHERE rn <= 16),
        rcb0 AS (SELECT g.s AS sub, samp.rn - 1 AS code,
            list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS cbv
@@ -849,8 +870,9 @@ object OpsQueries {
        rsv AS (SELECT vec_id, cell, g.s AS sub,
            list_transform(generate_series(1, 8), i -> rv[g.s*8 + i]) AS sqv
          FROM res, generate_series(0, 7) g(s)),
-       ${if (cbSampleMod > 1)
-        s"rsvt AS (SELECT * FROM rsv WHERE $md5rankVec % $cbSampleMod = 0),"
+       ${if (trainSrc == "rsvt")
+        s"""rsvt AS (SELECT * FROM rsv
+             WHERE $md5rankVec % $cbSampleMod = 0 AND ($trainPred)),"""
       else ""}
        ${if (cbTrainIters > 0) train + "," else ""}
        cb AS (SELECT * FROM $cbF),
@@ -1851,6 +1873,14 @@ object OpsQueries {
            FROM embeddings WHERE vec_id % 10 = 0),
          q AS (SELECT vec_id AS query_id, qqv,
            ${dotL("qqv", "qqv")} AS qnsq FROM qf)"""),
+    // append-without-retrain: k-means init/Lloyd AND the codebook sample
+    // read only the 90% base (trainPred); cell assignment, residual
+    // encode and search cover the full corpus — the frozen-training
+    // mirror of Similarity.appendIvfPq
+    "q123_ann_ivfpq_append" -> ivfPqOracle(corpusPred = "TRUE",
+      trainPred = "vec_id % 10 != 0", queryCte =
+      """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
+           WHERE vec_id < 10)"""),
     // the PGM payloads are synthesized from the text (first 128 ASCII
     // bytes, space-padded), so the oracle recomputes the decoded stats
     // from the text without ever seeing the binary — a genuine

@@ -746,6 +746,47 @@ class OpsSpec extends SparkSpec {
     assert(thrown.getMessage.contains("index dim"))
   }
 
+  test("appendIvfPq: split-invariant, frozen training, appendees searchable") {
+    // index trained on 0..39 only; 40..49 arrive later as two ingest
+    // batches — appending them in any batching must yield the identical
+    // grown index (cells and codes depend only on the vector + frozen
+    // training state), and appended vectors must be real candidates
+    val base = semEmb.filter(col("vec_id") < 40)
+    val b1 = semEmb.filter(col("vec_id") >= 40 && col("vec_id") < 45)
+    val b2 = semEmb.filter(col("vec_id") >= 45)
+    val ix = Similarity.buildIvfPq(base, nCells = 4)
+    val grownSplit = Similarity.appendIvfPq(Similarity.appendIvfPq(ix, b1), b2)
+    val grownOnce = Similarity.appendIvfPq(ix, b1.unionByName(b2))
+    def run(g: Similarity.IvfPqIndex) =
+      Similarity.searchIvfPq(g, nQueries = 5, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(run(grownSplit) == run(grownOnce))
+    // the grown encoded set covers the full id range exactly once
+    val enc = grownOnce.encoded.select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(enc == (0L to 49L))
+    // base members' codes are untouched by the append (frozen state)
+    val baseCodes = ix.encoded.orderBy("vec_id").collect().toSeq
+    val grownBaseCodes = grownOnce.encoded.filter(col("vec_id") < 40)
+      .orderBy("vec_id").collect().toSeq
+    assert(baseCodes == grownBaseCodes)
+    // an appended vector searched as an external query finds itself at
+    // the minimum (zero-residual-error) ADC — the index really holds it
+    val top = Similarity.searchIvfPqWith(grownOnce,
+        b2.select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+        k = 3)
+      .orderBy("query_id", "rank").collect()
+    for (q <- 1045L to 1049L) {
+      val rows = top.filter(_.getAs[Long]("query_id") == q)
+      assert(rows.nonEmpty, s"appended query $q returned nothing")
+      val self = rows.find(_.getAs[Long]("neighbor_id") == q - 1000L)
+      assert(self.isDefined, s"appended vector ${q - 1000L} not found")
+      assert(self.get.getAs[Long]("adc") ==
+        rows.map(_.getAs[Long]("adc")).min)
+    }
+    TextKit.releaseCaches()
+  }
+
   test("extractHtmlText: recovers text exactly, drops script/style, empty total") {
     val d = Seq((0L, "some plain document words here"), (1L, ""))
       .toDF("doc_id", "text")
