@@ -412,6 +412,19 @@ object OpsQueries {
           Similarity.appendIvfPq(ix, all.filter(col("vec_id") % 10 === 0)))
         .orderBy("query_id", "rank")
     }),
+    // trained BPE tokenizer: the learned merge-rank table — 8 greedy
+    // merges over the word-frequency table, weighted pair counts,
+    // lexicographic tie-break
+    "q124_bpe_train" -> ((s, d) =>
+      Bpe.mergeTable(docs(s, d)).orderBy("rank")),
+    // per-document token counts under the trained tokenizer — the real
+    // counts the budget/mix/pack operators should run on
+    "q125_bpe_tokens" -> ((s, d) =>
+      Bpe.tokenCounts(docs(s, d)).orderBy("doc_id")),
+    // the 100 TB training shape: merges learned from the deterministic
+    // 1/2 hash-sample of documents; encoding still covers every word
+    "q126_bpe_tokens_sampled" -> ((s, d) =>
+      Bpe.tokenCounts(docs(s, d), trainSampleMod = 2).orderBy("doc_id")),
     // training-mix: greedy per-domain token-budget cut (exact form)
     "q85_token_mix" -> ((s, d) =>
       TextAnalysis.tokenBudgetMix(docs(s, d),
@@ -920,6 +933,89 @@ object OpsQueries {
          SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY adc, neighbor_id) AS rank FROM scored)
        WHERE rank <= 3 ORDER BY query_id, rank"""}"""
+  }
+
+  /** BPE training chain, mirror of graft.ops.Bpe: word-frequency table,
+    * SEP-joined char symbols, `nMerges` unrolled greedy-merge stages
+    * (weighted adjacent-pair argmax with lexicographic tie-break, then
+    * the Sweeps-fold non-overlapping replace both engines share). Ends
+    * in `bws$nMerges(word, cnt, sym)` plus per-stage best pairs
+    * `bp1..bp$nMerges(lhs, rhs, n)`. `trainPred` mirrors
+    * Bpe.train's doc-level hash-sampling. */
+  private def bpeChain(nMerges: Int, trainPred: String = "TRUE"): String = {
+    def rep1(e: String): String =
+      s"replace($e, chr(31) || p.lhs || chr(31) || p.rhs || chr(31), " +
+        s"chr(31) || p.lhs || p.rhs || chr(31))"
+    val repN = (1 to Bpe.Sweeps)
+      .foldLeft("w.sym")((a, _) => rep1(a))
+    val stages = (1 to nMerges).map { t =>
+      val prev = s"bws${t - 1}"
+      s"""bpr$t AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(sum(cnt) AS BIGINT) AS n
+           FROM (SELECT cnt, syms,
+               unnest(generate_series(1, len(syms) - 1)) AS i
+             FROM (SELECT cnt, list_filter(string_split(sym, chr(31)),
+               x -> x <> '') AS syms FROM $prev))
+           GROUP BY 1, 2),
+         bp$t AS (SELECT lhs, rhs, n FROM bpr$t
+           ORDER BY n DESC, lhs, rhs LIMIT 1),
+         bws$t AS (SELECT w.word, w.cnt,
+             CASE WHEN p.lhs IS NULL THEN w.sym ELSE $repN END AS sym
+           FROM $prev w LEFT JOIN bp$t p ON TRUE)"""
+    }.mkString(",\n")
+    s"""bwords AS (SELECT unnest(string_split(text, ' ')) AS word
+         FROM documents WHERE $trainPred),
+       bws0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')
+             AS sym
+         FROM bwords WHERE word <> '' GROUP BY word),
+       $stages"""
+  }
+
+  /** BPE per-doc token-count tail over the chain's final state. Encoding
+    * covers EVERY corpus word (mirror of Bpe.tokenCounts' full-corpus
+    * dictionary): when training was doc-sampled, out-of-vocabulary words
+    * re-run the merge chain from their char split — which for unseen
+    * words equals applying each learned rule, so the oracle reuses the
+    * full-corpus word relation rebuilt through the same stages. */
+  private def bpeCountsSql(nMerges: Int, trainPred: String): String =
+    s"""WITH ${bpeChain(nMerges, trainPred)},
+       bdict0 AS (SELECT DISTINCT word FROM
+         (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> ''),
+       ${encodeStages(nMerges)},
+       wsf AS (SELECT word, CAST(len(list_filter(string_split(sym, chr(31)),
+           x -> x <> '')) AS BIGINT) AS n_sym FROM bdict$nMerges),
+       dw AS (SELECT doc_id, word, count(*) AS n FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+         WHERE word <> '' GROUP BY doc_id, word)
+       SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_words,
+         CAST(sum(d.n * w.n_sym) AS BIGINT) AS bpe_tokens,
+         CAST(sum(d.n * length(d.word)) AS BIGINT) AS n_chars,
+         CAST((sum(d.n * w.n_sym) * 1000) // sum(d.n * length(d.word))
+           AS BIGINT) AS ratio_permille
+       FROM dw d JOIN wsf w ON d.word = w.word
+       GROUP BY d.doc_id ORDER BY doc_id"""
+
+  /** Apply the learned rules bp1..bpN to the FULL-corpus distinct-word
+    * dictionary (bdict0) — mirror of Bpe.encodeExpr over Bpe's dict. */
+  private def encodeStages(nMerges: Int): String = {
+    def rep1(e: String): String =
+      s"replace($e, chr(31) || p.lhs || chr(31) || p.rhs || chr(31), " +
+        s"chr(31) || p.lhs || p.rhs || chr(31))"
+    (1 to nMerges).map { t =>
+      val prev =
+        if (t == 1)
+          """(SELECT word,
+             chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g')
+               AS sym FROM bdict0)"""
+        else s"bdict${t - 1}"
+      val repN = (1 to Bpe.Sweeps).foldLeft("w.sym")((a, _) => rep1(a))
+      s"""bdict$t AS (SELECT w.word,
+           CASE WHEN p.lhs IS NULL THEN w.sym ELSE $repN END AS sym
+         FROM $prev w LEFT JOIN bp$t p ON TRUE)"""
+    }.mkString(",\n")
   }
 
   private def ivfOracle(trainMod: Int): String = {
@@ -1881,6 +1977,21 @@ object OpsQueries {
       trainPred = "vec_id % 10 != 0", queryCte =
       """q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq FROM en
            WHERE vec_id < 10)"""),
+    // BPE training: 8 unrolled greedy-merge stages over the
+    // word-frequency table; each stage's argmax pair is one output row
+    "q124_bpe_train" ->
+      s"""WITH ${bpeChain(8)}
+         SELECT * FROM (${(1 to 8).map(t =>
+          s"SELECT $t AS rank, lhs, rhs, n AS pair_n FROM bp$t")
+          .mkString(" UNION ALL ")})
+         ORDER BY rank""",
+    // per-doc token counts under the trained tokenizer (full-corpus
+    // training), via the distinct-word dictionary re-encoded through
+    // the same learned rules
+    "q125_bpe_tokens" -> bpeCountsSql(8, "TRUE"),
+    // merges learned from the 1/2 doc hash-sample; encode covers all
+    "q126_bpe_tokens_sampled" -> bpeCountsSql(8,
+      s"${TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")} % 2 = 0"),
     // the PGM payloads are synthesized from the text (first 128 ASCII
     // bytes, space-padded), so the oracle recomputes the decoded stats
     // from the text without ever seeing the binary — a genuine

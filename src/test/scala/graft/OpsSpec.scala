@@ -787,6 +787,47 @@ class OpsSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("bpe: hand-checkable merges, greedy run fixpoint, OOV encode, sampling") {
+    // "abab" x3 + "ab" x2: pair (a,b) count = 8 dominates; then (ab,ab)
+    // from the three "abab"s (3) beats (b,a) (3)? tie -> lexicographic:
+    // ("ab","ab") < ("b","a") so ("ab","ab") merges second
+    val d = Seq((0L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(d, nMerges = 2)
+    assert(merges.map(m => (m.lhs, m.rhs, m.pairN)) ==
+      Seq(("a", "b", 8L), ("ab", "ab", 3L)))
+    val counts = Bpe.tokenCounts(d, nMerges = 2).collect().head
+    // abab -> [abab] (1 tok) x3, ab -> [ab] x2 => 5 bpe tokens, 16 chars
+    assert(counts.getAs[Long]("n_words") == 5L)
+    assert(counts.getAs[Long]("bpe_tokens") == 5L)
+    assert(counts.getAs[Long]("n_chars") == 16L)
+    // a long same-pair run reaches the sweep fixpoint within Sweeps:
+    // rule (b,b) over b^16 — non-overlapping sweeps merge alternating
+    // pairs (sweep 1: 5 merges, sweep 2: the trailing single pair),
+    // leaving [bb b bb b bb b bb b bb bb] = 10 symbols with NO (b,b)
+    // occurrence left — the defined deterministic semantics
+    val run = Seq((0L, ("b" * 16) + " bb bb bb")).toDF("doc_id", "text")
+    val (m2, _) = Bpe.train(run, nMerges = 1)
+    assert(m2.map(m => (m.lhs, m.rhs, m.pairN)) == Seq(("b", "b", 18L)))
+    val c2 = Bpe.tokenCounts(run, nMerges = 1).collect().head
+    // b^16 -> 10 symbols; each "bb" word -> 1 token => 10 + 3 = 13
+    assert(c2.getAs[Long]("n_words") == 4L)
+    assert(c2.getAs[Long]("bpe_tokens") == 13L)
+    assert(c2.getAs[Long]("n_chars") == 22L)
+    // the literalized encoder handles words never seen in training
+    val oov = Seq(("xbabx")).toDF("word")
+      .select(Bpe.encodeExpr(col("word"), merges).as("sym"))
+      .collect().head.getString(0)
+    // merges (a,b) then (ab,ab): xbabx -> x b ab x
+    assert(oov.split("\u001f").filter(_.nonEmpty).toSeq ==
+      Seq("x", "b", "ab", "x"))
+    // doc-level hash sampling trains on a strict subset but still encodes
+    // every document
+    val many = (0L to 19L).map(i => (i, "abab ab")).toDF("doc_id", "text")
+    val sampled = Bpe.tokenCounts(many, nMerges = 2, trainSampleMod = 2)
+    assert(sampled.count() == 20L)
+    TextKit.releaseCaches()
+  }
+
   test("extractHtmlText: recovers text exactly, drops script/style, empty total") {
     val d = Seq((0L, "some plain document words here"), (1L, ""))
       .toDF("doc_id", "text")
