@@ -425,6 +425,12 @@ object OpsQueries {
     // 1/2 hash-sample of documents; encoding still covers every word
     "q126_bpe_tokens_sampled" -> ((s, d) =>
       Bpe.tokenCounts(docs(s, d), trainSampleMod = 2).orderBy("doc_id")),
+    // learned quality gate: hashed char-bigram linear classifier,
+    // one-pass integer-ppm training on even-id docs + their reversed
+    // twins; odd ids are held out, so their scores prove generalization
+    "q127_quality_classifier" -> ((s, d) =>
+      Classifier.qualityScore(docs(s, d), col("doc_id") % 2 === 0)
+        .orderBy("doc_id", "variant")),
     // training-mix: greedy per-domain token-budget cut (exact form)
     "q85_token_mix" -> ((s, d) =>
       TextAnalysis.tokenBudgetMix(docs(s, d),
@@ -1992,6 +1998,44 @@ object OpsQueries {
     // merges learned from the 1/2 doc hash-sample; encode covers all
     "q126_bpe_tokens_sampled" -> bpeCountsSql(8,
       s"${TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")} % 2 = 0"),
+    // hashed char-bigram quality classifier: Laplace-smoothed posterior
+    // weights in integer ppm from the even-id training slice, mean
+    // bucket weight per (doc, variant), neutral prior for unseen
+    "q127_quality_classifier" ->
+      s"""WITH v AS (
+           SELECT doc_id, 'orig' AS variant, text FROM documents
+           UNION ALL
+           SELECT doc_id, 'rev' AS variant,
+             array_to_string(list_transform(string_split(text, ' '),
+               w -> reverse(w)), ' ') AS text
+           FROM documents),
+         w1 AS (SELECT doc_id, variant, '_' || word || '_' AS padded
+           FROM (SELECT doc_id, variant,
+               unnest(string_split(text, ' ')) AS word FROM v)
+           WHERE word <> ''),
+         fb AS (SELECT doc_id, variant,
+             ${TextKit.ducksql.md5Long("substr(padded, i, 2)")} % 4096
+               AS bucket
+           FROM (SELECT doc_id, variant, padded,
+               unnest(generate_series(1, length(padded) - 1)) AS i
+             FROM w1)),
+         model AS (SELECT bucket,
+             CAST(((sum(CASE WHEN variant = 'orig' THEN 1 ELSE 0 END) + 1)
+               * 1000000) // (count(*) + 2) AS BIGINT) AS w_ppm
+           FROM fb WHERE doc_id % 2 = 0 GROUP BY bucket),
+         sc AS (SELECT f.doc_id, f.variant,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             sum(coalesce(m.w_ppm, 500000)) AS w_sum
+           FROM fb f LEFT JOIN model m ON f.bucket = m.bucket
+           GROUP BY f.doc_id, f.variant)
+         SELECT k.doc_id, k.variant,
+           coalesce(s.n_feats, 0) AS n_feats,
+           CAST(coalesce(s.w_sum // s.n_feats, 500000) AS BIGINT)
+             AS score_ppm,
+           coalesce(s.w_sum // s.n_feats, 500000) >= 500000 AS is_fluent
+         FROM (SELECT DISTINCT doc_id, variant FROM v) k
+           LEFT JOIN sc s ON k.doc_id = s.doc_id AND k.variant = s.variant
+         ORDER BY k.doc_id, k.variant""",
     // the PGM payloads are synthesized from the text (first 128 ASCII
     // bytes, space-padded), so the oracle recomputes the decoded stats
     // from the text without ever seeing the binary — a genuine

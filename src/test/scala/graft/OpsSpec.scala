@@ -787,6 +787,43 @@ class OpsSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("quality classifier: held-out separation, neutral totality, model bound") {
+    val vocab = Seq("table", "scan", "filter", "merge", "window",
+      "stream", "vector", "column", "batch", "query")
+    val d = (0L to 19L).map { i =>
+      (i, (0 until 8).map(j => vocab(((i + 3 * j) % 10).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Classifier.qualityScore(d, col("doc_id") % 2 === 0)
+      .collect()
+    assert(out.length == 40)
+    // every REAL doc scores fluent and every reversed twin garbage —
+    // including the odd-id docs the model never saw (generalization)
+    for (r <- out) {
+      val fluent = r.getAs[Boolean]("is_fluent")
+      val v = r.getAs[String]("variant")
+      assert(fluent == (v == "orig"),
+        s"doc ${r.getAs[Long]("doc_id")} variant $v misclassified " +
+          s"(score ${r.getAs[Long]("score_ppm")})")
+    }
+    // held-out fluent docs must separate from held-out garbage by a
+    // real margin, not a coin flip at the threshold
+    val holdOut = out.filter(_.getAs[Long]("doc_id") % 2 == 1)
+    val worstOrig = holdOut.filter(_.getAs[String]("variant") == "orig")
+      .map(_.getAs[Long]("score_ppm")).min
+    val bestRev = holdOut.filter(_.getAs[String]("variant") == "rev")
+      .map(_.getAs[Long]("score_ppm")).max
+    assert(worstOrig - bestRev > 200000,
+      s"weak separation: $worstOrig vs $bestRev")
+    // a featureless document is total and neutral, not dropped
+    val empty = Classifier.qualityScore(
+      Seq((0L, "word"), (1L, "")).toDF("doc_id", "text"), lit(true))
+      .filter(col("doc_id") === 1L).collect()
+    assert(empty.length == 2)
+    assert(empty.forall(_.getAs[Long]("score_ppm") == Classifier.NeutralPpm))
+    assert(empty.forall(_.getAs[Long]("n_feats") == 0L))
+  }
+
   test("bpe: hand-checkable merges, greedy run fixpoint, OOV encode, sampling") {
     // "abab" x3 + "ab" x2: pair (a,b) count = 8 dominates; then (ab,ab)
     // from the three "abab"s (3) beats (b,a) (3)? tie -> lexicographic:
