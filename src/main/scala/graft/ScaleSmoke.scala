@@ -348,6 +348,84 @@ object ScaleSmoke {
       timeRecipe("recipe_1x", 1)
       timeRecipe(s"recipe_${k}x", k)
     }
+    // BPE tokenizer training: byte-identical replicas keep the
+    // VOCABULARY constant while the corpus grows kx — the claim that
+    // makes word-table BPE the 100 TB shape: only the initial
+    // word-frequency pass scales with the corpus; the merge loop runs
+    // over the (constant-size) word table, so train time should move
+    // far less than kx. Encode is corpus-proportional by design
+    // (dictionary join), reported separately.
+    if (enabled("bpe")) {
+      def timeBpe(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val docs = replicate(times, perturb = false)
+        val t0 = System.nanoTime()
+        val (merges, _) = graft.ops.Bpe.train(docs)
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        graft.ops.TextKit.releaseCaches()
+        val t1 = System.nanoTime()
+        val nDocs = graft.ops.Bpe.tokenCounts(docs).count()
+        val tEnc = (System.nanoTime() - t1) / 1e9
+        graft.ops.TextKit.releaseCaches()
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""merges":${merges.size},"docs":$nDocs,""" +
+            f""""train_sec":$tTrain%.2f,"encode_sec":$tEnc%.2f}""")
+      }
+      timeBpe("warmup", 1, silent = true)
+      timeBpe("bpe_1x", 1)
+      timeBpe(s"bpe_${k}x", k)
+    }
+    // Incremental IVF-PQ maintenance: appending a fresh 1/k batch to a
+    // prebuilt index vs rebuilding the whole index with the batch
+    // included. The claim behind appendIvfPq: ingest cost is
+    // proportional to the BATCH (assign + encode against broadcast
+    // frozen state), while the rebuild pays training + full-corpus
+    // encode again — the gap that makes add-without-retrain the
+    // production ingest path.
+    if (enabled("append")) {
+      val corpus = embRep(k)
+      val baseSide = corpus.filter(col("vec_id") % k =!= 0)
+      val batch = corpus.filter(col("vec_id") % k === 0)
+      def buildOn(df: DataFrame) = graft.ops.Similarity
+        .buildIvfPq(df, nCells = 8 * k, trainSampleMod = 4)
+      // warm-up + the prebuilt index the append path starts from
+      val ix = buildOn(baseSide)
+      graft.ops.Similarity.searchIvfPq(ix).count()
+      val t0 = System.nanoTime()
+      val grown = graft.ops.Similarity.appendIvfPq(ix, batch)
+      val nA = graft.ops.Similarity.searchIvfPq(grown).count()
+      val tAppend = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nR = graft.ops.Similarity.searchIvfPq(buildOn(corpus)).count()
+      val tRebuild = (System.nanoTime() - t1) / 1e9
+      graft.ops.Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      println(f"""{"experiment":"append_${k}x","rows":${ne * k},""" +
+        f""""batch_rows":${ne},"append_topk":$nA,"rebuild_topk":$nR,""" +
+        f""""append_sec":$tAppend%.2f,"rebuild_sec":$tRebuild%.2f}""")
+    }
+    // Learned quality classifier: one training aggregation + one scoring
+    // pass, both corpus-linear with a bucket-bounded (4096-row) model —
+    // wall time should track corpus size, never the vocabulary.
+    if (enabled("classifier")) {
+      def timeCls(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val docs = replicate(times, perturb = false)
+        val t0 = System.nanoTime()
+        val nRows = graft.ops.Classifier
+          .qualityScore(docs, col("doc_id") % 2 === 0).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""scored":$nRows,"classify_sec":$sec%.2f}""")
+      }
+      timeCls("warmup", 1, silent = true)
+      timeCls("classifier_1x", 1)
+      timeCls(s"classifier_${k}x", k)
+    }
     spark.stop()
   }
 }

@@ -87,6 +87,20 @@ object Bpe {
   def encodeExpr(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(symInit(word))((c, m) => applyMerge(c, m.lhs, m.rhs))
 
+  /** Whole-document token count as ONE row-local column expression —
+    * every word through the literalized merge chain, symbol counts
+    * summed. No join, no aggregation, no state: slots into any scan
+    * (the `tokCol` door in the token budget/rate mixers) and is legal
+    * on a STREAM before any stateful operator ([[graft.streaming
+    * .StreamingOps.streamBpeCounts]]). Pays the replace chain per word
+    * OCCURRENCE; the dictionary-join form ([[tokenCounts]]) pays it per
+    * DISTINCT word — pick by corpus shape. */
+  def tokenCountExpr(text: Column, merges: Seq[Merge]): Column =
+    aggregate(
+      transform(filter(split(text, " "), w => w =!= lit("")),
+        w => size(symbols(encodeExpr(w, merges))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** Adjacent symbol pairs of the current word-table state, weighted by
     * word frequency. Guarded for 1-symbol words (Spark's sequence(1,0)
     * is DESCENDING, not empty). */

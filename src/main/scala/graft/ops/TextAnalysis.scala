@@ -602,10 +602,11 @@ object TextAnalysis {
     * serializes its own sort; that regime is what [[tokenRateMix]] is
     * for (rate-based, no window, one extra aggregate scan). */
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
-      defaultBudget: Long = Long.MaxValue): DataFrame = {
+      defaultBudget: Long = Long.MaxValue,
+      tokCol: Column = size(tokens(col("text"))).cast("long")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("tok"),
+      tokCol.as("tok"),
       md5Long(col("doc_id").cast(StringType)).as("h"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))
@@ -629,9 +630,10 @@ object TextAnalysis {
     * the 10000*b product inside int64 for domains up to ~9e14 tokens
     * (beyond ANSI-mode overflow would fail loudly, not corrupt). */
   def tokenRateMix(docs: DataFrame, budgets: Map[String, Long],
-      defaultBudget: Long = Long.MaxValue): DataFrame = {
+      defaultBudget: Long = Long.MaxValue,
+      tokCol: Column = size(tokens(col("text"))).cast("long")): DataFrame = {
     val t = docs.select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("tok"),
+      tokCol.as("tok"),
       md5Long(col("doc_id").cast(StringType)).as("h"))
     val rated = t.groupBy(col("source"))
       .agg(sum(col("tok")).as("total"))

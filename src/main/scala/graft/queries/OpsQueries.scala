@@ -431,6 +431,18 @@ object OpsQueries {
     "q127_quality_classifier" -> ((s, d) =>
       Classifier.qualityScore(docs(s, d), col("doc_id") % 2 === 0)
         .orderBy("doc_id", "variant")),
+    // the q86 rate-form training mix re-based on REAL tokenizer counts:
+    // the trained BPE merge table literalizes into tokenRateMix's
+    // per-row token column — budgets now meter actual model tokens
+    "q128_bpe_token_mix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val (merges, _) = Bpe.train(dd)
+      TextKit.releaseCaches()
+      TextAnalysis.tokenRateMix(dd, Map("src0" -> 700L, "src1" -> 0L),
+          defaultBudget = 500L,
+          tokCol = Bpe.tokenCountExpr(col("text"), merges))
+        .orderBy("source", "doc_id")
+    }),
     // training-mix: greedy per-domain token-budget cut (exact form)
     "q85_token_mix" -> ((s, d) =>
       TextAnalysis.tokenBudgetMix(docs(s, d),
@@ -1998,6 +2010,35 @@ object OpsQueries {
     // merges learned from the 1/2 doc hash-sample; encode covers all
     "q126_bpe_tokens_sampled" -> bpeCountsSql(8,
       s"${TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")} % 2 = 0"),
+    // rate-form token mix re-based on the trained tokenizer: the BPE
+    // chain feeds per-doc counts into the q86 rate/admission tail
+    "q128_bpe_token_mix" -> {
+      val h = TextKit.ducksql.md5Long("CAST(d.doc_id AS VARCHAR)")
+      s"""WITH ${bpeChain(8)},
+         wsf AS (SELECT word, CAST(len(list_filter(string_split(sym,
+             chr(31)), x -> x <> '')) AS BIGINT) AS n_sym FROM bws8),
+         dw AS (SELECT doc_id, word, count(*) AS n FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+           WHERE word <> '' GROUP BY doc_id, word),
+         dt AS (SELECT doc_id, CAST(sum(n * n_sym) AS BIGINT) AS tok
+           FROM dw JOIN wsf ON dw.word = wsf.word GROUP BY doc_id),
+         t AS (SELECT d.doc_id, d.source, dt.tok, $h AS hkey
+           FROM documents d JOIN dt ON d.doc_id = dt.doc_id),
+         rated AS (SELECT source,
+           CASE WHEN b >= total THEN 10000
+             ELSE (10000 * b) // total END AS rate
+           FROM (SELECT source, CAST(sum(tok) AS BIGINT) AS total,
+             CASE WHEN source = 'src1' THEN 0
+               WHEN source = 'src0' THEN 700 ELSE 500 END AS b
+             FROM t GROUP BY source))
+         SELECT t.doc_id, t.source, t.tok
+         FROM t JOIN rated ON t.source = rated.source
+         WHERE t.hkey % 10000 < rated.rate
+         ORDER BY t.source, t.doc_id"""
+    },
+    // streaming BPE metering equals the batch q125 counts row-for-row
+    "q129_stream_bpe" -> bpeCountsSql(8, "TRUE"),
     // hashed char-bigram quality classifier: Laplace-smoothed posterior
     // weights in integer ppm from the even-id training slice, mean
     // bucket weight per (doc, variant), neutral prior for unseen

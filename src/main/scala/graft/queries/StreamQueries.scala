@@ -33,7 +33,12 @@ object StreamQueries {
     // bucket on the stream probe the corpus's vector index; equals the
     // batch sign-bucket near-dup set across the split
     "q88_stream_semantic" -> ((s, d) =>
-      StreamingOps.streamSemanticAdmission(s, d)))
+      StreamingOps.streamSemanticAdmission(s, d)),
+    // ingest-time token metering: the batch-trained BPE merge table
+    // literalized into a row-local expression chain over the stream —
+    // pure Append mode, no state; equals the batch q125 counts
+    // (oracle defined beside the BPE family in OpsQueries)
+    "q129_stream_bpe" -> ((s, d) => StreamingOps.streamBpeCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q33_stream_hourly" ->

@@ -203,6 +203,46 @@ object StreamingOps {
     ss.table(name).orderBy("doc_a", "doc_b")
   }
 
+  /** Streaming BPE token counting: the tokenizer trains ONCE on the
+    * static corpus (batch side — [[graft.ops.Bpe.train]]), its merge
+    * table LITERALIZES into a row-local expression chain
+    * ([[graft.ops.Bpe.tokenCountExpr]] — nested replaces, no join, no
+    * state), and the stream of documents is counted at ingest time in
+    * pure Append mode: no aggregation anywhere, so the plan is
+    * stream-legal by construction. The q106 pattern (literal index
+    * state makes a batch-trained model streamable) applied to the
+    * tokenizer; counts equal the batch q125 values row-for-row. On a
+    * real stream this is the ingest-time token metering every budgeted
+    * pipeline wants — arriving documents carry their token cost before
+    * any admission decision. */
+  def streamBpeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_bpe_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val corpus = ss.read.schema(docsSchema)
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (merges, _) = graft.ops.Bpe.train(corpus)
+    graft.ops.TextKit.releaseCaches()
+    val words = filter(split(col("text"), " "), w => w =!= lit(""))
+    ss.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_chars"),
+        size(words).cast("long").as("n_words"),
+        graft.ops.Bpe.tokenCountExpr(col("text"), merges).as("bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("bpe_tokens"),
+        col("n_chars"),
+        expr("bpe_tokens * 1000 div n_chars").as("ratio_permille"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("doc_id")
+  }
+
   private val embSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),

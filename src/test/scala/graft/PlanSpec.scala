@@ -332,6 +332,31 @@ class PlanSpec extends SparkSpec {
       p121.contains("ObjectHashAggregate"))
   }
 
+  test("round-8b ops: BPE encode, classifier and index append stay bounded") {
+    // q125: the tokenizer encode path is a dictionary join + keyed
+    // aggregations — no window sorts, no cartesian; the merge chain is
+    // pure string expressions inside the scan/project stages
+    val p125 = plan("q125_bpe_tokens")
+    assert(!p125.contains("Window"),
+      s"BPE encode must not plan a window:\n$p125")
+    assert(!p125.contains("CartesianProduct"))
+    // q127: the 4096-row model must BROADCAST against the exploded
+    // feature stream (shuffling the corpus features on bucket id would
+    // funnel zipfian buckets), and scoring is keyed aggregation only
+    val p127 = plan("q127_quality_classifier")
+    assert(p127.contains("BroadcastHashJoin"),
+      s"classifier model join must broadcast:\n$p127")
+    assert(!p127.contains("Window") && !p127.contains("CartesianProduct"),
+      s"classifier scoring must stay keyed aggregation:\n$p127")
+    // q123: appending to the prebuilt index keeps the frozen centroid /
+    // codebook state on broadcast joins — the batch is never shuffled
+    // against the corpus, and no window appears anywhere in the chain
+    val p123 = plan("q123_ann_ivfpq_append")
+    assert(p123.contains("BroadcastHashJoin") &&
+      !p123.contains("Window") && !p123.contains("CartesianProduct"),
+      s"append search plan regressed:\n$p123")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
