@@ -68,24 +68,44 @@ object Classifier {
     }))
   }
 
-  /** Train on the `trainPred` slice of the corpus (positives = real
-    * text, negatives = word-reversed twins), then score EVERY document
-    * and its twin. Output, one row per (doc_id, variant):
-    * (doc_id, variant, n_feats, score_ppm, is_fluent) — all exact
-    * integers/booleans. Documents outside `trainPred` are held out,
-    * so their separation measures generalization, not memorization. */
-  def qualityScore(docs: DataFrame, trainPred: Column): DataFrame = {
-    val variants = docs.select(col("doc_id"), lit("orig").as("variant"),
-        col("text"))
+  /** Labeled (orig + reversed-twin) variants of a corpus slice. */
+  private def variantsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("orig").as("variant"), col("text"))
       .unionByName(docs.select(col("doc_id"), lit("rev").as("variant"),
         wordReverse(col("text")).as("text")))
-    val model = variants.filter(trainPred)
+
+  /** The model's SUFFICIENT STATISTICS: per-bucket positive/total
+    * feature counts. Counts are ADDITIVE, so models train
+    * incrementally: statistics from disjoint corpus slices merge by
+    * plain summation ([[mergeCounts]]) into exactly the stats a
+    * monolithic pass would produce — the ingest-time shape (a nightly
+    * batch trains on its own slice; the merged model is bit-identical
+    * to a full retrain). One aggregation pass, <= [[NBuckets]] rows. */
+  def trainCounts(docs: DataFrame): DataFrame =
+    variantsOf(docs)
       .select(when(col("variant") === "orig", 1L).otherwise(0L).as("lbl"),
         explode(featureBuckets(col("text"))).as("bucket"))
       .groupBy(col("bucket"))
       .agg(sum(col("lbl")).as("n_pos"), count(lit(1)).as("n_all"))
-      .select(col("bucket"),
-        expr("((n_pos + 1) * 1000000) div (n_all + 2)").as("w_ppm"))
+
+  /** Merge count tables from disjoint training slices — associative and
+    * commutative (integer sums), so merge(train(A), train(B)) ==
+    * train(A UNION B) exactly (spec-pinned). */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_all")).as("n_all"))
+
+  /** Counts -> smoothed per-bucket weights in ppm. */
+  def weightsOf(counts: DataFrame): DataFrame =
+    counts.select(col("bucket"),
+      expr("((n_pos + 1) * 1000000) div (n_all + 2)").as("w_ppm"))
+
+  /** Score EVERY (doc, variant) against an already-trained weight
+    * table — the apply-side half of [[qualityScore]], split out so a
+    * persisted/merged model scores fresh corpora without retraining. */
+  def scoreWith(docs: DataFrame, model: DataFrame): DataFrame = {
+    val variants = variantsOf(docs)
     val scored = variants
       .select(col("doc_id"), col("variant"),
         explode(featureBuckets(col("text"))).as("bucket"))
@@ -102,4 +122,13 @@ object Classifier {
           .as("score_ppm"))
       .withColumn("is_fluent", col("score_ppm") >= NeutralPpm)
   }
+
+  /** Train on the `trainPred` slice of the corpus (positives = real
+    * text, negatives = word-reversed twins), then score EVERY document
+    * and its twin. Output, one row per (doc_id, variant):
+    * (doc_id, variant, n_feats, score_ppm, is_fluent) — all exact
+    * integers/booleans. Documents outside `trainPred` are held out,
+    * so their separation measures generalization, not memorization. */
+  def qualityScore(docs: DataFrame, trainPred: Column): DataFrame =
+    scoreWith(docs, weightsOf(trainCounts(docs.filter(trainPred))))
 }

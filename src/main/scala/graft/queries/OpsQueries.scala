@@ -431,6 +431,17 @@ object OpsQueries {
     "q127_quality_classifier" -> ((s, d) =>
       Classifier.qualityScore(docs(s, d), col("doc_id") % 2 === 0)
         .orderBy("doc_id", "variant")),
+    // incremental classifier training: sufficient statistics from two
+    // disjoint quarter-slices merged by summation — the scored output
+    // must equal q127's monolithic even-id training exactly (the q96
+    // merge-equals-rebuild story for the learned model)
+    "q130_classifier_merge" -> ((s, d) => {
+      val dd = docs(s, d)
+      Classifier.scoreWith(dd, Classifier.weightsOf(Classifier.mergeCounts(
+          Classifier.trainCounts(dd.filter(col("doc_id") % 4 === 0)),
+          Classifier.trainCounts(dd.filter(col("doc_id") % 4 === 2)))))
+        .orderBy("doc_id", "variant")
+    }),
     // the q86 rate-form training mix re-based on REAL tokenizer counts:
     // the trained BPE merge table literalizes into tokenRateMix's
     // per-row token column — budgets now meter actual model tokens
@@ -1057,6 +1068,44 @@ object OpsQueries {
            ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        WHERE rank <= 3 ORDER BY query_id, rank"""
   }
+
+  /** Shared oracle for q127/q130: the classifier chain — identical
+    * output by count-additivity of merged training slices. */
+  private val classifierSql: String =
+    s"""WITH v AS (
+           SELECT doc_id, 'orig' AS variant, text FROM documents
+           UNION ALL
+           SELECT doc_id, 'rev' AS variant,
+             array_to_string(list_transform(string_split(text, ' '),
+               w -> reverse(w)), ' ') AS text
+           FROM documents),
+         w1 AS (SELECT doc_id, variant, '_' || word || '_' AS padded
+           FROM (SELECT doc_id, variant,
+               unnest(string_split(text, ' ')) AS word FROM v)
+           WHERE word <> ''),
+         fb AS (SELECT doc_id, variant,
+             ${TextKit.ducksql.md5Long("substr(padded, i, 2)")} % 4096
+               AS bucket
+           FROM (SELECT doc_id, variant, padded,
+               unnest(generate_series(1, length(padded) - 1)) AS i
+             FROM w1)),
+         model AS (SELECT bucket,
+             CAST(((sum(CASE WHEN variant = 'orig' THEN 1 ELSE 0 END) + 1)
+               * 1000000) // (count(*) + 2) AS BIGINT) AS w_ppm
+           FROM fb WHERE doc_id % 2 = 0 GROUP BY bucket),
+         sc AS (SELECT f.doc_id, f.variant,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             sum(coalesce(m.w_ppm, 500000)) AS w_sum
+           FROM fb f LEFT JOIN model m ON f.bucket = m.bucket
+           GROUP BY f.doc_id, f.variant)
+         SELECT k.doc_id, k.variant,
+           coalesce(s.n_feats, 0) AS n_feats,
+           CAST(coalesce(s.w_sum // s.n_feats, 500000) AS BIGINT)
+             AS score_ppm,
+           coalesce(s.w_sum // s.n_feats, 500000) >= 500000 AS is_fluent
+         FROM (SELECT DISTINCT doc_id, variant FROM v) k
+           LEFT JOIN sc s ON k.doc_id = s.doc_id AND k.variant = s.variant
+         ORDER BY k.doc_id, k.variant"""
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" ->
@@ -2042,41 +2091,10 @@ object OpsQueries {
     // hashed char-bigram quality classifier: Laplace-smoothed posterior
     // weights in integer ppm from the even-id training slice, mean
     // bucket weight per (doc, variant), neutral prior for unseen
-    "q127_quality_classifier" ->
-      s"""WITH v AS (
-           SELECT doc_id, 'orig' AS variant, text FROM documents
-           UNION ALL
-           SELECT doc_id, 'rev' AS variant,
-             array_to_string(list_transform(string_split(text, ' '),
-               w -> reverse(w)), ' ') AS text
-           FROM documents),
-         w1 AS (SELECT doc_id, variant, '_' || word || '_' AS padded
-           FROM (SELECT doc_id, variant,
-               unnest(string_split(text, ' ')) AS word FROM v)
-           WHERE word <> ''),
-         fb AS (SELECT doc_id, variant,
-             ${TextKit.ducksql.md5Long("substr(padded, i, 2)")} % 4096
-               AS bucket
-           FROM (SELECT doc_id, variant, padded,
-               unnest(generate_series(1, length(padded) - 1)) AS i
-             FROM w1)),
-         model AS (SELECT bucket,
-             CAST(((sum(CASE WHEN variant = 'orig' THEN 1 ELSE 0 END) + 1)
-               * 1000000) // (count(*) + 2) AS BIGINT) AS w_ppm
-           FROM fb WHERE doc_id % 2 = 0 GROUP BY bucket),
-         sc AS (SELECT f.doc_id, f.variant,
-             CAST(count(*) AS BIGINT) AS n_feats,
-             sum(coalesce(m.w_ppm, 500000)) AS w_sum
-           FROM fb f LEFT JOIN model m ON f.bucket = m.bucket
-           GROUP BY f.doc_id, f.variant)
-         SELECT k.doc_id, k.variant,
-           coalesce(s.n_feats, 0) AS n_feats,
-           CAST(coalesce(s.w_sum // s.n_feats, 500000) AS BIGINT)
-             AS score_ppm,
-           coalesce(s.w_sum // s.n_feats, 500000) >= 500000 AS is_fluent
-         FROM (SELECT DISTINCT doc_id, variant FROM v) k
-           LEFT JOIN sc s ON k.doc_id = s.doc_id AND k.variant = s.variant
-         ORDER BY k.doc_id, k.variant""",
+    "q127_quality_classifier" -> classifierSql,
+    // merged-slice training is count-additive, so the scored output is
+    // the SAME relation as the monolithic q127 chain
+    "q130_classifier_merge" -> classifierSql,
     // the PGM payloads are synthesized from the text (first 128 ASCII
     // bytes, space-padded), so the oracle recomputes the decoded stats
     // from the text without ever seeing the binary — a genuine

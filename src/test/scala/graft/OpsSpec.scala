@@ -822,6 +822,21 @@ class OpsSpec extends SparkSpec {
     assert(empty.length == 2)
     assert(empty.forall(_.getAs[Long]("score_ppm") == Classifier.NeutralPpm))
     assert(empty.forall(_.getAs[Long]("n_feats") == 0L))
+    // incremental training: sufficient statistics are count-additive, so
+    // merged disjoint slices == the monolithic pass, bit for bit — both
+    // at the counts level and through scoring
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val mergedCounts = Classifier.mergeCounts(
+      Classifier.trainCounts(d.filter(col("doc_id") % 4 === 0)),
+      Classifier.trainCounts(d.filter(col("doc_id") % 4 === 2)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().toSeq
+    assert(rows(mergedCounts) == rows(Classifier.trainCounts(even)))
+    val viaMerge = Classifier.scoreWith(d,
+        Classifier.weightsOf(mergedCounts))
+      .orderBy("doc_id", "variant").collect().toSeq
+    assert(viaMerge == out.sortBy(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("variant"))).toSeq)
   }
 
   test("bpe: hand-checkable merges, greedy run fixpoint, OOV encode, sampling") {
