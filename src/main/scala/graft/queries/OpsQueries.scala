@@ -15,6 +15,7 @@ object OpsQueries {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
 
   val queries: Map[String, Q] = Map(
     "q21_dedup_exact" -> ((s, d) =>
@@ -601,6 +602,24 @@ object OpsQueries {
     "q119_h264_nals" -> ((s, d) =>
       Multimodal.h264Meta(Multimodal.annexbFromDocuments(docs(s, d)))
         .toDF().orderBy("media_id")),
+    // mergeable HLL cardinality sketch: distinct users per event type as
+    // a fixed-size register table + the raw harmonic estimate — every
+    // register and the estimate deterministic cross-engine (md5 hash,
+    // integer weights, one shared-literal division)
+    "q134_hll_sketch" -> ((s, d) =>
+      Sketches.hllEstimate(Sketches.hllRegisters(
+          events(s, d), col("event_type"), col("user_id")))
+        .withColumnRenamed("grp", "event_type").orderBy("event_type")),
+    // merge-equals-rebuild for cardinality state: the event stream split
+    // by event-id parity, each half sketched independently, registers
+    // merged by element-wise max — hash-matches the straight oracle
+    "q135_hll_merge" -> ((s, d) => {
+      val ev = events(s, d)
+      def half(r: Int) = Sketches.hllRegisters(
+        ev.filter(col("event_id") % 2 === r), col("event_type"), col("user_id"))
+      Sketches.hllEstimate(Sketches.hllMerge(half(0), half(1)))
+        .withColumnRenamed("grp", "event_type").orderBy("event_type")
+    }),
     "q32_multimodal_meta" -> ((s, d) =>
       docs(s, d).select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).as("n_bytes"),
@@ -1107,7 +1126,19 @@ object OpsQueries {
            LEFT JOIN sc s ON k.doc_id = s.doc_id AND k.variant = s.variant
          ORDER BY k.doc_id, k.variant"""
 
+  /** Shared oracle for q134/q135: the merged-halves registers equal the
+    * straight registers (max is associative/commutative), so one SQL
+    * checks both — a hash match on q135 IS the merge==rebuild proof. */
+  private val hllSql =
+    s"""WITH regs AS (${Sketches.ducksql.registers(
+          "events", "event_type", "user_id")})
+       SELECT grp AS event_type, n_present, zeros, denom, raw_est
+       FROM (${Sketches.ducksql.estimate("regs")})
+       ORDER BY event_type"""
+
   val oracles: Map[String, String] = Map(
+    "q134_hll_sketch" -> hllSql,
+    "q135_hll_merge" -> hllSql,
     "q21_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
          min(doc_id) AS canonical_id, count(*) AS n_copies
