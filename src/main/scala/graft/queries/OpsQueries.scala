@@ -602,6 +602,12 @@ object OpsQueries {
     "q119_h264_nals" -> ((s, d) =>
       Multimodal.h264Meta(Multimodal.annexbFromDocuments(docs(s, d)))
         .toDF().orderBy("media_id")),
+    // DSIR-style importance resampling: hashed-bigram distribution of
+    // the English slice vs the whole corpus, integer mean-ratio scores,
+    // deterministic top-100 admission
+    "q132_importance_resample" -> ((s, d) =>
+      Importance.resample(docs(s, d), col("lang") === "en", k = 100)
+        .orderBy("doc_id")),
     // mergeable HLL cardinality sketch: distinct users per event type as
     // a fixed-size register table + the raw harmonic estimate — every
     // register and the estimate deterministic cross-engine (md5 hash,
@@ -1137,6 +1143,7 @@ object OpsQueries {
        ORDER BY event_type"""
 
   val oracles: Map[String, String] = Map(
+    "q132_importance_resample" -> Importance.ducksql("lang = 'en'", k = 100),
     "q134_hll_sketch" -> hllSql,
     "q135_hll_merge" -> hllSql,
     "q21_dedup_exact" ->
