@@ -602,6 +602,14 @@ object OpsQueries {
     "q119_h264_nals" -> ((s, d) =>
       Multimodal.h264Meta(Multimodal.annexbFromDocuments(docs(s, d)))
         .toDF().orderBy("media_id")),
+    // canonical-copy selection by centrality: fixed-point integer
+    // PageRank (3 iterations) over the verified LSH near-dup graph,
+    // fused with connected components — per member: cluster, rank, and
+    // whether it's the cluster's canonical pick (max rank, min-id ties)
+    "q133_dup_pagerank" -> ((s, d) =>
+      Centrality.canonicalByRank(
+          Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
     // DSIR-style importance resampling: hashed-bigram distribution of
     // the English slice vs the whole corpus, integer mean-ratio scores,
     // deterministic top-100 admission
@@ -1142,7 +1150,42 @@ object OpsQueries {
        FROM (${Sketches.ducksql.estimate("regs")})
        ORDER BY event_type"""
 
+  /** q133: unrolled fixed-point PageRank iterations + recursive-CTE
+    * components over the shared verified-pairs chain. */
+  private val pagerankSql: String = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""r$i AS (SELECT n.id,
+           CAST(150000000 + 85 * coalesce(s.c, 0) // 100 AS BIGINT) AS r
+         FROM n LEFT JOIN (SELECT e.b AS id, sum(r${i - 1}.r // n2.d) AS c
+           FROM e JOIN r${i - 1} ON e.a = r${i - 1}.id
+           JOIN n n2 ON e.a = n2.id
+           GROUP BY e.b) s ON n.id = s.id)"""
+    }.mkString(",\n       ")
+    s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       n AS (SELECT a AS id, count(*) AS d FROM e GROUP BY a),
+       r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n),
+       $iterCtes,
+       rr AS (SELECT a, b FROM e
+         UNION SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+       comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+         FROM rr GROUP BY a),
+       j AS (SELECT comp.doc_id, comp.component_id, r3.r AS pr
+         FROM comp JOIN r3 ON comp.doc_id = r3.id),
+       best AS (SELECT component_id, max(pr) AS best_pr
+         FROM j GROUP BY component_id),
+       canon AS (SELECT j.component_id, min(j.doc_id) AS canon_id
+         FROM j JOIN best ON j.component_id = best.component_id
+           AND j.pr = best.best_pr GROUP BY j.component_id)
+       SELECT j.doc_id, j.component_id, j.pr,
+         j.doc_id = canon.canon_id AS is_canonical
+       FROM j JOIN canon ON j.component_id = canon.component_id
+       ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q133_dup_pagerank" -> pagerankSql,
     "q132_importance_resample" -> Importance.ducksql("lang = 'en'", k = 100),
     "q134_hll_sketch" -> hllSql,
     "q135_hll_merge" -> hllSql,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Centrality
+
+/** Centrality semantics the q133 oracle can't see: the HUB of a star
+  * must out-rank its spokes and win canonical even when it is NOT the
+  * minimum id (the case where min-id canonical picks wrong), and
+  * disjoint clusters elect independent canonicals. */
+class CentralitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Star: hub 50 tied to spokes 1..6 (spokes only see the hub).
+  // Chain: 100-101-102 (101 is the middle — most central).
+  private lazy val pairs = (
+    (1L to 6L).map(s => (math.min(s, 50L), math.max(s, 50L))) ++
+    Seq((100L, 101L), (101L, 102L))
+  ).toDF("doc_a", "doc_b")
+
+  private lazy val out = Centrality.canonicalByRank(pairs)
+    .collect()
+    .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    .toMap
+
+  test("star hub out-ranks every spoke and wins canonical over min-id") {
+    val (hubComp, hubPr, hubCanon) = out(50L)
+    assert(hubComp == 1L) // component labeled by min id...
+    assert(hubCanon, "hub must be canonical")
+    (1L to 6L).foreach { s =>
+      val (c, pr, canon) = out(s)
+      assert(c == 1L && pr < hubPr && !canon)
+    }
+  }
+
+  test("chain middle is canonical in its own component") {
+    val (c0, pr0, k0) = out(100L)
+    val (c1, pr1, k1) = out(101L)
+    val (c2, pr2, k2) = out(102L)
+    assert(Set(c0, c1, c2) == Set(100L))
+    assert(k1 && !k0 && !k2)
+    assert(pr1 > pr0 && pr1 > pr2 && pr0 == pr2)
+  }
+
+  test("every component elects exactly one canonical") {
+    val byComp = out.values.groupBy(_._1)
+    byComp.foreach { case (comp, members) =>
+      assert(members.count(_._3) == 1, s"component $comp canonical count")
+    }
+  }
+}
