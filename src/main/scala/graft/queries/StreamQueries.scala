@@ -38,9 +38,23 @@ object StreamQueries {
     // literalized into a row-local expression chain over the stream —
     // pure Append mode, no state; equals the batch q125 counts
     // (oracle defined beside the BPE family in OpsQueries)
-    "q129_stream_bpe" -> ((s, d) => StreamingOps.streamBpeCounts(s, d)))
+    "q129_stream_bpe" -> ((s, d) => StreamingOps.streamBpeCounts(s, d)),
+    // stream-stream interval join (both sides watermarked, user-keyed
+    // state, 24 h attribution window); equals the batch interval join
+    // on the finite source
+    "q131_stream_join" -> ((s, d) =>
+      StreamingOps.streamClickAttribution(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // batch twin of the watermarked stream-stream interval join
+    "q131_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+         epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+         FROM events c JOIN events v ON c.user_id = v.user_id
+         WHERE c.event_type = 'click' AND v.event_type = 'view'
+           AND epoch_us(v.ts) >= epoch_us(c.ts) - 86400000000
+           AND epoch_us(v.ts) <= epoch_us(c.ts)
+         ORDER BY click_id, view_id""",
     "q33_stream_hourly" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
          event_type, count(*) AS n_events,

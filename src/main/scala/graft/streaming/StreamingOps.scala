@@ -25,10 +25,11 @@ object StreamingOps {
     * currency the batch loader exposes. The probe reads footers only
     * (no data scan) and happens once at stream-definition time on the
     * driver. */
-  private def eventsStream(spark: SparkSession,
-      sfDir: String): (StructType, org.apache.spark.sql.Column) = {
+  private def eventsStream(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet"): (StructType, org.apache.spark.sql.Column) = {
     val isTimestamp = scala.util.Try(
-        spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
+        spark.read.option("pathGlobFilter", glob).parquet(sfDir)
+          .schema("ts").dataType)
       .toOption.exists(t => t == TimestampType || t == TimestampNTZType)
     val (tsField, micros) =
       if (isTimestamp)
@@ -241,6 +242,58 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
     ss.table(name).orderBy("doc_id")
+  }
+
+  /** Stream-stream interval join — the attribution shape: every click
+    * paired with the same user's views from the preceding 24 hours,
+    * both sides live streams. This is the one streaming join class that
+    * needs BOTH sides' state stores: each side buffers rows keyed by
+    * user until the other side's watermark passes the interval bound,
+    * so state is bounded by (watermark span x arrival rate), not by the
+    * stream length — the 100 TB/day shape. The equi-key (user_id) is
+    * the shuffle key; the time-range predicate is evaluated within the
+    * matched key group and, with the watermarks below, lets Spark evict
+    * click state after 1 h + 24 h and view state after 25 h of event
+    * time.
+    *
+    * On the finite test source the file arrives as one AvailableNow
+    * batch, every match is emitted before any eviction, and the result
+    * equals the batch interval join — which is what the DuckDB oracle
+    * (q131) checks. */
+  def streamClickAttribution(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val (schema, tsMicros) = eventsStream(ss, sfDir, glob)
+    def src() = {
+      val r = ss.readStream.schema(schema).option("pathGlobFilter", glob)
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(sfDir)
+    }
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_micros(tsMicros).as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        timestamp_micros(tsMicros).as("view_time"))
+      // a view can still match clicks arriving up to 24 h later, so its
+      // state must outlive the click watermark by the interval width
+      .withWatermark("view_time", "25 hours")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+        col("view_time") >= col("click_time") - expr("INTERVAL 24 HOURS") &&
+        col("view_time") <= col("click_time"))
+      .select(col("click_id"), col("view_id"),
+        (unix_micros(col("click_time")) - unix_micros(col("view_time")))
+          .as("gap_us"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("click_id", "view_id")
   }
 
   private val embSchema = StructType(Seq(

@@ -157,4 +157,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch)
   }
+
+  test("stream-stream join evicts interval state behind the watermark") {
+    import org.apache.spark.sql.functions._
+    // Three micro-batches (one file each, mtime-ordered). Batch A
+    // holds day-10 rows plus an old day-5 view and advances the global
+    // watermark to day10 10:00 - 25 h = Jan 9 09:00. Batch B (a
+    // neutral day-10 click) runs under that watermark and evicts the
+    // day-5 view's state (older than watermark - 24 h interval) at its
+    // end — state eviction is end-of-batch, so one batch must pass
+    // between the old row and its late probe. Batch C's day-5 click
+    // then finds nothing — pair (5, 3) must NOT appear — while its
+    // fresh click (id 4) still matches batch A's buffered view (id 1)
+    // across two batch boundaries. The q131 oracle (single batch)
+    // can't see eviction; this is the bounded-state guarantee.
+    val dir = Files.createTempDirectory("graft-ssjoin")
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ssjoin-stage")
+      import spark.implicits._
+      rows.toDF("event_id", "ts_str", "user_id", "event_type")
+        .select(col("event_id"), to_timestamp(col("ts_str")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(p =>
+        p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(name)
+      Files.copy(part, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    write("a.parquet", 1000000L, Seq(
+      (1L, "2024-01-10 10:00:00", 1L, "view"),
+      (2L, "2024-01-10 10:30:00", 1L, "click"),
+      (3L, "2024-01-05 00:00:00", 2L, "view")))
+    write("b.parquet", 2000000L, Seq(
+      (6L, "2024-01-10 10:40:00", 3L, "click")))
+    write("c.parquet", 3000000L, Seq(
+      (4L, "2024-01-10 11:00:00", 1L, "click"),
+      (5L, "2024-01-05 00:10:00", 2L, "click")))
+    val out = graft.streaming.StreamingOps
+      .streamClickAttribution(spark, dir.toString, glob = "*.parquet",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (4L, 1L)),
+      s"expected fresh matches only, got $out")
+  }
 }
