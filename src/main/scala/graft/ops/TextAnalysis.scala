@@ -646,6 +646,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("tok"))
   }
 
+  /** Temperature-scaled source mixing (alpha = 0.5): the multilingual /
+    * multi-source rebalancing rule (mBERT / XLM-R sampling, alpha-scaled
+    * unigram_lm in SentencePiece practice) — sources draw training
+    * tokens proportionally to total^alpha, so heavy sources are tamed
+    * and tail sources up-weighted, with the whole mix capped at
+    * `totalBudget` tokens. alpha is fixed at 0.5 because sqrt is the
+    * one power IEEE 754 evaluates exactly-rounded in every engine — the
+    * share math stays deterministic with no libm pow in the data path:
+    * q_s = floor(sqrt(total_s)) quantizes each source's temperature
+    * mass to an integer, target_s = totalBudget * q_s / sum(q_s) is
+    * computed by the exact split (B div S)*q + ((B mod S)*q) div S
+    * (identical to floor(B*q/S), but every intermediate stays in long
+    * range while sum(q)*max(q) < 9e18 — beyond astronomic corpora), and
+    * admission reuses the stateless per-myriad hash gate of
+    * [[tokenRateMix]].
+    *
+    * One aggregation over the corpus (per-source totals, a few rows),
+    * driver-free share arithmetic on that tiny frame, a broadcast join
+    * back, and a stateless row-local filter — the same 100 TB shape as
+    * tokenRateMix, one extra sqrt on a handful of rows. */
+  def temperatureMix(docs: DataFrame, totalBudget: Long,
+      tokCol: Column = size(tokens(col("text"))).cast("long")): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val t = docs.select(col("doc_id"), col("source"), tokCol.as("tok"),
+      md5Long(col("doc_id").cast(StringType)).as("h"))
+    val totals = t.groupBy(col("source")).agg(sum(col("tok")).as("total"))
+      .withColumn("q",
+        floor(sqrt(col("total").cast(DoubleType))).cast("long"))
+    val rated = totals
+      .crossJoin(broadcast(totals.agg(sum(col("q")).as("sumq"))))
+      .select(col("source"), col("total"),
+        expr(s"($totalBudget" + "L div sumq) * q + " +
+          s"(($totalBudget" + "L % sumq) * q) div sumq").as("target"))
+      .select(col("source"),
+        when(col("target") >= col("total"), lit(10000L))
+          .otherwise(expr("(10000 * target) div total")).as("rate"))
+    t.join(broadcast(rated), Seq("source"))
+      .filter(pmod(col("h"), lit(10000L)) < col("rate"))
+      .select(col("doc_id"), col("source"), col("tok"))
+  }
+
   /** Positional power table for the rolling fingerprint: 31^(p mod 8). */
   private val pow31: Seq[Long] =
     (0 until 8).scanLeft(1L)((acc, _) => acc * 31L).take(8)

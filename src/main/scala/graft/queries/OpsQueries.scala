@@ -602,6 +602,12 @@ object OpsQueries {
     "q119_h264_nals" -> ((s, d) =>
       Multimodal.h264Meta(Multimodal.annexbFromDocuments(docs(s, d)))
         .toDF().orderBy("media_id")),
+    // temperature-scaled source mixing (alpha = 0.5): shares
+    // proportional to sqrt(per-source tokens), 12k-token overall
+    // budget, stateless hash-gate admission
+    "q136_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMix(docs(s, d), totalBudget = 12000L)
+        .orderBy("source", "doc_id")),
     // canonical-copy selection by centrality: fixed-point integer
     // PageRank (3 iterations) over the verified LSH near-dup graph,
     // fused with connected components — per member: cluster, rank, and
@@ -1185,6 +1191,27 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q136_temperature_mix" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      val budget = 12000L
+      s"""WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS tok, $h AS hkey
+           FROM documents),
+         tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS total,
+             CAST(floor(sqrt(CAST(sum(tok) AS DOUBLE))) AS BIGINT) AS q
+           FROM t GROUP BY source),
+         s AS (SELECT CAST(sum(q) AS BIGINT) AS sumq FROM tot),
+         rated AS (SELECT source,
+           CASE WHEN target >= total THEN 10000
+             ELSE (10000 * target) // total END AS rate
+           FROM (SELECT source, total,
+             ($budget // sumq) * q + (($budget % sumq) * q) // sumq AS target
+             FROM tot, s))
+         SELECT t.doc_id, t.source, t.tok
+         FROM t JOIN rated ON t.source = rated.source
+         WHERE t.hkey % 10000 < rated.rate
+         ORDER BY t.source, t.doc_id"""
+    },
     "q133_dup_pagerank" -> pagerankSql,
     "q132_importance_resample" -> Importance.ducksql("lang = 'en'", k = 100),
     "q134_hll_sketch" -> hllSql,
