@@ -602,6 +602,11 @@ object OpsQueries {
     "q119_h264_nals" -> ((s, d) =>
       Multimodal.h264Meta(Multimodal.annexbFromDocuments(docs(s, d)))
         .toDF().orderBy("media_id")),
+    // ABTT embedding isotropy correction: corpus mean + dominant
+    // direction (3 integer power iterations, O(dim) driver state)
+    // removed from every vector — all-integer, residuals oracle-checked
+    "q137_abtt" -> ((s, d) =>
+      Embeddings.abtt(emb(s, d)).orderBy("vec_id")),
     // temperature-scaled source mixing (alpha = 0.5): shares
     // proportional to sqrt(per-source tokens), 12k-token overall
     // budget, stateless hash-gate admission
@@ -1191,6 +1196,7 @@ object OpsQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q137_abtt" -> Embeddings.ducksql(),
     "q136_temperature_mix" -> {
       val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
       val budget = 12000L
