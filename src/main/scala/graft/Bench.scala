@@ -80,6 +80,16 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case t: Throwable =>
       System.err.println(s"BENCH_LOCAL.json write failed: ${t.getMessage}") }
+    // The driver snapshots only a ~2000-char stdout TAIL; the full line
+    // above (~5 KB at 137 queries) gets clipped mid-object, which is how
+    // rounds 6 and 7 lost their headline numbers (parsed:null). Print a
+    // compact self-contained summary LAST so the tail always carries a
+    // complete JSON object: total, failure list, load evidence, the ten
+    // slowest per-query numbers, and a pointer to the committed full
+    // artifact.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"10 slowest of ${results.size}; full per-query numbers in BENCH_LOCAL.json (committed)","failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","loadavg_start":"$loadavgStart","loadavg_end":"$readLoadavg"}""")
     spark.stop()
   }
 }

@@ -426,6 +426,41 @@ object ScaleSmoke {
       timeCls("classifier_1x", 1)
       timeCls(s"classifier_${k}x", k)
     }
+    // Mergeable sketches (HLL cardinality + histogram quantiles +
+    // Count-Min frequency): one corpus-linear scan each into a
+    // FIXED-SIZE register table — wall time tracks rows, register
+    // counts must NOT grow with the corpus (that boundedness is the
+    // whole 100 TB story for sketch state).
+    if (enabled("sketch")) {
+      import graft.ops.Sketches
+      def timeSketch(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val docs = replicate(times, perturb = false)
+        val t0 = System.nanoTime()
+        val hllRegs = Sketches.hllRegisters(docs, lit("all"), col("text"))
+          .persist()
+        val nHll = hllRegs.count()
+        val histRegs = Sketches.histRegisters(docs, lit("all"),
+          length(col("text")), binWidth = 16L).persist()
+        val nHist = histRegs.count()
+        val cmsRegs = Sketches.cmsRegisters(docs, col("doc_id") % 997)
+          .persist()
+        val nCms = cmsRegs.count()
+        val folds = Sketches.hllEstimate(hllRegs).count() +
+          Sketches.histQuantiles(histRegs, 16L).count() +
+          Sketches.cmsEstimate(cmsRegs, spark.range(0, 20)
+            .select(col("id").as("probe"))).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""hll_regs":$nHll,"hist_regs":$nHist,"cms_regs":$nCms,""" +
+            f""""fold_rows":$folds,"sketch_sec":$sec%.2f}""")
+      }
+      timeSketch("warmup", 1, silent = true)
+      timeSketch("sketch_1x", 1)
+      timeSketch(s"sketch_${k}x", k)
+    }
     spark.stop()
   }
 }

@@ -122,4 +122,70 @@ object Importance {
          f.doc_id IN (SELECT doc_id FROM topk) AS kept
        FROM full_sc f ORDER BY doc_id"""
   }
+
+  /** Distribution drift between two document slices — the monitoring
+    * pass a production corpus pipeline runs between snapshots / sources
+    * ("did yesterday's crawl shift?"): per-bucket hashed-bigram
+    * frequencies of slice A vs slice B in ppm, and each bucket's
+    * absolute difference. Same B-bucket shape as [[importanceScores]] —
+    * two B-row distribution estimates from ONE feature pass, never a
+    * vocabulary-wide shuffle; totals ride along via a broadcast 1-row
+    * cross join (no driver round-trip). Integer ppm end to end.
+    * Output: (bucket, a_cnt, b_cnt, pa_ppm, pb_ppm, d_ppm). */
+  def drift(docs: DataFrame, isA: Column, isB: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20), s"buckets out of range: $buckets")
+    val feats = docs
+      .select(isA.as("a"), isB.as("b"),
+        explode(TextKit.shinglesOf(col("text"), 2)).as("s"))
+      .select(col("a"), col("b"),
+        (TextKit.md5Long(col("s")) % buckets).as("bucket"))
+    val counts = feats.groupBy("bucket")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b_cnt"))
+    val totals = counts.agg(sum(col("a_cnt")).as("a_tot"),
+      sum(col("b_cnt")).as("b_tot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("a_cnt"), col("b_cnt"),
+        expr(s"a_cnt * $Scale div greatest(a_tot, 1L)").as("pa_ppm"),
+        expr(s"b_cnt * $Scale div greatest(b_tot, 1L)").as("pb_ppm"))
+      .withColumn("d_ppm", abs(col("pa_ppm") - col("pb_ppm")))
+  }
+
+  /** Fold [[drift]] to the one-row monitor verdict: bucket/total counts
+    * and the total-variation distance in ppm (half the L1 distance of
+    * the two ppm distributions — 0 = identical, 1e6 = disjoint). */
+  def driftSummary(docs: DataFrame, isA: Column, isB: Column,
+      buckets: Int = 256): DataFrame =
+    drift(docs, isA, isB, buckets)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("a_cnt")).as("a_total"), sum(col("b_cnt")).as("b_total"),
+        expr("sum(d_ppm) div 2").as("tvd_ppm"))
+
+  /** DuckDB mirror of [[driftSummary]] over `documents`. */
+  def driftSql(predA: String, predB: String, buckets: Int = 256): String = {
+    val h = TextKit.ducksql.md5Long("s")
+    s"""WITH feats AS (
+         SELECT a, b, $h % $buckets AS bucket
+         FROM (SELECT a, b,
+             unnest(list_transform(generate_series(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1])) AS s
+           FROM (SELECT $predA AS a, $predB AS b,
+             string_split(text,' ') AS toks FROM documents))),
+       counts AS (SELECT bucket,
+           CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+           CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+         FROM feats GROUP BY bucket),
+       tot AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS a_tot,
+           CAST(sum(b_cnt) AS BIGINT) AS b_tot FROM counts),
+       d AS (SELECT bucket, a_cnt, b_cnt,
+           a_cnt * $Scale // greatest(a_tot, 1) AS pa_ppm,
+           b_cnt * $Scale // greatest(b_tot, 1) AS pb_ppm
+         FROM counts, tot)
+       SELECT count(*) AS n_buckets,
+         CAST(sum(a_cnt) AS BIGINT) AS a_total,
+         CAST(sum(b_cnt) AS BIGINT) AS b_total,
+         CAST(sum(abs(pa_ppm - pb_ppm)) // 2 AS BIGINT) AS tvd_ppm
+       FROM d"""
+  }
 }

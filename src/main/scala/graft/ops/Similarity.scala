@@ -41,6 +41,109 @@ object Similarity {
     TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
+  /** SQ8 scalar-quantized ANN — the third member of the quantization
+    * family (alongside PQ and IVF-PQ): each dimension is affinely
+    * quantized to 8 bits against the CORPUS min/max of that dimension,
+    * the shortlist is ranked by the asymmetric integer dot of the exact
+    * query against the candidate's integer DECODE (ADC), and the final
+    * top-k re-ranks the shortlist with the exact full-precision cosine.
+    * 4 bytes/dim -> 1 byte/dim stored, with the rerank restoring exact
+    * ordering on the shortlist — the FAISS `SQ8` index shape. All
+    * integer until the final cosine, so the DuckDB oracle reproduces
+    * codes, shortlist, and rerank exactly.
+    *
+    * Shape at scale: the per-dimension min/max is ONE aggregate
+    * producing a 2×dim-row relation (broadcast back — no driver
+    * round-trip); encoding is row-local column arithmetic; the
+    * shortlist is the same broadcast-queries × corpus stream as
+    * [[bruteTopK]] but against 1-byte codes (the memory-bandwidth win
+    * that matters when the corpus doesn't fit in RAM); the rerank
+    * touches only nQueries × shortlist rows. */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      shortlist: Int = 32): DataFrame = {
+    val e = tracked(withNorm(emb))
+    // per-dimension corpus min/max of the quantized values, folded to a
+    // single row of two dim-length arrays (ordered by dimension)
+    val ranges = e.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+    // 8-bit affine code per dimension: ((x - mn) * 255) div max(mx-mn, 1),
+    // and its integer DECODE recon = mn + (code * (mx - mn)) div 255. The
+    // shortlist scores the exact query against the RECONSTRUCTION
+    // (asymmetric ADC, the FAISS SQ8 shape) — raw code·code dots carry a
+    // large uncentered +128-ish offset per dimension that swamps the
+    // signal (measured on the isotropic fixture: recall 0.28 symmetric vs
+    // 1.00 asymmetric at shortlist 50).
+    // Cached: the coded relation feeds the query broadcast, the corpus
+    // stream, and the rerank fetch — one encode pass, not three.
+    val coded = tracked(e.crossJoin(broadcast(ranges))
+      .withColumn("code", expr(
+        """transform(qv, (x, i) ->
+             ((x - mns[i]) * 255) div greatest(mxs[i] - mns[i], 1L))"""))
+      .withColumn("recon", expr(
+        """transform(code, (c, i) ->
+             mns[i] + (c * (mxs[i] - mns[i])) div 255)"""))
+      .select(col("vec_id"), col("qv"), col("nsq"), col("code"),
+        col("recon")))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"))
+    val short = TopKAgg.topKPerQueryDesc(
+      coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          dotPre(col("qqv"), col("recon")).as("sq_dot")),
+      "query_id", "cand_id", "sq_dot", shortlist)
+    val rescored = short.select(col("query_id"), col("neighbor_id"))
+      .join(coded.select(col("vec_id").as("neighbor_id"),
+        col("qv").as("nqv"), col("nsq").as("nnsq")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qqv"), col("qnsq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(dotPre(col("qqv"), col("nqv")), col("qnsq"), col("nnsq"))
+          .as("cosine"))
+    TopKAgg.topKPerQuery(rescored, "query_id", "neighbor_id", "cosine", k)
+  }
+
+  /** Matryoshka (MRL) truncated-dimension ANN: shortlist by the integer
+    * dot product over the first `dPrefix` dimensions only, re-rank the
+    * shortlist with the exact full-dimension cosine. With
+    * matryoshka-trained embeddings the prefix carries most of the
+    * signal, so the corpus-wide pass reads dPrefix/dim of the bytes —
+    * the "coarse search in the nested prefix, refine in full precision"
+    * pattern from the MRL paper. Deterministic end to end (integer
+    * prefix dots, exact rerank), oracle-checkable.
+    *
+    * Shape at scale: identical plan to [[sq8TopK]] minus the range
+    * aggregate — one broadcast-queries corpus stream over short arrays,
+    * then a shortlist-bounded rerank. At 100 TB the prefix pass is the
+    * scan-cost lever: 4× fewer bytes at dPrefix = dim/4. */
+  def matryoshkaTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      dPrefix: Int = 16, shortlist: Int = 32): DataFrame = {
+    val e = tracked(withNorm(emb)
+      .withColumn("pqv", slice(col("qv"), 1, dPrefix)))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"), col("pqv").as("qpqv"))
+    val short = TopKAgg.topKPerQueryDesc(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          dotPre(col("qpqv"), col("pqv")).as("pref_dot")),
+      "query_id", "cand_id", "pref_dot", shortlist)
+    val rescored = short.select(col("query_id"), col("neighbor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("qv").as("nqv"), col("nsq").as("nnsq")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qqv"), col("qnsq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(dotPre(col("qqv"), col("nqv")), col("qnsq"), col("nnsq"))
+          .as("cosine"))
+    TopKAgg.topKPerQuery(rescored, "query_id", "neighbor_id", "cosine", k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the keyword ranking
     * ([[TextAnalysis.search]]'s integer tf-idf) and the embedding cosine
     * ranking against one query vector, joined on document id (assumes

@@ -139,4 +139,165 @@ object Sketches {
            FROM $regsCte GROUP BY grp)"""
     }
   }
+
+  // -------------------------------------------------------------------
+  // Mergeable equi-width histogram quantile sketch
+  // -------------------------------------------------------------------
+  //
+  // The quantile twin of the HLL story: an exact percentile over 100 TB
+  // ("p99 document length per language, across 30 daily snapshots") is a
+  // global sort or a percentile_approx whose internal sketch is
+  // engine-private (not oracle-checkable). The equi-width histogram is
+  // the simplest MERGEABLE quantile summary: a fixed-size (<= maxBins
+  // rows per group) count table that partial-aggregates map-side, merges
+  // across shards/days by plain count addition, and answers any
+  // percentile with bounded error (one bin width). Every number is an
+  // integer, so the DuckDB oracle hash-checks registers, merges, and the
+  // quantile fold bit-for-bit.
+
+  /** Per-(group, bin) histogram registers of non-negative long `value`:
+    * bin = min(value div binWidth, maxBins-1) (the top bin clamps the
+    * tail so the sketch size is bounded no matter the outliers). One
+    * shuffle on (group, bin) with map-side count combine — at most
+    * maxBins rows per group survive the map side. */
+  def histRegisters(df: DataFrame, group: Column, value: Column,
+      binWidth: Long, maxBins: Int = 256): DataFrame = {
+    require(binWidth > 0 && maxBins > 1, s"bad hist params $binWidth/$maxBins")
+    // `div`, not Column./ (which widens to double): bins must be exact
+    // integer division for the DuckDB `//` mirror to hash-match
+    df.select(group.as("grp"), value.cast(LongType).as("v"))
+      .select(col("grp"),
+        least(expr(s"v div $binWidth"), lit(maxBins - 1L)).as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge register tables (same binWidth/maxBins): count addition per
+    * (group, bin). Associative + commutative — shard, sketch, fold. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("grp", "bin").agg(sum("cnt").as("cnt"))
+
+  /** Fold registers to one row per group with upper-edge percentile
+    * estimates: pNN = binWidth * (1 + smallest bin whose cumulative
+    * count covers NN% of the total), the deterministic "value is <= this
+    * edge" reading. The cumulative window is PARTITIONED by group and
+    * bounded by maxBins rows per group — never a global sort. */
+  def histQuantiles(regs: DataFrame, binWidth: Long,
+      percentiles: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("bin"))
+    val cum = regs.select(col("grp"), col("bin"), col("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col("grp"))))
+    val pcols = percentiles.map(p =>
+      min(when(col("cum") * 100 >= col("total") * p,
+        (col("bin") + 1) * binWidth)).as(s"p$p"))
+    val aggs = max(col("total")).as("total") +: pcols
+    cum.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Mergeable Count-Min sketch
+  // -------------------------------------------------------------------
+  //
+  // The frequency twin: "how often does key X appear across 100 TB?"
+  // answered from a depth × width count table (a few KB) instead of a
+  // full groupBy over every distinct key. Rows hash independently
+  // (md5 with the row index as seed — the same engine-neutral hash as
+  // the minhash family), counts partial-aggregate map-side, shards/days
+  // merge by plain addition, and a point estimate is the MINIMUM of the
+  // key's depth counters (overestimates only, by the classic CM bound
+  // eps = e/width with prob 1 - e^-depth). All integers — the DuckDB
+  // oracle hash-checks registers, merges, and estimates exactly.
+
+  /** Depth × width Count-Min registers of `value`: one shuffle on
+    * (row, bucket) with map-side sum combine; at most depth × width rows
+    * survive regardless of corpus size. */
+  def cmsRegisters(df: DataFrame, value: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 16, s"bad cms params $depth x $width")
+    // ONE corpus scan: the depth fan-out is a row-local explode, and
+    // md5Long(concat(row, v)) for row = j is byte-identical to the
+    // seeded md5Long(v, seed = j) the probe side / oracle use
+    df.select(value.cast(StringType).as("v"))
+      .select(explode(array((0 until depth).map(j => lit(j)): _*)).as("row"),
+        col("v"))
+      .select(col("row"),
+        (TextKit.md5Long(concat(col("row").cast(StringType), col("v")))
+          % width).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge register tables (same depth/width): count addition. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate the frequency of each `probe` value: min over the
+    * depth rows of the probe's counter (0 when a row never saw the
+    * bucket — only possible in a merge of disjoint sketches). The probe
+    * relation is tiny (a key list); the register join is a broadcast. */
+  def cmsEstimate(regs: DataFrame, probes: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probed = (0 until depth).map(j =>
+      probes.select(col("probe"), lit(j).as("row"),
+        (TextKit.md5Long(col("probe").cast(StringType), seed = Some(j))
+          % width).as("bucket")))
+      .reduce(_ unionAll _)
+    probed.join(regs, Seq("row", "bucket"), "left")
+      .groupBy(col("probe"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** DuckDB mirrors for the Count-Min sketch. */
+  object duckcms {
+    /** Register CTE over `src` — mirrors [[cmsRegisters]]. */
+    def registers(src: String, valueExpr: String,
+        depth: Int = 4, width: Int = 1024): String =
+      (0 until depth).map { j =>
+        val h = TextKit.ducksql.md5Long(s"CAST($valueExpr AS VARCHAR)",
+          seed = Some(j))
+        s"SELECT $j AS row, $h % $width AS bucket FROM $src"
+      }.mkString("SELECT row, bucket, count(*) AS cnt FROM (",
+        " UNION ALL ", ") GROUP BY row, bucket")
+
+    /** Estimate CTE: probes from `probesSrc` (column `probe`) against a
+      * `regs(row, bucket, cnt)` CTE — mirrors [[cmsEstimate]]. */
+    def estimate(regsCte: String, probesSrc: String,
+        depth: Int = 4, width: Int = 1024): String = {
+      val probed = (0 until depth).map { j =>
+        val h = TextKit.ducksql.md5Long("CAST(probe AS VARCHAR)",
+          seed = Some(j))
+        s"SELECT probe, $j AS row, $h % $width AS bucket FROM $probesSrc"
+      }.mkString(" UNION ALL ")
+      s"""SELECT probe, min(coalesce(cnt, 0)) AS cms_est
+         FROM ($probed) p LEFT JOIN $regsCte r
+           ON p.row = r.row AND p.bucket = r.bucket
+         GROUP BY probe"""
+    }
+  }
+
+  /** DuckDB mirrors for the histogram sketch. */
+  object duckhist {
+    /** Register CTE over `src` — mirrors [[histRegisters]]. */
+    def registers(src: String, groupExpr: String, valueExpr: String,
+        binWidth: Long, maxBins: Int = 256): String =
+      s"""SELECT $groupExpr AS grp,
+           least(CAST($valueExpr AS BIGINT) // $binWidth, ${maxBins - 1}) AS bin,
+           count(*) AS cnt
+         FROM $src GROUP BY 1, 2"""
+
+    /** Quantile fold over a `regs(grp, bin, cnt)` CTE — mirrors
+      * [[histQuantiles]]. */
+    def quantiles(regsCte: String, binWidth: Long,
+        percentiles: Seq[Int] = Seq(25, 50, 75, 90, 99)): String = {
+      val pcols = percentiles.map(p =>
+        s"min(CASE WHEN cum * 100 >= total * $p THEN (bin + 1) * $binWidth END) AS p$p")
+      s"""SELECT grp, CAST(max(total) AS BIGINT) AS total, ${pcols.mkString(", ")}
+         FROM (SELECT grp, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total
+           FROM $regsCte)
+         GROUP BY grp"""
+    }
+  }
 }

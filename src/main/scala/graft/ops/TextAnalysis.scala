@@ -490,6 +490,111 @@ object TextAnalysis {
         coalesce(expr("mass div nbg"), lit(0L)).as("fluency_ppm"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, §A1.1.2) — the named
+    * rule-based document filter production pipelines run before any
+    * learned gate: word-count bounds, mean-word-length band, symbol-to-
+    * word ratio, bullet / ellipsis line ratios, alphabetic-word fraction,
+    * and a minimum stopword-hit count. Every metric is integer-exact
+    * (scaled div, no float ratios) so the DuckDB oracle reproduces each
+    * per-rule flag and the composite verdict bit-for-bit.
+    *
+    * Shape at scale: one row-local projection pass — token array, line
+    * split, and regexp counts are all per-document column arithmetic
+    * inside whole-stage codegen; zero shuffles, filters push to the
+    * scan. The thresholds are the published defaults except `minWords`,
+    * parameterized because corpus token conventions differ. */
+  def gopherRules(docs: DataFrame, minWords: Int = 20,
+      maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val allStop = stopwords("en")
+    docs.select(col("doc_id"),
+        size(toks).as("n_words"),
+        // sum of token lengths = chars minus the separating spaces,
+        // per line of the whitespace-token convention (quality())
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("wchars"),
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).as("alpha_words"),
+        scoreFor(toks, allStop).as("stop_hits"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).as("n_symbols"),
+        size(lines).as("n_lines"),
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).as("bullet_lines"),
+        size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).as("ellipsis_lines"))
+      .select(col("*"),
+        expr("(wchars * 10) div n_words").as("mean_wlen_x10"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen_x10"),
+        col("alpha_words"), col("stop_hits"), col("n_symbols"),
+        col("n_lines"), col("bullet_lines"), col("ellipsis_lines"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_words"),
+        (col("mean_wlen_x10") >= 30 && col("mean_wlen_x10") <= 100)
+          .as("r_wlen"),
+        (col("n_symbols") * 10 <= col("n_words")).as("r_symbol"),
+        (col("bullet_lines") * 100 <= col("n_lines") * 90).as("r_bullet"),
+        (col("ellipsis_lines") * 100 <= col("n_lines") * 30).as("r_ellipsis"),
+        (col("alpha_words") * 100 >= col("n_words") * 80).as("r_alpha"),
+        (col("stop_hits") >= 2).as("r_stop"))
+      .withColumn("pass",
+        col("r_words") && col("r_wlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
+  /** Interpolated Kneser-Ney bigram score — the smoothing the plain
+    * conditional-probability model ([[bigramScore]]) lacks: unseen and
+    * rare continuations get mass from the CONTINUATION distribution
+    * (how many distinct contexts a word follows) instead of scoring
+    * zero, the property that makes KN the standard n-gram LM smoother.
+    * Absolute discount D = 3/4, integerized (quarter-count units + ppm
+    * scaling, truncating division mirrored exactly by the oracle):
+    *
+    *   p_kn_ppm(w1 w2) = (max(4*C(w1 w2) - 3, 0) * 1e6) div (4*C(w1 .))
+    *     + (lambda_ppm(w1) * cont_ppm(w2)) div 1e6
+    *   lambda_ppm(w1)   = (3 * N1+(w1 .) * 1e6) div (4*C(w1 .))
+    *   cont_ppm(w2)     = (N1+(. w2) * 1e6) div N1+(. .)
+    *
+    * with C(..) corpus bigram counts, N1+(w1 .) the distinct
+    * continuations of w1, N1+(. w2) the distinct left-contexts of w2,
+    * N1+(. .) the total distinct bigram types. Per document: the
+    * bigram-frequency-weighted mean p_kn in ppm (docs with < 2 tokens
+    * emit n_bigrams = 0, score 0).
+    *
+    * Shape at scale: identical to [[bigramScore]] — row-local bigram
+    * construction, the model is three aggregations over the cached
+    * (doc, bigram) relation (prefix counts, suffix type counts, one
+    * global type count), scoring is one join keyed on the bigram. The
+    * zipfian head pre-combines map-side everywhere; the only new term
+    * vs the unsmoothed model is the tiny global type-count scalar,
+    * computed as a 1-row aggregate and cross-joined (broadcast). */
+  def knBigramScore(docs: DataFrame): DataFrame = {
+    val bgc = tracked(
+      docs.select(col("doc_id"), explode(bigramsOf(col("text"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("bf_doc")))
+    val corpus = tracked(bgc.groupBy(col("bg"))
+      .agg(sum(col("bf_doc")).as("cbg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1)))
+    val pre = corpus.groupBy(col("w1"))
+      .agg(sum(col("cbg")).as("cpre"), count(lit(1)).as("n1pre"))
+    val suf = corpus.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1suf"))
+    val types = corpus.agg(count(lit(1)).as("ntypes"))
+    val scoredBg = corpus
+      .join(pre, Seq("w1")).join(suf, Seq("w2")).crossJoin(broadcast(types))
+      .select(col("bg"), (
+        expr("(greatest(4 * cbg - 3, 0) * 1000000) div (4 * cpre)") +
+        expr("(((3 * n1pre * 1000000) div (4 * cpre)) * ((n1suf * 1000000) div ntypes)) div 1000000"))
+        .as("pkn_ppm"))
+    val perDoc = bgc.join(scoredBg, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf_doc") * col("pkn_ppm")).as("mass"),
+        sum(col("bf_doc")).as("nbg"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nbg"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("mass div nbg"), lit(0L)).as("kn_ppm"))
+  }
+
   /** Keyword search: rank documents against a bag of query terms by an
     * integer-exact tf-idf score — sum over matching terms of
     * tf_doc * (N div df), with N = corpus size and df the term's document

@@ -645,6 +645,68 @@ object OpsQueries {
       Sketches.hllEstimate(Sketches.hllMerge(half(0), half(1)))
         .withColumnRenamed("grp", "event_type").orderBy("event_type")
     }),
+    // Gopher rule filter (Rae et al. 2021): the named rule-based
+    // document gate — per-rule integer metrics + flags + the composite
+    // verdict, all row-local column arithmetic
+    "q138_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
+    // interpolated Kneser-Ney bigram score: absolute discount D=3/4 in
+    // quarter-count units, continuation-probability backoff — unseen
+    // continuations get mass the unsmoothed model (q105) scores zero
+    "q139_kn_bigram" -> ((s, d) =>
+      TextAnalysis.knBigramScore(docs(s, d)).orderBy("doc_id")),
+    // SQ8 scalar-quantized ANN: per-dimension corpus min/max -> 8-bit
+    // affine codes, integer code-dot shortlist, exact cosine rerank
+    "q140_ann_sq8" -> ((s, d) =>
+      Similarity.sq8TopK(emb(s, d)).orderBy("query_id", "rank")),
+    // Matryoshka truncated-dim ANN: 16-dim prefix integer-dot shortlist
+    // (4x fewer bytes in the corpus pass), full-dim exact rerank
+    "q141_ann_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // mergeable equi-width histogram quantile sketch: per-language
+    // document-length registers folded to integer percentile edges
+    "q142_hist_sketch" -> ((s, d) =>
+      Sketches.histQuantiles(
+          Sketches.histRegisters(docs(s, d), col("lang"), col("n_chars"),
+            binWidth = 16L), binWidth = 16L)
+        .withColumnRenamed("grp", "lang").orderBy("lang")),
+    // merge-equals-rebuild for quantile state: corpus split by doc-id
+    // parity, each half sketched independently, registers merged by
+    // count addition — hash-matches the straight oracle
+    "q143_hist_merge" -> ((s, d) => {
+      val dd = docs(s, d)
+      def half(r: Int) = Sketches.histRegisters(
+        dd.filter(col("doc_id") % 2 === r), col("lang"), col("n_chars"),
+        binWidth = 16L)
+      Sketches.histQuantiles(Sketches.histMerge(half(0), half(1)),
+          binWidth = 16L)
+        .withColumnRenamed("grp", "lang").orderBy("lang")
+    }),
+    // distribution drift monitor: hashed-bigram TVD between two corpus
+    // slices (src0 vs src1) — the between-snapshots health check
+    "q147_drift" -> ((s, d) =>
+      Importance.driftSummary(docs(s, d),
+        col("source") === "src0", col("source") === "src1")),
+    // mergeable Count-Min frequency sketch: per-user event counts
+    // estimated from a 4x1024 register table, probed for users 0..19
+    "q144_cms_sketch" -> ((s, d) => {
+      val ev = events(s, d)
+      Sketches.cmsEstimate(Sketches.cmsRegisters(ev, col("user_id")),
+          ev.select(col("user_id").as("probe"))
+            .filter(col("probe") < 20).distinct())
+        .withColumnRenamed("probe", "user_id").orderBy("user_id")
+    }),
+    // merge-equals-rebuild for frequency state: events split by id
+    // parity, sketched independently, merged by count addition
+    "q145_cms_merge" -> ((s, d) => {
+      val ev = events(s, d)
+      def half(r: Int) = Sketches.cmsRegisters(
+        ev.filter(col("event_id") % 2 === r), col("user_id"))
+      Sketches.cmsEstimate(Sketches.cmsMerge(half(0), half(1)),
+          ev.select(col("user_id").as("probe"))
+            .filter(col("probe") < 20).distinct())
+        .withColumnRenamed("probe", "user_id").orderBy("user_id")
+    }),
     "q32_multimodal_meta" -> ((s, d) =>
       docs(s, d).select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).as("n_bytes"),
@@ -1195,7 +1257,168 @@ object OpsQueries {
        ORDER BY doc_id"""
   }
 
+  /** q142/q143: histogram quantile sketch over per-language document
+    * lengths. The merge variant (q143) shares the oracle — merge-equals-
+    * rebuild is the claim under test, exactly the hllSql pattern. */
+  private val histSql =
+    s"""WITH regs AS (${Sketches.duckhist.registers(
+          "documents", "lang", "n_chars", 16L)})
+       SELECT grp AS lang, total, p25, p50, p75, p90, p99
+       FROM (${Sketches.duckhist.quantiles("regs", 16L)})
+       ORDER BY lang"""
+
+  /** q138: Gopher rules — integer metrics + per-rule flags, mirroring
+    * TextAnalysis.gopherRules (minWords=20, maxWords=100000). */
+  private val gopherSql =
+    s"""WITH m AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS wchars,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+           CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS stop_hits,
+           CAST(len(regexp_extract_all(text, '#')) +
+             len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+           CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS ellipsis_lines
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lines FROM documents))
+       SELECT doc_id, n_words, (wchars * 10) // n_words AS mean_wlen_x10,
+         alpha_words, stop_hits, n_symbols, n_lines, bullet_lines,
+         ellipsis_lines,
+         (n_words >= 20 AND n_words <= 100000) AS r_words,
+         ((wchars * 10) // n_words >= 30 AND (wchars * 10) // n_words <= 100) AS r_wlen,
+         (n_symbols * 10 <= n_words) AS r_symbol,
+         (bullet_lines * 100 <= n_lines * 90) AS r_bullet,
+         (ellipsis_lines * 100 <= n_lines * 30) AS r_ellipsis,
+         (alpha_words * 100 >= n_words * 80) AS r_alpha,
+         (stop_hits >= 2) AS r_stop,
+         ((n_words >= 20 AND n_words <= 100000)
+           AND ((wchars * 10) // n_words >= 30 AND (wchars * 10) // n_words <= 100)
+           AND (n_symbols * 10 <= n_words)
+           AND (bullet_lines * 100 <= n_lines * 90)
+           AND (ellipsis_lines * 100 <= n_lines * 30)
+           AND (alpha_words * 100 >= n_words * 80)
+           AND (stop_hits >= 2)) AS pass
+       FROM m ORDER BY doc_id"""
+
+  /** q139: interpolated Kneser-Ney bigram score, D = 3/4 in quarter-count
+    * units — mirrors TextAnalysis.knBigramScore's integer ppm chain. */
+  private val knSql =
+    s"""WITH bgx AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])) AS bg
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       bgc AS (SELECT doc_id, bg, count(*) AS bf_doc FROM bgx GROUP BY 1, 2),
+       corpus AS (SELECT bg, CAST(sum(bf_doc) AS BIGINT) AS cbg,
+           string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+         FROM bgc GROUP BY bg),
+       pre AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS cpre,
+           count(*) AS n1pre FROM corpus GROUP BY w1),
+       suf AS (SELECT w2, count(*) AS n1suf FROM corpus GROUP BY w2),
+       types AS (SELECT count(*) AS ntypes FROM corpus),
+       pkn AS (SELECT bg,
+           (greatest(4 * cbg - 3, 0) * 1000000) // (4 * cpre)
+             + (((3 * n1pre * 1000000) // (4 * cpre))
+                * ((n1suf * 1000000) // ntypes)) // 1000000 AS pkn_ppm
+         FROM corpus JOIN pre USING (w1) JOIN suf USING (w2)
+           CROSS JOIN types),
+       perdoc AS (SELECT doc_id,
+           CAST(sum(bf_doc * pkn_ppm) AS BIGINT) AS mass,
+           CAST(sum(bf_doc) AS BIGINT) AS nbg
+         FROM bgc JOIN pkn USING (bg) GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(nbg, 0) AS n_bigrams,
+         coalesce(mass // nbg, 0) AS kn_ppm
+       FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"""
+
+  /** Shared CTE prefix for the quantized-embedding rerank oracles:
+    * eq/en = per-vector quantized array + integer norm. */
+  private val EQ_EN =
+    s"""eq AS (SELECT vec_id, list_transform(generate_series(1, 64),
+           i -> ${TextKit.ducksql.quant("embedding[i]")}) AS qv
+         FROM embeddings),
+       en AS (SELECT vec_id, qv,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> qv[i] * qv[i])) AS BIGINT) AS nsq FROM eq)"""
+
+  /** Shortlist-then-exact-rerank tail shared by q140/q141: `sd` must
+    * provide (query_id, neighbor_id, s_dot); `q` provides qqv/qnsq. */
+  private def rerankTail(shortlist: Int, k: Int) =
+    s"""sl AS (SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY s_dot DESC, neighbor_id) AS rr FROM sd)
+         WHERE rr <= $shortlist),
+       re AS (SELECT s.query_id, s.neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> q.qqv[i] * c.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(q.qnsq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+             AS cosine
+         FROM sl s JOIN q ON s.query_id = q.query_id
+           JOIN en c ON s.neighbor_id = c.vec_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rank FROM re)
+       WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** q140: SQ8 — per-dimension corpus min/max, 8-bit affine codes,
+    * integer code-dot shortlist of 32, exact rerank to top 5. */
+  private val sq8Sql =
+    s"""WITH $EQ_EN,
+       dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+       rng0 AS (SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx
+         FROM en CROSS JOIN dims GROUP BY d),
+       rng AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+         FROM rng0),
+       coded AS (SELECT vec_id, qv, nsq, code,
+           list_transform(generate_series(1, 64), i ->
+             mns[i] + (code[i] * (mxs[i] - mns[i])) // 255) AS recon
+         FROM (SELECT vec_id, qv, nsq, mns, mxs,
+             list_transform(generate_series(1, 64), i ->
+               ((qv[i] - mns[i]) * 255) // greatest(mxs[i] - mns[i], 1)) AS code
+           FROM en CROSS JOIN rng)),
+       q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq
+         FROM coded WHERE vec_id < 10),
+       sd AS (SELECT query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> qqv[i] * c.recon[i])) AS BIGINT) AS s_dot
+         FROM q, coded c WHERE c.vec_id != query_id),
+       ${rerankTail(32, 5)}"""
+
+  /** q141: Matryoshka — 16-dim prefix integer-dot shortlist of 32,
+    * full-dim exact rerank to top 5. */
+  private val matryoshkaSql =
+    s"""WITH $EQ_EN,
+       q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq
+         FROM en WHERE vec_id < 10),
+       sd AS (SELECT query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+             i -> q.qqv[i] * c.qv[i])) AS BIGINT) AS s_dot
+         FROM q, en c WHERE c.vec_id != query_id),
+       ${rerankTail(32, 5)}"""
+
+  /** q144/q145: Count-Min user-frequency estimates; the merge variant
+    * shares the oracle (merge-equals-rebuild, the hllSql pattern). */
+  private val cmsSql =
+    s"""WITH regs AS (${Sketches.duckcms.registers("events", "user_id")}),
+       probes AS (SELECT DISTINCT user_id AS probe FROM events
+         WHERE user_id < 20)
+       SELECT probe AS user_id, cms_est
+       FROM (${Sketches.duckcms.estimate("regs", "probes")})
+       ORDER BY user_id"""
+
   val oracles: Map[String, String] = Map(
+    "q144_cms_sketch" -> cmsSql,
+    "q145_cms_merge" -> cmsSql,
+    // streaming register maintenance on a finite source == batch sketch
+    "q146_stream_hist" -> histSql,
+    "q147_drift" ->
+      Importance.driftSql("source = 'src0'", "source = 'src1'"),
+    "q148_stream_cms" -> cmsSql,
+    "q138_gopher_rules" -> gopherSql,
+    "q139_kn_bigram" -> knSql,
+    "q140_ann_sq8" -> sq8Sql,
+    "q141_ann_matryoshka" -> matryoshkaSql,
+    "q142_hist_sketch" -> histSql,
+    "q143_hist_merge" -> histSql,
     "q137_abtt" -> Embeddings.ducksql(),
     "q136_temperature_mix" -> {
       val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")

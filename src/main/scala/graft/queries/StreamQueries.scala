@@ -43,7 +43,16 @@ object StreamQueries {
     // state, 24 h attribution window); equals the batch interval join
     // on the finite source
     "q131_stream_join" -> ((s, d) =>
-      StreamingOps.streamClickAttribution(s, d)))
+      StreamingOps.streamClickAttribution(s, d)),
+    // the histogram-quantile register table as streaming aggregation
+    // state (bounded: maxBins rows/group); equals the batch q142 sketch
+    // on a finite source (oracle defined beside it in OpsQueries)
+    "q146_stream_hist" -> ((s, d) =>
+      StreamingOps.streamingHistSketch(s, d)),
+    // the Count-Min register table as streaming aggregation state
+    // (bounded: depth x width rows); equals the batch q144 estimates
+    "q148_stream_cms" -> ((s, d) =>
+      StreamingOps.streamingCmsSketch(s, d)))
 
   val oracles: Map[String, String] = Map(
     // batch twin of the watermarked stream-stream interval join

@@ -149,6 +149,62 @@ object StreamingOps {
     * lake), so each trigger ships only changed registry rows and the
     * driver never holds the state; the state itself already lives
     * partitioned across the executors' state stores in both shapes. */
+  /** Streaming histogram-quantile sketch: the equi-width register table
+    * ([[graft.ops.Sketches.histRegisters]] — the SAME operator, applied
+    * to a streaming relation) IS the streaming aggregation state: at most
+    * maxBins rows per group, maintained incrementally by count merges
+    * across micro-batches, so an ingest stream keeps live per-language
+    * length percentiles without ever re-scanning the corpus. The quantile
+    * fold runs as a batch query over the finished register table. On a
+    * finite source the result equals the batch q142 sketch exactly
+    * (counts are order-insensitive) — the DuckDB oracle checks that.
+    * Same Complete-mode/memory-sink caveat as [[streamingDedup]]: the
+    * production shape is Update mode into a keyed sink. */
+  def streamingHistSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_hist_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = ss.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    graft.ops.Sketches.histRegisters(stream, col("lang"), col("n_chars"),
+        binWidth = 16L)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    graft.ops.Sketches.histQuantiles(ss.table(name), binWidth = 16L)
+      .withColumnRenamed("grp", "lang").orderBy("lang")
+  }
+
+  /** Streaming Count-Min sketch: the depth × width register table
+    * ([[graft.ops.Sketches.cmsRegisters]] on the stream — including its
+    * row-local explode fan-out) as streaming aggregation state, giving
+    * live frequency estimates over an ingest stream with bounded state.
+    * Probes run as a batch query over the finished registers; equals the
+    * batch q144 estimates on a finite source. */
+  def streamingCmsSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_cms_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // encoding-adaptive events schema (ts has shipped as both raw int64
+    // and timestamp[us]); only user_id is read here, but the declared
+    // schema must match the files
+    val (schema, _) = eventsStream(ss, sfDir)
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    graft.ops.Sketches.cmsRegisters(stream, col("user_id"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val probes = ss.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id").as("probe")).filter(col("probe") < 20).distinct()
+    graft.ops.Sketches.cmsEstimate(ss.table(name), probes)
+      .withColumnRenamed("probe", "user_id").orderBy("user_id")
+  }
+
   def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ss = spark.newSession()

@@ -44,4 +44,37 @@ class ImportanceSpec extends SparkSpec {
   test("featureless doc scores zero and is never admitted") {
     assert(scored(300L) == (0L, false))
   }
+
+  test("drift: identical slices read 0, disjoint vocabularies read ~1e6") {
+    // the same slice on both sides -> identical distributions, zero TVD
+    val same = Importance.driftSummary(docs,
+      col("doc_id") < 20, col("doc_id") < 20)
+      .collect().head
+    assert(same.getAs[Long]("tvd_ppm") == 0L,
+      s"identical slices must have zero drift: $same")
+    // near-twins (same template, slightly different digit-token mix)
+    // must read small-but-nonzero drift — the monitor's sensitivity
+    val twin = Importance.driftSummary(docs,
+      col("doc_id") < 20, col("doc_id") >= 100 && col("doc_id") < 120)
+      .collect().head
+    assert(twin.getAs[Long]("tvd_ppm") > 0L &&
+      twin.getAs[Long]("tvd_ppm") < 50000L,
+      s"near-twin slices must read small nonzero drift: $twin")
+    // vocabulary-A slice vs vocabulary-B slice -> near-total drift
+    // (hash collisions across 256 buckets keep it just under 1e6)
+    val far = Importance.driftSummary(docs,
+      col("doc_id") < 20, col("doc_id") >= 200 && col("doc_id") < 220)
+      .collect().head
+    assert(far.getAs[Long]("tvd_ppm") > 900000L,
+      s"disjoint vocabularies must read near-total drift: $far")
+    // monotone signal: a half-swapped slice drifts less than disjoint
+    val mid = Importance.driftSummary(docs,
+      col("doc_id") < 20,
+      (col("doc_id") >= 100 && col("doc_id") < 110) ||
+        (col("doc_id") >= 200 && col("doc_id") < 210))
+      .collect().head
+    assert(mid.getAs[Long]("tvd_ppm") > 0L &&
+      mid.getAs[Long]("tvd_ppm") < far.getAs[Long]("tvd_ppm"),
+      s"mixed slice must drift strictly between: $mid vs $far")
+  }
 }

@@ -1130,4 +1130,66 @@ class OpsSpec extends SparkSpec {
       .collect()
     assert(half.nonEmpty && half.length < 40)
   }
+
+  test("gopherRules: clean prose passes, each planted defect trips its rule") {
+    val d = Seq(
+      // 0: clean English prose, > 20 words, sane lengths, stopwords
+      (0L, ("the quick brown fox jumps over a lazy dog and runs to " +
+        "the old barn in the field where the farmer keeps hay and grain")),
+      // 1: too short (< 20 words)
+      (1L, "the cat sat on a mat"),
+      // 2: symbol-ridden (# per word ratio > 10%)
+      (2L, ("# # # # # the quick brown fox jumps over a lazy dog and " +
+        "runs to the barn in the morning light again")),
+      // 3: mean word length out of band (single-char words)
+      (3L, ("a b c d e f g h i j k l m n o p q r s t u v w x y z " +
+        "a b c d e f the of")),
+      // 4: bullet lines dominate
+      (4L, (Seq.fill(10)("- the bullet item of a list").mkString("\n"))),
+      // 5: no stopwords at all
+      (5L, ("quick brown fox jumps lazy dog runs barn field farmer " +
+        "keeps hay grain morning light water stone river mountain tree"))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d).orderBy("doc_id").collect()
+    val pass = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    assert(pass(0L), "clean prose must pass all rules")
+    assert(!pass(1L) &&
+      !out(1).getAs[Boolean]("r_words"), "short doc fails the word-count rule")
+    assert(!pass(2L) &&
+      !out(2).getAs[Boolean]("r_symbol"), "hash spam fails the symbol rule")
+    assert(!pass(3L) &&
+      !out(3).getAs[Boolean]("r_wlen"), "1-char words fail the word-length rule")
+    assert(!pass(4L) &&
+      !out(4).getAs[Boolean]("r_bullet"), "all-bullet doc fails the bullet rule")
+    assert(!pass(5L) &&
+      !out(5).getAs[Boolean]("r_stop"), "stopword-free doc fails the stopword rule")
+  }
+
+  test("knBigramScore: backoff scores unseen continuations, fluent > shuffled") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox sleeps near the lazy dog"),
+      (2L, "the quick brown cat jumps over the lazy dog"),
+      // 3: same words as 0, shuffled — bigrams mostly unseen in 0-2
+      (3L, "dog the over quick lazy brown the jumps fox"),
+      (4L, "one"),
+      (5L, "")).toDF("doc_id", "text")
+    val kn = TextAnalysis.knBigramScore(corpus).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kn_ppm")).toMap
+    val plain = TextAnalysis.bigramScore(corpus).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fluency_ppm")).toMap
+    assert(kn(0L) > kn(3L), "corpus-fluent order must outscore shuffled")
+    assert(kn(4L) == 0L && kn(5L) == 0L, "sub-bigram docs are total with 0")
+    // THE Kneser-Ney property: every bigram of the shuffled doc occurs
+    // once in the corpus (it contributes its own counts), but a doc of
+    // bigrams seen ONLY there scores > 0 under KN through the
+    // continuation term even where the discounted ML term vanishes —
+    // and rare transitions keep strictly positive mass where the
+    // unsmoothed model's integer ppm can round to zero
+    assert(kn(3L) > 0L, "KN backoff must leave shuffled text nonzero mass")
+    assert(kn.values.toSeq.count(_ > 0L) >= plain.values.toSeq.count(_ > 0L),
+      "KN must not zero out docs the unsmoothed model scores")
+    TextKit.releaseCaches()
+  }
 }

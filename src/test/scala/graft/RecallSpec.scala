@@ -59,10 +59,14 @@ class RecallSpec extends SparkSpec {
       nprobe = 4, rerank = 50))
     val ivfpqTR = recall(Similarity.ivfPqTopK(emb, nQueries = nQ, k = k,
       nprobe = 4, rerank = 50, cbTrainIters = 2))
+    val sq8 = recall(Similarity.sq8TopK(emb, nQueries = nQ, k = k,
+      shortlist = 50))
+    val mat = recall(Similarity.matryoshkaTopK(emb, nQueries = nQ, k = k,
+      dPrefix = 16, shortlist = 50))
     info(f"recall@$k on $sfDir: lsh=$lsh%.3f ivf2=$ivf2%.3f ivf4=$ivf4%.3f " +
       f"pq=$pq%.3f pqT=$pqT%.3f ivfpq2=$ivfpq2%.3f ivfpq4=$ivfpq4%.3f " +
       f"lshM8=$lshM%.3f pqR50=$pqR%.3f ivfpq4R50=$ivfpqR%.3f " +
-      f"ivfpq4TR50=$ivfpqTR%.3f")
+      f"ivfpq4TR50=$ivfpqTR%.3f sq8R50=$sq8%.3f mat16R50=$mat%.3f")
     // floors: measured-minus-margin (see BASELINE.md recall table). The
     // fixture embeddings are near-ISOTROPIC (mean pairwise cosine ~0,
     // std 0.125, top-1 ~0.37) — the adversarial regime where neighbors
@@ -87,6 +91,13 @@ class RecallSpec extends SparkSpec {
     assert(ivfpqR > ivfpq4, "exact re-rank must beat raw ADC ranking")
     assert(ivfpqTR >= 0.30,
       f"trained IVF-PQ+rerank recall collapsed: $ivfpqTR%.3f")
+    // SQ8's 8-bit code dot tracks the true dot closely (per-dim affine
+    // error only), so shortlist-50 + exact rerank should sit near the
+    // top of the approximate family even on the isotropic fixture
+    // (measured 1.00 at shortlist 50); the
+    // 16-of-64-dim matryoshka prefix keeps ~1/4 of the signal
+    assert(sq8 >= 0.90, f"SQ8+rerank recall collapsed: $sq8%.3f")
+    assert(mat >= 0.45, f"matryoshka recall collapsed: $mat%.3f")
     // IVF candidates at nprobe=4 are a superset of nprobe=2's and scoring
     // is the exact cosine, so recall is provably monotone in nprobe (a
     // true top-k neighbor can only be displaced by another true top-k
