@@ -164,32 +164,36 @@ object Similarity {
   def hybridSearch(docs: DataFrame, emb: DataFrame, terms: Seq[String],
       queryVecId: Long = 0L, k: Int = 10, poolSize: Int = 100,
       rrfK: Int = 60, useBm25: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // either lexical ranker yields (doc_id, score, ...) ordered the same
-    // way; BM25 adds document-length normalization to the pool
+    // way; BM25 adds document-length normalization to the pool.
+    // Pool ranks come from the bounded TopKAgg aggregators (tie-break
+    // identical to a (score desc, doc_id) row_number), NOT a
+    // constant-partition window: Catalyst folds a literal partition key
+    // to an EMPTY partition spec, so the window form still planned a
+    // single-partition WindowExec and warned on every run — the
+    // aggregator holds at most poolSize rows per task and pre-combines
+    // map-side.
     val kw0 =
       if (useBm25) TextAnalysis.bm25Search(docs, terms, k = poolSize)
       else TextAnalysis.search(docs, terms, k = poolSize)
-    // rank windows run over POOL-SIZED relations (<= poolSize rows after
-    // the TakeOrdered), so their single-task sort is bounded by design;
-    // the constant partition key states that intent and keeps the
-    // "No Partition Defined" warning out of production logs
-    val kw = kw0
-      .withColumn("kw_rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("kw_rank"))
+    val kwScored = kw0.select(lit(0L).as("qk"), col("doc_id"), col("score"))
+    val kw = (if (useBm25)
+        TopKAgg.topKPerQuery(kwScored
+          .withColumn("score", col("score").cast("double")),
+          "qk", "doc_id", "score", poolSize)
+      else TopKAgg.topKPerQueryDesc(kwScored, "qk", "doc_id", "score",
+        poolSize))
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("kw_rank"))
     val e = withNorm(emb)
     val q = e.filter(col("vec_id") === queryVecId)
       .select(col("qv").as("qqv"), col("nsq").as("qnsq"))
-    val vec = e.join(broadcast(q), col("vec_id") =!= lit(queryVecId))
-      .select(col("vec_id").as("doc_id"),
-        cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
-          .as("cosine"))
-      .orderBy(col("cosine").desc, col("doc_id")).limit(poolSize)
-      .withColumn("vec_rank", row_number().over(
-        Window.partitionBy(lit(0))
-          .orderBy(col("cosine").desc, col("doc_id"))))
-      .select(col("doc_id"), col("vec_rank"))
+    val vec = TopKAgg.topKPerQuery(
+      e.join(broadcast(q), col("vec_id") =!= lit(queryVecId))
+        .select(lit(0L).as("qk"), col("vec_id"),
+          cosineQ(dotPre(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+            .as("cosine")),
+      "qk", "vec_id", "cosine", poolSize)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
     kw.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
         (coalesce(lit(1.0) / (col("kw_rank") + lit(rrfK)), lit(0.0)) +
