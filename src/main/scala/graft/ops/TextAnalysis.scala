@@ -812,4 +812,46 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg((sum(col("term")) % 2147483647L).as("fingerprint"))
   }
+
+  /** Winnowing fingerprints (the MOSS local-fingerprint scheme,
+    * Schleimer/Wilkerson/Aiken 2003): hash every token position, slide a
+    * window of `w` consecutive hashes over each document, and keep the
+    * minimum hash of every window — rightmost position on ties. Any two
+    * documents sharing a run of >= w tokens are then GUARANTEED to share
+    * a selected fingerprint, with ~2/(w+1) of positions kept — the
+    * partial-overlap detector that whole-document fingerprints (q31) and
+    * shingle MinHash miss at small overlap fractions.
+    *
+    * Spark shape: one token explode, one per-document window pass (state
+    * is the document's own positions — never global), one distinct
+    * bounded by selected fingerprints. The (hash, rightmost-tie) argmin
+    * is ENCODED, not computed twice: key = h*2^20 + (2^20-1-pos), so a
+    * single integer `min` over the window frame is the whole selection —
+    * identical in the DuckDB oracle. Positions are guarded to < 2^20
+    * (fail-loudly, not corrupt) and hashes reduced to 30 bits, keeping
+    * keys < 2^50. */
+  def winnowing(docs: DataFrame, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2 && w <= 1024, s"window out of range: $w")
+    val M = 1048576L // 2^20 position space
+    val posed = spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        (md5Long(col("t")) % 1073741824L).as("h"))
+    val keyed = posed.withColumn("key",
+      when(col("pos") < M, col("h") * M + (lit(M - 1) - col("pos")))
+        .otherwise(raise_error(concat(lit("winnowing: document "),
+          col("doc_id"), lit(" exceeds 2^20 tokens")))))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val all = Window.partitionBy(col("doc_id"))
+    keyed
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("selkey", min(col("key")).over(win))
+      .filter(col("pos") <= col("n") - (w - 1)) // full windows only
+      .select(col("doc_id"),
+        expr("selkey div 1048576").as("sel_hash"),
+        (lit(M - 1) - (col("selkey") % M)).as("sel_pos"))
+      .distinct()
+  }
 }

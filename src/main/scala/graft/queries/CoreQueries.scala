@@ -280,7 +280,24 @@ object CoreQueries {
       .orderBy("nationkey")
   }
 
+  /** Grouping sets (SURVEY §2.7 family — free from Spark): ROLLUP over
+    * (returnflag, linestatus) with the grouping-id bitmask disambiguating
+    * subtotal rows from genuine NULL groups. One hash aggregation
+    * computes all three levels (Spark expands grouping sets into a
+    * single multi-key aggregate — no per-level rescans), so at 100 TB
+    * the cube costs one shuffle like any groupBy. Null ordering is
+    * pinned NULLS FIRST on both engines. */
+  def q156Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_rollup" -> (q156Rollup _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_ratio_guard" -> (q02RatioGuard _),
     "q03_lastwins_dedup" -> (q03LastWinsDedup _),
@@ -303,6 +320,13 @@ object CoreQueries {
     "q20_set_ops" -> (q20SetOps _))
 
   val oracles: Map[String, String] = Map(
+    "q156_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+         count(*) AS n,
+         GROUPING(l_returnflag, l_linestatus) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,

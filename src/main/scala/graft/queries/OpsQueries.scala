@@ -711,7 +711,119 @@ object OpsQueries {
       docs(s, d).select(col("doc_id").as("media_id"),
           length(col("text").cast("binary")).as("n_bytes"),
           hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+    // Z-order (Morton) interleave as a value query: the clustering key a
+    // multi-dimension-prunable layout sorts by — pure codegen'd bit
+    // arithmetic, hash-gated against DuckDB's own shifts
+    "q149_zorder_values" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .withColumn("z", Layout.zValue(col("x"), col("y"), 8))
+        .orderBy("z", "l_orderkey", "l_linenumber")),
+    // the layout end to end: write lineitem Z-ordered on quantized
+    // (partkey, suppkey), read it back through a 2-D box predicate —
+    // result equality proves the clustered rewrite is lossless; the
+    // file-skipping payoff is pinned by LayoutSpec's footer-stats audit
+    "q150_zorder_scan" -> ((s, d) => {
+      val z = ensureZLake(s, d)
+      val (plo, phi) = boxRange(z.pmin, z.pmax)
+      val (slo, shi) = boxRange(z.smin, z.smax)
+      s.read.parquet(z.path)
+        .filter(col("l_partkey").between(plo, phi) &&
+          col("l_suppkey").between(slo, shi))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // MERGE INTO: one collapsed-batch aggregation + one full-outer join
+    // applies upserts, deletes, and inserts onto the keyed target
+    "q151_cdc_upsert" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val target = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val ups = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(1L).as("v"), lit("U").as("op"),
+          col("o_custkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          lit("X-CDC").as("o_orderpriority"))
+      val dels = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(2L).as("v"), lit("D").as("op"),
+          lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("string").as("o_orderpriority"))
+      Cdc.applyChanges(target, ups.unionByName(dels), "o_orderkey", "v")
+        .orderBy("o_orderkey")
+    }),
+    // change data feed: full-outer struct-compare diff of two snapshots;
+    // output tracks the CHANGE volume, not the table size
+    "q152_snapshot_diff" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val snapA = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val snapB = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Cdc.snapshotDiff(snapA, snapB, "o_orderkey",
+          Seq("o_custkey", "o_totalprice"))
+        .select(col("o_orderkey"), col("change_type"),
+          col("old_row.o_custkey").as("old_custkey"),
+          col("old_row.o_totalprice").as("old_price"),
+          col("new_row.o_custkey").as("new_custkey"),
+          col("new_row.o_totalprice").as("new_price"))
+        .orderBy("o_orderkey")
+    }),
+    // SCD-2 validity intervals from the event log: per-user history of
+    // event_type with no-op updates collapsed
+    "q153_scd2" -> ((s, d) =>
+      Cdc.scd2(events(s, d).select(col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("event_id"),
+            col("event_type")),
+          "user_id", "ts_us", "event_id", Seq("event_type"))
+        .orderBy("user_id", "valid_from")),
+    "q154_funnel" -> ((s, d) =>
+      Funnel.funnel(events(s, d), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+    // retrieval-quality eval as a relational operator: LSH ANN scored
+    // against exact brute-force ground truth — one top-k × top-k join
+    "q155_retrieval_eval" -> ((s, d) =>
+      Eval.retrievalMetrics(Similarity.bruteTopK(emb(s, d), 10, 5),
+          Similarity.lshTopK(emb(s, d), 10, 3))
+        .orderBy("query_id")),
+    // MOSS winnowing: window-min local fingerprints, rightmost ties —
+    // guarantees shared fingerprints on any >= w-token overlap
+    "q157_winnowing" -> ((s, d) =>
+      TextAnalysis.winnowing(docs(s, d), 4)
+        .orderBy("doc_id", "sel_pos")))
+
+  /** Per-(process, sfDir) Z-ordered lineitem copy for q150 — written once,
+    * under java.io.tmpdir like the q35 lake dump. Bounds ride along so the
+    * box predicate and the oracle derive the SAME integer arithmetic. */
+  private[queries] final case class ZLake(path: String, pmin: Long,
+    pmax: Long, smin: Long, smax: Long)
+
+  private val zLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, ZLake]()
+
+  private def ensureZLake(s: SparkSession, d: String): ZLake =
+    zLakes.computeIfAbsent(d, _ => {
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head
+      val z = ZLake(
+        s"${System.getProperty("java.io.tmpdir")}/graft_zlake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}",
+        b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      Layout.writeZOrdered(li,
+        Layout.quantize(col("l_partkey"), z.pmin, z.pmax, 8),
+        Layout.quantize(col("l_suppkey"), z.smin, z.smax, 8),
+        8, z.path, 16)
+      z
+    })
+
+  /** The q150 box: the second quarter of the key span, inclusive —
+    * integer arithmetic mirrored verbatim in the oracle SQL. */
+  private def boxRange(lo: Long, hi: Long): (Long, Long) =
+    (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
 
   private val tokH = TextKit.ducksql.md5Long("t")
 
@@ -2773,5 +2885,152 @@ object OpsQueries {
     "q32_multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 8))) AS head_hex
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+    "q149_zorder_values" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey % 256 AS x,
+         l_suppkey % 256 AS y,
+         CAST(${Layout.zValueSql("l_partkey % 256", "l_suppkey % 256", 8)}
+           AS BIGINT) AS z
+         FROM lineitem ORDER BY z, l_orderkey, l_linenumber""",
+    "q150_zorder_scan" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+           min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_partkey BETWEEN pmin + (pmax - pmin) // 4
+             AND pmin + (pmax - pmin) // 2
+           AND l_suppkey BETWEEN smin + (smax - smin) // 4
+             AND smin + (smax - smin) // 2
+         ORDER BY l_orderkey, l_linenumber""",
+    "q151_cdc_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+           o_orderpriority FROM orders WHERE o_orderkey % 13 != 0),
+         u AS (SELECT o_orderkey, 1 AS v, 'U' AS op, o_custkey,
+           o_totalprice * 2 AS o_totalprice, 'X-CDC' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 5 = 0),
+         dl AS (SELECT o_orderkey, 2 AS v, 'D' AS op,
+           CAST(NULL AS BIGINT) AS o_custkey,
+           CAST(NULL AS DOUBLE) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM orders WHERE o_orderkey % 7 = 0),
+         c AS (SELECT * FROM u UNION ALL SELECT * FROM dl),
+         latest AS (SELECT * FROM (SELECT c.*, row_number()
+             OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn FROM c)
+           WHERE rn = 1)
+         SELECT COALESCE(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+           CASE WHEN l.op = 'U' THEN l.o_custkey ELSE t.o_custkey END
+             AS o_custkey,
+           CASE WHEN l.op = 'U' THEN l.o_totalprice ELSE t.o_totalprice END
+             AS o_totalprice,
+           CASE WHEN l.op = 'U' THEN l.o_orderpriority
+             ELSE t.o_orderpriority END AS o_orderpriority
+         FROM t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey
+         WHERE l.op IS NULL OR l.op = 'U'
+         ORDER BY o_orderkey""",
+    "q152_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE o_orderkey % 13 != 0),
+         b AS (SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+             ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 11 != 0)
+         SELECT * FROM (
+           SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+               WHEN b.o_orderkey IS NULL THEN 'delete'
+               WHEN a.o_custkey != b.o_custkey
+                 OR a.o_totalprice != b.o_totalprice THEN 'update' END
+               AS change_type,
+             a.o_custkey AS old_custkey, a.o_totalprice AS old_price,
+             b.o_custkey AS new_custkey, b.o_totalprice AS new_price
+           FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         WHERE change_type IS NOT NULL ORDER BY o_orderkey""",
+    "q153_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_type FROM events),
+         c AS (SELECT user_id, ts_us, event_id, event_type FROM (
+           SELECT user_id, ts_us, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev FROM e)
+           WHERE prev IS NULL OR prev != event_type)
+         SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current FROM (
+           SELECT user_id, event_type, ts_us AS valid_from,
+             lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS valid_to FROM c)
+         ORDER BY user_id, valid_from""",
+    "q154_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (SELECT DISTINCT user_id FROM e),
+         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+           JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+           JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+         SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage, t1, t2, t3
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id) ORDER BY u.user_id""",
+    "q155_retrieval_eval" ->
+      s"""WITH $EMB_NORM,
+         q AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq
+           FROM e WHERE vec_id < 10),
+         bs AS (SELECT query_id, e.vec_id AS neighbor_id,
+           CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+             (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+             AS cosine
+           FROM q, e WHERE e.vec_id != query_id),
+         truth AS (SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+           WHERE rank <= 5),
+         eb AS (SELECT vec_id, embedding,
+           ${dotQ("embedding", "embedding")} AS nsq,
+           list_sum(list_transform(generate_series(1, 6), d ->
+             CASE WHEN embedding[d] >= 0 THEN (1::BIGINT << (d - 1))
+               ELSE 0 END)) AS bucket
+           FROM embeddings),
+         qb AS (SELECT vec_id AS query_id, embedding AS lqe, nsq AS lqnsq,
+           bucket FROM eb WHERE vec_id < 10),
+         ls AS (SELECT query_id, eb.vec_id AS neighbor_id,
+           CAST(${dotQ("lqe", "eb.embedding")} AS DOUBLE) /
+             (sqrt(CAST(lqnsq AS DOUBLE)) * sqrt(CAST(eb.nsq AS DOUBLE)))
+             AS cosine
+           FROM qb JOIN eb ON qb.bucket = eb.bucket
+           WHERE eb.vec_id != qb.query_id),
+         res AS (SELECT query_id, neighbor_id, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM ls)
+           WHERE rank <= 3),
+         j AS (SELECT t.query_id, t.neighbor_id, r.rank AS r_rank
+           FROM truth t LEFT JOIN res r ON t.query_id = r.query_id
+             AND t.neighbor_id = r.neighbor_id)
+         SELECT query_id, count(*) AS n_truth, count(r_rank) AS n_hit,
+           CAST(count(r_rank) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS recall,
+           min(r_rank) AS first_hit_rank,
+           COALESCE(CAST(1 AS DOUBLE) / CAST(min(r_rank) AS DOUBLE),
+             CAST(0 AS DOUBLE)) AS mrr
+         FROM j GROUP BY query_id ORDER BY query_id""",
+    "q157_winnowing" ->
+      s"""WITH tok AS (SELECT doc_id, t, i FROM (SELECT doc_id,
+           unnest(string_split(text,' ')) AS t,
+           generate_subscripts(string_split(text,' '), 1) AS i
+           FROM documents)),
+         h AS (SELECT doc_id, i AS pos, ($tokH) % 1073741824 AS hh
+           FROM tok),
+         k AS (SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           min(hh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+             AS selkey
+           FROM h)
+         SELECT DISTINCT doc_id, selkey // 1048576 AS sel_hash,
+           1048575 - (selkey % 1048576) AS sel_pos
+         FROM k WHERE pos <= n - 3 ORDER BY doc_id, sel_pos""")
 }
