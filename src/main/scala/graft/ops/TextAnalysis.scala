@@ -854,4 +854,32 @@ object TextAnalysis {
         (lit(M - 1) - (col("selkey") % M)).as("sel_pos"))
       .distinct()
   }
+
+  /** Partial-overlap containment between a fresh batch and an ingested
+    * corpus via shared winnowing fingerprints — the plagiarism /
+    * contamination detector at the sub-document granularity MinHash
+    * misses: any >= w-token run shared with ANY corpus document
+    * guarantees a shared fingerprint ([[winnowing]]'s guarantee), so a
+    * batch doc quoting one corpus paragraph surfaces even when its
+    * overall Jaccard is ~0.
+    *
+    * Shape at scale: both sides reduce to (doc, hash) fingerprint sets
+    * (~2/(w+1) of token positions); the join is an inverted-index
+    * equi-join on the hash, df-capped first — fingerprints appearing in
+    * more than `dfCap` corpus documents are boilerplate (the q67
+    * line-dedup banding argument) and are dropped before they can
+    * quadratically fan out. Corpus fingerprints are computed once and
+    * are reusable across batches (the q48 incremental pattern). */
+  def winnowContainment(corpus: DataFrame, batch: DataFrame, w: Int = 4,
+      dfCap: Int = 64): DataFrame = {
+    def fps(d: DataFrame, as: String) =
+      winnowing(d, w).select(col("doc_id").as(as), col("sel_hash")).distinct()
+    val fc = tracked(fps(corpus, "doc_a"))
+    val ok = fc.groupBy("sel_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sel_hash")
+    fc.join(ok, "sel_hash")
+      .join(fps(batch, "doc_b"), "sel_hash")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -792,7 +792,25 @@ object OpsQueries {
     // guarantees shared fingerprints on any >= w-token overlap
     "q157_winnowing" -> ((s, d) =>
       TextAnalysis.winnowing(docs(s, d), 4)
-        .orderBy("doc_id", "sel_pos")))
+        .orderBy("doc_id", "sel_pos")),
+    // hard-negative mining for retrieval training: ANN candidates that
+    // exact search says are NOT true neighbors — one anti-join between
+    // the approximate and exact top-k relations
+    "q159_hard_negatives" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), 10, 5)
+        .join(Similarity.bruteTopK(emb(s, d), 10, 2)
+            .select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .orderBy("query_id", "rank")),
+    // sub-document containment: fresh batch vs corpus via shared
+    // winnowing fingerprints, df-capped inverted-index join
+    "q160_winnow_containment" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.winnowContainment(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_a", "doc_b")
+    }))
 
   /** Per-(process, sfDir) Z-ordered lineitem copy for q150 — written once,
     * under java.io.tmpdir like the q35 lake dump. Bounds ride along so the
@@ -3032,5 +3050,67 @@ object OpsQueries {
            FROM h)
          SELECT DISTINCT doc_id, selkey // 1048576 AS sel_hash,
            1048575 - (selkey % 1048576) AS sel_pos
-         FROM k WHERE pos <= n - 3 ORDER BY doc_id, sel_pos""")
+         FROM k WHERE pos <= n - 3 ORDER BY doc_id, sel_pos""",
+    "q159_hard_negatives" ->
+      s"""WITH $EMB_NORM,
+         q AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq
+           FROM e WHERE vec_id < 10),
+         bs AS (SELECT query_id, e.vec_id AS neighbor_id,
+           CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+             (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+             AS cosine
+           FROM q, e WHERE e.vec_id != query_id),
+         truth AS (SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+           WHERE rank <= 2),
+         eb AS (SELECT vec_id, embedding,
+           ${dotQ("embedding", "embedding")} AS nsq,
+           list_sum(list_transform(generate_series(1, 6), d ->
+             CASE WHEN embedding[d] >= 0 THEN (1::BIGINT << (d - 1))
+               ELSE 0 END)) AS bucket
+           FROM embeddings),
+         qb AS (SELECT vec_id AS query_id, embedding AS lqe, nsq AS lqnsq,
+           bucket FROM eb WHERE vec_id < 10),
+         ls AS (SELECT query_id, eb.vec_id AS neighbor_id,
+           CAST(${dotQ("lqe", "eb.embedding")} AS DOUBLE) /
+             (sqrt(CAST(lqnsq AS DOUBLE)) * sqrt(CAST(eb.nsq AS DOUBLE)))
+             AS cosine
+           FROM qb JOIN eb ON qb.bucket = eb.bucket
+           WHERE eb.vec_id != qb.query_id),
+         res AS (SELECT query_id, neighbor_id, cosine, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM ls)
+           WHERE rank <= 5)
+         SELECT r.query_id, r.neighbor_id, r.cosine, r.rank FROM res r
+         ANTI JOIN truth t ON r.query_id = t.query_id
+           AND r.neighbor_id = t.neighbor_id
+         ORDER BY r.query_id, r.rank""",
+    "q160_winnow_containment" ->
+      s"""WITH fc AS (${winnowFpsSql("doc_id % 10 != 0")}),
+         fb AS (${winnowFpsSql("doc_id % 10 = 0")}),
+         ok AS (SELECT sel_hash FROM fc GROUP BY sel_hash
+           HAVING count(*) <= 64)
+         SELECT fc.doc_id AS doc_a, fb.doc_id AS doc_b,
+           count(*) AS n_shared
+         FROM fc JOIN ok ON fc.sel_hash = ok.sel_hash
+         JOIN fb ON fc.sel_hash = fb.sel_hash
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b""")
+
+  /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
+    * documents rows matching `pred` — the composable core of the q157
+    * oracle, reused by the q160 containment chain. */
+  private def winnowFpsSql(pred: String): String =
+    s"""SELECT DISTINCT doc_id, selkey // 1048576 AS sel_hash
+       FROM (SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           min(hh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id
+             ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+             AS selkey
+         FROM (SELECT doc_id, i AS pos, ($tokH) % 1073741824 AS hh
+           FROM (SELECT doc_id, t, i FROM (SELECT doc_id,
+             unnest(string_split(text,' ')) AS t,
+             generate_subscripts(string_split(text,' '), 1) AS i
+             FROM documents WHERE $pred))))
+       WHERE pos <= n - 3"""
 }

@@ -52,7 +52,12 @@ object StreamQueries {
     // the Count-Min register table as streaming aggregation state
     // (bounded: depth x width rows); equals the batch q144 estimates
     "q148_stream_cms" -> ((s, d) =>
-      StreamingOps.streamingCmsSketch(s, d)))
+      StreamingOps.streamingCmsSketch(s, d)),
+    // streaming CDC materialization: latest-value-per-key as streaming
+    // aggregation state (one struct per key), tombstones filtered
+    // post-agg; equals the batch latest-per-key on a finite source
+    "q158_stream_cdc" -> ((s, d) =>
+      StreamingOps.streamLatestValue(s, d)))
 
   val oracles: Map[String, String] = Map(
     // batch twin of the watermarked stream-stream interval join
@@ -126,6 +131,17 @@ object StreamQueries {
            FROM c JOIN f ON c.bucket = f.bucket)
          SELECT vec_a, vec_b, cosine FROM scored
          WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
-    }
+    },
+    // batch twin of the streaming latest-value store: latest event per
+    // user by (ts, event_id), tombstoned ('error'-latest) keys dropped
+    "q158_stream_cdc" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           event_type, value FROM events),
+         l AS (SELECT * FROM (SELECT e.*, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC)
+             AS rn FROM e) WHERE rn = 1)
+         SELECT user_id, ts_us, event_type AS last_type,
+           value AS last_value
+         FROM l WHERE event_type != 'error' ORDER BY user_id"""
   )
 }

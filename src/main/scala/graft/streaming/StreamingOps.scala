@@ -260,6 +260,47 @@ object StreamingOps {
     ss.table(name).orderBy("doc_a", "doc_b")
   }
 
+  /** Streaming CDC materialization: a change stream (here: the event log
+    * read as per-user upserts, with 'error' events playing delete
+    * tombstones) folds into the LATEST-value-per-key table — the
+    * streaming half of [[graft.ops.Cdc.applyChanges]], i.e. a
+    * continuously-maintained MERGE target. The state is ONE struct per
+    * key (the running lexicographic max of (ts, tiebreak, payload)), so
+    * a streaming aggregation — not arbitrary stateful ops — carries it:
+    * bounded by key cardinality, mergeable across micro-batches, and
+    * order-insensitive, which is what makes the finite-source result
+    * equal the batch latest-per-key query (the oracle). Tombstoned keys
+    * are filtered AFTER the aggregation: a key deleted in batch 3 must
+    * still occupy state in case batch 4 re-inserts it. */
+  def streamLatestValue(spark: SparkSession, sfDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = "stream_latest_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val (schema, tsMicros) = eventsStream(ss, sfDir, glob)
+    val reader = ss.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = reader.parquet(sfDir)
+    stream
+      .select(col("user_id"), tsMicros.as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name)
+      .filter(col("m.event_type") =!= "error")
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   /** Streaming BPE token counting: the tokenizer trains ONCE on the
     * static corpus (batch side — [[graft.ops.Bpe.train]]), its merge
     * table LITERALIZES into a row-local expression chain

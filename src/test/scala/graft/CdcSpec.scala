@@ -110,6 +110,63 @@ class CdcSpec extends SparkSpec {
     assert(m(1).isNullAt(4))          // no first_hit_rank
   }
 
+  test("streamLatestValue merges state across batches; tombstone then re-insert") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-cdc-stream")
+    def write(name: String, mtime: Long,
+        rows: Seq[(Long, String, Long, String, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft-cdc-stage")
+      import spark.implicits._
+      rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("ts_str")).as("ts"),
+          col("user_id"), col("event_type"), col("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(p =>
+        p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(name)
+      Files.copy(part, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    write("b1.parquet", 1000000L, Seq(
+      (1L, "2024-01-10 10:00:00", 1L, "signup", 1.0),
+      (2L, "2024-01-10 10:00:00", 2L, "signup", 2.0),
+      (3L, "2024-01-10 10:00:00", 3L, "signup", 3.0)))
+    write("b2.parquet", 2000000L, Seq(
+      (4L, "2024-01-10 11:00:00", 1L, "purchase", 10.0), // update
+      (5L, "2024-01-10 11:00:00", 2L, "error", 0.0),     // tombstone
+      (6L, "2024-01-10 11:00:00", 3L, "error", 0.0)))    // tombstone
+    write("b3.parquet", 3000000L, Seq(
+      (7L, "2024-01-10 12:00:00", 2L, "view", 20.0)))    // re-insert
+    val out = graft.streaming.StreamingOps
+      .streamLatestValue(spark, dir.toString, glob = "*.parquet",
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    // user 1: updated in batch 2; user 2: tombstoned then re-inserted in
+    // batch 3 (state had to survive the tombstone); user 3: stays deleted
+    assert(out.toSet === Set((1L, "purchase", 10.0), (2L, "view", 20.0)))
+  }
+
+  test("winnowContainment finds a quoted paragraph at near-zero Jaccard") {
+    import spark.implicits._
+    val para = "quantum flux capacitors resonate harmonically under " +
+      "cryogenic isolation protocols"
+    val filler = (1 to 60).map(i => s"corpusword$i").mkString(" ")
+    val batchFiller = (1 to 60).map(i => s"batchword$i").mkString(" ")
+    val corpus = Seq((1L, s"$filler $para"), (2L, filler + " unrelated end"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, s"$batchFiller $para"), (11L, batchFiller))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.winnowContainment(corpus, batch)
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)]
+      .collect()
+    // only (corpus 1, batch 10) share the paragraph; overall Jaccard of
+    // those docs is ~10/130 yet containment must fire
+    assert(out.map(t => (t._1, t._2)).toSet === Set((1L, 10L)))
+    assert(out.head._3 >= 1L)
+  }
+
   test("winnowing guarantee: >= w-token shared run shares a fingerprint") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
