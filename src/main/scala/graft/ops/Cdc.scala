@@ -38,9 +38,19 @@ object Cdc {
     * merged table: target rows overwritten by the latest 'U', removed by
     * a latest 'D', untouched keys passed through, fresh 'U' keys
     * inserted. Payload columns must match the target's non-key columns.
-    */
+    *
+    * `broadcastBatch = true` (default — CDC batches are a small fraction
+    * of the target) plans the Delta-MERGE shape: the collapsed batch
+    * broadcast-probes the target scan (LEFT join, target NEVER
+    * shuffles), and inserts are found by probing the target's keys with
+    * the same broadcast and anti-joining the two SMALL relations — two
+    * narrow passes over the target, zero wide exchanges of it. Set it
+    * false for a genuinely table-sized batch: one full-outer hash join,
+    * both sides shuffling once on the key (the floor for any keyed
+    * merge). */
   def applyChanges(target: DataFrame, changes: DataFrame, key: String,
-      ordCol: String, op: String = "op"): DataFrame = {
+      ordCol: String, op: String = "op",
+      broadcastBatch: Boolean = true): DataFrame = {
     val payload = target.columns.filterNot(_ == key)
     require(payload.forall(changes.columns.contains),
       s"changes missing payload columns: " +
@@ -53,11 +63,32 @@ object Cdc {
         .as("c"))
       .select(col(key) +: col(s"c.$op").as("__op") +:
         payload.map(p => col(s"c.$p").as(s"__c_$p")): _*)
-    target.join(latest, Seq(key), "full_outer")
-      .filter(col("__op").isNull || col("__op") === "U")
-      .select(col(key) +: payload.map { p =>
-        when(col("__op") === "U", col(s"__c_$p")).otherwise(col(p)).as(p)
-      }: _*)
+    if (broadcastBatch) {
+      val lb = broadcast(latest)
+      // pass 1: update/delete/pass-through — broadcast probe, no target
+      // shuffle; the filter drops latest-'D' keys
+      val merged = target.join(lb, Seq(key), "left")
+        .filter(col("__op").isNull || col("__op") === "U")
+        .select(col(key) +: payload.map { p =>
+          when(col("__op") === "U", col(s"__c_$p")).otherwise(col(p)).as(p)
+        }: _*)
+      // pass 2: inserts = upserted keys absent from the target. The
+      // matched-key set is found by probing the target's KEY COLUMN with
+      // the same broadcast (narrow, column-pruned scan); it is bounded
+      // by the batch size, so the final anti-join is small × small
+      val matched = target.select(col(key))
+        .join(lb.select(col(key)), Seq(key))
+      val inserts = latest.filter(col("__op") === "U")
+        .join(broadcast(matched), Seq(key), "left_anti")
+        .select(col(key) +: payload.map(p => col(s"__c_$p").as(p)): _*)
+      merged.unionByName(inserts)
+    } else {
+      target.join(latest, Seq(key), "full_outer")
+        .filter(col("__op").isNull || col("__op") === "U")
+        .select(col(key) +: payload.map { p =>
+          when(col("__op") === "U", col(s"__c_$p")).otherwise(col(p)).as(p)
+        }: _*)
+    }
   }
 
   /** Diff snapshot `b` against snapshot `a` on `key`, tracking `cols`:

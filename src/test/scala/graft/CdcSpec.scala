@@ -36,6 +36,26 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.applyChanges(target, changes, "k", "v").count() === 0L)
   }
 
+  test("applyChanges: broadcast and shuffle modes agree; broadcast never sorts-merges") {
+    import spark.implicits._
+    val target = (1L to 200L).map(k => (k, s"n$k", k * 1.0))
+      .toDF("k", "name", "price")
+    val changes = (1L to 200L).filter(_ % 5 == 0).map { k =>
+      (k, 1L, if (k % 3 == 0) "D" else "U", s"u$k", k * 2.0)
+    }.toDF("k", "v", "op", "name", "price") union
+      Seq((500L, 1L, "U", "fresh", 9.0)).toDF("k", "v", "op", "name", "price")
+    val bc = Cdc.applyChanges(target, changes, "k", "v")
+    val sh = Cdc.applyChanges(target, changes, "k", "v",
+      broadcastBatch = false)
+    assert(bc.orderBy("k").collect().toSeq ===
+      sh.orderBy("k").collect().toSeq)
+    // the 100 TB claim: the broadcast path never shuffles the target into
+    // a sort-merge join — every join is a broadcast hash probe
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("applyChanges rejects changes missing payload columns") {
     import spark.implicits._
     val target = Seq((1L, "a", 1.0)).toDF("k", "name", "price")
