@@ -461,6 +461,75 @@ object ScaleSmoke {
       timeSketch("sketch_1x", 1)
       timeSketch(s"sketch_${k}x", k)
     }
+
+    // Z-order layout: the claim is that the file-skip FRACTION for a
+    // second-dimension box predicate is scale-invariant — more data means
+    // more files, but a y-box still touches ~the same share of them under
+    // Z-order and ALL of them under a linear x-sort.
+    lazy val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    def liRep(times: Int): DataFrame =
+      liBase.withColumn("rr", explode(sequence(lit(0), lit(times - 1))))
+        .select((col("l_orderkey") * times + col("rr")).as("k"),
+          col("l_partkey").as("x"), col("l_suppkey").as("y"),
+          col("l_quantity").as("q"))
+    if (enabled("layout")) {
+      import graft.ops.Layout
+      def timeLayout(label: String, times: Int): Unit = {
+        val df = liRep(times)
+        val b = df.agg(min("x"), max("x"), min("y"), max("y"),
+          count(lit(1))).head
+        val (xlo, xhi, ylo, yhi) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val dir = java.nio.file.Files
+          .createTempDirectory("smoke_layout").toString
+        val nFiles = 64
+        val t0 = System.nanoTime()
+        Layout.writeZOrdered(df, Layout.quantize(col("x"), xlo, xhi, 8),
+          Layout.quantize(col("y"), ylo, yhi, 8), 8, s"$dir/z", nFiles)
+        val tz = (System.nanoTime() - t0) / 1e9
+        Layout.writeLinear(df, col("x"), s"$dir/lin", nFiles)
+        // y-only box: first eighth of the y domain
+        val box = Map("y" -> (ylo, ylo + (yhi - ylo + 1) / 8 - 1))
+        val zTouch = Layout.prunedFiles(
+          Layout.fileColumnStats(spark, s"$dir/z", Seq("x", "y")), box).size
+        val lTouch = Layout.prunedFiles(
+          Layout.fileColumnStats(spark, s"$dir/lin", Seq("x", "y")), box).size
+        println(f"""{"experiment":"$label","rows":${b.getLong(4)},""" +
+          f""""files":$nFiles,"z_touched":$zTouch,""" +
+          f""""linear_touched":$lTouch,"zwrite_sec":$tz%.2f}""")
+      }
+      timeLayout("layout_1x", 1)
+      timeLayout(s"layout_${k}x", k)
+    }
+
+    // CDC apply: with a FIXED batch, the broadcast-MERGE path's cost
+    // tracks the target scan (narrow) — the shuffle fallback pays a wide
+    // exchange of the whole target and falls behind as the target grows.
+    if (enabled("cdc")) {
+      import graft.ops.Cdc
+      def timeCdc(label: String, times: Int, bcast: Boolean,
+          silent: Boolean = false): Unit = {
+        val target = liRep(times)
+        // fixed-size batch: ~1/500 of the 1x keys, half deletes
+        val changes = liRep(1).filter(col("k") % 500 === 0)
+          .select(col("k"), lit(1L).as("v"),
+            when(col("k") % 1000 === 0, "D").otherwise("U").as("op"),
+            (col("x") + 1).as("x"), col("y"), (col("q") * 2).as("q"))
+        val t0 = System.nanoTime()
+        val out = Cdc.applyChanges(target, changes, "k", "v",
+          broadcastBatch = bcast).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (!silent)
+          println(f"""{"experiment":"$label","target_rows":${target.count()},""" +
+            f""""merged_rows":$out,"cdc_sec":$sec%.2f}""")
+      }
+      timeCdc("warmup", 1, bcast = true, silent = true)
+      timeCdc("cdc_broadcast_1x", 1, bcast = true)
+      timeCdc(s"cdc_broadcast_${k}x", k, bcast = true)
+      timeCdc(s"cdc_shuffle_${k}x", k, bcast = false)
+    }
     spark.stop()
   }
 }
