@@ -810,6 +810,53 @@ object OpsQueries {
           all.filter(col("doc_id") % 10 =!= 0),
           all.filter(col("doc_id") % 10 === 0))
         .orderBy("doc_a", "doc_b")
+    }),
+    // cohort retention: users cohorted by first-signup week, activity
+    // counted per (cohort, weeks-since) — two user-keyed aggregations
+    // and one join, no window
+    "q161_cohort_retention" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 604800000000").as("week"),
+        col("event_type"))
+      val cohorts = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      e.select(col("user_id"), col("week")).distinct()
+        .join(cohorts, "user_id")
+        .filter(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_k"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_k")
+    }),
+    // audience bitmaps: per-segment user bitsets as 62-bit words built by
+    // ONE bit_or aggregation; pairwise overlap = popcount of word-wise
+    // AND — segment state is |users|/62 rows however hot the segment
+    "q162_bitmap_segments" -> ((s, d) => {
+      val words = events(s, d)
+        .select(col("event_type").as("seg"),
+          expr("user_id div 62").as("w"),
+          expr("shiftleft(1L, cast(user_id % 62 as int))").as("bit"))
+        .groupBy("seg", "w")
+        .agg(expr("bit_or(bit)").as("bits"))
+      val a = words.select(col("seg").as("seg_a"), col("w"),
+        col("bits").as("ba"))
+      val b = words.select(col("seg").as("seg_b"), col("w"),
+        col("bits").as("bb"))
+      a.join(b, Seq("w")).filter(col("seg_a") < col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(sum(bit_count(col("ba").bitwiseAND(col("bb"))).cast("long"))
+          .as("n_common"))
+        .orderBy("seg_a", "seg_b")
+    }),
+    // fuzzy entity resolution: even-key parts resolve to their best
+    // odd-key candidate, blocked on the first name token
+    "q163_fuzzy_match" -> ((s, d) => {
+      val p = Tables(s, d, "part").select(col("p_partkey").as("key"),
+        col("p_name").as("name"),
+        split(col("p_name"), " ").getItem(0).as("block"))
+      Linkage.fuzzyResolve(p.filter(col("key") % 2 === 0),
+          p.filter(col("key") % 2 === 1), maxDist = 1)
+        .orderBy("left_key")
     }))
 
   /** Per-(process, sfDir) Z-ordered lineitem copy for q150 — written once,
@@ -3095,7 +3142,42 @@ object OpsQueries {
            count(*) AS n_shared
          FROM fc JOIN ok ON fc.sel_hash = ok.sel_hash
          JOIN fb ON fc.sel_hash = fb.sel_hash
-         GROUP BY 1, 2 ORDER BY doc_a, doc_b""")
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    "q161_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+           event_type FROM events),
+         cohorts AS (SELECT user_id, min(week) AS cohort_week FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, week FROM e)
+         SELECT cohort_week, week - cohort_week AS week_k,
+           count(DISTINCT act.user_id) AS n_users
+         FROM act JOIN cohorts ON act.user_id = cohorts.user_id
+         WHERE week >= cohort_week
+         GROUP BY 1, 2 ORDER BY cohort_week, week_k""",
+    "q162_bitmap_segments" ->
+      """WITH words AS (SELECT event_type AS seg, user_id // 62 AS w,
+           bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bits
+           FROM events GROUP BY 1, 2)
+         SELECT a.seg AS seg_a, b.seg AS seg_b,
+           CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_common
+         FROM words a JOIN words b ON a.w = b.w AND a.seg < b.seg
+         GROUP BY 1, 2 ORDER BY seg_a, seg_b""",
+    "q163_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey AS key, p_name AS name,
+           split_part(p_name, ' ', 1) AS block FROM part),
+         l AS (SELECT * FROM p WHERE key % 2 = 0),
+         r AS (SELECT * FROM p WHERE key % 2 = 1),
+         ok AS (SELECT block FROM r GROUP BY block
+           HAVING count(*) <= 1024),
+         cand AS (SELECT l.key AS left_key, r.key AS cand_key,
+           levenshtein(l.name, r.name) AS dist
+           FROM l JOIN ok ON l.block = ok.block
+           JOIN r ON l.block = r.block
+           WHERE levenshtein(l.name, r.name) <= 1)
+         SELECT left_key, cand_key AS match_key, dist FROM (
+           SELECT *, row_number() OVER (PARTITION BY left_key
+             ORDER BY dist, cand_key) AS rn FROM cand)
+         WHERE rn = 1 ORDER BY left_key""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157
