@@ -83,10 +83,30 @@ object ManifestCommit {
       name.substring(1, name.length - ManifestSuffix.length).toLongOption
     else None
 
-  /** Parsed manifest: live names and (removedAtMs, name) tombstones;
-    * None if torn/invalid (possible only on filesystems without atomic
-    * object PUT). */
-  private def parse(fs: FileSystem, p: Path): Option[(Seq[String], Seq[(Long, String)])] = {
+  /** Per-file INT64 column stats carried in the manifest: the commit-time
+    * min/max a pruning reader consults INSTEAD of sweeping parquet
+    * footers — at 100 TB the footer sweep is millions of GETs, the
+    * manifest line is free. Encoded after the file name, tab-separated
+    * (`A <name>\tcol:min:max...`) — data-file names never contain tabs,
+    * and a stats-free `A <name>` line stays valid, so v1 manifests and
+    * stats-free writers interoperate unchanged. */
+  final case class ColStat(col: String, min: Long, max: Long)
+
+  private def statToken(s: ColStat) = s"${s.col}:${s.min}:${s.max}"
+
+  private def statOf(tok: String): Option[ColStat] =
+    tok.split(":") match {
+      case Array(c, mn, mx) =>
+        for (a <- mn.toLongOption; b <- mx.toLongOption)
+          yield ColStat(c, a, b)
+      case _ => None
+    }
+
+  /** Parsed manifest: live (name, stats) entries and (removedAtMs, name)
+    * tombstones; None if torn/invalid (possible only on filesystems
+    * without atomic object PUT). */
+  private def parse(fs: FileSystem,
+      p: Path): Option[(Seq[(String, Seq[ColStat])], Seq[(Long, String)])] = {
     val in =
       try fs.open(p)
       catch { case _: java.io.FileNotFoundException => return None }
@@ -95,7 +115,10 @@ object ManifestCommit {
       finally in.close()
     lines.headOption.filter(_.startsWith(Header)).flatMap { h =>
       val counts = h.stripPrefix(Header).trim.split("\\s+")
-      val live = lines.tail.filter(_.startsWith("A ")).map(_.substring(2))
+      val live = lines.tail.filter(_.startsWith("A ")).map { l =>
+        val fields = l.substring(2).split("\t")
+        (fields.head, fields.tail.toSeq.flatMap(statOf))
+      }
       val removed = lines.tail.filter(_.startsWith("R ")).flatMap { l =>
         l.substring(2).split(" ", 2) match {
           case Array(ts, n) => ts.toLongOption.map(_ -> n)
@@ -124,18 +147,36 @@ object ManifestCommit {
     listVersions(fs, partition).sorted(Ordering[Long].reverse)
       .iterator
       .flatMap(v => parse(fs, manifestPath(partition, v))
-        .map(p => Snapshot(v, p._1)))
+        .map(p => Snapshot(v, p._1.map(_._1))))
       .nextOption()
+
+  /** The current committed per-file column stats of one partition
+    * (files committed without stats map to Nil — a pruning reader must
+    * keep them). */
+  def currentFileStats(fs: FileSystem,
+      partition: Path): Map[String, Seq[ColStat]] =
+    listVersions(fs, partition).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => parse(fs, manifestPath(partition, v)))
+      .nextOption()
+      .map(_._1.toMap)
+      .getOrElse(Map.empty)
 
   /** Put-if-absent of manifest `version`. False = lost the race (a valid
     * manifest already owns the slot). A torn manifest in the slot (HDFS
     * crash) is reclaimed: deleted and overwritten by this committer. */
   def tryCommit(fs: FileSystem, partition: Path, version: Long,
-      live: Seq[String], removed: Seq[(Long, String)] = Nil): Boolean = {
+      live: Seq[String], removed: Seq[(Long, String)] = Nil,
+      stats: Map[String, Seq[ColStat]] = Map.empty): Boolean = {
     val p = manifestPath(partition, version)
     fs.mkdirs(logDir(partition))
+    def liveLine(n: String) = {
+      val s = stats.getOrElse(n, Nil)
+      if (s.isEmpty) s"A $n"
+      else s"A $n\t${s.map(statToken).mkString("\t")}"
+    }
     val body = (s"$Header ${live.size} ${removed.size}" +:
-      (live.map("A " + _) ++ removed.map { case (ts, n) => s"R $ts $n" }))
+      (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" }))
       .mkString("\n")
     def createExclusive(): Boolean =
       try {
@@ -178,13 +219,18 @@ object ManifestCommit {
     * equivalent of a directory append becoming visible). Optimistic:
     * re-reads and retries on commit conflict. */
   def appendFiles(fs: FileSystem, partition: Path, names: Seq[String],
-      maxAttempts: Int = 50): Snapshot = {
+      maxAttempts: Int = 50,
+      stats: Map[String, Seq[ColStat]] = Map.empty): Snapshot = {
     require(names.forall(isDataFile), s"not data-file names: $names")
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
       val live = snap.files ++ names.filterNot(snap.files.contains)
-      if (tryCommit(fs, partition, snap.version + 1, live))
+      // surviving files KEEP their committed stats; fresh names take the
+      // caller's (absent stats = conservative never-pruned)
+      val merged = currentFileStats(fs, partition) ++ stats
+      if (tryCommit(fs, partition, snap.version + 1, live, Nil,
+          merged.filter { case (n, s) => live.contains(n) && s.nonEmpty }))
         return Snapshot(snap.version + 1, live)
       attempt += 1
     }
@@ -206,7 +252,11 @@ object ManifestCommit {
       if (!consumed.subsetOf(snap.files.toSet)) return None
       val live = snap.files.filterNot(consumed) ++ produced
       val tombstones = consumed.toSeq.sorted.map(nowMs -> _)
-      if (tryCommit(fs, partition, snap.version + 1, live, tombstones))
+      // consumed files' stats die with them; survivors keep theirs (the
+      // compactor may commit fresh stats for `produced` via appendFiles)
+      val stats = (currentFileStats(fs, partition) -- consumed)
+        .filter { case (n, s) => live.contains(n) && s.nonEmpty }
+      if (tryCommit(fs, partition, snap.version + 1, live, tombstones, stats))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }
@@ -233,7 +283,8 @@ object ManifestCommit {
     if (versions.isEmpty || !fs.exists(partition)) return Nil
     val parsed = versions.flatMap(v => parse(fs, manifestPath(partition, v)))
     val live = currentSnapshot(fs, partition).map(_.files.toSet).getOrElse(Set.empty)
-    val referenced = parsed.flatMap(_._1).toSet ++ parsed.flatMap(_._2.map(_._2))
+    val referenced = parsed.flatMap(_._1.map(_._1)).toSet ++
+      parsed.flatMap(_._2.map(_._2))
     val expired = parsed.flatMap(_._2)
       .filter { case (ts, n) => nowMs - ts >= graceMs && !live.contains(n) }
       .map(_._2).toSet
@@ -309,5 +360,61 @@ object ManifestCommit {
       .option("basePath", tableRoot)
       .option("mergeSchema", mergeSchema.toString)
       .parquet(files: _*)
+  }
+
+  /** Record commit-time column stats for already-committed files by
+    * reading THEIR footers once (the writer just produced them — the
+    * footers are hot) and re-committing the manifest with the stats
+    * attached. At 100 TB this runs per ingest/compaction batch over the
+    * batch's files only; readers then never touch a footer to prune. */
+  def recordStats(spark: SparkSession, partition: Path,
+      cols: Seq[String]): Snapshot = {
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    val stats = graft.ops.Layout
+      .fileColumnStats(spark, partition.toString, cols)
+      .groupBy(_._1)
+      .map { case (n, ss) =>
+        n -> ss.map { case (_, c, mn, mx) => ColStat(c, mn, mx) }.toSeq }
+    // appendFiles with no new names = a stats-only recommit
+    appendFiles(fs, partition, Nil, stats =
+      stats.filter { case (n, _) => snap.files.contains(n) })
+  }
+
+  /** Manifest-resolved read of ONLY the files whose committed stats can
+    * satisfy `ranges` (inclusive [lo, hi] per column): the file-skipping
+    * scan a lake format plans from its manifest. Files without stats for
+    * a ranged column are kept (conservative). The caller still applies
+    * the row-level filter — pruning is a superset guarantee, exactly as
+    * in Delta/Iceberg. */
+  def readTableWhere(spark: SparkSession, tableRoot: String,
+      ranges: Map[String, (Long, Long)],
+      mergeSchema: Boolean = false): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an unpartitioned table IS its own leaf (leafPartitions only walks
+    // year=/month=/day= trees)
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    val files = parts.flatMap { dir =>
+      val stats = currentFileStats(fs, dir)
+      currentSnapshot(fs, dir) match {
+        case Some(snap) =>
+          snap.files.filter { n =>
+            ranges.forall { case (c, (lo, hi)) =>
+              stats.getOrElse(n, Nil).find(_.col == c)
+                .forall(s => s.max >= lo && s.min <= hi)
+            }
+          }.map(new Path(dir, _))
+        case None => liveFiles(fs, dir)
+      }
+    }
+    require(files.nonEmpty, s"no live files under $tableRoot match $ranges")
+    spark.read
+      .option("basePath", tableRoot)
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(_.toString): _*)
   }
 }

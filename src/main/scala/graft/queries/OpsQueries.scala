@@ -857,6 +857,21 @@ object OpsQueries {
       Linkage.fuzzyResolve(p.filter(col("key") % 2 === 0),
           p.filter(col("key") % 2 === 1), maxDist = 1)
         .orderBy("left_key")
+    }),
+    // the full lake-format skipping path: the z-ordered lake committed
+    // through the manifest WITH per-file column stats; the read resolves
+    // the manifest, prunes files by the recorded min/max (zero footer
+    // reads), and the row filter finishes the job — same oracle rows as
+    // q150, arrived at through manifest pruning instead of a full scan
+    "q164_manifest_pruned_scan" -> ((s, d) => {
+      val z = ensureZLake(s, d)
+      val (plo, phi) = boxRange(z.pmin, z.pmax)
+      val (slo, shi) = boxRange(z.smin, z.smax)
+      graft.lake.ManifestCommit.readTableWhere(s, z.path,
+          Map("l_partkey" -> (plo, phi), "l_suppkey" -> (slo, shi)))
+        .filter(col("l_partkey").between(plo, phi) &&
+          col("l_suppkey").between(slo, shi))
+        .orderBy("l_orderkey", "l_linenumber")
     }))
 
   /** Per-(process, sfDir) Z-ordered lineitem copy for q150 — written once,
@@ -882,6 +897,13 @@ object OpsQueries {
         Layout.quantize(col("l_partkey"), z.pmin, z.pmax, 8),
         Layout.quantize(col("l_suppkey"), z.smin, z.smax, 8),
         8, z.path, 16)
+      // manifest-commit the layout with per-file stats so q164 can plan
+      // the pruned scan without touching a footer
+      val dir = new org.apache.hadoop.fs.Path(z.path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.lake.ManifestCommit.bootstrap(fs, dir)
+      graft.lake.ManifestCommit.recordStats(s, dir,
+        Seq("l_partkey", "l_suppkey"))
       z
     })
 
@@ -3177,7 +3199,19 @@ object OpsQueries {
          SELECT left_key, cand_key AS match_key, dist FROM (
            SELECT *, row_number() OVER (PARTITION BY left_key
              ORDER BY dist, cand_key) AS rn FROM cand)
-         WHERE rn = 1 ORDER BY left_key""")
+         WHERE rn = 1 ORDER BY left_key""",
+    // same relation as q150 — the manifest-pruned path must agree with
+    // the straight box filter
+    "q164_manifest_pruned_scan" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+           min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_partkey BETWEEN pmin + (pmax - pmin) // 4
+             AND pmin + (pmax - pmin) // 2
+           AND l_suppkey BETWEEN smin + (smax - smin) // 4
+             AND smin + (smax - smin) // 2
+         ORDER BY l_orderkey, l_linenumber""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157

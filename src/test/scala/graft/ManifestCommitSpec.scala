@@ -198,4 +198,44 @@ class ManifestCommitSpec extends SparkSpec {
       "plain append must join the live set")
     assert(ManifestCommit.readTable(spark, root).count() == plain.size + 5)
   }
+
+  test("manifest column stats: pruned read touches only intersecting files, stats survive commits") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-stats").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    // 16 range-ordered files on x — each file covers a narrow x band
+    val df = spark.range(16000).select($"id".as("k"),
+      ($"id" % 1600).as("x"), ($"id" % 37).as("v"))
+    Layout.writeLinear(df, col("x"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    val snap = ManifestCommit.bootstrap(fs, dir)
+    assert(snap.files.size == 16)
+    // commit-time stats from the just-written footers
+    ManifestCommit.recordStats(spark, dir, Seq("x", "v"))
+    val stats = ManifestCommit.currentFileStats(fs, dir)
+    assert(stats.size == 16 && stats.values.forall(_.exists(_.col == "x")))
+    // pruned read: a narrow x range must touch few files...
+    val pruned = ManifestCommit.readTableWhere(spark, root,
+      Map("x" -> (0L, 99L)))
+    val prunedFiles = pruned.inputFiles.length
+    assert(prunedFiles <= 3, s"expected <= 3 files, scanned $prunedFiles")
+    // ...and still return exactly the predicate's rows
+    assert(pruned.filter($"x" <= 99).count() ==
+      df.filter($"x" <= 99).count())
+    // a range on the UNSORTED column prunes nothing (every file spans v)
+    assert(ManifestCommit.readTableWhere(spark, root,
+      Map("v" -> (0L, 1L))).inputFiles.length == 16)
+    // stats survive an append commit of a fresh file
+    spark.range(5).select($"id".as("k"), lit(9999L).as("x"),
+      lit(0L).as("v")).coalesce(1).write.mode("append").parquet(root)
+    ManifestCommit.adoptNewFiles(fs, dir)
+    val after = ManifestCommit.currentFileStats(fs, dir)
+    assert(stats.forall { case (n, s) => after.get(n).contains(s) },
+      "pre-existing stats must survive the append commit")
+    // the fresh file has no stats -> conservatively read by any range
+    assert(ManifestCommit.readTableWhere(spark, root,
+      Map("x" -> (0L, 99L))).inputFiles.length <= 4)
+  }
 }
