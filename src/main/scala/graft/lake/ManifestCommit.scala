@@ -326,8 +326,14 @@ object ManifestCommit {
     * Missing listed files fail loudly — a manifest naming an absent file
     * means GC ran with too short a grace, and silently dropping rows is
     * the one unacceptable outcome. */
-  def liveFiles(fs: FileSystem, tableRoot: Path): Seq[Path] =
-    Compaction.leafPartitions(fs, tableRoot).flatMap { dir =>
+  def liveFiles(fs: FileSystem, tableRoot: Path): Seq[Path] = {
+    // an unpartitioned table is its own leaf (leafPartitions only
+    // recognizes year=/month=/day= trees)
+    val parts = Compaction.leafPartitions(fs, tableRoot) match {
+      case Seq() => Seq(tableRoot)
+      case ps    => ps
+    }
+    parts.flatMap { dir =>
       currentSnapshot(fs, dir) match {
         case Some(snap) =>
           snap.files.map { n =>
@@ -344,6 +350,7 @@ object ManifestCommit {
           else Nil
       }
     }
+  }
 
   /** Manifest-resolved parquet read of a whole partitioned table:
     * `basePath` keeps the year/month/day partition columns (and their
@@ -379,6 +386,74 @@ object ManifestCommit {
     // appendFiles with no new names = a stats-only recommit
     appendFiles(fs, partition, Nil, stats =
       stats.filter { case (n, _) => snap.files.contains(n) })
+  }
+
+  /** The committed snapshot at an EXPLICIT version (None if that version
+    * was never validly committed) — time travel's resolver. */
+  def snapshotAt(fs: FileSystem, partition: Path,
+      version: Long): Option[Snapshot] =
+    parse(fs, manifestPath(partition, version))
+      .map(p => Snapshot(version, p._1.map(_._1)))
+
+  /** Time travel: read one partition (or unpartitioned table dir) at a
+    * past committed version. Works until [[gc]] collects the version's
+    * tombstoned files — the gc grace is exactly the time-travel horizon,
+    * the same trade Delta's VACUUM makes. */
+  def readTableAt(spark: SparkSession, tableRoot: String,
+      version: Long): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = snapshotAt(fs, root, version).getOrElse(
+      sys.error(s"no committed version $version under $tableRoot"))
+    require(snap.files.nonEmpty, s"version $version is empty")
+    spark.read.option("basePath", tableRoot)
+      .parquet(snap.files.map(new Path(root, _).toString): _*)
+  }
+
+  /** Targeted delete (the GDPR / right-to-be-forgotten rewrite): remove
+    * every row with `keyCol` in [lo, hi] by rewriting ONLY the files
+    * whose committed stats intersect the range — at 100 TB with a
+    * clustered key this touches a handful of files, not the table. The
+    * rewrite commits atomically through [[replaceFiles]] (readers see
+    * all-old or all-new), rewritten files re-enter with fresh stats, and
+    * untouched files are never opened. Returns (touched, liveAfter)
+    * file counts. Files without stats on `keyCol` are conservatively
+    * rewritten. */
+  def deleteRange(spark: SparkSession, partition: Path, keyCol: String,
+      lo: Long, hi: Long, statsCols: Seq[String]): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    val stats = currentFileStats(fs, partition)
+    val touched = snap.files.filter { n =>
+      stats.getOrElse(n, Nil).find(_.col == keyCol)
+        .forall(s => s.max >= lo && s.min <= hi)
+    }
+    if (touched.isEmpty) return (0, snap.files.size)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staged = new Path(partition, s"._deleting-$runId")
+    spark.read.parquet(touched.map(new Path(partition, _).toString): _*)
+      .filter(!col(keyCol).between(lo, hi))
+      .write.parquet(staged.toString)
+    val produced = fs.listStatus(staged).toIndexedSeq
+      .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        // CompactedPrefix keeps a crashed run's orphans GC-able
+        val name = s"${CompactedPrefix}del-$runId-part$i.parquet"
+        require(fs.rename(st.getPath, new Path(partition, name)),
+          s"deleteRange: cannot move ${st.getPath} into $partition")
+        name
+      }
+    fs.delete(staged, true)
+    replaceFiles(fs, partition, touched.toSet, produced) match {
+      case Some(next) =>
+        recordStats(spark, partition, statsCols)
+        (touched.size, next.files.size)
+      case None =>
+        produced.foreach(n => fs.delete(new Path(partition, n), false))
+        sys.error(s"deleteRange: concurrent rewrite of $partition — retry")
+    }
   }
 
   /** Manifest-resolved read of ONLY the files whose committed stats can

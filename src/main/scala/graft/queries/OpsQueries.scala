@@ -872,6 +872,21 @@ object OpsQueries {
         .filter(col("l_partkey").between(plo, phi) &&
           col("l_suppkey").between(slo, shi))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // GDPR targeted delete: the key range is rewritten out of ONLY the
+    // stats-intersecting files; the manifest read sees the post-delete
+    // table, bit-equal to the logical anti-filter
+    "q165_targeted_delete" -> ((s, d) => {
+      val dl = ensureDelLake(s, d)
+      graft.lake.ManifestCommit.readTable(s, dl.path)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // time travel: the pre-delete version is still fully readable until
+    // GC's grace expires — the manifest log IS the history
+    "q166_time_travel" -> ((s, d) => {
+      val dl = ensureDelLake(s, d)
+      graft.lake.ManifestCommit.readTableAt(s, dl.path, dl.preVersion)
+        .orderBy("l_orderkey", "l_linenumber")
     }))
 
   /** Per-(process, sfDir) Z-ordered lineitem copy for q150 — written once,
@@ -911,6 +926,40 @@ object OpsQueries {
     * integer arithmetic mirrored verbatim in the oracle SQL. */
   private def boxRange(lo: Long, hi: Long): (Long, Long) =
     (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+
+  /** Per-(process, sfDir) delete/time-travel lake for q165/q166: lineitem
+    * range-ordered on l_orderkey, manifest-committed with stats, then the
+    * second-quarter key range deleted through the stats-pruned rewrite.
+    * `preVersion` is the committed version BEFORE the delete — q166's
+    * time-travel target. */
+  private[queries] final case class DelLake(path: String, lo: Long,
+    hi: Long, preVersion: Long)
+
+  private val delLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, DelLake]()
+
+  private def ensureDelLake(s: SparkSession, d: String): DelLake =
+    delLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (dlo, dhi) = boxRange(klo, khi)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dellake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(li, col("l_orderkey"), path, 16)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      val pre = ManifestCommit.recordStats(s, dir, Seq("l_orderkey")).version
+      val (touched, _) = ManifestCommit.deleteRange(s, dir, "l_orderkey",
+        dlo, dhi, Seq("l_orderkey"))
+      require(touched > 0 && touched < 16,
+        s"targeted delete should rewrite a strict subset, rewrote $touched")
+      DelLake(path, dlo, dhi, pre)
+    })
 
   private val tokH = TextKit.ducksql.md5Long("t")
 
@@ -3211,7 +3260,18 @@ object OpsQueries {
              AND pmin + (pmax - pmin) // 2
            AND l_suppkey BETWEEN smin + (smax - smin) // 4
              AND smin + (smax - smin) // 2
-         ORDER BY l_orderkey, l_linenumber""")
+         ORDER BY l_orderkey, l_linenumber""",
+    "q165_targeted_delete" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+           AND klo + (khi - klo) // 2
+         ORDER BY l_orderkey, l_linenumber""",
+    "q166_time_travel" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157

@@ -238,4 +238,45 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.readTableWhere(spark, root,
       Map("x" -> (0L, 99L))).inputFiles.length <= 4)
   }
+
+  test("targeted delete rewrites only stats-intersecting files; time travel sees pre-delete") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-del").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df = spark.range(16000).select($"id".as("k"), ($"id" % 37).as("v"))
+    Layout.writeLinear(df, col("k"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    val pre = ManifestCommit.recordStats(spark, dir, Seq("k"))
+    // delete k in [1000, 1999]: k-ordered 16-file layout -> ~2 files
+    val (touched, liveAfter) =
+      ManifestCommit.deleteRange(spark, dir, "k", 1000L, 1999L, Seq("k"))
+    assert(touched >= 1 && touched <= 3,
+      s"delete should touch a handful of files, touched $touched")
+    val now = ManifestCommit.currentSnapshot(fs, dir).get
+    assert(now.files.size == liveAfter)
+    // untouched originals keep their exact file names
+    val untouchedKept = pre.files.count(now.files.contains)
+    assert(untouchedKept == pre.files.size - touched)
+    // content: exactly the anti-range remains
+    val got = ManifestCommit.readTable(spark, root)
+    assert(got.filter($"k".between(1000, 1999)).count() == 0L)
+    assert(got.count() == 15000L)
+    // rewritten files re-entered WITH stats (prunable again)
+    val pruned = ManifestCommit.readTableWhere(spark, root,
+      Map("k" -> (0L, 10L)))
+    assert(pruned.inputFiles.length <= 3)
+    // time travel: the pre-delete version still serves all 16000 rows
+    assert(ManifestCommit.readTableAt(spark, root, pre.version)
+      .count() == 16000L)
+    // after GC (grace 0), the pre-delete version's files are collected
+    ManifestCommit.gc(fs, dir, graceMs = 0L)
+    intercept[Exception] {
+      ManifestCommit.readTableAt(spark, root, pre.version).count()
+    }
+    // but the current version is untouched by GC
+    assert(ManifestCommit.readTable(spark, root).count() == 15000L)
+  }
 }
