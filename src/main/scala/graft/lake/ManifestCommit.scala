@@ -102,6 +102,64 @@ object ManifestCommit {
       case _ => None
     }
 
+  /** Per-file per-column Bloom filter carried in the manifest (`F
+    * <name>\t<col>:<bits>:<hashes>:<hexwords>` lines): equality
+    * skipping for columns the layout does NOT cluster — min/max stats
+    * are useless on an unsorted column (every file spans the domain),
+    * but a 1-KiB bloom per file answers `col = v` probes with ~1% false
+    * positives. The F lines are ignored by the live-set parser and by
+    * v1 readers; the header's live/removed counts stay valid. */
+  final case class ColBloom(col: String, bits: Int, hashes: Int,
+      words: Array[Long]) {
+    def mightContain(value: Long): Boolean = {
+      val h1 = graft.ops.Bloom.md5Long60(value.toString)
+      val h2 = graft.ops.Bloom.md5Long60("1" + value.toString)
+      (0 until hashes).forall { i =>
+        val p = Math.floorMod(h1 + i.toLong * h2, bits.toLong).toInt
+        (words(p >>> 6) >>> (p & 63) & 1L) == 1L
+      }
+    }
+  }
+
+  private def bloomToken(b: ColBloom): String =
+    s"${b.col}:${b.bits}:${b.hashes}:" +
+      b.words.map(w => f"$w%016x").mkString
+
+  private def bloomOf(tok: String): Option[ColBloom] =
+    tok.split(":") match {
+      case Array(c, bits, hashes, hex)
+          if bits.toIntOption.isDefined && hashes.toIntOption.isDefined &&
+            hex.length == bits.toInt / 4 =>
+        val words = hex.grouped(16)
+          .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+        Some(ColBloom(c, bits.toInt, hashes.toInt, words))
+      case _ => None
+    }
+
+  private def parseBlooms(fs: FileSystem,
+      p: Path): Map[String, Seq[ColBloom]] = {
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return Map.empty }
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toIndexedSeq
+      finally in.close()
+    lines.filter(_.startsWith("F ")).map { l =>
+      val fields = l.substring(2).split("\t")
+      (fields.head, fields.tail.toSeq.flatMap(bloomOf))
+    }.toMap
+  }
+
+  /** Current committed per-file blooms of one partition. */
+  def currentFileBlooms(fs: FileSystem,
+      partition: Path): Map[String, Seq[ColBloom]] =
+    listVersions(fs, partition).sorted(Ordering[Long].reverse)
+      .iterator
+      .filter(v => parse(fs, manifestPath(partition, v)).isDefined)
+      .map(v => parseBlooms(fs, manifestPath(partition, v)))
+      .nextOption()
+      .getOrElse(Map.empty)
+
   /** Parsed manifest: live (name, stats) entries and (removedAtMs, name)
     * tombstones; None if torn/invalid (possible only on filesystems
     * without atomic object PUT). */
@@ -167,7 +225,8 @@ object ManifestCommit {
     * crash) is reclaimed: deleted and overwritten by this committer. */
   def tryCommit(fs: FileSystem, partition: Path, version: Long,
       live: Seq[String], removed: Seq[(Long, String)] = Nil,
-      stats: Map[String, Seq[ColStat]] = Map.empty): Boolean = {
+      stats: Map[String, Seq[ColStat]] = Map.empty,
+      blooms: Map[String, Seq[ColBloom]] = Map.empty): Boolean = {
     val p = manifestPath(partition, version)
     fs.mkdirs(logDir(partition))
     def liveLine(n: String) = {
@@ -175,8 +234,14 @@ object ManifestCommit {
       if (s.isEmpty) s"A $n"
       else s"A $n\t${s.map(statToken).mkString("\t")}"
     }
+    val bloomLines = live.flatMap { n =>
+      val bs = blooms.getOrElse(n, Nil)
+      if (bs.isEmpty) None
+      else Some(s"F $n\t${bs.map(bloomToken).mkString("\t")}")
+    }
     val body = (s"$Header ${live.size} ${removed.size}" +:
-      (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" }))
+      (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
+        bloomLines))
       .mkString("\n")
     def createExclusive(): Boolean =
       try {
@@ -220,17 +285,20 @@ object ManifestCommit {
     * re-reads and retries on commit conflict. */
   def appendFiles(fs: FileSystem, partition: Path, names: Seq[String],
       maxAttempts: Int = 50,
-      stats: Map[String, Seq[ColStat]] = Map.empty): Snapshot = {
+      stats: Map[String, Seq[ColStat]] = Map.empty,
+      blooms: Map[String, Seq[ColBloom]] = Map.empty): Snapshot = {
     require(names.forall(isDataFile), s"not data-file names: $names")
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
       val live = snap.files ++ names.filterNot(snap.files.contains)
-      // surviving files KEEP their committed stats; fresh names take the
-      // caller's (absent stats = conservative never-pruned)
+      // surviving files KEEP their committed stats/blooms; fresh names
+      // take the caller's (absent = conservative never-pruned)
       val merged = currentFileStats(fs, partition) ++ stats
+      val mergedB = currentFileBlooms(fs, partition) ++ blooms
       if (tryCommit(fs, partition, snap.version + 1, live, Nil,
-          merged.filter { case (n, s) => live.contains(n) && s.nonEmpty }))
+          merged.filter { case (n, s) => live.contains(n) && s.nonEmpty },
+          mergedB.filter { case (n, b) => live.contains(n) && b.nonEmpty }))
         return Snapshot(snap.version + 1, live)
       attempt += 1
     }
@@ -252,11 +320,14 @@ object ManifestCommit {
       if (!consumed.subsetOf(snap.files.toSet)) return None
       val live = snap.files.filterNot(consumed) ++ produced
       val tombstones = consumed.toSeq.sorted.map(nowMs -> _)
-      // consumed files' stats die with them; survivors keep theirs (the
-      // compactor may commit fresh stats for `produced` via appendFiles)
+      // consumed files' stats/blooms die with them; survivors keep
+      // theirs (the compactor may commit fresh ones via appendFiles)
       val stats = (currentFileStats(fs, partition) -- consumed)
         .filter { case (n, s) => live.contains(n) && s.nonEmpty }
-      if (tryCommit(fs, partition, snap.version + 1, live, tombstones, stats))
+      val blooms = (currentFileBlooms(fs, partition) -- consumed)
+        .filter { case (n, b) => live.contains(n) && b.nonEmpty }
+      if (tryCommit(fs, partition, snap.version + 1, live, tombstones,
+          stats, blooms))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }
@@ -454,6 +525,67 @@ object ManifestCommit {
         produced.foreach(n => fs.delete(new Path(partition, n), false))
         sys.error(s"deleteRange: concurrent rewrite of $partition — retry")
     }
+  }
+
+  /** Record per-file Bloom filters for `column` (a BIGINT column) by one
+    * distributed pass over the live files — the equality-skipping
+    * complement to [[recordStats]] for columns the layout does not
+    * cluster. Filter state is bits/8 bytes per file in the manifest
+    * (1 KiB at the 8192-bit default); the build is one
+    * input_file_name-keyed aggregation, map-side combinable. */
+  def recordBlooms(spark: SparkSession, partition: Path, column: String,
+      numBits: Int = 8192, numHashes: Int = 4): Snapshot = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    val paths = snap.files.map(new Path(partition, _).toString)
+    val perFile = spark.read.parquet(paths: _*)
+      .select(input_file_name().as("f"),
+        col(column).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.ops.BloomAgg(numBits, numHashes).toColumn.name("w"))
+      .collect()
+    val blooms = perFile.map { case (f, words) =>
+      new Path(f).getName ->
+        Seq(ColBloom(column, numBits, numHashes, words))
+    }.toMap
+    appendFiles(fs, partition, Nil,
+      blooms = blooms.filter { case (n, _) => snap.files.contains(n) })
+  }
+
+  /** Manifest-resolved read of ONLY the files whose committed Bloom
+    * filter might contain `column = value` — equality skipping on an
+    * unclustered column. Files without a bloom for the column are kept
+    * (conservative); false positives only cost a scanned file, never a
+    * wrong answer. The caller still applies the row filter. */
+  def readTableEq(spark: SparkSession, tableRoot: String, column: String,
+      value: Long): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    val files = parts.flatMap { dir =>
+      val blooms = currentFileBlooms(fs, dir)
+      currentSnapshot(fs, dir) match {
+        case Some(snap) =>
+          snap.files.filter { n =>
+            blooms.getOrElse(n, Nil).find(_.col == column)
+              .forall(_.mightContain(value))
+          }.map(new Path(dir, _))
+        case None => liveFiles(fs, dir)
+      }
+    }
+    // every bloom rejecting the value is a definitive (and free) empty
+    // answer — surface it as an empty frame with the table's schema
+    if (files.isEmpty) readTable(spark, tableRoot).limit(0)
+    else spark.read.option("basePath", tableRoot)
+      .parquet(files.map(_.toString): _*)
   }
 
   /** Manifest-resolved read of ONLY the files whose committed stats can

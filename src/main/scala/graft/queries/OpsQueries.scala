@@ -887,6 +887,22 @@ object OpsQueries {
       val dl = ensureDelLake(s, d)
       graft.lake.ManifestCommit.readTableAt(s, dl.path, dl.preVersion)
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // bloom-index point lookup on the UNCLUSTERED key of the z-ordered
+    // lake: manifest blooms answer `l_orderkey = v` touching only the
+    // files that might contain it (min/max can't help — z-order
+    // scattered the key)
+    "q168_bloom_lookup" -> ((s, d) => {
+      val z = ensureZLake(s, d)
+      val probe = Tables(s, d, "lineitem")
+        .agg(min("l_orderkey"), max("l_orderkey")).head
+      val (klo, khi) = (probe.getLong(0), probe.getLong(1))
+      val v = Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") >= klo + (khi - klo) / 3)
+        .agg(min("l_orderkey")).head.getLong(0)
+      graft.lake.ManifestCommit.readTableEq(s, z.path, "l_orderkey", v)
+        .filter(col("l_orderkey") === v)
+        .orderBy("l_orderkey", "l_linenumber")
     }))
 
   /** Per-(process, sfDir) Z-ordered lineitem copy for q150 — written once,
@@ -919,6 +935,9 @@ object OpsQueries {
       graft.lake.ManifestCommit.bootstrap(fs, dir)
       graft.lake.ManifestCommit.recordStats(s, dir,
         Seq("l_partkey", "l_suppkey"))
+      // bloom on the UNCLUSTERED key: min/max stats are useless for
+      // l_orderkey here (the z-order scatters it), the bloom is not
+      graft.lake.ManifestCommit.recordBlooms(s, dir, "l_orderkey")
       z
     })
 
@@ -3271,7 +3290,15 @@ object OpsQueries {
          ORDER BY l_orderkey, l_linenumber""",
     "q166_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q168_bloom_lookup" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem),
+         v AS (SELECT min(l_orderkey) AS pv FROM lineitem, b
+           WHERE l_orderkey >= klo + (khi - klo) // 3)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, v WHERE l_orderkey = pv
+         ORDER BY l_orderkey, l_linenumber""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157

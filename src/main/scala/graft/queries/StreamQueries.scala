@@ -57,7 +57,16 @@ object StreamQueries {
     // aggregation state (one struct per key), tombstones filtered
     // post-agg; equals the batch latest-per-key on a finite source
     "q158_stream_cdc" -> ((s, d) =>
-      StreamingOps.streamLatestValue(s, d)))
+      StreamingOps.streamLatestValue(s, d)),
+    // streaming ingest adopted into the manifest lake with stats; the
+    // manifest-resolved read equals the source table
+    "q167_stream_manifest" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_streammanifest_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      StreamingOps.streamIngestManifest(s, d, dir)
+        .orderBy("event_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     // batch twin of the watermarked stream-stream interval join
@@ -142,6 +151,9 @@ object StreamQueries {
              AS rn FROM e) WHERE rn = 1)
          SELECT user_id, ts_us, event_type AS last_type,
            value AS last_value
-         FROM l WHERE event_type != 'error' ORDER BY user_id"""
+         FROM l WHERE event_type != 'error' ORDER BY user_id""",
+    "q167_stream_manifest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         value FROM events ORDER BY event_id"""
   )
 }

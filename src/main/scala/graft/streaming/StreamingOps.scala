@@ -301,6 +301,37 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Streaming ingest INTO the manifest lake: the stream lands parquet
+    * through the file sink, then the batch-side commit protocol ADOPTS
+    * the new files and records their column stats — so a streaming
+    * pipeline feeds the same stats-pruned, time-travelable table the
+    * batch writers use. (The file sink's own `_spark_metadata` log stays
+    * authoritative for exactly-once within the stream; adoption folds
+    * its output into the manifest world without rewriting a byte.)
+    * Returns the manifest-resolved table. */
+  def streamIngestManifest(spark: SparkSession, sfDir: String,
+      tableDir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val (schema, tsMicros) = eventsStream(ss, sfDir)
+    ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_id"), tsMicros.as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", tableDir)
+      .option("checkpointLocation", s"$tableDir-checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.lake.ManifestCommit.adoptNewFiles(fs, dir)
+    graft.lake.ManifestCommit.recordStats(spark, dir,
+      Seq("event_id", "user_id"))
+    graft.lake.ManifestCommit.readTable(spark, tableDir)
+  }
+
   /** Streaming BPE token counting: the tokenizer trains ONCE on the
     * static corpus (batch side — [[graft.ops.Bpe.train]]), its merge
     * table LITERALIZES into a row-local expression chain

@@ -279,4 +279,38 @@ class ManifestCommitSpec extends SparkSpec {
     // but the current version is untouched by GC
     assert(ManifestCommit.readTable(spark, root).count() == 15000L)
   }
+
+  test("manifest blooms: equality skipping on an unclustered column") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-bloom").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    // cluster on x; k is scattered across all files (k = id, x = id%16
+    // means each x-file holds every 16th k — min/max on k spans nearly
+    // the whole domain in every file)
+    val df = spark.range(16000).select($"id".as("k"), ($"id" % 16).as("x"))
+    Layout.writeLinear(df, col("x"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    ManifestCommit.recordBlooms(spark, dir, "k")
+    // stats CANNOT prune a point probe on k...
+    assert(ManifestCommit.readTableWhere(spark, root,
+      Map("k" -> (777L, 777L))).inputFiles.length >= 14)
+    // ...the bloom can: k=777 lives in exactly one file; a false
+    // positive may add a couple more, never fewer
+    val eq = ManifestCommit.readTableEq(spark, root, "k", 777L)
+    assert(eq.inputFiles.length <= 3,
+      s"bloom should prune to ~1 file, got ${eq.inputFiles.length}")
+    assert(eq.filter($"k" === 777L).count() == 1L)
+    // an absent value answers empty, schema intact, possibly zero files
+    val none = ManifestCommit.readTableEq(spark, root, "k", 999999L)
+    assert(none.filter($"k" === 999999L).count() == 0L)
+    assert(none.columns.toSeq == Seq("k", "x"))
+    // blooms survive an unrelated recommit
+    ManifestCommit.recordStats(spark, dir, Seq("x"))
+    assert(ManifestCommit.readTableEq(spark, root, "k", 777L)
+      .inputFiles.length <= 3)
+  }
 }
