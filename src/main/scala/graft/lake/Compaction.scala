@@ -411,9 +411,16 @@ object Compaction {
     * replaceFiles retry loop (the commit is re-based on the appender's
     * version). `gcGraceMs` must exceed the longest reader scan; the
     * default keeps superseded files for 15 minutes. */
+  /** `sortCol`: preserve (or establish) a clustering during the rewrite —
+    * range-partition + sort the merged rows on that column instead of
+    * round-robin `repartition`, then re-record its min/max stats in the
+    * manifest, so a compaction never destroys the prunability a z-order
+    * or key-sorted layout paid a shuffle to create. Costs the same one
+    * wide exchange (range instead of round-robin). */
   def compactTableManifest(spark: SparkSession, tablePath: String,
       maxFiles: Int = 4, targetFileBytes: Long = 128L * 1024 * 1024,
-      gcGraceMs: Long = 15L * 60 * 1000): Seq[Report] = {
+      gcGraceMs: Long = 15L * 60 * 1000,
+      sortCol: Option[String] = None): Seq[Report] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     leafPartitions(fs, root).flatMap { dir =>
@@ -440,10 +447,15 @@ object Compaction {
         // files are invisible to manifest readers until the commit.
         val runId = java.util.UUID.randomUUID().toString.take(8)
         val staged = new Path(dir, s"._compacting-$runId")
-        spark.read.option("mergeSchema", "true")
+        val merged = spark.read.option("mergeSchema", "true")
           .parquet(paths.map(_.toString): _*)
-          .repartition(nOut)
-          .write.parquet(staged.toString)
+        val arranged = sortCol match {
+          case Some(c) =>
+            merged.repartitionByRange(nOut, org.apache.spark.sql.functions.col(c))
+              .sortWithinPartitions(c)
+          case None => merged.repartition(nOut)
+        }
+        arranged.write.parquet(staged.toString)
         val produced = fs.listStatus(staged).toIndexedSeq
           .filter(st => isDataFile(st.getPath) && st.getPath.getName.endsWith(".parquet"))
           .zipWithIndex.map { case (st, i) =>
@@ -457,6 +469,9 @@ object Compaction {
           ManifestCommit.replaceFiles(fs, dir, files.toSet, produced)
         committed match {
           case Some(next) =>
+            // a clustered rewrite re-earns its stats immediately — the
+            // whole point of sorting was manifest prunability
+            sortCol.foreach(c => ManifestCommit.recordStats(spark, dir, Seq(c)))
             ManifestCommit.gc(fs, dir, gcGraceMs)
             Some(Report(dir.toString, files.length,
               next.files.count(_.endsWith(".parquet"))))

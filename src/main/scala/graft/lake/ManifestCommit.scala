@@ -527,6 +527,52 @@ object ManifestCommit {
     }
   }
 
+  /** Write-audit-publish (the Iceberg WAP pattern): land `df` as data
+    * files in the partition (invisible — the manifest does not list
+    * them), run `audit` over EXACTLY the candidate files, and only on a
+    * passing audit commit them atomically. A failing audit deletes the
+    * staged files and the table never changes; a crash before commit
+    * leaves only unreferenced objects for [[gc]]. Returns the published
+    * snapshot, or None when the audit rejected the batch. */
+  def stageAndPublish(spark: SparkSession, partition: Path,
+      df: DataFrame, audit: DataFrame => Boolean,
+      statsCols: Seq[String] = Nil): Option[Snapshot] = {
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bootstrap(fs, partition) // pin the pre-publish snapshot first
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // staged under the same hidden prefix compactTableManifest's
+    // age-gated sweep already collects, so a crashed audit leaves only
+    // sweepable garbage; the audit (arbitrarily long) runs while the
+    // files are still INVISIBLE — hidden dir, not in any manifest, not
+    // adoptable
+    val staged = new Path(partition, s"._compacting-wap-$runId")
+    df.write.parquet(staged.toString)
+    if (!audit(spark.read.parquet(staged.toString))) {
+      fs.delete(staged, true)
+      None
+    } else {
+      val produced = fs.listStatus(staged).toIndexedSeq
+        .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+          st.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.map { case (st, i) =>
+          val name = s"${CompactedPrefix}wap-$runId-part$i.parquet"
+          require(fs.rename(st.getPath, new Path(partition, name)),
+            s"stageAndPublish: cannot move ${st.getPath} into $partition")
+          name
+        }
+      fs.delete(staged, true)
+      val stats =
+        if (statsCols.isEmpty) Map.empty[String, Seq[ColStat]]
+        else graft.ops.Layout
+          .fileColumnStats(spark, partition.toString, statsCols)
+          .filter { case (n, _, _, _) => produced.contains(n) }
+          .groupBy(_._1)
+          .map { case (n, ss) =>
+            n -> ss.map { case (_, c, mn, mx) => ColStat(c, mn, mx) }.toSeq }
+      Some(appendFiles(fs, partition, produced, stats = stats))
+    }
+  }
+
   /** Record per-file Bloom filters for `column` (a BIGINT column) by one
     * distributed pass over the live files — the equality-skipping
     * complement to [[recordStats]] for columns the layout does not

@@ -888,6 +888,62 @@ object OpsQueries {
       graft.lake.ManifestCommit.readTableAt(s, dl.path, dl.preVersion)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // write-audit-publish: the batch lands invisible, the audit runs
+    // over exactly the candidate files, and only a pass commits — the
+    // published table IS the audited relation
+    "q169_wap_publish" -> ((s, d) => {
+      val path = wapLakes.computeIfAbsent(d, _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_waplake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+          new java.io.File(d).getName
+        val dir = new org.apache.hadoop.fs.Path(p)
+        val batch = Tables(s, d, "orders")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // a poisoned batch (null keys) must bounce without a trace…
+        val rejected = graft.lake.ManifestCommit.stageAndPublish(s, dir,
+          batch.withColumn("o_orderkey",
+            when(col("o_orderkey") % 2 === 0, col("o_orderkey"))),
+          c => c.filter(col("o_orderkey").isNull).isEmpty)
+        require(rejected.isEmpty, "poisoned batch must be rejected")
+        // …then the clean batch publishes atomically
+        val ok = graft.lake.ManifestCommit.stageAndPublish(s, dir, batch,
+          c => c.filter(col("o_orderkey").isNull).isEmpty,
+          statsCols = Seq("o_orderkey"))
+        require(ok.nonEmpty, "clean batch must publish")
+        p
+      })
+      graft.lake.ManifestCommit.readTable(s, path).orderBy("o_orderkey")
+    }),
+    // clustered compaction: fragments merge under a RANGE repartition on
+    // the key, stats re-recorded — compaction that keeps the layout
+    // prunable instead of shredding it
+    "q170_clustered_compaction" -> ((s, d) => {
+      val path = compactLakes.computeIfAbsent(d, _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_compactlake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+          new java.io.File(d).getName
+        val part = s"$p/day=1"
+        val o = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // three fragmented appends, interleaved key ranges
+        (0 until 3).foreach { r =>
+          o.filter(col("o_orderkey") % 3 === r).coalesce(4)
+            .write.mode("append").parquet(part)
+        }
+        graft.lake.Compaction.compactTableManifest(s, p, maxFiles = 4,
+          gcGraceMs = 0L, sortCol = Some("o_orderkey"))
+        p
+      })
+      val b = Tables(s, d, "orders")
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      val (lo, hi) = boxRange(b.getLong(0), b.getLong(1))
+      graft.lake.ManifestCommit.readTableWhere(s, path,
+          Map("o_orderkey" -> (lo, hi)))
+        .filter(col("o_orderkey").between(lo, hi))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
     // bloom-index point lookup on the UNCLUSTERED key of the z-ordered
     // lake: manifest blooms answer `l_orderkey = v` touching only the
     // files that might contain it (min/max can't help — z-order
@@ -956,6 +1012,12 @@ object OpsQueries {
 
   private val delLakes =
     new java.util.concurrent.ConcurrentHashMap[String, DelLake]()
+
+  private val wapLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val compactLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensureDelLake(s: SparkSession, d: String): DelLake =
     delLakes.computeIfAbsent(d, _ => {
@@ -3298,7 +3360,17 @@ object OpsQueries {
            WHERE l_orderkey >= klo + (khi - klo) // 3)
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
          FROM lineitem, v WHERE l_orderkey = pv
-         ORDER BY l_orderkey, l_linenumber""")
+         ORDER BY l_orderkey, l_linenumber""",
+    "q169_wap_publish" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""",
+    "q170_clustered_compaction" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+         WHERE o_orderkey BETWEEN klo + (khi - klo) // 4
+           AND klo + (khi - klo) // 2
+         ORDER BY o_orderkey""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157

@@ -313,4 +313,65 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.readTableEq(spark, root, "k", 777L)
       .inputFiles.length <= 3)
   }
+
+  test("write-audit-publish: rejected batch leaves no trace, accepted publishes once") {
+    hc
+    val local = Files.createTempDirectory("graft-manifest-wap").toString
+    val dir = new Path(s"file://$local/tbl")
+    val fs = dir.getFileSystem(hc)
+    val good = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+    val bad = good.withColumn("k",
+      org.apache.spark.sql.functions.when($"k" % 2 === 0, $"k"))
+    def noNulls(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"k".isNull).isEmpty
+    // reject: table stays EMPTY, no stray visible data files
+    assert(ManifestCommit.stageAndPublish(spark, dir, bad, noNulls).isEmpty)
+    assert(ManifestCommit.currentSnapshot(fs, dir).get.files.isEmpty)
+    assert(!fs.listStatus(dir).exists(st =>
+      !st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")))
+    // publish: exactly the audited rows, stats recorded for pruning
+    val snap = ManifestCommit.stageAndPublish(spark, dir, good, noNulls,
+      statsCols = Seq("k"))
+    assert(snap.nonEmpty && snap.get.files.nonEmpty)
+    assert(ManifestCommit.readTable(spark, dir.toString).count() == 100L)
+    val stats = ManifestCommit.currentFileStats(fs, dir)
+    assert(snap.get.files.forall(n =>
+      stats.getOrElse(n, Nil).exists(_.col == "k")))
+  }
+
+  test("clustered compaction keeps the layout prunable") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-cc").toString
+    val root = s"file://$local/tbl"
+    val part = s"$root/day=1"
+    val df = spark.range(16000).select($"id".as("k"), ($"id" % 37).as("v"))
+    // three interleaved fragmented appends: every file spans the whole
+    // key domain, so nothing prunes before compaction
+    (0 until 3).foreach { r =>
+      df.filter($"k" % 3 === r).coalesce(4)
+        .write.mode("append").parquet(part)
+    }
+    val fs = new Path(root).getFileSystem(hc)
+    val before = ManifestCommit.adoptNewFiles(fs, new Path(part))
+    assert(before.files.size == 12)
+    // tiny target bytes forces multiple sorted output files
+    Compaction.compactTableManifest(spark, root, maxFiles = 4,
+      targetFileBytes = 32 * 1024, gcGraceMs = 0L, sortCol = Some("k"))
+    val after = ManifestCommit.currentSnapshot(fs, new Path(part)).get
+    assert(after.files.size > 1 && after.files.size < 12,
+      s"expected several sorted files, got ${after.files.size}")
+    // the range-partitioned rewrite re-earned its stats: a narrow key
+    // range touches a strict subset of files
+    val pruned = ManifestCommit.readTableWhere(spark, root,
+      Map("k" -> (0L, 999L)))
+    assert(pruned.inputFiles.length < after.files.size,
+      s"${pruned.inputFiles.length} of ${after.files.size} files")
+    assert(pruned.filter($"k" <= 999).count() == 1000L)
+    // content identical to the pre-compaction table
+    assert(ManifestCommit.readTable(spark, root)
+      .select("k", "v").orderBy("k").collect().toSeq ==
+      df.orderBy("k").collect().toSeq)
+  }
 }
