@@ -58,6 +58,10 @@ object StreamQueries {
     // post-agg; equals the batch latest-per-key on a finite source
     "q158_stream_cdc" -> ((s, d) =>
       StreamingOps.streamLatestValue(s, d)),
+    // streaming SCD-2 maintenance: attribute changes close intervals in
+    // pure Append mode; state = the one open version per key; equals
+    // the batch scd2's CLOSED rows on a finite source
+    "q171_stream_scd2" -> ((s, d) => StreamingOps.streamScd2(s, d)),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -154,6 +158,21 @@ object StreamQueries {
          FROM l WHERE event_type != 'error' ORDER BY user_id""",
     "q167_stream_manifest" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
-         value FROM events ORDER BY event_id"""
+         value FROM events ORDER BY event_id""",
+    // the batch q153 chain restricted to CLOSED intervals (the open row
+    // per key lives in the state store, not the emitted history)
+    "q171_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_type FROM events),
+         c AS (SELECT user_id, ts_us, event_id, event_type FROM (
+           SELECT user_id, ts_us, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev FROM e)
+           WHERE prev IS NULL OR prev != event_type)
+         SELECT user_id, event_type, valid_from, valid_to FROM (
+           SELECT user_id, event_type, ts_us AS valid_from,
+             lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS valid_to FROM c)
+         WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from"""
   )
 }

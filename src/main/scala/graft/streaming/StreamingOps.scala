@@ -669,4 +669,63 @@ object StreamingOps {
       }
     sessions.toDF()
   }
+
+  /** One key's SCD-2 cursor: the attribute version currently open and
+    * when it opened. */
+  final case class ScdState(attr: String, from: Long)
+  final case class ScdRow(user_id: Long, event_type: String,
+    valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD-2 maintenance: the change log folds into per-key
+    * history through flatMapGroupsWithState — each attribute change
+    * CLOSES the open interval (emitted downstream, pure Append) and the
+    * state carries only the one open version per key. No-op updates
+    * collapse exactly as in the batch [[graft.ops.Cdc.scd2]]; the open
+    * (is_current) rows live in the state store, not the emitted log —
+    * the standard warehouse split between the history table and the
+    * current-view. In-batch ordering is restored per key by a sort of
+    * that key's batch slice (bounded by per-key batch volume); ACROSS
+    * batches the watermark-less contract is monotone arrival per key,
+    * which the finite AvailableNow source satisfies exactly (one
+    * batch), and an ingest-time stream satisfies by keyed partitioned
+    * arrival. */
+  def streamScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_scd2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    val (schema, tsMicros) = eventsStream(ss, sfDir)
+    ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), tsMicros.as("ts_us"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ScdState, ScdRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdRow]
+          var cur: Option[ScdState] = state.getOption
+          sorted.foreach { case (_, ts, _, attr) =>
+            cur match {
+              case Some(s) if s.attr == attr => () // no-op collapses
+              case Some(s) =>
+                out += ScdRow(user, s.attr, s.from, ts)
+                cur = Some(ScdState(attr, ts))
+              case None =>
+                cur = Some(ScdState(attr, ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("user_id", "valid_from")
+  }
 }

@@ -357,6 +357,37 @@ class PlanSpec extends SparkSpec {
       s"append search plan regressed:\n$p123")
   }
 
+  test("round-8c ops: CDC, funnel, winnowing and lake reads keep their shapes") {
+    // q151: the broadcast-MERGE claim at the plan level — the big target
+    // is probed, never sort-merged
+    val p151 = plan("q151_cdc_upsert")
+    assert(p151.contains("BroadcastHashJoin") &&
+      !p151.contains("SortMergeJoin"),
+      s"CDC apply must stay broadcast probes:\n$p151")
+    // q154: one wide exchange for the per-user aggregation (plus the
+    // deliberate output range sort); no window, no join at all
+    val p154 = plan("q154_funnel")
+    assert(!p154.contains("Window") && !p154.contains("Join"),
+      s"funnel must be a single aggregation chain:\n$p154")
+    // q157: both windows ride ONE per-doc exchange; the distinct needs
+    // no further shuffle (doc_id partitioning covers its keys)
+    val p157 = plan("q157_winnowing")
+    val exchanges157 = "Exchange".r.findAllIn(
+      p157.substring(0, p157.indexOf("(1) Scan"))).size
+    assert(exchanges157 <= 3, // spread + window partition + output sort
+      s"winnowing grew extra shuffles ($exchanges157):\n$p157")
+    // q150: the box predicate reaches the z-ordered parquet scan, so
+    // row-group pruning stacks on the file-level skipping
+    val p150 = plan("q150_zorder_scan")
+    assert(p150.contains("PushedFilters:") && p150.contains("l_partkey"),
+      s"z-lake box filter must push into the scan:\n$p150")
+    // q162: bitmaps build in keyed aggregations; the word-aligned
+    // self-join must not degenerate into a cartesian
+    val p162 = plan("q162_bitmap_segments")
+    assert(!p162.contains("CartesianProduct"),
+      s"bitmap overlap must join on the word index:\n$p162")
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)

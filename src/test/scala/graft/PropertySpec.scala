@@ -148,4 +148,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("zValue round-trips: deinterleaving recovers (x, y) for any 16-bit pair") {
+    import graft.ops.Layout
+    val pair = for {
+      x <- Gen.choose(0L, 65535L)
+      y <- Gen.choose(0L, 65535L)
+    } yield (x, y)
+    val cases = samples(pair, 100)
+    val zs = cases.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 16).as("z"))
+      .collect().map(_.getLong(0))
+    def debit(z: Long, offset: Int): Long =
+      (0 until 16).map(i => ((z >> (2 * i + offset)) & 1L) << i).sum
+    cases.zip(zs).foreach { case ((x, y), z) =>
+      assert(debit(z, 1) == x && debit(z, 0) == y,
+        s"z=$z decodes to (${debit(z, 1)}, ${debit(z, 0)}), want ($x, $y)")
+    }
+  }
+
+  test("quantize is monotone, in-bounds, and exhausts the bucket range") {
+    import graft.ops.Layout
+    val lo = 1000L; val hi = 9999L
+    val vals = samples(Gen.choose(lo - 500, hi + 500), 200).sorted
+    val q = vals.toDF("v")
+      .select(Layout.quantize(col("v"), lo, hi, 6).as("q"))
+      .collect().map(_.getLong(0))
+    assert(q.forall(b => b >= 0 && b < 64))
+    // the input was sorted, so buckets must be non-decreasing
+    assert(q.zip(q.tail).forall { case (a, b) => a <= b })
+    // explicit bounds map to the first and last bucket
+    val edges = Seq(lo, hi).toDF("v")
+      .select(Layout.quantize(col("v"), lo, hi, 6).as("q"))
+      .collect().map(_.getLong(0))
+    assert(edges.toSeq == Seq(0L, 63L))
+  }
 }
