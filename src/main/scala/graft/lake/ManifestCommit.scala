@@ -527,6 +527,31 @@ object ManifestCommit {
     }
   }
 
+  /** Checkpoint the log: delete manifests older than the newest
+    * `keepLast` versions — the metadata half of [[gc]] (readers LIST the
+    * log dir, so an ever-growing log is an ever-growing metadata cost).
+    * A manifest is prunable only when every file its commit tombstoned
+    * is already collected: pruning earlier would lose the only record
+    * [[gc]] has of those files. Pruning SHRINKS the time-travel horizon
+    * to the kept versions — call after [[gc]], with `keepLast` at least
+    * the history depth readers still need. Returns pruned versions. */
+  def pruneLog(fs: FileSystem, partition: Path,
+      keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, s"must keep at least the head: $keepLast")
+    val versions = listVersions(fs, partition)
+    versions.dropRight(keepLast).filter { v =>
+      parse(fs, manifestPath(partition, v)) match {
+        case Some((_, removed)) =>
+          removed.forall { case (_, n) =>
+            !fs.exists(new Path(partition, n)) }
+        case None => true // torn manifest: never a valid commit
+      }
+    }.map { v =>
+      fs.delete(manifestPath(partition, v), false)
+      v
+    }
+  }
+
   /** Write-audit-publish (the Iceberg WAP pattern): land `df` as data
     * files in the partition (invisible — the manifest does not list
     * them), run `audit` over EXACTLY the candidate files, and only on a

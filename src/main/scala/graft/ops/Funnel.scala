@@ -29,20 +29,25 @@ object Funnel {
     * earliest valid completion of each step, null if never), and
     * `stage` = number of consecutive steps completed. Strict ordering:
     * step i+1 counts only strictly after step i. */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
-    require(steps.size >= 2 && steps.size <= 8,
-      s"funnel wants 2..8 steps, got ${steps.size}")
-    val typed = events
-      .filter(col("event_type").isin(steps.map(lit): _*))
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("event_type"))
+  /** The per-user aggregation half: step 1 folds to a conditional min,
+    * later steps keep that step's sorted timestamp list. Order-
+    * insensitive and mergeable — legal as STREAMING aggregation state
+    * too (the lists grow with per-user activity of that step only). */
+  private[graft] def aggregated(typed: DataFrame,
+      steps: Seq[String]): DataFrame = {
     val aggs =
       min(when(col("event_type") === steps.head, col("ts_us"))).as("t1") +:
         steps.tail.zipWithIndex.map { case (st, i) =>
           sort_array(collect_list(when(col("event_type") === st,
             col("ts_us")))).as(s"__l${i + 2}")
         }
-    val perUser = typed.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+    typed.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The row-local finish half: resolve the chained "earliest strictly
+    * after the previous step" mins and the stage counter. */
+  private[graft] def finish(perUser: DataFrame,
+      steps: Seq[String]): DataFrame = {
     // chain: t_{i+1} = min ts in step-(i+1)'s list strictly after t_i —
     // null t_i yields a null-predicate filter => empty list => null min
     val chained = (2 to steps.size).foldLeft(perUser) { (df, i) =>
@@ -59,4 +64,17 @@ object Funnel {
       .select(col("user_id") +: col("stage") +:
         (1 to steps.size).map(i => col(s"t$i")): _*)
   }
+
+  /** Input normalization shared by the batch and streaming forms. */
+  private[graft] def typedEvents(events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel wants 2..8 steps, got ${steps.size}")
+    events.filter(col("event_type").isin(steps.map(lit): _*))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+  }
+
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    finish(aggregated(typedEvents(events, steps), steps), steps)
 }

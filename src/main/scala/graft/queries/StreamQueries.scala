@@ -62,6 +62,10 @@ object StreamQueries {
     // pure Append mode; state = the one open version per key; equals
     // the batch scd2's CLOSED rows on a finite source
     "q171_stream_scd2" -> ((s, d) => StreamingOps.streamScd2(s, d)),
+    // streaming funnel: the batch funnel's aggregation AS streaming
+    // state; equals the batch q154 on a finite source
+    "q172_stream_funnel" -> ((s, d) =>
+      StreamingOps.streamFunnel(s, d, Seq("view", "click", "purchase"))),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -173,6 +177,8 @@ object StreamQueries {
            SELECT user_id, event_type, ts_us AS valid_from,
              lead(ts_us) OVER (PARTITION BY user_id
                ORDER BY ts_us, event_id) AS valid_to FROM c)
-         WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from"""
+         WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from""",
+    // stream-equals-batch: the q154 oracle verbatim
+    "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel")
   )
 }

@@ -670,6 +670,36 @@ object StreamingOps {
     sessions.toDF()
   }
 
+  /** Streaming funnel: the SAME per-user aggregation the batch funnel
+    * runs — conditional min for step 1, per-step sorted timestamp lists
+    * after — IS the streaming aggregation state (order-insensitive,
+    * mergeable across micro-batches); the chained strictly-after
+    * resolution and stage counter are row-local and run on the
+    * materialized state. Equals the batch funnel on a finite source;
+    * on a live stream the memory/complete sink here swaps for a
+    * foreachBatch upsert of the same relation. */
+  def streamFunnel(spark: SparkSession, sfDir: String,
+      steps: Seq[String]): DataFrame = {
+    val name = "stream_funnel_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val (schema, tsMicros) = eventsStream(ss, sfDir)
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_us_src", tsMicros)
+      // typedEvents derives ts_us as `ts div 1000`; feed it nanos so the
+      // batch and stream derivations agree for BOTH physical encodings
+      .withColumn("ts", col("ts_us_src") * 1000L)
+    graft.ops.Funnel.aggregated(
+        graft.ops.Funnel.typedEvents(stream, steps), steps)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    graft.ops.Funnel.finish(ss.table(name), steps).orderBy("user_id")
+  }
+
   /** One key's SCD-2 cursor: the attribute version currently open and
     * when it opened. */
   final case class ScdState(attr: String, from: Long)

@@ -314,6 +314,34 @@ class ManifestCommitSpec extends SparkSpec {
       .inputFiles.length <= 3)
   }
 
+  test("pruneLog checkpoints the metadata; uncollected tombstones block pruning") {
+    hc
+    val local = Files.createTempDirectory("graft-manifest-prune").toString
+    val dir = new Path(s"file://$local/p")
+    val fs = dir.getFileSystem(hc)
+    fs.mkdirs(dir)
+    // v1: two files; v2: replace a with c (a tombstoned); v3: append d
+    Seq("a", "b").foreach(n => fs.create(new Path(dir, s"$n.parquet"), false).close())
+    ManifestCommit.bootstrap(fs, dir)
+    fs.create(new Path(dir, "compact-c.parquet"), false).close()
+    ManifestCommit.replaceFiles(fs, dir, Set("a.parquet"),
+      Seq("compact-c.parquet"))
+    fs.create(new Path(dir, "d.parquet"), false).close()
+    ManifestCommit.appendFiles(fs, dir, Seq("d.parquet"))
+    // a.parquet still on disk: v2's tombstone record must survive, so
+    // only v1 (no tombstones) may prune
+    assert(ManifestCommit.pruneLog(fs, dir, keepLast = 1) == Seq(1L))
+    // after gc collects a.parquet, v2 prunes too
+    ManifestCommit.gc(fs, dir, graceMs = 0L)
+    assert(!fs.exists(new Path(dir, "a.parquet")))
+    assert(ManifestCommit.pruneLog(fs, dir, keepLast = 1) == Seq(2L))
+    // the head still resolves, history below it is gone
+    val head = ManifestCommit.currentSnapshot(fs, dir).get
+    assert(head.version == 3L &&
+      head.files.toSet == Set("b.parquet", "compact-c.parquet", "d.parquet"))
+    assert(ManifestCommit.snapshotAt(fs, dir, 1L).isEmpty)
+  }
+
   test("write-audit-publish: rejected batch leaves no trace, accepted publishes once") {
     hc
     val local = Files.createTempDirectory("graft-manifest-wap").toString

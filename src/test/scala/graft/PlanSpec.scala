@@ -388,6 +388,32 @@ class PlanSpec extends SparkSpec {
       s"bitmap overlap must join on the word index:\n$p162")
   }
 
+  test("dynamic partition pruning fires on the partitioned-lake join") {
+    // the y/m/d lake's fact-side scans must prune partitions from a
+    // dim-side filter at RUNTIME — at 100 TB this is the difference
+    // between scanning one day and scanning the table when the day set
+    // comes from a join, not a literal
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan_dpp").toString
+    import spark.implicits._
+    spark.range(10000)
+      .select($"id", ($"id" % 30).as("day"), ($"id" % 7).as("v"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/fact")
+    // the dim must be a real source with a non-foldable filter: a local
+    // literal relation would constant-fold into static pruning instead
+    Seq((3L, "x"), (4L, "y"), (9L, "z")).toDF("day", "tag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter($"tag" =!= "z")
+    val joined = fact.join(dim, Seq("day"))
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"),
+      s"partitioned-lake join must plan DPP:\n$p")
+    assert(joined.count() == 10000L / 30 * 2 + (if (10000 % 30 > 3) 1 else 0)
+      + (if (10000 % 30 > 4) 1 else 0))
+  }
+
   test("whole-stage codegen spans cover the hot paths") {
     // AQE only annotates codegen spans in the FINAL plan — execute THIS
     // plan first (count() would plan a different query)
