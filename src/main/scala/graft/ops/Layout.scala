@@ -97,6 +97,34 @@ object Layout {
       .sortWithinPartitions(x)
       .write.mode("overwrite").parquet(path)
 
+  /** Hidden day-partitioning (the Iceberg partition-transform idea in
+    * directory-layout form): the writer derives `__day` from the
+    * event-time microseconds — readers never manage the partition column,
+    * they query TIME and [[readDayRange]] translates the range to
+    * partition filters (static pruning) plus the exact row predicate.
+    * At 100 TB the translation is the difference between listing one
+    * day's directories and scanning the table. */
+  def writeDayPartitioned(df: DataFrame, tsUsCol: Column,
+      path: String): Unit =
+    df.withColumn("__ts_qch7dwoux1", tsUsCol.cast("long"))
+      .withColumn("__day", expr("__ts_qch7dwoux1 div 86400000000"))
+      .drop("__ts_qch7dwoux1")
+      .write.partitionBy("__day").mode("overwrite").parquet(path)
+
+  /** Read back a time range: the [from, to] microsecond window maps to
+    * an inclusive day-partition range (pruned at PLAN time) and the
+    * row-level predicate finishes the boundary days. `tsUsName` is the
+    * stored microsecond column. */
+  def readDayRange(spark: SparkSession, path: String, tsUsName: String,
+      fromUs: Long, toUs: Long): DataFrame = {
+    val fromDay = Math.floorDiv(fromUs, 86400000000L)
+    val toDay = Math.floorDiv(toUs, 86400000000L)
+    spark.read.parquet(path)
+      .filter(col("__day").between(fromDay, toDay))
+      .filter(col(tsUsName).between(fromUs, toUs))
+      .drop("__day")
+  }
+
   /** Per-file min/max of INT64 columns, read from parquet footers — the
     * file-level stats a lake manifest records at commit time. Driver
     * state is O(nFiles × nCols) metadata rows, the same order as the

@@ -944,6 +944,27 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // hidden day-partitioning: writers derive the partition from event
+    // time, readers query TIME and the range becomes partition pruning
+    // + the exact row predicate
+    "q173_hidden_partition" -> ((s, d) => {
+      val path = dayLakes.computeIfAbsent(d, _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_daylake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+          new java.io.File(d).getName
+        Layout.writeDayPartitioned(
+          events(s, d).select(col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("user_id"),
+            col("event_type"), col("value")),
+          col("ts_us"), p)
+        p
+      })
+      val b = events(s, d)
+        .agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head
+      val (lo, hi) = boxRange(b.getLong(0), b.getLong(1))
+      Layout.readDayRange(s, path, "ts_us", lo, hi)
+        .orderBy("event_id")
+    }),
     // bloom-index point lookup on the UNCLUSTERED key of the z-ordered
     // lake: manifest blooms answer `l_orderkey = v` touching only the
     // files that might contain it (min/max can't help — z-order
@@ -1017,6 +1038,9 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val compactLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val dayLakes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensureDelLake(s: SparkSession, d: String): DelLake =
@@ -3370,7 +3394,16 @@ object OpsQueries {
          SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
          WHERE o_orderkey BETWEEN klo + (khi - klo) // 4
            AND klo + (khi - klo) // 2
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+    "q173_hidden_partition" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+           event_type, value FROM events),
+         b AS (SELECT min(ts_us) AS klo, max(ts_us) AS khi FROM e)
+         SELECT event_id, ts_us, user_id, event_type, value
+         FROM e, b
+         WHERE ts_us BETWEEN klo + (khi - klo) // 4
+           AND klo + (khi - klo) // 2
+         ORDER BY event_id""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157

@@ -79,6 +79,39 @@ class LayoutSpec extends SparkSpec {
     assert(got === 65536L / 8)
   }
 
+  test("hidden day-partitioning prunes partitions from a TIME predicate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("layout_day").toString
+    val day = 86400000000L
+    // 30 days of microsecond timestamps
+    val df = spark.range(3000)
+      .select($"id", ($"id" % 30 * day + $"id").as("ts_us"))
+    Layout.writeDayPartitioned(df, col("ts_us"), s"$tmp/t")
+    // a 3-day window
+    val got = Layout.readDayRange(spark, s"$tmp/t", "ts_us",
+      5 * day, 8 * day - 1)
+    assert(got.count() == 300L)
+    // partition pruning is visible in the plan AND in the files touched
+    val plan = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("__day"),
+      s"day range must prune partitions:\n$plan")
+    // the executed scan reads only the 3 selected day partitions'
+    // files (inputFiles reflects the unpruned listing — the scan
+    // metric is the pruned truth)
+    val scan = got.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val total = spark.read.parquet(s"$tmp/t").inputFiles.length
+    assert(scan.metrics("numFiles").value < total / 5,
+      s"scan read ${scan.metrics("numFiles").value} of $total files")
+    // boundary exactness: the row predicate finishes partial days
+    val partial = Layout.readDayRange(spark, s"$tmp/t", "ts_us",
+      5 * day + 10, 6 * day - 1)
+    assert(partial.count() ==
+      df.filter($"ts_us".between(5 * day + 10, 6 * day - 1)).count())
+  }
+
   test("x-predicate still prunes under Z-order (both dims work)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("layout_spec2").toString
