@@ -470,8 +470,10 @@ object Compaction {
         committed match {
           case Some(next) =>
             // a clustered rewrite re-earns its stats immediately — the
-            // whole point of sorting was manifest prunability
-            sortCol.foreach(c => ManifestCommit.recordStats(spark, dir, Seq(c)))
+            // whole point of sorting was manifest prunability; the
+            // footer sweep is bounded to the files this run produced
+            sortCol.foreach(c => ManifestCommit.recordStats(spark, dir,
+              Seq(c), only = Some(produced.toSet)))
             ManifestCommit.gc(fs, dir, gcGraceMs)
             Some(Report(dir.toString, files.length,
               next.files.count(_.endsWith(".parquet"))))

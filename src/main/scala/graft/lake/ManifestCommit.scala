@@ -446,11 +446,16 @@ object ManifestCommit {
     * attached. At 100 TB this runs per ingest/compaction batch over the
     * batch's files only; readers then never touch a footer to prune. */
   def recordStats(spark: SparkSession, partition: Path,
-      cols: Seq[String]): Snapshot = {
+      cols: Seq[String], only: Option[Set[String]] = None): Snapshot = {
     val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = bootstrap(fs, partition)
+    // `only` bounds the footer sweep to the batch that was just written
+    // (survivors keep their committed stats through the merge in
+    // appendFiles) — at scale the sweep must track the BATCH, not the
+    // partition's file count
+    val wanted = only.getOrElse(snap.files.toSet)
     val stats = graft.ops.Layout
-      .fileColumnStats(spark, partition.toString, cols)
+      .fileColumnStats(spark, partition.toString, cols, wanted.contains)
       .groupBy(_._1)
       .map { case (n, ss) =>
         n -> ss.map { case (_, c, mn, mx) => ColStat(c, mn, mx) }.toSeq }
@@ -519,7 +524,10 @@ object ManifestCommit {
     fs.delete(staged, true)
     replaceFiles(fs, partition, touched.toSet, produced) match {
       case Some(next) =>
-        recordStats(spark, partition, statsCols)
+        // footer sweep bounded to the rewritten batch; survivors keep
+        // their committed stats through the appendFiles merge
+        recordStats(spark, partition, statsCols,
+          only = Some(produced.toSet))
         (touched.size, next.files.size)
       case None =>
         produced.foreach(n => fs.delete(new Path(partition, n), false))
@@ -589,8 +597,8 @@ object ManifestCommit {
       val stats =
         if (statsCols.isEmpty) Map.empty[String, Seq[ColStat]]
         else graft.ops.Layout
-          .fileColumnStats(spark, partition.toString, statsCols)
-          .filter { case (n, _, _, _) => produced.contains(n) }
+          .fileColumnStats(spark, partition.toString, statsCols,
+            produced.contains)
           .groupBy(_._1)
           .map { case (n, ss) =>
             n -> ss.map { case (_, c, mn, mx) => ColStat(c, mn, mx) }.toSeq }

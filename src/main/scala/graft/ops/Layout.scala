@@ -131,14 +131,16 @@ object Layout {
     * manifest itself; at 100 TB these exact numbers come from the
     * manifest, not a footer sweep, but the VALUES are identical. */
   def fileColumnStats(spark: SparkSession, dir: String,
-      cols: Seq[String]): Seq[(String, String, Long, Long)] = {
+      cols: Seq[String],
+      nameFilter: String => Boolean = _ => true): Seq[(String, String, Long, Long)] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)
     val files = fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        nameFilter(s.getPath.getName))
       .map(_.getPath)
     files.flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
