@@ -454,14 +454,22 @@ object ManifestCommit {
     // appendFiles) — at scale the sweep must track the BATCH, not the
     // partition's file count
     val wanted = only.getOrElse(snap.files.toSet)
-    val stats = graft.ops.Layout
+    val fresh = graft.ops.Layout
       .fileColumnStats(spark, partition.toString, cols, wanted.contains)
       .groupBy(_._1)
       .map { case (n, ss) =>
         n -> ss.map { case (_, c, mn, mx) => ColStat(c, mn, mx) }.toSeq }
+      .filter { case (n, _) => snap.files.contains(n) }
+    // merge at COLUMN granularity: recording stats for a new column
+    // must not drop a file's previously-committed columns (appendFiles
+    // merges whole file entries, so the column merge happens here)
+    val prior = currentFileStats(fs, partition)
+    val stats = fresh.map { case (n, ss) =>
+      n -> (prior.getOrElse(n, Nil)
+        .filterNot(p => ss.exists(_.col == p.col)) ++ ss)
+    }
     // appendFiles with no new names = a stats-only recommit
-    appendFiles(fs, partition, Nil, stats =
-      stats.filter { case (n, _) => snap.files.contains(n) })
+    appendFiles(fs, partition, Nil, stats = stats)
   }
 
   /** The committed snapshot at an EXPLICIT version (None if that version
@@ -628,12 +636,17 @@ object ManifestCommit {
       .mapValues(_._2)
       .agg(new graft.ops.BloomAgg(numBits, numHashes).toColumn.name("w"))
       .collect()
-    val blooms = perFile.map { case (f, words) =>
+    val fresh = perFile.map { case (f, words) =>
       new Path(f).getName ->
         Seq(ColBloom(column, numBits, numHashes, words))
-    }.toMap
-    appendFiles(fs, partition, Nil,
-      blooms = blooms.filter { case (n, _) => snap.files.contains(n) })
+    }.toMap.filter { case (n, _) => snap.files.contains(n) }
+    // column-granular merge, as in recordStats: a second column's bloom
+    // must not drop the first's
+    val prior = currentFileBlooms(fs, partition)
+    val blooms = fresh.map { case (n, bs) =>
+      n -> (prior.getOrElse(n, Nil).filterNot(_.col == column) ++ bs)
+    }
+    appendFiles(fs, partition, Nil, blooms = blooms)
   }
 
   /** Manifest-resolved read of ONLY the files whose committed Bloom

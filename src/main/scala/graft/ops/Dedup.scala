@@ -361,6 +361,19 @@ object Dedup {
     * falls back to a shuffle — slower, but it cannot OOM the driver. */
   val DefaultBroadcastDocLimit: Long = 8L * 1000 * 1000
 
+  /** The UNVERIFIED candidate pairs the banded LSH index proposes — the
+    * blocking stage alone, before any Jaccard verification. Exposed for
+    * blocking-quality evaluation ([[graft.ops.Eval.pairMetrics]]): the
+    * candidate set's precision/recall against exact near-dup truth is
+    * the metric that tunes band count and bucket caps. */
+  def minhashLshCandidates(docs: DataFrame, numHashes: Int = 8,
+      maxBucket: Int = 64): DataFrame = {
+    val banded = bandedOf(tracked(shingleHashes(docs)), numHashes)
+    val buckets = boundedBuckets(banded, Seq("band", "key"), "doc_id",
+      maxBucket)
+    pairsFromBuckets(buckets).distinct()
+  }
+
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
       numHashes: Int = 8, maxBucket: Int = 64,
       broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {

@@ -44,4 +44,22 @@ object Eval {
       .select(col("query_id"), col("n_truth"), col("n_hit"),
         col("recall"), col("first_hit_rank"), col("mrr"))
   }
+
+  /** Blocking/candidate-set quality: precision and recall of a retrieved
+    * pair set against a truth pair set (both (doc_a, doc_b) relations) —
+    * ONE full-outer join on the pair key and one global aggregate. The
+    * metric that tunes a dedup blocker: recall is the pairs the bands
+    * may never recover, precision is the verification work wasted. */
+  def pairMetrics(truth: DataFrame, retrieved: DataFrame): DataFrame = {
+    val t = truth.select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val r = retrieved.select(col("doc_a"), col("doc_b"), lit(1L).as("r"))
+    t.join(r, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(col("t")).as("n_truth"), sum(col("r")).as("n_retrieved"),
+        sum(col("t") * col("r")).as("n_hit"))
+      .select(col("n_truth"), col("n_retrieved"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_retrieved").cast("double"))
+          .as("precision"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
 }

@@ -944,6 +944,13 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // blocking-quality eval: the LSH bands' UNVERIFIED candidates scored
+    // against exact df-banded near-dup truth — precision is wasted
+    // verification work, recall is what the bands can never recover
+    "q174_dedup_eval" -> ((s, d) =>
+      Eval.pairMetrics(
+        Dedup.ngramJaccardPairs(docs(s, d)).select("doc_a", "doc_b"),
+        Dedup.minhashLshCandidates(docs(s, d)))),
     // hidden day-partitioning: writers derive the partition from event
     // time, readers query TIME and the range becomes partition pruning
     // + the exact row predicate
@@ -3403,7 +3410,47 @@ object OpsQueries {
          FROM e, b
          WHERE ts_us BETWEEN klo + (khi - klo) // 4
            AND klo + (khi - klo) // 2
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    // LSH band candidates (the cand CTE of the minhash chain) scored
+    // against the q22 exact truth chain — shared `sh` base, one
+    // full-outer pair join, one global aggregate
+    "q174_dedup_eval" ->
+      s"""WITH ${SIG_BANDS("documents")},
+         ok AS (SELECT band, key FROM banded0 GROUP BY band, key
+           HAVING count(*) <= 64),
+         banded AS (SELECT banded0.* FROM banded0 JOIN ok
+           ON banded0.band = ok.band AND banded0.key = ok.key),
+         cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM banded l JOIN banded r ON l.band = r.band
+             AND l.key = r.key AND l.doc_id < r.doc_id),
+         rare AS (SELECT m FROM (SELECT m, count(*) AS df FROM sh
+           GROUP BY m) WHERE df <= 20 AND df >= 2),
+         candsh AS (SELECT sh.doc_id, sh.m FROM sh JOIN rare
+           ON sh.m = rare.m),
+         tcand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM candsh l JOIN candsh r ON l.m = r.m
+             AND l.doc_id < r.doc_id),
+         tsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         tinter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM tcand c JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND a.m = b.m GROUP BY 1, 2),
+         tpairs AS (SELECT i.doc_a, i.doc_b FROM tinter i
+           JOIN tsizes na ON i.doc_a = na.doc_id
+           JOIN tsizes nb ON i.doc_b = nb.doc_id
+           WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5),
+         j AS (SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+           COALESCE(t.doc_b, c.doc_b) AS doc_b,
+           CASE WHEN t.doc_a IS NOT NULL THEN 1 END AS t,
+           CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS r
+           FROM tpairs t FULL OUTER JOIN cand c
+             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+           CAST(sum(r) AS BIGINT) AS n_retrieved,
+           CAST(sum(t * r) AS BIGINT) AS n_hit,
+           CAST(sum(t * r) AS DOUBLE) / CAST(sum(r) AS DOUBLE)
+             AS precision,
+           CAST(sum(t * r) AS DOUBLE) / CAST(sum(t) AS DOUBLE) AS recall
+         FROM j""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157

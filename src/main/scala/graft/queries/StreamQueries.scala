@@ -66,6 +66,10 @@ object StreamQueries {
     // state; equals the batch q154 on a finite source
     "q172_stream_funnel" -> ((s, d) =>
       StreamingOps.streamFunnel(s, d, Seq("view", "click", "purchase"))),
+    // streaming audience bitmaps: the bit_or register table AS streaming
+    // state (segments x users/62 rows); equals the batch q162
+    "q175_stream_bitmap" -> ((s, d) =>
+      StreamingOps.streamBitmapSegments(s, d)),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -179,6 +183,8 @@ object StreamQueries {
                ORDER BY ts_us, event_id) AS valid_to FROM c)
          WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from""",
     // stream-equals-batch: the q154 oracle verbatim
-    "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel")
+    "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel"),
+    // stream-equals-batch: the q162 oracle verbatim
+    "q175_stream_bitmap" -> OpsQueries.oracles("q162_bitmap_segments")
   )
 }

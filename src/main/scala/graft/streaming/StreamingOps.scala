@@ -700,6 +700,45 @@ object StreamingOps {
     graft.ops.Funnel.finish(ss.table(name), steps).orderBy("user_id")
   }
 
+  /** Streaming audience bitmaps: the per-(segment, word) `bit_or`
+    * register IS the streaming aggregation state — bounded at
+    * segments × users/62 rows, mergeable across micro-batches (OR is
+    * idempotent/commutative, so replays are harmless). The pairwise
+    * overlap popcount runs on the materialized register table. Equals
+    * the batch q162 on a finite source. */
+  def streamBitmapSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_bitmap_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val (schema, _) = eventsStream(ss, sfDir)
+    ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_type").as("seg"),
+        expr("user_id div 62").as("w"),
+        expr("shiftleft(1L, cast(user_id % 62 as int))").as("bit"))
+      .groupBy("seg", "w")
+      .agg(expr("bit_or(bit)").as("bits"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    // fully re-aliased self-join: the memory-sink view resolves both
+    // sides to the SAME attribute ids, so the shared-name join column
+    // must be renamed apart explicitly
+    val words = ss.table(name)
+    val a = words.select(col("seg").as("seg_a"), col("w").as("wa"),
+      col("bits").as("ba"))
+    val b = words.select(col("seg").as("seg_b"), col("w").as("wb"),
+      col("bits").as("bb"))
+    a.join(b, col("wa") === col("wb"))
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy("seg_a", "seg_b")
+      .agg(sum(bit_count(col("ba").bitwiseAND(col("bb"))).cast("long"))
+        .as("n_common"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   /** One key's SCD-2 cursor: the attribute version currently open and
     * when it opened. */
   final case class ScdState(attr: String, from: Long)

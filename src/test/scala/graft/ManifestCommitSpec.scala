@@ -308,10 +308,15 @@ class ManifestCommitSpec extends SparkSpec {
     val none = ManifestCommit.readTableEq(spark, root, "k", 999999L)
     assert(none.filter($"k" === 999999L).count() == 0L)
     assert(none.columns.toSeq == Seq("k", "x"))
-    // blooms survive an unrelated recommit
+    // blooms survive an unrelated recommit, and recording a SECOND
+    // column's stats merges per column — k's stats survive x's
     ManifestCommit.recordStats(spark, dir, Seq("x"))
     assert(ManifestCommit.readTableEq(spark, root, "k", 777L)
       .inputFiles.length <= 3)
+    val merged = ManifestCommit.currentFileStats(fs, dir)
+    assert(merged.values.forall(ss =>
+      ss.exists(_.col == "k") && ss.exists(_.col == "x")),
+      "column-granular stats merge lost a column")
   }
 
   test("pruneLog checkpoints the metadata; uncollected tombstones block pruning") {
