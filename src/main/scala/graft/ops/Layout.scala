@@ -46,6 +46,32 @@ object Layout {
     }
   }
 
+  /** N-dimensional Morton interleave: bit i of column j lands at
+    * position i*n + (n-1-j), so column 0 owns the most significant bit
+    * of each round — the 2-D [[zValue]] generalized (zValueN(Seq(x, y),
+    * b) == zValue(x, y, b)). n*bits must fit a non-negative long. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 8, s"2..8 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63, s"$n x $bits bits overflow long")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+          i * n + (n - 1 - j)))
+      }
+    }
+  }
+
+  /** DuckDB twin of [[zValueN]]. */
+  def zValueNSql(exprs: Seq[String], bits: Int): String = {
+    val n = exprs.size
+    require(n >= 2 && n <= 8 && bits >= 1 && n * bits <= 63)
+    exprs.zipWithIndex.flatMap { case (e, j) =>
+      (0 until bits).map(i =>
+        s"((((($e) >> $i) & 1)::BIGINT) << ${i * n + (n - 1 - j)})")
+    }.mkString("(", " | ", ")")
+  }
+
   /** The same interleave as DuckDB SQL over two integer expressions —
     * the oracle twin of [[zValue]], generated from the same bit count. */
   def zValueSql(x: String, y: String, bits: Int): String = {

@@ -944,6 +944,49 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // 3-D Morton interleave: the n-dim generalization (a 3-column
+    // clustered layout prunes boxes in all three dimensions)
+    "q176_zorder3" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 32).as("x"), (col("l_suppkey") % 32).as("y"),
+          (col("l_quantity").cast("long") % 32).as("zc"))
+        .withColumn("z",
+          Layout.zValueN(Seq(col("x"), col("y"), col("zc")), 5))
+        .orderBy("z", "l_orderkey", "l_linenumber")),
+    // ORC format roundtrip: the lake's columns survive the second
+    // built-in columnar format byte-exactly
+    "q177_orc_roundtrip" -> ((s, d) => {
+      val path = orcLakes.computeIfAbsent(d, _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_orclake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+          new java.io.File(d).getName
+        Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_returnflag")
+          .write.mode("overwrite").orc(p)
+        p
+      })
+      s.read.orc(path).orderBy("l_orderkey", "l_linenumber")
+    }),
+    // JSON-lines roundtrip: write integer-microsecond events as JSONL,
+    // read back under an explicit schema — the interchange format's
+    // numbers and strings survive exactly
+    "q178_jsonl_roundtrip" -> ((s, d) => {
+      val path = jsonLakes.computeIfAbsent(d, _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_jsonlake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+          new java.io.File(d).getName
+        events(s, d)
+          .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+            col("user_id"), col("event_type"))
+          .write.mode("overwrite").json(p)
+        p
+      })
+      s.read.schema("event_id LONG, ts_us LONG, user_id LONG, " +
+          "event_type STRING")
+        .json(path).orderBy("event_id")
+    }),
     // blocking-quality eval: the LSH bands' UNVERIFIED candidates scored
     // against exact df-banded near-dup truth — precision is wasted
     // verification work, recall is what the bands can never recover
@@ -1048,6 +1091,12 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val dayLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val orcLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val jsonLakes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ensureDelLake(s: SparkSession, d: String): DelLake =
@@ -3450,7 +3499,19 @@ object OpsQueries {
            CAST(sum(t * r) AS DOUBLE) / CAST(sum(r) AS DOUBLE)
              AS precision,
            CAST(sum(t * r) AS DOUBLE) / CAST(sum(t) AS DOUBLE) AS recall
-         FROM j""")
+         FROM j""",
+    "q176_zorder3" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey % 32 AS x,
+         l_suppkey % 32 AS y, CAST(l_quantity AS BIGINT) % 32 AS zc,
+         CAST(${Layout.zValueNSql(Seq("l_partkey % 32", "l_suppkey % 32",
+           "CAST(l_quantity AS BIGINT) % 32"), 5)} AS BIGINT) AS z
+         FROM lineitem ORDER BY z, l_orderkey, l_linenumber""",
+    "q177_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q178_jsonl_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+         FROM events ORDER BY event_id""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157
