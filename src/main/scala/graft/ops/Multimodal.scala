@@ -339,6 +339,35 @@ object Multimodal {
     media.mapPartitions(rows => rows.map(r => parseWav(r.media_id, r.payload)))
   }
 
+  /** Decoded pixels as relational rows (media_id, pos, px) — the bridge
+    * from byte-level decode to COLUMNAR feature extraction: downstream
+    * ops (histograms, statistics, quantization) are then plain
+    * aggregations, codegen'd and shuffle-partitioned like any table.
+    * Row volume is pixels-per-image × images — the explode IS the point:
+    * image feature math becomes engine-native instead of per-blob UDF
+    * loops. */
+  def pgmPixelRows(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val h = parsePgmHeader(m.media_id, m.payload)
+      (0 until h.w * h.h).map(i =>
+        (m.media_id, i, m.payload(h.off + i) & 0xff))
+    }.toDF("media_id", "pos", "px")
+  }
+
+  /** Decoded SIGNED PCM samples as relational rows (media_id, k, s) —
+    * the audio twin of [[pgmPixelRows]] for sample-level DSP features
+    * (zero-crossing rate, autocorrelation) as plain aggregations. */
+  def wavSampleRows(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val n = parseWavHeader(m.media_id, m.payload)._4
+      (0 until n).map(k => (m.media_id, k, pcmSample(m.payload, k)))
+    }.toDF("media_id", "k", "s")
+  }
+
   /** Windowed PCM energy — the spectrogram-feature stand-in, REAL bytes
     * in: per fixed window of `winSamples` samples, the absolute-amplitude
     * sum and peak (exact integers). The trailing window may be partial

@@ -944,6 +944,38 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // pixel histogram: byte-level decode -> relational pixel rows -> one
+    // keyed aggregation; image feature math as engine-native columns
+    "q179_pixel_histogram" -> ((s, d) =>
+      Multimodal.pgmPixelRows(Multimodal.pgmFromDocuments(docs(s, d)))
+        .groupBy(col("media_id"), expr("px div 16").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("media_id", "bin")),
+    // audio DSP features over decoded SIGNED PCM: zero-crossing count
+    // and lag-1 autocorrelation — exact integers, one per-clip window
+    "q180_wav_dsp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("k")
+      Multimodal.wavSampleRows(Multimodal.wavFromDocuments(docs(s, d)))
+        .withColumn("prev", lag(col("s"), 1).over(w))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when((col("prev") >= 0) =!= (col("s") >= 0), 1L)
+            .otherwise(0L)).as("zero_crossings"),
+          sum(col("prev") * col("s")).as("autocorr_lag1"))
+        .orderBy("media_id")
+    }),
+    // triangle count over the verified near-dup graph — the cohesion
+    // metric beyond components: two ordered edge joins, never all-pairs
+    "q181_triangles" -> ((s, d) => {
+      val e = Dedup.minhashLshPairs(docs(s, d))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+      val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+      e.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
     // 3-D Morton interleave: the n-dim generalization (a 3-column
     // clustered layout prunes boxes in all three dimensions)
     "q176_zorder3" -> ((s, d) =>
@@ -3511,7 +3543,34 @@ object OpsQueries {
          l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "q178_jsonl_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    "q179_pixel_histogram" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents),
+         e AS (SELECT doc_id, unnest(p) AS v FROM px)
+         SELECT doc_id AS media_id, v // 16 AS bin,
+           count(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY media_id, bin""",
+    "q180_wav_dsp" ->
+      """WITH w AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         a AS (SELECT doc_id, n,
+           list_transform(generate_series(0, CAST(n - 1 AS INT)),
+             k -> (doc_id*31 + k*17) % 2048 - 1024) AS s
+           FROM w)
+         SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(generate_series(2, CAST(n AS INT)),
+             i -> CASE WHEN (s[i-1] >= 0) != (s[i] >= 0) THEN 1 ELSE 0 END))
+             AS BIGINT) AS zero_crossings,
+           CAST(list_sum(list_transform(generate_series(2, CAST(n AS INT)),
+             i -> s[i-1] * s[i])) AS BIGINT) AS autocorr_lag1
+         FROM a ORDER BY media_id""",
+    "q181_triangles" ->
+      s"""WITH ${MINHASH_CHAIN("documents")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+         SELECT count(*) AS n_triangles
+         FROM e e1 JOIN e e2 ON e1.b = e2.a
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157
