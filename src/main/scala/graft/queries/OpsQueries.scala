@@ -944,6 +944,53 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // the containment INDEX persisted and reused: corpus fingerprints
+    // computed once, stored through the lake, and joined by every fresh
+    // batch — same result as the recompute path (q160's oracle)
+    "q182_winnow_index_reuse" -> ((s, d) => {
+      val path = winnowIndexes.computeIfAbsent(d, _ => {
+        val p = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_winnowix_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+          new java.io.File(d).getName
+        TextAnalysis.winnowing(docs(s, d).filter(col("doc_id") % 10 =!= 0))
+          .select(col("doc_id").as("doc_a"), col("sel_hash")).distinct()
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val fc = s.read.parquet(path)
+      val ok = fc.groupBy("sel_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("sel_hash")
+      val fb = TextAnalysis.winnowing(
+          docs(s, d).filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id").as("doc_b"), col("sel_hash")).distinct()
+      fc.join(ok, "sel_hash").join(fb, "sel_hash")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    }),
+    // 3x3 box blur as SCATTER-GATHER: each decoded pixel contributes to
+    // its neighbors' sums (one bounded explode), one keyed aggregation
+    // gathers — convolution without any stencil join, the shape that
+    // scales to any kernel and any image count
+    "q183_box_blur" -> ((s, d) => {
+      val px = Multimodal.pgmPixelRows(
+          Multimodal.pgmFromDocuments(docs(s, d)))
+        .select(col("media_id"), (col("pos") % 16).as("x"),
+          expr("pos div 16").as("y"), col("px"))
+      val offsets = array((for { dy <- -1 to 1; dx <- -1 to 1 }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      px.select(col("media_id"), col("px"), col("x"), col("y"),
+          explode(offsets).as("o"))
+        .select(col("media_id"), col("px"),
+          (col("x") + col("o.dx")).as("tx"),
+          (col("y") + col("o.dy")).as("ty"))
+        .filter(col("tx").between(0, 15) && col("ty").between(0, 7))
+        .groupBy(col("media_id"), (col("ty") * 16 + col("tx")).as("pos"))
+        .agg(sum(col("px")).as("ssum"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 9) // interior pixels only
+        .select(col("media_id"), col("pos"),
+          expr("ssum div 9").as("blur"))
+        .orderBy("media_id", "pos")
+    }),
     // pixel histogram: byte-level decode -> relational pixel rows -> one
     // keyed aggregation; image feature math as engine-native columns
     "q179_pixel_histogram" -> ((s, d) =>
@@ -1126,6 +1173,9 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val orcLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val winnowIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val jsonLakes =
@@ -3570,7 +3620,36 @@ object OpsQueries {
          e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
          SELECT count(*) AS n_triangles
          FROM e e1 JOIN e e2 ON e1.b = e2.a
-         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""")
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    // identical relation to q160 — the stored-index path must agree
+    // with the recompute path
+    "q182_winnow_index_reuse" ->
+      s"""WITH fc AS (${winnowFpsSql("doc_id % 10 != 0")}),
+         fb AS (${winnowFpsSql("doc_id % 10 = 0")}),
+         ok AS (SELECT sel_hash FROM fc GROUP BY sel_hash
+           HAVING count(*) <= 64)
+         SELECT fc.doc_id AS doc_a, fb.doc_id AS doc_b,
+           count(*) AS n_shared
+         FROM fc JOIN ok ON fc.sel_hash = ok.sel_hash
+         JOIN fb ON fc.sel_hash = fb.sel_hash
+         GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    "q183_box_blur" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents),
+         e AS (SELECT doc_id, i - 1 AS pos, p[i] AS v FROM px,
+           generate_series(1, 128) g(i)),
+         c AS (SELECT doc_id,
+             ((pos // 16) + dy) * 16 + (pos % 16) + dx AS tpos, v
+           FROM e, (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),
+             (-1,1),(0,1),(1,1)) o(dx, dy)
+           WHERE (pos % 16) + dx BETWEEN 0 AND 15
+             AND (pos // 16) + dy BETWEEN 0 AND 7),
+         b AS (SELECT doc_id, tpos, sum(v) AS s, count(*) AS c
+           FROM c GROUP BY 1, 2)
+         SELECT doc_id AS media_id, CAST(tpos AS BIGINT) AS pos,
+           CAST(s // 9 AS BIGINT) AS blur
+         FROM b WHERE c = 9 ORDER BY media_id, pos""")
 
   /** Distinct (doc_id, sel_hash) winnowing fingerprints (w = 4) over the
     * documents rows matching `pred` — the composable core of the q157
