@@ -70,6 +70,11 @@ object StreamQueries {
     // state (segments x users/62 rows); equals the batch q162
     "q175_stream_bitmap" -> ((s, d) =>
       StreamingOps.streamBitmapSegments(s, d)),
+    // Spark's NATIVE session_window operator (watermarked append):
+    // emits the finalized sessions; last-event ends recovered as
+    // window.end - gap
+    "q184_native_session" -> ((s, d) =>
+      StreamingOps.nativeSessionWindows(s, d)),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -185,6 +190,24 @@ object StreamQueries {
     // stream-equals-batch: the q154 oracle verbatim
     "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel"),
     // stream-equals-batch: the q162 oracle verbatim
-    "q175_stream_bitmap" -> OpsQueries.oracles("q162_bitmap_segments")
+    "q175_stream_bitmap" -> OpsQueries.oracles("q162_bitmap_segments"),
+    // the q34 gap-session chain under native interval-merge semantics
+    // (a gap of EXACTLY 1 h starts a new session: [a,b) ∪ [b,c) do not
+    // overlap), restricted to sessions finalized under the watermark
+    // (last event + gap <= max event time - gap)
+    "q184_native_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts
+           FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w >= 3600000000 THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         g AS (SELECT user_id, min(ts) AS start_us, max(ts) AS end_us,
+           count(*) AS n_events FROM s GROUP BY user_id, sid),
+         c AS (SELECT max(ts) - 3600000000 AS wm FROM e)
+         SELECT user_id, start_us, end_us, n_events FROM g, c
+         WHERE end_us + 3600000000 <= wm
+         ORDER BY user_id, start_us"""
   )
 }

@@ -700,6 +700,44 @@ object StreamingOps {
     graft.ops.Funnel.finish(ss.table(name), steps).orderBy("user_id")
   }
 
+  /** Sessionization through Spark's NATIVE `session_window` operator —
+    * the built-in that exists for exactly this job (gap-merged
+    * event-time windows with watermark-driven state eviction), used
+    * instead of custom state where it fits: prefer the engine's
+    * operator, drop to flatMapGroupsWithState only when semantics
+    * demand it (the q34 family needs last-EVENT session ends mid-struct;
+    * here the native window.end - gap recovers them exactly). Append
+    * mode + 1 h watermark on a finite source emits the FINALIZED
+    * sessions: every session whose last event + gap precedes the final
+    * watermark (max event time - 1 h) — the q81 finalized-prefix
+    * contract applied to sessions. */
+  def nativeSessionWindows(spark: SparkSession, sfDir: String,
+      gapUs: Long = 3600000000L): DataFrame = {
+    val name = "native_session_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val gap = s"$gapUs microseconds"
+    val (schema, tsMicros) = eventsStream(ss, sfDir)
+    ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"),
+        timestamp_micros(tsMicros).as("event_time"))
+      .withWatermark("event_time", gap)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        // native session end = last event + gap; recover the last event
+        (unix_micros(col("session_window.end")) - gapUs).as("end_us"),
+        col("n_events"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("user_id", "start_us")
+  }
+
   /** Streaming audience bitmaps: the per-(segment, word) `bit_or`
     * register IS the streaming aggregation state — bounded at
     * segments × users/62 rows, mergeable across micro-batches (OR is
