@@ -944,6 +944,50 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // time-series resample (OHLC): per (user, hour) first/last by exact
+    // (ts, event_id) order via min_by/max_by, min/max — ONE hash
+    // aggregation, no window, no sort
+    "q185_ohlc_resample" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"),
+          expr("ts_us div 3600000000").as("hour"))
+        .agg(min_by(col("value"),
+            format_string("%020d%020d", col("ts_us"), col("event_id")))
+            .as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"),
+            format_string("%020d%020d", col("ts_us"), col("event_id")))
+            .as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "hour")),
+    // gap-fill + forward-fill: materialize every (user, hour) slot in
+    // the observed range and carry the last known value forward — the
+    // time-series densification join, one generate-range explode + one
+    // per-user window
+    "q186_gap_fill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"),
+          expr("ts_us div 3600000000").as("hour"))
+        .agg(max_by(col("value"),
+          format_string("%020d%020d", col("ts_us"), col("event_id")))
+          .as("v"))
+      val spans = hourly.groupBy("user_id")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      val slots = spans.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      slots.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("is_observed", col("v").isNotNull)
+        .select("user_id", "hour", "filled", "is_observed")
+        .orderBy("user_id", "hour")
+    }),
     // the containment INDEX persisted and reused: corpus fingerprints
     // computed once, stored through the lake, and joined by every fresh
     // batch — same result as the recompute path (q160's oracle)
@@ -3633,6 +3677,32 @@ object OpsQueries {
          FROM fc JOIN ok ON fc.sel_hash = ok.sel_hash
          JOIN fb ON fc.sel_hash = fb.sel_hash
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    "q185_ohlc_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           value, epoch_us(ts) // 3600000000 AS hour FROM events)
+         SELECT user_id, hour,
+           arg_min(value, printf('%020d%020d', ts_us, event_id)) AS open,
+           max(value) AS high, min(value) AS low,
+           arg_max(value, printf('%020d%020d', ts_us, event_id)) AS close,
+           count(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY user_id, hour""",
+    "q186_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           value, epoch_us(ts) // 3600000000 AS hour FROM events),
+         hourly AS (SELECT user_id, hour,
+           arg_max(value, printf('%020d%020d', ts_us, event_id)) AS v
+           FROM e GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+           FROM hourly GROUP BY 1),
+         slots AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour
+           FROM spans)
+         SELECT s.user_id, s.hour,
+           last_value(h.v IGNORE NULLS) OVER (PARTITION BY s.user_id
+             ORDER BY s.hour ROWS UNBOUNDED PRECEDING) AS filled,
+           h.v IS NOT NULL AS is_observed
+         FROM slots s LEFT JOIN hourly h
+           ON s.user_id = h.user_id AND s.hour = h.hour
+         ORDER BY s.user_id, s.hour""",
     "q183_box_blur" ->
       """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
            i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
