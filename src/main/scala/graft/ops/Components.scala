@@ -249,5 +249,21 @@ object Components {
     connectedComponents(pairs, aCol, bCol)
       .groupBy(col("component_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Triangle count over an ordered pair table (doc_a < doc_b): two
+    * edge joins — e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — over the PERSISTED
+    * edge list, so the (possibly expensive) pair generator runs once,
+    * not once per join leg. Ordered edges count each triangle exactly
+    * once; cost tracks Σ deg² of the pair graph, bounded by the band
+    * caps that produced it — never corpus-quadratic. */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e = TextKit.tracked(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val e2 = e.select(col("a").as("b2"), col("b").as("c"))
+    val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
+    e.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }
 

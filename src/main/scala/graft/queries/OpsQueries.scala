@@ -1057,16 +1057,10 @@ object OpsQueries {
         .orderBy("media_id")
     }),
     // triangle count over the verified near-dup graph — the cohesion
-    // metric beyond components: two ordered edge joins, never all-pairs
-    "q181_triangles" -> ((s, d) => {
-      val e = Dedup.minhashLshPairs(docs(s, d))
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val e2 = e.select(col("a").as("b2"), col("b").as("c"))
-      val e3 = e.select(col("a").as("a3"), col("b").as("c3"))
-      e.join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-        .agg(count(lit(1)).as("n_triangles"))
-    }),
+    // metric beyond components: two ordered edge joins over the
+    // PERSISTED pair list, never all-pairs
+    "q181_triangles" -> ((s, d) =>
+      Components.triangleCount(Dedup.minhashLshPairs(docs(s, d)))),
     // 3-D Morton interleave: the n-dim generalization (a 3-column
     // clustered layout prunes boxes in all three dimensions)
     "q176_zorder3" -> ((s, d) =>
