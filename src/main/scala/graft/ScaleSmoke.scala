@@ -504,6 +504,30 @@ object ScaleSmoke {
       timeLayout(s"layout_${k}x", k)
     }
 
+    // Winnowing containment: corpus fingerprints + batch join. With
+    // perturbed replicas (disjoint token spaces) the fingerprint volume
+    // grows linearly and the df-capped join must track it — no
+    // quadratic blowup from the shared-hash fan-out.
+    if (enabled("winnow")) {
+      def timeWinnow(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val all = replicate(times, perturb = true)
+        val corpus = all.filter(col("doc_id") % 10 =!= 0)
+        val batch = all.filter(col("doc_id") % 10 === 0)
+        val t0 = System.nanoTime()
+        val out = graft.ops.TextAnalysis
+          .winnowContainment(corpus, batch).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""containment_pairs":$out,"winnow_sec":$sec%.2f}""")
+      }
+      timeWinnow("warmup", 1, silent = true)
+      timeWinnow("winnow_1x", 1)
+      timeWinnow(s"winnow_${k}x", k)
+    }
+
     // CDC apply: with a FIXED batch, the broadcast-MERGE path's cost
     // tracks the target scan (narrow) — the shuffle fallback pays a wide
     // exchange of the whole target and falls behind as the target grows.
