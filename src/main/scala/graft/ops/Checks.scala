@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints computed in ONE aggregation pass
+  * (the Deequ idea, engine-native): a check suite compiles to a single
+  * `agg(...)` over the table — completeness, uniqueness, bounds, and
+  * membership all share the same scan, so at 100 TB the quality gate
+  * costs exactly one pass however many constraints ride on it. The
+  * output is a tall (check, metric, passed) report — the relation a WAP
+  * audit or a monitoring sink consumes directly.
+  *
+  * Determinism: counts are exact; ratio metrics are single double
+  * divisions of exact longs.
+  */
+object Checks {
+
+  sealed trait Check {
+    def name: String
+    /** Aggregate expressions this check needs (names prefixed). */
+    private[Checks] def aggs: Seq[Column]
+    /** metric value and pass verdict from the aggregated row. */
+    private[Checks] def result(prefix: String): (Column, Column)
+  }
+
+  /** Fraction of non-null values == 1.0 (or a floor). */
+  final case class Complete(col_ : String, atLeast: Double = 1.0)
+      extends Check {
+    val name = s"complete($col_)"
+    private[Checks] def aggs = Seq(
+      count(col(col_)).as(s"${key}_n"), count(lit(1)).as(s"${key}_t"))
+    private[Checks] def result(p: String) = {
+      val m = col(s"$p${key}_n").cast("double") /
+        col(s"$p${key}_t").cast("double")
+      (m, m >= atLeast)
+    }
+    private def key = s"c_${col_}"
+  }
+
+  /** Distinct count equals row count (a key). */
+  final case class Unique(col_ : String) extends Check {
+    val name = s"unique($col_)"
+    private[Checks] def aggs = Seq(
+      countDistinct(col(col_)).as(s"${key}_d"),
+      count(col(col_)).as(s"${key}_n"))
+    private[Checks] def result(p: String) = {
+      val m = col(s"$p${key}_d").cast("double") /
+        col(s"$p${key}_n").cast("double")
+      (m, col(s"$p${key}_d") === col(s"$p${key}_n"))
+    }
+    private def key = s"u_${col_}"
+  }
+
+  /** Every value inside [lo, hi]. */
+  final case class InRange(col_ : String, lo: Double, hi: Double)
+      extends Check {
+    val name = s"in_range($col_)"
+    private[Checks] def aggs = Seq(
+      count(when(col(col_) < lo || col(col_) > hi, 1)).as(s"${key}_v"))
+    private[Checks] def result(p: String) =
+      (col(s"$p${key}_v").cast("double"), col(s"$p${key}_v") === 0L)
+    private def key = s"r_${col_}"
+  }
+
+  /** Every value in the allowed set. */
+  final case class InSet(col_ : String, allowed: Seq[String])
+      extends Check {
+    val name = s"in_set($col_)"
+    private[Checks] def aggs = Seq(
+      count(when(!col(col_).isin(allowed.map(lit): _*), 1))
+        .as(s"${key}_v"))
+    private[Checks] def result(p: String) =
+      (col(s"$p${key}_v").cast("double"), col(s"$p${key}_v") === 0L)
+    private def key = s"s_${col_}"
+  }
+
+  /** At least `atLeast` rows. */
+  final case class MinRows(atLeast: Long) extends Check {
+    val name = "min_rows"
+    private[Checks] def aggs = Seq(count(lit(1)).as("mr_n"))
+    private[Checks] def result(p: String) =
+      (col(s"${p}mr_n").cast("double"), col(s"${p}mr_n") >= atLeast)
+  }
+
+  /** Run the suite: ONE aggregation over `df`, then one row per check:
+    * (check, metric, passed). */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggs = checks.flatMap(_.aggs)
+    // distinct agg aliases may collide across checks on the same column
+    // — Spark would throw on duplicate names, which is the right loud
+    // failure for a miswritten suite
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val reports = checks.map { c =>
+      val (m, p) = c.result("")
+      struct(lit(c.name).as("check"), m.as("metric"), p.as("passed"))
+    }
+    row.select(explode(array(reports: _*)).as("r"))
+      .select(col("r.check"), col("r.metric"), col("r.passed"))
+  }
+
+  /** The suite as a WAP-style boolean gate: true iff every check passes
+    * (drives [[graft.lake.ManifestCommit.stageAndPublish]] audits). */
+  def gate(df: DataFrame, checks: Seq[Check]): Boolean =
+    run(df, checks).filter(!col("passed")).isEmpty
+}

@@ -944,6 +944,17 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // declarative data-quality suite (the Deequ idea): five constraints
+    // compiled into ONE aggregation pass, tall (check, metric, passed)
+    // report out — the relation a WAP audit consumes
+    "q188_quality_checks" -> ((s, d) =>
+      Checks.run(Tables(s, d, "orders"), Seq(
+          Checks.Complete("o_custkey"),
+          Checks.Unique("o_orderkey"),
+          Checks.InRange("o_totalprice", 0.0, 1.0e7),
+          Checks.InSet("o_orderstatus", Seq("F", "O", "P")),
+          Checks.MinRows(1)))
+        .orderBy("check")),
     // time-series resample (OHLC): per (user, hour) first/last by exact
     // (ts, event_id) order via min_by/max_by, min/max — ONE hash
     // aggregation, no window, no sort
@@ -3671,6 +3682,28 @@ object OpsQueries {
          FROM fc JOIN ok ON fc.sel_hash = ok.sel_hash
          JOIN fb ON fc.sel_hash = fb.sel_hash
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    "q188_quality_checks" ->
+      """WITH a AS (SELECT count(o_custkey) AS cn, count(*) AS ct,
+           count(DISTINCT o_orderkey) AS ud, count(o_orderkey) AS un,
+           count(CASE WHEN o_totalprice < 0
+             OR o_totalprice > 10000000 THEN 1 END) AS rv,
+           count(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+             AS sv,
+           count(*) AS mr FROM orders)
+         SELECT * FROM (
+           SELECT 'complete(o_custkey)' AS "check",
+             CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE) AS metric,
+             CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE) >= 1.0 AS passed
+           FROM a
+           UNION ALL SELECT 'unique(o_orderkey)',
+             CAST(ud AS DOUBLE) / CAST(un AS DOUBLE), ud = un FROM a
+           UNION ALL SELECT 'in_range(o_totalprice)',
+             CAST(rv AS DOUBLE), rv = 0 FROM a
+           UNION ALL SELECT 'in_set(o_orderstatus)',
+             CAST(sv AS DOUBLE), sv = 0 FROM a
+           UNION ALL SELECT 'min_rows', CAST(mr AS DOUBLE), mr >= 1
+           FROM a)
+         ORDER BY "check"""",
     "q185_ohlc_resample" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
            value, epoch_us(ts) // 3600000000 AS hour FROM events)

@@ -75,6 +75,9 @@ object StreamQueries {
     // window.end - gap
     "q184_native_session" -> ((s, d) =>
       StreamingOps.nativeSessionWindows(s, d)),
+    // streaming OHLC: min_by/max_by bars AS streaming aggregation
+    // state; equals the batch q185 on a finite source
+    "q187_stream_ohlc" -> ((s, d) => StreamingOps.streamOhlc(s, d)),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -208,6 +211,8 @@ object StreamQueries {
          c AS (SELECT max(ts) - 3600000000 AS wm FROM e)
          SELECT user_id, start_us, end_us, n_events FROM g, c
          WHERE end_us + 3600000000 <= wm
-         ORDER BY user_id, start_us"""
+         ORDER BY user_id, start_us""",
+    // stream-equals-batch: the q185 oracle verbatim
+    "q187_stream_ohlc" -> OpsQueries.oracles("q185_ohlc_resample")
   )
 }

@@ -738,6 +738,34 @@ object StreamingOps {
     ss.table(name).orderBy("user_id", "start_us")
   }
 
+  /** Streaming OHLC resample: min_by/max_by on the zero-padded
+    * total-order key ARE streaming-legal aggregates (order-insensitive,
+    * mergeable), so the per-(user, hour) bar state maintains itself
+    * across micro-batches with no window and no custom state. Equals
+    * the batch q185 on a finite source. */
+  def streamOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_ohlc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val (schema, tsMicros) = eventsStream(ss, sfDir)
+    val key = format_string("%020d%020d", col("ts_us"), col("event_id"))
+    ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), tsMicros.as("ts_us"), col("event_id"),
+        col("value"))
+      .groupBy(col("user_id"), expr("ts_us div 3600000000").as("hour"))
+      .agg(min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("user_id", "hour")
+  }
+
   /** Streaming audience bitmaps: the per-(segment, word) `bit_or`
     * register IS the streaming aggregation state — bounded at
     * segments × users/62 rows, mergeable across micro-batches (OR is
