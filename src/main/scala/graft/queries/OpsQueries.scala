@@ -944,6 +944,12 @@ object OpsQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // EXACT set-similarity join via prefix filtering (SSJoin/ppjoin):
+    // rarest-first prefixes generate candidates, pigeonhole guarantees
+    // zero loss at the threshold — precision AND recall 1.0, unlike LSH
+    "q189_prefix_join" -> ((s, d) =>
+      Dedup.prefixFilterPairs(docs(s, d), tau = 0.5)
+        .orderBy("doc_a", "doc_b")),
     // declarative data-quality suite (the Deequ idea): five constraints
     // compiled into ONE aggregation pass, tall (check, metric, passed)
     // report out — the relation a WAP audit consumes
@@ -3682,6 +3688,22 @@ object OpsQueries {
          FROM fc JOIN ok ON fc.sel_hash = ok.sel_hash
          JOIN fb ON fc.sel_hash = fb.sel_hash
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    "q189_prefix_join" ->
+      s"""WITH $SHINGLES,
+         dfs AS (SELECT m, count(*) AS df FROM sh GROUP BY m),
+         psizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pref AS (SELECT doc_id, m FROM (
+           SELECT sh.doc_id, sh.m, dfs.df, psizes.n,
+             row_number() OVER (PARTITION BY sh.doc_id
+               ORDER BY dfs.df, sh.m) AS rk
+           FROM sh JOIN dfs ON sh.m = dfs.m
+           JOIN psizes ON sh.doc_id = psizes.doc_id)
+           WHERE rk <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+             AND df <= 1000),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM pref a JOIN pref b ON a.m = b.m
+             AND a.doc_id < b.doc_id),
+         ${JACCARD_TAIL(0.5)}""",
     "q188_quality_checks" ->
       """WITH a AS (SELECT count(o_custkey) AS cn, count(*) AS ct,
            count(DISTINCT o_orderkey) AS ud, count(o_orderkey) AS un,
