@@ -78,6 +78,10 @@ object StreamQueries {
     // streaming OHLC: min_by/max_by bars AS streaming aggregation
     // state; equals the batch q185 on a finite source
     "q187_stream_ohlc" -> ((s, d) => StreamingOps.streamOhlc(s, d)),
+    // point-in-time enrichment: the purchase stream joins the SCD-2
+    // dimension at EVENT time (no future-version leakage); equals the
+    // batch interval join
+    "q190_stream_pit" -> ((s, d) => StreamingOps.streamPointInTime(s, d)),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -213,6 +217,27 @@ object StreamQueries {
          WHERE end_us + 3600000000 <= wm
          ORDER BY user_id, start_us""",
     // stream-equals-batch: the q185 oracle verbatim
-    "q187_stream_ohlc" -> OpsQueries.oracles("q185_ohlc_resample")
+    "q187_stream_ohlc" -> OpsQueries.oracles("q185_ohlc_resample"),
+    // batch twin: the q153 SCD-2 chain interval-joined to purchases at
+    // their event time
+    "q190_stream_pit" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           event_type FROM events),
+         c AS (SELECT user_id, ts_us, event_id, event_type FROM (
+           SELECT user_id, ts_us, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS prev FROM e)
+           WHERE prev IS NULL OR prev != event_type),
+         dim AS (SELECT user_id AS d_user, event_type AS state,
+           ts_us AS valid_from,
+           lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS valid_to FROM c),
+         p AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts_us, dim.state
+         FROM p JOIN dim ON p.user_id = dim.d_user
+           AND p.ts_us >= dim.valid_from
+           AND (dim.valid_to IS NULL OR p.ts_us < dim.valid_to)
+         ORDER BY p.event_id"""
   )
 }

@@ -738,6 +738,44 @@ object StreamingOps {
     ss.table(name).orderBy("user_id", "start_us")
   }
 
+  /** Point-in-time enrichment at ingest: the purchase stream joins the
+    * BATCH-built SCD-2 dimension history on (key, event-time within
+    * validity interval) — a stream-static non-equi join, row-local per
+    * event, so arriving facts carry the dimension attribute AS OF their
+    * OWN timestamp (the feature-store correctness rule: no leakage from
+    * future dimension versions). The dimension is static per run; a
+    * production deployment swaps it per micro-batch via foreachBatch
+    * without touching the join. */
+  def streamPointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "stream_pit_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // batch side: the SCD-2 history of per-user event_type state
+    val dim = graft.ops.Cdc.scd2(
+      graft.Tables(ss, sfDir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_id"),
+        col("event_type")),
+      "user_id", "ts_us", "event_id", Seq("event_type"))
+      .select(col("user_id").as("d_user"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"))
+    val (schema, tsMicros) = eventsStream(ss, sfDir)
+    ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), tsMicros.as("ts_us"), col("user_id"))
+      .join(dim,
+        col("user_id") === col("d_user") &&
+          col("ts_us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("state"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name).orderBy("event_id")
+  }
+
   /** Streaming OHLC resample: min_by/max_by on the zero-padded
     * total-order key ARE streaming-legal aggregates (order-insensitive,
     * mergeable), so the per-(user, hour) bar state maintains itself
