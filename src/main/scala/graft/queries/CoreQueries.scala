@@ -296,7 +296,36 @@ object CoreQueries {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** Unpivot (§2.5's pivot inverted): measure columns melt to
+    * (measure, value) rows via stack — row-local, no shuffle beyond the
+    * output sort; the schema-normalization step long-format pipelines
+    * start from. */
+  def q191Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'quantity', l_quantity, 'extendedprice', " +
+          "l_extendedprice, 'discount', l_discount) AS (measure, value)"))
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
+  /** INTERSECT / EXCEPT (§2.7 completed beyond q20's union): nations
+    * having customers in the MACHINERY segment vs nations having
+    * suppliers — both set ops in one labeled union. */
+  def q192SetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_nationkey").cast(LongType).as("nationkey"))
+    val s = Tables(spark, dir, "supplier")
+      .select(col("s_nationkey").cast(LongType).as("nationkey"))
+    c.intersect(s).withColumn("op", lit("intersect"))
+      .unionByName(c.except(s).withColumn("op", lit("except")))
+      .orderBy("op", "nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q191_unpivot" -> (q191Unpivot _),
+    "q192_set_diff" -> (q192SetDiff _),
     "q156_rollup" -> (q156Rollup _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_ratio_guard" -> (q02RatioGuard _),
@@ -320,6 +349,27 @@ object CoreQueries {
     "q20_set_ops" -> (q20SetOps _))
 
   val oracles: Map[String, String] = Map(
+    "q191_unpivot" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+         SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+             l_quantity AS value FROM li
+           UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+             l_extendedprice FROM li
+           UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+             l_discount FROM li)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "q192_set_diff" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+           FROM customer WHERE c_mktsegment = 'MACHINERY'),
+         s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey
+           FROM supplier)
+         SELECT nationkey, 'intersect' AS op FROM
+           (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+         UNION ALL
+         SELECT nationkey, 'except' FROM
+           (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+         ORDER BY op, nationkey""",
     "q156_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
