@@ -85,7 +85,10 @@ object Embeddings {
   private def dotExpr(colName: String, v: Array[Long]): String =
     s"aggregate(zip_with($colName, ${lit64(v)}, (a, b) -> a * b), 0L, (s, t) -> s + t)"
 
-  /** DuckDB mirror of [[abtt]] over the `embeddings` table. */
+  /** DuckDB mirror of [[abtt]] over the `embeddings` table, with the
+    * residual array exploded to one `(vec_id, top_coord, j, resid_j)`
+    * row per dimension (0-based `j`, matching `posexplode`) so the
+    * oracle harness compares scalar cells only. */
   def ducksql(dim: Int = 64, iters: Int = 3): String = {
     // DuckDB // floors; Spark div / BigInt divide truncate toward zero.
     def tdiv(a: String, b: String) =
@@ -123,10 +126,9 @@ object Embeddings {
        fin AS (SELECT cx.vec_id,
          CAST(${dot("cx.cx", "vn.v")} AS BIGINT) AS top_coord, cx.cx, vn.v,
          vn.vnorm FROM cx, vn)
-       SELECT vec_id, top_coord,
-         list_transform(generate_series(1, $dim),
-           i -> CAST(cx[i] - ${tdiv("top_coord * v[i]", "vnorm")} AS BIGINT))
-           AS resid
-       FROM fin ORDER BY vec_id"""
+       SELECT vec_id, top_coord, g.j - 1 AS j,
+         CAST(cx[g.j] - ${tdiv("top_coord * v[g.j]", "vnorm")} AS BIGINT)
+           AS resid_j
+       FROM fin, generate_series(1, $dim) AS g(j) ORDER BY vec_id, j"""
   }
 }

@@ -604,9 +604,15 @@ object OpsQueries {
         .toDF().orderBy("media_id")),
     // ABTT embedding isotropy correction: corpus mean + dominant
     // direction (3 integer power iterations, O(dim) driver state)
-    // removed from every vector — all-integer, residuals oracle-checked
+    // removed from every vector — all-integer, residuals oracle-checked.
+    // The resid array is posexploded to (vec_id, j, resid_j) rows: the
+    // driver's pandas row-sort cannot order array cells, so query
+    // outputs keep scalar columns only (repo-wide convention, round 9)
     "q137_abtt" -> ((s, d) =>
-      Embeddings.abtt(emb(s, d)).orderBy("vec_id")),
+      Embeddings.abtt(emb(s, d))
+        .select(col("vec_id"), col("top_coord"),
+          posexplode(col("resid")).as(Seq("j", "resid_j")))
+        .orderBy("vec_id", "j")),
     // temperature-scaled source mixing (alpha = 0.5): shares
     // proportional to sqrt(per-source tokens), 12k-token overall
     // budget, stateless hash-gate admission
