@@ -423,7 +423,16 @@ object Compaction {
       sortCol: Option[String] = None): Seq[Report] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    leafPartitions(fs, root).flatMap { dir =>
+    // an unpartitioned table is its own leaf — the same fallback
+    // liveFiles/readTableWhere use. Without it the gc + stale-staging
+    // sweep below never visits the root, so a crashed WAP/compaction's
+    // `._compacting-*` garbage on an unpartitioned table (the q169
+    // shape) would never be collected.
+    val parts = leafPartitions(fs, root) match {
+      case Seq() if fs.exists(root) => Seq(root)
+      case ps                       => ps
+    }
+    parts.flatMap { dir =>
       ManifestCommit.gc(fs, dir, gcGraceMs)
       // sweep crashed runs' hidden staging dirs (run-unique names; the
       // age gate keeps a live concurrent run's stage safe)

@@ -55,11 +55,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pay one LIST + one GET per partition, the same metadata cost the
   * plain file listing already paid.
   *
-  * Format: line 1 `#graft 1 <liveCount> <removedCount>` (the counts make
-  * a torn HDFS write detectable — [[currentSnapshot]] skips invalid
-  * manifests and [[tryCommit]] reclaims their version slot; an
-  * object-store PUT can never be torn), then `A <name>` per live file and
-  * `R <epochMs> <name>` per file removed by that commit.
+  * Format: line 1 `#graft 1 <liveCount> <removedCount> <bloomCount>`
+  * (the counts make a torn HDFS write detectable — [[currentSnapshot]]
+  * skips invalid manifests and [[tryCommit]] reclaims their version
+  * slot; an object-store PUT can never be torn), then `A <name>` per
+  * live file, `R <epochMs> <name>` per file removed by that commit, and
+  * `F <name>\t<bloom>` per bloom-carrying file. The bloom count covers
+  * the F tail: a truncation inside or after the bloom section
+  * invalidates the manifest exactly as a torn A/R section does. A
+  * two-count header (pre-round-9 manifests) stays valid with its F
+  * lines unvalidated — the conservative legacy behavior.
   */
 object ManifestCommit {
 
@@ -183,9 +188,14 @@ object ManifestCommit {
           case _            => None
         }
       }
+      val bloomLines = lines.tail.count(_.startsWith("F "))
       counts match {
+        // legacy two-count header: F lines (if any) are unvalidated
         case Array(a, r) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) => Some((live, removed))
+        case Array(a, r, f) if a.toIntOption.contains(live.size) &&
+            r.toIntOption.contains(removed.size) &&
+            f.toIntOption.contains(bloomLines) => Some((live, removed))
         case _ => None
       }
     }
@@ -239,10 +249,11 @@ object ManifestCommit {
       if (bs.isEmpty) None
       else Some(s"F $n\t${bs.map(bloomToken).mkString("\t")}")
     }
-    val body = (s"$Header ${live.size} ${removed.size}" +:
-      (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
-        bloomLines))
-      .mkString("\n")
+    val body =
+      (s"$Header ${live.size} ${removed.size} ${bloomLines.size}" +:
+        (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
+          bloomLines))
+        .mkString("\n")
     def createExclusive(): Boolean =
       try {
         val out = fs.create(p, false)
@@ -318,7 +329,11 @@ object ManifestCommit {
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
       if (!consumed.subsetOf(snap.files.toSet)) return None
-      val live = snap.files.filterNot(consumed) ++ produced
+      // dedupe against the survivors: a produced name some other path
+      // already committed must not appear as a second A entry (a reader
+      // would double-count its rows)
+      val survivors = snap.files.filterNot(consumed)
+      val live = survivors ++ produced.filterNot(survivors.contains)
       val tombstones = consumed.toSeq.sorted.map(nowMs -> _)
       // consumed files' stats/blooms die with them; survivors keep
       // theirs (the compactor may commit fresh ones via appendFiles)
@@ -374,7 +389,12 @@ object ManifestCommit {
   /** Commit any visible data files a plain directory-append writer (e.g.
     * Lake.write running in a manifest-mode deployment) added since the
     * last commit: every visible data file that is neither live nor
-    * tombstoned joins the live set. Returns the resulting snapshot. */
+    * tombstoned joins the live set. `compact-*` names are NEVER adopted:
+    * a [[CompactedPrefix]] file only enters the live set through its own
+    * producer's commit ([[replaceFiles]] / [[appendFiles]]) — an unknown
+    * one is a deleteRange/compaction/WAP run still in flight (or crashed,
+    * awaiting [[gc]]), and adopting it would double-read its rows the
+    * moment the producer commits. Returns the resulting snapshot. */
   def adoptNewFiles(fs: FileSystem, partition: Path): Snapshot = {
     val snap = bootstrap(fs, partition)
     val versions = listVersions(fs, partition)
@@ -386,7 +406,8 @@ object ManifestCommit {
       if (fs.exists(partition))
         fs.listStatus(partition).toIndexedSeq
           .filter(st => !st.isDirectory && isDataFile(st.getPath.getName))
-          .map(_.getPath.getName).filter(!known.contains(_))
+          .map(_.getPath.getName)
+          .filter(n => !known.contains(n) && !n.startsWith(CompactedPrefix))
       else Nil
     if (fresh.isEmpty) snap else appendFiles(fs, partition, fresh)
   }
@@ -516,8 +537,11 @@ object ManifestCommit {
     if (touched.isEmpty) return (0, snap.files.size)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val staged = new Path(partition, s"._deleting-$runId")
+    // NULL keys are OUTSIDE every [lo, hi]: `!between` alone evaluates
+    // to NULL (row dropped) on a NULL key, silently deleting rows the
+    // caller never asked to remove — the isNull disjunct keeps them
     spark.read.parquet(touched.map(new Path(partition, _).toString): _*)
-      .filter(!col(keyCol).between(lo, hi))
+      .filter(col(keyCol).isNull || !col(keyCol).between(lo, hi))
       .write.parquet(staged.toString)
     val produced = fs.listStatus(staged).toIndexedSeq
       .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&

@@ -373,6 +373,113 @@ class ManifestCommitSpec extends SparkSpec {
       stats.getOrElse(n, Nil).exists(_.col == "k")))
   }
 
+  test("targeted delete keeps NULL-key rows (ADVICE r8: !between drops NULLs)") {
+    hc
+    val local = Files.createTempDirectory("graft-manifest-delnull").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    // every 10th key NULL: a GDPR delete of [100, 199] must remove the
+    // 90 non-null in-range rows and NONE of the 100 null-key rows
+    val df = spark.range(1000).select(
+      when($"id" % 10 === 0, lit(null)).otherwise($"id")
+        .cast("long").as("k"),
+      ($"id" % 7).as("v"))
+    df.coalesce(2).write.parquet(root)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    ManifestCommit.deleteRange(spark, dir, "k", 100L, 199L, Seq("k"))
+    val got = ManifestCommit.readTable(spark, root)
+    assert(got.filter($"k".between(100, 199)).count() == 0L,
+      "in-range rows must be deleted")
+    assert(got.filter($"k".isNull).count() == 100L,
+      "NULL-key rows must survive a range delete")
+    assert(got.count() == 910L)
+  }
+
+  test("adoptNewFiles never adopts an uncommitted compact-* file") {
+    hc
+    val dir = new Path("file://" +
+      Files.createTempDirectory("graft-mc-adopt").toString + "/p")
+    val fs = dir.getFileSystem(hc)
+    fs.mkdirs(dir)
+    def touch(n: String): Unit = fs.create(new Path(dir, n), false).close()
+    touch("a.parquet")
+    ManifestCommit.bootstrap(fs, dir)
+    // an in-flight deleteRange/compaction has renamed its output into the
+    // partition but not committed yet — adoption must leave it alone
+    touch("compact-del-infl-part0.parquet")
+    val snap = ManifestCommit.adoptNewFiles(fs, dir)
+    assert(snap.files == Seq("a.parquet"),
+      s"in-flight compact-* file adopted: ${snap.files}")
+    // the producer's own commit is the only way in; a later adopt sweep
+    // then sees it as known (live), no duplicate entry
+    val replaced = ManifestCommit.replaceFiles(fs, dir, Set("a.parquet"),
+      Seq("compact-del-infl-part0.parquet"))
+    assert(replaced.exists(_.files == Seq("compact-del-infl-part0.parquet")))
+    val again = ManifestCommit.adoptNewFiles(fs, dir)
+    assert(again.files == Seq("compact-del-infl-part0.parquet"))
+  }
+
+  test("replaceFiles dedupes produced names already live") {
+    hc
+    val dir = new Path("file://" +
+      Files.createTempDirectory("graft-mc-dedupe").toString + "/p")
+    val fs = dir.getFileSystem(hc)
+    fs.mkdirs(dir)
+    def touch(n: String): Unit = fs.create(new Path(dir, n), false).close()
+    Seq("a.parquet", "compact-c.parquet").foreach(touch)
+    ManifestCommit.bootstrap(fs, dir)
+    // a retry/racer hands replaceFiles a produced name that is already
+    // live: the manifest must list it ONCE (a duplicate A entry would
+    // double-read its rows)
+    val snap = ManifestCommit.replaceFiles(fs, dir, Set("a.parquet"),
+      Seq("compact-c.parquet")).get
+    assert(snap.files.count(_ == "compact-c.parquet") == 1,
+      s"duplicate live entry: ${snap.files}")
+    assert(snap.files == Seq("compact-c.parquet"))
+  }
+
+  test("torn bloom tail invalidates the manifest (header bloom count)") {
+    hc
+    val dir = new Path("file://" +
+      Files.createTempDirectory("graft-mc-tornbloom").toString + "/p")
+    val fs = dir.getFileSystem(hc)
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, "a.parquet"), false).close()
+    val v1 = ManifestCommit.bootstrap(fs, dir)
+    // a committer died inside the F section: header promises 2 bloom
+    // lines, only 1 landed — the manifest must NOT validate (pre-round-9
+    // this passed as a commit with silently-partial blooms)
+    val torn = new Path(dir, s"${ManifestCommit.LogDirName}/v00000002.manifest")
+    val out = fs.create(torn, false)
+    out.write(("#graft 1 1 0 2\nA a.parquet\n" +
+      "F a.parquet\tk:8192:4:00").getBytes("UTF-8"))
+    out.close()
+    assert(ManifestCommit.currentSnapshot(fs, dir).contains(v1),
+      "manifest with a torn bloom tail must fall back to the last valid version")
+  }
+
+  test("stale WAP staging on an UNPARTITIONED table is swept") {
+    hc
+    val local = Files.createTempDirectory("graft-mc-wapsweep").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    spark.range(10).select($"id".as("k")).coalesce(1).write.parquet(root)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    // a crashed audit's staging dir (no day= partitions anywhere):
+    // pre-round-9 the sweep only visited day= leaves and never collected
+    // this — the q169 shape
+    val stale = new Path(dir, "._compacting-wap-crashed")
+    fs.mkdirs(stale)
+    fs.create(new Path(stale, "part0.parquet"), false).close()
+    Compaction.compactTableManifest(spark, root, gcGraceMs = 0L)
+    assert(!fs.exists(stale),
+      "crashed WAP staging dir on an unpartitioned table must be swept")
+    assert(ManifestCommit.readTable(spark, root).count() == 10L)
+  }
+
   test("clustered compaction keeps the layout prunable") {
     import graft.ops.Layout
     hc
