@@ -554,6 +554,57 @@ object ScaleSmoke {
       timeCdc(s"cdc_broadcast_${k}x", k, bcast = true)
       timeCdc(s"cdc_shuffle_${k}x", k, bcast = false)
     }
+    // PageRank-over-pairs (the q133 consumer): rank iterations measured
+    // over PRE-BUILT persisted pairs so the window isolates the
+    // CC + 3 fixed-point iterations from candidate generation (the dedup
+    // section already owns that evidence). With perturbed replicas the
+    // pair graph grows linearly, and the claim under test is that
+    // rank_sec tracks PAIRS — keyed hash joins over the pair relation,
+    // one row of rank state per dup-graph node — never corpus².
+    if (enabled("pagerank")) {
+      def timePr(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val docs = replicate(times, perturb = true)
+        val pairs = graft.ops.Dedup.minhashLshPairs(docs)
+          .select(col("doc_a"), col("doc_b")).persist()
+        val nPairs = pairs.count()
+        val t0 = System.nanoTime()
+        val members = graft.ops.Centrality.canonicalByRank(pairs).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        pairs.unpersist()
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""pairs":$nPairs,"members":$members,"rank_sec":$sec%.2f}""")
+      }
+      timePr("warmup", 1, silent = true)
+      timePr("pagerank_1x", 1)
+      timePr(s"pagerank_${k}x", k)
+    }
+
+    // Exact ppjoin (q189): rarest-first prefixes + length/positional
+    // filters. Perturbed replicas keep token spaces disjoint, so prefix
+    // postings (and true pairs) grow linearly — the claim is that wall
+    // time tracks the postings/verify volume, with the df-cap guard
+    // keeping any shared-token fan-out bounded.
+    if (enabled("ppjoin")) {
+      def timePp(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val docs = replicate(times, perturb = true)
+        val t0 = System.nanoTime()
+        val nPairs = graft.ops.Dedup.prefixFilterPairs(docs).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""pairs":$nPairs,"ppjoin_sec":$sec%.2f}""")
+      }
+      timePp("warmup", 1, silent = true)
+      timePp("ppjoin_1x", 1)
+      timePp(s"ppjoin_${k}x", k)
+    }
     spark.stop()
   }
 }

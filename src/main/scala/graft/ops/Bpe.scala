@@ -101,6 +101,45 @@ object Bpe {
         w => size(symbols(encodeExpr(w, merges))).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** [[tokenCountExpr]] as a raw Catalyst tree — the SQL-function-registry
+    * twin (`bpe_token_count` in [[graft.plans.GraftExtensions]]). A
+    * Column tree cannot cross the registry boundary: Spark 4 wraps it in
+    * a ColumnNodeExpression leaf the analyzer treats as opaque, so the
+    * registered builder composes the same shape from catalyst nodes
+    * (lambda variables resolve through ResolveLambdaVariables exactly as
+    * parsed SQL lambdas do). Semantics are pinned equal to the Column
+    * form in ExtensionsSpec. */
+  def tokenCountCatalyst(text: org.apache.spark.sql.catalyst.expressions.Expression,
+      merges: Seq[Merge]): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def L(s: String) = Literal(s)
+    def lam(name: String)(body: Expression => Expression): LambdaFunction = {
+      val v = UnresolvedNamedLambdaVariable(Seq(name))
+      LambdaFunction(body(v), Seq(v))
+    }
+    def symInit(w: Expression): Expression =
+      Concat(Seq(L(Sep), RegExpReplace(w, L("(.)"), L("$1" + Sep))))
+    def applyOne(sym: Expression, l: String, r: String): Expression = {
+      val pat = L(Sep + l + Sep + r + Sep)
+      val rep = L(Sep + l + r + Sep)
+      (1 to Sweeps).foldLeft(sym)((c, _) => StringReplace(c, pat, rep))
+    }
+    def encode(w: Expression): Expression =
+      merges.foldLeft(symInit(w))((c, m) => applyOne(c, m.lhs, m.rhs))
+    def nonEmpty(arr: Expression, v: String): Expression =
+      ArrayFilter(arr, lam(v)(x => Not(EqualTo(x, L("")))))
+    val words = nonEmpty(StringSplit(text, L(" "), Literal(-1)), "w")
+    val counts = ArrayTransform(words, lam("t")(w =>
+      Cast(Size(nonEmpty(StringSplit(encode(w), L(Sep), Literal(-1)), "s")),
+        LongType)))
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    ArrayAggregate(counts, Literal(0L),
+      LambdaFunction(Add(acc, x), Seq(acc, x)),
+      lam("fin")(identity))
+  }
+
   /** Adjacent symbol pairs of the current word-table state, weighted by
     * word frequency. Guarded for 1-symbol words (Spark's sequence(1,0)
     * is DESCENDING, not empty). */

@@ -62,6 +62,29 @@ object Layout {
     }
   }
 
+  /** [[zValueN]] as a raw Catalyst tree — the SQL-function-registry twin
+    * (`z_value_n` in [[graft.plans.GraftExtensions]]); see
+    * [[graft.ops.Bpe.tokenCountCatalyst]] for why the Column form cannot
+    * cross the registry boundary. Inputs are cast to BIGINT up front, so
+    * INT columns interleave identically to the Column form. */
+  def zValueNCatalyst(cols: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      bits: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val n = cols.size
+    require(n >= 2 && n <= 8, s"2..8 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63, s"$n x $bits bits overflow long")
+    cols.zipWithIndex.foldLeft(Literal(0L): Expression) {
+      case (acc, (c, j)) =>
+        val cl = Cast(c, LongType)
+        (0 until bits).foldLeft(acc) { (a, i) =>
+          BitwiseOr(a, ShiftLeft(
+            BitwiseAnd(ShiftRight(cl, Literal(i)), Literal(1L)),
+            Literal(i * n + (n - 1 - j))))
+        }
+    }
+  }
+
   /** DuckDB twin of [[zValueN]]. */
   def zValueNSql(exprs: Seq[String], bits: Int): String = {
     val n = exprs.size

@@ -395,6 +395,120 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // G.711 companded audio (ITU-T G.711, 1972): 8-bit mu-law / A-law
+  // telephony WAV — the one compressed audio family whose "decode" is
+  // pure public table math (piecewise-linear segment expansion), so it
+  // closes the gap between "16-bit PCM only" and telephony-style corpora
+  // WITHOUT a codec library. Same per-partition byte-walker shape as
+  // [[decodeWav]]; the expansion formulas below are the CCITT reference
+  // ones (u-law: invert, ((mantissa<<3)+0x84)<<segment, re-bias; A-law:
+  // XOR 0x55, segment 0/1 special-cased) and are mirrored verbatim in
+  // the DuckDB oracle — all-integer, bit-exact on both engines.
+  // ---------------------------------------------------------------------
+
+  /** Decoded G.711 clip features: linear-PCM statistics recovered from
+    * the companded bytes. */
+  final case class G711Features(media_id: Long, law: String,
+      sample_rate: Int, n_samples: Int, abs_sum: Long, peak: Int)
+
+  /** WAVE format tags (RFC 2361): 6 = A-law, 7 = mu-law. */
+  private val AlawTag = 6
+  private val UlawTag = 7
+
+  /** Synthesize REAL G.711 WAV payloads (44-byte RIFF header, format
+    * tag 6/7, 8-bit mono, blockAlign 1). The companded byte stream
+    * depends only on the media id, so the oracle can replay it. */
+  def g711FromDocuments(docs: DataFrame, law: String,
+      rate: Int = 8000): Dataset[MediaRow] = {
+    val tag = law match {
+      case "ulaw" => UlawTag
+      case "alaw" => AlawTag
+      case other  => sys.error(s"g711FromDocuments: unknown law $other")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = 64 + (id % 64).toInt
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + n)
+      bb.put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+      bb.putShort(tag.toShort); bb.putShort(1) // G.711, mono
+      bb.putInt(rate); bb.putInt(rate) // byte rate = rate * blockAlign(1)
+      bb.putShort(1); bb.putShort(8) // blockAlign, bits
+      bb.put("data".getBytes(ascii)); bb.putInt(n)
+      var k = 0
+      while (k < n) {
+        bb.put((((id * 31 + k * 17) % 256)).toByte); k += 1
+      }
+      MediaRow(id, s"audio/g711-$law", bb.array())
+    }
+  }
+
+  /** CCITT mu-law byte -> linear 16-bit sample (exact reference math). */
+  def ulaw2linear(code: Int): Int = {
+    val u = (~code) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** CCITT A-law byte -> linear 13-bit-shifted sample. */
+  def alaw2linear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val m = (a & 0x0f) << 4
+    val t =
+      if (seg == 0) m + 8
+      else (m + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** G.711-WAV header fields (law, rate, n_samples): canonical RIFF
+    * layout with format tag 6/7, 8-bit mono. Fail-loudly contract as in
+    * [[parseWavHeader]]. */
+  private def parseG711Header(mediaId: Long,
+      b: Array[Byte]): (String, Int, Int) = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def tag(o: Int) = new String(b, o, 4, ascii)
+    require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE" &&
+      tag(12) == "fmt ", s"media $mediaId is not a canonical RIFF/WAVE")
+    val fmt = leShort(b, 20)
+    val law = fmt match {
+      case AlawTag => "alaw"
+      case UlawTag => "ulaw"
+      case other   => sys.error(s"WAV $mediaId: format $other is not G.711")
+    }
+    require(leShort(b, 22) == 1, s"WAV $mediaId: only mono G.711 supported")
+    require(leShort(b, 34) == 8, s"WAV $mediaId: G.711 is 8 bits/sample")
+    require(tag(36) == "data", s"WAV $mediaId: missing data chunk")
+    val dataLen = leInt(b, 40)
+    require(dataLen >= 0 && dataLen <= b.length - 44,
+      s"WAV $mediaId: bad data-chunk length $dataLen")
+    (law, leInt(b, 24), dataLen)
+  }
+
+  /** Batch G.711 decode — genuine RIFF parse + companding expansion to
+    * linear PCM, then exact-integer statistics (one pass per clip, no
+    * shuffle). */
+  def decodeG711(media: Dataset[MediaRow]): Dataset[G711Features] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val (law, rate, n) = parseG711Header(r.media_id, r.payload)
+      val expand: Int => Int =
+        if (law == "ulaw") ulaw2linear else alaw2linear
+      var s = 0L; var peak = 0; var k = 0
+      while (k < n) {
+        val a = math.abs(expand(r.payload(44 + k) & 0xff))
+        s += a; if (a > peak) peak = a
+        k += 1
+      }
+      G711Features(r.media_id, law, rate, n, s, peak)
+    })
+  }
+
+  // ---------------------------------------------------------------------
   // REAL compressed-codec decode — JPEG and PNG via the stock JDK's
   // javax.imageio (no external dependency): genuine entropy-coded
   // bitstreams (Huffman+DCT for JPEG, DEFLATE for PNG) are encoded on

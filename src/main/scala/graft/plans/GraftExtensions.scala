@@ -43,6 +43,58 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"word_shingles width must be an integer literal, got $other")
     }
+  /** The literal-string argument at `i`, with a usable error for
+    * anything else (the SQL door for literalized model state). */
+  private[plans] def literalString(name: String, children: Seq[Expression],
+      i: Int): String =
+    children(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"$name argument ${i + 1} must be a string literal, got $other")
+    }
+
+  /** `bpe_token_count(text, merges)` — whole-document token count
+    * through a LITERALIZED trained merge chain ([[graft.ops.Bpe
+    * .tokenCountExpr]]): the merges argument is the model, spelled
+    * `"lhs rhs,lhs rhs,..."` in training order ('' = untrained
+    * char-level count). The same literalize-the-model door the
+    * streaming twins use — the expression stays pure string arithmetic
+    * under codegen, no UDF, no state. */
+  private[plans] def bpeTokenCount(children: Seq[Expression]): Expression = {
+    checkArity("bpe_token_count", "text, 'lhs rhs,lhs rhs,...'", children, 2)
+    val spec = literalString("bpe_token_count", children, 1).trim
+    val merges = if (spec.isEmpty) Nil
+      else spec.split(",").toSeq.zipWithIndex.map { case (m, i) =>
+        m.trim.split(" ") match {
+          case Array(l, r) => graft.ops.Bpe.Merge(i, l, r, 0L)
+          case _ => throw new IllegalArgumentException(
+            s"bpe_token_count merge ${i + 1}: expected 'lhs rhs', got '$m'")
+        }
+      }
+    graft.ops.Bpe.tokenCountCatalyst(children.head, merges)
+  }
+
+  /** `z_value_n(c1, ..., ck, bits)` — N-dimensional Z-order interleave
+    * ([[graft.ops.Layout.zValueN]]) of 2..8 already-quantized integer
+    * columns at a literal bit width, the clustering key the layout
+    * writers sort by. */
+  private[plans] def zValueN(children: Seq[Expression]): Expression = {
+    if (children.length < 3)
+      throw new IllegalArgumentException(
+        "z_value_n expects at least 3 arguments (c1, c2, ..., bits), " +
+          s"got ${children.length}")
+    val bits = children.last match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+          if v != null && v.toString.matches("-?\\d+") =>
+        v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"z_value_n bits must be an integer literal, got $other")
+    }
+    graft.ops.Layout.zValueNCatalyst(children.init, bits)
+  }
+
   /** Late registration on an existing session — withExtensions only takes
     * effect for sessions created after it, so long-lived apps (and shared
     * test sessions) attach the functions this way. */
@@ -63,6 +115,8 @@ object GraftExtensions {
         checkArity("md5_long60", "string", children, 1)
         Md5Long60(children(0))
       })
+    registerTempFunction(spark, "bpe_token_count", bpeTokenCount)
+    registerTempFunction(spark, "z_value_n", zValueN)
   }
 }
 
@@ -98,5 +152,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.checkArity("md5_long60", "string", children, 1)
         Md5Long60(children(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count",
+        "bpe_token_count(text, 'lhs rhs,lhs rhs,...') - BPE token count " +
+          "of text under a literalized trained merge chain ('' = char-level)"),
+      GraftExtensions.bpeTokenCount))
+    ext.injectFunction((
+      FunctionIdentifier("z_value_n"),
+      info("z_value_n",
+        "z_value_n(c1, ..., ck, bits) - N-dimensional Z-order interleave " +
+          "of 2..8 quantized integer columns at a literal bit width"),
+      GraftExtensions.zValueN))
   }
 }

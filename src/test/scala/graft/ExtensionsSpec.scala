@@ -46,6 +46,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) >= 0L)
   }
 
+  test("bpe_token_count callable from SQL, matches the DataFrame surface") {
+    import graft.ops.Bpe
+    // untrained ('' merges): per-character count — "ab cd" = 4 symbols
+    val untrained = spark.sql(
+      "SELECT bpe_token_count('ab cd', '') AS n").collect().head.getLong(0)
+    assert(untrained == 4L)
+    // one merge (a b): "abab" -> ab|ab (2), "cd" stays c|d (2)
+    val trained = spark.sql(
+      "SELECT bpe_token_count('abab cd', 'a b') AS n")
+      .collect().head.getLong(0)
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(1).select(
+      Bpe.tokenCountExpr(lit("abab cd"), Seq(Bpe.Merge(0, "a", "b", 0L))))
+    assert(trained == df.collect().head.getLong(0))
+    assert(trained == 4L) // ab|ab + c|d
+    // model must be a literal — a column reference fails with a usable error
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_token_count('x', CAST(id AS STRING)) " +
+        "FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("z_value_n callable from SQL, equals the DataFrame surface") {
+    import graft.ops.Layout
+    import org.apache.spark.sql.functions.col
+    val sql = spark.sql(
+      "SELECT z_value_n(x, y, z, 4) AS zv FROM VALUES (1L, 2L, 3L), " +
+        "(7L, 0L, 15L) AS t(x, y, z) ORDER BY zv")
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L), (7L, 0L, 15L)).toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("z")), 4).as("zv"))
+      .orderBy("zv").collect().map(_.getLong(0)).toSeq
+    assert(sql == df)
+  }
+
   test("saltedJoin equals plain join and spreads the hot key") {
     import spark.implicits._
     // heavily skewed big side: 90% of rows share key 1
