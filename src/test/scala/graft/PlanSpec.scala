@@ -388,6 +388,25 @@ class PlanSpec extends SparkSpec {
       s"bitmap overlap must join on the word index:\n$p162")
   }
 
+  test("round-9 ops: persisted canonical graph serves from storage") {
+    // q195 exists so consumers STOP recomputing the LSH + CC + PageRank
+    // chain: after the one-time publish, its plan must be a plain
+    // manifest-resolved parquet read — zero joins, zero aggregations
+    // (the first plan() call runs the publish; the pin is on the
+    // serving plan)
+    val p195 = plan("q195_canonical_persist")
+    assert(!p195.contains("Join") && !p195.contains("HashAggregate"),
+      s"q195 must read the stored canonical table, not recompute:\n$p195")
+    assert(p195.contains("Scan parquet"),
+      s"q195 must be a parquet scan:\n$p195")
+    // q193/q194 are mapPartitions decoders by necessity (byte walkers);
+    // the pin is that NOTHING shuffles around them
+    val p193 = plan("q193_g711_ulaw")
+    val exchanges193 = "Exchange".r.findAllIn(p193).size
+    assert(exchanges193 <= 2, // spread + output sort only
+      s"G.711 decode grew extra shuffles ($exchanges193):\n$p193")
+  }
+
   test("dynamic partition pruning fires on the partitioned-lake join") {
     // the y/m/d lake's fact-side scans must prune partitions from a
     // dim-side filter at RUNTIME — at 100 TB this is the difference
