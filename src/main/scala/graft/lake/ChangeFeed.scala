@@ -1,0 +1,114 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, sum, when}
+
+/** Incremental consumption FROM the manifest log — the lake-format
+  * change data feed (the public Delta CDF / Iceberg incremental-read
+  * idea, re-derived over [[ManifestCommit]]'s commit kinds).
+  *
+  * Why this exists: [[graft.ops.Cdc.snapshotDiff]] answers "what changed
+  * between two table states" by full-outer-joining BOTH complete
+  * snapshots — at 100 TB that is a 2×100 TB shuffle to discover a few GB
+  * of change. The commit log already knows the answer: an `append`
+  * commit's added files ARE the inserted rows, a `delete` commit's
+  * consumed files plus its recorded key predicate ARE the deleted rows,
+  * and a `replace` (compaction) or `meta` (stats) commit moved no rows
+  * at all. So the feed costs exactly one scan of the DELTA files —
+  * work ∝ change volume, zero joins, zero shuffles, never ∝ table size.
+  *
+  * Horizons (both documented on the producer side): the consumed files a
+  * delete feed reads survive until [[ManifestCommit.gc]]'s grace
+  * expires, and the manifests [[ManifestCommit.commitsBetween]] walks
+  * survive until [[ManifestCommit.pruneLog]] — gc grace and log
+  * retention ARE the feed horizon, exactly as they are the time-travel
+  * horizon. A consumer whose cursor fell behind either gets a LOUD
+  * error, never a silently incomplete feed.
+  */
+object ChangeFeed {
+
+  /** `_change_type` values. */
+  val Insert = "insert"
+  val Delete = "delete"
+
+  /** The row-level change feed of one partition (or unpartitioned table
+    * dir) over `(fromVersion, toVersion]`: every row carries
+    * `_change_type` (`insert` | `delete`) and `_commit_version`.
+    * Compaction and metadata commits contribute nothing. Refuses
+    * (loudly) on a legacy untagged commit or a predicate-less delete —
+    * the conservative fallback is a full [[graft.ops.Cdc.snapshotDiff]],
+    * never a wrong feed. */
+  def changeFeed(spark: SparkSession, partition: Path, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits =
+      ManifestCommit.commitsBetween(fs, partition, fromVersion, toVersion)
+    def read(names: Seq[String]): DataFrame = {
+      val paths = names.map { n =>
+        val p = new Path(partition, n)
+        require(fs.exists(p),
+          s"change feed for $partition references collected file $n — " +
+            "gc grace shorter than the consumer lag, full resync required")
+        p.toString
+      }
+      spark.read.parquet(paths: _*)
+    }
+    val batches = commits.flatMap { c =>
+      c.kind match {
+        case ManifestCommit.KindAppend if c.added.nonEmpty =>
+          Some(read(c.added)
+            .withColumn("_change_type", lit(Insert))
+            .withColumn("_commit_version", lit(c.version)))
+        case ManifestCommit.KindAppend | ManifestCommit.KindMeta |
+            ManifestCommit.KindReplace => None
+        case ManifestCommit.KindDelete =>
+          val (keyCol, lo, hi) = c.deletePredicate.getOrElse(sys.error(
+            s"delete commit v${c.version} of $partition carries no " +
+              "predicate — cannot replay it incrementally, " +
+              "fall back to a full snapshot diff"))
+          // deleted rows = consumed-file rows inside [lo, hi]; NULL keys
+          // and out-of-range rows were carried into the produced files,
+          // and BETWEEN excludes both — exact by construction
+          Some(read(c.removed).filter(col(keyCol).between(lo, hi))
+            .withColumn("_change_type", lit(Delete))
+            .withColumn("_commit_version", lit(c.version)))
+        case other => sys.error(
+          s"commit v${c.version} of $partition has kind '$other' — " +
+            "pre-tag history cannot be replayed incrementally, " +
+            "fall back to a full snapshot diff")
+      }
+    }
+    batches.reduceOption(_.unionByName(_)).getOrElse {
+      ManifestCommit.readTable(spark, partition.toString).limit(0)
+        .withColumn("_change_type", lit(Insert))
+        .withColumn("_commit_version", lit(0L))
+    }
+  }
+
+  /** Maintain a stored additive aggregate from the change feed instead
+    * of recomputing it: `base` is the materialized per-key state
+    * (keyCols + the named long-typed partial columns), `feed` is a
+    * [[changeFeed]] slice, and the result is the state as a FULL
+    * recompute at the feed's head would produce it — inserts add,
+    * deletes subtract, keys whose row count reaches zero vanish. Work is
+    * one scan of the (small) stored state plus one scan of the delta
+    * rows; the 100 TB base table is never touched. Long-typed partials
+    * keep the merge exact — floating partials would make
+    * "base + delta − delta" differ from a recompute in the last ulp. */
+  def maintainAdditive(base: DataFrame, feed: DataFrame,
+      keyCols: Seq[String], valueCol: String,
+      sumCol: String, cntCol: String): DataFrame = {
+    val sign = when(col("_change_type") === lit(Insert), lit(1L))
+      .otherwise(lit(-1L))
+    val delta = feed
+      .select(keyCols.map(col) ++ Seq(
+        (sign * col(valueCol).cast("long")).as(sumCol),
+        sign.as(cntCol)): _*)
+    base.select(keyCols.map(col) ++ Seq(col(sumCol), col(cntCol)): _*)
+      .unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sumCol).as(sumCol), sum(cntCol).as(cntCol))
+      .filter(col(cntCol) > 0)
+  }
+}

@@ -72,8 +72,35 @@ object ManifestCommit {
   private val ManifestSuffix = ".manifest"
   private val Header = "#graft 1"
 
+  /** Commit kinds, recorded as an `O <kind>` line (line 2) so an
+    * incremental consumer can tell DATA changes from metadata motion:
+    *  - `append`: new rows entered the table (the added files ARE the
+    *    inserted rows);
+    *  - `replace`: files were rewritten with no logical row change
+    *    (compaction) — a change feed must emit NOTHING for it;
+    *  - `delete`: a [[deleteRange]] rewrite — logically deleted rows =
+    *    rows of the consumed files matching the recorded predicate
+    *    (`O delete <keyCol>:<lo>:<hi>`);
+    *  - `meta`: stats/bloom recommit, zero file-set change.
+    * The O line is advisory for v1 readers (the live-set parser ignores
+    * it, the A/R/F counts stay valid); a manifest WITHOUT one (pre-tag
+    * history) reads as [[KindUnknown]] and an incremental consumer must
+    * refuse and fall back to a full diff — conservative, never wrong. */
+  val KindAppend = "append"
+  val KindReplace = "replace"
+  val KindDelete = "delete"
+  val KindMeta = "meta"
+  val KindUnknown = "unknown"
+
   /** The live file set of one partition at one committed version. */
   final case class Snapshot(version: Long, files: Seq[String])
+
+  /** One commit as an incremental consumer sees it: what entered the
+    * live set, what left it, and (for `delete` commits) the recorded
+    * row predicate. */
+  final case class CommitInfo(version: Long, kind: String,
+      added: Seq[String], removed: Seq[String],
+      deletePredicate: Option[(String, Long, Long)])
 
   private def logDir(partition: Path) = new Path(partition, LogDirName)
 
@@ -165,11 +192,19 @@ object ManifestCommit {
       .nextOption()
       .getOrElse(Map.empty)
 
-  /** Parsed manifest: live (name, stats) entries and (removedAtMs, name)
-    * tombstones; None if torn/invalid (possible only on filesystems
-    * without atomic object PUT). */
-  private def parse(fs: FileSystem,
-      p: Path): Option[(Seq[(String, Seq[ColStat])], Seq[(Long, String)])] = {
+  /** A fully-parsed valid manifest: live (name, stats) entries,
+    * (removedAtMs, name) tombstones, the commit kind, and the delete
+    * predicate (delete commits only). */
+  private final case class Parsed(live: Seq[(String, Seq[ColStat])],
+      removed: Seq[(Long, String)], kind: String,
+      deletePredicate: Option[(String, Long, Long)])
+
+  /** Parsed manifest; None if torn/invalid (possible only on filesystems
+    * without atomic object PUT). The `O` kind line is advisory: its
+    * absence or truncation degrades the kind to [[KindUnknown]], never
+    * the manifest's validity (the A/R/F counts are the torn-write
+    * detector). */
+  private def parseFull(fs: FileSystem, p: Path): Option[Parsed] = {
     val in =
       try fs.open(p)
       catch { case _: java.io.FileNotFoundException => return None }
@@ -188,18 +223,37 @@ object ManifestCommit {
           case _            => None
         }
       }
+      val (kind, pred) = lines.tail.find(_.startsWith("O "))
+        .map(_.substring(2).split("\\s+").toSeq)
+        .collect {
+          case Seq(k) => (k, None)
+          case Seq(k, tok) if k == KindDelete =>
+            tok.split(":") match {
+              case Array(c, lo, hi) =>
+                (k, for (a <- lo.toLongOption; b <- hi.toLongOption)
+                  yield (c, a, b))
+              case _ => (k, None)
+            }
+        }
+        .getOrElse((KindUnknown, None))
       val bloomLines = lines.tail.count(_.startsWith("F "))
       counts match {
         // legacy two-count header: F lines (if any) are unvalidated
         case Array(a, r) if a.toIntOption.contains(live.size) &&
-            r.toIntOption.contains(removed.size) => Some((live, removed))
+            r.toIntOption.contains(removed.size) =>
+          Some(Parsed(live, removed, kind, pred))
         case Array(a, r, f) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
-            f.toIntOption.contains(bloomLines) => Some((live, removed))
+            f.toIntOption.contains(bloomLines) =>
+          Some(Parsed(live, removed, kind, pred))
         case _ => None
       }
     }
   }
+
+  private def parse(fs: FileSystem,
+      p: Path): Option[(Seq[(String, Seq[ColStat])], Seq[(Long, String)])] =
+    parseFull(fs, p).map(pf => (pf.live, pf.removed))
 
   private def listVersions(fs: FileSystem, partition: Path): Seq[Long] = {
     val dir = logDir(partition)
@@ -236,7 +290,9 @@ object ManifestCommit {
   def tryCommit(fs: FileSystem, partition: Path, version: Long,
       live: Seq[String], removed: Seq[(Long, String)] = Nil,
       stats: Map[String, Seq[ColStat]] = Map.empty,
-      blooms: Map[String, Seq[ColBloom]] = Map.empty): Boolean = {
+      blooms: Map[String, Seq[ColBloom]] = Map.empty,
+      kind: String = KindAppend,
+      deletePredicate: Option[(String, Long, Long)] = None): Boolean = {
     val p = manifestPath(partition, version)
     fs.mkdirs(logDir(partition))
     def liveLine(n: String) = {
@@ -249,10 +305,15 @@ object ManifestCommit {
       if (bs.isEmpty) None
       else Some(s"F $n\t${bs.map(bloomToken).mkString("\t")}")
     }
+    val opLine = deletePredicate match {
+      case Some((c, lo, hi)) => s"O $kind $c:$lo:$hi"
+      case None              => s"O $kind"
+    }
     val body =
       (s"$Header ${live.size} ${removed.size} ${bloomLines.size}" +:
-        (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
-          bloomLines))
+        (opLine +:
+          (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
+            bloomLines)))
         .mkString("\n")
     def createExclusive(): Boolean =
       try {
@@ -309,7 +370,10 @@ object ManifestCommit {
       val mergedB = currentFileBlooms(fs, partition) ++ blooms
       if (tryCommit(fs, partition, snap.version + 1, live, Nil,
           merged.filter { case (n, s) => live.contains(n) && s.nonEmpty },
-          mergedB.filter { case (n, b) => live.contains(n) && b.nonEmpty }))
+          mergedB.filter { case (n, b) => live.contains(n) && b.nonEmpty },
+          // a names-free recommit moves only metadata — a change feed
+          // must not read it as an insert batch
+          kind = if (names.isEmpty) KindMeta else KindAppend))
         return Snapshot(snap.version + 1, live)
       attempt += 1
     }
@@ -324,7 +388,8 @@ object ManifestCommit {
     * discard its produced files. */
   def replaceFiles(fs: FileSystem, partition: Path, consumed: Set[String],
       produced: Seq[String], nowMs: Long = System.currentTimeMillis(),
-      maxAttempts: Int = 50): Option[Snapshot] = {
+      maxAttempts: Int = 50, kind: String = KindReplace,
+      deletePredicate: Option[(String, Long, Long)] = None): Option[Snapshot] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
@@ -342,7 +407,7 @@ object ManifestCommit {
       val blooms = (currentFileBlooms(fs, partition) -- consumed)
         .filter { case (n, b) => live.contains(n) && b.nonEmpty }
       if (tryCommit(fs, partition, snap.version + 1, live, tombstones,
-          stats, blooms))
+          stats, blooms, kind = kind, deletePredicate = deletePredicate))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }
@@ -500,6 +565,39 @@ object ManifestCommit {
     parse(fs, manifestPath(partition, version))
       .map(p => Snapshot(version, p._1.map(_._1)))
 
+  /** The commit history of one partition over `(fromVersion, toVersion]`,
+    * oldest first: per valid commit, its kind, the file names it ADDED
+    * to the live set (live(v) − live(prev)), the names it removed, and a
+    * delete commit's recorded predicate. Torn slots (never valid
+    * commits) are skipped. This is pure manifest metadata — a few KiB of
+    * driver-side GETs — regardless of table size; no data file is
+    * opened. `fromVersion`'s manifest must still be parseable (i.e. not
+    * [[pruneLog]]-pruned): the log retention IS the incremental-consume
+    * horizon, exactly as the gc grace is the time-travel horizon. */
+  def commitsBetween(fs: FileSystem, partition: Path, fromVersion: Long,
+      toVersion: Long): Seq[CommitInfo] = {
+    require(fromVersion <= toVersion,
+      s"commitsBetween: $fromVersion > $toVersion")
+    val base = parseFull(fs, manifestPath(partition, fromVersion))
+      .getOrElse(sys.error(
+        s"commitsBetween: version $fromVersion of $partition is gone — " +
+          "log pruned past the consumer's cursor, full resync required"))
+    var prevLive = base.live.map(_._1).toSet
+    val out = Seq.newBuilder[CommitInfo]
+    listVersions(fs, partition)
+      .filter(v => v > fromVersion && v <= toVersion).sorted
+      .foreach { v =>
+        parseFull(fs, manifestPath(partition, v)).foreach { pf =>
+          val liveNow = pf.live.map(_._1)
+          out += CommitInfo(v, pf.kind,
+            liveNow.filterNot(prevLive), pf.removed.map(_._2),
+            pf.deletePredicate)
+          prevLive = liveNow.toSet
+        }
+      }
+    out.result()
+  }
+
   /** Time travel: read one partition (or unpartitioned table dir) at a
     * past committed version. Works until [[gc]] collects the version's
     * tombstoned files — the gc grace is exactly the time-travel horizon,
@@ -554,7 +652,11 @@ object ManifestCommit {
         name
       }
     fs.delete(staged, true)
-    replaceFiles(fs, partition, touched.toSet, produced) match {
+    // the recorded predicate lets a change-feed consumer recover the
+    // logically-deleted rows from the consumed files alone
+    replaceFiles(fs, partition, touched.toSet, produced,
+        kind = KindDelete,
+        deletePredicate = Some((keyCol, lo, hi))) match {
       case Some(next) =>
         // footer sweep bounded to the rewritten batch; survivors keep
         // their committed stats through the appendFiles merge

@@ -201,7 +201,7 @@ object Dedup {
     * 100 TB: the dropped pairs are near-always exact duplicates or
     * degenerate shingles — exact dedup upstream is the operator for
     * those. */
-  private def boundedBuckets(df: DataFrame, keys: Seq[String], id: String,
+  private[ops] def boundedBuckets(df: DataFrame, keys: Seq[String], id: String,
       maxBucket: Int, minSize: Int = 2): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(BoundedMinSet(maxBucket + 1, col(id)).as("ids"))
@@ -212,7 +212,7 @@ object Dedup {
     * never the O(cap^2) a single flattened combination array would
     * materialize. The ids arrive sorted (BoundedMinSet), so a < b holds
     * by construction. */
-  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
+  private[ops] def pairsFromBuckets(buckets: DataFrame): DataFrame =
     buckets
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"),

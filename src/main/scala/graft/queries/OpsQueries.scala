@@ -614,6 +614,20 @@ object OpsQueries {
       Multimodal.decodeG711(
           Multimodal.g711FromDocuments(docs(s, d), "alaw"))
         .toDF().orderBy("media_id")),
+    // perceptual image fingerprint (dHash): 9x8 nearest-neighbor grid,
+    // 64 gradient bits in two sign-free 32-bit halves — extracted inside
+    // the decode pass, 16 bytes out per image, no pixel explode
+    "q198_image_dhash" -> ((s, d) =>
+      Multimodal.dhash(Multimodal.pgmFromDocuments(docs(s, d)))
+        .toDF().orderBy("media_id")),
+    // image near-dup via banded Hamming join over the dHash table:
+    // 4x16-bit bands, pigeonhole-exact recall at Hamming <= 3, capped
+    // band buckets, keyed verify joins — the multimodal twin of the
+    // text LSH chain, never all-pairs
+    "q199_image_neardup" -> ((s, d) =>
+      Multimodal.dhashPairs(
+          Multimodal.dhash(Multimodal.pgmFromDocuments(docs(s, d))).toDF())
+        .orderBy("media_a", "media_b")),
     // ABTT embedding isotropy correction: corpus mean + dominant
     // direction (3 integer power iterations, O(dim) driver state)
     // removed from every vector — all-integer, residuals oracle-checked.
@@ -665,6 +679,34 @@ object OpsQueries {
       graft.lake.ManifestCommit.readTable(s, path)
         .select("doc_id", "component_id", "pr", "is_canonical")
         .orderBy("doc_id")
+    }),
+    // manifest-log CHANGE DATA FEED: inserts replayed from exactly the
+    // files the append commits added, deletes recovered from the delete
+    // commit's consumed files + its recorded key predicate, and the
+    // compaction between cursor and head contributing NOTHING — work is
+    // one scan of the delta files (zero joins, never ∝ table size),
+    // where Cdc.snapshotDiff would full-outer-join two whole snapshots
+    "q196_change_feed" -> ((s, d) => {
+      val cl = ensureCdfLake(s, d)
+      graft.lake.ChangeFeed.changeFeed(s,
+          new org.apache.hadoop.fs.Path(cl.path), cl.fromV, cl.toV)
+        .select(col("_change_type").as("change_type"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .orderBy("change_type", "o_orderkey")
+    }),
+    // incremental materialized-aggregate maintenance: the per-custkey
+    // additive state stored at the cursor, plus the change feed's
+    // signed delta, equals a full recompute at the head — long partials
+    // keep the merge bit-exact, and the base table is never rescanned
+    "q197_incremental_agg" -> ((s, d) => {
+      val cl = ensureCdfLake(s, d)
+      graft.lake.ChangeFeed.maintainAdditive(
+          s.read.parquet(cl.basePath),
+          graft.lake.ChangeFeed.changeFeed(s,
+            new org.apache.hadoop.fs.Path(cl.path), cl.fromV, cl.toV),
+          Seq("o_custkey"), "o_orderkey", "sum_key", "n_orders")
+        .select("o_custkey", "n_orders", "sum_key")
+        .orderBy("o_custkey")
     }),
     // DSIR-style importance resampling: hashed-bigram distribution of
     // the English slice vs the whole corpus, integer mean-ratio scores,
@@ -1290,6 +1332,64 @@ object OpsQueries {
 
   private val canonicalGraphs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-(process, sfDir) change-feed lake for q196/q197: orders landed
+    * in three tagged batches with a clustered compaction and a targeted
+    * delete between the consumer's cursor and the head. `fromV` is the
+    * cursor (the committed version after batch 1's stats recommit);
+    * `basePath` stores the per-custkey additive aggregate materialized
+    * at that cursor — q197's "never rescan the base table" state. */
+  private[queries] final case class CdfLake(path: String, basePath: String,
+    fromV: Long, toV: Long)
+
+  private val cdfLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, CdfLake]()
+
+  private def ensureCdfLake(s: SparkSession, d: String): CdfLake =
+    cdfLakes.computeIfAbsent(d, _ => {
+      import graft.lake.{Compaction, ManifestCommit}
+      val o = Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head
+      val (dlo, dhi) = boxRange(b.getLong(0), b.getLong(1))
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_cdflake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      val path = s"$root/table"
+      val basePath = s"$root/agg"
+      // batch 1: key-clustered so the later delete prunes by stats
+      Layout.writeLinear(o.filter(col("o_orderkey") % 3 === 0),
+        col("o_orderkey"), path, 8)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      val fromV = ManifestCommit.recordStats(s, dir, Seq("o_orderkey")).version
+      // the consumer's materialized additive state at the cursor (long
+      // partials — exactness under add-then-subtract maintenance)
+      ManifestCommit.readTableAt(s, path, fromV)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
+        .write.mode("overwrite").parquet(basePath)
+      def publish(r: Int): Unit =
+        ManifestCommit.stageAndPublish(s, dir,
+          o.filter(col("o_orderkey") % 3 === r), _ => true,
+          statsCols = Seq("o_orderkey"))
+          .getOrElse(sys.error("cdf batch publish failed"))
+      publish(1)
+      // a clustered compaction between cursor and head: a REPLACE
+      // commit the feed must look straight through. The generous gc
+      // grace is the feed horizon: tombstoned pre-compaction files must
+      // outlive the slowest consumer's cursor
+      Compaction.compactTableManifest(s, path, maxFiles = 4,
+        targetFileBytes = 64L * 1024, gcGraceMs = 6L * 3600 * 1000,
+        sortCol = Some("o_orderkey"))
+      ManifestCommit.deleteRange(s, dir, "o_orderkey", dlo, dhi,
+        Seq("o_orderkey"))
+      publish(2)
+      val toV = ManifestCommit.currentSnapshot(fs, dir)
+        .getOrElse(sys.error("cdf lake has no head")).version
+      CdfLake(path, basePath, fromV, toV)
+    })
 
   private val jsonLakes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3104,6 +3204,94 @@ object OpsQueries {
            CAST(list_sum(s) AS BIGINT) AS abs_sum,
            CAST(list_max(s) AS INT) AS peak
          FROM e ORDER BY media_id""",
+    // dHash replayed over the text-derived 16x8 pixels: sample columns
+    // x*16//9 = [0,1,3,5,7,8,10,12,14], bit b set iff the right sample
+    // of row b//8 is strictly brighter
+    "q198_image_dhash" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents),
+         sxl AS (SELECT [0,1,3,5,7,8,10,12,14] AS s)
+         SELECT doc_id AS media_id,
+           CAST(list_sum(list_transform(generate_series(0, 31), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END)) AS BIGINT)
+             AS h_hi,
+           CAST(list_sum(list_transform(generate_series(32, 63), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b - 32 AS INT) ELSE 0 END)) AS BIGINT)
+             AS h_lo
+         FROM px, sxl ORDER BY media_id""",
+    // banded Hamming chain over the dHash table, mirroring the LSH
+    // bucket-cap convention (buckets > 64 drop from candidate gen)
+    "q199_image_neardup" ->
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents),
+         sxl AS (SELECT [0,1,3,5,7,8,10,12,14] AS s),
+         hs AS (SELECT doc_id AS media_id,
+           CAST(list_sum(list_transform(generate_series(0, 31), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END)) AS BIGINT)
+             AS h_hi,
+           CAST(list_sum(list_transform(generate_series(32, 63), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b - 32 AS INT) ELSE 0 END)) AS BIGINT)
+             AS h_lo
+           FROM px, sxl),
+         banded0 AS (
+           SELECT media_id, 0 AS band, h_hi & 65535 AS key FROM hs
+           UNION ALL SELECT media_id, 1, h_hi >> 16 FROM hs
+           UNION ALL SELECT media_id, 2, h_lo & 65535 FROM hs
+           UNION ALL SELECT media_id, 3, h_lo >> 16 FROM hs),
+         ok AS (SELECT band, key FROM banded0 GROUP BY band, key
+           HAVING count(*) <= 64),
+         banded AS (SELECT banded0.* FROM banded0 JOIN ok
+           ON banded0.band = ok.band AND banded0.key = ok.key),
+         cand AS (SELECT DISTINCT l.media_id AS media_a,
+             r.media_id AS media_b
+           FROM banded l JOIN banded r ON l.band = r.band
+             AND l.key = r.key AND l.media_id < r.media_id),
+         ham AS (SELECT media_a, media_b,
+           CAST(bit_count(xor(a.h_hi, b.h_hi))
+             + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS hamming
+           FROM cand JOIN hs a ON cand.media_a = a.media_id
+             JOIN hs b ON cand.media_b = b.media_id)
+         SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 3
+         ORDER BY media_a, media_b""",
+    // the feed replays batch 2+3 as inserts and the boxed key range of
+    // batches 1+2 as deletes; the compaction between them is invisible
+    "q196_change_feed" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders)
+         SELECT 'insert' AS change_type, o_orderkey, o_custkey,
+           o_totalprice
+         FROM orders WHERE o_orderkey % 3 IN (1, 2)
+         UNION ALL
+         SELECT 'delete' AS change_type, o_orderkey, o_custkey,
+           o_totalprice
+         FROM orders, b
+         WHERE o_orderkey % 3 IN (0, 1)
+           AND o_orderkey BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
+         ORDER BY change_type, o_orderkey""",
+    // maintained state == full recompute over the head's logical table:
+    // batch-1/2 rows outside the deleted box, plus all of batch 3
+    // (appended after the delete, so its boxed keys survive)
+    "q197_incremental_agg" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         fin AS (SELECT o_orderkey, o_custkey FROM orders, b
+           WHERE o_orderkey % 3 = 2
+              OR o_orderkey NOT BETWEEN klo + (khi - klo) // 4
+                AND klo + (khi - klo) // 2)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM fin GROUP BY o_custkey ORDER BY o_custkey""",
     // nearest-neighbor 16x8 -> 8x4: out pixel (x,y) samples src (2x,2y);
     // the oracle replays that grid over the text-derived pixels
     "q91_pgm_resize" ->

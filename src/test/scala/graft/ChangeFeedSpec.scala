@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.lake.{ChangeFeed, Compaction, ManifestCommit}
+
+/** Manifest-log change data feed: commit kinds, incremental replay, and
+  * the conservative refusals. The feed's contract is "work ∝ change
+  * volume, never a wrong or silently incomplete answer" — every test
+  * here is one of those two halves. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** orders-shaped rows: (k key, g group, v value); k 0..99 plus one
+    * NULL-key row in batch 0 (the deleteRange NULL hazard). */
+  private def batch(r: Int) = spark.range(100)
+    .select($"id".as("k"), ($"id" % 5).as("g"), ($"id" * 10).as("v"))
+    .filter($"k" % 3 === r)
+
+  private def nullRows = Seq((0L, 7L, 77L)).toDF("k", "g", "v")
+    .select(lit(null).cast("long").as("k"), $"g", $"v")
+
+  /** Builds the canonical fixture: batch0 (+2 NULL-key rows) committed
+    * with stats → cursor; batch1 appended; clustered compaction;
+    * delete k in [20,40]; batch2 appended. Returns (dir, cursor, head). */
+  private def buildLake(): (Path, Long, Long) = {
+    val local = Files.createTempDirectory("graft-cdf").toString
+    val dir = new Path(s"$local/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batch(0).unionByName(nullRows).repartitionByRange(4, $"k")
+      .sortWithinPartitions("k").write.parquet(dir.toString)
+    ManifestCommit.bootstrap(fs, dir)
+    val cursor = ManifestCommit.recordStats(spark, dir, Seq("k")).version
+    ManifestCommit.stageAndPublish(spark, dir, batch(1), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish(1)"))
+    Compaction.compactTableManifest(spark, dir.toString, maxFiles = 2,
+      targetFileBytes = 16L * 1024, gcGraceMs = 6L * 3600 * 1000,
+      sortCol = Some("k"))
+    ManifestCommit.deleteRange(spark, dir, "k", 20L, 40L, Seq("k"))
+    ManifestCommit.stageAndPublish(spark, dir, batch(2), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish(2)"))
+    val head = ManifestCommit.currentSnapshot(fs, dir).get.version
+    (dir, cursor, head)
+  }
+
+  test("commit kinds: append/meta/replace/delete recorded, diffs correct") {
+    val (dir, cursor, head) = buildLake()
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = ManifestCommit.commitsBetween(fs, dir, 1L, head)
+    // v2 stats recommit = meta; then append, replace(+meta), delete(+meta), append
+    val kinds = commits.map(_.kind)
+    assert(kinds.head == ManifestCommit.KindMeta, s"v2 must be meta: $kinds")
+    assert(kinds.count(_ == ManifestCommit.KindAppend) == 2,
+      s"two data appends: $kinds")
+    assert(kinds.contains(ManifestCommit.KindReplace) &&
+      kinds.contains(ManifestCommit.KindDelete), s"kinds: $kinds")
+    // a meta commit moves no files; the delete carries its predicate
+    commits.filter(_.kind == ManifestCommit.KindMeta).foreach { c =>
+      assert(c.added.isEmpty && c.removed.isEmpty, s"meta moved files: $c")
+    }
+    val del = commits.find(_.kind == ManifestCommit.KindDelete).get
+    assert(del.deletePredicate.contains(("k", 20L, 40L)))
+    assert(del.removed.nonEmpty, "delete must consume files")
+    // every commit's diff is consistent: added files are live right after
+    val afterDel = ManifestCommit.snapshotAt(fs, dir, del.version).get
+    assert(del.added.forall(afterDel.files.contains))
+    assert(ManifestCommit.commitsBetween(fs, dir, cursor, cursor).isEmpty)
+  }
+
+  test("feed replays inserts + predicate deletes; compaction is invisible; NULL keys never deleted") {
+    val (dir, cursor, head) = buildLake()
+    val feed = ChangeFeed.changeFeed(spark, dir, cursor, head)
+      .select($"_change_type", $"k", $"g", $"v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(3)))
+    val inserts = feed.filter(_._1 == ChangeFeed.Insert)
+    val deletes = feed.filter(_._1 == ChangeFeed.Delete)
+    val expIns = batch(1).unionByName(batch(2))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(inserts.map(t => (t._2.get.asInstanceOf[Long], t._3)).toSet ==
+      expIns, "inserts must be exactly batches 1+2")
+    assert(inserts.size == expIns.size, "no insert duplicated (compaction leaked)")
+    // deletes: k in [20,40] from batches 0+1 only; NULL keys survive
+    val expDel = batch(0).unionByName(batch(1))
+      .filter($"k".between(20, 40))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(deletes.map(t => (t._2.get.asInstanceOf[Long], t._3)).toSet == expDel)
+    assert(deletes.forall(_._2.isDefined), "a NULL-key row was fed as deleted")
+    // replaying the feed over the cursor snapshot reproduces the head
+    val base = ManifestCommit.readTableAt(spark, dir.toString, cursor)
+    val replayed = base.unionByName(
+        ChangeFeed.changeFeed(spark, dir, cursor, head)
+          .filter($"_change_type" === ChangeFeed.Insert)
+          .select("k", "g", "v"))
+      .exceptAll(ChangeFeed.changeFeed(spark, dir, cursor, head)
+        .filter($"_change_type" === ChangeFeed.Delete)
+        .select("k", "g", "v"))
+    val headTable = ManifestCommit.readTable(spark, dir.toString)
+      .select("k", "g", "v")
+    assert(replayed.exceptAll(headTable).isEmpty &&
+      headTable.exceptAll(replayed).isEmpty,
+      "cursor + feed must reproduce the head table exactly")
+  }
+
+  test("maintainAdditive == full recompute; fully-deleted keys vanish") {
+    val (dir, cursor, head) = buildLake()
+    val base = ManifestCommit.readTableAt(spark, dir.toString, cursor)
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sv"))
+    val feed = ChangeFeed.changeFeed(spark, dir, cursor, head)
+    val maintained = ChangeFeed.maintainAdditive(base, feed, Seq("g"),
+        "v", "sv", "cnt")
+      .collect().map(r => (Option(r.get(0)), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val recomputed = ManifestCommit.readTable(spark, dir.toString)
+      .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .collect().map(r => (Option(r.get(0)), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(maintained == recomputed,
+      s"maintained $maintained != recomputed $recomputed")
+    // a group whose every row is deleted disappears, as a recompute would
+    val killFeed = ManifestCommit.readTable(spark, dir.toString)
+      .filter($"g" === 2)
+      .withColumn("_change_type", lit(ChangeFeed.Delete))
+      .withColumn("_commit_version", lit(99L))
+    val after = ChangeFeed.maintainAdditive(
+      ManifestCommit.readTable(spark, dir.toString)
+        .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sv")),
+      killFeed, Seq("g"), "v", "sv", "cnt")
+    assert(after.filter($"g" === 2).isEmpty, "emptied key must vanish")
+  }
+
+  test("refusals are loud: untagged commit, pruned cursor, collected file") {
+    val (dir, cursor, head) = buildLake()
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (a) legacy untagged commit inside the range → refuse
+    val legacyDir = new Path(
+      Files.createTempDirectory("graft-cdf-legacy").toString + "/tbl")
+    batch(0).coalesce(1).write.parquet(legacyDir.toString)
+    ManifestCommit.bootstrap(fs, legacyDir)
+    val snap = ManifestCommit.currentSnapshot(fs, legacyDir).get
+    val legacyManifest = new Path(legacyDir,
+      f"${ManifestCommit.LogDirName}/v${snap.version + 1}%08d.manifest")
+    val out = fs.create(legacyManifest, false)
+    out.write((s"#graft 1 ${snap.files.size} 0 0\n" +
+      snap.files.map(n => s"A $n").mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val e1 = intercept[RuntimeException](ChangeFeed.changeFeed(spark,
+      legacyDir, snap.version, snap.version + 1))
+    assert(e1.getMessage.contains("pre-tag"), e1.getMessage)
+    // (b) cursor pruned out of the log → refuse
+    ManifestCommit.pruneLog(fs, dir, keepLast = 1)
+    val e2 = intercept[RuntimeException](
+      ChangeFeed.changeFeed(spark, dir, cursor, head))
+    assert(e2.getMessage.contains("full resync"), e2.getMessage)
+    // (c) a referenced delta file collected under the consumer → refuse
+    val (dir2, cursor2, head2) = buildLake()
+    val fs2 = dir2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstAppend = ManifestCommit
+      .commitsBetween(fs2, dir2, cursor2, head2)
+      .find(c => c.kind == ManifestCommit.KindAppend && c.added.nonEmpty).get
+    fs2.delete(new Path(dir2, firstAppend.added.head), false)
+    val e3 = intercept[IllegalArgumentException](
+      ChangeFeed.changeFeed(spark, dir2, cursor2, head2))
+    assert(e3.getMessage.contains("gc grace"), e3.getMessage)
+  }
+}

@@ -434,6 +434,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dHash: hand-checked bits, banded Hamming pairs find only true near-dups") {
+    // doc1/doc2: identical images — row 0 samples [65,66,32,...] set
+    // exactly bit 0 ('B' brighter than 'A'); doc3: "aZ" repeated fills
+    // every row with the same gradient, bit 4 per row (sample cols
+    // [0,1,3,5,7,8,10,12,14] read a,Z,Z,Z,Z,a,a,a,a)
+    val d = Seq((1L, "AB"), (2L, "AB"), (3L, "aZ" * 64))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hs = Multimodal.dhash(Multimodal.pgmFromDocuments(d))
+      .collect().map(r => r.media_id -> (r.h_hi, r.h_lo)).toMap
+    assert(hs(1L) == (1L, 0L) && hs(2L) == (1L, 0L), s"hs=$hs")
+    val rowBits = (1L << 4) | (1L << 12) | (1L << 20) | (1L << 28)
+    assert(hs(3L) == (rowBits, rowBits), s"hs=$hs")
+    // doc3 shares no band key with doc1/doc2 (every band differs), so
+    // the ONLY pair is the identical one at Hamming 0
+    val pairs = Multimodal.dhashPairs(
+        Multimodal.dhash(Multimodal.pgmFromDocuments(d)).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), s"pairs=${pairs.toSeq}")
+  }
+
   test("PGM/WAV decoders: hand-checked stats, loud failure on garbage") {
     val d = Seq((5L, "AB", "en", "s0", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

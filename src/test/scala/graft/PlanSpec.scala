@@ -407,6 +407,26 @@ class PlanSpec extends SparkSpec {
       s"G.711 decode grew extra shuffles ($exchanges193):\n$p193")
   }
 
+  test("change feed plans as delta-file scans: no join, no agg, pushed delete predicate") {
+    // the whole point of the manifest CDF: change discovery must cost a
+    // scan of the DELTA files, never a snapshot join — at 100 TB
+    // snapshotDiff's full-outer join is a 2x-table shuffle, this is ~GBs
+    val p196 = plan("q196_change_feed")
+    assert(!p196.contains("Join") && !p196.contains("HashAggregate"),
+      s"q196 must not join or aggregate:\n$p196")
+    // the delete branch's key predicate reaches its parquet scan
+    assert(p196.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+        "GreaterThanOrEqual(o_orderkey") ||
+      p196.contains("GreaterThanOrEqual(o_orderkey"),
+      s"delete predicate must push into the consumed-file scan:\n$p196")
+    // incremental maintenance: ONE aggregation over stored state + delta
+    // rows, zero joins — the base table's files appear nowhere
+    val p197 = plan("q197_incremental_agg")
+    assert(!p197.contains("Join"), s"q197 must not join:\n$p197")
+    assert("- HashAggregate".r.findAllIn(p197).size <= 2, // partial + final
+      s"q197 must be one aggregation:\n$p197")
+  }
+
   test("dynamic partition pruning fires on the partitioned-lake join") {
     // the y/m/d lake's fact-side scans must prune partitions from a
     // dim-side filter at RUNTIME — at 100 TB this is the difference
