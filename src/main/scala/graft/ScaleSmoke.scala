@@ -583,6 +583,63 @@ object ScaleSmoke {
       timePr(s"pagerank_${k}x", k)
     }
 
+    // Manifest change feed (q196): a FIXED-size append batch + a fixed
+    // narrow delete against a table that grows kx. The feed reads ONLY
+    // the delta files (batch files + the delete's touched files), so
+    // feed_sec must stay ~flat; Cdc.snapshotDiff answers the same
+    // question by full-outer-joining BOTH complete snapshots, so
+    // diff_sec must track the table. Equal change counts cross-check
+    // that the cheap answer is the same answer.
+    if (enabled("feed")) {
+      import graft.lake.{ChangeFeed, ManifestCommit}
+      lazy val ordBase = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def ordRep(times: Int): DataFrame =
+        ordBase.withColumn("rr", explode(sequence(lit(0), lit(times - 1))))
+          .select((col("o_orderkey") * times + col("rr")).as("k"),
+            col("o_custkey").as("c"), col("o_totalprice").as("v"))
+      def timeFeed(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val df = ordRep(times)
+        val dir = java.nio.file.Files
+          .createTempDirectory("smoke_feed").toString + "/tbl"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.ops.Layout.writeLinear(df, col("k"), dir, 32)
+        ManifestCommit.bootstrap(fs, p)
+        val cursor = ManifestCommit.recordStats(spark, p, Seq("k")).version
+        // fixed-size batch at disjoint keys (same rows at every scale)
+        val batch = ordRep(1).filter(col("k") % 500 === 0)
+          .select((col("k") + 4000000000L).as("k"), col("c"), col("v"))
+        ManifestCommit.stageAndPublish(spark, p, batch, _ => true,
+          statsCols = Seq("k")).getOrElse(sys.error("feed smoke publish"))
+        // fixed narrow delete: 1/512 of the key span — touches a couple
+        // of the 32 stats-clustered files regardless of scale
+        val bb = df.agg(min("k"), max("k")).head
+        ManifestCommit.deleteRange(spark, p, "k", bb.getLong(0),
+          bb.getLong(0) + (bb.getLong(1) - bb.getLong(0)) / 512, Seq("k"))
+        val head = ManifestCommit.currentSnapshot(fs, p).get.version
+        val t0 = System.nanoTime()
+        val nFeed = ChangeFeed.changeFeed(spark, p, cursor, head).count()
+        val tFeed = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nDiff = graft.ops.Cdc.snapshotDiff(
+          ManifestCommit.readTableAt(spark, dir, cursor),
+          ManifestCommit.readTable(spark, dir), "k", Seq("c", "v")).count()
+        val tDiff = (System.nanoTime() - t1) / 1e9
+        require(nFeed == nDiff,
+          s"feed/diff disagree: $nFeed vs $nDiff")
+        spark.catalog.clearCache()
+        if (!silent)
+          println(f"""{"experiment":"$label","table_rows":${df.count()},""" +
+            f""""changes":$nFeed,"feed_sec":$tFeed%.2f,""" +
+            f""""snapshot_diff_sec":$tDiff%.2f}""")
+      }
+      timeFeed("warmup", 1, silent = true)
+      timeFeed("feed_1x", 1)
+      timeFeed(s"feed_${k}x", k)
+    }
+
     // Exact ppjoin (q189): rarest-first prefixes + length/positional
     // filters. Perturbed replicas keep token spaces disjoint, so prefix
     // postings (and true pairs) grow linearly — the claim is that wall
