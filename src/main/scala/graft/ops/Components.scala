@@ -265,5 +265,54 @@ object Components {
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core of the undirected pair graph: iteratively peel every node of
+    * degree < k until fixpoint; returns (doc_id, degree) for the
+    * surviving nodes with their degree INSIDE the core. The k-core is
+    * the standard density filter over a near-dup graph — a pendant pair
+    * of documents is circumstantial, a 2-core member sits in a cycle of
+    * mutual near-duplicates (boilerplate families, template farms) and
+    * is what a curation pass escalates on.
+    *
+    * Scale shape: each round is one degree aggregation plus two
+    * semi-joins over a SHRINKING edge relation — per-round work tracks
+    * surviving edges (bounded by the band caps that produced the
+    * pairs), and the round count is the peeling depth of the graph
+    * (tiny for near-dup graphs: clusters are near-cliques, which peel
+    * in one round or survive whole). Round state is lineage-truncated
+    * and cached exactly as in [[connectedComponents]] — constant-size
+    * plans, two edge generations in memory. Fixpoint is detected by
+    * the (monotone-decreasing) edge count; hitting `maxIters` fails
+    * loudly rather than returning a half-peeled graph. */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .distinct()
+    var edges = truncated(e0.union(e0.select(col("dst"), col("src"))))
+    var nEdges = edges.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // degree >= k survivors; both endpoints must survive for the edge to
+      val keep = truncated(edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id")))
+      val next = truncated(edges
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      val nNext = next.count()
+      converged = nNext == nEdges
+      keep.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      edges = next
+      nEdges = nNext
+      iter += 1
+    }
+    if (!converged) edges.unpersist(blocking = false)
+    require(converged, s"kCore did not reach fixpoint in $maxIters rounds")
+    edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+  }
 }
 

@@ -708,6 +708,15 @@ object OpsQueries {
         .select("o_custkey", "n_orders", "sum_key")
         .orderBy("o_custkey")
     }),
+    // k-core of the near-dup graph: iterative degree-<2 peeling to
+    // fixpoint — pendant pairs drop, cyclic boilerplate families
+    // survive with their in-core degree; per-round work tracks the
+    // shrinking edge relation, rounds track peeling depth
+    "q200_kcore" -> ((s, d) =>
+      Components.kCore(
+          Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")),
+          k = 2)
+        .orderBy("doc_id")),
     // DSIR-style importance resampling: hashed-bigram distribution of
     // the English slice vs the whole corpus, integer mean-ratio scores,
     // deterministic top-100 admission
@@ -1929,6 +1938,29 @@ object OpsQueries {
 
   /** q133: unrolled fixed-point PageRank iterations + recursive-CTE
     * components over the shared verified-pairs chain. */
+  /** 2-core peeling unrolled to a fixed 12 rounds (peeling is monotone
+    * and idempotent at fixpoint, so any depth <= 12 lands on the same
+    * edge set the Spark side converges to; deeper graphs would
+    * hash-mismatch loudly, never silently). */
+  private val kcoreSql: String = {
+    // AS MATERIALIZED: each round references the previous one three
+    // times — inlined, the 12-round unroll would expand 3^12 scans of
+    // the base chain (observed as a file-handle explosion in DuckDB)
+    val peels = (1 to 12).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+           HAVING count(*) >= 2),
+         e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           JOIN d$i s ON e.src = s.src
+           JOIN d$i t ON e.dst = t.src)"""
+    }.mkString(",\n       ")
+    s"""WITH ${MINHASH_CHAIN("documents")},
+       e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       $peels
+       SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS degree
+       FROM e12 GROUP BY src ORDER BY doc_id"""
+  }
+
   private val pagerankSql: String = {
     val iterCtes = (1 to 3).map { i =>
       s"""r$i AS (SELECT n.id,
@@ -2146,6 +2178,7 @@ object OpsQueries {
          ORDER BY t.source, t.doc_id"""
     },
     "q133_dup_pagerank" -> pagerankSql,
+    "q200_kcore" -> kcoreSql,
     // stored == recomputed: the persisted canonical graph must hash-match
     // the full chain recomputation
     "q195_canonical_persist" -> pagerankSql,

@@ -49,4 +49,20 @@ class CentralitySpec extends SparkSpec {
       assert(members.count(_._3) == 1, s"component $comp canonical count")
     }
   }
+
+  test("kCore: pendant chains peel away, cycles survive with in-core degree") {
+    // triangle 1-2-3 with pendant 3-4-5 chain, plus an isolated pair 8-9:
+    // the 2-core is exactly the triangle (everyone at degree 2); the
+    // chain peels in two rounds (5 first, then 4), the pair in one
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (8L, 9L)).toDF("doc_a", "doc_b")
+    val core = graft.ops.Components.kCore(g, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"core=$core")
+    // k=1 keeps everything (degree >= 1 is every endpoint): 7 nodes
+    assert(graft.ops.Components.kCore(g, k = 1).count() == 7)
+    // a star's 2-core is empty: spokes peel, then the hub
+    val star = (1L to 5L).map(s => (s, 50L)).toDF("doc_a", "doc_b")
+    assert(graft.ops.Components.kCore(star, k = 2).isEmpty)
+  }
 }
