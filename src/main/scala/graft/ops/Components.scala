@@ -52,7 +52,7 @@ object Components {
     * them). Lazy: the first action on the returned frame materializes
     * the cache; a cache miss (executor loss) recomputes through the
     * wrapped RDD's own lineage. */
-  private def truncated(df: DataFrame): DataFrame =
+  private[ops] def truncated(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.GraftBridge
       .internalCreateDataFrame(df.sparkSession, df.queryExecution.toRdd,
         df.schema)

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextKit.tracked
+
+/** Unigram-lexicon subword segmentation — the SentencePiece-shaped
+  * tokenizer family (Kudo 2018, "Subword Regularization"): a substring
+  * LEXICON harvested from the corpus word table, then per-word Viterbi
+  * segmentation as dynamic programming over the position DAG, then
+  * corpus-level token metering through the word table.
+  *
+  * Pinned deviation from the paper: classic unigram-LM Viterbi maximizes
+  * sum(log p(piece)); logs are transcendental and two engines' libm may
+  * disagree in the last ulp, which a hash-exact DuckDB oracle cannot
+  * tolerate. The objective here is the INTEGER lexicographic surrogate
+  * "fewest pieces, then largest total piece frequency": the DP structure
+  * (shortest path over word positions) is identical, every quantity is a
+  * long, and both engines compute bit-identical answers. For a
+  * frequency-ranked lexicon the two objectives agree whenever piece
+  * counts differ — the log term only arbitrates among equal-length
+  * segmentations. Encoded as one cost long per piece: Big - clamp(freq),
+  * so minimizing total cost minimizes the piece count first (Big
+  * dominates) and maximizes the frequency sum second.
+  *
+  * 100 TB shape (the [[Bpe]] policy): the corpus is aggregated ONCE to
+  * the word-frequency table; lexicon harvest explodes substrings of the
+  * DISTINCT words only (vocabulary-bounded, maxPieceLen^2 pieces per
+  * word); the DP runs maxWordLen rounds of a keyed join between the
+  * position frontier (one row per surviving word) and the lexicon —
+  * work is vocab x maxWordLen x maxPieceLen, never corpus-scale. Round
+  * frontiers are lineage-truncated ([[Components.truncated]]) so the
+  * DP's 4-way frontier references never compound Catalyst re-analysis.
+  * Per-doc metering joins the segmented word table back to the corpus —
+  * the one corpus-scale pass, a dictionary join exactly like BPE encode.
+  */
+object Unigram {
+
+  /** DP horizon: words longer than this fail loudly (the corpus word
+    * table is inspected cheaply first — silent truncation would
+    * mis-meter). */
+  val MaxWordLen = 12
+
+  /** Longest lexicon piece. */
+  val MaxPieceLen = 4
+
+  /** Piece-count stride of the folded cost. Frequencies are clamped to
+    * Big/16 so a word's <= MaxWordLen piece frequencies can never sum
+    * past one stride (the clamp is part of the defined objective and is
+    * mirrored in the oracle). */
+  val Big = 1L << 44
+  val FreqClamp = Big / 16
+
+  /** The corpus word-frequency table: (word, wf). */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+
+  /** Candidate lexicon: every substring of length <= maxPieceLen of
+    * every corpus word, weighted by word occurrences (a piece occurring
+    * twice in one word counts twice, as in substring-count
+    * initialization). Pieces below `minCount` drop UNLESS single-char —
+    * single characters always stay so every word stays segmentable.
+    * Output: (piece, freq). */
+  def lexicon(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val w = wordFreq(docs)
+    val subs = w.select(col("wf"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), s =>
+          transform(sequence(lit(1),
+              least(lit(MaxPieceLen), length(col("word")) - s + 1)), l =>
+            col("word").substr(s, l))))).as("piece"))
+    subs.groupBy(col("piece")).agg(sum(col("wf")).as("freq"))
+      .filter(col("freq") >= minCount || length(col("piece")) === 1)
+  }
+
+  /** Viterbi-segment every distinct corpus word against `lex`
+    * ((piece, freq), e.g. [[lexicon]]'s output): returns
+    * (word, wf, n_pieces, piece_freq_sum) under the integer objective.
+    * One DP round per position: the frontier at position j extends by
+    * every lexicon piece word[j..k), and position k keeps the min folded
+    * cost. Unreachable words (a char missing from the lexicon) fail
+    * loudly rather than dropping from the metering. */
+  def segmentWords(docs: DataFrame, lex: DataFrame): DataFrame = {
+    val words = tracked(wordFreq(docs))
+    val tooLong = words.filter(length(col("word")) > MaxWordLen).count()
+    require(tooLong == 0,
+      s"segmentWords: $tooLong words exceed MaxWordLen=$MaxWordLen — " +
+        "raise the horizon; silent truncation would mis-meter")
+    val cost = (lit(Big) - least(col("freq"), lit(FreqClamp))).as("pcost")
+    val pieces = tracked(lex.select(col("piece"), cost))
+    // dp(k) = one row per word reachable at position k with the min cost
+    val dpByPos = new Array[DataFrame](MaxWordLen + 1)
+    dpByPos(0) = Components.truncated(
+      words.select(col("word"), lit(0L).as("cost")))
+    for (k <- 1 to MaxWordLen) {
+      val branches = (math.max(0, k - MaxPieceLen) until k).map { j =>
+        dpByPos(j).filter(length(col("word")) >= k)
+          .select(col("word"),
+            col("word").substr(lit(j + 1), lit(k - j)).as("piece"),
+            col("cost"))
+      }
+      val cand = branches.reduce(_.unionByName(_))
+        .join(pieces, Seq("piece"))
+        .select(col("word"), (col("cost") + col("pcost")).as("c"))
+      dpByPos(k) = Components.truncated(
+        cand.groupBy(col("word")).agg(min(col("c")).as("cost")))
+    }
+    val finals = (1 to MaxWordLen).map(k =>
+      dpByPos(k).filter(length(col("word")) === k)).reduce(_.unionByName(_))
+    val out = words.join(finals, Seq("word"), "left")
+    // a NULL cost is an unsegmentable word — impossible while single
+    // chars ride the lexicon, so it must be a caller-supplied lexicon
+    // bug: fail loudly (the guard lives INSIDE the used column so
+    // pruning can never elide it)
+    val n = expr(s"(cost + ${Big - 1}) div $Big")
+    out.select(col("word"), col("wf"),
+        when(col("cost").isNull, raise_error(
+            concat(lit("unsegmentable word: "), col("word"))))
+          .otherwise(n).as("n_pieces"),
+        when(col("cost").isNull, raise_error(
+            concat(lit("unsegmentable word: "), col("word"))))
+          .otherwise(n * lit(Big) - col("cost")).as("piece_freq_sum"))
+  }
+
+  /** Corpus token metering under the unigram segmenter: per document,
+    * word count and total subword pieces — the one corpus-scale pass, a
+    * dictionary join against the segmented word table. */
+  def meter(docs: DataFrame, lex: DataFrame): DataFrame = {
+    val seg = segmentWords(docs, lex)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .join(seg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_pieces")).as("uni_tokens"))
+  }
+}

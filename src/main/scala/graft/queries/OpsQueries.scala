@@ -708,6 +708,24 @@ object OpsQueries {
         .select("o_custkey", "n_orders", "sum_key")
         .orderBy("o_custkey")
     }),
+    // unigram-lexicon tokenizer family (SentencePiece-shaped, integer
+    // objective — see Unigram scaladoc): substring lexicon harvested
+    // from the DISTINCT-word table (vocabulary-bounded explode)
+    "q201_unigram_lexicon" -> ((s, d) =>
+      Unigram.lexicon(docs(s, d)).orderBy("piece")),
+    // per-word Viterbi segmentation as a 12-round DP join between the
+    // position frontier and the lexicon — fewest pieces, then largest
+    // frequency sum; all integers, bit-exact cross-engine
+    "q202_unigram_segment" -> ((s, d) => {
+      val dd = docs(s, d)
+      Unigram.segmentWords(dd, Unigram.lexicon(dd)).orderBy("word")
+    }),
+    // corpus metering under the unigram segmenter: the one
+    // corpus-scale pass, a dictionary join like BPE encode
+    "q203_unigram_meter" -> ((s, d) => {
+      val dd = docs(s, d)
+      Unigram.meter(dd, Unigram.lexicon(dd)).orderBy("doc_id")
+    }),
     // k-core of the near-dup graph: iterative degree-<2 peeling to
     // fixpoint — pendant pairs drop, cyclic boilerplate families
     // survive with their in-core degree; per-round work tracks the
@@ -1938,6 +1956,51 @@ object OpsQueries {
 
   /** q133: unrolled fixed-point PageRank iterations + recursive-CTE
     * components over the shared verified-pairs chain. */
+  /** Shared DuckDB chain for the unigram tokenizer family: word table,
+    * lexicon (HAVING mirrors the minCount-or-single-char keep), folded
+    * piece costs, and the 12-round DP unrolled as MATERIALIZED CTEs
+    * (each round references the previous four — inlining would compound
+    * exponentially, exactly the k-core hazard). */
+  private val unigramChain: String = {
+    val big = graft.ops.Unigram.Big
+    val clamp = graft.ops.Unigram.FreqClamp
+    val maxW = graft.ops.Unigram.MaxWordLen
+    val maxP = graft.ops.Unigram.MaxPieceLen
+    val rounds = (1 to maxW).map { k =>
+      val branches = (math.max(0, k - maxP) until k).map { j =>
+        s"""SELECT d.word, d.cost + l.pcost AS c
+           FROM dp$j d JOIN lex2 l
+             ON l.piece = substr(d.word, ${j + 1}, ${k - j})
+           WHERE length(d.word) >= $k"""
+      }.mkString(" UNION ALL ")
+      s"""dp$k AS MATERIALIZED (SELECT word, min(c) AS cost
+         FROM ($branches) GROUP BY word)"""
+    }.mkString(",\n       ")
+    val finals = (1 to maxW).map(k =>
+      s"SELECT word, cost FROM dp$k WHERE length(word) = $k")
+      .mkString(" UNION ALL ")
+    s"""w AS MATERIALIZED (SELECT word, count(*) AS wf FROM
+         (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word),
+       lex AS MATERIALIZED (SELECT piece, sum(wf) AS freq FROM
+         (SELECT wf, unnest(flatten(list_transform(
+            generate_series(1, length(word)), s ->
+              list_transform(generate_series(1,
+                  least($maxP, length(word) - s + 1)), l ->
+                substr(word, CAST(s AS INT), CAST(l AS INT)))))) AS piece
+          FROM w)
+         GROUP BY piece HAVING sum(wf) >= 2 OR length(piece) = 1),
+       lex2 AS MATERIALIZED (SELECT piece,
+         $big - least(freq, $clamp) AS pcost FROM lex),
+       dp0 AS MATERIALIZED (SELECT word, 0::BIGINT AS cost FROM w),
+       $rounds,
+       fin AS MATERIALIZED (SELECT word,
+           CAST((cost + ${big - 1}) // $big AS BIGINT) AS n_pieces,
+           CAST(((cost + ${big - 1}) // $big) * $big - cost AS BIGINT)
+             AS piece_freq_sum
+         FROM ($finals))"""
+  }
+
   /** 2-core peeling unrolled to a fixed 12 rounds (peeling is monotone
     * and idempotent at fixpoint, so any depth <= 12 lands on the same
     * edge set the Spark side converges to; deeper graphs would
@@ -2179,6 +2242,25 @@ object OpsQueries {
     },
     "q133_dup_pagerank" -> pagerankSql,
     "q200_kcore" -> kcoreSql,
+    "q201_unigram_lexicon" ->
+      s"""WITH $unigramChain
+         SELECT piece, CAST(freq AS BIGINT) AS freq FROM lex
+         ORDER BY piece""",
+    "q202_unigram_segment" ->
+      s"""WITH $unigramChain
+         SELECT w.word, CAST(w.wf AS BIGINT) AS wf, fin.n_pieces,
+           fin.piece_freq_sum
+         FROM w JOIN fin ON w.word = fin.word ORDER BY w.word""",
+    "q203_unigram_meter" ->
+      s"""WITH $unigramChain,
+         docw AS (SELECT doc_id, word, count(*) AS n FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+           WHERE word <> '' GROUP BY doc_id, word)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(sum(n * fin.n_pieces) AS BIGINT) AS uni_tokens
+         FROM docw JOIN fin ON docw.word = fin.word
+         GROUP BY doc_id ORDER BY doc_id""",
     // stored == recomputed: the persisted canonical graph must hash-match
     // the full chain recomputation
     "q195_canonical_persist" -> pagerankSql,
