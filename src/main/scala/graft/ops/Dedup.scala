@@ -656,4 +656,27 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= tau)
   }
+
+  /** SoftDeDup: down-WEIGHT duplicate clusters instead of dropping them
+    * (the public soft-dedup idea — duplicated text carries signal, so a
+    * training mix reweights by 1/cluster-size rather than keeping one
+    * arbitrary survivor). Every document gets weight_permille =
+    * 1000 div n where n is its near-dup cluster size (singletons keep
+    * 1000); a k-way cluster's TOTAL weight is ~one document's, so the
+    * effective epoch mix matches hard dedup in expectation while every
+    * variant stays sampleable. Cost: the CC labels the pair generator
+    * already bounded, one size aggregation, two keyed left joins against
+    * the corpus — the gentler sibling of the anti-join rejection
+    * filter. */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = Components.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("component_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_permille", expr("1000 div cluster_size"))
+  }
 }

@@ -726,6 +726,13 @@ object OpsQueries {
       val dd = docs(s, d)
       Unigram.meter(dd, Unigram.lexicon(dd)).orderBy("doc_id")
     }),
+    // SoftDeDup: duplicates down-weighted by 1/cluster-size instead of
+    // dropped — a k-way cluster's total weight matches one document, so
+    // the mix equals hard dedup in expectation with every variant kept
+    "q204_softdedup" -> ((s, d) =>
+      Dedup.softDedupWeights(docs(s, d),
+          Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
     // k-core of the near-dup graph: iterative degree-<2 peeling to
     // fixpoint — pendant pairs drop, cyclic boilerplate families
     // survive with their in-core degree; per-round work tracks the
@@ -1372,7 +1379,7 @@ object OpsQueries {
   private val cdfLakes =
     new java.util.concurrent.ConcurrentHashMap[String, CdfLake]()
 
-  private def ensureCdfLake(s: SparkSession, d: String): CdfLake =
+  private[queries] def ensureCdfLake(s: SparkSession, d: String): CdfLake =
     cdfLakes.computeIfAbsent(d, _ => {
       import graft.lake.{Compaction, ManifestCommit}
       val o = Tables(s, d, "orders")
@@ -2242,6 +2249,21 @@ object OpsQueries {
     },
     "q133_dup_pagerank" -> pagerankSql,
     "q200_kcore" -> kcoreSql,
+    "q204_softdedup" ->
+      s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+           FROM r GROUP BY a),
+         csizes AS (SELECT component_id, count(*) AS cs FROM comp
+           GROUP BY component_id)
+         SELECT d.doc_id, CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size,
+           CAST(1000 // coalesce(cs, 1) AS BIGINT) AS weight_permille
+         FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+           LEFT JOIN csizes ON comp.component_id = csizes.component_id
+         ORDER BY d.doc_id""",
     "q201_unigram_lexicon" ->
       s"""WITH $unigramChain
          SELECT piece, CAST(freq AS BIGINT) AS freq FROM lex

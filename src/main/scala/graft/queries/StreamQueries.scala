@@ -82,6 +82,15 @@ object StreamQueries {
     // dimension at EVENT time (no future-version leakage); equals the
     // batch interval join
     "q190_stream_pit" -> ((s, d) => StreamingOps.streamPointInTime(s, d)),
+    // streaming maintenance from the manifest change feed: signed
+    // per-key partials AS streaming aggregation state over the feed's
+    // commit-batch files, merged with the stored base — equals the
+    // batch q197 maintenance; the base table is never scanned
+    "q205_stream_feed_maintain" -> ((s, d) => {
+      val cl = OpsQueries.ensureCdfLake(s, d)
+      StreamingOps.streamFeedMaintain(s, cl.path, cl.basePath,
+        cl.fromV, cl.toV)
+    }),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -198,6 +207,8 @@ object StreamQueries {
     "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel"),
     // stream-equals-batch: the q162 oracle verbatim
     "q175_stream_bitmap" -> OpsQueries.oracles("q162_bitmap_segments"),
+    // streaming == batch maintenance from the same feed
+    "q205_stream_feed_maintain" -> OpsQueries.oracles("q197_incremental_agg"),
     // the q34 gap-session chain under native interval-merge semantics
     // (a gap of EXACTLY 1 h starts a new session: [a,b) ∪ [b,c) do not
     // overlap), restricted to sessions finalized under the watermark

@@ -901,4 +901,55 @@ object StreamingOps {
       .awaitTermination()
     ss.table(name).orderBy("user_id", "valid_from")
   }
+
+  /** Streaming maintenance of a materialized additive aggregate from the
+    * manifest CHANGE FEED ([[graft.lake.ChangeFeed]]): the feed's
+    * insert/delete rows arrive as a file stream (each commit's delta =
+    * one arriving batch — the production shape where a consumer tails
+    * the commit log), the signed per-key partials run AS streaming
+    * aggregation state (one row per touched key, bounded by the change
+    * volume's key set), and the final answer merges the stored base
+    * state with the streamed delta exactly as the batch
+    * [[graft.lake.ChangeFeed.maintainAdditive]] does. Equals the batch
+    * q197 maintenance on a finite source — long partials keep
+    * streaming == batch bit-exact. The base table is never scanned by
+    * either side. */
+  def streamFeedMaintain(spark: SparkSession, tablePath: String,
+      basePath: String, fromV: Long, toV: Long): DataFrame = {
+    val name = "stream_feed_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // dump the feed once per table into a sibling dir, one file per
+    // commit version — the stream consumes files exactly as a log
+    // tailer consumes commits (order-free: the aggregate is additive)
+    val feedDir = s"$tablePath-feeddump-$fromV-$toV"
+    val fp = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = fp.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fp))
+      graft.lake.ChangeFeed.changeFeed(ss,
+          new org.apache.hadoop.fs.Path(tablePath), fromV, toV)
+        .repartition(col("_commit_version"))
+        .write.parquet(feedDir)
+    val schema = ss.read.parquet(feedDir).schema
+    val sign = when(col("_change_type") === lit("insert"), lit(1L))
+      .otherwise(lit(-1L))
+    ss.readStream.schema(schema).parquet(feedDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(sign * col("o_orderkey")).as("sum_key"),
+        sum(sign).as("n_orders"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.read.parquet(basePath)
+      .select(col("o_custkey"), col("sum_key"), col("n_orders"))
+      .unionByName(ss.table(name)
+        .select(col("o_custkey"), col("sum_key"), col("n_orders")))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("sum_key")).as("sum_key"),
+        sum(col("n_orders")).as("n_orders"))
+      .filter(col("n_orders") > 0)
+      .select(col("o_custkey"), col("n_orders"), col("sum_key"))
+      .orderBy("o_custkey")
+  }
 }
