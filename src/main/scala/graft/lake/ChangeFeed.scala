@@ -40,7 +40,7 @@ object ChangeFeed {
     * the conservative fallback is a full [[graft.ops.Cdc.snapshotDiff]],
     * never a wrong feed. */
   def changeFeed(spark: SparkSession, partition: Path, fromVersion: Long,
-      toVersion: Long): DataFrame = {
+      toVersion: Long, basePath: Option[String] = None): DataFrame = {
     val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commits =
       ManifestCommit.commitsBetween(fs, partition, fromVersion, toVersion)
@@ -52,7 +52,10 @@ object ChangeFeed {
             "gc grace shorter than the consumer lag, full resync required")
         p.toString
       }
-      spark.read.parquet(paths: _*)
+      // basePath keeps Hive-style partition columns alive for
+      // table-level consumption
+      basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
+        .parquet(paths: _*)
     }
     val batches = commits.flatMap { c =>
       c.kind match {
@@ -81,6 +84,75 @@ object ChangeFeed {
     }
     batches.reduceOption(_.unionByName(_)).getOrElse {
       ManifestCommit.readTable(spark, partition.toString).limit(0)
+        .withColumn("_change_type", lit(Insert))
+        .withColumn("_commit_version", lit(0L))
+    }
+  }
+
+  /** The consumer's bookmark over a (possibly partitioned) table: one
+    * committed version per leaf partition, keyed by the leaf's path
+    * relative to the table root (an unpartitioned table is its own
+    * leaf). Listing-mode leaves are bootstrapped first — taking a
+    * cursor PINS the current content as already-consumed. */
+  def tableCursors(spark: SparkSession,
+      tableRoot: String): Map[String, Long] = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    parts.map { dir =>
+      relOf(fs, root, dir) -> ManifestCommit.bootstrap(fs, dir).version
+    }.toMap
+  }
+
+  /** Leaf path relative to the table root ("." for the root itself).
+    * Both sides are fs-qualified first — leafPartitions returns
+    * qualified paths while callers may pass a bare local path. */
+  private def relOf(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      dir: Path): String =
+    fs.makeQualified(dir).toString
+      .stripPrefix(fs.makeQualified(root).toString)
+      .stripPrefix("/") match {
+      case "" => "."
+      case p  => p
+    }
+
+  /** Table-level change feed: per leaf partition, the row feed from the
+    * consumer's cursor to the current head; a partition BORN after the
+    * bookmark (no cursor entry) replays its entire current content as
+    * inserts. Hive-style partition columns survive (reads carry
+    * `basePath`). Work stays ∝ change volume per partition — untouched
+    * partitions contribute a manifest GET and nothing else, which at
+    * 100 TB (thousands of day partitions, a handful changed) is the
+    * whole point of consuming from the log. */
+  def changeFeedTable(spark: SparkSession, tableRoot: String,
+      cursors: Map[String, Long]): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    val batches = parts.flatMap { dir =>
+      val rel = relOf(fs, root, dir)
+      val head = ManifestCommit.bootstrap(fs, dir).version
+      cursors.get(rel) match {
+        case Some(v) if v == head => None // untouched: manifest GET only
+        case Some(v) =>
+          val f = changeFeed(spark, dir, v, head, basePath = Some(tableRoot))
+          Some(f)
+        case None =>
+          // born after the bookmark: everything here is new
+          Some(spark.read.option("basePath", tableRoot)
+            .parquet(ManifestCommit.liveFiles(fs, dir).map(_.toString): _*)
+            .withColumn("_change_type", lit(Insert))
+            .withColumn("_commit_version", lit(head)))
+      }
+    }
+    batches.reduceOption(_.unionByName(_)).getOrElse {
+      ManifestCommit.readTable(spark, tableRoot).limit(0)
         .withColumn("_change_type", lit(Insert))
         .withColumn("_commit_version", lit(0L))
     }

@@ -104,4 +104,25 @@ object Checks {
     * (drives [[graft.lake.ManifestCommit.stageAndPublish]] audits). */
   def gate(df: DataFrame, checks: Seq[Check]): Boolean =
     run(df, checks).filter(!col("passed")).isEmpty
+
+  /** EXACT per-group lower median of an integer column: the value at
+    * rank (n+1) div 2 of the group's ascending sort — deterministic
+    * under ties (only the value at the rank is emitted, and any tie
+    * ordering puts the same value there). One per-group window sort;
+    * this is the exact profiling tool for grouped distributions whose
+    * groups fit a partition — at unbounded group sizes the mergeable
+    * histogram sketch (q142) is the scale path, this is the truth it
+    * is graded against. */
+  def exactGroupMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    v.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g").as(groupCol), col("v").as("median_v"),
+        col("n").as("n_rows"))
+  }
 }

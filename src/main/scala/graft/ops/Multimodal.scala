@@ -414,6 +414,67 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Histogram equalization as pure relational arithmetic over decoded
+    * pixels: per-image histogram (groupBy), cumulative distribution
+    * (a window ORDERED BY pixel value, bounded at <= 256 rows per
+    * image), and the classic integer remap
+    * eq = (cdf - cdf_min) * 255 div (n - cdf_min) (constant images
+    * defined to 0). Output: one row per (image, present pixel value)
+    * with its count and equalized target — the contrast-normalization
+    * preprocessing a vision-data pipeline runs before feature
+    * extraction, with no per-blob loop anywhere: every step is a
+    * codegen'd aggregation or a per-image-bounded window. */
+  def equalizePgm(media: Dataset[MediaRow]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = pgmPixelRows(media)
+      .groupBy(col("media_id"), col("px")).agg(count(lit(1)).as("cnt"))
+    val byPx = Window.partitionBy("media_id").orderBy("px")
+    val perImg = Window.partitionBy("media_id")
+    hist.withColumn("cdf", sum(col("cnt")).over(byPx))
+      .withColumn("n", max(col("cdf")).over(perImg))
+      .withColumn("cdfmin", min(col("cdf")).over(perImg))
+      .withColumn("eq", when(col("n") === col("cdfmin"), lit(0L))
+        .otherwise(expr("(cdf - cdfmin) * 255 div (n - cdfmin)")))
+      .select(col("media_id"), col("px"), col("cnt"), col("eq"))
+  }
+
+  /** Connected-component BLOB LABELING over a thresholded pixel mask —
+    * the vision op that turns "which pixels are bright" into "how many
+    * objects, how big": pixels >= `threshold` become graph nodes
+    * (globally unique id = media_id * w*h + pos, so ONE distributed CC
+    * labels every image's blobs in the same run), 4-connectivity edges
+    * come from pure id arithmetic (right neighbor = id+1 unless last
+    * column, down neighbor = id+w unless last row — the media boundary
+    * can never be crossed because both exclusions also exclude the last
+    * pixel), and [[graft.ops.Components.connectedComponents]] does the
+    * labeling. Isolated bright pixels (no bright neighbor) come back as
+    * singleton blobs through an anti-join. Output: (media_id, n_blobs,
+    * max_blob) — images with no bright pixel emit nothing, as the mask
+    * defines. Cost: one decode pass + two self-equi-joins on the id +
+    * the CC rounds (log blob-diameter, <= image diagonal). */
+  def blobLabels(media: Dataset[MediaRow], threshold: Int = 64,
+      w: Int = 16, h: Int = 8): DataFrame = {
+    val wh = w * h
+    val on = pgmPixelRows(media)
+      .filter(col("px") >= threshold)
+      .select((col("media_id") * wh + col("pos")).as("id"), col("pos"))
+    def neighbor(delta: Int, keep: org.apache.spark.sql.Column) =
+      on.filter(keep).select(col("id").as("doc_a"))
+        .join(on.select(col("id").as("doc_b")),
+          col("doc_b") === col("doc_a") + delta)
+    val pairs = neighbor(1, pmod(col("pos"), lit(w)) =!= (w - 1))
+      .unionByName(neighbor(w, col("pos") < w * (h - 1)))
+    val labeled = Components.connectedComponents(pairs)
+    val singletons = on.select(col("id"))
+      .join(labeled.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("component_id"))
+    labeled.unionByName(singletons)
+      .groupBy(expr(s"doc_id div $wh").as("media_id"), col("component_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_blobs"), max(col("sz")).as("max_blob"))
+  }
+
   /** Decoded pixels as relational rows (media_id, pos, px) — the bridge
     * from byte-level decode to COLUMNAR feature extraction: downstream
     * ops (histograms, statistics, quantization) are then plain

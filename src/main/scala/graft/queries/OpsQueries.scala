@@ -614,6 +614,18 @@ object OpsQueries {
       Multimodal.decodeG711(
           Multimodal.g711FromDocuments(docs(s, d), "alaw"))
         .toDF().orderBy("media_id")),
+    // histogram equalization as relational arithmetic: per-image
+    // histogram + CDF window (<= 256 rows/image) + integer remap —
+    // contrast normalization with no per-blob loop
+    "q206_hist_equalize" -> ((s, d) =>
+      Multimodal.equalizePgm(Multimodal.pgmFromDocuments(docs(s, d)))
+        .orderBy("media_id", "px")),
+    // blob labeling: thresholded pixels -> 4-connectivity edges by id
+    // arithmetic -> ONE distributed CC labels every image's objects in
+    // the same run; singleton bright pixels anti-joined back
+    "q207_blob_labels" -> ((s, d) =>
+      Multimodal.blobLabels(Multimodal.pgmFromDocuments(docs(s, d)))
+        .orderBy("media_id")),
     // perceptual image fingerprint (dHash): 9x8 nearest-neighbor grid,
     // 64 gradient bits in two sign-free 32-bit halves — extracted inside
     // the decode pass, 16 bytes out per image, no pixel explode
@@ -726,6 +738,12 @@ object OpsQueries {
       val dd = docs(s, d)
       Unigram.meter(dd, Unigram.lexicon(dd)).orderBy("doc_id")
     }),
+    // exact per-group lower median (rank (n+1) div 2): the profiling
+    // truth the mergeable histogram sketch is graded against
+    "q208_group_median" -> ((s, d) =>
+      Checks.exactGroupMedian(Tables(s, d, "lineitem"),
+          "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag")),
     // SoftDeDup: duplicates down-weighted by 1/cluster-size instead of
     // dropped — a k-way cluster's total weight matches one document, so
     // the mix equals hard dedup in expectation with every variant kept
@@ -2249,6 +2267,15 @@ object OpsQueries {
     },
     "q133_dup_pagerank" -> pagerankSql,
     "q200_kcore" -> kcoreSql,
+    "q208_group_median" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+           CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+         r AS (SELECT g, v,
+           row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n FROM v)
+         SELECT g AS l_returnflag, v AS median_v,
+           CAST(n AS BIGINT) AS n_rows
+         FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""",
     "q204_softdedup" ->
       s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
          e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -3341,6 +3368,51 @@ object OpsQueries {
            CAST(list_sum(s) AS BIGINT) AS abs_sum,
            CAST(list_max(s) AS INT) AS peak
          FROM e ORDER BY media_id""",
+    // blob labeling replayed: same encoded ids, same 4-connectivity
+    // edge arithmetic, recursive closure per blob (sz^2 bounded by the
+    // 128-pixel image), singletons unioned back
+    "q207_blob_labels" ->
+      """WITH RECURSIVE px AS (SELECT doc_id AS media_id,
+           unnest(generate_series(1, 128)) AS i, text FROM documents),
+         onpx AS (SELECT media_id * 128 + (i - 1) AS id, i - 1 AS pos
+           FROM px
+           WHERE unicode(substr(rpad(text, 128, ' '), CAST(i AS INT), 1))
+             >= 64),
+         e0 AS (SELECT a.id AS x, b.id AS y FROM onpx a
+             JOIN onpx b ON b.id = a.id + 1 WHERE a.pos % 16 <> 15
+           UNION ALL SELECT a.id, b.id FROM onpx a
+             JOIN onpx b ON b.id = a.id + 16 WHERE a.pos < 112),
+         e AS (SELECT x, y FROM e0 UNION SELECT y, x FROM e0),
+         r AS (SELECT x, y FROM e
+           UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x),
+         comp AS (SELECT x AS id, least(x, min(y)) AS cid FROM r GROUP BY x),
+         allc AS (SELECT id, cid FROM comp
+           UNION ALL SELECT id, id FROM onpx
+           WHERE id NOT IN (SELECT x FROM e)),
+         blobs AS (SELECT id // 128 AS media_id, cid, count(*) AS sz
+           FROM allc GROUP BY 1, 2)
+         SELECT media_id, CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(max(sz) AS BIGINT) AS max_blob
+         FROM blobs GROUP BY media_id ORDER BY media_id""",
+    // equalization replayed over the text-derived pixels: same CDF
+    // window, same integer remap, constant images to 0
+    "q206_hist_equalize" ->
+      """WITH px AS (SELECT doc_id AS media_id,
+           unnest(list_transform(generate_series(1, 128),
+             i -> unicode(substr(rpad(text, 128, ' '), i, 1)))) AS px
+           FROM documents),
+         hist AS (SELECT media_id, px, count(*) AS cnt FROM px
+           GROUP BY media_id, px),
+         c AS (SELECT media_id, px, cnt,
+           sum(cnt) OVER (PARTITION BY media_id ORDER BY px) AS cdf
+           FROM hist),
+         m AS (SELECT media_id, px, cnt, cdf,
+           max(cdf) OVER (PARTITION BY media_id) AS n,
+           min(cdf) OVER (PARTITION BY media_id) AS cdfmin FROM c)
+         SELECT media_id, CAST(px AS INT) AS px, CAST(cnt AS BIGINT) AS cnt,
+           CAST(CASE WHEN n = cdfmin THEN 0
+             ELSE (cdf - cdfmin) * 255 // (n - cdfmin) END AS BIGINT) AS eq
+         FROM m ORDER BY media_id, px""",
     // dHash replayed over the text-derived 16x8 pixels: sample columns
     // x*16//9 = [0,1,3,5,7,8,10,12,14], bit b set iff the right sample
     // of row b//8 is strictly brighter

@@ -131,6 +131,39 @@ class ChangeFeedSpec extends SparkSpec {
     assert(after.filter($"g" === 2).isEmpty, "emptied key must vanish")
   }
 
+  test("table feed: per-leaf cursors; untouched leaves silent, born partitions replay whole") {
+    val root = Files.createTempDirectory("graft-cdf-table").toString + "/tbl"
+    (0 to 2).map(r => batch(r).withColumn("day", lit(r)))
+      .reduce(_.unionByName(_))
+      .write.partitionBy("day").parquet(root)
+    val cursors = ChangeFeed.tableCursors(spark, root)
+    assert(cursors.keySet == Set("day=0", "day=1", "day=2"), s"$cursors")
+    val d1 = new Path(s"$root/day=1")
+    val d2 = new Path(s"$root/day=2")
+    // day=1: append; day=2: targeted delete; day=3: born after cursor
+    val newRows = spark.range(5)
+      .select(($"id" + 5000).as("k"), lit(9L).as("g"), lit(1L).as("v"))
+    ManifestCommit.stageAndPublish(spark, d1, newRows, _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish day=1"))
+    ManifestCommit.recordStats(spark, d2, Seq("k"))
+    ManifestCommit.deleteRange(spark, d2, "k", 30L, 60L, Seq("k"))
+    val born = spark.range(3)
+      .select(($"id" + 9000).as("k"), lit(8L).as("g"), lit(2L).as("v"))
+    born.write.parquet(s"$root/day=3")
+    val feed = ChangeFeed.changeFeedTable(spark, root, cursors)
+      .select($"day", $"_change_type", $"k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(!feed.exists(_._1 == 0), "untouched day=0 must contribute nothing")
+    assert(feed.filter(t => t._1 == 1).map(_._3).sorted.toSeq ==
+      (5000L to 5004L) && feed.filter(_._1 == 1).forall(_._2 == "insert"))
+    val expDel = batch(2).filter($"k".between(30, 60))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(feed.filter(_._1 == 2).map(_._3).sorted.toSeq == expDel &&
+      feed.filter(_._1 == 2).forall(_._2 == "delete"))
+    assert(feed.filter(_._1 == 3).map(_._3).sorted.toSeq ==
+      (9000L to 9002L) && feed.filter(_._1 == 3).forall(_._2 == "insert"))
+  }
+
   test("refusals are loud: untagged commit, pruned cursor, collected file") {
     val (dir, cursor, head) = buildLake()
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
