@@ -109,6 +109,26 @@ object Sketches {
         expr(s"${numeratorLiteral(m)} / CAST(denom AS DOUBLE)"))
   }
 
+  /** HLL set algebra: the intersection cardinality of two sketched sets
+    * by inclusion-exclusion — est(A) + est(B) - est(A ∪ B), where the
+    * union registers are the element-wise max ([[hllMerge]], the one
+    * EXACT HLL set operation). Register tables must share the group
+    * domain; output per group carries the three raw estimates and the
+    * derived intersection (the identical double expression both engines
+    * evaluate — IEEE ops are correctly rounded, so the derivation
+    * hash-matches exactly as raw_est already does). The classic
+    * audience-overlap question ("viewers who also purchase") answered
+    * from two m-register sketches, no re-scan of either set. */
+  def hllIntersect(a: DataFrame, b: DataFrame, m: Int = 256): DataFrame = {
+    val ea = hllEstimate(a, m).select(col("grp"), col("raw_est").as("est_a"))
+    val eb = hllEstimate(b, m).select(col("grp"), col("raw_est").as("est_b"))
+    val eu = hllEstimate(hllMerge(a, b), m)
+      .select(col("grp"), col("raw_est").as("est_union"))
+    ea.join(eb, Seq("grp")).join(eu, Seq("grp"))
+      .withColumn("inter_est",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** DuckDB mirrors, kept adjacent (TextKit.ducksql convention). */
   object ducksql {
     /** Register CTE over `src`, hashing `valueExpr` grouped by

@@ -738,6 +738,16 @@ object OpsQueries {
       val dd = docs(s, d)
       Unigram.meter(dd, Unigram.lexicon(dd)).orderBy("doc_id")
     }),
+    // HLL set algebra: audience overlap (viewers who also purchase) by
+    // inclusion-exclusion over two register sketches — union registers
+    // are element-wise max, the one exact HLL set operation
+    "q209_hll_intersect" -> ((s, d) => {
+      val ev = events(s, d)
+      def regs(t: String) = Sketches.hllRegisters(
+        ev.filter(col("event_type") === t), lit("all"), col("user_id"))
+      Sketches.hllIntersect(regs("view"), regs("purchase"))
+        .orderBy("grp")
+    }),
     // exact per-group lower median (rank (n+1) div 2): the profiling
     // truth the mergeable histogram sketch is graded against
     "q208_group_median" -> ((s, d) =>
@@ -2267,6 +2277,24 @@ object OpsQueries {
     },
     "q133_dup_pagerank" -> pagerankSql,
     "q200_kcore" -> kcoreSql,
+    "q209_hll_intersect" -> {
+      def r(t: String) = Sketches.ducksql.registers(
+        s"(SELECT * FROM events WHERE event_type = '$t')", "'all'",
+        "user_id")
+      s"""WITH ra AS (${r("view")}),
+         rb AS (${r("purchase")}),
+         ru AS (SELECT grp, bucket, max(rho) AS rho FROM
+           (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+           GROUP BY grp, bucket),
+         ea AS (${Sketches.ducksql.estimate("ra")}),
+         eb AS (${Sketches.ducksql.estimate("rb")}),
+         eu AS (${Sketches.ducksql.estimate("ru")})
+         SELECT ea.grp, ea.raw_est AS est_a, eb.raw_est AS est_b,
+           eu.raw_est AS est_union,
+           ea.raw_est + eb.raw_est - eu.raw_est AS inter_est
+         FROM ea JOIN eb ON ea.grp = eb.grp JOIN eu ON ea.grp = eu.grp
+         ORDER BY ea.grp"""
+    },
     "q208_group_median" ->
       """WITH v AS (SELECT l_returnflag AS g,
            CAST(l_quantity AS BIGINT) AS v FROM lineitem),
