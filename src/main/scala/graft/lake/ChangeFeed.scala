@@ -158,6 +158,50 @@ object ChangeFeed {
     }
   }
 
+  /** The commit log as a relation (the DESCRIBE HISTORY surface): one
+    * row per valid commit in `(fromVersion, toVersion]` with its kind,
+    * file-motion counts, and the delete predicate when recorded. Pure
+    * driver-side manifest metadata lifted into a DataFrame — audit
+    * dashboards and retention jobs query THIS instead of re-parsing
+    * manifests. */
+  def history(spark: SparkSession, partition: Path, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    ManifestCommit.commitsBetween(fs, partition, fromVersion, toVersion)
+      .map(c => (c.version, c.kind, c.added.size.toLong,
+        c.removed.size.toLong,
+        c.deletePredicate.map { case (col0, lo, hi) => s"$col0:$lo:$hi" }))
+      .toDF("version", "kind", "n_added", "n_removed", "delete_predicate")
+  }
+
+  /** Manifest fsck: reconcile the commit log against the directory
+    * listing. States: `live` (listed + present), `missing` (listed but
+    * ABSENT — gc grace violated, readers will fail loudly), `tombstoned`
+    * (awaiting gc), `orphan` (present but referenced by no manifest — a
+    * crashed writer's leftovers, gc-able if compact-prefixed). The
+    * repair verb for orphans is [[ManifestCommit.adoptNewFiles]] or
+    * [[ManifestCommit.gc]]; `missing` has no repair — it is the alarm. */
+  def fsck(spark: SparkSession, partition: Path): DataFrame = {
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val (live, tombstoned) = ManifestCommit.referencedFiles(fs, partition)
+    val present =
+      if (fs.exists(partition))
+        fs.listStatus(partition).toIndexedSeq
+          .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+          .map(_.getPath.getName).toSet
+      else Set.empty[String]
+    val rows =
+      live.toSeq.sorted.map(n =>
+        (n, if (present.contains(n)) "live" else "missing")) ++
+      tombstoned.toSeq.sorted
+        .filter(present.contains).map(n => (n, "tombstoned")) ++
+      (present -- live -- tombstoned).toSeq.sorted.map(n => (n, "orphan"))
+    rows.toDF("file", "state")
+  }
+
   /** Maintain a stored additive aggregate from the change feed instead
     * of recomputing it: `base` is the materialized per-key state
     * (keyCols + the named long-typed partial columns), `feed` is a

@@ -558,6 +558,18 @@ object ManifestCommit {
     appendFiles(fs, partition, Nil, stats = stats)
   }
 
+  /** Every file name the retained log still references, split into the
+    * current live set and the tombstoned-awaiting-gc set — the "known
+    * files" view fsck and audit tooling reconcile a listing against. */
+  def referencedFiles(fs: FileSystem,
+      partition: Path): (Set[String], Set[String]) = {
+    val parsed = listVersions(fs, partition)
+      .flatMap(v => parse(fs, manifestPath(partition, v)))
+    val live = currentSnapshot(fs, partition)
+      .map(_.files.toSet).getOrElse(Set.empty)
+    (live, parsed.flatMap(_._2.map(_._2)).toSet -- live)
+  }
+
   /** The committed snapshot at an EXPLICIT version (None if that version
     * was never validly committed) — time travel's resolver. */
   def snapshotAt(fs: FileSystem, partition: Path,

@@ -440,39 +440,58 @@ object Multimodal {
 
   /** Connected-component BLOB LABELING over a thresholded pixel mask —
     * the vision op that turns "which pixels are bright" into "how many
-    * objects, how big": pixels >= `threshold` become graph nodes
-    * (globally unique id = media_id * w*h + pos, so ONE distributed CC
-    * labels every image's blobs in the same run), 4-connectivity edges
-    * come from pure id arithmetic (right neighbor = id+1 unless last
-    * column, down neighbor = id+w unless last row — the media boundary
-    * can never be crossed because both exclusions also exclude the last
-    * pixel), and [[graft.ops.Components.connectedComponents]] does the
-    * labeling. Isolated bright pixels (no bright neighbor) come back as
-    * singleton blobs through an anti-join. Output: (media_id, n_blobs,
-    * max_blob) — images with no bright pixel emit nothing, as the mask
-    * defines. Cost: one decode pass + two self-equi-joins on the id +
-    * the CC rounds (log blob-diameter, <= image diagonal). */
-  def blobLabels(media: Dataset[MediaRow], threshold: Int = 64,
-      w: Int = 16, h: Int = 8): DataFrame = {
-    val wh = w * h
-    val on = pgmPixelRows(media)
-      .filter(col("px") >= threshold)
-      .select((col("media_id") * wh + col("pos")).as("id"), col("pos"))
-    def neighbor(delta: Int, keep: org.apache.spark.sql.Column) =
-      on.filter(keep).select(col("id").as("doc_a"))
-        .join(on.select(col("id").as("doc_b")),
-          col("doc_b") === col("doc_a") + delta)
-    val pairs = neighbor(1, pmod(col("pos"), lit(w)) =!= (w - 1))
-      .unionByName(neighbor(w, col("pos") < w * (h - 1)))
-    val labeled = Components.connectedComponents(pairs)
-    val singletons = on.select(col("id"))
-      .join(labeled.select(col("doc_id").as("id")), Seq("id"), "left_anti")
-      .select(col("id").as("doc_id"), col("id").as("component_id"))
-    labeled.unionByName(singletons)
-      .groupBy(expr(s"doc_id div $wh").as("media_id"), col("component_id"))
-      .agg(count(lit(1)).as("sz"))
-      .groupBy(col("media_id"))
-      .agg(count(lit(1)).as("n_blobs"), max(col("sz")).as("max_blob"))
+    * objects, how big". Blob connectivity is IMAGE-LOCAL by definition,
+    * so the labeling runs as a per-image union-find INSIDE the decode
+    * pass (4-connectivity, path compression) — O(pixels · α) per image,
+    * zero shuffles, embarrassingly parallel across images. Paying a
+    * distributed iterative CC here would be shape-wrong at any scale:
+    * its global join rounds synchronize every image on the largest
+    * blob's diameter (measured: 20 s vs sub-second at sf0.1). The
+    * distributed [[graft.ops.Components]] machinery is for graphs that
+    * genuinely CROSS rows — near-dup graphs, not pixel masks. Output:
+    * (media_id, n_blobs, max_blob); images with no bright pixel emit
+    * nothing, as the mask defines. */
+  def blobLabels(media: Dataset[MediaRow],
+      threshold: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val hd = parsePgmHeader(m.media_id, m.payload)
+      val (w, n) = (hd.w, hd.w * hd.h)
+      def on(i: Int): Boolean = (m.payload(hd.off + i) & 0xff) >= threshold
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      def union(a: Int, b: Int): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      var i = 0
+      while (i < n) {
+        if (on(i)) {
+          if (i % w != w - 1 && on(i + 1)) union(i, i + 1)
+          if (i + w < n && on(i + w)) union(i, i + w)
+        }
+        i += 1
+      }
+      val sizes = new java.util.HashMap[Int, Long]()
+      i = 0
+      while (i < n) {
+        if (on(i)) sizes.merge(find(i), 1L, _ + _)
+        i += 1
+      }
+      if (sizes.isEmpty) None
+      else {
+        var maxSz = 0L
+        sizes.values.forEach(v => if (v > maxSz) maxSz = v)
+        Some((m.media_id, sizes.size.toLong, maxSz))
+      }
+    }.toDF("media_id", "n_blobs", "max_blob")
   }
 
   /** Decoded pixels as relational rows (media_id, pos, px) — the bridge

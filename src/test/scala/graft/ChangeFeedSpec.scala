@@ -164,6 +164,32 @@ class ChangeFeedSpec extends SparkSpec {
       (9000L to 9002L) && feed.filter(_._1 == 3).forall(_._2 == "insert"))
   }
 
+  test("history + fsck: the log as a relation; listing reconciliation by state") {
+    val (dir, cursor, head) = buildLake()
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist = ChangeFeed.history(spark, dir, 1L, head)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(4))))
+    assert(hist.map(_._1).toSeq == hist.map(_._1).sorted.toSeq)
+    assert(hist.count(_._2 == ManifestCommit.KindAppend) == 2)
+    val delRow = hist.find(_._2 == ManifestCommit.KindDelete).get
+    assert(delRow._3.contains("k:20:40"), s"hist=$delRow")
+    // fsck: everything consistent = live + tombstoned only
+    val states0 = ChangeFeed.fsck(spark, dir)
+      .groupBy("state").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(states0.keySet == Set("live", "tombstoned"), s"$states0")
+    // drop an orphan in, delete a live file: both must surface
+    val orphan = new Path(dir, "stray-file.parquet")
+    val out = fs.create(orphan, false); out.write(1); out.close()
+    val victim = ManifestCommit.currentSnapshot(fs, dir).get.files.head
+    fs.delete(new Path(dir, victim), false)
+    val states = ChangeFeed.fsck(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states("stray-file.parquet") == "orphan")
+    assert(states(victim) == "missing", s"$states")
+  }
+
   test("refusals are loud: untagged commit, pruned cursor, collected file") {
     val (dir, cursor, head) = buildLake()
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -455,6 +455,23 @@ class OpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), s"pairs=${pairs.toSeq}")
   }
 
+  test("blobLabels: per-image union-find finds hand-checked blobs") {
+    // row 0 pixels: 'A','B' (bright, adjacent -> one blob of 2),
+    // gap of spaces, 'C' alone (blob of 1), rest dark
+    val d = Seq((1L, "AB  C"), (2L, "     "), (3L, "ZZZZZZZZZZZZZZZZZZ"))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.blobLabels(Multimodal.pgmFromDocuments(d))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (2L, 2L), s"out=$out")
+    // doc2 is all spaces (dark): absent from output
+    assert(!out.contains(2L), s"out=$out")
+    // doc3: 18 'Z's wrap the 16-wide image: row 0 full (16) + row 1
+    // first two, vertically connected at columns 0-1 -> ONE blob of 18
+    assert(out(3L) == (1L, 18L), s"out=$out")
+  }
+
   test("PGM/WAV decoders: hand-checked stats, loud failure on garbage") {
     val d = Seq((5L, "AB", "en", "s0", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
