@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.streaming.StreamingOps
 
@@ -82,6 +83,16 @@ object StreamQueries {
     // dimension at EVENT time (no future-version leakage); equals the
     // batch interval join
     "q190_stream_pit" -> ((s, d) => StreamingOps.streamPointInTime(s, d)),
+    // the commit log as a FIRST-CLASS streaming source (DSv2
+    // MicroBatchStream): offsets ARE commit versions, each batch plans
+    // only delta files; on the finite run equals the batch change feed
+    "q210_feed_source" -> ((s, d) => {
+      val cl = OpsQueries.ensureCdfLake(s, d)
+      StreamingOps.streamFeedSource(s, cl.path, cl.fromV)
+        .select(col("_change_type").as("change_type"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .orderBy("change_type", "o_orderkey")
+    }),
     // streaming maintenance from the manifest change feed: signed
     // per-key partials AS streaming aggregation state over the feed's
     // commit-batch files, merged with the stored base — equals the
@@ -209,6 +220,8 @@ object StreamQueries {
     "q175_stream_bitmap" -> OpsQueries.oracles("q162_bitmap_segments"),
     // streaming == batch maintenance from the same feed
     "q205_stream_feed_maintain" -> OpsQueries.oracles("q197_incremental_agg"),
+    // the DSv2 stream's collected rows == the batch change feed
+    "q210_feed_source" -> OpsQueries.oracles("q196_change_feed"),
     // the q34 gap-session chain under native interval-merge semantics
     // (a gap of EXACTLY 1 h starts a new session: [a,b) ∪ [b,c) do not
     // overlap), restricted to sessions finalized under the watermark

@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{ChangeFeed, ManifestCommit}
+
+/** DataSourceV2 MICRO-BATCH STREAMING source over the manifest commit
+  * log — the change feed as a first-class `readStream` source, i.e. the
+  * production CDC log-tailer: **stream offsets ARE commit versions.**
+  *
+  *  - `latestOffset` is one manifest GET (the current committed
+  *    version); a micro-batch `(start, end]` plans exactly the delta
+  *    files of the commits in that version range — appends replay their
+  *    added files as `insert` rows, a delete commit replays its
+  *    consumed files through the recorded key predicate as `delete`
+  *    rows, compaction/metadata commits plan NOTHING. Work per batch ∝
+  *    change volume, never table size, exactly as in
+  *    [[graft.lake.ChangeFeed.changeFeed]] (the batch twin).
+  *  - Offsets serialize as `{"version":N}`, so a restarted query
+  *    resumes from its checkpointed commit version — the consumer
+  *    cursor IS the offset, no side bookkeeping.
+  *  - One InputPartition per delta FILE: the read fans out across the
+  *    cluster like any file scan.
+  *  - The conservative refusals are inherited: an untagged (pre-kind)
+  *    commit or a predicate-less delete in the offset range fails the
+  *    batch loudly rather than emitting a wrong feed.
+  *
+  * The per-file reader decodes parquet rows via parquet-hadoop's
+  * example Group API (long/int/double/string/boolean columns — the
+  * scalar lake surface); each row is appended with `_change_type` and
+  * `_commit_version`. Schema = the table's data schema + those two.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft.sources.FeedSource")
+  *   .option("path", tableDir)          // one partition dir
+  *   .option("fromVersion", cursor)     // default: current head (tail)
+  *   .load()
+  * }}}
+  */
+class FeedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FeedSource.fullSchema(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      props: util.Map[String, String]): Table =
+    new FeedTable(props.asScala.toMap, schema)
+}
+
+object FeedSource {
+  val ChangeTypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+
+  private[sources] def fullSchema(path: String): StructType = {
+    require(path != null, "graft-feed: 'path' option is required")
+    val data = ManifestCommit
+      .readTable(SparkSession.active, path).schema
+    StructType(data.fields.toSeq :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(VersionCol, LongType, nullable = false))
+  }
+}
+
+private[sources] class FeedTable(props: Map[String, String],
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft_feed(${props("path")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FeedScan(options.get("path"),
+      Option(options.get("fromVersion")).map(_.toLong), tableSchema)
+}
+
+private[sources] class FeedScan(path: String, fromVersion: Option[Long],
+    tableSchema: StructType) extends ScanBuilder with Scan {
+  override def build(): Scan = this
+  override def readSchema(): StructType = tableSchema
+  override def description(): String = s"graft-feed $path"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FeedStream(path, fromVersion, tableSchema)
+}
+
+/** The stream offset: a committed manifest version. */
+private[sources] case class FeedOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[sources] class FeedStream(path: String, fromVersion: Option[Long],
+    tableSchema: StructType) extends MicroBatchStream {
+  private def dir = new Path(path)
+  private def fs = dir.getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def initialOffset(): Offset =
+    FeedOffset(fromVersion.getOrElse(
+      ManifestCommit.bootstrap(fs, dir).version))
+
+  override def latestOffset(): Offset =
+    FeedOffset(ManifestCommit.bootstrap(fs, dir).version)
+
+  override def deserializeOffset(json: String): Offset = {
+    val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"graft-feed: bad offset $json")).group(1)
+    FeedOffset(v.toLong)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[FeedOffset].version,
+      end.asInstanceOf[FeedOffset].version)
+    ManifestCommit.commitsBetween(fs, dir, s, e).flatMap { c =>
+      c.kind match {
+        case ManifestCommit.KindAppend =>
+          c.added.map(n => FeedFilePartition(
+            new Path(dir, n).toString, ChangeFeed.Insert, c.version, None))
+        case ManifestCommit.KindMeta | ManifestCommit.KindReplace => Nil
+        case ManifestCommit.KindDelete =>
+          val pred = c.deletePredicate.getOrElse(sys.error(
+            s"graft-feed: delete commit v${c.version} of $dir carries " +
+              "no predicate — full resync required"))
+          c.removed.map(n => FeedFilePartition(
+            new Path(dir, n).toString, ChangeFeed.Delete, c.version,
+            Some(pred)))
+        case other => sys.error(
+          s"graft-feed: commit v${c.version} of $dir has kind '$other' " +
+            "— pre-tag history cannot be streamed, full resync required")
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(tableSchema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class FeedFilePartition(file: String,
+    changeType: String, version: Long,
+    deletePredicate: Option[(String, Long, Long)]) extends InputPartition
+
+private[sources] class FeedReaderFactory(tableSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FeedFilePartition]
+    val dataFields = tableSchema.fields.dropRight(2)
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+        ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+          .withConf(new Configuration()).build()
+      private var current: org.apache.parquet.example.data.Group = _
+
+      private def keep(g: org.apache.parquet.example.data.Group): Boolean =
+        p.deletePredicate match {
+          case None => true
+          case Some((c, lo, hi)) =>
+            // NULL keys and out-of-range rows were carried forward by
+            // the rewrite — they were never deleted
+            g.getFieldRepetitionCount(c) > 0 && {
+              val v = g.getLong(c, 0)
+              v >= lo && v <= hi
+            }
+        }
+
+      override def next(): Boolean = {
+        current = reader.read()
+        while (current != null && !keep(current)) current = reader.read()
+        current != null
+      }
+
+      override def get(): InternalRow = {
+        val vals = new Array[Any](tableSchema.length)
+        var i = 0
+        while (i < dataFields.length) {
+          val f = dataFields(i)
+          vals(i) =
+            if (current.getFieldRepetitionCount(f.name) == 0) null
+            else f.dataType match {
+              case LongType    => current.getLong(f.name, 0)
+              case IntegerType => current.getInteger(f.name, 0)
+              case DoubleType  => current.getDouble(f.name, 0)
+              case FloatType   => current.getFloat(f.name, 0)
+              case BooleanType => current.getBoolean(f.name, 0)
+              case StringType  =>
+                UTF8String.fromString(current.getString(f.name, 0))
+              case other => sys.error(
+                s"graft-feed: unsupported column type $other (${f.name})")
+            }
+          i += 1
+        }
+        vals(i) = UTF8String.fromString(p.changeType)
+        vals(i + 1) = p.version
+        new GenericInternalRow(vals)
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+}

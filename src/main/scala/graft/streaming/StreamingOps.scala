@@ -902,6 +902,29 @@ object StreamingOps {
     ss.table(name).orderBy("user_id", "valid_from")
   }
 
+  /** Drive the [[graft.sources.FeedSource]] DSv2 micro-batch stream over
+    * a manifest table's commit log from `fromVersion` to the current
+    * head: offsets are commit versions, each batch plans only delta
+    * files. On the finite AvailableNow run the collected rows equal the
+    * batch [[graft.lake.ChangeFeed.changeFeed]] output (q196's oracle
+    * gates it); on a live table the same query tails new commits
+    * forever, resuming from its checkpointed version after restart. */
+  def streamFeedSource(spark: SparkSession, tablePath: String,
+      fromVersion: Long): DataFrame = {
+    val name = "stream_feedsrc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.readStream.format("graft.sources.FeedSource")
+      .option("path", tablePath)
+      .option("fromVersion", fromVersion.toString)
+      .load()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name)
+  }
+
   /** Streaming maintenance of a materialized additive aggregate from the
     * manifest CHANGE FEED ([[graft.lake.ChangeFeed]]): the feed's
     * insert/delete rows arrive as a file stream (each commit's delta =
