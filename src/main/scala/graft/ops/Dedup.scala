@@ -326,6 +326,57 @@ object Dedup {
     raw.filter(size(col("ids")).between(1, maxBucket))
   }
 
+  /** CDC-driven maintenance of a stored raw band index: apply a change
+    * feed's deletes and inserts WITHOUT re-shingling the unchanged
+    * corpus. Semantics per bucket:
+    *
+    *  - complete bucket (size <= cap): deleted ids removed exactly;
+    *  - sentinel bucket with a deleted id among its kept mins: its
+    *    membership is stale, so the bucket is REBUILT by one banding
+    *    pass over `headDocs` filtered (broadcast) to the flagged
+    *    (band, key) set — work ∝ corpus × (flagged fraction), and
+    *    flagged buckets are rare by construction (a delete must hit one
+    *    of the cap+1 smallest ids of an over-cap bucket);
+    *  - sentinel bucket with no deletion among its kept mins: kept
+    *    as-is, and this is EXACT, not conservative — a delete that
+    *    misses all cap+1 kept mins can only remove an id LARGER than
+    *    every kept min (the kept set is the true cap+1 smallest), so at
+    *    least cap+1 true members survive: the bucket is genuinely still
+    *    over-cap and its cap+1 smallest ids are unchanged.
+    *
+    * Inserts then merge through [[mergeBandIndex]] (exact — the cap+1
+    * smallest of a union is contained in the union of each side's cap+1
+    * smallest). Net: the maintained index is bit-identical to a full
+    * rebuild from the head table for EVERY feed, sentinels included —
+    * pinned by the OpsSpec sentinel tests and q211's oracle. */
+  def applyFeedToBandIndex(raw: DataFrame, insertDocs: DataFrame,
+      deletedIds: DataFrame, headDocs: DataFrame,
+      numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
+    requireCap(raw, maxBucket, "applyFeedToBandIndex")
+    val del = deletedIds.select(col("doc_id")).distinct()
+      .withColumn("_del", lit(true))
+    val exploded = raw.select(col("band"), col("key"),
+        (size(col("ids")) === maxBucket + 1).as("was_sentinel"),
+        explode(col("ids")).as("doc_id"))
+      .join(del, Seq("doc_id"), "left")
+    val flagged = exploded
+      .filter(col("was_sentinel") && col("_del"))
+      .select(col("band"), col("key")).distinct()
+    val survivors = exploded.filter(col("_del").isNull)
+      .join(flagged, Seq("band", "key"), "left_anti")
+      .groupBy(col("band"), col("key"))
+      .agg(BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
+    val rebuilt = bandedOf(tracked(shingleHashes(headDocs)), numHashes)
+      .join(broadcast(flagged), Seq("band", "key"))
+      .groupBy(col("band"), col("key"))
+      .agg(BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
+    val afterDel = survivors.unionByName(rebuilt)
+      .select(col("band"), col("key"),
+        col("ids").as("ids", capMeta(maxBucket)))
+    mergeBandIndex(afterDel,
+      bandIndexRaw(insertDocs, numHashes, maxBucket), maxBucket)
+  }
+
   /** MinHash signatures computed ROW-LOCALLY: hash the shingle array once
     * (per-row transform), then each slot is an array_min over it — no
     * shuffle at all, versus the aggregated form's groupBy. Numerically

@@ -770,6 +770,36 @@ object OpsQueries {
           Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")),
           k = 2)
         .orderBy("doc_id")),
+    // CDC-driven secondary-index maintenance: the stored band index
+    // maintained from the change feed alone — deletes removed exactly
+    // from complete buckets (stale sentinels rebuilt via one
+    // broadcast-filtered banding pass), inserts merged; the unchanged
+    // corpus is never re-shingled. Equals a full rebuild from the head
+    "q211_feed_index_maintain" -> ((s, d) => {
+      val dl = ensureDocLake(s, d)
+      val feed = graft.lake.ChangeFeed.changeFeed(s,
+        new org.apache.hadoop.fs.Path(dl.path), dl.fromV, dl.toV)
+      val idx0 = Dedup.bandIndexRaw(
+        graft.lake.ManifestCommit.readTableAt(s, dl.path, dl.fromV))
+      Dedup.applyFeedToBandIndex(idx0,
+          feed.filter(col("_change_type") === "insert")
+            .select("doc_id", "text"),
+          feed.filter(col("_change_type") === "delete").select("doc_id"),
+          graft.lake.ManifestCommit.readTable(s, dl.path))
+        .select(col("band"), col("key"), size(col("ids")).as("n_ids"))
+        .orderBy("band", "key")
+    }),
+    // The same maintenance AS A STREAM: FeedSource tails the commit log
+    // one commit per micro-batch (admission control), foreachBatch
+    // applies that commit to the persisted index; inductively exact, so
+    // the final state shares q211's rebuild oracle
+    "q212_stream_index_maintain" -> ((s, d) => {
+      val dl = ensureDocLake(s, d)
+      graft.streaming.StreamingOps
+        .streamFeedIndexMaintain(s, dl.path, dl.fromV)
+        .select(col("band"), col("key"), size(col("ids")).as("n_ids"))
+        .orderBy("band", "key")
+    }),
     // DSIR-style importance resampling: hashed-bigram distribution of
     // the English slice vs the whole corpus, integer mean-ratio scores,
     // deterministic top-100 admission
@@ -1406,6 +1436,56 @@ object OpsQueries {
 
   private val cdfLakes =
     new java.util.concurrent.ConcurrentHashMap[String, CdfLake]()
+
+  /** Per-(process, sfDir) DOCUMENTS change-feed lake for q211 — the
+    * text-corpus twin of [[ensureCdfLake]]: batches 0+1 land before the
+    * cursor, a boxed doc_id range is deleted, batch 2 lands after. */
+  private[queries] final case class DocLake(path: String, fromV: Long,
+    toV: Long)
+
+  private val docLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, DocLake]()
+
+  /** Shared q211/q212 oracle: the maintained (batch or streamed) band
+    * index must equal a full DuckDB rebuild over the doc lake's HEAD
+    * logical row set — batches 0+1 minus the boxed delete range, plus
+    * batch 2 (see [[ensureDocLake]]). */
+  private lazy val feedIndexMaintainSql =
+    s"""WITH b AS (SELECT min(doc_id) AS klo, max(doc_id) AS khi
+         FROM documents),
+       headdocs AS (SELECT doc_id, text FROM documents, b
+         WHERE doc_id % 3 = 2
+            OR doc_id NOT BETWEEN klo + (khi - klo) // 4
+              AND klo + (khi - klo) // 2),
+       ${SIG_BANDS("headdocs")}
+       SELECT band, key,
+         CAST(least(count(DISTINCT doc_id), 65) AS INT) AS n_ids
+       FROM banded0 GROUP BY band, key ORDER BY band, key"""
+
+  private[queries] def ensureDocLake(s: SparkSession, d: String): DocLake =
+    docLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val dd = docs(s, d).select("doc_id", "text")
+      val b = dd.agg(min("doc_id"), max("doc_id")).head
+      val (dlo, dhi) = boxRange(b.getLong(0), b.getLong(1))
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_doclake_qch7dwouX1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      Layout.writeLinear(dd.filter(col("doc_id") % 3 =!= 2),
+        col("doc_id"), path, 8)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      val fromV = ManifestCommit.recordStats(s, dir, Seq("doc_id")).version
+      ManifestCommit.deleteRange(s, dir, "doc_id", dlo, dhi, Seq("doc_id"))
+      ManifestCommit.stageAndPublish(s, dir,
+        dd.filter(col("doc_id") % 3 === 2), _ => true,
+        statsCols = Seq("doc_id"))
+        .getOrElse(sys.error("doc lake publish failed"))
+      val toV = ManifestCommit.currentSnapshot(fs, dir)
+        .getOrElse(sys.error("doc lake has no head")).version
+      DocLake(path, fromV, toV)
+    })
 
   private[queries] def ensureCdfLake(s: SparkSession, d: String): CdfLake =
     cdfLakes.computeIfAbsent(d, _ => {
@@ -2277,6 +2357,11 @@ object OpsQueries {
     },
     "q133_dup_pagerank" -> pagerankSql,
     "q200_kcore" -> kcoreSql,
+    // maintained index == full rebuild over the head's logical doc set
+    "q211_feed_index_maintain" -> feedIndexMaintainSql,
+    // the streaming twin applies the same feed commit-by-commit; each
+    // step is rebuild-exact, so the head oracle is shared
+    "q212_stream_index_maintain" -> feedIndexMaintainSql,
     "q209_hll_intersect" -> {
       def r(t: String) = Sketches.ducksql.registers(
         s"(SELECT * FROM events WHERE event_type = '$t')", "'all'",

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,16 +85,18 @@ private[sources] class FeedTable(props: Map[String, String],
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeedScan(options.get("path"),
-      Option(options.get("fromVersion")).map(_.toLong), tableSchema)
+      Option(options.get("fromVersion")).map(_.toLong),
+      Option(options.get("maxCommitsPerBatch")).map(_.toLong), tableSchema)
 }
 
 private[sources] class FeedScan(path: String, fromVersion: Option[Long],
+    maxCommitsPerBatch: Option[Long],
     tableSchema: StructType) extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"graft-feed $path"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FeedStream(path, fromVersion, tableSchema)
+    new FeedStream(path, fromVersion, maxCommitsPerBatch, tableSchema)
 }
 
 /** The stream offset: a committed manifest version. */
@@ -103,17 +105,43 @@ private[sources] case class FeedOffset(version: Long) extends Offset {
 }
 
 private[sources] class FeedStream(path: String, fromVersion: Option[Long],
-    tableSchema: StructType) extends MicroBatchStream {
+    maxCommitsPerBatch: Option[Long], tableSchema: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private def dir = new Path(path)
   private def fs = dir.getFileSystem(
     SparkSession.active.sparkContext.hadoopConfiguration)
+  private def head: Long = ManifestCommit.bootstrap(fs, dir).version
+  /** Pinned head for Trigger.AvailableNow: commits landing after query
+    * start are left for the next run, as the trigger contract demands. */
+  @volatile private var availableTarget: Option[Long] = None
 
   override def initialOffset(): Offset =
-    FeedOffset(fromVersion.getOrElse(
-      ManifestCommit.bootstrap(fs, dir).version))
+    FeedOffset(fromVersion.getOrElse(head))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(head)
+
+  /** Commit-rate admission control (the `maxFilesPerTrigger` analogue
+    * for a commit-log source): a batch spans at most `maxCommitsPerBatch`
+    * commit versions, so a consumer that checkpoints index/aggregate
+    * state per batch replays the log commit-by-commit instead of
+    * swallowing the whole backlog in one giant batch. Unset = all
+    * available (the pre-throttle behavior, bit-identical). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FeedOffset].version
+    val tgt = availableTarget.getOrElse(head)
+    FeedOffset(maxCommitsPerBatch.fold(tgt)(n =>
+      math.min(tgt, s + math.max(1L, n))))
+  }
+
+  override def reportLatestOffset(): Offset =
+    FeedOffset(availableTarget.getOrElse(head))
 
   override def latestOffset(): Offset =
-    FeedOffset(ManifestCommit.bootstrap(fs, dir).version)
+    throw new UnsupportedOperationException(
+      "graft-feed implements SupportsAdmissionControl; " +
+        "latestOffset(start, limit) is the planning entry point")
 
   override def deserializeOffset(json: String): Offset = {
     val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)

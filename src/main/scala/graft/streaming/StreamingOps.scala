@@ -975,4 +975,61 @@ object StreamingOps {
       .select(col("o_custkey"), col("n_orders"), col("sum_key"))
       .orderBy("o_custkey")
   }
+
+  /** STREAMING secondary-index maintenance — the full CDC-to-index
+    * pipeline as one structured-streaming job: the
+    * [[graft.sources.FeedSource]] DSv2 stream tails the manifest commit
+    * log with `maxCommitsPerBatch=1` (commit-rate admission control), and
+    * each micro-batch applies exactly one commit's deletes/inserts to the
+    * stored LSH band index via [[graft.ops.Dedup.applyFeedToBandIndex]].
+    * The index state is PERSISTED per applied version (parquet, cap
+    * metadata riding along) — the shape a production consumer needs for
+    * restart: the checkpointed stream offset names the index version to
+    * resume from.
+    *
+    * Exactness is inductive: each step is bit-identical to a rebuild at
+    * that commit's version (see applyFeedToBandIndex), so the final
+    * state equals one rebuild at the head — q212 shares q211's batch
+    * oracle. Work per batch ∝ that commit's change volume (+ the rare
+    * flagged-sentinel rebuild); the unchanged corpus is never
+    * re-shingled. */
+  def streamFeedIndexMaintain(spark: SparkSession, tablePath: String,
+      fromV: Long, maxBucket: Int = 64): DataFrame = {
+    import graft.ops.Dedup
+    import graft.sources.FeedSource
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-feedix").toString
+    Dedup.bandIndexRaw(
+        graft.lake.ManifestCommit.readTableAt(ss, tablePath, fromV),
+        maxBucket = maxBucket)
+      .write.parquet(s"$stateDir/v$fromV")
+    val cur = new java.util.concurrent.atomic.AtomicLong(fromV)
+    ss.readStream.format("graft.sources.FeedSource")
+      .option("path", tablePath)
+      .option("fromVersion", fromV.toString)
+      .option("maxCommitsPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try if (b.head(1).nonEmpty) { // meta/compaction commits plan nothing
+          val v = b.agg(max(col(FeedSource.VersionCol))).head.getLong(0)
+          val prev = ss.read.parquet(s"$stateDir/v${cur.get}")
+          Dedup.applyFeedToBandIndex(prev,
+              b.filter(col(FeedSource.ChangeTypeCol) === "insert")
+                .select("doc_id", "text"),
+              b.filter(col(FeedSource.ChangeTypeCol) === "delete")
+                .select("doc_id"),
+              graft.lake.ManifestCommit.readTableAt(ss, tablePath, v),
+              maxBucket = maxBucket)
+            .write.parquet(s"$stateDir/v$v")
+          cur.set(v)
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    spark.read.parquet(s"$stateDir/v${cur.get}")
+  }
 }

@@ -60,4 +60,40 @@ class FeedSourceSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
     assert(spark.table(name).isEmpty)
   }
+
+  test("maxCommitsPerBatch=1: one commit per micro-batch, same total feed") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-feedthrottle").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    val v0 = ManifestCommit.recordStats(spark, dir, Seq("k")).version
+    ManifestCommit.stageAndPublish(spark, dir, rows(1), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish 1"))
+    ManifestCommit.stageAndPublish(spark, dir, rows(2), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish 2"))
+    ManifestCommit.deleteRange(spark, dir, "k", 1010L, 1020L, Seq("k"))
+    // throttled run: every non-empty batch must cover EXACTLY one commit
+    // version, and the union must equal the unthrottled feed
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(Long, String, Long)]]
+    spark.readStream.format("graft.sources.FeedSource")
+      .option("path", dir.toString).option("fromVersion", v0.toString)
+      .option("maxCommitsPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = b.select($"k", $"_change_type", $"_commit_version")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        if (got.nonEmpty) { batches += got; () }
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(batches.size == 3) // two appends + one delete, separately
+    assert(batches.forall(_.map(_._3).size == 1))
+    val expect = (1000L to 1049L).map((_, ChangeFeed.Insert)).toSet ++
+      (2000L to 2049L).map((_, ChangeFeed.Insert)).toSet ++
+      (1010L to 1020L).map((_, ChangeFeed.Delete)).toSet
+    assert(batches.flatten.map(t => (t._1, t._2)).toSet == expect)
+  }
 }

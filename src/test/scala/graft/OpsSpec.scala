@@ -756,6 +756,40 @@ class OpsSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("applyFeedToBandIndex == full rebuild, sentinel regimes included") {
+    // 6 identical docs force over-cap (sentinel) buckets at cap=2; docs
+    // 20/21 give complete buckets; the feed exercises every regime
+    val dup = (0L to 5L).map(i => (i, "same shingled text across copies"))
+    val base = (dup ++ Seq(20L -> "a unique document about penguins",
+        21L -> "another unique document about glaciers"))
+      .toDF("doc_id", "text")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def rebuild(head: org.apache.spark.sql.DataFrame) =
+      Dedup.bandIndexRaw(head, maxBucket = 2)
+        .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    def maintain(deleted: Seq[Long], inserts: org.apache.spark.sql.DataFrame) = {
+      val head = base.filter(!col("doc_id").isInCollection(deleted))
+        .unionByName(inserts)
+      val got = Dedup.applyFeedToBandIndex(
+          Dedup.bandIndexRaw(base, maxBucket = 2), inserts,
+          deleted.toDF("doc_id"), head, maxBucket = 2)
+        .orderBy("band", "key").collect().map(_.toSeq).toSeq
+      (got, rebuild(head))
+    }
+    // delete hits a kept min (0) -> flagged sentinel REBUILT from head;
+    // delete kills a complete bucket's only member (20); insert merges
+    val ins = Seq(30L -> "fresh arrival mentioning penguins too")
+      .toDF("doc_id", "text")
+    val (g1, e1) = maintain(Seq(0L, 20L), ins)
+    assert(g1 == e1)
+    // delete misses the kept mins {0,1,2}: sentinel kept as-is is EXACT
+    // (>= cap+1 true members survive, kept mins unchanged)
+    val (g2, e2) = maintain(Seq(5L), emptyDocs)
+    assert(g2 == e2)
+    assert(g2.exists(_.last.asInstanceOf[scala.collection.Seq[_]].size == 3)) // still sentinel
+    TextKit.releaseCaches()
+  }
+
   test("searchIvfPqWith: external queries find their corpus twins") {
     // index built WITHOUT rows 25..27; those rows then arrive as fresh
     // external queries — each must find its exact copy (0..2) in the
