@@ -662,6 +662,52 @@ object ScaleSmoke {
       timePp("ppjoin_1x", 1)
       timePp(s"ppjoin_${k}x", k)
     }
+
+    // Feed-driven band-index maintenance (q211/q212): a FIXED-size feed
+    // (n/500 deletes + n/500 inserts) against an index over a corpus
+    // growing kx. Maintenance is two broadcast anti-join passes over the
+    // text-free index plus feed-sized shuffles; the rebuild re-shingles
+    // and re-hashes the whole head corpus. The claim: maintain_sec stays
+    // far under rebuild_sec and moves with the index scan, never with
+    // the text volume.
+    if (enabled("feedindex")) {
+      def timeFi(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val corpus = replicate(times, perturb = true)
+        val idx0 = graft.ops.Dedup.bandIndexRaw(corpus).persist()
+        idx0.count() // the prebuilt index is not part of either window
+        graft.ops.Dedup.releaseCaches() // drop shingle-build scaffolding
+        val del = corpus.filter(col("doc_id") % lit(500L * times) === 0)
+        val ins = replicate(1, perturb = true)
+          .filter(col("doc_id") % 500 === 250)
+          .select((col("doc_id") + 4000000000L).as("doc_id"),
+            concat(lit("ins "), col("text")).as("text"))
+        val nDel = del.count(); val nIns = ins.count()
+        val head = corpus
+          .join(del.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(ins)
+        val t0 = System.nanoTime()
+        val nM = graft.ops.Dedup
+          .applyFeedToBandIndex(idx0, ins, del, head).count()
+        val tM = (System.nanoTime() - t0) / 1e9
+        graft.ops.Dedup.releaseCaches()
+        val t1 = System.nanoTime()
+        val nR = graft.ops.Dedup.bandIndexRaw(head).count()
+        val tR = (System.nanoTime() - t1) / 1e9
+        require(nM == nR,
+          s"maintained/rebuild bucket counts differ: $nM vs $nR")
+        idx0.unpersist()
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""deletes":$nDel,"inserts":$nIns,"buckets":$nM,""" +
+            f""""maintain_sec":$tM%.2f,"rebuild_sec":$tR%.2f}""")
+      }
+      timeFi("warmup", 1, silent = true)
+      timeFi("feedindex_1x", 1)
+      timeFi(s"feedindex_${k}x", k)
+    }
     spark.stop()
   }
 }

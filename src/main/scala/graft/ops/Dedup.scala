@@ -327,16 +327,23 @@ object Dedup {
   }
 
   /** CDC-driven maintenance of a stored raw band index: apply a change
-    * feed's deletes and inserts WITHOUT re-shingling the unchanged
-    * corpus. Semantics per bucket:
+    * feed's deletes and inserts with work proportional to the FEED, not
+    * the index or the corpus. `deletedDocs` must carry the STORED row
+    * content (doc_id, text) — exactly what the manifest change feed
+    * replays for a delete — because a deleted doc's own deterministic
+    * banding names precisely the buckets that contain it. Index rows
+    * outside that touched set pass through a broadcast anti-join
+    * UNMODIFIED (narrow scan, no shuffle, no explode); only the
+    * feed-proportional touched buckets are rewritten. Per touched
+    * bucket:
     *
     *  - complete bucket (size <= cap): deleted ids removed exactly;
     *  - sentinel bucket with a deleted id among its kept mins: its
     *    membership is stale, so the bucket is REBUILT by one banding
     *    pass over `headDocs` filtered (broadcast) to the flagged
-    *    (band, key) set — work ∝ corpus × (flagged fraction), and
-    *    flagged buckets are rare by construction (a delete must hit one
-    *    of the cap+1 smallest ids of an over-cap bucket);
+    *    (band, key) set — and that corpus pass runs ONLY when some
+    *    sentinel was actually flagged (rare: the delete must hit one of
+    *    the cap+1 smallest ids of an over-cap bucket);
     *  - sentinel bucket with no deletion among its kept mins: kept
     *    as-is, and this is EXACT, not conservative — a delete that
     *    misses all cap+1 kept mins can only remove an id LARGER than
@@ -344,37 +351,74 @@ object Dedup {
     *    least cap+1 true members survive: the bucket is genuinely still
     *    over-cap and its cap+1 smallest ids are unchanged.
     *
-    * Inserts then merge through [[mergeBandIndex]] (exact — the cap+1
-    * smallest of a union is contained in the union of each side's cap+1
-    * smallest). Net: the maintained index is bit-identical to a full
-    * rebuild from the head table for EVERY feed, sentinels included —
-    * pinned by the OpsSpec sentinel tests and q211's oracle. */
+    * Inserts merge the same way: buckets named by the insert batch's
+    * banding go through [[mergeBandIndex]] (exact — the cap+1 smallest
+    * of a union is contained in the union of each side's cap+1
+    * smallest), everything else passes through untouched. Net: the
+    * maintained index is bit-identical to a full rebuild from the head
+    * table for EVERY feed, sentinels included — pinned by the OpsSpec
+    * sentinel tests and q211's oracle.
+    *
+    * 100 TB shape: two narrow broadcast-anti-join passes over the index
+    * (8-byte ids, no text) + shuffles over feed-sized relations only.
+    * The two driver-side `head(1)` gates are bounded (they read one row
+    * of feed-proportional frames) and exist to keep the no-delete /
+    * no-flagged-sentinel paths free of their corpus/index arms. */
   def applyFeedToBandIndex(raw: DataFrame, insertDocs: DataFrame,
-      deletedIds: DataFrame, headDocs: DataFrame,
+      deletedDocs: DataFrame, headDocs: DataFrame,
       numHashes: Int = 8, maxBucket: Int = 64): DataFrame = {
     requireCap(raw, maxBucket, "applyFeedToBandIndex")
-    val del = deletedIds.select(col("doc_id")).distinct()
-      .withColumn("_del", lit(true))
-    val exploded = raw.select(col("band"), col("key"),
-        (size(col("ids")) === maxBucket + 1).as("was_sentinel"),
-        explode(col("ids")).as("doc_id"))
-      .join(del, Seq("doc_id"), "left")
-    val flagged = exploded
-      .filter(col("was_sentinel") && col("_del"))
-      .select(col("band"), col("key")).distinct()
-    val survivors = exploded.filter(col("_del").isNull)
-      .join(flagged, Seq("band", "key"), "left_anti")
-      .groupBy(col("band"), col("key"))
-      .agg(BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
-    val rebuilt = bandedOf(tracked(shingleHashes(headDocs)), numHashes)
-      .join(broadcast(flagged), Seq("band", "key"))
-      .groupBy(col("band"), col("key"))
-      .agg(BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
-    val afterDel = survivors.unionByName(rebuilt)
-      .select(col("band"), col("key"),
-        col("ids").as("ids", capMeta(maxBucket)))
-    mergeBandIndex(afterDel,
-      bandIndexRaw(insertDocs, numHashes, maxBucket), maxBucket)
+    val capped = (ids: org.apache.spark.sql.Column) =>
+      ids.as("ids", capMeta(maxBucket))
+    // the deleted docs' own banding = the exact touched-bucket set
+    val touched = tracked(bandedOf(tracked(shingleHashes(
+        deletedDocs.select(col("doc_id"), col("text")))), numHashes)
+      .select(col("band"), col("key"), col("doc_id")))
+    val touchedKeys = touched.select(col("band"), col("key")).distinct()
+    val afterDel: DataFrame =
+      if (touched.head(1).isEmpty)
+        raw.select(col("band"), col("key"), capped(col("ids")))
+      else {
+        val untouched = raw
+          .join(broadcast(touchedKeys), Seq("band", "key"), "left_anti")
+        // feed-proportional: only buckets a deleted doc belongs to
+        val hit = raw.join(broadcast(touchedKeys), Seq("band", "key"))
+          .select(col("band"), col("key"),
+            (size(col("ids")) === maxBucket + 1).as("was_sentinel"),
+            explode(col("ids")).as("doc_id"))
+          .join(touched.withColumn("_del", lit(true)),
+            Seq("band", "key", "doc_id"), "left")
+        val flagged = tracked(hit.filter(col("was_sentinel") && col("_del"))
+          .select(col("band"), col("key")).distinct())
+        val survivors = hit.filter(col("_del").isNull)
+          .join(broadcast(flagged), Seq("band", "key"), "left_anti")
+          .groupBy(col("band"), col("key"))
+          .agg(BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids"))
+        // the one corpus-scan arm, entered only when a sentinel's kept
+        // min was actually deleted
+        val rewritten =
+          if (flagged.head(1).isEmpty) survivors
+          else survivors.unionByName(
+            bandedOf(tracked(shingleHashes(headDocs)), numHashes)
+              .join(broadcast(flagged), Seq("band", "key"))
+              .groupBy(col("band"), col("key"))
+              .agg(BoundedMinSet(maxBucket + 1, col("doc_id")).as("ids")))
+        untouched.select(col("band"), col("key"), col("ids"))
+          .unionByName(rewritten)
+          .select(col("band"), col("key"), capped(col("ids")))
+      }
+    val insIdx = tracked(bandIndexRaw(insertDocs, numHashes, maxBucket))
+    if (insIdx.head(1).isEmpty) afterDel
+    else {
+      val insKeys = insIdx.select(col("band"), col("key")).distinct()
+      val pass = afterDel
+        .join(broadcast(insKeys), Seq("band", "key"), "left_anti")
+        .select(col("band"), col("key"), capped(col("ids")))
+      pass.unionByName(mergeBandIndex(
+        afterDel.join(broadcast(insKeys), Seq("band", "key"))
+          .select(col("band"), col("key"), capped(col("ids"))),
+        insIdx, maxBucket))
+    }
   }
 
   /** MinHash signatures computed ROW-LOCALLY: hash the shingle array once

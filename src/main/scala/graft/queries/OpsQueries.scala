@@ -770,6 +770,13 @@ object OpsQueries {
           Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")),
           k = 2)
         .orderBy("doc_id")),
+    // deterministic synchronous label propagation: communities INSIDE
+    // the near-dup graph (frequency-argmax with min-label ties) — the
+    // density lens plain connectivity can't give
+    "q213_label_prop" -> ((s, d) =>
+      Components.labelPropagation(
+          Dedup.minhashLshPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
     // CDC-driven secondary-index maintenance: the stored band index
     // maintained from the change feed alone — deletes removed exactly
     // from complete buckets (stale sentinels rebuilt via one
@@ -784,7 +791,8 @@ object OpsQueries {
       Dedup.applyFeedToBandIndex(idx0,
           feed.filter(col("_change_type") === "insert")
             .select("doc_id", "text"),
-          feed.filter(col("_change_type") === "delete").select("doc_id"),
+          feed.filter(col("_change_type") === "delete")
+            .select("doc_id", "text"),
           graft.lake.ManifestCommit.readTable(s, dl.path))
         .select(col("band"), col("key"), size(col("ids")).as("n_ids"))
         .orderBy("band", "key")
@@ -2171,6 +2179,26 @@ object OpsQueries {
        ORDER BY doc_id"""
   }
 
+  /** q213: the unrolled 3-round LPA mirror — per round, neighbor-label
+    * frequencies then the (cnt DESC, label ASC) argmax, exactly the
+    * `max(struct(cnt, -label))` the Spark side computes. */
+  private val labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""f$i AS (SELECT e.src, l${i - 1}.label, count(*) AS cnt
+           FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.node
+           GROUP BY e.src, l${i - 1}.label),
+         l$i AS (SELECT src AS node, label FROM f$i
+           QUALIFY row_number() OVER (PARTITION BY src
+             ORDER BY cnt DESC, label ASC) = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH ${MINHASH_CHAIN("documents")},
+       e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       $rounds
+       SELECT node AS doc_id, label AS community FROM l3 ORDER BY doc_id"""
+  }
+
   /** q142/q143: histogram quantile sketch over per-language document
     * lengths. The merge variant (q143) shares the oracle — merge-equals-
     * rebuild is the claim under test, exactly the hllSql pattern. */
@@ -2357,6 +2385,7 @@ object OpsQueries {
     },
     "q133_dup_pagerank" -> pagerankSql,
     "q200_kcore" -> kcoreSql,
+    "q213_label_prop" -> labelPropSql,
     // maintained index == full rebuild over the head's logical doc set
     "q211_feed_index_maintain" -> feedIndexMaintainSql,
     // the streaming twin applies the same feed commit-by-commit; each

@@ -1021,7 +1021,7 @@ object StreamingOps {
               b.filter(col(FeedSource.ChangeTypeCol) === "insert")
                 .select("doc_id", "text"),
               b.filter(col(FeedSource.ChangeTypeCol) === "delete")
-                .select("doc_id"),
+                .select("doc_id", "text"),
               graft.lake.ManifestCommit.readTableAt(ss, tablePath, v),
               maxBucket = maxBucket)
             .write.parquet(s"$stateDir/v$v")

@@ -772,7 +772,8 @@ class OpsSpec extends SparkSpec {
         .unionByName(inserts)
       val got = Dedup.applyFeedToBandIndex(
           Dedup.bandIndexRaw(base, maxBucket = 2), inserts,
-          deleted.toDF("doc_id"), head, maxBucket = 2)
+          base.filter(col("doc_id").isInCollection(deleted)),
+          head, maxBucket = 2)
         .orderBy("band", "key").collect().map(_.toSeq).toSeq
       (got, rebuild(head))
     }
