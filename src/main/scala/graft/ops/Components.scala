@@ -314,5 +314,50 @@ object Components {
     edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("degree"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected pair graph, made fully DETERMINISTIC: every node starts
+    * labeled with itself, and each round takes the neighbor label with
+    * the highest frequency, ties broken toward the SMALLEST label —
+    * argmax computed as `max(struct(cnt, -label))`, a pure keyed
+    * aggregation (no window, no randomized visit order). A FIXED
+    * synchronous round count (default 3, like [[Centrality.pagerank]])
+    * keeps the DuckDB oracle an exact unrolled mirror.
+    *
+    * Communities refine connectivity: labels only travel along edges,
+    * so two nodes sharing a label always share a component, but a
+    * component can split into several denser communities — the lens CC
+    * can't give (a giant chained component of template families stays
+    * ONE component while LPA separates the families).
+    *
+    * Scale shape: per round, one keyed edge-label join + two keyed
+    * aggregations over the pair relation — cost tracks EDGES (bounded
+    * by the band caps that produced them), state is one (node, label)
+    * row per node, rounds are lineage-truncated and cached exactly as
+    * in [[connectedComponents]]. */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val e = truncated(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = truncated(e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to iters) {
+      val next = truncated(e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label")))
+      next.count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    e.unpersist(blocking = false)
+    TextKit.register(labels)
+    labels.select(col("node").as("doc_id"), col("label").as("community"))
+  }
 }
 

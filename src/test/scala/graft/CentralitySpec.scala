@@ -65,4 +65,27 @@ class CentralitySpec extends SparkSpec {
     val star = (1L to 5L).map(s => (s, 50L)).toDF("doc_a", "doc_b")
     assert(graft.ops.Components.kCore(star, k = 2).isEmpty)
   }
+
+  test("labelPropagation: cliques converge to min id; communities refine components") {
+    // two 4-cliques bridged by one edge: CC sees ONE component, LPA
+    // separates the two dense families (each converges to its min id;
+    // the single bridge edge can't outvote three clique neighbors)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val g = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L))
+      .toDF("doc_a", "doc_b")
+    val lpa = graft.ops.Components.labelPropagation(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(lpa).distinct.size == 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(lpa).distinct.size == 1)
+    assert(lpa(1L) != lpa(10L), s"bridge must not merge communities: $lpa")
+    assert(graft.ops.Components.connectedComponents(g)
+      .select("component_id").distinct().count() == 1)
+    // determinism: a rerun is bit-identical
+    val again = graft.ops.Components.labelPropagation(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == lpa)
+    graft.ops.TextKit.releaseCaches()
+  }
 }
