@@ -407,6 +407,40 @@ class PlanSpec extends SparkSpec {
       s"G.711 decode grew extra shuffles ($exchanges193):\n$p193")
   }
 
+  test("round-9b: feed-driven index maintenance stays broadcast-scoped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L to 40L).map(i => (i, s"tok$i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    // a STORED index (parquet round trip), as in production — the pins
+    // are about what maintenance does to it, not how it was built
+    val dir = java.nio.file.Files.createTempDirectory("plan_feedix")
+      .toString + "/idx"
+    graft.ops.Dedup.bandIndexRaw(docs).write.parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val del = docs.filter($"doc_id" === 3L)
+    val ins = Seq((100L, "fresh doc entirely new tokens"))
+      .toDF("doc_id", "text")
+    val head = docs.filter($"doc_id" =!= 3L).unionByName(ins)
+    val p = graft.ops.Dedup.applyFeedToBandIndex(idx, ins, del, head)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // every join against the index must broadcast the FEED side — a
+    // sort-merge join here would shuffle the whole index per feed
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"index maintenance must never shuffle the index through a join:\n$p")
+    assert(p.contains("LeftAnti"), s"pass-through path missing:\n$p")
+    // an EMPTY feed must degenerate to a pure pass-through read of the
+    // stored index: no joins, no explode, no aggregation
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val pe = graft.ops.Dedup.applyFeedToBandIndex(idx, empty, empty, head)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!pe.contains("Join") && !pe.contains("Generate") &&
+      !pe.contains("HashAggregate"),
+      s"empty feed must pass the stored index through untouched:\n$pe")
+    graft.ops.TextKit.releaseCaches()
+  }
+
   test("change feed plans as delta-file scans: no join, no agg, pushed delete predicate") {
     // the whole point of the manifest CDF: change discovery must cost a
     // scan of the DELTA files, never a snapshot join — at 100 TB
