@@ -994,17 +994,25 @@ object StreamingOps {
     * flagged-sentinel rebuild); the unchanged corpus is never
     * re-shingled. */
   def streamFeedIndexMaintain(spark: SparkSession, tablePath: String,
-      fromV: Long, maxBucket: Int = 64): DataFrame = {
+      fromV: Long, maxBucket: Int = 64,
+      indexStateDir: Option[String] = None): DataFrame = {
     import graft.ops.Dedup
     import graft.sources.FeedSource
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft-feedix").toString
-    Dedup.bandIndexRaw(
-        graft.lake.ManifestCommit.readTableAt(ss, tablePath, fromV),
-        maxBucket = maxBucket)
-      .write.parquet(s"$stateDir/v$fromV")
+    val stateDir = indexStateDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft-feedix").toString)
+    // restart path: a consumer resuming at its checkpointed cursor finds
+    // the index it persisted for that version and NEVER re-shingles the
+    // corpus; only a cold start (no stored state) pays the base build
+    val statePath = new org.apache.hadoop.fs.Path(s"$stateDir/v$fromV")
+    val stateFs = statePath
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!stateFs.exists(statePath))
+      Dedup.bandIndexRaw(
+          graft.lake.ManifestCommit.readTableAt(ss, tablePath, fromV),
+          maxBucket = maxBucket)
+        .write.parquet(s"$stateDir/v$fromV")
     val cur = new java.util.concurrent.atomic.AtomicLong(fromV)
     ss.readStream.format("graft.sources.FeedSource")
       .option("path", tablePath)

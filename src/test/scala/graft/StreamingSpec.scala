@@ -202,4 +202,54 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((2L, 1L), (4L, 1L)),
       s"expected fresh matches only, got $out")
   }
+
+  test("streamFeedIndexMaintain: resumes from stored state; final == rebuild") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.lake.ManifestCommit
+    import graft.ops.{Dedup, Layout}
+    val root = Files.createTempDirectory("graft-fim").toString
+    val tbl = new org.apache.hadoop.fs.Path(root + "/tbl")
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(ids: Range, tag: String) = ids
+      .map(i => (i.toLong, s"$tag document $i alpha beta gamma"))
+      .toDF("doc_id", "text")
+    Layout.writeLinear(mk(0 until 30, "base"), col("doc_id"),
+      tbl.toString, 2)
+    ManifestCommit.bootstrap(fs, tbl)
+    val v0 = ManifestCommit.recordStats(spark, tbl, Seq("doc_id")).version
+    ManifestCommit.stageAndPublish(spark, tbl, mk(100 until 120, "b1"),
+      _ => true, statsCols = Seq("doc_id")).getOrElse(fail("publish 1"))
+    val v1 = ManifestCommit.currentSnapshot(fs, tbl).get.version
+    val sd = root + "/ixstate"
+    // run 1: cold start at v0 — builds the base state, applies the append
+    graft.streaming.StreamingOps
+      .streamFeedIndexMaintain(spark, tbl.toString, v0,
+        indexStateDir = Some(sd)).count()
+    val v1State = new java.io.File(s"$sd/v$v1")
+    assert(v1State.exists, "run 1 must persist the index at its head")
+    val mtime = v1State.lastModified
+    // the table advances while the consumer is down
+    ManifestCommit.deleteRange(spark, tbl, "doc_id", 5L, 9L, Seq("doc_id"))
+    // run 2 resumes at the checkpointed cursor v1: the stored state is
+    // picked up (not rewritten — no base rebuild), the delete applies
+    val got = graft.streaming.StreamingOps
+      .streamFeedIndexMaintain(spark, tbl.toString, v1,
+        indexStateDir = Some(sd))
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    assert(v1State.lastModified == mtime,
+      "resume must reuse the stored cursor state, not rebuild it")
+    // the delete commit's state landed (deleteRange appends a trailing
+    // stats META commit, which plans nothing — so the newest state dir
+    // is the delete's version, strictly past the resume cursor)
+    val versions = new java.io.File(sd).list().toSeq
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    assert(versions.exists(_ > v1),
+      s"run 2 must persist state past v$v1, saw $versions")
+    val want = Dedup.bandIndexRaw(
+        ManifestCommit.readTable(spark, tbl.toString))
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    assert(got == want, "maintained-across-restarts != rebuild")
+    graft.ops.TextKit.releaseCaches()
+  }
 }
