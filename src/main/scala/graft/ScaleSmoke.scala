@@ -708,6 +708,51 @@ object ScaleSmoke {
       timeFi("feedindex_1x", 1)
       timeFi(s"feedindex_${k}x", k)
     }
+
+    // CDC-driven ANN-index maintenance (q214): fixed feed (deletes +
+    // inserts), growing corpus. Maintain = broadcast anti-join of the
+    // delete ids + frozen-state encode of the insert batch; rebuild =
+    // full Lloyd + re-encode of the head. The claim: maintain_sec
+    // tracks the FEED, rebuild_sec tracks the corpus.
+    if (enabled("feedann")) {
+      def timeFa(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val emb = embRep(times)
+        val ix0 = graft.ops.Similarity
+          .buildIvfPq(emb, nCells = 8, trainSampleMod = 4)
+        val pin = Seq(ix0.e, ix0.cent, ix0.codebook, ix0.encoded)
+          .map(_.persist())
+        pin.foreach(_.count()) // prebuilt index outside both windows
+        val del = emb.filter(col("vec_id") % lit(200L * times) === 0)
+          .select("vec_id")
+        val ins = embRep(1).filter(col("vec_id") % 200 === 100)
+          .select((col("vec_id") + 4000000000L).as("vec_id"),
+            col("embedding"))
+        val nDel = del.count(); val nIns = ins.count()
+        val head = emb.join(del, Seq("vec_id"), "left_anti")
+          .unionByName(ins)
+        val t0 = System.nanoTime()
+        val nM = graft.ops.Similarity
+          .applyFeedToIvfPq(ix0, ins, del).encoded.count()
+        val tM = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nR = graft.ops.Similarity
+          .buildIvfPq(head, nCells = 8, trainSampleMod = 4).encoded.count()
+        val tR = (System.nanoTime() - t1) / 1e9
+        require(nM == nR,
+          s"maintained/rebuilt encoded counts differ: $nM vs $nR")
+        pin.foreach(_.unpersist())
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache(); embBase.cache(); embBase.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${ne * times},""" +
+            f""""deletes":$nDel,"inserts":$nIns,"encoded":$nM,""" +
+            f""""maintain_sec":$tM%.2f,"rebuild_sec":$tR%.2f}""")
+      }
+      timeFa("warmup", 1, silent = true)
+      timeFa("feedann_1x", 1)
+      timeFa(s"feedann_${k}x", k)
+    }
     spark.stop()
   }
 }

@@ -414,6 +414,70 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Walsh–Hadamard perceptual hash — the pHash idea (Zauner 2010:
+    * downsample, 2-D frequency transform, keep the low-order block,
+    * threshold against the median) with the DCT replaced by the
+    * Walsh–Hadamard transform, whose ±1 kernel keeps every coefficient
+    * an exact integer: H(b, k) = (-1)^(popcount(bx&u) + popcount(by&v)).
+    * Unlike [[dhash]] (local gradient signs), the transform hash keys on
+    * the image's global frequency structure, so it survives local noise
+    * that flips individual gradient bits.
+    *
+    * Per image: 8x8 block means (integer floor mean over the block's
+    * pixels), 64 WHT coefficients, the DC coefficient dropped, each of
+    * the remaining 63 thresholded against their median (the 32nd
+    * smallest) — a 63-bit fingerprint, always non-negative.
+    *
+    * Scale shape: like [[dhash]], the whole hash rides INSIDE the typed
+    * decode map — one tight O(pixels + 64·64) integer loop per image at
+    * the codec boundary, 16 bytes out per image, no pixel-row explode,
+    * no shuffle. (A higher-order-function expression chain was measured
+    * 100x slower here: nested `transform`/`aggregate` lambdas evaluate
+    * on Catalyst's interpreted path, outside codegen — exactly the hot
+    * path the guide says to keep native.) Near-dup pairing rides the
+    * same banded Hamming join as [[dhashPairs]] over the resulting
+    * hashes. */
+  def phash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      val hd = parsePgmHeader(m.media_id, m.payload)
+      require(hd.w >= 8 && hd.h >= 8,
+        s"phash ${m.media_id}: image ${hd.w}x${hd.h} below the 8x8 grid")
+      // 8x8 block floor-means: pixel (x, y) lives in block
+      // (y*8 div h)*8 + (x*8 div w)
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      var i = 0
+      val n = hd.w * hd.h
+      while (i < n) {
+        val b = (i / hd.w * 8 / hd.h) * 8 + (i % hd.w * 8 / hd.w)
+        sums(b) += m.payload(hd.off + i) & 0xff
+        cnts(b) += 1
+        i += 1
+      }
+      val means = Array.tabulate(64)(b => sums(b) / cnts(b))
+      // 64 exact-integer WHT coefficients over the block means
+      val cf = Array.tabulate(64) { k =>
+        var acc = 0L; var b = 0
+        while (b < 64) {
+          val sign = 1 - 2 * ((Integer.bitCount((b % 8) & (k % 8)) +
+            Integer.bitCount((b / 8) & (k / 8))) & 1)
+          acc += means(b) * sign
+          b += 1
+        }
+        acc
+      }
+      // the 63 non-DC coefficients thresholded at their 32nd smallest
+      val med = cf.drop(1).sorted.apply(31)
+      var hash = 0L; var k = 1
+      while (k < 64) {
+        if (cf(k) > med) hash |= 1L << (k - 1)
+        k += 1
+      }
+      (m.media_id, hash)
+    }.toDF("media_id", "phash")
+  }
+
   /** Histogram equalization as pure relational arithmetic over decoded
     * pixels: per-image histogram (groupBy), cumulative distribution
     * (a window ORDERED BY pixel value, bounded at <= 256 rows per

@@ -855,6 +855,35 @@ object Similarity {
     ix.copy(e = ix.e.unionByName(b), encoded = ix.encoded.unionByName(encNew))
   }
 
+  /** CDC-driven IVF-PQ index maintenance — apply one change-feed commit
+    * window (deletes + inserts) to a prebuilt index: the ANN twin of
+    * [[graft.ops.Dedup.applyFeedToBandIndex]], and the simpler half of
+    * the "maintenance beats recompute" contract, because IVF-PQ stores
+    * exactly ONE row per vector (its cell + codes) with no cross-vector
+    * state at all — a delete is a plain row drop, never a bucket
+    * rebuild. Deletes anti-join `e`/`encoded` against the broadcast
+    * feed-delete id set; inserts ride [[appendIvfPq]] (frozen centroids
+    * + codebook, batch-proportional encode). Deletes apply before
+    * inserts, the CDC commit order.
+    *
+    * Exactness: each vector's (cell, codes) depends only on itself and
+    * the frozen training state, so the maintained index is
+    * BIT-IDENTICAL to re-encoding the head row set from scratch under
+    * the same training — pinned in OpsSpec and oracle-gated (q214)
+    * against a full DuckDB replay. The 100 TB shape: per commit window,
+    * work = one broadcast of the delete ids (KBs) + encode of the
+    * insert batch; the corpus's stored codes are never rewritten, only
+    * filtered at read. Training drift across many windows is a
+    * scheduled re-train (a new corpus version), exactly as in
+    * [[appendIvfPq]]. */
+  def applyFeedToIvfPq(ix: IvfPqIndex, inserts: DataFrame,
+      deleteIds: DataFrame): IvfPqIndex = {
+    val del = broadcast(deleteIds.select(col("vec_id").as("del_id")).distinct())
+    def drop(df: DataFrame) =
+      df.join(del, col("vec_id") === col("del_id"), "left_anti")
+    appendIvfPq(ix.copy(e = drop(ix.e), encoded = drop(ix.encoded)), inserts)
+  }
+
   /** Pass `emb` through iff its length is exactly `dim`, else fail the
     * task loudly. Without this, a query batch whose vectors don't match
     * the index dimensionality would slice short subvectors in the ADC

@@ -626,6 +626,13 @@ object OpsQueries {
     "q207_blob_labels" -> ((s, d) =>
       Multimodal.blobLabels(Multimodal.pgmFromDocuments(docs(s, d)))
         .orderBy("media_id")),
+    // Walsh-Hadamard perceptual hash: 8x8 block means -> 64 exact
+    // integer WHT coefficients -> 63 bits thresholded at their median —
+    // pHash's global-frequency fingerprint with a +-1 kernel, one
+    // row-local expression chain after decode, zero shuffle
+    "q215_image_phash" -> ((s, d) =>
+      Multimodal.phash(Multimodal.pgmFromDocuments(docs(s, d)))
+        .orderBy("media_id")),
     // perceptual image fingerprint (dHash): 9x8 nearest-neighbor grid,
     // 64 gradient bits in two sign-free 32-bit halves — extracted inside
     // the decode pass, 16 bytes out per image, no pixel explode
@@ -807,6 +814,36 @@ object OpsQueries {
         .streamFeedIndexMaintain(s, dl.path, dl.fromV)
         .select(col("band"), col("key"), size(col("ids")).as("n_ids"))
         .orderBy("band", "key")
+    }),
+    // CDC-driven ANN-index maintenance: the IVF-PQ index maintained
+    // from the embeddings lake's change feed alone — deletes are plain
+    // row drops (one stored row per vector, no cross-vector state),
+    // inserts encode against the FROZEN centroids + codebook; searched
+    // with external queries, bit-identical to re-encoding the head set
+    "q214_feed_ivfpq_maintain" -> ((s, d) => {
+      val el = ensureEmbLake(s, d)
+      val feed = graft.lake.ChangeFeed.changeFeed(s,
+        new org.apache.hadoop.fs.Path(el.path), el.fromV, el.toV)
+      val ix0 = Similarity.buildIvfPq(
+        graft.lake.ManifestCommit.readTableAt(s, el.path, el.fromV))
+      val ix = Similarity.applyFeedToIvfPq(ix0,
+        feed.filter(col("_change_type") === "insert")
+          .select("vec_id", "embedding"),
+        feed.filter(col("_change_type") === "delete").select("vec_id"))
+      Similarity.searchIvfPqWith(ix, emb(s, d).filter(col("vec_id") < 10))
+        .orderBy("query_id", "rank")
+    }),
+    // The same ANN maintenance AS A STREAM: FeedSource tails the
+    // embeddings lake's commit log one commit per micro-batch, each
+    // batch applies that commit to the persisted IVF-PQ index (frozen
+    // training written once at cold start); inductively exact, so the
+    // final searched state shares q214's batch oracle
+    "q216_stream_ivfpq_maintain" -> ((s, d) => {
+      val el = ensureEmbLake(s, d)
+      val ix = graft.streaming.StreamingOps
+        .streamFeedIvfPqMaintain(s, el.path, el.fromV)
+      Similarity.searchIvfPqWith(ix, emb(s, d).filter(col("vec_id") < 10))
+        .orderBy("query_id", "rank")
     }),
     // DSIR-style importance resampling: hashed-bigram distribution of
     // the English slice vs the whole corpus, integer mean-ratio scores,
@@ -1495,6 +1532,59 @@ object OpsQueries {
       DocLake(path, fromV, toV)
     })
 
+  /** Shared q214/q216 oracle: the feed-maintained (batch or streamed)
+    * IVF-PQ search over the emb lake's head row set, with training
+    * frozen to the full base snapshot. */
+  private lazy val feedIvfPqMaintainSql: String = ivfPqOracle(
+    corpusPred = """(vec_id % 10 = 0 OR vec_id NOT BETWEEN
+         (SELECT min(vec_id) + (max(vec_id) - min(vec_id)) // 4
+          FROM embeddings WHERE vec_id % 10 != 0)
+         AND
+         (SELECT min(vec_id) + (max(vec_id) - min(vec_id)) // 2
+          FROM embeddings WHERE vec_id % 10 != 0))""",
+    trainPred = "vec_id % 10 != 0", excludeSelf = false,
+    queryCte = s"""qf AS (SELECT vec_id,
+         list_transform(embedding, x -> ${TextKit.ducksql.quant("x")})
+           AS qqv
+         FROM embeddings WHERE vec_id < 10),
+       q AS (SELECT vec_id AS query_id, qqv,
+         ${dotL("qqv", "qqv")} AS qnsq FROM qf)""")
+
+  /** Per-(process, sfDir) EMBEDDINGS change-feed lake for q214 — the
+    * vector twin of [[ensureDocLake]]: the 90% base (vec_id % 10 != 0)
+    * lands before the cursor, a boxed vec_id range is deleted, the 10%
+    * batch lands after. Head = (base minus box) + the 10%. */
+  private[queries] final case class EmbLake(path: String, fromV: Long,
+    toV: Long)
+
+  private val embLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, EmbLake]()
+
+  private[queries] def ensureEmbLake(s: SparkSession, d: String): EmbLake =
+    embLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val ee = emb(s, d).select("vec_id", "embedding")
+      val base = ee.filter(col("vec_id") % 10 =!= 0)
+      val b = base.agg(min("vec_id"), max("vec_id")).head
+      val (vlo, vhi) = boxRange(b.getLong(0), b.getLong(1))
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_emblake_qch7dwouX1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      Layout.writeLinear(base, col("vec_id"), path, 8)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      val fromV = ManifestCommit.recordStats(s, dir, Seq("vec_id")).version
+      ManifestCommit.deleteRange(s, dir, "vec_id", vlo, vhi, Seq("vec_id"))
+      ManifestCommit.stageAndPublish(s, dir,
+        ee.filter(col("vec_id") % 10 === 0), _ => true,
+        statsCols = Seq("vec_id"))
+        .getOrElse(sys.error("emb lake publish failed"))
+      val toV = ManifestCommit.currentSnapshot(fs, dir)
+        .getOrElse(sys.error("emb lake has no head")).version
+      EmbLake(path, fromV, toV)
+    })
+
   private[queries] def ensureCdfLake(s: SparkSession, d: String): CdfLake =
     cdfLakes.computeIfAbsent(d, _ => {
       import graft.lake.{Compaction, ManifestCommit}
@@ -1688,6 +1778,15 @@ object OpsQueries {
       corpusPred: String = "TRUE", trainPred: String = "TRUE"): String = {
     val sample0 = if (trainMod <= 1) "TRUE" else s"$md5rankVec % $trainMod = 0"
     val sample = s"($sample0) AND ($trainPred)"
+    // When training is frozen to a sub-corpus that is NOT a subset of
+    // the encode corpus (feed maintenance: training ran on the base
+    // snapshot, encode covers the head after deletes), `eq` must carry
+    // the UNION of both row sets; the encode-side restriction then
+    // happens at `enc` (ivfPqOracle). trainPred == TRUE keeps the old
+    // corpus-only scan so existing oracles are byte-stable.
+    val eqPred =
+      if (trainPred == "TRUE") corpusPred
+      else s"($corpusPred) OR ($trainPred)"
     def assign(src: String, cents: String, out: String) =
       s"""$out AS (SELECT vec_id, qv, nsq, cid AS cell FROM (
          SELECT s.vec_id, s.qv, s.nsq, c.cid,
@@ -1707,7 +1806,7 @@ object OpsQueries {
            WHERE cid NOT IN (SELECT cid FROM ${out}_c))"""
     s"""eq AS (SELECT vec_id,
          list_transform(embedding, x -> ${TextKit.ducksql.quant("x")}) AS qv
-         FROM embeddings WHERE $corpusPred),
+         FROM embeddings WHERE $eqPred),
        en AS (SELECT vec_id, qv, ${dotL("qv", "qv")} AS nsq FROM eq),
        ent AS (SELECT * FROM en WHERE $sample),
        c0 AS (SELECT rn - 1 AS cid, qv AS cqv FROM
@@ -1883,7 +1982,8 @@ object OpsQueries {
            row_number() OVER (PARTITION BY rsv.vec_id, rsv.sub
              ORDER BY ${dot8("rsv.sqv", "rsv.sqv")} + ${dot8("cb.cbv", "cb.cbv")}
                - 2*${dot8("rsv.sqv", "cb.cbv")}, cb.code) AS rn
-         FROM rsv JOIN cb ON rsv.sub = cb.sub) WHERE rn = 1),
+         FROM rsv JOIN cb ON rsv.sub = cb.sub
+         WHERE ($corpusPred)) WHERE rn = 1),
        $queryCte,
        probes AS (SELECT query_id, qqv, cid AS cell FROM (
          SELECT q.query_id, q.qqv, c.cid,
@@ -3386,6 +3486,18 @@ object OpsQueries {
            FROM embeddings WHERE vec_id % 10 = 0),
          q AS (SELECT vec_id AS query_id, qqv,
            ${dotL("qqv", "qqv")} AS qnsq FROM qf)"""),
+    // feed-maintained IVF-PQ: training (k-means init/Lloyd + codebook
+    // sample) reads the FULL base snapshot (vec_id % 10 != 0, including
+    // the rows the feed later deletes — that is what the index was
+    // trained on at fromV); encode and search cover only the HEAD row
+    // set (base minus the boxed delete quarter, plus the inserted 10%).
+    // eq carries the union of both row sets (kmeansChain eqPred); the
+    // head restriction lands at enc. Queries are external (vec_id < 10
+    // raw embeddings), so no self-exclusion.
+    "q214_feed_ivfpq_maintain" -> feedIvfPqMaintainSql,
+    // streamed one commit per micro-batch, inductively exact — the
+    // final state shares q214's batch oracle
+    "q216_stream_ivfpq_maintain" -> feedIvfPqMaintainSql,
     // append-without-retrain: k-means init/Lloyd AND the codebook sample
     // read only the 90% base (trainPred); cell assignment, residual
     // encode and search cover the full corpus — the frozen-training
@@ -3555,6 +3667,32 @@ object OpsQueries {
            CAST(CASE WHEN n = cdfmin THEN 0
              ELSE (cdf - cdfmin) * 255 // (n - cdfmin) END AS BIGINT) AS eq
          FROM m ORDER BY media_id, px""",
+    // WHT perceptual hash replayed over the text-derived 16x8 pixels:
+    // 8x8 block floor-means, 64 exact-integer Walsh-Hadamard
+    // coefficients ((-1)^(popcount(bx&u)+popcount(by&v)) kernel), the
+    // 63 non-DC coefficients thresholded at their 32nd-smallest value
+    "q215_image_phash" ->
+      """WITH e AS (SELECT doc_id, i - 1 AS p,
+           unicode(substr(rpad(text, 128, ' '), i, 1)) AS v
+           FROM documents, generate_series(1, 128) g(i)),
+         blk AS (SELECT doc_id,
+             (((p // 16) * 8) // 8) * 8 + (((p % 16) * 8) // 16) AS b,
+             CAST(sum(v) // count(*) AS BIGINT) AS m
+           FROM e GROUP BY 1, 2),
+         wht AS (SELECT doc_id, k,
+             CAST(sum(m * (1 - 2 * ((bit_count((b % 8) & (k % 8)) +
+               bit_count((b // 8) & (k // 8))) % 2))) AS BIGINT) AS c
+           FROM blk, generate_series(0, 63) g(k) GROUP BY 1, 2),
+         med AS (SELECT doc_id, c AS medv FROM (
+             SELECT doc_id, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+             FROM wht WHERE k > 0) WHERE rn = 32)
+         SELECT w.doc_id AS media_id,
+           CAST(sum(CASE WHEN w.c > med.medv
+             THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INT) ELSE 0 END)
+             AS BIGINT) AS phash
+         FROM wht w JOIN med ON w.doc_id = med.doc_id
+         WHERE w.k > 0 GROUP BY 1 ORDER BY media_id""",
     // dHash replayed over the text-derived 16x8 pixels: sample columns
     // x*16//9 = [0,1,3,5,7,8,10,12,14], bit b set iff the right sample
     // of row b//8 is strictly brighter

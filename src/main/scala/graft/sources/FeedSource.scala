@@ -229,6 +229,34 @@ private[sources] class FeedReaderFactory(tableSchema: StructType)
               case BooleanType => current.getBoolean(f.name, 0)
               case StringType  =>
                 UTF8String.fromString(current.getString(f.name, 0))
+              // Spark's standard 3-level LIST encoding: the outer LIST
+              // group has exactly ONE repeated child, whose single
+              // child is the element — addressed by ordinal so both
+              // the modern (list/element) and legacy (bag/array)
+              // nestings read identically. Needed for the embeddings
+              // lake's array<float> vectors (q216).
+              case ArrayType(et, _) =>
+                val lst = current.getGroup(f.name, 0)
+                val n = lst.getFieldRepetitionCount(0)
+                val out = new Array[Any](n)
+                var j = 0
+                while (j < n) {
+                  val el = lst.getGroup(0, j)
+                  out(j) =
+                    if (el.getFieldRepetitionCount(0) == 0) null
+                    else et match {
+                      case FloatType   => el.getFloat(0, 0)
+                      case DoubleType  => el.getDouble(0, 0)
+                      case LongType    => el.getLong(0, 0)
+                      case IntegerType => el.getInteger(0, 0)
+                      case StringType  =>
+                        UTF8String.fromString(el.getString(0, 0))
+                      case o => sys.error("graft-feed: unsupported " +
+                        s"array element type $o (${f.name})")
+                    }
+                  j += 1
+                }
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
               case other => sys.error(
                 s"graft-feed: unsupported column type $other (${f.name})")
             }

@@ -1040,4 +1040,79 @@ object StreamingOps {
       .awaitTermination()
     spark.read.parquet(s"$stateDir/v${cur.get}")
   }
+
+  /** STREAMING ANN-index maintenance — [[streamFeedIndexMaintain]]'s
+    * pattern applied to the OTHER stored index family: the
+    * [[graft.sources.FeedSource]] stream tails the embeddings lake's
+    * commit log one commit per micro-batch, and each batch applies that
+    * commit's deletes/inserts to the persisted IVF-PQ index via
+    * [[graft.ops.Similarity.applyFeedToIvfPq]]. The frozen training
+    * state (centroids + residual codebook — KBs) is written ONCE at
+    * cold start; per applied version only the per-vector rows (`e`,
+    * `encoded`) are persisted, so restart resumes from the stored
+    * state the checkpointed offset names and only a cold start pays
+    * Lloyd. Exactness is inductive: each step is bit-identical to a
+    * frozen-training re-encode at that version (applyFeedToIvfPq), so
+    * the final state shares q214's batch oracle (q216).
+    *
+    * Work per batch ∝ that commit's change volume: one broadcast
+    * anti-join of the delete ids + a batch-proportional encode of the
+    * inserts; the corpus's stored codes are never recomputed. Returns
+    * the final maintained index (read back from storage — the restart
+    * artifact IS the return value). */
+  def streamFeedIvfPqMaintain(spark: SparkSession, tablePath: String,
+      fromV: Long, indexStateDir: Option[String] = None,
+      m: Int = 8, codesPerSub: Int = 16,
+      subDim: Int = 8): graft.ops.Similarity.IvfPqIndex = {
+    import graft.ops.Similarity
+    import graft.sources.FeedSource
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stateDir = indexStateDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft-feedivf").toString)
+    def writeRows(ix: Similarity.IvfPqIndex, v: Long): Unit = {
+      ix.e.write.mode("overwrite").parquet(s"$stateDir/v$v/e")
+      ix.encoded.write.mode("overwrite").parquet(s"$stateDir/v$v/enc")
+    }
+    def readState(s: SparkSession, v: Long): Similarity.IvfPqIndex =
+      Similarity.IvfPqIndex(
+        s.read.parquet(s"$stateDir/v$v/e"),
+        s.read.parquet(s"$stateDir/cent"),
+        s.read.parquet(s"$stateDir/cb"),
+        s.read.parquet(s"$stateDir/v$v/enc"), m, codesPerSub, subDim)
+    val coldPath = new org.apache.hadoop.fs.Path(s"$stateDir/v$fromV/enc")
+    val stateFs = coldPath
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!stateFs.exists(coldPath)) {
+      val ix0 = Similarity.buildIvfPq(
+        graft.lake.ManifestCommit.readTableAt(ss, tablePath, fromV),
+        m = m, codesPerSub = codesPerSub, dim = m * subDim)
+      ix0.cent.write.mode("overwrite").parquet(s"$stateDir/cent")
+      ix0.codebook.write.mode("overwrite").parquet(s"$stateDir/cb")
+      writeRows(ix0, fromV)
+    }
+    val cur = new java.util.concurrent.atomic.AtomicLong(fromV)
+    ss.readStream.format("graft.sources.FeedSource")
+      .option("path", tablePath)
+      .option("fromVersion", fromV.toString)
+      .option("maxCommitsPerBatch", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try if (b.head(1).nonEmpty) { // meta commits plan nothing
+          val v = b.agg(max(col(FeedSource.VersionCol))).head.getLong(0)
+          val nxt = Similarity.applyFeedToIvfPq(readState(ss, cur.get),
+            b.filter(col(FeedSource.ChangeTypeCol) === "insert")
+              .select("vec_id", "embedding"),
+            b.filter(col(FeedSource.ChangeTypeCol) === "delete")
+              .select("vec_id"))
+          writeRows(nxt, v)
+          cur.set(v)
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    readState(spark, cur.get)
+  }
 }

@@ -860,6 +860,83 @@ class OpsSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("applyFeedToIvfPq: maintenance == frozen-training re-encode of the head") {
+    // index trained on 0..39; the feed then deletes 10..19 and inserts
+    // 40..49. The maintained index must be bit-identical to re-encoding
+    // the head row set (0..9, 20..49) from scratch under the SAME
+    // frozen training state — and deleted vectors must be gone.
+    val base = semEmb.filter(col("vec_id") < 40)
+    val deletes = base.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val inserts = semEmb.filter(col("vec_id") >= 40)
+    val ix = Similarity.buildIvfPq(base, nCells = 4)
+    val maintained = Similarity.applyFeedToIvfPq(ix,
+      inserts.select("vec_id", "embedding"), deletes.select("vec_id"))
+    val head = base.filter(col("vec_id") < 10 || col("vec_id") >= 20)
+      .unionByName(inserts)
+    val ixRef = Similarity.appendIvfPq(
+      ix.copy(e = ix.e.limit(0), encoded = ix.encoded.limit(0)),
+      head.select("vec_id", "embedding"))
+    def encSet(g: Similarity.IvfPqIndex) =
+      g.encoded.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toSet
+    assert(encSet(maintained) == encSet(ixRef))
+    // deleted ids are neither encoded nor searchable
+    val ids = maintained.encoded.select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L to 9L) ++ (20L to 49L)))
+    val top = Similarity.searchIvfPqWith(maintained,
+        semEmb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+        k = 40)
+      .collect()
+    assert(!top.exists(r => (10L to 19L).contains(
+      r.getAs[Long]("neighbor_id"))))
+    TextKit.releaseCaches()
+  }
+
+  test("phash: driver recompute, brightness invariance, dissimilar images differ") {
+    def refPhash(text: String): Long = {
+      val w = 16; val h = 8
+      val px = Array.tabulate(w * h)(i =>
+        if (i < text.length) text(i).toInt else 32)
+      val m = Array.tabulate(64) { b =>
+        val vals = (0 until w * h).filter(i =>
+          ((i / w) * 8 / h) * 8 + ((i % w) * 8 / w) == b).map(px)
+        vals.sum.toLong / vals.size
+      }
+      val cf = Array.tabulate(64) { k =>
+        (0 until 64).map { b =>
+          val sign = 1 - 2 * ((Integer.bitCount((b % 8) & (k % 8)) +
+            Integer.bitCount((b / 8) & (k / 8))) % 2)
+          m(b) * sign
+        }.sum
+      }
+      val med = cf.drop(1).sorted.apply(31)
+      (1 until 64).map(k => if (cf(k) > med) 1L << (k - 1) else 0L).sum
+    }
+    val structured = (0 until 128).map(i =>
+      (' ' + (i % 16) * (i / 16 % 4)).toChar).mkString
+    val shifted = structured.map(c => (c + 1).toChar)
+    val other = (0 until 128).map(i => ('!' + i * 37 % 64).toChar).mkString
+    val d = Seq((1L, structured), (2L, structured), (3L, shifted),
+      (4L, other))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hs = Multimodal.phash(Multimodal.pgmFromDocuments(d))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, t) <- Seq(1L -> structured, 3L -> shifted, 4L -> other))
+      assert(hs(id) == refPhash(t), s"phash mismatch for doc $id")
+    assert(hs(1L) == hs(2L))
+    // a uniform +1 brightness shift moves ONLY the DC coefficient
+    // (the +-1 WHT kernel sums to zero for every non-DC k), so the
+    // 63-bit hash is exactly invariant
+    assert(hs(3L) == hs(1L))
+    // a structurally different image lands far away in Hamming space
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) > 8,
+      s"expected distant hashes, got ${hs(1L)} vs ${hs(4L)}")
+    assert(hs.values.forall(_ >= 0L))
+  }
+
   test("quality classifier: held-out separation, neutral totality, model bound") {
     val vocab = Seq("table", "scan", "filter", "merge", "window",
       "stream", "vector", "column", "batch", "query")

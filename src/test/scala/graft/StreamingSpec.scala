@@ -252,4 +252,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "maintained-across-restarts != rebuild")
     graft.ops.TextKit.releaseCaches()
   }
+
+  test("streamFeedIvfPqMaintain: resumes stored state; final == frozen re-encode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.lake.ManifestCommit
+    import graft.ops.{Layout, Similarity}
+    val root = Files.createTempDirectory("graft-fivf").toString
+    val tbl = new org.apache.hadoop.fs.Path(root + "/tbl")
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkEmb(ids: Range) = ids.map(i => (i.toLong,
+      Array.tabulate(64)(d =>
+        (((i + 1) * (d + 1)) % 101 - 50).toFloat / 51f)))
+      .toDF("vec_id", "embedding")
+    Layout.writeLinear(mkEmb(0 until 30), col("vec_id"), tbl.toString, 2)
+    ManifestCommit.bootstrap(fs, tbl)
+    val v0 = ManifestCommit.recordStats(spark, tbl, Seq("vec_id")).version
+    ManifestCommit.stageAndPublish(spark, tbl, mkEmb(100 until 110),
+      _ => true, statsCols = Seq("vec_id")).getOrElse(fail("publish 1"))
+    val v1 = ManifestCommit.currentSnapshot(fs, tbl).get.version
+    val sd = root + "/ixstate"
+    // run 1: cold start at v0 — Lloyd runs once, the append applies
+    graft.streaming.StreamingOps
+      .streamFeedIvfPqMaintain(spark, tbl.toString, v0,
+        indexStateDir = Some(sd)).encoded.count()
+    val v1State = new java.io.File(s"$sd/v$v1")
+    assert(v1State.exists, "run 1 must persist the index at its head")
+    val mtime = v1State.lastModified
+    // the table advances while the consumer is down
+    ManifestCommit.deleteRange(spark, tbl, "vec_id", 5L, 9L, Seq("vec_id"))
+    // run 2 resumes at the checkpointed cursor v1: stored rows reused
+    // (no Lloyd, no rewrite of v1's state), the delete applies
+    val got = graft.streaming.StreamingOps
+      .streamFeedIvfPqMaintain(spark, tbl.toString, v1,
+        indexStateDir = Some(sd))
+    assert(v1State.lastModified == mtime,
+      "resume must reuse the stored cursor state, not rebuild it")
+    // reference: the SAME frozen training (deterministic build at v0),
+    // head row set re-encoded from scratch
+    val ix0 = Similarity.buildIvfPq(
+      ManifestCommit.readTableAt(spark, tbl.toString, v0))
+    val ref = Similarity.appendIvfPq(
+      ix0.copy(e = ix0.e.limit(0), encoded = ix0.encoded.limit(0)),
+      ManifestCommit.readTable(spark, tbl.toString)
+        .select("vec_id", "embedding"))
+    def encSet(g: Similarity.IvfPqIndex) =
+      g.encoded.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq)).toSet
+    assert(encSet(got) == encSet(ref),
+      "maintained-across-restarts != frozen-training re-encode")
+    assert(!encSet(got).exists(e => e._1 >= 5L && e._1 <= 9L),
+      "deleted vectors must leave the index")
+    graft.ops.TextKit.releaseCaches()
+  }
 }
