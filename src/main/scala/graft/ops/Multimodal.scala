@@ -613,6 +613,46 @@ object Multimodal {
     }.toDF("media_id", "win_idx", "n_in_win", "energy", "peak")
   }
 
+  /** Windowed Walsh–Hadamard filterbank over REAL PCM bytes — the
+    * frequency-domain audio feature ([[wavWindowEnergy]] is the
+    * time-domain one): per 64-sample window (zero-padded tail), the 64
+    * WHT coefficients c_k = Σ_j s_j·(-1)^popcount(j&k), folded into
+    * four 16-coefficient band absolute-energy sums. The ±1 kernel keeps
+    * every coefficient an exact integer (the [[phash]] trick applied to
+    * audio), so the filterbank is bit-exact cross-engine — the seam a
+    * production mel/FFT filterbank (doubles, codec library) swaps into.
+    * Natural Hadamard coefficient order, not sequency order —
+    * documented, deterministic, and irrelevant to downstream learners.
+    *
+    * Scale shape: rides INSIDE the decode map — O(64·64) integer ops
+    * per window at the codec boundary, 4 longs out per window, no
+    * sample-row explode, no shuffle. */
+  def wavWhtBands(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = parseWavHeader(r.media_id, r.payload)._4
+      val nw = (n + 63) / 64
+      (0 until nw).iterator.map { w =>
+        val s = Array.tabulate(64) { j =>
+          val k = w * 64 + j
+          if (k < n) pcmSample(r.payload, k).toLong else 0L
+        }
+        val bands = new Array[Long](4)
+        var k = 0
+        while (k < 64) {
+          var c = 0L; var j = 0
+          while (j < 64) {
+            c += s(j) * (1 - 2 * (Integer.bitCount(j & k) & 1))
+            j += 1
+          }
+          bands(k / 16) += math.abs(c)
+          k += 1
+        }
+        (r.media_id, w, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF("media_id", "win", "band0", "band1", "band2", "band3")
+  }
+
   // ---------------------------------------------------------------------
   // G.711 companded audio (ITU-T G.711, 1972): 8-bit mu-law / A-law
   // telephony WAV — the one compressed audio family whose "decode" is

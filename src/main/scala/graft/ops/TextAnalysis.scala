@@ -882,4 +882,31 @@ object TextAnalysis {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Character-collision diversity (Simpson index) — the
+    * repetitiveness gate that needs NO logarithm: Σ pᵢ² over the
+    * document's character distribution is the probability two random
+    * positions hold the same character, so boilerplate (high collision
+    * mass) scores high and diverse prose low — the same screening
+    * signal as character entropy, but a RATIONAL function of the
+    * counts, so it stays exact integer ppm cross-engine (an entropy
+    * gate would compare engine-library `log` doubles — the
+    * BASELINE.md double rule says never do that).
+    *
+    * Shape at scale: one position explode (narrow), then two keyed
+    * aggregations with map-side combine — shuffle volume collapses to
+    * ≤ distinct-chars rows per document (≈100), not text volume.
+    * Empty documents have no positions and are absent (callers gate
+    * length upstream). */
+  def charDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("distinct_chars"),
+        sum(col("cnt")).as("len"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .select(col("doc_id"), col("distinct_chars"),
+        expr("s2 * 1000000L div (len * len)").as("simpson_ppm"))
 }

@@ -1295,6 +1295,18 @@ object OpsQueries {
         .orderBy("media_id", "bin")),
     // audio DSP features over decoded SIGNED PCM: zero-crossing count
     // and lag-1 autocorrelation — exact integers, one per-clip window
+    // windowed WHT filterbank over real PCM bytes: 64 exact-integer
+    // coefficients per 64-sample window (zero-padded tail), folded into
+    // 4 band absolute-energy sums — frequency-domain audio features
+    // inside the decode map, no sample explode, no shuffle
+    "q217_wav_wht" -> ((s, d) =>
+      Multimodal.wavWhtBands(Multimodal.wavFromDocuments(docs(s, d)))
+        .orderBy("media_id", "win")),
+    // character-collision diversity (Simpson index): the repetitiveness
+    // gate as a RATIONAL function of char counts — exact integer ppm,
+    // no engine-library log; shuffle collapses to distinct chars/doc
+    "q218_char_diversity" -> ((s, d) =>
+      TextAnalysis.charDiversity(docs(s, d)).orderBy("doc_id")),
     "q180_wav_dsp" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("media_id").orderBy("k")
@@ -4433,6 +4445,45 @@ object OpsQueries {
          SELECT doc_id AS media_id, v // 16 AS bin,
            count(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY media_id, bin""",
+    // WHT filterbank replayed from the synthesis formula: coefficient
+    // c_k = sum_j s_j * (-1)^popcount(j & k) per 64-sample window,
+    // |c| summed into four 16-coefficient bands
+    "q217_wav_wht" ->
+      """WITH w AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         wins AS (SELECT doc_id, n, g.w AS win
+           FROM w, generate_series(0, 1) g(w) WHERE g.w * 64 < n),
+         coef AS (SELECT doc_id, win, k.k AS k,
+             CAST(sum(CASE WHEN win*64 + j.j < n
+               THEN ((doc_id*31 + (win*64 + j.j)*17) % 2048 - 1024) *
+                 (1 - 2 * (bit_count(CAST(j.j AS BIGINT) &
+                   CAST(k.k AS BIGINT)) % 2))
+               ELSE 0 END) AS BIGINT) AS c
+           FROM wins, generate_series(0, 63) j(j),
+             generate_series(0, 63) k(k)
+           GROUP BY 1, 2, 3)
+         SELECT doc_id AS media_id, CAST(win AS INT) AS win,
+           CAST(sum(CASE WHEN k < 16 THEN abs(c) ELSE 0 END) AS BIGINT)
+             AS band0,
+           CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN abs(c) ELSE 0 END)
+             AS BIGINT) AS band1,
+           CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN abs(c) ELSE 0 END)
+             AS BIGINT) AS band2,
+           CAST(sum(CASE WHEN k >= 48 THEN abs(c) ELSE 0 END) AS BIGINT)
+             AS band3
+         FROM coef GROUP BY 1, 2 ORDER BY media_id, win""",
+    // Simpson diversity: sum(cnt^2)*1e6 // len^2 over the char counts
+    "q218_char_diversity" ->
+      """WITH e AS (SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, CAST(length(text) AS INT)),
+             i -> substr(text, i, 1))) AS ch
+           FROM documents),
+         c AS (SELECT doc_id, ch, count(*) AS cnt FROM e GROUP BY 1, 2),
+         a AS (SELECT doc_id, count(*) AS dc, sum(cnt) AS len,
+             sum(cnt*cnt) AS s2 FROM c GROUP BY 1)
+         SELECT doc_id, CAST(dc AS BIGINT) AS distinct_chars,
+           CAST(s2 * 1000000 // (len*len) AS BIGINT) AS simpson_ppm
+         FROM a ORDER BY doc_id""",
     "q180_wav_dsp" ->
       """WITH w AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
          a AS (SELECT doc_id, n,

@@ -937,6 +937,50 @@ class OpsSpec extends SparkSpec {
     assert(hs.values.forall(_ >= 0L))
   }
 
+  test("wavWhtBands: driver recompute of the windowed WHT filterbank") {
+    val d = Seq(0L, 1L, 70L).map(id => (id, "x", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.wavWhtBands(Multimodal.wavFromDocuments(d))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    def ref(id: Long): Map[(Long, Int), Seq[Long]] = {
+      val n = (64 + id % 64).toInt
+      val nw = (n + 63) / 64
+      (0 until nw).map { w =>
+        val s = Array.tabulate(64) { j =>
+          val k = w * 64 + j
+          if (k < n) (id * 31 + k * 17) % 2048 - 1024 else 0L
+        }
+        val bands = new Array[Long](4)
+        for (k <- 0 until 64) {
+          val c = (0 until 64).map(j =>
+            s(j) * (1 - 2 * (Integer.bitCount(j & k) & 1))).sum
+          bands(k / 16) += math.abs(c)
+        }
+        (id, w) -> bands.toSeq
+      }.toMap
+    }
+    val want = Seq(0L, 1L, 70L).flatMap(ref).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    // id 0 / id 1: one window (n = 64); id 70: two (n = 70, padded tail)
+    assert(got.keySet.count(_._1 == 70L) == 2)
+    assert(got.keySet.count(_._1 == 0L) == 1)
+  }
+
+  test("charDiversity: hand-checked Simpson ppm, repetitive > diverse") {
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"),
+      (4L, "the quick brown fox"))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.charDiversity(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (1L, 1000000L))   // all collisions
+    assert(r(2L) == (2L, 500000L))    // 2 chars x cnt 2: 8*1e6/16
+    assert(r(3L) == (4L, 250000L))    // uniform over 4
+    // boilerplate scores strictly above prose
+    assert(r(1L)._2 > r(4L)._2 && r(2L)._2 > r(4L)._2)
+  }
+
   test("quality classifier: held-out separation, neutral totality, model bound") {
     val vocab = Seq("table", "scan", "filter", "merge", "window",
       "stream", "vector", "column", "batch", "query")
