@@ -441,6 +441,36 @@ class PlanSpec extends SparkSpec {
     graft.ops.TextKit.releaseCaches()
   }
 
+  test("round-9c: IVF-PQ feed maintenance broadcasts the delete set, never the codes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = (0L to 40L).map(i => (i,
+        Array.tabulate(64)(d => (((i + 1) * (d + 1)) % 101 - 50).toFloat / 51f)))
+      .toDF("vec_id", "embedding")
+    // a STORED index (parquet round trip), as in production
+    val root = java.nio.file.Files.createTempDirectory("plan_feedivf")
+      .toString
+    val built = graft.ops.Similarity.buildIvfPq(emb)
+    built.e.write.parquet(s"$root/e")
+    built.encoded.write.parquet(s"$root/enc")
+    val ix = built.copy(e = spark.read.parquet(s"$root/e"),
+      encoded = spark.read.parquet(s"$root/enc"))
+    val del = Seq(3L).toDF("vec_id")
+    val ins = Seq((100L,
+        Array.tabulate(64)(d => ((d % 7) - 3).toFloat / 4f)))
+      .toDF("vec_id", "embedding")
+    val p = graft.ops.Similarity.applyFeedToIvfPq(ix, ins, del)
+      .encoded.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the delete set must broadcast against the stored rows — a
+    // sort-merge anti-join would shuffle every stored code per feed
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast anti-join on the stored codes:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"feed maintenance must never shuffle the stored codes:\n$p")
+    graft.ops.TextKit.releaseCaches()
+  }
+
   test("change feed plans as delta-file scans: no join, no agg, pushed delete predicate") {
     // the whole point of the manifest CDF: change discovery must cost a
     // scan of the DELTA files, never a snapshot join — at 100 TB
