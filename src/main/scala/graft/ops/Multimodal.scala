@@ -1024,6 +1024,74 @@ object Multimodal {
     }
   }
 
+  /** Per-frame dHash fingerprints from a REAL multi-frame GIF decode —
+    * the [[dhash]] grid computed on each decoded frame's raster. Same
+    * per-partition reader reuse as [[sampleGifFrames]]; 16 bytes out
+    * per frame. */
+  def gifFrameHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"media ${r.media_id}: no decodable GIF frames")
+        val out = (0 until n).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          require(w >= 9 && h >= 8,
+            s"media ${r.media_id} frame $f: ${w}x$h below the 9x8 grid")
+          val raster = img.getRaster
+          def px(sx: Int, sy: Int): Int = raster.getSample(sx, sy, 0)
+          var hi = 0L; var lo = 0L; var b = 0
+          while (b < 64) {
+            val y = b / 8; val x = b % 8
+            val sy = y * h / 8
+            if (px((x + 1) * w / 9, sy) > px(x * w / 9, sy)) {
+              if (b < 32) hi |= 1L << b else lo |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          (r.media_id, f, hi, lo)
+        }
+        iis.close()
+        out
+      }
+    }.toDF("media_id", "frame_idx", "h_hi", "h_lo")
+  }
+
+  /** Keyframe selection by perceptual scene change — the frame-sampling
+    * op a VLM training pipeline runs over video: a frame is a keyframe
+    * iff it is the clip's first frame or its [[dhash]] Hamming distance
+    * to the IMMEDIATELY PREVIOUS frame exceeds `maxHamming` (the q199
+    * near-dup threshold: <= 3 bits = same scene). Static scenes
+    * collapse to one representative; every cut survives.
+    *
+    * Shape at scale: hashing rides the decode pass ([[gifFrameHashes]]);
+    * the lag window is partitioned per clip and BOUNDED by
+    * frames-per-clip (the q208 bounded-window argument — never a
+    * global sort). Downstream cross-clip dedup joins the surviving
+    * keyframe hashes through the [[dhashPairs]] banded chain. */
+  def gifKeyframes(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    gifFrameHashes(media)
+      .withColumn("phi", lag(col("h_hi"), 1).over(w))
+      .withColumn("plo", lag(col("h_lo"), 1).over(w))
+      .select(col("media_id"), col("frame_idx"),
+        when(col("phi").isNull, lit(-1)).otherwise(
+          (bit_count(col("h_hi").bitwiseXOR(col("phi"))) +
+            bit_count(col("h_lo").bitwiseXOR(col("plo")))).cast("int"))
+          .as("hamming_prev"),
+        (col("phi").isNull ||
+          (bit_count(col("h_hi").bitwiseXOR(col("phi"))) +
+            bit_count(col("h_lo").bitwiseXOR(col("plo")))) > maxHamming)
+          .as("is_keyframe"))
+  }
+
   // ---------------------------------------------------------------------
   // MP3 frame layer + H.264 Annex-B NAL layer — the CONTAINER half of the
   // two codec formats whose sample-decode stays stubbed. Both framings

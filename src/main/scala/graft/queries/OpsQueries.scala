@@ -588,6 +588,12 @@ object OpsQueries {
       Multimodal.sampleGifFrames(
         Multimodal.gifFromDocuments(docs(s, d)), every = 2)
         .toDF().orderBy("media_id", "frame_idx")),
+    // video keyframe selection: per-frame dHash from the REAL GIF
+    // decode, scene change = Hamming vs the previous frame above the
+    // near-dup threshold; lag window bounded per clip
+    "q219_gif_keyframes" -> ((s, d) =>
+      Multimodal.gifKeyframes(Multimodal.gifFromDocuments(docs(s, d)))
+        .orderBy("media_id", "frame_idx")),
     // REAL MP3 frame-layer walk: synthesized valid MPEG-1 Layer III
     // frame streams -> sync/header validation at every computed frame
     // boundary -> per-file rates + exact 1152-samples/frame duration;
@@ -3853,6 +3859,40 @@ object OpsQueries {
     // animated-GIF frame sampling: frames 0 and 2 of 4, each frame's
     // pixels = the 128 text bytes at offset frame*128 (space-padded) —
     // the oracle replays exactly the sampled frames' substrings
+    // per-frame dHash replayed from the 4-frame text slices (frame f's
+    // pixels are text bytes [f*128, (f+1)*128) space-padded to 512),
+    // then lag Hamming over frame order; keyframe = first or > 3 bits
+    "q219_gif_keyframes" ->
+      """WITH px AS (SELECT doc_id, f,
+           list_transform(generate_series(1, 128),
+             i -> unicode(substr(rpad(text, 512, ' '), f * 128 + i, 1)))
+             AS p
+           FROM documents, (VALUES (0), (1), (2), (3)) v(f)),
+         sxl AS (SELECT [0,1,3,5,7,8,10,12,14] AS s),
+         hs AS (SELECT doc_id, f,
+           CAST(list_sum(list_transform(generate_series(0, 31), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END)) AS BIGINT)
+             AS hhi,
+           CAST(list_sum(list_transform(generate_series(32, 63), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b - 32 AS INT) ELSE 0 END)) AS BIGINT)
+             AS hlo
+           FROM px, sxl),
+         sc AS (SELECT doc_id, f, hhi, hlo,
+           lag(hhi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
+           lag(hlo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
+           FROM hs)
+         SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           CAST(CASE WHEN phi IS NULL THEN -1
+             ELSE bit_count(xor(hhi, phi)) + bit_count(xor(hlo, plo))
+             END AS INT) AS hamming_prev,
+           (phi IS NULL OR
+             bit_count(xor(hhi, phi)) + bit_count(xor(hlo, plo)) > 3)
+             AS is_keyframe
+         FROM sc ORDER BY media_id, frame_idx""",
     "q117_gif_frames" ->
       """WITH px AS (SELECT doc_id, f,
            list_transform(generate_series(1, 128),

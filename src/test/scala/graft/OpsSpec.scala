@@ -937,6 +937,26 @@ class OpsSpec extends SparkSpec {
     assert(hs.values.forall(_ >= 0L))
   }
 
+  test("gifKeyframes: static clips collapse, scene cuts survive") {
+    val a = "aZ" * 64; val b = " " * 128
+    val d = Seq((1L, a * 4), (2L, a + b + a + b))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.gifKeyframes(Multimodal.gifFromDocuments(d))
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        (x.getInt(2), x.getBoolean(3))).toMap
+    assert(r.size == 8)
+    // static clip: one keyframe, every later frame is hamming-0 dup
+    assert(r((1L, 0)) == (-1, true))
+    for (f <- 1 to 3) assert(r((1L, f)) == (0, false), s"frame $f: $r")
+    // alternating scenes: every frame is a cut (gradient image vs flat
+    // image differ in 8 dhash bits, above the 3-bit threshold)
+    assert(r((2L, 0)) == (-1, true))
+    for (f <- 1 to 3) {
+      assert(r((2L, f))._1 > 3 && r((2L, f))._2, s"frame $f: $r")
+    }
+  }
+
   test("wavWhtBands: driver recompute of the windowed WHT filterbank") {
     val d = Seq(0L, 1L, 70L).map(id => (id, "x", "en", "s0", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
