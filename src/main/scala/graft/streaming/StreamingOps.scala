@@ -995,9 +995,12 @@ object StreamingOps {
     * re-shingled. */
   def streamFeedIndexMaintain(spark: SparkSession, tablePath: String,
       fromV: Long, maxBucket: Int = 64,
-      indexStateDir: Option[String] = None): DataFrame = {
+      indexStateDir: Option[String] = None,
+      keepVersions: Int = 2): DataFrame = {
     import graft.ops.Dedup
     import graft.sources.FeedSource
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1 (got $keepVersions)")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val stateDir = indexStateDir.getOrElse(java.nio.file.Files
@@ -1034,6 +1037,7 @@ object StreamingOps {
               maxBucket = maxBucket)
             .write.parquet(s"$stateDir/v$v")
           cur.set(v)
+          pruneStateVersions(stateFs, stateDir, keepVersions)
         } finally { b.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -1063,9 +1067,12 @@ object StreamingOps {
   def streamFeedIvfPqMaintain(spark: SparkSession, tablePath: String,
       fromV: Long, indexStateDir: Option[String] = None,
       m: Int = 8, codesPerSub: Int = 16,
-      subDim: Int = 8): graft.ops.Similarity.IvfPqIndex = {
+      subDim: Int = 8,
+      keepVersions: Int = 2): graft.ops.Similarity.IvfPqIndex = {
     import graft.ops.Similarity
     import graft.sources.FeedSource
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1 (got $keepVersions)")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val stateDir = indexStateDir.getOrElse(java.nio.file.Files
@@ -1109,10 +1116,27 @@ object StreamingOps {
               .select("vec_id"))
           writeRows(nxt, v)
           cur.set(v)
+          pruneStateVersions(stateFs, stateDir, keepVersions)
         } finally { b.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
     readState(spark, cur.get)
+  }
+
+  /** Drop all but the newest `keep` per-version state dirs under
+    * `stateDir` — the VACUUM of the streaming-maintenance pattern: the
+    * newest state is the resume artifact, the previous `keep - 1` are
+    * the operational undo window; anything older would otherwise grow
+    * one full index copy PER COMMIT. Frozen shared state (`cent`,
+    * `cb`) does not match the `v<N>` name shape and is never swept. */
+  private def pruneStateVersions(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, keep: Int): Unit = {
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath).filter(_.getName.startsWith("v"))
+      .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption
+        .map(v => (v, p)))
+      .sortBy(_._1)
+    dirs.dropRight(keep).foreach { case (_, p) => fs.delete(p, true); () }
   }
 }

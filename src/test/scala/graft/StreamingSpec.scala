@@ -250,6 +250,10 @@ class StreamingSpec extends SparkSpec {
         ManifestCommit.readTable(spark, tbl.toString))
       .orderBy("band", "key").collect().map(_.toSeq).toSeq
     assert(got == want, "maintained-across-restarts != rebuild")
+    // retention: run 2's new state pushed the cold v0 state past the
+    // keep-2 window — one index copy per commit must not accumulate
+    assert(!new java.io.File(s"$sd/v$v0").exists,
+      "state older than keepVersions must be swept")
     graft.ops.TextKit.releaseCaches()
   }
 
@@ -304,6 +308,13 @@ class StreamingSpec extends SparkSpec {
       "maintained-across-restarts != frozen-training re-encode")
     assert(!encSet(got).exists(e => e._1 >= 5L && e._1 <= 9L),
       "deleted vectors must leave the index")
+    // retention: the cold v0 state fell out of the keep-2 window; the
+    // frozen training state (cent/cb) is never swept
+    assert(!new java.io.File(s"$sd/v$v0").exists,
+      "state older than keepVersions must be swept")
+    assert(new java.io.File(s"$sd/cent").exists &&
+      new java.io.File(s"$sd/cb").exists,
+      "frozen training state must survive the sweep")
     graft.ops.TextKit.releaseCaches()
   }
 }
