@@ -1092,6 +1092,32 @@ object Multimodal {
           .as("is_keyframe"))
   }
 
+  /** The surviving keyframes' fingerprints under a frame-unique id
+    * (`media_id * framesPerClip + frame_idx`) — the relation cross-clip
+    * frame dedup joins on: feed it to [[dhashPairs]] and two clips that
+    * share a scene surface as a near-dup pair of their keyframes. Same
+    * selection rule as [[gifKeyframes]]; `framesPerClip` only packs the
+    * id (enforced against collisions). */
+  def keyframeHashes(media: Dataset[MediaRow], maxHamming: Int = 3,
+      framesPerClip: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    gifFrameHashes(media)
+      .withColumn("phi", lag(col("h_hi"), 1).over(w))
+      .withColumn("plo", lag(col("h_lo"), 1).over(w))
+      .filter(col("phi").isNull ||
+        (bit_count(col("h_hi").bitwiseXOR(col("phi"))) +
+          bit_count(col("h_lo").bitwiseXOR(col("plo")))) > maxHamming)
+      .select(
+        when(col("frame_idx") < framesPerClip,
+            col("media_id") * framesPerClip + col("frame_idx"))
+          .otherwise(raise_error(concat(lit("keyframeHashes: frame_idx "),
+            col("frame_idx").cast("string"),
+            lit(s" >= framesPerClip $framesPerClip — id packing collides"))))
+          .as("media_id"),
+        col("h_hi"), col("h_lo"))
+  }
+
   // ---------------------------------------------------------------------
   // MP3 frame layer + H.264 Annex-B NAL layer — the CONTAINER half of the
   // two codec formats whose sample-decode stays stubbed. Both framings

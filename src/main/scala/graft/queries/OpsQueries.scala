@@ -594,6 +594,13 @@ object OpsQueries {
     "q219_gif_keyframes" -> ((s, d) =>
       Multimodal.gifKeyframes(Multimodal.gifFromDocuments(docs(s, d)))
         .orderBy("media_id", "frame_idx")),
+    // cross-clip frame dedup: the surviving keyframes (frame-unique
+    // ids) through the q199 banded Hamming join — two clips sharing a
+    // scene surface as a near-dup pair of their keyframes
+    "q220_keyframe_neardup" -> ((s, d) =>
+      Multimodal.dhashPairs(Multimodal.keyframeHashes(
+          Multimodal.gifFromDocuments(docs(s, d))))
+        .orderBy("media_a", "media_b")),
     // REAL MP3 frame-layer walk: synthesized valid MPEG-1 Layer III
     // frame streams -> sync/header validation at every computed frame
     // boundary -> per-file rates + exact 1152-samples/frame duration;
@@ -3893,6 +3900,54 @@ object OpsQueries {
              bit_count(xor(hhi, phi)) + bit_count(xor(hlo, plo)) > 3)
              AS is_keyframe
          FROM sc ORDER BY media_id, frame_idx""",
+    // the q219 keyframe set under frame-unique ids (doc*4 + f), then
+    // the q199 banded chain over those fingerprints
+    "q220_keyframe_neardup" ->
+      """WITH px AS (SELECT doc_id, f,
+           list_transform(generate_series(1, 128),
+             i -> unicode(substr(rpad(text, 512, ' '), f * 128 + i, 1)))
+             AS p
+           FROM documents, (VALUES (0), (1), (2), (3)) v(f)),
+         sxl AS (SELECT [0,1,3,5,7,8,10,12,14] AS s),
+         hs0 AS (SELECT doc_id, f,
+           CAST(list_sum(list_transform(generate_series(0, 31), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END)) AS BIGINT)
+             AS h_hi,
+           CAST(list_sum(list_transform(generate_series(32, 63), b ->
+             CASE WHEN p[(b//8)*16 + s[CAST(b%8+2 AS INT)] + 1]
+                     > p[(b//8)*16 + s[CAST(b%8+1 AS INT)] + 1]
+               THEN 1::BIGINT << CAST(b - 32 AS INT) ELSE 0 END)) AS BIGINT)
+             AS h_lo
+           FROM px, sxl),
+         kfw AS (SELECT doc_id, f, h_hi, h_lo,
+           lag(h_hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
+           lag(h_lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
+           FROM hs0),
+         hs AS (SELECT doc_id * 4 + f AS media_id, h_hi, h_lo FROM kfw
+           WHERE phi IS NULL OR
+             bit_count(xor(h_hi, phi)) + bit_count(xor(h_lo, plo)) > 3),
+         banded0 AS (
+           SELECT media_id, 0 AS band, h_hi & 65535 AS key FROM hs
+           UNION ALL SELECT media_id, 1, h_hi >> 16 FROM hs
+           UNION ALL SELECT media_id, 2, h_lo & 65535 FROM hs
+           UNION ALL SELECT media_id, 3, h_lo >> 16 FROM hs),
+         ok AS (SELECT band, key FROM banded0 GROUP BY band, key
+           HAVING count(*) <= 64),
+         banded AS (SELECT banded0.* FROM banded0 JOIN ok
+           ON banded0.band = ok.band AND banded0.key = ok.key),
+         cand AS (SELECT DISTINCT l.media_id AS media_a,
+             r.media_id AS media_b
+           FROM banded l JOIN banded r ON l.band = r.band
+             AND l.key = r.key AND l.media_id < r.media_id),
+         ham AS (SELECT media_a, media_b,
+           CAST(bit_count(xor(a.h_hi, b.h_hi))
+             + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS hamming
+           FROM cand JOIN hs a ON cand.media_a = a.media_id
+             JOIN hs b ON cand.media_b = b.media_id)
+         SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 3
+         ORDER BY media_a, media_b""",
     "q117_gif_frames" ->
       """WITH px AS (SELECT doc_id, f,
            list_transform(generate_series(1, 128),

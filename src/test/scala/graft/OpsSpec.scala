@@ -957,6 +957,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("keyframeHashes + dhashPairs: shared scenes pair, dropped frames don't") {
+    val a = "aZ" * 64; val b = " " * 128
+    val d = Seq((1L, a + b + a + b), (2L, a + b + a + b), (3L, a * 4))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kf = Multimodal.keyframeHashes(Multimodal.gifFromDocuments(d))
+    val ids = kf.select("media_id").collect().map(_.getLong(0)).toSet
+    // clips 1/2 keep all 4 frames (every frame is a cut); the static
+    // clip keeps only frame 0 => ids 13..15 are dropped
+    assert(ids == ((4L to 11L) ++ Seq(12L)).toSet, s"ids=$ids")
+    val pairs = Multimodal.dhashPairs(kf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the two identical clips pair frame-for-frame at Hamming 0
+    for (f <- 0 to 3)
+      assert(pairs.contains((4L + f, 8L + f, 0)),
+        s"missing twin pair for frame $f: ${pairs.toSeq}")
+    // no pair touches a dropped (non-keyframe) frame id
+    assert(pairs.forall(p => ids(p._1) && ids(p._2)))
+  }
+
   test("wavWhtBands: driver recompute of the windowed WHT filterbank") {
     val d = Seq(0L, 1L, 70L).map(id => (id, "x", "en", "s0", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
