@@ -1092,6 +1092,59 @@ object Multimodal {
           .as("is_keyframe"))
   }
 
+  /** Audio fingerprint — the Haitsma–Kalker (2002) robust-hash recipe
+    * over the [[wavWhtBands]] transform: per 16-sample window, 16 WHT
+    * coefficients folded into 4 band absolute energies E(w, b); bit
+    * (w, b) records the SIGN of the energy delta's time derivative,
+    * (E(w,b) − E(w,b+1)) − (E(w−1,b) − E(w−1,b+1)) > 0 — the
+    * band-difference double-delta that makes the bits robust to
+    * volume scaling and DC shifts while tracking spectral shape. The
+    * fingerprint packs 3 bits per window transition (≤ 21 bits for the
+    * fixture's ≤ 8 windows) into one non-negative BIGINT; identical
+    * audio shares it exactly, and near-identical audio lands within a
+    * small Hamming distance (the image [[dhash]] contract, third
+    * modality). All-integer, bit-exact cross-engine.
+    *
+    * Scale shape: rides the decode map — O(windows·16·16) integer ops
+    * per clip, 8 bytes out; exact-dup grouping is a hash groupBy,
+    * near-dup pairing a banded Hamming join, both over fingerprints,
+    * never samples. */
+  def wavFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val n = parseWavHeader(r.media_id, r.payload)._4
+      val nw = (n + 15) / 16
+      val e = Array.ofDim[Long](nw, 4)
+      var w = 0
+      while (w < nw) {
+        var k = 0
+        while (k < 16) {
+          var c = 0L; var j = 0
+          while (j < 16) {
+            val idx = w * 16 + j
+            val s = if (idx < n) pcmSample(r.payload, idx).toLong else 0L
+            c += s * (1 - 2 * (Integer.bitCount(j & k) & 1))
+            j += 1
+          }
+          e(w)(k / 4) += math.abs(c)
+          k += 1
+        }
+        w += 1
+      }
+      var fp = 0L; var t = 1
+      while (t < nw) {
+        var b = 0
+        while (b < 3) {
+          val dd = (e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1))
+          if (dd > 0) fp |= 1L << (3 * (t - 1) + b)
+          b += 1
+        }
+        t += 1
+      }
+      (r.media_id, nw, fp)
+    }.toDF("media_id", "n_windows", "fp")
+  }
+
   /** The surviving keyframes' fingerprints under a frame-unique id
     * (`media_id * framesPerClip + frame_idx`) — the relation cross-clip
     * frame dedup joins on: feed it to [[dhashPairs]] and two clips that

@@ -1308,6 +1308,13 @@ object OpsQueries {
         .orderBy("media_id", "bin")),
     // audio DSP features over decoded SIGNED PCM: zero-crossing count
     // and lag-1 autocorrelation — exact integers, one per-clip window
+    // audio fingerprint (Haitsma-Kalker): sign of the band-energy
+    // double-delta over 16-sample WHT windows, packed into one BIGINT
+    // per clip — exact-dup audio is a hash groupBy, near-dup a Hamming
+    // join, both over 8 bytes/clip, never samples
+    "q221_audio_fingerprint" -> ((s, d) =>
+      Multimodal.wavFingerprint(Multimodal.wavFromDocuments(docs(s, d)))
+        .orderBy("media_id")),
     // windowed WHT filterbank over real PCM bytes: 64 exact-integer
     // coefficients per 64-sample window (zero-padded tail), folded into
     // 4 band absolute-energy sums — frequency-domain audio features
@@ -4540,6 +4547,40 @@ object OpsQueries {
          SELECT doc_id AS media_id, v // 16 AS bin,
            count(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY media_id, bin""",
+    // HK fingerprint replayed from the synthesis formula: 16-sample
+    // WHT windows -> 4 band energies -> band-delta time-derivative
+    // sign bits packed by (window, band)
+    "q221_audio_fingerprint" ->
+      """WITH w AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         wins AS (SELECT doc_id, n, g.w AS win
+           FROM w, generate_series(0, 7) g(w) WHERE g.w * 16 < n),
+         coef AS (SELECT doc_id, win, k.k AS k,
+             CAST(sum(CASE WHEN win*16 + j.j < n
+               THEN ((doc_id*31 + (win*16 + j.j)*17) % 2048 - 1024) *
+                 (1 - 2 * (bit_count(CAST(j.j AS BIGINT) &
+                   CAST(k.k AS BIGINT)) % 2))
+               ELSE 0 END) AS BIGINT) AS c
+           FROM wins, generate_series(0, 15) j(j),
+             generate_series(0, 15) k(k)
+           GROUP BY 1, 2, 3),
+         eb AS (SELECT doc_id, win, k // 4 AS b, sum(abs(c)) AS e
+           FROM coef GROUP BY 1, 2, 3),
+         dd AS (SELECT a.doc_id, a.win, a.b, a.e - nb.e AS d
+           FROM eb a JOIN eb nb ON a.doc_id = nb.doc_id
+             AND a.win = nb.win AND nb.b = a.b + 1 WHERE a.b < 3),
+         bits AS (SELECT cur.doc_id,
+             CASE WHEN cur.d - prev.d > 0
+               THEN CAST(1 AS BIGINT)
+                 << CAST(3 * (cur.win - 1) + cur.b AS INT)
+               ELSE 0 END AS bit
+           FROM dd cur JOIN dd prev ON cur.doc_id = prev.doc_id
+             AND prev.win = cur.win - 1 AND prev.b = cur.b),
+         nww AS (SELECT doc_id, CAST((n + 15) // 16 AS INT) AS n_windows
+           FROM w)
+         SELECT nww.doc_id AS media_id, nww.n_windows,
+           CAST(coalesce(sum(bits.bit), 0) AS BIGINT) AS fp
+         FROM nww LEFT JOIN bits ON nww.doc_id = bits.doc_id
+         GROUP BY 1, 2 ORDER BY media_id""",
     // WHT filterbank replayed from the synthesis formula: coefficient
     // c_k = sum_j s_j * (-1)^popcount(j & k) per 64-sample window,
     // |c| summed into four 16-coefficient bands

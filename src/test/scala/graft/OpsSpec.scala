@@ -977,6 +977,60 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(p => ids(p._1) && ids(p._2)))
   }
 
+  test("wavFingerprint: driver recompute; volume-doubling keeps the bits") {
+    val d = Seq(3L, 7L, 64L).map(id => (id, "x", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.wavFingerprint(Multimodal.wavFromDocuments(d))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    def refFp(samples: Array[Long]): (Int, Long) = {
+      val n = samples.length
+      val nw = (n + 15) / 16
+      val e = Array.ofDim[Long](nw, 4)
+      for (w <- 0 until nw; k <- 0 until 16) {
+        val c = (0 until 16).map { j =>
+          val idx = w * 16 + j
+          val s = if (idx < n) samples(idx) else 0L
+          s * (1 - 2 * (Integer.bitCount(j & k) & 1))
+        }.sum
+        e(w)(k / 4) += math.abs(c)
+      }
+      var fp = 0L
+      for (t <- 1 until nw; b <- 0 until 3) {
+        val dd = (e(t)(b) - e(t)(b + 1)) - (e(t - 1)(b) - e(t - 1)(b + 1))
+        if (dd > 0) fp |= 1L << (3 * (t - 1) + b)
+      }
+      (nw, fp)
+    }
+    for (id <- Seq(3L, 7L, 64L)) {
+      val n = (64 + id % 64).toInt
+      val want = refFp(Array.tabulate(n)(k => (id * 31 + k * 17) % 2048 - 1024))
+      assert(got(id) == want, s"id $id: got ${got(id)}, want $want")
+    }
+    // Haitsma-Kalker robustness: doubling the volume scales every band
+    // energy by 2, so every double-delta keeps its sign — identical fp
+    def wav(id: Long, scale: Int): Multimodal.MediaRow = {
+      val n = 80
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + n * 2)
+      bb.put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)
+      bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes(ascii)); bb.putInt(n * 2)
+      for (k <- 0 until n)
+        bb.putShort((((id * 31 + k * 17) % 512 - 256) * scale).toShort)
+      Multimodal.MediaRow(id, "audio/wav", bb.array())
+    }
+    val fps = Multimodal.wavFingerprint(
+        spark.createDataset(Seq(wav(5L, 1), wav(6L, 2))))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps(5L) == fps(6L),
+      s"volume doubling must not move the fingerprint: $fps")
+  }
+
   test("wavWhtBands: driver recompute of the windowed WHT filterbank") {
     val d = Seq(0L, 1L, 70L).map(id => (id, "x", "en", "s0", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
