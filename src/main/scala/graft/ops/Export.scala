@@ -73,6 +73,44 @@ object Export {
         col("n_tokens"))
   }
 
+  /** Semantic sequence packing — in-context pretraining (Shi et al.
+    * 2023): like [[packSequences]], but documents are laid out within
+    * each shard ORDERED BY their semantic cluster first (then the
+    * deterministic hash order), so related documents co-occur inside a
+    * training pack and the model sees coherent long contexts instead
+    * of random concatenation. `cells` is ANY (vec_id, cell) cluster
+    * assignment — [[graft.ops.Similarity.cellAssignments]] is the
+    * stock one; documents without an embedding pack first under cell
+    * -1 (the layout stays total).
+    *
+    * 100 TB shape: [[packSequences]]'s cost plus ONE keyed equi-join
+    * against the cluster relation (shuffle on doc id — the cluster
+    * table is corpus-sized, never broadcast); the running sum stays a
+    * per-shard window, no global sort. */
+  def semanticPack(docs: DataFrame, cells: DataFrame,
+      budget: Long = 2048L, nShards: Int = 8): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("cell"), col("hkey"), col("doc_id"))
+    val base = shardAssign(docs, "doc_id", nShards)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("hkey", md5Long(col("doc_id").cast(StringType)))
+      .join(cells.select(col("vec_id"), col("cell")),
+        col("doc_id") === col("vec_id"), "left")
+      .withColumn("cell", coalesce(col("cell"), lit(-1L)))
+    base
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div ${budget}L"))
+      .withColumn("pack_pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("pack_id"))
+          .orderBy(col("cell"), col("hkey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("cell"), col("pack_id"),
+        col("pack_pos"), col("n_tokens"))
+  }
+
   /** Context-window chunking: split each document into fixed-size token
     * windows with `overlap` tokens of left context carried into each next
     * chunk (the RAG/pretraining prep step). Chunk i covers tokens

@@ -391,6 +391,19 @@ object Similarity {
     * The 100 TB shape: the centroid set is tiny and broadcast, cell
     * assignment is one scan + one hash aggregation, and search shuffles
     * only on cell id. */
+  /** Coarse k-means cell per vector — the (vec_id, cell) relation
+    * behind the IVF partitioner, exposed on its own for
+    * semantic-locality consumers ([[graft.ops.Export.semanticPack]]
+    * orders pack layout by it). Deterministic: hash-rank init + fixed
+    * integer Lloyd iterations, the q87 oracle chain. */
+  def cellAssignments(emb: DataFrame, nCells: Int = 8,
+      trainIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val e = tracked(withNorm(emb))
+    val cent = centDf(e,
+      kmeansCentroids(e, nCells, trainIters, trainSampleMod))
+    assignCells(e, cent).select(col("vec_id"), col("cell"))
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
       nprobe: Int = 2, nCells: Int = 8, trainIters: Int = 2,
       trainSampleMod: Int = 1): DataFrame = {

@@ -241,6 +241,14 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // semantic packing (in-context pretraining): q72's layout with
+    // documents ordered by their k-means cell inside each shard, so
+    // related docs co-occur in a pack; docs without embeddings pack
+    // first under cell -1
+    "q222_semantic_pack" -> ((s, d) =>
+      Export.semanticPack(docs(s, d),
+          Similarity.cellAssignments(emb(s, d)))
+        .orderBy("doc_id")),
     "q72_sequence_packing" -> ((s, d) =>
       Export.packSequences(docs(s, d), budget = 2048L, nShards = 8)
         .orderBy("doc_id")),
@@ -4062,6 +4070,28 @@ object OpsQueries {
            count(*) AS shared_windows
          FROM cand l JOIN cand r ON l.m = r.m AND l.doc_id < r.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+    },
+    // q72's chain with the k-means cell prepended to the shard-local
+    // order; `assigned` comes from the shared kmeans oracle chain
+    "q222_semantic_pack" -> {
+      val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")
+      s"""WITH ${kmeansChain(1)},
+         base AS (SELECT d.doc_id, d.h % 8 AS shard,
+           len(string_split(d.text,' ')) AS n_tokens, d.h AS hkey,
+           coalesce(a.cell, -1) AS cell
+           FROM (SELECT doc_id, text, $h AS h FROM documents) d
+           LEFT JOIN assigned a ON a.vec_id = d.doc_id),
+         p AS (SELECT doc_id, shard, cell, n_tokens, hkey,
+           sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY cell, hkey, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM base),
+         p2 AS (SELECT doc_id, shard, cell, n_tokens, hkey,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id FROM p)
+         SELECT doc_id, shard, CAST(cell AS BIGINT) AS cell, pack_id,
+           row_number() OVER (PARTITION BY shard, pack_id
+             ORDER BY cell, hkey, doc_id) AS pack_pos,
+           n_tokens
+         FROM p2 ORDER BY doc_id"""
     },
     "q72_sequence_packing" -> {
       val h = TextKit.ducksql.md5Long("CAST(doc_id AS VARCHAR)")

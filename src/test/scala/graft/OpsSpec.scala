@@ -937,6 +937,36 @@ class OpsSpec extends SparkSpec {
     assert(hs.values.forall(_ >= 0L))
   }
 
+  test("semanticPack: degenerate clustering == packSequences; cells stay contiguous") {
+    import spark.implicits._
+    val d = (0L to 39L).map(i =>
+        (i, (0 until (3 + (i % 5)).toInt).map(j => s"w${i}_$j").mkString(" "),
+          "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // one cluster for everyone -> layout identical to the plain packer
+    val flat = d.select(col("doc_id").as("vec_id"), lit(0L).as("cell"))
+    val sem = Export.semanticPack(d, flat, budget = 16L)
+      .drop("cell").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val plain = Export.packSequences(d, budget = 16L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sem == plain)
+    // two clusters -> within every shard the pack layout walks cell 0
+    // fully before cell 1 (cluster-contiguous order); missing
+    // embeddings land first under cell -1
+    val two = d.filter(col("doc_id") =!= 7L)
+      .select(col("doc_id").as("vec_id"), (col("vec_id") % 2).as("cell"))
+    val out = Export.semanticPack(d, two, budget = 16L).collect()
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    for ((_, rows) <- byShard) {
+      val cells = rows.sortBy(r =>
+        (r.getAs[Long]("pack_id"), r.getAs[Int]("pack_pos")))
+        .map(_.getAs[Long]("cell")).toSeq
+      assert(cells == cells.sorted, s"cells not contiguous: $cells")
+    }
+    assert(out.find(_.getAs[Long]("doc_id") == 7L).get
+      .getAs[Long]("cell") == -1L)
+  }
+
   test("gifKeyframes: static clips collapse, scene cuts survive") {
     val a = "aZ" * 64; val b = " " * 128
     val d = Seq((1L, a * 4), (2L, a + b + a + b))
