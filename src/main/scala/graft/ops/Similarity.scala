@@ -391,6 +391,50 @@ object Similarity {
     * The 100 TB shape: the centroid set is tiny and broadcast, cell
     * assignment is one scan + one hash aggregation, and search shuffles
     * only on cell id. */
+  /** Deterministic per-chunk pseudo-embedding: `dim` md5-derived
+    * integers in [-100, 100] per (doc, chunk) over
+    * [[graft.ops.Export.chunkDocuments]]'s chunk hashes — the STAND-IN
+    * for a real chunk encoder. Multi-vector ops accept ANY
+    * (doc_id, chunk_idx, cv) relation; a production encoder swaps in
+    * at this seam (the Multimodal fakeDecode pattern applied to
+    * retrieval), and the derivation being md5-based keeps the whole
+    * chain oracle-reproducible. */
+  def chunkVectors(docs: DataFrame, dim: Int = 16): DataFrame =
+    graft.ops.Export.chunkDocuments(docs)
+      .select(col("doc_id"), col("chunk_idx"),
+        array((1 to dim).map(i =>
+          md5Long(concat(col("chunk_hash"), lit(":" + i))) % 201 - 100): _*)
+          .as("cv"))
+
+  /** Late-interaction multi-vector retrieval — ColBERT's MaxSim
+    * (Khattab & Zaharia 2020): a document is a BAG of chunk vectors
+    * and score(q, d) = Σ_{query chunk} max_{doc chunk} ⟨qc, dc⟩, so a
+    * document scores high when EVERY part of the query finds some
+    * supporting passage — the retrieval quality single-vector cosine
+    * can't express. Exact integer end to end.
+    *
+    * 100 TB shape: this is the RERANK arm — candidate generation
+    * belongs to the ANN/hybrid shortlists (compose: shortlist first,
+    * MaxSim only shortlist × query chunks). Queries broadcast (bounded
+    * set), the chunk dot is the codegen'd LongArrayDot, and the
+    * two-level aggregation (max per query-chunk, then sum per pair)
+    * runs with map-side partials; doc-chunk rows never shuffle. */
+  def maxSimTopK(chunkVecs: DataFrame, nQueries: Long = 5L,
+      k: Int = 3): DataFrame = {
+    val q = chunkVecs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        col("chunk_idx").as("q_chunk"), col("cv").as("qcv"))
+    val pairMax = chunkVecs
+      .join(broadcast(q), col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("q_chunk"), col("doc_id"),
+        dotPre(col("qcv"), col("cv")).as("dot"))
+      .groupBy("query_id", "q_chunk", "doc_id")
+      .agg(max(col("dot")).as("ms"))
+    val scored = pairMax.groupBy("query_id", "doc_id")
+      .agg(sum(col("ms")).as("score"))
+    TopKAgg.topKPerQueryDesc(scored, "query_id", "doc_id", "score", k)
+  }
+
   /** Coarse k-means cell per vector — the (vec_id, cell) relation
     * behind the IVF partitioner, exposed on its own for
     * semantic-locality consumers ([[graft.ops.Export.semanticPack]]

@@ -241,6 +241,12 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // late-interaction retrieval (ColBERT MaxSim): docs as bags of
+    // chunk vectors, score = sum over query chunks of the best doc
+    // chunk dot — exact integers, codegen'd dots, bounded query set
+    "q223_maxsim" -> ((s, d) =>
+      Similarity.maxSimTopK(Similarity.chunkVectors(docs(s, d)))
+        .orderBy("query_id", "rank")),
     // semantic packing (in-context pretraining): q72's layout with
     // documents ordered by their k-means cell inside each shard, so
     // related docs co-occur in a pack; docs without embeddings pack
@@ -4070,6 +4076,40 @@ object OpsQueries {
            count(*) AS shared_windows
          FROM cand l JOIN cand r ON l.m = r.m AND l.doc_id < r.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+    },
+    // MaxSim replayed: q75's chunk chain -> md5-derived chunk vectors
+    // -> per-(query chunk, doc) max dot -> per-(query, doc) sum ->
+    // top-3 by (score DESC, doc_id)
+    "q223_maxsim" -> {
+      val mdl = TextKit.ducksql.md5Long("h || ':' || CAST(i AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+           len(string_split(text,' ')) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+           unnest(generate_series(0, greatest(1, (n - 16 + 47) // 48) - 1))
+             AS chunk_idx FROM t),
+         ch AS (SELECT doc_id, chunk_idx,
+           md5(array_to_string(
+             toks[chunk_idx*48 + 1 : least(chunk_idx*48 + 64, n)], ' '))
+             AS h
+           FROM c),
+         cv AS (SELECT doc_id, chunk_idx,
+           list_transform(generate_series(1, 16),
+             i -> $mdl % 201 - 100) AS cv
+           FROM ch),
+         q AS (SELECT doc_id AS query_id, chunk_idx AS q_chunk,
+           cv AS qcv FROM cv WHERE doc_id < 5),
+         dots AS (SELECT q.query_id, q.q_chunk, d.doc_id,
+           list_sum(list_transform(generate_series(1, 16),
+             i -> q.qcv[i] * d.cv[i])) AS dot
+           FROM q, cv d WHERE d.doc_id != q.query_id),
+         pm AS (SELECT query_id, q_chunk, doc_id, max(dot) AS ms
+           FROM dots GROUP BY 1, 2, 3),
+         sc AS (SELECT query_id, doc_id, CAST(sum(ms) AS BIGINT) AS score
+           FROM pm GROUP BY 1, 2)
+         SELECT query_id, doc_id AS neighbor_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS INT) AS rank
+         FROM sc QUALIFY rank <= 3 ORDER BY query_id, rank"""
     },
     // q72's chain with the k-means cell prepended to the shard-local
     // order; `assigned` comes from the shared kmeans oracle chain

@@ -937,6 +937,24 @@ class OpsSpec extends SparkSpec {
     assert(hs.values.forall(_ >= 0L))
   }
 
+  test("maxSimTopK: coverage beats one strong chunk; scores exact") {
+    import spark.implicits._
+    // query (doc 0) has two orthogonal chunks; doc 1 supports BOTH
+    // (10 each -> 20), doc 2 supports one strongly (15 -> 15): MaxSim
+    // must rank coverage first — the late-interaction property a
+    // single-vector cosine can't express
+    val cvs = Seq(
+      (0L, 0L, Seq(1L, 0L)), (0L, 1L, Seq(0L, 1L)),
+      (1L, 0L, Seq(10L, 0L)), (1L, 1L, Seq(0L, 10L)),
+      (2L, 0L, Seq(15L, 0L)))
+      .toDF("doc_id", "chunk_idx", "cv")
+    val top = Similarity.maxSimTopK(cvs, nQueries = 1L, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("score")))
+    assert(top.toSeq == Seq((1, 1L, 20L), (2, 2L, 15L)), s"top=${top.toSeq}")
+  }
+
   test("semanticPack: degenerate clustering == packSequences; cells stay contiguous") {
     import spark.implicits._
     val d = (0L to 39L).map(i =>
