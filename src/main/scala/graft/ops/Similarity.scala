@@ -435,6 +435,33 @@ object Similarity {
     TopKAgg.topKPerQueryDesc(scored, "query_id", "doc_id", "score", k)
   }
 
+  /** MaxSim as the RERANK arm behind a single-vector shortlist — the
+    * production late-interaction composition ([[maxSimTopK]]'s scaladoc
+    * contract made concrete): the document-level embedding generates
+    * `shortlist` candidates per query (here the exact cosine scan; at
+    * scale any of the ANN family), and exact MaxSim then scores ONLY
+    * shortlist × query-chunk pairs — chunk-level work is
+    * nQueries × shortlist × chunks, independent of corpus size. Both
+    * joins broadcast (shortlist and query chunk set are bounded);
+    * doc-chunk rows never shuffle. */
+  def maxSimRerank(chunkVecs: DataFrame, emb: DataFrame,
+      nQueries: Int = 5, shortlist: Int = 20, k: Int = 3): DataFrame = {
+    val sl = bruteTopK(emb, nQueries, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+    val q = chunkVecs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        col("chunk_idx").as("q_chunk"), col("cv").as("qcv"))
+    val pairMax = chunkVecs.join(broadcast(sl), Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("q_chunk"), col("doc_id"),
+        dotPre(col("qcv"), col("cv")).as("dot"))
+      .groupBy("query_id", "q_chunk", "doc_id")
+      .agg(max(col("dot")).as("ms"))
+    val scored = pairMax.groupBy("query_id", "doc_id")
+      .agg(sum(col("ms")).as("score"))
+    TopKAgg.topKPerQueryDesc(scored, "query_id", "doc_id", "score", k)
+  }
+
   /** Coarse k-means cell per vector — the (vec_id, cell) relation
     * behind the IVF partitioner, exposed on its own for
     * semantic-locality consumers ([[graft.ops.Export.semanticPack]]

@@ -247,6 +247,13 @@ object OpsQueries {
     "q223_maxsim" -> ((s, d) =>
       Similarity.maxSimTopK(Similarity.chunkVectors(docs(s, d)))
         .orderBy("query_id", "rank")),
+    // the production late-interaction composition: exact-cosine
+    // shortlist (20/query) -> MaxSim reranks ONLY shortlist pairs —
+    // chunk work independent of corpus size
+    "q224_maxsim_rerank" -> ((s, d) =>
+      Similarity.maxSimRerank(Similarity.chunkVectors(docs(s, d)),
+          emb(s, d))
+        .orderBy("query_id", "rank")),
     // semantic packing (in-context pretraining): q72's layout with
     // documents ordered by their k-means cell inside each shard, so
     // related docs co-occur in a pack; docs without embeddings pack
@@ -4102,6 +4109,52 @@ object OpsQueries {
            list_sum(list_transform(generate_series(1, 16),
              i -> q.qcv[i] * d.cv[i])) AS dot
            FROM q, cv d WHERE d.doc_id != q.query_id),
+         pm AS (SELECT query_id, q_chunk, doc_id, max(dot) AS ms
+           FROM dots GROUP BY 1, 2, 3),
+         sc AS (SELECT query_id, doc_id, CAST(sum(ms) AS BIGINT) AS score
+           FROM pm GROUP BY 1, 2)
+         SELECT query_id, doc_id AS neighbor_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS INT) AS rank
+         FROM sc QUALIFY rank <= 3 ORDER BY query_id, rank"""
+    },
+    // shortlist (q26's cosine chain, top-20 by cosine DESC, id) then
+    // the q223 MaxSim chain restricted to shortlist pairs
+    "q224_maxsim_rerank" -> {
+      val mdl = TextKit.ducksql.md5Long("h || ':' || CAST(i AS VARCHAR)")
+      s"""WITH $EMB_NORM,
+         qq AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qnsq
+           FROM e WHERE vec_id < 5),
+         cscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           CAST(${dotQ("qe", "e.embedding")} AS DOUBLE) /
+             (sqrt(CAST(qnsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE)))
+             AS cosine
+           FROM qq, e WHERE e.vec_id != query_id),
+         sl AS (SELECT query_id, neighbor_id AS doc_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS r FROM cscored)
+           WHERE r <= 20),
+         t AS (SELECT doc_id, string_split(text,' ') AS toks,
+           len(string_split(text,' ')) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+           unnest(generate_series(0, greatest(1, (n - 16 + 47) // 48) - 1))
+             AS chunk_idx FROM t),
+         ch AS (SELECT doc_id, chunk_idx,
+           md5(array_to_string(
+             toks[chunk_idx*48 + 1 : least(chunk_idx*48 + 64, n)], ' '))
+             AS h
+           FROM c),
+         cv AS (SELECT doc_id, chunk_idx,
+           list_transform(generate_series(1, 16),
+             i -> $mdl % 201 - 100) AS cv
+           FROM ch),
+         q AS (SELECT doc_id AS query_id, chunk_idx AS q_chunk,
+           cv AS qcv FROM cv WHERE doc_id < 5),
+         dots AS (SELECT q.query_id, q.q_chunk, sl.doc_id,
+           list_sum(list_transform(generate_series(1, 16),
+             i -> q.qcv[i] * d.cv[i])) AS dot
+           FROM q JOIN sl ON q.query_id = sl.query_id
+             JOIN cv d ON d.doc_id = sl.doc_id),
          pm AS (SELECT query_id, q_chunk, doc_id, max(dot) AS ms
            FROM dots GROUP BY 1, 2, 3),
          sc AS (SELECT query_id, doc_id, CAST(sum(ms) AS BIGINT) AS score

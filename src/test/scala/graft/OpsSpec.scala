@@ -955,6 +955,31 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 20L), (2, 2L, 15L)), s"top=${top.toSeq}")
   }
 
+  test("maxSimRerank: shortlist-restricted scores agree with full MaxSim") {
+    import spark.implicits._
+    val d = (0L to 9L).map(i =>
+        (i, (0 until 40).map(j => s"t${(i + j) % 7}").mkString(" "),
+          "en", "s0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val embF = (0L to 9L).map(i => (i, Array.tabulate(64)(k =>
+        (((i + 1) * (k + 1)) % 101 - 50).toFloat / 51f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cvs = Similarity.chunkVectors(d)
+    val full = Similarity.maxSimTopK(cvs, nQueries = 2L, k = 9).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Long]("score")).toMap
+    val rr = Similarity.maxSimRerank(cvs, embF, nQueries = 2,
+      shortlist = 5, k = 5).collect()
+    assert(rr.nonEmpty)
+    // the rerank never invents scores: every (query, doc) it returns
+    // carries exactly the full-MaxSim score for that pair
+    rr.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(full(key) == r.getAs[Long]("score"), s"score mismatch at $key")
+    }
+    TextKit.releaseCaches()
+  }
+
   test("semanticPack: degenerate clustering == packSequences; cells stay contiguous") {
     import spark.implicits._
     val d = (0L to 39L).map(i =>
