@@ -125,4 +125,31 @@ object Checks {
       .select(col("g").as(groupCol), col("v").as("median_v"),
         col("n").as("n_rows"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy gate a tabular corpus passes BEFORE it may be
+    * trained on or released: every quasi-identifier combination must
+    * be shared by >= k rows (otherwise those rows are re-identifiable
+    * by joining public data on the quasi-identifiers), and carry >= l
+    * distinct sensitive values (otherwise membership in the group
+    * leaks the sensitive value even at k-anonymity). Emits one row per
+    * equivalence class: size, distinct sensitive count, and the two
+    * violation flags — the suppression worklist IS the flagged rows.
+    *
+    * Shape at scale: ONE hash aggregation over the quasi-identifier
+    * key (count + count distinct, map-side partials); no window, no
+    * join, no sort. Complements the row-level PII masks (P12) — masks
+    * remove direct identifiers, this audits the INDIRECT ones. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int = 5, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifiers")
+    require(k >= 1 && l >= 1, s"need k,l >= 1 (got k=$k, l=$l)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(col("n_members"),
+        col("n_sensitive"),
+        (col("n_members") < k).as("k_violation"),
+        (col("n_sensitive") < l).as("l_violation")): _*)
+  }
 }

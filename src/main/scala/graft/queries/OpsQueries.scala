@@ -241,6 +241,15 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // k-anonymity / l-diversity audit: one hash agg over the
+    // quasi-identifier key flags re-identifiable equivalence classes
+    // (size < k) and sensitive-value leaks (distinct < l) — the
+    // privacy gate over INDIRECT identifiers, complementing the PII
+    // masks' direct ones
+    "q225_k_anonymity" -> ((s, d) =>
+      Checks.kAnonymity(Tables(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 5)
+        .orderBy("c_nationkey", "c_mktsegment")),
     // late-interaction retrieval (ColBERT MaxSim): docs as bags of
     // chunk vectors, score = sum over query chunks of the best doc
     // chunk dot — exact integers, codegen'd dots, bounded query set
@@ -4084,6 +4093,13 @@ object OpsQueries {
          FROM cand l JOIN cand r ON l.m = r.m AND l.doc_id < r.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
     },
+    "q225_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_members,
+           count(DISTINCT c_acctbal) AS n_sensitive,
+           count(*) < 10 AS k_violation,
+           count(DISTINCT c_acctbal) < 5 AS l_violation
+         FROM customer GROUP BY 1, 2
+         ORDER BY c_nationkey, c_mktsegment""",
     // MaxSim replayed: q75's chunk chain -> md5-derived chunk vectors
     // -> per-(query chunk, doc) max dot -> per-(query, doc) sum ->
     // top-3 by (score DESC, doc_id)

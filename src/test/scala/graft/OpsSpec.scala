@@ -955,6 +955,22 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 20L), (2, 2L, 15L)), s"top=${top.toSeq}")
   }
 
+  test("kAnonymity: hand-checked equivalence classes and both flags") {
+    import spark.implicits._
+    // (zip, seg) classes: (1,a) x3 members 2 distinct bals; (1,b) x1
+    // member (k-violation); (2,a) x3 members all same bal (l-violation)
+    val t = Seq((1, "a", 10), (1, "a", 10), (1, "a", 20),
+      (1, "b", 30), (2, "a", 5), (2, "a", 5), (2, "a", 5))
+      .toDF("zip", "seg", "bal")
+    val r = Checks.kAnonymity(t, Seq("zip", "seg"), "bal", k = 2, l = 2)
+      .collect().map(x => (x.getInt(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getBoolean(4), x.getBoolean(5)))
+      .toMap
+    assert(r((1, "a")) == (3L, 2L, false, false))
+    assert(r((1, "b")) == (1L, 1L, true, true))
+    assert(r((2, "a")) == (3L, 1L, false, true))
+  }
+
   test("maxSimRerank: shortlist-restricted scores agree with full MaxSim") {
     import spark.implicits._
     val d = (0L to 9L).map(i =>
