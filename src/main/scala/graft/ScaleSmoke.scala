@@ -753,6 +753,52 @@ object ScaleSmoke {
       timeFa("feedann_1x", 1)
       timeFa(s"feedann_${k}x", k)
     }
+
+    // Late-interaction (q223/q224): full MaxSim touches every
+    // (query chunk, doc chunk) pair and must grow with the corpus x
+    // chunks-per-doc; the shortlist composition bounds chunk work at
+    // shortlist size, so its growth is only the single-vector scan
+    // arm. Fine-grained chunking (8 tokens, no overlap — the regime
+    // where multi-vector retrieval is actually used: many vectors per
+    // doc) makes the quadratic arm visible; at the fixture's default
+    // 64-token chunks docs carry only ~1-4 chunks and full MaxSim
+    // degenerates to roughly the cosine scan's cost (measured, not a
+    // regression). Same queries; rerank answers == full answers on
+    // shortlisted pairs (spec-pinned).
+    if (enabled("maxsim")) {
+      def docsRep(times: Int): DataFrame =
+        base.withColumn("r", explode(sequence(lit(0), lit(times - 1))))
+          .select((col("doc_id") * times + col("r")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => concat(lit("r"), col("r"), t)), " ").as("text"))
+      def timeMs(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val cvs = graft.ops.Similarity.chunkVectors(docsRep(times),
+            chunkTokens = 8, overlap = 0)
+          .persist()
+        cvs.count() // chunk encoding outside both windows (shared cost)
+        val emb = embRep(times)
+        val t0 = System.nanoTime()
+        val nFull = graft.ops.Similarity
+          .maxSimTopK(cvs, nQueries = 5L).count()
+        val tFull = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nRr = graft.ops.Similarity
+          .maxSimRerank(cvs, emb, nQueries = 5).count()
+        val tRr = (System.nanoTime() - t1) / 1e9
+        cvs.unpersist()
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache(); base.cache(); base.count()
+        embBase.cache(); embBase.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${n * times},""" +
+            f""""full_topk":$nFull,"rerank_topk":$nRr,""" +
+            f""""full_sec":$tFull%.2f,"rerank_sec":$tRr%.2f}""")
+      }
+      timeMs("warmup", 1, silent = true)
+      timeMs("maxsim_1x", 1)
+      timeMs(s"maxsim_${k}x", k)
+    }
     spark.stop()
   }
 }

@@ -140,6 +140,39 @@ object Checks {
     * key (count + count distinct, map-side partials); no window, no
     * join, no sort. Complements the row-level PII masks (P12) — masks
     * remove direct identifiers, this audits the INDIRECT ones. */
+  /** Robust per-group outlier detection — median absolute deviation
+    * (the robust z-score): a row is an outlier when its distance from
+    * the group's (lower) median exceeds `t` x the group's MAD.
+    * Mean/stddev break down exactly when outliers are present (the
+    * outliers drag the threshold); the median/MAD pair doesn't, and on
+    * pre-quantized integer values the whole gate is exact integer
+    * arithmetic — no engine-library stddev doubles. NULL values are
+    * excluded up front (Spark and DuckDB disagree on NULL sort
+    * placement; an explicit filter keeps the rank math identical).
+    *
+    * Shape at scale: two per-group window sorts (the [[exactGroupMedian]]
+    * caveat — groups must fit a partition; the mergeable histogram
+    * sketch q142 is the unbounded-group path) plus two keyed joins
+    * against the 1-row-per-group medians. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      t: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy("g")
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    def lowerMedian(in: DataFrame, c: String) =
+      in.withColumn("rn", row_number().over(wg.orderBy(c)))
+        .withColumn("n", count(lit(1)).over(wg))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+    val med = lowerMedian(v, "v").select(col("g"), col("v").as("med"))
+    val dev = v.join(med, "g").withColumn("d", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("g"), col("d")), "d")
+      .select(col("g"), col("d").as("mad"))
+    dev.join(mad, "g")
+      .select(col("g").as(groupCol), col("v").as(valueCol),
+        col("med"), col("mad"), (col("d") > col("mad") * t).as("is_outlier"))
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, k: Int = 5, l: Int = 2): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifiers")

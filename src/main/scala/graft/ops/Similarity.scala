@@ -399,8 +399,9 @@ object Similarity {
     * at this seam (the Multimodal fakeDecode pattern applied to
     * retrieval), and the derivation being md5-based keeps the whole
     * chain oracle-reproducible. */
-  def chunkVectors(docs: DataFrame, dim: Int = 16): DataFrame =
-    graft.ops.Export.chunkDocuments(docs)
+  def chunkVectors(docs: DataFrame, dim: Int = 16,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame =
+    graft.ops.Export.chunkDocuments(docs, chunkTokens, overlap)
       .select(col("doc_id"), col("chunk_idx"),
         array((1 to dim).map(i =>
           md5Long(concat(col("chunk_hash"), lit(":" + i))) % 201 - 100): _*)

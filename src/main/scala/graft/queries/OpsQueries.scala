@@ -241,6 +241,15 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // robust per-group outlier gate: |v - median| > 3 x MAD over
+    // quantized event values — the robust z-score, exact integers,
+    // no engine-library stddev
+    "q226_mad_outliers" -> ((s, d) =>
+      Checks.madOutliers(
+          events(s, d).select(col("event_type"),
+            TextKit.quant(col("value")).as("v7")),
+          "event_type", "v7")
+        .orderBy("event_type", "v7")),
     // k-anonymity / l-diversity audit: one hash agg over the
     // quasi-identifier key flags re-identifiable equivalence classes
     // (size < k) and sensitive-value leaks (distinct < l) — the
@@ -4093,6 +4102,24 @@ object OpsQueries {
          FROM cand l JOIN cand r ON l.m = r.m AND l.doc_id < r.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
     },
+    "q226_mad_outliers" ->
+      s"""WITH v AS (SELECT event_type AS g,
+           ${TextKit.ducksql.quant("value")} AS v FROM events
+           WHERE value IS NOT NULL),
+         med AS (SELECT g, v AS med FROM (
+           SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+             AS rn, count(*) OVER (PARTITION BY g) AS n FROM v)
+           WHERE rn = (n + 1) // 2),
+         dev AS (SELECT v.g, v.v, med.med, abs(v.v - med.med) AS d
+           FROM v JOIN med ON v.g = med.g),
+         mad AS (SELECT g, d AS mad FROM (
+           SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d)
+             AS rn, count(*) OVER (PARTITION BY g) AS n FROM dev)
+           WHERE rn = (n + 1) // 2)
+         SELECT dev.g AS event_type, dev.v AS v7, dev.med, mad.mad,
+           dev.d > mad.mad * 3 AS is_outlier
+         FROM dev JOIN mad ON dev.g = mad.g
+         ORDER BY event_type, v7""",
     "q225_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n_members,
            count(DISTINCT c_acctbal) AS n_sensitive,

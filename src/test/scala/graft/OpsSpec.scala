@@ -955,6 +955,29 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, 1L, 20L), (2, 2L, 15L)), s"top=${top.toSeq}")
   }
 
+  test("madOutliers: robust to the outlier itself; nulls excluded") {
+    import spark.implicits._
+    // group a: values 10,12,14,16,1000 -> med 14, deviations
+    // 4,2,0,2,986 -> MAD 2, threshold 6: only 1000 flags. A
+    // mean/stddev gate at 3 sigma would NOT flag it (sigma ~ 441,
+    // mean ~ 210) — the robustness this exists for.
+    val t = Seq(("a", Some(10L)), ("a", Some(12L)), ("a", Some(14L)),
+      ("a", Some(16L)), ("a", Some(1000L)), ("b", Some(5L)),
+      ("b", None))
+      .toDF("g", "v")
+    val r = Checks.madOutliers(t, "g", "v").collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    val m = r.toMap
+    assert(m(("a", 1000L)) == (14L, 2L, true), s"r=${r.toSeq}")
+    for (v <- Seq(10L, 12L, 14L, 16L))
+      assert(m(("a", v)) == (14L, 2L, false), s"r=${r.toSeq}")
+    // null row excluded; the singleton group's value is its own
+    // median (MAD 0, not an outlier)
+    assert(r.count(_._1._1 == "b") == 1)
+    assert(m(("b", 5L)) == (5L, 0L, false))
+  }
+
   test("kAnonymity: hand-checked equivalence classes and both flags") {
     import spark.implicits._
     // (zip, seg) classes: (1,a) x3 members 2 distinct bals; (1,b) x1
