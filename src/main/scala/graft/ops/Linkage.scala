@@ -44,4 +44,44 @@ object Linkage {
       .select(col("left_key"), col("m.cand_key").as("match_key"),
         col("m.dist").as("dist"))
   }
+
+  /** Entity resolution — the full master-data pipeline over ONE record
+    * set: blocked fuzzy pairing (edit distance inside hot-capped
+    * blocks, the [[fuzzyResolve]] anatomy but ALL within-threshold
+    * pairs, not best-match), transitive closure via
+    * [[graft.ops.Components.connectedComponents]] (A~B and B~C merge
+    * into one entity even when A and C differ by more than `maxDist`),
+    * then consolidation: each record carries its entity id (the
+    * cluster's minimum key — a real record), a canonical flag, and the
+    * canonical record's name as the survived attribute.
+    *
+    * Shape at scale: pairing is the blocked quadratic with the
+    * `blockCap` guard (never corpus²), CC is the pointer-jumping
+    * chain (log-round keyed joins), consolidation is one self-join on
+    * the 1-row-per-entity canon relation. Unmatched records are their
+    * own entity — the output is TOTAL over the input. */
+  def entityResolution(recs: DataFrame, maxDist: Int = 1,
+      blockCap: Int = 1024): DataFrame = {
+    require(maxDist >= 0 && blockCap >= 1)
+    val ok = recs.groupBy("block").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= blockCap).select("block")
+    val b = recs.join(ok, "block")
+    val pairs = b.select(col("block"), col("key").as("doc_a"),
+        col("name").as("an"))
+      .join(b.select(col("block"), col("key").as("doc_b"),
+        col("name").as("bn")), "block")
+      .filter(col("doc_a") < col("doc_b") &&
+        levenshtein(col("an"), col("bn")) <= maxDist)
+      .select("doc_a", "doc_b")
+    val comp = graft.ops.Components.connectedComponents(pairs)
+    val ent = recs.join(comp, recs("key") === comp("doc_id"), "left")
+      .select(recs("key"), recs("name"),
+        coalesce(col("component_id"), recs("key")).as("entity_id"))
+    val canon = ent.filter(col("key") === col("entity_id"))
+      .select(col("entity_id").as("ce"), col("name").as("canonical_name"))
+    ent.join(canon, col("entity_id") === col("ce"))
+      .select(col("key"), col("name"), col("entity_id"),
+        (col("key") === col("entity_id")).as("is_canonical"),
+        col("canonical_name"))
+  }
 }

@@ -1126,6 +1126,15 @@ object OpsQueries {
     }),
     // fuzzy entity resolution: even-key parts resolve to their best
     // odd-key candidate, blocked on the first name token
+    // entity resolution: blocked fuzzy pairing -> connected components
+    // (transitive merge) -> canonical pick + survived attribute; total
+    // over the input, unmatched records are their own entity
+    "q227_entity_resolution" -> ((s, d) => {
+      val p = Tables(s, d, "part").select(col("p_partkey").as("key"),
+        col("p_name").as("name"),
+        split(col("p_name"), " ").getItem(0).as("block"))
+      Linkage.entityResolution(p, maxDist = 1).orderBy("key")
+    }),
     "q163_fuzzy_match" -> ((s, d) => {
       val p = Tables(s, d, "part").select(col("p_partkey").as("key"),
         col("p_name").as("name"),
@@ -4102,6 +4111,31 @@ object OpsQueries {
          FROM cand l JOIN cand r ON l.m = r.m AND l.doc_id < r.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
     },
+    // blocked levenshtein pairs -> recursive transitive closure (the
+    // q43 CC mirror) -> min-key entity + canonical-name survival
+    "q227_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey AS key, p_name AS name,
+           string_split(p_name, ' ')[1] AS block FROM part),
+         ok AS (SELECT block FROM p GROUP BY block
+           HAVING count(*) <= 1024),
+         bl AS (SELECT p.* FROM p JOIN ok USING (block)),
+         e0 AS (SELECT l.key AS a, r.key AS b FROM bl l JOIN bl r
+           ON l.block = r.block AND l.key < r.key
+           AND levenshtein(l.name, r.name) <= 1),
+         e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS key, least(a, min(b)) AS entity_id
+           FROM r GROUP BY a),
+         ent AS (SELECT p.key, p.name,
+           coalesce(comp.entity_id, p.key) AS entity_id
+           FROM p LEFT JOIN comp USING (key)),
+         canon AS (SELECT entity_id AS ce, name AS canonical_name
+           FROM ent WHERE key = entity_id)
+         SELECT ent.key, ent.name, ent.entity_id,
+           ent.key = ent.entity_id AS is_canonical, canon.canonical_name
+         FROM ent JOIN canon ON ent.entity_id = canon.ce
+         ORDER BY key""",
     "q226_mad_outliers" ->
       s"""WITH v AS (SELECT event_type AS g,
            ${TextKit.ducksql.quant("value")} AS v FROM events

@@ -32,4 +32,25 @@ class LinkageSpec extends SparkSpec {
     assert(Linkage.fuzzyResolve(left, right, maxDist = 3, blockCap = 50)
       .count() === 1L)
   }
+
+  test("entityResolution: transitive merge, canonical survival, totality") {
+    import spark.implicits._
+    // 1~2 and 2~3 at dist 1, but 1~3 at dist 2: the transitive
+    // closure must still merge all three into entity 1; key 4 has no
+    // match and stays its own entity
+    val recs = Seq((1L, "aaa", "b1"), (2L, "aab", "b1"),
+      (3L, "abb", "b1"), (4L, "zzz", "b2"))
+      .toDF("key", "name", "block")
+    val r = Linkage.entityResolution(recs, maxDist = 1).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2),
+        x.getBoolean(3), x.getString(4))).toMap
+    assert(r.size == 4, s"output must be total: $r")
+    for (k <- Seq(1L, 2L, 3L)) {
+      assert(r(k)._2 == 1L, s"key $k entity: $r")
+      assert(r(k)._4 == "aaa", s"key $k canonical name: $r")
+    }
+    assert(r(1L)._3 && !r(2L)._3 && !r(3L)._3)
+    assert(r(4L) == ("zzz", 4L, true, "zzz"))
+    graft.ops.TextKit.releaseCaches()
+  }
 }
