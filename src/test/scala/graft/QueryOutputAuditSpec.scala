@@ -29,4 +29,14 @@ class QueryOutputAuditSpec extends SparkSpec {
       s"array/map columns in query outputs (unsortable by the oracle " +
         s"harness): ${offenders.mkString(", ")}")
   }
+
+  test("every query has an oracle and every oracle has a query") {
+    // a query without an oracle silently downgrades the driver's gate
+    // to a rows-only check; an oracle without a query is dead SQL —
+    // both are registration drift, both fail here
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles missing queries: ${(o -- q).toSeq.sorted}")
+  }
 }
