@@ -241,6 +241,20 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // semi-structured payload extraction: events.props is a JSON
+    // string; get_json_object pulls the typed field relationally
+    // (codegen'd path, no UDF) and the aggregate runs over the
+    // extracted integers — the schema-on-read shape for event payloads
+    "q228_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_parsed"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
     // robust per-group outlier gate: |v - median| > 3 x MAD over
     // quantized event values — the robust z-score, exact integers,
     // no engine-library stddev
@@ -4136,6 +4150,15 @@ object OpsQueries {
            ent.key = ent.entity_id AS is_canonical, canon.canonical_name
          FROM ent JOIN canon ON ent.entity_id = canon.ce
          ORDER BY key""",
+    "q228_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_parsed,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
+             AS BIGINT)) AS BIGINT) AS sum_k,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q226_mad_outliers" ->
       s"""WITH v AS (SELECT event_type AS g,
            ${TextKit.ducksql.quant("value")} AS v FROM events
