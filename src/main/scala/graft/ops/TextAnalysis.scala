@@ -883,6 +883,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Balanced per-group sampling — EXACTLY `n` documents per group (or
+    * all of a smaller group), chosen by deterministic md5 rank: the
+    * balanced-eval-set builder ([[stratifiedSample]] keeps a RATE per
+    * group; this keeps a COUNT — the two sampling contracts a pipeline
+    * needs). Reproducible across runs, engines, and partitionings.
+    *
+    * Shape at scale: the per-group selection is a BOUNDED-HEAP
+    * aggregate (TopKAggLongAsc — n rows of state per group, map-side
+    * partials), NOT a row_number window: no per-group sort, no shuffle
+    * of anything but the winners. Emits (group, doc_id, rank). */
+  def balancedSample(docs: DataFrame, groupCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"balancedSample: n must be >= 1 (got $n)")
+    val scored = docs.select(col(groupCol).as("grp"), col("doc_id"),
+      TextKit.md5Long(concat_ws(":", col(groupCol),
+        col("doc_id").cast("string"))).as("hkey"))
+    TopKAgg.topKPerQueryAsc(scored, "grp", "doc_id", "hkey", n)
+      .select(col("grp").as(groupCol), col("neighbor_id").as("doc_id"),
+        col("rank"))
+  }
+
   /** Character-collision diversity (Simpson index) — the
     * repetitiveness gate that needs NO logarithm: Σ pᵢ² over the
     * document's character distribution is the probability two random

@@ -241,6 +241,12 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // balanced per-group sample: EXACTLY 20 docs per language by
+    // deterministic md5 rank through a bounded-heap aggregate — count
+    // contract (stratifiedSample keeps a rate), no per-group sort
+    "q229_balanced_sample" -> ((s, d) =>
+      TextAnalysis.balancedSample(docs(s, d), "lang", n = 20)
+        .orderBy("lang", "rank")),
     // semi-structured payload extraction: events.props is a JSON
     // string; get_json_object pulls the typed field relationally
     // (codegen'd path, no UDF) and the aggregate runs over the
@@ -4150,6 +4156,14 @@ object OpsQueries {
            ent.key = ent.entity_id AS is_canonical, canon.canonical_name
          FROM ent JOIN canon ON ent.entity_id = canon.ce
          ORDER BY key""",
+    "q229_balanced_sample" -> {
+      val h = TextKit.ducksql
+        .md5Long("lang || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (SELECT lang, doc_id, $h AS hkey FROM documents)
+         SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+           ORDER BY hkey, doc_id) AS INT) AS rank
+         FROM s QUALIFY rank <= 20 ORDER BY lang, rank"""
+    },
     "q228_json_extract" ->
       """SELECT event_type, count(*) AS n,
            count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))

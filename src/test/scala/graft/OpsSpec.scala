@@ -978,6 +978,21 @@ class OpsSpec extends SparkSpec {
     assert(m(("b", 5L)) == (5L, 0L, false))
   }
 
+  test("balancedSample: exact count per group, smaller groups whole, deterministic") {
+    import spark.implicits._
+    val d = ((0L to 29L).map(i => (i, "en")) ++ (30L to 32L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val r = TextAnalysis.balancedSample(d, "lang", n = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    assert(r.count(_._1 == "en") == 10)
+    // a group smaller than n is kept whole
+    assert(r.filter(_._1 == "de").map(_._2).toSet == Set(30L, 31L, 32L))
+    // deterministic across invocations
+    val r2 = TextAnalysis.balancedSample(d, "lang", n = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    assert(r.sortBy(x => (x._1, x._3)).toSeq == r2.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
   test("kAnonymity: hand-checked equivalence classes and both flags") {
     import spark.implicits._
     // (zip, seg) classes: (1,a) x3 members 2 distinct bals; (1,b) x1
