@@ -156,4 +156,35 @@ object Curation {
       .select(col("w.doc_id").as("doc_id"), col("w.n_chars").as("n_chars"))
     Export.shardSummary(canonical, "doc_id", nShards)
   }
+
+  /** Leakage-safe train/val/test split — the assignment every eval
+    * pipeline needs and most get wrong: splitting documents
+    * independently puts near-duplicate pairs on BOTH sides of the
+    * train/test boundary, and the test set silently measures
+    * memorization. Here the split key is the document's near-dup
+    * CLUSTER (the verified minhash-LSH pair graph's connected
+    * component; singletons are their own group), hashed once per
+    * group into 80/10/10 buckets — so a cluster lands in exactly one
+    * split by construction, not by luck. Deterministic across runs,
+    * engines, and partitionings (md5 group hash).
+    *
+    * Shape at scale: the LSH chain + CC the dedup family already pays
+    * (reuse the persisted q195 canonical graph to skip recompute),
+    * then ONE left join of doc ids against the 1-row-per-member
+    * component relation and row-local hash arithmetic. */
+  def leakageSafeSplit(docs: DataFrame, tau: Double = 0.6): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs, tau)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Components.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("group_key"))
+      .withColumn("bucket",
+        md5Long(concat(lit("split:"), col("group_key").cast("string"))) % 10)
+      .select(col("doc_id"), col("group_key"),
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test").as("split"))
+  }
 }

@@ -241,6 +241,11 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // leakage-safe split: the near-dup CLUSTER is the split unit
+    // (hashed 80/10/10), so a duplicate pair can never straddle
+    // train/test and the eval measure generalization, not memorization
+    "q230_leakage_safe_split" -> ((s, d) =>
+      Curation.leakageSafeSplit(docs(s, d)).orderBy("doc_id")),
     // balanced per-group sample: EXACTLY 20 docs per language by
     // deterministic md5 rank through a bounded-heap aggregate — count
     // contract (stratifiedSample keeps a rate), no per-group sort
@@ -4156,6 +4161,26 @@ object OpsQueries {
            ent.key = ent.entity_id AS is_canonical, canon.canonical_name
          FROM ent JOIN canon ON ent.entity_id = canon.ce
          ORDER BY key""",
+    // q43's pair + closure chain, then per-group md5 bucket arithmetic
+    "q230_leakage_safe_split" -> {
+      val h = TextKit.ducksql
+        .md5Long("'split:' || CAST(group_key AS VARCHAR)")
+      s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         r AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+           FROM r GROUP BY a),
+         g AS (SELECT d.doc_id,
+           coalesce(comp.component_id, d.doc_id) AS group_key
+           FROM documents d LEFT JOIN comp USING (doc_id)),
+         sp AS (SELECT doc_id, group_key, $h % 10 AS bucket FROM g)
+         SELECT doc_id, group_key,
+           CASE WHEN bucket < 8 THEN 'train'
+             WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+         FROM sp ORDER BY doc_id"""
+    },
     "q229_balanced_sample" -> {
       val h = TextKit.ducksql
         .md5Long("lang || ':' || CAST(doc_id AS VARCHAR)")

@@ -978,6 +978,32 @@ class OpsSpec extends SparkSpec {
     assert(m(("b", 5L)) == (5L, 0L, false))
   }
 
+  test("leakageSafeSplit: near-dup pairs never straddle splits; total; 3-way") {
+    import spark.implicits._
+    // 30 distinct docs + 10 exact-duplicate pairs appended: every dup
+    // pair MUST land in one split together
+    val distinctDocs = (0L to 29L).map(i =>
+      (i, (0 until 12).map(j => s"u${i}w${(i * 7 + j) % 97}").mkString(" ")))
+    val dups = (0L until 10L).flatMap(i => Seq(
+      (100L + i, s"dup pair body number $i alpha beta gamma delta"),
+      (200L + i, s"dup pair body number $i alpha beta gamma delta")))
+    val d = (distinctDocs ++ dups)
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.leakageSafeSplit(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r.size == 50, "split must be total over the input")
+    for (i <- 0L until 10L) {
+      assert(r(100L + i)._1 == r(200L + i)._1, s"pair $i split groups differ")
+      assert(r(100L + i)._2 == r(200L + i)._2,
+        s"near-dup pair $i straddles splits: ${r(100L + i)} vs ${r(200L + i)}")
+    }
+    // the hash spreads singleton groups across all three splits
+    assert(r.values.map(_._2).toSet == Set("train", "val", "test"),
+      s"splits seen: ${r.values.map(_._2).toSet}")
+    TextKit.releaseCaches()
+  }
+
   test("balancedSample: exact count per group, smaller groups whole, deterministic") {
     import spark.implicits._
     val d = ((0L to 29L).map(i => (i, "en")) ++ (30L to 32L).map(i => (i, "de")))
