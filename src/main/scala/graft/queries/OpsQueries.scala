@@ -755,25 +755,28 @@ object OpsQueries {
     // the audit gates on doc_id uniqueness) with doc_id stats recorded,
     // then served from storage. The oracle recomputes the full
     // LSH + CC + PageRank chain, proving stored == recomputed.
-    "q195_canonical_persist" -> ((s, d) => {
-      val path = canonicalGraphs.computeIfAbsent(d, _ => {
-        import graft.lake.ManifestCommit
-        val p = s"${System.getProperty("java.io.tmpdir")}/" +
-          s"graft_canon_qch7dwoux1_${ProcessHandle.current().pid()}/" +
-          new java.io.File(d).getName
-        val canon = Centrality.canonicalByRank(
-          Dedup.minhashLshPairs(docs(s, d))
-            .select(col("doc_a"), col("doc_b")))
-        val dir = new org.apache.hadoop.fs.Path(p)
-        ManifestCommit.stageAndPublish(s, dir, canon,
-          df => df.groupBy("doc_id").agg(count(lit(1)).as("c"))
-            .filter(col("c") > 1).isEmpty,
-          statsCols = Seq("doc_id"))
-          .getOrElse(sys.error("canonical-graph audit rejected the batch"))
-        p
-      })
-      graft.lake.ManifestCommit.readTable(s, path)
+    "q195_canonical_persist" -> ((s, d) =>
+      graft.lake.ManifestCommit.readTable(s, ensureCanonGraph(s, d))
         .select("doc_id", "component_id", "pr", "is_canonical")
+        .orderBy("doc_id")),
+    // the q230 split SERVED FROM STORAGE: group keys read from the
+    // persisted canonical dup graph (stored == recomputed is q195's
+    // oracle), so assigning splits costs one narrow read + a left
+    // join + hash arithmetic — the LSH + CC chain never re-runs
+    "q231_split_from_storage" -> ((s, d) => {
+      val comp = graft.lake.ManifestCommit
+        .readTable(s, ensureCanonGraph(s, d))
+        .select(col("doc_id"), col("component_id"))
+      docs(s, d).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("group_key"))
+        .withColumn("bucket", TextKit.md5Long(concat(lit("split:"),
+          col("group_key").cast("string"))) % 10)
+        .select(col("doc_id"), col("group_key"),
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
     // manifest-log CHANGE DATA FEED: inserts replayed from exactly the
@@ -1575,6 +1578,27 @@ object OpsQueries {
   private val canonicalGraphs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build-once canonical dup-graph lake per (process, sfDir) — the
+    * q195 producer, shared by every consumer that serves from storage
+    * instead of recomputing the LSH + CC + PageRank chain (q231). */
+  private[queries] def ensureCanonGraph(s: SparkSession, d: String): String =
+    canonicalGraphs.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val p = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_canon_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      val canon = Centrality.canonicalByRank(
+        Dedup.minhashLshPairs(docs(s, d))
+          .select(col("doc_a"), col("doc_b")))
+      val dir = new org.apache.hadoop.fs.Path(p)
+      ManifestCommit.stageAndPublish(s, dir, canon,
+        df => df.groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).isEmpty,
+        statsCols = Seq("doc_id"))
+        .getOrElse(sys.error("canonical-graph audit rejected the batch"))
+      p
+    })
+
   /** Per-(process, sfDir) change-feed lake for q196/q197: orders landed
     * in three tagged batches with a clustered compaction and a targeted
     * delete between the consumer's cursor and the head. `fromV` is the
@@ -1636,6 +1660,31 @@ object OpsQueries {
         .getOrElse(sys.error("doc lake has no head")).version
       DocLake(path, fromV, toV)
     })
+
+  /** Shared q230/q231 oracle: near-dup-cluster-keyed 80/10/10 split —
+    * q43's pair + closure chain, then per-group md5 bucket
+    * arithmetic. q231 reads its group keys from the persisted
+    * canonical graph; stored == recomputed is q195's oracle, so the
+    * same SQL gates both paths. */
+  private lazy val leakageSafeSplitSql: String = {
+    val h = TextKit.ducksql
+      .md5Long("'split:' || CAST(group_key AS VARCHAR)")
+    s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       r AS (SELECT a, b FROM e
+         UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+       comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
+         FROM r GROUP BY a),
+       g AS (SELECT d.doc_id,
+         coalesce(comp.component_id, d.doc_id) AS group_key
+         FROM documents d LEFT JOIN comp USING (doc_id)),
+       sp AS (SELECT doc_id, group_key, $h % 10 AS bucket FROM g)
+       SELECT doc_id, group_key,
+         CASE WHEN bucket < 8 THEN 'train'
+           WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       FROM sp ORDER BY doc_id"""
+  }
 
   /** Shared q214/q216 oracle: the feed-maintained (batch or streamed)
     * IVF-PQ search over the emb lake's head row set, with training
@@ -4162,25 +4211,10 @@ object OpsQueries {
          FROM ent JOIN canon ON ent.entity_id = canon.ce
          ORDER BY key""",
     // q43's pair + closure chain, then per-group md5 bucket arithmetic
-    "q230_leakage_safe_split" -> {
-      val h = TextKit.ducksql
-        .md5Long("'split:' || CAST(group_key AS VARCHAR)")
-      s"""WITH RECURSIVE ${MINHASH_CHAIN("documents")},
-         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         r AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id
-           FROM r GROUP BY a),
-         g AS (SELECT d.doc_id,
-           coalesce(comp.component_id, d.doc_id) AS group_key
-           FROM documents d LEFT JOIN comp USING (doc_id)),
-         sp AS (SELECT doc_id, group_key, $h % 10 AS bucket FROM g)
-         SELECT doc_id, group_key,
-           CASE WHEN bucket < 8 THEN 'train'
-             WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
-         FROM sp ORDER BY doc_id"""
-    },
+    "q230_leakage_safe_split" -> leakageSafeSplitSql,
+    // served-from-storage twin: stored == recomputed is q195's oracle,
+    // so the same SQL gates both paths
+    "q231_split_from_storage" -> leakageSafeSplitSql,
     "q229_balanced_sample" -> {
       val h = TextKit.ducksql
         .md5Long("lang || ':' || CAST(doc_id AS VARCHAR)")
