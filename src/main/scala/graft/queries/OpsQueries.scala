@@ -17,6 +17,19 @@ object OpsQueries {
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
   private def events(s: SparkSession, d: String) = Tables(s, d, "events")
 
+  /** q232/q233 contamination planting: bench docs (doc_id % 97 = 0) and
+    * the planted corpus slice (doc_id % 23 = 5) both append the same
+    * 10-token passage keyed by doc_id % 7, so pure-passage 8-grams
+    * collide exactly within a group. */
+  private def plantContam(dd: DataFrame): DataFrame = {
+    val passage = concat_ws(" ", (0 until 10).map(j =>
+      concat(lit(s"ctm${j}g"), (col("doc_id") % 7).cast("string"))): _*)
+    dd.withColumn("text",
+      when(col("doc_id") % 97 === 0 || col("doc_id") % 23 === 5,
+        concat(col("text"), lit(" "), passage))
+        .otherwise(col("text")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("canonical_id")),
@@ -241,6 +254,22 @@ object OpsQueries {
     // sequence packing: per-shard deterministic pseudo-random order +
     // running token sums -> fixed-budget pack assignment, shards pack in
     // parallel (window partitioned by shard, no global sort)
+    // benchmark decontamination: every 97th doc is the eval suite and
+    // gains a 10-token group passage (group = doc_id % 7); corpus docs
+    // with doc_id % 23 = 5 gain the same group passage, so they share
+    // pure-passage 8-grams with the bench slice iff their group has a
+    // bench member (group 1 has none at sf<=0.01 — the negative case)
+    "q232_decontaminate" -> ((s, d) =>
+      Decontam.contamination(plantContam(docs(s, d)),
+          col("doc_id") % 97 === 0, n = 8)
+        .orderBy("doc_id")),
+    // corpus-level decontamination report card: per-source drop rates
+    // from one tiny rollup over the q232 relation (source rides along
+    // from the corpus scan — no join back)
+    "q233_decontam_report" -> ((s, d) =>
+      Decontam.report(plantContam(docs(s, d)),
+          col("doc_id") % 97 === 0, n = 8)
+        .orderBy("source")),
     // leakage-safe split: the near-dup CLUSTER is the split unit
     // (hashed 80/10/10), so a duplicate pair can never straddle
     // train/test and the eval measure generalization, not memorization
@@ -1666,6 +1695,57 @@ object OpsQueries {
     * arithmetic. q231 reads its group keys from the persisted
     * canonical graph; stored == recomputed is q195's oracle, so the
     * same SQL gates both paths. */
+  /** Shared q232/q233 oracle body: the planted-passage documents view,
+    * 8-gram windows, the bench slice's distinct hash set, and per-doc
+    * collision counts (mirrors Decontam.contamination; `report = true`
+    * wraps the per-source rollup of Decontam.report). */
+  private def decontamSql(report: Boolean): String = {
+    val passage = (0 until 10)
+      .map(j => s"'ctm${j}g' || CAST(doc_id % 7 AS VARCHAR)")
+      .mkString(" || ' ' || ")
+    val win8 = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    val body =
+      s"""pd AS (SELECT doc_id, source,
+           CASE WHEN doc_id % 97 = 0 OR doc_id % 23 = 5
+             THEN text || ' ' || $passage ELSE text END AS text
+           FROM documents),
+         tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM pd),
+         w AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 7), i -> $win8)) AS s
+           FROM tk),
+         bench AS (SELECT DISTINCT ${TextKit.ducksql.md5Long("s")} AS m
+           FROM w WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, source,
+           len(list_distinct(list_transform(
+             generate_series(1, len(toks) - 7), i -> $win8))) AS n_grams
+           FROM tk WHERE doc_id % 97 <> 0),
+         hits AS (SELECT doc_id, count(DISTINCT m) AS n_hit FROM
+           (SELECT doc_id, ${TextKit.ducksql.md5Long("s")} AS m FROM w
+            WHERE doc_id % 97 <> 0) wm JOIN bench USING (m)
+           GROUP BY doc_id),
+         res AS (SELECT corp.doc_id, corp.source,
+           CAST(corp.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(CASE WHEN corp.n_grams = 0 THEN 0
+             ELSE coalesce(hits.n_hit, 0) * 1000000 // corp.n_grams END
+             AS BIGINT) AS hit_ppm,
+           CAST(CASE WHEN coalesce(hits.n_hit, 0) >= 1 THEN 1 ELSE 0 END
+             AS INT) AS contaminated
+           FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id)"""
+    if (report)
+      s"""WITH $body
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+           CAST(sum(n_hit) AS BIGINT) AS total_hits,
+           CAST(sum(contaminated) * 1000000 // count(*) AS BIGINT)
+             AS contaminated_ppm
+         FROM res GROUP BY source ORDER BY source"""
+    else
+      s"""WITH $body
+         SELECT * FROM res ORDER BY doc_id"""
+  }
+
   private lazy val leakageSafeSplitSql: String = {
     val h = TextKit.ducksql
       .md5Long("'split:' || CAST(group_key AS VARCHAR)")
@@ -4210,6 +4290,11 @@ object OpsQueries {
            ent.key = ent.entity_id AS is_canonical, canon.canonical_name
          FROM ent JOIN canon ON ent.entity_id = canon.ce
          ORDER BY key""",
+    // planted bench slice -> distinct 8-gram hash set -> per-corpus-doc
+    // collision counts; totals are per-doc list arithmetic so zero-gram
+    // (short) docs survive with n_grams = 0
+    "q232_decontaminate" -> decontamSql(report = false),
+    "q233_decontam_report" -> decontamSql(report = true),
     // q43's pair + closure chain, then per-group md5 bucket arithmetic
     "q230_leakage_safe_split" -> leakageSafeSplitSql,
     // served-from-storage twin: stored == recomputed is q195's oracle,
