@@ -2,7 +2,8 @@ package graft.lake
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, lit, max_by, struct,
+  sum, when}
 
 /** Incremental consumption FROM the manifest log — the lake-format
   * change data feed (the public Delta CDF / Iceberg incremental-read
@@ -226,5 +227,42 @@ object ChangeFeed {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(sumCol).as(sumCol), sum(cntCol).as(cntCol))
       .filter(col(cntCol) > 0)
+  }
+
+  /** Maintain a stored equi-JOIN view from the change feed instead of
+    * recomputing it — the join sibling of [[maintainAdditive]]:
+    * `storedView` is the materialized `fact ⋈ dim` at the consumer's
+    * cursor, `feed` is a [[changeFeed]] slice of the FACT side (whose
+    * `rowKey` is unique per fact row), and the result equals the view a
+    * full recompute at the feed's head would produce.
+    *
+    * Order-free apply: per touched `rowKey` the LAST change in the
+    * window wins (one `max_by` aggregate over the feed — a unique key
+    * cannot both insert and delete inside one commit), every touched
+    * key's stored row is dropped, and last-change inserts re-enter
+    * through one join against `dim`. Delete-only, insert-only,
+    * delete-then-reinsert and insert-then-delete all land on the same
+    * head state.
+    *
+    * Shape at 100 TB: the corpus-sized `storedView` is only FILTERED —
+    * a broadcast anti-join of the feed's touched keys, no shuffle, no
+    * rewrite of untouched rows; `dim` streams once past a broadcast of
+    * the feed's insert rows; the fact table is never rescanned and the
+    * base join is never recomputed. Work ∝ feed + one narrow pass each
+    * over view and dim. */
+  def maintainJoin(storedView: DataFrame, feed: DataFrame, dim: DataFrame,
+      joinKey: String, rowKey: String): DataFrame = {
+    val last = feed
+      .groupBy(col(rowKey))
+      .agg(max_by(struct(feed.columns.map(col): _*),
+        col("_commit_version")).as("s"))
+      .select(col("s.*"))
+    val ins = last.filter(col("_change_type") === lit(Insert))
+      .drop("_change_type", "_commit_version")
+    val touched = feed.select(col(rowKey)).distinct()
+    storedView
+      .join(broadcast(touched), Seq(rowKey), "left_anti")
+      .unionByName(dim.join(broadcast(ins), Seq(joinKey))
+        .select(storedView.columns.map(col): _*))
   }
 }

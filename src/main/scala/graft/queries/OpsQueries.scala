@@ -836,6 +836,24 @@ object OpsQueries {
         .select("o_custkey", "n_orders", "sum_key")
         .orderBy("o_custkey")
     }),
+    // incremental materialized-JOIN-view maintenance: the orders ⋈
+    // customer view stored at the cursor, plus the fact side's change
+    // feed applied last-wins per order key, equals a full join
+    // recompute at the head — the stored view is only filtered
+    // (broadcast anti-join), the dim streams past the broadcast delta,
+    // and the base join is never recomputed
+    "q234_incremental_join" -> ((s, d) => {
+      val cl = ensureCdfLake(s, d)
+      graft.lake.ChangeFeed.maintainJoin(
+          s.read.parquet(cl.joinPath),
+          graft.lake.ChangeFeed.changeFeed(s,
+            new org.apache.hadoop.fs.Path(cl.path), cl.fromV, cl.toV),
+          Tables(s, d, "customer").select(
+            col("c_custkey").as("o_custkey"),
+            col("c_name"), col("c_mktsegment")),
+          joinKey = "o_custkey", rowKey = "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
     // unigram-lexicon tokenizer family (SentencePiece-shaped, integer
     // objective — see Unigram scaladoc): substring lexicon harvested
     // from the DISTINCT-word table (vocabulary-bounded explode)
@@ -1635,7 +1653,7 @@ object OpsQueries {
     * `basePath` stores the per-custkey additive aggregate materialized
     * at that cursor — q197's "never rescan the base table" state. */
   private[queries] final case class CdfLake(path: String, basePath: String,
-    fromV: Long, toV: Long)
+    joinPath: String, fromV: Long, toV: Long)
 
   private val cdfLakes =
     new java.util.concurrent.ConcurrentHashMap[String, CdfLake]()
@@ -1831,6 +1849,7 @@ object OpsQueries {
         new java.io.File(d).getName
       val path = s"$root/table"
       val basePath = s"$root/agg"
+      val joinPath = s"$root/joined"
       // batch 1: key-clustered so the later delete prunes by stats
       Layout.writeLinear(o.filter(col("o_orderkey") % 3 === 0),
         col("o_orderkey"), path, 8)
@@ -1844,6 +1863,14 @@ object OpsQueries {
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
         .write.mode("overwrite").parquet(basePath)
+      // the consumer's materialized JOIN view at the same cursor (q234)
+      ManifestCommit.readTableAt(s, path, fromV)
+        .join(Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "c_name", "c_mktsegment")
+        .write.mode("overwrite").parquet(joinPath)
       def publish(r: Int): Unit =
         ManifestCommit.stageAndPublish(s, dir,
           o.filter(col("o_orderkey") % 3 === r), _ => true,
@@ -1862,7 +1889,7 @@ object OpsQueries {
       publish(2)
       val toV = ManifestCommit.currentSnapshot(fs, dir)
         .getOrElse(sys.error("cdf lake has no head")).version
-      CdfLake(path, basePath, fromV, toV)
+      CdfLake(path, basePath, joinPath, fromV, toV)
     })
 
   private val jsonLakes =
@@ -4015,6 +4042,18 @@ object OpsQueries {
          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(o_orderkey) AS BIGINT) AS sum_key
          FROM fin GROUP BY o_custkey ORDER BY o_custkey""",
+    // maintained join view == the head's logical fact rows joined fresh
+    "q234_incremental_join" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         fin AS (SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders, b
+           WHERE o_orderkey % 3 = 2
+              OR o_orderkey NOT BETWEEN klo + (khi - klo) // 4
+                AND klo + (khi - klo) // 2)
+         SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         FROM fin JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
     // nearest-neighbor 16x8 -> 8x4: out pixel (x,y) samples src (2x,2y);
     // the oracle replays that grid over the text-derived pixels
     "q91_pgm_resize" ->

@@ -131,6 +131,41 @@ class ChangeFeedSpec extends SparkSpec {
     assert(after.filter($"g" === 2).isEmpty, "emptied key must vanish")
   }
 
+  test("maintainJoin == full join recompute; last-wins apply is order-free") {
+    val (dir, cursor, head) = buildLake()
+    // dim keyed by the fact's group column: one attribute row per g
+    // (range 8 covers the NULL-key row's g = 7)
+    val dim = spark.range(8).select($"id".as("g"),
+      concat(lit("grp"), $"id").as("gname"))
+    val stored = ManifestCommit.readTableAt(spark, dir.toString, cursor)
+      .join(dim, Seq("g")).select("k", "g", "v", "gname")
+    val feed = ChangeFeed.changeFeed(spark, dir, cursor, head)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+        r.getString(3))).toSet
+    val maintained = canon(
+      ChangeFeed.maintainJoin(stored, feed, dim, "g", "k"))
+    val recomputed = canon(ManifestCommit.readTable(spark, dir.toString)
+      .join(dim, Seq("g")).select("k", "g", "v", "gname"))
+    assert(maintained == recomputed)
+    // NULL-key stored rows are untouched by the apply (feed never
+    // names them; the anti-join must not drop them)
+    assert(maintained.exists(_._1.isEmpty), "NULL-key rows must survive")
+    // order-free: delete-then-reinsert lands the REINSERTED attributes,
+    // insert-then-delete lands absence — both from one unordered feed
+    val synth = Seq(
+      (5L, 1L, 50L, ChangeFeed.Delete, 101L),
+      (5L, 1L, 555L, ChangeFeed.Insert, 102L),   // k=5 reinserted, v=555
+      (1000L, 2L, 1L, ChangeFeed.Insert, 101L),
+      (1000L, 2L, 1L, ChangeFeed.Delete, 102L))  // k=1000 net-absent
+      .toDF("k", "g", "v", "_change_type", "_commit_version")
+    val after = ChangeFeed.maintainJoin(stored, synth, dim, "g", "k")
+      .filter($"k".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(after(5L) == 555L, "reinsert must win over the delete")
+    assert(!after.contains(1000L), "insert-then-delete must be absent")
+  }
+
   test("table feed: per-leaf cursors; untouched leaves silent, born partitions replay whole") {
     val root = Files.createTempDirectory("graft-cdf-table").toString + "/tbl"
     (0 to 2).map(r => batch(r).withColumn("day", lit(r)))
