@@ -708,6 +708,62 @@ object Dedup {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Repeated-span EXCISION — the REMOVAL half of exact-substring
+    * training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): every `window`-token run whose hash occurs
+    * at least `minCount` times across the corpus (counting every
+    * occurrence, INCLUDING repeats inside a single document — a doc that
+    * plagiarizes itself still gets cut) is excised from every document
+    * containing it, overlapping cuts merging naturally at the token
+    * level. [[sharedSubstringPairs]] reports who shares what; this
+    * operator produces the cleaned corpus a trainer actually reads.
+    * Emits per-document token totals, removed-token counts, and the
+    * rebuilt text's length + md5 (the downstream audit key, same
+    * convention as [[lineDedup]]).
+    *
+    * Scale shape: one shingle pass (positions ride the posexplode), an
+    * 8-byte-hash-keyed occurrence count with map-side combine, and the
+    * duplicated-hash relation is the aggregate FILTERED to count >=
+    * minCount — proportional to actually-duplicated content, not the
+    * corpus. Flagged starts fan out window tokens each (linear in
+    * duplicated volume), the cut itself is one (doc_id, pos) anti-join,
+    * and reassembly sorts only each document's OWN tokens inside a
+    * single aggregation — no window function, no global sort, never
+    * all-pairs. */
+  def exciseRepeatedSpans(docs: DataFrame, window: Int = 20,
+      minCount: Long = 2L): DataFrame = {
+    val toks = tracked(spread(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok"))))
+    val wsh = tracked(spread(docs)
+      .select(col("doc_id"),
+        posexplode(shinglesOf(col("text"), window)).as(Seq("start", "s")))
+      .select(col("doc_id"), col("start"), md5Long(col("s")).as("m")))
+    // occurrence count, NOT distinct-doc df: within-doc repetition is
+    // exactly what this pass exists to cut (contrast lineDedup's df)
+    val dup = wsh.groupBy(col("m"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+      .select(col("m"))
+    val removed = wsh.join(dup, Seq("m"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (window - 1)))
+          .as("pos"))
+    val rebuilt = toks.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        length(coalesce(col("clean"), lit(""))).cast("long")
+          .as("n_chars_kept"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_hash"))
+  }
+
   /** Embedding cosine near-dup: exact integer-quantized cosine over
     * candidate pairs. Small inputs go brute force; the documented scale
     * path is embeddingNearDupBlocked. */

@@ -41,6 +41,97 @@ object Similarity {
     TopKAgg.topKPerQuery(scored, "query_id", "neighbor_id", "cosine", k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training
+    * (triplet-loss data prep, Schroff et al. 2015): for each anchor
+    * vector the top `nneg` HIGHEST-cosine candidates with a DIFFERENT
+    * label — the hardest negatives, the pairs that actually move a
+    * metric-learning objective — plus the anchor's hardest positive
+    * cosine and the semi-hard flag (negative still farther than the
+    * hardest positive: `cosine < pos_cosine`, the FaceNet band; 0 when
+    * the anchor has no same-label peer).
+    *
+    * Shape at scale: ONE corpus stream past the broadcast anchors
+    * scores positives and negatives together; the negative tail is the
+    * bounded [[TopKAgg]] aggregate (nneg rows of state per anchor,
+    * map-side combinable), the positive tail one conditional-max
+    * aggregate, and the flag join touches anchors × nneg rows. Exact
+    * integer dots until the final cosine — DuckDB-oracle exact. */
+  def hardNegatives(emb: DataFrame, nAnchors: Int = 10,
+      nneg: Int = 5): DataFrame = {
+    val e = tracked(spread(emb)
+      .select(col("vec_id"), col("label"),
+        quantVec(col("embedding")).as("qv"))
+      .withColumn("nsq", dotPre(col("qv"), col("qv"))))
+    val a = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"),
+        col("qv").as("aqv"), col("nsq").as("ansq"))
+    val scored = e.join(broadcast(a), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id").as("cand_id"),
+        (col("label") =!= col("anchor_label")).as("is_neg"),
+        cosineQ(dotPre(col("aqv"), col("qv")), col("ansq"), col("nsq"))
+          .as("cosine"))
+    val pos = scored.filter(!col("is_neg"))
+      .groupBy(col("anchor_id"))
+      .agg(max(col("cosine")).as("pos_cosine"))
+    TopKAgg.topKPerQuery(scored.filter(col("is_neg")),
+        "anchor_id", "cand_id", "cosine", nneg)
+      .withColumnRenamed("neighbor_id", "negative_id")
+      .join(broadcast(pos), Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("negative_id"), col("cosine"),
+        col("rank"), col("pos_cosine"),
+        coalesce(col("cosine") < col("pos_cosine"), lit(false))
+          .cast("int").as("semi_hard"))
+  }
+
+  /** Binary (sign) quantized ANN — the 1-bit-per-dimension end of the
+    * quantization family (PQ 1 byte/subvector, SQ8 1 byte/dim, this
+    * 1 BIT/dim): each dimension contributes sign(x) > 0, the 64 dims
+    * pack into TWO non-negative 32-bit halves (`h_lo` dims 1–32,
+    * `h_hi` dims 33–64 — the dHash two-half convention, so neither
+    * engine ever touches the BIGINT sign bit), the shortlist ranks by
+    * Hamming distance `bit_count(xor)` (for sign vectors Hamming is a
+    * monotone surrogate of angular distance — the SimHash/LSH cosine
+    * estimate), and the final top-k re-ranks the shortlist with the
+    * exact full-precision cosine. 256 B/vector -> 8 B stored.
+    *
+    * Shape at scale: identical plan to [[sq8TopK]] minus the range
+    * aggregate — encode is row-local column arithmetic, the corpus
+    * streams once past the broadcast queries carrying only the two
+    * packed words (the 32× memory-bandwidth win; at 100 TB the binary
+    * index fits where the raw vectors cannot), and the rerank touches
+    * only nQueries × shortlist rows. Integer end to end until the
+    * final cosine — codes, Hamming, shortlist, and rerank reproduce
+    * bit-exactly in the DuckDB oracle. */
+  def binaryTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+      shortlist: Int = 32): DataFrame = {
+    def half(off: Int) = expr(
+      s"aggregate(transform(slice(qv, $off, 32), " +
+        "(x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+    val e = tracked(withNorm(emb)
+      .withColumn("h_lo", half(1)).withColumn("h_hi", half(33)))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"), col("h_lo").as("q_lo"),
+        col("h_hi").as("q_hi"))
+    val short = TopKAgg.topKPerQueryAsc(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          (bit_count(col("q_lo").bitwiseXOR(col("h_lo"))) +
+            bit_count(col("q_hi").bitwiseXOR(col("h_hi"))))
+            .cast("long").as("hamming")),
+      "query_id", "cand_id", "hamming", shortlist)
+    val rescored = short.select(col("query_id"), col("neighbor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("qv").as("nqv"), col("nsq").as("nnsq")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qqv"), col("qnsq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(dotPre(col("qqv"), col("nqv")), col("qnsq"), col("nnsq"))
+          .as("cosine"))
+    TopKAgg.topKPerQuery(rescored, "query_id", "neighbor_id", "cosine", k)
+  }
+
   /** SQ8 scalar-quantized ANN — the third member of the quantization
     * family (alongside PQ and IVF-PQ): each dimension is affinely
     * quantized to 8 bits against the CORPUS min/max of that dimension,

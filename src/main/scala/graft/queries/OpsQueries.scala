@@ -619,6 +619,21 @@ object OpsQueries {
                 (col("doc_id") % 225).cast("string"))): _*)))
             .otherwise(col("text")).as("text")))
         .orderBy("doc_a", "doc_b")),
+    // repeated-span excision (the REMOVAL half of Lee et al. substring
+    // dedup, over the same planted corpus as q78): the planted passages
+    // occur >= 2x corpus-wide wherever a doc_id % 225 group has >= 2
+    // planted members, so those docs lose exactly the appended passage
+    // (5 overlapping windows merge into one 24-token cut); singleton
+    // groups and natural text survive untouched
+    "q237_span_excision" -> ((s, d) =>
+      Dedup.exciseRepeatedSpans(
+        docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 9 === 4,
+            concat(col("text"), lit(" "), concat_ws(" ",
+              (0 until 24).map(i => concat(lit(s"sp${i}g"),
+                (col("doc_id") % 225).cast("string"))): _*)))
+            .otherwise(col("text")).as("text")))
+        .orderBy("doc_id")),
     "q45_stratified_sample" -> ((s, d) =>
       TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
     "q46_normalize" -> ((s, d) =>
@@ -1014,6 +1029,17 @@ object OpsQueries {
     // (4x fewer bytes in the corpus pass), full-dim exact rerank
     "q141_ann_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // binary sign-quantized ANN: 1 bit/dim packed into two 32-bit
+    // halves, Hamming-distance shortlist (bit_count of xor — the
+    // SimHash angular surrogate), exact cosine rerank; 256 B -> 8 B
+    "q235_ann_binary" -> ((s, d) =>
+      Similarity.binaryTopK(emb(s, d)).orderBy("query_id", "rank")),
+    // hard-negative mining (triplet-loss data prep): per anchor the
+    // top-5 highest-cosine OTHER-label candidates + the hardest
+    // positive cosine + the FaceNet semi-hard band flag — one corpus
+    // stream scores positives and negatives together
+    "q236_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d)).orderBy("anchor_id", "rank")),
     // mergeable equi-width histogram quantile sketch: per-language
     // document-length registers folded to integer percentile edges
     "q142_hist_sketch" -> ((s, d) =>
@@ -2662,6 +2688,60 @@ object OpsQueries {
            ORDER BY cosine DESC, neighbor_id) AS rank FROM re)
        WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** q235: binary sign quantization — 1 bit/dim in two 32-bit halves,
+    * Hamming shortlist of 32 (negated into rerankTail's DESC `s_dot`
+    * slot: -hamming DESC == hamming ASC, same id tie-break as
+    * TopKAggLongAsc), exact rerank to top 5. */
+  private val binarySql = {
+    def half(off: Int) =
+      s"""list_sum(list_transform(generate_series(1, 32),
+         i -> CASE WHEN qv[i + $off] > 0
+           THEN (1::BIGINT << (i - 1)) ELSE 0 END))"""
+    s"""WITH $EQ_EN,
+       hb AS (SELECT vec_id, qv, nsq,
+           CAST(${half(0)} AS BIGINT) AS h_lo,
+           CAST(${half(32)} AS BIGINT) AS h_hi
+         FROM en),
+       q AS (SELECT vec_id AS query_id, qv AS qqv, nsq AS qnsq,
+           h_lo AS q_lo, h_hi AS q_hi
+         FROM hb WHERE vec_id < 10),
+       sd AS (SELECT query_id, c.vec_id AS neighbor_id,
+           -(CAST(bit_count(xor(q.q_lo, c.h_lo)) AS BIGINT)
+             + CAST(bit_count(xor(q.q_hi, c.h_hi)) AS BIGINT)) AS s_dot
+         FROM q, hb c WHERE c.vec_id != query_id),
+       ${rerankTail(32, 5)}"""
+  }
+
+  /** q236: hard negatives — label-aware cosine scan, per-anchor top-5
+    * other-label cosines + hardest-positive max + semi-hard flag. */
+  private val hardNegSql =
+    s"""WITH eq AS (SELECT vec_id, label,
+           list_transform(generate_series(1, 64),
+             i -> ${TextKit.ducksql.quant("embedding[i]")}) AS qv
+         FROM embeddings),
+       en AS (SELECT vec_id, label, qv,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> qv[i] * qv[i])) AS BIGINT) AS nsq FROM eq),
+       a AS (SELECT vec_id AS anchor_id, label AS alabel, qv AS aqv,
+           nsq AS ansq FROM en WHERE vec_id < 10),
+       sc AS (SELECT anchor_id, c.vec_id AS cand_id,
+           c.label != a.alabel AS is_neg,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> a.aqv[i] * c.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(a.ansq AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE)))
+             AS cosine
+         FROM a, en c WHERE c.vec_id != a.anchor_id),
+       pos AS (SELECT anchor_id, max(cosine) AS pos_cosine
+         FROM sc WHERE NOT is_neg GROUP BY anchor_id),
+       neg AS (SELECT anchor_id, cand_id AS negative_id, cosine,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+             ORDER BY cosine DESC, cand_id) AS INT) AS rank
+         FROM sc WHERE is_neg)
+       SELECT neg.anchor_id, negative_id, cosine, rank, pos_cosine,
+         CAST(coalesce(cosine < pos_cosine, false) AS INT) AS semi_hard
+       FROM neg LEFT JOIN pos ON neg.anchor_id = pos.anchor_id
+       WHERE rank <= 5 ORDER BY neg.anchor_id, rank"""
+
   /** q140: SQ8 — per-dimension corpus min/max, 8-bit affine codes,
     * integer code-dot shortlist of 32, exact rerank to top 5. */
   private val sq8Sql =
@@ -2719,6 +2799,8 @@ object OpsQueries {
     "q138_gopher_rules" -> gopherSql,
     "q139_kn_bigram" -> knSql,
     "q140_ann_sq8" -> sq8Sql,
+    "q235_ann_binary" -> binarySql,
+    "q236_hard_negatives" -> hardNegSql,
     "q141_ann_matryoshka" -> matryoshkaSql,
     "q142_hist_sketch" -> histSql,
     "q143_hist_merge" -> histSql,
@@ -4303,6 +4385,39 @@ object OpsQueries {
            count(*) AS shared_windows
          FROM cand l JOIN cand r ON l.m = r.m AND l.doc_id < r.doc_id
          GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+    },
+    // repeated-span excision over the q78 planted corpus: occurrence-
+    // counted duplicate windows -> token-position cuts -> per-doc rebuild
+    "q237_span_excision" -> {
+      val passage = (0 until 24)
+        .map(i => s"'sp${i}g' || CAST(doc_id % 225 AS VARCHAR)")
+        .mkString(" || ' ' || ")
+      val win20 = (0 until 20).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+      s"""WITH plantdocs AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 4 THEN text || ' ' || $passage
+             ELSE text END AS text FROM documents),
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM plantdocs),
+         ws AS (SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - 19)) AS i FROM t),
+         wh AS (SELECT doc_id, i,
+           ${TextKit.ducksql.md5Long(win20)} AS m FROM ws),
+         dup AS (SELECT m FROM wh GROUP BY m HAVING count(*) >= 2),
+         fl AS (SELECT doc_id, i FROM wh JOIN dup USING (m)),
+         rem AS (SELECT doc_id, unnest(generate_series(i, i + 19)) AS p
+           FROM fl),
+         tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p,
+           toks FROM t),
+         tk AS (SELECT doc_id, p, toks[p] AS tk FROM tok),
+         kept AS (SELECT tk.* FROM tk ANTI JOIN rem USING (doc_id, p)),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(tk, ' ' ORDER BY p) AS clean
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(length(coalesce(clean, '')) AS BIGINT) AS n_chars_kept,
+           md5(coalesce(clean, '')) AS clean_hash
+         FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
     },
     // blocked levenshtein pairs -> recursive transitive closure (the
     // q43 CC mirror) -> min-key entity + canonical-name survival

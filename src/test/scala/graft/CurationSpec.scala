@@ -407,6 +407,32 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("span excision: shared runs cut everywhere, within-doc repeats cut, " +
+      "unique text untouched") {
+    val run = (1 to 6).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a b $run c"),                    // 9 tokens, loses the 6-run
+      (1L, s"x $run y z"),                    // 9 tokens, loses the 6-run
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8"),        // unique: untouched
+      (3L, "p q m1 m2 m3 m4 m5 s m1 m2 m3 m4 m5 t")) // self-repeat: both cut
+      .toDF("doc_id", "text")
+    val r = Dedup.exciseRepeatedSpans(docs, window = 5).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_removed") == 6L)
+    assert(r(1L).getAs[Long]("n_removed") == 6L)
+    // surviving text is exactly the non-run tokens, in order
+    assert(r(0L).getAs[Long]("n_chars_kept") == "a b c".length.toLong)
+    assert(r(1L).getAs[Long]("n_chars_kept") == "x y z".length.toLong)
+    // untouched doc keeps every token and hashes to its original text
+    assert(r(2L).getAs[Long]("n_removed") == 0L)
+    assert(r(2L).getAs[String]("clean_hash") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("u1 u2 u3 u4 u5 u6 u7 u8"))
+    // within-doc repetition: BOTH occurrences of the repeated 5-run go
+    assert(r(3L).getAs[Long]("n_removed") == 10L)
+    assert(r(3L).getAs[Long]("n_chars_kept") == "p q s t".length.toLong)
+    TextKit.releaseCaches()
+  }
+
   test("substring pairs equal a brute-force recompute on random corpora") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 12).map(i => s"w$i")

@@ -35,6 +35,27 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
   }
 
+  test("hard negatives: other-label only, semi-hard band vs hardest positive") {
+    val e = Seq(
+      (0L, Array(1f, 0f), 0),      // anchor
+      (1L, Array(0.9f, 0.1f), 0),  // its positive
+      (2L, Array(1f, 0.01f), 1),   // negative HARDER than the positive
+      (3L, Array(0f, 1f), 1))      // easy negative
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(e, nAnchors = 1, nneg = 5)
+      .collect().map(x => x.getAs[Long]("negative_id") -> x).toMap
+    // only the two label-1 vectors qualify; the positive never appears
+    assert(r.keySet == Set(2L, 3L))
+    assert(r(2L).getAs[Int]("rank") == 1, "hardest negative ranks first")
+    // negative 2 is closer than the hardest positive -> NOT semi-hard;
+    // negative 3 is farther -> semi-hard
+    assert(r(2L).getAs[Int]("semi_hard") == 0)
+    assert(r(3L).getAs[Int]("semi_hard") == 1)
+    val posCos = r(2L).getAs[Double]("pos_cosine")
+    assert(r(2L).getAs[Double]("cosine") > posCos)
+    assert(r(3L).getAs[Double]("cosine") < posCos)
+  }
+
   test("simhash: identical docs identical, near docs close in hamming") {
     val m = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

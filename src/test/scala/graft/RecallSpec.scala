@@ -63,10 +63,13 @@ class RecallSpec extends SparkSpec {
       shortlist = 50))
     val mat = recall(Similarity.matryoshkaTopK(emb, nQueries = nQ, k = k,
       dPrefix = 16, shortlist = 50))
+    val bin = recall(Similarity.binaryTopK(emb, nQueries = nQ, k = k,
+      shortlist = 50))
     info(f"recall@$k on $sfDir: lsh=$lsh%.3f ivf2=$ivf2%.3f ivf4=$ivf4%.3f " +
       f"pq=$pq%.3f pqT=$pqT%.3f ivfpq2=$ivfpq2%.3f ivfpq4=$ivfpq4%.3f " +
       f"lshM8=$lshM%.3f pqR50=$pqR%.3f ivfpq4R50=$ivfpqR%.3f " +
-      f"ivfpq4TR50=$ivfpqTR%.3f sq8R50=$sq8%.3f mat16R50=$mat%.3f")
+      f"ivfpq4TR50=$ivfpqTR%.3f sq8R50=$sq8%.3f mat16R50=$mat%.3f " +
+      f"binR50=$bin%.3f")
     // floors: measured-minus-margin (see BASELINE.md recall table). The
     // fixture embeddings are near-ISOTROPIC (mean pairwise cosine ~0,
     // std 0.125, top-1 ~0.37) — the adversarial regime where neighbors
@@ -98,6 +101,11 @@ class RecallSpec extends SparkSpec {
     // 16-of-64-dim matryoshka prefix keeps ~1/4 of the signal
     assert(sq8 >= 0.90, f"SQ8+rerank recall collapsed: $sq8%.3f")
     assert(mat >= 0.45, f"matryoshka recall collapsed: $mat%.3f")
+    // 1 bit/dim keeps only the sign pattern — the 64-bit Hamming
+    // distance is the SimHash angular estimate, so on the isotropic
+    // fixture it behaves like a strong-but-lossy shortlist; floor set
+    // measured-minus-margin like the rest
+    assert(bin >= 0.30, f"binary+rerank recall collapsed: $bin%.3f")
     // IVF candidates at nprobe=4 are a superset of nprobe=2's and scoring
     // is the exact cosine, so recall is provably monotone in nprobe (a
     // true top-k neighbor can only be displaced by another true top-k
