@@ -77,6 +77,25 @@ object ChangeFeed {
           Some(read(c.removed).filter(col(keyCol).between(lo, hi))
             .withColumn("_change_type", lit(Delete))
             .withColumn("_commit_version", lit(c.version)))
+        case ManifestCommit.KindDvDelete if c.addedDvs.nonEmpty =>
+          // a merge-on-read delete moved no data file: the rows it
+          // deleted are EXACTLY the (file, pos) pairs of the sidecars
+          // this commit added — read them back and semi-join the named
+          // (still-present, else `read` fails loudly) data files on the
+          // parquet row index. Sidecar-proportional work.
+          val dv = read(c.addedDvs).select("file", "pos")
+          val named = dv.select("file").distinct()
+            .collect().map(_.getString(0)).toSeq // bounded: file names
+          val data = read(named)
+            .withColumn("__dv_file", col("_metadata.file_name"))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          Some(data.join(broadcast(dv),
+              data("__dv_file") === dv("file") &&
+                data("__dv_pos") === dv("pos"), "left_semi")
+            .drop("__dv_file", "__dv_pos")
+            .withColumn("_change_type", lit(Delete))
+            .withColumn("_commit_version", lit(c.version)))
+        case ManifestCommit.KindDvDelete => None // no-op dv commit
         case other => sys.error(
           s"commit v${c.version} of $partition has kind '$other' — " +
             "pre-tag history cannot be replayed incrementally, " +

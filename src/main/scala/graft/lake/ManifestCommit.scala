@@ -55,16 +55,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pay one LIST + one GET per partition, the same metadata cost the
   * plain file listing already paid.
   *
-  * Format: line 1 `#graft 1 <liveCount> <removedCount> <bloomCount>`
-  * (the counts make a torn HDFS write detectable — [[currentSnapshot]]
-  * skips invalid manifests and [[tryCommit]] reclaims their version
-  * slot; an object-store PUT can never be torn), then `A <name>` per
-  * live file, `R <epochMs> <name>` per file removed by that commit, and
-  * `F <name>\t<bloom>` per bloom-carrying file. The bloom count covers
-  * the F tail: a truncation inside or after the bloom section
-  * invalidates the manifest exactly as a torn A/R section does. A
-  * two-count header (pre-round-9 manifests) stays valid with its F
-  * lines unvalidated — the conservative legacy behavior.
+  * Format: line 1 `#graft 1 <liveCount> <removedCount> <bloomCount>
+  * <dvCount>` (the counts make a torn HDFS write detectable —
+  * [[currentSnapshot]] skips invalid manifests and [[tryCommit]]
+  * reclaims their version slot; an object-store PUT can never be torn),
+  * then `A <name>` per live file, `R <epochMs> <name>` per file removed
+  * by that commit, `F <name>\t<bloom>` per bloom-carrying file, and
+  * `V <name>` per ACTIVE deletion-vector sidecar ([[deleteWhereDV]]).
+  * The bloom/dv counts cover the F/V tails: a truncation inside or
+  * after them invalidates the manifest exactly as a torn A/R section
+  * does. Two- and three-count headers (pre-round-9 manifests) stay
+  * valid with their F/V lines unvalidated — the conservative legacy
+  * behavior.
   */
 object ManifestCommit {
 
@@ -92,15 +94,26 @@ object ManifestCommit {
   val KindMeta = "meta"
   val KindUnknown = "unknown"
 
+  /** Merge-on-read delete ([[deleteWhereDV]]): rows left the TABLE but no
+    * data file moved — the deleted positions live in the commit's
+    * deletion-vector sidecars. A change-feed consumer that does not
+    * understand this kind must refuse (and [[ChangeFeed]] does), exactly
+    * like [[KindUnknown]] — emitting nothing would silently drop the
+    * delete. */
+  val KindDvDelete = "dvdelete"
+
   /** The live file set of one partition at one committed version. */
   final case class Snapshot(version: Long, files: Seq[String])
 
   /** One commit as an incremental consumer sees it: what entered the
-    * live set, what left it, and (for `delete` commits) the recorded
-    * row predicate. */
+    * live set, what left it, (for `delete`/`dvdelete` commits) the
+    * recorded row predicate, and (for `dvdelete`) the deletion-vector
+    * sidecars the commit ADDED — reading them back names exactly the
+    * rows that commit deleted. */
   final case class CommitInfo(version: Long, kind: String,
       added: Seq[String], removed: Seq[String],
-      deletePredicate: Option[(String, Long, Long)])
+      deletePredicate: Option[(String, Long, Long)],
+      addedDvs: Seq[String] = Nil)
 
   private def logDir(partition: Path) = new Path(partition, LogDirName)
 
@@ -193,11 +206,14 @@ object ManifestCommit {
       .getOrElse(Map.empty)
 
   /** A fully-parsed valid manifest: live (name, stats) entries,
-    * (removedAtMs, name) tombstones, the commit kind, and the delete
-    * predicate (delete commits only). */
+    * (removedAtMs, name) tombstones, the commit kind, the delete
+    * predicate (delete/dvdelete commits only), and the ACTIVE
+    * deletion-vector sidecar files (`V <name>` lines — positions these
+    * files list are subtracted from every read of this version). */
   private final case class Parsed(live: Seq[(String, Seq[ColStat])],
       removed: Seq[(Long, String)], kind: String,
-      deletePredicate: Option[(String, Long, Long)])
+      deletePredicate: Option[(String, Long, Long)],
+      dvs: Seq[String])
 
   /** Parsed manifest; None if torn/invalid (possible only on filesystems
     * without atomic object PUT). The `O` kind line is advisory: its
@@ -227,7 +243,7 @@ object ManifestCommit {
         .map(_.substring(2).split("\\s+").toSeq)
         .collect {
           case Seq(k) => (k, None)
-          case Seq(k, tok) if k == KindDelete =>
+          case Seq(k, tok) if k == KindDelete || k == KindDvDelete =>
             tok.split(":") match {
               case Array(c, lo, hi) =>
                 (k, for (a <- lo.toLongOption; b <- hi.toLongOption)
@@ -237,15 +253,22 @@ object ManifestCommit {
         }
         .getOrElse((KindUnknown, None))
       val bloomLines = lines.tail.count(_.startsWith("F "))
+      val dvs = lines.tail.filter(_.startsWith("V ")).map(_.substring(2))
       counts match {
-        // legacy two-count header: F lines (if any) are unvalidated
+        // legacy two-count header: F/V lines (if any) are unvalidated
         case Array(a, r) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) =>
-          Some(Parsed(live, removed, kind, pred))
+          Some(Parsed(live, removed, kind, pred, dvs))
+        // three-count header (pre-DV): V lines unvalidated
         case Array(a, r, f) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) =>
-          Some(Parsed(live, removed, kind, pred))
+          Some(Parsed(live, removed, kind, pred, dvs))
+        case Array(a, r, f, d) if a.toIntOption.contains(live.size) &&
+            r.toIntOption.contains(removed.size) &&
+            f.toIntOption.contains(bloomLines) &&
+            d.toIntOption.contains(dvs.size) =>
+          Some(Parsed(live, removed, kind, pred, dvs))
         case _ => None
       }
     }
@@ -284,6 +307,18 @@ object ManifestCommit {
       .map(_._1.toMap)
       .getOrElse(Map.empty)
 
+  /** The current committed ACTIVE deletion-vector sidecar files of one
+    * partition (empty when every delete so far was copy-on-write). Each
+    * sidecar is a parquet of (file, pos) rows naming deleted positions;
+    * the read-time union of all active sidecars is the partition's
+    * logical deletion vector. */
+  def currentDvs(fs: FileSystem, partition: Path): Seq[String] =
+    listVersions(fs, partition).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => parseFull(fs, manifestPath(partition, v)))
+      .nextOption()
+      .map(_.dvs).getOrElse(Nil)
+
   /** Put-if-absent of manifest `version`. False = lost the race (a valid
     * manifest already owns the slot). A torn manifest in the slot (HDFS
     * crash) is reclaimed: deleted and overwritten by this committer. */
@@ -292,7 +327,8 @@ object ManifestCommit {
       stats: Map[String, Seq[ColStat]] = Map.empty,
       blooms: Map[String, Seq[ColBloom]] = Map.empty,
       kind: String = KindAppend,
-      deletePredicate: Option[(String, Long, Long)] = None): Boolean = {
+      deletePredicate: Option[(String, Long, Long)] = None,
+      dvs: Seq[String] = Nil): Boolean = {
     val p = manifestPath(partition, version)
     fs.mkdirs(logDir(partition))
     def liveLine(n: String) = {
@@ -305,15 +341,18 @@ object ManifestCommit {
       if (bs.isEmpty) None
       else Some(s"F $n\t${bs.map(bloomToken).mkString("\t")}")
     }
+    val dvLines = dvs.map(n => s"V $n")
     val opLine = deletePredicate match {
       case Some((c, lo, hi)) => s"O $kind $c:$lo:$hi"
       case None              => s"O $kind"
     }
+    val headerLine = s"$Header ${live.size} ${removed.size} " +
+      s"${bloomLines.size} ${dvLines.size}"
     val body =
-      (s"$Header ${live.size} ${removed.size} ${bloomLines.size}" +:
+      (headerLine +:
         (opLine +:
           (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
-            bloomLines)))
+            bloomLines ++ dvLines)))
         .mkString("\n")
     def createExclusive(): Boolean =
       try {
@@ -373,7 +412,9 @@ object ManifestCommit {
           mergedB.filter { case (n, b) => live.contains(n) && b.nonEmpty },
           // a names-free recommit moves only metadata — a change feed
           // must not read it as an insert batch
-          kind = if (names.isEmpty) KindMeta else KindAppend))
+          kind = if (names.isEmpty) KindMeta else KindAppend,
+          // appended rows carry no deletions; the active sidecars ride
+          dvs = currentDvs(fs, partition)))
         return Snapshot(snap.version + 1, live)
       attempt += 1
     }
@@ -389,7 +430,8 @@ object ManifestCommit {
   def replaceFiles(fs: FileSystem, partition: Path, consumed: Set[String],
       produced: Seq[String], nowMs: Long = System.currentTimeMillis(),
       maxAttempts: Int = 50, kind: String = KindReplace,
-      deletePredicate: Option[(String, Long, Long)] = None): Option[Snapshot] = {
+      deletePredicate: Option[(String, Long, Long)] = None,
+      dvs: Option[Seq[String]] = None): Option[Snapshot] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
@@ -399,7 +441,14 @@ object ManifestCommit {
       // would double-count its rows)
       val survivors = snap.files.filterNot(consumed)
       val live = survivors ++ produced.filterNot(survivors.contains)
-      val tombstones = consumed.toSeq.sorted.map(nowMs -> _)
+      // deletion-vector sidecars: None carries the active set forward
+      // (rows naming consumed files go inert — those files are no
+      // longer scanned); Some(next) SETS it, tombstoning dropped
+      // sidecars so gc collects them after the read grace
+      val prevDvs = currentDvs(fs, partition)
+      val nextDvs = dvs.getOrElse(prevDvs)
+      val tombstones = (consumed.toSeq ++
+        prevDvs.filterNot(nextDvs.contains)).sorted.map(nowMs -> _)
       // consumed files' stats/blooms die with them; survivors keep
       // theirs (the compactor may commit fresh ones via appendFiles)
       val stats = (currentFileStats(fs, partition) -- consumed)
@@ -407,7 +456,8 @@ object ManifestCommit {
       val blooms = (currentFileBlooms(fs, partition) -- consumed)
         .filter { case (n, b) => live.contains(n) && b.nonEmpty }
       if (tryCommit(fs, partition, snap.version + 1, live, tombstones,
-          stats, blooms, kind = kind, deletePredicate = deletePredicate))
+          stats, blooms, kind = kind, deletePredicate = deletePredicate,
+          dvs = nextDvs))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }
@@ -432,11 +482,13 @@ object ManifestCommit {
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val versions = listVersions(fs, partition)
     if (versions.isEmpty || !fs.exists(partition)) return Nil
-    val parsed = versions.flatMap(v => parse(fs, manifestPath(partition, v)))
-    val live = currentSnapshot(fs, partition).map(_.files.toSet).getOrElse(Set.empty)
-    val referenced = parsed.flatMap(_._1.map(_._1)).toSet ++
-      parsed.flatMap(_._2.map(_._2))
-    val expired = parsed.flatMap(_._2)
+    val parsed = versions.flatMap(v => parseFull(fs, manifestPath(partition, v)))
+    val live = currentSnapshot(fs, partition).map(_.files.toSet).getOrElse(Set.empty) ++
+      currentDvs(fs, partition) // active sidecars are as live as A files
+    val referenced = parsed.flatMap(_.live.map(_._1)).toSet ++
+      parsed.flatMap(_.removed.map(_._2)) ++
+      parsed.flatMap(_.dvs) // a retained version may still read its DVs
+    val expired = parsed.flatMap(_.removed)
       .filter { case (ts, n) => nowMs - ts >= graceMs && !live.contains(n) }
       .map(_._2).toSet
     val entries = fs.listStatus(partition).toIndexedSeq
@@ -564,10 +616,11 @@ object ManifestCommit {
   def referencedFiles(fs: FileSystem,
       partition: Path): (Set[String], Set[String]) = {
     val parsed = listVersions(fs, partition)
-      .flatMap(v => parse(fs, manifestPath(partition, v)))
+      .flatMap(v => parseFull(fs, manifestPath(partition, v)))
     val live = currentSnapshot(fs, partition)
-      .map(_.files.toSet).getOrElse(Set.empty)
-    (live, parsed.flatMap(_._2.map(_._2)).toSet -- live)
+      .map(_.files.toSet).getOrElse(Set.empty) ++
+      currentDvs(fs, partition) // active sidecars are expected present
+    (live, parsed.flatMap(_.removed.map(_._2)).toSet -- live)
   }
 
   /** The committed snapshot at an EXPLICIT version (None if that version
@@ -595,6 +648,7 @@ object ManifestCommit {
         s"commitsBetween: version $fromVersion of $partition is gone — " +
           "log pruned past the consumer's cursor, full resync required"))
     var prevLive = base.live.map(_._1).toSet
+    var prevDvs = base.dvs.toSet
     val out = Seq.newBuilder[CommitInfo]
     listVersions(fs, partition)
       .filter(v => v > fromVersion && v <= toVersion).sorted
@@ -603,8 +657,9 @@ object ManifestCommit {
           val liveNow = pf.live.map(_._1)
           out += CommitInfo(v, pf.kind,
             liveNow.filterNot(prevLive), pf.removed.map(_._2),
-            pf.deletePredicate)
+            pf.deletePredicate, pf.dvs.filterNot(prevDvs))
           prevLive = liveNow.toSet
+          prevDvs = pf.dvs.toSet
         }
       }
     out.result()
@@ -853,5 +908,197 @@ object ManifestCommit {
       .option("basePath", tableRoot)
       .option("mergeSchema", mergeSchema.toString)
       .parquet(files.map(_.toString): _*)
+  }
+
+  // ---------------------------------------------------------------- DVs
+
+  /** Prefix of deletion-vector sidecar files. Starts with
+    * [[CompactedPrefix]] so every existing guard applies unchanged: a
+    * sidecar is never adopted as data by [[adoptNewFiles]]/[[bootstrap]],
+    * and a crashed [[deleteWhereDV]]'s orphan sidecar is [[gc]]-collected
+    * once unreferenced and stale. */
+  val DvPrefix: String = s"${CompactedPrefix}dv-"
+
+  /** Merge-on-read targeted delete (the public Delta deletion-vector /
+    * Iceberg positional-delete idea, re-derived): instead of REWRITING
+    * every file whose stats intersect [lo, hi] (what [[deleteRange]]
+    * does), write a deletion-vector sidecar — a parquet of
+    * `(file, pos)` rows naming the doomed positions via the parquet
+    * row index — and commit it with the live set UNCHANGED. Readers
+    * ([[readTableDV]]) subtract the union of active sidecars with one
+    * anti-join. NULL keys are outside every range, exactly as in
+    * [[deleteRange]].
+    *
+    * Why this matters at 100 TB: a copy-on-write delete of k rows
+    * rewrites every touched FILE — GBs of write amplification for a
+    * single-customer GDPR erase. This writes O(deleted rows) bytes,
+    * the delete commits in seconds regardless of file sizes, and the
+    * rewrite cost is deferred to [[applyDvs]] (one compaction amortizes
+    * any number of deletes). Successive DV deletes UNION at the file
+    * level — no sidecar is ever read or merged at delete time.
+    *
+    * The scan that computes positions reads only the stats-intersecting
+    * files and only (keyCol, row index); position stability is the
+    * parquet physical row index (`_metadata.row_index`), immutable for
+    * immutable files. Sidecar rows key on the file NAME — unique within
+    * the partition by construction (uuid part names, runId compact
+    * names). Returns (touchedFiles, deletedPositions). */
+  def deleteWhereDV(spark: SparkSession, partition: Path, keyCol: String,
+      lo: Long, hi: Long): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    val stats = currentFileStats(fs, partition)
+    val touched = snap.files.filter { n =>
+      stats.getOrElse(n, Nil).find(_.col == keyCol)
+        .forall(s => s.max >= lo && s.min <= hi)
+    }
+    if (touched.isEmpty) return (0, 0L)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staged = new Path(partition, s"._dv-$runId")
+    // the doomed positions: only keyCol + the row index leave the scan
+    val dv = spark.read
+      .parquet(touched.map(new Path(partition, _).toString): _*)
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("pos"), col(keyCol).as("k"))
+      .filter(col("k").between(lo, hi)) // NULL keys never match
+      .select(col("file"), col("pos"))
+    dv.write.parquet(staged.toString)
+    val produced = fs.listStatus(staged).toIndexedSeq
+      .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val name = s"$DvPrefix$runId-part$i.parquet"
+        require(fs.rename(st.getPath, new Path(partition, name)),
+          s"deleteWhereDV: cannot move ${st.getPath} into $partition")
+        name
+      }
+    fs.delete(staged, true)
+    // count from the renamed sidecars (a hidden `._dv` staging path
+    // would be skipped by Spark's hidden-file filter on a direct read)
+    val nDeleted = spark.read
+      .parquet(produced.map(new Path(partition, _).toString): _*).count()
+    if (nDeleted == 0L) {
+      produced.foreach(n => fs.delete(new Path(partition, n), false))
+      return (0, 0L)
+    }
+    replaceFiles(fs, partition, Set.empty, Nil, kind = KindDvDelete,
+        deletePredicate = Some((keyCol, lo, hi)),
+        dvs = Some(currentDvs(fs, partition) ++ produced)) match {
+      case Some(_) => (touched.size, nDeleted)
+      case None =>
+        produced.foreach(n => fs.delete(new Path(partition, n), false))
+        sys.error(s"deleteWhereDV: concurrent rewrite of $partition — retry")
+    }
+  }
+
+  /** Read `dataPaths` minus the positions listed by `dvPaths`: each data
+    * row carries its (file name, parquet row index) identity, the
+    * sidecar union is the subtrahend, and one LEFT ANTI hash join — on
+    * the broadcast sidecar rows — applies every accumulated delete.
+    * Deletion vectors are O(deleted rows), not O(table), so the
+    * broadcast is the common case; Spark's autoBroadcast threshold
+    * degrades it to a shuffled join if a pathological sidecar outgrows
+    * it. */
+  private def readMinusDvs(spark: SparkSession, basePath: String,
+      dataPaths: Seq[Path], dvPaths: Seq[Path]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(dataPaths.nonEmpty, s"no live files under $basePath")
+    val data = spark.read.option("basePath", basePath)
+      .parquet(dataPaths.map(_.toString): _*)
+    if (dvPaths.isEmpty) return data
+    val keyed = data
+      .withColumn("__dv_file", col("_metadata.file_name"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val dv = spark.read.parquet(dvPaths.map(_.toString): _*)
+    keyed.join(broadcast(dv),
+        keyed("__dv_file") === dv("file") && keyed("__dv_pos") === dv("pos"),
+        "left_anti")
+      .drop("__dv_file", "__dv_pos")
+  }
+
+  /** Manifest-resolved read applying the active deletion vectors — the
+    * merge-on-read twin of [[readTable]]. Partitions with no sidecars
+    * read exactly as [[readTable]] (zero overhead: the anti-join is
+    * added only where a sidecar exists). */
+  def readTableDV(spark: SparkSession, tableRoot: String): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    val resolved = parts.map { dir =>
+      val data = currentSnapshot(fs, dir) match {
+        case Some(snap) => snap.files.map(new Path(dir, _))
+        case None       => liveFiles(fs, dir)
+      }
+      (data, currentDvs(fs, dir).map(new Path(dir, _)))
+    }
+    // sidecar rows key on file NAMES, which are only guaranteed unique
+    // within their partition (an adopted hand-written file could share a
+    // name across partitions) — so the anti-join is applied per
+    // DV-carrying partition, while every sidecar-free partition folds
+    // into ONE plain scan
+    val clean = resolved.collect { case (d, Seq()) => d }.flatten
+    val reads =
+      (if (clean.isEmpty) Nil
+       else Seq(readMinusDvs(spark, tableRoot, clean, Nil))) ++
+        resolved.collect { case (d, dvs) if dvs.nonEmpty && d.nonEmpty =>
+          readMinusDvs(spark, tableRoot, d, dvs)
+        }
+    require(reads.nonEmpty, s"no live files under $tableRoot")
+    reads.reduce(_ unionByName _)
+  }
+
+  /** Compact the deletion vectors of one partition back into the data
+    * (merge-on-read -> copy-on-write conversion): rewrite ONLY the files
+    * the sidecars actually name, drop every sidecar, and commit — after
+    * this the plain [[readTable]] sees the post-delete rows and the
+    * per-read anti-join cost is gone. One rewrite amortizes any number
+    * of accumulated [[deleteWhereDV]] commits. Returns
+    * (rewrittenFiles, droppedSidecars). */
+  def applyDvs(spark: SparkSession, partition: Path,
+      statsCols: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    val dvNames = currentDvs(fs, partition)
+    if (dvNames.isEmpty) return (0, 0)
+    val dvPaths = dvNames.map(new Path(partition, _))
+    // only files a sidecar names need rewriting; the rest pass through
+    val named = spark.read.parquet(dvPaths.map(_.toString): _*)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded: file NAMES, not rows
+    val touched = snap.files.filter(named)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staged = new Path(partition, s"._dvrw-$runId")
+    val produced = if (touched.isEmpty) Nil else {
+      readMinusDvs(spark, partition.toString,
+          touched.map(new Path(partition, _)), dvPaths)
+        .write.parquet(staged.toString)
+      val out = fs.listStatus(staged).toIndexedSeq
+        .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+          st.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.map { case (st, i) =>
+          val name = s"${CompactedPrefix}dvrw-$runId-part$i.parquet"
+          require(fs.rename(st.getPath, new Path(partition, name)),
+            s"applyDvs: cannot move ${st.getPath} into $partition")
+          name
+        }
+      fs.delete(staged, true)
+      out
+    }
+    replaceFiles(fs, partition, touched.toSet, produced,
+        kind = KindReplace, dvs = Some(Nil)) match {
+      case Some(_) =>
+        if (produced.nonEmpty && statsCols.nonEmpty)
+          recordStats(spark, partition, statsCols,
+            only = Some(produced.toSet))
+        (touched.size, dvNames.size)
+      case None =>
+        produced.foreach(n => fs.delete(new Path(partition, n), false))
+        sys.error(s"applyDvs: concurrent rewrite of $partition — retry")
+    }
   }
 }

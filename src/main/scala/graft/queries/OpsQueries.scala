@@ -1274,6 +1274,40 @@ object OpsQueries {
       graft.lake.ManifestCommit.readTableAt(s, dl.path, dl.preVersion)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // merge-on-read delete (deletion vectors): both key ranges leave
+    // through positional sidecars — ZERO data-file motion, write cost
+    // ∝ deleted rows — and the DV read subtracts the sidecar union
+    // with one broadcast anti-join on the parquet row index
+    "q238_dv_read" -> ((s, d) => {
+      val dv = ensureDvLake(s, d)
+      graft.lake.ManifestCommit.readTableDV(s, dv.path)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // copy-on-write conversion: ONE rewrite of only the sidecar-named
+    // files amortizes both dv deletes; afterwards the PLAIN manifest
+    // read serves the post-delete table and the anti-join cost is gone
+    "q239_dv_rewrite" -> ((s, d) => {
+      val dv = ensureDvLake(s, d)
+      val dir = new org.apache.hadoop.fs.Path(dv.path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.lake.ManifestCommit.applyDvs(s, dir, Seq("l_orderkey"))
+      require(graft.lake.ManifestCommit.currentDvs(fs, dir).isEmpty,
+        "rewrite must clear every sidecar")
+      graft.lake.ManifestCommit.readTable(s, dv.path)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // change-feed replay of the dv deletes: the deleted rows come back
+    // from the added-sidecar semi-join alone — file-motion-free deletes
+    // stay exactly CDC-consumable
+    "q240_dv_feed" -> ((s, d) => {
+      val dv = ensureDvLake(s, d)
+      graft.lake.ChangeFeed.changeFeed(s,
+          new org.apache.hadoop.fs.Path(dv.path), dv.feedFrom, dv.feedTo)
+        .filter(col("_change_type") === "delete")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // write-audit-publish: the batch lands invisible, the audit runs
     // over exactly the candidate files, and only a pass commits — the
     // published table IS the audited relation
@@ -1942,6 +1976,47 @@ object OpsQueries {
       require(touched > 0 && touched < 16,
         s"targeted delete should rewrite a strict subset, rewrote $touched")
       DelLake(path, dlo, dhi, pre)
+    })
+
+  /** Per-(process, sfDir) DELETION-VECTOR lake for q238–q240: the same
+    * l_orderkey-ordered 16-file lineitem layout as [[ensureDelLake]],
+    * but both key ranges leave through [[ManifestCommit.deleteWhereDV]]
+    * — no data file moves, the deletes live in positional sidecars, and
+    * consumers choose merge-on-read (q238), the change-feed replay
+    * (q240), or the copy-on-write conversion (q239). `feedFrom` is the
+    * committed version before the first DV delete — the feed cursor. */
+  private[queries] final case class DvLake(path: String, lo1: Long,
+    hi1: Long, lo2: Long, hi2: Long, feedFrom: Long, feedTo: Long)
+
+  private val dvLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, DvLake]()
+
+  private def ensureDvLake(s: SparkSession, d: String): DvLake =
+    dvLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (lo1, hi1) = boxRange(klo, khi)
+      val (lo2, hi2) = (klo + 3 * (khi - klo) / 5, klo + 7 * (khi - klo) / 10)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dvlake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(li, col("l_orderkey"), path, 16)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      val pre = ManifestCommit.recordStats(s, dir, Seq("l_orderkey")).version
+      val (touched, n1) =
+        ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo1, hi1)
+      require(touched > 0 && touched < 16 && n1 > 0,
+        s"dv delete should touch a strict subset ($touched) and rows ($n1)")
+      val (_, n2) =
+        ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo2, hi2)
+      require(n2 > 0, "second dv delete must hit rows")
+      val head = ManifestCommit.currentSnapshot(fs, dir).get.version
+      DvLake(path, lo1, hi1, lo2, hi2, pre, head)
     })
 
   private val tokH = TextKit.ducksql.md5Long("t")
@@ -4995,6 +5070,38 @@ object OpsQueries {
     "q166_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // q238/q239 share one oracle: the dv-read and its copy-on-write
+    // conversion must BOTH equal the logical double anti-range
+    "q238_dv_read" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
+           AND l_orderkey NOT BETWEEN klo + 3 * (khi - klo) // 5
+             AND klo + 7 * (khi - klo) // 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q239_dv_rewrite" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
+           AND l_orderkey NOT BETWEEN klo + 3 * (khi - klo) // 5
+             AND klo + 7 * (khi - klo) // 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q240_dv_feed" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
+           OR l_orderkey BETWEEN klo + 3 * (khi - klo) // 5
+             AND klo + 7 * (khi - klo) // 10
+         ORDER BY l_orderkey, l_linenumber""",
     "q168_bloom_lookup" ->
       """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
            FROM lineitem),

@@ -514,4 +514,88 @@ class ManifestCommitSpec extends SparkSpec {
       .select("k", "v").orderBy("k").collect().toSeq ==
       df.orderBy("k").collect().toSeq)
   }
+
+  test("deletion vectors: merge-on-read delete, cumulative union, " +
+      "rewrite clears, sidecars GC'd") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-dv").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df = spark.range(16000).select($"id".as("k"), ($"id" % 37).as("v"))
+    Layout.writeLinear(df, col("k"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    val pre = ManifestCommit.recordStats(spark, dir, Seq("k"))
+    val (touched, nDel) =
+      ManifestCommit.deleteWhereDV(spark, dir, "k", 1000L, 1999L)
+    assert(nDel == 1000L)
+    assert(touched >= 1 && touched <= 3,
+      s"stats should bound the position scan, touched $touched")
+    // merge-on-read: the live DATA set is byte-identical, only sidecars
+    val snap1 = ManifestCommit.currentSnapshot(fs, dir).get
+    assert(snap1.files == pre.files, "no data file may move")
+    assert(ManifestCommit.currentDvs(fs, dir).nonEmpty)
+    // DV read sees the post-delete table; the plain read still sees all
+    val dvRead = ManifestCommit.readTableDV(spark, root)
+    assert(dvRead.count() == 15000L)
+    assert(dvRead.filter($"k".between(1000, 1999)).count() == 0L)
+    assert(ManifestCommit.readTable(spark, root).count() == 16000L)
+    // second delete accumulates at the FILE level (no sidecar merge)
+    val dvs1 = ManifestCommit.currentDvs(fs, dir)
+    val (_, nDel2) =
+      ManifestCommit.deleteWhereDV(spark, dir, "k", 3000L, 3499L)
+    assert(nDel2 == 500L)
+    val dvs2 = ManifestCommit.currentDvs(fs, dir)
+    assert(dvs1.toSet.subsetOf(dvs2.toSet) && dvs2.size > dvs1.size)
+    val dvRead2 = ManifestCommit.readTableDV(spark, root)
+    assert(dvRead2.count() == 14500L)
+    assert(dvRead2.filter($"k".between(3000, 3499)).count() == 0L)
+    // the change feed replays BOTH dv deletes exactly (sidecar semi-join)
+    val feed = graft.lake.ChangeFeed.changeFeed(spark, dir,
+      pre.version, ManifestCommit.currentSnapshot(fs, dir).get.version)
+    val deleted = feed.filter($"_change_type" === "delete")
+    assert(deleted.count() == 1500L)
+    assert(deleted.filter($"k".between(1000, 1999)).count() == 1000L)
+    assert(deleted.filter($"k".between(3000, 3499)).count() == 500L)
+    // copy-on-write conversion: rewrite named files, drop every sidecar
+    val (rewritten, dropped) = ManifestCommit.applyDvs(spark, dir, Seq("k"))
+    assert(dropped == dvs2.size && rewritten >= 1)
+    assert(ManifestCommit.currentDvs(fs, dir).isEmpty)
+    val plain = ManifestCommit.readTable(spark, root)
+    assert(plain.count() == 14500L)
+    assert(plain.filter($"k".between(1000, 1999) ||
+      $"k".between(3000, 3499)).count() == 0L)
+    // rewritten files re-earned stats; untouched files still prune
+    assert(ManifestCommit.readTableWhere(spark, root,
+      Map("k" -> (0L, 10L))).inputFiles.length <= 3)
+    // dropped sidecars are tombstoned: gc collects them with grace 0
+    ManifestCommit.gc(fs, dir, graceMs = 0L)
+    val left = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestCommit.DvPrefix))
+    assert(left.isEmpty, s"sidecars must be collected, found $left")
+    assert(ManifestCommit.readTable(spark, root).count() == 14500L)
+  }
+
+  test("deletion vectors: NULL keys survive; adoption never eats a sidecar") {
+    hc
+    val local = Files.createTempDirectory("graft-manifest-dvnull").toString
+    val dir = new Path(s"file://$local/tbl")
+    Seq((Some(1L), "a"), (None, "b"), (Some(50L), "c"), (Some(500L), "d"))
+      .toDF("k", "v").coalesce(1).write.parquet(dir.toString)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dir, "k", 0L, 100L)
+    assert(nDel == 2L, "1 and 50 die; the NULL key is outside every range")
+    val got = ManifestCommit.readTableDV(spark, dir.toString)
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(got == Set("b", "d"))
+    // a sidecar must never be adopted as data by the listing reconciler
+    val snapBefore = ManifestCommit.currentSnapshot(fs, dir).get
+    val adopted = ManifestCommit.adoptNewFiles(fs, dir)
+    assert(adopted.files.toSet == snapBefore.files.toSet)
+    // an idle dv-free partition pays ZERO dv overhead on the DV read
+    // path (covered above by snap equality; here just re-read sanity)
+    assert(ManifestCommit.readTableDV(spark, dir.toString).count() == 2L)
+  }
 }

@@ -530,4 +530,22 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan("q19_join_agg").contains("[codegen id :"))
     assert(finalPlan("q22_dedup_ngram").contains("[codegen id :"))
   }
+
+  test("round-9d: deletion-vector read broadcasts the sidecars, never " +
+      "shuffles the data") {
+    // the merge-on-read contract at the plan level: deletes apply as ONE
+    // broadcast anti-join of the O(deleted-rows) sidecar union against
+    // the streaming data scan — a sort-merge anti-join would shuffle the
+    // whole table to subtract a handful of rows
+    val p238 = plan("q238_dv_read")
+    assert(p238.contains("BroadcastHashJoin") && p238.contains("LeftAnti"),
+      s"dv subtraction must be a broadcast anti-join:\n$p238")
+    assert(!p238.contains("SortMergeJoin"),
+      s"the data side must never shuffle to apply deletion vectors:\n$p238")
+    // after the copy-on-write conversion the anti-join is GONE — the
+    // plain read plans as a bare parquet scan (plus the output sort)
+    val p239 = plan("q239_dv_rewrite")
+    assert(!p239.contains("Join"),
+      s"post-rewrite read must be join-free:\n$p239")
+  }
 }
