@@ -554,6 +554,56 @@ object ScaleSmoke {
       timeCdc(s"cdc_broadcast_${k}x", k, bcast = true)
       timeCdc(s"cdc_shuffle_${k}x", k, bcast = false)
     }
+
+    // Deletion vectors vs copy-on-write rewrite: a FIXED logical delete
+    // (the keys below base-max/16 — the same ~n/16 rows at every scale,
+    // all inside file 1 of the k-ordered 16-file layout) against a table
+    // whose FILES grow kx. The rewrite's cost is write amplification —
+    // re-materializing every surviving full-width row of the touched
+    // file, so it tracks file bytes — while the DV path scans one
+    // key column for positions and writes O(deleted rows): dv_sec must
+    // stay FLAT while rewrite_sec grows with the touched file.
+    // dvread_sec records the merge-on-read read (a full scan either
+    // way, plus one broadcast anti-join of the sidecar union).
+    if (enabled("dv")) {
+      import graft.lake.ManifestCommit
+      import org.apache.hadoop.fs.Path
+      val hiFixed = liRep(1).agg(max("k")).head.getLong(0) / 16
+      def timeDv(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val df = liRep(times)
+        val root = java.nio.file.Files
+          .createTempDirectory("smoke_dv").toString
+        graft.ops.Layout.writeLinear(df, col("k"), s"$root/dv", 16)
+        graft.ops.Layout.writeLinear(df, col("k"), s"$root/rw", 16)
+        val (dvDir, rwDir) = (new Path(s"$root/dv"), new Path(s"$root/rw"))
+        val fs = dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(dvDir, rwDir).foreach { d =>
+          ManifestCommit.bootstrap(fs, d)
+          ManifestCommit.recordStats(spark, d, Seq("k"))
+        }
+        val t0 = System.nanoTime()
+        val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dvDir, "k",
+          0L, hiFixed)
+        val dvSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        ManifestCommit.deleteRange(spark, rwDir, "k", 0L, hiFixed, Seq("k"))
+        val rwSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val dvRows = ManifestCommit.readTableDV(spark, dvDir.toString).count()
+        val readSec = (System.nanoTime() - t2) / 1e9
+        require(dvRows ==
+          ManifestCommit.readTable(spark, rwDir.toString).count(),
+          "dv and rewrite must agree")
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${df.count()},""" +
+            f""""deleted":$nDel,"dv_sec":$dvSec%.2f,""" +
+            f""""rewrite_sec":$rwSec%.2f,"dvread_sec":$readSec%.2f}""")
+      }
+      timeDv("warmup", 1, silent = true)
+      timeDv("dv_1x", 1)
+      timeDv(s"dv_${k}x", k)
+    }
     // PageRank-over-pairs (the q133 consumer): rank iterations measured
     // over PRE-BUILT persisted pairs so the window isolates the
     // CC + 3 fixed-point iterations from candidate generation (the dedup
