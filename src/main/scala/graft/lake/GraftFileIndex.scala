@@ -1,0 +1,240 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Catalyst [[FileIndex]] over the manifest commit log — the integration
+  * that makes the lake a FIRST-CLASS Spark table (the public Delta
+  * `TahoeFileIndex` idea, re-derived): `ManifestCommit.table(spark,
+  * root).filter($"k" === v)` plans through Spark's own planner, which
+  * hands the pushed-down partition and data predicates to
+  * [[listFiles]], and THIS index answers them from committed manifest
+  * metadata — per-file min/max stats for ranges, per-file blooms for
+  * point probes, Hive-style `year=/month=/day=` directory values for
+  * partition pruning. No explicit `ranges` map, no footer sweep: the
+  * SQL WHERE clause alone selects the file set, and everything
+  * downstream (vectorized parquet read, row-group pruning, codegen) is
+  * stock Spark.
+  *
+  * Scale shape: resolution is one manifest GET + one LIST per leaf
+  * partition (the metadata cost every reader already pays);
+  * [[listFiles]] evaluates predicates against in-memory stat lines —
+  * at 100 TB the planner touches KBs of manifest state, never the
+  * table. Pruning is a superset guarantee exactly as in
+  * [[ManifestCommit.readTableWhere]]: unknown predicate shapes and
+  * stats-free files are conservatively kept, and Spark re-applies the
+  * full row-level filter after the scan.
+  *
+  * Deletion vectors: a partition with ACTIVE sidecars cannot be served
+  * by a bare file scan (rows would resurrect) — [[ManifestCommit.table]]
+  * refuses loudly and points at readTableDV/applyDvs.
+  */
+final class GraftFileIndex(spark: SparkSession, root: Path)
+    extends FileIndex {
+  import ManifestCommit.{ColBloom, ColStat}
+
+  private val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private case class Leaf(dir: Path, values: InternalRow,
+      files: Seq[FileStatus], stats: Map[String, Seq[ColStat]],
+      blooms: Map[String, Seq[ColBloom]], dvs: Seq[String])
+
+  private def resolve(): Seq[Leaf] = {
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    parts.map { dir =>
+      val names = ManifestCommit.currentSnapshot(fs, dir) match {
+        case Some(snap) => snap.files
+        case None => // listing-mode partition interop, as in liveFiles
+          if (fs.exists(dir))
+            fs.listStatus(dir).toIndexedSeq
+              .filter(st => !st.isDirectory &&
+                !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith("."))
+              .map(_.getPath.getName)
+          else Nil
+      }
+      val byName = if (fs.exists(dir))
+        fs.listStatus(dir).toIndexedSeq.filterNot(_.isDirectory)
+          .map(st => st.getPath.getName -> st).toMap
+      else Map.empty[String, FileStatus]
+      val files = names.map(n => byName.getOrElse(n, sys.error(
+        s"manifest for $dir lists missing file $n — GC grace too short?")))
+      Leaf(dir, partitionValues(dir), files,
+        ManifestCommit.currentFileStats(fs, dir),
+        ManifestCommit.currentFileBlooms(fs, dir),
+        ManifestCommit.currentDvs(fs, dir))
+    }
+  }
+
+  @volatile private var leaves: Seq[Leaf] = resolve()
+
+  /** Active deletion-vector sidecars anywhere under the root. */
+  def activeDvs: Seq[String] = leaves.flatMap(_.dvs)
+
+  /** Hive-style `col=value` segments between the root and a leaf. */
+  private def segmentsOf(dir: Path): Seq[(String, Int)] = {
+    val rel = dir.toString.stripPrefix(root.toString)
+      .split("/").filter(_.nonEmpty).toSeq
+    rel.map { seg =>
+      val Array(c, v) = seg.split("=", 2)
+      (c, v.toInt)
+    }
+  }
+
+  // lazy: resolve() runs in the constructor before later vals initialize
+  override lazy val partitionSchema: StructType =
+    Compaction.leafPartitions(fs, root) match {
+      case Seq() => StructType(Nil)
+      case ps => StructType(segmentsOf(ps.head)
+        .map { case (c, _) => StructField(c, IntegerType, nullable = false) })
+    }
+
+  private def partitionValues(dir: Path): InternalRow =
+    if (partitionSchema.isEmpty) InternalRow.empty
+    else InternalRow.fromSeq(segmentsOf(dir).map(_._2))
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def refresh(): Unit = { leaves = resolve() }
+
+  override def inputFiles: Array[String] =
+    leaves.flatMap(_.files.map(_.getPath.toString)).toArray
+
+  override def sizeInBytes: Long = leaves.flatMap(_.files.map(_.getLen)).sum
+
+  /** Conjuncts of the pushed predicates. */
+  private def conjuncts(es: Seq[Expression]): Seq[Expression] =
+    es.flatMap {
+      case And(l, r) => conjuncts(Seq(l)) ++ conjuncts(Seq(r))
+      case e         => Seq(e)
+    }
+
+  private def litLong(l: Literal): Option[Long] = l.dataType match {
+    case LongType    => Option(l.value).map(_.asInstanceOf[Long])
+    case IntegerType => Option(l.value).map(_.asInstanceOf[Int].toLong)
+    case _           => None
+  }
+
+  /** Per-column [lo, hi] requirement and equality-probe set implied by
+    * the recognized conjuncts; everything else is ignored
+    * (conservative — kept files are a superset). */
+  private def requirements(filters: Seq[Expression])
+      : (Map[String, (Long, Long)], Map[String, Seq[Long]]) = {
+    var ranges = Map.empty[String, (Long, Long)]
+    var probes = Map.empty[String, Seq[Long]]
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (plo, phi) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      ranges += c -> (math.max(plo, lo), math.min(phi, hi))
+    }
+    conjuncts(filters).foreach {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach { v =>
+          tighten(a.name, v, v)
+          probes += a.name -> (probes.getOrElse(a.name, Nil) :+ v)
+        }
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach { v =>
+          tighten(a.name, v, v)
+          probes += a.name -> (probes.getOrElse(a.name, Nil) :+ v)
+        }
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => tighten(a.name, v + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v - 1))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case GreaterThan(l: Literal, a: AttributeReference) => // v > a
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v - 1))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, Long.MinValue, v))
+      case LessThan(l: Literal, a: AttributeReference) => // v < a
+        litLong(l).foreach(v => tighten(a.name, v + 1, Long.MaxValue))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach(v => tighten(a.name, v, Long.MaxValue))
+      case In(a: AttributeReference, vs) if vs.forall {
+            case l: Literal => litLong(l).isDefined
+            case _          => false
+          } =>
+        val values = vs.collect { case l: Literal => litLong(l).get }
+        if (values.nonEmpty) {
+          tighten(a.name, values.min, values.max)
+          probes += a.name -> (probes.getOrElse(a.name, Nil) ++ values)
+        }
+      case _ => // unrecognized: no pruning contribution
+    }
+    (ranges, probes)
+  }
+
+  private def survives(name: String, leaf: Leaf,
+      ranges: Map[String, (Long, Long)],
+      probes: Map[String, Seq[Long]]): Boolean = {
+    val stats = leaf.stats.getOrElse(name, Nil)
+    val statOk = ranges.forall { case (c, (lo, hi)) =>
+      stats.find(_.col == c).forall(s => s.max >= lo && s.min <= hi)
+    }
+    // bloom rejection: EVERY probed value absent -> the equality (or the
+    // whole IN list) cannot match in this file
+    val bloomOk = probes.forall { case (c, vs) =>
+      leaf.blooms.getOrElse(name, Nil).find(_.col == c)
+        .forall(b => vs.exists(b.mightContain))
+    }
+    statOk && bloomOk
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // partition pruning: bind the pushed partition predicates to the
+    // directory-derived values row and evaluate on the driver
+    val bound = conjuncts(partitionFilters).map(_.transform {
+      case a: AttributeReference =>
+        BoundReference(partitionSchema.fieldIndex(a.name), a.dataType,
+          nullable = false)
+    })
+    val (ranges, probes) = requirements(dataFilters)
+    leaves
+      .filter(l => bound.forall(_.eval(l.values) == true))
+      .map { l =>
+        PartitionDirectory(l.values,
+          l.files.filter(f =>
+            survives(f.getPath.getName, l, ranges, probes)).toArray)
+      }
+      .filter(_.files.nonEmpty)
+  }
+}
+
+object GraftFileIndex {
+
+  /** The manifest lake as a first-class Spark DataFrame: committed file
+    * set, manifest-stat + bloom file skipping driven by ORDINARY
+    * `filter`/SQL predicates (no explicit ranges map), Hive partition
+    * columns and their pruning, stock vectorized parquet execution.
+    * Refuses a table with active deletion vectors — a bare file scan
+    * would resurrect deleted rows; read those via
+    * [[ManifestCommit.readTableDV]] or compact with
+    * [[ManifestCommit.applyDvs]] first. */
+  def table(spark: SparkSession, tableRoot: String): DataFrame = {
+    val root = new Path(tableRoot)
+    val index = new GraftFileIndex(spark, root)
+    require(index.activeDvs.isEmpty,
+      s"$tableRoot has active deletion vectors (${index.activeDvs.size} " +
+        "sidecars) — use readTableDV, or applyDvs to compact them away")
+    val first = index.inputFiles.headOption.getOrElse(
+      sys.error(s"no live files under $tableRoot"))
+    val dataSchema = StructType(spark.read.parquet(first).schema
+      .filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
+    val relation = HadoopFsRelation(index, index.partitionSchema,
+      dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark,
+      LogicalRelation(relation))
+  }
+}

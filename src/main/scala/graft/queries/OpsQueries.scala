@@ -1259,6 +1259,20 @@ object OpsQueries {
           col("l_suppkey").between(slo, shi))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // the manifest lake as a FIRST-CLASS Spark table: same box query as
+    // q164 but from ORDINARY filter predicates — no explicit ranges map.
+    // Catalyst pushes the conjuncts into GraftFileIndex.listFiles, which
+    // answers from committed manifest stats (file skipping), and the
+    // scan itself is stock vectorized parquet
+    "q241_fileindex_scan" -> ((s, d) => {
+      val z = ensureZLake(s, d)
+      val (plo, phi) = boxRange(z.pmin, z.pmax)
+      val (slo, shi) = boxRange(z.smin, z.smax)
+      graft.lake.GraftFileIndex.table(s, z.path)
+        .filter(col("l_partkey").between(plo, phi) &&
+          col("l_suppkey").between(slo, shi))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // GDPR targeted delete: the key range is rewritten out of ONLY the
     // stats-intersecting files; the manifest read sees the post-delete
     // table, bit-equal to the logical anti-filter
@@ -5070,6 +5084,18 @@ object OpsQueries {
     "q166_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // q241 shares q164's logical content: the FileIndex scan must equal
+    // the explicit-ranges manifest read it replaces
+    "q241_fileindex_scan" ->
+      """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+           min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_partkey BETWEEN pmin + (pmax - pmin) // 4
+             AND pmin + (pmax - pmin) // 2
+           AND l_suppkey BETWEEN smin + (smax - smin) // 4
+             AND smin + (smax - smin) // 2
+         ORDER BY l_orderkey, l_linenumber""",
     // q238/q239 share one oracle: the dv-read and its copy-on-write
     // conversion must BOTH equal the logical double anti-range
     "q238_dv_read" ->

@@ -30,6 +30,15 @@ object GraftBridge {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
       .location
 
+  /** DataFrame over an arbitrary logical plan (classic.Dataset.ofRows is
+    * private[sql]). Used to wrap a LogicalRelation over the manifest
+    * lake's custom FileIndex. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** DataFrame over an InternalRow RDD (spark.internalCreateDataFrame is
     * private[sql]). Used to truncate iterative-algorithm lineage while
     * keeping the result inside the CacheManager (unlike localCheckpoint,

@@ -577,6 +577,67 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.readTable(spark, root).count() == 14500L)
   }
 
+  test("FileIndex: ordinary filters prune files via manifest stats, " +
+      "blooms, and partition dirs") {
+    import graft.ops.Layout
+    import graft.lake.GraftFileIndex
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    hc
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.getOrElse(sys.error("no file scan in plan"))
+    }
+    // (a) range pruning: k-ordered 16-file layout, stats on k — a plain
+    // .filter range must reach listFiles and select ~1/16 of the files
+    val local = Files.createTempDirectory("graft-fileindex").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df16 = spark.range(16000).select($"id".as("k"), ($"id" % 37).as("v"))
+    Layout.writeLinear(df16, col("k"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    val t = GraftFileIndex.table(spark, root)
+    assert(t.count() == 16000L)
+    val ranged = t.filter($"k".between(1000, 1999))
+    assert(ranged.count() == 1000L)
+    assert(scannedFiles(ranged) <= 3,
+      "range predicate must prune through the manifest stats")
+    // (b) bloom point probe on an UNCLUSTERED column (stats useless)
+    val local2 = Files.createTempDirectory("graft-fileindex-bloom").toString
+    val root2 = s"file://$local2/tbl"
+    val dir2 = new Path(root2)
+    val dfb = spark.range(16000).select($"id".as("k"), ($"id" % 16).as("x"))
+    Layout.writeLinear(dfb, col("x"), root2, 16)
+    ManifestCommit.bootstrap(fs, dir2)
+    ManifestCommit.recordStats(spark, dir2, Seq("k"))
+    ManifestCommit.recordBlooms(spark, dir2, "k")
+    val probe = GraftFileIndex.table(spark, root2).filter($"k" === 777L)
+    assert(probe.count() == 1L)
+    assert(scannedFiles(probe) <= 3,
+      "equality probe must prune through the manifest blooms")
+    // (c) partition pruning: y/m/d dirs become partition COLUMNS and a
+    // day predicate prunes whole directories before any stats
+    val (proot, pfs) = fragmentedTable("file://")
+    Seq("day=1", "day=2").foreach(d => ManifestCommit.bootstrap(pfs,
+      new Path(s"$proot/year=2024/month=1/$d")))
+    val pt = GraftFileIndex.table(spark, proot)
+    assert(pt.columns.contains("day"))
+    assert(pt.count() == 800L)
+    val day2 = pt.filter($"day" === 2)
+    assert(day2.count() == 200L)
+    assert(scannedFiles(day2) == 1L,
+      "day=2 holds one file; day=1's three must prune away")
+    // (d) a table with ACTIVE deletion vectors refuses the bare scan
+    ManifestCommit.deleteWhereDV(spark, dir, "k", 0L, 9L)
+    val e = intercept[IllegalArgumentException] {
+      GraftFileIndex.table(spark, root)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
   test("deletion vectors: NULL keys survive; adoption never eats a sidecar") {
     hc
     val local = Files.createTempDirectory("graft-manifest-dvnull").toString

@@ -548,4 +548,33 @@ class PlanSpec extends SparkSpec {
     assert(!p239.contains("Join"),
       s"post-rewrite read must be join-free:\n$p239")
   }
+
+  test("round-9e: FileIndex prunes the z-lake from plain filter predicates") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // q241 carries NO explicit ranges — the pushed box conjuncts alone
+    // must reach GraftFileIndex.listFiles and skip non-intersecting
+    // files, exactly as q164's hand-fed readTableWhere does
+    val df = SparkEntry.queries("q241_fileindex_scan")(spark, sf)
+    df.collect()
+    // the scan hides inside AQE's materialized query stages — unwrap
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec    => Some(f)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: QueryStageExec        => findScan(q.plan)
+      case other => other.children.view.flatMap(findScan).headOption
+    }
+    val scanned = findScan(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value)
+      .getOrElse(sys.error("q241 must plan a file-source scan"))
+    assert(scanned < 16,
+      s"the box predicate must skip z-lake files, scanned $scanned of 16")
+    // and the row-level predicate still pushes into the parquet scan
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(p.contains("PushedFilters:") && p.contains("l_partkey"),
+      s"box filter must also push into the scan:\n$p")
+  }
 }
