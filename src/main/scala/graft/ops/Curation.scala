@@ -187,4 +187,39 @@ object Curation {
           .when(col("bucket") === 8, "val")
           .otherwise("test").as("split"))
   }
+
+  /** Preference-pair mining (DPO / reward-model data prep): within each
+    * (lang, source) candidate pool, the highest-scoring document is the
+    * `chosen` response and every pool-mate trailing it by at least
+    * `minMargin` becomes a `rejected` partner — the (chosen, rejected,
+    * margin) rows a preference-tuning run consumes. The score is the
+    * integer type-token ratio in ppm (lexical diversity — a fluency
+    * proxy with clean cross-engine arithmetic); ties for champion break
+    * to the smaller doc_id, so every pool has exactly ONE chosen. A
+    * near-champion inside the margin band pairs with nothing — margin
+    * filtering is what keeps label noise out of a DPO set.
+    *
+    * Shape at scale: the score is row-local scan arithmetic, each
+    * pool's champion is ONE map-side-combinable max(struct)
+    * aggregation, and pairing is the corpus streaming past a BROADCAST
+    * of the |pools|-row champion relation — no window function, and no
+    * all-pairs (documents pair with their pool champion only, never
+    * with each other). */
+  def preferencePairs(docs: DataFrame,
+      minMargin: Long = 100000L): DataFrame = {
+    val scored = spread(docs).select(col("doc_id"), col("lang"),
+      col("source"),
+      expr("size(array_distinct(split(text, ' '))) * 1000000L" +
+        " div size(split(text, ' '))").as("score"))
+    val champ = scored.groupBy(col("lang"), col("source"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("lang"), col("source"), (-col("m.nd")).as("chosen_id"),
+        col("m.score").as("chosen_score"))
+    scored.join(broadcast(champ), Seq("lang", "source"))
+      .filter(col("chosen_score") - col("score") >= minMargin)
+      .select(col("lang"), col("source"), col("chosen_id"),
+        col("doc_id").as("rejected_id"), col("chosen_score"),
+        col("score").as("rejected_score"),
+        (col("chosen_score") - col("score")).as("margin"))
+  }
 }

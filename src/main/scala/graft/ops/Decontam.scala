@@ -76,4 +76,38 @@ object Decontam {
         sum(col("n_hit")).as("total_hits"))
       .withColumn("contaminated_ppm",
         expr("n_contaminated * 1000000L div n_docs"))
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram collision test: a training item whose embedding sits at
+    * cosine >= `tau` of an eval item leaks the benchmark even when a
+    * paraphrase defeats every 8-gram. Per corpus vector: the maximum
+    * cosine against the benchmark slice, the closest benchmark item
+    * (ties break to the smaller id), and the `contaminated` flag.
+    *
+    * Shape at 100 TB: the benchmark is small by definition, so it is
+    * the broadcast side and the corpus streams ONCE — the scored
+    * relation fans out |corpus| x |bench| rows map-side (the same
+    * shape as brute ANN over broadcast queries), and the per-vector
+    * argmax is a map-side-combinable max(struct) whose shuffle carries
+    * one row per corpus vector. Integer dots, exact-double cosine —
+    * DuckDB-oracle exact. */
+  def semanticContamination(emb: DataFrame, benchPred: Column,
+      tau: Double = 0.30): DataFrame = {
+    val e = spread(emb)
+      .select(col("vec_id"), quantVec(col("embedding")).as("qv"))
+      .withColumn("nsq", dotPre(col("qv"), col("qv")))
+    val bench = e.filter(benchPred)
+      .select(col("vec_id").as("bench_id"), col("qv").as("bqv"),
+        col("nsq").as("bnsq"))
+    e.filter(!benchPred)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        struct(cosineQ(dotPre(col("qv"), col("bqv")), col("nsq"),
+          col("bnsq")).as("cos"), (-col("bench_id")).as("nb")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.nb")).as("bench_id"),
+        col("m.cos").as("max_cos"),
+        (col("m.cos") >= tau).cast("int").as("contaminated"))
+  }
 }

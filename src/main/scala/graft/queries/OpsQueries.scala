@@ -270,6 +270,20 @@ object OpsQueries {
       Decontam.report(plantContam(docs(s, d)),
           col("doc_id") % 97 === 0, n = 8)
         .orderBy("source")),
+    // SEMANTIC decontamination: every 17th embedding is the eval
+    // slice; per corpus vector the max cosine against it, the closest
+    // bench item (ties to smaller id), and the >= tau flag — catches
+    // the paraphrase leak the q232 n-gram collision cannot
+    "q242_semantic_decontam" -> ((s, d) =>
+      Decontam.semanticContamination(emb(s, d), col("vec_id") % 17 === 0)
+        .orderBy("vec_id")),
+    // preference-pair mining (DPO prep): per (lang, source) pool the
+    // type-token-ratio champion is `chosen`, pool-mates trailing by
+    // >= 100k ppm are `rejected` partners; near-champions inside the
+    // margin band pair with nothing (label-noise guard)
+    "q243_preference_pairs" -> ((s, d) =>
+      Curation.preferencePairs(docs(s, d))
+        .orderBy("lang", "source", "rejected_id")),
     // leakage-safe split: the near-dup CLUSTER is the split unit
     // (hashed 80/10/10), so a duplicate pair can never straddle
     // train/test and the eval measure generalization, not memorization
@@ -4538,6 +4552,44 @@ object OpsQueries {
     // (short) docs survive with n_grams = 0
     "q232_decontaminate" -> decontamSql(report = false),
     "q233_decontam_report" -> decontamSql(report = true),
+    // exact-cosine argmax against the bench slice; tie-break mirrors
+    // max(struct(cos, -bench_id)) as (cos DESC, bench_id ASC)
+    "q242_semantic_decontam" ->
+      s"""WITH $EQ_EN,
+         bench AS (SELECT vec_id AS bench_id, qv AS bqv, nsq AS bnsq
+           FROM en WHERE vec_id % 17 = 0),
+         sc AS (SELECT c.vec_id, bench_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> c.qv[i] * b.bqv[i])) AS DOUBLE)
+               / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(b.bnsq AS DOUBLE)))
+               AS cos
+           FROM en c, bench b WHERE c.vec_id % 17 != 0)
+         SELECT vec_id, bench_id, cos AS max_cos,
+           CAST(cos >= 0.30 AS INT) AS contaminated
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, bench_id) AS rr FROM sc)
+         WHERE rr = 1 ORDER BY vec_id""",
+    // champion = row_number 1 on (score DESC, doc_id) per pool — the
+    // max(struct(score, -doc_id)) mirror; margin filter excludes the
+    // champion itself (margin 0) and the near-champion band
+    "q243_preference_pairs" ->
+      """WITH sc AS (SELECT doc_id, lang, source,
+           len(list_distinct(string_split(text, ' '))) * 1000000
+             // len(string_split(text, ' ')) AS score
+           FROM documents),
+         champ AS (SELECT lang, source, doc_id AS chosen_id,
+             score AS chosen_score
+           FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
+               ORDER BY score DESC, doc_id) AS rr FROM sc)
+           WHERE rr = 1)
+         SELECT sc.lang, sc.source, chosen_id,
+           sc.doc_id AS rejected_id, chosen_score,
+           sc.score AS rejected_score,
+           chosen_score - sc.score AS margin
+         FROM sc JOIN champ ON sc.lang = champ.lang
+           AND sc.source = champ.source
+         WHERE chosen_score - sc.score >= 100000
+         ORDER BY sc.lang, sc.source, rejected_id""",
     // q43's pair + closure chain, then per-group md5 bucket arithmetic
     "q230_leakage_safe_split" -> leakageSafeSplitSql,
     // served-from-storage twin: stored == recomputed is q195's oracle,

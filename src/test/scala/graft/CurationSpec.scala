@@ -407,6 +407,29 @@ class CurationSpec extends SparkSpec {
     TextKit.releaseCaches()
   }
 
+  test("preference pairs: one champion per pool, margin band excluded, " +
+      "ties break to smaller id") {
+    // TTR score: d1/d2 = 1.0 (all-distinct, TIED champions), d3 near
+    // the champion (inside the 100k margin), d4 far behind (pairs)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en", "web"),              // 1000000
+      (2L, "k l m n o p q r s t", "en", "web"),              // 1000000 tie
+      (3L, "u v w x y z aa bb cc dd u", "en", "web"),        // 909090
+      (4L, "dup dup dup dup dup dup dup dup dup dup", "en", "web"), // 100000
+      (5L, "solo pool other lang words here", "fr", "web"))  // own pool
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Curation.preferencePairs(docs)
+      .collect().map(x => x.getAs[Long]("rejected_id") -> x).toMap
+    // only d4 trails the champion by >= 100k; d3 sits inside the band,
+    // the tied runner-up d2 (margin 0) and the champion itself never pair
+    assert(r.keySet == Set(4L))
+    assert(r(4L).getAs[Long]("chosen_id") == 1L, "tie breaks to smaller id")
+    assert(r(4L).getAs[Long]("chosen_score") == 1000000L)
+    assert(r(4L).getAs[Long]("rejected_score") == 100000L)
+    assert(r(4L).getAs[Long]("margin") == 900000L)
+    TextKit.releaseCaches()
+  }
+
   test("span excision: shared runs cut everywhere, within-doc repeats cut, " +
       "unique text untouched") {
     val run = (1 to 6).map(i => s"r$i").mkString(" ")

@@ -59,4 +59,29 @@ class DecontamSpec extends SparkSpec {
     assert(rep("w").getAs[Long]("total_hits") == 8L)
     assert(rep("w").getAs[Long]("contaminated_ppm") == 1000000L / 3L)
   }
+
+  test("semantic decontamination: verbatim embedding flags, orthogonal " +
+      "survives, argmax picks the closest bench item") {
+    val emb = Seq(
+      (100L, Array(1f, 0f, 0f)),   // bench A
+      (101L, Array(0f, 1f, 0f)),   // bench B
+      (1L, Array(1f, 0f, 0f)),     // exact copy of bench A -> cos 1
+      (2L, Array(0f, 0.9f, 0.1f)), // near bench B
+      (3L, Array(0f, 0f, 1f)))     // orthogonal to both
+      .toDF("vec_id", "embedding")
+    val r = Decontam.semanticContamination(emb,
+        col("vec_id") >= 100L, tau = 0.5)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L)) // bench slice excluded
+    assert(r(1L).getAs[Long]("bench_id") == 100L)
+    assert(r(1L).getAs[Double]("max_cos") == 1.0)
+    assert(r(1L).getAs[Int]("contaminated") == 1)
+    assert(r(2L).getAs[Long]("bench_id") == 101L)
+    assert(r(2L).getAs[Int]("contaminated") == 1)
+    assert(r(3L).getAs[Double]("max_cos") == 0.0)
+    assert(r(3L).getAs[Int]("contaminated") == 0)
+    // cos-0 tie against both bench items breaks to the SMALLER id
+    assert(r(3L).getAs[Long]("bench_id") == 100L)
+    graft.ops.TextKit.releaseCaches()
+  }
 }
