@@ -138,4 +138,77 @@ object Unigram {
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_pieces")).as("uni_tokens"))
   }
+
+  /** WordPiece-style GREEDY longest-match-first segmentation (Wu et al.
+    * 2016, the BERT tokenizer's algorithm) over the SAME corpus lexicon
+    * the Viterbi segmenter uses — the third subword family, and sharing
+    * the lexicon is deliberate: it makes the greedy-vs-optimal fertility
+    * comparison apples-to-apples (pinned deviation: no `##`-prefixed
+    * continuation vocabulary — the lexicon is position-free, which
+    * changes nothing about the algorithm under test). At each word
+    * position the LONGEST lexicon piece matching there is taken and the
+    * cursor advances; single characters always ride the lexicon, so no
+    * word is unmatchable and no [UNK] is needed. Greedy can be strictly
+    * worse than Viterbi (spec pins a 3-vs-2-piece counterexample) but
+    * never better — [[segmentWords]] minimizes the piece count.
+    *
+    * Scale shape: identical to the Viterbi DP — `MaxWordLen` rounds of
+    * (frontier explode x MaxPieceLen candidate substrings) equi-joined
+    * to the lexicon with an argmax-by-length tail, one row of state per
+    * distinct word, lineage-truncated per round. Work is
+    * vocab x MaxWordLen x MaxPieceLen, never corpus-scale. */
+  def segmentWordsGreedy(docs: DataFrame, lex: DataFrame): DataFrame = {
+    val words = tracked(wordFreq(docs))
+    val tooLong = words.filter(length(col("word")) > MaxWordLen).count()
+    require(tooLong == 0,
+      s"segmentWordsGreedy: $tooLong words exceed MaxWordLen=$MaxWordLen")
+    val pieces = tracked(lex.select(col("piece"), col("freq")))
+    var state = Components.truncated(words.select(col("word"), col("wf"),
+      lit(0).as("pos"), lit(0L).as("np"), lit(0L).as("fs")))
+    for (_ <- 1 to MaxWordLen) {
+      val active = state.filter(col("pos") < length(col("word")))
+      val done = state.filter(col("pos") >= length(col("word")))
+      val step = active
+        .select(col("word"), col("wf"), col("pos"), col("np"), col("fs"),
+          explode(sequence(lit(1),
+            least(lit(MaxPieceLen), length(col("word")) - col("pos"))))
+            .as("l"))
+        .select(col("word"), col("wf"), col("pos"), col("np"), col("fs"),
+          col("l"), col("word").substr(col("pos") + 1, col("l")).as("piece"))
+        .join(pieces, Seq("piece"))
+        // longest match wins; equal lengths are the SAME piece string,
+        // so the struct argmax is deterministic
+        .groupBy(col("word"), col("wf"), col("pos"), col("np"), col("fs"))
+        .agg(max(struct(col("l"), col("freq"))).as("m"))
+        .select(col("word"), col("wf"),
+          (col("pos") + col("m.l")).as("pos"), (col("np") + 1).as("np"),
+          (col("fs") + col("m.freq")).as("fs"))
+      state = Components.truncated(step.unionByName(done))
+    }
+    val unfinished = state.filter(col("pos") < length(col("word"))).count()
+    require(unfinished == 0, // impossible while single chars ride the lex
+      s"segmentWordsGreedy: $unfinished words unmatchable — lexicon bug")
+    state.select(col("word"), col("wf"), col("np").as("n_pieces"),
+      col("fs").as("piece_freq_sum"))
+  }
+
+  /** Per-document metering under the greedy segmenter, alongside the
+    * Viterbi count — the fertility comparison row (wp_tokens >=
+    * uni_tokens always; equality when greedy happens to be optimal). */
+  def meterGreedy(docs: DataFrame, lex: DataFrame): DataFrame = {
+    val segG = segmentWordsGreedy(docs, lex)
+      .select(col("word"), col("n_pieces").as("np_g"))
+    val segV = segmentWords(docs, lex)
+      .select(col("word"), col("n_pieces").as("np_v"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+      .join(segG, Seq("word")).join(segV, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("np_g")).as("wp_tokens"),
+        sum(col("n") * col("np_v")).as("uni_tokens"))
+      .withColumn("overhead_ppm",
+        expr("(wp_tokens - uni_tokens) * 1000000L div uni_tokens"))
+  }
 }

@@ -901,6 +901,21 @@ object OpsQueries {
       val dd = docs(s, d)
       Unigram.meter(dd, Unigram.lexicon(dd)).orderBy("doc_id")
     }),
+    // WordPiece-style greedy longest-match segmentation over the SAME
+    // lexicon as q202 — the third subword family; 12 argmax-by-length
+    // rounds, one state row per distinct word
+    "q244_wordpiece_segment" -> ((s, d) => {
+      val dd = docs(s, d)
+      Unigram.segmentWordsGreedy(dd, Unigram.lexicon(dd)).orderBy("word")
+    }),
+    // fertility comparison: greedy (wordpiece) vs optimal (viterbi)
+    // tokens per document, with the greedy overhead in ppm — greedy is
+    // provably never better, and the measured gap is the price of the
+    // faster tokenizer
+    "q245_tokenizer_fertility" -> ((s, d) => {
+      val dd = docs(s, d)
+      Unigram.meterGreedy(dd, Unigram.lexicon(dd)).orderBy("doc_id")
+    }),
     // HLL set algebra: audience overlap (viewers who also purchase) by
     // inclusion-exclusion over two register sketches — union registers
     // are element-wise max, the one exact HLL set operation
@@ -2614,6 +2629,43 @@ object OpsQueries {
          FROM ($finals))"""
   }
 
+  /** Greedy longest-match rounds on top of [[unigramChain]]'s shared
+    * lexicon (q244/q245): per round the active words explode their
+    * <= MaxPieceLen candidate substrings at the cursor, equi-join the
+    * lexicon, and keep the LONGEST match (row_number by length DESC —
+    * equal lengths are the same piece string, so the order is total);
+    * finished words pass through. 12 rounds cover MaxWordLen. */
+  private val wordpieceChain: String = {
+    val maxW = graft.ops.Unigram.MaxWordLen
+    val maxP = graft.ops.Unigram.MaxPieceLen
+    val rounds = (1 to maxW).map { r =>
+      s"""gs$r AS MATERIALIZED (
+         SELECT word, wf, pos + l AS pos, np + 1 AS np,
+           fs + CAST(freq AS BIGINT) AS fs
+         FROM (
+           SELECT c.word, c.wf, c.pos, c.np, c.fs, c.l, x.freq,
+             row_number() OVER (PARTITION BY c.word
+               ORDER BY c.l DESC) AS rr
+           FROM (
+             SELECT word, wf, pos, np, fs, l,
+               substr(word, CAST(pos + 1 AS INT), CAST(l AS INT)) AS piece
+             FROM (SELECT *, unnest(generate_series(1,
+                 least($maxP, length(word) - pos))) AS l
+               FROM gs${r - 1} WHERE pos < length(word))) c
+           JOIN lex x ON c.piece = x.piece)
+         WHERE rr = 1
+         UNION ALL
+         SELECT word, wf, pos, np, fs FROM gs${r - 1}
+         WHERE pos >= length(word))"""
+    }.mkString(",\n       ")
+    s"""$unigramChain,
+       gs0 AS MATERIALIZED (SELECT word, wf, 0 AS pos, 0::BIGINT AS np,
+         0::BIGINT AS fs FROM w),
+       $rounds,
+       gfin AS MATERIALIZED (SELECT word, CAST(wf AS BIGINT) AS wf,
+         np AS n_pieces, fs AS piece_freq_sum FROM gs$maxW)"""
+  }
+
   /** 2-core peeling unrolled to a fixed 12 rounds (peeling is monotone
     * and idempotent at fixpoint, so any depth <= 12 lands on the same
     * edge set the Spark side converges to; deeper graphs would
@@ -2988,6 +3040,26 @@ object OpsQueries {
          SELECT w.word, CAST(w.wf AS BIGINT) AS wf, fin.n_pieces,
            fin.piece_freq_sum
          FROM w JOIN fin ON w.word = fin.word ORDER BY w.word""",
+    "q244_wordpiece_segment" ->
+      s"""WITH $wordpieceChain
+         SELECT word, wf, n_pieces, piece_freq_sum FROM gfin
+         ORDER BY word""",
+    "q245_tokenizer_fertility" ->
+      s"""WITH $wordpieceChain,
+         docw2 AS (SELECT doc_id, word, count(*) AS n FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+           WHERE word <> '' GROUP BY doc_id, word),
+         per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+             CAST(sum(n * g.n_pieces) AS BIGINT) AS wp_tokens,
+             CAST(sum(n * f.n_pieces) AS BIGINT) AS uni_tokens
+           FROM docw2 d JOIN gfin g ON d.word = g.word
+           JOIN fin f ON d.word = f.word
+           GROUP BY doc_id)
+         SELECT doc_id, n_words, wp_tokens, uni_tokens,
+           (wp_tokens - uni_tokens) * 1000000 // uni_tokens
+             AS overhead_ppm
+         FROM per ORDER BY doc_id""",
     "q203_unigram_meter" ->
       s"""WITH $unigramChain,
          docw AS (SELECT doc_id, word, count(*) AS n FROM

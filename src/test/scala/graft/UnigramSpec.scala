@@ -58,6 +58,32 @@ class UnigramSpec extends SparkSpec {
     assert(m(0L) == (2L, 3L) && m(1L) == (2L, 3L), s"m=$m")
   }
 
+  test("wordpiece greedy: longest match wins, strictly worse than " +
+      "viterbi on the classic trap, never better anywhere") {
+    // hand lexicon: greedy eats "abcd" and strands "ef" as singles
+    // (3 pieces); viterbi finds abc|def (2). Singles keep totality.
+    val lex = (Seq(("abcd", 5L), ("abc", 4L), ("def", 4L)) ++
+      "abcdef".map(c => (c.toString, 1L))).toDF("piece", "freq")
+    val d = docsOf("abcdef")
+    val g = Unigram.segmentWordsGreedy(d, lex).collect().head
+    assert(g.getAs[Long]("n_pieces") == 3L) // abcd | e | f
+    assert(g.getAs[Long]("piece_freq_sum") == 7L)
+    val v = Unigram.segmentWords(d, lex).collect().head
+    assert(v.getAs[Long]("n_pieces") == 2L) // abc | def
+    // property: over the corpus-harvested lexicon, greedy never beats
+    // the DP on ANY word (it minimizes piece count by construction)
+    val corpus = docsOf("abcdefgh abcd wordpiece pieces",
+      "abcdefgh efgh word pie piece")
+    val cl = Unigram.lexicon(corpus)
+    val gm = Unigram.segmentWordsGreedy(corpus, cl).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_pieces")).toMap
+    Unigram.segmentWords(corpus, cl).collect().foreach { r =>
+      assert(gm(r.getString(0)) >= r.getAs[Long]("n_pieces"),
+        s"greedy beat viterbi on ${r.getString(0)}")
+    }
+    graft.ops.TextKit.releaseCaches()
+  }
+
   test("loud failures: over-horizon words and unsegmentable lexicons") {
     val long = docsOf("a" * (Unigram.MaxWordLen + 1))
     val e1 = intercept[IllegalArgumentException](
