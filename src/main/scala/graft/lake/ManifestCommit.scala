@@ -213,7 +213,7 @@ object ManifestCommit {
   private final case class Parsed(live: Seq[(String, Seq[ColStat])],
       removed: Seq[(Long, String)], kind: String,
       deletePredicate: Option[(String, Long, Long)],
-      dvs: Seq[String])
+      dvs: Seq[String], txns: Map[String, Long])
 
   /** Parsed manifest; None if torn/invalid (possible only on filesystems
     * without atomic object PUT). The `O` kind line is advisory: its
@@ -254,21 +254,35 @@ object ManifestCommit {
         .getOrElse((KindUnknown, None))
       val bloomLines = lines.tail.count(_.startsWith("F "))
       val dvs = lines.tail.filter(_.startsWith("V ")).map(_.substring(2))
+      val txns = lines.tail.filter(_.startsWith("T ")).flatMap { l =>
+        l.substring(2).split(" ", 2) match {
+          case Array(app, v) => v.toLongOption.map(app -> _)
+          case _             => None
+        }
+      }.toMap
+      val nTxnLines = lines.tail.count(_.startsWith("T "))
       counts match {
-        // legacy two-count header: F/V lines (if any) are unvalidated
+        // legacy two-count header: F/V/T lines (if any) are unvalidated
         case Array(a, r) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) =>
-          Some(Parsed(live, removed, kind, pred, dvs))
-        // three-count header (pre-DV): V lines unvalidated
+          Some(Parsed(live, removed, kind, pred, dvs, txns))
+        // three-count header (pre-DV): V/T lines unvalidated
         case Array(a, r, f) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) =>
-          Some(Parsed(live, removed, kind, pred, dvs))
+          Some(Parsed(live, removed, kind, pred, dvs, txns))
+        // four-count header (pre-txn): T lines unvalidated
         case Array(a, r, f, d) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) &&
             d.toIntOption.contains(dvs.size) =>
-          Some(Parsed(live, removed, kind, pred, dvs))
+          Some(Parsed(live, removed, kind, pred, dvs, txns))
+        case Array(a, r, f, d, t) if a.toIntOption.contains(live.size) &&
+            r.toIntOption.contains(removed.size) &&
+            f.toIntOption.contains(bloomLines) &&
+            d.toIntOption.contains(dvs.size) &&
+            t.toIntOption.contains(nTxnLines) =>
+          Some(Parsed(live, removed, kind, pred, dvs, txns))
         case _ => None
       }
     }
@@ -319,6 +333,24 @@ object ManifestCommit {
       .nextOption()
       .map(_.dvs).getOrElse(Nil)
 
+  /** The committed writer-transaction watermarks of one partition
+    * (`T <appId> <version>` lines — the public Delta `txn` action idea):
+    * per idempotent writer app, the highest batch version whose rows
+    * are ALREADY in the table. A restarted/retried writer consults this
+    * before committing and skips versions at or below its watermark —
+    * exactly-once sinks without any sink-side metadata log. */
+  def currentTxns(fs: FileSystem, partition: Path): Map[String, Long] =
+    listVersions(fs, partition).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => parseFull(fs, manifestPath(partition, v)))
+      .nextOption()
+      .map(_.txns).getOrElse(Map.empty)
+
+  /** Highest committed version for one writer app, if any. */
+  def lastTxnVersion(fs: FileSystem, partition: Path,
+      appId: String): Option[Long] =
+    currentTxns(fs, partition).get(appId)
+
   /** Put-if-absent of manifest `version`. False = lost the race (a valid
     * manifest already owns the slot). A torn manifest in the slot (HDFS
     * crash) is reclaimed: deleted and overwritten by this committer. */
@@ -328,7 +360,8 @@ object ManifestCommit {
       blooms: Map[String, Seq[ColBloom]] = Map.empty,
       kind: String = KindAppend,
       deletePredicate: Option[(String, Long, Long)] = None,
-      dvs: Seq[String] = Nil): Boolean = {
+      dvs: Seq[String] = Nil,
+      txns: Map[String, Long] = Map.empty): Boolean = {
     val p = manifestPath(partition, version)
     fs.mkdirs(logDir(partition))
     def liveLine(n: String) = {
@@ -342,17 +375,18 @@ object ManifestCommit {
       else Some(s"F $n\t${bs.map(bloomToken).mkString("\t")}")
     }
     val dvLines = dvs.map(n => s"V $n")
+    val txnLines = txns.toSeq.sortBy(_._1).map { case (a, v) => s"T $a $v" }
     val opLine = deletePredicate match {
       case Some((c, lo, hi)) => s"O $kind $c:$lo:$hi"
       case None              => s"O $kind"
     }
     val headerLine = s"$Header ${live.size} ${removed.size} " +
-      s"${bloomLines.size} ${dvLines.size}"
+      s"${bloomLines.size} ${dvLines.size} ${txnLines.size}"
     val body =
       (headerLine +:
         (opLine +:
           (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
-            bloomLines ++ dvLines)))
+            bloomLines ++ dvLines ++ txnLines)))
         .mkString("\n")
     def createExclusive(): Boolean =
       try {
@@ -397,11 +431,20 @@ object ManifestCommit {
   def appendFiles(fs: FileSystem, partition: Path, names: Seq[String],
       maxAttempts: Int = 50,
       stats: Map[String, Seq[ColStat]] = Map.empty,
-      blooms: Map[String, Seq[ColBloom]] = Map.empty): Snapshot = {
+      blooms: Map[String, Seq[ColBloom]] = Map.empty,
+      txn: Option[(String, Long)] = None): Snapshot = {
     require(names.forall(isDataFile), s"not data-file names: $names")
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
+      // idempotent-writer guard (the Delta txn semantic): a version at
+      // or below the app's committed watermark is ALREADY in the table
+      // — return the current snapshot without committing anything, so
+      // a replayed micro-batch or a racing retry can never double-add
+      val prevTxns = currentTxns(fs, partition)
+      txn.foreach { case (app, v) =>
+        if (prevTxns.get(app).exists(_ >= v)) return snap
+      }
       val live = snap.files ++ names.filterNot(snap.files.contains)
       // surviving files KEEP their committed stats/blooms; fresh names
       // take the caller's (absent = conservative never-pruned)
@@ -414,7 +457,8 @@ object ManifestCommit {
           // must not read it as an insert batch
           kind = if (names.isEmpty) KindMeta else KindAppend,
           // appended rows carry no deletions; the active sidecars ride
-          dvs = currentDvs(fs, partition)))
+          dvs = currentDvs(fs, partition),
+          txns = prevTxns ++ txn))
         return Snapshot(snap.version + 1, live)
       attempt += 1
     }
@@ -457,7 +501,7 @@ object ManifestCommit {
         .filter { case (n, b) => live.contains(n) && b.nonEmpty }
       if (tryCommit(fs, partition, snap.version + 1, live, tombstones,
           stats, blooms, kind = kind, deletePredicate = deletePredicate,
-          dvs = nextDvs))
+          dvs = nextDvs, txns = currentTxns(fs, partition)))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }

@@ -110,6 +110,17 @@ object StreamQueries {
         new java.io.File(d).getName
       StreamingOps.streamIngestManifest(s, d, dir)
         .orderBy("event_id")
+    }),
+    // exactly-once lake sink via manifest txn watermarks (no file-sink
+    // metadata log): the op itself replays the ENTIRE stream against a
+    // fresh checkpoint — the total-loss scenario — and the table must
+    // still equal the source exactly (a duplicate would hash-mismatch)
+    "q246_stream_txn_sink" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_streamtxn_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      StreamingOps.streamIngestTxn(s, d, dir, appId = "q246")
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -197,6 +208,9 @@ object StreamQueries {
            value AS last_value
          FROM l WHERE event_type != 'error' ORDER BY user_id""",
     "q167_stream_manifest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         value FROM events ORDER BY event_id""",
+    "q246_stream_txn_sink" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
          value FROM events ORDER BY event_id""",
     // the batch q153 chain restricted to CLOSED intervals (the open row

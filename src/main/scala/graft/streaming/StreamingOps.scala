@@ -332,6 +332,72 @@ object StreamingOps {
     graft.lake.ManifestCommit.readTable(spark, tableDir)
   }
 
+  /** EXACTLY-ONCE streaming sink into the manifest lake WITHOUT the
+    * file sink's `_spark_metadata` log — the public Delta `txn`-action
+    * idea re-derived over [[graft.lake.ManifestCommit]]: each
+    * micro-batch lands uniquely-named `compact-txn-*` parquet files and
+    * commits them together with a `T <appId> <batchId>` writer
+    * watermark in ONE atomic manifest, so the data and the "this batch
+    * is done" marker can never disagree. A re-delivered batch (restart,
+    * retry, or a full checkpoint loss) finds its version at or below
+    * the committed watermark and `appendFiles` NO-OPs — rows cannot
+    * double-land. A crash between the file landing and the commit
+    * leaves only unreferenced `compact-*` orphans for [[ManifestCommit
+    * .gc]]; the retry lands fresh names and commits once.
+    *
+    * The op PROVES the contract in-line: after the first AvailableNow
+    * pass it runs the ENTIRE stream a second time against a FRESH
+    * checkpoint (the total-loss scenario — every batch re-delivers from
+    * 0) and returns the manifest table, which the oracle requires to
+    * equal the source exactly — any duplicate would hash-mismatch. */
+  def streamIngestTxn(spark: SparkSession, sfDir: String,
+      tableDir: String, appId: String): DataFrame = {
+    import graft.lake.ManifestCommit
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitBatch(b: org.apache.spark.sql.DataFrame,
+        batchId: Long): Unit = {
+      if (ManifestCommit.lastTxnVersion(fs, dir, appId).exists(_ >= batchId))
+        return // replayed batch: already durable, nothing to do
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val staged = new org.apache.hadoop.fs.Path(dir, s"._txn-$runId")
+      b.write.parquet(staged.toString)
+      val names = fs.listStatus(staged).toIndexedSeq
+        .filter(st => !st.isDirectory &&
+          st.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.map { case (st, i) =>
+          val n = s"compact-txn-$appId-$batchId-$runId-part$i.parquet"
+          require(fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dir, n)), s"cannot land $n")
+          n
+        }
+      fs.delete(staged, true)
+      ManifestCommit.appendFiles(fs, dir, names,
+        txn = Some((appId, batchId)))
+    }
+    def runOnce(checkpoint: String): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val (schema, tsMicros) = eventsStream(ss, sfDir)
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sfDir)
+        .select(col("event_id"), tsMicros.as("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(commitBatch _)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    runOnce(s"$tableDir-checkpoint")
+    // total checkpoint loss: every batch re-delivers from 0 against the
+    // LIVE table; the manifest watermark alone must suppress them all
+    runOnce(s"$tableDir-checkpoint-replay")
+    graft.lake.ManifestCommit.readTable(spark, tableDir)
+  }
+
   /** Streaming BPE token counting: the tokenizer trains ONCE on the
     * static corpus (batch side — [[graft.ops.Bpe.train]]), its merge
     * table LITERALIZES into a row-local expression chain

@@ -577,6 +577,54 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.readTable(spark, root).count() == 14500L)
   }
 
+  test("txn watermarks: replayed batches no-op, watermark survives " +
+      "unrelated commits") {
+    hc
+    val local = Files.createTempDirectory("graft-manifest-txn").toString
+    val dir = new Path(s"file://$local/tbl")
+    val fs = dir.getFileSystem(hc)
+    def land(name: String, from: Long, n: Long): String = {
+      val staged = new Path(dir, s"._land-$name")
+      spark.range(from, from + n).toDF("k").coalesce(1)
+        .write.parquet(staged.toString)
+      val part = fs.listStatus(staged).toSeq
+        .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+      fs.rename(part, new Path(dir, name)); fs.delete(staged, true)
+      name
+    }
+    ManifestCommit.bootstrap(fs, dir)
+    val s1 = ManifestCommit.appendFiles(fs, dir,
+      Seq(land("compact-txn-a-0-x-part0.parquet", 0L, 10L)),
+      txn = Some(("app", 0L)))
+    assert(s1.files.size == 1)
+    // replay of batch 0 (a retry landed a SECOND copy of the rows):
+    // the commit must no-op and the duplicate file must stay dead
+    val dup = land("compact-txn-a-0-y-part0.parquet", 0L, 10L)
+    val s2 = ManifestCommit.appendFiles(fs, dir, Seq(dup),
+      txn = Some(("app", 0L)))
+    assert(s2.files == s1.files, "replayed batch must not commit")
+    assert(ManifestCommit.readTable(spark, dir.toString).count() == 10L)
+    // the next batch commits; an unrelated meta commit keeps the mark
+    ManifestCommit.appendFiles(fs, dir,
+      Seq(land("compact-txn-a-1-x-part0.parquet", 10L, 5L)),
+      txn = Some(("app", 1L)))
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    assert(ManifestCommit.lastTxnVersion(fs, dir, "app").contains(1L))
+    val s3 = ManifestCommit.appendFiles(fs, dir,
+      Seq(land("compact-txn-a-0-z-part0.parquet", 0L, 10L)),
+      txn = Some(("app", 0L)))
+    assert(ManifestCommit.readTable(spark, dir.toString).count() == 15L)
+    assert(s3.files.size == 2)
+    // a second app's watermark is independent
+    assert(ManifestCommit.lastTxnVersion(fs, dir, "other").isEmpty)
+    // the dead replay files are unreferenced compact-* orphans: gc eats
+    // them once stale, and the live table is untouched
+    val doomed = ManifestCommit.gc(fs, dir, graceMs = 0L)
+    assert(doomed.toSet ==
+      Set("compact-txn-a-0-y-part0.parquet", "compact-txn-a-0-z-part0.parquet"))
+    assert(ManifestCommit.readTable(spark, dir.toString).count() == 15L)
+  }
+
   test("FileIndex: ordinary filters prune files via manifest stats, " +
       "blooms, and partition dirs") {
     import graft.ops.Layout
