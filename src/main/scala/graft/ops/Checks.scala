@@ -185,4 +185,40 @@ object Checks {
         (col("n_members") < k).as("k_violation"),
         (col("n_sensitive") < l).as("l_violation")): _*)
   }
+
+  /** Snapshot profile diff — the data-quality regression gate between
+    * two table versions (time-travel's analytical consumer): per
+    * integer column, row count, null count, min, max and distinct
+    * count on BOTH sides plus the deltas, one tall row per column.
+    * Run it across a delete/backfill boundary and the report says
+    * exactly which columns moved and how far — the check a pipeline
+    * promotes or rolls back on.
+    *
+    * Shape: ONE aggregation pass per side (all columns' aggregates
+    * share the scan, the [[run]] policy), a driver-side pivot of the
+    * two 1-row results into the tall report — no join of data-sized
+    * relations anywhere. */
+  def profileDiff(before: DataFrame, after: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    def profile(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))): _*).head()
+    val (b, a) = (profile(before), profile(after))
+    val rows = cols.map { c =>
+      (c, b.getAs[Long]("n"), a.getAs[Long]("n"),
+        b.getAs[Long](s"nulls_$c"), a.getAs[Long](s"nulls_$c"),
+        b.getAs[Long](s"min_$c"), a.getAs[Long](s"min_$c"),
+        b.getAs[Long](s"max_$c"), a.getAs[Long](s"max_$c"),
+        b.getAs[Long](s"nd_$c"), a.getAs[Long](s"nd_$c"))
+    }
+    import before.sparkSession.implicits._
+    rows.toDF("column", "n_before", "n_after", "nulls_before",
+        "nulls_after", "min_before", "min_after", "max_before",
+        "max_after", "distinct_before", "distinct_after")
+      .withColumn("n_delta", col("n_after") - col("n_before"))
+      .withColumn("distinct_delta",
+        col("distinct_after") - col("distinct_before"))
+  }
 }

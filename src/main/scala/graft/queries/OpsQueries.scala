@@ -1317,6 +1317,18 @@ object OpsQueries {
       graft.lake.ManifestCommit.readTableAt(s, dl.path, dl.preVersion)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // snapshot profile diff across the delete boundary: per integer
+    // column, both versions' count/null/min/max/distinct + deltas in
+    // one aggregation pass per side — the time-travel-powered
+    // data-quality regression gate (which columns moved, and how far)
+    "q247_profile_diff" -> ((s, d) => {
+      val dl = ensureDelLake(s, d)
+      graft.ops.Checks.profileDiff(
+          graft.lake.ManifestCommit.readTableAt(s, dl.path, dl.preVersion),
+          graft.lake.ManifestCommit.readTable(s, dl.path),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        .orderBy("column")
+    }),
     // merge-on-read delete (deletion vectors): both key ranges leave
     // through positional sidecars — ZERO data-file motion, write cost
     // ∝ deleted rows — and the DV read subtracts the sidecar union
@@ -5208,6 +5220,33 @@ object OpsQueries {
     "q166_time_travel" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // per-column two-sided profile over the q165 delete boundary
+    "q247_profile_diff" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      def prof(src: String) =
+        s"""SELECT CAST(count(*) AS BIGINT) AS n, ${cols.map(c =>
+          s"CAST(count(*) - count($c) AS BIGINT) AS nulls_$c, " +
+            s"min($c) AS min_$c, max($c) AS max_$c, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c").mkString(", ")}
+         FROM $src"""
+      val rows = cols.map(c =>
+        s"""SELECT '$c' AS "column", pb.n AS n_before, pa.n AS n_after,
+           pb.nulls_$c AS nulls_before, pa.nulls_$c AS nulls_after,
+           pb.min_$c AS min_before, pa.min_$c AS min_after,
+           pb.max_$c AS max_before, pa.max_$c AS max_after,
+           pb.nd_$c AS distinct_before, pa.nd_$c AS distinct_after,
+           pa.n - pb.n AS n_delta,
+           pa.nd_$c - pb.nd_$c AS distinct_delta
+         FROM pb, pa""").mkString(" UNION ALL ")
+      s"""WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem),
+         aft AS (SELECT l.* FROM lineitem l, b
+           WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2),
+         pb AS (${prof("lineitem")}),
+         pa AS (${prof("aft")})
+         SELECT * FROM ($rows) ORDER BY "column""""
+    },
     // q241 shares q164's logical content: the FileIndex scan must equal
     // the explicit-ranges manifest read it replaces
     "q241_fileindex_scan" ->
