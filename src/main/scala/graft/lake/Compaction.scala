@@ -449,6 +449,14 @@ object Compaction {
         val paths = files.map(new Path(dir, _))
         val bytes = paths.map(fs.getFileStatus(_).getLen).sum
         val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        // merge-on-read deletes: a raw read of DV-named files would copy
+        // the deleted rows into the compact-* output under new
+        // names/positions, leaving the carried sidecars inert — the rows
+        // would RESURRECT. Subtract the active sidecars during the merge
+        // (this compaction IS the applyDvs rewrite for these files) and
+        // drop them at commit; expectedDvs below aborts the commit if a
+        // deleteWhereDV raced in after this read.
+        val dvNames = ManifestCommit.currentDvs(fs, dir)
         // stage the rewrite in a hidden, RUN-UNIQUE dir (no lock → two
         // runs may stage concurrently; unique names keep them disjoint),
         // then move each part file next to the originals under a fresh
@@ -456,8 +464,12 @@ object Compaction {
         // files are invisible to manifest readers until the commit.
         val runId = java.util.UUID.randomUUID().toString.take(8)
         val staged = new Path(dir, s"._compacting-$runId")
-        val merged = spark.read.option("mergeSchema", "true")
-          .parquet(paths.map(_.toString): _*)
+        val merged =
+          if (dvNames.isEmpty)
+            spark.read.option("mergeSchema", "true")
+              .parquet(paths.map(_.toString): _*)
+          else ManifestCommit.readMinusDvs(spark, dir.toString, paths,
+            dvNames.map(new Path(dir, _)))
         val arranged = sortCol match {
           case Some(c) =>
             merged.repartitionByRange(nOut, org.apache.spark.sql.functions.col(c))
@@ -474,8 +486,13 @@ object Compaction {
             name
           }
         fs.delete(staged, true)
+        // the rewrite subtracted exactly dvNames, so commit drops them
+        // (dvs=Some(Nil)); expectedDvs aborts — output discarded below —
+        // if the active set changed since the read (a racing
+        // deleteWhereDV's positions name files this commit consumes)
         val committed =
-          ManifestCommit.replaceFiles(fs, dir, files.toSet, produced)
+          ManifestCommit.replaceFiles(fs, dir, files.toSet, produced,
+            dvs = Some(Nil), expectedDvs = Some(dvNames))
         committed match {
           case Some(next) =>
             // a clustered rewrite re-earns its stats immediately — the

@@ -228,10 +228,15 @@ object GraftFileIndex {
     require(index.activeDvs.isEmpty,
       s"$tableRoot has active deletion vectors (${index.activeDvs.size} " +
         "sidecars) — use readTableDV, or applyDvs to compact them away")
-    val first = index.inputFiles.headOption.getOrElse(
-      sys.error(s"no live files under $tableRoot"))
-    val dataSchema = StructType(spark.read.parquet(first).schema
-      .filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
+    val files = index.inputFiles
+    require(files.nonEmpty, s"no live files under $tableRoot")
+    // merge footers across ALL live files (a distributed footer read,
+    // same as the compactor's mergeSchema path) — inferring from one
+    // arbitrary file silently drops columns absent from it on a
+    // schema-evolved table
+    val dataSchema = StructType(
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+        .filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
     val relation = HadoopFsRelation(index, index.partitionSchema,
       dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
     org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark,

@@ -470,16 +470,37 @@ object ManifestCommit {
     * on conflict, carrying concurrent appends forward. Returns None —
     * with nothing committed — if some consumed file is no longer live
     * (a concurrent compactor already replaced it); the caller must then
-    * discard its produced files. */
+    * discard its produced files.
+    *
+    * Deletion-vector race guards (all re-evaluated on EVERY retry, so a
+    * commit that raced past us can never be silently overwritten):
+    *  - `dvsAdd`: union these sidecar names into the CURRENT active set
+    *    (recomputed per attempt) — the [[deleteWhereDV]] shape. Passing
+    *    an absolute `dvs` set computed before the loop would drop a
+    *    concurrent delete's sidecar on retry (a lost delete).
+    *  - `requireLive`: abort (None) unless these files are still live —
+    *    a producer whose artifacts NAME data files (a positional
+    *    sidecar) must not commit after a rewrite consumed them, or the
+    *    sidecar silently no-ops.
+    *  - `expectedDvs`: abort (None) unless the active sidecar set still
+    *    equals this — a producer whose output was derived FROM the
+    *    sidecars (applyDvs, a DV-subtracting compaction) must not
+    *    commit `dvs=Some(...)` over a set that changed under it. */
   def replaceFiles(fs: FileSystem, partition: Path, consumed: Set[String],
       produced: Seq[String], nowMs: Long = System.currentTimeMillis(),
       maxAttempts: Int = 50, kind: String = KindReplace,
       deletePredicate: Option[(String, Long, Long)] = None,
-      dvs: Option[Seq[String]] = None): Option[Snapshot] = {
+      dvs: Option[Seq[String]] = None,
+      dvsAdd: Seq[String] = Nil,
+      requireLive: Set[String] = Set.empty,
+      expectedDvs: Option[Seq[String]] = None): Option[Snapshot] = {
+    require(dvs.isEmpty || dvsAdd.isEmpty,
+      "replaceFiles: dvs (absolute) and dvsAdd (delta) are exclusive")
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
       if (!consumed.subsetOf(snap.files.toSet)) return None
+      if (!requireLive.subsetOf(snap.files.toSet)) return None
       // dedupe against the survivors: a produced name some other path
       // already committed must not appear as a second A entry (a reader
       // would double-count its rows)
@@ -490,7 +511,10 @@ object ManifestCommit {
       // longer scanned); Some(next) SETS it, tombstoning dropped
       // sidecars so gc collects them after the read grace
       val prevDvs = currentDvs(fs, partition)
-      val nextDvs = dvs.getOrElse(prevDvs)
+      if (expectedDvs.exists(_.toSet != prevDvs.toSet)) return None
+      val nextDvs =
+        if (dvsAdd.nonEmpty) prevDvs ++ dvsAdd.filterNot(prevDvs.contains)
+        else dvs.getOrElse(prevDvs)
       val tombstones = (consumed.toSeq ++
         prevDvs.filterNot(nextDvs.contains)).sorted.map(nowMs -> _)
       // consumed files' stats/blooms die with them; survivors keep
@@ -744,6 +768,24 @@ object ManifestCommit {
         .forall(s => s.max >= lo && s.min <= hi)
     }
     if (touched.isEmpty) return (0, snap.files.size)
+    // merge-on-read guard: a raw rewrite of a DV-named file would copy
+    // the DV-deleted rows into the produced files under new names and
+    // positions — the carried sidecar goes inert and the rows
+    // RESURRECT. Refuse and point at applyDvs; sidecars naming only
+    // untouched files stay valid (those files survive this commit)
+    // and are pinned via expectedDvs below.
+    val dvNames = currentDvs(fs, partition)
+    if (dvNames.nonEmpty) {
+      val named = spark.read
+        .parquet(dvNames.map(new Path(partition, _).toString): _*)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet // bounded: file NAMES
+      val clash = touched.filter(named)
+      require(clash.isEmpty,
+        s"deleteRange: ${clash.size} file(s) to rewrite carry deletion " +
+          s"vectors (e.g. ${clash.head}) — run applyDvs on $partition " +
+          "first, or use deleteWhereDV")
+    }
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val staged = new Path(partition, s"._deleting-$runId")
     // NULL keys are OUTSIDE every [lo, hi]: `!between` alone evaluates
@@ -767,7 +809,8 @@ object ManifestCommit {
     // logically-deleted rows from the consumed files alone
     replaceFiles(fs, partition, touched.toSet, produced,
         kind = KindDelete,
-        deletePredicate = Some((keyCol, lo, hi))) match {
+        deletePredicate = Some((keyCol, lo, hi)),
+        expectedDvs = Some(dvNames)) match {
       case Some(next) =>
         // footer sweep bounded to the rewritten batch; survivors keep
         // their committed stats through the appendFiles merge
@@ -1026,13 +1069,19 @@ object ManifestCommit {
       produced.foreach(n => fs.delete(new Path(partition, n), false))
       return (0, 0L)
     }
+    // dvsAdd (not an absolute set) so a concurrent deleteWhereDV's
+    // sidecar committed during OUR retry window is unioned, never
+    // dropped; requireLive aborts if a rewrite consumed a file our
+    // positions name (the sidecar would silently no-op against the
+    // rewritten copies)
     replaceFiles(fs, partition, Set.empty, Nil, kind = KindDvDelete,
         deletePredicate = Some((keyCol, lo, hi)),
-        dvs = Some(currentDvs(fs, partition) ++ produced)) match {
+        dvsAdd = produced, requireLive = touched.toSet) match {
       case Some(_) => (touched.size, nDeleted)
       case None =>
         produced.foreach(n => fs.delete(new Path(partition, n), false))
-        sys.error(s"deleteWhereDV: concurrent rewrite of $partition — retry")
+        sys.error(s"deleteWhereDV: concurrent rewrite of $partition — " +
+          "positions are stale, rerun the delete")
     }
   }
 
@@ -1044,11 +1093,15 @@ object ManifestCommit {
     * broadcast is the common case; Spark's autoBroadcast threshold
     * degrades it to a shuffled join if a pathological sidecar outgrows
     * it. */
-  private def readMinusDvs(spark: SparkSession, basePath: String,
+  private[lake] def readMinusDvs(spark: SparkSession, basePath: String,
       dataPaths: Seq[Path], dvPaths: Seq[Path]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(dataPaths.nonEmpty, s"no live files under $basePath")
+    // mergeSchema: a DV-subtracting compaction merges evolved files
+    // exactly as the raw compaction path does — a single arbitrary
+    // footer must not pick the column set
     val data = spark.read.option("basePath", basePath)
+      .option("mergeSchema", "true")
       .parquet(dataPaths.map(_.toString): _*)
     if (dvPaths.isEmpty) return data
     val keyed = data
@@ -1095,6 +1148,50 @@ object ManifestCommit {
     reads.reduce(_ unionByName _)
   }
 
+  /** Manifest-stat-pruned merge-on-read read: [[readTableWhere]]'s file
+    * skipping UNDER the deletion-vector subtraction — the production
+    * combination at 100 TB, where a clustered-key point query over a
+    * table carrying GDPR deletes must open a handful of files, not the
+    * table. Pruning composes with the sidecars for free: positions key
+    * on (file, row-index), so dropping a data file from the scan only
+    * drops its sidecar rows from the anti-join match set — never a
+    * wrong row. The sidecars themselves are O(deleted rows) and read
+    * whole (a position naming a pruned file simply matches nothing).
+    * Partitions with no sidecars fold into one plain pruned scan, so a
+    * DV-free table pays exactly [[readTableWhere]]. */
+  def readTableWhereDV(spark: SparkSession, tableRoot: String,
+      ranges: Map[String, (Long, Long)]): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    val resolved = parts.map { dir =>
+      val stats = currentFileStats(fs, dir)
+      val data = currentSnapshot(fs, dir) match {
+        case Some(snap) =>
+          snap.files.filter { n =>
+            ranges.forall { case (c, (lo, hi)) =>
+              stats.getOrElse(n, Nil).find(_.col == c)
+                .forall(s => s.max >= lo && s.min <= hi)
+            }
+          }.map(new Path(dir, _))
+        case None => liveFiles(fs, dir)
+      }
+      (data, currentDvs(fs, dir).map(new Path(dir, _)))
+    }
+    val clean = resolved.collect { case (d, Seq()) => d }.flatten
+    val reads =
+      (if (clean.isEmpty) Nil
+       else Seq(readMinusDvs(spark, tableRoot, clean, Nil))) ++
+        resolved.collect { case (d, dvs) if dvs.nonEmpty && d.nonEmpty =>
+          readMinusDvs(spark, tableRoot, d, dvs)
+        }
+    require(reads.nonEmpty, s"no live files under $tableRoot match $ranges")
+    reads.reduce(_ unionByName _)
+  }
+
   /** Compact the deletion vectors of one partition back into the data
     * (merge-on-read -> copy-on-write conversion): rewrite ONLY the files
     * the sidecars actually name, drop every sidecar, and commit — after
@@ -1133,8 +1230,12 @@ object ManifestCommit {
       fs.delete(staged, true)
       out
     }
+    // expectedDvs pins the sidecar set this rewrite subtracted: a
+    // deleteWhereDV committing between our scan and this commit would
+    // otherwise be dropped by dvs=Some(Nil) — a lost delete
     replaceFiles(fs, partition, touched.toSet, produced,
-        kind = KindReplace, dvs = Some(Nil)) match {
+        kind = KindReplace, dvs = Some(Nil),
+        expectedDvs = Some(dvNames)) match {
       case Some(_) =>
         if (produced.nonEmpty && statsCols.nonEmpty)
           recordStats(spark, partition, statsCols,

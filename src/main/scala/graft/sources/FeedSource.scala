@@ -4,7 +4,6 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -166,6 +165,25 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
           c.removed.map(n => FeedFilePartition(
             new Path(dir, n).toString, ChangeFeed.Delete, c.version,
             Some(pred)))
+        case ManifestCommit.KindDvDelete if c.addedDvs.nonEmpty =>
+          // merge-on-read delete (the batch twin is
+          // ChangeFeed.changeFeed's sidecar semi-join): the deleted rows
+          // are EXACTLY the (file, pos) pairs of the sidecars this
+          // commit added. Group positions per named data file — one
+          // partition per file, carrying its own position set (bounded
+          // by that file's deleted rows) — and let the reader count the
+          // physical row index during its sequential scan: a plain
+          // ParquetReader with no pushdown visits rows in row-index
+          // order, so a counter IS `_metadata.row_index`.
+          val dvRows = SparkSession.active.read
+            .parquet(c.addedDvs.map(n => new Path(dir, n).toString): _*)
+            .select("file", "pos").collect()
+          dvRows.groupBy(_.getString(0)).toSeq.map { case (f, rows) =>
+            FeedFilePartition(new Path(dir, f).toString,
+              ChangeFeed.Delete, c.version, None,
+              positions = Some(rows.map(_.getLong(1)).sorted))
+          }
+        case ManifestCommit.KindDvDelete => Nil // no-op dv commit
         case other => sys.error(
           s"graft-feed: commit v${c.version} of $dir has kind '$other' " +
             "— pre-tag history cannot be streamed, full resync required")
@@ -174,7 +192,9 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(tableSchema)
+    new FeedReaderFactory(tableSchema,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -182,19 +202,30 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
 
 private[sources] case class FeedFilePartition(file: String,
     changeType: String, version: Long,
-    deletePredicate: Option[(String, Long, Long)]) extends InputPartition
+    deletePredicate: Option[(String, Long, Long)],
+    positions: Option[Array[Long]] = None) extends InputPartition
 
-private[sources] class FeedReaderFactory(tableSchema: StructType)
+private[sources] class FeedReaderFactory(tableSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedFilePartition]
     val dataFields = tableSchema.fields.dropRight(2)
     new PartitionReader[InternalRow] {
+      // the session's Hadoop configuration (serialized to this
+      // executor), not a bare `new Configuration()` — a bare default
+      // drops filesystem settings/credentials (s3a keys etc.)
       private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
         ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-          .withConf(new Configuration()).build()
+          .withConf(conf.value).build()
       private var current: org.apache.parquet.example.data.Group = _
+      // physical row index of `current` within the file: a sequential
+      // no-pushdown scan visits rows in row-index order, so counting
+      // reproduces parquet `_metadata.row_index`
+      private var rowIdx: Long = -1L
+      private val posArr: Array[Long] = p.positions.orNull
+      private var posI = 0
 
       private def keep(g: org.apache.parquet.example.data.Group): Boolean =
         p.deletePredicate match {
@@ -208,9 +239,18 @@ private[sources] class FeedReaderFactory(tableSchema: StructType)
             }
         }
 
+      // positions are sorted and the scan is in row-index order — one
+      // monotone pointer, never a per-row set probe
+      private def keepPos(): Boolean = posArr == null || {
+        while (posI < posArr.length && posArr(posI) < rowIdx) posI += 1
+        posI < posArr.length && posArr(posI) == rowIdx
+      }
+
       override def next(): Boolean = {
-        current = reader.read()
-        while (current != null && !keep(current)) current = reader.read()
+        current = reader.read(); rowIdx += 1
+        while (current != null && !(keep(current) && keepPos())) {
+          current = reader.read(); rowIdx += 1
+        }
         current != null
       }
 

@@ -96,4 +96,30 @@ class FeedSourceSpec extends SparkSpec {
       (1010L to 1020L).map((_, ChangeFeed.Delete)).toSet
     assert(batches.flatten.map(t => (t._1, t._2)).toSet == expect)
   }
+
+  test("merge-on-read deletes stream: a dvdelete commit feeds its " +
+      "sidecar positions as delete rows") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-feeddv").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    val v0 = ManifestCommit.recordStats(spark, dir, Seq("k")).version
+    // a DV delete moves no data file — the stream must replay the
+    // sidecar (file, pos) pairs, not brick on the commit kind
+    val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dir, "k", 10L, 25L)
+    assert(nDel == 16L)
+    ManifestCommit.stageAndPublish(spark, dir, rows(1), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish"))
+    val got = collectFeed(dir.toString, v0)
+    val expect = (10L to 25L).map((_, ChangeFeed.Delete)).toSet ++
+      (1000L to 1049L).map((_, ChangeFeed.Insert)).toSet
+    assert(got == expect, s"got=$got")
+    // the streamed delete rows match the batch twin exactly
+    val batch = ChangeFeed.changeFeed(spark, dir, v0,
+      ManifestCommit.currentSnapshot(fs, dir).get.version)
+      .filter($"_change_type" === ChangeFeed.Delete)
+      .select($"k").collect().map(_.getLong(0)).toSet
+    assert(batch == (10L to 25L).toSet)
+  }
 }

@@ -707,4 +707,116 @@ class ManifestCommitSpec extends SparkSpec {
     // path (covered above by snap equality; here just re-read sanity)
     assert(ManifestCommit.readTableDV(spark, dir.toString).count() == 2L)
   }
+
+  test("compaction subtracts deletion vectors — deleted rows never resurrect") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-dvcompact").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df = spark.range(16000).select($"id".as("k"), ($"id" % 37).as("v"))
+    Layout.writeLinear(df, col("k"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dir, "k", 1000L, 1999L)
+    assert(nDel == 1000L)
+    assert(ManifestCommit.currentDvs(fs, dir).nonEmpty)
+    // the compaction IS the applyDvs rewrite for the files it merges:
+    // it must subtract the sidecar positions and drop the sidecars
+    val reports = Compaction.compactTableManifest(spark, root,
+      maxFiles = 4, targetFileBytes = 64 * 1024, gcGraceMs = 0L)
+    assert(reports.nonEmpty, "16 files over maxFiles=4 must compact")
+    assert(ManifestCommit.currentDvs(fs, dir).isEmpty,
+      "absorbed sidecars must be dropped at commit")
+    // BOTH read paths see the post-delete rows — no resurrection
+    val plain = ManifestCommit.readTable(spark, root)
+    assert(plain.count() == 15000L)
+    assert(plain.filter($"k".between(1000, 1999)).count() == 0L)
+    val dvRead = ManifestCommit.readTableDV(spark, root)
+    assert(dvRead.count() == 15000L)
+    assert(dvRead.filter($"k".between(1000, 1999)).count() == 0L)
+  }
+
+  test("deleteRange refuses DV-named files; disjoint sidecars stay valid") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-dvrange").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df = spark.range(16000).select($"id".as("k"), ($"id" % 37).as("v"))
+    Layout.writeLinear(df, col("k"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dir, "k", 1000L, 1999L)
+    assert(nDel == 1000L)
+    // a copy-on-write rewrite of a DV-named file would resurrect the
+    // DV-deleted rows under new names/positions — refuse, name the cure
+    val e = intercept[IllegalArgumentException] {
+      ManifestCommit.deleteRange(spark, dir, "k", 1500L, 1600L, Seq("k"))
+    }
+    assert(e.getMessage.contains("applyDvs"))
+    // sidecars naming only UNtouched files survive a disjoint rewrite
+    val (touched, _) =
+      ManifestCommit.deleteRange(spark, dir, "k", 15000L, 15099L, Seq("k"))
+    assert(touched >= 1)
+    val dvRead = ManifestCommit.readTableDV(spark, root)
+    assert(dvRead.count() == 16000L - 1000L - 100L)
+    assert(dvRead.filter($"k".between(1000, 1999)).count() == 0L)
+    assert(dvRead.filter($"k".between(15000, 15099)).count() == 0L)
+  }
+
+  test("replaceFiles DV race guards: dvsAdd unions per attempt; " +
+      "expectedDvs and requireLive abort") {
+    hc
+    val local = Files.createTempDirectory("graft-manifest-dvguards").toString
+    val dir = new Path(s"file://$local/tbl")
+    val fs = dir.getFileSystem(hc)
+    fs.mkdirs(dir)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.appendFiles(fs, dir, Seq("a.parquet", "b.parquet"))
+    val dvX = s"${ManifestCommit.DvPrefix}x-part0.parquet"
+    val dvY = s"${ManifestCommit.DvPrefix}y-part0.parquet"
+    // writer 1 commits its sidecar as a DELTA
+    assert(ManifestCommit.replaceFiles(fs, dir, Set.empty, Nil,
+      kind = ManifestCommit.KindDvDelete, dvsAdd = Seq(dvX),
+      requireLive = Set("a.parquet")).isDefined)
+    // writer 2 (raced past writer 1's scan) must UNION, never drop X —
+    // the absolute-set shape this replaced would have lost X here
+    assert(ManifestCommit.replaceFiles(fs, dir, Set.empty, Nil,
+      kind = ManifestCommit.KindDvDelete, dvsAdd = Seq(dvY),
+      requireLive = Set("b.parquet")).isDefined)
+    assert(ManifestCommit.currentDvs(fs, dir).toSet == Set(dvX, dvY))
+    // a compactor that subtracted ONLY X must not commit dvs=Some(Nil)
+    // over the set that now also holds Y
+    assert(ManifestCommit.replaceFiles(fs, dir, Set("a.parquet"),
+      Seq("compact-z-part0.parquet"), dvs = Some(Nil),
+      expectedDvs = Some(Seq(dvX))).isEmpty)
+    assert(ManifestCommit.currentDvs(fs, dir).toSet == Set(dvX, dvY),
+      "aborted commit must not change the active set")
+    // positions naming a no-longer-live file must not commit
+    assert(ManifestCommit.replaceFiles(fs, dir, Set.empty, Nil,
+      kind = ManifestCommit.KindDvDelete, dvsAdd = Seq(dvY),
+      requireLive = Set("gone.parquet")).isEmpty)
+  }
+
+  test("FileIndex: data schema is the MERGED footer schema on an " +
+      "evolved table") {
+    import graft.lake.GraftFileIndex
+    hc
+    val local = Files.createTempDirectory("graft-fileindex-schema").toString
+    val dir = new Path(s"file://$local/tbl")
+    val fs = dir.getFileSystem(hc)
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    Seq((2L, "b", 9L)).toDF("k", "v", "w").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    ManifestCommit.bootstrap(fs, dir)
+    val t = GraftFileIndex.table(spark, dir.toString)
+    assert(t.columns.toSet == Set("k", "v", "w"),
+      s"one arbitrary footer must not pick the column set: ${t.columns.toSeq}")
+    assert(t.count() == 2L)
+    assert(t.filter($"w".isNull).count() == 1L)
+  }
 }
