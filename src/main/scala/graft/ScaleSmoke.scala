@@ -604,6 +604,53 @@ object ScaleSmoke {
       timeDv("dv_1x", 1)
       timeDv(s"dv_${k}x", k)
     }
+    // Compaction UNDER deletion vectors (the round-10 compactor): the
+    // merge subtracts the active sidecars (broadcast anti-join on the
+    // O(deleted) position set) and drops them at commit. Claim under
+    // test: the DV-subtracting rewrite costs the clean rewrite plus a
+    // margin that tracks DELETED ROWS (fixed 1/512 key slice here, so
+    // the margin stays a small constant fraction at every scale) —
+    // never a second table-sized term.
+    if (enabled("dvcompact")) {
+      import graft.lake.{Compaction, ManifestCommit}
+      import org.apache.hadoop.fs.Path
+      def timeDvc(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val df = liRep(times)
+        val bb = df.agg(min("k"), max("k")).head
+        val (klo, khi) = (bb.getLong(0), bb.getLong(1))
+        val root = java.nio.file.Files
+          .createTempDirectory("smoke_dvc").toString
+        graft.ops.Layout.writeLinear(df, col("k"), s"$root/dv", 32)
+        graft.ops.Layout.writeLinear(df, col("k"), s"$root/cl", 32)
+        val (dvDir, clDir) = (new Path(s"$root/dv"), new Path(s"$root/cl"))
+        val fs = dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq(dvDir, clDir).foreach { d =>
+          ManifestCommit.bootstrap(fs, d)
+          ManifestCommit.recordStats(spark, d, Seq("k"))
+        }
+        val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dvDir, "k",
+          klo, klo + (khi - klo) / 512)
+        val t0 = System.nanoTime()
+        Compaction.compactTableManifest(spark, dvDir.toString, maxFiles = 4)
+        val dvSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Compaction.compactTableManifest(spark, clDir.toString, maxFiles = 4)
+        val clSec = (System.nanoTime() - t1) / 1e9
+        require(ManifestCommit.currentDvs(fs, dvDir).isEmpty,
+          "compaction must absorb the sidecars")
+        require(ManifestCommit.readTable(spark, dvDir.toString).count() ==
+          ManifestCommit.readTable(spark, clDir.toString).count() - nDel,
+          "compacted dv table must equal clean minus deleted")
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${df.count()},""" +
+            f""""deleted":$nDel,"compact_dv_sec":$dvSec%.2f,""" +
+            f""""compact_clean_sec":$clSec%.2f}""")
+      }
+      timeDvc("warmup", 1, silent = true)
+      timeDvc("dvcompact_1x", 1)
+      timeDvc(s"dvcompact_${k}x", k)
+    }
     // PageRank-over-pairs (the q133 consumer): rank iterations measured
     // over PRE-BUILT persisted pairs so the window isolates the
     // CC + 3 fixed-point iterations from candidate generation (the dedup

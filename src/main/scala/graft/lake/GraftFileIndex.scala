@@ -79,6 +79,14 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
   /** Active deletion-vector sidecars anywhere under the root. */
   def activeDvs: Seq[String] = leaves.flatMap(_.dvs)
 
+  /** Per DV-carrying leaf: (dir, its Hive `col=value` segments, sidecar
+    * names) — what [[GraftFileIndex.tableDV]] needs to key the sidecar
+    * rows onto the scan's partition columns. */
+  private[lake] def dvLeaves: Seq[(Path, Seq[(String, Int)], Seq[String])] =
+    leaves.collect { case l if l.dvs.nonEmpty =>
+      (l.dir, segmentsOf(l.dir), l.dvs)
+    }
+
   /** Hive-style `col=value` segments between the root and a leaf. */
   private def segmentsOf(dir: Path): Seq[(String, Int)] = {
     val rel = dir.toString.stripPrefix(root.toString)
@@ -223,11 +231,55 @@ object GraftFileIndex {
     * [[ManifestCommit.readTableDV]] or compact with
     * [[ManifestCommit.applyDvs]] first. */
   def table(spark: SparkSession, tableRoot: String): DataFrame = {
-    val root = new Path(tableRoot)
-    val index = new GraftFileIndex(spark, root)
+    val index = new GraftFileIndex(spark, new Path(tableRoot))
     require(index.activeDvs.isEmpty,
       s"$tableRoot has active deletion vectors (${index.activeDvs.size} " +
-        "sidecars) — use readTableDV, or applyDvs to compact them away")
+        "sidecars) — use tableDV/readTableDV, or applyDvs to compact " +
+        "them away")
+    scanOf(spark, index, tableRoot)
+  }
+
+  /** The manifest lake as a first-class DataFrame UNDER active deletion
+    * vectors — [[table]]'s Catalyst integration (ordinary WHERE
+    * predicates answered from manifest stats/blooms/partition dirs,
+    * stock vectorized parquet below) composed with the sidecar
+    * anti-join, so a merge-on-read table keeps planner-driven file
+    * skipping instead of falling back to the explicit-ranges
+    * [[ManifestCommit.readTableWhereDV]]. Data predicates push BELOW
+    * the anti-join (the join only adds `_metadata` refs), the sidecar
+    * side is O(deleted rows) and broadcast, and positions key on
+    * (file NAME, row index, partition columns) — names are unique
+    * within a partition, and the partition-column equality keeps a
+    * same-named adopted file in another Hive partition from
+    * cross-matching. A DV-free table returns the plain [[table]] scan
+    * unchanged. */
+  def tableDV(spark: SparkSession, tableRoot: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val index = new GraftFileIndex(spark, new Path(tableRoot))
+    val plain = scanOf(spark, index, tableRoot)
+    val dvLeaves = index.dvLeaves
+    if (dvLeaves.isEmpty) return plain
+    val dv = dvLeaves.map { case (dir, segs, names) =>
+      val base = spark.read
+        .parquet(names.map(n => new Path(dir, n).toString): _*)
+        .select(col("file"), col("pos"))
+      segs.foldLeft(base) { case (df, (c, v)) => df.withColumn(c, lit(v)) }
+    }.reduce(_ unionByName _)
+    val keyed = plain
+      .withColumn("__dv_file", col("_metadata.file_name"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val cond = dvLeaves.head._2.map(_._1)
+      .foldLeft(keyed("__dv_file") === dv("file") &&
+        keyed("__dv_pos") === dv("pos")) { (c, p) =>
+        c && keyed(p) === dv(p)
+      }
+    keyed.join(broadcast(dv), cond, "left_anti")
+      .drop("__dv_file", "__dv_pos")
+  }
+
+  /** The bare index-backed scan (no DV handling — callers guard). */
+  private def scanOf(spark: SparkSession, index: GraftFileIndex,
+      tableRoot: String): DataFrame = {
     val files = index.inputFiles
     require(files.nonEmpty, s"no live files under $tableRoot")
     // merge footers across ALL live files (a distributed footer read,
@@ -235,7 +287,8 @@ object GraftFileIndex {
     // arbitrary file silently drops columns absent from it on a
     // schema-evolved table
     val dataSchema = StructType(
-      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+      spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+        .schema
         .filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
     val relation = HadoopFsRelation(index, index.partitionSchema,
       dataSchema, None, new ParquetFileFormat, Map.empty)(spark)

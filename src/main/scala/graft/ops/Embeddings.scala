@@ -38,34 +38,75 @@ object Embeddings {
 
   /** (vec_id, top_coord, resid): the centered vector's coordinate along
     * the dominant direction and the centered vector with that component
-    * removed (all 1e7-scale integers). */
+    * removed (all 1e7-scale integers).
+    *
+    * The per-row array math (center, dot, rank-1 update, projection
+    * removal) runs as PRIMITIVE LOOPS inside typed `map`/`mapPartitions`,
+    * not as `transform`/`aggregate` lambda chains: nested higher-order
+    * expressions evaluate on Catalyst's interpreted path (~100× a JVM
+    * loop per element — measured on the q109 phash rewrite), and this
+    * operator touches every element 5+ times (mean pass, `iters` power
+    * steps, final projection). Per-partition power-step partials
+    * accumulate in BigInt (the exact twin of the previous DECIMAL(38,0)
+    * aggregation) and only `dim` sums per partition cross to the driver
+    * — same O(dim) driver state, same bit-exact results, no shuffle in
+    * the iteration at all (the aggregation tree is collapsed into
+    * mapPartitions + driver reduce over numPartitions×dim numbers). */
   def abtt(emb: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters out of range: $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
     val xq = TextKit.tracked(emb.select(col("vec_id"),
       TextKit.quantVec(col("embedding")).as("xq")))
     // corpus mean, truncated toward zero per dimension
     val n = xq.count()
     require(n > 0, "abtt needs a non-empty embedding table")
     val mu = dimSums(xq.select(col("xq").as("v"))).map(s => (s / n).toLong)
-    val cx = TextKit.tracked(xq.select(col("vec_id"),
-      expr(s"transform(xq, (x, i) -> x - element_at(${lit64(mu)}, i + 1))")
-        .as("cx")))
-    // power iteration: v <- normInf(sum_rows (cx.v >> 20) * cx)
+    val muB = mu.clone()
+    val cxDs = xq.as[(Long, Array[Long])].map { case (id, x) =>
+      val c = new Array[Long](x.length)
+      var j = 0
+      while (j < c.length) { c(j) = x(j) - muB(j); j += 1 }
+      (id, c)
+    }
+    cxDs.persist()
+    TextKit.register(cxDs.toDF()) // same logical plan -> releaseCaches frees it
+    // power iteration: v <- normInf(sum_rows (cx.v >> 20) * cx); Long
+    // `/` truncates toward zero exactly as Spark `div` / BigInt `/` did
     var v = Array.fill(dim)(VScale)
     for (_ <- 1 to iters) {
-      val y = dimSums(cx
-        .select(expr(dotExpr("cx", v)).as("dot"), col("cx"))
-        .select(expr(s"transform(cx, c -> (dot div $DotShift) * c)").as("v")))
+      val vB = v.clone()
+      val y = cxDs.mapPartitions { it =>
+        val acc = Array.fill(dim)(BigInt(0))
+        it.foreach { case (_, c) =>
+          var dot = 0L
+          var j = 0
+          while (j < dim) { dot += c(j) * vB(j); j += 1 }
+          val d = dot / DotShift
+          j = 0
+          while (j < dim) { acc(j) += BigInt(d) * c(j); j += 1 }
+        }
+        Iterator.single(acc.map(_.toString))
+      }.collect()
+        .foldLeft(Array.fill(dim)(BigInt(0))) { (a, p) =>
+          Array.tabulate(dim)(j => a(j) + BigInt(p(j)))
+        }
       val m = y.map(_.abs).max max BigInt(1)
       v = y.map(yj => (yj * VScale / m).toLong)
     }
     // degenerate rank-0 corpus -> v all zero; clamp so the (then zero)
     // projection divides by 1, not 0, in both engines
     val vnorm = v.map(x => x * x).sum max 1L
-    cx.select(col("vec_id"), expr(dotExpr("cx", v)).as("top_coord"), col("cx"))
-      .select(col("vec_id"), col("top_coord"),
-        expr(s"transform(cx, (c, i) -> c - ((top_coord * " +
-          s"element_at(${lit64(v)}, i + 1)) div ${vnorm}L))").as("resid"))
+    val vF = v.clone()
+    cxDs.map { case (id, c) =>
+      var dot = 0L
+      var j = 0
+      while (j < dim) { dot += c(j) * vF(j); j += 1 }
+      val r = new Array[Long](c.length)
+      j = 0
+      while (j < dim) { r(j) = c(j) - (dot * vF(j)) / vnorm; j += 1 }
+      (id, dot, r)
+    }.toDF("vec_id", "top_coord", "resid")
   }
 
   /** One aggregation: exact element-wise sum of an array<bigint> column
@@ -76,14 +117,6 @@ object Embeddings {
       .groupBy("j").agg(sum(col("x").cast(DecimalType(38, 0))).as("s"))
       .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
       .sortBy(_._1).map(_._2).toArray
-
-  private def lit64(a: Array[Long]): String =
-    a.mkString("array(", "L, ", "L)")
-
-  /** Integer dot of an array column against a literal vector, as a SQL
-    * fragment (stays inside codegen). */
-  private def dotExpr(colName: String, v: Array[Long]): String =
-    s"aggregate(zip_with($colName, ${lit64(v)}, (a, b) -> a * b), 0L, (s, t) -> s + t)"
 
   /** DuckDB mirror of [[abtt]] over the `embeddings` table, with the
     * residual array exploded to one `(vec_id, top_coord, j, resid_j)`

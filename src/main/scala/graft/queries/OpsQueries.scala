@@ -1363,6 +1363,47 @@ object OpsQueries {
           "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // compaction under merge-on-read deletes: the compactor SUBTRACTS
+    // the active sidecars during the merge and drops them at commit —
+    // the PLAIN manifest read of the compacted table must equal the
+    // logical post-delete relation (deleted rows never resurrect
+    // through a rewrite that renames/repositions their rows)
+    "q248_dv_compact" -> ((s, d) => {
+      val l = ensureDvCompactLake(s, d)
+      graft.lake.ManifestCommit.readTable(s, l.path)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // manifest-stat pruning UNDER the deletion-vector subtraction — the
+    // production read of a clustered 100 TB table carrying GDPR deletes:
+    // a key-window query opens only the stats-intersecting files AND
+    // anti-joins the sidecars in the same plan
+    "q249_dv_pruned_read" -> ((s, d) => {
+      val l = ensureDvPruneLake(s, d)
+      val out = graft.lake.ManifestCommit.readTableWhereDV(s, l.path,
+          Map("l_orderkey" -> (l.klo, l.prHi)))
+        .filter(col("l_orderkey").between(l.klo, l.prHi))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+      val dataFiles = out.inputFiles
+        .count(f => !new org.apache.hadoop.fs.Path(f).getName
+          .startsWith(graft.lake.ManifestCommit.DvPrefix))
+      require(dataFiles < 16,
+        s"key window must prune the 16-file layout, scanned $dataFiles")
+      out
+    }),
+    // the same pruned merge-on-read read through the Catalyst
+    // FileIndex: an ORDINARY WHERE predicate prunes files via manifest
+    // stats inside the planner while the sidecar anti-join rides on
+    // top — no explicit ranges map (spec pins the scanned-file metric)
+    "q251_dv_fileindex" -> ((s, d) => {
+      val l = ensureDvPruneLake(s, d)
+      graft.lake.GraftFileIndex.tableDV(s, l.path)
+        .filter(col("l_orderkey").between(l.klo, l.prHi))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // write-audit-publish: the batch lands invisible, the audit runs
     // over exactly the candidate files, and only a pass commits — the
     // published table IS the audited relation
@@ -2046,7 +2087,7 @@ object OpsQueries {
   private val dvLakes =
     new java.util.concurrent.ConcurrentHashMap[String, DvLake]()
 
-  private def ensureDvLake(s: SparkSession, d: String): DvLake =
+  private[queries] def ensureDvLake(s: SparkSession, d: String): DvLake =
     dvLakes.computeIfAbsent(d, _ => {
       import graft.lake.ManifestCommit
       val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
@@ -2072,6 +2113,74 @@ object OpsQueries {
       require(n2 > 0, "second dv delete must hit rows")
       val head = ManifestCommit.currentSnapshot(fs, dir).get.version
       DvLake(path, lo1, hi1, lo2, hi2, pre, head)
+    })
+
+  /** Per-(process, sfDir) lake for q248: one DV delete, then a manifest
+    * compaction — the compactor must subtract the sidecar positions
+    * during the merge (NOT carry rows + inert sidecars forward). Its own
+    * lake, not [[ensureDvLake]]'s: q239's applyDvs mutates that one. */
+  private[queries] final case class DvcLake(path: String)
+
+  private val dvcLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, DvcLake]()
+
+  private def ensureDvCompactLake(s: SparkSession, d: String): DvcLake =
+    dvcLakes.computeIfAbsent(d, _ => {
+      import graft.lake.{Compaction, ManifestCommit}
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (lo, hi) = boxRange(b.getLong(0), b.getLong(1))
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dvclake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(li, col("l_orderkey"), path, 16)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      ManifestCommit.recordStats(s, dir, Seq("l_orderkey"))
+      val (touched, n) =
+        ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo, hi)
+      require(touched > 0 && n > 0, s"dv delete must hit rows ($touched, $n)")
+      val reports = Compaction.compactTableManifest(s, path,
+        maxFiles = 4, gcGraceMs = 0L)
+      require(reports.nonEmpty, "16 files over maxFiles=4 must compact")
+      require(ManifestCommit.currentDvs(fs, dir).isEmpty,
+        "compaction must absorb and drop the sidecars")
+      DvcLake(path)
+    })
+
+  /** Per-(process, sfDir) lake for q249: DV delete over the SECOND
+    * quarter, stats on the clustered key, NO compaction — the pruned
+    * merge-on-read read ([[graft.lake.ManifestCommit.readTableWhereDV]])
+    * gets a window ([klo, prHi], the first 3/8) that both prunes files
+    * and overlaps the deleted quarter. */
+  private[queries] final case class DvpLake(path: String, klo: Long,
+    prHi: Long)
+
+  private val dvpLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, DvpLake]()
+
+  private def ensureDvPruneLake(s: SparkSession, d: String): DvpLake =
+    dvpLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = boxRange(klo, khi)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dvplake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(li, col("l_orderkey"), path, 16)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      ManifestCommit.recordStats(s, dir, Seq("l_orderkey"))
+      val (touched, n) =
+        ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo, hi)
+      require(touched > 0 && n > 0, s"dv delete must hit rows ($touched, $n)")
+      DvpLake(path, klo, klo + 3 * (khi - klo) / 8)
     })
 
   private val tokH = TextKit.ducksql.md5Long("t")
@@ -5290,6 +5399,36 @@ object OpsQueries {
              AND klo + (khi - klo) // 2
            OR l_orderkey BETWEEN klo + 3 * (khi - klo) // 5
              AND klo + 7 * (khi - klo) // 10
+         ORDER BY l_orderkey, l_linenumber""",
+    // the compacted merge-on-read table == the logical post-delete
+    // relation (single DV-deleted quarter; plain read after compaction)
+    "q248_dv_compact" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
+         ORDER BY l_orderkey, l_linenumber""",
+    // pruned window ([klo, 3/8]) minus the DV-deleted quarter
+    "q249_dv_pruned_read" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey BETWEEN klo AND klo + 3 * (khi - klo) // 8
+           AND l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
+         ORDER BY l_orderkey, l_linenumber""",
+    // identical logical content through the Catalyst FileIndex path
+    "q251_dv_fileindex" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey BETWEEN klo AND klo + 3 * (khi - klo) // 8
+           AND l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
          ORDER BY l_orderkey, l_linenumber""",
     "q168_bloom_lookup" ->
       """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi

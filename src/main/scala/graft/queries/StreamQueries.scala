@@ -93,6 +93,18 @@ object StreamQueries {
           col("o_custkey"), col("o_totalprice"))
         .orderBy("change_type", "o_orderkey")
     }),
+    // merge-on-read deletes through the DSv2 log tailer: a dvdelete
+    // commit plans its sidecar (file, pos) pairs per named data file
+    // and the reader replays them as delete rows by counting the
+    // physical row index — a DV delete must never brick the stream
+    "q250_stream_dv_feed" -> ((s, d) => {
+      val dv = OpsQueries.ensureDvLake(s, d)
+      StreamingOps.streamFeedSource(s, dv.path, dv.feedFrom)
+        .filter(col("_change_type") === "delete")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // streaming maintenance from the manifest change feed: signed
     // per-key partials AS streaming aggregation state over the feed's
     // commit-batch files, merged with the stored base — equals the
@@ -228,6 +240,8 @@ object StreamQueries {
              lead(ts_us) OVER (PARTITION BY user_id
                ORDER BY ts_us, event_id) AS valid_to FROM c)
          WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from""",
+    // stream-equals-batch: the q240 dv-replay oracle verbatim
+    "q250_stream_dv_feed" -> OpsQueries.oracles("q240_dv_feed"),
     // stream-equals-batch: the q154 oracle verbatim
     "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel"),
     // stream-equals-batch: the q162 oracle verbatim

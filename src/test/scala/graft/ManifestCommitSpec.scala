@@ -801,6 +801,53 @@ class ManifestCommitSpec extends SparkSpec {
       requireLive = Set("gone.parquet")).isEmpty)
   }
 
+  test("FileIndex tableDV: manifest-stat pruning and sidecar " +
+      "subtraction compose in one plan") {
+    import graft.ops.Layout
+    import graft.lake.GraftFileIndex
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    hc
+    val local = Files.createTempDirectory("graft-fileindex-dv").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df16 = spark.range(16000).select($"id".as("k"), ($"id" % 37).as("v"))
+    Layout.writeLinear(df16, col("k"), root, 16)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    ManifestCommit.deleteWhereDV(spark, dir, "k", 1000L, 1999L)
+    val t = GraftFileIndex.tableDV(spark, root)
+    // subtraction: both the full read and a window crossing the deleted
+    // range see the post-delete rows
+    assert(t.count() == 15000L)
+    val ranged = t.filter($"k".between(500, 2499))
+    assert(ranged.count() == 1000L, "2000-row window minus deleted 1000")
+    // pruning: the DATA-side scan (the larger numFiles — the sidecar
+    // scan reads 1-2 tiny files) must select ~3 of the 16 files from
+    // the manifest stats, with the anti-join riding on top (the join
+    // makes the plan adaptive, so unwrap AQE stages)
+    ranged.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec    => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case other                    => other.children.flatMap(scans)
+    }
+    val numFiles = scans(ranged.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value)
+    assert(numFiles.nonEmpty)
+    assert(numFiles.max <= 4,
+      s"stats must prune the data scan under the anti-join: $numFiles")
+    // a DV-free table returns the PLAIN scan (no join in the plan)
+    ManifestCommit.applyDvs(spark, dir, Seq("k"))
+    val clean = GraftFileIndex.tableDV(spark, root)
+    assert(clean.count() == 15000L)
+    assert(!clean.queryExecution.executedPlan.toString.contains("Join"),
+      "sidecar-free table must not pay an anti-join")
+  }
+
   test("FileIndex: data schema is the MERGED footer schema on an " +
       "evolved table") {
     import graft.lake.GraftFileIndex
