@@ -58,6 +58,21 @@ object ChangeFeed {
       basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
         .parquet(paths: _*)
     }
+    // rows a commit's added sidecars deleted: the (file, pos) pairs
+    // semi-joined onto the named data files' parquet row index —
+    // sidecar-proportional work, shared by dvdelete and upsert replay
+    def dvDeleted(c: ManifestCommit.CommitInfo): DataFrame = {
+      val dv = read(c.addedDvs).select("file", "pos")
+      val named = dv.select("file").distinct()
+        .collect().map(_.getString(0)).toSeq // bounded: file names
+      val data = read(named)
+        .withColumn("__dv_file", col("_metadata.file_name"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+      data.join(broadcast(dv),
+          data("__dv_file") === dv("file") &&
+            data("__dv_pos") === dv("pos"), "left_semi")
+        .drop("__dv_file", "__dv_pos")
+    }
     val batches = commits.flatMap { c =>
       c.kind match {
         case ManifestCommit.KindAppend if c.added.nonEmpty =>
@@ -83,19 +98,25 @@ object ChangeFeed {
           // this commit added — read them back and semi-join the named
           // (still-present, else `read` fails loudly) data files on the
           // parquet row index. Sidecar-proportional work.
-          val dv = read(c.addedDvs).select("file", "pos")
-          val named = dv.select("file").distinct()
-            .collect().map(_.getString(0)).toSeq // bounded: file names
-          val data = read(named)
-            .withColumn("__dv_file", col("_metadata.file_name"))
-            .withColumn("__dv_pos", col("_metadata.row_index"))
-          Some(data.join(broadcast(dv),
-              data("__dv_file") === dv("file") &&
-                data("__dv_pos") === dv("pos"), "left_semi")
-            .drop("__dv_file", "__dv_pos")
+          Some(dvDeleted(c)
             .withColumn("_change_type", lit(Delete))
             .withColumn("_commit_version", lit(c.version)))
         case ManifestCommit.KindDvDelete => None // no-op dv commit
+        case ManifestCommit.KindUpsert =>
+          // a merge-on-read upsert is delete+insert in one commit: the
+          // added files' rows are the inserts, the added sidecars'
+          // positions are the deletes (same replay as dvdelete)
+          val ins =
+            if (c.added.isEmpty) None
+            else Some(read(c.added)
+              .withColumn("_change_type", lit(Insert))
+              .withColumn("_commit_version", lit(c.version)))
+          val del =
+            if (c.addedDvs.isEmpty) None
+            else Some(dvDeleted(c)
+              .withColumn("_change_type", lit(Delete))
+              .withColumn("_commit_version", lit(c.version)))
+          (ins.toSeq ++ del.toSeq).reduceOption(_.unionByName(_))
         case other => sys.error(
           s"commit v${c.version} of $partition has kind '$other' — " +
             "pre-tag history cannot be replayed incrementally, " +

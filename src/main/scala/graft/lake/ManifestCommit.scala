@@ -102,6 +102,16 @@ object ManifestCommit {
     * delete. */
   val KindDvDelete = "dvdelete"
 
+  /** Merge-on-read upsert ([[upsertDV]]): ONE commit that both appends
+    * the update rows as new data files AND deletion-vector-deletes every
+    * current row sharing a key with them — the MERGE `WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT` shape with O(changed rows) write
+    * amplification. A change-feed consumer replays it as the added
+    * files' rows (`insert`) plus the added sidecars' positions
+    * (`delete`); a consumer that does not understand the kind must
+    * refuse, exactly like [[KindDvDelete]]. */
+  val KindUpsert = "upsert"
+
   /** The live file set of one partition at one committed version. */
   final case class Snapshot(version: Long, files: Seq[String])
 
@@ -1083,6 +1093,122 @@ object ManifestCommit {
         sys.error(s"deleteWhereDV: concurrent rewrite of $partition — " +
           "positions are stale, rerun the delete")
     }
+  }
+
+  /** Merge-on-read UPSERT — the MERGE `WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT` shape over positional sidecars: every CURRENT row
+    * whose `keyCol` matches a key in `updates` is deletion-vector-deleted
+    * (all its versions — key-replacement semantics, the re-ingest/GDPR
+    * shape), and `updates`' rows land as new data files; both move in
+    * ONE atomic manifest commit (kind [[KindUpsert]]), so readers see
+    * pre- or post-merge state, never a mix, and the change feed replays
+    * exact delete+insert rows from the commit alone.
+    *
+    * Why this matters at 100 TB: a copy-on-write MERGE rewrites every
+    * file holding a matched key — GBs moved to update KBs. This writes
+    * O(changed rows): the position scan reads only the files whose
+    * committed `keyCol` stats intersect the updates' key range (one
+    * column + the row index), the match is a broadcast semi-join against
+    * the bounded update-key set, and the appended files are exactly the
+    * update rows. [[applyDvs]]/compaction amortize the rewrite later.
+    *
+    * `updates` must carry the table's schema; keys present in no current
+    * row are pure inserts (no sidecar row). Commit-time race guards:
+    * `dvsAdd` unions per attempt (a concurrent delete's sidecar is never
+    * dropped) and `requireLive` aborts if a rewrite consumed a file the
+    * positions name. Returns (touchedFiles, deletedPositions). */
+  def upsertDV(spark: SparkSession, partition: Path, keyCol: String,
+      updates: DataFrame, statsCols: Seq[String] = Nil): (Int, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    val upd = updates.cache()
+    try {
+      // schema enforcement: a mismatched update batch would land files
+      // future readers union wrongly (silent nulls / type clashes) —
+      // refuse up front against the table's merged footer schema (an
+      // empty table has no schema to enforce: the batch defines it)
+      if (snap.files.nonEmpty) {
+        val tableSchema = spark.read.option("mergeSchema", "true")
+          .parquet(snap.files.map(new Path(partition, _).toString): _*)
+          .schema
+        val tf = tableSchema.map(f => f.name -> f.dataType).toMap
+        val uf = upd.schema.map(f => f.name -> f.dataType).toMap
+        require(tf == uf,
+          s"upsertDV: updates schema ${upd.schema.simpleString} does not " +
+            s"match table schema ${tableSchema.simpleString}")
+      }
+      val kb = upd.agg(min(col(keyCol)).cast("long"),
+        max(col(keyCol)).cast("long")).head
+      require(!kb.isNullAt(0), s"upsertDV: updates carry no $keyCol keys")
+      val (lo, hi) = (kb.getLong(0), kb.getLong(1))
+      val stats = currentFileStats(fs, partition)
+      val touched = snap.files.filter { n =>
+        stats.getOrElse(n, Nil).find(_.col == keyCol)
+          .forall(s => s.max >= lo && s.min <= hi)
+      }
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      // doomed positions: current rows sharing a key with the updates —
+      // stats-pruned scan of (keyCol, row index), broadcast semi-join
+      // against the DISTINCT update keys (bounded by the batch)
+      val sidecars: Seq[String] = if (touched.isEmpty) Nil else {
+        val keys = upd.select(col(keyCol).as("__k")).distinct()
+        val dv = spark.read
+          .parquet(touched.map(new Path(partition, _).toString): _*)
+          .select(col("_metadata.file_name").as("file"),
+            col("_metadata.row_index").as("pos"), col(keyCol).as("k"))
+          .join(broadcast(keys), col("k") === col("__k"), "left_semi")
+          .select(col("file"), col("pos"))
+        val staged = new Path(partition, s"._ups-dv-$runId")
+        dv.write.parquet(staged.toString)
+        val out = fs.listStatus(staged).toIndexedSeq
+          .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+            st.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.map { case (st, i) =>
+            val name = s"$DvPrefix$runId-part$i.parquet"
+            require(fs.rename(st.getPath, new Path(partition, name)),
+              s"upsertDV: cannot move ${st.getPath} into $partition")
+            name
+          }
+        fs.delete(staged, true)
+        out
+      }
+      val nDeleted = if (sidecars.isEmpty) 0L
+        else spark.read
+          .parquet(sidecars.map(new Path(partition, _).toString): _*)
+          .count()
+      val dvNames = if (nDeleted == 0L) {
+        sidecars.foreach(n => fs.delete(new Path(partition, n), false))
+        Nil
+      } else sidecars
+      // the update rows land under the compacted prefix: a crashed run's
+      // files are never adopted as data and gc collects them when stale
+      val staged = new Path(partition, s"._ups-$runId")
+      upd.write.parquet(staged.toString)
+      val produced = fs.listStatus(staged).toIndexedSeq
+        .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+          st.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.map { case (st, i) =>
+          val name = s"${CompactedPrefix}ups-$runId-part$i.parquet"
+          require(fs.rename(st.getPath, new Path(partition, name)),
+            s"upsertDV: cannot move ${st.getPath} into $partition")
+          name
+        }
+      fs.delete(staged, true)
+      replaceFiles(fs, partition, Set.empty, produced, kind = KindUpsert,
+          dvsAdd = dvNames, requireLive = touched.toSet) match {
+        case Some(_) =>
+          if (produced.nonEmpty && statsCols.nonEmpty)
+            recordStats(spark, partition, statsCols,
+              only = Some(produced.toSet))
+          (touched.size, nDeleted)
+        case None =>
+          (produced ++ dvNames)
+            .foreach(n => fs.delete(new Path(partition, n), false))
+          sys.error(s"upsertDV: concurrent rewrite of $partition — " +
+            "positions are stale, rerun the merge")
+      }
+    } finally upd.unpersist(blocking = false)
   }
 
   /** Read `dataPaths` minus the positions listed by `dvPaths`: each data

@@ -1340,17 +1340,13 @@ object OpsQueries {
     }),
     // copy-on-write conversion: ONE rewrite of only the sidecar-named
     // files amortizes both dv deletes; afterwards the PLAIN manifest
-    // read serves the post-delete table and the anti-join cost is gone
-    "q239_dv_rewrite" -> ((s, d) => {
-      val dv = ensureDvLake(s, d)
-      val dir = new org.apache.hadoop.fs.Path(dv.path)
-      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      graft.lake.ManifestCommit.applyDvs(s, dir, Seq("l_orderkey"))
-      require(graft.lake.ManifestCommit.currentDvs(fs, dir).isEmpty,
-        "rewrite must clear every sidecar")
-      graft.lake.ManifestCommit.readTable(s, dv.path)
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
+    // read serves the post-delete table and the anti-join cost is gone.
+    // Its OWN lake (the applyDvs runs inside the fixture): rewriting
+    // q238's shared lake at construction time raced the plan-pinned
+    // q238 anti-join when suites build queries concurrently.
+    "q239_dv_rewrite" -> ((s, d) =>
+      graft.lake.ManifestCommit.readTable(s, ensureDvRewriteLake(s, d))
+        .orderBy("l_orderkey", "l_linenumber")),
     // change-feed replay of the dv deletes: the deleted rows come back
     // from the added-sidecar semi-join alone — file-motion-free deletes
     // stay exactly CDC-consumable
@@ -1391,6 +1387,26 @@ object OpsQueries {
       require(dataFiles < 16,
         s"key window must prune the 16-file layout, scanned $dataFiles")
       out
+    }),
+    // merge-on-read UPSERT (MERGE: matched keys replaced, new keys
+    // inserted) in ONE atomic commit — sidecars delete the old
+    // versions, appended files carry the new rows, write amplification
+    // O(changed rows); the DV read serves the post-merge table
+    "q252_upsert_read" -> ((s, d) => {
+      val u = ensureUpsertLake(s, d)
+      graft.lake.ManifestCommit.readTableDV(s, u.path)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // the upsert commit replayed from the log alone: added files =
+    // insert rows, added sidecars = delete rows — exact CDC for MERGE
+    "q253_upsert_feed" -> ((s, d) => {
+      val u = ensureUpsertLake(s, d)
+      graft.lake.ChangeFeed.changeFeed(s,
+          new org.apache.hadoop.fs.Path(u.path), u.feedFrom, u.feedTo)
+        .select(col("_change_type").as("change_type"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+        .orderBy("change_type", "l_orderkey", "l_linenumber")
     }),
     // the same pruned merge-on-read read through the Catalyst
     // FileIndex: an ORDINARY WHERE predicate prunes files via manifest
@@ -2115,6 +2131,40 @@ object OpsQueries {
       DvLake(path, lo1, hi1, lo2, hi2, pre, head)
     })
 
+  /** Per-(process, sfDir) lake for q239: the [[ensureDvLake]] double DV
+    * delete followed by the [[graft.lake.ManifestCommit.applyDvs]]
+    * copy-on-write conversion, ALL inside the fixture — so constructing
+    * q239 never mutates the lake q238/q240/q250 read (suites that build
+    * every query concurrently raced q238's plan-pinned anti-join). */
+  private val dvRwLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureDvRewriteLake(s: SparkSession, d: String): String =
+    dvRwLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (lo1, hi1) = boxRange(klo, khi)
+      val (lo2, hi2) = (klo + 3 * (khi - klo) / 5, klo + 7 * (khi - klo) / 10)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dvrwlake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(li, col("l_orderkey"), path, 16)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      ManifestCommit.recordStats(s, dir, Seq("l_orderkey"))
+      val (_, n1) = ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo1, hi1)
+      val (_, n2) = ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo2, hi2)
+      require(n1 > 0 && n2 > 0, "both dv deletes must hit rows")
+      ManifestCommit.applyDvs(s, dir, Seq("l_orderkey"))
+      require(ManifestCommit.currentDvs(fs, dir).isEmpty,
+        "rewrite must clear every sidecar")
+      path
+    })
+
   /** Per-(process, sfDir) lake for q248: one DV delete, then a manifest
     * compaction — the compactor must subtract the sidecar positions
     * during the merge (NOT carry rows + inert sidecars forward). Its own
@@ -2160,6 +2210,54 @@ object OpsQueries {
 
   private val dvpLakes =
     new java.util.concurrent.ConcurrentHashMap[String, DvpLake]()
+
+  /** Per-(process, sfDir) UPSERT lake for q252–q254: lineitem 16-file
+    * linear layout on `l_orderkey`, then ONE
+    * [[graft.lake.ManifestCommit.upsertDV]] commit that (a) replaces
+    * every row of a narrow key slice with a single doubled-quantity
+    * line-1 row per key (key-replacement MERGE semantics) and (b)
+    * inserts tripled-quantity twins at `key + span` (pure inserts — no
+    * current row matches). `feedFrom`/`feedTo` bracket the upsert
+    * commit for the change-feed twins. */
+  private[queries] final case class UpsLake(path: String, feedFrom: Long,
+    feedTo: Long)
+
+  private val upsLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, UpsLake]()
+
+  private[queries] def ensureUpsertLake(s: SparkSession, d: String): UpsLake =
+    upsLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val ulo = klo + (khi - klo) / 3
+      val uhi = ulo + (khi - klo) / 16
+      val span = khi - klo + 1000000L
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_upslake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(li, col("l_orderkey"), path, 16)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      val pre = ManifestCommit.recordStats(s, dir, Seq("l_orderkey")).version
+      val src = li.filter(col("l_orderkey").between(ulo, uhi) &&
+        col("l_linenumber") === 1)
+      val updates = src
+        .withColumn("l_quantity", col("l_quantity") * 2)
+        .unionByName(src.select(
+          (col("l_orderkey") + span).as("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity") * 3).as("l_quantity")))
+      val (touched, nDel) = ManifestCommit.upsertDV(s, dir, "l_orderkey",
+        updates, Seq("l_orderkey"))
+      require(touched > 0 && nDel > 0,
+        s"upsert must match current rows ($touched files, $nDel deleted)")
+      UpsLake(path, pre,
+        ManifestCommit.currentSnapshot(fs, dir).get.version)
+    })
 
   private def ensureDvPruneLake(s: SparkSession, d: String): DvpLake =
     dvpLakes.computeIfAbsent(d, _ => {
@@ -5430,6 +5528,57 @@ object OpsQueries {
            AND l_orderkey NOT BETWEEN klo + (khi - klo) // 4
              AND klo + (khi - klo) // 2
          ORDER BY l_orderkey, l_linenumber""",
+    // post-merge table: MATCHED keys (slice keys that HAVE a line-1 row
+    // — the synthetic lineitem's linenumbers are uniform per row, so
+    // not every key does) lose all their versions and gain the doubled
+    // line-1 replacement; unmatched rows survive; tripled inserts land
+    // at key + span
+    "q252_upsert_read" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem),
+         s AS (SELECT klo + (khi - klo) // 3 AS ulo,
+             klo + (khi - klo) // 3 + (khi - klo) // 16 AS uhi,
+             khi - klo + 1000000 AS span FROM b),
+         uk AS (SELECT DISTINCT l_orderkey FROM lineitem, s
+           WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT l_orderkey FROM uk)
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_quantity * 2 AS l_quantity
+         FROM lineitem, s
+         WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1
+         UNION ALL
+         SELECT l_orderkey + span AS l_orderkey, l_linenumber, l_partkey,
+           l_suppkey, l_quantity * 3 AS l_quantity
+         FROM lineitem, s
+         WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1
+         ORDER BY l_orderkey, l_linenumber""",
+    // the MERGE as a change feed: every old version of a MATCHED key
+    // deleted, every update/insert row inserted
+    "q253_upsert_feed" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem),
+         s AS (SELECT klo + (khi - klo) // 3 AS ulo,
+             klo + (khi - klo) // 3 + (khi - klo) // 16 AS uhi,
+             khi - klo + 1000000 AS span FROM b),
+         uk AS (SELECT DISTINCT l_orderkey FROM lineitem, s
+           WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1)
+         SELECT 'delete' AS change_type, l_orderkey, l_linenumber,
+           l_partkey, l_suppkey, l_quantity
+         FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM uk)
+         UNION ALL
+         SELECT 'insert' AS change_type, l_orderkey, l_linenumber,
+           l_partkey, l_suppkey, l_quantity * 2 AS l_quantity
+         FROM lineitem, s
+         WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1
+         UNION ALL
+         SELECT 'insert' AS change_type, l_orderkey + span AS l_orderkey,
+           l_linenumber, l_partkey, l_suppkey, l_quantity * 3 AS l_quantity
+         FROM lineitem, s
+         WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1
+         ORDER BY change_type, l_orderkey, l_linenumber""",
     "q168_bloom_lookup" ->
       """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
            FROM lineitem),

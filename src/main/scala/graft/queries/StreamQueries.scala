@@ -93,6 +93,17 @@ object StreamQueries {
           col("o_custkey"), col("o_totalprice"))
         .orderBy("change_type", "o_orderkey")
     }),
+    // the upsert commit through the DSv2 log tailer: added files
+    // stream as inserts, added sidecars as position-replayed deletes —
+    // one atomic MERGE commit, two exact CDC directions
+    "q254_stream_upsert_feed" -> ((s, d) => {
+      val u = OpsQueries.ensureUpsertLake(s, d)
+      StreamingOps.streamFeedSource(s, u.path, u.feedFrom)
+        .select(col("_change_type").as("change_type"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+        .orderBy("change_type", "l_orderkey", "l_linenumber")
+    }),
     // merge-on-read deletes through the DSv2 log tailer: a dvdelete
     // commit plans its sidecar (file, pos) pairs per named data file
     // and the reader replays them as delete rows by counting the
@@ -242,6 +253,8 @@ object StreamQueries {
          WHERE valid_to IS NOT NULL ORDER BY user_id, valid_from""",
     // stream-equals-batch: the q240 dv-replay oracle verbatim
     "q250_stream_dv_feed" -> OpsQueries.oracles("q240_dv_feed"),
+    // stream-equals-batch: the q253 upsert-replay oracle verbatim
+    "q254_stream_upsert_feed" -> OpsQueries.oracles("q253_upsert_feed"),
     // stream-equals-batch: the q154 oracle verbatim
     "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel"),
     // stream-equals-batch: the q162 oracle verbatim

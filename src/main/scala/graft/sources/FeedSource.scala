@@ -152,6 +152,19 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
       end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FeedOffset].version,
       end.asInstanceOf[FeedOffset].version)
+    // merge-on-read delete positions: group the commit's sidecar rows
+    // per named data file — one partition per file, carrying its own
+    // bounded position set for the reader's row-index counting scan
+    def dvPartitions(c: ManifestCommit.CommitInfo): Seq[InputPartition] = {
+      val dvRows = SparkSession.active.read
+        .parquet(c.addedDvs.map(n => new Path(dir, n).toString): _*)
+        .select("file", "pos").collect()
+      dvRows.groupBy(_.getString(0)).toSeq.map { case (f, rows) =>
+        FeedFilePartition(new Path(dir, f).toString,
+          ChangeFeed.Delete, c.version, None,
+          positions = Some(rows.map(_.getLong(1)).sorted))
+      }
+    }
     ManifestCommit.commitsBetween(fs, dir, s, e).flatMap { c =>
       c.kind match {
         case ManifestCommit.KindAppend =>
@@ -169,21 +182,19 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
           // merge-on-read delete (the batch twin is
           // ChangeFeed.changeFeed's sidecar semi-join): the deleted rows
           // are EXACTLY the (file, pos) pairs of the sidecars this
-          // commit added. Group positions per named data file — one
-          // partition per file, carrying its own position set (bounded
-          // by that file's deleted rows) — and let the reader count the
-          // physical row index during its sequential scan: a plain
-          // ParquetReader with no pushdown visits rows in row-index
-          // order, so a counter IS `_metadata.row_index`.
-          val dvRows = SparkSession.active.read
-            .parquet(c.addedDvs.map(n => new Path(dir, n).toString): _*)
-            .select("file", "pos").collect()
-          dvRows.groupBy(_.getString(0)).toSeq.map { case (f, rows) =>
-            FeedFilePartition(new Path(dir, f).toString,
-              ChangeFeed.Delete, c.version, None,
-              positions = Some(rows.map(_.getLong(1)).sorted))
-          }
+          // commit added; the reader counts the physical row index
+          // during its sequential scan — a plain ParquetReader with no
+          // pushdown visits rows in row-index order, so a counter IS
+          // `_metadata.row_index`.
+          dvPartitions(c)
         case ManifestCommit.KindDvDelete => Nil // no-op dv commit
+        case ManifestCommit.KindUpsert =>
+          // one commit, both directions: the added files stream as
+          // inserts, the added sidecars' positions as deletes
+          c.added.map(n => FeedFilePartition(
+            new Path(dir, n).toString, ChangeFeed.Insert, c.version,
+            None): InputPartition) ++
+            (if (c.addedDvs.isEmpty) Nil else dvPartitions(c))
         case other => sys.error(
           s"graft-feed: commit v${c.version} of $dir has kind '$other' " +
             "— pre-tag history cannot be streamed, full resync required")

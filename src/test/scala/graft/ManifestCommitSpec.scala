@@ -801,6 +801,54 @@ class ManifestCommitSpec extends SparkSpec {
       requireLive = Set("gone.parquet")).isEmpty)
   }
 
+  test("merge-on-read upsert: key replacement + pure inserts in one " +
+      "atomic commit, exact feed replay, applyDvs retires it") {
+    import graft.ops.Layout
+    import graft.lake.ChangeFeed
+    hc
+    val local = Files.createTempDirectory("graft-manifest-upsert").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df = spark.range(1000).select($"id".as("k"), ($"id" % 7).as("v"))
+    Layout.writeLinear(df, col("k"), root, 8)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    val pre = ManifestCommit.recordStats(spark, dir, Seq("k")).version
+    // 20 key replacements + 10 pure inserts, one commit
+    val updates = spark.range(100, 120)
+      .select($"id".as("k"), lit(100L).as("v"))
+      .unionByName(spark.range(2000, 2010)
+        .select($"id".as("k"), lit(200L).as("v")))
+    val (touched, nDel) =
+      ManifestCommit.upsertDV(spark, dir, "k", updates, Seq("k"))
+    assert(touched > 0 && nDel == 20L, s"($touched, $nDel)")
+    // post-merge table: replaced rows carry the update values, new keys
+    // exist, everything else is untouched
+    val t = ManifestCommit.readTableDV(spark, root)
+    assert(t.count() == 1010L)
+    assert(t.filter($"k".between(100, 119) && $"v" === 100L).count() == 20L)
+    assert(t.filter($"k" >= 2000 && $"v" === 200L).count() == 10L)
+    assert(t.filter($"k" === 50L && $"v" === 50L % 7).count() == 1L)
+    // the feed replays the MERGE exactly: old versions out, new rows in
+    val head = ManifestCommit.currentSnapshot(fs, dir).get.version
+    val feed = ChangeFeed.changeFeed(spark, dir, pre, head)
+    val dels = feed.filter($"_change_type" === ChangeFeed.Delete)
+    val ins = feed.filter($"_change_type" === ChangeFeed.Insert)
+    assert(dels.count() == 20L && ins.count() == 30L)
+    assert(dels.filter($"v" === 100L).count() == 0L,
+      "deleted rows carry the ORIGINAL values")
+    // copy-on-write conversion retires the merge; plain read agrees
+    ManifestCommit.applyDvs(spark, dir, Seq("k"))
+    assert(ManifestCommit.currentDvs(fs, dir).isEmpty)
+    assert(ManifestCommit.readTable(spark, root).count() == 1010L)
+    // a mismatched update batch is refused before anything lands
+    val e = intercept[IllegalArgumentException] {
+      ManifestCommit.upsertDV(spark, dir, "k",
+        spark.range(5).select($"id".as("k"), lit("oops").as("v")))
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
   test("FileIndex tableDV: manifest-stat pruning and sidecar " +
       "subtraction compose in one plan") {
     import graft.ops.Layout
