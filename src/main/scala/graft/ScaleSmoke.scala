@@ -651,6 +651,52 @@ object ScaleSmoke {
       timeDvc("dvcompact_1x", 1)
       timeDvc(s"dvcompact_${k}x", k)
     }
+    // CDC apply (the q255 consumer): a FIXED change batch (narrow key
+    // slice: replacements + fresh inserts) applied via applyChangesDV
+    // to a target that grows k×. Claim under test: apply cost is the
+    // stats-pruned position scan of the touched files + O(batch) writes
+    // — FLAT as the table grows, never a table-sized term (the whole
+    // point of merge-on-read apply vs copy-on-write MERGE).
+    if (enabled("cdcapply")) {
+      import graft.lake.ManifestCommit
+      import org.apache.hadoop.fs.Path
+      val bb = liRep(1).agg(min("k"), max("k")).head
+      val (klo, khi) = (bb.getLong(0), bb.getLong(1))
+      def timeApply(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        val df = liRep(times)
+        val root = java.nio.file.Files
+          .createTempDirectory("smoke_cdcapply").toString
+        graft.ops.Layout.writeLinear(df, col("k"), s"$root/t", 32)
+        val dir = new Path(s"$root/t")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        ManifestCommit.bootstrap(fs, dir)
+        ManifestCommit.recordStats(spark, dir, Seq("k"))
+        // ~fixed-size batch regardless of scale: liRep preserves key
+        // DENSITY as it replicates, so a fixed absolute key width cuts
+        // ~the same row count at every scale — replace that slice,
+        // insert twins far beyond the key space
+        val lo = df.agg(min("k")).head.getLong(0) + (khi - klo) / 3
+        val hi = lo + (khi - klo) / 512
+        val src = df.filter(col("k").between(lo, hi))
+        val batch = src.withColumn("q", col("q") + 1)
+          .unionByName(src.select((col("k") + 4000000000L).as("k"),
+            col("x"), col("y"), (col("q") + 2).as("q")))
+        val t0 = System.nanoTime()
+        val (touched, nDel) = ManifestCommit.applyChangesDV(spark, dir,
+          "k", inserts = batch, deleteKeys = batch.select("k").limit(0),
+          statsCols = Seq("k"), txn = Some(("smoke", 0L)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(nDel > 0, "batch must replace rows")
+        if (!silent)
+          println(f"""{"experiment":"$label","table_rows":${df.count()},""" +
+            f""""touched":$touched,"deleted":$nDel,""" +
+            f""""apply_sec":$sec%.2f}""")
+      }
+      timeApply("warmup", 1, silent = true)
+      timeApply("cdcapply_1x", 1)
+      timeApply(s"cdcapply_${k}x", k)
+    }
     // PageRank-over-pairs (the q133 consumer): rank iterations measured
     // over PRE-BUILT persisted pairs so the window isolates the
     // CC + 3 fixed-point iterations from candidate generation (the dedup

@@ -503,12 +503,21 @@ object ManifestCommit {
       dvs: Option[Seq[String]] = None,
       dvsAdd: Seq[String] = Nil,
       requireLive: Set[String] = Set.empty,
-      expectedDvs: Option[Seq[String]] = None): Option[Snapshot] = {
+      expectedDvs: Option[Seq[String]] = None,
+      txn: Option[(String, Long)] = None): Option[Snapshot] = {
     require(dvs.isEmpty || dvsAdd.isEmpty,
       "replaceFiles: dvs (absolute) and dvsAdd (delta) are exclusive")
     var attempt = 0
     while (attempt < maxAttempts) {
       val snap = bootstrap(fs, partition)
+      // idempotent-writer guard (the appendFiles semantic): a version at
+      // or below the app's committed watermark is ALREADY in the table —
+      // return the current snapshot without committing (re-checked every
+      // attempt, so a racing replay can never double-apply)
+      val prevTxns = currentTxns(fs, partition)
+      txn.foreach { case (app, v) =>
+        if (prevTxns.get(app).exists(_ >= v)) return Some(snap)
+      }
       if (!consumed.subsetOf(snap.files.toSet)) return None
       if (!requireLive.subsetOf(snap.files.toSet)) return None
       // dedupe against the survivors: a produced name some other path
@@ -535,7 +544,7 @@ object ManifestCommit {
         .filter { case (n, b) => live.contains(n) && b.nonEmpty }
       if (tryCommit(fs, partition, snap.version + 1, live, tombstones,
           stats, blooms, kind = kind, deletePredicate = deletePredicate,
-          dvs = nextDvs, txns = currentTxns(fs, partition)))
+          dvs = nextDvs, txns = prevTxns ++ txn))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }
@@ -1118,13 +1127,40 @@ object ManifestCommit {
     * dropped) and `requireLive` aborts if a rewrite consumed a file the
     * positions name. Returns (touchedFiles, deletedPositions). */
   def upsertDV(spark: SparkSession, partition: Path, keyCol: String,
-      updates: DataFrame, statsCols: Seq[String] = Nil): (Int, Long) = {
+      updates: DataFrame, statsCols: Seq[String] = Nil): (Int, Long) =
+    applyChangesDV(spark, partition, keyCol, inserts = updates,
+      deleteKeys = updates.select(keyCol).limit(0), statsCols = statsCols)
+
+  /** The general merge-on-read CHANGE APPLY — [[upsertDV]] plus explicit
+    * key deletes and an exactly-once transaction watermark, i.e. the
+    * operation a CDC-replication consumer needs per batch: every current
+    * row whose `keyCol` is in `deleteKeys` OR shares a key with
+    * `inserts` is deletion-vector-deleted, `inserts`' rows land as new
+    * data files, and both move in ONE atomic commit. With
+    * `txn = Some((appId, batchId))` a batch at or below the app's
+    * committed watermark is a NO-OP (checked before any work AND
+    * re-checked inside the commit), so a restarted stream — even one
+    * that lost its checkpoint entirely — can replay its whole history
+    * against the live table without double-applying anything: the
+    * manifest is the only ledger. Returns (touchedFiles,
+    * deletedPositions); (0, 0) for a replayed or empty batch. */
+  def applyChangesDV(spark: SparkSession, partition: Path, keyCol: String,
+      inserts: DataFrame, deleteKeys: DataFrame,
+      statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): (Int, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, max, min}
     val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = bootstrap(fs, partition)
-    val upd = updates.cache()
+    txn.foreach { case (app, v) =>
+      // replayed batch: already durable — nothing to stage, move, or
+      // commit (the commit path re-checks, this just skips the work)
+      if (currentTxns(fs, partition).get(app).exists(_ >= v)) return (0, 0L)
+    }
+    val upd = inserts.cache()
+    val delK = deleteKeys.select(col(deleteKeys.columns.head).as("__k"))
+      .cache()
     try {
-      // schema enforcement: a mismatched update batch would land files
+      // schema enforcement: a mismatched insert batch would land files
       // future readers union wrongly (silent nulls / type clashes) —
       // refuse up front against the table's merged footer schema (an
       // empty table has no schema to enforce: the batch defines it)
@@ -1135,24 +1171,52 @@ object ManifestCommit {
         val tf = tableSchema.map(f => f.name -> f.dataType).toMap
         val uf = upd.schema.map(f => f.name -> f.dataType).toMap
         require(tf == uf,
-          s"upsertDV: updates schema ${upd.schema.simpleString} does not " +
-            s"match table schema ${tableSchema.simpleString}")
+          s"applyChangesDV: inserts schema ${upd.schema.simpleString} " +
+            s"does not match table schema ${tableSchema.simpleString}")
       }
-      val kb = upd.agg(min(col(keyCol)).cast("long"),
-        max(col(keyCol)).cast("long")).head
-      require(!kb.isNullAt(0), s"upsertDV: updates carry no $keyCol keys")
-      val (lo, hi) = (kb.getLong(0), kb.getLong(1))
-      val stats = currentFileStats(fs, partition)
-      val touched = snap.files.filter { n =>
-        stats.getOrElse(n, Nil).find(_.col == keyCol)
-          .forall(s => s.max >= lo && s.min <= hi)
-      }
+      // every key this batch dooms: explicit deletes + replaced inserts
+      val keys = upd.select(col(keyCol).as("__k")).unionByName(delK)
+        .distinct()
+      val kb = keys.agg(min(col("__k")).cast("long"),
+        max(col("__k")).cast("long")).head
+      val nIns = upd.limit(1).count()
+      if (kb.isNullAt(0) && nIns == 0L) return (0, 0L) // empty batch
+      // file pruning for the position scan. The min/max box alone is
+      // weak for the common CDC shape — a slice of replacements plus
+      // fresh inserts far up the key space inflates the box over most
+      // of the table. A CDC batch's key set is bounded, so when it fits
+      // the driver comfortably, prune EXACTLY: keep a file only if some
+      // batch key falls inside its committed [min, max] (one binary
+      // search per file against the sorted key array). Oversized
+      // batches fall back to the box — still a superset, never wrong.
+      val maxDriverKeys = 100000L
+      val touched =
+        if (kb.isNullAt(0)) Seq.empty[String]
+        else {
+          val (lo, hi) = (kb.getLong(0), kb.getLong(1))
+          val stats = currentFileStats(fs, partition)
+          val nKeys = keys.count()
+          val probe: Option[Array[Long]] =
+            if (nKeys > maxDriverKeys) None
+            else Some(keys.select(col("__k").cast("long"))
+              .filter(col("__k").isNotNull)
+              .collect().map(_.getLong(0)).sorted)
+          def anyKeyIn(mn: Long, mx: Long): Boolean = probe match {
+            case None => mx >= lo && mn <= hi
+            case Some(ks) =>
+              val i = java.util.Arrays.binarySearch(ks, mn)
+              val at = if (i >= 0) i else -i - 1 // first key >= mn
+              at < ks.length && ks(at) <= mx
+          }
+          snap.files.filter { n =>
+            stats.getOrElse(n, Nil).find(_.col == keyCol)
+              .forall(s => anyKeyIn(s.min, s.max))
+          }
+        }
       val runId = java.util.UUID.randomUUID().toString.take(8)
-      // doomed positions: current rows sharing a key with the updates —
-      // stats-pruned scan of (keyCol, row index), broadcast semi-join
-      // against the DISTINCT update keys (bounded by the batch)
+      // doomed positions: stats-pruned scan of (keyCol, row index),
+      // broadcast semi-join against the bounded batch key set
       val sidecars: Seq[String] = if (touched.isEmpty) Nil else {
-        val keys = upd.select(col(keyCol).as("__k")).distinct()
         val dv = spark.read
           .parquet(touched.map(new Path(partition, _).toString): _*)
           .select(col("_metadata.file_name").as("file"),
@@ -1167,7 +1231,7 @@ object ManifestCommit {
           .zipWithIndex.map { case (st, i) =>
             val name = s"$DvPrefix$runId-part$i.parquet"
             require(fs.rename(st.getPath, new Path(partition, name)),
-              s"upsertDV: cannot move ${st.getPath} into $partition")
+              s"applyChangesDV: cannot move ${st.getPath} into $partition")
             name
           }
         fs.delete(staged, true)
@@ -1181,22 +1245,27 @@ object ManifestCommit {
         sidecars.foreach(n => fs.delete(new Path(partition, n), false))
         Nil
       } else sidecars
-      // the update rows land under the compacted prefix: a crashed run's
+      // the insert rows land under the compacted prefix: a crashed run's
       // files are never adopted as data and gc collects them when stale
-      val staged = new Path(partition, s"._ups-$runId")
-      upd.write.parquet(staged.toString)
-      val produced = fs.listStatus(staged).toIndexedSeq
-        .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
-          st.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.map { case (st, i) =>
-          val name = s"${CompactedPrefix}ups-$runId-part$i.parquet"
-          require(fs.rename(st.getPath, new Path(partition, name)),
-            s"upsertDV: cannot move ${st.getPath} into $partition")
-          name
-        }
-      fs.delete(staged, true)
+      val produced: Seq[String] = if (nIns == 0L) Nil else {
+        val staged = new Path(partition, s"._ups-$runId")
+        upd.write.parquet(staged.toString)
+        val out = fs.listStatus(staged).toIndexedSeq
+          .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+            st.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.map { case (st, i) =>
+            val name = s"${CompactedPrefix}ups-$runId-part$i.parquet"
+            require(fs.rename(st.getPath, new Path(partition, name)),
+              s"applyChangesDV: cannot move ${st.getPath} into $partition")
+            name
+          }
+        fs.delete(staged, true)
+        out
+      }
+      if (produced.isEmpty && dvNames.isEmpty) return (0, 0L) // no-op
       replaceFiles(fs, partition, Set.empty, produced, kind = KindUpsert,
-          dvsAdd = dvNames, requireLive = touched.toSet) match {
+          dvsAdd = dvNames, requireLive = touched.toSet,
+          txn = txn) match {
         case Some(_) =>
           if (produced.nonEmpty && statsCols.nonEmpty)
             recordStats(spark, partition, statsCols,
@@ -1205,10 +1274,13 @@ object ManifestCommit {
         case None =>
           (produced ++ dvNames)
             .foreach(n => fs.delete(new Path(partition, n), false))
-          sys.error(s"upsertDV: concurrent rewrite of $partition — " +
+          sys.error(s"applyChangesDV: concurrent rewrite of $partition — " +
             "positions are stale, rerun the merge")
       }
-    } finally upd.unpersist(blocking = false)
+    } finally {
+      upd.unpersist(blocking = false)
+      delK.unpersist(blocking = false)
+    }
   }
 
   /** Read `dataPaths` minus the positions listed by `dvPaths`: each data

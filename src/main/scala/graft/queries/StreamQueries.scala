@@ -93,6 +93,18 @@ object StreamQueries {
           col("o_custkey"), col("o_totalprice"))
         .orderBy("change_type", "o_orderkey")
     }),
+    // exactly-once lake-to-lake CDC replication: the DSv2 feed tails
+    // the source commit log (one commit per micro-batch) and each batch
+    // applies through ONE atomic merge-on-read commit with the batch id
+    // as txn watermark; the op replays the WHOLE stream against a fresh
+    // checkpoint (total loss) and the replica must still equal the
+    // source head exactly — the target manifest is the only ledger
+    "q255_cdc_replicate" -> ((s, d) => {
+      val cl = OpsQueries.ensureCdfLake(s, d)
+      StreamingOps.streamReplicate(s, cl.path, s"${cl.path}-replica",
+          cl.fromV, "o_orderkey", appId = "q255")
+        .orderBy("o_orderkey")
+    }),
     // the upsert commit through the DSv2 log tailer: added files
     // stream as inserts, added sidecars as position-replayed deletes —
     // one atomic MERGE commit, two exact CDC directions
@@ -255,6 +267,17 @@ object StreamQueries {
     "q250_stream_dv_feed" -> OpsQueries.oracles("q240_dv_feed"),
     // stream-equals-batch: the q253 upsert-replay oracle verbatim
     "q254_stream_upsert_feed" -> OpsQueries.oracles("q253_upsert_feed"),
+    // the replica == the source head: initial snapshot (keys % 3 = 0)
+    // + publish(1) (% 3 = 1) - the boxed deleteRange + publish(2)
+    // (% 3 = 2, landed AFTER the delete so box keys survive there)
+    "q255_cdc_replicate" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+         WHERE o_orderkey % 3 = 2
+            OR o_orderkey NOT BETWEEN klo + (khi - klo) // 4
+              AND klo + (khi - klo) // 2
+         ORDER BY o_orderkey""",
     // stream-equals-batch: the q154 oracle verbatim
     "q172_stream_funnel" -> OpsQueries.oracles("q154_funnel"),
     // stream-equals-batch: the q162 oracle verbatim

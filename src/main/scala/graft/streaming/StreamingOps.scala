@@ -350,6 +350,70 @@ object StreamingOps {
     * checkpoint (the total-loss scenario — every batch re-delivers from
     * 0) and returns the manifest table, which the oracle requires to
     * equal the source exactly — any duplicate would hash-mismatch. */
+  /** Exactly-once LAKE-TO-LAKE CDC replication: tail the source table's
+    * commit log through the DSv2 feed source (one source commit per
+    * micro-batch via `maxCommitsPerBatch=1`), and apply each batch's
+    * insert/delete change rows to the target through ONE atomic
+    * merge-on-read commit
+    * ([[graft.lake.ManifestCommit.applyChangesDV]]) keyed by the
+    * micro-batch id as the transaction watermark. The production CDC
+    * consumer shape end-to-end: work per batch ∝ change volume on BOTH
+    * sides (the feed plans only delta files; the apply writes
+    * O(changed rows) — positions sidecar + insert files), the target
+    * never rescans, and exactly-once needs NO sink-side log — the
+    * target manifest is the only ledger, which this op PROVES by
+    * replaying the entire stream against a fresh checkpoint (total
+    * checkpoint loss) and requiring the table unchanged. Initial sync =
+    * the source snapshot at `fromV`, range-clustered on the key.
+    * Returns the replicated target relation. */
+  def streamReplicate(spark: SparkSession, srcPath: String,
+      dstPath: String, fromV: Long, keyCol: String,
+      appId: String): DataFrame = {
+    import graft.lake.ManifestCommit
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // initial sync once per target (the fixture may be re-entered)
+    if (!fs.exists(dst)) {
+      graft.ops.Layout.writeLinear(
+        ManifestCommit.readTableAt(spark, srcPath, fromV), col(keyCol),
+        dstPath, 8)
+      ManifestCommit.bootstrap(fs, dst)
+      ManifestCommit.recordStats(spark, dst, Seq(keyCol))
+    }
+    def applyBatch(b: DataFrame, batchId: Long): Unit = {
+      val dataCols = b.columns
+        .filter(c => c != "_change_type" && c != "_commit_version").toSeq
+      ManifestCommit.applyChangesDV(spark, dst, keyCol,
+        inserts = b.filter(col("_change_type") === "insert")
+          .select(dataCols.map(col): _*),
+        deleteKeys = b.filter(col("_change_type") === "delete")
+          .select(col(keyCol)),
+        statsCols = Seq(keyCol), txn = Some((appId, batchId)))
+      ()
+    }
+    def runOnce(checkpoint: String): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.readStream.format("graft.sources.FeedSource")
+        .option("path", srcPath)
+        .option("fromVersion", fromV.toString)
+        .option("maxCommitsPerBatch", "1")
+        .load()
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    runOnce(s"$dstPath-checkpoint")
+    // total checkpoint loss: every batch re-delivers from fromV against
+    // the LIVE target; the manifest txn watermark alone must suppress
+    // every one of them (a double-apply would duplicate rows or lose
+    // resurrected deletes — either hash-mismatches the oracle)
+    runOnce(s"$dstPath-checkpoint-replay")
+    ManifestCommit.readTableDV(spark, dstPath)
+  }
+
   def streamIngestTxn(spark: SparkSession, sfDir: String,
       tableDir: String, appId: String): DataFrame = {
     import graft.lake.ManifestCommit

@@ -849,6 +849,45 @@ class ManifestCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("schema"))
   }
 
+  test("applyChangesDV: txn watermark makes replayed batches no-ops; " +
+      "explicit key deletes apply") {
+    import graft.ops.Layout
+    hc
+    val local = Files.createTempDirectory("graft-manifest-apply").toString
+    val root = s"file://$local/tbl"
+    val dir = new Path(root)
+    val df = spark.range(100).select($"id".as("k"), ($"id" % 7).as("v"))
+    Layout.writeLinear(df, col("k"), root, 4)
+    val fs = dir.getFileSystem(hc)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    def emptyKeys = spark.range(0).select($"id".as("k"))
+    // batch 0: replace keys 10-14, delete keys 90-94 — one commit
+    val b0 = spark.range(10, 15).select($"id".as("k"), lit(99L).as("v"))
+    val (_, nDel0) = ManifestCommit.applyChangesDV(spark, dir, "k",
+      inserts = b0, deleteKeys = spark.range(90, 95).select($"id".as("k")),
+      txn = Some(("app", 0L)))
+    assert(nDel0 == 10L, "5 replaced + 5 deleted positions")
+    val t1 = ManifestCommit.readTableDV(spark, root)
+    assert(t1.count() == 95L)
+    assert(t1.filter($"k".between(10, 14) && $"v" === 99L).count() == 5L)
+    assert(t1.filter($"k".between(90, 94)).count() == 0L)
+    assert(t1.filter($"k" >= 95).count() == 5L, "95-99 were never deleted")
+    // REPLAYED batch 0 with different (corrupting) content: the txn
+    // watermark must make it a no-op before anything lands
+    val (t, n) = ManifestCommit.applyChangesDV(spark, dir, "k",
+      inserts = spark.range(0, 50).select($"id".as("k"), lit(-1L).as("v")),
+      deleteKeys = emptyKeys, txn = Some(("app", 0L)))
+    assert(t == 0 && n == 0L)
+    assert(ManifestCommit.readTableDV(spark, root).filter($"v" === -1L)
+      .count() == 0L, "replayed batch must not land")
+    // the next watermark applies normally
+    ManifestCommit.applyChangesDV(spark, dir, "k",
+      inserts = spark.range(200, 203).select($"id".as("k"), lit(7L).as("v")),
+      deleteKeys = emptyKeys, txn = Some(("app", 1L)))
+    assert(ManifestCommit.readTableDV(spark, root).count() == 98L)
+  }
+
   test("FileIndex tableDV: manifest-stat pruning and sidecar " +
       "subtraction compose in one plan") {
     import graft.ops.Layout
