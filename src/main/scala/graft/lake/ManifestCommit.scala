@@ -752,6 +752,32 @@ object ManifestCommit {
     out.result()
   }
 
+  /** The commit history of one partition as a DataFrame — the DESCRIBE
+    * HISTORY surface (version, kind, files added/removed, sidecars
+    * added, delete predicate if recorded). Driver-side manifest parsing
+    * only: the log is KBs of metadata however large the table is; the
+    * earliest retained version reports its full live set as `n_added`
+    * (its delta base is pruned history). Timestamps are deliberately
+    * absent — the manifest records none (object-store mtimes are not
+    * commit times), and an audit surface must not invent them. */
+  def history(spark: SparkSession, partition: Path): DataFrame = {
+    import spark.implicits._
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, partition).sorted
+    require(versions.nonEmpty, s"no committed versions under $partition")
+    val first = versions.head
+    val base = parseFull(fs, manifestPath(partition, first)).map { pf =>
+      (first, pf.kind, pf.live.size.toLong, 0L, pf.dvs.size.toLong,
+        pf.deletePredicate.map { case (c, lo, hi) => s"$c:$lo:$hi" })
+    }.toSeq
+    val deltas = commitsBetween(fs, partition, first, versions.last)
+      .map(c => (c.version, c.kind, c.added.size.toLong,
+        c.removed.size.toLong, c.addedDvs.size.toLong,
+        c.deletePredicate.map { case (col, lo, hi) => s"$col:$lo:$hi" }))
+    (base ++ deltas).toDF("version", "kind", "n_added", "n_removed",
+      "n_dvs_added", "delete_predicate")
+  }
+
   /** Time travel: read one partition (or unpartitioned table dir) at a
     * past committed version. Works until [[gc]] collects the version's
     * tombstoned files — the gc grace is exactly the time-travel horizon,

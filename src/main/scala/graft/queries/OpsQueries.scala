@@ -1408,6 +1408,20 @@ object OpsQueries {
           col("l_quantity"))
         .orderBy("change_type", "l_orderkey", "l_linenumber")
     }),
+    // DESCRIBE HISTORY: the commit log as a relation (driver-side
+    // manifest parsing, KBs at any table size) — version/kind/file
+    // motion/sidecar counts over the upsert lake's 4-commit history;
+    // file counts project to booleans where the writer's partition
+    // count would leak into the row
+    "q256_table_history" -> ((s, d) => {
+      val u = ensureUpsertLake(s, d)
+      graft.lake.ManifestCommit.history(s,
+          new org.apache.hadoop.fs.Path(u.path))
+        .select(col("version"), col("kind"),
+          (col("n_added") > 0).as("any_added"), col("n_removed"),
+          (col("n_dvs_added") > 0).as("any_dvs"))
+        .orderBy("version")
+    }),
     // the same pruned merge-on-read read through the Catalyst
     // FileIndex: an ORDINARY WHERE predicate prunes files via manifest
     // stats inside the planner while the sidecar anti-join rides on
@@ -5555,6 +5569,16 @@ object OpsQueries {
          FROM lineitem, s
          WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1
          ORDER BY l_orderkey, l_linenumber""",
+    // the upsert lake's commit history: bootstrap append, stats meta,
+    // the one-commit MERGE (files + sidecars), post-merge stats meta
+    "q256_table_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'append', true,  CAST(0 AS BIGINT), false),
+           (CAST(2 AS BIGINT), 'meta',   false, CAST(0 AS BIGINT), false),
+           (CAST(3 AS BIGINT), 'upsert', true,  CAST(0 AS BIGINT), true),
+           (CAST(4 AS BIGINT), 'meta',   false, CAST(0 AS BIGINT), false))
+         AS t(version, kind, any_added, n_removed, any_dvs)
+         ORDER BY version""",
     // the MERGE as a change feed: every old version of a MATCHED key
     // deleted, every update/insert row inserted
     "q253_upsert_feed" ->
