@@ -1169,7 +1169,16 @@ object ManifestCommit {
     * that lost its checkpoint entirely — can replay its whole history
     * against the live table without double-applying anything: the
     * manifest is the only ledger. Returns (touchedFiles,
-    * deletedPositions); (0, 0) for a replayed or empty batch. */
+    * deletedPositions); (0, 0) for a replayed or empty batch.
+    *
+    * Concurrency contract (the same one Delta's MERGE conflict checker
+    * enforces): the guards protect against concurrent REWRITES
+    * (`requireLive` aborts when a compaction consumed a positioned
+    * file) and concurrent DELETES (`dvsAdd` unions per attempt), but
+    * two applyChangesDV writers racing on an OVERLAPPING key set would
+    * both land their inserts — two "current" versions of a key. Run
+    * one applier per key domain (the CDC-replication consumer is
+    * single-writer by construction); cross-domain appliers are safe. */
   def applyChangesDV(spark: SparkSession, partition: Path, keyCol: String,
       inserts: DataFrame, deleteKeys: DataFrame,
       statsCols: Seq[String] = Nil,
