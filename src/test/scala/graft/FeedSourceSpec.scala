@@ -122,4 +122,32 @@ class FeedSourceSpec extends SparkSpec {
       .select($"k").collect().map(_.getLong(0)).toSet
     assert(batch == (10L to 25L).toSet)
   }
+
+  test("replicate a lake whose history includes an upsert and a DV " +
+      "delete — replica equals the source's merge-on-read read") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-feedrepl").toString
+    val dir = new Path(s"$root/src")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    val v0 = ManifestCommit.recordStats(spark, dir, Seq("k")).version
+    // history past the cursor: one MERGE (replace 10-19, insert 5000s),
+    // one merge-on-read delete (30-34) — both replayed from the log
+    val src0 = rows(0).filter($"k".between(10, 19))
+    ManifestCommit.upsertDV(spark, dir, "k",
+      src0.withColumn("v", $"v" + 100L)
+        .unionByName(src0.select(($"k" + 5000L).as("k"), $"g",
+          ($"v" + 200L).as("v"))), Seq("k"))
+    ManifestCommit.deleteWhereDV(spark, dir, "k", 30L, 34L)
+    val replica = StreamingOps.streamReplicate(spark, dir.toString,
+      s"$root/dst", v0, "k", appId = "repl-spec")
+    val want = ManifestCommit.readTableDV(spark, dir.toString)
+      .select("k", "g", "v").collect().map(_.toString).sorted.toSeq
+    val got = replica.select("k", "g", "v")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"replica diverged: got ${got.size}, want ${want.size}")
+    assert(replica.count() == 50L - 5L + 10L,
+      "50 base - 5 deleted + 10 inserted (10 replaced in place)")
+  }
 }

@@ -888,6 +888,37 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.readTableDV(spark, root).count() == 98L)
   }
 
+  test("applyChangesDV exact key prune: randomized key sets never lose " +
+      "a matched row") {
+    import graft.ops.Layout
+    hc
+    val rnd = new scala.util.Random(42)
+    val local = Files.createTempDirectory("graft-manifest-prune").toString
+    (1 to 3).foreach { trial =>
+      val dir = new Path(s"file://$local/tbl$trial")
+      Layout.writeLinear(
+        spark.range(2000).select($"id".as("k"), ($"id" % 11).as("v")),
+        col("k"), dir.toString, 8)
+      val fs = dir.getFileSystem(hc)
+      ManifestCommit.bootstrap(fs, dir)
+      ManifestCommit.recordStats(spark, dir, Seq("k"))
+      // scattered keys: random clusters + far-out inserts, the shape
+      // that defeats a min/max box — the exact prune must still keep
+      // every file holding a matched key
+      val replaceKeys = Seq.fill(40)(rnd.nextInt(2000).toLong).distinct
+      val insertKeys = Seq.fill(10)(10000L + rnd.nextInt(1000)).distinct
+      val batch = (replaceKeys ++ insertKeys).toDF("k")
+        .select($"k", lit(777L).as("v"))
+      val (_, nDel) = ManifestCommit.upsertDV(spark, dir, "k", batch)
+      assert(nDel == replaceKeys.size.toLong,
+        s"every matched row must be positioned: $nDel vs ${replaceKeys.size}")
+      val t = ManifestCommit.readTableDV(spark, dir.toString)
+      assert(t.count() == 2000L + insertKeys.size)
+      assert(t.filter($"v" === 777L).count() ==
+        (replaceKeys.size + insertKeys.size).toLong)
+    }
+  }
+
   test("FileIndex tableDV: manifest-stat pruning and sidecar " +
       "subtraction compose in one plan") {
     import graft.ops.Layout
