@@ -1197,11 +1197,18 @@ object ManifestCommit {
     try {
       // schema enforcement: a mismatched insert batch would land files
       // future readers union wrongly (silent nulls / type clashes) —
-      // refuse up front against the table's merged footer schema (an
-      // empty table has no schema to enforce: the batch defines it)
+      // refuse up front against the table's footer schema (an empty
+      // table has no schema to enforce: the batch defines it). The
+      // check reads the NEWEST <= 64 live files' footers, not all of
+      // them: a per-batch O(table-files) footer sweep would dominate a
+      // seconds-scale CDC apply at 100 TB, and the newest files carry
+      // the current schema (older-only columns are mergeSchema'd by
+      // readers either way — the guard is defense in depth against a
+      // drifting WRITER, which the current tail exposes).
       if (snap.files.nonEmpty) {
         val tableSchema = spark.read.option("mergeSchema", "true")
-          .parquet(snap.files.map(new Path(partition, _).toString): _*)
+          .parquet(snap.files.takeRight(64)
+            .map(new Path(partition, _).toString): _*)
           .schema
         val tf = tableSchema.map(f => f.name -> f.dataType).toMap
         val uf = upd.schema.map(f => f.name -> f.dataType).toMap
