@@ -199,6 +199,77 @@ object ChangeFeed {
     }
   }
 
+  /** Table-level, exactly-once CDC replication over (possibly
+    * Hive-partitioned) manifest lakes — [[changeFeedTable]]'s APPLY
+    * half. Per source leaf partition: the REPLICA's own transaction
+    * watermark for `appId` IS the consumer cursor — no side
+    * bookkeeping, the target manifest is the only ledger. A leaf with
+    * no watermark initial-syncs from the source's current snapshot
+    * (key-clustered, stats recorded) and stamps the consumed source
+    * version; a bookmarked leaf consumes `(watermark, head]` through
+    * the per-partition change feed and applies the delta as ONE atomic
+    * merge-on-read commit ([[ManifestCommit.applyChangesDV]]) carrying
+    * the new head as its watermark. Re-running applies nothing (txn
+    * no-ops), a crash between leaves resumes exactly where it died,
+    * and untouched leaves cost one manifest GET — work ∝ change volume
+    * per leaf on both sides. Returns one
+    * (relPath, fromVersion, toVersion, applied) row per leaf. */
+  def replicateTable(spark: SparkSession, srcRoot: String,
+      dstRoot: String, keyCol: String,
+      appId: String): Seq[(String, Long, Long, Boolean)] = {
+    import org.apache.spark.sql.functions.col
+    val src = new Path(srcRoot)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, src) match {
+      case Seq() => Seq(src)
+      case ps    => ps
+    }
+    parts.map { dir =>
+      val rel = relOf(fs, src, dir)
+      val dstLeaf =
+        if (rel == ".") new Path(dstRoot) else new Path(dstRoot, rel)
+      // the replica may live on a DIFFERENT filesystem (cross-region
+      // replication is the point) — resolve its own fs
+      val dfs = dstLeaf.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val head = ManifestCommit.bootstrap(fs, dir).version
+      val cursor =
+        if (!dfs.exists(dstLeaf)) None
+        else ManifestCommit.lastTxnVersion(dfs, dstLeaf, appId)
+      cursor match {
+        case None =>
+          graft.ops.Layout.writeLinear(
+            ManifestCommit.readTableAt(spark, dir.toString, head),
+            col(keyCol), dstLeaf.toString, 8)
+          ManifestCommit.bootstrap(dfs, dstLeaf)
+          ManifestCommit.recordStats(spark, dstLeaf, Seq(keyCol))
+          // the watermark rides a names-free meta commit: the NEXT run
+          // consumes from exactly `head`
+          ManifestCommit.appendFiles(dfs, dstLeaf, Nil,
+            txn = Some((appId, head)))
+          (rel, 0L, head, true)
+        case Some(v) if v >= head => (rel, v, head, false) // untouched
+        case Some(v) =>
+          val changes = changeFeed(spark, dir, v, head)
+          val dataCols = changes.columns
+            .filter(c => c != "_change_type" && c != "_commit_version")
+            .toSeq
+          ManifestCommit.applyChangesDV(spark, dstLeaf, keyCol,
+            inserts = changes.filter(col("_change_type") === Insert)
+              .select(dataCols.map(col): _*),
+            deleteKeys = changes.filter(col("_change_type") === Delete)
+              .select(col(keyCol)),
+            statsCols = Seq(keyCol), txn = Some((appId, head)))
+          // a window of pure meta/replace commits applies nothing and
+          // commits nothing — advance the watermark explicitly so the
+          // next run never re-reads it (no-op when the apply committed)
+          ManifestCommit.appendFiles(dfs, dstLeaf, Nil,
+            txn = Some((appId, head)))
+          (rel, v, head, true)
+      }
+    }
+  }
+
   /** The commit log as a relation (the DESCRIBE HISTORY surface): one
     * row per valid commit in `(fromVersion, toVersion]` with its kind,
     * file-motion counts, and the delete predicate when recorded. Pure

@@ -1408,6 +1408,16 @@ object OpsQueries {
           col("l_quantity"))
         .orderBy("change_type", "l_orderkey", "l_linenumber")
     }),
+    // table-level exactly-once replication over a Hive-partitioned
+    // lake: per leaf, the replica's own txn watermark is the cursor —
+    // initial sync, a delta run (inserts in day=1, a merge-on-read
+    // delete in day=2), and a proven no-op third run; the replica's
+    // DV read must equal the source's logical head
+    "q257_replicate_table" -> ((s, d) =>
+      graft.lake.ManifestCommit.readTableDV(s, ensureReplTable(s, d))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("day").cast("long").as("day"))
+        .orderBy("o_orderkey", "day")),
     // DESCRIBE HISTORY: the commit log as a relation (driver-side
     // manifest parsing, KBs at any table size) — version/kind/file
     // motion/sidecar counts over the upsert lake's 4-commit history;
@@ -2177,6 +2187,63 @@ object OpsQueries {
       require(ManifestCommit.currentDvs(fs, dir).isEmpty,
         "rewrite must clear every sidecar")
       path
+    })
+
+  /** Per-(process, sfDir) PARTITIONED replication pair for q257: orders
+    * Hive-partitioned by `day = o_orderkey % 2 + 1` (the `day=` leaf
+    * form [[graft.lake.Compaction.leafPartitions]] recognizes), replicated
+    * leaf-by-leaf via [[graft.lake.ChangeFeed.replicateTable]] (the
+    * replica's txn watermark IS the cursor); then `day=1` takes an
+    * insert batch and `day=2` a merge-on-read delete, a second
+    * replicate applies exactly the delta, and a third must be a
+    * PER-LEAF no-op (watermarks current). Returns the replica root. */
+  private val replLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureReplTable(s: SparkSession, d: String): String =
+    replLakes.computeIfAbsent(d, _ => {
+      import graft.lake.{ChangeFeed, ManifestCommit}
+      val o = Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (dlo, dhi) = boxRange(klo, khi)
+      val span = khi - klo + 1000000L
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_repllake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      val (srcPath, dstPath) = (s"$root/src", s"$root/dst")
+      o.withColumn("day", (col("o_orderkey") % 2 + 1).cast("int"))
+        .write.partitionBy("day").parquet(srcPath)
+      val fs = new org.apache.hadoop.fs.Path(srcPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(1, 2).foreach { m =>
+        val leaf = new org.apache.hadoop.fs.Path(s"$srcPath/day=$m")
+        ManifestCommit.bootstrap(fs, leaf)
+        ManifestCommit.recordStats(s, leaf, Seq("o_orderkey"))
+      }
+      val r1 = ChangeFeed.replicateTable(s, srcPath, dstPath,
+        "o_orderkey", appId = "q257")
+      require(r1.size == 2 && r1.forall(_._4), s"initial sync: $r1")
+      // delta: inserts land in day=1, a DV delete hits day=2
+      ManifestCommit.stageAndPublish(s,
+        new org.apache.hadoop.fs.Path(s"$srcPath/day=1"),
+        o.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + span).as("o_orderkey"),
+            col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice")),
+        _ => true, statsCols = Seq("o_orderkey"))
+        .getOrElse(sys.error("q257 publish failed"))
+      ManifestCommit.deleteWhereDV(s,
+        new org.apache.hadoop.fs.Path(s"$srcPath/day=2"),
+        "o_orderkey", dlo, dhi)
+      val r2 = ChangeFeed.replicateTable(s, srcPath, dstPath,
+        "o_orderkey", appId = "q257")
+      require(r2.forall(_._4), s"delta must apply to both leaves: $r2")
+      val r3 = ChangeFeed.replicateTable(s, srcPath, dstPath,
+        "o_orderkey", appId = "q257")
+      require(r3.forall(!_._4), s"third run must be a no-op: $r3")
+      dstPath
     })
 
   /** Per-(process, sfDir) lake for q248: one DV delete, then a manifest
@@ -5569,6 +5636,23 @@ object OpsQueries {
          FROM lineitem, s
          WHERE l_orderkey BETWEEN ulo AND uhi AND l_linenumber = 1
          ORDER BY l_orderkey, l_linenumber""",
+    // the replica == the partitioned source head: day=1 rows + the
+    // doubled-price inserts, day=2 rows minus the boxed delete
+    "q257_replicate_table" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+             o_orderkey % 2 + 1 AS day FROM orders),
+         b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(day AS BIGINT) AS day
+         FROM o, b
+         WHERE day = 1 OR o_orderkey NOT BETWEEN klo + (khi - klo) // 4
+           AND klo + (khi - klo) // 2
+         UNION ALL
+         SELECT o_orderkey + khi - klo + 1000000 AS o_orderkey, o_custkey,
+           o_totalprice * 2 AS o_totalprice, CAST(1 AS BIGINT) AS day
+         FROM o, b WHERE day = 1 AND o_orderkey % 5 = 0
+         ORDER BY o_orderkey, day""",
     // the upsert lake's commit history: bootstrap append, stats meta,
     // the one-commit MERGE (files + sidecars), post-merge stats meta
     "q256_table_history" ->
