@@ -213,7 +213,25 @@ object ChangeFeed {
     * no-ops), a crash between leaves resumes exactly where it died,
     * and untouched leaves cost one manifest GET — work ∝ change volume
     * per leaf on both sides. Returns one
-    * (relPath, fromVersion, toVersion, applied) row per leaf. */
+    * (relPath, fromVersion, toVersion, applied) row per leaf.
+    *
+    * Multi-commit windows net PER KEY before the apply: only each
+    * key's state at its LAST touching `_commit_version` survives (an
+    * upsert's same-version insert beats its delete), so a window that
+    * saw append(k)→delete(k) lands k dead, append(k)→upsert(k) lands
+    * exactly one row for k, and the one atomic apply reaches the same
+    * head state a sequential per-commit replay would — [[
+    * ManifestCommit.applyChangesDV]]'s key-replacement clears every
+    * pre-window version of a touched key either way.
+    *
+    * Contract: `keyCol` must be UNIQUE in the source table (the same
+    * precondition applyChangesDV's key-replacement semantics impose —
+    * a second source row under an existing key would be replayed as a
+    * replacement, silently deleting replica rows the source still
+    * holds). Delta windows are verified per apply: duplicate insert
+    * keys inside one commit fail loudly. The initial snapshot is NOT
+    * re-scanned for duplicates (that would double the one-time sync's
+    * read at 100 TB) — it is the caller's contract. */
   def replicateTable(spark: SparkSession, srcRoot: String,
       dstRoot: String, keyCol: String,
       appId: String): Seq[(String, Long, Long, Boolean)] = {
@@ -250,16 +268,42 @@ object ChangeFeed {
           (rel, 0L, head, true)
         case Some(v) if v >= head => (rel, v, head, false) // untouched
         case Some(v) =>
-          val changes = changeFeed(spark, dir, v, head)
-          val dataCols = changes.columns
-            .filter(c => c != "_change_type" && c != "_commit_version")
-            .toSeq
-          ManifestCommit.applyChangesDV(spark, dstLeaf, keyCol,
-            inserts = changes.filter(col("_change_type") === Insert)
-              .select(dataCols.map(col): _*),
-            deleteKeys = changes.filter(col("_change_type") === Delete)
-              .select(col(keyCol)),
-            statsCols = Seq(keyCol), txn = Some((appId, head)))
+          val changes = changeFeed(spark, dir, v, head).cache()
+          try {
+            val dataCols = changes.columns
+              .filter(c => c != "_change_type" && c != "_commit_version")
+              .toSeq
+            // unique-key contract check, bounded to the delta: two
+            // insert rows for one key inside ONE commit can only mean a
+            // non-unique keyCol — netting would silently drop one and
+            // key-replacement would delete live source rows later
+            val dup = changes
+              .filter(col("_change_type") === Insert)
+              .groupBy(col(keyCol), col("_commit_version")).count()
+              .filter(col("count") > 1).limit(1).collect()
+            require(dup.isEmpty, s"replicateTable: source $dir commit " +
+              s"v${dup.head.get(1)} carries ${dup.head.getLong(2)} insert " +
+              s"rows for $keyCol=${dup.head.get(0)} — keyCol must be " +
+              "unique for key-replacement replication")
+            // net the window per key: only the state at the key's LAST
+            // touching commit survives; at equal versions (an upsert's
+            // delete+insert pair) the insert wins — so intra-window
+            // append→delete / append→upsert sequences replay to the
+            // exact head state a per-commit sequential apply would give
+            val rank = struct(col("_commit_version"),
+              when(col("_change_type") === lit(Insert), lit(1))
+                .otherwise(lit(0)).as("ins"))
+            val last = changes.groupBy(col(keyCol).as("__nk"))
+              .agg(max_by(struct(changes.columns.map(col): _*), rank)
+                .as("__s"))
+              .select(col("__s.*"))
+            ManifestCommit.applyChangesDV(spark, dstLeaf, keyCol,
+              inserts = last.filter(col("_change_type") === Insert)
+                .select(dataCols.map(col): _*),
+              deleteKeys = last.filter(col("_change_type") === Delete)
+                .select(col(keyCol)),
+              statsCols = Seq(keyCol), txn = Some((appId, head)))
+          } finally changes.unpersist(blocking = false)
           // a window of pure meta/replace commits applies nothing and
           // commits nothing — advance the watermark explicitly so the
           // next run never re-reads it (no-op when the apply committed)

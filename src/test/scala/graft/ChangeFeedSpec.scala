@@ -260,4 +260,77 @@ class ChangeFeedSpec extends SparkSpec {
       ChangeFeed.changeFeed(spark, dir2, cursor2, head2))
     assert(e3.getMessage.contains("gc grace"), e3.getMessage)
   }
+
+  test("replicateTable: intra-window per-key sequences land the head state") {
+    // the round-10 bug class: a sync window holding MULTIPLE commits
+    // that touch the same key must replay to the source's head state,
+    // not to "delete pre-window keys then land all window inserts".
+    // Covered sequences: append(k)→dvdelete(k) (k must NOT resurrect),
+    // append(k)→upsert(k) (exactly ONE live row), dvdelete(k)→append(k)
+    // (k must live with the NEW row), plus untouched keys.
+    val local = Files.createTempDirectory("graft-repl").toString
+    val (srcPath, dstPath) = (s"$local/src", s"$local/dst")
+    val src = new Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rows(ks: Seq[Long], vmul: Long) =
+      ks.toDF("k").select($"k", ($"k" % 5).as("g"), ($"k" * vmul).as("v"))
+    rows(0L until 50L, 10L).repartitionByRange(4, $"k")
+      .sortWithinPartitions("k").write.parquet(srcPath)
+    ManifestCommit.bootstrap(fs, src)
+    ManifestCommit.recordStats(spark, src, Seq("k"))
+    val r1 = ChangeFeed.replicateTable(spark, srcPath, dstPath, "k", "t")
+    assert(r1.size == 1 && r1.head._4, s"initial sync: $r1")
+    // ---- one window, many commits touching overlapping keys ----
+    // append fresh keys 100..104
+    ManifestCommit.stageAndPublish(spark, src, rows(100L to 104L, 10L),
+      _ => true, statsCols = Seq("k")).getOrElse(fail("publish"))
+    // append(100..102) → dvdelete(100..102): dead at head
+    ManifestCommit.deleteWhereDV(spark, src, "k", 100L, 102L)
+    // append(103) → upsert(103): exactly one live row, v rewritten;
+    // also replaces the pre-window key 10
+    ManifestCommit.upsertDV(spark, src, "k",
+      rows(Seq(103L, 10L), 1000L), statsCols = Seq("k"))
+    // dvdelete(5..7) → append(5): 5 lives with the NEW row, 6/7 dead
+    ManifestCommit.deleteWhereDV(spark, src, "k", 5L, 7L)
+    ManifestCommit.stageAndPublish(spark, src, rows(Seq(5L), 777L),
+      _ => true, statsCols = Seq("k")).getOrElse(fail("publish(5)"))
+    val r2 = ChangeFeed.replicateTable(spark, srcPath, dstPath, "k", "t")
+    assert(r2.head._4, s"delta must apply: $r2")
+    val want = ManifestCommit.readTableDV(spark, srcPath)
+      .orderBy("k").collect().toSeq
+    val got = ManifestCommit.readTableDV(spark, dstPath)
+      .select("k", "g", "v").orderBy("k").collect().toSeq
+    assert(got == want, s"replica diverged:\n got=$got\nwant=$want")
+    // spot the sequences explicitly
+    val byK = got.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!byK.contains(100L) && !byK.contains(101L) &&
+      !byK.contains(102L), "append→delete resurrected a key")
+    assert(got.count(_.getLong(0) == 103L) == 1 && byK(103L) == 103000L,
+      "append→upsert must leave exactly one live row with the upsert value")
+    assert(byK(10L) == 10000L, "pre-window key must take the upsert value")
+    assert(byK(5L) == 5L * 777L && !byK.contains(6L) && !byK.contains(7L),
+      "delete→append must land the NEW row only")
+    // idempotence: a third run is a no-op and changes nothing
+    val r3 = ChangeFeed.replicateTable(spark, srcPath, dstPath, "k", "t")
+    assert(r3.forall(!_._4), s"third run must no-op: $r3")
+  }
+
+  test("replicateTable: duplicate insert keys in one commit refuse loudly") {
+    val local = Files.createTempDirectory("graft-repl-dup").toString
+    val (srcPath, dstPath) = (s"$local/src", s"$local/dst")
+    val src = new Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1)
+      .write.parquet(srcPath)
+    ManifestCommit.bootstrap(fs, src)
+    ManifestCommit.recordStats(spark, src, Seq("k"))
+    ChangeFeed.replicateTable(spark, srcPath, dstPath, "k", "t")
+    // one commit, two insert rows for k=9: non-unique keyCol
+    ManifestCommit.stageAndPublish(spark, src,
+      Seq((9L, 1L), (9L, 2L)).toDF("k", "v"), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish"))
+    val e = intercept[IllegalArgumentException](
+      ChangeFeed.replicateTable(spark, srcPath, dstPath, "k", "t"))
+    assert(e.getMessage.contains("unique"), e.getMessage)
+  }
 }
