@@ -261,6 +261,9 @@ object ChangeFeed {
             col(keyCol), dstLeaf.toString, 8)
           ManifestCommit.bootstrap(dfs, dstLeaf)
           ManifestCommit.recordStats(spark, dstLeaf, Seq(keyCol))
+          // recorded schema: every later applyChangesDV guard and table
+          // open on the replica is one manifest GET, zero footers
+          ManifestCommit.recordSchema(spark, dstLeaf)
           // the watermark rides a names-free meta commit: the NEXT run
           // consumes from exactly `head`
           ManifestCommit.appendFiles(dfs, dstLeaf, Nil,

@@ -42,7 +42,8 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
 
   private case class Leaf(dir: Path, values: InternalRow,
       files: Seq[FileStatus], stats: Map[String, Seq[ColStat]],
-      blooms: Map[String, Seq[ColBloom]], dvs: Seq[String])
+      blooms: Map[String, Seq[ColBloom]], dvs: Seq[String],
+      schema: Option[StructType])
 
   private def resolve(): Seq[Leaf] = {
     val parts = Compaction.leafPartitions(fs, root) match {
@@ -70,7 +71,8 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
       Leaf(dir, partitionValues(dir), files,
         ManifestCommit.currentFileStats(fs, dir),
         ManifestCommit.currentFileBlooms(fs, dir),
-        ManifestCommit.currentDvs(fs, dir))
+        ManifestCommit.currentDvs(fs, dir),
+        ManifestCommit.currentSchema(fs, dir))
     }
   }
 
@@ -78,6 +80,27 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
 
   /** Active deletion-vector sidecars anywhere under the root. */
   def activeDvs: Seq[String] = leaves.flatMap(_.dvs)
+
+  /** The table's data schema from the RECORDED manifest schemas, when
+    * every leaf carries one: an additive field union across leaves
+    * (older leaves may predate an evolution), refusing a type clash.
+    * None if any leaf lacks a record — the caller falls back to a
+    * bounded footer inference. Driver-side manifest metadata only:
+    * with this present, opening the table costs ZERO footer reads. */
+  private[lake] def recordedSchema: Option[StructType] = {
+    val per = leaves.map(_.schema)
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else Some(per.flatten.reduce { (a, b) =>
+      b.foreach { f =>
+        val prev = a.find(_.name == f.name)
+        require(prev.forall(_.dataType == f.dataType),
+          s"leaf schemas disagree on ${f.name}: " +
+            s"${prev.get.dataType} vs ${f.dataType} under $root")
+      }
+      StructType(a.fields ++
+        b.filterNot(f => a.fieldNames.contains(f.name)))
+    })
+  }
 
   /** Per DV-carrying leaf: (dir, its Hive `col=value` segments, sidecar
     * names) — what [[GraftFileIndex.tableDV]] needs to key the sidecar
@@ -282,14 +305,21 @@ object GraftFileIndex {
       tableRoot: String): DataFrame = {
     val files = index.inputFiles
     require(files.nonEmpty, s"no live files under $tableRoot")
-    // merge footers across ALL live files (a distributed footer read,
-    // same as the compactor's mergeSchema path) — inferring from one
-    // arbitrary file silently drops columns absent from it on a
-    // schema-evolved table
-    val dataSchema = StructType(
-      spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    // schema: the RECORDED manifest schema when every leaf carries one
+    // (driver-side, zero footer reads — at 100 TB an unbounded footer
+    // merge per table open would dominate a pruned point read); a
+    // legacy table falls back to merging the NEWEST
+    // [[ManifestCommit.SchemaFooterBound]] files' footers — newest
+    // carry the additively-evolved schema, and inferring from one
+    // arbitrary file silently drops columns absent from it
+    val inferred = index.recordedSchema.getOrElse {
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.takeRight(ManifestCommit.SchemaFooterBound)
+          .toIndexedSeq: _*)
         .schema
-        .filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
+    }
+    val dataSchema = StructType(inferred
+      .filterNot(f => index.partitionSchema.fieldNames.contains(f.name)))
     val relation = HadoopFsRelation(index, index.partitionSchema,
       dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
     org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark,

@@ -217,13 +217,16 @@ object ManifestCommit {
 
   /** A fully-parsed valid manifest: live (name, stats) entries,
     * (removedAtMs, name) tombstones, the commit kind, the delete
-    * predicate (delete/dvdelete commits only), and the ACTIVE
+    * predicate (delete/dvdelete commits only), the ACTIVE
     * deletion-vector sidecar files (`V <name>` lines — positions these
-    * files list are subtracted from every read of this version). */
+    * files list are subtracted from every read of this version), and
+    * the recorded table schema (`S <DataType json>` line) when one has
+    * been committed. */
   private final case class Parsed(live: Seq[(String, Seq[ColStat])],
       removed: Seq[(Long, String)], kind: String,
       deletePredicate: Option[(String, Long, Long)],
-      dvs: Seq[String], txns: Map[String, Long])
+      dvs: Seq[String], txns: Map[String, Long],
+      schemaJson: Option[String] = None)
 
   /** Parsed manifest; None if torn/invalid (possible only on filesystems
     * without atomic object PUT). The `O` kind line is advisory: its
@@ -271,28 +274,39 @@ object ManifestCommit {
         }
       }.toMap
       val nTxnLines = lines.tail.count(_.startsWith("T "))
+      val schemaJson = lines.tail.find(_.startsWith("S "))
+        .map(_.substring(2))
+      val nSchemaLines = lines.tail.count(_.startsWith("S "))
       counts match {
-        // legacy two-count header: F/V/T lines (if any) are unvalidated
+        // legacy two-count header: F/V/T/S lines (if any) unvalidated
         case Array(a, r) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns))
-        // three-count header (pre-DV): V/T lines unvalidated
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+        // three-count header (pre-DV): V/T/S lines unvalidated
         case Array(a, r, f) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns))
-        // four-count header (pre-txn): T lines unvalidated
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+        // four-count header (pre-txn): T/S lines unvalidated
         case Array(a, r, f, d) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) &&
             d.toIntOption.contains(dvs.size) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns))
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+        // five-count header (pre-schema): S lines unvalidated
         case Array(a, r, f, d, t) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) &&
             d.toIntOption.contains(dvs.size) &&
             t.toIntOption.contains(nTxnLines) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns))
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+        case Array(a, r, f, d, t, sc) if a.toIntOption.contains(live.size) &&
+            r.toIntOption.contains(removed.size) &&
+            f.toIntOption.contains(bloomLines) &&
+            d.toIntOption.contains(dvs.size) &&
+            t.toIntOption.contains(nTxnLines) &&
+            sc.toIntOption.contains(nSchemaLines) =>
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
         case _ => None
       }
     }
@@ -343,6 +357,14 @@ object ManifestCommit {
       .nextOption()
       .map(_.dvs).getOrElse(Nil)
 
+  /** The ACTIVE deletion-vector sidecars at an EXPLICIT committed
+    * version (empty for a torn/absent slot) — [[currentDvs]]'s
+    * time-travel twin; a snapshot replayer must refuse a version whose
+    * sidecars it cannot subtract. */
+  def dvsAt(fs: FileSystem, partition: Path, version: Long): Seq[String] =
+    parseFull(fs, manifestPath(partition, version))
+      .map(_.dvs).getOrElse(Nil)
+
   /** The committed writer-transaction watermarks of one partition
     * (`T <appId> <version>` lines — the public Delta `txn` action idea):
     * per idempotent writer app, the highest batch version whose rows
@@ -361,6 +383,75 @@ object ManifestCommit {
       appId: String): Option[Long] =
     currentTxns(fs, partition).get(appId)
 
+  /** The committed table schema of one partition as DataType JSON, if
+    * one has been recorded ([[recordSchema]] / [[alterSchema]] / an
+    * evolving [[applyChangesDV]]). Carried forward by every commit, so
+    * the HEAD manifest answers in one driver-side GET. */
+  def currentSchemaJson(fs: FileSystem, partition: Path): Option[String] =
+    listVersions(fs, partition).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => parseFull(fs, manifestPath(partition, v)))
+      .nextOption()
+      .flatMap(_.schemaJson)
+
+  /** [[currentSchemaJson]] decoded to a [[StructType]]. */
+  def currentSchema(fs: FileSystem,
+      partition: Path): Option[org.apache.spark.sql.types.StructType] =
+    currentSchemaJson(fs, partition).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** How many of the newest live files' parquet footers a schema
+    * INFERENCE (no recorded schema) may touch. Newest-bounded for the
+    * same reason the [[applyChangesDV]] guard is: the newest files
+    * carry the current (additively-evolved) schema, and an unbounded
+    * sweep is O(table-file-count) GETs per table open at 100 TB. */
+  val SchemaFooterBound = 64
+
+  /** Infer the partition's data schema from the newest ≤
+    * [[SchemaFooterBound]] live files' footers (mergeSchema) and record
+    * it in the commit log (one meta commit) — after this, every table
+    * open and CDC schema guard is ONE driver-side manifest GET, zero
+    * footers. Run once to adopt a legacy table; manifest-native writers
+    * ([[stageAndPublish]], [[applyChangesDV]], [[alterSchema]])
+    * maintain it from then on. Adopting listing-mode files with a
+    * DIFFERENT schema ([[adoptNewFiles]]) does not re-infer — re-run
+    * this after such an adoption. Returns the recorded schema. */
+  def recordSchema(spark: SparkSession,
+      partition: Path): org.apache.spark.sql.types.StructType = {
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    require(snap.files.nonEmpty,
+      s"recordSchema: $partition has no live files to infer from")
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.takeRight(SchemaFooterBound)
+        .map(new Path(partition, _).toString): _*)
+      .schema
+    appendFiles(fs, partition, Nil, schemaJson = Some(schema.json))
+    schema
+  }
+
+  /** Explicit ALTER-style schema evolution: commit `next` as the
+    * partition's recorded schema. Additive-compatible only — every
+    * ALREADY-recorded column must survive with its exact type (readers
+    * mergeSchema old files either way; a type change or a drop would
+    * make the recorded schema lie about committed data). New columns
+    * read as NULL from pre-evolution files. One driver-side meta
+    * commit; no data file moves. */
+  def alterSchema(fs: FileSystem, partition: Path,
+      next: org.apache.spark.sql.types.StructType): Snapshot = {
+    currentSchema(fs, partition).foreach { prev =>
+      val nf = next.map(f => f.name -> f.dataType).toMap
+      prev.foreach { f =>
+        require(nf.get(f.name).contains(f.dataType),
+          s"alterSchema: recorded column ${f.name}: ${f.dataType} " +
+            s"missing or retyped in ${next.simpleString} — evolution " +
+            "must be additive")
+      }
+    }
+    appendFiles(fs, partition, Nil, schemaJson = Some(next.json))
+  }
+
   /** Put-if-absent of manifest `version`. False = lost the race (a valid
     * manifest already owns the slot). A torn manifest in the slot (HDFS
     * crash) is reclaimed: deleted and overwritten by this committer. */
@@ -371,7 +462,8 @@ object ManifestCommit {
       kind: String = KindAppend,
       deletePredicate: Option[(String, Long, Long)] = None,
       dvs: Seq[String] = Nil,
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None): Boolean = {
     val p = manifestPath(partition, version)
     fs.mkdirs(logDir(partition))
     def liveLine(n: String) = {
@@ -386,17 +478,26 @@ object ManifestCommit {
     }
     val dvLines = dvs.map(n => s"V $n")
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, v) => s"T $a $v" }
+    // the recorded table schema rides every commit (like the active DV
+    // set): the HEAD manifest alone answers "what is this table's
+    // schema" in one driver-side GET — no footer is ever opened
+    val schemaLines = schemaJson.map { j =>
+      require(!j.contains("\n") && !j.contains("\r"),
+        "schema json must be single-line")
+      s"S $j"
+    }.toSeq
     val opLine = deletePredicate match {
       case Some((c, lo, hi)) => s"O $kind $c:$lo:$hi"
       case None              => s"O $kind"
     }
     val headerLine = s"$Header ${live.size} ${removed.size} " +
-      s"${bloomLines.size} ${dvLines.size} ${txnLines.size}"
+      s"${bloomLines.size} ${dvLines.size} ${txnLines.size} " +
+      s"${schemaLines.size}"
     val body =
       (headerLine +:
         (opLine +:
           (live.map(liveLine) ++ removed.map { case (ts, n) => s"R $ts $n" } ++
-            bloomLines ++ dvLines ++ txnLines)))
+            bloomLines ++ dvLines ++ txnLines ++ schemaLines)))
         .mkString("\n")
     def createExclusive(): Boolean =
       try {
@@ -442,7 +543,8 @@ object ManifestCommit {
       maxAttempts: Int = 50,
       stats: Map[String, Seq[ColStat]] = Map.empty,
       blooms: Map[String, Seq[ColBloom]] = Map.empty,
-      txn: Option[(String, Long)] = None): Snapshot = {
+      txn: Option[(String, Long)] = None,
+      schemaJson: Option[String] = None): Snapshot = {
     require(names.forall(isDataFile), s"not data-file names: $names")
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -468,7 +570,10 @@ object ManifestCommit {
           kind = if (names.isEmpty) KindMeta else KindAppend,
           // appended rows carry no deletions; the active sidecars ride
           dvs = currentDvs(fs, partition),
-          txns = prevTxns ++ txn))
+          txns = prevTxns ++ txn,
+          // the recorded schema rides forward; callers evolving it
+          // pass the override
+          schemaJson = schemaJson.orElse(currentSchemaJson(fs, partition))))
         return Snapshot(snap.version + 1, live)
       attempt += 1
     }
@@ -504,7 +609,8 @@ object ManifestCommit {
       dvsAdd: Seq[String] = Nil,
       requireLive: Set[String] = Set.empty,
       expectedDvs: Option[Seq[String]] = None,
-      txn: Option[(String, Long)] = None): Option[Snapshot] = {
+      txn: Option[(String, Long)] = None,
+      schemaJson: Option[String] = None): Option[Snapshot] = {
     require(dvs.isEmpty || dvsAdd.isEmpty,
       "replaceFiles: dvs (absolute) and dvsAdd (delta) are exclusive")
     var attempt = 0
@@ -544,7 +650,8 @@ object ManifestCommit {
         .filter { case (n, b) => live.contains(n) && b.nonEmpty }
       if (tryCommit(fs, partition, snap.version + 1, live, tombstones,
           stats, blooms, kind = kind, deletePredicate = deletePredicate,
-          dvs = nextDvs, txns = prevTxns ++ txn))
+          dvs = nextDvs, txns = prevTxns ++ txn,
+          schemaJson = schemaJson.orElse(currentSchemaJson(fs, partition))))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }
@@ -935,7 +1042,21 @@ object ManifestCommit {
           .groupBy(_._1)
           .map { case (n, ss) =>
             n -> ss.map { case (_, c, mn, mx) => ColStat(c, mn, mx) }.toSeq }
-      Some(appendFiles(fs, partition, produced, stats = stats))
+      // a recorded schema must not go stale under a manifest-native
+      // append: merge additively (a batch-only column evolves it; a
+      // retyped column refuses — readers would union it wrongly)
+      val evolved = currentSchema(fs, partition).map { prev =>
+        val pf = prev.map(f => f.name -> f.dataType).toMap
+        df.schema.foreach { f =>
+          require(pf.get(f.name).forall(_ == f.dataType),
+            s"stageAndPublish: batch retypes recorded column ${f.name} " +
+              s"(${pf(f.name)} -> ${f.dataType}) on $partition")
+        }
+        org.apache.spark.sql.types.StructType(prev.fields ++
+          df.schema.filterNot(f => prev.fieldNames.contains(f.name))).json
+      }
+      Some(appendFiles(fs, partition, produced, stats = stats,
+        schemaJson = evolved))
     }
   }
 
@@ -1197,25 +1318,39 @@ object ManifestCommit {
     try {
       // schema enforcement: a mismatched insert batch would land files
       // future readers union wrongly (silent nulls / type clashes) —
-      // refuse up front against the table's footer schema (an empty
-      // table has no schema to enforce: the batch defines it). The
-      // check reads the NEWEST <= 64 live files' footers, not all of
-      // them: a per-batch O(table-files) footer sweep would dominate a
+      // refuse up front against the table schema (an empty table has no
+      // schema to enforce: the batch defines it). The RECORDED manifest
+      // schema answers in one driver-side GET; a legacy table without
+      // one falls back to the newest <= SchemaFooterBound live files'
+      // footers (a per-batch O(table-files) sweep would dominate a
       // seconds-scale CDC apply at 100 TB, and the newest files carry
-      // the current schema (older-only columns are mergeSchema'd by
-      // readers either way — the guard is defense in depth against a
-      // drifting WRITER, which the current tail exposes).
-      if (snap.files.nonEmpty) {
-        val tableSchema = spark.read.option("mergeSchema", "true")
-          .parquet(snap.files.takeRight(64)
-            .map(new Path(partition, _).toString): _*)
-          .schema
-        val tf = tableSchema.map(f => f.name -> f.dataType).toMap
-        val uf = upd.schema.map(f => f.name -> f.dataType).toMap
-        require(tf == uf,
-          s"applyChangesDV: inserts schema ${upd.schema.simpleString} " +
-            s"does not match table schema ${tableSchema.simpleString}")
-      }
+      // the current schema). ADDITIVE evolution is permitted: a batch
+      // may carry NEW columns (readers mergeSchema them; pre-evolution
+      // rows read NULL) and the commit records the evolved schema — a
+      // source-side column addition flows through replication instead
+      // of bricking it. Dropping or retyping a table column still
+      // refuses: that is a drifting writer, not evolution.
+      val evolvedSchemaJson: Option[String] =
+        if (snap.files.isEmpty) Some(upd.schema.json)
+        else {
+          val tableSchema = currentSchema(fs, partition).getOrElse {
+            spark.read.option("mergeSchema", "true")
+              .parquet(snap.files.takeRight(SchemaFooterBound)
+                .map(new Path(partition, _).toString): _*)
+              .schema
+          }
+          val uf = upd.schema.map(f => f.name -> f.dataType).toMap
+          tableSchema.foreach { f =>
+            require(uf.get(f.name).contains(f.dataType),
+              s"applyChangesDV: inserts schema ${upd.schema.simpleString} " +
+                s"drops or retypes table column ${f.name}: ${f.dataType} " +
+                s"(table schema ${tableSchema.simpleString})")
+          }
+          val fresh = upd.schema
+            .filterNot(f => tableSchema.fieldNames.contains(f.name))
+          Some(org.apache.spark.sql.types.StructType(
+            tableSchema.fields ++ fresh).json)
+        }
       // every key this batch dooms: explicit deletes + replaced inserts
       val keys = upd.select(col(keyCol).as("__k")).unionByName(delK)
         .distinct()
@@ -1307,7 +1442,7 @@ object ManifestCommit {
       if (produced.isEmpty && dvNames.isEmpty) return (0, 0L) // no-op
       replaceFiles(fs, partition, Set.empty, produced, kind = KindUpsert,
           dvsAdd = dvNames, requireLive = touched.toSet,
-          txn = txn) match {
+          txn = txn, schemaJson = evolvedSchemaJson) match {
         case Some(_) =>
           if (produced.nonEmpty && statsCols.nonEmpty)
             recordStats(spark, partition, statsCols,

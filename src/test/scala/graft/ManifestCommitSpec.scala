@@ -984,4 +984,100 @@ class ManifestCommitSpec extends SparkSpec {
     assert(t.count() == 2L)
     assert(t.filter($"w".isNull).count() == 1L)
   }
+
+  test("recorded schema: table open runs ZERO jobs; alterSchema reads " +
+      "across the evolution boundary; non-additive evolution refuses") {
+    import graft.lake.GraftFileIndex
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val local = Files.createTempDirectory("graft-schema-rec").toString
+    val dir = new Path(s"$local/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1)
+      .write.parquet(dir.toString)
+    ManifestCommit.bootstrap(fs, dir)
+    assert(ManifestCommit.currentSchema(fs, dir).isEmpty)
+    val rec = ManifestCommit.recordSchema(spark, dir)
+    assert(rec.fieldNames.toSeq == Seq("k", "v"))
+    // the record rides every later commit (here: a stats meta recommit)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    assert(ManifestCommit.currentSchema(fs, dir)
+      .map(_.fieldNames.toSeq).contains(Seq("k", "v")))
+    // the O(1)-open pin: with a recorded schema, constructing the
+    // FileIndex-backed table plans from driver-side manifest metadata
+    // alone — ZERO Spark jobs (a footer inference would run one)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      GraftFileIndex.table(spark, dir.toString).schema // resolve the plan
+      Thread.sleep(1000) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get == 0,
+      s"table open with a recorded schema ran ${jobs.get} job(s) — " +
+        "schema must come from the manifest, not a footer sweep")
+    // ALTER: add w, land a file carrying it; pre-evolution rows read NULL
+    val evolved = StructType(rec.fields :+ StructField("w", LongType))
+    ManifestCommit.alterSchema(fs, dir, evolved)
+    ManifestCommit.stageAndPublish(spark, dir,
+      Seq((3L, 30L, 300L)).toDF("k", "v", "w"), _ => true)
+      .getOrElse(fail("publish"))
+    val t2 = GraftFileIndex.table(spark, dir.toString)
+    assert(t2.columns.toSeq == Seq("k", "v", "w"))
+    val got = t2.orderBy("k").collect().map(r => (r.getLong(0),
+      r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, -1L), (2L, 20L, -1L), (3L, 30L, 300L)),
+      got.toString)
+    // refusals: dropping or retyping a recorded column is not evolution
+    intercept[IllegalArgumentException](
+      ManifestCommit.alterSchema(fs, dir, rec)) // drops w
+    intercept[IllegalArgumentException](ManifestCommit.alterSchema(fs, dir,
+      StructType(evolved.fields.map(f =>
+        if (f.name == "v") f.copy(dataType =
+          org.apache.spark.sql.types.StringType) else f))))
+    // a retyping publish refuses too (the recorded schema must not lie)
+    intercept[IllegalArgumentException](ManifestCommit.stageAndPublish(
+      spark, dir, Seq((4L, "oops", 4L)).toDF("k", "v", "w"), _ => true))
+  }
+
+  test("applyChangesDV: additive batch evolves the recorded schema; " +
+      "dropped or retyped columns refuse") {
+    val local = Files.createTempDirectory("graft-schema-cdc").toString
+    val dir = new Path(s"$local/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .repartitionByRange(2, $"k").sortWithinPartitions("k")
+      .write.parquet(dir.toString)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    ManifestCommit.recordSchema(spark, dir)
+    // additive CDC batch: replaces k=2, inserts k=5, carries NEW col w —
+    // permitted, and the commit records the evolved schema
+    ManifestCommit.applyChangesDV(spark, dir, "k",
+      inserts = Seq((2L, 21L, 201L), (5L, 50L, 500L)).toDF("k", "v", "w"),
+      deleteKeys = Seq(1L).toDF("k"), statsCols = Seq("k"))
+    assert(ManifestCommit.currentSchema(fs, dir)
+      .map(_.fieldNames.toSeq).contains(Seq("k", "v", "w")))
+    val got = ManifestCommit.readTableDV(spark, dir.toString)
+      .select("k", "v", "w").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((2L, 21L, 201L), (5L, 50L, 500L)), got.toString)
+    // a batch DROPPING a table column is a drifting writer, not evolution
+    val e1 = intercept[IllegalArgumentException](
+      ManifestCommit.applyChangesDV(spark, dir, "k",
+        inserts = Seq((7L)).toDF("k"),
+        deleteKeys = Seq.empty[Long].toDF("k")))
+    assert(e1.getMessage.contains("drops or retypes"), e1.getMessage)
+    // so is retyping one
+    val e2 = intercept[IllegalArgumentException](
+      ManifestCommit.applyChangesDV(spark, dir, "k",
+        inserts = Seq((7L, "oops", 7L)).toDF("k", "v", "w"),
+        deleteKeys = Seq.empty[Long].toDF("k")))
+    assert(e2.getMessage.contains("drops or retypes"), e2.getMessage)
+  }
 }
