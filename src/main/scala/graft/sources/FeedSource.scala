@@ -53,7 +53,19 @@ import graft.lake.{ChangeFeed, ManifestCommit}
   *   .option("fromVersion", cursor)     // default: current head (tail)
   *   .load()
   * }}}
-  */
+  *
+  * Bootstrap (`option("bootstrap", "true")`, exclusive with
+  * `fromVersion`): the FIRST micro-batch replays the table's CURRENT
+  * committed snapshot — every live file's rows as `insert` at the head
+  * version — and subsequent batches tail the log from there. This is
+  * the documented catch-up path for a table whose retained history the
+  * feed cannot replay (pre-kind-tag commits, predicate-less deletes,
+  * or a log pruned past the wanted cursor): the snapshot IS the net of
+  * all ancient history, so the consumer starts complete and stays
+  * incremental, and the ancient commits are never walked. The
+  * snapshot offset checkpoints like any other — a restart mid-
+  * bootstrap replans the SAME pinned version (valid until [[
+  * ManifestCommit.pruneLog]] drops it). */
 class FeedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FeedSource.fullSchema(options.get("path"))
@@ -66,10 +78,19 @@ object FeedSource {
   val ChangeTypeCol = "_change_type"
   val VersionCol = "_commit_version"
 
+  /** Sentinel initial offset for bootstrap mode: the first batch
+    * `(-1, head]` plans the snapshot at `head`, not a commit walk. */
+  private[sources] val BootstrapOffset = -1L
+
   private[sources] def fullSchema(path: String): StructType = {
     require(path != null, "graft-feed: 'path' option is required")
-    val data = ManifestCommit
-      .readTable(SparkSession.active, path).schema
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the RECORDED manifest schema answers in one driver-side GET;
+    // only a legacy table pays the footer inference
+    val data = ManifestCommit.currentSchema(fs, dir)
+      .getOrElse(ManifestCommit.readTable(spark, path).schema)
     StructType(data.fields.toSeq :+
       StructField(ChangeTypeCol, StringType, nullable = false) :+
       StructField(VersionCol, LongType, nullable = false))
@@ -85,17 +106,20 @@ private[sources] class FeedTable(props: Map[String, String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeedScan(options.get("path"),
       Option(options.get("fromVersion")).map(_.toLong),
-      Option(options.get("maxCommitsPerBatch")).map(_.toLong), tableSchema)
+      Option(options.get("maxCommitsPerBatch")).map(_.toLong), tableSchema,
+      options.getBoolean("bootstrap", false))
 }
 
 private[sources] class FeedScan(path: String, fromVersion: Option[Long],
     maxCommitsPerBatch: Option[Long],
-    tableSchema: StructType) extends ScanBuilder with Scan {
+    tableSchema: StructType, bootstrap: Boolean)
+    extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"graft-feed $path"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FeedStream(path, fromVersion, maxCommitsPerBatch, tableSchema)
+    new FeedStream(path, fromVersion, maxCommitsPerBatch, tableSchema,
+      bootstrap)
 }
 
 /** The stream offset: a committed manifest version. */
@@ -104,9 +128,13 @@ private[sources] case class FeedOffset(version: Long) extends Offset {
 }
 
 private[sources] class FeedStream(path: String, fromVersion: Option[Long],
-    maxCommitsPerBatch: Option[Long], tableSchema: StructType)
+    maxCommitsPerBatch: Option[Long], tableSchema: StructType,
+    bootstrap: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+  require(!(bootstrap && fromVersion.isDefined),
+    "graft-feed: 'bootstrap' and 'fromVersion' are exclusive — a " +
+      "bootstrap starts from the current snapshot, not a cursor")
   private def dir = new Path(path)
   private def fs = dir.getFileSystem(
     SparkSession.active.sparkContext.hadoopConfiguration)
@@ -116,7 +144,8 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
   @volatile private var availableTarget: Option[Long] = None
 
   override def initialOffset(): Offset =
-    FeedOffset(fromVersion.getOrElse(head))
+    FeedOffset(
+      if (bootstrap) FeedSource.BootstrapOffset else fromVersion.getOrElse(head))
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(head)
@@ -130,7 +159,10 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FeedOffset].version
     val tgt = availableTarget.getOrElse(head)
-    FeedOffset(maxCommitsPerBatch.fold(tgt)(n =>
+    // the bootstrap snapshot is one atomic version — commit throttling
+    // applies from the next batch on
+    if (s == FeedSource.BootstrapOffset) FeedOffset(tgt)
+    else FeedOffset(maxCommitsPerBatch.fold(tgt)(n =>
       math.min(tgt, s + math.max(1L, n))))
   }
 
@@ -143,7 +175,7 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
         "latestOffset(start, limit) is the planning entry point")
 
   override def deserializeOffset(json: String): Offset = {
-    val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    val v = """"version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"graft-feed: bad offset $json")).group(1)
     FeedOffset(v.toLong)
   }
@@ -152,6 +184,25 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
       end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FeedOffset].version,
       end.asInstanceOf[FeedOffset].version)
+    // bootstrap batch: the committed snapshot AT the pinned end version
+    // — every live file's rows as inserts, no commit walk (ancient
+    // history the feed cannot replay is netted into the snapshot)
+    if (s == FeedSource.BootstrapOffset) {
+      val snap = ManifestCommit.snapshotAt(fs, dir, e).getOrElse(
+        sys.error(s"graft-feed: bootstrap version $e of $dir pruned " +
+          "before the batch ran — restart the query"))
+      // active deletion vectors at the snapshot version would need the
+      // sidecar subtraction a bare file replay lacks; refuse rather
+      // than resurrect deleted rows
+      val dvs = ManifestCommit.dvsAt(fs, dir, e)
+      require(dvs.isEmpty,
+        s"graft-feed: bootstrap at v$e of $dir has ${dvs.size} active " +
+          "deletion-vector sidecar(s) — applyDvs/compact first, then " +
+          "bootstrap")
+      return snap.files.map(n => FeedFilePartition(
+        new Path(dir, n).toString, ChangeFeed.Insert, e,
+        None): InputPartition).toArray
+    }
     // merge-on-read delete positions: group the commit's sidecar rows
     // per named data file — one partition per file, carrying its own
     // bounded position set for the reader's row-index counting scan

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -149,5 +151,69 @@ class FeedSourceSpec extends SparkSpec {
     assert(got == want, s"replica diverged: got ${got.size}, want ${want.size}")
     assert(replica.count() == 50L - 5L + 10L,
       "50 base - 5 deleted + 10 inserted (10 replaced in place)")
+  }
+
+  test("bootstrap: a table with pre-tag history streams its snapshot, " +
+      "then tails incrementally") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-feedboot").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 2)
+    ManifestCommit.bootstrap(fs, dir)
+    // forge ANCIENT history: a legacy 3-count, no-O-line manifest (the
+    // pre-kind-tag format) on top — an ordinary cursored feed across it
+    // must refuse, which is exactly what bootstrap exists to bypass
+    val snap0 = ManifestCommit.currentSnapshot(fs, dir).get
+    val legacy = new Path(dir,
+      f"${ManifestCommit.LogDirName}/v${snap0.version + 1}%08d.manifest")
+    val out = fs.create(legacy, false)
+    out.write((s"#graft 1 ${snap0.files.size} 0 0\n" +
+      snap0.files.map(n => s"A $n").mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val e = intercept[Exception](collectFeed(dir.toString, snap0.version))
+    assert(e.getMessage != null)
+    // bootstrap run: first batch = the whole snapshot as inserts at the
+    // head version, ancient commits never walked
+    val ckpt = Files.createTempDirectory("graft-feedboot-ck").toString
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String)]())
+    def runBootstrap(): Set[(Long, String)] = {
+      seen.clear()
+      spark.readStream.format("graft.sources.FeedSource")
+        .option("path", dir.toString).option("bootstrap", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select($"k", $"_change_type").collect()
+            .foreach(r => seen.add((r.getLong(0), r.getString(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      seen.asScala.toSet
+    }
+    val got1 = runBootstrap()
+    assert(got1 == (0L to 49L).map((_, ChangeFeed.Insert)).toSet,
+      s"bootstrap batch must be the snapshot: ${got1.size} rows")
+    // new commits land; the SAME checkpoint resumes incrementally —
+    // only the delta, never a second snapshot
+    ManifestCommit.stageAndPublish(spark, dir, rows(1), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish"))
+    ManifestCommit.deleteRange(spark, dir, "k", 5L, 9L, Seq("k"))
+    val got2 = runBootstrap()
+    assert(got2 == (1000L to 1049L).map((_, ChangeFeed.Insert)).toSet ++
+      (5L to 9L).map((_, ChangeFeed.Delete)).toSet, s"delta run: $got2")
+    // bootstrap + fromVersion is a contract violation, loudly
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft.sources.FeedSource")
+        .option("path", dir.toString).option("bootstrap", "true")
+        .option("fromVersion", "1").load()
+        .writeStream.format("memory").queryName("fsboot3")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e2).contains("exclusive"), msgs(e2))
   }
 }
