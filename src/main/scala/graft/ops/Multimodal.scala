@@ -6,54 +6,74 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * Two tiers of decode:
-  *  - REAL: binary PGM images ([[decodePgm]]) and canonical PCM WAV audio
-  *    ([[decodeWav]]) parse genuine bytes with zero external codecs;
-  *    PNG/JPEG ([[decodeImage]]) and multi-frame GIF
-  *    ([[sampleGifFrames]]) decode genuine entropy-coded bitstreams
-  *    through the stock JDK's ImageIO; and the MP3 frame layer
-  *    ([[mp3Meta]]) and H.264 Annex-B NAL layer ([[h264Meta]]) are
-  *    walked byte-by-byte from their public bitstream framing (sync
-  *    words / start codes) — header fields + payload statistics,
-  *    oracle-checked end to end.
-  *  - STUBBED: only the ENTROPY-DECODE-TO-SAMPLES step of MP3/H.264
-  *    (Huffman subband synthesis / CABAC+DCT), which genuinely needs a
-  *    codec library the JDK lacks: `fakeDecode` derives deterministic
-  *    fake features from the bytes. Everything around the stub — the
-  *    schema, the typed Dataset boundary, the mapPartitions batch
-  *    shape, the container walk that locates each frame's payload — is
-  *    the real Spark plumbing a production decode (JNI/ONNX/ffmpeg per
-  *    executor) plugs into: swap `fakeDecode` for the real library call
-  *    and nothing else changes (the PGM/WAV/PNG/JPEG/GIF decoders are
-  *    exactly that swap, done).
+  * Every decode here is REAL: binary PGM images ([[decodePgm]]) and
+  * canonical PCM WAV audio ([[decodeWav]]) parse genuine bytes with zero
+  * external codecs; PNG/JPEG ([[decodeImage]]) and multi-frame GIF
+  * ([[sampleGifFrames]]) decode genuine entropy-coded bitstreams through
+  * the stock JDK's ImageIO; the MP3 frame layer ([[mp3Meta]]) and H.264
+  * Annex-B NAL layer ([[h264Meta]]) are walked byte-by-byte from their
+  * public bitstream framing (sync words / start codes) — header fields +
+  * payload statistics, oracle-checked end to end. The one thing NOT
+  * implemented is the entropy-decode-to-samples step of MP3/H.264
+  * (Huffman subband synthesis / CABAC+DCT), which genuinely needs a codec
+  * library the JDK lacks — a production pipeline plugs its JNI/ffmpeg
+  * decoder into the same per-partition `mapPartitions` loop every decoder
+  * below uses ([[decodeImage]] is the template: codec init once per
+  * partition, rows streamed through it, loud failure on garbage).
   */
 object Multimodal {
 
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features (width/height/etc are fake in the stub). */
+  /** Generic decoded-raster features: REAL header dimensions + integer
+    * pixel statistics (mean as permille — no floating point). */
   final case class MediaFeatures(media_id: Long, kind: String,
-      n_bytes: Int, byte_sum: Long, width: Int, height: Int)
+      width: Int, height: Int, mean_permille: Long, min_px: Int,
+      max_px: Int)
 
-  /** A deterministic stand-in for a media-decode call. Marked STUB: real
-    * decode would parse the payload with an image/audio codec here. */
-  private def fakeDecode(r: MediaRow): MediaFeatures = {
-    var s = 0L
-    var i = 0
-    while (i < r.payload.length) { s += (r.payload(i) & 0xff); i += 1 }
-    MediaFeatures(r.media_id, r.kind, r.payload.length, s,
-      width = (s % 1920).toInt, height = (s % 1080).toInt)
-  }
-
-  /** Batch feature extraction: one decoder init per partition (the
-    * expensive part for real codecs), streaming rows through it. Executors
-    * each handle their partitions independently — scales with the cluster. */
+  /** Batch feature extraction over a MIXED-format corpus: dispatch on
+    * each row's `kind` to the format's genuine decoder — `img/pgm`
+    * parses the P5 header + pixel bytes directly; every other image
+    * kind (PNG/JPEG/GIF) goes through the JDK's entropy decoders. One
+    * decoder init per partition (the expensive part for real codecs),
+    * rows streamed through it; executors handle partitions
+    * independently — scales with the cluster. A payload that does not
+    * decode fails the task loudly: garbage media must never yield
+    * silent fake features. Audio belongs to [[decodeWav]]/[[decodeG711]]
+    * — raster features have no meaning for it. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: val codec = HeavyCodec.init() once per partition
-      rows.map(fakeDecode)
+      rows.map { r =>
+        if (r.kind.endsWith("pgm")) {
+          val p = parsePgm(r.media_id, r.payload)
+          MediaFeatures(r.media_id, r.kind, p.width, p.height,
+            p.mean_permille, p.min_px, p.max_px)
+        } else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null,
+            s"media ${r.media_id} (${r.kind}): payload is not a " +
+              "decodable image")
+          val raster = img.getRaster
+          val w = img.getWidth; val h = img.getHeight
+          require(w > 0 && h > 0,
+            s"media ${r.media_id}: degenerate ${w}x$h")
+          var s = 0L; var mn = 255; var mx = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(r.media_id, r.kind, w, h,
+            s * 1000L / (w.toLong * h), mn, mx)
+        }
+      }
     }
   }
 
@@ -68,10 +88,9 @@ object Multimodal {
         val off = f * stride
         val end = math.min(r.payload.length, off + stride)
         // payloads shorter than nFrames leave trailing frames EMPTY
-        // (offset past the payload, zero bytes, seed hash) — matching the
-        // frameSlices twin's empty-substring behavior, never a negative
-        // byte count
-        var h = 1125899906842597L // deterministic FNV-ish slice hash (stub)
+        // (offset past the payload, zero bytes, seed hash) — never a
+        // negative byte count
+        var h = 1125899906842597L // FNV-ish transport-level slice hash
         var i = off
         while (i < end) { h = h * 31 + (r.payload(i) & 0xff); i += 1 }
         (r.media_id, f, off, math.max(0, end - off), h)
@@ -103,27 +122,6 @@ object Multimodal {
         idiv(h * col("scale_permille"), lit(1000L)).cast("int").as("out_height"))
   }
 
-  /** Column-level frame sampling over text payloads — the engine-checkable
-    * twin of [[sampleFrames]]: same offset/stride math, but the slice
-    * fingerprint is the md5-based 60-bit hash (cross-engine) instead of
-    * the JVM rolling hash, and slicing is character-based so any engine
-    * computes identical frames. Pure column expressions: stays in
-    * whole-stage codegen, one explode per document. */
-  def frameSlices(docs: DataFrame, nFrames: Int = 4): DataFrame = {
-    val stride = greatest(lit(1),
-      expr(s"length(text) div $nFrames").cast("int"))
-    docs.select(col("doc_id").as("media_id"), col("text"),
-        stride.as("stride"),
-        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
-      .select(col("media_id"), col("frame_idx"),
-        (col("frame_idx") * col("stride")).as("offset"),
-        col("text").substr(col("frame_idx") * col("stride") + 1,
-          col("stride")).as("slice"))
-      .select(col("media_id"), col("frame_idx"), col("offset"),
-        length(col("slice")).as("n_chars"),
-        TextKit.md5Long(col("slice")).as("frame_hash"))
-  }
-
   // ---------------------------------------------------------------------
   // REAL decoders — binary PGM (P5) images and canonical PCM WAV audio
   // are self-describing pure-byte formats, so they decode with zero
@@ -131,8 +129,8 @@ object Multimodal {
   // exercise the mapPartitions decode path END TO END with genuine binary
   // parsing (and are DuckDB-oracle-checked, because the synthesized
   // payloads derive deterministically from the documents fixture); only
-  // compressed-codec formats (JPEG/MP3/H.264) remain behind fakeDecode's
-  // stub swap-point. A malformed payload fails loudly (require) — garbage
+  // compressed image codecs (PNG/JPEG/GIF) decode through the JDK's
+  // ImageIO below. A malformed payload fails loudly (require) — garbage
   // media should kill the task, not produce silent fake features.
   // ---------------------------------------------------------------------
 
@@ -1355,12 +1353,17 @@ object Multimodal {
   /** Build a media table from the documents fixture: text bytes stand in
     * for payloads. Demonstrates the schema + partitioning (hash by id so
     * payload batches spread evenly regardless of size skew). */
+  /** A REAL mixed-format media corpus from the documents fixture: even
+    * doc_ids become binary P5 PGM payloads, odd ones become
+    * DEFLATE-compressed PNGs of the SAME 16x8 text-derived gray grid —
+    * so the generic [[extractFeatures]] dispatch decodes two genuine
+    * formats in one pass, and (PNG being lossless) a duplicate text
+    * yields identical pixel statistics through either codec. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame,
       partitions: Int = 32): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"),
-        concat(lit("img/"), col("source")).as("kind"),
-        col("text").cast("binary").as("payload"))
+    pgmFromDocuments(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(pngFromDocuments(docs.filter(col("doc_id") % 2 === 1)))
       .repartition(partitions, col("media_id"))
       .as[MediaRow]
   }

@@ -487,8 +487,8 @@ object Similarity {
     * [[graft.ops.Export.chunkDocuments]]'s chunk hashes — the STAND-IN
     * for a real chunk encoder. Multi-vector ops accept ANY
     * (doc_id, chunk_idx, cv) relation; a production encoder swaps in
-    * at this seam (the Multimodal fakeDecode pattern applied to
-    * retrieval), and the derivation being md5-based keeps the whole
+    * at this seam (the per-partition codec seam of Multimodal.extractFeatures
+    * applied to retrieval), and the derivation being md5-based keeps the whole
     * chain oracle-reproducible. */
   def chunkVectors(docs: DataFrame, dim: Int = 16,
       chunkTokens: Int = 64, overlap: Int = 16): DataFrame =

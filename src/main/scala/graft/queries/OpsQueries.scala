@@ -699,8 +699,14 @@ object OpsQueries {
       AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", "event_id")
         .orderBy("event_id")
     }),
+    // frame extraction through the REAL container: every frame of each
+    // multi-frame animated GIF (LZW entropy decode via the JDK's
+    // sequence reader) with per-frame pixel stats — q117 samples every
+    // 2nd frame, this is the full-coverage variant
     "q40_multimodal_frames" -> ((s, d) =>
-      Multimodal.frameSlices(docs(s, d)).orderBy("media_id", "frame_idx")),
+      Multimodal.sampleGifFrames(
+        Multimodal.gifFromDocuments(docs(s, d)), every = 1)
+        .toDF().orderBy("media_id", "frame_idx")),
     // REAL video-frame extraction end to end: text-derived frames ->
     // multi-frame animated GIF (LZW, JDK sequence writer) -> container
     // parse + every-2nd-frame decode -> per-frame stats; GIF is lossless
@@ -1113,11 +1119,14 @@ object OpsQueries {
             .filter(col("probe") < 20).distinct())
         .withColumnRenamed("probe", "user_id").orderBy("user_id")
     }),
+    // the generic multimodal feature path over a REAL mixed-format
+    // corpus: even docs as binary P5 PGM, odd as DEFLATE-compressed
+    // PNG of the same text-derived grid — one kind-dispatched
+    // per-partition decode (genuine header parse / ImageIO entropy
+    // decode), oracle-replayed from the text pixels (PNG is lossless)
     "q32_multimodal_meta" -> ((s, d) =>
-      docs(s, d).select(col("doc_id").as("media_id"),
-          length(col("text").cast("binary")).as("n_bytes"),
-          hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
-        .orderBy("media_id")),
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, docs(s, d)))
+        .toDF().orderBy("media_id")),
     // Z-order (Morton) interleave as a value query: the clustering key a
     // multi-dimension-prunable layout sorts by — pure codegen'd bit
     // arithmetic, hash-gated against DuckDB's own shifts
@@ -1418,6 +1427,17 @@ object OpsQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("day").cast("long").as("day"))
         .orderBy("o_orderkey", "day")),
+    // schema-in-manifest evolution: a table recorded at (o_orderkey,
+    // o_custkey) takes one additive CDC apply whose batch carries the
+    // NEW o_totalprice column (replacing a key slice doubled, plus
+    // shifted fresh keys) — the read crosses the evolution boundary
+    // through the RECORDED manifest schema (zero footer reads at plan
+    // time; the spec pins the zero-job metric), pre-evolution rows
+    // surface NULL for the new column
+    "q258_schema_evolution" -> ((s, d) =>
+      graft.lake.GraftFileIndex.tableDV(s, ensureEvoLake(s, d))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
     // DESCRIBE HISTORY: the commit log as a relation (driver-side
     // manifest parsing, KBs at any table size) — version/kind/file
     // motion/sidecar counts over the upsert lake's 4-commit history;
@@ -2244,6 +2264,57 @@ object OpsQueries {
         "o_orderkey", appId = "q257")
       require(r3.forall(!_._4), s"third run must be a no-op: $r3")
       dstPath
+    })
+
+  /** Per-(process, sfDir) lake for q258: orders at (o_orderkey,
+    * o_custkey) with a RECORDED manifest schema, then ONE additive
+    * [[graft.lake.ManifestCommit.applyChangesDV]] whose batch carries
+    * the new `o_totalprice` column — a key slice replaced (custkey
+    * doubled) plus shifted fresh keys. The apply must evolve the
+    * recorded schema; reads must cross the boundary (old files NULL
+    * the new column). All mutation inside the fixture (audit-suite
+    * construction must not race). */
+  private val evoLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureEvoLake(s: SparkSession, d: String): String =
+    evoLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val full = Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = full.agg(min("o_orderkey"), max("o_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (ulo, uhi) = boxRange(klo, khi)
+      val span = khi - klo + 1000000L
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_evolake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(full.select("o_orderkey", "o_custkey"),
+        col("o_orderkey"), path, 8)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      ManifestCommit.recordStats(s, dir, Seq("o_orderkey"))
+      val pre = ManifestCommit.recordSchema(s, dir)
+      require(pre.fieldNames.toSeq == Seq("o_orderkey", "o_custkey"),
+        s"pre-evolution record: ${pre.simpleString}")
+      val slice = full.filter(col("o_orderkey").between(ulo, uhi))
+      val batch = slice
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("o_custkey"),
+          col("o_totalprice"))
+        .unionByName(slice.select(
+          (col("o_orderkey") + span).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")))
+      ManifestCommit.applyChangesDV(s, dir, "o_orderkey",
+        inserts = batch,
+        deleteKeys = batch.select("o_orderkey").limit(0),
+        statsCols = Seq("o_orderkey"))
+      val post = ManifestCommit.currentSchema(fs, dir)
+        .getOrElse(sys.error("evolution must leave a recorded schema"))
+      require(post.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        s"recorded schema must evolve additively: ${post.simpleString}")
+      path
     })
 
   /** Per-(process, sfDir) lake for q248: one DV delete, then a manifest
@@ -5244,20 +5315,37 @@ object OpsQueries {
            FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
          ) WHERE rn = 1 ORDER BY event_id""",
+    // all 4 GIF frames (q117's replay at every=1): frame f's 16x8
+    // pixels are the text bytes at offset f*128, space-padded
     "q40_multimodal_frames" ->
-      s"""SELECT media_id, frame_idx, frame_idx * stride AS offset,
-         length(sub) AS n_chars, ${TextKit.ducksql.md5Long("sub")} AS frame_hash
-         FROM (
-           SELECT doc_id AS media_id, f AS frame_idx, stride,
-             substr(text, f * stride + 1, stride) AS sub
-           FROM (SELECT doc_id, text,
-             greatest(1, CAST(length(text) // 4 AS INT)) AS stride
-             FROM documents), generate_series(0, 3) g(f))
-         ORDER BY media_id, frame_idx""",
+      """WITH px AS (SELECT doc_id, f,
+           list_transform(generate_series(1, 128),
+             i -> unicode(substr(rpad(text, 512, ' '), f * 128 + i, 1)))
+             AS p
+           FROM documents, (VALUES (0), (1), (2), (3)) v(f))
+         SELECT doc_id AS media_id, f AS frame_idx, 16 AS width,
+           8 AS height,
+           CAST(CAST(list_sum(p) AS BIGINT) * 1000 // 128 AS BIGINT)
+             AS mean_permille,
+           CAST(list_min(p) AS INT) AS min_px,
+           CAST(list_max(p) AS INT) AS max_px
+         FROM px ORDER BY media_id, frame_idx""",
+    // two real codecs, one pixel truth: the PGM and PNG payloads both
+    // encode the first 128 space-padded text bytes, so the decoded
+    // stats replay from the text for either kind
     "q32_multimodal_meta" ->
-      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-         hex(encode(substr(text, 1, 8))) AS head_hex
-         FROM documents ORDER BY media_id""",
+      """WITH px AS (SELECT doc_id, list_transform(generate_series(1, 128),
+           i -> unicode(substr(rpad(text, 128, ' '), i, 1))) AS p
+           FROM documents)
+         SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'img/pgm' ELSE 'img/png' END
+             AS kind,
+           16 AS width, 8 AS height,
+           CAST(CAST(list_sum(p) AS BIGINT) * 1000 // 128 AS BIGINT)
+             AS mean_permille,
+           CAST(list_min(p) AS INT) AS min_px,
+           CAST(list_max(p) AS INT) AS max_px
+         FROM px ORDER BY media_id""",
     "q149_zorder_values" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey % 256 AS x,
          l_suppkey % 256 AS y,
@@ -5653,6 +5741,25 @@ object OpsQueries {
            o_totalprice * 2 AS o_totalprice, CAST(1 AS BIGINT) AS day
          FROM o, b WHERE day = 1 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey, day""",
+    // the evolved lake's head: untouched keys NULL the new column,
+    // the replaced slice carries doubled custkeys + o_totalprice, the
+    // shifted fresh keys carry it verbatim
+    "q258_schema_evolution" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         s AS (SELECT klo + (khi - klo) // 4 AS ulo,
+             klo + (khi - klo) // 2 AS uhi,
+             khi - klo + 1000000 AS span FROM b)
+         SELECT o_orderkey, o_custkey,
+           CAST(NULL AS DOUBLE) AS o_totalprice
+         FROM orders, s WHERE o_orderkey NOT BETWEEN ulo AND uhi
+         UNION ALL
+         SELECT o_orderkey, o_custkey * 2 AS o_custkey, o_totalprice
+         FROM orders, s WHERE o_orderkey BETWEEN ulo AND uhi
+         UNION ALL
+         SELECT o_orderkey + span AS o_orderkey, o_custkey, o_totalprice
+         FROM orders, s WHERE o_orderkey BETWEEN ulo AND uhi
+         ORDER BY o_orderkey""",
     // the upsert lake's commit history: bootstrap append, stats meta,
     // the one-commit MERGE (files + sidecars), post-merge stats meta
     "q256_table_history" ->

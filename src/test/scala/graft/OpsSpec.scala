@@ -296,15 +296,23 @@ class OpsSpec extends SparkSpec {
       s"salting must spread the hot key: max $spread vs funneled $funneled")
   }
 
-  test("multimodal: feature extraction is deterministic, frames partition the payload") {
+  test("multimodal: kind-dispatched REAL decode, frames partition the payload") {
     val media = Multimodal.mediaFromDocuments(spark, docs, partitions = 2)
     val feats = Multimodal.extractFeatures(media).collect()
       .sortBy(_.media_id)
     assert(feats.length == 4)
-    assert(feats(0).n_bytes == 43)
-    // identical payloads -> identical features (deterministic stub)
-    assert(feats(0).byte_sum == feats(1).byte_sum)
-    assert(feats(0).width == feats(0).byte_sum % 1920)
+    // the corpus mixes two genuine codecs on one pixel truth
+    assert(feats.map(_.kind).toSeq ==
+      Seq("img/pgm", "img/png", "img/pgm", "img/png"))
+    feats.foreach(f => assert(f.width == 16 && f.height == 8))
+    // docs 0 and 1 hold the SAME text: the P5 parse and the PNG entropy
+    // decode must land identical pixel statistics (PNG is lossless)
+    assert(feats(0).mean_permille == feats(1).mean_permille &&
+      feats(0).min_px == feats(1).min_px &&
+      feats(0).max_px == feats(1).max_px,
+      s"pgm ${feats(0)} vs png ${feats(1)}")
+    // space padding caps the max pixel for ASCII text; 'q' = 113 appears
+    assert(feats(0).max_px == 'z'.toInt || feats(0).max_px < 128)
     // resize planning: fits the box, never upscales, keeps aspect ratio
     val plan = Multimodal.resizePlan(Multimodal.extractFeatures(media),
       maxW = 100, maxH = 50).collect()
@@ -323,8 +331,10 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("media_id") ->
         (r.getAs[Long]("covered"), r.getAs[Long]("n"))).toMap
     assert(perDoc(3L)._2 == 4)
-    // frames cover a prefix of the payload without overlap (stride design)
-    assert(perDoc(3L)._1 <= 44)
+    // frames cover a prefix of the payload without overlap (stride
+    // design); doc 3 is a PNG payload, so bound by its real byte length
+    val png3 = media.filter(_.media_id == 3L).collect().head.payload.length
+    assert(perDoc(3L)._1 <= png3)
   }
 
   test("MinHashAgg typed aggregator equals the column-form signatures") {
