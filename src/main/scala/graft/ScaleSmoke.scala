@@ -806,6 +806,39 @@ object ScaleSmoke {
       timePp(s"ppjoin_${k}x", k)
     }
 
+    // Batched BPE training (q124-q129's trainer) at a production-ish
+    // merge count. Two claims the row records: (a) nMerges=64 RUNS at
+    // all — the per-merge persist chain OOM'd the driver before the
+    // per-pass localCheckpoint (plan/explain strings grew quadratically
+    // with merges); (b) passes < merges under the exact batched
+    // selector. Passes do NOT approach merges/k on natural text, and
+    // measurably cannot: sequential BPE's next merge frequently
+    // consumes the previous merge's output symbol ((t,h) then (th,e)),
+    // an order no exact batcher may pre-commit — the triple bound
+    // detects exactly those cases and stops the pass.
+    if (enabled("bpe")) {
+      val nMerges = 64
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      graft.ops.Bpe.train(base, nMerges = 8) // warmup (codegen, caches)
+      spark.catalog.clearCache(); base.cache(); base.count()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val (merges, _) = graft.ops.Bpe.train(base, nMerges = nMerges)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus drains async
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache(); base.cache(); base.count()
+      println(f"""{"experiment":"bpe_train","rows":$n,""" +
+        f""""n_merges":${merges.size},"passes":${graft.ops.Bpe.lastTrainPasses},""" +
+        f""""jobs":${jobs.get},"train_sec":$sec%.2f}""")
+    }
+
     // Feed-driven band-index maintenance (q211/q212): a FIXED-size feed
     // (n/500 deletes + n/500 inserts) against an index over a corpus
     // growing kx. Maintenance is two broadcast anti-join passes over the

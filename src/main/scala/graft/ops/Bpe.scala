@@ -63,6 +63,11 @@ object Bpe {
   /** A learned merge: rank order, left/right symbol, weighted count. */
   final case class Merge(rank: Int, lhs: String, rhs: String, pairN: Long)
 
+  /** Pass count of the last [[train]] on this JVM — scaling-evidence
+    * metric (jobs ∝ passes under batched selection; the sequential
+    * schedule is passes == merges). */
+  @volatile var lastTrainPasses: Int = 0
+
   private def wordsOf(docs: DataFrame): DataFrame =
     docs.select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -160,7 +165,41 @@ object Bpe {
     * word-table state (word, cnt, sym) for dictionary-join encoding.
     * `trainSampleMod` > 1 trains on the deterministic 1/mod md5
     * hash-sample of documents. The loop stops early if the vocabulary
-    * runs out of adjacent pairs. */
+    * runs out of adjacent pairs.
+    *
+    * BATCHED merge selection — jobs ∝ passes, not merges, and EXACTLY
+    * the sequential argmax loop's output. Per pass, rank the remaining
+    * candidate pairs by (n DESC, lhs, rhs) and accept a PREFIX
+    * c_1..c_m such that the sequential loop provably picks exactly
+    * c_1, ..., c_m next:
+    *  - c_1 is the true argmax — always accepted, so a pass always
+    *    progresses and the worst case degrades to the old schedule;
+    *  - c_i (i>1) is accepted only if its symbols are disjoint from
+    *    every earlier accepted merge's {lhs, rhs, lhs+rhs} — applying
+    *    those merges then neither creates nor destroys occurrences of
+    *    c_i, so its count and tie-break rank are unchanged when the
+    *    sequential loop reaches it;
+    *  - every pair a merge (l,r)→z can CREATE is (x,z) or (z,y);
+    *    every occurrence of x·z was x·l·r before the merge (and of
+    *    z·y was l·r·y), so its count is bounded by the pre-pass
+    *    count of the TRIPLE (x,l,r) resp. (l,r,y). This holds for
+    *    later merges in the same pass too: a created symbol z' ends
+    *    with its rhs, so an adjacency through z' maps back to a
+    *    pre-pass triple over original symbols. c_i is accepted only
+    *    while the max triple bound over all earlier accepted merges
+    *    is STRICTLY below n_i — no created pair can outrank it (a
+    *    tie could win the lexicographic break, hence strict). The
+    *    triple bound is far tighter than the naive pair bound
+    *    max(count(x,l)), which on natural text stops nearly every
+    *    pass after one merge (the top pairs share letters with
+    *    other frequent pairs);
+    *  - a z that collides with a symbol already active in some pair
+    *    would ADD created counts onto that symbol's existing pairs,
+    *    voiding the bound — acceptance stops after such a merge.
+    * The first rejection ends the pass: a skipped candidate may belong
+    * BETWEEN later ones in sequential order. Each pass costs two small
+    * jobs over the vocab-sized pair table (top-k + the bound/collision
+    * aggregate) instead of one job per merge. */
   def train(docs: DataFrame, nMerges: Int = 8,
       trainSampleMod: Int = 1): (Seq[Merge], DataFrame) = {
     val base =
@@ -172,16 +211,91 @@ object Bpe {
       .withColumn("sym", symInit(col("word"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
-    for (t <- 1 to nMerges if !exhausted) {
-      val best = pairCounts(state)
-        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
+    lastTrainPasses = 0
+    while (merges.size < nMerges && !exhausted) {
+      lastTrainPasses += 1
+      val want = nMerges - merges.size
+      val pc = pairCounts(state)
+      val top = pc.orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(want).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += Merge(t, l, r, n)
-        state = tracked(state.withColumn("sym",
-          applyMerge(col("sym"), l, r)))
+        val keys = top.map(t => t._1 + Sep + t._2).distinct.toSeq
+        val zs = top.map(t => t._1 + t._2).distinct.toSeq
+        // one job over the word table: per candidate (l,r), the max
+        // weighted count of triples (x,l,r) (bounds created left-pairs
+        // (x,z)) and (l,r,y) (bounds created right-pairs (z,y)); per
+        // candidate z, whether z is already an active symbol (a
+        // collision would merge created counts into existing pairs,
+        // voiding the bound)
+        val syms = symbols(col("sym"))
+        val tri = when(size(syms) >= 3,
+          transform(sequence(lit(1), size(syms) - 2),
+            i => struct(element_at(syms, i).as("a"),
+              element_at(syms, i + 1).as("b"),
+              element_at(syms, i + 2).as("c"))))
+          .otherwise(array()
+            .cast("array<struct<a:string,b:string,c:string>>"))
+        val triples = state.select(col("cnt"), explode(tri).as("t"))
+          .select(col("cnt"), col("t.a"), col("t.b"), col("t.c"))
+        val leftB = triples
+          .filter(concat(col("b"), lit(Sep), col("c"))
+            .isInCollection(keys))
+          .groupBy(concat(col("b"), lit(Sep), col("c")).as("s"),
+            col("a"))
+          .agg(sum(col("cnt")).as("tn"))
+          .groupBy(col("s")).agg(max(col("tn")).as("b"))
+          .withColumn("g", lit("L"))
+        val rightB = triples
+          .filter(concat(col("a"), lit(Sep), col("b"))
+            .isInCollection(keys))
+          .groupBy(concat(col("a"), lit(Sep), col("b")).as("s"),
+            col("c"))
+          .agg(sum(col("cnt")).as("tn"))
+          .groupBy(col("s")).agg(max(col("tn")).as("b"))
+          .withColumn("g", lit("R"))
+        val zHit = pc
+          .select(explode(array(col("lhs"), col("rhs"))).as("s"))
+          .filter(col("s").isInCollection(zs))
+          .groupBy(col("s")).agg(count(lit(1)).as("b"))
+          .withColumn("g", lit("Z"))
+        val aux = leftB.unionByName(rightB).unionByName(zHit).collect()
+          .map(r => (r.getString(2), r.getString(0)) -> r.getLong(1))
+          .toMap
+        val before = merges.size
+        val banned = scala.collection.mutable.Set.empty[String]
+        var bound = Long.MinValue
+        var open = true
+        top.foreach { case (l, r, n) =>
+          if (open) {
+            val z = l + r
+            val conflicts = banned.contains(l) || banned.contains(r) ||
+              banned.contains(z)
+            if (banned.nonEmpty && (conflicts || bound >= n)) open = false
+            else {
+              merges += Merge(merges.size + 1, l, r, n)
+              banned += l; banned += r; banned += z
+              val k = l + Sep + r
+              bound = math.max(bound, math.max(
+                aux.getOrElse(("L", k), Long.MinValue),
+                aux.getOrElse(("R", k), Long.MinValue)))
+              if (aux.contains(("Z", z))) bound = Long.MaxValue
+            }
+          }
+        }
+        // apply the pass's accepted merges in rank order — one state
+        // update per pass instead of per merge. localCheckpoint (not
+        // persist) TRUNCATES the lineage: a persisted state's plan
+        // still embeds every earlier pass's cached plan, so explain
+        // strings and analyzer work grow quadratically with passes —
+        // at nMerges=64 the SQL listener's explainString alone OOMs
+        // the driver. The checkpointed state is a leaf; register() so
+        // releaseCaches can free it.
+        state = register(state.withColumn("sym",
+          merges.drop(before).foldLeft(col("sym"))((c, m) =>
+            applyMerge(c, m.lhs, m.rhs)))
+          .localCheckpoint(true))
       }
     }
     (merges.toSeq, state)
