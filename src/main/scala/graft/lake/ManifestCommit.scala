@@ -513,11 +513,37 @@ object ManifestCommit {
         case e: java.io.IOException if fs.exists(p) => false
       }
     createExclusive() || {
-      // occupied slot: valid manifest → genuine conflict; torn manifest
-      // (never on an object store) → failed commit, reclaim the slot
-      parse(fs, p).isEmpty && { fs.delete(p, false); createExclusive() }
+      // occupied slot: valid manifest → genuine conflict. Invalid bytes
+      // are EITHER a crashed writer's torn write (reclaimable) OR an
+      // IN-FLIGHT writer that create-claimed the slot but has not
+      // finished writing — POSIX/HDFS create+write+close is not
+      // observed atomically, so a fresh invalid slot must be WAITED
+      // OUT, never reclaimed: deleting it destroys the winner's commit
+      // (a lost append — found by LakeConcurrencySpec). Object-store
+      // PUTs are atomic, so there a parse failure is always a true
+      // torn write and the age gate only delays its reclaim.
+      parse(fs, p).isEmpty && {
+        val age =
+          try Some(System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        age match {
+          case None => createExclusive() // vanished: racing reclaimer won
+          case Some(a) if a >= TornSlotGraceMs =>
+            fs.delete(p, false); createExclusive()
+          case _ => Thread.sleep(100L); false // in-flight: back off, retry
+        }
+      }
     }
   }
+
+  /** How old an unparseable manifest slot must be before a committer may
+    * reclaim it as a crashed writer's torn write. Below this, an invalid
+    * slot is presumed to be a concurrent writer's IN-FLIGHT
+    * create+write (POSIX/HDFS visibility window — milliseconds, but a
+    * GC pause can stretch it); the committer backs off and retries
+    * instead of destroying it. */
+  val TornSlotGraceMs: Long = 30000L
 
   /** Adopt a partition written by the plain listing-mode writers: if no
     * log exists, commit v1 listing the currently visible data files.

@@ -174,7 +174,13 @@ class ManifestCommitSpec extends SparkSpec {
     out.write("#graft 1 2 0\nA b.parquet".getBytes("UTF-8")); out.close()
     assert(ManifestCommit.currentSnapshot(fs, dir).contains(v1),
       "torn head manifest must fall back to the last valid version")
-    // the slot is reclaimable: a fresh commit of v2 wins it
+    // the slot is reclaimable once STALE (a fresh invalid slot is
+    // presumed to be an in-flight writer and waited out — reclaiming it
+    // would destroy a concurrent commit): backdate the torn write past
+    // the grace, then a fresh commit of v2 wins the slot
+    fs.setTimes(torn,
+      System.currentTimeMillis() - ManifestCommit.TornSlotGraceMs - 1000,
+      -1)
     fs.create(new Path(dir, "b.parquet"), false).close()
     val v2 = ManifestCommit.appendFiles(fs, dir, Seq("b.parquet"))
     assert(v2.version == 2 && v2.files.toSet == Set("a.parquet", "b.parquet"))
