@@ -51,8 +51,13 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
       case ps    => ps
     }
     parts.map { dir =>
-      val names = ManifestCommit.currentSnapshot(fs, dir) match {
-        case Some(snap) => snap.files
+      // ONE log LIST + ONE manifest parse per leaf serves every facet
+      // (files, stats, blooms, DVs, schema) — resolving them through
+      // the per-facet accessors would pay five metadata GETs per leaf,
+      // the dominant table-open cost at thousands of leaves
+      val head = ManifestCommit.headState(fs, dir)
+      val names = head match {
+        case Some(h) => h.files
         case None => // listing-mode partition interop, as in liveFiles
           if (fs.exists(dir))
             fs.listStatus(dir).toIndexedSeq
@@ -69,10 +74,10 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
       val files = names.map(n => byName.getOrElse(n, sys.error(
         s"manifest for $dir lists missing file $n — GC grace too short?")))
       Leaf(dir, partitionValues(dir), files,
-        ManifestCommit.currentFileStats(fs, dir),
-        ManifestCommit.currentFileBlooms(fs, dir),
-        ManifestCommit.currentDvs(fs, dir),
-        ManifestCommit.currentSchema(fs, dir))
+        head.map(_.stats).getOrElse(Map.empty),
+        head.map(_.blooms).getOrElse(Map.empty),
+        head.map(_.dvs).getOrElse(Nil),
+        head.flatMap(_.schema))
     }
   }
 

@@ -191,6 +191,13 @@ object ManifestCommit {
       case _ => None
     }
 
+  private def decodeBloomLines(
+      bloomLines: Seq[String]): Map[String, Seq[ColBloom]] =
+    bloomLines.map { l =>
+      val fields = l.substring(2).split("\t")
+      (fields.head, fields.tail.toSeq.flatMap(bloomOf))
+    }.toMap
+
   private def parseBlooms(fs: FileSystem,
       p: Path): Map[String, Seq[ColBloom]] = {
     val in =
@@ -199,10 +206,7 @@ object ManifestCommit {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toIndexedSeq
       finally in.close()
-    lines.filter(_.startsWith("F ")).map { l =>
-      val fields = l.substring(2).split("\t")
-      (fields.head, fields.tail.toSeq.flatMap(bloomOf))
-    }.toMap
+    decodeBloomLines(lines.filter(_.startsWith("F ")))
   }
 
   /** Current committed per-file blooms of one partition. */
@@ -226,7 +230,8 @@ object ManifestCommit {
       removed: Seq[(Long, String)], kind: String,
       deletePredicate: Option[(String, Long, Long)],
       dvs: Seq[String], txns: Map[String, Long],
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      bloomLines: Seq[String] = Nil)
 
   /** Parsed manifest; None if torn/invalid (possible only on filesystems
     * without atomic object PUT). The `O` kind line is advisory: its
@@ -265,7 +270,8 @@ object ManifestCommit {
             }
         }
         .getOrElse((KindUnknown, None))
-      val bloomLines = lines.tail.count(_.startsWith("F "))
+      val bloomRaw = lines.tail.filter(_.startsWith("F "))
+      val bloomLines = bloomRaw.size
       val dvs = lines.tail.filter(_.startsWith("V ")).map(_.substring(2))
       val txns = lines.tail.filter(_.startsWith("T ")).flatMap { l =>
         l.substring(2).split(" ", 2) match {
@@ -281,32 +287,37 @@ object ManifestCommit {
         // legacy two-count header: F/V/T/S lines (if any) unvalidated
         case Array(a, r) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson,
+            bloomRaw))
         // three-count header (pre-DV): V/T/S lines unvalidated
         case Array(a, r, f) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson,
+            bloomRaw))
         // four-count header (pre-txn): T/S lines unvalidated
         case Array(a, r, f, d) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) &&
             d.toIntOption.contains(dvs.size) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson,
+            bloomRaw))
         // five-count header (pre-schema): S lines unvalidated
         case Array(a, r, f, d, t) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) &&
             d.toIntOption.contains(dvs.size) &&
             t.toIntOption.contains(nTxnLines) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson,
+            bloomRaw))
         case Array(a, r, f, d, t, sc) if a.toIntOption.contains(live.size) &&
             r.toIntOption.contains(removed.size) &&
             f.toIntOption.contains(bloomLines) &&
             d.toIntOption.contains(dvs.size) &&
             t.toIntOption.contains(nTxnLines) &&
             sc.toIntOption.contains(nSchemaLines) =>
-          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson))
+          Some(Parsed(live, removed, kind, pred, dvs, txns, schemaJson,
+            bloomRaw))
         case _ => None
       }
     }
@@ -322,6 +333,38 @@ object ManifestCommit {
     else fs.listStatus(dir).toIndexedSeq
       .flatMap(st => versionOf(st.getPath.getName)).sorted
   }
+
+  /** The COMPLETE committed head state of one partition from ONE log
+    * LIST + ONE manifest parse — what the per-facet accessors
+    * ([[currentSnapshot]], [[currentFileStats]], [[currentDvs]],
+    * [[currentTxns]], [[currentSchemaJson]], [[currentFileBlooms]])
+    * each re-derive with their own LIST+parse. Readers that need
+    * several facets (the FileIndex resolves five per leaf; a commit
+    * attempt consults six) go through this instead: at a thousand-leaf
+    * table that is the difference between one metadata GET per leaf
+    * and five. Blooms decode lazily — snapshot-only consumers never
+    * pay the hex decode. */
+  private[lake] final case class HeadState(version: Long,
+      liveWithStats: Seq[(String, Seq[ColStat])], dvs: Seq[String],
+      txns: Map[String, Long], schemaJson: Option[String],
+      bloomLines: Seq[String]) {
+    def files: Seq[String] = liveWithStats.map(_._1)
+    def snapshot: Snapshot = Snapshot(version, files)
+    def stats: Map[String, Seq[ColStat]] = liveWithStats.toMap
+    lazy val blooms: Map[String, Seq[ColBloom]] =
+      decodeBloomLines(bloomLines)
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private[lake] def headState(fs: FileSystem,
+      partition: Path): Option[HeadState] =
+    listVersions(fs, partition).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => parseFull(fs, manifestPath(partition, v)).map(p =>
+        HeadState(v, p.live, p.dvs, p.txns, p.schemaJson, p.bloomLines)))
+      .nextOption()
 
   /** Highest VALID committed version, or None for a partition with no
     * (parseable) log. Skipping an invalid head lands on the last durable
@@ -574,20 +617,27 @@ object ManifestCommit {
     require(names.forall(isDataFile), s"not data-file names: $names")
     var attempt = 0
     while (attempt < maxAttempts) {
-      val snap = bootstrap(fs, partition)
+      // one LIST + one parse per attempt serves every carried-forward
+      // facet (the per-facet accessors would each re-LIST and re-parse)
+      val head = headState(fs, partition).getOrElse {
+        bootstrap(fs, partition)
+        headState(fs, partition)
+          .getOrElse(sys.error(s"manifest bootstrap failed for $partition"))
+      }
+      val snap = head.snapshot
       // idempotent-writer guard (the Delta txn semantic): a version at
       // or below the app's committed watermark is ALREADY in the table
       // — return the current snapshot without committing anything, so
       // a replayed micro-batch or a racing retry can never double-add
-      val prevTxns = currentTxns(fs, partition)
+      val prevTxns = head.txns
       txn.foreach { case (app, v) =>
         if (prevTxns.get(app).exists(_ >= v)) return snap
       }
       val live = snap.files ++ names.filterNot(snap.files.contains)
       // surviving files KEEP their committed stats/blooms; fresh names
       // take the caller's (absent = conservative never-pruned)
-      val merged = currentFileStats(fs, partition) ++ stats
-      val mergedB = currentFileBlooms(fs, partition) ++ blooms
+      val merged = head.stats ++ stats
+      val mergedB = head.blooms ++ blooms
       if (tryCommit(fs, partition, snap.version + 1, live, Nil,
           merged.filter { case (n, s) => live.contains(n) && s.nonEmpty },
           mergedB.filter { case (n, b) => live.contains(n) && b.nonEmpty },
@@ -595,11 +645,11 @@ object ManifestCommit {
           // must not read it as an insert batch
           kind = if (names.isEmpty) KindMeta else KindAppend,
           // appended rows carry no deletions; the active sidecars ride
-          dvs = currentDvs(fs, partition),
+          dvs = head.dvs,
           txns = prevTxns ++ txn,
           // the recorded schema rides forward; callers evolving it
           // pass the override
-          schemaJson = schemaJson.orElse(currentSchemaJson(fs, partition))))
+          schemaJson = schemaJson.orElse(head.schemaJson)))
         return Snapshot(snap.version + 1, live)
       attempt += 1
     }
@@ -641,12 +691,18 @@ object ManifestCommit {
       "replaceFiles: dvs (absolute) and dvsAdd (delta) are exclusive")
     var attempt = 0
     while (attempt < maxAttempts) {
-      val snap = bootstrap(fs, partition)
+      // one LIST + one parse per attempt (see appendFiles)
+      val head = headState(fs, partition).getOrElse {
+        bootstrap(fs, partition)
+        headState(fs, partition)
+          .getOrElse(sys.error(s"manifest bootstrap failed for $partition"))
+      }
+      val snap = head.snapshot
       // idempotent-writer guard (the appendFiles semantic): a version at
       // or below the app's committed watermark is ALREADY in the table —
       // return the current snapshot without committing (re-checked every
       // attempt, so a racing replay can never double-apply)
-      val prevTxns = currentTxns(fs, partition)
+      val prevTxns = head.txns
       txn.foreach { case (app, v) =>
         if (prevTxns.get(app).exists(_ >= v)) return Some(snap)
       }
@@ -661,7 +717,7 @@ object ManifestCommit {
       // (rows naming consumed files go inert — those files are no
       // longer scanned); Some(next) SETS it, tombstoning dropped
       // sidecars so gc collects them after the read grace
-      val prevDvs = currentDvs(fs, partition)
+      val prevDvs = head.dvs
       if (expectedDvs.exists(_.toSet != prevDvs.toSet)) return None
       val nextDvs =
         if (dvsAdd.nonEmpty) prevDvs ++ dvsAdd.filterNot(prevDvs.contains)
@@ -670,14 +726,14 @@ object ManifestCommit {
         prevDvs.filterNot(nextDvs.contains)).sorted.map(nowMs -> _)
       // consumed files' stats/blooms die with them; survivors keep
       // theirs (the compactor may commit fresh ones via appendFiles)
-      val stats = (currentFileStats(fs, partition) -- consumed)
+      val stats = (head.stats -- consumed)
         .filter { case (n, s) => live.contains(n) && s.nonEmpty }
-      val blooms = (currentFileBlooms(fs, partition) -- consumed)
+      val blooms = (head.blooms -- consumed)
         .filter { case (n, b) => live.contains(n) && b.nonEmpty }
       if (tryCommit(fs, partition, snap.version + 1, live, tombstones,
           stats, blooms, kind = kind, deletePredicate = deletePredicate,
           dvs = nextDvs, txns = prevTxns ++ txn,
-          schemaJson = schemaJson.orElse(currentSchemaJson(fs, partition))))
+          schemaJson = schemaJson.orElse(head.schemaJson)))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
     }
