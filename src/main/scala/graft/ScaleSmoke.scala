@@ -792,14 +792,18 @@ object ScaleSmoke {
       def timePp(label: String, times: Int,
           silent: Boolean = false): Unit = {
         val docs = replicate(times, perturb = true)
+        graft.ops.Dedup.instrument = true
         val t0 = System.nanoTime()
         val nPairs = graft.ops.Dedup.prefixFilterPairs(docs).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        val nCand = graft.ops.Dedup.lastCandidatePairs
+        graft.ops.Dedup.instrument = false
         graft.ops.Dedup.releaseCaches()
         spark.catalog.clearCache(); base.cache(); base.count()
         if (!silent)
           println(f"""{"experiment":"$label","rows":${n * times},""" +
-            f""""pairs":$nPairs,"ppjoin_sec":$sec%.2f}""")
+            f""""candidates":$nCand,"pairs":$nPairs,""" +
+            f""""ppjoin_sec":$sec%.2f}""")
       }
       timePp("warmup", 1, silent = true)
       timePp("ppjoin_1x", 1)

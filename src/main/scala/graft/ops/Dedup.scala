@@ -456,6 +456,16 @@ object Dedup {
     * falls back to a shuffle — slower, but it cannot OOM the driver. */
   val DefaultBroadcastDocLimit: Long = 8L * 1000 * 1000
 
+  /** Scaling-evidence instrumentation (ScaleSmoke): when set, [[
+    * prefixFilterPairs]] counts its candidate-pair relation (one extra
+    * job) into [[lastCandidatePairs]]. Off by default — production
+    * calls must not pay a measurement job. */
+  @volatile var instrument: Boolean = false
+
+  /** Candidate pairs the last instrumented [[prefixFilterPairs]] fed to
+    * the exact verify (-1 = not instrumented). */
+  @volatile var lastCandidatePairs: Long = -1L
+
   /** The UNVERIFIED candidate pairs the banded LSH index proposes — the
     * blocking stage alone, before any Jaccard verification. Exposed for
     * blocking-quality evaluation ([[graft.ops.Eval.pairMetrics]]): the
@@ -600,6 +610,7 @@ object Dedup {
           // positional filter (ppjoin)
           ubound >= alpha)
       .select(col("doc_a"), col("doc_b")).distinct()
+    if (instrument) lastCandidatePairs = cand.count()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
     verifyJaccard(shm, cand, tau, candDocs, Long.MaxValue,
