@@ -124,7 +124,7 @@ object ChangeFeed {
       }
     }
     batches.reduceOption(_.unionByName(_)).getOrElse {
-      ManifestCommit.readTable(spark, partition.toString).limit(0)
+      ManifestCommit.readTableRaw(spark, partition.toString).limit(0)
         .withColumn("_change_type", lit(Insert))
         .withColumn("_commit_version", lit(0L))
     }
@@ -185,15 +185,18 @@ object ChangeFeed {
           val f = changeFeed(spark, dir, v, head, basePath = Some(tableRoot))
           Some(f)
         case None =>
-          // born after the bookmark: everything here is new
-          Some(spark.read.option("basePath", tableRoot)
-            .parquet(ManifestCommit.liveFiles(fs, dir).map(_.toString): _*)
+          // born after the bookmark: everything here is new — read the
+          // leaf's LOGICAL content (active deletion vectors subtracted;
+          // a bare file read would replay DV-deleted rows as inserts)
+          Some(ManifestCommit.readMinusDvs(spark, tableRoot,
+              ManifestCommit.liveFiles(fs, dir),
+              ManifestCommit.currentDvs(fs, dir).map(new Path(dir, _)))
             .withColumn("_change_type", lit(Insert))
             .withColumn("_commit_version", lit(head)))
       }
     }
     batches.reduceOption(_.unionByName(_)).getOrElse {
-      ManifestCommit.readTable(spark, tableRoot).limit(0)
+      ManifestCommit.readTableRaw(spark, tableRoot).limit(0)
         .withColumn("_change_type", lit(Insert))
         .withColumn("_commit_version", lit(0L))
     }

@@ -841,8 +841,35 @@ object ManifestCommit {
     * `basePath` keeps the year/month/day partition columns (and their
     * pruning) exactly as a directory scan would, but the file set is the
     * committed snapshot — readers never see a compactor's in-flight or
-    * superseded files regardless of filesystem rename semantics. */
+    * superseded files regardless of filesystem rename semantics.
+    *
+    * Refuses LOUDLY when any leaf carries active deletion-vector
+    * sidecars: a bare file scan would resurrect merge-on-read-deleted
+    * rows, and a silently wrong read is the one unacceptable outcome —
+    * use [[readTableDV]] (same result, sidecars subtracted), or
+    * [[applyDvs]] to compact them away. */
   def readTable(spark: SparkSession, tableRoot: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, root) match {
+      case Seq() => Seq(root)
+      case ps    => ps
+    }
+    parts.foreach { dir =>
+      val dvs = currentDvs(fs, dir)
+      require(dvs.isEmpty,
+        s"readTable: $dir has ${dvs.size} active deletion-vector " +
+          "sidecar(s) — a bare scan would resurrect deleted rows; use " +
+          "readTableDV, or applyDvs first")
+    }
+    readTableRaw(spark, tableRoot, mergeSchema)
+  }
+
+  /** [[readTable]] WITHOUT the deletion-vector guard — for metadata-only
+    * consumers (schema probes, `.limit(0)` empty frames) where
+    * resurrected rows can never surface. Never use for data reads. */
+  private[graft] def readTableRaw(spark: SparkSession, tableRoot: String,
       mergeSchema: Boolean = false): DataFrame = {
     val root = new Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -968,9 +995,13 @@ object ManifestCommit {
   }
 
   /** Time travel: read one partition (or unpartitioned table dir) at a
-    * past committed version. Works until [[gc]] collects the version's
-    * tombstoned files — the gc grace is exactly the time-travel horizon,
-    * the same trade Delta's VACUUM makes. */
+    * past committed version — the version's LOGICAL state: deletion
+    * vectors active at that version are subtracted exactly as
+    * [[readTableDV]] subtracts the current ones (a bare file read of a
+    * merge-on-read version would resurrect its deleted rows). Works
+    * until [[gc]] collects the version's tombstoned files or sidecars —
+    * the gc grace is exactly the time-travel horizon, the same trade
+    * Delta's VACUUM makes. */
   def readTableAt(spark: SparkSession, tableRoot: String,
       version: Long): DataFrame = {
     val root = new Path(tableRoot)
@@ -978,8 +1009,15 @@ object ManifestCommit {
     val snap = snapshotAt(fs, root, version).getOrElse(
       sys.error(s"no committed version $version under $tableRoot"))
     require(snap.files.nonEmpty, s"version $version is empty")
-    spark.read.option("basePath", tableRoot)
-      .parquet(snap.files.map(new Path(root, _).toString): _*)
+    val dvs = dvsAt(fs, root, version).map { n =>
+      val p = new Path(root, n)
+      require(fs.exists(p),
+        s"version $version of $tableRoot references collected sidecar " +
+          s"$n — gc grace shorter than the travel window")
+      p
+    }
+    readMinusDvs(spark, tableRoot,
+      snap.files.map(new Path(root, _)), dvs)
   }
 
   /** Targeted delete (the GDPR / right-to-be-forgotten rewrite): remove
@@ -1191,11 +1229,14 @@ object ManifestCommit {
       case ps    => ps
     }
     val files = parts.flatMap { dir =>
-      val blooms = currentFileBlooms(fs, dir)
-      currentSnapshot(fs, dir) match {
-        case Some(snap) =>
-          snap.files.filter { n =>
-            blooms.getOrElse(n, Nil).find(_.col == column)
+      headState(fs, dir) match {
+        case Some(h) =>
+          require(h.dvs.isEmpty,
+            s"readTableEq: $dir has ${h.dvs.size} active deletion-vector " +
+              "sidecar(s) — a bare scan would resurrect deleted rows; " +
+              "use tableDV/readTableDV, or applyDvs first")
+          h.files.filter { n =>
+            h.blooms.getOrElse(n, Nil).find(_.col == column)
               .forall(_.mightContain(value))
           }.map(new Path(dir, _))
         case None => liveFiles(fs, dir)
@@ -1203,7 +1244,7 @@ object ManifestCommit {
     }
     // every bloom rejecting the value is a definitive (and free) empty
     // answer — surface it as an empty frame with the table's schema
-    if (files.isEmpty) readTable(spark, tableRoot).limit(0)
+    if (files.isEmpty) readTableRaw(spark, tableRoot).limit(0)
     else spark.read.option("basePath", tableRoot)
       .parquet(files.map(_.toString): _*)
   }
@@ -1226,10 +1267,14 @@ object ManifestCommit {
       case ps    => ps
     }
     val files = parts.flatMap { dir =>
-      val stats = currentFileStats(fs, dir)
-      currentSnapshot(fs, dir) match {
-        case Some(snap) =>
-          snap.files.filter { n =>
+      headState(fs, dir) match {
+        case Some(h) =>
+          require(h.dvs.isEmpty,
+            s"readTableWhere: $dir has ${h.dvs.size} active " +
+              "deletion-vector sidecar(s) — a bare scan would resurrect " +
+              "deleted rows; use readTableWhereDV, or applyDvs first")
+          val stats = h.stats
+          h.files.filter { n =>
             ranges.forall { case (c, (lo, hi)) =>
               stats.getOrElse(n, Nil).find(_.col == c)
                 .forall(s => s.max >= lo && s.min <= hi)

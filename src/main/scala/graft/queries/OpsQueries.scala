@@ -1347,6 +1347,16 @@ object OpsQueries {
       graft.lake.ManifestCommit.readTableDV(s, dv.path)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // merge-on-read TIME TRAVEL: reading the version BETWEEN the two dv
+    // deletes returns that version's LOGICAL state — the first delete's
+    // sidecar subtracted, the second not yet committed. A bare file
+    // read of the version would resurrect the first delete (the fixed
+    // round-11 hole); the oracle sees exactly one range gone
+    "q259_time_travel_dv" -> ((s, d) => {
+      val dv = ensureDvLake(s, d)
+      graft.lake.ManifestCommit.readTableAt(s, dv.path, dv.feedTo - 1)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // copy-on-write conversion: ONE rewrite of only the sidecar-named
     // files amortizes both dv deletes; afterwards the PLAIN manifest
     // read serves the post-delete table and the anti-join cost is gone.
@@ -5646,6 +5656,16 @@ object OpsQueries {
              AND klo + (khi - klo) // 2
            AND l_orderkey NOT BETWEEN klo + 3 * (khi - klo) // 5
              AND klo + 7 * (khi - klo) // 10
+         ORDER BY l_orderkey, l_linenumber""",
+    // the mid version's logical state: first dv delete applied, second
+    // not yet — exactly one range gone
+    "q259_time_travel_dv" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
          ORDER BY l_orderkey, l_linenumber""",
     "q239_dv_rewrite" ->
       """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi

@@ -90,7 +90,7 @@ object FeedSource {
     // the RECORDED manifest schema answers in one driver-side GET;
     // only a legacy table pays the footer inference
     val data = ManifestCommit.currentSchema(fs, dir)
-      .getOrElse(ManifestCommit.readTable(spark, path).schema)
+      .getOrElse(ManifestCommit.readTableRaw(spark, path).schema)
     StructType(data.fields.toSeq :+
       StructField(ChangeTypeCol, StringType, nullable = false) :+
       StructField(VersionCol, LongType, nullable = false))

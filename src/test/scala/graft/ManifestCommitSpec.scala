@@ -542,11 +542,24 @@ class ManifestCommitSpec extends SparkSpec {
     val snap1 = ManifestCommit.currentSnapshot(fs, dir).get
     assert(snap1.files == pre.files, "no data file may move")
     assert(ManifestCommit.currentDvs(fs, dir).nonEmpty)
-    // DV read sees the post-delete table; the plain read still sees all
+    // DV read sees the post-delete table; the plain read REFUSES (a
+    // bare scan would resurrect the deleted rows — round-11 guard)
     val dvRead = ManifestCommit.readTableDV(spark, root)
     assert(dvRead.count() == 15000L)
     assert(dvRead.filter($"k".between(1000, 1999)).count() == 0L)
-    assert(ManifestCommit.readTable(spark, root).count() == 16000L)
+    val eRaw = intercept[IllegalArgumentException](
+      ManifestCommit.readTable(spark, root))
+    assert(eRaw.getMessage.contains("readTableDV"), eRaw.getMessage)
+    // time travel to the MERGE-ON-READ version is its LOGICAL state:
+    // the version's sidecars are subtracted, never resurrected
+    val atV = ManifestCommit.currentSnapshot(fs, dir).get.version
+    val tt = ManifestCommit.readTableAt(spark, root, atV)
+    assert(tt.count() == 15000L &&
+      tt.filter($"k".between(1000, 1999)).count() == 0L,
+      "time travel must apply the version's deletion vectors")
+    // ... while travel to the PRE-delete version still sees all rows
+    assert(ManifestCommit.readTableAt(spark, root, pre.version)
+      .count() == 16000L)
     // second delete accumulates at the FILE level (no sidecar merge)
     val dvs1 = ManifestCommit.currentDvs(fs, dir)
     val (_, nDel2) =
