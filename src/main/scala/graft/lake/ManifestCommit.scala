@@ -1336,13 +1336,17 @@ object ManifestCommit {
     if (touched.isEmpty) return (0, 0L)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val staged = new Path(partition, s"._dv-$runId")
-    // the doomed positions: only keyCol + the row index leave the scan
-    val dv = spark.read
+    // the doomed positions: only keyCol + the row index leave the scan;
+    // positions ALREADY dead under an active sidecar are excluded — a
+    // position must enter at most one sidecar, or an overlapping later
+    // delete inflates its deleted count and the change feed replays the
+    // row's delete twice
+    val dv = minusActiveDvPositions(spark, fs, partition, spark.read
       .parquet(touched.map(new Path(partition, _).toString): _*)
       .select(col("_metadata.file_name").as("file"),
         col("_metadata.row_index").as("pos"), col(keyCol).as("k"))
       .filter(col("k").between(lo, hi)) // NULL keys never match
-      .select(col("file"), col("pos"))
+      .select(col("file"), col("pos")))
     dv.write.parquet(staged.toString)
     val produced = fs.listStatus(staged).toIndexedSeq
       .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
@@ -1376,6 +1380,30 @@ object ManifestCommit {
         sys.error(s"deleteWhereDV: concurrent rewrite of $partition — " +
           "positions are stale, rerun the delete")
     }
+  }
+
+  /** Subtract the positions ALREADY listed by the partition's active
+    * sidecars from a freshly-scanned (file, pos) relation: every
+    * position enters at most ONE sidecar, so deleted-row counts stay
+    * exact and a change-feed consumer replaying commits one by one sees
+    * each row's delete exactly once — overlapping delete ranges and
+    * re-deleted keys would otherwise double-record (the raw scan reads
+    * DV-dead rows like any other). O(already-deleted rows): one
+    * broadcast anti-join against the active sidecar union. SERIAL
+    * overlapping deleters are exact under this; two CONCURRENT deleters
+    * racing overlapping ranges can still each scan before the other
+    * commits — run overlapping deleters serialized (the read path's
+    * anti-join is idempotent either way; only the feed cares). */
+  private def minusActiveDvPositions(spark: SparkSession, fs: FileSystem,
+      partition: Path, fresh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val active = currentDvs(fs, partition)
+    if (active.isEmpty) fresh
+    else fresh.join(
+      broadcast(spark.read
+        .parquet(active.map(new Path(partition, _).toString): _*)
+        .select("file", "pos")),
+      Seq("file", "pos"), "left_anti")
   }
 
   /** Merge-on-read UPSERT — the MERGE `WHEN MATCHED UPDATE / WHEN NOT
@@ -1519,14 +1547,17 @@ object ManifestCommit {
         }
       val runId = java.util.UUID.randomUUID().toString.take(8)
       // doomed positions: stats-pruned scan of (keyCol, row index),
-      // broadcast semi-join against the bounded batch key set
+      // broadcast semi-join against the bounded batch key set; already
+      // DV-dead positions excluded (a position enters at most one
+      // sidecar — else a re-deleted key inflates counts and the feed
+      // replays its delete twice)
       val sidecars: Seq[String] = if (touched.isEmpty) Nil else {
-        val dv = spark.read
+        val dv = minusActiveDvPositions(spark, fs, partition, spark.read
           .parquet(touched.map(new Path(partition, _).toString): _*)
           .select(col("_metadata.file_name").as("file"),
             col("_metadata.row_index").as("pos"), col(keyCol).as("k"))
           .join(broadcast(keys), col("k") === col("__k"), "left_semi")
-          .select(col("file"), col("pos"))
+          .select(col("file"), col("pos")))
         val staged = new Path(partition, s"._ups-dv-$runId")
         dv.write.parquet(staged.toString)
         val out = fs.listStatus(staged).toIndexedSeq

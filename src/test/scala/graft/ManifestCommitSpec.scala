@@ -1063,6 +1063,41 @@ class ManifestCommitSpec extends SparkSpec {
       spark, dir, Seq((4L, "oops", 4L)).toDF("k", "v", "w"), _ => true))
   }
 
+  test("overlapping DV deletes record each position ONCE: counts exact, " +
+      "feed replays every row's delete exactly once") {
+    import graft.ops.Layout
+    val local = Files.createTempDirectory("graft-dv-overlap").toString
+    val dir = new Path(s"$local/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(spark.range(1000)
+      .select($"id".as("k"), ($"id" * 2).as("v")), col("k"),
+      dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    val pre = ManifestCommit.recordStats(spark, dir, Seq("k")).version
+    // [100, 299] then the OVERLAPPING [200, 399]: the second sidecar
+    // must list only the 100 newly-dead rows, not re-record 200-299
+    val (_, n1) = ManifestCommit.deleteWhereDV(spark, dir, "k", 100L, 299L)
+    assert(n1 == 200L)
+    val (_, n2) = ManifestCommit.deleteWhereDV(spark, dir, "k", 200L, 399L)
+    assert(n2 == 100L,
+      s"overlapping delete must count only newly-dead rows, got $n2")
+    assert(ManifestCommit.readTableDV(spark, dir.toString).count() == 700L)
+    // the feed replays each deleted row EXACTLY once across the two
+    // commits (a doubled delete would corrupt maintainAdditive et al.)
+    val head = ManifestCommit.currentSnapshot(fs, dir).get.version
+    val fed = graft.lake.ChangeFeed.changeFeed(spark, dir, pre, head)
+      .filter($"_change_type" === "delete").groupBy($"k").count()
+    assert(fed.filter($"count" =!= 1L).isEmpty,
+      "a row's delete must feed exactly once")
+    assert(fed.count() == 300L)
+    // re-deleting an already-dead key via the CDC apply adds NO new
+    // positions (and commits nothing: a no-op apply)
+    val (_, n3) = ManifestCommit.applyChangesDV(spark, dir, "k",
+      inserts = Seq.empty[(Long, Long)].toDF("k", "v"),
+      deleteKeys = Seq(250L).toDF("k"))
+    assert(n3 == 0L, s"re-delete of a dead key must add no positions: $n3")
+  }
+
   test("applyChangesDV: additive batch evolves the recorded schema; " +
       "dropped or retyped columns refuse") {
     val local = Files.createTempDirectory("graft-schema-cdc").toString
