@@ -102,7 +102,27 @@ class LakeConcurrencySpec extends SparkSpec {
         Thread.sleep(120)
       }
     }
-    Seq(appender, deleter, compactor, dvApplier).foreach(_.join(600000))
+    // CDC applier on its OWN key domain (the applyChangesDV single-
+    // writer-per-domain contract): repeatedly replaces keys 200000..
+    // 200049 — the LAST round's values must be the final state, and
+    // every earlier round's versions must be DV-dead, under racing
+    // compaction/applyDvs consuming positioned files (requireLive
+    // aborts + rerun)
+    val upserter = thread("upserter") {
+      (1 to nOps).foreach { round =>
+        retrying(s"upsert $round") {
+          ManifestCommit.applyChangesDV(spark, dir, "k",
+            inserts = (200000L until 200050L).toDF("k")
+              .select($"k", ($"k" % 7).as("g"),
+                lit(round.toLong * 1000000L).as("v")),
+            deleteKeys = spark.range(0).select($"id".as("k")),
+            statsCols = Seq("k"))
+          ()
+        }
+      }
+    }
+    Seq(appender, deleter, compactor, dvApplier, upserter)
+      .foreach(_.join(600000))
     assert(errors.isEmpty, s"worker failures: ${errors.size} — " +
       errors.peek())
 
@@ -112,7 +132,8 @@ class LakeConcurrencySpec extends SparkSpec {
       .flatMap(i => i * 600 until i * 600 + 100).toSet
     val want = ((0 until 4000).filterNot(deleted) ++
       (0 until nOps).flatMap(i =>
-        100000 + i * 200 until 100000 + i * 200 + 200))
+        100000 + i * 200 until 100000 + i * 200 + 200) ++
+      (200000 until 200050))
       .map(_.toLong).sorted
     val got = ManifestCommit.readTableDV(spark, dir.toString)
       .select("k", "g", "v").collect()
@@ -128,8 +149,15 @@ class LakeConcurrencySpec extends SparkSpec {
         s"missing=${(want.toSet -- got.map(_._1)).take(5)} " +
         s"extra=${(got.map(_._1).toSet -- want).take(5)}")
     got.foreach { case (k, g, v) =>
-      assert(g == k % 7 && v == k * 3, s"row payload corrupted at k=$k")
+      if (k >= 200000L)
+        // the upsert domain: ONLY the last round's version may be live
+        assert(g == k % 7 && v == nOps.toLong * 1000000L,
+          s"upsert key $k holds $v — a replaced version resurfaced")
+      else
+        assert(g == k % 7 && v == k * 3, s"row payload corrupted at k=$k")
     }
+    assert(got.count(_._1 >= 200000L) == 50,
+      "exactly one live version per upsert key")
     // no manifest-referenced file may be missing, and nothing orphaned
     // should be live-referenced twice — fsck must report zero `missing`
     val states = graft.lake.ChangeFeed.fsck(spark, dir)
