@@ -54,8 +54,10 @@ object ChangeFeed {
         p.toString
       }
       // basePath keeps Hive-style partition columns alive for
-      // table-level consumption
-      basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
+      // table-level consumption; mergeSchema because one commit's
+      // consumed/named files can span a schema evolution
+      basePath.foldLeft(spark.read.option("mergeSchema", "true"))(
+        (r, b) => r.option("basePath", b))
         .parquet(paths: _*)
     }
     // rows a commit's added sidecars deleted: the (file, pos) pairs
@@ -116,18 +118,23 @@ object ChangeFeed {
             else Some(dvDeleted(c)
               .withColumn("_change_type", lit(Delete))
               .withColumn("_commit_version", lit(c.version)))
-          (ins.toSeq ++ del.toSeq).reduceOption(_.unionByName(_))
+          (ins.toSeq ++ del.toSeq).reduceOption(
+            _.unionByName(_, allowMissingColumns = true))
         case other => sys.error(
           s"commit v${c.version} of $partition has kind '$other' — " +
             "pre-tag history cannot be replayed incrementally, " +
             "fall back to a full snapshot diff")
       }
     }
-    batches.reduceOption(_.unionByName(_)).getOrElse {
-      ManifestCommit.readTableRaw(spark, partition.toString).limit(0)
-        .withColumn("_change_type", lit(Insert))
-        .withColumn("_commit_version", lit(0L))
-    }
+    // allowMissingColumns: a window may span an ADDITIVE schema
+    // evolution — pre-evolution batches surface NULL for the new
+    // columns, exactly as a mergeSchema read of the table would
+    batches.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        ManifestCommit.readTableRaw(spark, partition.toString).limit(0)
+          .withColumn("_change_type", lit(Insert))
+          .withColumn("_commit_version", lit(0L))
+      }
   }
 
   /** The consumer's bookmark over a (possibly partitioned) table: one
@@ -195,7 +202,8 @@ object ChangeFeed {
             .withColumn("_commit_version", lit(head)))
       }
     }
-    batches.reduceOption(_.unionByName(_)).getOrElse {
+    batches.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
       ManifestCommit.readTableRaw(spark, tableRoot).limit(0)
         .withColumn("_change_type", lit(Insert))
         .withColumn("_commit_version", lit(0L))

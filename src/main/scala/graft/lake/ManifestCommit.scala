@@ -492,7 +492,13 @@ object ManifestCommit {
             "must be additive")
       }
     }
-    appendFiles(fs, partition, Nil, schemaJson = Some(next.json))
+    val prevNames = currentSchema(fs, partition)
+      .map(_.fieldNames.toSet).getOrElse(Set.empty)
+    // added columns forced nullable: pre-evolution rows read NULL, and
+    // a non-nullable declaration would silently zero them
+    val sane = org.apache.spark.sql.types.StructType(next.map(f =>
+      if (prevNames.contains(f.name)) f else f.copy(nullable = true)))
+    appendFiles(fs, partition, Nil, schemaJson = Some(sane.json))
   }
 
   /** Put-if-absent of manifest `version`. False = lost the race (a valid
@@ -1172,8 +1178,10 @@ object ManifestCommit {
             s"stageAndPublish: batch retypes recorded column ${f.name} " +
               s"(${pf(f.name)} -> ${f.dataType}) on $partition")
         }
+        // added columns forced nullable (pre-evolution rows read NULL)
         org.apache.spark.sql.types.StructType(prev.fields ++
-          df.schema.filterNot(f => prev.fieldNames.contains(f.name))).json
+          df.schema.filterNot(f => prev.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))).json
       }
       Some(appendFiles(fs, partition, produced, stats = stats,
         schemaJson = evolved))
@@ -1501,8 +1509,12 @@ object ManifestCommit {
                 s"drops or retypes table column ${f.name}: ${f.dataType} " +
                 s"(table schema ${tableSchema.simpleString})")
           }
+          // added columns are FORCED nullable: pre-evolution rows WILL
+          // read NULL for them, and a non-nullable declaration makes
+          // Spark silently surface 0/"" instead of null
           val fresh = upd.schema
             .filterNot(f => tableSchema.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))
           Some(org.apache.spark.sql.types.StructType(
             tableSchema.fields ++ fresh).json)
         }

@@ -316,13 +316,28 @@ private[sources] class FeedReaderFactory(tableSchema: StructType,
         current != null
       }
 
+      // fields the FILE actually carries (resolved once per reader): a
+      // pre-evolution file lacks columns added later — those read NULL,
+      // exactly as a mergeSchema batch read; probing an absent field
+      // through the Group API would throw instead
+      private var filePresent: java.util.Set[String] = _
+
       override def get(): InternalRow = {
+        if (filePresent == null) {
+          filePresent = new java.util.HashSet[String]()
+          val t = current.getType
+          var j = 0
+          while (j < t.getFieldCount) {
+            filePresent.add(t.getFieldName(j)); j += 1
+          }
+        }
         val vals = new Array[Any](tableSchema.length)
         var i = 0
         while (i < dataFields.length) {
           val f = dataFields(i)
           vals(i) =
-            if (current.getFieldRepetitionCount(f.name) == 0) null
+            if (!filePresent.contains(f.name) ||
+              current.getFieldRepetitionCount(f.name) == 0) null
             else f.dataType match {
               case LongType    => current.getLong(f.name, 0)
               case IntegerType => current.getInteger(f.name, 0)

@@ -315,6 +315,45 @@ class ChangeFeedSpec extends SparkSpec {
     assert(r3.forall(!_._4), s"third run must no-op: $r3")
   }
 
+  test("replicateTable: an additive schema evolution flows through — " +
+      "feed unions across the boundary, replica evolves") {
+    val local = Files.createTempDirectory("graft-repl-evo").toString
+    val (srcPath, dstPath) = (s"$local/src", s"$local/dst")
+    val src = new Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L until 40L).toDF("k").select($"k", ($"k" * 10).as("v"))
+      .repartitionByRange(2, $"k").sortWithinPartitions("k")
+      .write.parquet(srcPath)
+    ManifestCommit.bootstrap(fs, src)
+    ManifestCommit.recordStats(spark, src, Seq("k"))
+    ManifestCommit.recordSchema(spark, src)
+    val r1 = ChangeFeed.replicateTable(spark, srcPath, dstPath, "k", "t")
+    assert(r1.head._4)
+    // the window spans the evolution: a pre-evolution delete, then an
+    // ADDITIVE batch carrying the new column w
+    ManifestCommit.deleteWhereDV(spark, src, "k", 0L, 4L)
+    ManifestCommit.stageAndPublish(spark, src,
+      Seq((100L, 1000L, 7L), (101L, 1010L, 7L)).toDF("k", "v", "w"),
+      _ => true, statsCols = Seq("k")).getOrElse(fail("publish"))
+    assert(ManifestCommit.currentSchema(fs, src)
+      .map(_.fieldNames.toSeq).contains(Seq("k", "v", "w")))
+    val r2 = ChangeFeed.replicateTable(spark, srcPath, dstPath, "k", "t")
+    assert(r2.head._4, s"evolved delta must apply: $r2")
+    // replica == source head: old rows NULL the new column, the
+    // replica's recorded schema evolved with the apply
+    def state(p: String) = ManifestCommit.readTableDV(spark, p)
+      .select("k", "v", "w").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(state(dstPath) == state(srcPath),
+      "replica must equal the evolved source head")
+    assert(ManifestCommit.currentSchema(fs, new Path(dstPath))
+      .map(_.fieldNames.toSet).exists(_.contains("w")),
+      "replica recorded schema must evolve")
+    assert(state(dstPath).count(_._3 == 7L) == 2 &&
+      state(dstPath).count(_._1 < 5L) == 0)
+  }
+
   test("replicateTable: duplicate insert keys in one commit refuse loudly") {
     val local = Files.createTempDirectory("graft-repl-dup").toString
     val (srcPath, dstPath) = (s"$local/src", s"$local/dst")

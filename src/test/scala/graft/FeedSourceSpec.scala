@@ -153,6 +153,39 @@ class FeedSourceSpec extends SparkSpec {
       "50 base - 5 deleted + 10 inserted (10 replaced in place)")
   }
 
+  test("streaming across an additive evolution: pre-evolution files " +
+      "read NULL for the new column, never brick") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-feedevo").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 2)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    ManifestCommit.recordSchema(spark, dir)
+    val v0 = ManifestCommit.currentSnapshot(fs, dir).get.version
+    // pre-evolution append, then an additive batch carrying w — the
+    // recorded schema evolves, so a stream STARTED after the evolution
+    // replays the older commits against the WIDER schema
+    ManifestCommit.stageAndPublish(spark, dir, rows(1), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish 1"))
+    ManifestCommit.stageAndPublish(spark, dir,
+      Seq((9000L, 1L, 2L, 77L)).toDF("k", "g", "v", "w"), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish 2"))
+    val name = "fs_evo_" + java.util.UUID.randomUUID.toString
+      .replace("-", "")
+    spark.readStream.format("graft.sources.FeedSource")
+      .option("path", dir.toString).option("fromVersion", v0.toString)
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.table(name)
+      .select($"k", $"w").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got == (1000L to 1049L).map((_, -1L)).toSet + ((9000L, 77L)),
+      s"evolution replay wrong: ${got.size} rows")
+  }
+
   test("bootstrap: a table with pre-tag history streams its snapshot, " +
       "then tails incrementally") {
     val dir = new Path(
