@@ -379,6 +379,9 @@ object StreamingOps {
         dstPath, 8)
       ManifestCommit.bootstrap(fs, dst)
       ManifestCommit.recordStats(spark, dst, Seq(keyCol))
+      // recorded schema: every per-batch applyChangesDV guard on the
+      // replica is one manifest GET, zero footer reads
+      ManifestCommit.recordSchema(spark, dst)
     }
     def applyBatch(b: DataFrame, batchId: Long): Unit = {
       val dataCols = b.columns
