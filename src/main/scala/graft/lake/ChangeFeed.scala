@@ -245,7 +245,7 @@ object ChangeFeed {
     * read at 100 TB) — it is the caller's contract. */
   def replicateTable(spark: SparkSession, srcRoot: String,
       dstRoot: String, keyCol: String,
-      appId: String): Seq[(String, Long, Long, Boolean)] = {
+      appId: String, parallelism: Int = 8): Seq[(String, Long, Long, Boolean)] = {
     import org.apache.spark.sql.functions.col
     val src = new Path(srcRoot)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -253,7 +253,7 @@ object ChangeFeed {
       case Seq() => Seq(src)
       case ps    => ps
     }
-    parts.map { dir =>
+    def replicateLeaf(dir: Path): (String, Long, Long, Boolean) = {
       val rel = relOf(fs, src, dir)
       val dstLeaf =
         if (rel == ".") new Path(dstRoot) else new Path(dstRoot, rel)
@@ -325,6 +325,28 @@ object ChangeFeed {
             txn = Some((appId, head)))
           (rel, v, head, true)
       }
+    }
+    // leaves are independent single-writer domains (distinct source and
+    // target partitions), so they replicate CONCURRENTLY through a
+    // bounded driver pool: a thousand-leaf table runs min(parallelism,
+    // leaves) Spark jobs at a time instead of thousands sequentially —
+    // the commit protocol itself is concurrency-safe
+    // (LakeConcurrencySpec), and untouched leaves cost one manifest GET
+    // each however the pool schedules them. Results keep leaf order.
+    if (parallelism <= 1 || parts.sizeIs <= 1) parts.map(replicateLeaf)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, parts.size),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-replicate"); t.setDaemon(true); t
+        })
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(String, Long, Long, Boolean)]] =
+          parts.map(dir =>
+            (() => replicateLeaf(dir)): java.util.concurrent.Callable[(String, Long, Long, Boolean)])
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
     }
   }
 

@@ -89,13 +89,29 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
   /** The table's data schema from the RECORDED manifest schemas, when
     * every leaf carries one: an additive field union across leaves
     * (older leaves may predate an evolution), refusing a type clash.
-    * None if any leaf lacks a record — the caller falls back to a
-    * bounded footer inference. Driver-side manifest metadata only:
-    * with this present, opening the table costs ZERO footer reads. */
+    * None when NO leaf has a record (a legacy table — the caller falls
+    * back to a bounded footer inference). A PARTIALLY-recorded table
+    * (some leaves recorded, some not) refuses LOUDLY instead: it means
+    * an evolution forgot leaves — silently falling back would
+    * reintroduce the per-open footer sweep the record exists to kill,
+    * and at 100 TB nobody would notice until the open-latency
+    * regression. Repair verb: [[ManifestCommit.recordSchemaTable]] /
+    * [[ManifestCommit.alterSchemaTable]]. Driver-side manifest metadata
+    * only: with this present, opening the table costs ZERO footer
+    * reads. */
   private[lake] def recordedSchema: Option[StructType] = {
     val per = leaves.map(_.schema)
-    if (per.isEmpty || per.exists(_.isEmpty)) None
-    else Some(per.flatten.reduce { (a, b) =>
+    if (per.isEmpty || per.forall(_.isEmpty)) None
+    else {
+      val missing = leaves.collect { case l if l.schema.isEmpty => l.dir }
+      require(missing.isEmpty,
+        s"partially-recorded table under $root: ${missing.size} " +
+          s"leaf/leaves lack a recorded schema (e.g. ${missing.take(3)
+            .mkString(", ")}) while others carry one — run " +
+          "ManifestCommit.recordSchemaTable (or alterSchemaTable) to " +
+          "repair; a silent footer fallback would reintroduce the " +
+          "O(files) sweep per table open")
+      Some(per.flatten.reduce { (a, b) =>
       b.foreach { f =>
         val prev = a.find(_.name == f.name)
         require(prev.forall(_.dataType == f.dataType),
@@ -104,7 +120,8 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
       }
       StructType(a.fields ++
         b.filterNot(f => a.fieldNames.contains(f.name)))
-    })
+      })
+    }
   }
 
   /** Per DV-carrying leaf: (dir, its Hive `col=value` segments, sidecar
@@ -115,9 +132,13 @@ final class GraftFileIndex(spark: SparkSession, root: Path)
       (l.dir, segmentsOf(l.dir), l.dvs)
     }
 
-  /** Hive-style `col=value` segments between the root and a leaf. */
+  /** Hive-style `col=value` segments between the root and a leaf. Both
+    * sides fs-qualified first: leafPartitions returns qualified paths
+    * while callers may pass a bare local root — an unstripped prefix
+    * would surface scheme segments here and MatchError on "file:". */
   private def segmentsOf(dir: Path): Seq[(String, Int)] = {
-    val rel = dir.toString.stripPrefix(root.toString)
+    val rel = fs.makeQualified(dir).toString
+      .stripPrefix(fs.makeQualified(root).toString)
       .split("/").filter(_.nonEmpty).toSeq
     rel.map { seg =>
       val Array(c, v) = seg.split("=", 2)

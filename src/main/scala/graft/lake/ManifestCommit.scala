@@ -123,7 +123,11 @@ object ManifestCommit {
   final case class CommitInfo(version: Long, kind: String,
       added: Seq[String], removed: Seq[String],
       deletePredicate: Option[(String, Long, Long)],
-      addedDvs: Seq[String] = Nil)
+      addedDvs: Seq[String] = Nil,
+      // the commit's FULL live set — a DV replay planner intersects it
+      // with the sidecars' footer-stat name ranges to find the touched
+      // files without running a job (metadata already parsed anyway)
+      liveNames: Seq[String] = Nil)
 
   private def logDir(partition: Path) = new Path(partition, LogDirName)
 
@@ -501,6 +505,60 @@ object ManifestCommit {
     appendFiles(fs, partition, Nil, schemaJson = Some(sane.json))
   }
 
+  /** Table-level [[recordSchema]]: ensure EVERY leaf partition of a
+    * (possibly Hive-partitioned) table carries a recorded schema —
+    * leaves already recorded are untouched (one manifest GET each),
+    * unrecorded ones pay the bounded footer inference once. Returns the
+    * additive union across leaves (older leaves may predate an
+    * evolution), refusing a type clash. After this, table open is one
+    * manifest GET per leaf, zero footers, and [[GraftFileIndex]] never
+    * hits its partially-recorded refusal. */
+  def recordSchemaTable(spark: SparkSession,
+      tableRoot: Path): org.apache.spark.sql.types.StructType = {
+    val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, tableRoot) match {
+      case Seq() => Seq(tableRoot)
+      case ps    => ps
+    }
+    val schemas = parts.map { dir =>
+      currentSchema(fs, dir).getOrElse(recordSchema(spark, dir))
+    }
+    schemas.reduce { (a, b) =>
+      b.foreach { f =>
+        val prev = a.find(_.name == f.name)
+        require(prev.forall(_.dataType == f.dataType),
+          s"recordSchemaTable: leaf schemas disagree on ${f.name}: " +
+            s"${prev.get.dataType} vs ${f.dataType} under $tableRoot")
+      }
+      org.apache.spark.sql.types.StructType(a.fields ++
+        b.filterNot(f => a.fieldNames.contains(f.name)))
+    }
+  }
+
+  /** Table-level [[alterSchema]]: fan the additive evolution out to
+    * EVERY leaf partition (one meta commit each), then VERIFY every
+    * leaf's recorded schema carries each evolved column — a forgotten
+    * leaf would otherwise silently reintroduce the per-open footer
+    * sweep (and [[GraftFileIndex]] now refuses such a table loudly
+    * rather than falling back). A thousand-leaf evolution is a
+    * thousand driver-side meta commits: metadata-only, no data file
+    * moves, amortized once per evolution. */
+  def alterSchemaTable(spark: SparkSession, tableRoot: Path,
+      next: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Compaction.leafPartitions(fs, tableRoot) match {
+      case Seq() => Seq(tableRoot)
+      case ps    => ps
+    }
+    parts.foreach(dir => alterSchema(fs, dir, next))
+    val missing = parts.filterNot(dir =>
+      currentSchema(fs, dir).exists(rec => next.forall(f =>
+        rec.exists(g => g.name == f.name && g.dataType == f.dataType))))
+    require(missing.isEmpty,
+      s"alterSchemaTable: ${missing.size} leaf/leaves under $tableRoot " +
+        s"did not take the evolution (${missing.take(3).mkString(", ")})")
+  }
+
   /** Put-if-absent of manifest `version`. False = lost the race (a valid
     * manifest already owns the slot). A torn manifest in the slot (HDFS
     * crash) is reclaimed: deleted and overwritten by this committer. */
@@ -570,29 +628,138 @@ object ManifestCommit {
       // OUT, never reclaimed: deleting it destroys the winner's commit
       // (a lost append — found by LakeConcurrencySpec). Object-store
       // PUTs are atomic, so there a parse failure is always a true
-      // torn write and the age gate only delays its reclaim.
-      parse(fs, p).isEmpty && {
-        val age =
-          try Some(System.currentTimeMillis() -
-            fs.getFileStatus(p).getModificationTime)
+      // torn write and the stability gate only delays its reclaim.
+      val key = p.toString
+      if (parse(fs, p).nonEmpty) {
+        tornSeen.remove(key) // in-flight writer finished: valid conflict
+        false
+      } else {
+        val st =
+          try Some(fs.getFileStatus(p))
           catch { case _: java.io.FileNotFoundException => None }
-        age match {
-          case None => createExclusive() // vanished: racing reclaimer won
-          case Some(a) if a >= TornSlotGraceMs =>
-            fs.delete(p, false); createExclusive()
-          case _ => Thread.sleep(100L); false // in-flight: back off, retry
+        st match {
+          case None =>
+            tornSeen.remove(key); createExclusive() // racing reclaimer won
+          case Some(s) =>
+            // staleness is judged against the LOCAL clock only: the slot
+            // must be observed unchanged (same length + mtime signature)
+            // by THIS process for a full grace window. Comparing the
+            // driver's clock with the filesystem's mtime would re-enable
+            // premature reclaim of a live writer's slot under clock skew
+            // (HDFS namenode and driver keep independent clocks).
+            val now = System.currentTimeMillis()
+            val obs = tornSeen.compute(key, (_, prev) =>
+              if (prev != null && prev.len == s.getLen &&
+                prev.mtime == s.getModificationTime) prev
+              else TornObs(s.getLen, s.getModificationTime, now))
+            if (now - obs.firstSeenMs >= TornSlotGraceMs)
+              reclaimTornSlot(fs, p, key, () => createExclusive())
+            else {
+              // in-flight (or not yet observed stable for the grace):
+              // back off and let the caller's retry loop come around —
+              // the backoff is sized so the default retry budget
+              // OUTLASTS the grace (see TornSlotBackoffMs)
+              Thread.sleep(TornSlotBackoffMs); false
+            }
         }
       }
     }
   }
 
-  /** How old an unparseable manifest slot must be before a committer may
-    * reclaim it as a crashed writer's torn write. Below this, an invalid
-    * slot is presumed to be a concurrent writer's IN-FLIGHT
-    * create+write (POSIX/HDFS visibility window — milliseconds, but a
-    * GC pause can stretch it); the committer backs off and retries
-    * instead of destroying it. */
+  /** Single-winner reclaim of a grace-expired torn slot, then an
+    * exclusive-create attempt of this committer's manifest.
+    *
+    * The previous design was check-then-delete: two committers could
+    * both observe the same stale unparseable slot, and the slower one
+    * then delete the faster one's just-recreated VALID manifest — a
+    * lost commit. Three layers close that:
+    *
+    *  1. a JVM-wide mutex — in-process committers (a single driver,
+    *     the common deployment) can never race each other's reclaim at
+    *     all, and the slot is re-parsed under the lock;
+    *  2. the claim is an atomic RENAME aside, not a delete in place —
+    *     of two cross-process reclaimers, exactly one wins the rename
+    *     (HDFS/POSIX rename is atomic; the object-store copy+delete
+    *     emulation resolves the winner at the source delete);
+    *  3. the winner re-parses the renamed bytes: if they PARSE, a
+    *     cross-process reclaimer recreated a valid commit between our
+    *     parse and our rename — restore it verbatim and report
+    *     contention instead of destroying it. Restore failing (a third
+    *     committer claimed the freed slot in the microseconds between)
+    *     errors LOUDLY: that is a divergence, never to be papered over.
+    */
+  private def reclaimTornSlot(fs: FileSystem, p: Path, key: String,
+      createExclusive: () => Boolean): Boolean =
+    reclaimLock.synchronized {
+      if (parse(fs, p).nonEmpty) { // an in-process racer already reclaimed
+        tornSeen.remove(key); return false
+      }
+      val aside = new Path(p.getParent,
+        s".torn-${p.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      val won =
+        try fs.rename(p, aside)
+        catch { case _: java.io.IOException => false }
+      tornSeen.remove(key)
+      if (!won) return createExclusive() // cross-process racer took it
+      if (parse(fs, aside).isEmpty) {
+        fs.delete(aside, false) // a torn write holds nothing worth keeping
+        createExclusive()
+      } else {
+        // stole a just-recreated valid commit: put it back byte-for-byte
+        val in = fs.open(aside)
+        val body =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        try {
+          val out = fs.create(p, false)
+          try out.write(body) finally out.close()
+        } catch {
+          case e: Exception => sys.error(
+            s"torn-slot reclaim of $p stole a concurrent reclaimer's " +
+              "valid commit and could not restore it (a third committer " +
+              s"claimed the slot): $e — manual repair from $aside required")
+        }
+        fs.delete(aside, false)
+        false // the restored commit owns the slot: genuine conflict
+      }
+    }
+
+  private val reclaimLock = new Object
+
+  /** One locally-observed sighting of an unparseable slot: its change
+    * signature and when THIS process first saw that signature. */
+  private final case class TornObs(len: Long, mtime: Long,
+      firstSeenMs: Long)
+
+  /** Locally-observed unparseable slots, keyed by path — the stability
+    * ledger the torn-slot grace is judged against. Entries are dropped
+    * the moment a slot parses, vanishes, or is reclaimed; torn slots are
+    * rare (a crashed writer), so the map stays tiny. */
+  private val tornSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, TornObs]()
+
+  /** Test seam: pre-record a local observation of an unparseable slot
+    * (as if this process had been watching it, unchanged, since `atMs`)
+    * so specs exercise the reclaim path without a 30 s wait. */
+  private[graft] def noteTornObservation(p: Path, len: Long, mtime: Long,
+      atMs: Long): Unit =
+    tornSeen.put(p.toString, TornObs(len, mtime, atMs))
+
+  /** How long an unparseable manifest slot must be LOCALLY observed
+    * unchanged before a committer may reclaim it as a crashed writer's
+    * torn write. Below this, an invalid slot is presumed to be a
+    * concurrent writer's IN-FLIGHT create+write (POSIX/HDFS visibility
+    * window — milliseconds, but a GC pause can stretch it); the
+    * committer backs off and retries instead of destroying it. */
   val TornSlotGraceMs: Long = 30000L
+
+  /** Back-off per attempt while waiting out a suspected in-flight slot.
+    * Sized so the committers' default retry budget (maxAttempts = 50)
+    * outlasts [[TornSlotGraceMs]]: 50 × 1 s > 30 s — a writer that
+    * crashes mid-write stalls its partition for one grace window and is
+    * then reclaimed, instead of every contender exhausting its attempts
+    * first and erroring out. */
+  val TornSlotBackoffMs: Long = 1000L
 
   /** Adopt a partition written by the plain listing-mode writers: if no
     * log exists, commit v1 listing the currently visible data files.
@@ -966,7 +1133,8 @@ object ManifestCommit {
           val liveNow = pf.live.map(_._1)
           out += CommitInfo(v, pf.kind,
             liveNow.filterNot(prevLive), pf.removed.map(_._2),
-            pf.deletePredicate, pf.dvs.filterNot(prevDvs))
+            pf.deletePredicate, pf.dvs.filterNot(prevDvs),
+            liveNames = liveNow)
           prevLive = liveNow.toSet
           prevDvs = pf.dvs.toSet
         }
@@ -1113,7 +1281,7 @@ object ManifestCommit {
       keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1, s"must keep at least the head: $keepLast")
     val versions = listVersions(fs, partition)
-    versions.dropRight(keepLast).filter { v =>
+    val pruned = versions.dropRight(keepLast).filter { v =>
       parse(fs, manifestPath(partition, v)) match {
         case Some((_, removed)) =>
           removed.forall { case (_, n) =>
@@ -1124,6 +1292,15 @@ object ManifestCommit {
       fs.delete(manifestPath(partition, v), false)
       v
     }
+    // sweep `.torn-*` aside files: a reclaimer that crashed between its
+    // rename-aside and the aside delete leaves one — hidden (never a
+    // version, never read), but the log checkpoint is where metadata
+    // residue goes to die
+    if (fs.exists(logDir(partition)))
+      fs.listStatus(logDir(partition)).toIndexedSeq
+        .filter(_.getPath.getName.startsWith(".torn-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    pruned
   }
 
   /** Write-audit-publish (the Iceberg WAP pattern): land `df` as data
@@ -1355,7 +1532,12 @@ object ManifestCommit {
         col("_metadata.row_index").as("pos"), col(keyCol).as("k"))
       .filter(col("k").between(lo, hi)) // NULL keys never match
       .select(col("file"), col("pos")))
-    dv.write.parquet(staged.toString)
+    // file-sorted sidecar: row groups cluster per data file, so (a) a
+    // streaming reader's pushed `file =` filter skips foreign row
+    // groups on stats and (b) each row group's min==max file stats
+    // enumerate the touched files from the FOOTER alone (the feed
+    // source's job-free planning fast path)
+    dv.sort("file", "pos").write.parquet(staged.toString)
     val produced = fs.listStatus(staged).toIndexedSeq
       .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
         st.getPath.getName.endsWith(".parquet"))
@@ -1571,7 +1753,8 @@ object ManifestCommit {
           .join(broadcast(keys), col("k") === col("__k"), "left_semi")
           .select(col("file"), col("pos")))
         val staged = new Path(partition, s"._ups-dv-$runId")
-        dv.write.parquet(staged.toString)
+        // file-sorted for footer-stat planning, as in deleteWhereDV
+        dv.sort("file", "pos").write.parquet(staged.toString)
         val out = fs.listStatus(staged).toIndexedSeq
           .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
             st.getPath.getName.endsWith(".parquet"))

@@ -121,7 +121,23 @@ class LakeConcurrencySpec extends SparkSpec {
         }
       }
     }
-    Seq(appender, deleter, compactor, dvApplier, upserter)
+    // a CDC REPLICATOR races the five writers: each run consumes the
+    // change feed from its replica txn watermark to whatever head it
+    // observes mid-churn and applies one atomic netted commit — the
+    // end-to-end replication semantics under a moving source, which the
+    // unit tests only exercise against a quiet one
+    val replicaRoot = dir.getParent.toString + "/replica"
+    val replicator = thread("replicator") {
+      (0 until nOps).foreach { _ =>
+        retrying("replicate") {
+          graft.lake.ChangeFeed.replicateTable(spark, dir.toString,
+            replicaRoot, "k", appId = "conc-repl")
+          ()
+        }
+        Thread.sleep(150)
+      }
+    }
+    Seq(appender, deleter, compactor, dvApplier, upserter, replicator)
       .foreach(_.join(600000))
     assert(errors.isEmpty, s"worker failures: ${errors.size} — " +
       errors.peek())
@@ -164,5 +180,19 @@ class LakeConcurrencySpec extends SparkSpec {
       .groupBy("state").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!states.contains("missing"), s"fsck: $states")
+    // quiesce the replication: one final catch-up run, then the replica
+    // must equal the source's logical head EXACTLY — whatever
+    // interleaving the racing runs consumed, the txn watermarks and the
+    // netted applies must land the same relation
+    graft.lake.ChangeFeed.replicateTable(spark, dir.toString,
+      replicaRoot, "k", appId = "conc-repl")
+    val gotReplica = ManifestCommit.readTableDV(spark, replicaRoot)
+      .select("k", "g", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(gotReplica.toSeq == got.toSeq,
+      s"replica diverged from source head: got ${gotReplica.length} " +
+        s"rows, want ${got.length}; " +
+        s"missing=${(got.map(_._1).toSet -- gotReplica.map(_._1)).take(5)} " +
+        s"extra=${(gotReplica.map(_._1).toSet -- got.map(_._1)).take(5)}")
   }
 }

@@ -174,16 +174,52 @@ class ManifestCommitSpec extends SparkSpec {
     out.write("#graft 1 2 0\nA b.parquet".getBytes("UTF-8")); out.close()
     assert(ManifestCommit.currentSnapshot(fs, dir).contains(v1),
       "torn head manifest must fall back to the last valid version")
-    // the slot is reclaimable once STALE (a fresh invalid slot is
-    // presumed to be an in-flight writer and waited out — reclaiming it
-    // would destroy a concurrent commit): backdate the torn write past
-    // the grace, then a fresh commit of v2 wins the slot
-    fs.setTimes(torn,
-      System.currentTimeMillis() - ManifestCommit.TornSlotGraceMs - 1000,
-      -1)
+    // the slot is reclaimable once LOCALLY observed stale (a fresh
+    // invalid slot is presumed to be an in-flight writer and waited out
+    // — reclaiming it would destroy a concurrent commit): seed the
+    // stability ledger as if this process had watched the unchanged
+    // slot for a full grace window, then a fresh commit of v2 wins it
+    val st = fs.getFileStatus(torn)
+    ManifestCommit.noteTornObservation(torn, st.getLen,
+      st.getModificationTime,
+      System.currentTimeMillis() - ManifestCommit.TornSlotGraceMs - 1000)
     fs.create(new Path(dir, "b.parquet"), false).close()
     val v2 = ManifestCommit.appendFiles(fs, dir, Seq("b.parquet"))
     assert(v2.version == 2 && v2.files.toSet == Set("a.parquet", "b.parquet"))
+  }
+
+  test("dual-reclaimer race on one stale torn slot loses no commit") {
+    val dir = new Path("objsim://" +
+      Files.createTempDirectory("graft-mc-torn2").toString + "/day=1")
+    val fs = objsimFs
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, "a.parquet"), false).close()
+    ManifestCommit.bootstrap(fs, dir)
+    val torn = new Path(dir, s"${ManifestCommit.LogDirName}/v00000002.manifest")
+    val out = fs.create(torn, false)
+    out.write("#graft 9 9 9".getBytes("UTF-8")); out.close()
+    val st = fs.getFileStatus(torn)
+    ManifestCommit.noteTornObservation(torn, st.getLen,
+      st.getModificationTime,
+      System.currentTimeMillis() - ManifestCommit.TornSlotGraceMs - 1000)
+    fs.create(new Path(dir, "b.parquet"), false).close()
+    fs.create(new Path(dir, "c.parquet"), false).close()
+    // two committers observe the SAME reclaim-eligible slot and race:
+    // the rename-aside claim is single-winner, so the slower reclaimer
+    // can never delete the faster one's just-recreated valid manifest —
+    // both appends must land (the loser retries into v3)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq("b.parquet", "c.parquet").map { n =>
+      val t = new Thread(() =>
+        try { ManifestCommit.appendFiles(fs, dir, Seq(n)); () }
+        catch { case e: Throwable => errors.add(e) })
+      t.start(); t
+    }
+    ts.foreach(_.join(120000))
+    assert(errors.isEmpty, s"committer failed: ${errors.peek()}")
+    val head = ManifestCommit.currentSnapshot(fs, dir).get
+    assert(head.files.toSet == Set("a.parquet", "b.parquet", "c.parquet"),
+      s"lost commit: ${head.files}")
   }
 
   test("interop: listing-mode partitions read through readTable; adopt picks up plain appends") {
@@ -1061,6 +1097,59 @@ class ManifestCommitSpec extends SparkSpec {
     // a retyping publish refuses too (the recorded schema must not lie)
     intercept[IllegalArgumentException](ManifestCommit.stageAndPublish(
       spark, dir, Seq((4L, "oops", 4L)).toDF("k", "v", "w"), _ => true))
+  }
+
+  test("table-level schema record: a partially-recorded table refuses " +
+      "loudly; recordSchemaTable repairs; alterSchemaTable evolves every " +
+      "leaf and the multi-leaf open runs ZERO jobs") {
+    import graft.lake.GraftFileIndex
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = Files.createTempDirectory("graft-schema-table").toString +
+      "/tbl"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+      .withColumn("day", ($"k" % 2 + 1).cast("int"))
+      .coalesce(1).write.partitionBy("day").parquet(root)
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = Seq(new Path(rp, "day=1"), new Path(rp, "day=2"))
+    assert(leaves.forall(fs.exists))
+    leaves.foreach(ManifestCommit.bootstrap(fs, _))
+    // record ONE leaf only: the table is now partially recorded — the
+    // FileIndex must refuse (a silent footer fallback would hide the
+    // forgotten leaf forever), naming the repair verb
+    ManifestCommit.recordSchema(spark, leaves.head)
+    val e = intercept[IllegalArgumentException](
+      GraftFileIndex.table(spark, root).schema)
+    assert(e.getMessage.contains("partially-recorded") &&
+      e.getMessage.contains("recordSchemaTable"), e.getMessage)
+    // repair: every leaf records (the already-recorded one untouched)
+    val rec = ManifestCommit.recordSchemaTable(spark, rp)
+    assert(rec.fieldNames.toSeq == Seq("k", "v"))
+    assert(leaves.forall(l => ManifestCommit.currentSchema(fs, l).isDefined))
+    // the multi-leaf open now plans from manifests alone: ZERO jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      GraftFileIndex.table(spark, root).schema
+      Thread.sleep(1000) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get == 0,
+      s"multi-leaf open with recorded schemas ran ${jobs.get} job(s)")
+    // table-wide evolution: both leaves take the meta commit, verified
+    ManifestCommit.alterSchemaTable(spark, rp,
+      StructType(rec.fields :+ StructField("w", LongType)))
+    assert(leaves.forall(lf => ManifestCommit.currentSchema(fs, lf)
+      .map(_.fieldNames.toSeq).contains(Seq("k", "v", "w"))))
+    val t = GraftFileIndex.table(spark, root)
+    assert(t.columns.toSeq == Seq("k", "v", "w", "day"))
+    assert(t.filter($"w".isNotNull).count() == 0) // pre-evolution: NULLs
+    assert(t.count() == 4)
   }
 
   test("overlapping DV deletes record each position ONCE: counts exact, " +
