@@ -116,6 +116,31 @@ object StreamQueries {
           col("l_quantity"))
         .orderBy("change_type", "l_orderkey", "l_linenumber")
     }),
+    // BOOTSTRAP against a merge-on-read table: the first batch is the
+    // committed snapshot WITH the active sidecars subtracted inside
+    // each file's reader (positions loaded executor-side) — standing a
+    // CDC consumer up on a DV-carrying table needs no applyDvs/compact
+    // first, and deleted rows never resurrect as inserts
+    "q260_stream_bootstrap_dv" -> ((s, d) => {
+      val dv = OpsQueries.ensureDvLake(s, d)
+      StreamingOps.streamFeedBootstrap(s, dv.path)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // the round-12 composition end-to-end: a replica stood up ENTIRELY
+    // through the stream against a DV-carrying source — bootstrap
+    // snapshot (sidecars subtracted in the readers) as the initial
+    // load, exactly-once txn watermarks, full-replay-with-fresh-
+    // checkpoint proven inside the op; replica == source merge-on-read
+    "q262_stream_bootstrap_replicate" -> ((s, d) => {
+      val dv = OpsQueries.ensureDvLake(s, d)
+      StreamingOps.streamReplicateBootstrap(s, dv.path,
+          s"${dv.path}-bootrepl", "l_orderkey", appId = "q262")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // merge-on-read deletes through the DSv2 log tailer: a dvdelete
     // commit plans its sidecar (file, pos) pairs per named data file
     // and the reader replays them as delete rows by counting the
@@ -267,6 +292,10 @@ object StreamQueries {
     "q250_stream_dv_feed" -> OpsQueries.oracles("q240_dv_feed"),
     // stream-equals-batch: the q253 upsert-replay oracle verbatim
     "q254_stream_upsert_feed" -> OpsQueries.oracles("q253_upsert_feed"),
+    // the bootstrap snapshot of the DV lake == its merge-on-read read
+    "q260_stream_bootstrap_dv" -> OpsQueries.oracles("q238_dv_read"),
+    // the stream-bootstrapped replica == the same merge-on-read state
+    "q262_stream_bootstrap_replicate" -> OpsQueries.oracles("q238_dv_read"),
     // the replica == the source head: initial snapshot (keys % 3 = 0)
     // + publish(1) (% 3 = 1) - the boxed deleteRange + publish(2)
     // (% 3 = 2, landed AFTER the delete so box keys survive there)

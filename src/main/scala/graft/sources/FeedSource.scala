@@ -62,7 +62,12 @@ import graft.lake.{ChangeFeed, ManifestCommit}
   * feed cannot replay (pre-kind-tag commits, predicate-less deletes,
   * or a log pruned past the wanted cursor): the snapshot IS the net of
   * all ancient history, so the consumer starts complete and stays
-  * incremental, and the ancient commits are never walked. The
+  * incremental, and the ancient commits are never walked. A
+  * merge-on-read snapshot (active deletion-vector sidecars) composes
+  * the sidecar subtraction into the batch — each file's reader skips
+  * its deleted positions, the same logic `ManifestCommit.readTableAt`
+  * applies for time travel — so bootstrapping never resurrects deleted
+  * rows and never requires an applyDvs/compact first. The
   * snapshot offset checkpoints like any other — a restart mid-
   * bootstrap replans the SAME pinned version (valid until [[
   * ManifestCommit.pruneLog]] drops it). */
@@ -81,6 +86,64 @@ object FeedSource {
   /** Sentinel initial offset for bootstrap mode: the first batch
     * `(-1, head]` plans the snapshot at `head`, not a commit walk. */
   private[sources] val BootstrapOffset = -1L
+
+  /** Test seam: plan one micro-batch `(fromV, toV]` (or the bootstrap
+    * batch when `fromV` is [[BootstrapOffset]]) and describe each
+    * partition as (file, changeType, sidecarCount, javaSerializedBytes)
+    * — the last pins that a partition is O(file names) however many
+    * rows the commits deleted (positions are loaded executor-side). */
+  private[graft] def describePlannedPartitions(path: String, fromV: Long,
+      toV: Long): Seq[(String, String, Int, Int)] = {
+    val stream = new FeedStream(path,
+      if (fromV == BootstrapOffset) None else Some(fromV), None,
+      fullSchema(path), bootstrap = fromV == BootstrapOffset)
+    stream.planInputPartitions(FeedOffset(fromV), FeedOffset(toV))
+      .toSeq.map { ip =>
+        val p = ip.asInstanceOf[FeedFilePartition]
+        val bo = new java.io.ByteArrayOutputStream()
+        val oo = new java.io.ObjectOutputStream(bo)
+        oo.writeObject(p); oo.close()
+        (p.file, p.changeType, p.dvSidecars.size, bo.size())
+      }
+  }
+
+  /** Per-row-group [min, max] ranges of the `file` column across a
+    * sidecar set, from the FOOTERS alone — O(row groups) driver-side
+    * GETs, no Spark job. A data file whose name falls inside no range
+    * provably has no deleted positions in these sidecars (parquet block
+    * stats are exact bounds); names inside a range are a SUPERSET of
+    * the truly-touched files (a row group can span files), which is
+    * safe — a planned reader that loads an empty position set no-ops
+    * without opening its data file. None when any block lacks `file`
+    * stats (a legacy sidecar): the caller falls back to a distributed
+    * distinct. File names are ASCII, so Java string order matches the
+    * stats' unsigned-byte order. */
+  private[graft] def sidecarNameRanges(
+      conf: org.apache.hadoop.conf.Configuration,
+      sidecars: Seq[String]): Option[Seq[(String, String)]] = {
+    import scala.jdk.CollectionConverters._
+    val ranges = Seq.newBuilder[(String, String)]
+    sidecars.foreach { sc =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(sc), conf)
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        rdr.getFooter.getBlocks.asScala.foreach { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == "file")
+            .getOrElse(return None)
+          val st = cc.getStatistics
+          if (st == null || !st.hasNonNullValue || st.isEmpty)
+            return None
+          def s(x: Any) = x
+            .asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8
+          ranges += ((s(st.genericGetMin), s(st.genericGetMax)))
+        }
+      } finally rdr.close()
+    }
+    Some(ranges.result())
+  }
 
   private[sources] def fullSchema(path: String): StructType = {
     require(path != null, "graft-feed: 'path' option is required")
@@ -187,33 +250,55 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
     // bootstrap batch: the committed snapshot AT the pinned end version
     // — every live file's rows as inserts, no commit walk (ancient
     // history the feed cannot replay is netted into the snapshot)
+    // which data files a sidecar set MAY reference: the sidecars'
+    // footer-stat name ranges (zero Spark jobs — per-micro-batch
+    // planning must not schedule work) intersected with the given
+    // candidate names; a legacy stats-free sidecar falls back to ONE
+    // distributed distinct. The ranges give a SUPERSET (a row group
+    // can span files) — safe, because a planned reader that loads an
+    // empty position set no-ops without opening its data file. Either
+    // way the driver holds only NAMES — O(files in the commit), never
+    // O(deleted rows): the positions themselves are loaded
+    // EXECUTOR-side by each file's own reader (see FeedReaderFactory),
+    // so a GDPR-scale delete commit (billions of positions) rides
+    // neither the driver nor the task-serialization path.
+    def dvTouchedFiles(sidecars: Seq[String],
+        candidates: Seq[String]): Seq[String] =
+      FeedSource.sidecarNameRanges(
+        SparkSession.active.sessionState.newHadoopConf(), sidecars) match {
+        case Some(rs) =>
+          candidates.filter(n => rs.exists(r => n >= r._1 && n <= r._2))
+        case None => SparkSession.active.read.parquet(sidecars: _*)
+          .select("file").distinct().collect().map(_.getString(0)).toSeq
+      }
     if (s == FeedSource.BootstrapOffset) {
       val snap = ManifestCommit.snapshotAt(fs, dir, e).getOrElse(
         sys.error(s"graft-feed: bootstrap version $e of $dir pruned " +
           "before the batch ran — restart the query"))
-      // active deletion vectors at the snapshot version would need the
-      // sidecar subtraction a bare file replay lacks; refuse rather
-      // than resurrect deleted rows
-      val dvs = ManifestCommit.dvsAt(fs, dir, e)
-      require(dvs.isEmpty,
-        s"graft-feed: bootstrap at v$e of $dir has ${dvs.size} active " +
-          "deletion-vector sidecar(s) — applyDvs/compact first, then " +
-          "bootstrap")
+      // a merge-on-read snapshot composes the active sidecars INTO the
+      // bootstrap batch (the same subtraction readTableAt applies for
+      // time travel): readers of sidecar-named files SKIP the deleted
+      // positions, so a bare file replay never resurrects deleted rows
+      // and a CDC consumer can stand up against a DV-carrying table
+      // without an applyDvs/compact first
+      val dvPaths = ManifestCommit.dvsAt(fs, dir, e)
+        .map(n => new Path(dir, n).toString)
+      val touched: Set[String] =
+        if (dvPaths.isEmpty) Set.empty
+        else dvTouchedFiles(dvPaths, snap.files).toSet
       return snap.files.map(n => FeedFilePartition(
-        new Path(dir, n).toString, ChangeFeed.Insert, e,
-        None): InputPartition).toArray
+        new Path(dir, n).toString, ChangeFeed.Insert, e, None,
+        dvSidecars = if (touched.contains(n)) dvPaths else Nil,
+        dvKeep = false): InputPartition).toArray
     }
-    // merge-on-read delete positions: group the commit's sidecar rows
-    // per named data file — one partition per file, carrying its own
-    // bounded position set for the reader's row-index counting scan
+    // merge-on-read delete positions: one partition per sidecar-NAMED
+    // data file, carrying the sidecar paths — the reader loads only its
+    // own file's positions from the sidecar parquet, executor-side
     def dvPartitions(c: ManifestCommit.CommitInfo): Seq[InputPartition] = {
-      val dvRows = SparkSession.active.read
-        .parquet(c.addedDvs.map(n => new Path(dir, n).toString): _*)
-        .select("file", "pos").collect()
-      dvRows.groupBy(_.getString(0)).toSeq.map { case (f, rows) =>
+      val sidecars = c.addedDvs.map(n => new Path(dir, n).toString)
+      dvTouchedFiles(sidecars, c.liveNames).map { f =>
         FeedFilePartition(new Path(dir, f).toString,
-          ChangeFeed.Delete, c.version, None,
-          positions = Some(rows.map(_.getLong(1)).sorted))
+          ChangeFeed.Delete, c.version, None, dvSidecars = sidecars)
       }
     }
     ManifestCommit.commitsBetween(fs, dir, s, e).flatMap { c =>
@@ -262,10 +347,50 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
   override def stop(): Unit = ()
 }
 
+/** One delta file to read. `dvSidecars` (absolute sidecar parquet
+  * paths) bound a positional row filter the READER resolves for itself:
+  * with `dvKeep = true` (a dvdelete/upsert replay) only the sidecar
+  * positions of THIS file are emitted; with `dvKeep = false` (a
+  * bootstrap snapshot of a merge-on-read table) those positions are
+  * skipped. Positions never ride the partition — a partition is O(file
+  * names) however many rows a commit deleted. */
 private[sources] case class FeedFilePartition(file: String,
     changeType: String, version: Long,
     deletePredicate: Option[(String, Long, Long)],
-    positions: Option[Array[Long]] = None) extends InputPartition
+    dvSidecars: Seq[String] = Nil,
+    dvKeep: Boolean = true) extends InputPartition
+
+private[sources] object FeedReaderFactory {
+  /** The deleted positions of ONE data file, read from the commit's
+    * sidecar parquet(s) on the executor: a row-group-pruned +
+    * record-filtered scan on `file = <name>` (sidecars are written
+    * file-clustered, so foreign row groups are skipped on stats),
+    * collected sorted for the reader's monotone merge. Memory is one
+    * file's deletion count — the per-task bound that replaces the old
+    * driver-side collect of the commit's ENTIRE position set. */
+  private[sources] def loadPositions(sidecars: Seq[String], fileName: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val pred = FilterApi.eq(FilterApi.binaryColumn("file"),
+      org.apache.parquet.io.api.Binary.fromString(fileName))
+    val out = Array.newBuilder[Long]
+    sidecars.foreach { sc =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(sc))
+        .withConf(conf).withFilter(FilterCompat.get(pred)).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          out += g.getLong("pos", 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
+  }
+}
 
 private[sources] class FeedReaderFactory(tableSchema: StructType,
     conf: org.apache.spark.util.SerializableConfiguration)
@@ -275,19 +400,31 @@ private[sources] class FeedReaderFactory(tableSchema: StructType,
     val p = partition.asInstanceOf[FeedFilePartition]
     val dataFields = tableSchema.fields.dropRight(2)
     new PartitionReader[InternalRow] {
+      // this data file's deleted positions, loaded HERE on the executor
+      // from the sidecar parquet (filter-pushdown on the file column) —
+      // memory ∝ one file's deletions, never a whole commit's
+      private val posArr: Array[Long] =
+        if (p.dvSidecars.isEmpty) null
+        else FeedReaderFactory.loadPositions(p.dvSidecars,
+          new Path(p.file).getName, conf.value)
+      private var posI = 0
+      // a keep-mode partition with ZERO positions emits nothing: the
+      // planner's footer-range file set is a superset, and the false
+      // positives must cost a sidecar probe, not a data-file scan
+      private val idle = p.dvKeep && posArr != null && posArr.isEmpty
       // the session's Hadoop configuration (serialized to this
       // executor), not a bare `new Configuration()` — a bare default
-      // drops filesystem settings/credentials (s3a keys etc.)
-      private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+      // drops filesystem settings/credentials (s3a keys etc.).
+      // LAZY: an idle partition never opens its data file.
+      private lazy val reader: ParquetReader[org.apache.parquet.example.data.Group] =
         ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
           .withConf(conf.value).build()
+      private var opened = false
       private var current: org.apache.parquet.example.data.Group = _
       // physical row index of `current` within the file: a sequential
       // no-pushdown scan visits rows in row-index order, so counting
       // reproduces parquet `_metadata.row_index`
       private var rowIdx: Long = -1L
-      private val posArr: Array[Long] = p.positions.orNull
-      private var posI = 0
 
       private def keep(g: org.apache.parquet.example.data.Group): Boolean =
         p.deletePredicate match {
@@ -302,13 +439,24 @@ private[sources] class FeedReaderFactory(tableSchema: StructType,
         }
 
       // positions are sorted and the scan is in row-index order — one
-      // monotone pointer, never a per-row set probe
+      // monotone pointer, never a per-row set probe. dvKeep selects the
+      // direction: emit ONLY the positions (delete replay; a hit
+      // CONSUMES its position, enabling the early stop below) or emit
+      // all BUT the positions (bootstrap snapshot subtraction).
       private def keepPos(): Boolean = posArr == null || {
         while (posI < posArr.length && posArr(posI) < rowIdx) posI += 1
-        posI < posArr.length && posArr(posI) == rowIdx
+        val hit = posI < posArr.length && posArr(posI) == rowIdx
+        if (hit && p.dvKeep) posI += 1
+        if (p.dvKeep) hit else !hit
       }
 
       override def next(): Boolean = {
+        if (idle) return false
+        // delete replay: every listed position already emitted — the
+        // rest of the file cannot match, stop without scanning the tail
+        if (p.dvKeep && posArr != null && posI >= posArr.length)
+          return false
+        opened = true
         current = reader.read(); rowIdx += 1
         while (current != null && !(keep(current) && keepPos())) {
           current = reader.read(); rowIdx += 1
@@ -384,7 +532,7 @@ private[sources] class FeedReaderFactory(tableSchema: StructType,
         new GenericInternalRow(vals)
       }
 
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (opened) reader.close()
     }
   }
 }

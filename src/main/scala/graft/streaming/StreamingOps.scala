@@ -1058,6 +1058,97 @@ object StreamingOps {
     ss.table(name)
   }
 
+  /** Stand a replica up ENTIRELY through the stream — no batch-side
+    * initial sync: bootstrap mode makes the FIRST micro-batch the
+    * source's committed snapshot (active deletion-vector sidecars
+    * subtracted inside the readers), which lands as the replica's
+    * initial load; later batches tail the log and apply as atomic
+    * merge-on-read commits. Exactly-once via the replica's txn
+    * watermark: a replayed snapshot batch no-ops, a crash BEFORE the
+    * initial load's watermark rebuilds the load from scratch (the
+    * snapshot batch is a pinned version — idempotent), and the op
+    * proves it by replaying the whole stream against a fresh
+    * checkpoint and requiring the replica unchanged. The composition
+    * a CDC consumer standing up against a 100 TB merge-on-read table
+    * actually runs: no applyDvs/compact, no separate batch sync job. */
+  def streamReplicateBootstrap(spark: SparkSession, srcPath: String,
+      dstPath: String, keyCol: String, appId: String): DataFrame = {
+    import graft.lake.ManifestCommit
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def applyBatch(b: DataFrame, batchId: Long): Unit = {
+      val dataCols = b.columns
+        .filter(c => c != "_change_type" && c != "_commit_version").toSeq
+      val mark = if (fs.exists(dst))
+        ManifestCommit.lastTxnVersion(fs, dst, appId) else None
+      if (mark.exists(_ >= batchId)) return // replayed: already durable
+      if (mark.isEmpty) {
+        // initial load (or a half-applied one from a crash: rebuild —
+        // the bootstrap batch replays the SAME pinned snapshot version)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        graft.ops.Layout.writeLinear(
+          b.filter(col("_change_type") === "insert")
+            .select(dataCols.map(col): _*), col(keyCol), dstPath, 8)
+        ManifestCommit.bootstrap(fs, dst)
+        ManifestCommit.recordStats(spark, dst, Seq(keyCol))
+        ManifestCommit.recordSchema(spark, dst)
+        ManifestCommit.appendFiles(fs, dst, Nil, txn = Some((appId, batchId)))
+      } else {
+        ManifestCommit.applyChangesDV(spark, dst, keyCol,
+          inserts = b.filter(col("_change_type") === "insert")
+            .select(dataCols.map(col): _*),
+          deleteKeys = b.filter(col("_change_type") === "delete")
+            .select(col(keyCol)),
+          statsCols = Seq(keyCol), txn = Some((appId, batchId)))
+        ()
+      }
+    }
+    def runOnce(checkpoint: String): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.readStream.format("graft.sources.FeedSource")
+        .option("path", srcPath)
+        .option("bootstrap", "true")
+        .option("maxCommitsPerBatch", "1")
+        .load()
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    runOnce(s"$dstPath-checkpoint")
+    // total checkpoint loss: the snapshot and every increment re-deliver;
+    // the watermark alone must suppress them all
+    runOnce(s"$dstPath-checkpoint-replay")
+    ManifestCommit.readTableDV(spark, dstPath)
+  }
+
+  /** Drive the [[graft.sources.FeedSource]] stream in BOOTSTRAP mode:
+    * the first batch replays the table's current committed snapshot —
+    * active deletion-vector sidecars subtracted inside the batch, so a
+    * CDC consumer can stand up against a merge-on-read table without an
+    * applyDvs/compact first — and subsequent batches tail the log. On
+    * the finite AvailableNow run the collected rows equal the batch
+    * [[graft.lake.ManifestCommit.readTableDV]] (q260's oracle gates
+    * it). */
+  def streamFeedBootstrap(spark: SparkSession,
+      tablePath: String): DataFrame = {
+    val name = "stream_feedboot_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.readStream.format("graft.sources.FeedSource")
+      .option("path", tablePath)
+      .option("bootstrap", "true")
+      .load()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name)
+  }
+
   /** Streaming maintenance of a materialized additive aggregate from the
     * manifest CHANGE FEED ([[graft.lake.ChangeFeed]]): the feed's
     * insert/delete rows arrive as a file stream (each commit's delta =

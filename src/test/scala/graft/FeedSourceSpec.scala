@@ -125,6 +125,92 @@ class FeedSourceSpec extends SparkSpec {
     assert(batch == (10L to 25L).toSet)
   }
 
+  test("DV replay partitions carry sidecar NAMES, not positions: " +
+      "serialized size is flat in the deleted-row count") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-feeddvsz").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val big = spark.range(40000).select($"id".as("k"),
+      ($"id" % 5).as("g"), ($"id" * 2).as("v"))
+    Layout.writeLinear(big, col("k"), dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    // recorded schema: planning resolves it from the manifest, so the
+    // zero-job pin below measures DV planning alone
+    ManifestCommit.recordSchema(spark, dir)
+    val v0 = ManifestCommit.currentSnapshot(fs, dir).get.version
+    // a GDPR-scale delete: 20k positions in one commit — the old plan
+    // embedded every position in the InputPartitions (driver memory and
+    // task-serialization ∝ deleted rows); now each reader loads its own
+    // file's positions executor-side from the sidecar parquet
+    val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dir, "k",
+      0L, 19999L)
+    assert(nDel == 20000L)
+    val head = ManifestCommit.currentSnapshot(fs, dir).get.version
+    // planning must not schedule work: the touched files come from the
+    // file-sorted sidecar's FOOTER stats, zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val parts =
+      try {
+        val p = graft.sources.FeedSource.describePlannedPartitions(
+          dir.toString, v0, head)
+        Thread.sleep(1000) // listener bus is async
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get == 0,
+      s"DV micro-batch planning ran ${jobs.get} job(s) — touched files " +
+        "must come from sidecar footer stats")
+    assert(parts.nonEmpty && parts.forall(_._2 == ChangeFeed.Delete))
+    assert(parts.forall(_._3 > 0), "delete partitions must name sidecars")
+    parts.foreach { case (f, _, _, bytes) =>
+      assert(bytes < 4096,
+        s"partition for $f serializes to $bytes bytes — positions are " +
+          "riding the partition again")
+    }
+    // and the replayed rows are still exact
+    val got = collectFeed(dir.toString, v0)
+    assert(got == (0L until 20000L).map((_, ChangeFeed.Delete)).toSet)
+  }
+
+  test("bootstrap composes active deletion vectors: the snapshot batch " +
+      "equals the merge-on-read read, deleted rows never resurrect") {
+    import graft.streaming.StreamingOps
+    val dir = new Path(
+      Files.createTempDirectory("graft-feedbootdv").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    val (_, n1) = ManifestCommit.deleteWhereDV(spark, dir, "k", 10L, 25L)
+    assert(n1 == 16L)
+    val (_, n2) = ManifestCommit.deleteWhereDV(spark, dir, "k", 40L, 44L)
+    assert(n2 == 5L)
+    val got = StreamingOps.streamFeedBootstrap(spark, dir.toString)
+      .select($"k", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = ManifestCommit.readTableDV(spark, dir.toString)
+      .select($"k").collect()
+      .map(r => (r.getLong(0), ChangeFeed.Insert)).toSet
+    assert(want.size == 50 - 16 - 5)
+    assert(got == want,
+      s"bootstrap diverged from readTableDV: got ${got.size}, " +
+        s"want ${want.size}")
+    // plan shape: every snapshot partition is an Insert; only the
+    // sidecar-NAMED files carry sidecars, none carry positions
+    val parts = graft.sources.FeedSource.describePlannedPartitions(
+      dir.toString, -1L,
+      ManifestCommit.currentSnapshot(fs, dir).get.version)
+    assert(parts.forall(_._2 == ChangeFeed.Insert))
+    assert(parts.exists(_._3 > 0) && parts.forall(_._4 < 4096))
+  }
+
   test("replicate a lake whose history includes an upsert and a DV " +
       "delete — replica equals the source's merge-on-read read") {
     import graft.streaming.StreamingOps
@@ -151,6 +237,48 @@ class FeedSourceSpec extends SparkSpec {
     assert(got == want, s"replica diverged: got ${got.size}, want ${want.size}")
     assert(replica.count() == 50L - 5L + 10L,
       "50 base - 5 deleted + 10 inserted (10 replaced in place)")
+  }
+
+  test("streamReplicateBootstrap: snapshot-through-the-stream initial " +
+      "load, then increments apply exactly-once") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-bootrepl").toString
+    val dir = new Path(s"$root/src")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    // a DV-carrying snapshot (the case plain streamReplicate's batch
+    // sync had to applyDvs around): bootstrap must subtract it
+    ManifestCommit.deleteWhereDV(spark, dir, "k", 10L, 19L)
+    val replica1 = StreamingOps.streamReplicateBootstrap(spark,
+      dir.toString, s"$root/dst", "k", appId = "boot-repl")
+    val want1 = ManifestCommit.readTableDV(spark, dir.toString)
+      .select("k", "g", "v").collect().map(_.toString).sorted.toSeq
+    assert(replica1.select("k", "g", "v").collect()
+      .map(_.toString).sorted.toSeq == want1)
+    assert(replica1.count() == 40L)
+    // increments land AFTER the bootstrap: an append, an upsert, and a
+    // second DV delete — re-invoking against the SAME target resumes
+    // the checkpointed offset, so the new commits arrive as ordinary
+    // micro-batches through the applyChangesDV path (and the op's
+    // internal fresh-checkpoint replay re-delivers everything, which
+    // the txn watermarks must suppress exactly-once)
+    ManifestCommit.stageAndPublish(spark, dir, rows(1), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish"))
+    val up = rows(0).filter($"k".between(30, 34))
+      .select($"k", $"g", ($"v" + 900L).as("v"))
+    ManifestCommit.upsertDV(spark, dir, "k", up, Seq("k"))
+    ManifestCommit.deleteWhereDV(spark, dir, "k", 40L, 44L)
+    val replica2 = StreamingOps.streamReplicateBootstrap(spark,
+      dir.toString, s"$root/dst", "k", appId = "boot-repl")
+    val want2 = ManifestCommit.readTableDV(spark, dir.toString)
+      .select("k", "g", "v").collect().map(_.toString).sorted.toSeq
+    assert(replica2.select("k", "g", "v").collect()
+      .map(_.toString).sorted.toSeq == want2)
+    assert(replica2.filter($"k".between(30, 34))
+      .select($"v").collect().map(_.getLong(0)).forall(_ >= 900L),
+      "upserted values must replace the bootstrapped versions")
   }
 
   test("streaming across an additive evolution: pre-evolution files " +
