@@ -572,7 +572,8 @@ object Dedup {
     * tokens guards adversarial corpora), then the shared verify. */
   def prefixFilterPairs(docs: DataFrame, tau: Double = 0.5,
       maxPrefixDf: Int = 256,
-      broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {
+      broadcastDocLimit: Long = DefaultBroadcastDocLimit,
+      suffixVerify: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"tau out of range: $tau")
     val shm = tracked(shingleHashes(docs).distinct())
@@ -613,8 +614,70 @@ object Dedup {
     if (instrument) lastCandidatePairs = cand.count()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
-    verifyJaccard(shm, cand, tau, candDocs, Long.MaxValue,
+    if (suffixVerify) verifyJaccardMerge(shm, cand, tau, candDocs)
+    else verifyJaccard(shm, cand, tau, candDocs, Long.MaxValue,
       broadcastDocLimit)
+  }
+
+  /** ppjoin+-style SUFFIX-bounded exact verify — same contract as
+    * [[verifyJaccard]] (same surviving pairs, bit-identical jaccard
+    * doubles), different evaluation: each candidate pair's SORTED
+    * signature arrays merge in a typed tight loop that EARLY-EXITS the
+    * moment the residual overlap upper bound `inter + min(remaining_a,
+    * remaining_b)` can no longer reach the tau threshold — the ppjoin+
+    * suffix probe collapsed into the verify scan. `array_intersect`
+    * always walks both arrays and materializes the intersection; the
+    * merge stops at the first provable reject and allocates nothing.
+    * The feasibility cut-off `alpha` is computed by exact integer
+    * adjustment around the double estimate, so the prune is precisely
+    * `best-achievable jaccard < tau` under the SAME double arithmetic
+    * as the final filter — flag-gated and hash-identical by
+    * construction (q189's oracle gates it; ScaleSmoke measures the
+    * trade). */
+  private def verifyJaccardMerge(shm: DataFrame, cand: DataFrame,
+      tau: Double, candDocs: DataFrame): DataFrame = {
+    val spark = shm.sparkSession
+    import spark.implicits._
+    val docSets = shm.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("m"))).as("ss"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("ss").as("sa")),
+        "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("ss").as("sb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (a, b, sa, sb) =>
+        val na = sa.length; val nb = sb.length
+        def jac(i: Long): Double = i.toDouble / (na + nb - i).toDouble
+        // smallest integer overlap whose jaccard clears tau, exact
+        // under the final filter's own double arithmetic
+        var alpha = math.min(math.max(0L,
+          math.ceil(tau / (1 + tau) * (na + nb)).toLong),
+          math.min(na, nb).toLong)
+        while (alpha <= math.min(na, nb) && jac(alpha) < tau) alpha += 1
+        while (alpha > 0 && jac(alpha - 1) >= tau) alpha -= 1
+        var i = 0; var j = 0; var inter = 0L
+        var feasible = alpha <= math.min(na, nb)
+        while (feasible && i < na && j < nb && inter < alpha) {
+          if (inter + math.min(na - i, nb - j) < alpha) feasible = false
+          else if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sa(i) < sb(j)) i += 1
+          else j += 1
+        }
+        if (feasible && inter >= alpha) {
+          // past alpha the pair is IN; finish the merge for the exact
+          // intersection the reported jaccard needs
+          while (i < na && j < nb) {
+            if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+            else if (sa(i) < sb(j)) i += 1
+            else j += 1
+          }
+          Iterator.single((a, b, jac(inter)))
+        } else Iterator.empty
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
   }
 
   private def verifyJaccard(shm: DataFrame, cand: DataFrame,

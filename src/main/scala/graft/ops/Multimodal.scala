@@ -60,16 +60,7 @@ object Multimodal {
           val w = img.getWidth; val h = img.getHeight
           require(w > 0 && h > 0,
             s"media ${r.media_id}: degenerate ${w}x$h")
-          var s = 0L; var mn = 255; var mx = 0; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = raster.getSample(x, y, 0)
-              s += v; if (v < mn) mn = v; if (v > mx) mx = v
-              x += 1
-            }
-            y += 1
-          }
+          val (s, mn, mx) = lumaStats(raster, w, h)
           MediaFeatures(r.media_id, r.kind, w, h,
             s * 1000L / (w.toLong * h), mn, mx)
         }
@@ -849,18 +840,38 @@ object Multimodal {
       val raster = img.getRaster
       val w = img.getWidth; val h = img.getHeight
       require(w > 0 && h > 0, s"media ${r.media_id}: degenerate ${w}x$h")
-      var s = 0L; var mn = 255; var mx = 0; var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = raster.getSample(x, y, 0)
-          s += v; if (v < mn) mn = v; if (v > mx) mx = v
-          x += 1
-        }
-        y += 1
-      }
+      val (s, mn, mx) = lumaStats(raster, w, h)
       ImageFeatures(r.media_id, w, h, s * 1000L / (w.toLong * h), mn, mx)
     })
+  }
+
+  /** (sum, min, max) of per-pixel LUMINANCE over a decoded raster.
+    * Multi-band rasters (RGB/RGBA) reduce each pixel to integer BT.601
+    * luma — `(299·R + 587·G + 114·B) / 1000`, alpha ignored — because
+    * sampling band 0 would silently report red-channel statistics for
+    * the advertised mixed-format corpus; gray and gray+alpha rasters
+    * read the lone luminance band directly (bit-identical to the
+    * pre-luma behavior for every grayscale fixture). Deterministic
+    * integer math throughout. */
+  private def lumaStats(raster: java.awt.image.Raster, w: Int,
+      h: Int): (Long, Int, Int) = {
+    val bands = raster.getNumBands
+    var s = 0L; var mn = 255; var mx = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (bands >= 3)
+            (299 * raster.getSample(x, y, 0) +
+              587 * raster.getSample(x, y, 1) +
+              114 * raster.getSample(x, y, 2)) / 1000
+          else raster.getSample(x, y, 0)
+        s += v; if (v < mn) mn = v; if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    (s, mn, mx)
   }
 
   /** REAL raster resize through a compressed format: ImageIO decode,

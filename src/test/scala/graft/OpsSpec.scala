@@ -17,6 +17,26 @@ class OpsSpec extends SparkSpec {
     (3L, "completely different words entirely here now", "de", "s1", 44L))
     .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("prefixFilterPairs: the ppjoin+ suffix-merge verify is row-exact " +
+      "against the array_intersect verify, boundary pairs included") {
+    // richer corpus than the 4-doc fixture: near-dup clusters at several
+    // overlap levels, including pairs AT the tau boundary
+    val d = (0L until 40L).map { i =>
+      val words = (0 until 12).map(w => s"w${(i / 4) * 3 + w}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.75)) {
+      val plain = Dedup.prefixFilterPairs(d, tau = t)
+        .collect().map(_.toString).sorted.toSeq
+      val suffix = Dedup.prefixFilterPairs(d, tau = t, suffixVerify = true)
+        .collect().map(_.toString).sorted.toSeq
+      assert(plain.nonEmpty, s"tau=$t must produce pairs")
+      assert(plain == suffix,
+        s"tau=$t: suffix verify diverged (${plain.size} vs ${suffix.size})")
+    }
+    TextKit.releaseCaches()
+  }
+
   test("exact dedup: duplicate texts collapse to min doc_id") {
     val r = Dedup.exact(docs).collect()
     assert(r.length == 3)
@@ -294,6 +314,26 @@ class OpsSpec extends SparkSpec {
     assert(funneled >= 800, "precondition: unsalted hot key funnels")
     assert(spread * 2 <= funneled,
       s"salting must spread the hot key: max $spread vs funneled $funneled")
+  }
+
+  test("multimodal: RGB rasters reduce to BT.601 integer luminance, " +
+      "not band-0 (red) statistics") {
+    import spark.implicits._
+    // a 2x1 RGB PNG: pure red (255,0,0) and pure green (0,255,0) —
+    // band-0 sampling would report (255, 0); BT.601 luma reports
+    // (255*299/1000, 255*587/1000) = (76, 149)
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000)
+    img.setRGB(1, 0, 0x00FF00)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq(Multimodal.MediaRow(7L, "img/png", out.toByteArray))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.min_px == 76 && f.max_px == 149,
+      s"expected BT.601 luma (76, 149), got (${f.min_px}, ${f.max_px})")
+    assert(f.mean_permille == (76L + 149L) * 1000L / 2)
   }
 
   test("multimodal: kind-dispatched REAL decode, frames partition the payload") {
