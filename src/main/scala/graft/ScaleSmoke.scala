@@ -979,6 +979,111 @@ object ScaleSmoke {
       timeMs("maxsim_1x", 1)
       timeMs(s"maxsim_${k}x", k)
     }
+    // ppjoin vs ppjoin+ (q189): the SAME prefix+length+positional
+    // candidates, verified by array_intersect vs the suffix-bounded
+    // early-exit merge. The merge must return the identical pair count
+    // (hash-identical by construction); the wall delta is the measured
+    // trade the flag exists for — negative results are evidence too.
+    if (enabled("ppjoin")) {
+      def timePp(label: String, suffix: Boolean,
+          silent: Boolean = false): Long = {
+        val t0 = System.nanoTime()
+        val nPairs = graft.ops.Dedup
+          .prefixFilterPairs(base, tau = 0.5, suffixVerify = suffix)
+          .count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":$n,""" +
+            f""""pairs":$nPairs,"verify":"${
+              if (suffix) "suffix-merge" else "array_intersect"
+            }","wall_sec":$t%.2f}""")
+        nPairs
+      }
+      timePp("warmup", suffix = false, silent = true)
+      val p0 = timePp("ppjoin_intersect", suffix = false)
+      val p1 = timePp("ppjoin_suffix", suffix = true)
+      require(p0 == p1, s"suffix verify changed the pair set: $p0 vs $p1")
+    }
+
+    // Streaming DV-delete replay (q250-class): a delete commit whose
+    // position count grows kx must plan partitions whose SERIALIZED
+    // size stays flat — positions load executor-side from the sidecar
+    // parquet, never riding the driver or the task-serialization path
+    // (the round-11 scale-killer). Emits the max partition bytes and
+    // the end-to-end feed wall.
+    if (enabled("dvstream")) {
+      def timeDv(label: String, times: Int,
+          silent: Boolean = false): Unit = {
+        import graft.lake.ManifestCommit
+        val rows = 40000L * times
+        val dir = new org.apache.hadoop.fs.Path(
+          s"${System.getProperty("java.io.tmpdir")}/graft_smoke_dv_" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}/tbl")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.ops.Layout.writeLinear(
+          spark.range(rows).select(col("id").as("k"),
+            (col("id") % 7).as("g"), (col("id") * 3).as("v")),
+          col("k"), dir.toString, 16)
+        ManifestCommit.bootstrap(fs, dir)
+        val v0 = ManifestCommit.recordStats(spark, dir, Seq("k")).version
+        // ONE commit deleting half the table — the GDPR-scale shape
+        val (_, nDel) =
+          ManifestCommit.deleteWhereDV(spark, dir, "k", 0L, rows / 2 - 1)
+        val head = ManifestCommit.currentSnapshot(fs, dir).get.version
+        val parts = graft.sources.FeedSource
+          .describePlannedPartitions(dir.toString, v0, head)
+        val maxBytes = parts.map(_._4).max
+        val t0 = System.nanoTime()
+        val fed = graft.streaming.StreamingOps
+          .streamFeedSource(spark, dir.toString, v0).count()
+        val tFeed = (System.nanoTime() - t0) / 1e9
+        require(fed == nDel, s"feed replayed $fed of $nDel deletes")
+        fs.delete(dir.getParent, true)
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":$rows,""" +
+            f""""deleted":$nDel,"partitions":${parts.size},""" +
+            f""""max_part_bytes":$maxBytes,"feed_sec":$tFeed%.2f}""")
+      }
+      timeDv("warmup", 1, silent = true)
+      timeDv("dvstream_1x", 1)
+      timeDv(s"dvstream_${k}x", k)
+    }
+
+    // Parallel leaf replication (q257-class): initial sync of an
+    // L-leaf Hive table through replicateTable at parallelism 1 vs 8 —
+    // leaves are independent single-writer domains, so the bounded
+    // driver pool should cut the wall near-linearly (thousands of
+    // sequential Spark jobs was the round-11 finding).
+    if (enabled("replicate")) {
+      def timeRepl(label: String, leaves: Int, par: Int,
+          silent: Boolean = false): Double = {
+        val root = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_smoke_repl_${java.util.UUID.randomUUID().toString.take(8)}"
+        val src = s"$root/src"
+        spark.range(leaves * 4000L).select(col("id").as("k"),
+            (col("id") % 7).as("g"), (col("id") * 3).as("v"),
+            (col("id") % leaves + 1).cast("int").as("day"))
+          .write.partitionBy("day").parquet(src)
+        val t0 = System.nanoTime()
+        graft.lake.ChangeFeed.replicateTable(spark, src, s"$root/dst",
+          "k", appId = "smoke-repl", parallelism = par)
+        val t = (System.nanoTime() - t0) / 1e9
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","leaves":$leaves,""" +
+            f""""parallelism":$par,"sync_sec":$t%.2f}""")
+        t
+      }
+      timeRepl("warmup", 2, 2, silent = true)
+      timeRepl("replicate_serial", 16, 1)
+      timeRepl("replicate_pooled", 16, 8)
+    }
     spark.stop()
   }
 }

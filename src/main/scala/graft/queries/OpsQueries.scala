@@ -1448,6 +1448,18 @@ object OpsQueries {
       graft.lake.GraftFileIndex.tableDV(s, ensureEvoLake(s, d))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")),
+    // TABLE-level schema evolution over a MULTI-LEAF Hive-partitioned
+    // lake: recordSchemaTable + alterSchemaTable stamp every leaf (a
+    // forgotten leaf would silently reintroduce the footer sweep —
+    // the FileIndex refuses partially-recorded tables loudly), then a
+    // post-evolution batch lands in day=1 only; the read resolves the
+    // union schema from per-leaf records alone (zero footer jobs,
+    // spec-pinned) and pre-evolution rows surface NULL
+    "q261_evolved_table" -> ((s, d) =>
+      graft.lake.GraftFileIndex.table(s, ensureEvoTable(s, d))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("day").cast("long").as("day"))
+        .orderBy("o_orderkey", "day")),
     // DESCRIBE HISTORY: the commit log as a relation (driver-side
     // manifest parsing, KBs at any table size) — version/kind/file
     // motion/sidecar counts over the upsert lake's 4-commit history;
@@ -1539,12 +1551,16 @@ object OpsQueries {
     // adversarial regime is what the capped LSH family exists for;
     // prefix join is the exactness tool for corpora that need it
     "q189_prefix_join" -> ((s, d) =>
+      // suffixVerify: the ppjoin+ early-exit merge verify — measured
+      // 8.1 s vs 11.6 s at the sf0.1 843k-candidate floor for the
+      // identical pair set (ScaleSmoke `ppjoin`); row-exact vs the
+      // array_intersect verify is spec-pinned
       Dedup.prefixFilterPairs(
           docs(s, d).filter(col("doc_id") % 5 === 0)
             .select(col("doc_id"),
               when(col("doc_id") % 50 === 0, lit(hotText))
                 .otherwise(col("text")).as("text")),
-          tau = 0.5)
+          tau = 0.5, suffixVerify = true)
         .orderBy("doc_a", "doc_b")),
     // declarative data-quality suite (the Deequ idea): five constraints
     // compiled into ONE aggregation pass, tall (check, metric, passed)
@@ -2325,6 +2341,55 @@ object OpsQueries {
         Seq("o_orderkey", "o_custkey", "o_totalprice"),
         s"recorded schema must evolve additively: ${post.simpleString}")
       path
+    })
+
+  /** Per-(process, sfDir) MULTI-LEAF evolved table for q261: orders
+    * Hive-partitioned by `day = o_orderkey % 2 + 1`, every leaf recorded
+    * at (o_orderkey, o_custkey) via
+    * [[graft.lake.ManifestCommit.recordSchemaTable]], evolved TABLE-wide
+    * via [[graft.lake.ManifestCommit.alterSchemaTable]] (+ o_totalprice,
+    * one meta commit per leaf, verified), then one leaf takes a
+    * post-evolution batch carrying the new column — the FileIndex read
+    * crosses the boundary through the per-leaf records alone (zero
+    * footer jobs; the spec pins it and pins that a PARTIALLY-recorded
+    * table refuses loudly instead of sweeping footers). */
+  private val evoTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureEvoTable(s: SparkSession, d: String): String =
+    evoTables.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val full = Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = full.agg(min("o_orderkey"), max("o_orderkey")).head
+      val span = b.getLong(1) - b.getLong(0) + 1000000L
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_evotable_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      full.select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("day", (col("o_orderkey") % 2 + 1).cast("int"))
+        .write.partitionBy("day").parquet(root)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("day=1", "day=2").foreach { seg =>
+        val leaf = new org.apache.hadoop.fs.Path(root, seg)
+        ManifestCommit.bootstrap(fs, leaf)
+        ManifestCommit.recordStats(s, leaf, Seq("o_orderkey"))
+      }
+      val rec = ManifestCommit.recordSchemaTable(s, rp)
+      require(rec.fieldNames.toSeq == Seq("o_orderkey", "o_custkey"),
+        s"pre-evolution table record: ${rec.simpleString}")
+      ManifestCommit.alterSchemaTable(s, rp, StructType(rec.fields :+
+        StructField("o_totalprice", DoubleType)))
+      ManifestCommit.stageAndPublish(s,
+        new org.apache.hadoop.fs.Path(root, "day=1"),
+        full.filter(col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + span).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")),
+        _ => true, statsCols = Seq("o_orderkey"))
+        .getOrElse(sys.error("evoTable: post-evolution publish rejected"))
+      root
     })
 
   /** Per-(process, sfDir) lake for q248: one DV delete, then a manifest
@@ -5780,6 +5845,20 @@ object OpsQueries {
          SELECT o_orderkey + span AS o_orderkey, o_custkey, o_totalprice
          FROM orders, s WHERE o_orderkey BETWEEN ulo AND uhi
          ORDER BY o_orderkey""",
+    // the multi-leaf evolved table: every pre-evolution row (both day
+    // leaves) NULLs the new column; the day=1 post-evolution batch
+    // (keys % 5 = 0, shifted) carries it verbatim
+    "q261_evolved_table" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders)
+         SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+           o_orderkey % 2 + 1 AS day
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + khi - klo + 1000000 AS o_orderkey, o_custkey,
+           o_totalprice, CAST(1 AS BIGINT) AS day
+         FROM orders, b WHERE o_orderkey % 5 = 0
+         ORDER BY o_orderkey, day""",
     // the upsert lake's commit history: bootstrap append, stats meta,
     // the one-commit MERGE (files + sidecars), post-merge stats meta
     "q256_table_history" ->
