@@ -2246,6 +2246,56 @@ object OpsQueries {
   private val replLakes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-(process, sfDir) Hive-partitioned lake for q264: orders split
+    * `day = o_orderkey % 2 + 1`, the table-level consumer cursor taken
+    * at the recorded baseline, then one delta — an insert batch into
+    * day=1 (even keys % 5 = 0, shifted, price doubled) and a
+    * merge-on-read DV delete in day=2 (the box range) — so the
+    * TABLE-level streaming feed must surface exactly those
+    * inserts+deletes with their partition column attached. */
+  private[queries] final case class TableFeedLake(root: String,
+    cursors: Map[String, Long])
+
+  private val tfLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, TableFeedLake]()
+
+  private[queries] def ensureTableFeedLake(s: SparkSession,
+      d: String): TableFeedLake =
+    tfLakes.computeIfAbsent(d, _ => {
+      import graft.lake.{ChangeFeed, ManifestCommit}
+      val o = Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (dlo, dhi) = boxRange(klo, khi)
+      val span = khi - klo + 1000000L
+      val root = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_tflake_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      o.withColumn("day", (col("o_orderkey") % 2 + 1).cast("int"))
+        .write.partitionBy("day").parquet(root)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(1, 2).foreach { m =>
+        val leaf = new org.apache.hadoop.fs.Path(s"$root/day=$m")
+        ManifestCommit.bootstrap(fs, leaf)
+        ManifestCommit.recordStats(s, leaf, Seq("o_orderkey"))
+      }
+      val cursors = ChangeFeed.tableCursors(s, root)
+      ManifestCommit.stageAndPublish(s,
+        new org.apache.hadoop.fs.Path(s"$root/day=1"),
+        o.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 5 === 0)
+          .select((col("o_orderkey") + span).as("o_orderkey"),
+            col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice")),
+        _ => true, statsCols = Seq("o_orderkey"))
+        .getOrElse(sys.error("q264 publish failed"))
+      ManifestCommit.deleteWhereDV(s,
+        new org.apache.hadoop.fs.Path(s"$root/day=2"),
+        "o_orderkey", dlo, dhi)
+      TableFeedLake(root, cursors)
+    })
+
   private def ensureReplTable(s: SparkSession, d: String): String =
     replLakes.computeIfAbsent(d, _ => {
       import graft.lake.{ChangeFeed, ManifestCommit}

@@ -162,6 +162,36 @@ object StreamQueries {
       StreamingOps.streamFeedMaintain(s, cl.path, cl.basePath,
         cl.fromV, cl.toV)
     }),
+    // streaming materialized-JOIN-view maintenance: the stored
+    // orders ⋈ customer view — kept AS A MANIFEST LAKE — maintained
+    // from the DSv2 feed one commit per micro-batch through atomic
+    // merge-on-read applies (O(changed rows) written per batch, batch
+    // id = the view lake's txn watermark, so restart is exactly-once);
+    // equals the batch q234 maintenance and the full join recompute
+    "q263_stream_join_maintain" -> ((s, d) => {
+      val cl = OpsQueries.ensureCdfLake(s, d)
+      StreamingOps.streamFeedJoinMaintain(s, cl.path, cl.fromV,
+          baseView = s.read.parquet(cl.joinPath),
+          dim = graft.Tables(s, d, "customer").select(
+            col("c_custkey").as("o_custkey"),
+            col("c_name"), col("c_mktsegment")),
+          joinKey = "o_custkey", rowKey = "o_orderkey",
+          viewPath = s"${cl.path}-joinview", appId = "q263")
+        .orderBy("o_orderkey")
+    }),
+    // TABLE-level streaming change feed over a Hive-partitioned lake:
+    // one FeedSource per leaf in ONE query (per-leaf offsets), the
+    // partition column riding as a path-parsed literal — the insert
+    // batch surfaces from day=1, the DV delete's rows from day=2,
+    // untouched history nothing
+    "q264_stream_table_feed" -> ((s, d) => {
+      val tf = OpsQueries.ensureTableFeedLake(s, d)
+      StreamingOps.streamFeedTable(s, tf.root, tf.cursors)
+        .select(col("_change_type").as("change_type"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          col("day").cast("long").as("day"))
+        .orderBy("change_type", "o_orderkey")
+    }),
     // streaming ingest adopted into the manifest lake with stats; the
     // manifest-resolved read equals the source table
     "q167_stream_manifest" -> ((s, d) => {
@@ -313,6 +343,26 @@ object StreamQueries {
     "q175_stream_bitmap" -> OpsQueries.oracles("q162_bitmap_segments"),
     // streaming == batch maintenance from the same feed
     "q205_stream_feed_maintain" -> OpsQueries.oracles("q197_incremental_agg"),
+    // streaming == batch JOIN-view maintenance == the full recompute
+    "q263_stream_join_maintain" -> OpsQueries.oracles("q234_incremental_join"),
+    // the table-level feed's delta: inserts from the day=1 batch,
+    // deletes from day=2's box-range DV delete, partition col attached
+    "q264_stream_table_feed" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         s AS (SELECT klo + (khi - klo) // 4 AS dlo,
+             klo + (khi - klo) // 2 AS dhi,
+             khi - klo + 1000000 AS span FROM b)
+         SELECT 'insert' AS change_type, o_orderkey + span AS o_orderkey,
+           o_custkey, o_totalprice * 2 AS o_totalprice,
+           CAST(1 AS BIGINT) AS day
+         FROM orders, s WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
+         UNION ALL
+         SELECT 'delete' AS change_type, o_orderkey, o_custkey,
+           o_totalprice, CAST(2 AS BIGINT) AS day
+         FROM orders, s
+         WHERE o_orderkey % 2 = 1 AND o_orderkey BETWEEN dlo AND dhi
+         ORDER BY change_type, o_orderkey""",
     // the DSv2 stream's collected rows == the batch change feed
     "q210_feed_source" -> OpsQueries.oracles("q196_change_feed"),
     // the q34 gap-session chain under native interval-merge semantics

@@ -1070,7 +1070,14 @@ object StreamingOps {
     * proves it by replaying the whole stream against a fresh
     * checkpoint and requiring the replica unchanged. The composition
     * a CDC consumer standing up against a 100 TB merge-on-read table
-    * actually runs: no applyDvs/compact, no separate batch sync job. */
+    * actually runs: no applyDvs/compact, no separate batch sync job.
+    *
+    * Contract: `keyCol` must be UNIQUE in the source — the increment
+    * batches apply through [[graft.lake.ManifestCommit.applyChangesDV]]
+    * key-replacement, exactly as in
+    * [[graft.lake.ChangeFeed.replicateTable]] (whose scaladoc states
+    * the same precondition). The snapshot batch itself (pure inserts)
+    * does not impose it. */
   def streamReplicateBootstrap(spark: SparkSession, srcPath: String,
       dstPath: String, keyCol: String, appId: String): DataFrame = {
     import graft.lake.ManifestCommit
@@ -1267,6 +1274,117 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
     spark.read.parquet(s"$stateDir/v${cur.get}")
+  }
+
+  /** TABLE-level streaming change feed over a Hive-partitioned lake —
+    * [[graft.lake.ChangeFeed.changeFeedTable]]'s streaming twin: ONE
+    * structured-streaming query with one [[graft.sources.FeedSource]]
+    * per leaf partition (each leaf's commit log is its own source with
+    * its own checkpointed offset), partition-column values riding as
+    * literals parsed from the leaf path, all unioned into a single
+    * feed relation. Untouched leaves cost one manifest GET per
+    * micro-batch planning round and contribute nothing — at thousands
+    * of day partitions with a handful changed, that is the point of
+    * consuming from the log. `cursors` is the consumer bookmark
+    * ([[graft.lake.ChangeFeed.tableCursors]]). */
+  def streamFeedTable(spark: SparkSession, tableRoot: String,
+      cursors: Map[String, Long]): DataFrame = {
+    val name = "stream_feedtbl_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val streams = cursors.toSeq.sortBy(_._1).map { case (rel, v) =>
+      val leafPath =
+        if (rel == ".") tableRoot else s"$tableRoot/$rel"
+      val base = ss.readStream.format("graft.sources.FeedSource")
+        .option("path", leafPath)
+        .option("fromVersion", v.toString)
+        .load()
+      rel.split("/").filter(s => s.nonEmpty && s.contains("="))
+        .foldLeft(base) { (df, seg) =>
+          val Array(c, value) = seg.split("=", 2)
+          df.withColumn(c, lit(value.toInt))
+        }
+    }
+    streams.reduce(_ unionByName _)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.table(name)
+  }
+
+  /** STREAMING materialized-JOIN-view maintenance — the q234 batch
+    * maintenance as a production CDC job: the
+    * [[graft.sources.FeedSource]] stream tails the FACT table's commit
+    * log one commit per micro-batch, and each batch lands on the view
+    * stored AS A MANIFEST LAKE through ONE atomic merge-on-read commit
+    * ([[graft.lake.ManifestCommit.applyChangesDV]]): the last change
+    * per touched `rowKey` wins within the batch, insert rows re-enter
+    * through one join against the (broadcast) dim delta, deleted keys
+    * leave by positional sidecar. Write amplification is O(changed
+    * rows) per commit — the corpus-sized view is never rewritten
+    * (where a parquet-state-per-version design would copy the WHOLE
+    * view every batch) — and the batch id rides as the view lake's txn
+    * watermark, so a replayed micro-batch no-ops: restart is
+    * exactly-once with no side bookkeeping. Only a cold start pays the
+    * base join (`baseView`, clustered on `rowKey` with recorded
+    * stats+schema). Inductively equal to the full join recompute at
+    * the head — q263 shares q234's oracle. Contract: `rowKey` unique
+    * per view row (one fact row per key), as in
+    * [[graft.lake.ChangeFeed.maintainJoin]]. */
+  def streamFeedJoinMaintain(spark: SparkSession, tablePath: String,
+      fromV: Long, baseView: DataFrame, dim: DataFrame,
+      joinKey: String, rowKey: String, viewPath: String,
+      appId: String): DataFrame = {
+    import graft.lake.ManifestCommit
+    val dst = new org.apache.hadoop.fs.Path(viewPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dimPath = s"$viewPath-dim"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dimPath)))
+      dim.write.parquet(dimPath)
+    if (!fs.exists(dst)) {
+      graft.ops.Layout.writeLinear(baseView, col(rowKey), viewPath, 8)
+      ManifestCommit.bootstrap(fs, dst)
+      ManifestCommit.recordStats(spark, dst, Seq(rowKey))
+      ManifestCommit.recordSchema(spark, dst)
+    }
+    val viewCols = baseView.columns.toSeq
+    def applyBatch(b: DataFrame, batchId: Long): Unit = {
+      if (b.head(1).isEmpty) return // meta/compaction commits plan nothing
+      // last change per touched key wins within the batch (an upsert's
+      // same-version insert beats its delete) — maintainJoin's netting
+      val last = b.groupBy(col(rowKey))
+        .agg(max_by(struct(b.columns.map(col): _*),
+          struct(col("_commit_version"),
+            when(col("_change_type") === "insert", lit(1)).otherwise(lit(0))
+              .as("ins"))).as("s"))
+        .select(col("s.*"))
+      val ins = last.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      val joined = b.sparkSession.read.parquet(dimPath)
+        .join(org.apache.spark.sql.functions.broadcast(ins), joinKey)
+        .select(viewCols.map(col): _*)
+      ManifestCommit.applyChangesDV(spark, dst, rowKey,
+        inserts = joined,
+        deleteKeys = last.filter(col("_change_type") === "delete")
+          .select(col(rowKey)),
+        statsCols = Seq(rowKey), txn = Some((appId, batchId)))
+      ()
+    }
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.readStream.format("graft.sources.FeedSource")
+      .option("path", tablePath)
+      .option("fromVersion", fromV.toString)
+      .option("maxCommitsPerBatch", "1")
+      .load()
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch(applyBatch _)
+      .option("checkpointLocation", s"$viewPath-checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ManifestCommit.readTableDV(spark, viewPath)
   }
 
   /** STREAMING ANN-index maintenance — [[streamFeedIndexMaintain]]'s
