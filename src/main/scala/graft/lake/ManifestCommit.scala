@@ -1572,6 +1572,48 @@ object ManifestCommit {
     }
   }
 
+  /** Merge the partition's ACTIVE deletion-vector sidecars into ONE —
+    * sidecar METADATA compaction, the cheap sibling of [[applyDvs]]:
+    * every merge-on-read read unions all active sidecars, so after k
+    * targeted deletes each scan opens k sidecar files; this rewrites
+    * ONLY the sidecars (O(deleted rows) bytes — no data file moves, no
+    * row-level anti-join) into one file-sorted parquet and swaps the
+    * active set in one commit. The swap commits as [[KindMeta]] (no
+    * logical row moved — a feed must not replay it) with an
+    * `expectedDvs` guard, so a delete that raced in a new sidecar
+    * aborts the swap (return 0: rerun) rather than being dropped; the
+    * consumed sidecars are tombstoned for [[gc]]. Returns the number
+    * of sidecars merged (0 = raced or nothing to do). */
+  def compactDvs(spark: SparkSession, partition: Path): Int = {
+    import org.apache.spark.sql.functions.col
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvs = currentDvs(fs, partition)
+    if (dvs.size <= 1) return 0
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staged = new Path(partition, s"._dvc-$runId")
+    spark.read.parquet(dvs.map(n => new Path(partition, n).toString): _*)
+      .select(col("file"), col("pos"))
+      .sort("file", "pos") // footer-stat planning, as in deleteWhereDV
+      .write.parquet(staged.toString)
+    val produced = fs.listStatus(staged).toIndexedSeq
+      .filter(st => !st.isDirectory && isDataFile(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val name = s"$DvPrefix$runId-part$i.parquet"
+        require(fs.rename(st.getPath, new Path(partition, name)),
+          s"compactDvs: cannot move ${st.getPath} into $partition")
+        name
+      }
+    fs.delete(staged, true)
+    replaceFiles(fs, partition, Set.empty, Nil, kind = KindMeta,
+        dvs = Some(produced), expectedDvs = Some(dvs)) match {
+      case Some(_) => dvs.size
+      case None =>
+        produced.foreach(n => fs.delete(new Path(partition, n), false))
+        0 // a concurrent delete/rewrite changed the active set: rerun
+    }
+  }
+
   /** Subtract the positions ALREADY listed by the partition's active
     * sidecars from a freshly-scanned (file, pos) relation: every
     * position enters at most ONE sidecar, so deleted-row counts stay

@@ -1357,6 +1357,15 @@ object OpsQueries {
       graft.lake.ManifestCommit.readTableAt(s, dv.path, dv.feedTo - 1)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // sidecar METADATA compaction: k active sidecars merge into ONE
+    // file-sorted parquet in a KindMeta commit (no data file moves, the
+    // feed ignores it, expectedDvs guards racing deletes) — every later
+    // merge-on-read scan opens one sidecar instead of k, and the
+    // logical relation is unchanged
+    "q265_dv_sidecar_compact" -> ((s, d) =>
+      graft.lake.ManifestCommit.readTableDV(s,
+          ensureDvSidecarCompactLake(s, d))
+        .orderBy("l_orderkey", "l_linenumber")),
     // copy-on-write conversion: ONE rewrite of only the sidecar-named
     // files amortizes both dv deletes; afterwards the PLAIN manifest
     // read serves the post-delete table and the anti-join cost is gone.
@@ -2232,6 +2241,43 @@ object OpsQueries {
       ManifestCommit.applyDvs(s, dir, Seq("l_orderkey"))
       require(ManifestCommit.currentDvs(fs, dir).isEmpty,
         "rewrite must clear every sidecar")
+      path
+    })
+
+  /** Per-(process, sfDir) lake for q265: the double DV delete followed
+    * by SIDECAR compaction ([[graft.lake.ManifestCommit.compactDvs]]) —
+    * two sidecars merge into one (metadata-only, no data file moves, a
+    * KindMeta commit the feed ignores) and the merge-on-read read must
+    * be unchanged. Its own lake (q239's applyDvs precedent: fixtures
+    * that mutate must own their lake). */
+  private val dvcpLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureDvSidecarCompactLake(s: SparkSession,
+      d: String): String =
+    dvcpLakes.computeIfAbsent(d, _ => {
+      import graft.lake.ManifestCommit
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity")
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val (lo1, hi1) = boxRange(klo, khi)
+      val (lo2, hi2) = (klo + 3 * (khi - klo) / 5, klo + 7 * (khi - klo) / 10)
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dvcplake_qch7dwoux1_" +
+          s"${ProcessHandle.current().pid()}/${new java.io.File(d).getName}"
+      Layout.writeLinear(li, col("l_orderkey"), path, 16)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      ManifestCommit.bootstrap(fs, dir)
+      ManifestCommit.recordStats(s, dir, Seq("l_orderkey"))
+      val (_, n1) = ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo1, hi1)
+      val (_, n2) = ManifestCommit.deleteWhereDV(s, dir, "l_orderkey", lo2, hi2)
+      require(n1 > 0 && n2 > 0, "both dv deletes must hit rows")
+      val merged = ManifestCommit.compactDvs(s, dir)
+      require(merged >= 2, s"expected >= 2 sidecars merged, got $merged")
+      require(ManifestCommit.currentDvs(fs, dir).size == 1,
+        "compaction must leave exactly one active sidecar")
       path
     })
 
@@ -5781,6 +5827,18 @@ object OpsQueries {
          FROM lineitem, b
          WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
              AND klo + (khi - klo) // 2
+         ORDER BY l_orderkey, l_linenumber""",
+    // post-sidecar-compaction the logical relation is unchanged:
+    // q238's double anti-range verbatim
+    "q265_dv_sidecar_compact" ->
+      """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem, b
+         WHERE l_orderkey NOT BETWEEN klo + (khi - klo) // 4
+             AND klo + (khi - klo) // 2
+           AND l_orderkey NOT BETWEEN klo + 3 * (khi - klo) // 5
+             AND klo + 7 * (khi - klo) // 10
          ORDER BY l_orderkey, l_linenumber""",
     "q239_dv_rewrite" ->
       """WITH b AS (SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi

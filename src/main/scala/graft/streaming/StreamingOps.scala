@@ -1286,9 +1286,24 @@ object StreamingOps {
     * micro-batch planning round and contribute nothing — at thousands
     * of day partitions with a handful changed, that is the point of
     * consuming from the log. `cursors` is the consumer bookmark
-    * ([[graft.lake.ChangeFeed.tableCursors]]). */
+    * ([[graft.lake.ChangeFeed.tableCursors]]).
+    *
+    * Leaves BORN after the bookmark refuse loudly: a running query's
+    * source set is fixed at start, so a new partition cannot join it —
+    * silently omitting it would ship an incomplete feed (the one
+    * unacceptable outcome). Restart with refreshed cursors; the batch
+    * [[graft.lake.ChangeFeed.changeFeedTable]] replays born leaves
+    * whole on the next sync either way. */
   def streamFeedTable(spark: SparkSession, tableRoot: String,
       cursors: Map[String, Long]): DataFrame = {
+    val live = graft.lake.ChangeFeed.tableCursors(spark, tableRoot).keySet
+    val born = live -- cursors.keySet
+    require(born.isEmpty,
+      s"streamFeedTable: leaf partition(s) ${born.mkString(", ")} of " +
+        s"$tableRoot were born after the consumer bookmark — restart " +
+        "the query with refreshed tableCursors (a fixed source set " +
+        "cannot grow mid-stream, and omitting a leaf would ship an " +
+        "incomplete feed)")
     val name = "stream_feedtbl_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ss = spark.newSession()

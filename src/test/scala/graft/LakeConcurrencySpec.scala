@@ -102,6 +102,17 @@ class LakeConcurrencySpec extends SparkSpec {
         Thread.sleep(120)
       }
     }
+    // sidecar METADATA compactor: merges whatever active sidecars it
+    // observes; expectedDvs aborts it (returns 0) when a racing delete
+    // lands a new sidecar mid-swap — a dropped sidecar would resurrect
+    // its deleted rows, which the final-state check would catch
+    val dvCompactor = thread("dv-compactor") {
+      (0 until nOps).foreach { _ =>
+        try { ManifestCommit.compactDvs(spark, dir); () }
+        catch { case _: RuntimeException => () }
+        Thread.sleep(140)
+      }
+    }
     // CDC applier on its OWN key domain (the applyChangesDV single-
     // writer-per-domain contract): repeatedly replaces keys 200000..
     // 200049 — the LAST round's values must be the final state, and
@@ -137,8 +148,8 @@ class LakeConcurrencySpec extends SparkSpec {
         Thread.sleep(150)
       }
     }
-    Seq(appender, deleter, compactor, dvApplier, upserter, replicator)
-      .foreach(_.join(600000))
+    Seq(appender, deleter, compactor, dvApplier, dvCompactor, replicator,
+      upserter).foreach(_.join(600000))
     assert(errors.isEmpty, s"worker failures: ${errors.size} — " +
       errors.peek())
 
