@@ -281,6 +281,38 @@ class FeedSourceSpec extends SparkSpec {
       "upserted values must replace the bootstrapped versions")
   }
 
+  test("streamFeedTable: a leaf born after the bookmark refuses loudly " +
+      "instead of shipping an incomplete feed") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-feedtbl").toString + "/t"
+    spark.range(20).select($"id".as("k"), ($"id" * 2).as("v"),
+        ($"id" % 2 + 1).cast("int").as("day"))
+      .write.partitionBy("day").parquet(root)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cursors = ChangeFeed.tableCursors(spark, root)
+    assert(cursors.keySet == Set("day=1", "day=2"))
+    // a partition born AFTER the bookmark: the fixed source set cannot
+    // cover it — the stream must refuse, naming the repair
+    spark.range(5).select(($"id" + 100).as("k"), ($"id" * 2).as("v"))
+      .write.parquet(s"$root/day=3")
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.streamFeedTable(spark, root, cursors))
+    assert(e.getMessage.contains("day=3") &&
+      e.getMessage.contains("refreshed tableCursors"), e.getMessage)
+    // with refreshed cursors (day=3 pinned as consumed) plus a delta in
+    // day=1, the table stream surfaces exactly the delta with its
+    // partition column
+    val cursors2 = ChangeFeed.tableCursors(spark, root)
+    ManifestCommit.stageAndPublish(spark, new Path(s"$root/day=1"),
+      Seq((500L, 0L)).toDF("k", "v"), _ => true)
+      .getOrElse(fail("publish"))
+    val got = StreamingOps.streamFeedTable(spark, root, cursors2)
+      .select($"k", $"_change_type", $"day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((500L, ChangeFeed.Insert, 1)), s"got=$got")
+  }
+
   test("streaming across an additive evolution: pre-evolution files " +
       "read NULL for the new column, never brick") {
     val dir = new Path(
