@@ -1387,18 +1387,26 @@ object StreamingOps {
         statsCols = Seq(rowKey), txn = Some((appId, batchId)))
       ()
     }
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.readStream.format("graft.sources.FeedSource")
-      .option("path", tablePath)
-      .option("fromVersion", fromV.toString)
-      .option("maxCommitsPerBatch", "1")
-      .load()
-      .writeStream.outputMode(OutputMode.Append)
-      .foreachBatch(applyBatch _)
-      .option("checkpointLocation", s"$viewPath-checkpoint")
-      .trigger(Trigger.AvailableNow()).start()
-      .awaitTermination()
+    def runOnce(checkpoint: String): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.readStream.format("graft.sources.FeedSource")
+        .option("path", tablePath)
+        .option("fromVersion", fromV.toString)
+        .option("maxCommitsPerBatch", "1")
+        .load()
+        .writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    runOnce(s"$viewPath-checkpoint")
+    // total checkpoint loss: every batch re-delivers against the LIVE
+    // view; the txn watermark alone must suppress each one (a
+    // double-apply would re-delete and re-insert rows — the oracle
+    // would hash-mismatch)
+    runOnce(s"$viewPath-checkpoint-replay")
     ManifestCommit.readTableDV(spark, viewPath)
   }
 

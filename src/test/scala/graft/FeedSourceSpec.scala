@@ -281,6 +281,47 @@ class FeedSourceSpec extends SparkSpec {
       "upserted values must replace the bootstrapped versions")
   }
 
+  test("streamFeedJoinMaintain: per-batch applies are merge-on-read " +
+      "commits (base view never rewritten), exactly-once under replay") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-joinview").toString
+    val fact = new Path(s"$root/fact")
+    val fs = fact.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dim = (0L until 5L).map(g => (g, s"name$g")).toDF("g", "g_name")
+    Layout.writeLinear(rows(0), col("k"), fact.toString, 4)
+    ManifestCommit.bootstrap(fs, fact)
+    val v0 = ManifestCommit.recordStats(spark, fact, Seq("k")).version
+    val baseView = rows(0).join(dim, "g").select("k", "g", "v", "g_name")
+    // deltas: an append, a key-replacing upsert, a DV delete
+    ManifestCommit.stageAndPublish(spark, fact, rows(1), _ => true,
+      statsCols = Seq("k")).getOrElse(fail("publish"))
+    ManifestCommit.upsertDV(spark, fact, "k",
+      rows(0).filter($"k".between(5, 9)).select($"k", $"g",
+        ($"v" + 700L).as("v")), Seq("k"))
+    ManifestCommit.deleteWhereDV(spark, fact, "k", 20L, 24L)
+    val got = StreamingOps.streamFeedJoinMaintain(spark, fact.toString,
+      v0, baseView, dim, joinKey = "g", rowKey = "k",
+      viewPath = s"$root/view", appId = "jv-spec")
+    // the maintained view == the full join recompute at the head (the
+    // op itself already replayed the stream against a fresh checkpoint
+    // — a watermark failure would double-apply and diverge here)
+    val want = ManifestCommit.readTableDV(spark, fact.toString)
+      .join(dim, "g").select("k", "g", "v", "g_name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.select("k", "g", "v", "g_name")
+      .collect().map(_.toString).sorted.toSeq == want)
+    assert(got.filter($"k".between(5, 9) && $"v" < 700).isEmpty,
+      "upserted rows must replace their base versions")
+    // write-amplification shape: every post-load commit on the VIEW
+    // lake is a merge-on-read apply — the base view's files are never
+    // consumed by a rewrite (n_removed = 0 on every upsert commit)
+    val hist = ManifestCommit.history(spark, new Path(s"$root/view"))
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(hist.exists(_._1 == "upsert"), s"history: ${hist.toSeq}")
+    assert(hist.filter(_._1 == "upsert").forall(_._2 == 0L),
+      s"an upsert commit consumed base files: ${hist.toSeq}")
+  }
+
   test("streamFeedTable: a leaf born after the bookmark refuses loudly " +
       "instead of shipping an incomplete feed") {
     import graft.streaming.StreamingOps
