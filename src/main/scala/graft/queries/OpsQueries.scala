@@ -2276,8 +2276,13 @@ object OpsQueries {
       require(n1 > 0 && n2 > 0, "both dv deletes must hit rows")
       val merged = ManifestCommit.compactDvs(s, dir)
       require(merged >= 2, s"expected >= 2 sidecars merged, got $merged")
-      require(ManifestCommit.currentDvs(fs, dir).size == 1,
-        "compaction must leave exactly one active sidecar")
+      // the sorted rewrite emits one part per non-empty range partition
+      // (AQE coalesces these KB-scale sidecars to one; at production
+      // scale a handful of 128 MB parts is the desired shape) — the
+      // invariant is FEWER opens than the k input sidecars
+      val after = ManifestCommit.currentDvs(fs, dir).size
+      require(after < merged,
+        s"compaction must shrink the active set: $merged -> $after")
       path
     })
 
