@@ -825,6 +825,11 @@ object ManifestCommit {
           schemaJson = schemaJson.orElse(head.schemaJson)))
         return Snapshot(snap.version + 1, live)
       attempt += 1
+      // progressive backoff: under N-way contention an immediate-retry
+      // loop can lose 50 straight races (every attempt re-LISTs and
+      // re-parses, so the fastest loser retries in lockstep with the
+      // next winner); a short growing sleep staggers the herd
+      Thread.sleep(math.min(200L, 5L * attempt))
     }
     sys.error(s"manifest append: $maxAttempts straight commit conflicts on $partition")
   }
@@ -909,6 +914,7 @@ object ManifestCommit {
           schemaJson = schemaJson.orElse(head.schemaJson)))
         return Some(Snapshot(snap.version + 1, live))
       attempt += 1
+      Thread.sleep(math.min(200L, 5L * attempt)) // stagger the herd
     }
     sys.error(s"manifest replace: $maxAttempts straight commit conflicts on $partition")
   }

@@ -51,7 +51,10 @@ class LakeConcurrencySpec extends SparkSpec {
           case e: RuntimeException
               if attempts < 30 && e.getMessage != null &&
                 (e.getMessage.contains("retry") ||
-                  e.getMessage.contains("rerun")) =>
+                  e.getMessage.contains("rerun") ||
+                  // attempt-budget exhaustion under the deliberate
+                  // 7-way contention is transient, not a lost commit
+                  e.getMessage.contains("straight commit conflicts")) =>
             Thread.sleep(50L * attempts)
           case e: Throwable =>
             errors.add(new RuntimeException(s"$what: ${e.getMessage}", e))
