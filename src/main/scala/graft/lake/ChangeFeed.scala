@@ -345,7 +345,18 @@ object ChangeFeed {
         val tasks: Seq[java.util.concurrent.Callable[(String, Long, Long, Boolean)]] =
           parts.map(dir =>
             (() => replicateLeaf(dir)): java.util.concurrent.Callable[(String, Long, Long, Boolean)])
-        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map { f =>
+          // rethrow the leaf's ORIGINAL exception, not the pool's
+          // ExecutionException wrapper — callers (and the concurrency
+          // spec) pattern-match on the leaf's error type for retry,
+          // and that contract must not change with leaf count
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException
+                if e.getCause != null =>
+              throw e.getCause
+          }
+        }
       } finally pool.shutdown()
     }
   }

@@ -1301,11 +1301,20 @@ object ManifestCommit {
     // sweep `.torn-*` aside files: a reclaimer that crashed between its
     // rename-aside and the aside delete leaves one — hidden (never a
     // version, never read), but the log checkpoint is where metadata
-    // residue goes to die
-    if (fs.exists(logDir(partition)))
+    // residue goes to die. Age-gated on mtime: a LIVE reclaimer holds
+    // its aside only for the rename→re-parse→restore window
+    // (microseconds; a GC pause stretches it, never past the grace),
+    // and deleting a live aside that holds a just-recreated VALID
+    // commit would destroy the very bytes the reclaim's restore layer
+    // protects. Only residue older than the grace is a crashed
+    // reclaimer's.
+    if (fs.exists(logDir(partition))) {
+      val cutoff = System.currentTimeMillis() - TornSlotGraceMs
       fs.listStatus(logDir(partition)).toIndexedSeq
-        .filter(_.getPath.getName.startsWith(".torn-"))
+        .filter(st => st.getPath.getName.startsWith(".torn-") &&
+          st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, false))
+    }
     pruned
   }
 

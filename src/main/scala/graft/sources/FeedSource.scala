@@ -145,6 +145,32 @@ object FeedSource {
     Some(ranges.result())
   }
 
+  /** Distinct `file` values of a stats-free LEGACY sidecar set, read
+    * DRIVER-side through the plain parquet Group API. Sidecars are
+    * KB–MB metadata objects (one row per deleted position, two scalar
+    * columns), and micro-batch planning must NEVER schedule a Spark
+    * job — the distributed `distinct().collect()` this replaces cost
+    * one job per micro-batch on legacy tables. Sidecars this code
+    * writes carry footer stats and take the zero-IO
+    * [[sidecarNameRanges]] path instead. */
+  private[sources] def sidecarFileNamesDriverSide(
+      conf: org.apache.hadoop.conf.Configuration,
+      sidecars: Seq[String]): Set[String] = {
+    val out = Set.newBuilder[String]
+    sidecars.foreach { sc =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(sc))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          out += g.getString("file", 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    out.result()
+  }
+
   private[sources] def fullSchema(path: String): StructType = {
     require(path != null, "graft-feed: 'path' option is required")
     val spark = SparkSession.active
@@ -247,14 +273,37 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
       end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FeedOffset].version,
       end.asInstanceOf[FeedOffset].version)
+    FeedPlanner.planLeafRange(fs, dir, s, e)
+      .map(p => p: InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(tableSchema,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] object FeedPlanner {
+  /** Plan ONE leaf's micro-batch `(s, e]` — or, when `s` is
+    * [[FeedSource.BootstrapOffset]], the bootstrap snapshot at `e`.
+    * Shared by the per-leaf [[FeedStream]] and the table-level
+    * [[TableFeedStream]]. ZERO Spark jobs on every path: planning
+    * resolves DV-touched files from sidecar footer stats, or a
+    * driver-side read of a KB-scale legacy sidecar. */
+  def planLeafRange(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      s: Long, e: Long): Seq[FeedFilePartition] = {
     // bootstrap batch: the committed snapshot AT the pinned end version
     // — every live file's rows as inserts, no commit walk (ancient
     // history the feed cannot replay is netted into the snapshot)
     // which data files a sidecar set MAY reference: the sidecars'
     // footer-stat name ranges (zero Spark jobs — per-micro-batch
     // planning must not schedule work) intersected with the given
-    // candidate names; a legacy stats-free sidecar falls back to ONE
-    // distributed distinct. The ranges give a SUPERSET (a row group
+    // candidate names; a legacy stats-free sidecar falls back to a
+    // DRIVER-side read of the sidecar parquet (KB–MB metadata — still
+    // no job). The ranges give a SUPERSET (a row group
     // can span files) — safe, because a planned reader that loads an
     // empty position set no-ops without opening its data file. Either
     // way the driver holds only NAMES — O(files in the commit), never
@@ -263,14 +312,16 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
     // so a GDPR-scale delete commit (billions of positions) rides
     // neither the driver nor the task-serialization path.
     def dvTouchedFiles(sidecars: Seq[String],
-        candidates: Seq[String]): Seq[String] =
-      FeedSource.sidecarNameRanges(
-        SparkSession.active.sessionState.newHadoopConf(), sidecars) match {
+        candidates: Seq[String]): Seq[String] = {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      FeedSource.sidecarNameRanges(conf, sidecars) match {
         case Some(rs) =>
           candidates.filter(n => rs.exists(r => n >= r._1 && n <= r._2))
-        case None => SparkSession.active.read.parquet(sidecars: _*)
-          .select("file").distinct().collect().map(_.getString(0)).toSeq
+        case None =>
+          val names = FeedSource.sidecarFileNamesDriverSide(conf, sidecars)
+          candidates.filter(names)
       }
+    }
     if (s == FeedSource.BootstrapOffset) {
       val snap = ManifestCommit.snapshotAt(fs, dir, e).getOrElse(
         sys.error(s"graft-feed: bootstrap version $e of $dir pruned " +
@@ -289,12 +340,12 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
       return snap.files.map(n => FeedFilePartition(
         new Path(dir, n).toString, ChangeFeed.Insert, e, None,
         dvSidecars = if (touched.contains(n)) dvPaths else Nil,
-        dvKeep = false): InputPartition).toArray
+        dvKeep = false))
     }
     // merge-on-read delete positions: one partition per sidecar-NAMED
     // data file, carrying the sidecar paths — the reader loads only its
     // own file's positions from the sidecar parquet, executor-side
-    def dvPartitions(c: ManifestCommit.CommitInfo): Seq[InputPartition] = {
+    def dvPartitions(c: ManifestCommit.CommitInfo): Seq[FeedFilePartition] = {
       val sidecars = c.addedDvs.map(n => new Path(dir, n).toString)
       dvTouchedFiles(sidecars, c.liveNames).map { f =>
         FeedFilePartition(new Path(dir, f).toString,
@@ -329,22 +380,14 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
           // inserts, the added sidecars' positions as deletes
           c.added.map(n => FeedFilePartition(
             new Path(dir, n).toString, ChangeFeed.Insert, c.version,
-            None): InputPartition) ++
+            None)) ++
             (if (c.addedDvs.isEmpty) Nil else dvPartitions(c))
         case other => sys.error(
           s"graft-feed: commit v${c.version} of $dir has kind '$other' " +
             "— pre-tag history cannot be streamed, full resync required")
       }
-    }.toArray
+    }.toSeq
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(tableSchema,
-      new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 /** One delta file to read. `dvSidecars` (absolute sidecar parquet

@@ -179,6 +179,64 @@ class FeedSourceSpec extends SparkSpec {
     assert(got == (0L until 20000L).map((_, ChangeFeed.Delete)).toSet)
   }
 
+  test("legacy stats-free sidecar: planning stays job-free through the " +
+      "driver-side sidecar read, replay stays exact") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-feedlegacy").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 4)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(spark, dir, Seq("k"))
+    ManifestCommit.recordSchema(spark, dir)
+    val v0 = ManifestCommit.currentSnapshot(fs, dir).get.version
+    val (_, nDel) = ManifestCommit.deleteWhereDV(spark, dir, "k", 10L, 19L)
+    assert(nDel == 10L)
+    val head = ManifestCommit.currentSnapshot(fs, dir).get.version
+    // forge a LEGACY sidecar: rewrite it in place with parquet column
+    // statistics disabled, so sidecarNameRanges has no footer bounds
+    // and planning must take the stats-free fallback
+    val scName = ManifestCommit.currentDvs(fs, dir).head
+    val sc = new Path(dir, scName)
+    val tmp = new Path(dir.getParent, "scrub")
+    spark.read.parquet(sc.toString)
+      .coalesce(1).sortWithinPartitions("file", "pos")
+      .write.option("parquet.column.statistics.enabled", "false")
+      .parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file in scrub dir"))
+    assert(fs.delete(sc, false) && fs.rename(part, sc))
+    val conf = spark.sessionState.newHadoopConf()
+    assert(graft.sources.FeedSource
+        .sidecarNameRanges(conf, Seq(sc.toString)).isEmpty,
+      "forged sidecar still carries file stats — the legacy fallback " +
+        "is not being exercised")
+    // the fallback must not schedule a Spark job: micro-batch planning
+    // reads the KB-scale sidecar on the driver instead
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val parts =
+      try {
+        val p = graft.sources.FeedSource.describePlannedPartitions(
+          dir.toString, v0, head)
+        Thread.sleep(1000) // listener bus is async
+        p
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get == 0,
+      s"legacy-sidecar micro-batch planning ran ${jobs.get} job(s) — " +
+        "the stats-free fallback must read the sidecar driver-side")
+    assert(parts.nonEmpty && parts.forall(_._2 == ChangeFeed.Delete))
+    assert(collectFeed(dir.toString, v0) ==
+      (10L to 19L).map((_, ChangeFeed.Delete)).toSet)
+  }
+
   test("bootstrap composes active deletion vectors: the snapshot batch " +
       "equals the merge-on-read read, deleted rows never resurrect") {
     import graft.streaming.StreamingOps

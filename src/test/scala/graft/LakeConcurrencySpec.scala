@@ -41,6 +41,11 @@ class LakeConcurrencySpec extends SparkSpec {
 
     val nOps = 6
     val errors = new ConcurrentLinkedQueue[Throwable]()
+    // attempt-budget exhaustions retried as transient — COUNTED, so a
+    // regression reintroducing conflict-exhaustion livelock (the
+    // failure mode the commit-retry backoff fixes) fails the test
+    // instead of hiding behind up to 30 silent retries per op
+    val exhaustions = new java.util.concurrent.atomic.AtomicInteger(0)
     def retrying(what: String)(op: => Unit): Unit = {
       var attempts = 0
       var done = false
@@ -55,6 +60,8 @@ class LakeConcurrencySpec extends SparkSpec {
                   // attempt-budget exhaustion under the deliberate
                   // 7-way contention is transient, not a lost commit
                   e.getMessage.contains("straight commit conflicts")) =>
+            if (e.getMessage.contains("straight commit conflicts"))
+              exhaustions.incrementAndGet()
             Thread.sleep(50L * attempts)
           case e: Throwable =>
             errors.add(new RuntimeException(s"$what: ${e.getMessage}", e))
@@ -155,6 +162,13 @@ class LakeConcurrencySpec extends SparkSpec {
       upserter).foreach(_.join(600000))
     assert(errors.isEmpty, s"worker failures: ${errors.size} — " +
       errors.peek())
+    // the backoff keeps exhaustion RARE under this 7-way contention
+    // (measured: 0–2 per run); a livelock regression would blow past
+    // this bound instead of being silently absorbed by the retry loop
+    assert(exhaustions.get() <= 6,
+      s"${exhaustions.get()} attempt-budget exhaustions under " +
+        "contention — the commit-retry backoff has regressed toward " +
+        "conflict livelock")
 
     // the serial-replay expectation: initial ∪ appends − delete ranges,
     // regardless of interleaving
