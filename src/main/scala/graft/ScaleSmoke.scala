@@ -1084,6 +1084,93 @@ object ScaleSmoke {
       timeRepl("replicate_serial", 16, 1)
       timeRepl("replicate_pooled", 16, 8)
     }
+    // Netted multi-commit apply vs per-commit replay: the SAME k-commit
+    // backlog consumed by streamFeedIndexMaintain one-commit-per-batch
+    // (k micro-batches, k index applies) vs netted (ONE batch, one
+    // apply). Results are spec-pinned identical; the claim here is
+    // wall time — a consumer catching up on a backlog pays one index
+    // pass, not one per commit.
+    if (enabled("netbatch")) {
+      import graft.lake.ManifestCommit
+      def timeNb(label: String, commits: Int,
+          mc: Option[Long], silent: Boolean = false): Unit = {
+        val root = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_smoke_nb_${java.util.UUID.randomUUID().toString.take(8)}"
+        val tbl = new org.apache.hadoop.fs.Path(s"$root/tbl")
+        val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val docs = base.limit(4000).select(col("doc_id"), col("text"))
+        graft.ops.Layout.writeLinear(docs, col("doc_id"), tbl.toString, 4)
+        ManifestCommit.bootstrap(fs, tbl)
+        val v0 = ManifestCommit
+          .recordStats(spark, tbl, Seq("doc_id")).version
+        (0 until commits).foreach { i =>
+          ManifestCommit.upsertDV(spark, tbl, "doc_id",
+            docs.filter(col("doc_id") % commits === i).limit(50)
+              .select(col("doc_id"),
+                concat(lit(s"c$i "), col("text")).as("text")),
+            statsCols = Seq("doc_id"))
+        }
+        val t0 = System.nanoTime()
+        val buckets = graft.streaming.StreamingOps
+          .streamFeedIndexMaintain(spark, tbl.toString, v0,
+            indexStateDir = Some(s"$root/ix"), maxCommitsPerBatch = mc)
+          .count()
+        val t = (System.nanoTime() - t0) / 1e9
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        graft.ops.Dedup.releaseCaches()
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","commits":$commits,""" +
+            f""""buckets":$buckets,"catchup_sec":$t%.2f}""")
+      }
+      timeNb("warmup", 2, Some(1L), silent = true)
+      timeNb("netbatch_percommit", 8, Some(1L))
+      timeNb("netbatch_netted", 8, None)
+    }
+    // Table-level streaming feed at many leaves: L day-partitions with a
+    // delta in exactly TWO of them. The leaf-vector offset costs
+    // O(leaves) bytes and planning costs O(leaves) manifest GETs, while
+    // the fed ROWS stay flat — doubling the leaf count must not grow
+    // the feed, and the planning overhead per extra (untouched) leaf is
+    // one driver-side metadata read, never a Spark job.
+    if (enabled("tablefeed")) {
+      def timeTf(label: String, leaves: Int,
+          silent: Boolean = false): Unit = {
+        import graft.lake.{ChangeFeed, ManifestCommit}
+        val root = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_smoke_tf_${java.util.UUID.randomUUID().toString.take(8)}/t"
+        spark.range(leaves * 2000L).select(col("id").as("k"),
+            (col("id") * 3).as("v"),
+            (col("id") % leaves + 1).cast("int").as("day"))
+          .write.partitionBy("day").parquet(root)
+        val cursors = ChangeFeed.tableCursors(spark, root)
+        Seq(1, 2).foreach { d =>
+          ManifestCommit.stageAndPublish(spark,
+            new org.apache.hadoop.fs.Path(s"$root/day=$d"),
+            spark.range(500).select((col("id") + 10000000L * d).as("k"),
+              (col("id") * 3).as("v")),
+            _ => true, statsCols = Seq("k"))
+            .getOrElse(sys.error("smoke publish failed"))
+        }
+        val t0 = System.nanoTime()
+        val rows = graft.streaming.StreamingOps
+          .streamFeedTable(spark, root, cursors).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val offsetBytes = graft.sources.TableFeedSource
+          .cursorsJson(cursors).length
+        new org.apache.hadoop.fs.Path(root).getParent
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","leaves":$leaves,""" +
+            f""""feed_rows":$rows,"offset_bytes":$offsetBytes,""" +
+            f""""feed_sec":$t%.2f}""")
+      }
+      timeTf("warmup", 4, silent = true)
+      timeTf("tablefeed_64", 64)
+      timeTf("tablefeed_128", 128)
+    }
     spark.stop()
   }
 }

@@ -1283,11 +1283,81 @@ object ManifestCommit {
     * [[gc]] has of those files. Pruning SHRINKS the time-travel horizon
     * to the kept versions — call after [[gc]], with `keepLast` at least
     * the history depth readers still need. Returns pruned versions. */
+  /** Name of a consumer's retention-lease file inside the log dir.
+    * Dot-prefixed: never a version ([[versionOf]] ignores it), never
+    * swept by the `.torn-*` reclaim. */
+  private def leasePath(partition: Path, consumerId: String): Path = {
+    require(consumerId.nonEmpty &&
+      consumerId.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"lease consumer id must be [A-Za-z0-9._-]+: '$consumerId'")
+    new Path(logDir(partition), s".lease-$consumerId")
+  }
+
+  /** Register (or renew) a RETENTION LEASE: consumer `consumerId`
+    * promises to need manifest `minVersion` and everything after it
+    * until `ttlMs` from now. [[pruneLog]] refuses to cross an unexpired
+    * lease — the repair for the one gap log retention leaves open: a
+    * bootstrap or slow streaming consumer pins a snapshot/cursor
+    * version that an aggressive prune would otherwise drop mid-stream
+    * (today's behavior without a lease stays: loud failure + restart).
+    * The lease EXPIRES rather than blocking forever — a crashed
+    * consumer's pin outlives it by at most the ttl, and renewal is one
+    * small PUT (each micro-batch can afford it). Last write wins per
+    * consumer id; distinct consumers hold independent leases. */
+  def acquireLease(fs: FileSystem, partition: Path, consumerId: String,
+      minVersion: Long, ttlMs: Long): Unit = {
+    require(ttlMs > 0, s"lease ttl must be positive: $ttlMs")
+    val out = fs.create(leasePath(partition, consumerId), true)
+    try out.write(
+      s"$minVersion ${System.currentTimeMillis() + ttlMs}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Drop `consumerId`'s lease (a cleanly-finishing consumer releases
+    * instead of waiting out the ttl). Idempotent. */
+  def releaseLease(fs: FileSystem, partition: Path,
+      consumerId: String): Unit = {
+    fs.delete(leasePath(partition, consumerId), false)
+    ()
+  }
+
+  /** The lowest version any UNEXPIRED lease pins (None when no live
+    * lease). Expired lease files are deleted in passing — the log
+    * checkpoint is where metadata residue goes to die. */
+  private def activeLeaseFloor(fs: FileSystem,
+      partition: Path): Option[Long] = {
+    val dir = logDir(partition)
+    if (!fs.exists(dir)) return None
+    val now = System.currentTimeMillis()
+    val floors = fs.listStatus(dir).toIndexedSeq
+      .filter(_.getPath.getName.startsWith(".lease-"))
+      .flatMap { st =>
+        val txt = new String({
+          val in = fs.open(st.getPath)
+          try in.readAllBytes() finally in.close()
+        }, "UTF-8").trim
+        txt.split("\\s+") match {
+          case Array(v, exp) if exp.toLong > now => Some(v.toLong)
+          case _ =>
+            fs.delete(st.getPath, false) // expired or malformed residue
+            None
+        }
+      }
+    floors.minOption
+  }
+
   def pruneLog(fs: FileSystem, partition: Path,
       keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1, s"must keep at least the head: $keepLast")
     val versions = listVersions(fs, partition)
-    val pruned = versions.dropRight(keepLast).filter { v =>
+    // an unexpired retention lease pins its version and everything
+    // after: a leased consumer's snapshotAt/commitsBetween must keep
+    // working until it releases or the lease expires
+    val leaseFloor = activeLeaseFloor(fs, partition)
+      .getOrElse(Long.MaxValue)
+    val pruned = versions.dropRight(keepLast)
+      .filter(_ < leaseFloor).filter { v =>
       parse(fs, manifestPath(partition, v)) match {
         case Some((_, removed)) =>
           removed.forall { case (_, n) =>

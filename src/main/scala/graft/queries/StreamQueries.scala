@@ -180,13 +180,30 @@ object StreamQueries {
         .orderBy("o_orderkey")
     }),
     // TABLE-level streaming change feed over a Hive-partitioned lake:
-    // one FeedSource per leaf in ONE query (per-leaf offsets), the
-    // partition column riding as a path-parsed literal — the insert
-    // batch surfaces from day=1, the DV delete's rows from day=2,
-    // untouched history nothing
+    // ONE TableFeedSource whose checkpointed offset is the per-leaf
+    // version vector (leaves enumerated per planning round, so a leaf
+    // born mid-stream enters at its birth version), the partition
+    // column riding typed from path inference — the insert batch
+    // surfaces from day=1, the DV delete's rows from day=2, untouched
+    // history nothing
     "q264_stream_table_feed" -> ((s, d) => {
       val tf = OpsQueries.ensureTableFeedLake(s, d)
       StreamingOps.streamFeedTable(s, tf.root, tf.cursors)
+        .select(col("_change_type").as("change_type"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          col("day").cast("long").as("day"))
+        .orderBy("change_type", "o_orderkey")
+    }),
+    // the PRODUCTION sink shape of the same table-level feed: parquet
+    // file sink + real checkpoint (exactly-once via the sink metadata
+    // log); shares q264's oracle — the landed feed equals the memory
+    // harness bit-for-bit
+    "q266_stream_table_feed_sink" -> ((s, d) => {
+      val tf = OpsQueries.ensureTableFeedLake(s, d)
+      val out = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_tfsink_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      StreamingOps.streamFeedTableToDir(s, tf.root, tf.cursors, out)
         .select(col("_change_type").as("change_type"), col("o_orderkey"),
           col("o_custkey"), col("o_totalprice"),
           col("day").cast("long").as("day"))
@@ -212,6 +229,26 @@ object StreamQueries {
       StreamingOps.streamIngestTxn(s, d, dir, appId = "q246")
         .orderBy("event_id")
     }))
+
+  // shared by q264 (memory harness) and q266 (parquet file sink): the
+  // table-level feed's delta — inserts from the day=1 batch, deletes
+  // from day=2's box-range DV delete, the partition column attached
+  private val tableFeedOracle =
+    """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+         FROM orders),
+       s AS (SELECT klo + (khi - klo) // 4 AS dlo,
+           klo + (khi - klo) // 2 AS dhi,
+           khi - klo + 1000000 AS span FROM b)
+       SELECT 'insert' AS change_type, o_orderkey + span AS o_orderkey,
+         o_custkey, o_totalprice * 2 AS o_totalprice,
+         CAST(1 AS BIGINT) AS day
+       FROM orders, s WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
+       UNION ALL
+       SELECT 'delete' AS change_type, o_orderkey, o_custkey,
+         o_totalprice, CAST(2 AS BIGINT) AS day
+       FROM orders, s
+       WHERE o_orderkey % 2 = 1 AND o_orderkey BETWEEN dlo AND dhi
+       ORDER BY change_type, o_orderkey"""
 
   val oracles: Map[String, String] = Map(
     // batch twin of the watermarked stream-stream interval join
@@ -347,22 +384,9 @@ object StreamQueries {
     "q263_stream_join_maintain" -> OpsQueries.oracles("q234_incremental_join"),
     // the table-level feed's delta: inserts from the day=1 batch,
     // deletes from day=2's box-range DV delete, partition col attached
-    "q264_stream_table_feed" ->
-      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
-           FROM orders),
-         s AS (SELECT klo + (khi - klo) // 4 AS dlo,
-             klo + (khi - klo) // 2 AS dhi,
-             khi - klo + 1000000 AS span FROM b)
-         SELECT 'insert' AS change_type, o_orderkey + span AS o_orderkey,
-           o_custkey, o_totalprice * 2 AS o_totalprice,
-           CAST(1 AS BIGINT) AS day
-         FROM orders, s WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0
-         UNION ALL
-         SELECT 'delete' AS change_type, o_orderkey, o_custkey,
-           o_totalprice, CAST(2 AS BIGINT) AS day
-         FROM orders, s
-         WHERE o_orderkey % 2 = 1 AND o_orderkey BETWEEN dlo AND dhi
-         ORDER BY change_type, o_orderkey""",
+    "q264_stream_table_feed" -> tableFeedOracle,
+    // file-sink twin: the landed parquet equals the memory harness
+    "q266_stream_table_feed_sink" -> tableFeedOracle,
     // the DSv2 stream's collected rows == the batch change feed
     "q210_feed_source" -> OpsQueries.oracles("q196_change_feed"),
     // the q34 gap-session chain under native interval-merge semantics

@@ -70,7 +70,17 @@ import graft.lake.{ChangeFeed, ManifestCommit}
   * rows and never requires an applyDvs/compact first. The
   * snapshot offset checkpoints like any other — a restart mid-
   * bootstrap replans the SAME pinned version (valid until [[
-  * ManifestCommit.pruneLog]] drops it). */
+  * ManifestCommit.pruneLog]] drops it).
+  *
+  * Retention lease (`option("lease", consumerId)`, ttl via
+  * `leaseTtlMs`, default 10 min): the consumer's cursor / pinned
+  * bootstrap version is registered against the log
+  * ([[ManifestCommit.acquireLease]]) at initial-offset time and
+  * renewed every planning round, so `pruneLog` REFUSES to drop the
+  * manifests a live consumer still needs — closing the one retention
+  * gap (slow consumer vs aggressive prune) with an expiring pin
+  * instead of an unbounded one. Without the option, behavior is
+  * unchanged: a pruned cursor stays a loud failure + restart. */
 class FeedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FeedSource.fullSchema(options.get("path"))
@@ -196,19 +206,22 @@ private[sources] class FeedTable(props: Map[String, String],
     new FeedScan(options.get("path"),
       Option(options.get("fromVersion")).map(_.toLong),
       Option(options.get("maxCommitsPerBatch")).map(_.toLong), tableSchema,
-      options.getBoolean("bootstrap", false))
+      options.getBoolean("bootstrap", false),
+      Option(options.get("lease")),
+      options.getLong("leaseTtlMs", 600000L))
 }
 
 private[sources] class FeedScan(path: String, fromVersion: Option[Long],
     maxCommitsPerBatch: Option[Long],
-    tableSchema: StructType, bootstrap: Boolean)
+    tableSchema: StructType, bootstrap: Boolean,
+    lease: Option[String] = None, leaseTtlMs: Long = 600000L)
     extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"graft-feed $path"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedStream(path, fromVersion, maxCommitsPerBatch, tableSchema,
-      bootstrap)
+      bootstrap, lease, leaseTtlMs)
 }
 
 /** The stream offset: a committed manifest version. */
@@ -218,7 +231,8 @@ private[sources] case class FeedOffset(version: Long) extends Offset {
 
 private[sources] class FeedStream(path: String, fromVersion: Option[Long],
     maxCommitsPerBatch: Option[Long], tableSchema: StructType,
-    bootstrap: Boolean = false)
+    bootstrap: Boolean = false, lease: Option[String] = None,
+    leaseTtlMs: Long = 600000L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   require(!(bootstrap && fromVersion.isDefined),
@@ -228,13 +242,31 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
   private def fs = dir.getFileSystem(
     SparkSession.active.sparkContext.hadoopConfiguration)
   private def head: Long = ManifestCommit.bootstrap(fs, dir).version
+
+  /** With `option("lease", consumerId)`: pin `v` (and everything after)
+    * against [[ManifestCommit.pruneLog]] for `leaseTtlMs` from now —
+    * renewed at every planning round, so a live consumer's cursor or
+    * mid-bootstrap snapshot version can never be pruned out from under
+    * it, while a crashed consumer's pin expires on its own. NOT
+    * released at stop(): a paused query resumes from its checkpoint
+    * and must still find its manifests until the ttl lapses. */
+  private def renewLease(v: Long): Unit = lease.foreach { id =>
+    ManifestCommit.acquireLease(fs, dir, id, math.max(v, 0L), leaseTtlMs)
+  }
   /** Pinned head for Trigger.AvailableNow: commits landing after query
     * start are left for the next run, as the trigger contract demands. */
   @volatile private var availableTarget: Option[Long] = None
 
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
+    if (lease.isDefined) {
+      // a bootstrap pins the snapshot it will replay BEFORE planning:
+      // the lease must exist by the time any concurrent pruneLog could
+      // race the first micro-batch (the window the lease closes)
+      renewLease(if (bootstrap) head else fromVersion.getOrElse(head))
+    }
     FeedOffset(
       if (bootstrap) FeedSource.BootstrapOffset else fromVersion.getOrElse(head))
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(head)
@@ -248,6 +280,9 @@ private[sources] class FeedStream(path: String, fromVersion: Option[Long],
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FeedOffset].version
     val tgt = availableTarget.getOrElse(head)
+    // renew from the CONSUMED cursor: commitsBetween(s, e) still needs
+    // manifest s parseable, so s is the retention floor, not e
+    renewLease(if (s == FeedSource.BootstrapOffset) tgt else s)
     // the bootstrap snapshot is one atomic version — commit throttling
     // applies from the next batch on
     if (s == FeedSource.BootstrapOffset) FeedOffset(tgt)
@@ -397,7 +432,7 @@ private[sources] object FeedPlanner {
   * bootstrap snapshot of a merge-on-read table) those positions are
   * skipped. Positions never ride the partition — a partition is O(file
   * names) however many rows a commit deleted. */
-private[sources] case class FeedFilePartition(file: String,
+private[graft] case class FeedFilePartition(file: String,
     changeType: String, version: Long,
     deletePredicate: Option[(String, Long, Long)],
     dvSidecars: Seq[String] = Nil,
@@ -435,13 +470,21 @@ private[sources] object FeedReaderFactory {
   }
 }
 
-private[sources] class FeedReaderFactory(tableSchema: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
+/** Decodes one parquet file per partition through the Group API. With
+  * `feedCols = true` (the streaming feed) the last two schema fields
+  * are `_change_type`/`_commit_version`, filled from the partition;
+  * with `feedCols = false` (the SQL catalog's batch scan) the schema
+  * is pure data columns — fields resolve BY NAME, so a pruned schema
+  * reads only its columns. */
+private[graft] class FeedReaderFactory(tableSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    feedCols: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeedFilePartition]
-    val dataFields = tableSchema.fields.dropRight(2)
+    val dataFields =
+      if (feedCols) tableSchema.fields.dropRight(2) else tableSchema.fields
     new PartitionReader[InternalRow] {
       // this data file's deleted positions, loaded HERE on the executor
       // from the sidecar parquet (filter-pushdown on the file column) —
@@ -570,8 +613,10 @@ private[sources] class FeedReaderFactory(tableSchema: StructType,
             }
           i += 1
         }
-        vals(i) = UTF8String.fromString(p.changeType)
-        vals(i + 1) = p.version
+        if (feedCols) {
+          vals(i) = UTF8String.fromString(p.changeType)
+          vals(i + 1) = p.version
+        }
         new GenericInternalRow(vals)
       }
 

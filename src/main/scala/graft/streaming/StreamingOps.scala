@@ -1207,27 +1207,62 @@ object StreamingOps {
       .orderBy("o_custkey")
   }
 
+  /** Net a multi-commit feed window PER KEY — the apply-side algebra
+    * [[graft.lake.ChangeFeed.replicateTable]] proves, factored for the
+    * streaming index maintainers: across the window, only each key's
+    * FIRST delete (it carries the key's pre-window row — the thing the
+    * index currently holds) and LAST insert (the key's state at the
+    * window head) matter; everything between cancels. Within one
+    * version an upsert's delete precedes its insert (ordering key
+    * `(version, ins)`). Returns (deletes, inserts): a key that existed
+    * before the window and was touched appears in deletes; a key live
+    * at the window head appears in inserts; a key born AND dead inside
+    * the window appears in neither. One netted apply therefore reaches
+    * the same state as a sequential per-commit replay. */
+  private[graft] def nettedWindow(b: DataFrame,
+      key: String): (DataFrame, DataFrame) = {
+    import graft.sources.FeedSource
+    val ord = struct(col(FeedSource.VersionCol),
+      when(col(FeedSource.ChangeTypeCol) === "insert", lit(1))
+        .otherwise(lit(0)).as("ins"))
+    val all = struct(b.columns.map(col): _*)
+    val net = b.groupBy(col(key)).agg(
+      min_by(all, ord).as("first"), max_by(all, ord).as("last"))
+    (net.filter(col(s"first.${FeedSource.ChangeTypeCol}") === "delete")
+       .select(col("first.*")),
+     net.filter(col(s"last.${FeedSource.ChangeTypeCol}") === "insert")
+       .select(col("last.*")))
+  }
+
   /** STREAMING secondary-index maintenance — the full CDC-to-index
     * pipeline as one structured-streaming job: the
     * [[graft.sources.FeedSource]] DSv2 stream tails the manifest commit
-    * log with `maxCommitsPerBatch=1` (commit-rate admission control), and
-    * each micro-batch applies exactly one commit's deletes/inserts to the
-    * stored LSH band index via [[graft.ops.Dedup.applyFeedToBandIndex]].
-    * The index state is PERSISTED per applied version (parquet, cap
-    * metadata riding along) — the shape a production consumer needs for
-    * restart: the checkpointed stream offset names the index version to
-    * resume from.
+    * log, and each micro-batch applies its window's NET deletes/inserts
+    * ([[nettedWindow]] — last change per key wins, first delete carries
+    * the pre-window text) to the stored LSH band index via
+    * [[graft.ops.Dedup.applyFeedToBandIndex]]. A batch may span MANY
+    * commits: one netted apply replaces k sequential ones with
+    * identical results (spec-pinned equivalence), so a consumer
+    * catching up on a backlog pays one index pass, not one per commit.
+    * `maxCommitsPerBatch = Some(1)` restores the per-commit cadence
+    * (commit-rate admission control) when a consumer wants
+    * version-by-version state. The index state is PERSISTED per applied
+    * version (parquet, cap metadata riding along) — the shape a
+    * production consumer needs for restart: the checkpointed stream
+    * offset names the index version to resume from.
     *
-    * Exactness is inductive: each step is bit-identical to a rebuild at
-    * that commit's version (see applyFeedToBandIndex), so the final
-    * state equals one rebuild at the head — q212 shares q211's batch
-    * oracle. Work per batch ∝ that commit's change volume (+ the rare
-    * flagged-sentinel rebuild); the unchanged corpus is never
-    * re-shingled. */
+    * Exactness is inductive: each netted step is bit-identical to a
+    * rebuild at its window-head version (see applyFeedToBandIndex —
+    * the netted window feeds it exactly the docs removed-since /
+    * added-since), so the final state equals one rebuild at the head —
+    * q212 shares q211's batch oracle. Work per batch ∝ the window's
+    * change volume (+ the rare flagged-sentinel rebuild); the
+    * unchanged corpus is never re-shingled. */
   def streamFeedIndexMaintain(spark: SparkSession, tablePath: String,
       fromV: Long, maxBucket: Int = 64,
       indexStateDir: Option[String] = None,
-      keepVersions: Int = 2): DataFrame = {
+      keepVersions: Int = 2,
+      maxCommitsPerBatch: Option[Long] = None): DataFrame = {
     import graft.ops.Dedup
     import graft.sources.FeedSource
     require(keepVersions >= 1,
@@ -1248,22 +1283,22 @@ object StreamingOps {
           maxBucket = maxBucket)
         .write.parquet(s"$stateDir/v$fromV")
     val cur = new java.util.concurrent.atomic.AtomicLong(fromV)
-    ss.readStream.format("graft.sources.FeedSource")
+    val src = ss.readStream.format("graft.sources.FeedSource")
       .option("path", tablePath)
       .option("fromVersion", fromV.toString)
-      .option("maxCommitsPerBatch", "1")
-      .load()
+    maxCommitsPerBatch.foreach(n =>
+      src.option("maxCommitsPerBatch", n.toString))
+    src.load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try if (b.head(1).nonEmpty) { // meta/compaction commits plan nothing
           val v = b.agg(max(col(FeedSource.VersionCol))).head.getLong(0)
           val prev = ss.read.parquet(s"$stateDir/v${cur.get}")
+          val (delW, insW) = nettedWindow(b, "doc_id")
           Dedup.applyFeedToBandIndex(prev,
-              b.filter(col(FeedSource.ChangeTypeCol) === "insert")
-                .select("doc_id", "text"),
-              b.filter(col(FeedSource.ChangeTypeCol) === "delete")
-                .select("doc_id", "text"),
+              insW.select("doc_id", "text"),
+              delW.select("doc_id", "text"),
               graft.lake.ManifestCommit.readTableAt(ss, tablePath, v),
               maxBucket = maxBucket)
             .write.parquet(s"$stateDir/v$v")
@@ -1278,55 +1313,62 @@ object StreamingOps {
 
   /** TABLE-level streaming change feed over a Hive-partitioned lake —
     * [[graft.lake.ChangeFeed.changeFeedTable]]'s streaming twin: ONE
-    * structured-streaming query with one [[graft.sources.FeedSource]]
-    * per leaf partition (each leaf's commit log is its own source with
-    * its own checkpointed offset), partition-column values riding as
-    * literals parsed from the leaf path, all unioned into a single
-    * feed relation. Untouched leaves cost one manifest GET per
-    * micro-batch planning round and contribute nothing — at thousands
-    * of day partitions with a handful changed, that is the point of
-    * consuming from the log. `cursors` is the consumer bookmark
-    * ([[graft.lake.ChangeFeed.tableCursors]]).
-    *
-    * Leaves BORN after the bookmark refuse loudly: a running query's
-    * source set is fixed at start, so a new partition cannot join it —
-    * silently omitting it would ship an incomplete feed (the one
-    * unacceptable outcome). Restart with refreshed cursors; the batch
-    * [[graft.lake.ChangeFeed.changeFeedTable]] replays born leaves
-    * whole on the next sync either way. */
+    * [[graft.sources.TableFeedSource]] over the table root, whose
+    * checkpointed offset is the PER-LEAF VERSION VECTOR. Planning
+    * enumerates leaves every micro-batch (O(leaves) manifest GETs, no
+    * Spark job), so a leaf partition BORN mid-stream enters the feed at
+    * its birth version — its committed snapshot replayed as `insert`
+    * rows, exactly as the batch twin replays born leaves — with NO
+    * restart and no incomplete feed. Untouched leaves cost one manifest
+    * GET per planning round and contribute nothing — at thousands of
+    * day partitions with a handful changed, that is the point of
+    * consuming from the log. Partition-column values ride typed,
+    * inferred from the leaf paths (int/long/double/date/string, the
+    * batch twin's basePath inference ladder). `cursors` is the consumer
+    * bookmark ([[graft.lake.ChangeFeed.tableCursors]]); a live leaf
+    * absent from it is treated as born. */
   def streamFeedTable(spark: SparkSession, tableRoot: String,
       cursors: Map[String, Long]): DataFrame = {
-    val live = graft.lake.ChangeFeed.tableCursors(spark, tableRoot).keySet
-    val born = live -- cursors.keySet
-    require(born.isEmpty,
-      s"streamFeedTable: leaf partition(s) ${born.mkString(", ")} of " +
-        s"$tableRoot were born after the consumer bookmark — restart " +
-        "the query with refreshed tableCursors (a fixed source set " +
-        "cannot grow mid-stream, and omitting a leaf would ship an " +
-        "incomplete feed)")
     val name = "stream_feedtbl_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    val streams = cursors.toSeq.sortBy(_._1).map { case (rel, v) =>
-      val leafPath =
-        if (rel == ".") tableRoot else s"$tableRoot/$rel"
-      val base = ss.readStream.format("graft.sources.FeedSource")
-        .option("path", leafPath)
-        .option("fromVersion", v.toString)
-        .load()
-      rel.split("/").filter(s => s.nonEmpty && s.contains("="))
-        .foldLeft(base) { (df, seg) =>
-          val Array(c, value) = seg.split("=", 2)
-          df.withColumn(c, lit(value.toInt))
-        }
-    }
-    streams.reduce(_ unionByName _)
+    tableFeedStream(ss, tableRoot, cursors)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
     ss.table(name)
+  }
+
+  /** The table-level feed as an un-started streaming DataFrame — the
+    * composable entry ([[streamFeedTable]] and the file-sink twin
+    * [[streamFeedTableToDir]] both drain it). */
+  def tableFeedStream(spark: SparkSession, tableRoot: String,
+      cursors: Map[String, Long]): DataFrame =
+    spark.readStream.format("graft.sources.TableFeedSource")
+      .option("path", tableRoot)
+      .option("cursors", graft.sources.TableFeedSource.cursorsJson(cursors))
+      .load()
+
+  /** File-sink twin of [[streamFeedTable]] — the PRODUCTION shape: the
+    * table-level feed lands as parquet under `outDir` with a real
+    * checkpoint, so a re-run resumes from the checkpointed leaf-vector
+    * offset instead of re-reading (exactly-once via the sink's
+    * metadata log, as in the q33 hourly twin). Returns the sink
+    * contents read back. */
+  def streamFeedTableToDir(spark: SparkSession, tableRoot: String,
+      cursors: Map[String, Long], outDir: String): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    tableFeedStream(ss, tableRoot, cursors)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ss.read.parquet(s"$outDir/data")
   }
 
   /** STREAMING materialized-JOIN-view maintenance — the q234 batch
@@ -1413,8 +1455,11 @@ object StreamingOps {
   /** STREAMING ANN-index maintenance — [[streamFeedIndexMaintain]]'s
     * pattern applied to the OTHER stored index family: the
     * [[graft.sources.FeedSource]] stream tails the embeddings lake's
-    * commit log one commit per micro-batch, and each batch applies that
-    * commit's deletes/inserts to the persisted IVF-PQ index via
+    * commit log, and each batch applies its window's NET
+    * deletes/inserts ([[nettedWindow]] — a multi-commit backlog lands
+    * as ONE apply with results identical to the per-commit replay;
+    * `maxCommitsPerBatch = Some(1)` restores the per-commit cadence)
+    * to the persisted IVF-PQ index via
     * [[graft.ops.Similarity.applyFeedToIvfPq]]. The frozen training
     * state (centroids + residual codebook — KBs) is written ONCE at
     * cold start; per applied version only the per-vector rows (`e`,
@@ -1433,7 +1478,8 @@ object StreamingOps {
       fromV: Long, indexStateDir: Option[String] = None,
       m: Int = 8, codesPerSub: Int = 16,
       subDim: Int = 8,
-      keepVersions: Int = 2): graft.ops.Similarity.IvfPqIndex = {
+      keepVersions: Int = 2,
+      maxCommitsPerBatch: Option[Long] = None): graft.ops.Similarity.IvfPqIndex = {
     import graft.ops.Similarity
     import graft.sources.FeedSource
     require(keepVersions >= 1,
@@ -1464,21 +1510,21 @@ object StreamingOps {
       writeRows(ix0, fromV)
     }
     val cur = new java.util.concurrent.atomic.AtomicLong(fromV)
-    ss.readStream.format("graft.sources.FeedSource")
+    val src = ss.readStream.format("graft.sources.FeedSource")
       .option("path", tablePath)
       .option("fromVersion", fromV.toString)
-      .option("maxCommitsPerBatch", "1")
-      .load()
+    maxCommitsPerBatch.foreach(n =>
+      src.option("maxCommitsPerBatch", n.toString))
+    src.load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try if (b.head(1).nonEmpty) { // meta commits plan nothing
           val v = b.agg(max(col(FeedSource.VersionCol))).head.getLong(0)
+          val (delW, insW) = nettedWindow(b, "vec_id")
           val nxt = Similarity.applyFeedToIvfPq(readState(ss, cur.get),
-            b.filter(col(FeedSource.ChangeTypeCol) === "insert")
-              .select("vec_id", "embedding"),
-            b.filter(col(FeedSource.ChangeTypeCol) === "delete")
-              .select("vec_id"))
+            insW.select("vec_id", "embedding"),
+            delW.select("vec_id"))
           writeRows(nxt, v)
           cur.set(v)
           pruneStateVersions(stateFs, stateDir, keepVersions)

@@ -380,36 +380,85 @@ class FeedSourceSpec extends SparkSpec {
       s"an upsert commit consumed base files: ${hist.toSeq}")
   }
 
-  test("streamFeedTable: a leaf born after the bookmark refuses loudly " +
-      "instead of shipping an incomplete feed") {
+  test("streamFeedTable: a leaf born after the bookmark surfaces whole " +
+      "as inserts at its birth version — no restart, no incomplete feed") {
     import graft.streaming.StreamingOps
     val root = Files.createTempDirectory("graft-feedtbl").toString + "/t"
     spark.range(20).select($"id".as("k"), ($"id" * 2).as("v"),
         ($"id" % 2 + 1).cast("int").as("day"))
       .write.partitionBy("day").parquet(root)
-    val fs = new Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cursors = ChangeFeed.tableCursors(spark, root)
     assert(cursors.keySet == Set("day=1", "day=2"))
-    // a partition born AFTER the bookmark: the fixed source set cannot
-    // cover it — the stream must refuse, naming the repair
+    // a partition born AFTER the bookmark plus a delta in a bookmarked
+    // leaf: ONE query surfaces the born leaf whole (at its birth
+    // version) and the delta, each with its typed partition column
     spark.range(5).select(($"id" + 100).as("k"), ($"id" * 2).as("v"))
       .write.parquet(s"$root/day=3")
-    val e = intercept[IllegalArgumentException](
-      StreamingOps.streamFeedTable(spark, root, cursors))
-    assert(e.getMessage.contains("day=3") &&
-      e.getMessage.contains("refreshed tableCursors"), e.getMessage)
-    // with refreshed cursors (day=3 pinned as consumed) plus a delta in
-    // day=1, the table stream surfaces exactly the delta with its
-    // partition column
-    val cursors2 = ChangeFeed.tableCursors(spark, root)
     ManifestCommit.stageAndPublish(spark, new Path(s"$root/day=1"),
       Seq((500L, 0L)).toDF("k", "v"), _ => true)
       .getOrElse(fail("publish"))
-    val got = StreamingOps.streamFeedTable(spark, root, cursors2)
+    val got = StreamingOps.streamFeedTable(spark, root, cursors)
       .select($"k", $"_change_type", $"day").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
-    assert(got == Set((500L, ChangeFeed.Insert, 1)), s"got=$got")
+    val want = (100L to 104L).map((_, ChangeFeed.Insert, 3)).toSet +
+      ((500L, ChangeFeed.Insert, 1))
+    assert(got == want, s"got=$got")
+  }
+
+  test("table feed: a leaf born BETWEEN micro-batches of a RUNNING " +
+      "query enters the feed without restart") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-feedtblrun").toString + "/t"
+    spark.range(10).select($"id".as("k"), ($"id" * 2).as("v"),
+        lit(1).as("day"))
+      .write.partitionBy("day").parquet(root)
+    val cursors = ChangeFeed.tableCursors(spark, root)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    val name = "fs_born_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamingOps.tableFeedStream(ss, root, cursors)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      // let the query complete at least one (empty) planning round,
+      // then birth a leaf mid-stream: the next round's leaf listing
+      // must admit it — the old union-of-fixed-sources shape could not
+      q.processAllAvailable()
+      spark.range(3).select(($"id" + 700).as("k"), ($"id" * 2).as("v"))
+        .write.parquet(s"$root/day=2")
+      ManifestCommit.bootstrap(new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration), new Path(s"$root/day=2"))
+      q.processAllAvailable()
+      val got = ss.table(name).select($"k", $"day").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((700L, 2), (701L, 2), (702L, 2)), s"got=$got")
+    } finally q.stop()
+  }
+
+  test("table feed: non-integer partition values (string and date " +
+      "segments) ride with inferred types, as the batch twin's " +
+      "basePath inference does") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-feedtblstr").toString + "/t"
+    Seq(("us", "2024-01-01"), ("eu", "2024-01-02")).foreach {
+      case (region, dt) =>
+        spark.range(4).select(($"id" + (if (region == "us") 0 else 100))
+            .as("k"), ($"id" * 3).as("v"))
+          .write.parquet(s"$root/region=$region/dt=$dt")
+    }
+    // an empty bookmark: every live leaf is "born" — the whole table
+    // replays as inserts, each row with its typed partition columns
+    val got = StreamingOps.streamFeedTable(spark, root, Map.empty)
+    val sch = got.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(sch("region") == org.apache.spark.sql.types.StringType &&
+      sch("dt") == org.apache.spark.sql.types.DateType, s"schema=$sch")
+    val rows = got.select($"k", $"region", $"dt".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows == ((0L to 3L).map((_, "us", "2024-01-01")) ++
+      (100L to 103L).map((_, "eu", "2024-01-02"))).toSet, s"rows=$rows")
   }
 
   test("streaming across an additive evolution: pre-evolution files " +
@@ -443,6 +492,48 @@ class FeedSourceSpec extends SparkSpec {
       .toSet
     assert(got == (1000L to 1049L).map((_, -1L)).toSet + ((9000L, 77L)),
       s"evolution replay wrong: ${got.size} rows")
+  }
+
+  test("retention lease via option(\"lease\"): the bootstrap pins its " +
+      "snapshot version against pruneLog; without a lease the prune " +
+      "wins and the resume stays loud") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-feedlease").toString + "/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.writeLinear(rows(0), col("k"), dir.toString, 2)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.stageAndPublish(spark, dir, rows(1), _ => true)
+      .getOrElse(fail("publish"))
+    val pinned = ManifestCommit.currentSnapshot(fs, dir).get.version
+    val ckpt = Files.createTempDirectory("graft-feedlease-ck").toString
+    spark.readStream.format("graft.sources.FeedSource")
+      .option("path", dir.toString).option("bootstrap", "true")
+      .option("lease", "slow-consumer")
+      .load()
+      .writeStream.format("memory")
+      .queryName("fs_lease_" +
+        java.util.UUID.randomUUID.toString.replace("-", ""))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // the consumer's lease landed at initial-offset time and pins the
+    // bootstrapped snapshot: new commits + an aggressive prune cannot
+    // drop it — a restart from the checkpoint would replan the SAME
+    // version and must still find it
+    assert(fs.exists(new Path(dir,
+      s"${ManifestCommit.LogDirName}/.lease-slow-consumer")))
+    ManifestCommit.stageAndPublish(spark, dir, rows(2), _ => true)
+      .getOrElse(fail("publish2"))
+    ManifestCommit.pruneLog(fs, dir, keepLast = 1)
+    assert(ManifestCommit.snapshotAt(fs, dir, pinned).isDefined,
+      "an unexpired lease must keep the pinned snapshot replayable")
+    // released (the consumer finished cleanly): the pin lifts, the
+    // prune wins, and a stale cursor fails loudly — the pre-lease
+    // behavior is unchanged
+    ManifestCommit.releaseLease(fs, dir, "slow-consumer")
+    ManifestCommit.pruneLog(fs, dir, keepLast = 1)
+    assert(ManifestCommit.snapshotAt(fs, dir, pinned).isEmpty)
+    val e = intercept[Exception](collectFeed(dir.toString, pinned))
+    assert(e.getMessage != null)
   }
 
   test("bootstrap: a table with pre-tag history streams its snapshot, " +

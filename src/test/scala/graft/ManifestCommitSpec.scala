@@ -389,6 +389,46 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.snapshotAt(fs, dir, 1L).isEmpty)
   }
 
+  test("retention lease: an unexpired lease pins its version against " +
+      "pruneLog; release or expiry lifts the pin") {
+    hc
+    val local = Files.createTempDirectory("graft-manifest-lease").toString
+    val dir = new Path(s"file://$local/p")
+    val fs = dir.getFileSystem(hc)
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, "a.parquet"), false).close()
+    ManifestCommit.bootstrap(fs, dir) // v1
+    (2 to 4).foreach { i =>
+      fs.create(new Path(dir, s"f$i.parquet"), false).close()
+      ManifestCommit.appendFiles(fs, dir, Seq(s"f$i.parquet"))
+    }
+    // a consumer (mid-bootstrap or slow cursor) pins v2: pruneLog may
+    // drop BELOW the lease floor but must refuse v2 and everything
+    // after — the pinned snapshot stays replayable
+    ManifestCommit.acquireLease(fs, dir, "c1", 2L, ttlMs = 60000L)
+    assert(ManifestCommit.pruneLog(fs, dir, keepLast = 1) == Seq(1L))
+    assert(ManifestCommit.snapshotAt(fs, dir, 2L).isDefined,
+      "the leased version must survive the prune")
+    // a second consumer's HIGHER pin does not loosen the first's floor
+    ManifestCommit.acquireLease(fs, dir, "c2", 3L, ttlMs = 60000L)
+    assert(ManifestCommit.pruneLog(fs, dir, keepLast = 1).isEmpty)
+    // release c1: the floor rises to c2's pin, v2 prunes
+    ManifestCommit.releaseLease(fs, dir, "c1")
+    assert(ManifestCommit.pruneLog(fs, dir, keepLast = 1) == Seq(2L))
+    // an EXPIRED lease is residue, not a pin: v3 prunes and the dead
+    // lease file is swept in passing; the post-prune read of the
+    // pruned cursor stays loud (the pre-lease behavior)
+    ManifestCommit.acquireLease(fs, dir, "c2", 3L, ttlMs = 1L)
+    Thread.sleep(5L)
+    assert(ManifestCommit.pruneLog(fs, dir, keepLast = 1) == Seq(3L))
+    assert(!fs.exists(new Path(dir, "_graft_log/.lease-c2")),
+      "expired lease residue must be swept")
+    assert(ManifestCommit.snapshotAt(fs, dir, 3L).isEmpty)
+    val e = intercept[RuntimeException](
+      ManifestCommit.commitsBetween(fs, dir, 3L, 4L))
+    assert(e.getMessage.contains("full resync required"), e.getMessage)
+  }
+
   test("write-audit-publish: rejected batch leaves no trace, accepted publishes once") {
     hc
     val local = Files.createTempDirectory("graft-manifest-wap").toString

@@ -257,6 +257,47 @@ class StreamingSpec extends SparkSpec {
     graft.ops.TextKit.releaseCaches()
   }
 
+  test("netted multi-commit apply == per-commit replay: one batch over " +
+      "an append+upsert+delete backlog reaches the identical index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.lake.ManifestCommit
+    import graft.ops.Layout
+    val root = Files.createTempDirectory("graft-fimnet").toString
+    val tbl = new org.apache.hadoop.fs.Path(root + "/tbl")
+    val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(ids: Range, tag: String) = ids
+      .map(i => (i.toLong, s"$tag document $i alpha beta gamma"))
+      .toDF("doc_id", "text")
+    Layout.writeLinear(mk(0 until 30, "base"), col("doc_id"),
+      tbl.toString, 2)
+    ManifestCommit.bootstrap(fs, tbl)
+    val v0 = ManifestCommit.recordStats(spark, tbl, Seq("doc_id")).version
+    // a three-commit backlog whose keys overlap across commits: an
+    // append, an upsert REWRITING part of the append (delete+insert in
+    // one version — the netting's ordering tie), and a key-range delete
+    // killing base keys plus one upserted key
+    ManifestCommit.stageAndPublish(spark, tbl, mk(100 until 110, "b1"),
+      _ => true, statsCols = Seq("doc_id")).getOrElse(fail("publish 1"))
+    ManifestCommit.upsertDV(spark, tbl, "doc_id",
+      mk(105 until 115, "up2"), statsCols = Seq("doc_id"))
+    ManifestCommit.deleteWhereDV(spark, tbl, "doc_id", 7L, 106L)
+    def run(mc: Option[Long], sub: String) = graft.streaming.StreamingOps
+      .streamFeedIndexMaintain(spark, tbl.toString, v0,
+        indexStateDir = Some(s"$root/$sub"), maxCommitsPerBatch = mc)
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    val perCommit = run(Some(1L), "ix1")
+    val netted = run(None, "ixN")
+    assert(netted == perCommit,
+      "one netted apply must equal the commit-by-commit replay")
+    // and both equal the from-scratch rebuild at the head
+    val want = graft.ops.Dedup.bandIndexRaw(
+        ManifestCommit.readTableDV(spark, tbl.toString))
+      .orderBy("band", "key").collect().map(_.toSeq).toSeq
+    assert(netted == want, "netted apply != head rebuild")
+    graft.ops.TextKit.releaseCaches()
+  }
+
   test("streamFeedIvfPqMaintain: resumes stored state; final == frozen re-encode") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
