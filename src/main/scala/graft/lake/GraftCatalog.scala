@@ -1,0 +1,268 @@
+package graft.lake
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{FeedFilePartition, FeedReaderFactory}
+
+/** SQL-native surface of the manifest lake — a DataSourceV2
+  * [[TableCatalog]], so plain `spark.sql` flows through the manifest
+  * commit protocol with no library calls:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.lake.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/lake")
+  * spark.sql("CREATE TABLE graft.db.t (k BIGINT, v DOUBLE)")
+  * spark.sql("INSERT INTO graft.db.t SELECT ...")
+  * spark.sql("SELECT * FROM graft.db.t")
+  * }}}
+  *
+  *  - **CREATE TABLE** bootstraps the commit log and records the
+  *    declared schema as the table's manifest schema
+  *    ([[ManifestCommit.alterSchema]]) — table open afterwards is one
+  *    manifest GET, zero footer reads.
+  *  - **INSERT INTO** lands through [[ManifestCommit.stageAndPublish]]:
+  *    files staged invisibly, then ONE atomic manifest commit — a
+  *    failed insert leaves only sweepable hidden garbage, and
+  *    concurrent inserts serialize through the optimistic commit
+  *    protocol like any library writer. (Append-only v1: INSERT
+  *    OVERWRITE is refused — rewrites stay library verbs.)
+  *  - **SELECT** plans one InputPartition per live data file straight
+  *    from the manifest (no directory listing), column pruning pushed
+  *    into the per-file reader (fields resolve by name). A table
+  *    carrying ACTIVE deletion-vector sidecars refuses the bare SQL
+  *    read loudly — merge-on-read subtraction is
+  *    [[ManifestCommit.readTableDV]]'s job and silently replaying
+  *    deleted rows is the one unacceptable outcome.
+  *  - **ALTER TABLE ... ADD COLUMN** maps to the additive
+  *    [[ManifestCommit.alterSchema]]; drops/retypes refuse (readers
+  *    mergeSchema committed files — the recorded schema must not lie).
+  *
+  * Layout: `warehouse/<namespace dirs...>/<table>` — each table is one
+  * manifest partition (the unpartitioned lake shape; Hive-partitioned
+  * tables keep the library surface). Tables created by library calls
+  * under the warehouse are visible to SQL and vice versa: the manifest
+  * is the single source of truth. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var warehouse: Path = _
+  private def spark = SparkSession.active
+  private def fs: FileSystem =
+    warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val w = options.get("warehouse")
+    require(w != null,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+  override def name(): String = catName
+
+  private def tableDir(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(warehouse)((p, seg) => new Path(p, seg))
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, seg) => new Path(p, seg))
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, ManifestCommit.LogDirName))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catName +: namespace.toSeq)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catName +: ident.namespace() :+ ident.name()).toSeq)
+    val schema = ManifestCommit.currentSchema(fs, dir).getOrElse(
+      sys.error(s"graft catalog: table $ident at $dir has no recorded " +
+        "manifest schema — record one (ManifestCommit.recordSchema) " +
+        "before reading it through SQL"))
+    new GraftSqlTable(dir.toString, ident.toString, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported through SQL — " +
+        "each SQL table is one manifest partition; Hive-partitioned " +
+        "lakes keep the library surface")
+    val dir = tableDir(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(
+      (catName +: ident.namespace() :+ ident.name()).toSeq)
+    fs.mkdirs(dir)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.alterSchema(fs, dir, schema)
+    new GraftSqlTable(dir.toString, ident.toString, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val prev = loadTable(ident).asInstanceOf[GraftSqlTable]
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft catalog: nested ADD COLUMN is not supported")
+        org.apache.spark.sql.types
+          .StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => sys.error("graft catalog: only additive ADD COLUMN " +
+        s"is supported through SQL (got ${other.getClass.getSimpleName})" +
+        " — drops/retypes would make the recorded schema lie about " +
+        "committed files")
+    }
+    val next = StructType(prev.schema().fields ++ added)
+    ManifestCommit.alterSchema(fs, dir, next)
+    new GraftSqlTable(dir.toString, ident.toString, next)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    isTableDir(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!isTableDir(tableDir(oldIdent))) throw new NoSuchTableException(
+      (catName +: oldIdent.namespace() :+ oldIdent.name()).toSeq)
+    require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
+      s"graft catalog: rename $oldIdent -> $newIdent failed")
+  }
+
+  // --- namespaces: directories under the warehouse ---
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).toSeq
+      .filter(st => st.isDirectory && !isTableDir(st.getPath) &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(st => Array(st.getPath.getName)).toArray
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    if (!fs.exists(nsDir(ns)))
+      throw new NoSuchNamespaceException(catName +: ns.toSeq)
+    Array.empty
+  }
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] = {
+    if (ns.nonEmpty && !fs.exists(nsDir(ns)))
+      throw new NoSuchNamespaceException(catName +: ns.toSeq)
+    util.Collections.emptyMap()
+  }
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsDir(ns))
+    ()
+  }
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    sys.error("graft catalog: namespaces carry no mutable metadata")
+  override def dropNamespace(ns: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsDir(ns)
+    if (!fs.exists(dir)) return false
+    require(cascade || fs.listStatus(dir).isEmpty,
+      s"graft catalog: namespace ${ns.mkString(".")} is not empty")
+    fs.delete(dir, true)
+  }
+}
+
+/** One manifest-lake table as a DSv2 Table: manifest-planned batch
+  * reads, stage-and-publish batch appends. */
+private[graft] class GraftSqlTable(path: String, ident: String,
+    tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSqlScan(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"graft catalog: INSERT OVERWRITE on $ident is not " +
+                  "supported — SQL writes are append-only (one atomic " +
+                  "stage-and-publish commit); rewrites stay library " +
+                  "verbs (deleteRange/compact/applyChangesDV)")
+              ManifestCommit.stageAndPublish(data.sparkSession,
+                  new Path(path), data, _ => true)
+                .getOrElse(sys.error(
+                  s"graft catalog: insert into $ident did not publish"))
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** Batch scan: live files straight from the manifest (zero listing,
+  * zero jobs at planning), one partition per file, pruned columns
+  * resolved by name in the per-file reader. */
+private[graft] class GraftSqlScan(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with Scan with Batch {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve OUR field order/types; Spark's required set drives which
+    // columns the readers materialize
+    required = StructType(
+      full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def description(): String = s"graft-sql $path"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvs = ManifestCommit.currentDvs(fs, dir)
+    require(dvs.isEmpty,
+      s"graft catalog: $path carries ${dvs.size} active deletion-vector " +
+        "sidecar(s) — a bare SQL scan would resurrect deleted rows; " +
+        "read it via ManifestCommit.readTableDV or compact the DVs " +
+        "(applyDvs/compactDvs) first")
+    val snap = ManifestCommit.currentSnapshot(fs, dir).getOrElse(
+      sys.error(s"graft catalog: $path has no committed snapshot"))
+    snap.files.map(n => FeedFilePartition(new Path(dir, n).toString,
+      "insert", snap.version, None): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()),
+      feedCols = false)
+}

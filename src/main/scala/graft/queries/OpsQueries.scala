@@ -1469,6 +1469,25 @@ object OpsQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("day").cast("long").as("day"))
         .orderBy("o_orderkey", "day")),
+    // SQL-NATIVE lake surface: CREATE TABLE / INSERT INTO / SELECT
+    // through a plain spark.sql session and a registered GraftCatalog —
+    // the create records the declared schema, the insert is one atomic
+    // stage-and-publish manifest commit, and the read plans straight
+    // from the manifest (one InputPartition per live file, columns
+    // pruned by name). The aggregate runs THROUGH the SQL surface.
+    "q267_sql_catalog" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_custkey, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+            AS sum_price
+        FROM graftsql.db.orders_t
+        GROUP BY o_custkey ORDER BY o_custkey""")
+    }),
     // DESCRIBE HISTORY: the commit log as a relation (driver-side
     // manifest parsing, KBs at any table size) — version/kind/file
     // motion/sidecar counts over the upsert lake's 4-commit history;
@@ -2401,6 +2420,37 @@ object OpsQueries {
     * recorded schema; reads must cross the boundary (old files NULL
     * the new column). All mutation inside the fixture (audit-suite
     * construction must not race). */
+  /** Per-(process, sfDir) SQL-catalog warehouse for q267: a namespace
+    * and an `orders_t` table created, loaded (two INSERT INTO commits —
+    * even keys, then odd), all PURELY through spark.sql against a
+    * registered [[graft.lake.GraftCatalog]]. Returns the warehouse
+    * dir; the query then aggregates through the same SQL surface. */
+  private val sqlWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def ensureSqlWarehouse(s: SparkSession,
+      d: String): String =
+    sqlWarehouses.computeIfAbsent(d, _ => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_sqlwh_qch7dwoux1_${ProcessHandle.current().pid()}/" +
+        new java.io.File(d).getName
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      Tables(ss, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("orders_src_q267")
+      ss.sql("CREATE NAMESPACE graftsql.db")
+      ss.sql("""CREATE TABLE graftsql.db.orders_t
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_t
+        SELECT * FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      ss.sql("""INSERT INTO graftsql.db.orders_t
+        SELECT * FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
+      wh
+    })
+
   private val evoLakes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -5972,6 +6022,14 @@ object OpsQueries {
            o_totalprice, CAST(1 AS BIGINT) AS day
          FROM orders, b WHERE o_orderkey % 5 = 0
          ORDER BY o_orderkey, day""",
+    // the SQL-catalog table holds exactly the orders projection (two
+    // INSERT INTO commits = the whole table); the aggregate ran through
+    // the SQL surface
+    "q267_sql_catalog" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+           AS sum_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     // the upsert lake's commit history: bootstrap append, stats meta,
     // the one-commit MERGE (files + sidecars), post-merge stats meta
     "q256_table_history" ->
