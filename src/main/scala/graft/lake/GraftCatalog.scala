@@ -12,11 +12,11 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.{FeedFilePartition, FeedReaderFactory}
+import graft.sources.{FeedFilePartition, FeedReaderFactory, FeedSource}
 
 /** SQL-native surface of the manifest lake — a DataSourceV2
   * [[TableCatalog]], so plain `spark.sql` flows through the manifest
@@ -42,11 +42,16 @@ import graft.sources.{FeedFilePartition, FeedReaderFactory}
   *    OVERWRITE is refused — rewrites stay library verbs.)
   *  - **SELECT** plans one InputPartition per live data file straight
   *    from the manifest (no directory listing), column pruning pushed
-  *    into the per-file reader (fields resolve by name). A table
-  *    carrying ACTIVE deletion-vector sidecars refuses the bare SQL
-  *    read loudly — merge-on-read subtraction is
-  *    [[ManifestCommit.readTableDV]]'s job and silently replaying
-  *    deleted rows is the one unacceptable outcome.
+  *    into the per-file reader (fields resolve by name), long-range
+  *    predicates pruning FILES against the manifest's per-file stats.
+  *    Reads are MERGE-ON-READ: active deletion-vector sidecars
+  *    subtract positionally inside each touched file's reader, so a
+  *    post-DELETE table reads correctly with no compaction step.
+  *  - **DELETE FROM ... WHERE** (one conjunctive long range on one
+  *    column) lands as a positional deletion-vector sidecar in ONE
+  *    commit ([[ManifestCommit.deleteWhereDV]]) — O(deleted rows)
+  *    write amplification, no file rewrites; looser predicates refuse
+  *    loudly rather than under-delete.
   *  - **ALTER TABLE ... ADD COLUMN** maps to the additive
   *    [[ManifestCommit.alterSchema]]; drops/retypes refuse (readers
   *    mergeSchema committed files — the recorded schema must not lie).
@@ -189,11 +194,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** One manifest-lake table as a DSv2 Table: manifest-planned batch
-  * reads, stage-and-publish batch appends. */
+private[graft] object GraftSqlTable {
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  /** One v1 filter as a closed long range on one column, None when the
+    * shape is not a long comparison. */
+  private def rangeOf(f: Filter): Option[(String, Long, Long)] = f match {
+    case EqualTo(c, v)            => longOf(v).map(l => (c, l, l))
+    case GreaterThanOrEqual(c, v) => longOf(v).map(l => (c, l, Long.MaxValue))
+    case GreaterThan(c, v)        =>
+      longOf(v).collect { case l if l < Long.MaxValue => (c, l + 1, Long.MaxValue) }
+    case LessThanOrEqual(c, v)    => longOf(v).map(l => (c, Long.MinValue, l))
+    case LessThan(c, v)           =>
+      longOf(v).collect { case l if l > Long.MinValue => (c, Long.MinValue, l - 1) }
+    case And(l, r)                =>
+      (rangeOf(l), rangeOf(r)) match {
+        case (Some((c1, lo1, hi1)), Some((c2, lo2, hi2))) if c1 == c2 =>
+          Some((c1, math.max(lo1, lo2), math.min(hi1, hi2)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Conjunctive per-column long bounds across a filter set, for
+    * stats-based FILE PRUNING: unsupported filters contribute nothing
+    * (they are re-evaluated post-scan either way — pruning is an
+    * optimization, never a correctness lever). */
+  private[graft] def pruningRanges(
+      filters: Seq[Filter]): Map[String, (Long, Long)] =
+    filters.flatMap(rangeOf)
+      .groupBy(_._1)
+      .map { case (c, rs) =>
+        c -> (rs.map(_._2).max, rs.map(_._3).min)
+      }
+
+  /** The ONE closed range the whole filter set expresses, for
+    * `DELETE FROM ... WHERE`: defined only when EVERY filter is a long
+    * comparison on the SAME column — anything looser must refuse, not
+    * under-delete. */
+  private[graft] def deleteRange(
+      filters: Seq[Filter]): Option[(String, Long, Long)] = {
+    if (filters.isEmpty) return None
+    val rs = filters.map(rangeOf)
+    if (rs.exists(_.isEmpty)) return None
+    val cols = rs.flatten.map(_._1).distinct
+    if (cols.size != 1) return None
+    Some((cols.head,
+      rs.flatten.map(_._2).max, rs.flatten.map(_._3).min))
+  }
+}
+
+/** One manifest-lake table as a DSv2 Table: manifest-planned
+  * merge-on-read batch reads, stage-and-publish batch appends, and
+  * range deletes landing as positional deletion-vector sidecars. */
 private[graft] class GraftSqlTable(path: String, ident: String,
     tableSchema: StructType) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -203,6 +265,26 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSqlScan(path, tableSchema)
+
+  /** `DELETE FROM t WHERE <long range on one column>` — lands as ONE
+    * merge-on-read commit ([[ManifestCommit.deleteWhereDV]]): a
+    * positional deletion-vector sidecar names the doomed rows, the
+    * live file set never moves, write amplification is O(deleted
+    * rows). Anything the range shape can't express refuses loudly
+    * (canDeleteWhere) rather than under-deleting. NULL keys match no
+    * range — exactly SQL's three-valued WHERE. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftSqlTable.deleteRange(filters.toSeq).isDefined
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (c, lo, hi) = GraftSqlTable.deleteRange(filters.toSeq).getOrElse(
+      sys.error(s"graft catalog: DELETE on $ident supports one " +
+        "conjunctive long range on a single column (k = v, k >= lo AND " +
+        s"k <= hi, ...); got ${filters.mkString(", ")} — rewrite-shaped " +
+        "deletes stay library verbs (deleteRange/applyChangesDV)"))
+    ManifestCommit.deleteWhereDV(SparkSession.active,
+      new Path(path), c, lo, hi)
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -229,35 +311,78 @@ private[graft] class GraftSqlTable(path: String, ident: String,
 
 /** Batch scan: live files straight from the manifest (zero listing,
   * zero jobs at planning), one partition per file, pruned columns
-  * resolved by name in the per-file reader. */
+  * resolved by name in the per-file reader. Long-range predicates
+  * prune FILES against the manifest's recorded per-file stats (the
+  * readTableWhere logic behind plain SQL); active deletion-vector
+  * sidecars subtract positionally inside each touched file's reader
+  * (dvKeep=false — the merge-on-read composition the bootstrap feed
+  * uses), so SQL reads never resurrect deleted rows and never require
+  * a compaction first. */
 private[graft] class GraftSqlScan(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
     with Scan with Batch {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve OUR field order/types; Spark's required set drives which
     // columns the readers materialize
     required = StructType(
       full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  /** Every filter stays a residual (Spark re-evaluates post-scan —
+    * stats pruning is a file-skipping optimization, never the row
+    * filter); the range-shaped subset is recorded for pruning and
+    * surfaces in EXPLAIN as the pushed set. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      GraftSqlTable.pruningRanges(Seq(f)).nonEmpty)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = this
   override def readSchema(): StructType = required
-  override def description(): String = s"graft-sql $path"
+  override def description(): String =
+    s"graft-sql $path pruned=[${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dvs = ManifestCommit.currentDvs(fs, dir)
-    require(dvs.isEmpty,
-      s"graft catalog: $path carries ${dvs.size} active deletion-vector " +
-        "sidecar(s) — a bare SQL scan would resurrect deleted rows; " +
-        "read it via ManifestCommit.readTableDV or compact the DVs " +
-        "(applyDvs/compactDvs) first")
     val snap = ManifestCommit.currentSnapshot(fs, dir).getOrElse(
       sys.error(s"graft catalog: $path has no committed snapshot"))
-    snap.files.map(n => FeedFilePartition(new Path(dir, n).toString,
-      "insert", snap.version, None): InputPartition).toArray
+    // stats-pruned live set: a file provably outside every pushed
+    // range never plans a partition (one manifest GET, zero footers)
+    val ranges = GraftSqlTable.pruningRanges(pushed.toSeq)
+    val stats =
+      if (ranges.isEmpty) Map.empty[String, Seq[ManifestCommit.ColStat]]
+      else ManifestCommit.currentFileStats(fs, dir)
+    val kept = snap.files.filter { n =>
+      ranges.forall { case (c, (lo, hi)) =>
+        stats.getOrElse(n, Nil).find(_.col == c)
+          .forall(s => s.max >= lo && s.min <= hi)
+      }
+    }
+    // merge-on-read: files a sidecar names carry the sidecar paths and
+    // subtract their positions executor-side; the touched set resolves
+    // from sidecar footer stats (driver-side, no job), a superset being
+    // safe — an untouched false positive loads an empty position set
+    val dvs = ManifestCommit.currentDvs(fs, dir)
+      .map(n => new Path(dir, n).toString)
+    val touched: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        FeedSource.sidecarNameRanges(conf, dvs) match {
+          case Some(rs) =>
+            kept.filter(n => rs.exists(r => n >= r._1 && n <= r._2)).toSet
+          case None => FeedSource.sidecarFileNamesDriverSide(conf, dvs)
+        }
+      }
+    kept.map(n => FeedFilePartition(new Path(dir, n).toString,
+      "insert", snap.version, None,
+      dvSidecars = if (touched.contains(n)) dvs else Nil,
+      dvKeep = false): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1488,6 +1488,20 @@ object OpsQueries {
         FROM graftsql.db.orders_t
         GROUP BY o_custkey ORDER BY o_custkey""")
     }),
+    // DELETE FROM through SQL: the box range leaves as ONE positional
+    // deletion-vector commit (no file rewrites), and the SQL read is
+    // merge-on-read — the sidecar positions subtract inside each
+    // touched file's reader
+    "q268_sql_delete" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graftsql.db.orders_del ORDER BY o_orderkey""")
+    }),
     // DESCRIBE HISTORY: the commit log as a relation (driver-side
     // manifest parsing, KBs at any table size) — version/kind/file
     // motion/sidecar counts over the upsert lake's 4-commit history;
@@ -2448,6 +2462,17 @@ object OpsQueries {
         SELECT * FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
       ss.sql("""INSERT INTO graftsql.db.orders_t
         SELECT * FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
+      // q268's table: same load, then a SQL DELETE of the box range —
+      // one positional-sidecar commit; the SQL read must subtract it
+      val b = Tables(ss, d, "orders")
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      val (dlo, dhi) = boxRange(b.getLong(0), b.getLong(1))
+      ss.sql("""CREATE TABLE graftsql.db.orders_del
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_del
+        SELECT * FROM orders_src_q267""")
+      ss.sql("DELETE FROM graftsql.db.orders_del " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
       wh
     })
 
@@ -6022,6 +6047,16 @@ object OpsQueries {
            o_totalprice, CAST(1 AS BIGINT) AS day
          FROM orders, b WHERE o_orderkey % 5 = 0
          ORDER BY o_orderkey, day""",
+    // the SQL-deleted table: orders minus the box range (the DV
+    // sidecar's positions subtracted by the merge-on-read SQL scan)
+    "q268_sql_delete" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         s AS (SELECT klo + (khi - klo) // 4 AS dlo,
+             klo + (khi - klo) // 2 AS dhi FROM b)
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
+         ORDER BY o_orderkey""",
     // the SQL-catalog table holds exactly the orders projection (two
     // INSERT INTO commits = the whole table); the aggregate ran through
     // the SQL surface

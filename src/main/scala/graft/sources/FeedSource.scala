@@ -163,7 +163,7 @@ object FeedSource {
     * one job per micro-batch on legacy tables. Sidecars this code
     * writes carry footer stats and take the zero-IO
     * [[sidecarNameRanges]] path instead. */
-  private[sources] def sidecarFileNamesDriverSide(
+  private[graft] def sidecarFileNamesDriverSide(
       conf: org.apache.hadoop.conf.Configuration,
       sidecars: Seq[String]): Set[String] = {
     val out = Set.newBuilder[String]

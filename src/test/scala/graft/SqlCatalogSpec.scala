@@ -76,8 +76,7 @@ class SqlCatalogSpec extends SparkSpec {
       == 60L)
   }
 
-  test("refusals stay loud: INSERT OVERWRITE, non-additive ALTER, and " +
-      "a bare SQL scan of a DV-carrying table") {
+  test("refusals stay loud: INSERT OVERWRITE and non-additive ALTER") {
     val wh = Files.createTempDirectory("graft-sqlcat3").toString
     val ss = sqlSession(wh)
     ss.sql("CREATE TABLE g.t2 (k BIGINT, v BIGINT)")
@@ -96,12 +95,66 @@ class SqlCatalogSpec extends SparkSpec {
     assert(ss.sql("SELECT w FROM g.t2").collect().forall(_.isNullAt(0)))
     val e2 = intercept[Exception](ss.sql("ALTER TABLE g.t2 DROP COLUMN v"))
     assert(e2.getMessage.contains("additive"), e2.getMessage)
-    // a DV-carrying table refuses the bare scan, naming the repair
-    val dir = new Path(s"$wh/t2")
-    ManifestCommit.deleteWhereDV(ss, dir, "k", 3L, 7L)
-    val e3 = intercept[Exception](ss.sql("SELECT * FROM g.t2").collect())
-    assert(e3.getMessage.contains("readTableDV"), e3.getMessage)
-    // the library merge-on-read path still serves the rows
-    assert(ManifestCommit.readTableDV(ss, dir.toString).count() == 15L)
+  }
+
+  test("DELETE FROM lands as one deletion-vector commit; SQL reads are " +
+      "merge-on-read (library DVs subtract too); loose predicates refuse") {
+    val wh = Files.createTempDirectory("graft-sqlcat4").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.t3 (k BIGINT, v BIGINT)")
+    ss.range(40).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("src3")
+    ss.sql("INSERT INTO g.t3 SELECT k, v FROM src3")
+    val dir = new Path(s"$wh/t3")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val filesBefore = ManifestCommit.currentSnapshot(fs, dir).get.files
+    // DELETE through SQL: one positional-sidecar commit, the live file
+    // set untouched (O(deleted rows) write amplification)
+    ss.sql("DELETE FROM g.t3 WHERE k >= 10 AND k <= 19")
+    assert(ManifestCommit.currentSnapshot(fs, dir).get.files
+      == filesBefore, "a DV delete must not move data files")
+    assert(ManifestCommit.currentDvs(fs, dir).nonEmpty)
+    // the SQL read subtracts the sidecar positions inside the readers
+    val got = ss.sql("SELECT k FROM g.t3").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == ((0L to 9L) ++ (20L to 39L)).toSet, s"got=$got")
+    // ... and equals the library merge-on-read read bit for bit
+    assert(got == ManifestCommit.readTableDV(ss, dir.toString)
+      .collect().map(_.getAs[Long]("k")).toSet)
+    // a second SQL delete composes with the first's sidecar
+    ss.sql("DELETE FROM g.t3 WHERE k = 25")
+    assert(ss.sql("SELECT count(*) AS n FROM g.t3").head.getLong(0) == 29L)
+    // a predicate the range shape can't express refuses loudly instead
+    // of under-deleting
+    val e = intercept[Exception](
+      ss.sql("DELETE FROM g.t3 WHERE v = 4 OR k = 2"))
+    assert(e.getMessage != null)
+    assert(ss.sql("SELECT count(*) AS n FROM g.t3").head.getLong(0) == 29L,
+      "a refused delete must delete nothing")
+  }
+
+  test("long-range predicates prune FILES via the manifest's recorded " +
+      "per-file stats — a key-clustered table scans one file, not all") {
+    val wh = Files.createTempDirectory("graft-sqlcat5").toString
+    val ss = sqlSession(wh)
+    // a key-clustered library table (8 files, recorded stats) read
+    // through SQL with a point predicate
+    val dir = new Path(s"$wh/clustered")
+    graft.ops.Layout.writeLinear(
+      ss.range(800).select($"id".as("k"), ($"id" % 7).as("g")),
+      col("k"), dir.toString, 8)
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    ManifestCommit.bootstrap(fs, dir)
+    ManifestCommit.recordStats(ss, dir, Seq("k"))
+    ManifestCommit.recordSchema(ss, dir)
+    val q = ss.sql("SELECT g FROM g.clustered WHERE k = 400")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(400L % 7))
+    // the executed scan planned ONE file-partition, not eight: the
+    // stats pruning reached the DSv2 scan (leaf partition count == RDD
+    // partition count == files planned)
+    val scanParts = q.queryExecution.executedPlan.collectLeaves()
+      .head.execute().getNumPartitions
+    assert(scanParts == 1, s"expected 1 pruned file partition, " +
+      s"got $scanParts")
   }
 }
