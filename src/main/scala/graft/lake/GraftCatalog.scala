@@ -55,6 +55,12 @@ import graft.sources.{FeedFilePartition, FeedReaderFactory, FeedSource}
   *  - **ALTER TABLE ... ADD COLUMN** maps to the additive
   *    [[ManifestCommit.alterSchema]]; drops/retypes refuse (readers
   *    mergeSchema committed files — the recorded schema must not lie).
+  *  - **Time travel**: `SELECT ... FROM t VERSION AS OF n` reads the
+  *    snapshot at manifest version `n` with that version's sidecars
+  *    subtracting and the schema as recorded THEN (a later-added
+  *    column does not surface). Read-only; valid until `pruneLog`
+  *    drops the manifest — the log retention IS the time-travel
+  *    horizon, and a pruned version refuses loudly.
   *
   * Layout: `warehouse/<namespace dirs...>/<table>` — each table is one
   * manifest partition (the unpartitioned lake shape; Hive-partitioned
@@ -105,6 +111,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "manifest schema — record one (ManifestCommit.recordSchema) " +
         "before reading it through SQL"))
     new GraftSqlTable(dir.toString, ident.toString, schema)
+  }
+
+  /** Time travel — `SELECT ... FROM t VERSION AS OF n`: the table at
+    * manifest version `n` (files from that snapshot, that version's
+    * active sidecars subtracting, the schema AS RECORDED THEN — a
+    * later-added column did not exist at `n` and must not surface).
+    * Valid until [[ManifestCommit.pruneLog]] drops the manifest; a
+    * pruned version refuses loudly. Read-only: writes/deletes against
+    * a pinned version refuse. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catName +: ident.namespace() :+ ident.name()).toSeq)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => sys.error(
+        s"graft catalog: VERSION AS OF wants a commit version " +
+          s"(a number); got '$version'")
+    }
+    require(ManifestCommit.snapshotAt(fs, dir, v).isDefined,
+      s"graft catalog: version $v of $ident is gone — the log was " +
+        "pruned past it (pruneLog retention is the time-travel horizon)")
+    val schema = ManifestCommit.schemaAt(fs, dir, v)
+      .orElse(ManifestCommit.currentSchema(fs, dir)).getOrElse(
+        sys.error(s"graft catalog: table $ident has no recorded schema"))
+    new GraftSqlTable(dir.toString, s"$ident@v$v", schema, asOf = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -254,17 +285,18 @@ private[graft] object GraftSqlTable {
   * merge-on-read batch reads, stage-and-publish batch appends, and
   * range deletes landing as positional deletion-vector sidecars. */
 private[graft] class GraftSqlTable(path: String, ident: String,
-    tableSchema: StructType) extends Table
+    tableSchema: StructType, asOf: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScan(path, tableSchema)
+    new GraftSqlScan(path, tableSchema, asOf)
 
   /** `DELETE FROM t WHERE <long range on one column>` — lands as ONE
     * merge-on-read commit ([[ManifestCommit.deleteWhereDV]]): a
@@ -274,8 +306,11 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     * (canDeleteWhere) rather than under-deleting. NULL keys match no
     * range — exactly SQL's three-valued WHERE. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    GraftSqlTable.deleteRange(filters.toSeq).isDefined
+    asOf.isEmpty && GraftSqlTable.deleteRange(filters.toSeq).isDefined
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty,
+      s"graft catalog: $ident is a pinned time-travel read — history " +
+        "is immutable, delete against the live table")
     val (c, lo, hi) = GraftSqlTable.deleteRange(filters.toSeq).getOrElse(
       sys.error(s"graft catalog: DELETE on $ident supports one " +
         "conjunctive long range on a single column (k = v, k >= lo AND " +
@@ -318,7 +353,8 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   * (dvKeep=false — the merge-on-read composition the bootstrap feed
   * uses), so SQL reads never resurrect deleted rows and never require
   * a compaction first. */
-private[graft] class GraftSqlScan(path: String, full: StructType)
+private[graft] class GraftSqlScan(path: String, full: StructType,
+    asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with Scan with Batch {
@@ -349,10 +385,17 @@ private[graft] class GraftSqlScan(path: String, full: StructType)
     val spark = SparkSession.active
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = ManifestCommit.currentSnapshot(fs, dir).getOrElse(
-      sys.error(s"graft catalog: $path has no committed snapshot"))
+    val snap = asOf match {
+      case Some(v) => ManifestCommit.snapshotAt(fs, dir, v).getOrElse(
+        sys.error(s"graft catalog: version $v of $path pruned between " +
+          "plan and read — restart the query"))
+      case None => ManifestCommit.currentSnapshot(fs, dir).getOrElse(
+        sys.error(s"graft catalog: $path has no committed snapshot"))
+    }
     // stats-pruned live set: a file provably outside every pushed
-    // range never plans a partition (one manifest GET, zero footers)
+    // range never plans a partition (one manifest GET, zero footers).
+    // Stats are head-state (per FILE, monotone under append — a
+    // time-traveled file's stats never change after its commit).
     val ranges = GraftSqlTable.pruningRanges(pushed.toSeq)
     val stats =
       if (ranges.isEmpty) Map.empty[String, Seq[ManifestCommit.ColStat]]
@@ -366,8 +409,10 @@ private[graft] class GraftSqlScan(path: String, full: StructType)
     // merge-on-read: files a sidecar names carry the sidecar paths and
     // subtract their positions executor-side; the touched set resolves
     // from sidecar footer stats (driver-side, no job), a superset being
-    // safe — an untouched false positive loads an empty position set
-    val dvs = ManifestCommit.currentDvs(fs, dir)
+    // safe — an untouched false positive loads an empty position set.
+    // A time-travel read subtracts the sidecars ACTIVE AT that version.
+    val dvs = asOf.fold(ManifestCommit.currentDvs(fs, dir))(v =>
+        ManifestCommit.dvsAt(fs, dir, v))
       .map(n => new Path(dir, n).toString)
     val touched: Set[String] =
       if (dvs.isEmpty) Set.empty

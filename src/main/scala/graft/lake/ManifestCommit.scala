@@ -448,6 +448,17 @@ object ManifestCommit {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** The RECORDED schema as of `version` (None when that manifest is
+    * pruned or predates schema recording) — what a time-travel read
+    * must resolve against: a column added after `version` did not
+    * exist then and must not surface NULL-filled. */
+  def schemaAt(fs: FileSystem, partition: Path,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    parseFull(fs, manifestPath(partition, version))
+      .flatMap(_.schemaJson)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** How many of the newest live files' parquet footers a schema
     * INFERENCE (no recorded schema) may touch. Newest-bounded for the
     * same reason the [[applyChangesDV]] guard is: the newest files

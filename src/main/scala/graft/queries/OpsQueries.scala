@@ -1502,6 +1502,24 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM graftsql.db.orders_del ORDER BY o_orderkey""")
     }),
+    // SQL time travel: VERSION AS OF the pre-delete commit reads the
+    // WHOLE loaded table (the later DV delete's sidecar does not
+    // subtract) — the pinned version resolved from the commit history
+    "q269_sql_time_travel" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      val delV = graft.lake.ManifestCommit.history(ss,
+          new org.apache.hadoop.fs.Path(s"$wh/db/orders_del"))
+        .filter(col("kind") === "dvdelete")
+        .agg(min(col("version"))).head.getLong(0)
+      ss.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graftsql.db.orders_del VERSION AS OF ${delV - 1}
+        ORDER BY o_orderkey""")
+    }),
     // DESCRIBE HISTORY: the commit log as a relation (driver-side
     // manifest parsing, KBs at any table size) — version/kind/file
     // motion/sidecar counts over the upsert lake's 4-commit history;
@@ -6047,6 +6065,10 @@ object OpsQueries {
            o_totalprice, CAST(1 AS BIGINT) AS day
          FROM orders, b WHERE o_orderkey % 5 = 0
          ORDER BY o_orderkey, day""",
+    // time travel to the pre-delete version: the full orders projection
+    "q269_sql_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
     // the SQL-deleted table: orders minus the box range (the DV
     // sidecar's positions subtracted by the merge-on-read SQL scan)
     "q268_sql_delete" ->

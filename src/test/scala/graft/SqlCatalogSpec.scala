@@ -133,6 +133,45 @@ class SqlCatalogSpec extends SparkSpec {
       "a refused delete must delete nothing")
   }
 
+  test("VERSION AS OF: the pre-delete snapshot reads whole, the schema " +
+      "is as recorded then, pinned versions are read-only, and a pruned " +
+      "version refuses") {
+    val wh = Files.createTempDirectory("graft-sqlcat6").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.tt (k BIGINT, v BIGINT)")
+    ss.range(30).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("src6")
+    ss.sql("INSERT INTO g.tt SELECT k, v FROM src6")
+    val dir = new Path(s"$wh/tt")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val vLoaded = ManifestCommit.currentSnapshot(fs, dir).get.version
+    ss.sql("DELETE FROM g.tt WHERE k >= 10 AND k <= 29")
+    ss.sql("ALTER TABLE g.tt ADD COLUMN w DOUBLE")
+    // live head: 10 rows, 3 columns; pinned version: all 30 rows and
+    // NO w column — the schema is the one recorded at that version
+    assert(ss.sql("SELECT count(*) AS n FROM g.tt").head.getLong(0) == 10L)
+    val old = ss.sql(s"SELECT * FROM g.tt VERSION AS OF $vLoaded")
+    assert(old.columns.toSeq == Seq("k", "v"),
+      s"later-added columns must not surface: ${old.columns.toSeq}")
+    assert(old.count() == 30L)
+    // a time-travel read BETWEEN two DV states: delete half the range,
+    // travel back across it
+    val vAfterDelete = ManifestCommit.currentSnapshot(fs, dir).get.version
+    ss.sql("DELETE FROM g.tt WHERE k = 5")
+    assert(ss.sql(s"SELECT count(*) AS n FROM g.tt " +
+      s"VERSION AS OF $vAfterDelete").head.getLong(0) == 10L)
+    assert(ss.sql("SELECT count(*) AS n FROM g.tt").head.getLong(0) == 9L)
+    // pinned versions are immutable: writes and deletes refuse
+    val e1 = intercept[Exception](ss.sql(
+      s"DELETE FROM g.tt VERSION AS OF $vLoaded WHERE k = 1"))
+    assert(e1.getMessage != null)
+    // a pruned version refuses loudly, naming the horizon
+    ManifestCommit.pruneLog(fs, dir, keepLast = 1)
+    val e2 = intercept[Exception](
+      ss.sql(s"SELECT * FROM g.tt VERSION AS OF $vLoaded").collect())
+    assert(e2.getMessage.contains("pruned"), e2.getMessage)
+  }
+
   test("long-range predicates prune FILES via the manifest's recorded " +
       "per-file stats — a key-clustered table scans one file, not all") {
     val wh = Files.createTempDirectory("graft-sqlcat5").toString
