@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -292,7 +293,7 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -340,6 +341,13 @@ private[graft] class GraftSqlTable(path: String, ident: String,
               ()
             }
           }
+        // `writeStream.toTable(...)`: epochs land as atomic manifest
+        // commits carrying the query id as a txn watermark — a
+        // replayed epoch (post-crash re-delivery against the same
+        // checkpoint) no-ops, the manifest is the only ledger
+        override def toStreaming: StreamingWrite =
+          new GraftStreamingWrite(path, ident, info.schema(),
+            info.queryId())
       }
     }
 }
@@ -435,4 +443,169 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
       feedCols = false)
+}
+
+/** One staged parquet file a streaming-epoch task produced: the hidden
+  * staging dir (swept if the epoch crashes), the file inside it, and
+  * the row count (empty tasks stage nothing to commit). */
+private[graft] case class GraftStagedFile(stagingDir: String,
+    file: String, rows: Long) extends WriterCommitMessage
+
+/** The streaming half of the SQL surface — `writeStream.toTable(t)`:
+  * each task writes its rows as ONE parquet file into a hidden
+  * `._compacting-stream-*` staging dir (the same swept prefix every
+  * other crashed-stage residue uses); the driver's epoch commit renames
+  * the files visible and appends them in ONE manifest commit carrying
+  * `(queryId, epochId)` as the transaction watermark — so a replayed
+  * epoch (crash between sink commit and checkpoint write) is a NO-OP
+  * and the landed table is exactly-once with no sink metadata log.
+  * Work per epoch ∝ the epoch's rows; concurrent library/SQL writers
+  * serialize through the optimistic commit protocol as usual. */
+private[graft] class GraftStreamingWrite(path: String, ident: String,
+    schema: StructType, queryId: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamWriterFactory(path, schema,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  private def fsOf = new Path(path).getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = fsOf
+    val dir = new Path(path)
+    val staged = messages.collect {
+      case m: GraftStagedFile if m.rows > 0 => m
+    }
+    def dropStaging(): Unit = messages.collect {
+      case m: GraftStagedFile =>
+        fs.delete(new Path(m.stagingDir), true)
+    }
+    // the txn watermark check appendFiles would do, surfaced early so
+    // a replayed epoch never moves files at all
+    if (ManifestCommit.lastTxnVersion(fs, dir, queryId)
+        .exists(_ >= epochId)) {
+      dropStaging()
+      return
+    }
+    if (staged.isEmpty) {
+      // an empty epoch still advances the watermark — a replay of it
+      // must stay a no-op even if a later non-empty epoch crashed
+      ManifestCommit.appendFiles(fs, dir, Nil,
+        txn = Some((queryId, epochId)))
+      dropStaging()
+      return
+    }
+    val qid = queryId.replaceAll("[^A-Za-z0-9]", "").take(8)
+    val names = staged.zipWithIndex.map { case (m, i) =>
+      val name =
+        s"${ManifestCommit.CompactedPrefix}stream-$qid-e$epochId-$i.parquet"
+      require(fs.rename(new Path(m.stagingDir, m.file),
+        new Path(dir, name)),
+        s"graft catalog: cannot move staged ${m.file} into $path")
+      name
+    }
+    ManifestCommit.appendFiles(fs, dir, names.toSeq,
+      txn = Some((queryId, epochId)))
+    dropStaging()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = fsOf
+    messages.foreach {
+      case m: GraftStagedFile => fs.delete(new Path(m.stagingDir), true)
+      case _ =>
+    }
+  }
+}
+
+private[graft] class GraftStreamWriterFactory(path: String,
+    schema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends StreamingDataWriterFactory with DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(path, schema, conf.value,
+      s"e$epochId-p$partitionId-t$taskId")
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftParquetDataWriter(path, schema, conf.value,
+      s"b-p$partitionId-t$taskId")
+}
+
+/** Executor-side parquet writer over the Group API — the write twin of
+  * [[graft.sources.FeedReaderFactory]]'s reader (same scalar surface:
+  * the types SQL DDL can declare on this catalog). Lazy: an empty task
+  * never creates a file. */
+private[graft] class GraftParquetDataWriter(path: String,
+    schema: StructType, conf: org.apache.hadoop.conf.Configuration,
+    tag: String) extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.spark.sql.types._
+
+  private val messageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim = f.dataType match {
+        case LongType    => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType  => Types.optional(DOUBLE)
+        case FloatType   => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType  =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case o => sys.error("graft catalog: streaming writes support " +
+          s"the scalar SQL surface; column ${f.name} is $o")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+  private val groups = new SimpleGroupFactory(messageType)
+  private val stagingDir = new Path(path,
+    s"._compacting-stream-$tag-${java.util.UUID.randomUUID.toString.take(8)}")
+  private val fileName = "part.parquet"
+  private var rows = 0L
+  private lazy val writer = ExampleParquetWriter
+    .builder(new Path(stagingDir, fileName))
+    .withConf(conf).withType(messageType).build()
+
+  override def write(row: InternalRow): Unit = {
+    val g = groups.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      val f = schema.fields(i)
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType    => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType  => g.add(f.name, row.getDouble(i))
+        case FloatType   => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType  =>
+          g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
+        case _ => () // unreachable: messageType construction refused
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (rows > 0) writer.close()
+    GraftStagedFile(stagingDir.toString, fileName, rows)
+  }
+  override def abort(): Unit = {
+    if (rows > 0) writer.close()
+    stagingDir.getFileSystem(conf).delete(stagingDir, true)
+    ()
+  }
+  override def close(): Unit = ()
 }

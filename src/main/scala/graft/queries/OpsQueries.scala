@@ -1502,6 +1502,34 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM graftsql.db.orders_del ORDER BY o_orderkey""")
     }),
+    // STREAMING SQL sink: writeStream.toTable — the orders_t bootstrap
+    // feed streams INTO a catalog table; each epoch is one manifest
+    // commit carrying the query id as its txn watermark (exactly-once,
+    // no sink metadata log); the landed table == the source projection
+    "q270_sql_stream_sink" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      sqlStreamSunk.computeIfAbsent(d, _ => {
+        ss.sql("""CREATE TABLE graftsql.db.orders_sunk
+          (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+        ss.readStream.format("graft.sources.FeedSource")
+          .option("path", s"$wh/db/orders_t")
+          .option("bootstrap", "true")
+          .load()
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .writeStream
+          .option("checkpointLocation", s"$wh/db/orders_sunk-ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graftsql.db.orders_sunk").awaitTermination()
+        "done"
+      })
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graftsql.db.orders_sunk ORDER BY o_orderkey""")
+    }),
     // SQL time travel: VERSION AS OF the pre-delete commit reads the
     // WHOLE loaded table (the later DV delete's sidecar does not
     // subtract) — the pinned version resolved from the commit history
@@ -2458,6 +2486,12 @@ object OpsQueries {
     * registered [[graft.lake.GraftCatalog]]. Returns the warehouse
     * dir; the query then aggregates through the same SQL surface. */
   private val sqlWarehouses =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q270's once-per-process guard: the streaming toTable run (a
+    * re-run against the same checkpoint is a no-op anyway; the guard
+    * just spares the bench the idle restart). */
+  private val sqlStreamSunk =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[queries] def ensureSqlWarehouse(s: SparkSession,
@@ -6067,6 +6101,11 @@ object OpsQueries {
          ORDER BY o_orderkey, day""",
     // time travel to the pre-delete version: the full orders projection
     "q269_sql_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
+    // the streamed-in table: the whole orders projection (the bootstrap
+    // feed replays the loaded snapshot as inserts, epochs land atomically)
+    "q270_sql_stream_sink" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_orderkey""",
     // the SQL-deleted table: orders minus the box range (the DV

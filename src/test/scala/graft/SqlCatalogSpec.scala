@@ -133,6 +133,64 @@ class SqlCatalogSpec extends SparkSpec {
       "a refused delete must delete nothing")
   }
 
+  test("writeStream.toTable: epochs land as txn-watermarked manifest " +
+      "commits — exactly-once, resumable, no sink metadata log") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft-sqlcat7").toString
+    val ss = sqlSession(wh)
+    // a library source lake whose change feed drives the stream
+    val src = new Path(s"$wh/srclake")
+    val fs = src.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    graft.ops.Layout.writeLinear(
+      ss.range(60).select($"id".as("k"), ($"id" * 2).as("v")),
+      col("k"), src.toString, 2)
+    ManifestCommit.bootstrap(fs, src)
+    ManifestCommit.recordStats(ss, src, Seq("k"))
+    ManifestCommit.recordSchema(ss, src)
+    val ckpt = Files.createTempDirectory("graft-sqlcat7-ck").toString
+    ss.sql("CREATE NAMESPACE g.db")
+    ss.sql("CREATE TABLE g.db.sunk (k BIGINT, v BIGINT)")
+    def run(): Unit = ss.readStream
+      .format("graft.sources.FeedSource")
+      .option("path", src.toString).option("bootstrap", "true")
+      .load().select($"k", $"v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("g.db.sunk").awaitTermination()
+    run()
+    def ks = ss.sql("SELECT k FROM g.db.sunk").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(ks == (0L to 59L), s"landed ${ks.size} rows")
+    // restart against the same checkpoint with nothing new: no batch
+    // re-lands, no duplicates
+    run()
+    assert(ks == (0L to 59L), "an idle restart must append nothing")
+    // the source advances; the resumed stream lands exactly the delta,
+    // and the sink table's history shows pure appends with the query's
+    // txn watermark (no rewrites, no side metadata)
+    ManifestCommit.stageAndPublish(ss, src,
+      ss.range(5).select(($"id" + 100).as("k"), ($"id" * 2).as("v")),
+      _ => true, statsCols = Seq("k")).getOrElse(fail("publish"))
+    run()
+    assert(ks == ((0L to 59L) ++ (100L to 104L)), s"after delta: $ks")
+    val sunk = new Path(s"$wh/db/sunk")
+    assert(ManifestCommit.currentTxns(fs, sunk).nonEmpty,
+      "the epoch watermark must ride the sink table's manifest")
+    val kinds = ManifestCommit.history(ss, sunk).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    assert(kinds.filter(_._1 == "append").forall(_._2 == 0L),
+      s"streaming epochs must be pure appends: $kinds")
+    // crash-shaped replay: a manual duplicate epoch commit (same query
+    // id, same epoch) must no-op against the watermark
+    val before = ManifestCommit.currentSnapshot(fs, sunk).get
+    val qid = ManifestCommit.currentTxns(fs, sunk).keys.head
+    val lastEpoch = ManifestCommit.currentTxns(fs, sunk)(qid)
+    ManifestCommit.appendFiles(fs, sunk, Nil,
+      txn = Some((qid, lastEpoch)))
+    assert(ManifestCommit.currentSnapshot(fs, sunk).get.version
+      == before.version, "a replayed epoch must be a no-op commit")
+  }
+
   test("VERSION AS OF: the pre-delete snapshot reads whole, the schema " +
       "is as recorded then, pinned versions are read-only, and a pruned " +
       "version refuses") {
