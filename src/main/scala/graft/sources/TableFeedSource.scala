@@ -229,17 +229,21 @@ private[sources] class TableFeedTable(props: Map[String, String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TableFeedScan(options.get("path"),
       Option(options.get("cursors")).map(TableFeedSource.parseVector),
-      Option(options.get("maxCommitsPerBatch")).map(_.toLong), tableSchema)
+      Option(options.get("maxCommitsPerBatch")).map(_.toLong), tableSchema,
+      Option(options.get("lease")),
+      options.getLong("leaseTtlMs", 600000L))
 }
 
 private[sources] class TableFeedScan(root: String,
     cursors: Option[Map[String, Long]], maxCommitsPerBatch: Option[Long],
-    tableSchema: StructType) extends ScanBuilder with Scan {
+    tableSchema: StructType, lease: Option[String] = None,
+    leaseTtlMs: Long = 600000L) extends ScanBuilder with Scan {
   override def build(): Scan = this
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"graft-tablefeed $root"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TableFeedStream(root, cursors, maxCommitsPerBatch, tableSchema)
+    new TableFeedStream(root, cursors, maxCommitsPerBatch, tableSchema,
+      lease, leaseTtlMs)
 }
 
 /** The stream offset: one consumed commit version per leaf partition. */
@@ -251,7 +255,8 @@ private[sources] case class TableFeedOffset(leaves: Map[String, Long])
 
 private[sources] class TableFeedStream(rootPath: String,
     cursors: Option[Map[String, Long]], maxCommitsPerBatch: Option[Long],
-    tableSchema: StructType)
+    tableSchema: StructType, lease: Option[String] = None,
+    leaseTtlMs: Long = 600000L)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   private def root = new Path(rootPath)
@@ -297,8 +302,11 @@ private[sources] class TableFeedStream(rootPath: String,
     * born after query start are left for the next run. */
   @volatile private var availableTarget: Option[Map[String, Long]] = None
 
-  override def initialOffset(): Offset =
-    TableFeedOffset(cursors.getOrElse(liveVector()))
+  override def initialOffset(): Offset = {
+    val init = cursors.getOrElse(liveVector())
+    if (lease.isDefined) renewLeases(init, liveVector())
+    TableFeedOffset(init)
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(liveVector())
@@ -307,9 +315,27 @@ private[sources] class TableFeedStream(rootPath: String,
     * (born after the bookmark) enters at its head — its snapshot replay
     * is one atomic version. A leaf with a start entry but no live
     * listing (dropped) keeps its entry frozen so offsets stay monotone. */
+  /** With `option("lease", id)`: pin each LAGGING leaf's consumed
+    * cursor version against that leaf's pruneLog for `leaseTtlMs`,
+    * renewed every planning round — so a slow table-level consumer
+    * never loses the manifests its next batch needs. Cost ∝ lagging
+    * leaves (an up-to-date leaf's cursor IS its head, which keepLast
+    * ≥ 1 always retains), so a thousand-leaf table with a handful
+    * changed pays a handful of small PUTs, not a thousand. */
+  private def renewLeases(start: Map[String, Long],
+      tgt: Map[String, Long]): Unit = lease.foreach { id =>
+    tgt.foreach { case (rel, head) =>
+      val cursor = start.getOrElse(rel, head) // born leaf pins its head
+      if (cursor < head || !start.contains(rel))
+        ManifestCommit.acquireLease(fs, leafDir(rel), id,
+          math.max(cursor, 0L), leaseTtlMs)
+    }
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TableFeedOffset].leaves
     val tgt = availableTarget.getOrElse(liveVector())
+    renewLeases(s, tgt)
     val advanced = tgt.map { case (rel, head) =>
       rel -> (s.get(rel) match {
         case Some(v) => maxCommitsPerBatch.fold(head)(n =>

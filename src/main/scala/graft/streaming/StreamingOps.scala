@@ -1328,12 +1328,13 @@ object StreamingOps {
     * bookmark ([[graft.lake.ChangeFeed.tableCursors]]); a live leaf
     * absent from it is treated as born. */
   def streamFeedTable(spark: SparkSession, tableRoot: String,
-      cursors: Map[String, Long]): DataFrame = {
+      cursors: Map[String, Long],
+      lease: Option[String] = None): DataFrame = {
     val name = "stream_feedtbl_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    tableFeedStream(ss, tableRoot, cursors)
+    tableFeedStream(ss, tableRoot, cursors, lease)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
@@ -1343,13 +1344,17 @@ object StreamingOps {
 
   /** The table-level feed as an un-started streaming DataFrame — the
     * composable entry ([[streamFeedTable]] and the file-sink twin
-    * [[streamFeedTableToDir]] both drain it). */
+    * [[streamFeedTableToDir]] both drain it). `lease` registers a
+    * per-lagging-leaf retention lease each planning round. */
   def tableFeedStream(spark: SparkSession, tableRoot: String,
-      cursors: Map[String, Long]): DataFrame =
-    spark.readStream.format("graft.sources.TableFeedSource")
+      cursors: Map[String, Long],
+      lease: Option[String] = None): DataFrame = {
+    val rd = spark.readStream.format("graft.sources.TableFeedSource")
       .option("path", tableRoot)
       .option("cursors", graft.sources.TableFeedSource.cursorsJson(cursors))
-      .load()
+    lease.foreach(id => rd.option("lease", id))
+    rd.load()
+  }
 
   /** File-sink twin of [[streamFeedTable]] — the PRODUCTION shape: the
     * table-level feed lands as parquet under `outDir` with a real

@@ -437,6 +437,37 @@ class FeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("table feed leases: a LAGGING leaf's cursor is pinned against " +
+      "pruneLog; an up-to-date leaf pays nothing") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-feedtbllease").toString + "/t"
+    spark.range(20).select($"id".as("k"), ($"id" * 2).as("v"),
+        ($"id" % 2 + 1).cast("int").as("day"))
+      .write.partitionBy("day").parquet(root)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cursors = ChangeFeed.tableCursors(spark, root)
+    // only day=1 advances: the consumer lags there and nowhere else
+    ManifestCommit.stageAndPublish(spark, new Path(s"$root/day=1"),
+      Seq((500L, 0L)).toDF("k", "v"), _ => true).getOrElse(fail("publish"))
+    StreamingOps.streamFeedTable(spark, root, cursors,
+      lease = Some("tbl-consumer")).count()
+    def leaseFile(leaf: String) = new Path(
+      s"$root/$leaf/${ManifestCommit.LogDirName}/.lease-tbl-consumer")
+    assert(fs.exists(leaseFile("day=1")),
+      "the lagging leaf must carry the consumer's lease")
+    assert(!fs.exists(leaseFile("day=2")),
+      "an up-to-date leaf must not pay a lease PUT")
+    // the pin holds: the consumed cursor version survives an
+    // aggressive per-leaf prune while the lease lives
+    val pinned = cursors("day=1")
+    ManifestCommit.stageAndPublish(spark, new Path(s"$root/day=1"),
+      Seq((501L, 0L)).toDF("k", "v"), _ => true).getOrElse(fail("p2"))
+    ManifestCommit.pruneLog(fs, new Path(s"$root/day=1"), keepLast = 1)
+    assert(ManifestCommit.snapshotAt(fs, new Path(s"$root/day=1"),
+      pinned).isDefined, "the leased cursor version must survive")
+  }
+
   test("table feed: non-integer partition values (string and date " +
       "segments) ride with inferred types, as the batch twin's " +
       "basePath inference does") {
