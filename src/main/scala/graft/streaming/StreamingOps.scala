@@ -1063,7 +1063,10 @@ object StreamingOps {
     * source's committed snapshot (active deletion-vector sidecars
     * subtracted inside the readers), which lands as the replica's
     * initial load; later batches tail the log and apply as atomic
-    * merge-on-read commits. Exactly-once via the replica's txn
+    * merge-on-read commits — a batch may span MANY commits (per-key
+    * last-change netting keeps one apply equal to the per-commit
+    * replay; `maxCommitsPerBatch = Some(1)` restores the per-commit
+    * cadence). Exactly-once via the replica's txn
     * watermark: a replayed snapshot batch no-ops, a crash BEFORE the
     * initial load's watermark rebuilds the load from scratch (the
     * snapshot batch is a pinned version — idempotent), and the op
@@ -1079,7 +1082,8 @@ object StreamingOps {
     * the same precondition). The snapshot batch itself (pure inserts)
     * does not impose it. */
   def streamReplicateBootstrap(spark: SparkSession, srcPath: String,
-      dstPath: String, keyCol: String, appId: String): DataFrame = {
+      dstPath: String, keyCol: String, appId: String,
+      maxCommitsPerBatch: Option[Long] = None): DataFrame = {
     import graft.lake.ManifestCommit
     val dst = new org.apache.hadoop.fs.Path(dstPath)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1101,10 +1105,20 @@ object StreamingOps {
         ManifestCommit.recordSchema(spark, dst)
         ManifestCommit.appendFiles(fs, dst, Nil, txn = Some((appId, batchId)))
       } else {
+        // key-replacement netting: the key's LAST change wins (an
+        // upsert's same-version insert beats its delete), so a batch
+        // spanning MANY commits lands as ONE applyChangesDV with the
+        // per-commit replay's exact result — replicateTable's algebra
+        val ord = struct(col(graft.sources.FeedSource.VersionCol),
+          when(col(graft.sources.FeedSource.ChangeTypeCol) === "insert",
+            lit(1)).otherwise(lit(0)).as("ins"))
+        val last = b.groupBy(col(keyCol))
+          .agg(max_by(struct(b.columns.map(col): _*), ord).as("last"))
+          .select(col("last.*"))
         ManifestCommit.applyChangesDV(spark, dst, keyCol,
-          inserts = b.filter(col("_change_type") === "insert")
+          inserts = last.filter(col("_change_type") === "insert")
             .select(dataCols.map(col): _*),
-          deleteKeys = b.filter(col("_change_type") === "delete")
+          deleteKeys = last.filter(col("_change_type") === "delete")
             .select(col(keyCol)),
           statsCols = Seq(keyCol), txn = Some((appId, batchId)))
         ()
@@ -1113,11 +1127,12 @@ object StreamingOps {
     def runOnce(checkpoint: String): Unit = {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      ss.readStream.format("graft.sources.FeedSource")
+      val src = ss.readStream.format("graft.sources.FeedSource")
         .option("path", srcPath)
         .option("bootstrap", "true")
-        .option("maxCommitsPerBatch", "1")
-        .load()
+      maxCommitsPerBatch.foreach(n =>
+        src.option("maxCommitsPerBatch", n.toString))
+      src.load()
         .writeStream.outputMode(OutputMode.Append)
         .foreachBatch(applyBatch _)
         .option("checkpointLocation", checkpoint)
@@ -1379,7 +1394,11 @@ object StreamingOps {
   /** STREAMING materialized-JOIN-view maintenance — the q234 batch
     * maintenance as a production CDC job: the
     * [[graft.sources.FeedSource]] stream tails the FACT table's commit
-    * log one commit per micro-batch, and each batch lands on the view
+    * log (a batch may span MANY commits — the per-key last-change
+    * netting makes one apply equal the per-commit replay, so a backlog
+    * costs one view commit, not one per source commit;
+    * `maxCommitsPerBatch = Some(1)` restores the per-commit cadence),
+    * and each batch lands on the view
     * stored AS A MANIFEST LAKE through ONE atomic merge-on-read commit
     * ([[graft.lake.ManifestCommit.applyChangesDV]]): the last change
     * per touched `rowKey` wins within the batch, insert rows re-enter
@@ -1398,7 +1417,8 @@ object StreamingOps {
   def streamFeedJoinMaintain(spark: SparkSession, tablePath: String,
       fromV: Long, baseView: DataFrame, dim: DataFrame,
       joinKey: String, rowKey: String, viewPath: String,
-      appId: String): DataFrame = {
+      appId: String,
+      maxCommitsPerBatch: Option[Long] = None): DataFrame = {
     import graft.lake.ManifestCommit
     val dst = new org.apache.hadoop.fs.Path(viewPath)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1437,11 +1457,12 @@ object StreamingOps {
     def runOnce(checkpoint: String): Unit = {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
-      ss.readStream.format("graft.sources.FeedSource")
+      val src = ss.readStream.format("graft.sources.FeedSource")
         .option("path", tablePath)
         .option("fromVersion", fromV.toString)
-        .option("maxCommitsPerBatch", "1")
-        .load()
+      maxCommitsPerBatch.foreach(n =>
+        src.option("maxCommitsPerBatch", n.toString))
+      src.load()
         .writeStream.outputMode(OutputMode.Append)
         .foreachBatch(applyBatch _)
         .option("checkpointLocation", checkpoint)

@@ -378,6 +378,21 @@ class FeedSourceSpec extends SparkSpec {
     assert(hist.exists(_._1 == "upsert"), s"history: ${hist.toSeq}")
     assert(hist.filter(_._1 == "upsert").forall(_._2 == 0L),
       s"an upsert commit consumed base files: ${hist.toSeq}")
+    // netting equivalence: the default (one batch may span the whole
+    // 3-commit backlog, one netted apply) equals the per-commit replay
+    val perCommit = StreamingOps.streamFeedJoinMaintain(spark,
+      fact.toString, v0, baseView, dim, joinKey = "g", rowKey = "k",
+      viewPath = s"$root/view1c", appId = "jv-spec-1c",
+      maxCommitsPerBatch = Some(1L))
+    assert(perCommit.select("k", "g", "v", "g_name")
+      .collect().map(_.toString).sorted.toSeq == want,
+      "per-commit replay must equal the netted apply")
+    // ... and fewer view commits: the netted run applied the backlog
+    // in fewer merge-on-read commits than the per-commit run
+    val n1c = ManifestCommit.history(spark, new Path(s"$root/view1c"))
+      .collect().count(_.getString(1) == "upsert")
+    assert(hist.count(_._1 == "upsert") <= n1c,
+      s"netted=${hist.count(_._1 == "upsert")} per-commit=$n1c")
   }
 
   test("streamFeedTable: a leaf born after the bookmark surfaces whole " +
