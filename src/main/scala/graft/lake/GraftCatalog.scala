@@ -408,10 +408,23 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
     val stats =
       if (ranges.isEmpty) Map.empty[String, Seq[ManifestCommit.ColStat]]
       else ManifestCommit.currentFileStats(fs, dir)
+    // point predicates (lo == hi) additionally consult recorded
+    // per-file BLOOMS — readTableEq's pruning, now behind plain SQL: a
+    // bloom that rejects the value drops the file even when its
+    // min/max range admits it
+    val points = ranges.collect { case (c, (lo, hi)) if lo == hi =>
+      (c, lo)
+    }
+    val blooms =
+      if (points.isEmpty) Map.empty[String, Seq[ManifestCommit.ColBloom]]
+      else ManifestCommit.currentFileBlooms(fs, dir)
     val kept = snap.files.filter { n =>
       ranges.forall { case (c, (lo, hi)) =>
         stats.getOrElse(n, Nil).find(_.col == c)
           .forall(s => s.max >= lo && s.min <= hi)
+      } && points.forall { case (c, v) =>
+        blooms.getOrElse(n, Nil).find(_.col == c)
+          .forall(_.mightContain(v))
       }
     }
     // merge-on-read: files a sidecar names carry the sidecar paths and

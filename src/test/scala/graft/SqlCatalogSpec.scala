@@ -253,5 +253,22 @@ class SqlCatalogSpec extends SparkSpec {
       .head.execute().getNumPartitions
     assert(scanParts == 1, s"expected 1 pruned file partition, " +
       s"got $scanParts")
+    // recorded blooms close the gap stats leave: a point probe for a
+    // value inside a file's [min, max] but absent from the data prunes
+    // to ZERO partitions (readTableEq's pruning, behind plain SQL)
+    graft.ops.Layout.writeLinear(
+      ss.range(100).select(($"id" * 10).as("k"), ($"id" % 7).as("g")),
+      col("k"), s"$wh/bloomed", 2)
+    val bdir = new Path(s"$wh/bloomed")
+    ManifestCommit.bootstrap(fs, bdir)
+    ManifestCommit.recordStats(ss, bdir, Seq("k"))
+    ManifestCommit.recordSchema(ss, bdir)
+    ManifestCommit.recordBlooms(ss, bdir, "k")
+    val q2 = ss.sql("SELECT g FROM g.bloomed WHERE k = 15") // in range, absent
+    assert(q2.collect().isEmpty)
+    val parts2 = q2.queryExecution.executedPlan.collectLeaves()
+      .head.execute().getNumPartitions
+    assert(parts2 == 0,
+      s"a bloom-rejected point probe must plan zero files, got $parts2")
   }
 }
