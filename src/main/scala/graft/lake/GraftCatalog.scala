@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
@@ -293,7 +294,8 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -389,6 +391,18 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
     s"graft-sql $path pruned=[${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
+  /** `spark.readStream.table(t)` — the table as an APPEND stream: the
+    * first micro-batch is the committed snapshot (active DV sidecars
+    * subtracted inside the readers), later batches tail the commit log
+    * and surface appended rows; offsets are commit versions, so the
+    * checkpointed cursor resumes exactly. A row-MUTATING commit
+    * (dvdelete/upsert) in the tail refuses loudly — an append-only
+    * table stream cannot retract rows; the CHANGE FEED (the FeedSource
+    * format, `_change_type` rows) is the consumer for mutable tables. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new GraftSqlMicroBatchStream(path, required)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val dir = new Path(path)
@@ -456,6 +470,56 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
       feedCols = false)
+}
+
+/** The append-only streaming read of one SQL table: planning delegates
+  * to the bootstrap-mode [[graft.sources.FeedStream]] (snapshot first,
+  * then the commit-log tail — offsets ARE commit versions), readers
+  * decode pure data columns, and any partition that would RETRACT a
+  * row (a dvdelete/upsert replay) fails the batch loudly. */
+private[graft] class GraftSqlMicroBatchStream(path: String,
+    required: StructType) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  private val inner = new graft.sources.FeedStream(path, None, None,
+    graft.sources.FeedSource.fullSchema(path), bootstrap = true)
+
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    inner.latestOffset(start, limit)
+  override def reportLatestOffset(): Offset = inner.reportLatestOffset()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-sql stream implements SupportsAdmissionControl")
+  override def prepareForTriggerAvailableNow(): Unit =
+    inner.prepareForTriggerAvailableNow()
+  override def deserializeOffset(json: String): Offset =
+    inner.deserializeOffset(json)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val parts = inner.planInputPartitions(start, end)
+    parts.foreach { ip =>
+      val p = ip.asInstanceOf[FeedFilePartition]
+      require(p.changeType == "insert" &&
+        (p.dvSidecars.isEmpty || !p.dvKeep),
+        s"graft catalog: readStream.table($path) saw a row-mutating " +
+          s"commit (a ${p.changeType} replay at v${p.version}) — an " +
+          "append-only table stream cannot retract rows; consume the " +
+          "change feed (format graft.sources.FeedSource) instead")
+    }
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(required,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()),
+      feedCols = false)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One staged parquet file a streaming-epoch task produced: the hidden

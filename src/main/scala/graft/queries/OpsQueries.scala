@@ -1530,6 +1530,26 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM graftsql.db.orders_sunk ORDER BY o_orderkey""")
     }),
+    // STREAMING SQL read: readStream.table over a catalog table — the
+    // first micro-batch is the committed snapshot, offsets are commit
+    // versions; the collected stream == the batch read
+    "q271_sql_stream_read" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      val name = "sqlrt_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      ss.readStream.table("graftsql.db.orders_t")
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      ss.table(name)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     // SQL time travel: VERSION AS OF the pre-delete commit reads the
     // WHOLE loaded table (the later DV delete's sidecar does not
     // subtract) — the pinned version resolved from the commit history
@@ -6106,6 +6126,10 @@ object OpsQueries {
     // the streamed-in table: the whole orders projection (the bootstrap
     // feed replays the loaded snapshot as inserts, epochs land atomically)
     "q270_sql_stream_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
+    // the streamed-out table: snapshot batch == the batch read
+    "q271_sql_stream_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_orderkey""",
     // the SQL-deleted table: orders minus the box range (the DV

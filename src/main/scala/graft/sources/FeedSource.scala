@@ -181,7 +181,7 @@ object FeedSource {
     out.result()
   }
 
-  private[sources] def fullSchema(path: String): StructType = {
+  private[graft] def fullSchema(path: String): StructType = {
     require(path != null, "graft-feed: 'path' option is required")
     val spark = SparkSession.active
     val dir = new Path(path)
@@ -229,7 +229,7 @@ private[sources] case class FeedOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-private[sources] class FeedStream(path: String, fromVersion: Option[Long],
+private[graft] class FeedStream(path: String, fromVersion: Option[Long],
     maxCommitsPerBatch: Option[Long], tableSchema: StructType,
     bootstrap: Boolean = false, lease: Option[String] = None,
     leaseTtlMs: Long = 600000L)

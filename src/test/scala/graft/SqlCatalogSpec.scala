@@ -191,6 +191,46 @@ class SqlCatalogSpec extends SparkSpec {
       == before.version, "a replayed epoch must be a no-op commit")
   }
 
+  test("readStream.table: snapshot-then-tail as an append stream with " +
+      "commit-version offsets; a row-mutating commit refuses loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft-sqlcat8").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.rt (k BIGINT, v BIGINT)")
+    ss.range(25).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("src8")
+    ss.sql("INSERT INTO g.rt SELECT k, v FROM src8")
+    val ckpt = Files.createTempDirectory("graft-sqlcat8-ck").toString
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    def run(): Unit = ss.readStream.table("g.rt")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k").collect().foreach(r => seen.add(r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run()
+    def ks = {
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.sorted
+    }
+    assert(ks == (0L to 24L), s"snapshot batch: ${ks.size} rows")
+    // new INSERT while the consumer is down: the resumed checkpoint
+    // tails exactly the delta (offsets are commit versions)
+    ss.sql("INSERT INTO g.rt SELECT k + 100, v FROM src8")
+    run()
+    assert(ks == ((0L to 24L) ++ (100L to 124L)), s"after tail: $ks")
+    // a DV delete lands: the append-only table stream must refuse the
+    // retraction, naming the change-feed consumer
+    ss.sql("DELETE FROM g.rt WHERE k = 3")
+    val e = intercept[Exception](run())
+    val msg = Option(e.getCause).fold(e.getMessage)(c =>
+      e.getMessage + " " + c.getMessage)
+    assert(msg.contains("change feed"), msg)
+  }
+
   test("VERSION AS OF: the pre-delete snapshot reads whole, the schema " +
       "is as recorded then, pinned versions are read-only, and a pruned " +
       "version refuses") {
