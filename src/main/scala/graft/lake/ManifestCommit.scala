@@ -1318,11 +1318,24 @@ object ManifestCommit {
   def acquireLease(fs: FileSystem, partition: Path, consumerId: String,
       minVersion: Long, ttlMs: Long): Unit = {
     require(ttlMs > 0, s"lease ttl must be positive: $ttlMs")
-    val out = fs.create(leasePath(partition, consumerId), true)
+    // write-then-rename, never create(overwrite)+write: an in-place
+    // overwrite is visibly EMPTY mid-renewal, and a concurrent
+    // [[pruneLog]] that read the empty file would classify the lease
+    // dead at the exact moment its owner was renewing it — the
+    // slow-consumer-vs-prune race the lease exists to close. The rename
+    // (FileContext OVERWRITE — atomic on HDFS) swaps complete content
+    // for complete content; [[activeLeaseFloor]] additionally SKIPS
+    // rather than deletes anything it cannot parse.
+    val dst = leasePath(partition, consumerId)
+    val tmp = new Path(dst.getParent,
+      s"${dst.getName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(
       s"$minVersion ${System.currentTimeMillis() + ttlMs}\n"
         .getBytes("UTF-8"))
     finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop `consumerId`'s lease (a cleanly-finishing consumer releases
@@ -1334,8 +1347,14 @@ object ManifestCommit {
   }
 
   /** The lowest version any UNEXPIRED lease pins (None when no live
-    * lease). Expired lease files are deleted in passing — the log
-    * checkpoint is where metadata residue goes to die. */
+    * lease). Expired leases are deleted in passing — the log checkpoint
+    * is where metadata residue goes to die. A file that does NOT parse
+    * is SKIPPED, never deleted: [[acquireLease]]'s write-then-rename
+    * means a well-behaved renewal is never visible half-written, so an
+    * unparseable lease is either corrupt residue (harmless to leave —
+    * it pins nothing) or evidence of a filesystem without atomic rename,
+    * where deleting it could destroy a mid-renewal pin. Aged-out
+    * `.tmp-` staging files from a crashed acquire are swept. */
   private def activeLeaseFloor(fs: FileSystem,
       partition: Path): Option[Long] = {
     val dir = logDir(partition)
@@ -1344,15 +1363,24 @@ object ManifestCommit {
     val floors = fs.listStatus(dir).toIndexedSeq
       .filter(_.getPath.getName.startsWith(".lease-"))
       .flatMap { st =>
-        val txt = new String({
-          val in = fs.open(st.getPath)
-          try in.readAllBytes() finally in.close()
-        }, "UTF-8").trim
-        txt.split("\\s+") match {
-          case Array(v, exp) if exp.toLong > now => Some(v.toLong)
-          case _ =>
-            fs.delete(st.getPath, false) // expired or malformed residue
-            None
+        if (st.getPath.getName.contains(".tmp-")) {
+          // a crashed acquire's staging residue: age-gated so a LIVE
+          // write-then-rename in flight is never destroyed
+          if (st.getModificationTime < now - TornSlotGraceMs)
+            fs.delete(st.getPath, false)
+          None
+        } else {
+          val txt = new String({
+            val in = fs.open(st.getPath)
+            try in.readAllBytes() finally in.close()
+          }, "UTF-8").trim
+          txt.split("\\s+") match {
+            case Array(v, exp) if scala.util.Try(exp.toLong).isSuccess &&
+                scala.util.Try(v.toLong).isSuccess =>
+              if (exp.toLong > now) Some(v.toLong)
+              else { fs.delete(st.getPath, false); None } // expired
+            case _ => None // unparseable: skip, never delete
+          }
         }
       }
     floors.minOption

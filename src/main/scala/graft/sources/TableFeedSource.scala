@@ -142,7 +142,7 @@ object TableFeedSource {
     * schema — loud on a value the inferred type cannot carry (a leaf
     * born after inference with an incompatible value must fail the
     * batch, not corrupt a column). */
-  private[sources] def partitionRow(rel: String,
+  private[graft] def partitionRow(rel: String,
       partSchema: StructType): InternalRow = {
     val vals = segmentsOf(rel).zip(partSchema.fields).map {
       case ((c, v), f) =>
@@ -206,14 +206,28 @@ object TableFeedSource {
   }
 
   /** Parse a `{"rel":version}` cursors/offset map (the values are the
-    * only numbers in the object, so one pair-regex suffices). */
-  private[sources] def parseVector(json: String): Map[String, Long] =
+    * only numbers in the object, so one pair-regex suffices). Keys are
+    * JSON-unescaped — the inverse of [[vectorJson]]'s escaping, so a
+    * partition value carrying `"` or `\` round-trips the checkpoint. */
+  private[graft] def parseVector(json: String): Map[String, Long] =
     """"((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r.findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
+      .map(m => unescapeKey(m.group(1)) -> m.group(2).toLong).toMap
 
-  private[sources] def vectorJson(m: Map[String, Long]): String =
+  private def escapeKey(k: String): String =
+    k.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unescapeKey(k: String): String = {
+    val sb = new StringBuilder(k.length)
+    var i = 0
+    while (i < k.length) {
+      if (k.charAt(i) == '\\' && i + 1 < k.length) i += 1
+      sb.append(k.charAt(i)); i += 1
+    }
+    sb.toString
+  }
+
+  private[graft] def vectorJson(m: Map[String, Long]): String =
     m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }
+      .map { case (k, v) => s""""${escapeKey(k)}":$v""" }
       .mkString("{", ",", "}")
 
   /** Serialize a consumer bookmark for the `cursors` option. */
@@ -247,13 +261,13 @@ private[sources] class TableFeedScan(root: String,
 }
 
 /** The stream offset: one consumed commit version per leaf partition. */
-private[sources] case class TableFeedOffset(leaves: Map[String, Long])
+private[graft] case class TableFeedOffset(leaves: Map[String, Long])
     extends Offset {
   override def json(): String =
     s"""{"leaves":${TableFeedSource.vectorJson(leaves)}}"""
 }
 
-private[sources] class TableFeedStream(rootPath: String,
+private[graft] class TableFeedStream(rootPath: String,
     cursors: Option[Map[String, Long]], maxCommitsPerBatch: Option[Long],
     tableSchema: StructType, lease: Option[String] = None,
     leaseTtlMs: Long = 600000L)
@@ -279,24 +293,42 @@ private[sources] class TableFeedStream(rootPath: String,
   /** The LIVE per-leaf head vector: one listing walk + one manifest GET
     * per leaf — O(leaves) driver-side metadata reads, no Spark job.
     * A leaf with a commit log reports its head. A LOG-LESS leaf (a
-    * plain listing-mode directory) is adopted only once the
-    * committer's `_SUCCESS` marks it complete: a continuously-polling
-    * planner that adopted a half-written directory would commit a
-    * partial (possibly empty) birth manifest and silently drop the
-    * leaf's initial rows from the feed — the one unacceptable outcome.
-    * Until the marker lands the leaf is invisible; manifest-native
-    * writers (replicate, stageAndPublish, applyChangesDV) are born at
-    * their first commit and never wait. */
-  private def liveVector(): Map[String, Long] =
+    * plain listing-mode directory) is adopted only once a committer
+    * marker proves it complete: a continuously-polling planner that
+    * adopted a half-written directory would commit a partial (possibly
+    * empty) birth manifest and silently drop the leaf's initial rows
+    * from the feed — the one unacceptable outcome. Two markers count:
+    * a `_SUCCESS` INSIDE the leaf (a direct single-directory write),
+    * or the TABLE-ROOT `_SUCCESS` at least as new as the leaf dir —
+    * Spark's FileOutputCommitter writes `_SUCCESS` only at the job
+    * output root for `partitionBy` dynamic-partition appends, so a
+    * leaf born mid-stream via `df.write.partitionBy(...)` carries no
+    * leaf-local marker ever; the root marker lands AFTER every leaf's
+    * files are moved in, so root-marker-mtime >= leaf-dir-mtime proves
+    * the leaf complete (a later in-flight job touching the leaf bumps
+    * its mtime past the old marker and the leaf waits for the new
+    * one). Until a marker lands the leaf is invisible — next round's
+    * enumeration adopts it, never a restart. Manifest-native writers
+    * (replicate, stageAndPublish, applyChangesDV) are born at their
+    * first commit and never wait. */
+  private def liveVector(): Map[String, Long] = {
+    val rootSuccess: Option[Long] = {
+      val p = new Path(root, "_SUCCESS")
+      if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
+      else None
+    }
     TableFeedSource.leafRels(fs, root).flatMap { rel =>
       val dir = leafDir(rel)
+      def jobComplete: Boolean =
+        fs.exists(new Path(dir, "_SUCCESS")) ||
+          rootSuccess.exists(_ >= fs.getFileStatus(dir).getModificationTime)
       val snap = ManifestCommit.currentSnapshot(fs, dir).orElse {
-        if (fs.exists(new Path(dir, "_SUCCESS")))
-          Some(ManifestCommit.bootstrap(fs, dir))
+        if (jobComplete) Some(ManifestCommit.bootstrap(fs, dir))
         else None
       }
       snap.map(rel -> _.version)
     }.toMap
+  }
 
   /** Pinned head vector for Trigger.AvailableNow: commits AND leaves
     * born after query start are left for the next run. */
@@ -315,20 +347,23 @@ private[sources] class TableFeedStream(rootPath: String,
     * (born after the bookmark) enters at its head — its snapshot replay
     * is one atomic version. A leaf with a start entry but no live
     * listing (dropped) keeps its entry frozen so offsets stay monotone. */
-  /** With `option("lease", id)`: pin each LAGGING leaf's consumed
+  /** With `option("lease", id)`: pin EVERY listed leaf's consumed
     * cursor version against that leaf's pruneLog for `leaseTtlMs`,
     * renewed every planning round — so a slow table-level consumer
-    * never loses the manifests its next batch needs. Cost ∝ lagging
-    * leaves (an up-to-date leaf's cursor IS its head, which keepLast
-    * ≥ 1 always retains), so a thousand-leaf table with a handful
-    * changed pays a handful of small PUTs, not a thousand. */
+    * never loses the manifests its next batch needs. Up-to-date leaves
+    * renew too (cursor == head): several commits can land on such a
+    * leaf between planning rounds, and an aggressive prune
+    * (keepLast small) racing that window would drop the start-cursor
+    * manifest the NEXT batch's commitsBetween still reads — the gap
+    * the per-leaf FeedStream avoids by renewing unconditionally. The
+    * PUT is one small rename per leaf per round; a table whose round
+    * cadence makes O(leaves) PUTs matter should shard consumers. */
   private def renewLeases(start: Map[String, Long],
       tgt: Map[String, Long]): Unit = lease.foreach { id =>
     tgt.foreach { case (rel, head) =>
       val cursor = start.getOrElse(rel, head) // born leaf pins its head
-      if (cursor < head || !start.contains(rel))
-        ManifestCommit.acquireLease(fs, leafDir(rel), id,
-          math.max(cursor, 0L), leaseTtlMs)
+      ManifestCommit.acquireLease(fs, leafDir(rel), id,
+        math.max(cursor, 0L), leaseTtlMs)
     }
   }
 
@@ -386,7 +421,7 @@ private[sources] class TableFeedStream(rootPath: String,
 /** One leaf delta file plus the leaf's root-relative path — the
   * partition VALUES travel as the path string (tiny, already a name)
   * and are decoded once per task against the inferred types. */
-private[sources] case class TableFeedPartition(leaf: FeedFilePartition,
+private[graft] case class TableFeedPartition(leaf: FeedFilePartition,
     rel: String) extends InputPartition
 
 private[sources] class TableFeedReaderFactory(innerSchema: StructType,

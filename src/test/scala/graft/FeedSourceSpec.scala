@@ -452,8 +452,9 @@ class FeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("table feed leases: a LAGGING leaf's cursor is pinned against " +
-      "pruneLog; an up-to-date leaf pays nothing") {
+  test("table feed leases: every listed leaf's consumed cursor is " +
+      "pinned against pruneLog — lagging AND up-to-date (commits can " +
+      "land on an up-to-date leaf between planning rounds)") {
     import graft.streaming.StreamingOps
     val root = Files.createTempDirectory("graft-feedtbllease").toString + "/t"
     spark.range(20).select($"id".as("k"), ($"id" * 2).as("v"),
@@ -471,16 +472,21 @@ class FeedSourceSpec extends SparkSpec {
       s"$root/$leaf/${ManifestCommit.LogDirName}/.lease-tbl-consumer")
     assert(fs.exists(leaseFile("day=1")),
       "the lagging leaf must carry the consumer's lease")
-    assert(!fs.exists(leaseFile("day=2")),
-      "an up-to-date leaf must not pay a lease PUT")
-    // the pin holds: the consumed cursor version survives an
-    // aggressive per-leaf prune while the lease lives
-    val pinned = cursors("day=1")
+    assert(fs.exists(leaseFile("day=2")),
+      "an up-to-date leaf renews too: commits landing on it between " +
+        "planning rounds + an aggressive prune would drop the " +
+        "start-cursor manifest the next batch's commitsBetween reads")
+    // the pin tracks CONSUMPTION: the batch consumed day=1 to its head,
+    // so the retention floor is the consumed head (the next batch's
+    // start cursor) — that version must survive an aggressive prune;
+    // versions below it are legitimately releasable
+    val consumed = ChangeFeed.tableCursors(spark, root)("day=1")
     ManifestCommit.stageAndPublish(spark, new Path(s"$root/day=1"),
       Seq((501L, 0L)).toDF("k", "v"), _ => true).getOrElse(fail("p2"))
     ManifestCommit.pruneLog(fs, new Path(s"$root/day=1"), keepLast = 1)
     assert(ManifestCommit.snapshotAt(fs, new Path(s"$root/day=1"),
-      pinned).isDefined, "the leased cursor version must survive")
+      consumed).isDefined,
+      "the consumed-head pin must survive an aggressive prune")
   }
 
   test("table feed: non-integer partition values (string and date " +
@@ -644,5 +650,83 @@ class FeedSourceSpec extends SparkSpec {
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
     assert(msgs(e2).contains("exclusive"), msgs(e2))
+  }
+
+  test("table feed: a leaf born mid-stream via df.write.partitionBy " +
+      "(root-level _SUCCESS only — FileOutputCommitter never writes a " +
+      "leaf-local marker for dynamic-partition appends) is adopted") {
+    import graft.streaming.StreamingOps
+    val root = Files.createTempDirectory("graft-feedtblpby").toString + "/t"
+    spark.range(10).select($"id".as("k"), ($"id" * 2).as("v"),
+        lit(1).as("day"))
+      .write.partitionBy("day").parquet(root)
+    val cursors = ChangeFeed.tableCursors(spark, root)
+    // birth day=2 through the dynamic-partition APPEND path: the job's
+    // _SUCCESS lands at the TABLE ROOT, the leaf itself carries no
+    // marker — the round-13 adoption rule (leaf-local _SUCCESS only)
+    // silently omitted this leaf from the feed forever
+    spark.range(3).select(($"id" + 800).as("k"), ($"id" * 2).as("v"),
+        lit(2).as("day"))
+      .write.mode("append").partitionBy("day").parquet(root)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$root/day=2/_SUCCESS")),
+      "precondition: partitionBy append must not write a leaf marker")
+    assert(fs.exists(new Path(s"$root/_SUCCESS")),
+      "precondition: the job marker lands at the root")
+    val got = StreamingOps.streamFeedTable(spark, root, cursors)
+      .select($"k", $"day").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((800L, 2), (801L, 2), (802L, 2)), s"got=$got")
+  }
+
+  test("table feed offsets: leaf-path keys carrying JSON-special " +
+      "characters round-trip the checkpointed vector exactly") {
+    import graft.sources.TableFeedSource
+    val m = Map("""day=a"b""" -> 3L, """day=c\d""" -> 7L, "day=1" -> 0L)
+    val json = TableFeedSource.vectorJson(m)
+    assert(TableFeedSource.parseVector(json) == m,
+      s"round-trip failed: $json -> ${TableFeedSource.parseVector(json)}")
+  }
+
+  test("retention leases: a malformed lease file is SKIPPED by " +
+      "pruneLog, never deleted (it could be a non-atomic-rename fs " +
+      "mid-renewal); an expired one is reaped; renewal is " +
+      "write-then-rename so the lease is never visibly empty") {
+    val dir = new Path(
+      Files.createTempDirectory("graft-leaseatomic").toString + "/t")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach { i =>
+      ManifestCommit.stageAndPublish(spark, dir,
+        Seq((i.toLong, 0L)).toDF("k", "v"), _ => true)
+        .getOrElse(fail("publish"))
+    }
+    val logDir = new Path(dir, ManifestCommit.LogDirName)
+    // hand-plant a malformed lease (what a torn write on a rename-less
+    // filesystem could leave): prune must not trust OR destroy it
+    val bad = new Path(logDir, ".lease-torn")
+    val out = fs.create(bad, true)
+    out.write("garbage-not-a-lease".getBytes("UTF-8")); out.close()
+    // and a live lease pinning v1
+    ManifestCommit.acquireLease(fs, dir, "live", 1L, 60000L)
+    val kept = new String({
+      val in = fs.open(new Path(logDir, ".lease-live"))
+      try in.readAllBytes() finally in.close()
+    }, "UTF-8")
+    assert(kept.trim.split("\\s+").length == 2,
+      s"lease must be complete on read: '$kept'")
+    ManifestCommit.pruneLog(fs, dir, keepLast = 1)
+    assert(fs.exists(bad), "malformed lease must be skipped, not deleted")
+    assert(ManifestCommit.snapshotAt(fs, dir, 1L).isDefined,
+      "the live lease must pin v1")
+    // renewal overwrites atomically (FileContext OVERWRITE rename) and
+    // an EXPIRED lease is reaped in passing at the next floor scan
+    ManifestCommit.acquireLease(fs, dir, "live", 2L, 1L)
+    Thread.sleep(5)
+    ManifestCommit.pruneLog(fs, dir, keepLast = 1)
+    assert(!fs.exists(new Path(logDir, ".lease-live")),
+      "an expired lease is residue and must be reaped")
+    assert(ManifestCommit.snapshotAt(fs, dir, 1L).isEmpty,
+      "with the lease expired the old manifest prunes")
   }
 }
