@@ -1171,6 +1171,51 @@ object ScaleSmoke {
       timeTf("tablefeed_64", 64)
       timeTf("tablefeed_128", 128)
     }
+
+    // SQL catalog batch scan vs the library GraftFileIndex scan over
+    // the SAME manifest table: round 13's SQL path read every file
+    // through the row-at-a-time parquet Group API (one unsplittable
+    // partition per file); round 14 routes DV-free files through the
+    // stock vectorized factory with byte-range splitting — the two
+    // scans should now be within noise of each other per byte.
+    if (enabled("sqlscan")) {
+      def timeSql(label: String, rowsM: Int,
+          silent: Boolean = false): Unit = {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_smoke_sql_${java.util.UUID.randomUUID().toString.take(8)}"
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.catalog.g", "graft.lake.GraftCatalog")
+        ss.conf.set("spark.sql.catalog.g.warehouse", wh)
+        ss.sql("CREATE TABLE g.t (k BIGINT, v BIGINT, w DOUBLE)")
+        ss.range(rowsM * 1000000L).selectExpr("id as k", "id * 3 as v",
+            "id * 0.5 as w").repartition(8)
+          .createOrReplaceTempView("smoke_src")
+        ss.sql("INSERT INTO g.t SELECT * FROM smoke_src")
+        def run(f: () => Long): Double = {
+          val t0 = System.nanoTime()
+          f(); (System.nanoTime() - t0) / 1e9
+        }
+        val dir = s"$wh/t"
+        // warm both paths once, then measure
+        val lib = () => graft.lake.GraftFileIndex.table(spark, dir)
+          .selectExpr("sum(v)", "sum(w)").collect()(0).getLong(0)
+        val sql = () => ss.sql("SELECT sum(v), sum(w) FROM g.t")
+          .collect()(0).getLong(0)
+        require(lib() == sql(), "scan paths disagree")
+        val tLib = run(lib)
+        val tSql = run(sql)
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${rowsM * 1000000L},""" +
+            f""""lib_scan_sec":$tLib%.2f,"sql_scan_sec":$tSql%.2f,""" +
+            f""""ratio":${tSql / tLib}%.2f}""")
+      }
+      timeSql("warmup", 1, silent = true)
+      timeSql("sqlscan_8m", 8)
+    }
     spark.stop()
   }
 }

@@ -18,7 +18,50 @@ import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterT
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.{FeedFilePartition, FeedReaderFactory, FeedSource}
+import graft.sources.{FeedFilePartition, FeedReaderFactory, FeedSource, TableFeedSource}
+
+/** Catalog-level table metadata — the one piece the per-leaf manifest
+  * cannot carry: the declared full schema (partition columns included),
+  * the partition column list, and the optional row-identity key that
+  * unlocks SQL UPDATE/MERGE. One tiny file (`_graft_table`) in the
+  * table dir, written atomically (write-then-rename), read in one GET
+  * at table open. Plain-lines format: partition cols CSV (may be
+  * empty), key (or `-`), then the schema JSON. Tables without the file
+  * (created by library calls or pre-round-14 SQL) keep the legacy
+  * manifest-schema path. */
+private[graft] object GraftTableMeta {
+  val FileName = "_graft_table"
+  case class Meta(schema: StructType, partitionCols: Seq[String],
+      key: Option[String])
+
+  def write(fs: FileSystem, dir: Path, meta: Meta): Unit = {
+    val txt = meta.partitionCols.mkString(",") + "\n" +
+      meta.key.getOrElse("-") + "\n" + meta.schema.json + "\n"
+    val dst = new Path(dir, FileName)
+    val tmp = new Path(dir,
+      s".$FileName.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  def read(fs: FileSystem, dir: Path): Option[Meta] = {
+    val p = new Path(dir, FileName)
+    if (!fs.exists(p)) return None
+    val txt = new String({
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    }, "UTF-8")
+    val lines = txt.split("\n", 3)
+    require(lines.length == 3, s"torn table metadata at $p")
+    Some(Meta(
+      org.apache.spark.sql.types.DataType.fromJson(lines(2).trim)
+        .asInstanceOf[StructType],
+      lines(0).trim match { case "" => Nil; case s => s.split(",").toSeq },
+      lines(1).trim match { case "-" => None; case k => Some(k) }))
+  }
+}
 
 /** SQL-native surface of the manifest lake — a DataSourceV2
   * [[TableCatalog]], so plain `spark.sql` flows through the manifest
@@ -92,7 +135,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def nsDir(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((p, seg) => new Path(p, seg))
   private def isTableDir(p: Path): Boolean =
-    fs.exists(new Path(p, ManifestCommit.LogDirName))
+    fs.exists(new Path(p, ManifestCommit.LogDirName)) ||
+      fs.exists(new Path(p, GraftTableMeta.FileName))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsDir(namespace)
@@ -108,11 +152,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(
       (catName +: ident.namespace() :+ ident.name()).toSeq)
-    val schema = ManifestCommit.currentSchema(fs, dir).getOrElse(
-      sys.error(s"graft catalog: table $ident at $dir has no recorded " +
-        "manifest schema — record one (ManifestCommit.recordSchema) " +
-        "before reading it through SQL"))
-    new GraftSqlTable(dir.toString, ident.toString, schema)
+    GraftTableMeta.read(fs, dir) match {
+      case Some(m) if m.key.isDefined && m.partitionCols.isEmpty =>
+        new GraftSqlKeyedTable(dir.toString, ident.toString, m.schema,
+          m.key.get)
+      case Some(m) =>
+        new GraftSqlTable(dir.toString, ident.toString, m.schema,
+          partCols = m.partitionCols, key = m.key)
+      case None => // legacy/library table: the manifest schema rules
+        val schema = ManifestCommit.currentSchema(fs, dir).getOrElse(
+          sys.error(s"graft catalog: table $ident at $dir has no " +
+            "recorded manifest schema — record one " +
+            "(ManifestCommit.recordSchema) before reading it through SQL"))
+        new GraftSqlTable(dir.toString, ident.toString, schema)
+    }
   }
 
   /** Time travel — `SELECT ... FROM t VERSION AS OF n`: the table at
@@ -126,6 +179,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(
       (catName +: ident.namespace() :+ ident.name()).toSeq)
+    require(GraftTableMeta.read(fs, dir).forall(_.partitionCols.isEmpty),
+      s"graft catalog: VERSION AS OF on partitioned $ident is not " +
+        "supported — each leaf has its own commit history; pin a " +
+        "per-leaf version through the library (readTableAt)")
     val v = try version.toLong catch {
       case _: NumberFormatException => sys.error(
         s"graft catalog: VERSION AS OF wants a commit version " +
@@ -143,17 +200,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported through SQL — " +
-        "each SQL table is one manifest partition; Hive-partitioned " +
-        "lakes keep the library surface")
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    // PARTITIONED BY (identity columns only) maps to the Hive-leaf
+    // manifest layout the library already serves: each leaf is its own
+    // commit-log domain, the catalog file records the declared schema
+    // and partition columns. Partition columns must TRAIL the schema
+    // (data files never carry them; reads append them, so the declared
+    // order must be data-then-partition) and be path-codable types.
+    val partCols = partitions.map { t =>
+      require(t.name == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"graft catalog: only identity PARTITIONED BY columns are " +
+          s"supported (got $t) — bucketing/expressions stay library " +
+          "verbs (Layout.zorder / writeLinear)")
+      t.references()(0).fieldNames()(0)
+    }.toSeq
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(sys.error(
+        s"graft catalog: partition column $c is not in the schema"))
+      require(Seq(IntegerType, LongType, StringType, DateType)
+        .contains(f.dataType),
+        s"graft catalog: partition column $c must be int/bigint/" +
+          s"string/date (path-codable); got ${f.dataType}")
+    }
+    if (partCols.nonEmpty) {
+      require(schema.fields.takeRight(partCols.length)
+        .map(_.name).toSeq == partCols,
+        s"graft catalog: partition columns must be the TRAILING " +
+          s"schema columns in PARTITIONED BY order; schema ends with " +
+          s"${schema.fields.takeRight(partCols.length).map(_.name)
+            .mkString(", ")} but PARTITIONED BY is " +
+          partCols.mkString(", "))
+      require(schema.length > partCols.length,
+        "graft catalog: a table needs at least one data column")
+    }
+    val key = Option(properties.get("key"))
+    key.foreach { k =>
+      require(schema.fieldNames.contains(k) && !partCols.contains(k),
+        s"graft catalog: key '$k' must be a (non-partition) schema " +
+          "column")
+    }
+    // the key is the row IDENTITY (Spark's delta plans refuse a
+    // nullable rowId, and a NULL key row could never be updated or
+    // deleted by key) — the declared schema carries it non-nullable
+    val schemaK = key.fold(schema)(k => StructType(schema.fields.map(f =>
+      if (f.name == k) f.copy(nullable = false) else f)))
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catName +: ident.namespace() :+ ident.name()).toSeq)
     fs.mkdirs(dir)
-    ManifestCommit.bootstrap(fs, dir)
-    ManifestCommit.alterSchema(fs, dir, schema)
-    new GraftSqlTable(dir.toString, ident.toString, schema)
+    if (partCols.isEmpty) {
+      ManifestCommit.bootstrap(fs, dir)
+      ManifestCommit.alterSchema(fs, dir, schemaK)
+    } // partitioned: leaves bootstrap their own logs at first insert
+    if (partCols.nonEmpty || key.isDefined)
+      GraftTableMeta.write(fs, dir,
+        GraftTableMeta.Meta(schemaK, partCols, key))
+    if (key.isDefined && partCols.isEmpty)
+      new GraftSqlKeyedTable(dir.toString, ident.toString, schemaK,
+        key.get)
+    else new GraftSqlTable(dir.toString, ident.toString, schemaK,
+      partCols = partCols, key = key)
   }
 
   override def alterTable(ident: Identifier,
@@ -171,9 +278,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         " — drops/retypes would make the recorded schema lie about " +
         "committed files")
     }
-    val next = StructType(prev.schema().fields ++ added)
-    ManifestCommit.alterSchema(fs, dir, next)
-    new GraftSqlTable(dir.toString, ident.toString, next)
+    val meta = GraftTableMeta.read(fs, dir)
+    val parts = meta.map(_.partitionCols).getOrElse(Nil)
+    // partition columns trail: added data columns slot in BEFORE them
+    val (dataF, partF) =
+      prev.schema().fields.splitAt(prev.schema().length - parts.length)
+    val next = StructType(dataF ++ added ++ partF)
+    if (parts.isEmpty) ManifestCommit.alterSchema(fs, dir, next)
+    else { // evolve every existing leaf's recorded data schema
+      val dataNext = StructType(dataF ++ added)
+      TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach { rel =>
+        ManifestCommit.alterSchema(fs, new Path(dir, rel), dataNext)
+      }
+    }
+    meta.foreach(m => GraftTableMeta.write(fs, dir, m.copy(schema = next)))
+    val k = meta.flatMap(_.key)
+    if (k.isDefined && parts.isEmpty)
+      new GraftSqlKeyedTable(dir.toString, ident.toString, next, k.get)
+    else new GraftSqlTable(dir.toString, ident.toString, next,
+      partCols = parts, key = k)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -267,6 +390,56 @@ private[graft] object GraftSqlTable {
         c -> (rs.map(_._2).max, rs.map(_._3).min)
       }
 
+  /** INSERT INTO a PARTITIONED table: ONE Spark job stages the whole
+    * batch Hive-laid-out under a hidden dir, then the driver moves each
+    * staged leaf's files into the table leaf and commits them through
+    * that leaf's manifest log — O(touched leaves) driver renames +
+    * commits, never a job per leaf. A leaf born by this insert
+    * bootstraps its own log and records the data schema, so the batch
+    * twin (changeFeedTable, TableFeedSource) adopts it with no listing
+    * heuristics. Atomicity unit is the LEAF (each leaf is its own
+    * commit domain) — the visibility contract every library multi-leaf
+    * verb has; a crash mid-fan-out leaves earlier leaves committed and
+    * later files hidden-staged (gc-able). */
+  private[lake] def insertPartitioned(data: DataFrame, dir: Path,
+      tableSchema: StructType, partCols: Seq[String]): Unit = {
+    val spark = data.sparkSession
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataSchema = StructType(
+      tableSchema.fields.dropRight(partCols.length))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(dir, s"._compacting-sqlins-$runId")
+    data.write.partitionBy(partCols: _*).parquet(staging.toString)
+    try {
+      TableFeedSource.leafRels(fs, staging).filter(_ != ".")
+        .foreach { rel =>
+          val src = new Path(staging, rel)
+          val leaf = new Path(dir, rel)
+          val born = !fs.exists(
+            new Path(leaf, ManifestCommit.LogDirName))
+          if (born) fs.mkdirs(leaf)
+          // bootstrap BEFORE the moves: hidden-prefixed names never
+          // enter a manifest through listing, only through the
+          // explicit appendFiles below — so a crash between move and
+          // commit leaves invisible, sweepable files
+          ManifestCommit.bootstrap(fs, leaf)
+          if (born) ManifestCommit.alterSchema(fs, leaf, dataSchema)
+          val names = fs.listStatus(src).toIndexedSeq
+            .filter(st => !st.isDirectory &&
+              st.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.map { case (st, i) =>
+              val name =
+                s"${ManifestCommit.CompactedPrefix}sqlins-$runId-$i.parquet"
+              require(fs.rename(st.getPath, new Path(leaf, name)),
+                s"graft catalog: cannot move staged ${st.getPath} " +
+                  s"into $leaf")
+              name
+            }
+          ManifestCommit.appendFiles(fs, leaf, names)
+        }
+    } finally fs.delete(staging, true)
+  }
+
   /** The ONE closed range the whole filter set expresses, for
     * `DELETE FROM ... WHERE`: defined only when EVERY filter is a long
     * comparison on the SAME column — anything looser must refuse, not
@@ -284,22 +457,32 @@ private[graft] object GraftSqlTable {
 }
 
 /** One manifest-lake table as a DSv2 Table: manifest-planned
-  * merge-on-read batch reads, stage-and-publish batch appends, and
-  * range deletes landing as positional deletion-vector sidecars. */
+  * merge-on-read batch reads, stage-and-publish batch appends, range
+  * deletes landing as positional deletion-vector sidecars, Hive-leaf
+  * partitioning (each leaf its own commit-log domain), and — when the
+  * table declares a row-identity `key` — SQL UPDATE/MERGE/arbitrary
+  * DELETE through Spark's delta-based row-level-operations API, landed
+  * as ONE merge-on-read [[ManifestCommit.applyChangesDV]] commit. */
 private[graft] class GraftSqlTable(path: String, ident: String,
-    tableSchema: StructType, asOf: Option[Long] = None) extends Table
+    tableSchema: StructType, asOf: Option[Long] = None,
+    partCols: Seq[String] = Nil, key: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (partCols.nonEmpty) util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScan(path, tableSchema, asOf)
+    new GraftSqlScan(path, tableSchema, partCols, asOf)
 
   /** `DELETE FROM t WHERE <long range on one column>` — lands as ONE
     * merge-on-read commit ([[ManifestCommit.deleteWhereDV]]): a
@@ -309,7 +492,8 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     * (canDeleteWhere) rather than under-deleting. NULL keys match no
     * range — exactly SQL's three-valued WHERE. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && GraftSqlTable.deleteRange(filters.toSeq).isDefined
+    asOf.isEmpty && GraftSqlTable.deleteRange(filters.toSeq)
+      .exists { case (c, _, _) => !partCols.contains(c) }
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty,
       s"graft catalog: $ident is a pinned time-travel read — history " +
@@ -319,8 +503,23 @@ private[graft] class GraftSqlTable(path: String, ident: String,
         "conjunctive long range on a single column (k = v, k >= lo AND " +
         s"k <= hi, ...); got ${filters.mkString(", ")} — rewrite-shaped " +
         "deletes stay library verbs (deleteRange/applyChangesDV)"))
-    ManifestCommit.deleteWhereDV(SparkSession.active,
-      new Path(path), c, lo, hi)
+    require(!partCols.contains(c),
+      s"graft catalog: DELETE by partition column $c is a whole-leaf " +
+        "drop — a library verb, not a row delete")
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    if (partCols.isEmpty)
+      ManifestCommit.deleteWhereDV(spark, dir, c, lo, hi)
+    else {
+      // per-leaf commits (each leaf is its own commit-log domain):
+      // atomic within a leaf, sequential across leaves — a reader
+      // racing the fan-out can see some leaves deleted before others,
+      // the same visibility unit every library multi-leaf verb has
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach { rel =>
+        ManifestCommit.deleteWhereDV(spark, new Path(dir, rel), c, lo, hi)
+      }
+    }
     ()
   }
 
@@ -336,10 +535,13 @@ private[graft] class GraftSqlTable(path: String, ident: String,
                   "supported — SQL writes are append-only (one atomic " +
                   "stage-and-publish commit); rewrites stay library " +
                   "verbs (deleteRange/compact/applyChangesDV)")
-              ManifestCommit.stageAndPublish(data.sparkSession,
-                  new Path(path), data, _ => true)
-                .getOrElse(sys.error(
-                  s"graft catalog: insert into $ident did not publish"))
+              if (partCols.isEmpty) {
+                ManifestCommit.stageAndPublish(data.sparkSession,
+                    new Path(path), data, _ => true)
+                  .getOrElse(sys.error(
+                    s"graft catalog: insert into $ident did not publish"))
+              } else GraftSqlTable.insertPartitioned(data, new Path(path),
+                tableSchema, partCols)
               ()
             }
           }
@@ -347,28 +549,87 @@ private[graft] class GraftSqlTable(path: String, ident: String,
         // commits carrying the query id as a txn watermark — a
         // replayed epoch (post-crash re-delivery against the same
         // checkpoint) no-ops, the manifest is the only ledger
-        override def toStreaming: StreamingWrite =
+        override def toStreaming: StreamingWrite = {
+          require(partCols.isEmpty,
+            s"graft catalog: writeStream.toTable on partitioned $ident " +
+              "is not supported yet — stream into an unpartitioned " +
+              "table or use the library's streamFeedTableToDir")
           new GraftStreamingWrite(path, ident, info.schema(),
             info.queryId())
+        }
       }
     }
 }
 
-/** Batch scan: live files straight from the manifest (zero listing,
-  * zero jobs at planning), one partition per file, pruned columns
-  * resolved by name in the per-file reader. Long-range predicates
-  * prune FILES against the manifest's recorded per-file stats (the
-  * readTableWhere logic behind plain SQL); active deletion-vector
-  * sidecars subtract positionally inside each touched file's reader
-  * (dvKeep=false — the merge-on-read composition the bootstrap feed
-  * uses), so SQL reads never resurrect deleted rows and never require
-  * a compaction first. */
+/** A table with a declared UNIQUE row key (`TBLPROPERTIES
+  * ('key'='k')`): everything [[GraftSqlTable]] is, plus SQL
+  * UPDATE / MERGE / arbitrary-predicate DELETE through Spark's
+  * DELTA-BASED row-level-operations plan, mapped onto the library's
+  * key-identity merge verb — matched rows arrive as delete(rowId=key)
+  * [+ the updated row as insert], and the statement's whole change set
+  * lands in ONE atomic [[ManifestCommit.applyChangesDV]] commit:
+  * O(changed rows) write amplification (no copy-on-write file
+  * rewrites), and the change feed replays exact delete+insert rows.
+  * Range-shaped DELETEs still take the metadata-only DV path (Spark's
+  * OptimizeMetadataOnlyDeleteFromTable converts them back), so the
+  * cheap verb stays cheap. Keyless tables don't implement the
+  * interface at all — their range DELETE never routes through a
+  * rewrite that would demand a key. */
+private[graft] final class GraftSqlKeyedTable(path: String, ident: String,
+    tableSchema: StructType, keyCol: String)
+    extends GraftSqlTable(path, ident, tableSchema, None, Nil,
+      Some(keyCol))
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, tableSchema, keyCol,
+      info.command())
+}
+
+/** Batch scan: live files straight from the manifest (zero jobs at
+  * planning), long-range predicates pruning FILES against the
+  * manifest's recorded per-file stats + blooms (the readTableWhere
+  * logic behind plain SQL), merge-on-read correctness under active
+  * deletion-vector sidecars.
+  *
+  * Execution is TWO-TIER, chosen per file:
+  *  - **DV-free files — the overwhelming majority at any scale — read
+  *    through Spark's own VECTORIZED parquet machinery**: the planner
+  *    splits them into byte ranges (`maxPartitionBytes`, so one fat
+  *    file is many tasks, and small files coalesce into one), and the
+  *    reader factory is the stock [[ParquetScan]] columnar factory —
+  *    batched decode, whole-stage-codegen columnar input, row-group +
+  *    page-level filter pushdown. At 100 TB this is the difference
+  *    between the Group API's one-object-tree-per-row and the
+  *    cache-friendly column-batch path the rest of the engine uses.
+  *  - **DV-touched files keep the Group-API row reader**: it counts
+  *    physical row indexes during its sequential scan (the identity a
+  *    positional sidecar subtracts against), which the vectorized
+  *    reader's split ranges cannot cheaply provide. A sidecar covers
+  *    O(deleted rows) files, so this tier stays small; compaction
+  *    ([[ManifestCommit.applyDvs]]) returns a file to the fast tier.
+  *
+  * When every planned file is DV-free the whole scan reports columnar
+  * partitions (Spark requires uniformity within one scan); a mixed
+  * scan runs row-based, with the vectorized DECODE still inside the
+  * stock factory's row interface for the DV-free files. */
 private[graft] class GraftSqlScan(path: String, full: StructType,
-    asOf: Option[Long] = None)
+    partCols: Seq[String] = Nil, asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with Scan with Batch {
+  // partition columns TRAIL the declared schema (enforced at CREATE),
+  // so any required subset is data-then-partition too
+  private val fullPartSchema = StructType(
+    full.fields.takeRight(partCols.length))
+  private val dataSchema = StructType(
+    full.fields.dropRight(partCols.length))
   private var required: StructType = full
+  private def reqData = StructType(
+    required.fields.filterNot(f => partCols.contains(f.name)))
+  private def reqPart = StructType(
+    required.fields.filter(f => partCols.contains(f.name)))
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve OUR field order/types; Spark's required set drives which
@@ -377,11 +638,14 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
       full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   /** Every filter stays a residual (Spark re-evaluates post-scan —
     * stats pruning is a file-skipping optimization, never the row
-    * filter); the range-shaped subset is recorded for pruning and
-    * surfaces in EXPLAIN as the pushed set. */
+    * filter); the range-shaped subset and the partition-column subset
+    * are recorded for pruning and surface in EXPLAIN as the pushed
+    * set. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
-      GraftSqlTable.pruningRanges(Seq(f)).nonEmpty)
+      GraftSqlTable.pruningRanges(Seq(f)).nonEmpty ||
+        (partCols.nonEmpty && f.references.nonEmpty &&
+          f.references.forall(partCols.contains)))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -394,82 +658,306 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
   /** `spark.readStream.table(t)` — the table as an APPEND stream: the
     * first micro-batch is the committed snapshot (active DV sidecars
     * subtracted inside the readers), later batches tail the commit log
-    * and surface appended rows; offsets are commit versions, so the
+    * and surface appended rows; offsets are commit versions (a vector
+    * of them for a partitioned table — the leaf-vector source, so a
+    * leaf born mid-stream enters with no restart), and the
     * checkpointed cursor resumes exactly. A row-MUTATING commit
     * (dvdelete/upsert) in the tail refuses loudly — an append-only
     * table stream cannot retract rows; the CHANGE FEED (the FeedSource
     * format, `_change_type` rows) is the consumer for mutable tables. */
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new GraftSqlMicroBatchStream(path, required)
+    if (partCols.isEmpty) new GraftSqlMicroBatchStream(path, required)
+    else new GraftSqlTableFeedStream(path, full, partCols)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The split plan, computed ONCE and shared by planInputPartitions /
+    * createReaderFactory (Spark calls them separately on the same Scan):
+    * (vectorized FilePartitions, Group-reader partitions, the stock
+    * columnar factory when any file takes the fast tier). For a
+    * partitioned table the plan walks the kept LEAVES (partition-column
+    * predicates prune whole leaves driver-side, before any manifest
+    * GET) and each leaf contributes to both tiers; partition VALUES
+    * ride PartitionedFile.partitionValues on the fast tier and decode
+    * once per task on the row tier. */
+  private lazy val planned: (Seq[InputPartition], Seq[InputPartition],
+      Option[PartitionReaderFactory]) = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionDirectory, PartitionedFile}
     val spark = SparkSession.active
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = asOf match {
-      case Some(v) => ManifestCommit.snapshotAt(fs, dir, v).getOrElse(
-        sys.error(s"graft catalog: version $v of $path pruned between " +
-          "plan and read — restart the query"))
-      case None => ManifestCommit.currentSnapshot(fs, dir).getOrElse(
-        sys.error(s"graft catalog: $path has no committed snapshot"))
-    }
-    // stats-pruned live set: a file provably outside every pushed
-    // range never plans a partition (one manifest GET, zero footers).
-    // Stats are head-state (per FILE, monotone under append — a
-    // time-traveled file's stats never change after its commit).
     val ranges = GraftSqlTable.pruningRanges(pushed.toSeq)
-    val stats =
-      if (ranges.isEmpty) Map.empty[String, Seq[ManifestCommit.ColStat]]
-      else ManifestCommit.currentFileStats(fs, dir)
-    // point predicates (lo == hi) additionally consult recorded
-    // per-file BLOOMS — readTableEq's pruning, now behind plain SQL: a
-    // bloom that rejects the value drops the file even when its
-    // min/max range admits it
     val points = ranges.collect { case (c, (lo, hi)) if lo == hi =>
       (c, lo)
     }
-    val blooms =
-      if (points.isEmpty) Map.empty[String, Seq[ManifestCommit.ColBloom]]
-      else ManifestCommit.currentFileBlooms(fs, dir)
-    val kept = snap.files.filter { n =>
-      ranges.forall { case (c, (lo, hi)) =>
-        stats.getOrElse(n, Nil).find(_.col == c)
-          .forall(s => s.max >= lo && s.min <= hi)
-      } && points.forall { case (c, v) =>
-        blooms.getOrElse(n, Nil).find(_.col == c)
-          .forall(_.mightContain(v))
+    // leaf enumeration + partition pruning (driver-side, before any
+    // per-leaf manifest GET): a leaf whose `col=value` segments
+    // contradict a pushed partition predicate contributes NOTHING
+    val leaves: Seq[String] =
+      if (partCols.isEmpty) Seq(".")
+      else TableFeedSource.leafRels(fs, dir).filter(_ != ".")
+        .filter(rel => GraftSqlScan.leafKept(
+          GraftSqlScan.leafValues(rel, fullPartSchema), pushed.toSeq))
+    val vecSplits = Seq.newBuilder[PartitionedFile]
+    val feedParts = Seq.newBuilder[InputPartition]
+    val sizedDirs = Seq.newBuilder[PartitionDirectory]
+    leaves.foreach { rel =>
+      val leafDir = if (rel == ".") dir else new Path(dir, rel)
+      val snap = asOf match {
+        case Some(v) => ManifestCommit.snapshotAt(fs, leafDir, v)
+          .getOrElse(sys.error(s"graft catalog: version $v of $path " +
+            "pruned between plan and read — restart the query"))
+        case None => ManifestCommit.currentSnapshot(fs, leafDir)
+          .getOrElse(sys.error(
+            s"graft catalog: $leafDir has no committed snapshot"))
       }
-    }
-    // merge-on-read: files a sidecar names carry the sidecar paths and
-    // subtract their positions executor-side; the touched set resolves
-    // from sidecar footer stats (driver-side, no job), a superset being
-    // safe — an untouched false positive loads an empty position set.
-    // A time-travel read subtracts the sidecars ACTIVE AT that version.
-    val dvs = asOf.fold(ManifestCommit.currentDvs(fs, dir))(v =>
-        ManifestCommit.dvsAt(fs, dir, v))
-      .map(n => new Path(dir, n).toString)
-    val touched: Set[String] =
-      if (dvs.isEmpty) Set.empty
-      else {
-        val conf = spark.sessionState.newHadoopConf()
-        FeedSource.sidecarNameRanges(conf, dvs) match {
-          case Some(rs) =>
-            kept.filter(n => rs.exists(r => n >= r._1 && n <= r._2)).toSet
-          case None => FeedSource.sidecarFileNamesDriverSide(conf, dvs)
+      // stats-pruned live set: a file provably outside every pushed
+      // range never plans a partition (one manifest GET, zero footers).
+      // Stats are head-state (per FILE, monotone under append — a
+      // time-traveled file's stats never change after its commit).
+      val stats =
+        if (ranges.isEmpty) Map.empty[String, Seq[ManifestCommit.ColStat]]
+        else ManifestCommit.currentFileStats(fs, leafDir)
+      // point predicates (lo == hi) additionally consult recorded
+      // per-file BLOOMS — readTableEq's pruning, behind plain SQL: a
+      // bloom that rejects the value drops the file even when its
+      // min/max range admits it
+      val blooms =
+        if (points.isEmpty) Map.empty[String, Seq[ManifestCommit.ColBloom]]
+        else ManifestCommit.currentFileBlooms(fs, leafDir)
+      val kept = snap.files.filter { n =>
+        ranges.forall { case (c, (lo, hi)) =>
+          stats.getOrElse(n, Nil).find(_.col == c)
+            .forall(s => s.max >= lo && s.min <= hi)
+        } && points.forall { case (c, v) =>
+          blooms.getOrElse(n, Nil).find(_.col == c)
+            .forall(_.mightContain(v))
         }
       }
-    kept.map(n => FeedFilePartition(new Path(dir, n).toString,
-      "insert", snap.version, None,
-      dvSidecars = if (touched.contains(n)) dvs else Nil,
-      dvKeep = false): InputPartition).toArray
+      // merge-on-read: files a sidecar names carry the sidecar paths
+      // and subtract their positions executor-side; the touched set
+      // resolves from sidecar footer stats (driver-side, no job), a
+      // superset being safe — an untouched false positive loads an
+      // empty position set. A time-travel read subtracts the sidecars
+      // ACTIVE AT that version.
+      val dvs = asOf.fold(ManifestCommit.currentDvs(fs, leafDir))(v =>
+          ManifestCommit.dvsAt(fs, leafDir, v))
+        .map(n => new Path(leafDir, n).toString)
+      val touched: Set[String] =
+        if (dvs.isEmpty) Set.empty
+        else {
+          val conf = spark.sessionState.newHadoopConf()
+          FeedSource.sidecarNameRanges(conf, dvs) match {
+            case Some(rs) =>
+              kept.filter(n => rs.exists(r => n >= r._1 && n <= r._2))
+                .toSet
+            case None => FeedSource.sidecarFileNamesDriverSide(conf, dvs)
+          }
+        }
+      val (dvFiles, plainFiles) = kept.partition(touched.contains)
+      feedParts ++= dvFiles.map(n => GraftLeafFilePartition(
+        FeedFilePartition(new Path(leafDir, n).toString,
+          "insert", snap.version, None, dvSidecars = dvs,
+          dvKeep = false), rel): InputPartition)
+      // vectorized tier: ONE directory LIST per leaf resolves sizes,
+      // then stock byte-range splitting — a fat file becomes many
+      // tasks and small files coalesce across leaves, exactly as a
+      // HadoopFsRelation scan would plan
+      if (plainFiles.nonEmpty) {
+        val wanted = plainFiles.toSet
+        val statuses = fs.listStatus(leafDir).toIndexedSeq
+          .filter(st => !st.isDirectory &&
+            wanted.contains(st.getPath.getName))
+        val missing = wanted -- statuses.map(_.getPath.getName)
+        require(missing.isEmpty, s"graft catalog: manifest of $leafDir " +
+          s"lists missing file(s) ${missing.take(3).mkString(", ")} — " +
+          "GC grace too short?")
+        sizedDirs += PartitionDirectory(InternalRow.empty,
+          statuses.toArray)
+        val partRow = GraftSqlScan.projectedPartRow(rel, fullPartSchema,
+          reqPart.fieldNames)
+        statuses.foreach { st =>
+          vecSplits += GraftSqlScan.pendingSplit(st, partRow)
+        }
+      }
+    }
+    val dirs = sizedDirs.result()
+    val (vecParts, vecFactory) =
+      if (dirs.isEmpty) (Nil, None)
+      else {
+        val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
+        val splits = vecSplits.result().flatMap { pending =>
+          val len = pending.fileSize
+          (0L until math.max(len, 1L) by maxSplit).map { off =>
+            pending.copy(start = off,
+              length = math.min(maxSplit, len - off))
+          }
+        }.sortBy(-_.length)
+        val parts = FilePartition.getFilePartitions(spark, splits,
+          maxSplit)
+        // parquet row-group/page pushdown only for filters the data
+        // files can answer — partition columns are path metadata
+        val dataFilters = pushed.filter(
+          _.references.forall(dataSchema.fieldNames.contains))
+        (parts, Some(GraftSqlScan.parquetFactory(spark, dataSchema,
+          reqData, reqPart, dataFilters)))
+      }
+    (vecParts, feedParts.result(), vecFactory)
   }
 
+  override def planInputPartitions(): Array[InputPartition] =
+    (planned._1 ++ planned._2).toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(required,
+    new GraftSplitReaderFactory(planned._3,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
-      feedCols = false)
+      reqData, fullPartSchema, reqPart.fieldNames,
+      uniformColumnar = planned._2.isEmpty)
+}
+
+private[graft] object GraftSqlScan {
+  /** The stock VECTORIZED parquet reader factory, configured exactly as
+    * Spark's own DSv2 parquet scan configures it — built by
+    * instantiating [[org.apache.spark.sql.execution.datasources.v2
+    * .parquet.ParquetScan]] itself (read-support class, requested
+    * schema, timezone, int96/binary flags, filter pushdown...) rather
+    * than replicating that setup by hand, so every upstream fix rides
+    * along. The scan's own file index is unused: partition PLANNING
+    * stays manifest-driven (the whole point of the lake). */
+  private[lake] def parquetFactory(spark: SparkSession,
+      dataSchema: StructType, readDataSchema: StructType,
+      readPartSchema: StructType,
+      filters: Array[Filter]): PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    val index = new InMemoryFileIndex(spark, Nil, Map.empty,
+      Some(dataSchema))
+    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+      dataSchema, readDataSchema, readPartSchema, filters,
+      CaseInsensitiveStringMap.empty()).createReaderFactory()
+  }
+
+  /** One leaf's raw `col -> value-string` map. */
+  private[lake] def leafValues(rel: String,
+      partSchema: StructType): Map[String, String] =
+    if (rel == ".") Map.empty
+    else rel.split("/").toSeq.filter(_.nonEmpty).map { seg =>
+      val i = seg.indexOf('=')
+      (seg.substring(0, i), seg.substring(i + 1))
+    }.toMap
+
+  /** Leaf-level partition pruning: can this leaf's `col=value`
+    * segments possibly satisfy every pushed filter? Conservative — a
+    * filter mentioning any non-partition column, or any shape not
+    * handled here, keeps the leaf (Spark re-evaluates rows after the
+    * scan either way). Numeric comparisons go through Long, everything
+    * else through raw-segment string equality. */
+  private[lake] def leafKept(values: Map[String, String],
+      filters: Seq[Filter]): Boolean = {
+    def num(v: Any): Option[Long] = v match {
+      case l: Long  => Some(l)
+      case i: Int   => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte  => Some(b.toLong)
+      case _        => None
+    }
+    def cmp(col: String, v: Any): Option[Int] = // sign of (leaf - v)
+      values.get(col).flatMap { raw =>
+        num(v) match {
+          case Some(l) => raw.toLongOption.map(_.compareTo(l))
+          case None if v != null => Some(raw.compareTo(v.toString))
+          case None => None
+        }
+      }
+    def keep(f: Filter): Boolean = f match {
+      case EqualTo(c, v)            => cmp(c, v).forall(_ == 0)
+      case GreaterThan(c, v)        => cmp(c, v).forall(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v).forall(_ >= 0)
+      case LessThan(c, v)           => cmp(c, v).forall(_ < 0)
+      case LessThanOrEqual(c, v)    => cmp(c, v).forall(_ <= 0)
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        !values.contains(c) || vs.exists(v => cmp(c, v).forall(_ == 0))
+      case And(l, r)                => keep(l) && keep(r)
+      case org.apache.spark.sql.sources.Or(l, r) => keep(l) || keep(r)
+      case _                        => true
+    }
+    filters.forall(keep)
+  }
+
+  /** The leaf's partition values PROJECTED to the required partition
+    * columns, decoded with the DECLARED types (the catalog knows them —
+    * no inference ladder). */
+  private[graft] def projectedPartRow(rel: String,
+      fullPartSchema: StructType, reqNames: Seq[String]): InternalRow = {
+    if (reqNames.isEmpty) return InternalRow.empty
+    val fullRow = TableFeedSource.partitionRow(rel, fullPartSchema)
+    InternalRow.fromSeq(reqNames.map(n =>
+      fullRow.get(fullPartSchema.fieldIndex(n),
+        fullPartSchema(fullPartSchema.fieldIndex(n)).dataType)))
+  }
+
+  /** A whole-file PartitionedFile carrying the leaf's projected
+    * partition values; the caller re-splits by byte range via copy. */
+  private[lake] def pendingSplit(st: org.apache.hadoop.fs.FileStatus,
+      partRow: InternalRow)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(partRow,
+      org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+      0L, st.getLen, Array.empty[String],
+      st.getModificationTime, st.getLen, Map.empty[String, Any])
+}
+
+/** One DV-touched leaf data file plus its leaf's root-relative path —
+  * the row tier's partition unit for (possibly partitioned) SQL
+  * tables; partition values decode once per task from the path. */
+private[graft] case class GraftLeafFilePartition(leaf: FeedFilePartition,
+    rel: String) extends InputPartition
+
+/** Dispatches per partition kind: stock vectorized parquet partitions
+  * ([[org.apache.spark.sql.execution.datasources.FilePartition]]) to
+  * the stock columnar factory, DV-touched [[GraftLeafFilePartition]]s
+  * to the row-index-counting Group reader (partition values appended
+  * via one constant [[JoinedRow]] per task). Columnar batches are
+  * reported only when the WHOLE scan is DV-free (`uniformColumnar`) —
+  * Spark refuses a scan mixing columnar and row partitions; in the
+  * mixed case the vectorized DECODE still runs inside the stock
+  * factory's row interface. */
+private[graft] class GraftSplitReaderFactory(
+    vec: Option[PartitionReaderFactory],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    reqData: StructType, fullPartSchema: StructType,
+    reqPartNames: Seq[String], uniformColumnar: Boolean)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.execution.datasources.FilePartition
+  private lazy val row = new FeedReaderFactory(reqData, conf,
+    feedCols = false)
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = p match {
+    case fp: FilePartition => vec.get.createReader(fp)
+    case lp: GraftLeafFilePartition =>
+      val inner = row.createReader(lp.leaf)
+      val partRow = GraftSqlScan.projectedPartRow(lp.rel, fullPartSchema,
+        reqPartNames)
+      new PartitionReader[InternalRow] {
+        private val joined =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = joined(inner.get(), partRow)
+        override def close(): Unit = inner.close()
+      }
+    case other => sys.error(s"graft catalog: unexpected partition $other")
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    p match {
+      case fp: FilePartition => vec.get.createColumnarReader(fp)
+      case other             => super.createColumnarReader(other)
+    }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    uniformColumnar && (p match {
+      case fp: FilePartition => vec.exists(_.supportColumnarReads(fp))
+      case _                 => false
+    })
 }
 
 /** The append-only streaming read of one SQL table: planning delegates
@@ -520,6 +1008,240 @@ private[graft] class GraftSqlMicroBatchStream(path: String,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** `spark.readStream.table(t)` for a PARTITIONED table — the leaf-
+  * vector source behind the SQL surface: offsets are per-leaf commit
+  * versions, the first batch replays every leaf's committed snapshot
+  * (cursors start empty, so each leaf bootstraps at its head with
+  * active DVs subtracted), later batches tail each leaf's log, and a
+  * leaf BORN mid-stream enters at its birth version with no restart.
+  * Output schema is the table schema (partition columns appended from
+  * the leaf path, change columns dropped); a row-mutating commit in
+  * any leaf's tail refuses loudly, as in the unpartitioned stream. */
+private[graft] class GraftSqlTableFeedStream(path: String,
+    full: StructType, partCols: Seq[String]) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  private val fullPartSchema = StructType(
+    full.fields.takeRight(partCols.length))
+  private val dataSchema = StructType(
+    full.fields.dropRight(partCols.length))
+  private val feedSchema = StructType((dataSchema.fields.toSeq :+
+    StructField(FeedSource.ChangeTypeCol, StringType, nullable = false) :+
+    StructField(FeedSource.VersionCol, LongType, nullable = false)) ++
+    fullPartSchema.fields)
+  // cursors = empty map: every leaf is "born" at the first batch, i.e.
+  // snapshot-then-tail per leaf
+  private val inner = new graft.sources.TableFeedStream(path,
+    Some(Map.empty), None, feedSchema)
+
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    inner.latestOffset(start, limit)
+  override def reportLatestOffset(): Offset = inner.reportLatestOffset()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-sql table stream implements SupportsAdmissionControl")
+  override def prepareForTriggerAvailableNow(): Unit =
+    inner.prepareForTriggerAvailableNow()
+  override def deserializeOffset(json: String): Offset =
+    inner.deserializeOffset(json)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val parts = inner.planInputPartitions(start, end)
+    parts.foreach { ip =>
+      val p = ip.asInstanceOf[graft.sources.TableFeedPartition].leaf
+      require(p.changeType == "insert" &&
+        (p.dvSidecars.isEmpty || !p.dvKeep),
+        s"graft catalog: readStream.table($path) saw a row-mutating " +
+          s"commit (a ${p.changeType} replay at v${p.version}) — an " +
+          "append-only table stream cannot retract rows; consume the " +
+          "change feed (format graft.sources.TableFeedSource) instead")
+    }
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    val data = dataSchema
+    val partSchema = fullPartSchema
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val tp = p.asInstanceOf[graft.sources.TableFeedPartition]
+        val inner = new FeedReaderFactory(data, conf, feedCols = false)
+          .createReader(tp.leaf)
+        val partRow = TableFeedSource.partitionRow(tp.rel, partSchema)
+        new PartitionReader[InternalRow] {
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = joined(inner.get(), partRow)
+          override def close(): Unit = inner.close()
+        }
+      }
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The delta-based row-level operation of a keyed table: UPDATE, MERGE,
+  * and non-range DELETE rewrite into scan + [[GraftDeltaWrite]]. The
+  * scan is the ordinary manifest-planned vectorized scan (the key is a
+  * plain data column — no positional metadata attributes needed), and
+  * updates are represented as delete+insert, exactly the shape
+  * [[ManifestCommit.applyChangesDV]] commits atomically. */
+private[graft] class GraftRowLevelOperation(path: String,
+    tableSchema: StructType, keyCol: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write._
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft row-level $cmd on $path keyed by $keyCol"
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSqlScan(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(path, tableSchema, keyCol, info)
+    }
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions
+      .Expressions.column(keyCol))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+/** One task's staged row-level change set: a parquet of inserted rows
+  * and a parquet of deleted keys (either may be absent). */
+private[graft] case class GraftDeltaStaged(
+    insertDir: String, insertFile: String, insertRows: Long,
+    keyDir: String, keyFile: String, keyRows: Long)
+    extends WriterCommitMessage
+
+/** The write half of SQL UPDATE/MERGE/DELETE on a keyed table: each
+  * task stages its inserted rows and deleted keys as hidden parquet;
+  * the driver's commit reads them back (vectorized — they are ordinary
+  * parquet) and lands the WHOLE statement as ONE
+  * [[ManifestCommit.applyChangesDV]] commit — atomic, merge-on-read,
+  * O(changed rows), replayed by the change feed as exact
+  * delete+insert rows. A crash before commit leaves only hidden
+  * staging (swept by gc); abort deletes it eagerly. */
+private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
+    keyCol: String,
+    info: LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  import org.apache.spark.sql.connector.write._
+
+  // the ROW schema Spark will feed insert() with — trust the write
+  // info's projection (it is the table schema today, but the field
+  // ORDER is Spark's contract, not ours to assume)
+  private val schema =
+    if (info.schema() != null && info.schema().nonEmpty) info.schema()
+    else tblSchema
+  private val keySchema = info.rowIdSchema()
+    .orElse(StructType(Seq(
+      tblSchema.fields.find(_.name == keyCol).getOrElse(sys.error(
+        s"graft catalog: key column $keyCol missing from $path schema")))))
+  require(keySchema.length == 1 && keySchema.head.name == keyCol,
+    s"graft catalog: row-level rowId must be exactly ($keyCol); " +
+      s"got $keySchema")
+  require(schema.fieldNames.toSeq == tblSchema.fieldNames.toSeq,
+    s"graft catalog: row-level write projection ${schema.fieldNames
+      .mkString(",")} does not match the table schema of $path")
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    override def createBatchWriterFactory(
+        pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf())
+      val (p, sch, ks) = (path, schema, keySchema)
+      new DeltaWriterFactory {
+        override def createWriter(partitionId: Int,
+            taskId: Long): DeltaWriter[InternalRow] =
+          new GraftDeltaTaskWriter(p, sch, ks, conf.value,
+            s"rlo-p$partitionId-t$taskId")
+      }
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val spark = SparkSession.active
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = messages.collect { case m: GraftDeltaStaged => m }
+      def cleanup(): Unit = staged.foreach { m =>
+        fs.delete(new Path(m.insertDir), true)
+        fs.delete(new Path(m.keyDir), true)
+      }
+      try {
+        val insertFiles = staged.filter(_.insertRows > 0)
+          .map(m => new Path(m.insertDir, m.insertFile).toString)
+        val keyFiles = staged.filter(_.keyRows > 0)
+          .map(m => new Path(m.keyDir, m.keyFile).toString)
+        if (insertFiles.isEmpty && keyFiles.isEmpty) return
+        def readOr(files: Seq[String], s: StructType): DataFrame =
+          if (files.isEmpty) spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+          else spark.read.schema(s).parquet(files: _*)
+        ManifestCommit.applyChangesDV(spark, dir, keyCol,
+          inserts = readOr(insertFiles.toSeq, schema),
+          deleteKeys = readOr(keyFiles.toSeq, keySchema))
+        ()
+      } finally cleanup()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(path).getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      messages.foreach {
+        case m: GraftDeltaStaged =>
+          fs.delete(new Path(m.insertDir), true)
+          fs.delete(new Path(m.keyDir), true)
+        case _ =>
+      }
+    }
+  }
+}
+
+/** Executor-side task writer for a row-level statement: deletes stage
+  * the rowId (the key), inserts stage whole rows; updates arrive as
+  * delete+insert (representUpdateAsDeleteAndInsert). Lazy files — a
+  * task that touches nothing stages nothing. */
+private[graft] class GraftDeltaTaskWriter(path: String,
+    schema: StructType, keySchema: StructType,
+    conf: org.apache.hadoop.conf.Configuration, tag: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val inserts =
+    new GraftParquetDataWriter(path, schema, conf, s"$tag-ins")
+  private val keys =
+    new GraftParquetDataWriter(path, keySchema, conf, s"$tag-del")
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    keys.write(id)
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val i = inserts.commit().asInstanceOf[GraftStagedFile]
+    val k = keys.commit().asInstanceOf[GraftStagedFile]
+    GraftDeltaStaged(i.stagingDir, i.file, i.rows,
+      k.stagingDir, k.file, k.rows)
+  }
+  override def abort(): Unit = { inserts.abort(); keys.abort() }
+  override def close(): Unit = { inserts.close(); keys.close() }
 }
 
 /** One staged parquet file a streaming-epoch task produced: the hidden
@@ -576,11 +1298,30 @@ private[graft] class GraftStreamingWrite(path: String, ident: String,
       return
     }
     val qid = queryId.replaceAll("[^A-Za-z0-9]", "").take(8)
+    // crash-replay recovery: a previous attempt at THIS epoch may have
+    // renamed some files visible and died before appendFiles — the txn
+    // watermark above says the epoch never committed, so a same-named
+    // destination is that attempt's orphan (deterministic replay of the
+    // same rows), UNLESS the manifest references it (a different query
+    // instance won the race) — then this replay must refuse, not
+    // clobber committed data. Without the sweep, fs.rename returns
+    // false on the existing destination and the query wedges on every
+    // retry until gc's grace period.
+    val manifested: Set[String] =
+      ManifestCommit.currentSnapshot(fs, dir)
+        .map(_.files.toSet).getOrElse(Set.empty)
     val names = staged.zipWithIndex.map { case (m, i) =>
       val name =
         s"${ManifestCommit.CompactedPrefix}stream-$qid-e$epochId-$i.parquet"
-      require(fs.rename(new Path(m.stagingDir, m.file),
-        new Path(dir, name)),
+      val dst = new Path(dir, name)
+      if (fs.exists(dst)) {
+        require(!manifested.contains(name),
+          s"graft catalog: epoch $epochId of $ident would overwrite " +
+            s"manifest-referenced $name — another writer with query id " +
+            s"$queryId committed it; stop the duplicate query")
+        fs.delete(dst, false) // un-manifested orphan of a crashed replay
+      }
+      require(fs.rename(new Path(m.stagingDir, m.file), dst),
         s"graft catalog: cannot move staged ${m.file} into $path")
       name
     }
@@ -627,21 +1368,35 @@ private[graft] class GraftParquetDataWriter(path: String,
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.spark.sql.types._
 
+  private def primOf(dt: DataType, col: String) = dt match {
+    case LongType    => Types.optional(INT64)
+    case IntegerType => Types.optional(INT32)
+    case DoubleType  => Types.optional(DOUBLE)
+    case FloatType   => Types.optional(FLOAT)
+    case BooleanType => Types.optional(BOOLEAN)
+    case StringType  =>
+      Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+    case o => sys.error("graft catalog: streaming writes support the " +
+      s"scalar SQL surface plus array<scalar>; column $col is $o")
+  }
+
   private val messageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val prim = f.dataType match {
-        case LongType    => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType  => Types.optional(DOUBLE)
-        case FloatType   => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType  =>
-          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-        case o => sys.error("graft catalog: streaming writes support " +
-          s"the scalar SQL surface; column ${f.name} is $o")
+      f.dataType match {
+        // Spark's standard 3-level LIST encoding (list/element) — the
+        // shape FeedReaderFactory and the stock vectorized reader both
+        // decode, so a stream-sunk embeddings table reads identically
+        // to its batch twin
+        case ArrayType(et, _) =>
+          b.addField(Types.optionalGroup()
+            .as(LogicalTypeAnnotation.listType())
+            .addField(Types.repeatedGroup()
+              .addField(primOf(et, s"${f.name}[]").named("element"))
+              .named("list"))
+            .named(f.name))
+        case dt => b.addField(primOf(dt, f.name).named(f.name))
       }
-      b.addField(prim.named(f.name))
     }
     b.named("spark_schema")
   }
@@ -667,6 +1422,24 @@ private[graft] class GraftParquetDataWriter(path: String,
         case BooleanType => g.add(f.name, row.getBoolean(i))
         case StringType  =>
           g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
+        case ArrayType(et, _) =>
+          val arr = row.getArray(i)
+          val lst = g.addGroup(f.name)
+          var j = 0
+          while (j < arr.numElements()) {
+            val el = lst.addGroup("list")
+            if (!arr.isNullAt(j)) et match {
+              case LongType    => el.add("element", arr.getLong(j))
+              case IntegerType => el.add("element", arr.getInt(j))
+              case DoubleType  => el.add("element", arr.getDouble(j))
+              case FloatType   => el.add("element", arr.getFloat(j))
+              case BooleanType => el.add("element", arr.getBoolean(j))
+              case StringType  => el.add("element",
+                Binary.fromString(arr.getUTF8String(j).toString))
+              case _ => () // unreachable: messageType refused
+            }
+            j += 1
+          }
         case _ => () // unreachable: messageType construction refused
       }
       i += 1

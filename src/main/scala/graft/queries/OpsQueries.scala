@@ -1550,6 +1550,86 @@ object OpsQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    // SQL PARTITIONED table, partition-pruned read: the day=2
+    // predicate prunes whole LEAVES at planning (only that leaf's
+    // manifest is even opened), and the kept files read through the
+    // stock vectorized factory with the partition value appended from
+    // the path
+    "q272_sql_partitioned" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, day
+        FROM graftsql.db.orders_part WHERE day = 2
+        ORDER BY o_orderkey""")
+    }),
+    // SQL PARTITIONED table, whole-table aggregate across leaves
+    "q273_sql_part_agg" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT day, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+            AS sum_price
+        FROM graftsql.db.orders_part GROUP BY day ORDER BY day""")
+    }),
+    // SQL UPDATE + MERGE + arbitrary-predicate DELETE on a keyed
+    // table: each statement landed as ONE atomic merge-on-read
+    // applyChangesDV commit (delta-based row-level plan, rowId = the
+    // declared key); the final table equals the same transforms
+    // computed relationally by the oracle
+    "q274_sql_update_merge" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graftsql.db.orders_keyed ORDER BY o_orderkey""")
+    }),
+    // STREAMING SQL sink with ARRAY columns: the embeddings projection
+    // streams into a catalog table via writeStream.toTable (the
+    // Group-API epoch writer emits Spark's standard 3-level LIST
+    // encoding) and reads back through the vectorized SQL scan — an
+    // embeddings-shaped lake now flows through the pure-SQL surface
+    "q275_sql_array_sink" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      sqlArraySunk.computeIfAbsent(d, _ => {
+        val src = s"$wh/emb_src"
+        val dirP = new org.apache.hadoop.fs.Path(src)
+        val fs = dirP.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        Tables(ss, d, "embeddings")
+          .select("vec_id", "embedding", "label")
+          .repartition(2).write.parquet(src)
+        graft.lake.ManifestCommit.bootstrap(fs, dirP)
+        graft.lake.ManifestCommit.recordSchema(ss, dirP)
+        ss.sql("""CREATE TABLE graftsql.db.emb_sunk
+          (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)""")
+        ss.readStream.format("graft.sources.FeedSource")
+          .option("path", src).option("bootstrap", "true")
+          .load().select(col("vec_id"), col("embedding"), col("label"))
+          .writeStream
+          .option("checkpointLocation", s"$wh/emb_sunk-ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graftsql.db.emb_sunk").awaitTermination()
+        "done"
+      })
+      ss.sql("""SELECT vec_id, size(embedding) AS dim,
+          CAST(element_at(embedding, 1) AS DOUBLE) AS e0, label
+        FROM graftsql.db.emb_sunk ORDER BY vec_id""")
+    }),
     // SQL time travel: VERSION AS OF the pre-delete commit reads the
     // WHOLE loaded table (the later DV delete's sidecar does not
     // subtract) — the pinned version resolved from the commit history
@@ -2514,6 +2594,9 @@ object OpsQueries {
   private val sqlStreamSunk =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val sqlArraySunk =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[queries] def ensureSqlWarehouse(s: SparkSession,
       d: String): String =
     sqlWarehouses.computeIfAbsent(d, _ => {
@@ -2545,6 +2628,47 @@ object OpsQueries {
         SELECT * FROM orders_src_q267""")
       ss.sql("DELETE FROM graftsql.db.orders_del " +
         s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      // q272/q273's table: PARTITIONED BY day — each leaf its own
+      // commit-log domain; two inserts land per-leaf append commits
+      ss.sql("""CREATE TABLE graftsql.db.orders_part
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         day INT) PARTITIONED BY (day)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_part
+        SELECT *, CAST(o_orderkey % 4 + 1 AS INT) AS day
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      ss.sql("""INSERT INTO graftsql.db.orders_part
+        SELECT *, CAST(o_orderkey % 4 + 1 AS INT) AS day
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
+      // q274's table: a declared UNIQUE key unlocks the delta-based
+      // row-level plans — UPDATE, one MERGE (matched update + shifted
+      // not-matched inserts), and an arbitrary-predicate DELETE, each
+      // ONE atomic merge-on-read applyChangesDV commit
+      val (klo, khi) = (b.getLong(0), b.getLong(1))
+      val sliceHi = klo + (khi - klo) / 8
+      val shift = khi - klo + 1000000L
+      ss.sql("""CREATE TABLE graftsql.db.orders_keyed
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('key'='o_orderkey')""")
+      ss.sql("""INSERT INTO graftsql.db.orders_keyed
+        SELECT * FROM orders_src_q267""")
+      ss.sql("UPDATE graftsql.db.orders_keyed " +
+        "SET o_totalprice = o_totalprice + 1000 " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      ss.sql(s"""MERGE INTO graftsql.db.orders_keyed t
+        USING (SELECT o_orderkey AS k, CAST(-1 AS BIGINT) AS c,
+                 CAST(0.5 AS DOUBLE) AS p
+               FROM orders_src_q267 WHERE o_orderkey <= $sliceHi
+               UNION ALL
+               SELECT o_orderkey + $shift AS k, CAST(-1 AS BIGINT) AS c,
+                 CAST(0.5 AS DOUBLE) AS p
+               FROM orders_src_q267 WHERE o_orderkey <= $sliceHi) s
+        ON t.o_orderkey = s.k
+        WHEN MATCHED THEN UPDATE SET o_custkey = s.c
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_custkey, o_totalprice)
+          VALUES (s.k, s.c, s.p)""")
+      ss.sql("DELETE FROM graftsql.db.orders_keyed " +
+        "WHERE o_custkey = -1 AND o_orderkey % 3 = 0")
       wh
     })
 
@@ -6141,6 +6265,49 @@ object OpsQueries {
              klo + (khi - klo) // 2 AS dhi FROM b)
          SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
+         ORDER BY o_orderkey""",
+    // the stream-sunk embeddings table equals the base embeddings
+    // projection (dimension + first element + label per vector)
+    "q275_sql_array_sink" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS e0, label
+         FROM embeddings ORDER BY vec_id""",
+    // the partitioned catalog table holds the orders projection with
+    // day = o_orderkey % 4 + 1 (two per-leaf insert rounds); day = 2
+    // selects exactly the o_orderkey % 4 = 1 rows
+    "q272_sql_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderkey % 4 + 1 AS INTEGER) AS day
+         FROM orders WHERE o_orderkey % 4 = 1
+         ORDER BY o_orderkey""",
+    "q273_sql_part_agg" ->
+      """SELECT CAST(o_orderkey % 4 + 1 AS INTEGER) AS day,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+         FROM orders GROUP BY 1 ORDER BY day""",
+    // the keyed table after UPDATE (box-range price bump), MERGE
+    // (matched slice custkey -> -1, shifted slice inserted), and the
+    // arbitrary-predicate DELETE (c = -1 AND k % 3 = 0) — the same
+    // transforms computed relationally over the base orders
+    "q274_sql_update_merge" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         st AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey <= b.klo + (b.khi - b.klo) // 8
+               THEN CAST(-1 AS BIGINT) ELSE o_custkey END AS c,
+             CASE WHEN o_orderkey >= b.klo + (b.khi - b.klo) // 4
+                   AND o_orderkey <= b.klo + (b.khi - b.klo) // 2
+               THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+           FROM orders, b
+           UNION ALL
+           SELECT o_orderkey + (b.khi - b.klo + 1000000) AS k,
+             CAST(-1 AS BIGINT) AS c, CAST(0.5 AS DOUBLE) AS p
+           FROM orders, b
+           WHERE o_orderkey <= b.klo + (b.khi - b.klo) // 8)
+         SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice
+         FROM st WHERE NOT (c = -1 AND k % 3 = 0)
          ORDER BY o_orderkey""",
     // the SQL-catalog table holds exactly the orders projection (two
     // INSERT INTO commits = the whole table); the aggregate ran through

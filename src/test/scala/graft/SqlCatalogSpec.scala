@@ -311,4 +311,297 @@ class SqlCatalogSpec extends SparkSpec {
     assert(parts2 == 0,
       s"a bloom-rejected point probe must plan zero files, got $parts2")
   }
+
+  test("streaming sink crash-replay: a visible un-manifested orphan " +
+      "from a crashed epoch (renamed before appendFiles, died) is " +
+      "swept and the replayed epoch commits; a MANIFESTED same-name " +
+      "file (duplicate query instance) refuses loudly") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import graft.lake.{GraftParquetDataWriter, GraftStagedFile, GraftStreamingWrite}
+    val wh = Files.createTempDirectory("graft-sqlcat-orph").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.orph (k BIGINT, v BIGINT)")
+    val dir = new Path(s"$wh/orph")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val conf = ss.sessionState.newHadoopConf()
+    val queryId = "abc-123xyz99queryA"
+    def stage(k: Long): GraftStagedFile = {
+      val w = new GraftParquetDataWriter(dir.toString, schema, conf, "t0")
+      w.write(new GenericInternalRow(Array[Any](k, k * 2)))
+      w.commit().asInstanceOf[GraftStagedFile]
+    }
+    // the crashed FIRST attempt: its rename landed, appendFiles did not
+    // — a visible, un-manifested orphan at the deterministic name
+    val orphan = new Path(dir, "compact-stream-abc123xy-e0-0.parquet")
+    val out = fs.create(orphan, true)
+    out.write("torn bytes of the crashed attempt".getBytes("UTF-8"))
+    out.close()
+    // the replayed epoch: txn watermark says e0 never committed, the
+    // destination exists — round 13 wedged here (rename returns false
+    // on an existing destination, require fails, every retry too)
+    new GraftStreamingWrite(dir.toString, "g.orph", schema, queryId)
+      .commit(0L, Array(stage(7L)))
+    val got = ss.sql("SELECT k, v FROM g.orph").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 14L)), s"replayed epoch must land once: $got")
+    // a DIFFERENT query instance whose sanitized id collides on the
+    // same file name: the name is MANIFESTED now — clobbering it would
+    // destroy committed data; the commit must refuse, not delete
+    val queryB = "abc123-xyz99queryB" // same first-8 alphanumerics
+    val e = intercept[Exception] {
+      new GraftStreamingWrite(dir.toString, "g.orph", schema, queryB)
+        .commit(0L, Array(stage(8L)))
+    }
+    assert(e.getMessage.contains("manifest-referenced"), e.getMessage)
+    assert(ss.sql("SELECT k FROM g.orph").collect()
+      .map(_.getLong(0)).toSet == Set(7L),
+      "the committed row must survive the duplicate writer")
+  }
+
+  test("writeStream.toTable with ARRAY columns: an embeddings-shaped " +
+      "table streams in and reads back equal to its batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft-sqlcat-arr").toString
+    val ss = sqlSession(wh)
+    val src = new Path(s"$wh/srcemb")
+    val fs = src.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val data = ss.range(12).select($"id".as("k"),
+      array(($"id" * 1.5).cast("float"), ($"id" + 0.25).cast("float"),
+        lit(null).cast("float")).as("emb"),
+      array($"id", $"id" * 10).as("dims"))
+    graft.ops.Layout.writeLinear(data, col("k"), src.toString, 2)
+    ManifestCommit.bootstrap(fs, src)
+    ManifestCommit.recordSchema(ss, src)
+    ss.sql("CREATE TABLE g.emb (k BIGINT, emb ARRAY<FLOAT>, " +
+      "dims ARRAY<BIGINT>)")
+    val ckpt = Files.createTempDirectory("graft-sqlcat-arr-ck").toString
+    ss.readStream.format("graft.sources.FeedSource")
+      .option("path", src.toString).option("bootstrap", "true")
+      .load().select($"k", $"emb", $"dims")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("g.emb").awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"emb", $"dims").collect()
+      .map(r => (r.getLong(0), r.getSeq[java.lang.Float](1).toList,
+        r.getSeq[Long](2).toList)).toSet
+    assert(canon(ss.sql("SELECT * FROM g.emb")) == canon(data),
+      "stream-sunk array table must equal its batch twin")
+  }
+
+  test("SQL batch scans are VECTORIZED: a DV-free table reads through " +
+      "the stock columnar parquet factory (ColumnarToRow in the plan, " +
+      "byte-range-split partitions), and a DV-touched table falls back " +
+      "to the row tier for exactly the sidecar-named files") {
+    val wh = Files.createTempDirectory("graft-sqlcat-vec").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.vec (k BIGINT, v BIGINT)")
+    ss.range(5000).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("vsrc")
+    ss.sql("INSERT INTO g.vec SELECT * FROM vsrc")
+    val df = ss.sql("SELECT k, v FROM g.vec WHERE k >= 10")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"DV-free SQL scan must be columnar; plan was:\n$plan")
+    assert(df.count() == 4990)
+    // DELETE lands a DV sidecar: the scan must stay correct (the
+    // touched files take the row-index-counting Group tier; the scan
+    // is uniformly row-based now, as Spark demands) and never
+    // resurrect the deleted rows
+    ss.sql("DELETE FROM g.vec WHERE k >= 100 AND k <= 199")
+    val after = ss.sql("SELECT count(*) AS n, sum(k) AS s FROM g.vec")
+      .collect()(0)
+    val want = (0L until 5000L).filterNot(k => k >= 100 && k <= 199)
+    assert(after.getLong(0) == want.size && after.getLong(1) == want.sum,
+      s"merge-on-read SQL scan wrong after DELETE: $after")
+    val planDv = ss.sql("SELECT k FROM g.vec").queryExecution
+      .executedPlan.toString
+    assert(!planDv.contains("ColumnarToRow"),
+      "a DV-touched scan must report row partitions uniformly")
+    // compaction returns the table to the fast tier
+    graft.lake.ManifestCommit.applyDvs(ss, new Path(s"$wh/vec"))
+    val planBack = ss.sql("SELECT k FROM g.vec").queryExecution
+      .executedPlan.toString
+    assert(planBack.contains("ColumnarToRow"),
+      "after applyDvs the scan must be columnar again")
+    assert(ss.sql("SELECT count(*) FROM g.vec").collect()(0).getLong(0)
+      == want.size)
+  }
+
+  test("PARTITIONED BY: CREATE/INSERT/SELECT on a Hive-leaf table — " +
+      "each leaf its own commit log, partition predicates prune whole " +
+      "leaves at planning, interop with the library's table feed") {
+    val wh = Files.createTempDirectory("graft-sqlcat-part").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.pt (k BIGINT, v BIGINT, day INT) " +
+      "PARTITIONED BY (day)")
+    ss.range(300).select($"id".as("k"), ($"id" * 2).as("v"),
+        ($"id" % 3 + 1).cast("int").as("day"))
+      .createOrReplaceTempView("psrc")
+    ss.sql("INSERT INTO g.pt SELECT * FROM psrc")
+    // leaves carry their own commit logs (manifest-native layout)
+    val fs = new Path(wh).getFileSystem(ss.sparkContext.hadoopConfiguration)
+    (1 to 3).foreach { d =>
+      assert(fs.exists(new Path(s"$wh/pt/day=$d/_graft_log")),
+        s"leaf day=$d must own a commit log")
+    }
+    val all = ss.sql("SELECT k, v, day FROM g.pt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all == (0L until 300L).map(k =>
+      (k, k * 2, (k % 3 + 1).toInt)).toSet, s"got ${all.size} rows")
+    // partition pruning: a day=2 predicate plans ONLY that leaf's files
+    val q = ss.sql("SELECT k FROM g.pt WHERE day = 2")
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      (0L until 300L).filter(_ % 3 == 1).toSet)
+    // count planned FILES (bin-packing can coalesce partitions): the
+    // day=2 scan must touch only that leaf's files
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.flatMap {
+            case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+              f.files.map(_.filePath.toString).toSeq
+            case _ => Nil
+          }
+      }.flatten.distinct
+    val prunedF = plannedFiles(q)
+    val allF = plannedFiles(ss.sql("SELECT k FROM g.pt"))
+    assert(prunedF.nonEmpty && prunedF.size < allF.size,
+      s"day=2 must plan fewer files (${prunedF.size}) than the full " +
+        s"scan (${allF.size})")
+    assert(prunedF.forall(_.contains("day=2")),
+      s"pruned plan must touch only day=2 files: $prunedF")
+    // vectorized: partitioned SQL scans are columnar too
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "partitioned SQL scan must be columnar")
+    // second insert APPENDS into existing leaves (new commits, same
+    // logs) and the library's batch change feed replays exactly it
+    val cursors0 = graft.lake.ChangeFeed.tableCursors(ss, s"$wh/pt")
+    ss.sql("INSERT INTO g.pt SELECT k + 1000, v, day FROM psrc")
+    assert(ss.sql("SELECT count(*) FROM g.pt").collect()(0).getLong(0)
+      == 600)
+    val feed = graft.lake.ChangeFeed.changeFeedTable(ss, s"$wh/pt",
+      cursors0)
+    assert(feed.count() == 300,
+      "library feed must replay exactly the second SQL insert")
+    // DELETE a data-column range fans out per leaf as DV commits
+    ss.sql("DELETE FROM g.pt WHERE k >= 0 AND k <= 9")
+    assert(ss.sql("SELECT count(*) FROM g.pt").collect()(0).getLong(0)
+      == 590)
+    // partition-column delete refuses loudly (whole-leaf drop = library)
+    val e = intercept[Exception](ss.sql("DELETE FROM g.pt WHERE day = 2"))
+    assert(e.getMessage.contains("Cannot delete"), e.getMessage)
+  }
+
+  test("readStream.table on a PARTITIONED table: per-leaf snapshot " +
+      "then tail, and a leaf born mid-stream enters with no restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft-sqlcat-pstream").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.ps (k BIGINT, day INT) PARTITIONED BY (day)")
+    ss.range(20).select($"id".as("k"), ($"id" % 2 + 1).cast("int")
+      .as("day")).createOrReplaceTempView("pssrc")
+    ss.sql("INSERT INTO g.ps SELECT * FROM pssrc")
+    val ckpt = Files.createTempDirectory("graft-sqlcat-ps-ck").toString
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Int)]())
+    def run(): Unit = ss.readStream.table("g.ps")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k", "day").collect()
+          .foreach(r => seen.add((r.getLong(0), r.getInt(1))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run()
+    def ks = {
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    assert(ks == (0L until 20L).map(k => (k, (k % 2 + 1).toInt)).toSet,
+      s"snapshot batch: $ks")
+    // a leaf BORN after the first run (day=3) + a delta in day=1:
+    // the resumed checkpoint surfaces both, no restart
+    ss.range(5).select(($"id" + 100).as("k"),
+      lit(3).cast("int").as("day")).createOrReplaceTempView("pssrc2")
+    ss.sql("INSERT INTO g.ps SELECT * FROM pssrc2")
+    run()
+    assert(ks == ((0L until 20L).map(k => (k, (k % 2 + 1).toInt)).toSet ++
+      (100L until 105L).map((_, 3))), s"after born leaf: $ks")
+  }
+
+  test("SQL UPDATE and MERGE on a keyed table land as ONE atomic " +
+      "merge-on-read commit (kind=upsert), hash-equal to the library " +
+      "applyChangesDV path, replayed exactly by the change feed") {
+    val wh = Files.createTempDirectory("graft-sqlcat-rlo").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.kt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    val dir = new Path(s"$wh/kt")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val vCreate = ManifestCommit.currentSnapshot(fs, dir).get.version
+    ss.range(50).select($"id".as("k"), ($"id" * 10).as("v"))
+      .createOrReplaceTempView("ksrc")
+    ss.sql("INSERT INTO g.kt SELECT * FROM ksrc")
+    val vBefore = ManifestCommit.currentSnapshot(fs, dir).get.version
+    // UPDATE: matched rows DV-delete + re-insert in one commit
+    ss.sql("UPDATE g.kt SET v = v + 1 WHERE k >= 10 AND k <= 19")
+    val vAfter = ManifestCommit.currentSnapshot(fs, dir).get.version
+    assert(vAfter == vBefore + 1,
+      s"UPDATE must be ONE commit ($vBefore -> $vAfter)")
+    val hist = ManifestCommit.history(ss, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist(vAfter) == "upsert",
+      s"the UPDATE commit must be kind=upsert: $hist")
+    def rows = ss.sql("SELECT k, v FROM g.kt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == (0L until 50L).map(k =>
+      (k, if (k >= 10 && k <= 19) k * 10 + 1 else k * 10)).toSet)
+    // MERGE: matched update + not-matched insert, one commit
+    ss.range(10).select(($"id" + 45).as("k"), lit(7L).as("v"))
+      .createOrReplaceTempView("merges")
+    ss.sql("""MERGE INTO g.kt t USING merges s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val vMerge = ManifestCommit.currentSnapshot(fs, dir).get.version
+    assert(vMerge == vAfter + 1, "MERGE must be ONE commit")
+    assert(rows == ((0L until 45L).map(k =>
+      (k, if (k >= 10 && k <= 19) k * 10 + 1 else k * 10)) ++
+      (45L until 55L).map((_, 7L))).toSet, s"post-merge: $rows")
+    // arbitrary-predicate DELETE routes through the row-level path
+    // (not range-expressible -> not a metadata delete)
+    ss.sql("DELETE FROM g.kt WHERE v = 7 AND k % 2 = 0")
+    assert(rows == ((0L until 45L).map(k =>
+      (k, if (k >= 10 && k <= 19) k * 10 + 1 else k * 10)) ++
+      (45L until 55L).filter(_ % 2 == 1).map((_, 7L))).toSet)
+    // range DELETE still takes the cheap metadata DV path: commit kind
+    // is dvdelete, not upsert
+    ss.sql("DELETE FROM g.kt WHERE k >= 0 AND k <= 4")
+    val hist2 = ManifestCommit.history(ss, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val vDel = ManifestCommit.currentSnapshot(fs, dir).get.version
+    assert(hist2(vDel) == "dvdelete",
+      s"a range DELETE must stay metadata-only: $hist2")
+    // the change feed replays the whole history: net state == table
+    val feed = graft.streaming.StreamingOps.streamFeedSource(ss,
+      dir.toString, vCreate)
+    val net = feed.groupBy("k").agg(
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+        .when($"_change_type" === "insert", 1).otherwise(-1)).as("alive"))
+      .where($"alive" > 0).count()
+    assert(net == rows.size,
+      s"feed net-alive $net != table ${rows.size}")
+    // keyless tables refuse UPDATE with a pointer at the property
+    ss.sql("CREATE TABLE g.nokey (k BIGINT, v BIGINT)")
+    ss.sql("INSERT INTO g.nokey SELECT * FROM ksrc")
+    val e = intercept[Exception](
+      ss.sql("UPDATE g.nokey SET v = 0 WHERE k = 1"))
+    assert(e.getMessage != null, "keyless UPDATE must fail")
+  }
 }
