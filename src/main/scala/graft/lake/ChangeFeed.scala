@@ -120,6 +120,45 @@ object ChangeFeed {
               .withColumn("_commit_version", lit(c.version)))
           (ins.toSeq ++ del.toSeq).reduceOption(
             _.unionByName(_, allowMissingColumns = true))
+        case ManifestCommit.KindOverwrite =>
+          // whole-table overwrite: every pre-overwrite-ALIVE row of the
+          // consumed files (their rows minus the previously active
+          // sidecars' positions) deletes, every produced row inserts —
+          // exact, because an overwrite consumed EVERYTHING (unlike a
+          // predicate-less rewrite, whose consumed files may hold kept
+          // rows)
+          // c.removed carries the commit's tombstones, which include
+          // the DROPPED sidecars — only the DATA files replay as rows
+          val removedData =
+            c.removed.filterNot(_.startsWith(ManifestCommit.DvPrefix))
+          val del =
+            if (removedData.isEmpty) None
+            else {
+              val base = read(removedData)
+              val preDvs = ManifestCommit.dvsAt(fs, partition,
+                c.version - 1)
+              val alive =
+                if (preDvs.isEmpty) base
+                else {
+                  val dv = read(preDvs).select("file", "pos")
+                  base.withColumn("__dv_file", col("_metadata.file_name"))
+                    .withColumn("__dv_pos", col("_metadata.row_index"))
+                    .join(broadcast(dv),
+                      col("__dv_file") === dv("file") &&
+                        col("__dv_pos") === dv("pos"), "left_anti")
+                    .drop("__dv_file", "__dv_pos")
+                }
+              Some(alive
+                .withColumn("_change_type", lit(Delete))
+                .withColumn("_commit_version", lit(c.version)))
+            }
+          val ins =
+            if (c.added.isEmpty) None
+            else Some(read(c.added)
+              .withColumn("_change_type", lit(Insert))
+              .withColumn("_commit_version", lit(c.version)))
+          (del.toSeq ++ ins.toSeq).reduceOption(
+            _.unionByName(_, allowMissingColumns = true))
         case other => sys.error(
           s"commit v${c.version} of $partition has kind '$other' — " +
             "pre-tag history cannot be replayed incrementally, " +

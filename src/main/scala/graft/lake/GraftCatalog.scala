@@ -83,8 +83,10 @@ private[graft] object GraftTableMeta {
   *    files staged invisibly, then ONE atomic manifest commit — a
   *    failed insert leaves only sweepable hidden garbage, and
   *    concurrent inserts serialize through the optimistic commit
-  *    protocol like any library writer. (Append-only v1: INSERT
-  *    OVERWRITE is refused — rewrites stay library verbs.)
+  *    protocol like any library writer. **INSERT OVERWRITE** swaps the
+  *    whole table in ONE [[ManifestCommit.KindOverwrite]] commit (old
+  *    files consumed, sidecars dropped) and the change feed replays it
+  *    exactly: alive rows as deletes, new rows as inserts.
   *  - **SELECT** plans one InputPartition per live data file straight
   *    from the manifest (no directory listing), column pruning pushed
   *    into the per-file reader (fields resolve by name), long-range
@@ -478,7 +480,7 @@ private[graft] class GraftSqlTable(path: String, ident: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -524,18 +526,29 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // INSERT OVERWRITE arrives as OverwriteByExpression(TRUE) and
+      // Spark truncate()s the builder; the flag routes the V1 insert
+      // to ManifestCommit.overwriteTable (one KindOverwrite commit)
+      private var truncateMode = false
+      override def truncate(): WriteBuilder = { truncateMode = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
-              require(!overwrite,
-                s"graft catalog: INSERT OVERWRITE on $ident is not " +
-                  "supported — SQL writes are append-only (one atomic " +
-                  "stage-and-publish commit); rewrites stay library " +
-                  "verbs (deleteRange/compact/applyChangesDV)")
-              if (partCols.isEmpty) {
+              if (overwrite || truncateMode) {
+                // whole-table swap in ONE KindOverwrite commit: old
+                // files consumed, sidecars dropped, change feed
+                // replays alive-rows-as-deletes + new-rows-as-inserts
+                require(partCols.isEmpty,
+                  s"graft catalog: INSERT OVERWRITE on partitioned " +
+                    s"$ident is not supported — overwrite whole leaves " +
+                    "through the library (overwriteTable per leaf)")
+                ManifestCommit.overwriteTable(data.sparkSession,
+                  new Path(path), data)
+              } else if (partCols.isEmpty) {
                 ManifestCommit.stageAndPublish(data.sparkSession,
                     new Path(path), data, _ => true)
                   .getOrElse(sys.error(

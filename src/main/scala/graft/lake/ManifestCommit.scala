@@ -112,6 +112,17 @@ object ManifestCommit {
     * refuse, exactly like [[KindDvDelete]]. */
   val KindUpsert = "upsert"
 
+  /** A whole-table OVERWRITE (SQL `INSERT OVERWRITE`): every
+    * pre-commit live file is consumed, the staged files replace them,
+    * and active deletion-vector sidecars drop (the rows they named are
+    * gone with their files). Unlike [[KindReplace]] (compaction — the
+    * LOGICAL content is unchanged and the feed ignores it), an
+    * overwrite IS a logical change, and it replays exactly: every
+    * pre-overwrite-ALIVE row of the consumed files (their rows minus
+    * the dropped sidecars' positions) as `delete`, every produced
+    * file's row as `insert`. */
+  val KindOverwrite = "overwrite"
+
   /** The live file set of one partition at one committed version. */
   final case class Snapshot(version: Long, files: Seq[String])
 
@@ -1487,6 +1498,57 @@ object ManifestCommit {
       Some(appendFiles(fs, partition, produced, stats = stats,
         schemaJson = evolved))
     }
+  }
+
+  /** Whole-table OVERWRITE in ONE atomic commit ([[KindOverwrite]]):
+    * `df`'s rows replace every live file, active deletion-vector
+    * sidecars drop (their rows die with their files), and the change
+    * feed replays the commit EXACTLY — pre-overwrite-alive rows as
+    * deletes, the new rows as inserts. The SQL `INSERT OVERWRITE`
+    * verb. Staging is the WAP shape: files land hidden (a crash
+    * leaves only sweepable garbage), then one commit swaps them in.
+    * Concurrency: the overwrite consumes exactly the snapshot it read
+    * — an append racing the commit window serializes after it and
+    * SURVIVES (its rows were never part of the snapshot this
+    * statement replaced); a concurrent rewrite that consumed one of
+    * our files retries against the fresh snapshot. `df` must match
+    * the recorded schema — an overwrite changes CONTENT, not shape
+    * (evolution stays ALTER TABLE / alterSchema). */
+  def overwriteTable(spark: SparkSession, partition: Path,
+      df: DataFrame): Snapshot = {
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bootstrap(fs, partition)
+    currentSchema(fs, partition).foreach { prev =>
+      val pf = prev.map(f => f.name -> f.dataType).toMap
+      require(df.schema.forall(f => pf.get(f.name).contains(f.dataType))
+          && df.schema.length == prev.length,
+        s"overwriteTable: batch schema ${df.schema.simpleString} does " +
+          s"not match the recorded ${prev.simpleString} on $partition " +
+          "— an overwrite changes content, not shape")
+    }
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staged = new Path(partition, s"._compacting-ovw-$runId")
+    df.write.parquet(staged.toString)
+    val produced = fs.listStatus(staged).toIndexedSeq
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (st, i) =>
+        val name = s"${CompactedPrefix}ovw-$runId-part$i.parquet"
+        require(fs.rename(st.getPath, new Path(partition, name)),
+          s"overwriteTable: cannot move ${st.getPath} into $partition")
+        name
+      }
+    fs.delete(staged, true)
+    var attempt = 0
+    while (attempt < 10) {
+      val snap = bootstrap(fs, partition)
+      replaceFiles(fs, partition, consumed = snap.files.toSet,
+        produced = produced, kind = KindOverwrite,
+        dvs = Some(Nil)) match {
+        case Some(next) => return next
+        case None => attempt += 1 // a rewrite consumed one of ours
+      }
+    }
+    sys.error(s"overwriteTable: 10 straight snapshot races on $partition")
   }
 
   /** Record per-file Bloom filters for `column` (a BIGINT column) by one

@@ -1594,6 +1594,21 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM graftsql.db.orders_keyed ORDER BY o_orderkey""")
     }),
+    // SQL INSERT OVERWRITE: the whole table swaps in ONE
+    // KindOverwrite commit — old files consumed, the live deletion
+    // vector dropped with them — and the read serves exactly the new
+    // projection (the change feed replays alive-rows-as-deletes +
+    // new-rows-as-inserts; spec-pinned)
+    "q276_sql_insert_overwrite" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graftsql.db.orders_ow ORDER BY o_orderkey""")
+    }),
     // STREAMING SQL sink with ARRAY columns: the embeddings projection
     // streams into a catalog table via writeStream.toTable (the
     // Group-API epoch writer emits Spark's standard 3-level LIST
@@ -2669,6 +2684,18 @@ object OpsQueries {
           VALUES (s.k, s.c, s.p)""")
       ss.sql("DELETE FROM graftsql.db.orders_keyed " +
         "WHERE o_custkey = -1 AND o_orderkey % 3 = 0")
+      // q276's table: loaded, range-DELETEd (a live DV), then INSERT
+      // OVERWRITE — one KindOverwrite commit consuming every file and
+      // dropping the sidecar; the final content is the new projection
+      ss.sql("""CREATE TABLE graftsql.db.orders_ow
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_ow
+        SELECT * FROM orders_src_q267""")
+      ss.sql("DELETE FROM graftsql.db.orders_ow " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      ss.sql("""INSERT OVERWRITE graftsql.db.orders_ow
+        SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        FROM orders_src_q267 WHERE o_orderkey % 5 = 0""")
       wh
     })
 
@@ -6265,6 +6292,12 @@ object OpsQueries {
              klo + (khi - klo) // 2 AS dhi FROM b)
          SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
+         ORDER BY o_orderkey""",
+    // the overwritten table holds exactly the overwrite projection —
+    // the earlier load and DV delete are gone with their files
+    "q276_sql_insert_overwrite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+         FROM orders WHERE o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
     // the stream-sunk embeddings table equals the base embeddings
     // projection (dimension + first element + label per vector)

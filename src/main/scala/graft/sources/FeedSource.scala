@@ -417,6 +417,31 @@ private[sources] object FeedPlanner {
             new Path(dir, n).toString, ChangeFeed.Insert, c.version,
             None)) ++
             (if (c.addedDvs.isEmpty) Nil else dvPartitions(c))
+        case ManifestCommit.KindOverwrite =>
+          // whole-table overwrite: every PRE-overwrite-ALIVE row of the
+          // consumed files is deleted (their rows minus the previously
+          // active sidecars' positions — the dvKeep=false subtraction
+          // the bootstrap batch uses), every produced file's row is an
+          // insert. Unlike a predicate-less KindDelete (a rewrite whose
+          // consumed files may hold KEPT rows), an overwrite consumed
+          // EVERYTHING — whole-file delete replay is exact.
+          val preDvs = ManifestCommit.dvsAt(fs, dir, c.version - 1)
+            .map(n => new Path(dir, n).toString)
+          // c.removed carries the commit's tombstones, which include
+          // the DROPPED sidecars — only the DATA files replay as rows
+          val removedData =
+            c.removed.filterNot(_.startsWith(ManifestCommit.DvPrefix))
+          val touched: Set[String] =
+            if (preDvs.isEmpty) Set.empty
+            else dvTouchedFiles(preDvs, removedData).toSet
+          removedData.map(n => FeedFilePartition(
+            new Path(dir, n).toString, ChangeFeed.Delete, c.version,
+            None,
+            dvSidecars = if (touched.contains(n)) preDvs else Nil,
+            dvKeep = false)) ++
+            c.added.map(n => FeedFilePartition(
+              new Path(dir, n).toString, ChangeFeed.Insert, c.version,
+              None))
         case other => sys.error(
           s"graft-feed: commit v${c.version} of $dir has kind '$other' " +
             "— pre-tag history cannot be streamed, full resync required")

@@ -76,19 +76,14 @@ class SqlCatalogSpec extends SparkSpec {
       == 60L)
   }
 
-  test("refusals stay loud: INSERT OVERWRITE and non-additive ALTER") {
+  test("refusals stay loud: non-additive ALTER (INSERT OVERWRITE is " +
+      "a first-class KindOverwrite commit since round 14)") {
     val wh = Files.createTempDirectory("graft-sqlcat3").toString
     val ss = sqlSession(wh)
     ss.sql("CREATE TABLE g.t2 (k BIGINT, v BIGINT)")
     ss.range(20).select($"id".as("k"), ($"id" * 2).as("v"))
       .createOrReplaceTempView("src2")
     ss.sql("INSERT INTO g.t2 SELECT k, v FROM src2")
-    // the WriteBuilder deliberately omits SupportsTruncate, so Spark
-    // itself refuses the overwrite before any file moves
-    val e1 = intercept[Exception](
-      ss.sql("INSERT OVERWRITE g.t2 SELECT k, v FROM src2"))
-    assert(e1.getMessage.contains("does not support truncate"),
-      e1.getMessage)
     // additive ALTER evolves the recorded schema; the new column reads
     // NULL from pre-evolution files
     ss.sql("ALTER TABLE g.t2 ADD COLUMN w DOUBLE")
@@ -603,5 +598,71 @@ class SqlCatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       ss.sql("UPDATE g.nokey SET v = 0 WHERE k = 1"))
     assert(e.getMessage != null, "keyless UPDATE must fail")
+  }
+
+  test("INSERT OVERWRITE: one KindOverwrite commit consumes every " +
+      "file and drops live DVs; the change feed replays alive-rows-" +
+      "as-deletes + new-rows-as-inserts; time travel reads the " +
+      "pre-overwrite state; the append-only table stream refuses") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft-sqlcat-ow").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.ow (k BIGINT, v BIGINT)")
+    val dir = new Path(s"$wh/ow")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    ss.range(40).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("owsrc")
+    ss.sql("INSERT INTO g.ow SELECT * FROM owsrc")
+    // a live deletion vector before the overwrite
+    ss.sql("DELETE FROM g.ow WHERE k >= 5 AND k <= 9")
+    val preV = ManifestCommit.currentSnapshot(fs, dir).get.version
+    assert(ManifestCommit.currentDvs(fs, dir).nonEmpty)
+    ss.sql("INSERT OVERWRITE g.ow SELECT k + 100 AS k, v FROM owsrc " +
+      "WHERE k < 3")
+    val owV = ManifestCommit.currentSnapshot(fs, dir).get.version
+    assert(owV == preV + 1, "the overwrite must be ONE commit")
+    val hist = ManifestCommit.history(ss, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist(owV) == "overwrite", s"kind: $hist")
+    assert(ManifestCommit.currentDvs(fs, dir).isEmpty,
+      "sidecars drop with the files they named")
+    def rows = ss.sql("SELECT k, v FROM g.ow").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((100L, 0L), (101L, 2L), (102L, 4L)), s"$rows")
+    // time travel: the pre-overwrite version still reads (with its DV
+    // subtracting) until the log prunes
+    val back = ss.sql(s"SELECT k FROM g.ow VERSION AS OF $preV")
+      .collect().map(_.getLong(0)).toSet
+    assert(back == (0L until 40L).filterNot(k => k >= 5 && k <= 9).toSet,
+      s"time travel: ${back.size} rows")
+    // the change feed replays the overwrite exactly: the 35 alive rows
+    // (40 minus the DV'd 5) delete, the 3 new rows insert
+    val feed = graft.lake.ChangeFeed.changeFeed(ss, dir, preV, owV)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("delete" -> 35L, "insert" -> 3L), s"$byType")
+    // the STREAMING feed plans the same replay (shared planner)
+    val sfeed = graft.streaming.StreamingOps.streamFeedSource(ss,
+      dir.toString, preV)
+    val sByType = sfeed.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sByType == Map("delete" -> 35L, "insert" -> 3L), s"$sByType")
+    // an append-only readStream.table cannot express the retraction
+    val ckpt = Files.createTempDirectory("graft-sqlcat-ow-ck").toString
+    // consume the snapshot first, then land another overwrite: the
+    // resumed stream must refuse the retraction loudly
+    def run(): Unit = ss.readStream.table("g.ow")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run()
+    ss.sql("INSERT OVERWRITE g.ow SELECT k, v FROM owsrc WHERE k = 0")
+    val e = intercept[Exception](run())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("change feed"), msgs(e))
   }
 }
