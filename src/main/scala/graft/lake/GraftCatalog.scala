@@ -477,7 +477,8 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else if (partCols.nonEmpty) util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
@@ -562,14 +563,12 @@ private[graft] class GraftSqlTable(path: String, ident: String,
         // commits carrying the query id as a txn watermark — a
         // replayed epoch (post-crash re-delivery against the same
         // checkpoint) no-ops, the manifest is the only ledger
-        override def toStreaming: StreamingWrite = {
-          require(partCols.isEmpty,
-            s"graft catalog: writeStream.toTable on partitioned $ident " +
-              "is not supported yet — stream into an unpartitioned " +
-              "table or use the library's streamFeedTableToDir")
-          new GraftStreamingWrite(path, ident, info.schema(),
-            info.queryId())
-        }
+        override def toStreaming: StreamingWrite =
+          if (partCols.isEmpty)
+            new GraftStreamingWrite(path, ident, info.schema(),
+              info.queryId())
+          else new GraftPartitionedStreamingWrite(path, ident,
+            info.schema(), partCols, info.queryId())
       }
     }
 }
@@ -1255,6 +1254,164 @@ private[graft] class GraftDeltaTaskWriter(path: String,
   }
   override def abort(): Unit = { inserts.abort(); keys.abort() }
   override def close(): Unit = { inserts.close(); keys.close() }
+}
+
+/** One task's staged fan-out for a PARTITIONED streaming epoch: per
+  * touched leaf, the hidden staging dir, the file inside it, and the
+  * row count. */
+private[graft] case class GraftStagedFanout(
+    files: Seq[(String, String, String, Long)]) // (rel, stagingDir, file, rows)
+    extends WriterCommitMessage
+
+/** `writeStream.toTable` on a PARTITIONED catalog table: each task
+  * fans its rows out to one staged parquet file PER touched leaf
+  * (partition values rendered to the Hive path exactly as the batch
+  * insert renders them), and the driver's epoch commit lands each
+  * touched leaf's files through THAT leaf's manifest log with
+  * `(queryId, epochId)` as the leaf's transaction watermark. The
+  * exactly-once unit is the LEAF: a crash between two leaf commits
+  * replays the epoch, already-committed leaves no-op against their
+  * watermark, and the remaining leaves commit — the same per-leaf
+  * visibility contract every library multi-leaf verb has. A leaf born
+  * by the stream bootstraps its own log and records the data schema,
+  * so the feed twins adopt it with no listing heuristics. */
+private[graft] class GraftPartitionedStreamingWrite(path: String,
+    ident: String, schema: StructType, partCols: Seq[String],
+    queryId: String) extends StreamingWrite {
+  private val dataSchema = StructType(
+    schema.fields.dropRight(partCols.length))
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    val (p, sch, pc) = (path, schema, partCols)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new GraftFanoutDataWriter(p, sch, pc, conf.value,
+          s"e$epochId-p$partitionId-t$taskId")
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = messages.collect { case m: GraftStagedFanout => m }
+    def dropStaging(): Unit = staged.flatMap(_.files)
+      .map(_._2).distinct.foreach(d => fs.delete(new Path(d), true))
+    try {
+      val qid = queryId.replaceAll("[^A-Za-z0-9]", "").take(8)
+      staged.flatMap(_.files).filter(_._4 > 0)
+        .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (rel, entries) =>
+          val leaf = new Path(dir, rel)
+          // the leaf's own watermark: a replayed epoch no-ops HERE
+          // even when a crash left sibling leaves uncommitted
+          if (!ManifestCommit.lastTxnVersion(fs, leaf, queryId)
+              .exists(_ >= epochId)) {
+            val born = !fs.exists(
+              new Path(leaf, ManifestCommit.LogDirName))
+            if (born) fs.mkdirs(leaf)
+            ManifestCommit.bootstrap(fs, leaf)
+            if (born) ManifestCommit.alterSchema(fs, leaf, dataSchema)
+            val manifested: Set[String] =
+              ManifestCommit.currentSnapshot(fs, leaf)
+                .map(_.files.toSet).getOrElse(Set.empty)
+            val names = entries.zipWithIndex.map {
+              case ((_, sd, file, _), i) =>
+                val name = s"${ManifestCommit.CompactedPrefix}" +
+                  s"stream-$qid-e$epochId-$i.parquet"
+                val dst = new Path(leaf, name)
+                if (fs.exists(dst)) { // crashed-replay orphan (see
+                  // GraftStreamingWrite.commit — same recovery)
+                  require(!manifested.contains(name),
+                    s"graft catalog: epoch $epochId of $ident would " +
+                      s"overwrite manifest-referenced $name in $rel — " +
+                      "stop the duplicate query")
+                  fs.delete(dst, false)
+                }
+                require(fs.rename(new Path(sd, file), dst),
+                  s"graft catalog: cannot move staged $file into $leaf")
+                name
+            }
+            ManifestCommit.appendFiles(fs, leaf, names,
+              txn = Some((queryId, epochId)))
+          }
+        }
+    } finally dropStaging()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: GraftStagedFanout =>
+        m.files.map(_._2).distinct
+          .foreach(d => fs.delete(new Path(d), true))
+      case _ =>
+    }
+  }
+}
+
+/** Executor-side fan-out writer: routes each row to a per-leaf staged
+  * parquet (lazy — a leaf is touched only when a row lands in it),
+  * rendering partition values exactly as the batch insert's
+  * partitionBy does. NULL or path-unsafe partition values refuse
+  * loudly — a silently mangled leaf path would corrupt the layout. */
+private[graft] class GraftFanoutDataWriter(path: String,
+    schema: StructType, partCols: Seq[String],
+    conf: org.apache.hadoop.conf.Configuration, tag: String)
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.types._
+  private val dataSchema = StructType(
+    schema.fields.dropRight(partCols.length))
+  private val partSchema = StructType(
+    schema.fields.takeRight(partCols.length))
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, GraftParquetDataWriter]
+
+  private def relOf(row: InternalRow): String =
+    partSchema.fields.zipWithIndex.map { case (f, j) =>
+      val i = dataSchema.length + j
+      require(!row.isNullAt(i),
+        s"graft catalog: NULL partition value for ${f.name} — refuse " +
+          "rather than mint a default-partition leaf")
+      val v = f.dataType match {
+        case IntegerType => row.getInt(i).toString
+        case LongType    => row.getLong(i).toString
+        case DateType    =>
+          java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+        case StringType  => row.getUTF8String(i).toString
+        case o => sys.error(
+          s"graft catalog: partition column ${f.name} has unsupported " +
+            s"type $o")
+      }
+      require(v.nonEmpty && !v.exists("/=\\%".contains(_)),
+        s"graft catalog: partition value '$v' for ${f.name} is not " +
+          "path-safe")
+      s"${f.name}=$v"
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    val rel = relOf(row)
+    val w = writers.getOrElseUpdate(rel,
+      new GraftParquetDataWriter(path, dataSchema, conf,
+        s"$tag-l${writers.size}"))
+    // the data columns LEAD the row; the per-leaf writer materializes
+    // exactly its own (data) schema prefix
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftStagedFanout(writers.toSeq.map { case (rel, w) =>
+      val m = w.commit().asInstanceOf[GraftStagedFile]
+      (rel, m.stagingDir, m.file, m.rows)
+    })
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 /** One staged parquet file a streaming-epoch task produced: the hidden

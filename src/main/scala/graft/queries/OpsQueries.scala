@@ -1594,6 +1594,47 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
         FROM graftsql.db.orders_keyed ORDER BY o_orderkey""")
     }),
+    // STREAMING SQL sink into a PARTITIONED table: tasks fan rows out
+    // per leaf, each touched leaf commits with its own (queryId,
+    // epoch) watermark — exactly-once per leaf, stream-born leaves
+    // bootstrap their own logs, and the read is the ordinary
+    // leaf-pruned vectorized scan
+    "q277_sql_part_stream_sink" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      sqlPartSunk.computeIfAbsent(d, _ => {
+        val src = s"$wh/part_src"
+        val dirP = new org.apache.hadoop.fs.Path(src)
+        val fs = dirP.getFileSystem(ss.sparkContext.hadoopConfiguration)
+        graft.ops.Layout.writeLinear(
+          Tables(ss, d, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"),
+              (col("o_orderkey") % 3 + 1).cast("int").as("day")),
+          col("o_orderkey"), src, 2)
+        graft.lake.ManifestCommit.bootstrap(fs, dirP)
+        graft.lake.ManifestCommit.recordSchema(ss, dirP)
+        ss.sql("""CREATE TABLE graftsql.db.orders_psunk
+          (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+           day INT) PARTITIONED BY (day)""")
+        ss.readStream.format("graft.sources.FeedSource")
+          .option("path", src).option("bootstrap", "true")
+          .load()
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("day"))
+          .writeStream
+          .option("checkpointLocation", s"$wh/orders_psunk-ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graftsql.db.orders_psunk").awaitTermination()
+        "done"
+      })
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, day
+        FROM graftsql.db.orders_psunk ORDER BY o_orderkey""")
+    }),
     // SQL INSERT OVERWRITE: the whole table swaps in ONE
     // KindOverwrite commit — old files consumed, the live deletion
     // vector dropped with them — and the read serves exactly the new
@@ -2610,6 +2651,9 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val sqlArraySunk =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val sqlPartSunk =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[queries] def ensureSqlWarehouse(s: SparkSession,
@@ -6293,6 +6337,12 @@ object OpsQueries {
          SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
          ORDER BY o_orderkey""",
+    // the partition-fanned stream sink landed exactly the source
+    // projection, day derived from the key
+    "q277_sql_part_stream_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderkey % 3 + 1 AS INTEGER) AS day
+         FROM orders ORDER BY o_orderkey""",
     // the overwritten table holds exactly the overwrite projection —
     // the earlier load and DV delete are gone with their files
     "q276_sql_insert_overwrite" ->

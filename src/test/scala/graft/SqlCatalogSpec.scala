@@ -665,4 +665,59 @@ class SqlCatalogSpec extends SparkSpec {
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
     assert(msgs(e).contains("change feed"), msgs(e))
   }
+
+  test("writeStream.toTable on a PARTITIONED table: tasks fan rows out " +
+      "per leaf, each touched leaf commits with its own epoch " +
+      "watermark (exactly-once per leaf), stream-born leaves join the " +
+      "layout, and an idle restart appends nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft-sqlcat-pw").toString
+    val ss = sqlSession(wh)
+    val src = new Path(s"$wh/pwsrc")
+    val fs = src.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    graft.ops.Layout.writeLinear(
+      ss.range(30).select($"id".as("k"), ($"id" * 2).as("v"),
+        ($"id" % 2 + 1).cast("int").as("day")),
+      col("k"), src.toString, 2)
+    ManifestCommit.bootstrap(fs, src)
+    ManifestCommit.recordSchema(ss, src)
+    ss.sql("CREATE TABLE g.pw (k BIGINT, v BIGINT, day INT) " +
+      "PARTITIONED BY (day)")
+    val ckpt = Files.createTempDirectory("graft-sqlcat-pw-ck").toString
+    def run(): Unit = ss.readStream
+      .format("graft.sources.FeedSource")
+      .option("path", src.toString).option("bootstrap", "true")
+      .load().select($"k", $"v", $"day")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("g.pw").awaitTermination()
+    run()
+    def rows = ss.sql("SELECT k, v, day FROM g.pw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want0 = (0L until 30L).map(k => (k, k * 2, (k % 2 + 1).toInt)).toSet
+    assert(rows == want0, s"landed ${rows.size}")
+    assert(fs.exists(new Path(s"$wh/pw/day=1/_graft_log")) &&
+      fs.exists(new Path(s"$wh/pw/day=2/_graft_log")),
+      "each touched leaf owns a commit log")
+    // idle restart: per-leaf watermarks make the replay a no-op
+    run()
+    assert(rows == want0, "an idle restart must append nothing")
+    // a delta carrying a NEW day value: the stream births day=3 with
+    // its own log; the resumed checkpoint lands exactly the delta
+    ManifestCommit.stageAndPublish(ss, src,
+      ss.range(5).select(($"id" + 100).as("k"), ($"id" * 2).as("v"),
+        lit(3).cast("int").as("day")),
+      _ => true).getOrElse(fail("publish"))
+    run()
+    assert(rows == want0 ++
+      (100L until 105L).map(k => (k, (k - 100) * 2, 3)),
+      s"after stream-born leaf: ${rows.size}")
+    assert(fs.exists(new Path(s"$wh/pw/day=3/_graft_log")),
+      "the stream-born leaf must own a commit log")
+    // the landed leaves are ordinary manifest leaves: the library's
+    // table feed replays them
+    val feed = graft.lake.ChangeFeed.changeFeedTable(ss, s"$wh/pw",
+      Map.empty)
+    assert(feed.count() == 35, "library feed must bootstrap every leaf")
+  }
 }
