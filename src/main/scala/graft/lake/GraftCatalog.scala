@@ -155,9 +155,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(dir)) throw new NoSuchTableException(
       (catName +: ident.namespace() :+ ident.name()).toSeq)
     GraftTableMeta.read(fs, dir) match {
-      case Some(m) if m.key.isDefined && m.partitionCols.isEmpty =>
+      case Some(m) if m.key.isDefined =>
         new GraftSqlKeyedTable(dir.toString, ident.toString, m.schema,
-          m.key.get)
+          m.key.get, m.partitionCols)
       case Some(m) =>
         new GraftSqlTable(dir.toString, ident.toString, m.schema,
           partCols = m.partitionCols, key = m.key)
@@ -244,9 +244,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     // the key is the row IDENTITY (Spark's delta plans refuse a
     // nullable rowId, and a NULL key row could never be updated or
-    // deleted by key) — the declared schema carries it non-nullable
+    // deleted by key) — the declared schema carries it non-nullable.
+    // On a keyed PARTITIONED table the partition columns join the
+    // rowId (they route each delete to its leaf), so they go
+    // non-nullable too — true by construction: NULL partition values
+    // refuse at every insert path.
     val schemaK = key.fold(schema)(k => StructType(schema.fields.map(f =>
-      if (f.name == k) f.copy(nullable = false) else f)))
+      if (f.name == k || partCols.contains(f.name))
+        f.copy(nullable = false)
+      else f)))
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catName +: ident.namespace() :+ ident.name()).toSeq)
@@ -258,9 +264,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (partCols.nonEmpty || key.isDefined)
       GraftTableMeta.write(fs, dir,
         GraftTableMeta.Meta(schemaK, partCols, key))
-    if (key.isDefined && partCols.isEmpty)
+    if (key.isDefined)
       new GraftSqlKeyedTable(dir.toString, ident.toString, schemaK,
-        key.get)
+        key.get, partCols)
     else new GraftSqlTable(dir.toString, ident.toString, schemaK,
       partCols = partCols, key = key)
   }
@@ -295,8 +301,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     meta.foreach(m => GraftTableMeta.write(fs, dir, m.copy(schema = next)))
     val k = meta.flatMap(_.key)
-    if (k.isDefined && parts.isEmpty)
-      new GraftSqlKeyedTable(dir.toString, ident.toString, next, k.get)
+    if (k.isDefined)
+      new GraftSqlKeyedTable(dir.toString, ident.toString, next, k.get,
+        parts)
     else new GraftSqlTable(dir.toString, ident.toString, next,
       partCols = parts, key = k)
   }
@@ -588,14 +595,14 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   * interface at all — their range DELETE never routes through a
   * rewrite that would demand a key. */
 private[graft] final class GraftSqlKeyedTable(path: String, ident: String,
-    tableSchema: StructType, keyCol: String)
-    extends GraftSqlTable(path, ident, tableSchema, None, Nil,
+    tableSchema: StructType, keyCol: String, partCols: Seq[String] = Nil)
+    extends GraftSqlTable(path, ident, tableSchema, None, partCols,
       Some(keyCol))
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(path, tableSchema, keyCol,
+    () => new GraftRowLevelOperation(path, tableSchema, keyCol, partCols,
       info.command())
 }
 
@@ -1111,7 +1118,7 @@ private[graft] class GraftSqlTableFeedStream(path: String,
   * updates are represented as delete+insert, exactly the shape
   * [[ManifestCommit.applyChangesDV]] commits atomically. */
 private[graft] class GraftRowLevelOperation(path: String,
-    tableSchema: StructType, keyCol: String,
+    tableSchema: StructType, keyCol: String, partCols: Seq[String],
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write._
@@ -1120,25 +1127,32 @@ private[graft] class GraftRowLevelOperation(path: String,
     s"graft row-level $cmd on $path keyed by $keyCol"
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScan(path, tableSchema)
+    new GraftSqlScan(path, tableSchema, partCols)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(path, tableSchema, keyCol, info)
+        new GraftDeltaWrite(path, tableSchema, keyCol, partCols, info)
     }
+  /** On a partitioned table the partition columns join the rowId: the
+    * key alone identifies the row, but a delete must also ROUTE to its
+    * leaf (each leaf is its own commit domain) — and an UPDATE that
+    * changes a partition value becomes delete-in-old-leaf +
+    * insert-in-new-leaf, i.e. the row MOVES correctly. */
   override def rowId()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions
-      .Expressions.column(keyCol))
+    (keyCol +: partCols).map(c => org.apache.spark.sql.connector
+      .expressions.Expressions.column(c)).toArray
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 }
 
-/** One task's staged row-level change set: a parquet of inserted rows
-  * and a parquet of deleted keys (either may be absent). */
-private[graft] case class GraftDeltaStaged(
+/** One task's staged row-level change set, PER TOUCHED LEAF ("." for
+  * an unpartitioned table): a parquet of inserted rows and a parquet
+  * of deleted keys (either may be empty). */
+private[graft] case class GraftDeltaLeafStaged(rel: String,
     insertDir: String, insertFile: String, insertRows: Long,
     keyDir: String, keyFile: String, keyRows: Long)
-    extends WriterCommitMessage
+private[graft] case class GraftDeltaStaged(
+    entries: Seq[GraftDeltaLeafStaged]) extends WriterCommitMessage
 
 /** The write half of SQL UPDATE/MERGE/DELETE on a keyed table: each
   * task stages its inserted rows and deleted keys as hidden parquet;
@@ -1149,7 +1163,7 @@ private[graft] case class GraftDeltaStaged(
   * delete+insert rows. A crash before commit leaves only hidden
   * staging (swept by gc); abort deletes it eagerly. */
 private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
-    keyCol: String,
+    keyCol: String, partCols: Seq[String],
     info: LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   import org.apache.spark.sql.connector.write._
@@ -1160,13 +1174,19 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
   private val schema =
     if (info.schema() != null && info.schema().nonEmpty) info.schema()
     else tblSchema
-  private val keySchema = info.rowIdSchema()
-    .orElse(StructType(Seq(
-      tblSchema.fields.find(_.name == keyCol).getOrElse(sys.error(
-        s"graft catalog: key column $keyCol missing from $path schema")))))
-  require(keySchema.length == 1 && keySchema.head.name == keyCol,
-    s"graft catalog: row-level rowId must be exactly ($keyCol); " +
-      s"got $keySchema")
+  private val dataSchema = StructType(
+    schema.fields.dropRight(partCols.length))
+  private val keySchema = StructType(Seq(
+    tblSchema.fields.find(_.name == keyCol).getOrElse(sys.error(
+      s"graft catalog: key column $keyCol missing from $path schema"))))
+  // the rowId projection: the key plus (on a partitioned table) the
+  // partition columns that route each delete to its leaf
+  private val idSchema = info.rowIdSchema().orElse(
+    StructType(keySchema.fields ++
+      schema.fields.filter(f => partCols.contains(f.name))))
+  require(idSchema.fieldNames.toSet == (keyCol +: partCols).toSet,
+    s"graft catalog: row-level rowId must be ($keyCol" +
+      s"${partCols.map(", " + _).mkString}); got $idSchema")
   require(schema.fieldNames.toSeq == tblSchema.fieldNames.toSeq,
     s"graft catalog: row-level write projection ${schema.fieldNames
       .mkString(",")} does not match the table schema of $path")
@@ -1176,11 +1196,12 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
         pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
       val conf = new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf())
-      val (p, sch, ks) = (path, schema, keySchema)
+      val (p, sch, ks, ids, pc) =
+        (path, schema, keySchema, idSchema, partCols)
       new DeltaWriterFactory {
         override def createWriter(partitionId: Int,
             taskId: Long): DeltaWriter[InternalRow] =
-          new GraftDeltaTaskWriter(p, sch, ks, conf.value,
+          new GraftDeltaTaskWriter(p, sch, ks, ids, pc, conf.value,
             s"rlo-p$partitionId-t$taskId")
       }
     }
@@ -1190,23 +1211,40 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
       val dir = new Path(path)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staged = messages.collect { case m: GraftDeltaStaged => m }
+        .flatMap(_.entries)
       def cleanup(): Unit = staged.foreach { m =>
         fs.delete(new Path(m.insertDir), true)
         fs.delete(new Path(m.keyDir), true)
       }
       try {
-        val insertFiles = staged.filter(_.insertRows > 0)
-          .map(m => new Path(m.insertDir, m.insertFile).toString)
-        val keyFiles = staged.filter(_.keyRows > 0)
-          .map(m => new Path(m.keyDir, m.keyFile).toString)
-        if (insertFiles.isEmpty && keyFiles.isEmpty) return
         def readOr(files: Seq[String], s: StructType): DataFrame =
           if (files.isEmpty) spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
           else spark.read.schema(s).parquet(files: _*)
-        ManifestCommit.applyChangesDV(spark, dir, keyCol,
-          inserts = readOr(insertFiles.toSeq, schema),
-          deleteKeys = readOr(keyFiles.toSeq, keySchema))
+        // one applyChangesDV commit PER TOUCHED LEAF ("." when the
+        // table is unpartitioned = exactly one commit): atomic within
+        // a leaf, sequential across leaves — every library multi-leaf
+        // verb's visibility contract
+        staged.groupBy(_.rel).toSeq.sortBy(_._1).foreach {
+          case (rel, entries) =>
+            val insertFiles = entries.filter(_.insertRows > 0)
+              .map(m => new Path(m.insertDir, m.insertFile).toString)
+            val keyFiles = entries.filter(_.keyRows > 0)
+              .map(m => new Path(m.keyDir, m.keyFile).toString)
+            if (insertFiles.nonEmpty || keyFiles.nonEmpty) {
+              val leaf = if (rel == ".") dir else new Path(dir, rel)
+              val born = !fs.exists(
+                new Path(leaf, ManifestCommit.LogDirName))
+              if (born) { // an UPDATE moved rows into a brand-new leaf
+                fs.mkdirs(leaf)
+                ManifestCommit.bootstrap(fs, leaf)
+                ManifestCommit.alterSchema(fs, leaf, dataSchema)
+              }
+              ManifestCommit.applyChangesDV(spark, leaf, keyCol,
+                inserts = readOr(insertFiles, dataSchema),
+                deleteKeys = readOr(keyFiles, keySchema))
+            }
+        }
         ()
       } finally cleanup()
     }
@@ -1215,9 +1253,10 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
       val fs = new Path(path).getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
       messages.foreach {
-        case m: GraftDeltaStaged =>
-          fs.delete(new Path(m.insertDir), true)
-          fs.delete(new Path(m.keyDir), true)
+        case m: GraftDeltaStaged => m.entries.foreach { e =>
+          fs.delete(new Path(e.insertDir), true)
+          fs.delete(new Path(e.keyDir), true)
+        }
         case _ =>
       }
     }
@@ -1225,35 +1264,91 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
 }
 
 /** Executor-side task writer for a row-level statement: deletes stage
-  * the rowId (the key), inserts stage whole rows; updates arrive as
-  * delete+insert (representUpdateAsDeleteAndInsert). Lazy files — a
-  * task that touches nothing stages nothing. */
+  * the rowId's KEY into the leaf the rowId's partition values name,
+  * inserts stage data-column rows into the leaf the row's partition
+  * values name; updates arrive as delete+insert
+  * (representUpdateAsDeleteAndInsert), so a partition-value change
+  * MOVES the row between leaves. Lazy files — a task that touches
+  * nothing stages nothing. */
 private[graft] class GraftDeltaTaskWriter(path: String,
-    schema: StructType, keySchema: StructType,
+    schema: StructType, keySchema: StructType, idSchema: StructType,
+    partCols: Seq[String],
     conf: org.apache.hadoop.conf.Configuration, tag: String)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
-  private val inserts =
-    new GraftParquetDataWriter(path, schema, conf, s"$tag-ins")
-  private val keys =
-    new GraftParquetDataWriter(path, keySchema, conf, s"$tag-del")
+  import org.apache.spark.sql.types._
+  private val dataLen = schema.length - partCols.length
+  private case class Pair(inserts: GraftParquetDataWriter,
+      keys: GraftParquetDataWriter)
+  private val perLeaf =
+    scala.collection.mutable.LinkedHashMap.empty[String, Pair]
+  private def pairOf(rel: String): Pair =
+    perLeaf.getOrElseUpdate(rel, Pair(
+      new GraftParquetDataWriter(path,
+        StructType(schema.fields.take(dataLen)), conf,
+        s"$tag-l${perLeaf.size}-ins"),
+      new GraftParquetDataWriter(path, keySchema, conf,
+        s"$tag-l${perLeaf.size}-del")))
 
-  override def insert(row: InternalRow): Unit = inserts.write(row)
-  override def delete(meta: InternalRow, id: InternalRow): Unit =
-    keys.write(id)
+  private def render(f: StructField, row: InternalRow, i: Int): String = {
+    require(!row.isNullAt(i),
+      s"graft catalog: NULL partition value for ${f.name}")
+    val v = f.dataType match {
+      case IntegerType => row.getInt(i).toString
+      case LongType    => row.getLong(i).toString
+      case DateType    =>
+        java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case StringType  => row.getUTF8String(i).toString
+      case o => sys.error(s"graft catalog: partition column ${f.name} " +
+        s"has unsupported type $o")
+    }
+    require(v.nonEmpty && !v.exists("/=\\%".contains(_)),
+      s"graft catalog: partition value '$v' for ${f.name} is not " +
+        "path-safe")
+    s"${f.name}=$v"
+  }
+
+  private def relOfRow(row: InternalRow): String =
+    if (partCols.isEmpty) "."
+    else partCols.indices.map { j =>
+      render(schema.fields(dataLen + j), row, dataLen + j)
+    }.mkString("/")
+
+  // rowId rows resolve BY NAME against the projected idSchema
+  private val idPartIdx = partCols.map(idSchema.fieldIndex)
+  private val idKeyIdx = idSchema.fieldIndex(keySchema.head.name)
+  private def relOfId(id: InternalRow): String =
+    if (partCols.isEmpty) "."
+    else partCols.indices.map { j =>
+      render(idSchema.fields(idPartIdx(j)), id, idPartIdx(j))
+    }.mkString("/")
+
+  override def insert(row: InternalRow): Unit =
+    pairOf(relOfRow(row)).inserts.write(row) // data columns LEAD
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // the key writer reads position 0 of the row it is handed: project
+    // the (possibly multi-field) rowId down to the key
+    val keyRow = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](
+        id.get(idKeyIdx, keySchema.head.dataType)))
+    pairOf(relOfId(id)).keys.write(keyRow)
+  }
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
     delete(meta, id); insert(row)
   }
 
   override def commit()
-      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    val i = inserts.commit().asInstanceOf[GraftStagedFile]
-    val k = keys.commit().asInstanceOf[GraftStagedFile]
-    GraftDeltaStaged(i.stagingDir, i.file, i.rows,
-      k.stagingDir, k.file, k.rows)
-  }
-  override def abort(): Unit = { inserts.abort(); keys.abort() }
-  override def close(): Unit = { inserts.close(); keys.close() }
+      : org.apache.spark.sql.connector.write.WriterCommitMessage =
+    GraftDeltaStaged(perLeaf.toSeq.map { case (rel, pw) =>
+      val i = pw.inserts.commit().asInstanceOf[GraftStagedFile]
+      val k = pw.keys.commit().asInstanceOf[GraftStagedFile]
+      GraftDeltaLeafStaged(rel, i.stagingDir, i.file, i.rows,
+        k.stagingDir, k.file, k.rows)
+    })
+  override def abort(): Unit =
+    perLeaf.values.foreach { pw => pw.inserts.abort(); pw.keys.abort() }
+  override def close(): Unit =
+    perLeaf.values.foreach { pw => pw.inserts.close(); pw.keys.close() }
 }
 
 /** One task's staged fan-out for a PARTITIONED streaming epoch: per

@@ -1635,6 +1635,21 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, day
         FROM graftsql.db.orders_psunk ORDER BY o_orderkey""")
     }),
+    // PARTITIONED + keyed row-level ops: UPDATE across leaves, a
+    // partition-value UPDATE that MOVES rows into a leaf born by the
+    // statement, and an arbitrary-predicate DELETE — all per-leaf
+    // applyChangesDV commits; the final table equals the relational
+    // recomputation
+    "q278_sql_part_update" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, day
+        FROM graftsql.db.orders_pkeyed ORDER BY o_orderkey""")
+    }),
     // SQL INSERT OVERWRITE: the whole table swaps in ONE
     // KindOverwrite commit — old files consumed, the live deletion
     // vector dropped with them — and the read serves exactly the new
@@ -2728,6 +2743,22 @@ object OpsQueries {
           VALUES (s.k, s.c, s.p)""")
       ss.sql("DELETE FROM graftsql.db.orders_keyed " +
         "WHERE o_custkey = -1 AND o_orderkey % 3 = 0")
+      // q278's table: PARTITIONED + keyed — row-level changes route
+      // per leaf, and a partition-value UPDATE moves rows into a
+      // brand-new leaf (day=4 is born by the UPDATE itself)
+      ss.sql("""CREATE TABLE graftsql.db.orders_pkeyed
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         day INT) PARTITIONED BY (day) TBLPROPERTIES ('key'='o_orderkey')""")
+      ss.sql("""INSERT INTO graftsql.db.orders_pkeyed
+        SELECT *, CAST(o_orderkey % 3 + 1 AS INT) AS day
+        FROM orders_src_q267""")
+      ss.sql("UPDATE graftsql.db.orders_pkeyed " +
+        "SET o_totalprice = o_totalprice + 1000 " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      ss.sql("UPDATE graftsql.db.orders_pkeyed SET day = 4 " +
+        s"WHERE o_orderkey <= $sliceHi")
+      ss.sql("DELETE FROM graftsql.db.orders_pkeyed " +
+        "WHERE day = 4 AND o_orderkey % 2 = 0")
       // q276's table: loaded, range-DELETEd (a live DV), then INSERT
       // OVERWRITE — one KindOverwrite commit consuming every file and
       // dropping the sidecar; the final content is the new projection
@@ -6336,6 +6367,23 @@ object OpsQueries {
              klo + (khi - klo) // 2 AS dhi FROM b)
          SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
+         ORDER BY o_orderkey""",
+    // the partitioned keyed table after the box price bump, the
+    // day=4 move of the low slice, and the even-key delete in day=4
+    "q278_sql_part_update" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         st AS (
+           SELECT o_orderkey AS k, o_custkey AS c,
+             CASE WHEN o_orderkey >= b.klo + (b.khi - b.klo) // 4
+                   AND o_orderkey <= b.klo + (b.khi - b.klo) // 2
+               THEN o_totalprice + 1000 ELSE o_totalprice END AS p,
+             CASE WHEN o_orderkey <= b.klo + (b.khi - b.klo) // 8
+               THEN 4 ELSE CAST(o_orderkey % 3 + 1 AS INTEGER) END AS day
+           FROM orders, b)
+         SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice,
+           CAST(day AS INTEGER) AS day
+         FROM st WHERE NOT (day = 4 AND k % 2 = 0)
          ORDER BY o_orderkey""",
     // the partition-fanned stream sink landed exactly the source
     // projection, day derived from the key
