@@ -494,6 +494,24 @@ private[graft] class GraftSqlTable(path: String, ident: String,
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSqlScan(path, tableSchema, partCols, asOf)
 
+  /** `TRUNCATE TABLE t`: the overwrite commit with nothing produced —
+    * every live file consumed, sidecars dropped, ONE atomic commit per
+    * partition domain (per leaf on a partitioned table), feed-replayed
+    * as pure deletes. */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty,
+      s"graft catalog: $ident is a pinned time-travel read — history " +
+        "is immutable")
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (partCols.isEmpty) ManifestCommit.truncateTable(fs, dir)
+    else TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach {
+      rel => ManifestCommit.truncateTable(fs, new Path(dir, rel))
+    }
+    true
+  }
+
   /** `DELETE FROM t WHERE <long range on one column>` — lands as ONE
     * merge-on-read commit ([[ManifestCommit.deleteWhereDV]]): a
     * positional deletion-vector sidecar names the doomed rows, the
@@ -843,7 +861,7 @@ private[graft] object GraftSqlScan {
     * than replicating that setup by hand, so every upstream fix rides
     * along. The scan's own file index is unused: partition PLANNING
     * stays manifest-driven (the whole point of the lake). */
-  private[lake] def parquetFactory(spark: SparkSession,
+  private[graft] def parquetFactory(spark: SparkSession,
       dataSchema: StructType, readDataSchema: StructType,
       readPartSchema: StructType,
       filters: Array[Filter]): PartitionReaderFactory = {
@@ -1007,22 +1025,25 @@ private[graft] class GraftSqlMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val parts = inner.planInputPartitions(start, end)
-    parts.foreach { ip =>
-      val p = ip.asInstanceOf[FeedFilePartition]
-      require(p.changeType == "insert" &&
-        (p.dvSidecars.isEmpty || !p.dvKeep),
-        s"graft catalog: readStream.table($path) saw a row-mutating " +
-          s"commit (a ${p.changeType} replay at v${p.version}) — an " +
-          "append-only table stream cannot retract rows; consume the " +
-          "change feed (format graft.sources.FeedSource) instead")
+    parts.foreach {
+      case _: graft.sources.VecFeed.VecFeedPartition => // insert tier
+      case ip =>
+        val p = ip.asInstanceOf[FeedFilePartition]
+        require(p.changeType == "insert" &&
+          (p.dvSidecars.isEmpty || !p.dvKeep),
+          s"graft catalog: readStream.table($path) saw a row-mutating " +
+            s"commit (a ${p.changeType} replay at v${p.version}) — an " +
+            "append-only table stream cannot retract rows; consume the " +
+            "change feed (format graft.sources.FeedSource) instead")
     }
     parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(required,
+    new graft.sources.FeedSplitReaderFactory(required,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
+      graft.sources.VecFeed.dataFactory(SparkSession.active, required),
       feedCols = false)
 
   override def commit(end: Offset): Unit = ()
@@ -1073,13 +1094,17 @@ private[graft] class GraftSqlTableFeedStream(path: String,
       end: Offset): Array[InputPartition] = {
     val parts = inner.planInputPartitions(start, end)
     parts.foreach { ip =>
-      val p = ip.asInstanceOf[graft.sources.TableFeedPartition].leaf
-      require(p.changeType == "insert" &&
-        (p.dvSidecars.isEmpty || !p.dvKeep),
-        s"graft catalog: readStream.table($path) saw a row-mutating " +
-          s"commit (a ${p.changeType} replay at v${p.version}) — an " +
-          "append-only table stream cannot retract rows; consume the " +
-          "change feed (format graft.sources.TableFeedSource) instead")
+      ip.asInstanceOf[graft.sources.TableFeedPartition].leaf match {
+        case _: graft.sources.VecFeed.VecFeedPartition => // insert tier
+        case p: FeedFilePartition =>
+          require(p.changeType == "insert" &&
+            (p.dvSidecars.isEmpty || !p.dvKeep),
+            s"graft catalog: readStream.table($path) saw a row-mutating " +
+              s"commit (a ${p.changeType} replay at v${p.version}) — an " +
+              "append-only table stream cannot retract rows; consume " +
+              "the change feed (graft.sources.TableFeedSource) instead")
+        case other => sys.error(s"graft catalog: unexpected $other")
+      }
     }
     parts
   }
@@ -1089,12 +1114,14 @@ private[graft] class GraftSqlTableFeedStream(path: String,
       SparkSession.active.sessionState.newHadoopConf())
     val data = dataSchema
     val partSchema = fullPartSchema
+    val split = new graft.sources.FeedSplitReaderFactory(data, conf,
+      graft.sources.VecFeed.dataFactory(SparkSession.active, data),
+      feedCols = false)
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] = {
         val tp = p.asInstanceOf[graft.sources.TableFeedPartition]
-        val inner = new FeedReaderFactory(data, conf, feedCols = false)
-          .createReader(tp.leaf)
+        val inner = split.createReader(tp.leaf)
         val partRow = TableFeedSource.partitionRow(tp.rel, partSchema)
         new PartitionReader[InternalRow] {
           private val joined =

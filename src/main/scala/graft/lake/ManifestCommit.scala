@@ -1551,6 +1551,24 @@ object ManifestCommit {
     sys.error(s"overwriteTable: 10 straight snapshot races on $partition")
   }
 
+  /** TRUNCATE: the overwrite commit with nothing produced — every live
+    * file consumed, sidecars dropped, one atomic [[KindOverwrite]]
+    * commit whose feed replay is pure deletes (every pre-truncate-alive
+    * row). Retries against the fresh snapshot on a consumed-file race. */
+  def truncateTable(fs: FileSystem, partition: Path): Snapshot = {
+    var attempt = 0
+    while (attempt < 10) {
+      val snap = bootstrap(fs, partition)
+      if (snap.files.isEmpty) return snap // already empty: no commit
+      replaceFiles(fs, partition, consumed = snap.files.toSet,
+        produced = Nil, kind = KindOverwrite, dvs = Some(Nil)) match {
+        case Some(next) => return next
+        case None => attempt += 1
+      }
+    }
+    sys.error(s"truncateTable: 10 straight snapshot races on $partition")
+  }
+
   /** Record per-file Bloom filters for `column` (a BIGINT column) by one
     * distributed pass over the live files — the equality-skipping
     * complement to [[recordStats]] for columns the layout does not

@@ -104,17 +104,20 @@ object FeedSource {
     * rows the commits deleted (positions are loaded executor-side). */
   private[graft] def describePlannedPartitions(path: String, fromV: Long,
       toV: Long): Seq[(String, String, Int, Int)] = {
-    val stream = new FeedStream(path,
-      if (fromV == BootstrapOffset) None else Some(fromV), None,
-      fullSchema(path), bootstrap = fromV == BootstrapOffset)
-    stream.planInputPartitions(FeedOffset(fromV), FeedOffset(toV))
-      .toSeq.map { ip =>
-        val p = ip.asInstanceOf[FeedFilePartition]
-        val bo = new java.io.ByteArrayOutputStream()
-        val oo = new java.io.ObjectOutputStream(bo)
-        oo.writeObject(p); oo.close()
-        (p.file, p.changeType, p.dvSidecars.size, bo.size())
-      }
+    // the PRE-conversion plan: one logical partition per delta file
+    // (the stream's planInputPartitions then routes pure inserts to
+    // the vectorized split tier — this seam pins the planner's
+    // O(file names) partition payload, which only the Group-reader
+    // delete/DV partitions carry)
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FeedPlanner.planLeafRange(fs, dir, fromV, toV).map { p =>
+      val bo = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.ObjectOutputStream(bo)
+      oo.writeObject(p); oo.close()
+      (p.file, p.changeType, p.dvSidecars.size, bo.size())
+    }
   }
 
   /** Per-row-group [min, max] ranges of the `file` column across a
@@ -308,14 +311,18 @@ private[graft] class FeedStream(path: String, fromVersion: Option[Long],
       end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[FeedOffset].version,
       end.asInstanceOf[FeedOffset].version)
-    FeedPlanner.planLeafRange(fs, dir, s, e)
-      .map(p => p: InputPartition).toArray
+    // pure-insert replay (appends, the DV-free bootstrap majority)
+    // rides the vectorized tier; deletes/DV files keep the Group reader
+    VecFeed.convert(SparkSession.active, fs,
+      FeedPlanner.planLeafRange(fs, dir, s, e)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(tableSchema,
+    new FeedSplitReaderFactory(tableSchema,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()),
+      VecFeed.dataFactory(SparkSession.active,
+        StructType(tableSchema.fields.dropRight(2))))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -447,6 +454,99 @@ private[sources] object FeedPlanner {
             "— pre-tag history cannot be streamed, full resync required")
       }
     }.toSeq
+  }
+}
+
+/** Vectorized tier of the change feed — pure-INSERT replay partitions
+  * (no sidecars, no predicate: a plain append's delta files, or the
+  * DV-free files of a bootstrap snapshot) read through Spark's OWN
+  * parquet factory instead of the row-at-a-time Group API. At 100 TB
+  * the bootstrap batch IS a whole-table scan, and an append-heavy CDC
+  * tail is mostly inserts — this tier gives both the vectorized
+  * decode + byte-range splitting (one fat delta file = many tasks)
+  * the batch engine already has. Delete replays and DV-touched files
+  * keep the Group reader: they need the physical row index / the
+  * recorded predicate, which the split vectorized reader cannot
+  * cheaply provide. */
+private[graft] object VecFeed {
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionDirectory, PartitionedFile}
+
+  /** One vectorized feed split: stock FilePartition plus the commit
+    * version its rows report (constant per partition — splits never
+    * mix commits). */
+  private[graft] case class VecFeedPartition(inner: FilePartition,
+      version: Long) extends InputPartition
+
+  /** Split the planned partitions into the vectorized tier (pure
+    * inserts, converted to byte-range FilePartitions, grouped per
+    * commit version) and the Group-reader rest. One driver-side
+    * getFileStatus per eligible file — the size metadata any splitting
+    * planner needs. */
+  private[graft] def convert(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      parts: Seq[FeedFilePartition]): Seq[InputPartition] = {
+    val (plain, rest) = parts.partition(p =>
+      p.changeType == ChangeFeed.Insert && p.dvSidecars.isEmpty &&
+        p.deletePredicate.isEmpty)
+    if (plain.isEmpty) return rest
+    val statuses = plain.map(p =>
+      (p.version, fs.getFileStatus(new Path(p.file))))
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      Seq(PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        statuses.map(_._2).toArray)))
+    val vec = statuses.groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (version, sts) =>
+        val splits = sts.flatMap { case (_, st) =>
+          val len = st.getLen
+          (0L until math.max(len, 1L) by maxSplit).map { off =>
+            PartitionedFile(
+              org.apache.spark.sql.catalyst.InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+              off, math.min(maxSplit, len - off), Array.empty[String],
+              st.getModificationTime, len, Map.empty[String, Any])
+          }
+        }.sortBy(-_.length)
+        FilePartition.getFilePartitions(spark, splits, maxSplit)
+          .map(fp => VecFeedPartition(fp, version): InputPartition)
+      }
+    vec ++ rest
+  }
+
+  /** The stock vectorized factory for the feed's DATA columns (built
+    * once per stream on the driver, serialized to executors). */
+  private[graft] def dataFactory(spark: SparkSession,
+      dataSchema: StructType): PartitionReaderFactory =
+    graft.lake.GraftSqlScan.parquetFactory(spark, dataSchema, dataSchema,
+      StructType(Nil), Array.empty)
+}
+
+/** Feed reader dispatch: [[VecFeed.VecFeedPartition]]s go to the stock
+  * vectorized row interface (with the two feed columns appended as a
+  * constant per-task [[JoinedRow]] when the schema carries them);
+  * everything else keeps the Group-API [[FeedReaderFactory]]. */
+private[graft] class FeedSplitReaderFactory(tableSchema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    vec: PartitionReaderFactory, feedCols: Boolean = true)
+    extends PartitionReaderFactory {
+  private lazy val row = new FeedReaderFactory(tableSchema, conf, feedCols)
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = p match {
+    case vp: VecFeed.VecFeedPartition =>
+      val inner = vec.createReader(vp.inner)
+      if (!feedCols) inner
+      else {
+        val const = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(ChangeFeed.Insert), vp.version))
+        new PartitionReader[InternalRow] {
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = joined(inner.get(), const)
+          override def close(): Unit = inner.close()
+        }
+      }
+    case _ => row.createReader(p)
   }
 }
 

@@ -396,6 +396,7 @@ private[graft] class TableFeedStream(rootPath: String,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TableFeedOffset].leaves
     val e = end.asInstanceOf[TableFeedOffset].leaves
+    val spark = SparkSession.active
     e.toSeq.sortBy(_._1).flatMap { case (rel, ev) =>
       val sv = s.getOrElse(rel, FeedSource.BootstrapOffset)
       if (sv == ev) Nil
@@ -403,7 +404,9 @@ private[graft] class TableFeedStream(rootPath: String,
         // decode eagerly so a born leaf with a value the inferred type
         // cannot carry fails AT PLANNING, naming the leaf
         TableFeedSource.partitionRow(rel, partSchema)
-        FeedPlanner.planLeafRange(fs, leafDir(rel), sv, ev)
+        // pure-insert replay rides the vectorized tier per leaf
+        VecFeed.convert(spark, fs,
+          FeedPlanner.planLeafRange(fs, leafDir(rel), sv, ev))
           .map(p => TableFeedPartition(p, rel): InputPartition)
       }
     }.toArray
@@ -412,26 +415,32 @@ private[graft] class TableFeedStream(rootPath: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new TableFeedReaderFactory(innerSchema, partSchema,
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sessionState.newHadoopConf()))
+        SparkSession.active.sessionState.newHadoopConf()),
+      VecFeed.dataFactory(SparkSession.active,
+        StructType(innerSchema.fields.dropRight(2))))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** One leaf delta file plus the leaf's root-relative path — the
-  * partition VALUES travel as the path string (tiny, already a name)
-  * and are decoded once per task against the inferred types. */
-private[graft] case class TableFeedPartition(leaf: FeedFilePartition,
+/** One leaf delta partition (a Group-reader [[FeedFilePartition]] or a
+  * vectorized [[VecFeed.VecFeedPartition]] split) plus the leaf's
+  * root-relative path — the partition VALUES travel as the path string
+  * (tiny, already a name) and are decoded once per task against the
+  * inferred types. */
+private[graft] case class TableFeedPartition(leaf: InputPartition,
     rel: String) extends InputPartition
 
 private[sources] class TableFeedReaderFactory(innerSchema: StructType,
     partSchema: StructType,
-    conf: org.apache.spark.util.SerializableConfiguration)
-    extends PartitionReaderFactory {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    vec: PartitionReaderFactory) extends PartitionReaderFactory {
+  private lazy val split =
+    new FeedSplitReaderFactory(innerSchema, conf, vec)
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TableFeedPartition]
-    val inner = new FeedReaderFactory(innerSchema, conf).createReader(p.leaf)
+    val inner = split.createReader(p.leaf)
     // one constant row per task; JoinedRow appends it with zero copying
     val partRow = TableFeedSource.partitionRow(p.rel, partSchema)
     new PartitionReader[InternalRow] {

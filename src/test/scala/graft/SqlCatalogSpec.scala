@@ -771,4 +771,42 @@ class SqlCatalogSpec extends SparkSpec {
     assert(feed.count() == rows.size,
       "bootstrap feed must equal the final table")
   }
+
+  test("TRUNCATE TABLE: one empty-overwrite commit per partition " +
+      "domain — sidecars dropped, feed replays pure deletes, " +
+      "partitioned tables truncate every leaf") {
+    val wh = Files.createTempDirectory("graft-sqlcat-tr").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.tr (k BIGINT, v BIGINT)")
+    ss.range(25).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("trsrc")
+    ss.sql("INSERT INTO g.tr SELECT * FROM trsrc")
+    ss.sql("DELETE FROM g.tr WHERE k >= 3 AND k <= 7") // a live DV
+    val dir = new Path(s"$wh/tr")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val preV = ManifestCommit.currentSnapshot(fs, dir).get.version
+    ss.sql("TRUNCATE TABLE g.tr")
+    assert(ss.sql("SELECT * FROM g.tr").collect().isEmpty)
+    val v = ManifestCommit.currentSnapshot(fs, dir).get.version
+    assert(v == preV + 1, "truncate must be ONE commit")
+    assert(ManifestCommit.currentDvs(fs, dir).isEmpty)
+    val byType = graft.lake.ChangeFeed.changeFeed(ss, dir, preV, v)
+      .groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("delete" -> 20L), // 25 minus the 5 DV'd
+      s"feed must replay exactly the alive rows as deletes: $byType")
+    // the truncated table accepts new inserts
+    ss.sql("INSERT INTO g.tr SELECT k + 500, v FROM trsrc")
+    assert(ss.sql("SELECT count(*) FROM g.tr").collect()(0).getLong(0)
+      == 25)
+    // partitioned: every leaf truncates (per-leaf commits)
+    ss.sql("CREATE TABLE g.trp (k BIGINT, day INT) PARTITIONED BY (day)")
+    ss.range(10).select($"id".as("k"), ($"id" % 2 + 1).cast("int")
+      .as("day")).createOrReplaceTempView("trpsrc")
+    ss.sql("INSERT INTO g.trp SELECT * FROM trpsrc")
+    ss.sql("TRUNCATE TABLE g.trp")
+    assert(ss.sql("SELECT * FROM g.trp").collect().isEmpty)
+    assert(fs.exists(new Path(s"$wh/trp/day=1/_graft_log")),
+      "leaves keep their logs (history, not a directory wipe)")
+  }
 }
