@@ -1216,6 +1216,61 @@ object ScaleSmoke {
       timeSql("warmup", 1, silent = true)
       timeSql("sqlscan_8m", 8)
     }
+
+    // CDC bootstrap through the vectorized insert tier vs the Group
+    // reader, on the shape that matters at scale: ONE FAT delta file.
+    // The Group reader cannot split a file — a 100 GB append replayed
+    // through it is ONE task however many executors idle; the
+    // vectorized tier byte-range-splits it like any batch scan. (On
+    // many well-sized files the two tiers are within noise — the
+    // 32MB threshold keeps tiny per-commit deltas on the cheap Group
+    // path, whose fixed setup is lower; measured, not guessed.)
+    if (enabled("feedboot")) {
+      def timeFb(label: String, rowsM: Int, files: Int,
+          forceGroup: Boolean, silent: Boolean = false): Unit = {
+        val root = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_smoke_fb_${java.util.UUID.randomUUID().toString.take(8)}/t"
+        val df = spark.range(rowsM * 1000000L).selectExpr("id as k",
+          "id * 3 as v", "CAST(id * 0.5 AS DOUBLE) as w")
+        graft.ops.Layout.writeLinear(df, col("k"), root, files)
+        val dir = new org.apache.hadoop.fs.Path(root)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.lake.ManifestCommit.bootstrap(fs, dir)
+        graft.lake.ManifestCommit.recordSchema(spark, dir)
+        if (forceGroup)
+          System.setProperty("graft.feed.vec.minBytes", Long.MaxValue.toString)
+        else System.clearProperty("graft.feed.vec.minBytes")
+        val t0 = System.nanoTime()
+        // executor-side count per micro-batch: the memory sink would
+        // collect 8M rows to the driver and swamp the scan under test
+        val counter = new java.util.concurrent.atomic.AtomicLong()
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        ss.readStream.format("graft.sources.FeedSource")
+          .option("path", root).option("bootstrap", "true").load()
+          .writeStream
+          .foreachBatch((df: DataFrame, _: Long) => {
+            counter.addAndGet(df.count()); ()
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        val n = counter.get()
+        val t = (System.nanoTime() - t0) / 1e9
+        System.clearProperty("graft.feed.vec.minBytes")
+        require(n == rowsM * 1000000L, s"bootstrap fed $n rows")
+        fs.delete(dir.getParent, true)
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","rows":${rowsM * 1000000L},""" +
+            f""""tier":"${if (forceGroup) "group" else "vectorized"}",""" +
+            f""""bootstrap_sec":$t%.2f}""")
+      }
+      timeFb("warmup", 1, 2, forceGroup = false, silent = true)
+      timeFb("feedboot_vec_fatfile", 8, 1, forceGroup = false)
+      timeFb("feedboot_group_fatfile", 8, 1, forceGroup = true)
+      timeFb("feedboot_vec_8files", 8, 8, forceGroup = false)
+      timeFb("feedboot_group_8files", 8, 8, forceGroup = true)
+    }
     spark.stop()
   }
 }

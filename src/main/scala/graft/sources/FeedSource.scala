@@ -477,6 +477,16 @@ private[graft] object VecFeed {
   private[graft] case class VecFeedPartition(inner: FilePartition,
       version: Long) extends InputPartition
 
+  /** Batches below this many insert bytes keep the Group reader: the
+    * vectorized tier pays a fixed per-micro-batch setup (factory,
+    * splits, columnar readers) that a KB-scale delta cannot amortize —
+    * a commit-by-commit index maintainer replays hundreds of tiny
+    * batches, while the tier's target (a bootstrap snapshot, a bulk
+    * append) is MBs to TBs. */
+  private[graft] def MinVecBytes: Long =
+    sys.props.get("graft.feed.vec.minBytes").map(_.toLong)
+      .getOrElse(32L << 20)
+
   /** Split the planned partitions into the vectorized tier (pure
     * inserts, converted to byte-range FilePartitions, grouped per
     * commit version) and the Group-reader rest. One driver-side
@@ -484,13 +494,15 @@ private[graft] object VecFeed {
     * planner needs. */
   private[graft] def convert(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      parts: Seq[FeedFilePartition]): Seq[InputPartition] = {
+      parts: Seq[FeedFilePartition],
+      minBytes: Long = MinVecBytes): Seq[InputPartition] = {
     val (plain, rest) = parts.partition(p =>
       p.changeType == ChangeFeed.Insert && p.dvSidecars.isEmpty &&
         p.deletePredicate.isEmpty)
     if (plain.isEmpty) return rest
     val statuses = plain.map(p =>
       (p.version, fs.getFileStatus(new Path(p.file))))
+    if (statuses.map(_._2.getLen).sum < minBytes) return parts
     val maxSplit = FilePartition.maxSplitBytes(spark,
       Seq(PartitionDirectory(
         org.apache.spark.sql.catalyst.InternalRow.empty,
@@ -513,12 +525,19 @@ private[graft] object VecFeed {
     vec ++ rest
   }
 
-  /** The stock vectorized factory for the feed's DATA columns (built
-    * once per stream on the driver, serialized to executors). */
+  /** The stock vectorized factory for the feed's DATA columns, cached
+    * per schema: MicroBatchScanExec asks for a reader factory every
+    * micro-batch, and building one broadcasts the Hadoop conf — a
+    * commit-cadence stream must not pay a broadcast per trigger. The
+    * cache is process-lifetime driver state, O(distinct streamed
+    * schemas) entries. */
+  private val factoryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PartitionReaderFactory]()
   private[graft] def dataFactory(spark: SparkSession,
       dataSchema: StructType): PartitionReaderFactory =
-    graft.lake.GraftSqlScan.parquetFactory(spark, dataSchema, dataSchema,
-      StructType(Nil), Array.empty)
+    factoryCache.computeIfAbsent(dataSchema.json, _ =>
+      graft.lake.GraftSqlScan.parquetFactory(spark, dataSchema,
+        dataSchema, StructType(Nil), Array.empty))
 }
 
 /** Feed reader dispatch: [[VecFeed.VecFeedPartition]]s go to the stock
