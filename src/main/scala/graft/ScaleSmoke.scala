@@ -1271,6 +1271,46 @@ object ScaleSmoke {
       timeFb("feedboot_vec_8files", 8, 8, forceGroup = false)
       timeFb("feedboot_group_8files", 8, 8, forceGroup = true)
     }
+    // Partitioned SQL-catalog scan at many leaves: a partition
+    // predicate must prune whole LEAVES before any manifest GET —
+    // planning cost tracks the KEPT leaf count, and the pruned query's
+    // wall time must not grow with the table's leaf count.
+    if (enabled("sqlpart")) {
+      def timeSp(label: String, leaves: Int,
+          silent: Boolean = false): Unit = {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_smoke_sp_${java.util.UUID.randomUUID().toString.take(8)}"
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.catalog.g", "graft.lake.GraftCatalog")
+        ss.conf.set("spark.sql.catalog.g.warehouse", wh)
+        ss.sql("CREATE TABLE g.sp (k BIGINT, v BIGINT, day INT) " +
+          "PARTITIONED BY (day)")
+        ss.range(leaves * 50000L).selectExpr("id as k", "id * 3 as v",
+            s"CAST(id % $leaves + 1 AS INT) as day")
+          .createOrReplaceTempView("sp_src")
+        ss.sql("INSERT INTO g.sp SELECT * FROM sp_src")
+        def run(sql: String): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = ss.sql(sql).collect()(0).getLong(0)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        run(s"SELECT count(*) FROM g.sp WHERE day = 1") // warm
+        val (tP, nP) = run(s"SELECT count(*) FROM g.sp WHERE day = 1")
+        val (tF, nF) = run(s"SELECT count(*) FROM g.sp")
+        require(nP == 50000L && nF == leaves * 50000L,
+          s"wrong counts $nP/$nF")
+        new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(wh), true)
+        spark.catalog.clearCache(); base.cache(); base.count()
+        if (!silent)
+          println(f"""{"experiment":"$label","leaves":$leaves,""" +
+            f""""pruned_scan_sec":$tP%.2f,"full_scan_sec":$tF%.2f}""")
+      }
+      timeSp("warmup", 4, silent = true)
+      timeSp("sqlpart_32", 32)
+      timeSp("sqlpart_128", 128)
+    }
     spark.stop()
   }
 }
