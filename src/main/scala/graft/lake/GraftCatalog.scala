@@ -275,37 +275,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val prev = loadTable(ident).asInstanceOf[GraftSqlTable]
-    val added = changes.map {
+    val meta = GraftTableMeta.read(fs, dir)
+    val parts = meta.map(_.partitionCols).getOrElse(Nil)
+    // ALTER TABLE ... SET TBLPROPERTIES ('key'='k') declares the row
+    // identity POST-HOC (unlocking UPDATE/MERGE on an existing table);
+    // the declaration ASSERTS what applyChangesDV assumes — the column
+    // is unique and non-null across the existing data (the same
+    // contract CREATE-time keys carry). UNSET returns the table to
+    // keyless (range DELETEs only).
+    var keyNext: Option[Option[String]] = None // Some(new key state)
+    val added = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN is not supported")
-        org.apache.spark.sql.types
-          .StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+        Some(org.apache.spark.sql.types
+          .StructField(a.fieldNames()(0), a.dataType(), nullable = true))
+      case p: TableChange.SetProperty if p.property == "key" =>
+        require(prev.schema().fieldNames.contains(p.value) &&
+          !parts.contains(p.value),
+          s"graft catalog: key '${p.value}' must be a (non-partition) " +
+            s"column of $ident")
+        keyNext = Some(Some(p.value)); None
+      case p: TableChange.RemoveProperty if p.property == "key" =>
+        keyNext = Some(None); None
       case other => sys.error("graft catalog: only additive ADD COLUMN " +
-        s"is supported through SQL (got ${other.getClass.getSimpleName})" +
-        " — drops/retypes would make the recorded schema lie about " +
-        "committed files")
+        s"and SET/UNSET TBLPROPERTIES ('key') are supported (got " +
+        s"${other.getClass.getSimpleName}) — drops/retypes would make " +
+        "the recorded schema lie about committed files")
     }
-    val meta = GraftTableMeta.read(fs, dir)
-    val parts = meta.map(_.partitionCols).getOrElse(Nil)
-    // partition columns trail: added data columns slot in BEFORE them
+    val key = keyNext.getOrElse(meta.flatMap(_.key))
+    // partition columns trail: added data columns slot in BEFORE them;
+    // the key (and, when keyed, the partition columns) ride
+    // non-nullable — the rowId contract
     val (dataF, partF) =
       prev.schema().fields.splitAt(prev.schema().length - parts.length)
-    val next = StructType(dataF ++ added ++ partF)
+    val next = StructType((dataF ++ added ++ partF).map(f =>
+      if (key.contains(f.name) ||
+          (key.isDefined && parts.contains(f.name)))
+        f.copy(nullable = false)
+      else f))
     if (parts.isEmpty) ManifestCommit.alterSchema(fs, dir, next)
-    else { // evolve every existing leaf's recorded data schema
+    else if (added.nonEmpty) { // evolve every leaf's recorded schema
       val dataNext = StructType(dataF ++ added)
       TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach { rel =>
         ManifestCommit.alterSchema(fs, new Path(dir, rel), dataNext)
       }
     }
-    meta.foreach(m => GraftTableMeta.write(fs, dir, m.copy(schema = next)))
-    val k = meta.flatMap(_.key)
-    if (k.isDefined)
-      new GraftSqlKeyedTable(dir.toString, ident.toString, next, k.get,
+    if (meta.isDefined || parts.nonEmpty || key.isDefined)
+      GraftTableMeta.write(fs, dir,
+        GraftTableMeta.Meta(next, parts, key))
+    if (key.isDefined)
+      new GraftSqlKeyedTable(dir.toString, ident.toString, next, key.get,
         parts)
     else new GraftSqlTable(dir.toString, ident.toString, next,
-      partCols = parts, key = k)
+      partCols = parts, key = key)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

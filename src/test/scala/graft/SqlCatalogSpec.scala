@@ -809,4 +809,29 @@ class SqlCatalogSpec extends SparkSpec {
     assert(fs.exists(new Path(s"$wh/trp/day=1/_graft_log")),
       "leaves keep their logs (history, not a directory wipe)")
   }
+
+  test("ALTER TABLE SET TBLPROPERTIES ('key') declares the row " +
+      "identity post-hoc — UPDATE/MERGE unlock on an existing table; " +
+      "UNSET returns it to keyless") {
+    val wh = Files.createTempDirectory("graft-sqlcat-setkey").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.sk (k BIGINT, v BIGINT)")
+    ss.range(10).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("sksrc")
+    ss.sql("INSERT INTO g.sk SELECT * FROM sksrc")
+    // keyless: UPDATE has no row-level path
+    intercept[Exception](ss.sql("UPDATE g.sk SET v = 0 WHERE k = 1"))
+    ss.sql("ALTER TABLE g.sk SET TBLPROPERTIES ('key'='k')")
+    ss.sql("UPDATE g.sk SET v = v + 100 WHERE k <= 2")
+    def rows = ss.sql("SELECT k, v FROM g.sk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == (0L until 10L).map(k =>
+      (k, if (k <= 2) k * 2 + 100 else k * 2)).toSet, s"$rows")
+    // range DELETE still takes the metadata path on the keyed table
+    ss.sql("DELETE FROM g.sk WHERE k = 9")
+    assert(!rows.exists(_._1 == 9L))
+    ss.sql("ALTER TABLE g.sk UNSET TBLPROPERTIES ('key')")
+    intercept[Exception](ss.sql("UPDATE g.sk SET v = 0 WHERE k = 1"))
+    assert(rows.size == 9, "the data is untouched by key declarations")
+  }
 }
