@@ -114,7 +114,8 @@ private[graft] object GraftTableMeta {
   * tables keep the library surface). Tables created by library calls
   * under the warehouse are visible to SQL and vice versa: the manifest
   * is the single source of truth. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
   private var catName: String = _
   private var warehouse: Path = _
   private def spark = SparkSession.active
@@ -145,7 +146,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(
       catName +: namespace.toSeq)
     fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      // dot-prefixed dirs are invisible: in-flight CTAS staging and
+      // parked REPLACE content carry the ordinary table shape but are
+      // not tables until their one-rename publish
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".")
+        && isTableDir(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }
@@ -202,6 +207,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(
+      (catName +: ident.namespace() :+ ident.name()).toSeq)
+    buildTable(dir, ident, schema, partitions, properties)
+  }
+
+  /** Atomic CTAS / RTAS (`CREATE TABLE ... AS SELECT`, `REPLACE TABLE
+    * ... AS SELECT`, `CREATE OR REPLACE ...`): the whole result is
+    * built in a HIDDEN dot-prefixed sibling directory (its own
+    * manifest log, schema record, partition leaves — the ordinary
+    * table shape, invisible to `loadTable`/`listTables`), and
+    * `commitStagedChanges` publishes it with ONE directory rename — a
+    * failed or aborted query leaves no table and only a sweepable
+    * hidden dir. REPLACE parks the old directory under a hidden
+    * `.dropped` name before the swap, so the destination is never a
+    * merge target (a rename ONTO an existing directory would nest
+    * into it); the crash window between the two renames leaves the
+    * table absent — exactly the failed-RTAS state SQL semantics
+    * allow, with the old content still recoverable from the parked
+    * dir until the delete. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (isTableDir(tableDir(ident))) throw new TableAlreadyExistsException(
+      (catName +: ident.namespace() :+ ident.name()).toSeq)
+    staged(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!isTableDir(tableDir(ident))) throw new NoSuchTableException(
+      (catName +: ident.namespace() :+ ident.name()).toSeq)
+    staged(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    staged(ident, schema, partitions, properties, replace = true)
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean): StagedTable = {
+    val dst = tableDir(ident)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val stagingDir = new Path(dst.getParent,
+      s".${dst.getName}.staged-$tag")
+    val inner = buildTable(stagingDir, ident, schema, partitions,
+      properties)
+    new GraftStagedSqlTable(inner, () => {
+      if (replace && isTableDir(dst)) {
+        val parked = new Path(dst.getParent,
+          s".${dst.getName}.dropped-$tag")
+        require(fs.rename(dst, parked),
+          s"graft catalog: cannot park $dst for REPLACE")
+        require(fs.rename(stagingDir, dst),
+          s"graft catalog: cannot publish staged $ident — the old " +
+            s"content is parked at $parked")
+        fs.delete(parked, true)
+      } else {
+        if (isTableDir(dst)) throw new TableAlreadyExistsException(
+          (catName +: ident.namespace() :+ ident.name()).toSeq)
+        require(fs.rename(stagingDir, dst),
+          s"graft catalog: cannot publish staged $ident")
+      }
+    }, () => { fs.delete(stagingDir, true); () })
+  }
+
+  /** Materialize a table's on-disk shape at `dir` — the shared body of
+    * [[createTable]] (dir = the table's catalog location) and the
+    * atomic-CTAS staging path (dir = a hidden sibling that a commit
+    * RENAMES into place). */
+  private def buildTable(dir: Path, ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): GraftSqlTable = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
     // PARTITIONED BY (identity columns only) maps to the Hive-leaf
     // manifest layout the library already serves: each leaf is its own
@@ -253,9 +335,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (f.name == k || partCols.contains(f.name))
         f.copy(nullable = false)
       else f)))
-    val dir = tableDir(ident)
-    if (isTableDir(dir)) throw new TableAlreadyExistsException(
-      (catName +: ident.namespace() :+ ident.name()).toSeq)
     fs.mkdirs(dir)
     if (partCols.isEmpty) {
       ManifestCommit.bootstrap(fs, dir)
@@ -281,8 +360,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // identity POST-HOC (unlocking UPDATE/MERGE on an existing table);
     // the declaration ASSERTS what applyChangesDV assumes — the column
     // is unique and non-null across the existing data (the same
-    // contract CREATE-time keys carry). UNSET returns the table to
-    // keyless (range DELETEs only).
+    // contract CREATE-time keys carry) — and is VERIFIED here by one
+    // aggregation over the committed rows, refusing loudly on a
+    // duplicate or NULL (a violated assumption would make a later
+    // UPDATE silently rewrite the wrong row). Opt out for the
+    // huge-table case by pairing it with ('key.validate'='false') in
+    // the SAME statement — the directive is consumed, never stored.
+    // UNSET returns the table to keyless (range DELETEs only).
+    val skipKeyScan = changes.exists {
+      case p: TableChange.SetProperty => p.property == "key.validate" &&
+        p.value.equalsIgnoreCase("false")
+      case _ => false
+    }
     var keyNext: Option[Option[String]] = None // Some(new key state)
     val added = changes.flatMap {
       case a: TableChange.AddColumn =>
@@ -295,9 +384,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           !parts.contains(p.value),
           s"graft catalog: key '${p.value}' must be a (non-partition) " +
             s"column of $ident")
+        if (!skipKeyScan) {
+          def bq(s: String) = "`" + s.replace("`", "``") + "`"
+          val fqn = (catName +: (ident.namespace() :+ ident.name()))
+            .map(bq).mkString(".")
+          val k = bq(p.value)
+          val c = spark.sql(s"SELECT count(*) AS n, count($k) AS nn, " +
+            s"count(DISTINCT $k) AS nd FROM $fqn").head
+          require(c.getLong(1) == c.getLong(0),
+            s"graft catalog: cannot declare key '${p.value}' on $ident" +
+              s" — ${c.getLong(0) - c.getLong(1)} NULL value(s) in the" +
+              " existing data (override with 'key.validate'='false')")
+          require(c.getLong(2) == c.getLong(0),
+            s"graft catalog: cannot declare key '${p.value}' on $ident" +
+              s" — only ${c.getLong(2)} distinct of ${c.getLong(0)}" +
+              " rows (override with 'key.validate'='false')")
+        }
         keyNext = Some(Some(p.value)); None
+      case p: TableChange.SetProperty if p.property == "key.validate" =>
+        None // statement-scoped directive, consumed above
       case p: TableChange.RemoveProperty if p.property == "key" =>
         keyNext = Some(None); None
+      case p: TableChange.RemoveProperty
+          if p.property == "key.validate" => None
       case other => sys.error("graft catalog: only additive ADD COLUMN " +
         s"and SET/UNSET TBLPROPERTIES ('key') are supported (got " +
         s"${other.getClass.getSimpleName}) — drops/retypes would make " +
@@ -422,6 +531,57 @@ private[graft] object GraftSqlTable {
         c -> (rs.map(_._2).max, rs.map(_._3).min)
       }
 
+  /** Path-literal partition-value guard, the ONE rule every
+    * partition-leaf renderer enforces (batch insert staging, the
+    * streaming fan-out writer, the delta fan-out writer): a value is
+    * accepted only when Hive path escaping would leave it UNCHANGED
+    * (`escapePathName(v) == v`) and it is non-NULL/non-empty — so raw
+    * rendering, Spark's `partitionBy` staging, and raw leaf decoding
+    * all agree on one spelling, and the same value can never land in
+    * two differently-named leaves depending on which writer carried
+    * it ('a:b' raw vs 'a%3Ab' escaped). NULL refuses on every path
+    * (no __HIVE_DEFAULT_PARTITION__ leaves — an un-decodable leaf
+    * would fail every later typed-partition SELECT at planning). */
+  private[lake] def assertPathLiteral(v: String, colName: String): Unit =
+    require(v.nonEmpty && org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(v) == v,
+      s"graft catalog: partition value '$v' for $colName is not " +
+        "path-literal (Hive path escaping would rewrite it) — refuse " +
+        "rather than let batch and stream writers spell the same " +
+        "value as two different leaves")
+
+  /** Does this leaf fall inside a STATIC overwrite's partition filter?
+    * Evaluated EXACTLY — a leaf this returns true for gets truncated
+    * or replaced, so any filter shape not handled here refuses loudly
+    * (the conservative keep-the-leaf answer pruning can afford would
+    * be silent over-truncation here). INSERT OVERWRITE sends exactly
+    * AlwaysTrue (no spec) or ANDed partition-column equalities (a
+    * PARTITION spec); anything looser is a DataFrame-API filtered
+    * overwrite, which stays a library verb. */
+  private[lake] def staticOverwriteMatches(values: Map[String, String],
+      filters: Seq[Filter], ident: String): Boolean = {
+    def evalEq(c: String, v: Any): Boolean = values.get(c) match {
+      case Some(raw) => raw == String.valueOf(v)
+      case None => sys.error(s"graft catalog: overwrite filter " +
+        s"column $c of $ident is not a partition column — " +
+        "row-filtered overwrite stays a library verb")
+    }
+    def eval(f: Filter): Boolean = f match {
+      case org.apache.spark.sql.sources.AlwaysTrue => true
+      case And(l, r) => eval(l) && eval(r)
+      case EqualTo(c, v) => evalEq(c, v)
+      // a PARTITION (p=v) spec translates to EqualNullSafe; a NULL
+      // value matches no leaf (NULL partition values refuse on every
+      // write path, so no leaf can carry one)
+      case org.apache.spark.sql.sources.EqualNullSafe(c, v) =>
+        v != null && evalEq(c, v)
+      case other => sys.error("graft catalog: static overwrite on " +
+        s"$ident supports only partition-column equality specs; got " +
+        s"$other")
+    }
+    filters.isEmpty || filters.forall(eval)
+  }
+
   /** INSERT INTO a PARTITIONED table: ONE Spark job stages the whole
     * batch Hive-laid-out under a hidden dir, then the driver moves each
     * staged leaf's files into the table leaf and commits them through
@@ -432,9 +592,27 @@ private[graft] object GraftSqlTable {
     * heuristics. Atomicity unit is the LEAF (each leaf is its own
     * commit domain) — the visibility contract every library multi-leaf
     * verb has; a crash mid-fan-out leaves earlier leaves committed and
-    * later files hidden-staged (gc-able). */
+    * later files hidden-staged (gc-able).
+    *
+    * Overwrite modes (the SQL INSERT OVERWRITE family):
+    *  - `overwriteTouched`: each staged leaf SWAPS its whole live set
+    *    for the staged files in one [[ManifestCommit.KindOverwrite]]
+    *    commit (feed replay exact) instead of appending.
+    *  - `truncateRels`: leaves the statement must CLEAR even when the
+    *    batch stages nothing into them (static overwrite semantics) —
+    *    each gets one truncate commit. Untouched leaves outside both
+    *    sets keep their commit logs unmoved.
+    *
+    * Partition-value safety: `partitionBy` Hive-escapes path-unsafe
+    * values (':' → '%3A') and renders NULL as the default-partition
+    * token, while the manifest layout decodes leaf segments RAW — so
+    * every staged leaf name is checked against [[assertPathLiteral]]
+    * BEFORE any file moves, and one offending value refuses the whole
+    * statement with nothing committed. */
   private[lake] def insertPartitioned(data: DataFrame, dir: Path,
-      tableSchema: StructType, partCols: Seq[String]): Unit = {
+      tableSchema: StructType, partCols: Seq[String],
+      overwriteTouched: Boolean = false,
+      truncateRels: Set[String] = Set.empty): Unit = {
     val spark = data.sparkSession
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataSchema = StructType(
@@ -443,8 +621,25 @@ private[graft] object GraftSqlTable {
     val staging = new Path(dir, s"._compacting-sqlins-$runId")
     data.write.partitionBy(partCols: _*).parquet(staging.toString)
     try {
-      TableFeedSource.leafRels(fs, staging).filter(_ != ".")
-        .foreach { rel =>
+      val rels = TableFeedSource.leafRels(fs, staging).filter(_ != ".")
+      // validate EVERY staged leaf before moving ANY file: the whole
+      // statement refuses or the whole statement proceeds
+      rels.foreach { rel =>
+        rel.split('/').foreach { seg =>
+          val (c, v) = seg.span(_ != '=') match {
+            case (c0, v0) => (c0, v0.drop(1))
+          }
+          require(v !=
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .DEFAULT_PARTITION_NAME,
+            s"graft catalog: NULL partition value for $c — refuse " +
+              "rather than mint a default-partition leaf")
+          assertPathLiteral(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(v), c)
+        }
+      }
+      LeafPar.foreach(rels) { rel =>
           val src = new Path(staging, rel)
           val leaf = new Path(dir, rel)
           val born = !fs.exists(
@@ -467,8 +662,16 @@ private[graft] object GraftSqlTable {
                   s"into $leaf")
               name
             }
-          ManifestCommit.appendFiles(fs, leaf, names)
+          if (overwriteTouched)
+            ManifestCommit.overwriteWithFiles(fs, leaf, names)
+          else ManifestCommit.appendFiles(fs, leaf, names)
         }
+      // static-overwrite remainder: leaves the statement replaces with
+      // NOTHING — one truncate commit each; their logs stay (history)
+      val touched = rels.toSet
+      LeafPar.foreach(truncateRels.filterNot(touched).toSeq.sorted) {
+        rel => ManifestCommit.truncateTable(fs, new Path(dir, rel))
+      }
     } finally fs.delete(staging, true)
   }
 
@@ -485,6 +688,97 @@ private[graft] object GraftSqlTable {
     if (cols.size != 1) return None
     Some((cols.head,
       rs.flatten.map(_._2).max, rs.flatten.map(_._3).min))
+  }
+
+  /** EXACT Column reconstruction of a pushed source Filter, for the
+    * arbitrary-predicate DV delete — `None` means "cannot express
+    * exactly", and the delete REFUSES rather than under- or
+    * over-deleting. Every shape preserves SQL's three-valued WHERE: a
+    * NULL-evaluating predicate does not match (the Column filter drops
+    * it), `Not` stays NULL over NULL, `In` never matches NULL. */
+  private[graft] def filterColumn(f: Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v)            => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v)        => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v)           => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c)                => Some(col(c).isNull)
+      case IsNotNull(c)             => Some(col(c).isNotNull)
+      case StringStartsWith(c, v)   => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v)     => Some(col(c).endsWith(v))
+      case StringContains(c, v)     => Some(col(c).contains(v))
+      case AlwaysTrue               => Some(lit(true))
+      case AlwaysFalse              => Some(lit(false))
+      case And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r))
+          yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r))
+          yield lc || rc
+      case Not(c) => filterColumn(c).map(not)
+      case _ => None
+    }
+  }
+}
+
+/** A table mid-build under an atomic CTAS/RTAS: the ordinary
+  * [[GraftSqlTable]] rooted in its hidden staging directory (so the
+  * CTAS write lands through the normal manifest write path), plus the
+  * publish/abort hooks the staging catalog wired up — publish is ONE
+  * directory rename, abort deletes the hidden dir. */
+private[graft] class GraftStagedSqlTable(inner: GraftSqlTable,
+    publish: () => Unit, discard: () => Unit)
+    extends StagedTable with SupportsRead with SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = publish()
+  override def abortStagedChanges(): Unit = discard()
+}
+
+/** Bounded parallelism for INDEPENDENT per-leaf commit work — the
+  * scale answer to "an UPDATE touching a thousand leaves commits them
+  * one at a time, each its own Spark job". Each leaf is its own
+  * commit-log domain (the library's visibility contract is per-leaf
+  * anyway, and every manifest verb is optimistic-retry safe under
+  * concurrency), so overlapping leaves changes NOTHING about
+  * atomicity — only the wall clock: driver metadata round-trips and
+  * per-leaf Spark jobs overlap instead of queueing. Fail-fast-ish:
+  * every item is attempted (a failure doesn't strand later leaves
+  * half-scheduled), the first failure rethrows — the same partial
+  * visibility a sequential loop leaves behind. Bound tunable via
+  * -Dgraft.leaf.par (default 8); 1 restores strict sequential order. */
+private[graft] object LeafPar {
+  def foreach[A](items: Seq[A])(f: A => Unit): Unit = {
+    val par = math.min(
+      sys.props.get("graft.leaf.par").flatMap(_.toIntOption)
+        .getOrElse(8).max(1), items.size)
+    if (items.size <= 1 || par <= 1) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      items.foreach { a =>
+        pool.execute(() =>
+          try f(a) catch { case t: Throwable => failures.add(t) })
+      }
+      pool.shutdown()
+      pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS)
+      if (!failures.isEmpty) throw failures.peek()
+    }
   }
 }
 
@@ -508,7 +802,9 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else if (partCols.nonEmpty) util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
@@ -529,74 +825,158 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (partCols.isEmpty) ManifestCommit.truncateTable(fs, dir)
-    else TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach {
+    else LeafPar.foreach(
+      TableFeedSource.leafRels(fs, dir).filter(_ != ".")) {
       rel => ManifestCommit.truncateTable(fs, new Path(dir, rel))
     }
     true
   }
 
-  /** `DELETE FROM t WHERE <long range on one column>` — lands as ONE
-    * merge-on-read commit ([[ManifestCommit.deleteWhereDV]]): a
-    * positional deletion-vector sidecar names the doomed rows, the
-    * live file set never moves, write amplification is O(deleted
-    * rows). Anything the range shape can't express refuses loudly
-    * (canDeleteWhere) rather than under-deleting. NULL keys match no
-    * range — exactly SQL's three-valued WHERE. */
+  /** `DELETE FROM t WHERE ...` — lands as ONE merge-on-read commit
+    * per partition domain: a positional deletion-vector sidecar names
+    * the doomed rows, the live file set never moves, write
+    * amplification is O(deleted rows).
+    *
+    * Two tiers, decided here (`canDeleteWhere`):
+    *  - a single-column long RANGE keeps the metadata path
+    *    ([[ManifestCommit.deleteWhereDV]], kind=dvdelete with the
+    *    predicate recorded, files pruned by manifest stats);
+    *  - on a KEYLESS table, any predicate whose pushed filters
+    *    reconstruct EXACTLY as Columns ([[GraftSqlTable.filterColumn]]
+    *    — string equality, IN, LIKE prefixes, OR, NOT...) goes through
+    *    [[ManifestCommit.deleteWherePredicateDV]]: scan the matching
+    *    rows' positions, DV-delete them, no file rewrites. Long-range
+    *    conjuncts still prune FILES via the manifest stats.
+    * A keyed table's non-range deletes stay on the row-level
+    * (applyChangesDV) plan — one mutation protocol per table shape.
+    * Anything not exactly reconstructible refuses loudly rather than
+    * under- or over-deleting; NULL-evaluating predicates match no row
+    * — exactly SQL's three-valued WHERE. Partition-column deletes are
+    * whole-leaf drops (a library verb), not row deletes. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && GraftSqlTable.deleteRange(filters.toSeq)
-      .exists { case (c, _, _) => !partCols.contains(c) }
+    asOf.isEmpty && (
+      GraftSqlTable.deleteRange(filters.toSeq)
+        .exists { case (c, _, _) => !partCols.contains(c) } ||
+      (key.isEmpty &&
+        filters.forall(f => GraftSqlTable.filterColumn(f).isDefined) &&
+        filters.flatMap(_.references).forall(!partCols.contains(_))))
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty,
       s"graft catalog: $ident is a pinned time-travel read — history " +
         "is immutable, delete against the live table")
-    val (c, lo, hi) = GraftSqlTable.deleteRange(filters.toSeq).getOrElse(
-      sys.error(s"graft catalog: DELETE on $ident supports one " +
-        "conjunctive long range on a single column (k = v, k >= lo AND " +
-        s"k <= hi, ...); got ${filters.mkString(", ")} — rewrite-shaped " +
-        "deletes stay library verbs (deleteRange/applyChangesDV)"))
-    require(!partCols.contains(c),
-      s"graft catalog: DELETE by partition column $c is a whole-leaf " +
-        "drop — a library verb, not a row delete")
     val spark = SparkSession.active
     val dir = new Path(path)
-    if (partCols.isEmpty)
-      ManifestCommit.deleteWhereDV(spark, dir, c, lo, hi)
-    else {
-      // per-leaf commits (each leaf is its own commit-log domain):
-      // atomic within a leaf, sequential across leaves — a reader
-      // racing the fan-out can see some leaves deleted before others,
-      // the same visibility unit every library multi-leaf verb has
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach { rel =>
-        ManifestCommit.deleteWhereDV(spark, new Path(dir, rel), c, lo, hi)
+    def domains: Seq[Path] =
+      if (partCols.isEmpty) Seq(dir)
+      else {
+        // per-leaf commits (each leaf is its own commit-log domain):
+        // atomic within a leaf, independent across leaves
+        // (overlapped on the LeafPar pool) — a reader racing the
+        // fan-out can see some leaves deleted before others, the
+        // same visibility unit every library multi-leaf verb has
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        TableFeedSource.leafRels(fs, dir).filter(_ != ".")
+          .map(new Path(dir, _))
       }
+    GraftSqlTable.deleteRange(filters.toSeq) match {
+      case Some((c, lo, hi)) =>
+        require(!partCols.contains(c),
+          s"graft catalog: DELETE by partition column $c is a " +
+            "whole-leaf drop — a library verb, not a row delete")
+        LeafPar.foreach(domains)(
+          ManifestCommit.deleteWhereDV(spark, _, c, lo, hi))
+      case None =>
+        require(key.isEmpty, s"graft catalog: non-range DELETE on " +
+          s"keyed $ident plans through the row-level path, never here")
+        val cond = filters.toSeq.map(f =>
+          GraftSqlTable.filterColumn(f).getOrElse(sys.error(
+            s"graft catalog: DELETE on $ident cannot reconstruct " +
+              s"pushed filter $f exactly — refuse rather than under- " +
+              "or over-delete")))
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val ranges = GraftSqlTable.pruningRanges(filters.toSeq)
+        LeafPar.foreach(domains)(
+          ManifestCommit.deleteWherePredicateDV(spark, _, cond, ranges))
     }
     ()
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
-      // INSERT OVERWRITE arrives as OverwriteByExpression(TRUE) and
-      // Spark truncate()s the builder; the flag routes the V1 insert
-      // to ManifestCommit.overwriteTable (one KindOverwrite commit)
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write
+          .SupportsDynamicOverwrite {
+      // INSERT OVERWRITE arrives three ways:
+      //  - no partition spec, static mode → OverwriteByExpression(TRUE)
+      //    → truncate(): whole-table (or every-leaf) replace
+      //  - PARTITION (p=v) static spec → overwrite(filters): replace
+      //    EXACTLY the leaves the partition filter names — touched
+      //    leaves swap, filter-matched-but-unstaged leaves truncate,
+      //    everything else keeps its commit log unmoved
+      //  - dynamic partitionOverwriteMode → overwriteDynamicPartitions:
+      //    replace exactly the leaves the DATA touches (a real V2
+      //    BatchWrite — Spark has no V1 fallback for dynamic)
       private var truncateMode = false
+      private var dynamicMode = false
+      private var overwriteFilters: Array[Filter] = Array.empty
       override def truncate(): WriteBuilder = { truncateMode = true; this }
-      override def build(): Write = new V1Write {
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+          truncateMode = true
+        else { overwriteFilters = filters; truncateMode = true }
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        require(partCols.nonEmpty, s"graft catalog: dynamic partition " +
+          s"overwrite needs a partitioned table; $ident is unpartitioned")
+        dynamicMode = true; this
+      }
+      override def build(): Write =
+        if (dynamicMode) new Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftDynamicOverwriteBatchWrite(path, ident,
+              info.schema(), partCols)
+        }
+        else buildV1()
+      private def buildV1(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame,
                 overwrite: Boolean): Unit = {
               if (overwrite || truncateMode) {
-                // whole-table swap in ONE KindOverwrite commit: old
-                // files consumed, sidecars dropped, change feed
-                // replays alive-rows-as-deletes + new-rows-as-inserts
-                require(partCols.isEmpty,
-                  s"graft catalog: INSERT OVERWRITE on partitioned " +
-                    s"$ident is not supported — overwrite whole leaves " +
-                    "through the library (overwriteTable per leaf)")
-                ManifestCommit.overwriteTable(data.sparkSession,
-                  new Path(path), data)
+                if (partCols.isEmpty) {
+                  // whole-table swap in ONE KindOverwrite commit: old
+                  // files consumed, sidecars dropped, change feed
+                  // replays alive-rows-as-deletes + new-rows-as-inserts
+                  require(overwriteFilters.isEmpty,
+                    s"graft catalog: filtered overwrite on " +
+                      s"unpartitioned $ident is not supported")
+                  ManifestCommit.overwriteTable(data.sparkSession,
+                    new Path(path), data)
+                } else {
+                  // static partitioned overwrite: replace EXACTLY the
+                  // leaves the partition filter names (all of them when
+                  // the spec is absent) — staged leaves swap in one
+                  // KindOverwrite commit each, filter-matched leaves
+                  // the batch stages nothing into truncate, and every
+                  // other leaf's commit log never moves
+                  val spark = data.sparkSession
+                  val dir = new Path(path)
+                  val fs = dir.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration)
+                  val doomed = TableFeedSource.leafRels(fs, dir)
+                    .filter(_ != ".")
+                    .filter(rel => GraftSqlTable.staticOverwriteMatches(
+                      GraftSqlScan.leafValues(rel,
+                        StructType(tableSchema.fields
+                          .takeRight(partCols.length))),
+                      overwriteFilters.toSeq, ident))
+                  GraftSqlTable.insertPartitioned(data, dir, tableSchema,
+                    partCols, overwriteTouched = true,
+                    truncateRels = doomed.toSet)
+                }
               } else if (partCols.isEmpty) {
                 ManifestCommit.stageAndPublish(data.sparkSession,
                     new Path(path), data, _ => true)
@@ -1267,34 +1647,108 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
         fs.delete(new Path(m.keyDir), true)
       }
       try {
+        import org.apache.spark.sql.functions.{col, lit}
         def readOr(files: Seq[String], s: StructType): DataFrame =
           if (files.isEmpty) spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
           else spark.read.schema(s).parquet(files: _*)
+        val byRel = staged.groupBy(_.rel).toSeq.sortBy(_._1)
+        def insFilesOf(es: Seq[GraftDeltaLeafStaged]) =
+          es.filter(_.insertRows > 0)
+            .map(m => new Path(m.insertDir, m.insertFile).toString)
+        def keyFilesOf(es: Seq[GraftDeltaLeafStaged]) =
+          es.filter(_.keyRows > 0)
+            .map(m => new Path(m.keyDir, m.keyFile).toString)
+        def ensureLeaf(rel: String): Path = {
+          val leaf = if (rel == ".") dir else new Path(dir, rel)
+          val born = !fs.exists(new Path(leaf, ManifestCommit.LogDirName))
+          if (born) { // an UPDATE moved rows into a brand-new leaf
+            fs.mkdirs(leaf)
+            ManifestCommit.bootstrap(fs, leaf)
+            ManifestCommit.alterSchema(fs, leaf, dataSchema)
+          }
+          leaf
+        }
+        // CROSS-LEAF MOVES (a partition-value UPDATE: delete in leaf
+        // A, insert of the same key in leaf B) are exposed to crash
+        // LOSS if A's commit lands first — the WHERE no longer
+        // matches, so no retry can recover the row. Detect moved keys
+        // with one O(changed rows) job (multi-leaf statements only),
+        // and land the moved rows' INSERTS into their destination
+        // leaves FIRST: a globally-unique key cannot already live in
+        // its destination, so phase 0 is a pure append, and every
+        // crash window then DUPLICATES (old + new leaf both carry the
+        // row — rerunning the statement converges: the source row
+        // still matches, and the destination upsert replaces the
+        // orphan copy) instead of losing. Single-leaf statements and
+        // multi-leaf statements that move nothing keep the
+        // one-combined-commit-per-leaf shape unchanged.
+        val moved: Option[DataFrame] =
+          if (byRel.size <= 1) None
+          else {
+            val ins = byRel.flatMap { case (rel, es) =>
+              insFilesOf(es) match {
+                case Nil => None
+                case f => Some(spark.read.schema(dataSchema)
+                  .parquet(f: _*).select(col(keyCol).as("__k"))
+                  .withColumn("__insRel", lit(rel)))
+              }
+            }.reduceOption(_ unionByName _)
+            val del = byRel.flatMap { case (rel, es) =>
+              keyFilesOf(es) match {
+                case Nil => None
+                case f => Some(spark.read.schema(keySchema)
+                  .parquet(f: _*).select(col(keyCol).as("__k"))
+                  .withColumn("__delRel", lit(rel)))
+              }
+            }.reduceOption(_ unionByName _)
+            (for (i <- ins; d <- del) yield
+              i.join(d, "__k")
+                .where(col("__insRel") =!= col("__delRel"))
+                .select(col("__k"), col("__insRel")).cache())
+              .filter(_.limit(1).count() > 0)
+          }
+        // phase 0: moved-in inserts, destination leaves first
+        moved.foreach { m =>
+          LeafPar.foreach(byRel) { case (rel, es) =>
+            val insF = insFilesOf(es)
+            if (insF.nonEmpty) {
+              val mk = m.where(col("__insRel") === rel).select("__k")
+              val rows = spark.read.schema(dataSchema).parquet(insF: _*)
+                .join(mk, col(keyCol) === col("__k"), "leftsemi")
+              if (rows.limit(1).count() > 0)
+                ManifestCommit.applyChangesDV(spark, ensureLeaf(rel),
+                  keyCol, inserts = rows,
+                  deleteKeys = readOr(Nil, keySchema))
+            }
+          }
+        }
         // one applyChangesDV commit PER TOUCHED LEAF ("." when the
         // table is unpartitioned = exactly one commit): atomic within
-        // a leaf, sequential across leaves — every library multi-leaf
-        // verb's visibility contract
-        staged.groupBy(_.rel).toSeq.sortBy(_._1).foreach {
-          case (rel, entries) =>
-            val insertFiles = entries.filter(_.insertRows > 0)
-              .map(m => new Path(m.insertDir, m.insertFile).toString)
-            val keyFiles = entries.filter(_.keyRows > 0)
-              .map(m => new Path(m.keyDir, m.keyFile).toString)
+        // a leaf, independent across leaves (overlapped on the
+        // LeafPar pool) — every library multi-leaf verb's visibility
+        // contract. Moved-in inserts are EXCLUDED
+        // (phase 0 already landed them — re-inserting would doom the
+        // landed copy and re-add it, wasted churn).
+        LeafPar.foreach(byRel) { case (rel, entries) =>
+            val insertFiles = insFilesOf(entries)
+            val keyFiles = keyFilesOf(entries)
             if (insertFiles.nonEmpty || keyFiles.nonEmpty) {
-              val leaf = if (rel == ".") dir else new Path(dir, rel)
-              val born = !fs.exists(
-                new Path(leaf, ManifestCommit.LogDirName))
-              if (born) { // an UPDATE moved rows into a brand-new leaf
-                fs.mkdirs(leaf)
-                ManifestCommit.bootstrap(fs, leaf)
-                ManifestCommit.alterSchema(fs, leaf, dataSchema)
+              val leaf = ensureLeaf(rel)
+              val inserts0 = readOr(insertFiles, dataSchema)
+              val inserts = moved match {
+                case Some(m) if insertFiles.nonEmpty =>
+                  inserts0.join(
+                    m.where(col("__insRel") === rel).select("__k"),
+                    col(keyCol) === col("__k"), "leftanti")
+                case _ => inserts0
               }
               ManifestCommit.applyChangesDV(spark, leaf, keyCol,
-                inserts = readOr(insertFiles, dataSchema),
+                inserts = inserts,
                 deleteKeys = readOr(keyFiles, keySchema))
             }
         }
+        moved.foreach(_.unpersist())
         ()
       } finally cleanup()
     }
@@ -1339,6 +1793,9 @@ private[graft] class GraftDeltaTaskWriter(path: String,
       new GraftParquetDataWriter(path, keySchema, conf,
         s"$tag-l${perLeaf.size}-del")))
 
+  // same one rule as every other leaf renderer (assertPathLiteral),
+  // memoized per distinct string value
+  private val checkedVals = scala.collection.mutable.HashSet.empty[String]
   private def render(f: StructField, row: InternalRow, i: Int): String = {
     require(!row.isNullAt(i),
       s"graft catalog: NULL partition value for ${f.name}")
@@ -1347,13 +1804,16 @@ private[graft] class GraftDeltaTaskWriter(path: String,
       case LongType    => row.getLong(i).toString
       case DateType    =>
         java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-      case StringType  => row.getUTF8String(i).toString
+      case StringType  =>
+        val s = row.getUTF8String(i).toString
+        if (!checkedVals.contains(s)) {
+          GraftSqlTable.assertPathLiteral(s, f.name)
+          checkedVals.add(s)
+        }
+        s
       case o => sys.error(s"graft catalog: partition column ${f.name} " +
         s"has unsupported type $o")
     }
-    require(v.nonEmpty && !v.exists("/=\\%".contains(_)),
-      s"graft catalog: partition value '$v' for ${f.name} is not " +
-        "path-safe")
     s"${f.name}=$v"
   }
 
@@ -1408,6 +1868,80 @@ private[graft] case class GraftStagedFanout(
     files: Seq[(String, String, String, Long)]) // (rel, stagingDir, file, rows)
     extends WriterCommitMessage
 
+/** Dynamic-partition INSERT OVERWRITE (`partitionOverwriteMode=
+  * dynamic`) as a real V2 BatchWrite — Spark has no V1 fallback for
+  * [[org.apache.spark.sql.connector.write.SupportsDynamicOverwrite]].
+  * Each task fans its rows out to one hidden staged parquet per
+  * touched leaf (the same [[GraftFanoutDataWriter]] the streaming sink
+  * uses, so partition values render and validate identically), and the
+  * driver's commit swaps EXACTLY the touched leaves: each one's whole
+  * live set replaced by its staged files in one atomic
+  * [[ManifestCommit.KindOverwrite]] commit (feed replay exact —
+  * pre-overwrite-alive rows as deletes, staged rows as inserts). A
+  * leaf the data never touches keeps its commit log unmoved; a leaf
+  * born by the statement bootstraps its own log. Atomicity unit is
+  * the LEAF — the per-leaf visibility contract every library
+  * multi-leaf verb has; a crash mid-commit leaves earlier leaves
+  * swapped and later files hidden-staged (gc-able). */
+private[graft] class GraftDynamicOverwriteBatchWrite(path: String,
+    ident: String, schema: StructType, partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val dataSchema = StructType(
+    schema.fields.dropRight(partCols.length))
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    val (p, sch, pc) = (path, schema, partCols)
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int,
+          taskId: Long): DataWriter[InternalRow] =
+        new GraftFanoutDataWriter(p, sch, pc, conf.value,
+          s"dynovw-p$partitionId-t$taskId")
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = messages.collect { case m: GraftStagedFanout => m }
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    try {
+      LeafPar.foreach(staged.flatMap(_.files).filter(_._4 > 0)
+        .groupBy(_._1).toSeq.sortBy(_._1)) { case (rel, entries) =>
+          val leaf = new Path(dir, rel)
+          val born = !fs.exists(new Path(leaf, ManifestCommit.LogDirName))
+          if (born) fs.mkdirs(leaf)
+          ManifestCommit.bootstrap(fs, leaf)
+          if (born) ManifestCommit.alterSchema(fs, leaf, dataSchema)
+          val names = entries.zipWithIndex.map {
+            case ((_, sd, file, _), i) =>
+              val name = s"${ManifestCommit.CompactedPrefix}" +
+                s"dynovw-$runId-$i.parquet"
+              require(fs.rename(new Path(sd, file), new Path(leaf, name)),
+                s"graft catalog: cannot move staged $file into $leaf")
+              name
+          }
+          ManifestCommit.overwriteWithFiles(fs, leaf, names)
+        }
+    } finally staged.flatMap(_.files).map(_._2).distinct
+      .foreach(d => fs.delete(new Path(d), true))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: GraftStagedFanout =>
+        m.files.map(_._2).distinct
+          .foreach(d => fs.delete(new Path(d), true))
+      case _ =>
+    }
+  }
+}
+
 /** `writeStream.toTable` on a PARTITIONED catalog table: each task
   * fans its rows out to one staged parquet file PER touched leaf
   * (partition values rendered to the Hive path exactly as the batch
@@ -1461,16 +1995,22 @@ private[graft] class GraftPartitionedStreamingWrite(path: String,
             if (born) fs.mkdirs(leaf)
             ManifestCommit.bootstrap(fs, leaf)
             if (born) ManifestCommit.alterSchema(fs, leaf, dataSchema)
-            val manifested: Set[String] =
-              ManifestCommit.currentSnapshot(fs, leaf)
-                .map(_.files.toSet).getOrElse(Set.empty)
             val names = entries.zipWithIndex.map {
               case ((_, sd, file, _), i) =>
                 val name = s"${ManifestCommit.CompactedPrefix}" +
                   s"stream-$qid-e$epochId-$i.parquet"
                 val dst = new Path(leaf, name)
                 if (fs.exists(dst)) { // crashed-replay orphan (see
-                  // GraftStreamingWrite.commit — same recovery)
+                  // GraftStreamingWrite.commit — same recovery); the
+                  // manifest is re-read HERE, after the orphan is seen
+                  // — a set snapshotted before the loop could go stale
+                  // against a racing duplicate-query commit and this
+                  // delete would destroy a manifest-referenced file.
+                  // Orphans exist only on crash replay, so the extra
+                  // read costs nothing on the normal path.
+                  val manifested: Set[String] =
+                    ManifestCommit.currentSnapshot(fs, leaf)
+                      .map(_.files.toSet).getOrElse(Set.empty)
                   require(!manifested.contains(name),
                     s"graft catalog: epoch $epochId of $ident would " +
                       s"overwrite manifest-referenced $name in $rel — " +
@@ -1518,6 +2058,10 @@ private[graft] class GraftFanoutDataWriter(path: String,
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, GraftParquetDataWriter]
 
+  // one validation rule with the batch path (assertPathLiteral);
+  // numeric/date renders are literal by construction, strings memoize
+  // the check per distinct value so the per-row cost is one hash probe
+  private val checkedVals = scala.collection.mutable.HashSet.empty[String]
   private def relOf(row: InternalRow): String =
     partSchema.fields.zipWithIndex.map { case (f, j) =>
       val i = dataSchema.length + j
@@ -1529,14 +2073,17 @@ private[graft] class GraftFanoutDataWriter(path: String,
         case LongType    => row.getLong(i).toString
         case DateType    =>
           java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-        case StringType  => row.getUTF8String(i).toString
+        case StringType  =>
+          val s = row.getUTF8String(i).toString
+          if (!checkedVals.contains(s)) {
+            GraftSqlTable.assertPathLiteral(s, f.name)
+            checkedVals.add(s)
+          }
+          s
         case o => sys.error(
           s"graft catalog: partition column ${f.name} has unsupported " +
             s"type $o")
       }
-      require(v.nonEmpty && !v.exists("/=\\%".contains(_)),
-        s"graft catalog: partition value '$v' for ${f.name} is not " +
-          "path-safe")
       s"${f.name}=$v"
     }.mkString("/")
 
@@ -1621,15 +2168,20 @@ private[graft] class GraftStreamingWrite(path: String, ident: String,
     // instance won the race) — then this replay must refuse, not
     // clobber committed data. Without the sweep, fs.rename returns
     // false on the existing destination and the query wedges on every
-    // retry until gc's grace period.
-    val manifested: Set[String] =
-      ManifestCommit.currentSnapshot(fs, dir)
-        .map(_.files.toSet).getOrElse(Set.empty)
+    // retry until gc's grace period. The manifest is re-read PER
+    // orphan, after fs.exists sees it — a set snapshotted before the
+    // loop could go stale against a racing duplicate-query commit and
+    // the delete below would destroy a manifest-referenced file;
+    // orphans exist only on crash replay, so the extra read costs
+    // nothing on the normal path.
     val names = staged.zipWithIndex.map { case (m, i) =>
       val name =
         s"${ManifestCommit.CompactedPrefix}stream-$qid-e$epochId-$i.parquet"
       val dst = new Path(dir, name)
       if (fs.exists(dst)) {
+        val manifested: Set[String] =
+          ManifestCommit.currentSnapshot(fs, dir)
+            .map(_.files.toSet).getOrElse(Set.empty)
         require(!manifested.contains(name),
           s"graft catalog: epoch $epochId of $ident would overwrite " +
             s"manifest-referenced $name — another writer with query id " +

@@ -1551,6 +1551,30 @@ object ManifestCommit {
     sys.error(s"overwriteTable: 10 straight snapshot races on $partition")
   }
 
+  /** OVERWRITE with files ALREADY MOVED into the partition (hidden
+    * compact-prefixed names, invisible to listing until committed) —
+    * the per-leaf building block of a partitioned `INSERT OVERWRITE`:
+    * the caller fans one staged write out across leaves, then each
+    * touched leaf swaps its whole live set for its staged files in ONE
+    * atomic [[KindOverwrite]] commit (old files consumed, sidecars
+    * dropped, feed replay exact: alive rows as deletes + staged rows
+    * as inserts). Same retry discipline as [[overwriteTable]]. */
+  def overwriteWithFiles(fs: FileSystem, partition: Path,
+      produced: Seq[String]): Snapshot = {
+    var attempt = 0
+    while (attempt < 10) {
+      val snap = bootstrap(fs, partition)
+      replaceFiles(fs, partition, consumed = snap.files.toSet,
+        produced = produced, kind = KindOverwrite,
+        dvs = Some(Nil)) match {
+        case Some(next) => return next
+        case None => attempt += 1 // a rewrite consumed one of ours
+      }
+    }
+    sys.error(s"overwriteWithFiles: 10 straight snapshot races on " +
+      s"$partition")
+  }
+
   /** TRUNCATE: the overwrite commit with nothing produced — every live
     * file consumed, sidecars dropped, one atomic [[KindOverwrite]]
     * commit whose feed replay is pure deletes (every pre-truncate-alive
@@ -1723,19 +1747,69 @@ object ManifestCommit {
         .forall(s => s.max >= lo && s.min <= hi)
     }
     if (touched.isEmpty) return (0, 0L)
-    val runId = java.util.UUID.randomUUID().toString.take(8)
-    val staged = new Path(partition, s"._dv-$runId")
-    // the doomed positions: only keyCol + the row index leave the scan;
-    // positions ALREADY dead under an active sidecar are excluded — a
-    // position must enter at most one sidecar, or an overlapping later
-    // delete inflates its deleted count and the change feed replays the
-    // row's delete twice
-    val dv = minusActiveDvPositions(spark, fs, partition, spark.read
+    // the doomed positions: only keyCol + the row index leave the scan
+    val dv = spark.read
       .parquet(touched.map(new Path(partition, _).toString): _*)
       .select(col("_metadata.file_name").as("file"),
         col("_metadata.row_index").as("pos"), col(keyCol).as("k"))
       .filter(col("k").between(lo, hi)) // NULL keys never match
-      .select(col("file"), col("pos")))
+      .select(col("file"), col("pos"))
+    stageAndCommitDv(spark, fs, partition, dv, touched,
+      deletePredicate = Some((keyCol, lo, hi)))
+  }
+
+  /** Merge-on-read delete by an ARBITRARY row predicate — the
+    * [[deleteWhereDV]] shape with the single-column long range
+    * generalized to any deterministic boolean `cond` over the data
+    * columns (string equality, IN lists, LIKE prefixes, disjunctions
+    * — whatever the SQL WHERE translated to). Same cost model: the
+    * scan reads only `statsRanges`-surviving files (conjunctive long
+    * bounds the caller extracted from the predicate; empty = all
+    * live files) and only the columns `cond` references plus the row
+    * index (Catalyst prunes the rest), the sidecar is O(deleted
+    * rows), no data file moves, and the change feed replays the
+    * commit from sidecar positions — no predicate needs recording.
+    * NULL-evaluating rows don't match, exactly SQL's three-valued
+    * WHERE. */
+  def deleteWherePredicateDV(spark: SparkSession, partition: Path,
+      cond: org.apache.spark.sql.Column,
+      statsRanges: Map[String, (Long, Long)] = Map.empty): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = bootstrap(fs, partition)
+    val stats = currentFileStats(fs, partition)
+    val touched = snap.files.filter { n =>
+      statsRanges.forall { case (c, (lo, hi)) =>
+        stats.getOrElse(n, Nil).find(_.col == c)
+          .forall(s => s.max >= lo && s.min <= hi)
+      }
+    }
+    if (touched.isEmpty) return (0, 0L)
+    // grafted names keep the projection collision-free when the data
+    // itself carries `file`/`pos` columns
+    val dv = spark.read
+      .parquet(touched.map(new Path(partition, _).toString): _*)
+      .select(col("_metadata.file_name").as("_graft_dv_file"),
+        col("_metadata.row_index").as("_graft_dv_pos"), col("*"))
+      .filter(cond)
+      .select(col("_graft_dv_file").as("file"),
+        col("_graft_dv_pos").as("pos"))
+    stageAndCommitDv(spark, fs, partition, dv, touched,
+      deletePredicate = None)
+  }
+
+  /** Shared tail of every DV-producing delete: exclude positions
+    * ALREADY dead under an active sidecar (a position must enter at
+    * most one sidecar, or an overlapping later delete inflates its
+    * deleted count and the change feed replays the row's delete
+    * twice), stage the sidecar hidden, move it visible, and land ONE
+    * [[KindDvDelete]] commit. */
+  private def stageAndCommitDv(spark: SparkSession, fs: FileSystem,
+      partition: Path, dvRaw: DataFrame, touched: Seq[String],
+      deletePredicate: Option[(String, Long, Long)]): (Int, Long) = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staged = new Path(partition, s"._dv-$runId")
+    val dv = minusActiveDvPositions(spark, fs, partition, dvRaw)
     // file-sorted sidecar: row groups cluster per data file, so (a) a
     // streaming reader's pushed `file =` filter skips foreign row
     // groups on stats and (b) each row group's min==max file stats
@@ -1766,7 +1840,7 @@ object ManifestCommit {
     // positions name (the sidecar would silently no-op against the
     // rewritten copies)
     replaceFiles(fs, partition, Set.empty, Nil, kind = KindDvDelete,
-        deletePredicate = Some((keyCol, lo, hi)),
+        deletePredicate = deletePredicate,
         dvsAdd = produced, requireLive = touched.toSet) match {
       case Some(_) => (touched.size, nDeleted)
       case None =>

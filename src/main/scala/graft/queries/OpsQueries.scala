@@ -1650,6 +1650,46 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, day
         FROM graftsql.db.orders_pkeyed ORDER BY o_orderkey""")
     }),
+    // DYNAMIC partitioned INSERT OVERWRITE (a real V2 BatchWrite —
+    // tasks fan rows out per leaf, the driver swaps exactly the
+    // touched leaves in one KindOverwrite commit each; untouched
+    // leaves' commit logs never move — spec-pinned)
+    "q279_sql_dyn_overwrite" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, day
+        FROM graftsql.db.orders_dynow ORDER BY o_orderkey""")
+    }),
+    // arbitrary-predicate DELETE on a KEYLESS table: string equality,
+    // IN + OR, LIKE-prefix — each ONE positional deletion-vector
+    // commit (no file rewrites), read merge-on-read
+    "q280_sql_keyless_delete" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, tag
+        FROM graftsql.db.orders_adel ORDER BY o_orderkey""")
+    }),
+    // atomic CTAS: CREATE TABLE AS SELECT builds the result in a
+    // hidden staging sibling (its own manifest log) and publishes
+    // with one rename — a failed CTAS leaves no table (spec-pinned)
+    "q281_sql_ctas" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, half_price
+        FROM graftsql.db.orders_ctas ORDER BY o_orderkey""")
+    }),
     // SQL INSERT OVERWRITE: the whole table swaps in ONE
     // KindOverwrite commit — old files consumed, the live deletion
     // vector dropped with them — and the read serves exactly the new
@@ -2771,6 +2811,43 @@ object OpsQueries {
       ss.sql("""INSERT OVERWRITE graftsql.db.orders_ow
         SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
         FROM orders_src_q267 WHERE o_orderkey % 5 = 0""")
+      // q279's table: PARTITIONED, then a DYNAMIC INSERT OVERWRITE —
+      // only the leaves the data touches (day <= 2) swap, each in ONE
+      // KindOverwrite commit; day 3/4 keep their original rows and
+      // their commit logs never move
+      ss.sql("""CREATE TABLE graftsql.db.orders_dynow
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         day INT) PARTITIONED BY (day)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_dynow
+        SELECT *, CAST(o_orderkey % 4 + 1 AS INT) AS day
+        FROM orders_src_q267""")
+      ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ss.sql("""INSERT OVERWRITE graftsql.db.orders_dynow
+        SELECT o_orderkey, o_custkey, o_totalprice * 3 AS o_totalprice,
+          CAST(o_orderkey % 4 + 1 AS INT) AS day
+        FROM orders_src_q267
+        WHERE o_orderkey % 4 <= 1 AND o_orderkey % 3 = 0""")
+      finally ss.conf.set("spark.sql.sources.partitionOverwriteMode",
+        "static")
+      // q280's table: KEYLESS, arbitrary-predicate DELETEs landing as
+      // positional deletion-vector commits (no file rewrites) —
+      // string equality, IN + OR, and LIKE-prefix + numeric bound
+      ss.sql("""CREATE TABLE graftsql.db.orders_adel
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         tag STRING)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_adel
+        SELECT *, concat('t', CAST(o_orderkey % 7 AS STRING)) AS tag
+        FROM orders_src_q267""")
+      ss.sql("DELETE FROM graftsql.db.orders_adel WHERE tag = 't3'")
+      ss.sql("DELETE FROM graftsql.db.orders_adel " +
+        s"WHERE tag IN ('t1', 't5') OR o_orderkey = $klo")
+      ss.sql("DELETE FROM graftsql.db.orders_adel " +
+        "WHERE tag LIKE 't6%' AND o_totalprice >= 1000.0")
+      // q281's table: atomic CTAS — the whole result builds in a
+      // hidden staging dir and publishes with ONE rename
+      ss.sql("""CREATE TABLE graftsql.db.orders_ctas AS
+        SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS half_price
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
       wh
     })
 
@@ -6391,6 +6468,37 @@ object OpsQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice,
            CAST(o_orderkey % 3 + 1 AS INTEGER) AS day
          FROM orders ORDER BY o_orderkey""",
+    // dynamic overwrite: day 1/2 leaves hold exactly the overwrite
+    // projection (price * 3, every third key), day 3/4 the original
+    // load — recomputed relationally over base orders
+    "q279_sql_dyn_overwrite" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderkey % 4 + 1 AS INTEGER) AS day FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice, day FROM base
+           WHERE day >= 3
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice * 3 AS o_totalprice,
+           day
+         FROM base WHERE day <= 2 AND o_orderkey % 3 = 0
+         ORDER BY o_orderkey""",
+    // the keyless table minus the three predicate-deleted slices —
+    // the same predicates re-applied relationally (no NULLs in play,
+    // so the NOT-conjunction is exact)
+    "q280_sql_keyless_delete" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo FROM orders),
+         t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+           concat('t', CAST(o_orderkey % 7 AS VARCHAR)) AS tag
+           FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice, tag FROM t, b
+         WHERE NOT (tag = 't3')
+           AND NOT (tag IN ('t1', 't5') OR o_orderkey = b.klo)
+           AND NOT (tag LIKE 't6%' AND o_totalprice >= 1000.0)
+         ORDER BY o_orderkey""",
+    // the CTAS table holds exactly the SELECT it was created from
+    "q281_sql_ctas" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS half_price
+         FROM orders WHERE o_orderkey % 2 = 0
+         ORDER BY o_orderkey""",
     // the overwritten table holds exactly the overwrite projection —
     // the earlier load and DV delete are gone with their files
     "q276_sql_insert_overwrite" ->

@@ -500,8 +500,22 @@ private[graft] object VecFeed {
       p.changeType == ChangeFeed.Insert && p.dvSidecars.isEmpty &&
         p.deletePredicate.isEmpty)
     if (plain.isEmpty) return rest
-    val statuses = plain.map(p =>
-      (p.version, fs.getFileStatus(new Path(p.file))))
+    // one LIST per parent directory, not one GET per file: a bootstrap
+    // over a wide table plans thousands of files but only O(leaves)
+    // parents — driver metadata calls scale with the layout, not the
+    // file count (an object-store LIST pages ~1000 entries per call
+    // vs one round-trip per GET)
+    val byParent = plain.map(p => new Path(p.file)).groupBy(_.getParent)
+    val statusOf: Map[String, org.apache.hadoop.fs.FileStatus] =
+      byParent.flatMap { case (parent, paths) =>
+        val wanted = paths.map(_.getName).toSet
+        fs.listStatus(parent).toIndexedSeq
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(st => st.getPath.toString -> st)
+      }
+    val statuses = plain.map(p => (p.version,
+      statusOf.getOrElse(new Path(p.file).toString,
+        fs.getFileStatus(new Path(p.file)))))
     if (statuses.map(_._2.getLen).sum < minBytes) return parts
     val maxSplit = FilePartition.maxSplitBytes(spark,
       Seq(PartitionDirectory(
@@ -526,18 +540,22 @@ private[graft] object VecFeed {
   }
 
   /** The stock vectorized factory for the feed's DATA columns, cached
-    * per schema: MicroBatchScanExec asks for a reader factory every
-    * micro-batch, and building one broadcasts the Hadoop conf — a
-    * commit-cadence stream must not pay a broadcast per trigger. The
-    * cache is process-lifetime driver state, O(distinct streamed
-    * schemas) entries. */
+    * per (SESSION, schema): MicroBatchScanExec asks for a reader
+    * factory every micro-batch, and building one broadcasts the Hadoop
+    * conf — a commit-cadence stream must not pay a broadcast per
+    * trigger. The session identity is part of the key because the
+    * factory CAPTURES the building session's broadcast Hadoop conf: a
+    * later session with different FS credentials/conf must build its
+    * own, never silently reuse a stale broadcast. Process-lifetime
+    * driver state, O(sessions × distinct streamed schemas) entries. */
   private val factoryCache =
     new java.util.concurrent.ConcurrentHashMap[String, PartitionReaderFactory]()
   private[graft] def dataFactory(spark: SparkSession,
       dataSchema: StructType): PartitionReaderFactory =
-    factoryCache.computeIfAbsent(dataSchema.json, _ =>
-      graft.lake.GraftSqlScan.parquetFactory(spark, dataSchema,
-        dataSchema, StructType(Nil), Array.empty))
+    factoryCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:${dataSchema.json}", _ =>
+        graft.lake.GraftSqlScan.parquetFactory(spark, dataSchema,
+          dataSchema, StructType(Nil), Array.empty))
 }
 
 /** Feed reader dispatch: [[VecFeed.VecFeedPartition]]s go to the stock

@@ -77,6 +77,14 @@ class TableFeedSource extends TableProvider {
 
 object TableFeedSource {
 
+  /** Filesystem schemes whose "directories" are prefix illusions with
+    * no meaningful modification time — the root-`_SUCCESS`-vs-leaf-
+    * mtime adoption proof is unsound there, so log-less leaves on
+    * these schemes wait for a leaf-local marker instead. */
+  private[graft] val NoDirMtimeSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cos", "swift")
+
   /** Root-relative paths of the table's leaf partitions ("." for an
     * unpartitioned root): a leaf is a directory with no visible
     * `col=value` child — the general Hive walk, one driver-side listing
@@ -307,21 +315,32 @@ private[graft] class TableFeedStream(rootPath: String,
     * files are moved in, so root-marker-mtime >= leaf-dir-mtime proves
     * the leaf complete (a later in-flight job touching the leaf bumps
     * its mtime past the old marker and the leaf waits for the new
-    * one). Until a marker lands the leaf is invisible — next round's
-    * enumeration adopts it, never a restart. Manifest-native writers
-    * (replicate, stageAndPublish, applyChangesDV) are born at their
-    * first commit and never wait. */
+    * one). The root-marker path is TRUSTED only where directory
+    * mtimes mean something: object stores have no real directories
+    * (their "mtime" is 0, epoch, or absent — any stale root marker
+    * would adopt a half-written leaf, the exact outcome this guard
+    * exists to prevent), so on s3/gs/abfs-class schemes — or whenever
+    * the reported leaf mtime is non-positive — a log-less leaf waits
+    * for a LEAF-LOCAL `_SUCCESS`. Until a marker lands the leaf is
+    * invisible — next round's enumeration adopts it, never a restart.
+    * Manifest-native writers (replicate, stageAndPublish,
+    * applyChangesDV) are born at their first commit and never wait. */
   private def liveVector(): Map[String, Long] = {
     val rootSuccess: Option[Long] = {
       val p = new Path(root, "_SUCCESS")
       if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime)
       else None
     }
+    val dirMtimeTrustworthy = !TableFeedSource.NoDirMtimeSchemes
+      .contains(Option(root.toUri.getScheme)
+        .getOrElse(fs.getUri.getScheme))
     TableFeedSource.leafRels(fs, root).flatMap { rel =>
       val dir = leafDir(rel)
       def jobComplete: Boolean =
-        fs.exists(new Path(dir, "_SUCCESS")) ||
-          rootSuccess.exists(_ >= fs.getFileStatus(dir).getModificationTime)
+        fs.exists(new Path(dir, "_SUCCESS")) || {
+          val m = fs.getFileStatus(dir).getModificationTime
+          dirMtimeTrustworthy && m > 0L && rootSuccess.exists(_ >= m)
+        }
       val snap = ManifestCommit.currentSnapshot(fs, dir).orElse {
         if (jobComplete) Some(ManifestCommit.bootstrap(fs, dir))
         else None

@@ -119,12 +119,17 @@ class SqlCatalogSpec extends SparkSpec {
     // a second SQL delete composes with the first's sidecar
     ss.sql("DELETE FROM g.t3 WHERE k = 25")
     assert(ss.sql("SELECT count(*) AS n FROM g.t3").head.getLong(0) == 29L)
-    // a predicate the range shape can't express refuses loudly instead
-    // of under-deleting
+    // a disjunction is beyond the RANGE shape but (since round 15)
+    // lands through the arbitrary-predicate DV path on this keyless
+    // table — one positional sidecar, k=2 (v=4 names the same row) dies
+    ss.sql("DELETE FROM g.t3 WHERE v = 4 OR k = 2")
+    assert(ss.sql("SELECT count(*) AS n FROM g.t3").head.getLong(0) == 28L)
+    // a predicate Spark cannot translate to source filters still
+    // refuses loudly instead of under-deleting
     val e = intercept[Exception](
-      ss.sql("DELETE FROM g.t3 WHERE v = 4 OR k = 2"))
+      ss.sql("DELETE FROM g.t3 WHERE k % 3 = 0"))
     assert(e.getMessage != null)
-    assert(ss.sql("SELECT count(*) AS n FROM g.t3").head.getLong(0) == 29L,
+    assert(ss.sql("SELECT count(*) AS n FROM g.t3").head.getLong(0) == 28L,
       "a refused delete must delete nothing")
   }
 
@@ -833,5 +838,234 @@ class SqlCatalogSpec extends SparkSpec {
     ss.sql("ALTER TABLE g.sk UNSET TBLPROPERTIES ('key')")
     intercept[Exception](ss.sql("UPDATE g.sk SET v = 0 WHERE k = 1"))
     assert(rows.size == 9, "the data is untouched by key declarations")
+  }
+
+  test("arbitrary-predicate DELETE on a KEYLESS table: string " +
+      "equality, IN, OR and LIKE-prefix predicates land as ONE " +
+      "positional-DV commit (no file rewrites); range deletes still " +
+      "plan kind=dvdelete with the predicate recorded; inexact " +
+      "shapes refuse") {
+    val wh = Files.createTempDirectory("graft-sqlcat-apdel").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.ad (k BIGINT, name STRING, v BIGINT)")
+    val dir = new Path(s"$wh/ad")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    ss.range(20).select($"id".as("k"),
+      concat(lit("n"), ($"id" % 5).cast("string")).as("name"),
+      ($"id" * 3).as("v")).createOrReplaceTempView("adsrc")
+    ss.sql("INSERT INTO g.ad SELECT * FROM adsrc")
+    val v0 = ManifestCommit.currentSnapshot(fs, dir).get.version
+    val files0 = ManifestCommit.currentSnapshot(fs, dir).get.files.toSet
+    // string equality: 4 rows (k % 5 == 2) die in ONE DV commit
+    ss.sql("DELETE FROM g.ad WHERE name = 'n2'")
+    val v1 = ManifestCommit.currentSnapshot(fs, dir).get.version
+    assert(v1 == v0 + 1, "one commit")
+    assert(ManifestCommit.currentSnapshot(fs, dir).get.files.toSet
+      == files0, "a DV delete never moves data files")
+    val hist = ManifestCommit.history(ss, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist(v1) == "dvdelete", s"kind: $hist")
+    def keys = ss.sql("SELECT k FROM g.ad").collect()
+      .map(_.getLong(0)).toSet
+    assert(keys == (0L until 20L).filterNot(_ % 5 == 2).toSet, s"$keys")
+    // the feed replays the predicate delete exactly from sidecars
+    val feed = graft.lake.ChangeFeed.changeFeed(ss, dir, v0, v1)
+    assert(feed.filter($"_change_type" === "delete").count() == 4L)
+    // disjunction + IN + LIKE prefix in one statement
+    ss.sql("DELETE FROM g.ad WHERE name IN ('n0', 'n4') OR k = 1")
+    assert(keys == (0L until 20L)
+      .filterNot(k => k % 5 == 2 || k % 5 == 0 || k % 5 == 4 || k == 1)
+      .toSet, s"$keys")
+    ss.sql("DELETE FROM g.ad WHERE name LIKE 'n3%' AND v >= 24")
+    assert(keys == Set(3L, 6L, 11L, 16L), s"$keys")
+    // a RANGE delete on the same keyless table still takes the
+    // metadata path: kind=dvdelete with the predicate recorded
+    ss.sql("DELETE FROM g.ad WHERE k >= 6 AND k <= 6")
+    val vR = ManifestCommit.currentSnapshot(fs, dir).get.version
+    val hist2 = ManifestCommit.history(ss, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(5)) null else r.getString(5)))
+    val rRow = hist2.find(_._1 == vR).get
+    assert(rRow._2 == "dvdelete" && rRow._3 != null &&
+      rRow._3.contains("k:6:6"), s"range delete row: $rRow")
+    assert(keys == Set(3L, 11L, 16L), s"$keys")
+    // NULL-evaluating predicates match no row (three-valued WHERE)
+    ss.sql("INSERT INTO g.ad SELECT 100 AS k, CAST(NULL AS STRING) " +
+      "AS name, 0 AS v")
+    ss.sql("DELETE FROM g.ad WHERE NOT (name = 'zzz')")
+    assert(keys == Set(100L), s"NULL name must survive NOT(=): $keys")
+  }
+
+  test("partitioned INSERT OVERWRITE: dynamic mode replaces EXACTLY " +
+      "the leaves the data touches (one KindOverwrite commit each, " +
+      "untouched leaves' logs unmoved); static mode clears the rest; " +
+      "a PARTITION spec replaces exactly the named leaf") {
+    val wh = Files.createTempDirectory("graft-sqlcat-powr").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.po (k BIGINT, day INT) PARTITIONED BY (day)")
+    val fs = new Path(wh).getFileSystem(ss.sparkContext.hadoopConfiguration)
+    ss.range(30).select($"id".as("k"), ($"id" % 3 + 1).cast("int")
+      .as("day")).createOrReplaceTempView("posrc")
+    ss.sql("INSERT INTO g.po SELECT * FROM posrc")
+    def verOf(day: Int) = ManifestCommit
+      .currentSnapshot(fs, new Path(s"$wh/po/day=$day")).get.version
+    val (v1, v2, v3) = (verOf(1), verOf(2), verOf(3))
+    // DYNAMIC: the batch touches day=1 and day=2 only — day=3's log
+    // must not move
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ss.sql("INSERT OVERWRITE g.po SELECT k + 100 AS k, day FROM posrc " +
+      "WHERE day <= 2 AND k < 6")
+    assert(verOf(1) == v1 + 1 && verOf(2) == v2 + 1,
+      "each touched leaf swaps in ONE commit")
+    assert(verOf(3) == v3, "an untouched leaf's commit log never moves")
+    Seq(1, 2).foreach { d =>
+      val hist = ManifestCommit.history(ss, new Path(s"$wh/po/day=$d"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(hist(verOf(d)) == "overwrite", s"day=$d kind: $hist")
+    }
+    def rows = ss.sql("SELECT k, day FROM g.po").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expDyn = (0L until 6L).filter(k => k % 3 < 2)
+      .map(k => (k + 100, (k % 3 + 1).toInt)).toSet ++
+      (0L until 30L).filter(_ % 3 == 2).map(k => (k, 3)).toSet
+    assert(rows == expDyn, s"$rows")
+    // feed replay on a touched leaf is exact: 10 alive rows delete,
+    // the staged rows insert
+    val feed = graft.lake.ChangeFeed.changeFeed(ss,
+      new Path(s"$wh/po/day=1"), v1, verOf(1))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType("delete") == 10L && byType("insert") == 2L, s"$byType")
+    // STATIC with a PARTITION spec: exactly day=3 is replaced
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val (w1, w2) = (verOf(1), verOf(2))
+    ss.sql("INSERT OVERWRITE g.po PARTITION (day=3) " +
+      "SELECT k + 500 AS k FROM posrc WHERE k < 2")
+    assert(verOf(1) == w1 && verOf(2) == w2,
+      "a PARTITION(day=3) overwrite must not touch day=1/day=2")
+    assert(rows.filter(_._2 == 3) == Set((500L, 3), (501L, 3)), s"$rows")
+    // STATIC without a spec: every leaf replaced; a leaf the batch
+    // stages nothing into is truncated (its log stays)
+    ss.sql("INSERT OVERWRITE g.po SELECT k, day FROM posrc " +
+      "WHERE day = 1 AND k < 3")
+    assert(rows == Set((0L, 1)), s"$rows")
+    assert(fs.exists(new Path(s"$wh/po/day=3/_graft_log")),
+      "a truncated leaf keeps its commit log (history, not a wipe)")
+  }
+
+  test("partition values that Hive escaping would rewrite REFUSE on " +
+      "every write path — batch staging, static overwrite, and the " +
+      "streaming/delta fan-out render one spelling or none") {
+    val wh = Files.createTempDirectory("graft-sqlcat-pval").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.pv (k BIGINT, tag STRING) PARTITIONED BY (tag)")
+    ss.range(4).select($"id".as("k"),
+      concat(lit("a:"), $"id".cast("string")).as("tag"))
+      .createOrReplaceTempView("pvbad")
+    // ':' escapes to %3A under partitionBy but decodes raw — refuse
+    // the whole statement before anything commits
+    val e = intercept[Exception](
+      ss.sql("INSERT INTO g.pv SELECT * FROM pvbad"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("path-literal"), msgs(e))
+    assert(ss.sql("SELECT * FROM g.pv").collect().isEmpty,
+      "a refused insert commits nothing")
+    // NULL partition values refuse (no default-partition leaves)
+    ss.range(2).select($"id".as("k"),
+      when($"id" === 0, null).otherwise(lit("ok")).cast("string")
+        .as("tag")).createOrReplaceTempView("pvnull")
+    val eN = intercept[Exception](
+      ss.sql("INSERT INTO g.pv SELECT * FROM pvnull"))
+    assert(msgs(eN).contains("NULL partition value"), msgs(eN))
+    // plain values land raw and read back exactly
+    ss.range(3).select($"id".as("k"),
+      concat(lit("t-"), $"id".cast("string")).as("tag"))
+      .createOrReplaceTempView("pvok")
+    ss.sql("INSERT INTO g.pv SELECT * FROM pvok")
+    val got = ss.sql("SELECT k, tag FROM g.pv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0L until 3L).map(k => (k, s"t-$k")).toSet, s"$got")
+  }
+
+  test("atomic CTAS / RTAS: the result builds in a hidden staging dir " +
+      "and publishes with ONE rename — a failed CTAS leaves no table " +
+      "(and no visible dir), REPLACE swaps content and schema, " +
+      "partitioned CTAS lands the Hive-leaf layout") {
+    val wh = Files.createTempDirectory("graft-sqlcat-ctas").toString
+    val ss = sqlSession(wh)
+    val fs = new Path(wh).getFileSystem(ss.sparkContext.hadoopConfiguration)
+    ss.range(10).select($"id".as("k"), ($"id" * 2).as("v"))
+      .createOrReplaceTempView("ctsrc")
+    ss.sql("CREATE TABLE g.ct AS SELECT k, v FROM ctsrc WHERE k < 5")
+    def rows(t: String) = ss.sql(s"SELECT * FROM $t").collect()
+    assert(rows("g.ct").map(r => (r.getLong(0), r.getLong(1))).toSet
+      == (0L until 5L).map(k => (k, k * 2)).toSet)
+    // a FAILED CTAS publishes nothing: no table, no visible dir
+    intercept[Exception](ss.sql(
+      "CREATE TABLE g.bad AS SELECT k, assert_true(k < 5) AS chk " +
+        "FROM ctsrc"))
+    intercept[Exception](ss.table("g.bad").collect())
+    assert(!fs.exists(new Path(s"$wh/bad")), "failed CTAS left a dir")
+    val listed = ss.sql("SHOW TABLES IN g").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("ct") && !listed.contains("bad") &&
+      !listed.exists(_.startsWith(".")), s"$listed")
+    // RTAS: content AND schema swap; the old content is unreachable
+    ss.sql("REPLACE TABLE g.ct AS SELECT k, CAST(k AS STRING) AS name " +
+      "FROM ctsrc WHERE k >= 8")
+    assert(rows("g.ct").map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((8L, "8"), (9L, "9")))
+    // CREATE OR REPLACE on a table that doesn't exist yet = CREATE
+    ss.sql("CREATE OR REPLACE TABLE g.cor AS SELECT 1 AS one")
+    assert(rows("g.cor").map(_.getInt(0)).toSeq == Seq(1))
+    // partitioned CTAS: the Hive-leaf layout with per-leaf commit logs
+    ss.sql("CREATE TABLE g.ctp PARTITIONED BY (day) AS " +
+      "SELECT k, CAST(k % 2 + 1 AS INT) AS day FROM ctsrc")
+    assert(fs.exists(new Path(s"$wh/ctp/day=1/_graft_log")),
+      "partitioned CTAS must land per-leaf commit logs")
+    assert(ss.sql("SELECT count(*) FROM g.ctp WHERE day = 2")
+      .head.getLong(0) == 5L)
+    // the staged shape is the ordinary table: inserts after CTAS work
+    ss.sql("INSERT INTO g.ct SELECT 100, 'x'")
+    assert(rows("g.ct").length == 3)
+  }
+
+  test("post-hoc key declaration VALIDATES uniqueness + non-null over " +
+      "the existing data — duplicates and NULLs refuse loudly; " +
+      "'key.validate'='false' opts out for the huge-table case") {
+    val wh = Files.createTempDirectory("graft-sqlcat-keyval").toString
+    val ss = sqlSession(wh)
+    // duplicate-carrying column refuses
+    ss.sql("CREATE TABLE g.dup (k BIGINT, v BIGINT)")
+    ss.range(5).select(($"id" % 3).as("k"), $"id".as("v"))
+      .createOrReplaceTempView("dupsrc")
+    ss.sql("INSERT INTO g.dup SELECT * FROM dupsrc")
+    val eDup = intercept[Exception](
+      ss.sql("ALTER TABLE g.dup SET TBLPROPERTIES ('key'='k')"))
+    assert(eDup.getMessage.contains("distinct"), eDup.getMessage)
+    intercept[Exception](ss.sql("UPDATE g.dup SET v = 0 WHERE k = 1"))
+    // NULL-carrying column refuses
+    ss.sql("CREATE TABLE g.nul (k BIGINT, v BIGINT)")
+    ss.range(5).select(when($"id" === 2, null).otherwise($"id")
+      .cast("bigint").as("k"), $"id".as("v"))
+      .createOrReplaceTempView("nulsrc")
+    ss.sql("INSERT INTO g.nul SELECT * FROM nulsrc")
+    val eNul = intercept[Exception](
+      ss.sql("ALTER TABLE g.nul SET TBLPROPERTIES ('key'='k')"))
+    assert(eNul.getMessage.contains("NULL"), eNul.getMessage)
+    // the documented opt-out: same statement, directive consumed not
+    // stored — the declaration lands despite the duplicates
+    ss.sql("ALTER TABLE g.dup SET TBLPROPERTIES " +
+      "('key'='k', 'key.validate'='false')")
+    // a clean column still declares (the happy path is unchanged)
+    ss.sql("CREATE TABLE g.ok (k BIGINT, v BIGINT)")
+    ss.range(5).select($"id".as("k"), $"id".as("v"))
+      .createOrReplaceTempView("oksrc")
+    ss.sql("INSERT INTO g.ok SELECT * FROM oksrc")
+    ss.sql("ALTER TABLE g.ok SET TBLPROPERTIES ('key'='k')")
+    ss.sql("UPDATE g.ok SET v = 99 WHERE k = 3")
+    assert(ss.sql("SELECT v FROM g.ok WHERE k = 3").collect()(0)
+      .getLong(0) == 99)
   }
 }
