@@ -204,6 +204,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(dir.toString, s"$ident@v$v", schema, asOf = Some(v))
   }
 
+  /** `SELECT ... FROM t TIMESTAMP AS OF <ts>`: resolve the newest
+    * commit whose manifest landed at or before the timestamp (Spark
+    * hands MICROSECONDS since epoch; the commit clock is the log
+    * file's mtime — see [[ManifestCommit.versionAt]]), then serve the
+    * ordinary pinned-version read: that version's sidecars subtract,
+    * the schema is as recorded THEN, writes refuse. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catName +: ident.namespace() :+ ident.name()).toSeq)
+    require(GraftTableMeta.read(fs, dir).forall(_.partitionCols.isEmpty),
+      s"graft catalog: TIMESTAMP AS OF on partitioned $ident is not " +
+        "supported — each leaf has its own commit history; pin a " +
+        "per-leaf version through the library (readTableAt)")
+    val tsMs = timestamp / 1000L
+    val v = ManifestCommit.versionAt(fs, dir, tsMs).getOrElse(sys.error(
+      s"graft catalog: $ident has no commit at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMs)} — either the table " +
+        "is younger, or pruneLog dropped the era (log retention is " +
+        "the time-travel horizon)"))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -795,6 +818,14 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
+  // surface the declared row identity so DESCRIBE EXTENDED / SHOW
+  // TBLPROPERTIES report it and SHOW CREATE TABLE round-trips: the
+  // emitted TBLPROPERTIES ('key'='k') re-declares the key on replay
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    key.foreach(m.put("key", _))
+    m
+  }
   override def partitioning(): Array[Transform] =
     partCols.map(c => org.apache.spark.sql.connector.expressions
       .Expressions.identity(c)).toArray

@@ -349,6 +349,25 @@ object ManifestCommit {
       .flatMap(st => versionOf(st.getPath.getName)).sorted
   }
 
+  /** The newest committed version whose manifest LANDED at or before
+    * `tsMs` — the `TIMESTAMP AS OF` resolution step. The commit clock
+    * is the log file's filesystem mtime (stamped by the atomic
+    * write-then-rename publish — the only wall clock a
+    * zero-metadata-store log carries), so resolution is bounded by
+    * the filesystem's timestamp granularity; the versions themselves
+    * stay the precise history. One log LIST, no manifest parses.
+    * None when the oldest surviving manifest is already newer than
+    * `tsMs` (pruneLog retention is the time-travel horizon). */
+  def versionAt(fs: FileSystem, partition: Path,
+      tsMs: Long): Option[Long] = {
+    val dir = logDir(partition)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toIndexedSeq
+      .flatMap(st => versionOf(st.getPath.getName)
+        .map(_ -> st.getModificationTime))
+      .filter(_._2 <= tsMs).map(_._1).maxOption
+  }
+
   /** The COMPLETE committed head state of one partition from ONE log
     * LIST + ONE manifest parse — what the per-facet accessors
     * ([[currentSnapshot]], [[currentFileStats]], [[currentDvs]],

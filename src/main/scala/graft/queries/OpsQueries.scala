@@ -1677,6 +1677,23 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice, tag
         FROM graftsql.db.orders_adel ORDER BY o_orderkey""")
     }),
+    // TIMESTAMP AS OF: a wall timestamp captured between the full
+    // load and the DV delete resolves (manifest-mtime clock) to the
+    // pre-delete commit — the read equals the full load even though
+    // the live table has the box range subtracted
+    "q282_sql_time_travel_ts" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      val ts: Long = sqlDelPreTs.get(d)
+      ss.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graftsql.db.orders_del
+        TIMESTAMP AS OF timestamp_millis($ts)
+        ORDER BY o_orderkey""")
+    }),
     // atomic CTAS: CREATE TABLE AS SELECT builds the result in a
     // hidden staging sibling (its own manifest log) and publishes
     // with one rename — a failed CTAS leaves no table (spec-pinned)
@@ -2710,6 +2727,8 @@ object OpsQueries {
 
   private val sqlPartSunk =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sqlDelPreTs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[queries] def ensureSqlWarehouse(s: SparkSession,
       d: String): String =
@@ -2740,6 +2759,13 @@ object OpsQueries {
         (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
       ss.sql("""INSERT INTO graftsql.db.orders_del
         SELECT * FROM orders_src_q267""")
+      // q282's clock: a wall timestamp BETWEEN the full load and the
+      // delete — TIMESTAMP AS OF resolves it to the pre-delete commit.
+      // The commit clock is the manifest file's mtime (ms granularity),
+      // so leave a beat on each side of the capture.
+      Thread.sleep(30)
+      sqlDelPreTs.put(d, System.currentTimeMillis())
+      Thread.sleep(30)
       ss.sql("DELETE FROM graftsql.db.orders_del " +
         s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
       // q272/q273's table: PARTITIONED BY day — each leaf its own
@@ -6494,6 +6520,10 @@ object OpsQueries {
            AND NOT (tag IN ('t1', 't5') OR o_orderkey = b.klo)
            AND NOT (tag LIKE 't6%' AND o_totalprice >= 1000.0)
          ORDER BY o_orderkey""",
+    // the pre-delete snapshot == the full load == base orders
+    "q282_sql_time_travel_ts" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
     // the CTAS table holds exactly the SELECT it was created from
     "q281_sql_ctas" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS half_price

@@ -827,6 +827,13 @@ class SqlCatalogSpec extends SparkSpec {
     // keyless: UPDATE has no row-level path
     intercept[Exception](ss.sql("UPDATE g.sk SET v = 0 WHERE k = 1"))
     ss.sql("ALTER TABLE g.sk SET TBLPROPERTIES ('key'='k')")
+    // the declared identity SURFACES: SHOW TBLPROPERTIES reports it
+    // and SHOW CREATE TABLE round-trips it
+    val props = ss.sql("SHOW TBLPROPERTIES g.sk").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("key").contains("k"), s"$props")
+    assert(ss.sql("SHOW CREATE TABLE g.sk").head.getString(0)
+      .contains("'key' = 'k'"))
     ss.sql("UPDATE g.sk SET v = v + 100 WHERE k <= 2")
     def rows = ss.sql("SELECT k, v FROM g.sk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -986,6 +993,83 @@ class SqlCatalogSpec extends SparkSpec {
     val got = ss.sql("SELECT k, tag FROM g.pv").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == (0L until 3L).map(k => (k, s"t-$k")).toSet, s"$got")
+  }
+
+  test("LeafPar attempts EVERY leaf and rethrows the first failure — " +
+      "a failing leaf never strands later leaves half-scheduled") {
+    val hit = new java.util.concurrent.atomic.AtomicInteger
+    val e = intercept[RuntimeException](
+      graft.lake.LeafPar.foreach(1 to 20) { i =>
+        if (i % 5 == 0) sys.error(s"boom $i") else hit.incrementAndGet()
+      })
+    assert(e.getMessage.startsWith("boom"), e.getMessage)
+    assert(hit.get() == 16, s"${hit.get()} leaves ran")
+    // par=1 restores strict order (the sys-prop escape hatch)
+    sys.props("graft.leaf.par") = "1"
+    try {
+      val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+      graft.lake.LeafPar.foreach(1 to 5)(order += _)
+      assert(order.toSeq == (1 to 5), s"$order")
+    } finally sys.props.remove("graft.leaf.par")
+  }
+
+  test("MERGE ... WHEN NOT MATCHED BY SOURCE: unmatched target rows " +
+      "delete/update through the same one-commit delta path") {
+    val wh = Files.createTempDirectory("graft-sqlcat-nmbs").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.ms (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    ss.range(6).select($"id".as("k"), ($"id" * 10).as("v"))
+      .createOrReplaceTempView("mstgt")
+    ss.sql("INSERT INTO g.ms SELECT * FROM mstgt")
+    ss.range(3).select($"id".as("k"), lit(7L).as("v"))
+      .createOrReplaceTempView("mssrc")
+    // matched rows take the source value; target rows ABSENT from the
+    // source are deleted — one statement, exact
+    ss.sql("""MERGE INTO g.ms t USING mssrc s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = ss.sql("SELECT k, v FROM g.ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 7L), (1L, 7L), (2L, 7L)), s"$got")
+    // the conditional flavor: only some unmatched rows update
+    ss.range(2).select($"id".as("k"), lit(0L).as("v"))
+      .createOrReplaceTempView("mssrc2")
+    ss.sql("""MERGE INTO g.ms t USING mssrc2 s ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN UPDATE SET v = 99""")
+    val got2 = ss.sql("SELECT k, v FROM g.ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((0L, 7L), (1L, 7L), (2L, 99L)), s"$got2")
+  }
+
+  test("TIMESTAMP AS OF: resolves the newest commit at or before the " +
+      "timestamp (manifest-mtime clock) and serves that snapshot — " +
+      "the pre-delete state reads whole; a pre-table timestamp " +
+      "refuses loudly") {
+    val wh = Files.createTempDirectory("graft-sqlcat-tsaof").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.tt (k BIGINT)")
+    Thread.sleep(25) // commit-clock granularity is the FS mtime (ms)
+    val tEmpty = System.currentTimeMillis()
+    ss.range(5).select($"id".as("k")).createOrReplaceTempView("ttsrc")
+    ss.sql("INSERT INTO g.tt SELECT * FROM ttsrc")
+    Thread.sleep(25)
+    val tLoaded = System.currentTimeMillis()
+    Thread.sleep(25)
+    ss.sql("DELETE FROM g.tt WHERE k >= 3 AND k <= 4")
+    def at(ms: Long) = ss.sql(
+      s"SELECT k FROM g.tt TIMESTAMP AS OF timestamp_millis($ms)")
+      .collect().map(_.getLong(0)).toSet
+    assert(at(tLoaded) == (0L until 5L).toSet,
+      "the pre-delete snapshot must read whole")
+    assert(at(System.currentTimeMillis()) == Set(0L, 1L, 2L),
+      "a now-timestamp reads the live state")
+    assert(at(tEmpty).isEmpty,
+      "a post-create pre-insert timestamp reads the empty table")
+    val e = intercept[Exception](at(1000L))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("no commit at or before"), msgs(e))
   }
 
   test("atomic CTAS / RTAS: the result builds in a hidden staging dir " +
