@@ -26,17 +26,22 @@ import graft.sources.{FeedFilePartition, FeedReaderFactory, FeedSource, TableFee
   * unlocks SQL UPDATE/MERGE. One tiny file (`_graft_table`) in the
   * table dir, written atomically (write-then-rename), read in one GET
   * at table open. Plain-lines format: partition cols CSV (may be
-  * empty), key (or `-`), then the schema JSON. Tables without the file
-  * (created by library calls or pre-round-14 SQL) keep the legacy
-  * manifest-schema path. */
+  * empty), key (or `-`), the schema JSON, then (round 15+) the
+  * tombstoned column names CSV — names retired by DROP COLUMN, never
+  * reusable: without column IDs an ADD of a dropped name would
+  * resurface the old files' values under the new column. Tables
+  * without the file (created by library calls or pre-round-14 SQL)
+  * keep the legacy manifest-schema path; three-line files read with
+  * no tombstones. */
 private[graft] object GraftTableMeta {
   val FileName = "_graft_table"
   case class Meta(schema: StructType, partitionCols: Seq[String],
-      key: Option[String])
+      key: Option[String], dropped: Seq[String] = Nil)
 
   def write(fs: FileSystem, dir: Path, meta: Meta): Unit = {
     val txt = meta.partitionCols.mkString(",") + "\n" +
-      meta.key.getOrElse("-") + "\n" + meta.schema.json + "\n"
+      meta.key.getOrElse("-") + "\n" + meta.schema.json + "\n" +
+      meta.dropped.mkString(",") + "\n"
     val dst = new Path(dir, FileName)
     val tmp = new Path(dir,
       s".$FileName.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -53,13 +58,18 @@ private[graft] object GraftTableMeta {
       val in = fs.open(p)
       try in.readAllBytes() finally in.close()
     }, "UTF-8")
-    val lines = txt.split("\n", 3)
-    require(lines.length == 3, s"torn table metadata at $p")
+    val lines = txt.split("\n", 4)
+    require(lines.length >= 3, s"torn table metadata at $p")
     Some(Meta(
       org.apache.spark.sql.types.DataType.fromJson(lines(2).trim)
         .asInstanceOf[StructType],
       lines(0).trim match { case "" => Nil; case s => s.split(",").toSeq },
-      lines(1).trim match { case "-" => None; case k => Some(k) }))
+      lines(1).trim match { case "-" => None; case k => Some(k) },
+      if (lines.length < 4) Nil
+      else lines(3).trim match {
+        case "" => Nil
+        case s  => s.split(",").toSeq
+      }))
   }
 }
 
@@ -396,10 +406,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => false
     }
     var keyNext: Option[Option[String]] = None // Some(new key state)
+    val tomb = meta.map(_.dropped).getOrElse(Nil)
+    val keyNow = meta.flatMap(_.key)
+    // DROP COLUMN: metadata-only — the recorded schema narrows, every
+    // reader projects by name and never requests the column again; the
+    // bytes stay in old files, so the NAME is tombstoned forever
+    // (without column IDs, a re-ADD would resurface the old values).
+    // ALTER COLUMN TYPE: widening only ([[ManifestCommit.widens]]) —
+    // old files stay narrow and promote per file in both reader tiers.
+    val dropNow = changes.collect { case dc: TableChange.DeleteColumn =>
+      require(dc.fieldNames().length == 1,
+        "graft catalog: nested DROP COLUMN is not supported")
+      val c = dc.fieldNames()(0)
+      require(prev.schema().fieldNames.contains(c),
+        s"graft catalog: no column '$c' in $ident")
+      require(!parts.contains(c),
+        s"graft catalog: cannot DROP partition column '$c' — the " +
+          "table's leaf layout is keyed by it")
+      require(!keyNow.contains(c),
+        s"graft catalog: cannot DROP key column '$c' — UNSET " +
+          "TBLPROPERTIES ('key') first")
+      c
+    }
+    val widenNow: Map[String, org.apache.spark.sql.types.DataType] =
+      changes.collect { case uc: TableChange.UpdateColumnType =>
+        require(uc.fieldNames().length == 1,
+          "graft catalog: nested ALTER COLUMN is not supported")
+        val c = uc.fieldNames()(0)
+        val from = prev.schema().fields.find(_.name == c).getOrElse(
+          sys.error(s"graft catalog: no column '$c' in $ident")).dataType
+        require(!parts.contains(c),
+          s"graft catalog: cannot retype partition column '$c' — leaf " +
+            "directory values are typed by it")
+        require(!keyNow.contains(c),
+          s"graft catalog: cannot retype key column '$c' — it is the " +
+            "row identity of every committed delta")
+        require(ManifestCommit.widens(from, uc.newDataType()),
+          s"graft catalog: ALTER COLUMN '$c' $from -> " +
+            s"${uc.newDataType()} is not a lossless widening — only " +
+            "byte/short/int->long, float->double and sub-long " +
+            "integrals->double read back exactly from committed files")
+        c -> uc.newDataType()
+      }.toMap
     val added = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN is not supported")
+        require(!tomb.contains(a.fieldNames()(0)) &&
+          !dropNow.contains(a.fieldNames()(0)),
+          s"graft catalog: column name '${a.fieldNames()(0)}' was " +
+            s"DROPped from $ident and is retired — old files still " +
+            "carry its bytes, and re-adding the name would resurface " +
+            "them as the new column's values; pick a fresh name")
         Some(org.apache.spark.sql.types
           .StructField(a.fieldNames()(0), a.dataType(), nullable = true))
       case p: TableChange.SetProperty if p.property == "key" =>
@@ -430,32 +488,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         keyNext = Some(None); None
       case p: TableChange.RemoveProperty
           if p.property == "key.validate" => None
-      case other => sys.error("graft catalog: only additive ADD COLUMN " +
-        s"and SET/UNSET TBLPROPERTIES ('key') are supported (got " +
-        s"${other.getClass.getSimpleName}) — drops/retypes would make " +
-        "the recorded schema lie about committed files")
+      case _: TableChange.DeleteColumn => None     // handled above
+      case _: TableChange.UpdateColumnType => None // handled above
+      case other => sys.error("graft catalog: only ADD COLUMN, DROP " +
+        "COLUMN, widening ALTER COLUMN TYPE and SET/UNSET " +
+        s"TBLPROPERTIES ('key') are supported (got " +
+        s"${other.getClass.getSimpleName}) — renames need column " +
+        "mapping, and a narrowing retype would make the recorded " +
+        "schema lie about committed files")
     }
     val key = keyNext.getOrElse(meta.flatMap(_.key))
     // partition columns trail: added data columns slot in BEFORE them;
+    // drops and widenings rewrite the surviving data fields in place;
     // the key (and, when keyed, the partition columns) ride
     // non-nullable — the rowId contract
-    val (dataF, partF) =
+    val (dataF0, partF) =
       prev.schema().fields.splitAt(prev.schema().length - parts.length)
+    val dataF = dataF0.filterNot(f => dropNow.contains(f.name))
+      .map(f => widenNow.get(f.name).fold(f)(t => f.copy(dataType = t)))
+    require(dataF.nonEmpty || added.nonEmpty,
+      s"graft catalog: DROP COLUMN would leave $ident with no data " +
+        "columns")
     val next = StructType((dataF ++ added ++ partF).map(f =>
       if (key.contains(f.name) ||
           (key.isDefined && parts.contains(f.name)))
         f.copy(nullable = false)
       else f))
-    if (parts.isEmpty) ManifestCommit.alterSchema(fs, dir, next)
-    else if (added.nonEmpty) { // evolve every leaf's recorded schema
+    if (parts.isEmpty) ManifestCommit.alterSchema(fs, dir, next,
+      allowDrop = dropNow.toSet, allowWiden = widenNow.nonEmpty)
+    else if (added.nonEmpty || dropNow.nonEmpty || widenNow.nonEmpty) {
+      // evolve every leaf's recorded schema
       val dataNext = StructType(dataF ++ added)
       TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach { rel =>
-        ManifestCommit.alterSchema(fs, new Path(dir, rel), dataNext)
+        ManifestCommit.alterSchema(fs, new Path(dir, rel), dataNext,
+          allowDrop = dropNow.toSet, allowWiden = widenNow.nonEmpty)
       }
     }
-    if (meta.isDefined || parts.nonEmpty || key.isDefined)
+    val dropped = tomb ++ dropNow
+    if (meta.isDefined || parts.nonEmpty || key.isDefined ||
+        dropped.nonEmpty)
       GraftTableMeta.write(fs, dir,
-        GraftTableMeta.Meta(next, parts, key))
+        GraftTableMeta.Meta(next, parts, key, dropped))
     if (key.isDefined)
       new GraftSqlKeyedTable(dir.toString, ident.toString, next, key.get,
         parts)

@@ -519,22 +519,58 @@ object ManifestCommit {
     schema
   }
 
+  /** Does a parquet file written as `from` read losslessly as `to`
+    * WITHOUT rewriting — the type-widening set BOTH readers honor
+    * (the stock vectorized/row parquet readers promote these per file,
+    * and the Group-API feed reader converts explicitly)? Integral
+    * promotions up to long, float→double, and sub-long integrals to
+    * double. Nothing narrowing, nothing lossy (long→double drops
+    * precision past 2^53 and stays refused). */
+  def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(f) < intRank(t)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) => intRank.get(f).exists(_ <= 3)
+      case _ => false
+    }
+  }
+
   /** Explicit ALTER-style schema evolution: commit `next` as the
-    * partition's recorded schema. Additive-compatible only — every
-    * ALREADY-recorded column must survive with its exact type (readers
-    * mergeSchema old files either way; a type change or a drop would
-    * make the recorded schema lie about committed data). New columns
-    * read as NULL from pre-evolution files. One driver-side meta
-    * commit; no data file moves. */
+    * partition's recorded schema. Additive-compatible by default —
+    * every ALREADY-recorded column must survive with its exact type
+    * (readers mergeSchema old files either way; a silent type change
+    * or drop would make the recorded schema lie about committed data).
+    * New columns read as NULL from pre-evolution files. Two EXPLICIT
+    * non-additive escapes (the SQL ALTER surface's DROP COLUMN /
+    * ALTER COLUMN TYPE, each metadata-only):
+    *  - a recorded column named in `allowDrop` may disappear — old
+    *    files keep the bytes, every reader projects by name and never
+    *    requests them again (the caller owns tombstoning the name so
+    *    a later re-add cannot resurface them);
+    *  - with `allowWiden` a recorded column may take a WIDER type
+    *    ([[widens]]) — old files stay narrow and promote per file at
+    *    read time in both reader tiers.
+    * One driver-side meta commit; no data file moves. */
   def alterSchema(fs: FileSystem, partition: Path,
-      next: org.apache.spark.sql.types.StructType): Snapshot = {
+      next: org.apache.spark.sql.types.StructType,
+      allowDrop: Set[String] = Set.empty,
+      allowWiden: Boolean = false): Snapshot = {
     currentSchema(fs, partition).foreach { prev =>
       val nf = next.map(f => f.name -> f.dataType).toMap
       prev.foreach { f =>
-        require(nf.get(f.name).contains(f.dataType),
+        require(nf.get(f.name).contains(f.dataType) ||
+          (nf.get(f.name).isEmpty && allowDrop.contains(f.name)) ||
+          nf.get(f.name).exists(t => allowWiden &&
+            widens(f.dataType, t)),
           s"alterSchema: recorded column ${f.name}: ${f.dataType} " +
             s"missing or retyped in ${next.simpleString} — evolution " +
-            "must be additive")
+            "must be additive (drops/widenings only through the " +
+            "explicit allowDrop/allowWiden escapes)")
       }
     }
     val prevNames = currentSchema(fs, partition)
@@ -1766,8 +1802,15 @@ object ManifestCommit {
         .forall(s => s.max >= lo && s.min <= hi)
     }
     if (touched.isEmpty) return (0, 0L)
-    // the doomed positions: only keyCol + the row index leave the scan
-    val dv = spark.read
+    // the doomed positions: only keyCol + the row index leave the scan.
+    // The RECORDED schema drives the read when present — after a
+    // widening ALTER the touched set mixes narrow and wide files, and
+    // footer inference would pick one width at random (a narrow pick
+    // then throws on the wide files); the recorded width promotes
+    // every file exactly
+    val rdr = currentSchema(fs, partition)
+      .fold(spark.read)(spark.read.schema)
+    val dv = rdr
       .parquet(touched.map(new Path(partition, _).toString): _*)
       .select(col("_metadata.file_name").as("file"),
         col("_metadata.row_index").as("pos"), col(keyCol).as("k"))
@@ -1805,8 +1848,11 @@ object ManifestCommit {
     }
     if (touched.isEmpty) return (0, 0L)
     // grafted names keep the projection collision-free when the data
-    // itself carries `file`/`pos` columns
-    val dv = spark.read
+    // itself carries `file`/`pos` columns; the recorded schema drives
+    // the read (see deleteWhereDV — mixed-width files after a widening
+    // ALTER must promote, not race footer inference)
+    val dv = currentSchema(fs, partition)
+      .fold(spark.read)(spark.read.schema)
       .parquet(touched.map(new Path(partition, _).toString): _*)
       .select(col("_metadata.file_name").as("_graft_dv_file"),
         col("_metadata.row_index").as("_graft_dv_pos"), col("*"))

@@ -1707,6 +1707,32 @@ object OpsQueries {
       ss.sql("""SELECT o_orderkey, o_custkey, half_price
         FROM graftsql.db.orders_ctas ORDER BY o_orderkey""")
     }),
+    // DROP COLUMN: metadata-only — one meta commit narrows the
+    // recorded schema, no data file moves; pre-drop files, post-drop
+    // files and a post-drop DV delete all serve the surviving columns
+    "q283_sql_drop_column" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_totalprice
+        FROM graftsql.db.orders_dropc ORDER BY o_orderkey""")
+    }),
+    // Widening ALTER COLUMN TYPE: metadata-only — INT32/FLOAT files
+    // written before the widen promote per file at read time (both
+    // reader tiers), post-widen files land wide, one table
+    "q284_sql_widen_column" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graftsql.db.orders_widen ORDER BY o_orderkey""")
+    }),
     // SQL INSERT OVERWRITE: the whole table swaps in ONE
     // KindOverwrite commit — old files consumed, the live deletion
     // vector dropped with them — and the read serves exactly the new
@@ -2874,6 +2900,44 @@ object OpsQueries {
       ss.sql("""CREATE TABLE graftsql.db.orders_ctas AS
         SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS half_price
         FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      // q283's table: DROP COLUMN is metadata-only — the recorded
+      // schema narrows in one meta commit, no data file moves; files
+      // written before AND after the drop serve the surviving columns,
+      // and a post-drop DV delete proves the merge-on-read tier reads
+      // the narrowed schema too
+      ss.sql("""CREATE TABLE graftsql.db.orders_dropc
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_dropc
+        SELECT * FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      ss.sql("ALTER TABLE graftsql.db.orders_dropc DROP COLUMN o_custkey")
+      ss.sql("""INSERT INTO graftsql.db.orders_dropc
+        SELECT o_orderkey, o_totalprice FROM orders_src_q267
+        WHERE o_orderkey % 2 = 1""")
+      ss.sql("DELETE FROM graftsql.db.orders_dropc " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      // q284's table: widening ALTER COLUMN TYPE is metadata-only —
+      // the first wave's files stay INT32/FLOAT on disk and promote
+      // per file at read time (vectorized tier), the second wave lands
+      // wide, and a post-widen DV delete routes mixed-width files
+      // through the merge-on-read tier's explicit promotion
+      ss.sql("""CREATE TABLE graftsql.db.orders_widen
+        (o_orderkey INT, o_custkey INT, o_totalprice FLOAT)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_widen
+        SELECT CAST(o_orderkey AS INT), CAST(o_custkey AS INT),
+          CAST(o_totalprice AS FLOAT)
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      ss.sql("ALTER TABLE graftsql.db.orders_widen " +
+        "ALTER COLUMN o_orderkey TYPE BIGINT")
+      ss.sql("ALTER TABLE graftsql.db.orders_widen " +
+        "ALTER COLUMN o_custkey TYPE DOUBLE")
+      ss.sql("ALTER TABLE graftsql.db.orders_widen " +
+        "ALTER COLUMN o_totalprice TYPE DOUBLE")
+      ss.sql("""INSERT INTO graftsql.db.orders_widen
+        SELECT o_orderkey, CAST(o_custkey AS DOUBLE),
+          CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
+      ss.sql("DELETE FROM graftsql.db.orders_widen " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
       wh
     })
 
@@ -6524,6 +6588,29 @@ object OpsQueries {
     "q282_sql_time_travel_ts" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    // post-drop: both insert waves' surviving columns, minus the box
+    // range the DV delete subtracted
+    "q283_sql_drop_column" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         s AS (SELECT klo + (khi - klo) // 4 AS dlo,
+             klo + (khi - klo) // 2 AS dhi FROM b)
+         SELECT o_orderkey, o_totalprice
+         FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
+         ORDER BY o_orderkey""",
+    // post-widen: wave 1 round-tripped through INT/FLOAT (the float
+    // promotion is exact IEEE widening, recomputed here), wave 2
+    // native-wide, minus the DV-deleted box range
+    "q284_sql_widen_column" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         s AS (SELECT klo + (khi - klo) // 4 AS dlo,
+             klo + (khi - klo) // 2 AS dhi FROM b)
+         SELECT o_orderkey,
+           CAST(o_custkey AS DOUBLE) AS o_custkey,
+           CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice
+         FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
+         ORDER BY o_orderkey""",
     // the CTAS table holds exactly the SELECT it was created from
     "q281_sql_ctas" ->
       """SELECT o_orderkey, o_custkey, o_totalprice * 0.5 AS half_price

@@ -674,6 +674,39 @@ private[graft] class FeedReaderFactory(tableSchema: StructType,
       // reproduces parquet `_metadata.row_index`
       private var rowIdx: Long = -1L
 
+      // the FILE's primitive type per field, resolved once per reader:
+      // a recorded-schema column may be WIDER than what an old file
+      // stores (ALTER COLUMN TYPE widening is metadata-only), so value
+      // extraction promotes per file instead of trusting the requested
+      // type — exactly what the stock parquet readers do on the
+      // vectorized tier
+      private var ftypes: java.util.HashMap[String,
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
+      private def fileTypeOf(g: org.apache.parquet.example.data.Group,
+          name: String)
+          : org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName = {
+        if (ftypes == null) {
+          ftypes = new java.util.HashMap()
+          val t = g.getType
+          var j = 0
+          while (j < t.getFieldCount) {
+            val ft = t.getType(j)
+            if (ft.isPrimitive)
+              ftypes.put(t.getFieldName(j),
+                ft.asPrimitiveType().getPrimitiveTypeName)
+            j += 1
+          }
+        }
+        ftypes.get(name)
+      }
+      private def longOf(g: org.apache.parquet.example.data.Group,
+          name: String): Long = {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        if (fileTypeOf(g, name) == PrimitiveTypeName.INT32)
+          g.getInteger(name, 0).toLong
+        else g.getLong(name, 0)
+      }
+
       private def keep(g: org.apache.parquet.example.data.Group): Boolean =
         p.deletePredicate match {
           case None => true
@@ -681,7 +714,7 @@ private[graft] class FeedReaderFactory(tableSchema: StructType,
             // NULL keys and out-of-range rows were carried forward by
             // the rewrite — they were never deleted
             g.getFieldRepetitionCount(c) > 0 && {
-              val v = g.getLong(c, 0)
+              val v = longOf(g, c)
               v >= lo && v <= hi
             }
         }
@@ -735,9 +768,17 @@ private[graft] class FeedReaderFactory(tableSchema: StructType,
             if (!filePresent.contains(f.name) ||
               current.getFieldRepetitionCount(f.name) == 0) null
             else f.dataType match {
-              case LongType    => current.getLong(f.name, 0)
+              case LongType    => longOf(current, f.name)
               case IntegerType => current.getInteger(f.name, 0)
-              case DoubleType  => current.getDouble(f.name, 0)
+              case DoubleType  =>
+                import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                fileTypeOf(current, f.name) match {
+                  case PrimitiveTypeName.FLOAT =>
+                    current.getFloat(f.name, 0).toDouble
+                  case PrimitiveTypeName.INT32 =>
+                    current.getInteger(f.name, 0).toDouble
+                  case _ => current.getDouble(f.name, 0)
+                }
               case FloatType   => current.getFloat(f.name, 0)
               case BooleanType => current.getBoolean(f.name, 0)
               case StringType  =>

@@ -995,6 +995,130 @@ class SqlCatalogSpec extends SparkSpec {
     assert(got == (0L until 3L).map(k => (k, s"t-$k")).toSet, s"$got")
   }
 
+  test("DROP COLUMN is metadata-only: pre- and post-drop files serve " +
+      "the surviving columns, the name is tombstoned (a re-ADD would " +
+      "resurface old bytes), key/partition columns refuse") {
+    val wh = Files.createTempDirectory("graft-sqlcat-drop").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.dc (k BIGINT, a BIGINT, b STRING)")
+    ss.range(4).select($"id".as("k"), ($"id" * 10).as("a"),
+      concat(lit("x"), $"id").as("b")).createOrReplaceTempView("dcsrc")
+    ss.sql("INSERT INTO g.dc SELECT * FROM dcsrc")
+    val dir = new Path(s"$wh/dc")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val filesBefore = ManifestCommit.currentSnapshot(fs, dir).get.files
+    ss.sql("ALTER TABLE g.dc DROP COLUMN a")
+    // no data file moved — the drop was ONE meta commit
+    assert(ManifestCommit.currentSnapshot(fs, dir).get.files ==
+      filesBefore)
+    assert(ManifestCommit.currentSchema(fs, dir).get.fieldNames.toSeq ==
+      Seq("k", "b"))
+    // post-drop inserts land narrow; both waves read
+    ss.sql("INSERT INTO g.dc VALUES (100, 'y')")
+    val got = ss.sql("SELECT k, b FROM g.dc").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0L until 4L).map(k => (k, s"x$k")).toSet +
+      ((100L, "y")), s"$got")
+    assert(ss.table("g.dc").schema.fieldNames.toSeq == Seq("k", "b"))
+    // the NAME is retired: a re-ADD would resurface the old files'
+    // values under the new column
+    val e = intercept[Exception](
+      ss.sql("ALTER TABLE g.dc ADD COLUMN a BIGINT"))
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    ss.sql("ALTER TABLE g.dc ADD COLUMN a2 BIGINT") // fresh name fine
+    // key columns refuse (UNSET first); partition columns refuse
+    ss.sql("CREATE TABLE g.dk (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.dk DROP COLUMN k"))
+      .getMessage.contains("key"))
+    ss.sql("CREATE TABLE g.dp (k BIGINT, day INT) PARTITIONED BY (day)")
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.dp DROP COLUMN day"))
+      .getMessage.contains("partition"))
+  }
+
+  test("DROP COLUMN on a partitioned table narrows every leaf's " +
+      "recorded schema in one statement") {
+    val wh = Files.createTempDirectory("graft-sqlcat-dropp").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.pp (k BIGINT, a BIGINT, day INT) " +
+      "PARTITIONED BY (day)")
+    ss.range(8).select($"id".as("k"), ($"id" * 10).as("a"),
+      ($"id" % 2).cast("int").as("day")).createOrReplaceTempView("ppsrc")
+    ss.sql("INSERT INTO g.pp SELECT * FROM ppsrc")
+    ss.sql("ALTER TABLE g.pp DROP COLUMN a")
+    val dir = new Path(s"$wh/pp")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    Seq("day=0", "day=1").foreach { leaf =>
+      assert(ManifestCommit.currentSchema(fs, new Path(dir, leaf))
+        .get.fieldNames.toSeq == Seq("k"), leaf)
+    }
+    val got = ss.sql("SELECT k, day FROM g.pp").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == (0L until 8L).map(k => (k, (k % 2).toInt)).toSet,
+      s"$got")
+  }
+
+  test("widening ALTER COLUMN TYPE is metadata-only: INT32/FLOAT " +
+      "files promote per file in both reader tiers, filters still " +
+      "push, and narrowing/key/partition retypes refuse") {
+    val wh = Files.createTempDirectory("graft-sqlcat-widen").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.w (k INT, f FLOAT, s STRING)")
+    ss.range(6).select($"id".cast("int").as("k"),
+      ($"id" + 0.25).cast("float").as("f"),
+      concat(lit("r"), $"id").as("s")).createOrReplaceTempView("wsrc")
+    ss.sql("INSERT INTO g.w SELECT * FROM wsrc")
+    val dir = new Path(s"$wh/w")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val filesBefore = ManifestCommit.currentSnapshot(fs, dir).get.files
+    ss.sql("ALTER TABLE g.w ALTER COLUMN k TYPE BIGINT")
+    ss.sql("ALTER TABLE g.w ALTER COLUMN f TYPE DOUBLE")
+    assert(ManifestCommit.currentSnapshot(fs, dir).get.files ==
+      filesBefore) // no rewrite
+    // wave 2 lands wide; the read mixes narrow and wide files
+    ss.sql("INSERT INTO g.w VALUES (100, 9.5, 'r100')")
+    val got = ss.sql("SELECT k, f, s FROM g.w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val want = (0L until 6L).map(i =>
+      (i, (i + 0.25d).toFloat.toDouble, s"r$i")).toSet +
+      ((100L, 9.5d, "r100"))
+    assert(got == want, s"$got")
+    // a filter on the widened column over narrow files still answers
+    // exactly (parquet refuses per-file pushdown on a mismatched
+    // width; Spark re-evaluates post-scan either way)
+    assert(ss.sql("SELECT k FROM g.w WHERE k >= 4").collect()
+      .map(_.getLong(0)).toSet == Set(4L, 5L, 100L))
+    // a DV delete routes the narrow files through the merge-on-read
+    // Group tier, which must promote explicitly
+    ss.sql("DELETE FROM g.w WHERE k >= 2 AND k <= 3")
+    val got2 = ss.sql("SELECT k, f FROM g.w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got2 == Set((0L, 0.25d), (1L, 1.25d),
+      (4L, 4.25d), (5L, 5.25d), (100L, 9.5d)), s"$got2")
+    // refusals: narrowing and non-numeric retypes die in Spark's own
+    // up-cast analysis; an up-cast that is NOT a lossless parquet
+    // widening (long -> decimal) dies on OUR guard; key and partition
+    // columns refuse in the catalog
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.w ALTER COLUMN k TYPE INT"))
+      .getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    intercept[Exception](
+      ss.sql("ALTER TABLE g.w ALTER COLUMN s TYPE BIGINT"))
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.w ALTER COLUMN k TYPE DECIMAL(20,0)"))
+      .getMessage.contains("widening"))
+    ss.sql("CREATE TABLE g.wk (k INT, v INT) TBLPROPERTIES ('key'='k')")
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.wk ALTER COLUMN k TYPE BIGINT"))
+      .getMessage.contains("key"))
+    ss.sql("CREATE TABLE g.wp (k BIGINT, day INT) PARTITIONED BY (day)")
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.wp ALTER COLUMN day TYPE BIGINT"))
+      .getMessage.contains("partition"))
+  }
+
   test("LeafPar attempts EVERY leaf and rethrows the first failure — " +
       "a failing leaf never strands later leaves half-scheduled") {
     val hit = new java.util.concurrent.atomic.AtomicInteger
