@@ -219,22 +219,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * hands MICROSECONDS since epoch; the commit clock is the log
     * file's mtime — see [[ManifestCommit.versionAt]]), then serve the
     * ordinary pinned-version read: that version's sidecars subtract,
-    * the schema is as recorded THEN, writes refuse. */
+    * the schema is as recorded THEN, writes refuse.
+    *
+    * Unlike `VERSION AS OF` (version numbers are per-leaf counters
+    * and mean nothing table-wide), the wall clock IS global, so a
+    * PARTITIONED table time-travels too: each leaf pins to its own
+    * newest commit at or before the timestamp, and a leaf born after
+    * the timestamp contributes nothing. The served schema is the
+    * additive union of what the pinned leaves had recorded THEN
+    * (current declared order; a mid-flight widening fan-out unions to
+    * the widest type — readers promote per file either way). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(
       (catName +: ident.namespace() :+ ident.name()).toSeq)
-    require(GraftTableMeta.read(fs, dir).forall(_.partitionCols.isEmpty),
-      s"graft catalog: TIMESTAMP AS OF on partitioned $ident is not " +
-        "supported — each leaf has its own commit history; pin a " +
-        "per-leaf version through the library (readTableAt)")
     val tsMs = timestamp / 1000L
-    val v = ManifestCommit.versionAt(fs, dir, tsMs).getOrElse(sys.error(
+    def noCommit: Nothing = sys.error(
       s"graft catalog: $ident has no commit at or before " +
         s"${java.time.Instant.ofEpochMilli(tsMs)} — either the table " +
         "is younger, or pruneLog dropped the era (log retention is " +
-        "the time-travel horizon)"))
-    loadTable(ident, v.toString)
+        "the time-travel horizon)")
+    val meta = GraftTableMeta.read(fs, dir)
+    val parts = meta.map(_.partitionCols).getOrElse(Nil)
+    if (parts.isEmpty) {
+      val v = ManifestCommit.versionAt(fs, dir, tsMs).getOrElse(noCommit)
+      loadTable(ident, v.toString)
+    } else {
+      val pinned: Map[String, Long] =
+        TableFeedSource.leafRels(fs, dir).filter(_ != ".")
+          .flatMap(rel => ManifestCommit
+            .versionAt(fs, new Path(dir, rel), tsMs).map(rel -> _))
+          .toMap
+      if (pinned.isEmpty) noCommit
+      // the schema as the pinned leaves recorded it then, in the
+      // current declared order; a type mismatch across leaves can only
+      // be a mid-fan-out widening — union to the widest
+      val declared = meta.get.schema
+      val thenData: Map[String, org.apache.spark.sql.types.DataType] =
+        pinned.toSeq
+          .flatMap { case (rel, v) => ManifestCommit
+            .schemaAt(fs, new Path(dir, rel), v).toSeq.flatMap(_.fields)
+          }
+          .groupMapReduce(_.name)(_.dataType)((a, b) =>
+            if (a == b) a
+            else if (ManifestCommit.widens(a, b)) b
+            else if (ManifestCommit.widens(b, a)) a
+            else sys.error(s"graft catalog: $ident leaves disagree on " +
+              s"a column's type at the pinned versions ($a vs $b) and " +
+              "neither widens the other"))
+      // legacy leaves that predate schema recording contribute nothing
+      // to thenData — fall back to the declared schema rather than
+      // serving a data-column-less table
+      val schemaThen =
+        if (thenData.isEmpty) declared
+        else StructType(declared.fields.flatMap(f =>
+          if (parts.contains(f.name)) Some(f)
+          else thenData.get(f.name).map(t => f.copy(dataType = t))))
+      new GraftSqlTable(dir.toString, s"$ident@t$tsMs", schemaThen,
+        partCols = parts, asOfLeaves = Some(pinned))
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -887,8 +930,10 @@ private[graft] object LeafPar {
   * as ONE merge-on-read [[ManifestCommit.applyChangesDV]] commit. */
 private[graft] class GraftSqlTable(path: String, ident: String,
     tableSchema: StructType, asOf: Option[Long] = None,
-    partCols: Seq[String] = Nil, key: Option[String] = None) extends Table
+    partCols: Seq[String] = Nil, key: Option[String] = None,
+    asOfLeaves: Option[Map[String, Long]] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
+  protected def pinnedRead: Boolean = asOf.isDefined || asOfLeaves.isDefined
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   // surface the declared row identity so DESCRIBE EXTENDED / SHOW
@@ -903,7 +948,7 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     partCols.map(c => org.apache.spark.sql.connector.expressions
       .Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
-    if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    if (pinnedRead) util.EnumSet.of(TableCapability.BATCH_READ)
     else if (partCols.nonEmpty) util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
@@ -915,14 +960,14 @@ private[graft] class GraftSqlTable(path: String, ident: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScan(path, tableSchema, partCols, asOf)
+    new GraftSqlScan(path, tableSchema, partCols, asOf, asOfLeaves)
 
   /** `TRUNCATE TABLE t`: the overwrite commit with nothing produced —
     * every live file consumed, sidecars dropped, ONE atomic commit per
     * partition domain (per leaf on a partitioned table), feed-replayed
     * as pure deletes. */
   override def truncateTable(): Boolean = {
-    require(asOf.isEmpty,
+    require(!pinnedRead,
       s"graft catalog: $ident is a pinned time-travel read — history " +
         "is immutable")
     val spark = SparkSession.active
@@ -958,14 +1003,14 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     * — exactly SQL's three-valued WHERE. Partition-column deletes are
     * whole-leaf drops (a library verb), not row deletes. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    asOf.isEmpty && (
+    !pinnedRead && (
       GraftSqlTable.deleteRange(filters.toSeq)
         .exists { case (c, _, _) => !partCols.contains(c) } ||
       (key.isEmpty &&
         filters.forall(f => GraftSqlTable.filterColumn(f).isDefined) &&
         filters.flatMap(_.references).forall(!partCols.contains(_))))
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(asOf.isEmpty,
+    require(!pinnedRead,
       s"graft catalog: $ident is a pinned time-travel read — history " +
         "is immutable, delete against the live table")
     val spark = SparkSession.active
@@ -1159,7 +1204,8 @@ private[graft] final class GraftSqlKeyedTable(path: String, ident: String,
   * scan runs row-based, with the vectorized DECODE still inside the
   * stock factory's row interface for the DV-free files. */
 private[graft] class GraftSqlScan(path: String, full: StructType,
-    partCols: Seq[String] = Nil, asOf: Option[Long] = None)
+    partCols: Seq[String] = Nil, asOf: Option[Long] = None,
+    asOfLeaves: Option[Map[String, Long]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with Scan with Batch {
@@ -1239,6 +1285,10 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
     val leaves: Seq[String] =
       if (partCols.isEmpty) Seq(".")
       else TableFeedSource.leafRels(fs, dir).filter(_ != ".")
+        // a TIMESTAMP AS OF read pins each leaf to its own version; a
+        // leaf with no commit at or before the timestamp (born later)
+        // contributes nothing
+        .filter(rel => asOfLeaves.forall(_.contains(rel)))
         .filter(rel => GraftSqlScan.leafKept(
           GraftSqlScan.leafValues(rel, fullPartSchema), pushed.toSeq))
     val vecSplits = Seq.newBuilder[PartitionedFile]
@@ -1246,7 +1296,8 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
     val sizedDirs = Seq.newBuilder[PartitionDirectory]
     leaves.foreach { rel =>
       val leafDir = if (rel == ".") dir else new Path(dir, rel)
-      val snap = asOf match {
+      val pin: Option[Long] = asOfLeaves.fold(asOf)(_.get(rel))
+      val snap = pin match {
         case Some(v) => ManifestCommit.snapshotAt(fs, leafDir, v)
           .getOrElse(sys.error(s"graft catalog: version $v of $path " +
             "pruned between plan and read — restart the query"))
@@ -1283,7 +1334,7 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
       // superset being safe — an untouched false positive loads an
       // empty position set. A time-travel read subtracts the sidecars
       // ACTIVE AT that version.
-      val dvs = asOf.fold(ManifestCommit.currentDvs(fs, leafDir))(v =>
+      val dvs = pin.fold(ManifestCommit.currentDvs(fs, leafDir))(v =>
           ManifestCommit.dvsAt(fs, leafDir, v))
         .map(n => new Path(leafDir, n).toString)
       val touched: Set[String] =

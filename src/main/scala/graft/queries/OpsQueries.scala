@@ -1694,6 +1694,24 @@ object OpsQueries {
         TIMESTAMP AS OF timestamp_millis($ts)
         ORDER BY o_orderkey""")
     }),
+    // PARTITIONED TIMESTAMP AS OF: the wall clock is global even
+    // though versions are per-leaf — each leaf pins to its own newest
+    // commit at or before the timestamp, the leaf born after it
+    // (day=9) contributes nothing, and the post-ts DV delete does not
+    // subtract
+    "q285_sql_part_time_travel" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      val ts: Long = sqlPttTs.get(d)
+      ss.sql(s"""SELECT o_orderkey, o_totalprice, day
+        FROM graftsql.db.orders_ptt
+        TIMESTAMP AS OF timestamp_millis($ts)
+        ORDER BY o_orderkey""")
+    }),
     // atomic CTAS: CREATE TABLE AS SELECT builds the result in a
     // hidden staging sibling (its own manifest log) and publishes
     // with one rename — a failed CTAS leaves no table (spec-pinned)
@@ -2755,6 +2773,8 @@ object OpsQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sqlDelPreTs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val sqlPttTs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[queries] def ensureSqlWarehouse(s: SparkSession,
       d: String): String =
@@ -2937,6 +2957,30 @@ object OpsQueries {
           CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)
         FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
       ss.sql("DELETE FROM graftsql.db.orders_widen " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      // q285's table: PARTITIONED TIMESTAMP AS OF — version numbers
+      // are per-leaf counters, but the wall clock is global: each leaf
+      // pins to its own newest commit at or before the timestamp, a
+      // leaf born later (day=9) contributes nothing, and a post-ts DV
+      // delete must not subtract from the pinned read
+      ss.sql("""CREATE TABLE graftsql.db.orders_ptt
+        (o_orderkey BIGINT, o_totalprice DOUBLE, day INT)
+        PARTITIONED BY (day)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_ptt
+        SELECT o_orderkey, o_totalprice,
+          CAST(o_orderkey % 3 + 1 AS INT) AS day
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      Thread.sleep(30)
+      sqlPttTs.put(d, System.currentTimeMillis())
+      Thread.sleep(30)
+      ss.sql("""INSERT INTO graftsql.db.orders_ptt
+        SELECT o_orderkey, o_totalprice,
+          CAST(o_orderkey % 3 + 1 AS INT) AS day
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
+      ss.sql("""INSERT INTO graftsql.db.orders_ptt
+        SELECT o_orderkey, o_totalprice, CAST(9 AS INT) AS day
+        FROM orders_src_q267 WHERE o_orderkey % 10 = 0""")
+      ss.sql("DELETE FROM graftsql.db.orders_ptt " +
         s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
       wh
     })
@@ -6588,6 +6632,12 @@ object OpsQueries {
     "q282_sql_time_travel_ts" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    // the pinned partitioned read == wave 1 only (evens), whole —
+    // no day-9 leaf, no post-ts delete
+    "q285_sql_part_time_travel" ->
+      """SELECT o_orderkey, o_totalprice,
+           CAST(o_orderkey % 3 + 1 AS INT) AS day
+         FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""",
     // post-drop: both insert waves' surviving columns, minus the box
     // range the DV delete subtracted
     "q283_sql_drop_column" ->

@@ -1196,6 +1196,45 @@ class SqlCatalogSpec extends SparkSpec {
     assert(msgs(e).contains("no commit at or before"), msgs(e))
   }
 
+  test("TIMESTAMP AS OF on a PARTITIONED table: each leaf pins to its " +
+      "own newest commit at or before the timestamp, a leaf born " +
+      "later contributes nothing, and a post-ts delete does not " +
+      "subtract") {
+    val wh = Files.createTempDirectory("graft-sqlcat-ptt").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.pt (k BIGINT, day INT) PARTITIONED BY (day)")
+    ss.range(6).select($"id".as("k"), ($"id" % 2).cast("int").as("day"))
+      .createOrReplaceTempView("ptsrc")
+    ss.sql("INSERT INTO g.pt SELECT * FROM ptsrc")
+    Thread.sleep(25)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    // wave 2 into the existing leaves, a brand-new day=7 leaf, and a
+    // delete that reaches wave-1 rows — all AFTER t1
+    ss.sql("INSERT INTO g.pt SELECT k + 100, day FROM ptsrc")
+    ss.sql("INSERT INTO g.pt VALUES (777, 7)")
+    ss.sql("DELETE FROM g.pt WHERE k >= 2 AND k <= 3")
+    def at(ms: Long) = ss.sql(
+      s"SELECT k, day FROM g.pt TIMESTAMP AS OF timestamp_millis($ms)")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(at(t1) == (0L until 6L).map(k => (k, (k % 2).toInt)).toSet,
+      "the t1 snapshot must be wave 1, whole, with no day=7 leaf")
+    val live = ss.sql("SELECT k, day FROM g.pt").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(at(System.currentTimeMillis()) == live,
+      "a now-timestamp must equal the live read")
+    assert(live.contains((777L, 7)) && !live.exists(_._1 == 2L))
+    // writes against the pinned read refuse (read-only capabilities)
+    intercept[Exception](ss.sql(
+      s"INSERT INTO g.pt TIMESTAMP AS OF timestamp_millis($t1) " +
+        "VALUES (1, 1)"))
+    // a pre-table timestamp refuses loudly
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val e = intercept[Exception](at(1000L))
+    assert(msgs(e).contains("no commit at or before"), msgs(e))
+  }
+
   test("atomic CTAS / RTAS: the result builds in a hidden staging dir " +
       "and publishes with ONE rename — a failed CTAS leaves no table " +
       "(and no visible dir), REPLACE swaps content and schema, " +
