@@ -36,12 +36,64 @@ import graft.sources.{FeedFilePartition, FeedReaderFactory, FeedSource, TableFee
 private[graft] object GraftTableMeta {
   val FileName = "_graft_table"
   case class Meta(schema: StructType, partitionCols: Seq[String],
-      key: Option[String], dropped: Seq[String] = Nil)
+      key: Option[String], dropped: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty)
+
+  /** COLUMN MAPPING (round 15): `meta.schema` carries LOGICAL names
+    * (what SQL sees); parquet files, manifest-recorded schemas, and
+    * per-file stats/blooms carry PHYSICAL names (a column's name at
+    * CREATE/ADD time, fixed for life). `colMap` is the non-identity
+    * logical→physical entries — RENAME COLUMN just re-keys it, no
+    * commit, no file motion. Translation happens exactly at the
+    * file-access boundary: scans request physical and emit positional
+    * batches (names are planning-level), writers rename the row
+    * schema positionally before staging. */
+  def phys(name: String, m: Map[String, String]): String =
+    m.getOrElse(name, name)
+  def phys(schema: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      m.get(f.name).fold(f)(p => f.copy(name = p))))
+  /** One pushed filter with its column references renamed
+    * logical→physical — for parquet row-group pushdown and manifest
+    * stats/bloom pruning on a mapped table. Covers every filter shape
+    * the catalog prunes or deletes by; an unknown shape passes through
+    * only when it references no mapped column (pruning treats it as
+    * unprunable; the delete path's own reconstruction refuses it). */
+  def physFilter(f: Filter, m: Map[String, String]): Filter = {
+    if (m.isEmpty) return f
+    import org.apache.spark.sql.sources._
+    def p(n: String) = phys(n, m)
+    f match {
+      case EqualTo(c, v)            => EqualTo(p(c), v)
+      case EqualNullSafe(c, v)      => EqualNullSafe(p(c), v)
+      case GreaterThan(c, v)        => GreaterThan(p(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(p(c), v)
+      case LessThan(c, v)           => LessThan(p(c), v)
+      case LessThanOrEqual(c, v)    => LessThanOrEqual(p(c), v)
+      case In(c, vs)                => In(p(c), vs)
+      case IsNull(c)                => IsNull(p(c))
+      case IsNotNull(c)             => IsNotNull(p(c))
+      case StringStartsWith(c, v)   => StringStartsWith(p(c), v)
+      case StringEndsWith(c, v)     => StringEndsWith(p(c), v)
+      case StringContains(c, v)     => StringContains(p(c), v)
+      case And(l, r) => And(physFilter(l, m), physFilter(r, m))
+      case Or(l, r)  => Or(physFilter(l, m), physFilter(r, m))
+      case Not(c)    => Not(physFilter(c, m))
+      case other =>
+        require(other.references.forall(r => !m.contains(r)),
+          s"graft catalog: filter $other references a renamed column " +
+            "and cannot be translated to its physical name")
+        other
+    }
+  }
 
   def write(fs: FileSystem, dir: Path, meta: Meta): Unit = {
     val txt = meta.partitionCols.mkString(",") + "\n" +
       meta.key.getOrElse("-") + "\n" + meta.schema.json + "\n" +
-      meta.dropped.mkString(",") + "\n"
+      meta.dropped.mkString(",") + "\n" +
+      meta.colMap.toSeq.sorted.map { case (l, p) => s"$l=$p" }
+        .mkString(",") + "\n"
     val dst = new Path(dir, FileName)
     val tmp = new Path(dir,
       s".$FileName.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -58,18 +110,24 @@ private[graft] object GraftTableMeta {
       val in = fs.open(p)
       try in.readAllBytes() finally in.close()
     }, "UTF-8")
-    val lines = txt.split("\n", 4)
+    val lines = txt.split("\n", 5)
     require(lines.length >= 3, s"torn table metadata at $p")
+    def csv(i: Int): Seq[String] =
+      if (lines.length <= i) Nil
+      else lines(i).trim match {
+        case "" => Nil
+        case s  => s.split(",").toSeq
+      }
     Some(Meta(
       org.apache.spark.sql.types.DataType.fromJson(lines(2).trim)
         .asInstanceOf[StructType],
       lines(0).trim match { case "" => Nil; case s => s.split(",").toSeq },
       lines(1).trim match { case "-" => None; case k => Some(k) },
-      if (lines.length < 4) Nil
-      else lines(3).trim match {
-        case "" => Nil
-        case s  => s.split(",").toSeq
-      }))
+      csv(3),
+      csv(4).map { e =>
+        val i = e.indexOf('=')
+        e.substring(0, i) -> e.substring(i + 1)
+      }.toMap))
   }
 }
 
@@ -109,9 +167,15 @@ private[graft] object GraftTableMeta {
   *    commit ([[ManifestCommit.deleteWhereDV]]) — O(deleted rows)
   *    write amplification, no file rewrites; looser predicates refuse
   *    loudly rather than under-delete.
-  *  - **ALTER TABLE ... ADD COLUMN** maps to the additive
-  *    [[ManifestCommit.alterSchema]]; drops/retypes refuse (readers
-  *    mergeSchema committed files — the recorded schema must not lie).
+  *  - **ALTER TABLE** (all metadata-only, zero file motion):
+  *    ADD COLUMN maps to the additive [[ManifestCommit.alterSchema]];
+  *    DROP COLUMN narrows the recorded schema and retires the name
+  *    forever (tombstoned — a re-ADD would resurface old bytes);
+  *    ALTER COLUMN TYPE accepts lossless parquet widenings
+  *    ([[ManifestCommit.widens]] — old files promote per file);
+  *    RENAME COLUMN re-keys the logical→physical column mapping
+  *    ([[GraftTableMeta.phys]] — files keep their physical names, the
+  *    scan/write boundary translates); narrowing retypes refuse.
   *  - **Time travel**: `SELECT ... FROM t VERSION AS OF n` reads the
   *    snapshot at manifest version `n` with that version's sidecars
   *    subtracting and the schema as recorded THEN (a later-added
@@ -172,10 +236,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTableMeta.read(fs, dir) match {
       case Some(m) if m.key.isDefined =>
         new GraftSqlKeyedTable(dir.toString, ident.toString, m.schema,
-          m.key.get, m.partitionCols)
+          m.key.get, m.partitionCols, m.colMap)
       case Some(m) =>
         new GraftSqlTable(dir.toString, ident.toString, m.schema,
-          partCols = m.partitionCols, key = m.key)
+          partCols = m.partitionCols, key = m.key, colMap = m.colMap)
       case None => // legacy/library table: the manifest schema rules
         val schema = ManifestCommit.currentSchema(fs, dir).getOrElse(
           sys.error(s"graft catalog: table $ident at $dir has no " +
@@ -269,12 +333,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "neither widens the other"))
       // legacy leaves that predate schema recording contribute nothing
       // to thenData — fall back to the declared schema rather than
-      // serving a data-column-less table
+      // serving a data-column-less table. Recorded leaf schemas carry
+      // PHYSICAL names; a pinned read serves them as-is (the names as
+      // recorded THEN — a later RENAME is metadata with no commit, so
+      // the log cannot place it) with an identity mapping.
+      val cmap = meta.get.colMap
       val schemaThen =
-        if (thenData.isEmpty) declared
+        if (thenData.isEmpty) GraftTableMeta.phys(declared, cmap)
         else StructType(declared.fields.flatMap(f =>
           if (parts.contains(f.name)) Some(f)
-          else thenData.get(f.name).map(t => f.copy(dataType = t))))
+          else thenData.get(GraftTableMeta.phys(f.name, cmap))
+            .map(t => f.copy(name = GraftTableMeta.phys(f.name, cmap),
+              dataType = t))))
       new GraftSqlTable(dir.toString, s"$ident@t$tsMs", schemaThen,
         partCols = parts, asOfLeaves = Some(pinned))
     }
@@ -451,6 +521,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var keyNext: Option[Option[String]] = None // Some(new key state)
     val tomb = meta.map(_.dropped).getOrElse(Nil)
     val keyNow = meta.flatMap(_.key)
+    // column mapping: logical names are what SQL sees, physical names
+    // are what committed parquet carries ([[GraftTableMeta.phys]]).
+    // RENAME COLUMN re-keys the mapping — no commit, no file motion;
+    // tombstones hold PHYSICAL names (the bytes in old files).
+    val cmap = meta.map(_.colMap).getOrElse(Map.empty[String, String])
+    def physOf(c: String): String = GraftTableMeta.phys(c, cmap)
+    val physInUse = prev.schema().fieldNames.map(physOf).toSet
     // DROP COLUMN: metadata-only — the recorded schema narrows, every
     // reader projects by name and never requests the column again; the
     // bytes stay in old files, so the NAME is tombstoned forever
@@ -491,16 +568,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "integrals->double read back exactly from committed files")
         c -> uc.newDataType()
       }.toMap
+    // RENAME COLUMN: pure metadata — the logical name changes, the
+    // physical (file) name stays for life, the mapping re-keys. The
+    // new name must not shadow any physical name in use or tombstoned
+    // (keeps the logical/physical namespace unambiguous — every
+    // file-access path translates through ONE total map).
+    val renameNow: Map[String, String] =
+      changes.collect { case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "graft catalog: nested RENAME COLUMN is not supported")
+        val c = rn.fieldNames()(0)
+        val n = rn.newName()
+        require(prev.schema().fieldNames.contains(c),
+          s"graft catalog: no column '$c' in $ident")
+        require(!parts.contains(c),
+          s"graft catalog: cannot RENAME partition column '$c' — the " +
+            "leaf directory layout is keyed by it")
+        require(!keyNow.contains(c),
+          s"graft catalog: cannot RENAME key column '$c' — UNSET " +
+            "TBLPROPERTIES ('key'), rename, then re-declare")
+        require(!prev.schema().fieldNames.contains(n),
+          s"graft catalog: column '$n' already exists in $ident")
+        require(!physInUse.contains(n) && !tomb.contains(n),
+          s"graft catalog: cannot rename '$c' to '$n' — '$n' is a " +
+            s"physical column name of $ident (in use or retired by a " +
+            "DROP); pick a name never used by this table")
+        c -> n
+      }.toMap
     val added = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN is not supported")
-        require(!tomb.contains(a.fieldNames()(0)) &&
-          !dropNow.contains(a.fieldNames()(0)),
-          s"graft catalog: column name '${a.fieldNames()(0)}' was " +
+        val n0 = a.fieldNames()(0)
+        require(!tomb.contains(n0) && !dropNow.map(physOf).contains(n0),
+          s"graft catalog: column name '$n0' was " +
             s"DROPped from $ident and is retired — old files still " +
             "carry its bytes, and re-adding the name would resurface " +
             "them as the new column's values; pick a fresh name")
+        require(!physInUse.contains(n0) ||
+          prev.schema().fieldNames.contains(n0),
+          s"graft catalog: column name '$n0' is the physical name of " +
+            s"a renamed column of $ident — old files carry its bytes; " +
+            "pick a name never used by this table")
         Some(org.apache.spark.sql.types
           .StructField(a.fieldNames()(0), a.dataType(), nullable = true))
       case p: TableChange.SetProperty if p.property == "key" =>
@@ -533,12 +642,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if p.property == "key.validate" => None
       case _: TableChange.DeleteColumn => None     // handled above
       case _: TableChange.UpdateColumnType => None // handled above
+      case _: TableChange.RenameColumn => None     // handled above
       case other => sys.error("graft catalog: only ADD COLUMN, DROP " +
-        "COLUMN, widening ALTER COLUMN TYPE and SET/UNSET " +
-        s"TBLPROPERTIES ('key') are supported (got " +
-        s"${other.getClass.getSimpleName}) — renames need column " +
-        "mapping, and a narrowing retype would make the recorded " +
-        "schema lie about committed files")
+        "COLUMN, RENAME COLUMN, widening ALTER COLUMN TYPE and " +
+        "SET/UNSET TBLPROPERTIES ('key') are supported (got " +
+        s"${other.getClass.getSimpleName}) — a narrowing retype would " +
+        "make the recorded schema lie about committed files")
     }
     val key = keyNext.getOrElse(meta.flatMap(_.key))
     // partition columns trail: added data columns slot in BEFORE them;
@@ -549,6 +658,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       prev.schema().fields.splitAt(prev.schema().length - parts.length)
     val dataF = dataF0.filterNot(f => dropNow.contains(f.name))
       .map(f => widenNow.get(f.name).fold(f)(t => f.copy(dataType = t)))
+      .map(f => renameNow.get(f.name).fold(f)(n => f.copy(name = n)))
     require(dataF.nonEmpty || added.nonEmpty,
       s"graft catalog: DROP COLUMN would leave $ident with no data " +
         "columns")
@@ -557,26 +667,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (key.isDefined && parts.contains(f.name)))
         f.copy(nullable = false)
       else f))
-    if (parts.isEmpty) ManifestCommit.alterSchema(fs, dir, next,
-      allowDrop = dropNow.toSet, allowWiden = widenNow.nonEmpty)
+    // the mapping after this statement: drops retire their entries,
+    // renames re-key them (a first rename of an identity column mints
+    // the entry: new logical -> original physical); identity entries
+    // never persist
+    val afterDrop = cmap -- dropNow
+    val colMapNext: Map[String, String] =
+      (afterDrop.map { case (l, p) => (renameNow.getOrElse(l, l), p) } ++
+        renameNow.collect {
+          case (l, n) if !afterDrop.contains(l) => n -> l
+        }).filterNot { case (l, p) => l == p }
+    // manifests (and tombstones) live in PHYSICAL names
+    val dropPhys = dropNow.map(physOf).toSet
+    val physNext = GraftTableMeta.phys(next, colMapNext)
+    // a rename-only statement touches NO manifest — the physical
+    // schema is unchanged, the mapping lives in the meta file alone
+    val physChange = added.nonEmpty || dropNow.nonEmpty ||
+      widenNow.nonEmpty || keyNext.isDefined
+    if (parts.isEmpty && physChange)
+      ManifestCommit.alterSchema(fs, dir, physNext,
+        allowDrop = dropPhys, allowWiden = widenNow.nonEmpty)
     else if (added.nonEmpty || dropNow.nonEmpty || widenNow.nonEmpty) {
-      // evolve every leaf's recorded schema
-      val dataNext = StructType(dataF ++ added)
+      // evolve every leaf's recorded schema (renames touch no manifest
+      // — the physical schema is unchanged by them)
+      val dataNext = GraftTableMeta.phys(StructType(dataF ++ added),
+        colMapNext)
       TableFeedSource.leafRels(fs, dir).filter(_ != ".").foreach { rel =>
         ManifestCommit.alterSchema(fs, new Path(dir, rel), dataNext,
-          allowDrop = dropNow.toSet, allowWiden = widenNow.nonEmpty)
+          allowDrop = dropPhys, allowWiden = widenNow.nonEmpty)
       }
     }
-    val dropped = tomb ++ dropNow
+    val dropped = tomb ++ dropNow.map(physOf)
     if (meta.isDefined || parts.nonEmpty || key.isDefined ||
-        dropped.nonEmpty)
+        dropped.nonEmpty || colMapNext.nonEmpty)
       GraftTableMeta.write(fs, dir,
-        GraftTableMeta.Meta(next, parts, key, dropped))
+        GraftTableMeta.Meta(next, parts, key, dropped, colMapNext))
     if (key.isDefined)
       new GraftSqlKeyedTable(dir.toString, ident.toString, next, key.get,
-        parts)
+        parts, colMapNext)
     else new GraftSqlTable(dir.toString, ident.toString, next,
-      partCols = parts, key = key)
+      partCols = parts, key = key, colMap = colMapNext)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -931,9 +1061,19 @@ private[graft] object LeafPar {
 private[graft] class GraftSqlTable(path: String, ident: String,
     tableSchema: StructType, asOf: Option[Long] = None,
     partCols: Seq[String] = Nil, key: Option[String] = None,
-    asOfLeaves: Option[Map[String, Long]] = None) extends Table
+    asOfLeaves: Option[Map[String, Long]] = None,
+    colMap: Map[String, String] = Map.empty) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   protected def pinnedRead: Boolean = asOf.isDefined || asOfLeaves.isDefined
+  // logical -> physical translation at the file boundary (RENAME
+  // COLUMN support — see [[GraftTableMeta.phys]]); identity for the
+  // overwhelming majority of tables
+  private def phys(s: StructType): StructType =
+    GraftTableMeta.phys(s, colMap)
+  private def physD(data: DataFrame): DataFrame =
+    if (colMap.isEmpty) data
+    else data.toDF(data.columns.map(GraftTableMeta.phys(_, colMap))
+      .toIndexedSeq: _*)
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   // surface the declared row identity so DESCRIBE EXTENDED / SHOW
@@ -960,7 +1100,8 @@ private[graft] class GraftSqlTable(path: String, ident: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScan(path, tableSchema, partCols, asOf, asOfLeaves)
+    new GraftSqlScan(path, tableSchema, partCols, asOf, asOfLeaves,
+      colMap)
 
   /** `TRUNCATE TABLE t`: the overwrite commit with nothing produced —
     * every live file consumed, sidecars dropped, ONE atomic commit per
@@ -1009,10 +1150,14 @@ private[graft] class GraftSqlTable(path: String, ident: String,
       (key.isEmpty &&
         filters.forall(f => GraftSqlTable.filterColumn(f).isDefined) &&
         filters.flatMap(_.references).forall(!partCols.contains(_))))
-  override def deleteWhere(filters: Array[Filter]): Unit = {
+  override def deleteWhere(filters0: Array[Filter]): Unit = {
     require(!pinnedRead,
       s"graft catalog: $ident is a pinned time-travel read — history " +
         "is immutable, delete against the live table")
+    // everything below (predicate reconstruction, stats pruning, the
+    // recorded delete predicate) speaks PHYSICAL names — translate
+    // once at the boundary
+    val filters = filters0.map(GraftTableMeta.physFilter(_, colMap))
     val spark = SparkSession.active
     val dir = new Path(path)
     def domains: Seq[Path] =
@@ -1086,7 +1231,7 @@ private[graft] class GraftSqlTable(path: String, ident: String,
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new GraftDynamicOverwriteBatchWrite(path, ident,
-              info.schema(), partCols)
+              phys(info.schema()), partCols)
         }
         else buildV1()
       private def buildV1(): Write = new V1Write {
@@ -1103,7 +1248,7 @@ private[graft] class GraftSqlTable(path: String, ident: String,
                     s"graft catalog: filtered overwrite on " +
                       s"unpartitioned $ident is not supported")
                   ManifestCommit.overwriteTable(data.sparkSession,
-                    new Path(path), data)
+                    new Path(path), physD(data))
                 } else {
                   // static partitioned overwrite: replace EXACTLY the
                   // leaves the partition filter names (all of them when
@@ -1122,17 +1267,18 @@ private[graft] class GraftSqlTable(path: String, ident: String,
                         StructType(tableSchema.fields
                           .takeRight(partCols.length))),
                       overwriteFilters.toSeq, ident))
-                  GraftSqlTable.insertPartitioned(data, dir, tableSchema,
+                  GraftSqlTable.insertPartitioned(physD(data), dir,
+                    phys(tableSchema),
                     partCols, overwriteTouched = true,
                     truncateRels = doomed.toSet)
                 }
               } else if (partCols.isEmpty) {
                 ManifestCommit.stageAndPublish(data.sparkSession,
-                    new Path(path), data, _ => true)
+                    new Path(path), physD(data), _ => true)
                   .getOrElse(sys.error(
                     s"graft catalog: insert into $ident did not publish"))
-              } else GraftSqlTable.insertPartitioned(data, new Path(path),
-                tableSchema, partCols)
+              } else GraftSqlTable.insertPartitioned(physD(data),
+                new Path(path), phys(tableSchema), partCols)
               ()
             }
           }
@@ -1142,10 +1288,10 @@ private[graft] class GraftSqlTable(path: String, ident: String,
         // checkpoint) no-ops, the manifest is the only ledger
         override def toStreaming: StreamingWrite =
           if (partCols.isEmpty)
-            new GraftStreamingWrite(path, ident, info.schema(),
+            new GraftStreamingWrite(path, ident, phys(info.schema()),
               info.queryId())
           else new GraftPartitionedStreamingWrite(path, ident,
-            info.schema(), partCols, info.queryId())
+            phys(info.schema()), partCols, info.queryId())
       }
     }
 }
@@ -1165,15 +1311,16 @@ private[graft] class GraftSqlTable(path: String, ident: String,
   * interface at all — their range DELETE never routes through a
   * rewrite that would demand a key. */
 private[graft] final class GraftSqlKeyedTable(path: String, ident: String,
-    tableSchema: StructType, keyCol: String, partCols: Seq[String] = Nil)
+    tableSchema: StructType, keyCol: String, partCols: Seq[String] = Nil,
+    kColMap: Map[String, String] = Map.empty)
     extends GraftSqlTable(path, ident, tableSchema, None, partCols,
-      Some(keyCol))
+      Some(keyCol), colMap = kColMap)
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new GraftRowLevelOperation(path, tableSchema, keyCol, partCols,
-      info.command())
+      info.command(), kColMap)
 }
 
 /** Batch scan: live files straight from the manifest (zero jobs at
@@ -1205,10 +1352,19 @@ private[graft] final class GraftSqlKeyedTable(path: String, ident: String,
   * stock factory's row interface for the DV-free files. */
 private[graft] class GraftSqlScan(path: String, full: StructType,
     partCols: Seq[String] = Nil, asOf: Option[Long] = None,
-    asOfLeaves: Option[Map[String, Long]] = None)
+    asOfLeaves: Option[Map[String, Long]] = None,
+    colMap: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with Scan with Batch {
+  // logical -> physical at the file boundary (RENAME COLUMN): the
+  // planning surface (readSchema, pushed filters, EXPLAIN) stays
+  // logical; everything handed to a parquet reader — requested
+  // schemas, row-group filters, stats/bloom lookups — translates.
+  // Output batches are positional, so only names change.
+  private def phys(s: StructType): StructType =
+    GraftTableMeta.phys(s, colMap)
+  private def physN(n: String): String = GraftTableMeta.phys(n, colMap)
   // partition columns TRAIL the declared schema (enforced at CREATE),
   // so any required subset is data-then-partition too
   private val fullPartSchema = StructType(
@@ -1257,8 +1413,9 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
     * format, `_change_type` rows) is the consumer for mutable tables. */
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    if (partCols.isEmpty) new GraftSqlMicroBatchStream(path, required)
-    else new GraftSqlTableFeedStream(path, full, partCols)
+    if (partCols.isEmpty)
+      new GraftSqlMicroBatchStream(path, phys(required))
+    else new GraftSqlTableFeedStream(path, phys(full), partCols)
 
   /** The split plan, computed ONCE and shared by planInputPartitions /
     * createReaderFactory (Spark calls them separately on the same Scan):
@@ -1275,7 +1432,9 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
     val spark = SparkSession.active
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stats/blooms are recorded under PHYSICAL column names
     val ranges = GraftSqlTable.pruningRanges(pushed.toSeq)
+      .map { case (c, r) => (physN(c), r) }
     val points = ranges.collect { case (c, (lo, hi)) if lo == hi =>
       (c, lo)
     }
@@ -1393,8 +1552,9 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
         // files can answer — partition columns are path metadata
         val dataFilters = pushed.filter(
           _.references.forall(dataSchema.fieldNames.contains))
-        (parts, Some(GraftSqlScan.parquetFactory(spark, dataSchema,
-          reqData, reqPart, dataFilters)))
+          .map(GraftTableMeta.physFilter(_, colMap))
+        (parts, Some(GraftSqlScan.parquetFactory(spark, phys(dataSchema),
+          phys(reqData), reqPart, dataFilters)))
       }
     (vecParts, feedParts.result(), vecFactory)
   }
@@ -1406,7 +1566,7 @@ private[graft] class GraftSqlScan(path: String, full: StructType,
     new GraftSplitReaderFactory(planned._3,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()),
-      reqData, fullPartSchema, reqPart.fieldNames,
+      phys(reqData), fullPartSchema, reqPart.fieldNames,
       uniformColumnar = planned._2.isEmpty)
 }
 
@@ -1704,7 +1864,8 @@ private[graft] class GraftSqlTableFeedStream(path: String,
   * [[ManifestCommit.applyChangesDV]] commits atomically. */
 private[graft] class GraftRowLevelOperation(path: String,
     tableSchema: StructType, keyCol: String, partCols: Seq[String],
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    colMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write._
   override def command(): RowLevelOperation.Command = cmd
@@ -1712,11 +1873,12 @@ private[graft] class GraftRowLevelOperation(path: String,
     s"graft row-level $cmd on $path keyed by $keyCol"
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSqlScan(path, tableSchema, partCols)
+    new GraftSqlScan(path, tableSchema, partCols, colMap = colMap)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(path, tableSchema, keyCol, partCols, info)
+        new GraftDeltaWrite(path, tableSchema, keyCol, partCols, info,
+          colMap)
     }
   /** On a partitioned table the partition columns join the rowId: the
     * key alone identifies the row, but a delete must also ROUTE to its
@@ -1749,7 +1911,7 @@ private[graft] case class GraftDeltaStaged(
   * staging (swept by gc); abort deletes it eagerly. */
 private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
     keyCol: String, partCols: Seq[String],
-    info: LogicalWriteInfo)
+    info: LogicalWriteInfo, colMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1759,8 +1921,13 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
   private val schema =
     if (info.schema() != null && info.schema().nonEmpty) info.schema()
     else tblSchema
+  // everything that touches parquet (staged delta files, the
+  // committed insert files, leaf schema records) speaks PHYSICAL
+  // names; the key and partition columns are never renameable, so the
+  // rowId projection stays untranslated
+  private val physSchema = GraftTableMeta.phys(schema, colMap)
   private val dataSchema = StructType(
-    schema.fields.dropRight(partCols.length))
+    physSchema.fields.dropRight(partCols.length))
   private val keySchema = StructType(Seq(
     tblSchema.fields.find(_.name == keyCol).getOrElse(sys.error(
       s"graft catalog: key column $keyCol missing from $path schema"))))
@@ -1782,7 +1949,7 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
       val conf = new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf())
       val (p, sch, ks, ids, pc) =
-        (path, schema, keySchema, idSchema, partCols)
+        (path, physSchema, keySchema, idSchema, partCols)
       new DeltaWriterFactory {
         override def createWriter(partitionId: Int,
             taskId: Long): DeltaWriter[InternalRow] =

@@ -1712,6 +1712,20 @@ object OpsQueries {
         TIMESTAMP AS OF timestamp_millis($ts)
         ORDER BY o_orderkey""")
     }),
+    // RENAME COLUMN via column mapping: logical names are SQL's,
+    // physical names are the files' — the scan requests physical and
+    // serves logical, the filter on the renamed column still prunes
+    "q286_sql_rename_column" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, cust, o_totalprice
+        FROM graftsql.db.orders_ren WHERE cust >= 0
+        ORDER BY o_orderkey""")
+    }),
     // atomic CTAS: CREATE TABLE AS SELECT builds the result in a
     // hidden staging sibling (its own manifest log) and publishes
     // with one rename — a failed CTAS leaves no table (spec-pinned)
@@ -2981,6 +2995,22 @@ object OpsQueries {
         SELECT o_orderkey, o_totalprice, CAST(9 AS INT) AS day
         FROM orders_src_q267 WHERE o_orderkey % 10 = 0""")
       ss.sql("DELETE FROM graftsql.db.orders_ptt " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      // q286's table: RENAME COLUMN via column mapping — pure
+      // metadata (no commit, no file motion); wave 1's files carry
+      // the original physical name, wave 2 lands under it too (the
+      // writer translates), and the DV delete's recorded predicate
+      // speaks the physical name
+      ss.sql("""CREATE TABLE graftsql.db.orders_ren
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""")
+      ss.sql("""INSERT INTO graftsql.db.orders_ren
+        SELECT * FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      ss.sql("ALTER TABLE graftsql.db.orders_ren " +
+        "RENAME COLUMN o_custkey TO cust")
+      ss.sql("""INSERT INTO graftsql.db.orders_ren
+        SELECT o_orderkey, o_custkey AS cust, o_totalprice
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
+      ss.sql("DELETE FROM graftsql.db.orders_ren " +
         s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
       wh
     })
@@ -6638,6 +6668,18 @@ object OpsQueries {
       """SELECT o_orderkey, o_totalprice,
            CAST(o_orderkey % 3 + 1 AS INT) AS day
          FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""",
+    // post-rename: both waves under the new logical name, minus the
+    // DV-deleted box range (cust >= 0 always true — it exists to push
+    // a filter on the renamed column)
+    "q286_sql_rename_column" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         s AS (SELECT klo + (khi - klo) // 4 AS dlo,
+             klo + (khi - klo) // 2 AS dhi FROM b)
+         SELECT o_orderkey, o_custkey AS cust, o_totalprice
+         FROM orders, s
+         WHERE (o_orderkey < dlo OR o_orderkey > dhi) AND o_custkey >= 0
+         ORDER BY o_orderkey""",
     // post-drop: both insert waves' surviving columns, minus the box
     // range the DV delete subtracted
     "q283_sql_drop_column" ->

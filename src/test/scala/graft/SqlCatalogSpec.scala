@@ -76,8 +76,8 @@ class SqlCatalogSpec extends SparkSpec {
       == 60L)
   }
 
-  test("refusals stay loud: non-additive ALTER (INSERT OVERWRITE is " +
-      "a first-class KindOverwrite commit since round 14)") {
+  test("ALTER surface: additive ADD reads NULL from pre-evolution " +
+      "files; DROP works (round 15) but the name stays retired") {
     val wh = Files.createTempDirectory("graft-sqlcat3").toString
     val ss = sqlSession(wh)
     ss.sql("CREATE TABLE g.t2 (k BIGINT, v BIGINT)")
@@ -88,8 +88,13 @@ class SqlCatalogSpec extends SparkSpec {
     // NULL from pre-evolution files
     ss.sql("ALTER TABLE g.t2 ADD COLUMN w DOUBLE")
     assert(ss.sql("SELECT w FROM g.t2").collect().forall(_.isNullAt(0)))
-    val e2 = intercept[Exception](ss.sql("ALTER TABLE g.t2 DROP COLUMN v"))
-    assert(e2.getMessage.contains("additive"), e2.getMessage)
+    // DROP COLUMN is metadata-only since round 15 — and the dropped
+    // name is retired forever (old files still carry its bytes)
+    ss.sql("ALTER TABLE g.t2 DROP COLUMN v")
+    assert(ss.table("g.t2").schema.fieldNames.toSeq == Seq("k", "w"))
+    val e2 = intercept[Exception](
+      ss.sql("ALTER TABLE g.t2 ADD COLUMN v BIGINT"))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
   }
 
   test("DELETE FROM lands as one deletion-vector commit; SQL reads are " +
@@ -1117,6 +1122,101 @@ class SqlCatalogSpec extends SparkSpec {
     assert(intercept[Exception](
       ss.sql("ALTER TABLE g.wp ALTER COLUMN day TYPE BIGINT"))
       .getMessage.contains("partition"))
+  }
+
+  test("RENAME COLUMN via column mapping: pure metadata (no commit, " +
+      "no file motion), old and new files serve under the new name, " +
+      "pruning and deletes translate, retired names refuse") {
+    val wh = Files.createTempDirectory("graft-sqlcat-ren").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.rn (k BIGINT, a BIGINT, s STRING)")
+    ss.range(6).select($"id".as("k"), ($"id" * 10).as("a"),
+      concat(lit("x"), $"id").as("s")).createOrReplaceTempView("rnsrc")
+    ss.sql("INSERT INTO g.rn SELECT * FROM rnsrc")
+    val dir = new Path(s"$wh/rn")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val verBefore = ManifestCommit.currentSnapshot(fs, dir).get.version
+    ss.sql("ALTER TABLE g.rn RENAME COLUMN a TO b")
+    // no new commit — the rename is a meta-file update only
+    assert(ManifestCommit.currentSnapshot(fs, dir).get.version ==
+      verBefore)
+    assert(ss.table("g.rn").schema.fieldNames.toSeq == Seq("k", "b", "s"))
+    // wave 2 lands under the PHYSICAL name; both waves read as `b`
+    ss.sql("INSERT INTO g.rn VALUES (100, 1000, 'y')")
+    def rows = ss.sql("SELECT k, b FROM g.rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == (0L until 6L).map(i => (i, i * 10)).toSet +
+      ((100L, 1000L)), s"$rows")
+    // the physical files carry 'a' in BOTH waves (writers translate)
+    val snap = ManifestCommit.currentSnapshot(fs, dir).get
+    snap.files.foreach { n =>
+      val sch = ss.read.parquet(new Path(dir, n).toString).schema
+      assert(sch.fieldNames.toSeq == Seq("k", "a", "s"), s"$n: $sch")
+    }
+    // a filter on the renamed column translates for stats pruning and
+    // parquet pushdown; a DV delete translates the recorded predicate
+    assert(ss.sql("SELECT k FROM g.rn WHERE b >= 40").collect()
+      .map(_.getLong(0)).toSet == Set(4L, 5L, 100L))
+    ss.sql("DELETE FROM g.rn WHERE b >= 40 AND b <= 60")
+    assert(rows == (0L until 4L).map(i => (i, i * 10)).toSet +
+      ((100L, 1000L)), s"post-delete $rows")
+    // a second rename re-keys the SAME physical name
+    ss.sql("ALTER TABLE g.rn RENAME COLUMN b TO c")
+    assert(ss.sql("SELECT sum(c) FROM g.rn").head.getLong(0) ==
+      (0 + 10 + 20 + 30 + 1000))
+    // the retired/physical namespace is closed: re-using 'a' refuses
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.rn ADD COLUMN a BIGINT"))
+      .getMessage.contains("physical"))
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.rn RENAME COLUMN s TO a"))
+      .getMessage.contains("physical"))
+    // DROP of a renamed column tombstones the PHYSICAL name; the
+    // logical name is then free, the physical one is not
+    ss.sql("ALTER TABLE g.rn DROP COLUMN c")
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.rn ADD COLUMN a BIGINT"))
+      .getMessage.contains("retired"))
+    ss.sql("ALTER TABLE g.rn ADD COLUMN c BIGINT") // never a phys name
+    // partition and key columns refuse
+    ss.sql("CREATE TABLE g.rp (k BIGINT, day INT) PARTITIONED BY (day)")
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.rp RENAME COLUMN day TO d"))
+      .getMessage.contains("partition"))
+    ss.sql("CREATE TABLE g.rk (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE g.rk RENAME COLUMN k TO kk"))
+      .getMessage.contains("key"))
+  }
+
+  test("RENAME COLUMN on a keyed table: row-level UPDATE/MERGE write " +
+      "staged deltas under the physical name and commit exactly") {
+    val wh = Files.createTempDirectory("graft-sqlcat-renk").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.rm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    ss.range(5).select($"id".as("k"), ($"id" * 10).as("v"))
+      .createOrReplaceTempView("rmsrc")
+    ss.sql("INSERT INTO g.rm SELECT * FROM rmsrc")
+    ss.sql("ALTER TABLE g.rm RENAME COLUMN v TO w")
+    ss.sql("UPDATE g.rm SET w = w + 1 WHERE k <= 1")
+    ss.sql("""MERGE INTO g.rm t
+      USING (SELECT 9 AS k, 99 AS w UNION ALL SELECT 3 AS k, 33 AS w) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET w = s.w
+      WHEN NOT MATCHED THEN INSERT (k, w) VALUES (s.k, s.w)""")
+    val got = ss.sql("SELECT k, w FROM g.rm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 11L), (2L, 20L), (3L, 33L),
+      (4L, 40L), (9L, 99L)), s"$got")
+    // every committed file carries the physical name 'v'
+    val dir = new Path(s"$wh/rm")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    ManifestCommit.currentSnapshot(fs, dir).get.files.foreach { n =>
+      val sch = ss.read.parquet(new Path(dir, n).toString).schema
+      assert(sch.fieldNames.toSeq == Seq("k", "v"), s"$n: $sch")
+    }
   }
 
   test("LeafPar attempts EVERY leaf and rethrows the first failure — " +
