@@ -1157,6 +1157,27 @@ class SqlCatalogSpec extends SparkSpec {
     // parquet pushdown; a DV delete translates the recorded predicate
     assert(ss.sql("SELECT k FROM g.rn WHERE b >= 40").collect()
       .map(_.getLong(0)).toSet == Set(4L, 5L, 100L))
+    // the mapping must not knock the DV-free read off the vectorized
+    // tier (ColumnarToRow = columnar batch input; checked before the
+    // delete moves files to the Group tier)
+    assert(ss.sql("SELECT k, b FROM g.rn").queryExecution.executedPlan
+      .toString.contains("ColumnarToRow"))
+    // the table reads as an append STREAM under the new name too —
+    // the micro-batch readers request the physical schema
+    locally {
+      val out = Files.createTempDirectory("graft-ren-stream").toString
+      val q = ss.readStream.table("g.rn")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+      val got = ss.read.parquet(s"$out/data")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("b")))
+        .toSet
+      assert(got == rows, s"streamed $got != $rows")
+    }
     ss.sql("DELETE FROM g.rn WHERE b >= 40 AND b <= 60")
     assert(rows == (0L until 4L).map(i => (i, i * 10)).toSet +
       ((100L, 1000L)), s"post-delete $rows")
