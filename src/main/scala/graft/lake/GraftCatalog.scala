@@ -811,6 +811,36 @@ private[graft] object GraftSqlTable {
     * it ('a:b' raw vs 'a%3Ab' escaped). NULL refuses on every path
     * (no __HIVE_DEFAULT_PARTITION__ leaves — an un-decodable leaf
     * would fail every later typed-partition SELECT at planning). */
+  /** One partition identifier rendered as its leaf-relative path
+    * (`day=3` / `a=1/b=x`) — the SAME literal rendering every writer
+    * uses ([[GraftFanoutDataWriter]]'s render), so ADD/DROP PARTITION
+    * and the data path name identical leaves. NULLs and path-unsafe
+    * string values refuse loudly. */
+  private[lake] def relOfPartIdent(partSchema: StructType,
+      id: InternalRow): String = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    require(id.numFields == partSchema.length,
+      s"graft catalog: partition ident has ${id.numFields} values; " +
+        s"the table has ${partSchema.length} partition columns")
+    partSchema.fields.zipWithIndex.map { case (f, i) =>
+      require(!id.isNullAt(i),
+        s"graft catalog: NULL partition value for ${f.name}")
+      val v = f.dataType match {
+        case IntegerType => id.getInt(i).toString
+        case LongType    => id.getLong(i).toString
+        case DateType    =>
+          java.time.LocalDate.ofEpochDay(id.getInt(i).toLong).toString
+        case StringType  =>
+          val s = id.getUTF8String(i).toString
+          assertPathLiteral(s, f.name)
+          s
+        case o => sys.error(s"graft catalog: partition column " +
+          s"${f.name} has unsupported type $o")
+      }
+      s"${f.name}=$v"
+    }.mkString("/")
+  }
+
   private[lake] def assertPathLiteral(v: String, colName: String): Unit =
     require(v.nonEmpty && org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(v) == v,
@@ -1063,7 +1093,9 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     partCols: Seq[String] = Nil, key: Option[String] = None,
     asOfLeaves: Option[Map[String, Long]] = None,
     colMap: Map[String, String] = Map.empty) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog
+      .SupportsAtomicPartitionManagement {
   protected def pinnedRead: Boolean = asOf.isDefined || asOfLeaves.isDefined
   // logical -> physical translation at the file boundary (RENAME
   // COLUMN support — see [[GraftTableMeta.phys]]); identity for the
@@ -1102,6 +1134,119 @@ private[graft] class GraftSqlTable(path: String, ident: String,
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSqlScan(path, tableSchema, partCols, asOf, asOfLeaves,
       colMap)
+
+  // ── partition management: SHOW PARTITIONS and ALTER TABLE
+  // ADD/DROP/TRUNCATE PARTITION, mapped onto the Hive-leaf layout.
+  // Each leaf is its own commit-log domain, so every verb here is
+  // O(touched leaves) driver metadata — zero Spark jobs, zero data
+  // reads. Partition columns are never renameable, so no column
+  // mapping applies to the identifiers.
+  override def partitionSchema(): StructType =
+    StructType(tableSchema.fields.takeRight(partCols.length))
+
+  private def fsOf: (org.apache.hadoop.fs.FileSystem, Path) = {
+    val dir = new Path(path)
+    (dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration), dir)
+  }
+  private def relOfIdent(id: InternalRow): String = {
+    require(partCols.nonEmpty,
+      s"graft catalog: $ident is unpartitioned — no partitions to " +
+        "manage")
+    GraftSqlTable.relOfPartIdent(partitionSchema(), id)
+  }
+
+  /** `ALTER TABLE t ADD PARTITION (p=v, ...)`: an EMPTY leaf is born
+    * — its own bootstrapped commit log and recorded (physical) data
+    * schema, exactly the state an insert-born leaf starts from, so
+    * every later writer and the streaming sink adopt it naturally. */
+  override def createPartitions(ids: Array[InternalRow],
+      props: Array[util.Map[String, String]]): Unit = {
+    require(!pinnedRead, s"graft catalog: $ident is a pinned " +
+      "time-travel read — history is immutable")
+    require(props.forall(_.isEmpty),
+      "graft catalog: partition-level properties are not supported")
+    val (fs, dir) = fsOf
+    val rels = ids.map(relOfIdent)
+    rels.foreach { rel =>
+      require(!fs.exists(new Path(new Path(dir, rel),
+        ManifestCommit.LogDirName)),
+        s"graft catalog: partition $rel of $ident already exists")
+    }
+    val dataPhys = GraftTableMeta.phys(StructType(
+      tableSchema.fields.dropRight(partCols.length)), colMap)
+    LeafPar.foreach(rels.toIndexedSeq) { rel =>
+      val leaf = new Path(dir, rel)
+      fs.mkdirs(leaf)
+      ManifestCommit.bootstrap(fs, leaf)
+      ManifestCommit.alterSchema(fs, leaf, dataPhys)
+    }
+  }
+
+  /** `ALTER TABLE t DROP PARTITION (p=v, ...)`: the whole-leaf drop —
+    * the leaf directory (data, sidecars, commit log) is removed. The
+    * leaf's history goes with it, exactly like `DROP TABLE`; use
+    * `TRUNCATE TABLE t PARTITION (...)` to empty a leaf and KEEP its
+    * log. Returns false (→ NoSuchPartition) if any named leaf is
+    * absent, before anything is deleted. */
+  override def dropPartitions(ids: Array[InternalRow]): Boolean = {
+    require(!pinnedRead, s"graft catalog: $ident is a pinned " +
+      "time-travel read — history is immutable")
+    val (fs, dir) = fsOf
+    val rels = ids.map(relOfIdent)
+    if (!rels.forall(rel => fs.exists(new Path(new Path(dir, rel),
+        ManifestCommit.LogDirName)))) return false
+    LeafPar.foreach(rels.toIndexedSeq) { rel =>
+      require(fs.delete(new Path(dir, rel), true),
+        s"graft catalog: cannot delete partition $rel of $ident")
+    }
+    true
+  }
+
+  /** `TRUNCATE TABLE t PARTITION (...)`: one atomic overwrite commit
+    * per leaf — rows gone, history and log intact, the change feed
+    * replays the truncation as deletes. */
+  override def truncatePartition(id: InternalRow): Boolean = {
+    require(!pinnedRead, s"graft catalog: $ident is a pinned " +
+      "time-travel read — history is immutable")
+    val (fs, dir) = fsOf
+    ManifestCommit.truncateTable(fs, new Path(dir, relOfIdent(id)))
+    true
+  }
+  override def truncatePartitions(ids: Array[InternalRow]): Boolean = {
+    LeafPar.foreach(ids.toIndexedSeq)(truncatePartition(_))
+    true
+  }
+
+  override def replacePartitionMetadata(id: InternalRow,
+      props: util.Map[String, String]): Unit =
+    sys.error("graft catalog: partition-level properties are not " +
+      "supported")
+  override def loadPartitionMetadata(
+      id: InternalRow): util.Map[String, String] =
+    new util.HashMap[String, String]()
+
+  /** `SHOW PARTITIONS` (and the exists-checks behind ADD/DROP ... IF
+    * [NOT] EXISTS): leaves decoded to typed rows, optionally filtered
+    * by a prefix of named values. One directory walk, zero manifest
+    * reads. A TIMESTAMP AS OF read lists only the leaves alive at the
+    * pinned timestamp. */
+  override def listPartitionIdentifiers(names: Array[String],
+      id: InternalRow): Array[InternalRow] = {
+    require(names.length == id.numFields,
+      s"graft catalog: ${names.length} names vs ${id.numFields} values")
+    val (fs, dir) = fsOf
+    val ps = partitionSchema()
+    val idx = names.map(ps.fieldIndex)
+    TableFeedSource.leafRels(fs, dir).filter(_ != ".")
+      .filter(rel => asOfLeaves.forall(_.contains(rel)))
+      .map(rel => TableFeedSource.partitionRow(rel, ps))
+      .filter(row => idx.indices.forall { i =>
+        val dt = ps.fields(idx(i)).dataType
+        row.get(idx(i), dt) == id.get(i, dt)
+      })
+      .toArray
+  }
 
   /** `TRUNCATE TABLE t`: the overwrite commit with nothing produced —
     * every live file consumed, sidecars dropped, ONE atomic commit per

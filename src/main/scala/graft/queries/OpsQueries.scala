@@ -1712,6 +1712,19 @@ object OpsQueries {
         TIMESTAMP AS OF timestamp_millis($ts)
         ORDER BY o_orderkey""")
     }),
+    // SHOW PARTITIONS: the Hive-leaf layout surfaced through Spark's
+    // partition-management API — one directory walk, zero manifest
+    // reads, zero jobs (ADD/DROP/TRUNCATE PARTITION are spec-pinned)
+    "q287_sql_show_partitions" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("SHOW PARTITIONS graftsql.db.orders_part")
+        .orderBy("partition")
+    }),
     // RENAME COLUMN via column mapping: logical names are SQL's,
     // physical names are the files' — the scan requests physical and
     // serves logical, the filter on the renamed column still prunes
@@ -6668,6 +6681,11 @@ object OpsQueries {
       """SELECT o_orderkey, o_totalprice,
            CAST(o_orderkey % 3 + 1 AS INT) AS day
          FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""",
+    // the partitioned table's leaves == the distinct day values
+    "q287_sql_show_partitions" ->
+      """SELECT DISTINCT 'day=' || CAST(o_orderkey % 4 + 1 AS VARCHAR)
+           AS "partition"
+         FROM orders ORDER BY "partition"""",
     // post-rename: both waves under the new logical name, minus the
     // DV-deleted box range (cust >= 0 always true — it exists to push
     // a filter on the renamed column)

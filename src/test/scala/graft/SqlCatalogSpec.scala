@@ -1240,6 +1240,49 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("partition management: SHOW PARTITIONS lists leaves, ADD " +
+      "births an empty bootstrapped leaf, TRUNCATE PARTITION empties " +
+      "but keeps the log, DROP removes leaf and history") {
+    val wh = Files.createTempDirectory("graft-sqlcat-pm").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.pm (k BIGINT, day INT) PARTITIONED BY (day)")
+    ss.range(6).select($"id".as("k"), ($"id" % 3).cast("int").as("day"))
+      .createOrReplaceTempView("pmsrc")
+    ss.sql("INSERT INTO g.pm SELECT * FROM pmsrc")
+    def parts = ss.sql("SHOW PARTITIONS g.pm").collect()
+      .map(_.getString(0)).toSet
+    assert(parts == Set("day=0", "day=1", "day=2"), s"$parts")
+    assert(ss.sql("SHOW PARTITIONS g.pm PARTITION (day=1)").collect()
+      .map(_.getString(0)).toSeq == Seq("day=1"))
+    // ADD PARTITION births an EMPTY leaf with its own log + recorded
+    // schema — later inserts and streams adopt it like any leaf
+    ss.sql("ALTER TABLE g.pm ADD PARTITION (day=9)")
+    assert(parts.contains("day=9"))
+    assert(ss.sql("SELECT count(*) FROM g.pm").head.getLong(0) == 6)
+    ss.sql("INSERT INTO g.pm VALUES (99, 9)")
+    assert(ss.sql("SELECT k FROM g.pm WHERE day = 9").collect()
+      .map(_.getLong(0)).toSeq == Seq(99L))
+    // a duplicate ADD refuses; IF NOT EXISTS no-ops
+    intercept[Exception](ss.sql("ALTER TABLE g.pm ADD PARTITION (day=9)"))
+    ss.sql("ALTER TABLE g.pm ADD IF NOT EXISTS PARTITION (day=9)")
+    // TRUNCATE PARTITION: rows gone, leaf + log + history stay
+    val dir = new Path(s"$wh/pm")
+    val fs = dir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    ss.sql("TRUNCATE TABLE g.pm PARTITION (day=0)")
+    assert(ss.sql("SELECT count(*) FROM g.pm WHERE day = 0")
+      .head.getLong(0) == 0)
+    assert(parts.contains("day=0"))
+    assert(fs.exists(new Path(new Path(dir, "day=0"),
+      ManifestCommit.LogDirName)))
+    // DROP PARTITION: leaf, data and history removed
+    ss.sql("ALTER TABLE g.pm DROP PARTITION (day=1)")
+    assert(!parts.contains("day=1") && !fs.exists(new Path(dir, "day=1")))
+    assert(ss.sql("SELECT count(*) FROM g.pm").head.getLong(0) == 3)
+    // a missing partition refuses; IF EXISTS no-ops
+    intercept[Exception](ss.sql("ALTER TABLE g.pm DROP PARTITION (day=7)"))
+    ss.sql("ALTER TABLE g.pm DROP IF EXISTS PARTITION (day=7)")
+  }
+
   test("LeafPar attempts EVERY leaf and rethrows the first failure — " +
       "a failing leaf never strands later leaves half-scheduled") {
     val hit = new java.util.concurrent.atomic.AtomicInteger
