@@ -190,6 +190,21 @@ private[graft] object GraftTableMeta {
   * is the single source of truth. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog {
+  /** Column DEFAULT values: `CREATE TABLE (c INT DEFAULT 5)` and
+    * `ALTER TABLE ... ADD COLUMN ... DEFAULT` / `ALTER COLUMN ... SET
+    * DEFAULT`. Spark encodes the default into the StructField
+    * metadata (CURRENT_DEFAULT fills future inserts analyzer-side;
+    * EXISTS_DEFAULT is the constant the column reads from files
+    * committed BEFORE it existed) — the recorded schema carries it,
+    * the stock parquet readers fill existence defaults natively
+    * (probed, both tiers' vectorized/row variants), and the Group-API
+    * merge-on-read reader resolves the same constants per reader. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private var catName: String = _
   private var warehouse: Path = _
   private def spark = SparkSession.active
@@ -595,6 +610,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "DROP); pick a name never used by this table")
         c -> n
       }.toMap
+    // ALTER COLUMN ... SET/DROP DEFAULT: CURRENT_DEFAULT governs
+    // FUTURE inserts only; EXISTS_DEFAULT (what rows from before the
+    // column existed read) is fixed at ADD time and never moves — so
+    // SET DEFAULT on an existing column changes no committed row.
+    val defaultNow: Map[String, Option[String]] =
+      changes.collect { case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames().length == 1,
+          "graft catalog: nested ALTER COLUMN is not supported")
+        val c = ud.fieldNames()(0)
+        require(prev.schema().fieldNames.contains(c),
+          s"graft catalog: no column '$c' in $ident")
+        c -> Option(ud.newDefaultValue()).filter(_.nonEmpty)
+      }.toMap
     val added = changes.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -610,8 +638,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: column name '$n0' is the physical name of " +
             s"a renamed column of $ident — old files carry its bytes; " +
             "pick a name never used by this table")
-        Some(org.apache.spark.sql.types
-          .StructField(a.fieldNames()(0), a.dataType(), nullable = true))
+        // build the field through Spark's own change application so a
+        // DEFAULT clause lands in the metadata exactly as every Spark
+        // surface (insert resolution, DESCRIBE, the parquet readers'
+        // existence-default fill) expects it; forced nullable — with
+        // no default, pre-evolution rows read NULL
+        val built = org.apache.spark.sql.graftbridge.GraftBridge
+          .applySchemaChanges(new StructType(), Seq(a)).fields.head
+        Some(built.copy(nullable = true))
       case p: TableChange.SetProperty if p.property == "key" =>
         require(prev.schema().fieldNames.contains(p.value) &&
           !parts.contains(p.value),
@@ -643,6 +677,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _: TableChange.DeleteColumn => None     // handled above
       case _: TableChange.UpdateColumnType => None // handled above
       case _: TableChange.RenameColumn => None     // handled above
+      case _: TableChange.UpdateColumnDefaultValue => None // below
       case other => sys.error("graft catalog: only ADD COLUMN, DROP " +
         "COLUMN, RENAME COLUMN, widening ALTER COLUMN TYPE and " +
         "SET/UNSET TBLPROPERTIES ('key') are supported (got " +
@@ -658,6 +693,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       prev.schema().fields.splitAt(prev.schema().length - parts.length)
     val dataF = dataF0.filterNot(f => dropNow.contains(f.name))
       .map(f => widenNow.get(f.name).fold(f)(t => f.copy(dataType = t)))
+      .map(f => defaultNow.get(f.name).fold(f) { d =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        f.copy(metadata = d.fold(mb.remove("CURRENT_DEFAULT"))(
+          mb.putString("CURRENT_DEFAULT", _)).build())
+      })
       .map(f => renameNow.get(f.name).fold(f)(n => f.copy(name = n)))
     require(dataF.nonEmpty || added.nonEmpty,
       s"graft catalog: DROP COLUMN would leave $ident with no data " +
@@ -683,11 +724,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a rename-only statement touches NO manifest — the physical
     // schema is unchanged, the mapping lives in the meta file alone
     val physChange = added.nonEmpty || dropNow.nonEmpty ||
-      widenNow.nonEmpty || keyNext.isDefined
+      widenNow.nonEmpty || keyNext.isDefined || defaultNow.nonEmpty
     if (parts.isEmpty && physChange)
       ManifestCommit.alterSchema(fs, dir, physNext,
         allowDrop = dropPhys, allowWiden = widenNow.nonEmpty)
-    else if (added.nonEmpty || dropNow.nonEmpty || widenNow.nonEmpty) {
+    else if (added.nonEmpty || dropNow.nonEmpty || widenNow.nonEmpty ||
+        defaultNow.nonEmpty) {
       // evolve every leaf's recorded schema (renames touch no manifest
       // — the physical schema is unchanged by them)
       val dataNext = GraftTableMeta.phys(StructType(dataF ++ added),

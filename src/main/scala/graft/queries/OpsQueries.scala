@@ -1725,6 +1725,19 @@ object OpsQueries {
       ss.sql("SHOW PARTITIONS graftsql.db.orders_part")
         .orderBy("partition")
     }),
+    // column DEFAULTs: CREATE-time defaults fill omitted insert
+    // columns; ADD COLUMN DEFAULT fills every pre-existence row at
+    // read time from the recorded schema's metadata (both tiers)
+    "q288_sql_column_defaults" -> ((s, d) => {
+      val wh = ensureSqlWarehouse(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      ss.conf.set("spark.sql.catalog.graftsql", "graft.lake.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.graftsql.warehouse", wh)
+      ss.sql("""SELECT o_orderkey, o_custkey, tag, bonus
+        FROM graftsql.db.orders_def ORDER BY o_orderkey""")
+    }),
     // RENAME COLUMN via column mapping: logical names are SQL's,
     // physical names are the files' — the scan requests physical and
     // serves logical, the filter on the renamed column still prunes
@@ -3008,6 +3021,23 @@ object OpsQueries {
         SELECT o_orderkey, o_totalprice, CAST(9 AS INT) AS day
         FROM orders_src_q267 WHERE o_orderkey % 10 = 0""")
       ss.sql("DELETE FROM graftsql.db.orders_ptt " +
+        s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
+      // q288's table: column DEFAULTs — CREATE-time defaults fill the
+      // first wave's omitted columns analyzer-side; ADD COLUMN DEFAULT
+      // gives every pre-existence row the constant (filled by the
+      // readers from the recorded schema's metadata, both tiers — the
+      // DV delete routes old files through the Group tier)
+      ss.sql("""CREATE TABLE graftsql.db.orders_def
+        (o_orderkey BIGINT, o_custkey BIGINT DEFAULT -1,
+         tag STRING DEFAULT 'none')""")
+      ss.sql("""INSERT INTO graftsql.db.orders_def (o_orderkey)
+        SELECT o_orderkey FROM orders_src_q267 WHERE o_orderkey % 2 = 0""")
+      ss.sql("ALTER TABLE graftsql.db.orders_def " +
+        "ADD COLUMN bonus BIGINT DEFAULT 7")
+      ss.sql("""INSERT INTO graftsql.db.orders_def
+        SELECT o_orderkey, o_custkey, 'real', 1
+        FROM orders_src_q267 WHERE o_orderkey % 2 = 1""")
+      ss.sql("DELETE FROM graftsql.db.orders_def " +
         s"WHERE o_orderkey >= $dlo AND o_orderkey <= $dhi")
       // q286's table: RENAME COLUMN via column mapping — pure
       // metadata (no commit, no file motion); wave 1's files carry
@@ -6686,6 +6716,22 @@ object OpsQueries {
       """SELECT DISTINCT 'day=' || CAST(o_orderkey % 4 + 1 AS VARCHAR)
            AS "partition"
          FROM orders ORDER BY "partition"""",
+    // wave 1 (evens) reads its CREATE-time and ADD-time defaults,
+    // wave 2 (odds) its explicit values, minus the DV-deleted range
+    "q288_sql_column_defaults" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo, max(o_orderkey) AS khi
+           FROM orders),
+         s AS (SELECT klo + (khi - klo) // 4 AS dlo,
+             klo + (khi - klo) // 2 AS dhi FROM b)
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE o_custkey END AS o_custkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'none'
+                ELSE 'real' END AS tag,
+           CASE WHEN o_orderkey % 2 = 0 THEN CAST(7 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS bonus
+         FROM orders, s WHERE o_orderkey < dlo OR o_orderkey > dhi
+         ORDER BY o_orderkey""",
     // post-rename: both waves under the new logical name, minus the
     // DV-deleted box range (cust >= 0 always true — it exists to push
     // a filter on the renamed column)

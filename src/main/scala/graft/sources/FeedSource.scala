@@ -751,6 +751,16 @@ private[graft] class FeedReaderFactory(tableSchema: StructType,
       // through the Group API would throw instead
       private var filePresent: java.util.Set[String] = _
 
+      // columns the FILE predates read their EXISTS_DEFAULT (the
+      // constant fixed at ADD COLUMN time, carried in the recorded
+      // schema's field metadata — the same fill the stock parquet
+      // readers perform); columns present in the file but null-valued
+      // stay NULL. Resolved once per reader, internal representation.
+      private lazy val existsDefaults: Array[Any] =
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .existenceDefaultValues(StructType(dataFields))
+          .asInstanceOf[Array[Any]]
+
       override def get(): InternalRow = {
         if (filePresent == null) {
           filePresent = new java.util.HashSet[String]()
@@ -765,8 +775,8 @@ private[graft] class FeedReaderFactory(tableSchema: StructType,
         while (i < dataFields.length) {
           val f = dataFields(i)
           vals(i) =
-            if (!filePresent.contains(f.name) ||
-              current.getFieldRepetitionCount(f.name) == 0) null
+            if (!filePresent.contains(f.name)) existsDefaults(i)
+            else if (current.getFieldRepetitionCount(f.name) == 0) null
             else f.dataType match {
               case LongType    => longOf(current, f.name)
               case IntegerType => current.getInteger(f.name, 0)

@@ -39,6 +39,17 @@ object GraftBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Apply V2 TableChanges to a schema through Spark's own logic
+    * (CatalogV2Util is private[sql]) — used to encode an ADD COLUMN's
+    * DEFAULT clause into the StructField metadata exactly as every
+    * Spark surface (insert resolution, DESCRIBE, the parquet readers'
+    * existence-default fill) expects it. */
+  def applySchemaChanges(schema: org.apache.spark.sql.types.StructType,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .applySchemaChanges(schema, changes, Some("parquet"), "ALTER TABLE")
+
   /** DataFrame over an InternalRow RDD (spark.internalCreateDataFrame is
     * private[sql]). Used to truncate iterative-algorithm lineage while
     * keeping the result inside the CacheManager (unlike localCheckpoint,

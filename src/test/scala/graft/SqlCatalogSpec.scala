@@ -1283,6 +1283,48 @@ class SqlCatalogSpec extends SparkSpec {
     ss.sql("ALTER TABLE g.pm DROP IF EXISTS PARTITION (day=7)")
   }
 
+  test("column DEFAULTs: CREATE-time defaults fill inserts, ADD " +
+      "COLUMN DEFAULT fills pre-existence rows in BOTH reader tiers, " +
+      "SET DEFAULT changes future inserts only, DROP DEFAULT reverts " +
+      "to NULL") {
+    val wh = Files.createTempDirectory("graft-sqlcat-def").toString
+    val ss = sqlSession(wh)
+    ss.sql("CREATE TABLE g.df (k BIGINT, v BIGINT DEFAULT 7, " +
+      "s STRING DEFAULT 'x')")
+    ss.sql("INSERT INTO g.df (k) SELECT id FROM range(0, 5)")
+    ss.sql("INSERT INTO g.df VALUES (10, DEFAULT, 'y')")
+    def rows = ss.sql("SELECT k, v, s, w FROM g.df").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // ADD COLUMN with DEFAULT: every pre-existence row reads the
+    // constant — the files lack the column and the VECTORIZED tier
+    // fills it from the recorded schema's metadata
+    ss.sql("ALTER TABLE g.df ADD COLUMN w BIGINT DEFAULT 99")
+    assert(rows == ((0L until 5L).map(k => (k, 7L, "x", 99L)).toSet +
+      ((10L, 7L, "y", 99L))), s"$rows")
+    // a DV delete routes the pre-ADD files through the Group tier —
+    // the surviving rows must read the SAME existence default
+    ss.sql("DELETE FROM g.df WHERE k >= 1 AND k <= 2")
+    assert(rows == (Set(0L, 3L, 4L).map(k => (k, 7L, "x", 99L)) +
+      ((10L, 7L, "y", 99L))), s"group-tier $rows")
+    // SET DEFAULT changes FUTURE inserts only; committed rows keep
+    // what they were written with
+    ss.sql("ALTER TABLE g.df ALTER COLUMN v SET DEFAULT 8")
+    ss.sql("INSERT INTO g.df (k) VALUES (20)")
+    assert(rows.contains((20L, 8L, "x", 99L)) &&
+      rows.contains((0L, 7L, "x", 99L)), s"$rows")
+    // DROP DEFAULT: later inserts get NULL again
+    ss.sql("ALTER TABLE g.df ALTER COLUMN s DROP DEFAULT")
+    ss.sql("INSERT INTO g.df (k) VALUES (30)")
+    val r30 = ss.sql("SELECT s FROM g.df WHERE k = 30").head
+    assert(r30.isNullAt(0))
+    // DESCRIBE surfaces the defaults
+    val desc = ss.sql("DESCRIBE g.df").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap.toString
+    assert(ss.sql("SELECT v FROM g.df WHERE k = 30").head.getLong(0)
+      == 8L, desc)
+  }
+
   test("LeafPar attempts EVERY leaf and rethrows the first failure — " +
       "a failing leaf never strands later leaves half-scheduled") {
     val hit = new java.util.concurrent.atomic.AtomicInteger
