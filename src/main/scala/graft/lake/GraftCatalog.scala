@@ -334,12 +334,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // current declared order; a type mismatch across leaves can only
       // be a mid-fan-out widening — union to the widest
       val declared = meta.get.schema
-      val thenData: Map[String, org.apache.spark.sql.types.DataType] =
-        pinned.toSeq
+      val thenOrdered: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        pinned.toSeq.sortBy(_._1)
           .flatMap { case (rel, v) => ManifestCommit
             .schemaAt(fs, new Path(dir, rel), v).toSeq.flatMap(_.fields)
-          }
-          .groupMapReduce(_.name)(_.dataType)((a, b) =>
+          }.map(f => f.name -> f.dataType)
+      val thenData: Map[String, org.apache.spark.sql.types.DataType] =
+        thenOrdered
+          .groupMapReduce(_._1)(_._2)((a, b) =>
             if (a == b) a
             else if (ManifestCommit.widens(a, b)) b
             else if (ManifestCommit.widens(b, a)) a
@@ -351,15 +353,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // serving a data-column-less table. Recorded leaf schemas carry
       // PHYSICAL names; a pinned read serves them as-is (the names as
       // recorded THEN — a later RENAME is metadata with no commit, so
-      // the log cannot place it) with an identity mapping.
+      // the log cannot place it) with an identity mapping. A column
+      // DROPped after the timestamp existed THEN: it rides along
+      // after the declared-order survivors, exactly as the
+      // unpartitioned path (which serves schemaAt verbatim) would.
       val cmap = meta.get.colMap
+      val declaredPhys = declared.fields
+        .filterNot(f => parts.contains(f.name))
+        .map(f => GraftTableMeta.phys(f.name, cmap)).toSet
+      val droppedThen = thenOrdered.map(_._1).distinct
+        .filterNot(declaredPhys.contains)
+        .map(n => org.apache.spark.sql.types.StructField(n, thenData(n),
+          nullable = true))
       val schemaThen =
         if (thenData.isEmpty) GraftTableMeta.phys(declared, cmap)
-        else StructType(declared.fields.flatMap(f =>
-          if (parts.contains(f.name)) Some(f)
-          else thenData.get(GraftTableMeta.phys(f.name, cmap))
-            .map(t => f.copy(name = GraftTableMeta.phys(f.name, cmap),
-              dataType = t))))
+        else {
+          val (dataD, partD) = declared.fields.partition(f =>
+            !parts.contains(f.name))
+          StructType(dataD.flatMap(f =>
+            thenData.get(GraftTableMeta.phys(f.name, cmap))
+              .map(t => f.copy(name = GraftTableMeta.phys(f.name, cmap),
+                dataType = t))) ++ droppedThen ++ partD)
+        }
       new GraftSqlTable(dir.toString, s"$ident@t$tsMs", schemaThen,
         partCols = parts, asOfLeaves = Some(pinned))
     }
@@ -638,6 +653,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: column name '$n0' is the physical name of " +
             s"a renamed column of $ident — old files carry its bytes; " +
             "pick a name never used by this table")
+        // FIRST/AFTER positions refuse: added columns always slot in
+        // after the existing data columns (before the partition
+        // columns) — and applying the change to an empty struct below
+        // could never resolve an AFTER reference anyway
+        require(a.position() == null,
+          s"graft catalog: ADD COLUMN ... FIRST/AFTER is not " +
+            s"supported — '$n0' appends after the existing data " +
+            "columns")
         // build the field through Spark's own change application so a
         // DEFAULT clause lands in the metadata exactly as every Spark
         // surface (insert resolution, DESCRIBE, the parquet readers'
@@ -1252,7 +1275,14 @@ private[graft] class GraftSqlTable(path: String, ident: String,
     require(!pinnedRead, s"graft catalog: $ident is a pinned " +
       "time-travel read — history is immutable")
     val (fs, dir) = fsOf
-    ManifestCommit.truncateTable(fs, new Path(dir, relOfIdent(id)))
+    val rel = relOfIdent(id)
+    // refuse a partition that does not exist — truncateTable would
+    // otherwise BOOTSTRAP the missing leaf and mint a phantom empty
+    // partition that SHOW PARTITIONS then lists
+    require(fs.exists(new Path(new Path(dir, rel),
+      ManifestCommit.LogDirName)),
+      s"graft catalog: partition $rel of $ident does not exist")
+    ManifestCommit.truncateTable(fs, new Path(dir, rel))
     true
   }
   override def truncatePartitions(ids: Array[InternalRow]): Boolean = {
@@ -1403,9 +1433,11 @@ private[graft] class GraftSqlTable(path: String, ident: String,
       private var overwriteFilters: Array[Filter] = Array.empty
       override def truncate(): WriteBuilder = { truncateMode = true; this }
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
-          truncateMode = true
-        else { overwriteFilters = filters; truncateMode = true }
+        // an all-AlwaysTrue filter set (no PARTITION spec) leaves
+        // overwriteFilters empty = replace everything
+        overwriteFilters = filters.filterNot(
+          _ == org.apache.spark.sql.sources.AlwaysTrue)
+        truncateMode = true
         this
       }
       override def overwriteDynamicPartitions(): WriteBuilder = {
@@ -2211,11 +2243,18 @@ private[graft] class GraftDeltaWrite(path: String, tblSchema: StructType,
                   .withColumn("__delRel", lit(rel)))
               }
             }.reduceOption(_ unionByName _)
+            // the cached join must unpersist on EVERY path — filter()
+            // dropping the empty-move case would otherwise leak the
+            // cache entry once per no-move multi-leaf statement
             (for (i <- ins; d <- del) yield
               i.join(d, "__k")
                 .where(col("__insRel") =!= col("__delRel"))
                 .select(col("__k"), col("__insRel")).cache())
-              .filter(_.limit(1).count() > 0)
+              .filter { m =>
+                val any = m.limit(1).count() > 0
+                if (!any) m.unpersist()
+                any
+              }
           }
         // phase 0: moved-in inserts, destination leaves first
         moved.foreach { m =>

@@ -505,17 +505,23 @@ private[graft] object VecFeed {
     // parents — driver metadata calls scale with the layout, not the
     // file count (an object-store LIST pages ~1000 entries per call
     // vs one round-trip per GET)
-    val byParent = plain.map(p => new Path(p.file)).groupBy(_.getParent)
-    val statusOf: Map[String, org.apache.hadoop.fs.FileStatus] =
-      byParent.flatMap { case (parent, paths) =>
-        val wanted = paths.map(_.getName).toSet
-        fs.listStatus(parent).toIndexedSeq
-          .filter(st => wanted.contains(st.getPath.getName))
-          .map(st => st.getPath.toString -> st)
-      }
-    val statuses = plain.map(p => (p.version,
-      statusOf.getOrElse(new Path(p.file).toString,
-        fs.getFileStatus(new Path(p.file)))))
+    // matched by FILE NAME within each parent — a listStatus result
+    // comes back fully qualified (scheme + authority) while the
+    // planned path may be spelled schemeless, and a full-path-string
+    // key would miss every file and fall back to per-file GETs
+    val statusOf: Map[(Path, String), org.apache.hadoop.fs.FileStatus] =
+      plain.map(p => new Path(p.file)).groupBy(_.getParent)
+        .flatMap { case (parent, paths) =>
+          val wanted = paths.map(_.getName).toSet
+          fs.listStatus(parent).toIndexedSeq
+            .filter(st => wanted.contains(st.getPath.getName))
+            .map(st => (parent, st.getPath.getName) -> st)
+        }
+    val statuses = plain.map { p =>
+      val path = new Path(p.file)
+      (p.version, statusOf.getOrElse((path.getParent, path.getName),
+        fs.getFileStatus(path)))
+    }
     if (statuses.map(_._2.getLen).sum < minBytes) return parts
     val maxSplit = FilePartition.maxSplitBytes(spark,
       Seq(PartitionDirectory(
@@ -552,8 +558,13 @@ private[graft] object VecFeed {
     new java.util.concurrent.ConcurrentHashMap[String, PartitionReaderFactory]()
   private[graft] def dataFactory(spark: SparkSession,
       dataSchema: StructType): PartitionReaderFactory =
+    // sessionUUID, not identityHashCode: an identity hash can be
+    // REUSED after the original session is GC'd, which would serve a
+    // dead session's broadcast conf to a new session — the exact
+    // staleness this key exists to prevent
     factoryCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:${dataSchema.json}", _ =>
+      s"${org.apache.spark.sql.graftbridge.GraftBridge
+        .sessionUUID(spark)}:${dataSchema.json}", _ =>
         graft.lake.GraftSqlScan.parquetFactory(spark, dataSchema,
           dataSchema, StructType(Nil), Array.empty))
 }

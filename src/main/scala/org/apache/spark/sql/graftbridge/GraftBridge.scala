@@ -39,6 +39,13 @@ object GraftBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Stable unique id of a session (sessionUUID is private[sql]) —
+    * a cache key that, unlike System.identityHashCode, can never
+    * alias a GC'd session. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionUUID
+
   /** Apply V2 TableChanges to a schema through Spark's own logic
     * (CatalogV2Util is private[sql]) — used to encode an ADD COLUMN's
     * DEFAULT clause into the StructField metadata exactly as every

@@ -95,6 +95,10 @@ class SqlCatalogSpec extends SparkSpec {
     val e2 = intercept[Exception](
       ss.sql("ALTER TABLE g.t2 ADD COLUMN v BIGINT"))
     assert(e2.getMessage.contains("retired"), e2.getMessage)
+    // FIRST/AFTER positions refuse loudly — added columns append
+    val e3 = intercept[Exception](
+      ss.sql("ALTER TABLE g.t2 ADD COLUMN z BIGINT AFTER k"))
+    assert(e3.getMessage.contains("FIRST/AFTER"), e3.getMessage)
   }
 
   test("DELETE FROM lands as one deletion-vector commit; SQL reads are " +
@@ -1281,6 +1285,11 @@ class SqlCatalogSpec extends SparkSpec {
     // a missing partition refuses; IF EXISTS no-ops
     intercept[Exception](ss.sql("ALTER TABLE g.pm DROP PARTITION (day=7)"))
     ss.sql("ALTER TABLE g.pm DROP IF EXISTS PARTITION (day=7)")
+    // TRUNCATE of a partition that never existed refuses — it must
+    // not mint a phantom empty leaf that SHOW PARTITIONS then lists
+    intercept[Exception](
+      ss.sql("TRUNCATE TABLE g.pm PARTITION (day=55)"))
+    assert(!parts.contains("day=55"), s"$parts")
   }
 
   test("column DEFAULTs: CREATE-time defaults fill inserts, ADD " +
