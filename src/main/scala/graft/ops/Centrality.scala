@@ -60,7 +60,15 @@ object Centrality {
     * its component, its PageRank, and whether it is the component's
     * canonical pick (max rank, ties to the smaller id). */
   def canonicalByRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val p = TextKit.tracked(pairs.select(col("doc_a"), col("doc_b")))
+    // lineage-TRUNCATED, not merely cached: CC + the unrolled PageRank
+    // chain re-reference the pair relation ~4x per iteration, and a
+    // cache entry only short-circuits execution — Catalyst still
+    // re-analyzes the full generator subtree at every action (for q133
+    // the LSH chain under 3 unrolled iterations analyzed as a 2.5 MB
+    // plan; truncation collapses it to one LogicalRDD leaf). register()
+    // keeps releaseCaches() able to free the blocks.
+    val p = TextKit.register(Components.truncated(
+      pairs.select(col("doc_a"), col("doc_b"))))
     // cached: consumed by the canonical aggregation AND the final join —
     // uncached it would re-run the whole CC + PageRank chain per
     // consumer (measured 14.5 s -> ~7 s at sf0.1 for q133)

@@ -338,25 +338,27 @@ object Components {
   def labelPropagation(pairs: DataFrame, iters: Int = 3,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
-    val e = truncated(
+    val e = TextKit.register(truncated(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = truncated(e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))))
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    // Unlike connectedComponents, each LPA round references the previous
+    // labels exactly ONCE (the edge-label join), so the unrolled plan
+    // grows linearly, not 4^round — at the fixed default of 3 rounds the
+    // whole chain stays one small tree over the truncated edge leaf.
+    // Executing it as ONE job (no per-round truncation) drops 3
+    // materialization jobs and 3 cache write/read round-trips per call;
+    // convergence never needs probing because the round count is fixed.
     for (_ <- 1 to iters) {
-      val next = truncated(e
+      labels = e
         .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label")))
-      next.count()
-      labels.unpersist(blocking = false)
-      labels = next
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
     }
-    e.unpersist(blocking = false)
-    TextKit.register(labels)
     labels.select(col("node").as("doc_id"), col("label").as("community"))
   }
 }

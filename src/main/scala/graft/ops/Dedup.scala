@@ -577,17 +577,25 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"tau out of range: $tau")
     val shm = tracked(shingleHashes(docs).distinct())
-    val dfs = shm.groupBy("m").agg(count(lit(1)).as("df"))
-    val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("m"))
+    // df and n as WINDOW counts, not standalone aggregations: the old
+    // groupBy(m)/groupBy(doc_id) + join-back shape paid two extra
+    // aggregation stages and two joins for numbers the window exchanges
+    // already in flight can produce. df = count over partition(m) (shm
+    // is distinct, so occurrences == containing docs); n = count over
+    // the UNORDERED doc_id partition (whole-partition frame), stacked on
+    // the row_number window so both share one doc_id exchange — and the
+    // ordered window's (doc_id, df, m) sort already satisfies the
+    // unordered one's clustering, so no second sort is paid.
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("m"))
     // postings carry (rank, size): the ppjoin LENGTH and POSITIONAL
     // filters run inside the join condition, killing the candidate
     // explosion before the (expensive) distinct + exact verify — on the
     // sf0.1 corpus they cut 7.9M raw prefix pairs to the true-pair
     // order of magnitude
-    val pref = shm.join(dfs, "m")
-      .withColumn("rk", row_number().over(w))
-      .join(sizes, "doc_id")
+    val pref = shm
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("m")))
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("rk") <=
         col("n") - ceil(lit(tau) * col("n")).cast("long") + 1)
       .filter(col("df") <= maxPrefixDf) // adversarial-corpus guard

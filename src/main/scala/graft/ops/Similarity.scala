@@ -421,19 +421,52 @@ object Similarity {
       .withColumn("cnsq", dotPre(col("cqv"), col("cqv")))
   }
 
-  /** Nearest-centroid cell per vector — a hash aggregation with map-side
-    * combine (min over (dist, cent_id) structs), not a per-vector window
-    * sort. Exact integer squared-L2: |a|^2 + |c|^2 - 2 a.c. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
-    e.join(broadcast(cent))
-      .select(col("vec_id"), col("qv"), col("nsq"),
-        struct((col("nsq") + col("cnsq") -
-          lit(2L) * dotPre(col("qv"), col("cqv"))).as("dist"),
-          col("cent_id").as("cid")).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("qv")).as("qv"), first(col("nsq")).as("nsq"),
-        min(col("dc")).as("m"))
-      .select(col("vec_id"), col("qv"), col("nsq"), col("m.cid").as("cell"))
+  /** Collect a (cent_id, cqv, ...) centroid frame back to driver arrays,
+    * ordered by cent_id — k x dim longs, the same bounded state
+    * [[kmeansCentroids]] already holds. Used where only the stored
+    * DataFrame form exists (a persisted index read back from parquet). */
+  private def centArr(cent: DataFrame): Seq[Array[Long]] =
+    cent.orderBy(col("cent_id")).select(col("cqv")).collect()
+      .map(_.getSeq[Long](0).toArray).toSeq
+
+  /** The k (squared-L2 distance, cent_id) structs of a vector against a
+    * LITERAL centroid set — row-local codegen arithmetic, no join, no
+    * shuffle. |c|^2 folds at plan time (driver longs, same wrap-free
+    * range as the executor math). */
+  private def distStructs(qv: Column, nsq: Column,
+      cents: Seq[Array[Long]]): Seq[Column] =
+    cents.zipWithIndex.map { case (c, i) =>
+      val cn = c.map(x => x * x).sum
+      struct((nsq + lit(cn) - lit(2L) * dotPre(qv, typedLit(c.toSeq)))
+        .as("dist"), lit(i.toLong).as("cid"))
+    }
+
+  /** Lexicographic min over (dist, cid) structs == the old
+    * min-aggregation over the broadcast-joined centroid rows. */
+  private def leastOf(entries: Seq[Column]): Column =
+    if (entries.size == 1) entries.head else least(entries: _*)
+
+  /** Residual against the row's own cell centroid, row-local:
+    * rv = qv - cents[cell] via the literal centroid matrix (replaces the
+    * broadcast join back onto the centroid frame). */
+  private def residualExpr(qv: Column, cell: Column,
+      cents: Seq[Array[Long]]): Column =
+    zip_with(qv,
+      element_at(typedLit(cents.map(_.toSeq)), cell.cast("int") + 1),
+      (a, b) => a - b)
+
+  /** Nearest-centroid cell per vector — ROW-LOCAL argmin against the
+    * literal centroid set (the centroids are driver-side training state
+    * everywhere this is called). The previous shape — broadcast-join all
+    * k centroids onto every vector, then hash-aggregate the FULL vector
+    * payload back together by vec_id — paid a corpus-wide k-fanout and a
+    * corpus-wide shuffle for an argmin each row can compute alone.
+    * Identical integer math, identical (dist, cid) tie-break. */
+  private def assignCells(e: DataFrame,
+      cents: Seq[Array[Long]]): DataFrame =
+    e.select(col("vec_id"), col("qv"), col("nsq"),
+      leastOf(distStructs(col("qv"), col("nsq"), cents))
+        .getField("cid").as("cell"))
 
   /** Fixed-k Lloyd's iterations over pre-quantized vectors, fully
     * deterministic and integer-exact (so the DuckDB oracle reproduces it
@@ -458,7 +491,7 @@ object Similarity {
           lit(trainSampleMod.toLong)) === 0)
     var cents = initCentroids(train, k)
     for (_ <- 0 until iters) {
-      val updated = assignCells(train, centDf(train, cents))
+      val updated = assignCells(train, cents)
         .select(col("cell"), posexplode(col("qv")).as(Seq("d", "v")))
         .groupBy(col("cell"), col("d"))
         .agg(sum(col("v") + lit(KmOff)).as("s"), count(lit(1)).as("n"))
@@ -562,9 +595,8 @@ object Similarity {
   def cellAssignments(emb: DataFrame, nCells: Int = 8,
       trainIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
     val e = tracked(withNorm(emb))
-    val cent = centDf(e,
-      kmeansCentroids(e, nCells, trainIters, trainSampleMod))
-    assignCells(e, cent).select(col("vec_id"), col("cell"))
+    assignCells(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
+      .select(col("vec_id"), col("cell"))
   }
 
   def ivfTopK(emb: DataFrame, nQueries: Int = 10, k: Int = 3,
@@ -573,24 +605,19 @@ object Similarity {
     // cached: training iterations + the final assignment + the probe set
     // all read the quantized corpus (~6 passes otherwise)
     val e = tracked(withNorm(emb))
-    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
-    val assigned = assignCells(e, cent)
+    val cents = kmeansCentroids(e, nCells, trainIters, trainSampleMod)
+    val assigned = assignCells(e, cents)
     // nQueries < 0: EVERY vector queries (the kNN-graph shape)
     val q = (if (nQueries < 0) e else e.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nsq").as("qnsq"))
-    // nprobe nearest cells per query: collect the (tiny) centroid distance
-    // list, sort, slice — one aggregation + explode, no window shuffle
-    val probes = q.join(broadcast(cent))
-      .select(col("query_id"), col("qqv"), col("qnsq"),
-        struct((col("qnsq") + col("cnsq") -
-          lit(2L) * dotPre(col("qqv"), col("cqv"))).as("dist"),
-          col("cent_id").as("cid")).as("dc"))
-      .groupBy(col("query_id"))
-      .agg(first(col("qqv")).as("qqv"), first(col("qnsq")).as("qnsq"),
-        slice(sort_array(collect_list(col("dc"))), 1, nprobe).as("near"))
-      .select(col("query_id"), col("qqv"), col("qnsq"),
-        explode(col("near")).as("dc"))
+    // nprobe nearest cells per query: ROW-LOCAL sort + slice of the k
+    // literal (dist, cid) structs — same ascending (dist, cid) order the
+    // old collect_list aggregation produced, zero joins, zero shuffles
+    val probes = q.select(col("query_id"), col("qqv"), col("qnsq"),
+        explode(slice(sort_array(array(
+          distStructs(col("qqv"), col("qnsq"), cents): _*)), 1, nprobe))
+          .as("dc"))
       .select(col("query_id"), col("qqv"), col("qnsq"),
         col("dc.cid").as("cell"))
     val scored = probes.join(assigned, "cell")
@@ -658,8 +685,8 @@ object Similarity {
   def semanticDedup(emb: DataFrame, nCells: Int = 8, tau: Double = 0.4,
       trainIters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
     val e = tracked(withNorm(emb))
-    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
-    val assigned = tracked(assignCells(e, cent))
+    val assigned = tracked(assignCells(e,
+      kmeansCentroids(e, nCells, trainIters, trainSampleMod)))
     val l = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("qv").as("qa"), col("nsq").as("na"))
     val r = assigned.select(col("cell"), col("vec_id").as("vec_b"),
@@ -711,12 +738,11 @@ object Similarity {
       if (trainIters <= 0) cb0
       else refineCodebook(subRows(e, "qv", Seq("vec_id"), m, subDim),
         cb0, trainIters, subDim, cbSampleMod)
-    val codebook = codebookDf(e.sparkSession, cbSeq)
-    val encoded = encodeCodes(e, "qv", Seq("vec_id"), codebook, m, subDim)
+    val encoded = encodeCodes(e, "qv", Seq("vec_id"), cbSeq, m, subDim)
     val qtab = adcTables(
       e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("qv")),
-      "qv", Seq("query_id"), codebook, m, subDim, codesPerSub)
+      "qv", Seq("query_id"), cbSeq, m, subDim, codesPerSub)
     // score: m integer lookups per (query, candidate) — the compressed
     // corpus streams past the broadcast tables, never the raw vectors
     val scored = encoded.join(broadcast(qtab),
@@ -850,41 +876,57 @@ object Similarity {
     cb
   }
 
-  /** PQ encode: argmin codebook entry per (keep-key, subspace) — min
-    * over a broadcast join, map-side combinable (assignCells' shape) —
-    * packed to one `codes` array per keep-key. */
+  /** Collect a stored (sub, code, cbv) codebook frame back to the
+    * driver, ordered — m x codesPerSub x subDim longs, the same bounded
+    * state the builders already hold as `cbSeq`. */
+  private def codebookArr(codebook: DataFrame): Seq[(Int, Long, Seq[Long])] =
+    codebook.select(col("sub"), col("code"), col("cbv"))
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+
+  /** Squared L2 from a subvector column to a LITERAL codebook entry —
+    * |v|^2 folds at plan time; identical integer math to [[sqDist]]. */
+  private def sqDistLit(sqv: Column, sn: Column, v: Seq[Long]): Column =
+    sn + lit(v.map(x => x * x).sum) - lit(2L) * dotPre(sqv, typedLit(v))
+
+  /** PQ encode: argmin codebook entry per (keep-key, subspace), packed
+    * to one `codes` array per keep-key — ROW-LOCAL over the literal
+    * codebook (the codebook is driver-side training state everywhere
+    * this is called). The previous shape exploded m sub-rows per
+    * vector, broadcast-join-fanned them x codesPerSub, and paid TWO
+    * corpus-wide hash aggregations to fold the argmins back into an
+    * array each row can compute alone. Identical integer math,
+    * identical (dist, code) tie-break. */
   private def encodeCodes(df: DataFrame, vecCol: String, keep: Seq[String],
-      codebook: DataFrame, m: Int, subDim: Int): DataFrame =
-    subRows(df, vecCol, keep, m, subDim)
-      .join(broadcast(codebook), Seq("sub"))
-      .select(keep.map(col) :+ col("sub") :+
-        struct(sqDist(col("sqv"), col("cbv")).as("dist"),
-          col("code").as("c")).as("dc"): _*)
-      .groupBy((keep :+ "sub").map(col): _*)
-      .agg(min(col("dc")).getField("c").as("code"))
-      .groupBy(keep.map(col): _*)
-      .agg(map_from_arrays(collect_list(col("sub")),
-        collect_list(col("code"))).as("cm"))
-      .select(keep.map(col) :+
-        array((0 until m).map(s => element_at(col("cm"), s)): _*)
-          .as("codes"): _*)
+      cb: Seq[(Int, Long, Seq[Long])], m: Int, subDim: Int): DataFrame = {
+    val bySub = cb.groupBy(_._1)
+    val codes = (0 until m).map { s =>
+      val sqv = slice(col(vecCol), s * subDim + 1, subDim)
+      val sn = dotPre(sqv, sqv)
+      leastOf(bySub(s).sortBy(_._2).map { case (_, code, v) =>
+        struct(sqDistLit(sqv, sn, v).as("dist"), lit(code).as("c"))
+      }).getField("c")
+    }
+    df.select(keep.map(col) :+ array(codes: _*).as("codes"): _*)
+  }
 
   /** Per-keep-key ADC table: exact integer distance from the keep-key's
     * vector to ALL m x codesPerSub codebook entries, packed as one
-    * lookup array indexed sub*codesPerSub+code. */
+    * lookup array indexed sub*codesPerSub+code — row-local over the
+    * literal codebook, like [[encodeCodes]]. */
   private def adcTables(df: DataFrame, vecCol: String, keep: Seq[String],
-      codebook: DataFrame, m: Int, subDim: Int, codesPerSub: Int): DataFrame =
-    subRows(df, vecCol, keep, m, subDim)
-      .join(broadcast(codebook), Seq("sub"))
-      .select(keep.map(col) :+
-        (col("sub") * codesPerSub + col("code")).as("slot") :+
-        sqDist(col("sqv"), col("cbv")).as("dist"): _*)
-      .groupBy(keep.map(col): _*)
-      .agg(map_from_arrays(collect_list(col("slot")),
-        collect_list(col("dist"))).as("dm"))
-      .select(keep.map(col) :+
-        array((0 until m * codesPerSub).map(i =>
-          element_at(col("dm"), i.toLong)): _*).as("tab"): _*)
+      cb: Seq[(Int, Long, Seq[Long])], m: Int, subDim: Int,
+      codesPerSub: Int): DataFrame = {
+    val bySlot = cb.map { case (s, c, v) =>
+      (s * codesPerSub + c.toInt, v)
+    }.toMap
+    val tab = (0 until m * codesPerSub).map { i =>
+      val s = i / codesPerSub
+      val sqv = slice(col(vecCol), s * subDim + 1, subDim)
+      sqDistLit(sqv, dotPre(sqv, sqv), bySlot(i))
+    }
+    df.select(keep.map(col) :+ array(tab: _*).as("tab"): _*)
+  }
 
   /** ADC score: sum of m integer table lookups (`tab`, `codes` in scope). */
   private def adcExpr(m: Int, codesPerSub: Int): Column =
@@ -906,6 +948,29 @@ object Similarity {
     /** Vector dimensionality the index was built for — external query
       * batches must match it exactly ([[searchIvfPqWith]] enforces). */
     def dim: Int = m * subDim
+
+    /** Driver-side copies of the frozen training state (k x dim + m x
+      * codesPerSub x subDim longs), memoized so a maintenance loop that
+      * appends/searches every micro-batch collects them ONCE, not per
+      * batch. Owners that rebuild the index from storage each batch
+      * (streamFeedIvfPqMaintain) inject the arrays across instances. */
+    @volatile private[graft] var centsCache: Seq[Array[Long]] = null
+    @volatile private[graft] var cbCache: Seq[(Int, Long, Seq[Long])] = null
+    private[graft] def centsArr: Seq[Array[Long]] = {
+      if (centsCache == null) centsCache = centArr(cent)
+      centsCache
+    }
+    private[graft] def cbArr: Seq[(Int, Long, Seq[Long])] = {
+      if (cbCache == null) cbCache = codebookArr(codebook)
+      cbCache
+    }
+    /** copy() that carries the memoized training-state arrays along. */
+    private[graft] def withRows(e2: DataFrame, enc2: DataFrame): IvfPqIndex = {
+      val c = copy(e = e2, encoded = enc2)
+      c.centsCache = centsCache
+      c.cbCache = cbCache
+      c
+    }
   }
 
   /** Build the IVF-PQ index: train the coarse quantizer (on the
@@ -922,12 +987,14 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subDim = dim / m
     val e = tracked(withNorm(emb))
-    val cent = centDf(e, kmeansCentroids(e, nCells, trainIters, trainSampleMod))
-    // residual = vector - its cell centroid, exact integer subtraction
+    val cents = kmeansCentroids(e, nCells, trainIters, trainSampleMod)
+    val cent = centDf(e, cents)
+    // residual = vector - its cell centroid, exact integer subtraction —
+    // row-local against the literal centroid matrix (no join back)
     val res = tracked(
-      assignCells(e, cent).join(broadcast(cent), col("cell") === col("cent_id"))
+      assignCells(e, cents)
         .select(col("vec_id"), col("cell"),
-          zip_with(col("qv"), col("cqv"), (a, b) => a - b).as("rv")))
+          residualExpr(col("qv"), col("cell"), cents).as("rv")))
     // residual codebook + per-(vector, cell) codes — the shared PQ kit
     val cb0 = sampleCodebookSeq(res, "rv", m, subDim, codesPerSub)
     val cbSeq =
@@ -936,8 +1003,13 @@ object Similarity {
         cb0, cbTrainIters, subDim, cbSampleMod)
     val codebook = codebookDf(e.sparkSession, cbSeq)
     val encoded = tracked(encodeCodes(res, "rv", Seq("vec_id", "cell"),
-      codebook, m, subDim))
-    IvfPqIndex(e, cent, codebook, encoded, m, codesPerSub, subDim)
+      cbSeq, m, subDim))
+    val ix = IvfPqIndex(e, cent, codebook, encoded, m, codesPerSub, subDim)
+    // the training state is already in hand — seed the memo so the first
+    // search/append never re-collects it
+    ix.centsCache = cents
+    ix.cbCache = cbSeq
+    ix
   }
 
   /** IVF-PQ top-k — the production composition (FAISS's IndexIVFPQ,
@@ -1022,13 +1094,16 @@ object Similarity {
   def appendIvfPq(ix: IvfPqIndex, batch: DataFrame): IvfPqIndex = {
     val b = tracked(withNorm(spread(batch).select(col("vec_id"),
       assertDim(col("embedding"), ix.dim).as("embedding"))))
-    val res = assignCells(b, ix.cent)
-      .join(broadcast(ix.cent), col("cell") === col("cent_id"))
+    // the frozen training state collects back to driver arrays (KBs,
+    // memoized on the index instance) so assignment, residual, and
+    // encode are all row-local over the batch
+    val cents = ix.centsArr
+    val res = assignCells(b, cents)
       .select(col("vec_id"), col("cell"),
-        zip_with(col("qv"), col("cqv"), (a, c) => a - c).as("rv"))
+        residualExpr(col("qv"), col("cell"), cents).as("rv"))
     val encNew = encodeCodes(res, "rv", Seq("vec_id", "cell"),
-      ix.codebook, ix.m, ix.subDim)
-    ix.copy(e = ix.e.unionByName(b), encoded = ix.encoded.unionByName(encNew))
+      ix.cbArr, ix.m, ix.subDim)
+    ix.withRows(ix.e.unionByName(b), ix.encoded.unionByName(encNew))
   }
 
   /** CDC-driven IVF-PQ index maintenance — apply one change-feed commit
@@ -1057,7 +1132,7 @@ object Similarity {
     val del = broadcast(deleteIds.select(col("vec_id").as("del_id")).distinct())
     def drop(df: DataFrame) =
       df.join(del, col("vec_id") === col("del_id"), "left_anti")
-    appendIvfPq(ix.copy(e = drop(ix.e), encoded = drop(ix.encoded)), inserts)
+    appendIvfPq(ix.withRows(drop(ix.e), drop(ix.encoded)), inserts)
   }
 
   /** Pass `emb` through iff its length is exactly `dim`, else fail the
@@ -1071,24 +1146,23 @@ object Similarity {
 
   private def searchIvfPqTail(ix: IvfPqIndex, q: DataFrame, k: Int,
       nprobe: Int, excludeSelf: Boolean, rerank: Int = 0): DataFrame = {
-    val IvfPqIndex(_, cent, codebook, encoded, m, codesPerSub, subDim) = ix
+    val IvfPqIndex(_, _, _, encoded, m, codesPerSub, subDim) = ix
+    // the tiny training state back to driver arrays (memoized on the
+    // index); probes, residuals and ADC tables are then row-local over
+    // the bounded query set
+    val cents = ix.centsArr
     // probes: nprobe nearest cells per query (the ivfTopK shape)
-    val probes = q.join(broadcast(cent))
-      .select(col("query_id"), col("qqv"),
-        struct((col("qnsq") + col("cnsq") -
-          lit(2L) * dotPre(col("qqv"), col("cqv"))).as("dist"),
-          col("cent_id").as("cid")).as("dc"))
-      .groupBy(col("query_id"))
-      .agg(first(col("qqv")).as("qqv"),
-        slice(sort_array(collect_list(col("dc"))), 1, nprobe).as("near"))
-      .select(col("query_id"), col("qqv"), explode(col("near")).as("dc"))
+    val probes = q.select(col("query_id"), col("qqv"),
+        explode(slice(sort_array(array(
+          distStructs(col("qqv"), col("qnsq"), cents): _*)), 1, nprobe))
+          .as("dc"))
       .select(col("query_id"), col("qqv"), col("dc.cid").as("cell"))
     // per-(query, probed cell) residual + ADC table over the codebook
-    val qres = probes.join(broadcast(cent), col("cell") === col("cent_id"))
+    val qres = probes
       .select(col("query_id"), col("cell"),
-        zip_with(col("qqv"), col("cqv"), (a, b) => a - b).as("qrv"))
+        residualExpr(col("qqv"), col("cell"), cents).as("qrv"))
     val qtab = adcTables(qres, "qrv", Seq("query_id", "cell"),
-      codebook, m, subDim, codesPerSub)
+      ix.cbArr, m, subDim, codesPerSub)
     val scored0 = encoded.join(broadcast(qtab), Seq("cell"))
     val scored =
       (if (excludeSelf) scored0.filter(col("vec_id") =!= col("query_id"))

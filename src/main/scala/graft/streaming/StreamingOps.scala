@@ -1518,12 +1518,26 @@ object StreamingOps {
       ix.e.write.mode("overwrite").parquet(s"$stateDir/v$v/e")
       ix.encoded.write.mode("overwrite").parquet(s"$stateDir/v$v/enc")
     }
-    def readState(s: SparkSession, v: Long): Similarity.IvfPqIndex =
-      Similarity.IvfPqIndex(
+    // the frozen training state never changes across batches — collect
+    // it ONCE (first readState) and inject into every later instance so
+    // per-batch appends/searches stay free of state re-collection
+    var frozenCents: Seq[Array[Long]] = null
+    var frozenCb: Seq[(Int, Long, Seq[Long])] = null
+    def readState(s: SparkSession, v: Long): Similarity.IvfPqIndex = {
+      val ix = Similarity.IvfPqIndex(
         s.read.parquet(s"$stateDir/v$v/e"),
         s.read.parquet(s"$stateDir/cent"),
         s.read.parquet(s"$stateDir/cb"),
         s.read.parquet(s"$stateDir/v$v/enc"), m, codesPerSub, subDim)
+      if (frozenCents == null) {
+        frozenCents = ix.centsArr
+        frozenCb = ix.cbArr
+      } else {
+        ix.centsCache = frozenCents
+        ix.cbCache = frozenCb
+      }
+      ix
+    }
     val coldPath = new org.apache.hadoop.fs.Path(s"$stateDir/v$fromV/enc")
     val stateFs = coldPath
       .getFileSystem(ss.sparkContext.hadoopConfiguration)
