@@ -150,10 +150,13 @@ object Bpe {
     * is DESCENDING, not empty). */
   private def pairCounts(state: DataFrame): DataFrame = {
     val syms = symbols(col("sym"))
+    // zip_with evaluates its array children ONCE per row; the
+    // transform(sequence...) form it replaces re-evaluated the symbols
+    // split inside the interpreted lambda PER ELEMENT (O(|word|^2))
     val pairs = when(size(syms) >= 2,
-      transform(sequence(lit(1), size(syms) - 1),
-        i => struct(element_at(syms, i).as("lhs"),
-          element_at(syms, i + 1).as("rhs"))))
+      zip_with(slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("lhs"), b.as("rhs"))))
       .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
     state.select(col("cnt"), explode(pairs).as("p"))
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
@@ -230,11 +233,16 @@ object Bpe {
         // collision would merge created counts into existing pairs,
         // voiding the bound)
         val syms = symbols(col("sym"))
+        // nested zip_with: array children evaluated once per row (the
+        // transform(sequence...) form re-split the symbols per element)
         val tri = when(size(syms) >= 3,
-          transform(sequence(lit(1), size(syms) - 2),
-            i => struct(element_at(syms, i).as("a"),
-              element_at(syms, i + 1).as("b"),
-              element_at(syms, i + 2).as("c"))))
+          zip_with(
+            zip_with(slice(syms, lit(1), size(syms) - 2),
+              slice(syms, lit(2), size(syms) - 2),
+              (a, b) => struct(a.as("a"), b.as("b"))),
+            slice(syms, lit(3), size(syms) - 2),
+            (ab, c) => struct(ab.getField("a").as("a"),
+              ab.getField("b").as("b"), c.as("c"))))
           .otherwise(array()
             .cast("array<struct<a:string,b:string,c:string>>"))
         val triples = state.select(col("cnt"), explode(tri).as("t"))

@@ -464,7 +464,12 @@ object Similarity {
     * Identical integer math, identical (dist, cid) tie-break. */
   private def assignCells(e: DataFrame,
       cents: Seq[Array[Long]]): DataFrame =
-    e.select(col("vec_id"), col("qv"), col("nsq"),
+    // empty centroid set (empty training corpus): the join form produced
+    // zero rows — keep that totality contract
+    if (cents.isEmpty)
+      e.filter(lit(false)).select(col("vec_id"), col("qv"), col("nsq"),
+        lit(0L).as("cell"))
+    else e.select(col("vec_id"), col("qv"), col("nsq"),
       leastOf(distStructs(col("qv"), col("nsq"), cents))
         .getField("cid").as("cell"))
 
@@ -613,13 +618,19 @@ object Similarity {
         col("nsq").as("qnsq"))
     // nprobe nearest cells per query: ROW-LOCAL sort + slice of the k
     // literal (dist, cid) structs — same ascending (dist, cid) order the
-    // old collect_list aggregation produced, zero joins, zero shuffles
-    val probes = q.select(col("query_id"), col("qqv"), col("qnsq"),
+    // old collect_list aggregation produced, zero joins, zero shuffles.
+    // Empty centroid set (empty corpus): zero probe rows, the old join
+    // form's totality contract.
+    val probes =
+      if (cents.isEmpty)
+        q.filter(lit(false)).select(col("query_id"), col("qqv"),
+          col("qnsq"), lit(0L).as("cell"))
+      else q.select(col("query_id"), col("qqv"), col("qnsq"),
         explode(slice(sort_array(array(
           distStructs(col("qqv"), col("qnsq"), cents): _*)), 1, nprobe))
           .as("dc"))
-      .select(col("query_id"), col("qqv"), col("qnsq"),
-        col("dc.cid").as("cell"))
+        .select(col("query_id"), col("qqv"), col("qnsq"),
+          col("dc.cid").as("cell"))
     val scored = probes.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -899,6 +910,11 @@ object Similarity {
     * identical (dist, code) tie-break. */
   private def encodeCodes(df: DataFrame, vecCol: String, keep: Seq[String],
       cb: Seq[(Int, Long, Seq[Long])], m: Int, subDim: Int): DataFrame = {
+    // empty codebook (empty training corpus): the join form produced
+    // zero rows — keep that totality contract
+    if (cb.isEmpty)
+      return df.filter(lit(false)).select(
+        keep.map(col) :+ lit(null).cast("array<bigint>").as("codes"): _*)
     val bySub = cb.groupBy(_._1)
     val codes = (0 until m).map { s =>
       val sqv = slice(col(vecCol), s * subDim + 1, subDim)
@@ -917,13 +933,19 @@ object Similarity {
   private def adcTables(df: DataFrame, vecCol: String, keep: Seq[String],
       cb: Seq[(Int, Long, Seq[Long])], m: Int, subDim: Int,
       codesPerSub: Int): DataFrame = {
+    if (cb.isEmpty)
+      return df.filter(lit(false)).select(
+        keep.map(col) :+ lit(null).cast("array<bigint>").as("tab"): _*)
     val bySlot = cb.map { case (s, c, v) =>
       (s * codesPerSub + c.toInt, v)
     }.toMap
+    // a slot absent from the codebook (an under-filled sample on a tiny
+    // corpus) reads as NULL — exactly the old map-lookup miss
     val tab = (0 until m * codesPerSub).map { i =>
       val s = i / codesPerSub
       val sqv = slice(col(vecCol), s * subDim + 1, subDim)
-      sqDistLit(sqv, dotPre(sqv, sqv), bySlot(i))
+      bySlot.get(i).fold(lit(null).cast("bigint"))(v =>
+        sqDistLit(sqv, dotPre(sqv, sqv), v))
     }
     df.select(keep.map(col) :+ array(tab: _*).as("tab"): _*)
   }
@@ -1151,12 +1173,17 @@ object Similarity {
     // index); probes, residuals and ADC tables are then row-local over
     // the bounded query set
     val cents = ix.centsArr
-    // probes: nprobe nearest cells per query (the ivfTopK shape)
-    val probes = q.select(col("query_id"), col("qqv"),
+    // probes: nprobe nearest cells per query (the ivfTopK shape);
+    // empty centroid set -> zero probe rows (totality on empty corpora)
+    val probes =
+      if (cents.isEmpty)
+        q.filter(lit(false)).select(col("query_id"), col("qqv"),
+          lit(0L).as("cell"))
+      else q.select(col("query_id"), col("qqv"),
         explode(slice(sort_array(array(
           distStructs(col("qqv"), col("qnsq"), cents): _*)), 1, nprobe))
           .as("dc"))
-      .select(col("query_id"), col("qqv"), col("dc.cid").as("cell"))
+        .select(col("query_id"), col("qqv"), col("dc.cid").as("cell"))
     // per-(query, probed cell) residual + ADC table over the codebook
     val qres = probes
       .select(col("query_id"), col("cell"),

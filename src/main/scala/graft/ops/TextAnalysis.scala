@@ -434,15 +434,12 @@ object TextAnalysis {
 
   /** Row-local bigram strings of a text column: "w1 w2" per adjacent
     * token pair (tokens contain no spaces, so the join key is
-    * unambiguous). Empty for docs with fewer than 2 tokens. */
-  private def bigramsOf(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "),
-          element_at(t, (i + lit(1)).cast("int")))))
-      .otherwise(array())
-  }
+    * unambiguous). Empty for docs with fewer than 2 tokens. Native
+    * single-pass WordShingles — the transform(sequence(...)) chain this
+    * replaces re-evaluated the token split PER ELEMENT inside the
+    * interpreted lambda (O(tokens^2) per document; measured 2.8 s of
+    * q121's 5.9 s just building bigrams at sf0.1). */
+  private def bigramsOf(text: Column): Column = shinglesOf(text, 2)
 
   /** Bigram language-model fluency score — the KenLM-style quality
     * filter a training pipeline runs, integerized so the DuckDB oracle

@@ -84,17 +84,27 @@ object Unigram {
     * loudly rather than dropping from the metering. */
   def segmentWords(docs: DataFrame, lex: DataFrame): DataFrame = {
     val words = tracked(wordFreq(docs))
-    val tooLong = words.filter(length(col("word")) > MaxWordLen).count()
-    require(tooLong == 0,
-      s"segmentWords: $tooLong words exceed MaxWordLen=$MaxWordLen — " +
-        "raise the horizon; silent truncation would mis-meter")
+    // the horizon guard already scans word lengths — take the max while
+    // there, and run the DP only to the corpus's ACTUAL longest word
+    // (rounds past it are provably empty: dp(k) only feeds finals at
+    // length == k). sum/max over zero rows is NULL -> empty corpus = 0.
+    val maxLen = Option(words.agg(max(length(col("word")))).head.get(0))
+      .fold(0)(_.asInstanceOf[Number].intValue)
+    require(maxLen <= MaxWordLen,
+      s"segmentWords: corpus max word length $maxLen exceeds " +
+        s"MaxWordLen=$MaxWordLen — raise the horizon; silent truncation " +
+        "would mis-meter")
     val cost = (lit(Big) - least(col("freq"), lit(FreqClamp))).as("pcost")
+    // broadcast: the lexicon is vocabulary-bounded (MBs); without the
+    // hint each DP round shuffles BOTH the frontier and the lexicon for
+    // the piece equi-join — with it only the min-cost aggregation
+    // shuffles, halving the per-round exchanges
     val pieces = tracked(lex.select(col("piece"), cost))
     // dp(k) = one row per word reachable at position k with the min cost
-    val dpByPos = new Array[DataFrame](MaxWordLen + 1)
+    val dpByPos = new Array[DataFrame](maxLen + 1)
     dpByPos(0) = Components.truncated(
       words.select(col("word"), lit(0L).as("cost")))
-    for (k <- 1 to MaxWordLen) {
+    for (k <- 1 to maxLen) {
       val branches = (math.max(0, k - MaxPieceLen) until k).map { j =>
         dpByPos(j).filter(length(col("word")) >= k)
           .select(col("word"),
@@ -102,13 +112,15 @@ object Unigram {
             col("cost"))
       }
       val cand = branches.reduce(_.unionByName(_))
-        .join(pieces, Seq("piece"))
+        .join(broadcast(pieces), Seq("piece"))
         .select(col("word"), (col("cost") + col("pcost")).as("c"))
       dpByPos(k) = Components.truncated(
         cand.groupBy(col("word")).agg(min(col("c")).as("cost")))
     }
-    val finals = (1 to MaxWordLen).map(k =>
-      dpByPos(k).filter(length(col("word")) === k)).reduce(_.unionByName(_))
+    val finals =
+      if (maxLen == 0) dpByPos(0).filter(lit(false)) // empty corpus
+      else (1 to maxLen).map(k =>
+        dpByPos(k).filter(length(col("word")) === k)).reduce(_.unionByName(_))
     val out = words.join(finals, Seq("word"), "left")
     // a NULL cost is an unsegmentable word — impossible while single
     // chars ride the lexicon, so it must be a caller-supplied lexicon
@@ -159,13 +171,17 @@ object Unigram {
     * vocab x MaxWordLen x MaxPieceLen, never corpus-scale. */
   def segmentWordsGreedy(docs: DataFrame, lex: DataFrame): DataFrame = {
     val words = tracked(wordFreq(docs))
-    val tooLong = words.filter(length(col("word")) > MaxWordLen).count()
-    require(tooLong == 0,
-      s"segmentWordsGreedy: $tooLong words exceed MaxWordLen=$MaxWordLen")
+    // same bounded horizon as segmentWords: rounds past the corpus's
+    // longest word leave the state bit-identical (active is empty)
+    val maxLen = Option(words.agg(max(length(col("word")))).head.get(0))
+      .fold(0)(_.asInstanceOf[Number].intValue)
+    require(maxLen <= MaxWordLen,
+      s"segmentWordsGreedy: corpus max word length $maxLen exceeds " +
+        s"MaxWordLen=$MaxWordLen")
     val pieces = tracked(lex.select(col("piece"), col("freq")))
     var state = Components.truncated(words.select(col("word"), col("wf"),
       lit(0).as("pos"), lit(0L).as("np"), lit(0L).as("fs")))
-    for (_ <- 1 to MaxWordLen) {
+    for (_ <- 1 to maxLen) {
       val active = state.filter(col("pos") < length(col("word")))
       val done = state.filter(col("pos") >= length(col("word")))
       val step = active
@@ -175,7 +191,7 @@ object Unigram {
             .as("l"))
         .select(col("word"), col("wf"), col("pos"), col("np"), col("fs"),
           col("l"), col("word").substr(col("pos") + 1, col("l")).as("piece"))
-        .join(pieces, Seq("piece"))
+        .join(broadcast(pieces), Seq("piece"))
         // longest match wins; equal lengths are the SAME piece string,
         // so the struct argmax is deterministic
         .groupBy(col("word"), col("wf"), col("pos"), col("np"), col("fs"))

@@ -45,13 +45,62 @@ object ProfileR15 {
         }
       case "recipe" =>
         for (i <- 1 to 2) {
-          t(s"run$i fluencyBuckets")(println("rows=" +
-            TextAnalysis.fluencyBuckets(docs.select(col("doc_id"),
-              col("source"), TextAnalysis.normExpr(col("text")).as("text")))
-              .count()))
+          val normed = docs.select(col("doc_id"), col("source"),
+            TextAnalysis.normExpr(col("text")).as("text")).persist()
+          t(s"run$i normed")(normed.count())
+          val keep = TextAnalysis.fluencyBuckets(normed)
+            .filter(col("bucket") >= 1).select(col("doc_id")).persist()
+          t(s"run$i keep")(println("keep=" + keep.count()))
+          val gated = normed.join(keep, Seq("doc_id"))
+          val capped = Curation.capPerKey(gated, "source", 15)
+            .select(col("doc_id"))
+            .join(normed, Seq("doc_id")).persist()
+          t(s"run$i capped")(println("capped=" + capped.count()))
+          val canonical = capped
+            .groupBy(org.apache.spark.sql.functions.md5(col("text")).as("h"))
+            .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+              col("doc_id")).as("w"))
+          t(s"run$i canonical")(println("canon=" + canonical.count()))
           spark.catalog.clearCache()
           t(s"run$i pretrainRecipe")(println("rows=" +
             Curation.pretrainRecipe(docs, perSourceCap = 15).count()))
+          spark.catalog.clearCache()
+        }
+      case "fb" =>
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        for (i <- 1 to 2) {
+          val normed = docs.select(col("doc_id"), col("source"),
+            TextAnalysis.normExpr(col("text")).as("text")).persist()
+          normed.count()
+          val bgc = normed.select(col("doc_id"),
+              explode(when(size(split(col("text")," ")) >= 2, transform(sequence(lit(1), size(split(col("text")," ")) - 1), i => concat(element_at(split(col("text")," "), i), lit(" "), element_at(split(col("text")," "), (i + lit(1)).cast("int"))))).otherwise(array())).as("bg"))
+            .groupBy(col("doc_id"), col("bg"))
+            .agg(count(lit(1)).as("bf_doc")).persist()
+          t(s"run$i bgc build+cache")(println("bgc=" + bgc.count()))
+          val corpus = bgc.groupBy(col("bg")).agg(sum(col("bf_doc")).as("cbg"))
+          t(s"run$i corpus agg noop")(noop(corpus))
+          val pre = corpus.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+            .agg(sum(col("cbg")).as("cpre"))
+          t(s"run$i pre agg noop")(noop(pre))
+          val sc = bgc.join(corpus, Seq("bg"))
+            .join(pre, split(col("bg"), " ").getItem(0) === col("w1"))
+            .groupBy(col("doc_id"))
+            .agg(sum(col("bf_doc") * expr("(cbg * 1000000) div cpre")).as("mass"),
+              sum(col("bf_doc")).as("nbg"))
+          t(s"run$i score joins noop")(noop(sc))
+          t(s"run$i bigramScore noop")(noop(
+            TextAnalysis.bigramScore(normed)))
+          val scored = TextAnalysis.bigramScore(normed)
+            .select(col("doc_id"), col("fluency_ppm")).persist()
+          scored.count()
+          t(s"run$i bounds agg (cached scored)")(println(
+            scored.agg(
+              expr("percentile_disc(0.3333333333333333d) WITHIN GROUP (ORDER BY fluency_ppm)"),
+              expr("percentile_disc(0.6666666666666666d) WITHIN GROUP (ORDER BY fluency_ppm)"))
+              .collect().mkString))
+          t(s"run$i fluencyBuckets noop")(noop(
+            TextAnalysis.fluencyBuckets(normed)))
           spark.catalog.clearCache()
         }
       case "cc" =>
