@@ -69,8 +69,15 @@ object Components {
     // and labels are re-referenced every round, and constant-size plans
     // keep Catalyst re-analysis out of the per-round cost (see scaladoc).
     val edges = truncated(e0.union(e0.select(col("dst"), col("src"))))
-    var labels = truncated(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+    // seeded init: label(v) = min(v, min(neighbors)) — exactly the state
+    // the old identity init reached after round 1's neighbor-min step,
+    // for the same one-shuffle cost the identity init paid for its
+    // distinct(). Every component converges one round earlier; the
+    // monotone-decrease invariant and the final component-min labels are
+    // unchanged (labels stay node ids of the same component).
+    var labels = truncated(edges.groupBy(col("src")).agg(
+        least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label")))
     // exact at any scale: 10^12 ids each up to 10^12 still fit decimal(38,0).
     // sum() over ZERO rows is NULL — an empty pair table is a normal input
     // (a clean corpus has no near-dups), so it must read as 0, not NPE.
@@ -85,10 +92,15 @@ object Components {
     while (!converged && iter < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      // truncated + cached: the pointer-jump self-join reads hop on both
-      // sides — materialized once, not recomputed per side
-      val hop = truncated(labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label")))
+      // the pointer-jump self-join reads hop on both sides, but both
+      // sides are the IDENTICAL aggregate subtree over truncated leaves,
+      // so ReuseExchange serves the second side from the first side's
+      // shuffle files — one less persist/unpersist round-trip per round
+      // than the previous truncated-hop form, and only the post-shuffle
+      // final aggregation evaluates twice (same shuffle data, no extra
+      // network or label generation held in memory)
+      val hop = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
       // pointer jump: follow the label one more step (labels are node ids,
       // so every label resolves; coalesce is belt-and-braces for roots)
       val next = truncated(hop.as("x")
@@ -96,12 +108,11 @@ object Components {
           col("x.label") === col("y.lid"), "left")
         .select(col("x.id"), coalesce(col("y.llabel"), col("x.label")).as("label")))
       // labels only ever decrease, so an unchanged sum means NO label
-      // moved — one aggregate action (which also materializes hop's and
-      // next's caches), no per-round probe join
+      // moved — one aggregate action (which also materializes next's
+      // cache), no per-round probe join
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
-      hop.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
       iter += 1

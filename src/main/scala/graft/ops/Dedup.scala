@@ -482,7 +482,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.6,
       numHashes: Int = 8, maxBucket: Int = 64,
       broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {
-    val shm = tracked(shingleHashes(docs))
+    val shm = trackedLeaf(shingleHashes(docs))
     // signatures via the aggregated path: it reuses the CACHED shm the
     // verify stage reads anyway, so the signature groupBy is the only
     // marginal cost. The row-local alternative (bandRowsLocal) re-hashes
@@ -490,7 +490,7 @@ object Dedup {
     // the streaming probe, where an aggregation cannot precede the join.
     val banded = bandedOf(shm, numHashes)
     // persisted: read twice (pair explode + the candidate-doc id set)
-    val buckets = tracked(
+    val buckets = trackedLeaf(
       boundedBuckets(banded, Seq("band", "key"), "doc_id", maxBucket))
     // a pair can share several band-buckets -> distinct
     val cand = pairsFromBuckets(buckets).distinct()
@@ -524,13 +524,13 @@ object Dedup {
   def minhashLshPairsAgainst(corpus: DataFrame, fresh: DataFrame,
       tau: Double = 0.6, numHashes: Int = 8, maxBucket: Int = 64,
       broadcastDocLimit: Long = DefaultBroadcastDocLimit): DataFrame = {
-    val shmC = tracked(shingleHashes(corpus))
-    val shmF = tracked(shingleHashes(fresh))
+    val shmC = trackedLeaf(shingleHashes(corpus))
+    val shmF = trackedLeaf(shingleHashes(fresh))
     val buckets = boundedBuckets(bandedOf(shmC, numHashes),
       Seq("band", "key"), "doc_id", maxBucket, minSize = 1)
     // a pair can share several band-buckets -> distinct; persisted because
     // both the verify join and the candidate-doc sets read it
-    val cand = tracked(buckets
+    val cand = trackedLeaf(buckets
       .join(bandedOf(shmF, numHashes)
         .select(col("band"), col("key"), col("doc_id").as("doc_b")),
         Seq("band", "key"))
@@ -576,7 +576,7 @@ object Dedup {
       suffixVerify: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0 && tau <= 1, s"tau out of range: $tau")
-    val shm = tracked(shingleHashes(docs).distinct())
+    val shm = trackedLeaf(shingleHashes(docs).distinct())
     // df and n as WINDOW counts, not standalone aggregations: the old
     // groupBy(m)/groupBy(doc_id) + join-back shape paid two extra
     // aggregation stages and two joins for numbers the window exchanges

@@ -32,6 +32,16 @@ object TextKit {
     p
   }
 
+  /** [[tracked]] with LINEAGE TRUNCATION (Components.truncated): the
+    * same persisted rows, but downstream plans see one constant-size
+    * LogicalRDD leaf instead of the generator subtree. Use for cached
+    * relations a pipeline references SEVERAL times — a cache entry
+    * short-circuits execution but Catalyst still re-analyzes the full
+    * embedded subtree at every action (q48's pair plan carried 64
+    * copies of the shingle chain before truncation). */
+  private[ops] def trackedLeaf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    register(Components.truncated(df))
+
   /** Track an ALREADY-persisted relation (e.g. a frame returned to the
     * caller still cached, like connectedComponents' final labels) so
     * [[releaseCaches]] can free it — without this, long-lived sessions
