@@ -370,25 +370,32 @@ object Dedup {
     requireCap(raw, maxBucket, "applyFeedToBandIndex")
     val capped = (ids: org.apache.spark.sql.Column) =>
       ids.as("ids", capMeta(maxBucket))
+    // every branch below reads the stored index TWICE (pass-through
+    // anti-join + touched join) — cached as a leaf so the caller's
+    // (possibly expensive, e.g. a fresh bandIndexRaw) generator chain
+    // executes once, and downstream plans stay constant-size
+    val rawL = trackedLeaf(raw.select(col("band"), col("key"),
+      capped(col("ids"))))
     // the deleted docs' own banding = the exact touched-bucket set
-    val touched = tracked(bandedOf(tracked(shingleHashes(
+    val touched = trackedLeaf(bandedOf(trackedLeaf(shingleHashes(
         deletedDocs.select(col("doc_id"), col("text")))), numHashes)
       .select(col("band"), col("key"), col("doc_id")))
     val touchedKeys = touched.select(col("band"), col("key")).distinct()
     val afterDel: DataFrame =
       if (touched.head(1).isEmpty)
-        raw.select(col("band"), col("key"), capped(col("ids")))
+        rawL.select(col("band"), col("key"), capped(col("ids")))
       else {
-        val untouched = raw
+        val untouched = rawL
           .join(broadcast(touchedKeys), Seq("band", "key"), "left_anti")
-        // feed-proportional: only buckets a deleted doc belongs to
-        val hit = raw.join(broadcast(touchedKeys), Seq("band", "key"))
+        // feed-proportional (cached: read by the flagged probe AND the
+        // survivor aggregation): only buckets a deleted doc belongs to
+        val hit = trackedLeaf(rawL.join(broadcast(touchedKeys), Seq("band", "key"))
           .select(col("band"), col("key"),
             (size(col("ids")) === maxBucket + 1).as("was_sentinel"),
             explode(col("ids")).as("doc_id"))
           .join(touched.withColumn("_del", lit(true)),
-            Seq("band", "key", "doc_id"), "left")
-        val flagged = tracked(hit.filter(col("was_sentinel") && col("_del"))
+            Seq("band", "key", "doc_id"), "left"))
+        val flagged = trackedLeaf(hit.filter(col("was_sentinel") && col("_del"))
           .select(col("band"), col("key")).distinct())
         val survivors = hit.filter(col("_del").isNull)
           .join(broadcast(flagged), Seq("band", "key"), "left_anti")
@@ -407,15 +414,17 @@ object Dedup {
           .unionByName(rewritten)
           .select(col("band"), col("key"), capped(col("ids")))
       }
-    val insIdx = tracked(bandIndexRaw(insertDocs, numHashes, maxBucket))
+    val insIdx = trackedLeaf(bandIndexRaw(insertDocs, numHashes, maxBucket))
     if (insIdx.head(1).isEmpty) afterDel
     else {
+      // read twice below (pass-through anti-join + the merge join)
+      val afterDelL = trackedLeaf(afterDel)
       val insKeys = insIdx.select(col("band"), col("key")).distinct()
-      val pass = afterDel
+      val pass = afterDelL
         .join(broadcast(insKeys), Seq("band", "key"), "left_anti")
         .select(col("band"), col("key"), capped(col("ids")))
       pass.unionByName(mergeBandIndex(
-        afterDel.join(broadcast(insKeys), Seq("band", "key"))
+        afterDelL.join(broadcast(insKeys), Seq("band", "key"))
           .select(col("band"), col("key"), capped(col("ids"))),
         insIdx, maxBucket))
     }
