@@ -865,6 +865,12 @@ object Similarity {
           lit(sampleMod.toLong)) === 0)
     var cb = init
     for (_ <- 0 until iters) {
+      // NOTE (r15): a row-local when-chain argmin (the encodeCodes
+      // rewrite applied here) was tried and measured SLOWER (q94 1.8 ->
+      // 5.5 s): the m x codesPerSub literal-distance tree in one
+      // projection blows past codegen limits, while this join fanout +
+      // min-aggregation keeps every distance a small codegen'd
+      // expression. Kept deliberately.
       val updated = train.join(broadcast(codebookDf(spark, cb)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("sqv"),
           struct(sqDist(col("sqv"), col("cbv")).as("dist"),

@@ -212,9 +212,12 @@ object Unigram {
     * Viterbi count — the fertility comparison row (wp_tokens >=
     * uni_tokens always; equality when greedy happens to be optimal). */
   def meterGreedy(docs: DataFrame, lex: DataFrame): DataFrame = {
-    val segG = segmentWordsGreedy(docs, lex)
+    // both segmenters read the lexicon (and its possibly expensive
+    // harvest chain) — materialize it once, not once per segmenter
+    val lexL = TextKit.trackedLeaf(lex)
+    val segG = segmentWordsGreedy(docs, lexL)
       .select(col("word"), col("n_pieces").as("np_g"))
-    val segV = segmentWords(docs, lex)
+    val segV = segmentWords(docs, lexL)
       .select(col("word"), col("n_pieces").as("np_v"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
