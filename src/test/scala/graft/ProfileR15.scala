@@ -103,6 +103,21 @@ object ProfileR15 {
             TextAnalysis.fluencyBuckets(normed)))
           spark.catalog.clearCache()
         }
+      case "q106" =>
+        for (i <- 1 to 2) {
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "4")
+          val ix = t(s"run$i buildIvfPq") {
+            val ix = Similarity.buildIvfPq(ss.read
+              .parquet(s"$sf/embeddings.parquet")
+              .select(col("vec_id"), col("embedding"))
+              .filter(col("vec_id") % 10 =!= 0))
+            ix.encoded.count(); ix
+          }
+          t(s"run$i stream q106 full")(println("rows=" +
+            SparkEntry.queries("q106_stream_ivfpq")(spark, sf).count()))
+          spark.catalog.clearCache()
+        }
       case "cc" =>
         val pairs = Dedup.minhashLshPairs(docs)
           .select(col("doc_a"), col("doc_b")).persist()
