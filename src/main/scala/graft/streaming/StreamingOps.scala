@@ -1530,6 +1530,7 @@ object StreamingOps {
         s.read.parquet(s"$stateDir/cb"),
         s.read.parquet(s"$stateDir/v$v/enc"), m, codesPerSub, subDim)
       if (frozenCents == null) {
+        // restart path only (cold start seeds the arrays job-free below)
         frozenCents = ix.centsArr
         frozenCb = ix.cbArr
       } else {
@@ -1545,6 +1546,11 @@ object StreamingOps {
       val ix0 = Similarity.buildIvfPq(
         graft.lake.ManifestCommit.readTableAt(ss, tablePath, fromV),
         m = m, codesPerSub = codesPerSub, dim = m * subDim)
+      // buildIvfPq seeds its memoized arrays in-hand: capture the frozen
+      // training state for injection WITHOUT the two collect jobs the
+      // restart path pays
+      frozenCents = ix0.centsArr
+      frozenCb = ix0.cbArr
       ix0.cent.write.mode("overwrite").parquet(s"$stateDir/cent")
       ix0.codebook.write.mode("overwrite").parquet(s"$stateDir/cb")
       writeRows(ix0, fromV)

@@ -118,6 +118,31 @@ object ProfileR15 {
             SparkEntry.queries("q106_stream_ivfpq")(spark, sf).count()))
           spark.catalog.clearCache()
         }
+      case "q216" =>
+        for (i <- 1 to 2) {
+          t(s"run$i q216 full")(println("rows=" +
+            SparkEntry.queries("q216_stream_ivfpq_maintain")(spark, sf)
+              .count()))
+          spark.catalog.clearCache()
+        }
+        // pieces: a cold buildIvfPq on the embeddings lake snapshot +
+        // a search on the built index (the stream adds the feed apply)
+        for (i <- 1 to 2) {
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "4")
+          val ix = t(s"run$i buildIvfPq(lake-shaped)") {
+            val ix = Similarity.buildIvfPq(ss.read
+              .parquet(s"$sf/embeddings.parquet")
+              .select(col("vec_id"), col("embedding")))
+            ix.encoded.count(); ix
+          }
+          t(s"run$i searchIvfPqWith")(println("rows=" +
+            Similarity.searchIvfPqWith(ix,
+              ss.read.parquet(s"$sf/embeddings.parquet")
+                .select(col("vec_id"), col("embedding"))
+                .filter(col("vec_id") < 10)).count()))
+          spark.catalog.clearCache()
+        }
       case "cc" =>
         val pairs = Dedup.minhashLshPairs(docs)
           .select(col("doc_a"), col("doc_b")).persist()
