@@ -171,6 +171,10 @@ object Components {
       df.union(df.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
     var edges = truncated(symmetric(e0))
+    // the previous round's count is already known — carrying it in a
+    // var saves one count job per round (edges is cached; the count was
+    // pure bookkeeping)
+    var nEdges = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -194,11 +198,14 @@ object Components {
           .union(smins.select(col("src"), col("mn").as("dst")))
           .filter(col("src") =!= col("dst"))))
       // set equality of distinct relations: same count and no novel edge
-      converged = ss.count() == edges.count() &&
-        ss.except(edges).isEmpty
+      // (&& short-circuits, so the except anti-join runs only on a
+      // count match — usually just the final round)
+      val nSS = ss.count()
+      converged = nSS == nEdges && ss.except(edges).isEmpty
       ls.unpersist(blocking = false)
       edges.unpersist(blocking = false)
       edges = ss
+      nEdges = nSS
       iter += 1
       if (sys.props.contains("graft.cc.debug"))
         println(s"CC-stars round $iter edges=${edges.count()}")
