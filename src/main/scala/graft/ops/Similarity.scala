@@ -433,7 +433,7 @@ object Similarity {
     * LITERAL centroid set — row-local codegen arithmetic, no join, no
     * shuffle. |c|^2 folds at plan time (driver longs, same wrap-free
     * range as the executor math). */
-  private def distStructs(qv: Column, nsq: Column,
+  private[graft] def distStructs(qv: Column, nsq: Column,
       cents: Seq[Array[Long]]): Seq[Column] =
     cents.zipWithIndex.map { case (c, i) =>
       val cn = c.map(x => x * x).sum
@@ -449,7 +449,7 @@ object Similarity {
   /** Residual against the row's own cell centroid, row-local:
     * rv = qv - cents[cell] via the literal centroid matrix (replaces the
     * broadcast join back onto the centroid frame). */
-  private def residualExpr(qv: Column, cell: Column,
+  private[graft] def residualExpr(qv: Column, cell: Column,
       cents: Seq[Array[Long]]): Column =
     zip_with(qv,
       element_at(typedLit(cents.map(_.toSeq)), cell.cast("int") + 1),
@@ -936,7 +936,7 @@ object Similarity {
     * vector to ALL m x codesPerSub codebook entries, packed as one
     * lookup array indexed sub*codesPerSub+code — row-local over the
     * literal codebook, like [[encodeCodes]]. */
-  private def adcTables(df: DataFrame, vecCol: String, keep: Seq[String],
+  private[graft] def adcTables(df: DataFrame, vecCol: String, keep: Seq[String],
       cb: Seq[(Int, Long, Seq[Long])], m: Int, subDim: Int,
       codesPerSub: Int): DataFrame = {
     if (cb.isEmpty)
@@ -957,7 +957,7 @@ object Similarity {
   }
 
   /** ADC score: sum of m integer table lookups (`tab`, `codes` in scope). */
-  private def adcExpr(m: Int, codesPerSub: Int): Column =
+  private[graft] def adcExpr(m: Int, codesPerSub: Int): Column =
     (0 until m).map(s =>
       element_at(col("tab"),
         (lit(s * codesPerSub) + element_at(col("codes"), s + 1)).cast("int") + 1))

@@ -29,7 +29,37 @@ object TextKit {
   private[ops] def tracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = df.persist()
     persistedRelations.add(p)
+    val sc = scopeRelations.get()
+    if (sc != null) sc.add(p)
     p
+  }
+
+  /** Thread-local cache scope: relations [[tracked]]/[[register]]ed by
+    * THIS thread inside `f` are unpersisted when the scope closes. For
+    * per-micro-batch loops (streamFeedIndexMaintain and friends), where
+    * each batch builds fresh tracked intermediates that would otherwise
+    * accumulate for the life of the stream — a global [[releaseCaches]]
+    * there would also free caches belonging to CONCURRENT queries in the
+    * same process (the pooled Verify), so the scope tracks only its own
+    * thread's additions. Close happens AFTER `f` returns, so `f` must
+    * materialize everything it needs (e.g. write its state out) before
+    * returning. */
+  private val scopeRelations =
+    new ThreadLocal[java.util.ArrayList[org.apache.spark.sql.DataFrame]]()
+
+  private[graft] def withCacheScope[A](f: => A): A = {
+    val prev = scopeRelations.get()
+    val mine = new java.util.ArrayList[org.apache.spark.sql.DataFrame]()
+    scopeRelations.set(mine)
+    try f finally {
+      scopeRelations.set(prev)
+      mine.forEach { df =>
+        df.unpersist(blocking = false)
+        persistedRelations.remove(df)
+        if (prev != null) prev.remove(df)
+        ()
+      }
+    }
   }
 
   /** [[tracked]] with LINEAGE TRUNCATION (Components.truncated): the
@@ -48,6 +78,8 @@ object TextKit {
     * accumulate cached relations only a full clearCache() could release. */
   private[ops] def register(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     persistedRelations.add(df)
+    val sc = scopeRelations.get()
+    if (sc != null) sc.add(df)
     df
   }
 

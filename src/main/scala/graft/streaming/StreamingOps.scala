@@ -645,54 +645,46 @@ object StreamingOps {
     val ix = Similarity.buildIvfPq(ss.read.schema(embSchema)
       .parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") % 10 =!= 0))
-    val subDim = ix.subDim; val m = ix.m; val cps = ix.codesPerSub
-    // the index's driver-side state as literals: centroids (k x dim),
-    // centroid norms, the residual codebook (m*cps x subDim) and its
-    // per-entry norms — a few KB, the broadcast a real executor holds
-    val cents = ix.cent.orderBy("cent_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // the literal centroid matrix is indexed POSITIONALLY by cell id —
-    // that is only correct while centDf assigns dense 0..k-1 ids
-    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i.toLong },
-      "centroid ids must be dense 0..k-1 for positional literal indexing")
-    val cbook = ix.codebook.orderBy("sub", "code").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
-    require(cbook.length == m * cps, "codebook must be dense")
-    val centArr = typedLit(cents.map(_._2.toSeq).toSeq)
-    val cnorm = typedLit(cents.map(c => c._2.map(x => x * x).sum).toSeq)
-    val cbArr = typedLit(cbook.map(_._3.toSeq).toSeq)
-    val cbNorm = typedLit(cbook.map(e => e._3.map(x => x * x).sum).toSeq)
-    def dotLit(v: org.apache.spark.sql.Column,
-        w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(zip_with(v, w, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val m = ix.m; val cps = ix.codesPerSub
+    // the index's driver-side state (centroids k x dim, residual
+    // codebook m*cps x subDim — a few KB, the broadcast a real executor
+    // holds) comes from the index's memoized arrays: buildIvfPq seeds
+    // them in-hand, so no collect jobs run here. Positional cell
+    // indexing is by construction (kmeansCentroids returns the dense
+    // 0..k-1 centroid vector).
+    val cents = ix.centsArr
+    val cb = ix.cbArr
+    // Every stage below is a PURE ROW-LOCAL projection over literal
+    // training state — stream-legal — and reuses the BATCH search path's
+    // expressions (distStructs/residualExpr/adcTables/adcExpr), so the
+    // arithmetic is the codegen'd LongArrayDot form instead of
+    // interpreted per-candidate zip_with/aggregate lambdas: the
+    // per-candidate ADC is m integer table lookups, with the m x cps
+    // distance table computed once per (query, probed cell) row.
+    // Identical integer math and (dist, cid) tie-breaks (spec-pinned on
+    // the batch twin; associative exact long sums).
     val fresh = ss.readStream.schema(embSchema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(sfDir)
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"),
         TextKit.quantVec(col("embedding")).as("qqv"))
-      .withColumn("qnsq", dotLit(col("qqv"), col("qqv")))
+      .withColumn("qnsq", TextKit.dotPre(col("qqv"), col("qqv")))
     // nprobe nearest cells, row-locally: literal centroid distances
-    val probeArr = array(cents.indices.map(i =>
-      struct((col("qnsq") + element_at(cnorm, i + 1) -
-        lit(2L) * dotLit(col("qqv"), element_at(centArr, i + 1))).as("dist"),
-        lit(cents(i)._1).as("cid"))): _*)
     val probes = fresh
       .select(col("query_id"), col("qqv"),
-        explode(slice(array_sort(probeArr), 1, nprobe)).as("dc"))
-      .select(col("query_id"), col("qqv"), col("dc.cid").as("cell"))
-      .withColumn("qrv", zip_with(col("qqv"),
-        element_at(centArr, (col("cell") + 1).cast("int")), (a, b) => a - b))
-    // stream-static equi-join on cell; ADC per candidate, row-locally
-    val adc = (0 until m).map { s =>
-      val idx = (lit(s * cps) + element_at(col("codes"), s + 1)).cast("int") + 1
-      val rs = slice(col("qrv"), s * subDim + 1, subDim)
-      dotLit(rs, rs) + element_at(cbNorm, idx) -
-        lit(2L) * dotLit(rs, element_at(cbArr, idx))
-    }.reduce(_ + _)
-    probes.join(ix.encoded, Seq("cell"))
+        explode(slice(sort_array(array(
+          Similarity.distStructs(col("qqv"), col("qnsq"), cents): _*)),
+          1, nprobe)).as("dc"))
+      .select(col("query_id"), col("dc.cid").as("cell"),
+        Similarity.residualExpr(col("qqv"), col("dc.cid"), cents).as("qrv"))
+    // per-(query, probed cell) ADC table over the literal codebook, then
+    // the stream-static equi-join on cell; ADC per candidate = m lookups
+    val qtab = Similarity.adcTables(probes, "qrv", Seq("query_id", "cell"),
+      cb, m, ix.subDim, cps)
+    qtab.join(ix.encoded, Seq("cell"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("adc"))
+        Similarity.adcExpr(m, cps).as("adc"))
       .filter(col("adc") <= maxAdc)
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(name)
@@ -1306,20 +1298,30 @@ object StreamingOps {
     src.load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try if (b.head(1).nonEmpty) { // meta/compaction commits plan nothing
-          val v = b.agg(max(col(FeedSource.VersionCol))).head.getLong(0)
-          val prev = ss.read.parquet(s"$stateDir/v${cur.get}")
-          val (delW, insW) = nettedWindow(b, "doc_id")
-          Dedup.applyFeedToBandIndex(prev,
-              insW.select("doc_id", "text"),
-              delW.select("doc_id", "text"),
-              graft.lake.ManifestCommit.readTableAt(ss, tablePath, v),
-              maxBucket = maxBucket)
-            .write.parquet(s"$stateDir/v$v")
-          cur.set(v)
-          pruneStateVersions(stateFs, stateDir, keepVersions)
-        } finally { b.unpersist(); () }
+        // scope: applyFeedToBandIndex trackedLeaf-caches the full stored
+        // index (and feed-sized intermediates) per call — without the
+        // scope those cached copies accumulate across micro-batches for
+        // the life of the stream. The write below materializes the new
+        // state before the scope unpersists.
+        graft.ops.TextKit.withCacheScope {
+          val b = batch.persist()
+          // ONE driver action decides both emptiness and the window-head
+          // version (meta/compaction commits plan nothing -> null max)
+          val vRow = b.agg(max(col(FeedSource.VersionCol))).head
+          try if (!vRow.isNullAt(0)) {
+            val v = vRow.getLong(0)
+            val prev = ss.read.parquet(s"$stateDir/v${cur.get}")
+            val (delW, insW) = nettedWindow(b, "doc_id")
+            Dedup.applyFeedToBandIndex(prev,
+                insW.select("doc_id", "text"),
+                delW.select("doc_id", "text"),
+                graft.lake.ManifestCommit.readTableAt(ss, tablePath, v),
+                maxBucket = maxBucket)
+              .write.parquet(s"$stateDir/v$v")
+            cur.set(v)
+            pruneStateVersions(stateFs, stateDir, keepVersions)
+          } finally { b.unpersist(); () }
+        }
       }
       .trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
@@ -1514,10 +1516,14 @@ object StreamingOps {
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val stateDir = indexStateDir.getOrElse(java.nio.file.Files
       .createTempDirectory("graft-feedivf").toString)
-    def writeRows(ix: Similarity.IvfPqIndex, v: Long): Unit = {
-      ix.e.write.mode("overwrite").parquet(s"$stateDir/v$v/e")
-      ix.encoded.write.mode("overwrite").parquet(s"$stateDir/v$v/enc")
-    }
+    // the two per-version state relations are independent jobs writing
+    // disjoint directories — overlap them (guide §2.6) so the version
+    // checkpoint costs max(e, enc), not e + enc
+    def writeRows(ix: Similarity.IvfPqIndex, v: Long): Unit =
+      inParallel(
+        () => ix.e.write.mode("overwrite").parquet(s"$stateDir/v$v/e"),
+        () => ix.encoded.write.mode("overwrite")
+          .parquet(s"$stateDir/v$v/enc"))
     // the frozen training state never changes across batches — collect
     // it ONCE (first readState) and inject into every later instance so
     // per-batch appends/searches stay free of state re-collection
@@ -1551,9 +1557,13 @@ object StreamingOps {
       // restart path pays
       frozenCents = ix0.centsArr
       frozenCb = ix0.cbArr
-      ix0.cent.write.mode("overwrite").parquet(s"$stateDir/cent")
-      ix0.codebook.write.mode("overwrite").parquet(s"$stateDir/cb")
-      writeRows(ix0, fromV)
+      // all four cold-start state writes land disjoint dirs — overlap
+      inParallel(
+        () => ix0.cent.write.mode("overwrite").parquet(s"$stateDir/cent"),
+        () => ix0.codebook.write.mode("overwrite").parquet(s"$stateDir/cb"),
+        () => ix0.e.write.mode("overwrite").parquet(s"$stateDir/v$fromV/e"),
+        () => ix0.encoded.write.mode("overwrite")
+          .parquet(s"$stateDir/v$fromV/enc"))
     }
     val cur = new java.util.concurrent.atomic.AtomicLong(fromV)
     val src = ss.readStream.format("graft.sources.FeedSource")
@@ -1564,21 +1574,41 @@ object StreamingOps {
     src.load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try if (b.head(1).nonEmpty) { // meta commits plan nothing
-          val v = b.agg(max(col(FeedSource.VersionCol))).head.getLong(0)
-          val (delW, insW) = nettedWindow(b, "vec_id")
-          val nxt = Similarity.applyFeedToIvfPq(readState(ss, cur.get),
-            insW.select("vec_id", "embedding"),
-            delW.select("vec_id"))
-          writeRows(nxt, v)
-          cur.set(v)
-          pruneStateVersions(stateFs, stateDir, keepVersions)
-        } finally { b.unpersist(); () }
+        graft.ops.TextKit.withCacheScope {
+          val b = batch.persist()
+          // ONE driver action decides both emptiness and the window-head
+          // version (meta/compaction commits plan nothing -> null max)
+          val vRow = b.agg(max(col(FeedSource.VersionCol))).head
+          try if (!vRow.isNullAt(0)) {
+            val v = vRow.getLong(0)
+            val (delW, insW) = nettedWindow(b, "vec_id")
+            val nxt = Similarity.applyFeedToIvfPq(readState(ss, cur.get),
+              insW.select("vec_id", "embedding"),
+              delW.select("vec_id"))
+            writeRows(nxt, v)
+            cur.set(v)
+            pruneStateVersions(stateFs, stateDir, keepVersions)
+          } finally { b.unpersist(); () }
+        }
       }
       .trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
     readState(spark, cur.get)
+  }
+
+  /** Run independent Spark actions from sibling threads and wait for
+    * all (guide §2.6 — the scheduler happily overlaps jobs; actions are
+    * only sequential because driver code calls them sequentially). Any
+    * failure rethrows after every thread finished, so no write is left
+    * silently half-raced. */
+  private def inParallel(fs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = fs.map(f => new Thread(() => {
+      try f() catch { case t: Throwable => errs.add(t); () }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   /** Drop all but the newest `keep` per-version state dirs under
