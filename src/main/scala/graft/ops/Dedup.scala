@@ -377,12 +377,30 @@ object Dedup {
     val rawL = trackedLeaf(raw.select(col("band"), col("key"),
       capped(col("ids"))))
     // the deleted docs' own banding = the exact touched-bucket set
-    val touched = trackedLeaf(bandedOf(trackedLeaf(shingleHashes(
-        deletedDocs.select(col("doc_id"), col("text")))), numHashes)
-      .select(col("band"), col("key"), col("doc_id")))
+    // The delete-side touched probe and the insert-side index are
+    // independent until the final merge — run BOTH define+materialize
+    // groups concurrently (guide §2.6): the trackedLeaf definitions
+    // themselves carry most of the cost here (Catalyst planning +
+    // whole-stage codegen in queryExecution.toRdd), so the overlap
+    // covers planning as well as the two gate jobs.
+    var touched: DataFrame = null
+    var insIdx: DataFrame = null
+    var touchedEmpty = false
+    var insEmpty = false
+    TextKit.inParallel(
+      () => {
+        touched = trackedLeaf(bandedOf(trackedLeaf(shingleHashes(
+            deletedDocs.select(col("doc_id"), col("text")))), numHashes)
+          .select(col("band"), col("key"), col("doc_id")))
+        touchedEmpty = touched.head(1).isEmpty
+      },
+      () => {
+        insIdx = trackedLeaf(bandIndexRaw(insertDocs, numHashes, maxBucket))
+        insEmpty = insIdx.head(1).isEmpty
+      })
     val touchedKeys = touched.select(col("band"), col("key")).distinct()
     val afterDel: DataFrame =
-      if (touched.head(1).isEmpty)
+      if (touchedEmpty)
         rawL.select(col("band"), col("key"), capped(col("ids")))
       else {
         val untouched = rawL
@@ -414,8 +432,7 @@ object Dedup {
           .unionByName(rewritten)
           .select(col("band"), col("key"), capped(col("ids")))
       }
-    val insIdx = trackedLeaf(bandIndexRaw(insertDocs, numHashes, maxBucket))
-    if (insIdx.head(1).isEmpty) afterDel
+    if (insEmpty) afterDel
     else {
       // read twice below (pass-through anti-join + the merge join)
       val afterDelL = trackedLeaf(afterDel)

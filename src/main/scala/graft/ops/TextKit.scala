@@ -45,11 +45,13 @@ object TextKit {
     * materialize everything it needs (e.g. write its state out) before
     * returning. */
   private val scopeRelations =
-    new ThreadLocal[java.util.ArrayList[org.apache.spark.sql.DataFrame]]()
+    new ThreadLocal[java.util.List[org.apache.spark.sql.DataFrame]]()
 
   private[graft] def withCacheScope[A](f: => A): A = {
     val prev = scopeRelations.get()
-    val mine = new java.util.ArrayList[org.apache.spark.sql.DataFrame]()
+    // synchronized: [[inParallel]] sibling threads share the scope
+    val mine = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.DataFrame]())
     scopeRelations.set(mine)
     try f finally {
       scopeRelations.set(prev)
@@ -87,6 +89,24 @@ object TextKit {
   def releaseCaches(): Unit = {
     persistedRelations.forEach(df => { df.unpersist(blocking = false); () })
     persistedRelations.clear()
+  }
+
+  /** Run independent Spark actions from sibling threads and wait for
+    * all (guide §2.6 — the scheduler happily overlaps jobs; actions are
+    * only sequential because driver code calls them sequentially). Any
+    * failure rethrows after every thread finished. */
+  private[graft] def inParallel(fs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // the caller's cache scope rides into the sibling threads, so
+    // relations tracked there still release when the scope closes
+    val parentScope = scopeRelations.get()
+    val ts = fs.map(f => new Thread(() => {
+      scopeRelations.set(parentScope)
+      try f() catch { case t: Throwable => errs.add(t); () }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   /** Spread an under-partitioned input across the cluster's task slots —

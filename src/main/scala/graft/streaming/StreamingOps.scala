@@ -1520,7 +1520,7 @@ object StreamingOps {
     // disjoint directories — overlap them (guide §2.6) so the version
     // checkpoint costs max(e, enc), not e + enc
     def writeRows(ix: Similarity.IvfPqIndex, v: Long): Unit =
-      inParallel(
+      graft.ops.TextKit.inParallel(
         () => ix.e.write.mode("overwrite").parquet(s"$stateDir/v$v/e"),
         () => ix.encoded.write.mode("overwrite")
           .parquet(s"$stateDir/v$v/enc"))
@@ -1558,7 +1558,7 @@ object StreamingOps {
       frozenCents = ix0.centsArr
       frozenCb = ix0.cbArr
       // all four cold-start state writes land disjoint dirs — overlap
-      inParallel(
+      graft.ops.TextKit.inParallel(
         () => ix0.cent.write.mode("overwrite").parquet(s"$stateDir/cent"),
         () => ix0.codebook.write.mode("overwrite").parquet(s"$stateDir/cb"),
         () => ix0.e.write.mode("overwrite").parquet(s"$stateDir/v$fromV/e"),
@@ -1594,21 +1594,6 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow()).start()
       .awaitTermination()
     readState(spark, cur.get)
-  }
-
-  /** Run independent Spark actions from sibling threads and wait for
-    * all (guide §2.6 — the scheduler happily overlaps jobs; actions are
-    * only sequential because driver code calls them sequentially). Any
-    * failure rethrows after every thread finished, so no write is left
-    * silently half-raced. */
-  private def inParallel(fs: (() => Unit)*): Unit = {
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val ts = fs.map(f => new Thread(() => {
-      try f() catch { case t: Throwable => errs.add(t); () }
-    }))
-    ts.foreach(_.start())
-    ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
   }
 
   /** Drop all but the newest `keep` per-version state dirs under

@@ -16,6 +16,7 @@ object ProfileR16 {
     println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   def main(args: Array[String]): Unit = {
+    System.setProperty("graft.prof", "1")
     val section = args.headOption.getOrElse("s216")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -147,6 +148,56 @@ object ProfileR16 {
           t(s"run$i whole q212")(println("rows=" +
             graft.streaming.StreamingOps
               .streamFeedIndexMaintain(spark, dl.path, dl.fromV).count()))
+          spark.catalog.clearCache()
+        }
+      case "s212x" =>
+        val dl = OpsQueries.ensureDocLake(spark, sf)
+        import graft.sources.FeedSource
+        for (i <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "4")
+          val stateDir = java.nio.file.Files
+            .createTempDirectory("prof-feedix").toString
+          t(s"run$i cold bandIndexRaw+write")(
+            Dedup.bandIndexRaw(
+                graft.lake.ManifestCommit.readTableAt(ss, dl.path, dl.fromV))
+              .write.parquet(s"$stateDir/v${dl.fromV}"))
+          val cur = new java.util.concurrent.atomic.AtomicLong(dl.fromV)
+          val tS = System.nanoTime()
+          ss.readStream.format("graft.sources.FeedSource")
+            .option("path", dl.path)
+            .option("fromVersion", dl.fromV.toString)
+            .load()
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              t(s"run$i batch body") {
+                val b = batch.persist()
+                val vRow = t(s"run$i  maxv")(
+                  b.agg(max(col(FeedSource.VersionCol))).head)
+                try if (!vRow.isNullAt(0)) {
+                  val v = vRow.getLong(0)
+                  val prev = ss.read.parquet(s"$stateDir/v${cur.get}")
+                  val (delW, insW) = graft.streaming.StreamingOps
+                    .nettedWindow(b, "doc_id")
+                  val next = t(s"run$i  applyFeed define")(
+                    Dedup.applyFeedToBandIndex(prev,
+                      insW.select("doc_id", "text"),
+                      delW.select("doc_id", "text"),
+                      graft.lake.ManifestCommit.readTableAt(ss, dl.path, v)))
+                  t(s"run$i  write state")(
+                    next.write.parquet(s"$stateDir/v$v"))
+                  cur.set(v)
+                } finally { b.unpersist(); () }
+              }
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+            .awaitTermination()
+          println(f"PROF run$i stream total ${(System.nanoTime() - tS) / 1e9}%.2f s")
+          t(s"run$i readback count")(println(
+            spark.read.parquet(s"$stateDir/v${cur.get}").count()))
+          println(f"PROF run$i WHOLE ${(System.nanoTime() - t0) / 1e9}%.2f s")
           spark.catalog.clearCache()
         }
       case "s129" =>
