@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's stream factories default to DISK-backed caches: every
+    * `createImageInputStream`/`createImageOutputStream` (and the
+    * `ImageIO.read(InputStream)` convenience, which builds one
+    * internally) creates and deletes a temp FILE per payload — a
+    * per-row disk round-trip inside the decode/encode hot loops.
+    * Payloads here are in-memory byte arrays, so the memory-cached
+    * stream variants are strictly better; flip the JVM-global switch
+    * once per task (a static boolean store — guide §4.5, heavyweight
+    * state initialized once, per-row cost zero). */
+  private def useMemCachedImageStreams(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
 
@@ -45,6 +57,7 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      useMemCachedImageStreams()
       rows.map { r =>
         if (r.kind.endsWith("pgm")) {
           val p = parsePgm(r.media_id, r.payload)
@@ -799,6 +812,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
+        useMemCachedImageStreams()
         // one writer per partition (the extractFeatures codec-init cost
         // model) — ImageIO.write would re-run the registry lookup and
         // allocate a fresh writer per row
@@ -832,7 +846,9 @@ object Multimodal {
     * contract). */
   def decodeImage(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(rows => rows.map { r =>
+    media.mapPartitions { rows =>
+      useMemCachedImageStreams()
+      rows.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
       require(img != null,
@@ -842,7 +858,8 @@ object Multimodal {
       require(w > 0 && h > 0, s"media ${r.media_id}: degenerate ${w}x$h")
       val (s, mn, mx) = lumaStats(raster, w, h)
       ImageFeatures(r.media_id, w, h, s * 1000L / (w.toLong * h), mn, mx)
-    })
+      }
+    }
   }
 
   /** (sum, min, max) of per-pixel LUMINANCE over a decoded raster.
@@ -887,6 +904,7 @@ object Multimodal {
       s"resizeImage: target dimensions must be positive (got ${outW}x$outH)")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      useMemCachedImageStreams()
       // per-partition writer reuse (decode side stays on ImageIO.read —
       // input formats can be mixed, the registry probe is the decoder
       // dispatch there)
@@ -951,6 +969,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
+        useMemCachedImageStreams()
         // one writer per partition (the codec-init cost model of
         // extractFeatures), reset per payload via a fresh output stream
         val writer =
@@ -998,6 +1017,7 @@ object Multimodal {
     require(every >= 1, s"sampleGifFrames: every=$every must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      useMemCachedImageStreams()
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
@@ -1040,6 +1060,7 @@ object Multimodal {
   def gifFrameHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      useMemCachedImageStreams()
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
