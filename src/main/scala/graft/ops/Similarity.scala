@@ -901,11 +901,6 @@ object Similarity {
       .orderBy(col("sub"), col("code")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
 
-  /** Squared L2 from a subvector column to a LITERAL codebook entry —
-    * |v|^2 folds at plan time; identical integer math to [[sqDist]]. */
-  private def sqDistLit(sqv: Column, sn: Column, v: Seq[Long]): Column =
-    sn + lit(v.map(x => x * x).sum) - lit(2L) * dotPre(sqv, typedLit(v))
-
   /** PQ encode: argmin codebook entry per (keep-key, subspace), packed
     * to one `codes` array per keep-key — ROW-LOCAL over the literal
     * codebook (the codebook is driver-side training state everywhere
@@ -921,15 +916,15 @@ object Similarity {
     if (cb.isEmpty)
       return df.filter(lit(false)).select(
         keep.map(col) :+ lit(null).cast("array<bigint>").as("codes"): _*)
-    val bySub = cb.groupBy(_._1)
-    val codes = (0 until m).map { s =>
-      val sqv = slice(col(vecCol), s * subDim + 1, subDim)
-      val sn = dotPre(sqv, sqv)
-      leastOf(bySub(s).sortBy(_._2).map { case (_, code, v) =>
-        struct(sqDistLit(sqv, sn, v).as("dist"), lit(code).as("c"))
-      }).getField("c")
-    }
-    df.select(keep.map(col) :+ array(codes: _*).as("codes"): _*)
+    // native per-row kernel (graft.functions.PqOps): identical integer
+    // math and (dist, code) tie-breaks to the previous 128-entry
+    // struct/least expression tree, in one tight loop — the tree form
+    // whole-stage-compiled into a huge janino method and re-sliced the
+    // subvector per entry (see PqOps scaladoc)
+    val st = graft.functions.PqOps.buildState(cb, m, subDim,
+      cb.map(_._2).max.toInt + 1)
+    df.select(keep.map(col) :+
+      graft.functions.PqOps.encodeColumn(col(vecCol), st).as("codes"): _*)
   }
 
   /** Per-keep-key ADC table: exact integer distance from the keep-key's
@@ -942,18 +937,13 @@ object Similarity {
     if (cb.isEmpty)
       return df.filter(lit(false)).select(
         keep.map(col) :+ lit(null).cast("array<bigint>").as("tab"): _*)
-    val bySlot = cb.map { case (s, c, v) =>
-      (s * codesPerSub + c.toInt, v)
-    }.toMap
-    // a slot absent from the codebook (an under-filled sample on a tiny
-    // corpus) reads as NULL — exactly the old map-lookup miss
-    val tab = (0 until m * codesPerSub).map { i =>
-      val s = i / codesPerSub
-      val sqv = slice(col(vecCol), s * subDim + 1, subDim)
-      bySlot.get(i).fold(lit(null).cast("bigint"))(v =>
-        sqDistLit(sqv, dotPre(sqv, sqv), v))
-    }
-    df.select(keep.map(col) :+ array(tab: _*).as("tab"): _*)
+    // native per-row kernel — a slot absent from the codebook (an
+    // under-filled sample on a tiny corpus) reads as NULL, exactly the
+    // previous map-lookup miss; distances are the same exact longs
+    // (PqOps scaladoc has the equivalence argument)
+    val st = graft.functions.PqOps.buildState(cb, m, subDim, codesPerSub)
+    df.select(keep.map(col) :+
+      graft.functions.PqOps.adcTableColumn(col(vecCol), st).as("tab"): _*)
   }
 
   /** ADC score: sum of m integer table lookups (`tab`, `codes` in scope). */

@@ -200,6 +200,14 @@ object ProfileR16 {
           println(f"PROF run$i WHOLE ${(System.nanoTime() - t0) / 1e9}%.2f s")
           spark.catalog.clearCache()
         }
+      case "cg" =>
+        // which stages of q84's plan whole-stage-compile? (execute first:
+        // AQE final plans only exist after execution)
+        val df = SparkEntry.queries(args.lift(1).getOrElse("q84_ann_pq"))(spark, sf)
+        df.collect()
+        val txt = df.queryExecution.executedPlan.toString
+        println("WSCG spans: " + "WholeStageCodegen".r.findAllIn(txt).length)
+        txt.linesIterator.take(80).foreach(l => println("PLAN|" + l))
       case "s129" =>
         for (i <- 1 to 2) {
           val corpus = spark.read.parquet(s"$sf/documents.parquet")
