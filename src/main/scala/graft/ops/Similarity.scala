@@ -747,8 +747,7 @@ object Similarity {
     val cb0 = sampleCodebookSeq(e, "qv", m, subDim, codesPerSub)
     val cbSeq =
       if (trainIters <= 0) cb0
-      else refineCodebook(subRows(e, "qv", Seq("vec_id"), m, subDim),
-        cb0, trainIters, subDim, cbSampleMod)
+      else refineCodebook(e, "qv", cb0, trainIters, m, subDim, cbSampleMod)
     val encoded = encodeCodes(e, "qv", Seq("vec_id"), cbSeq, m, subDim)
     val qtab = adcTables(
       e.filter(col("vec_id") < nQueries)
@@ -799,21 +798,6 @@ object Similarity {
     TopKAgg.topKPerQuery(rescored, "query_id", "neighbor_id", "cosine", k)
   }
 
-  /** One (keep..., sub, sqv) row per subspace of `vecCol`. */
-  private def subRows(df: DataFrame, vecCol: String, keep: Seq[String],
-      m: Int, subDim: Int): DataFrame =
-    df.select(keep.map(col) :+
-        explode(array((0 until m).map(s =>
-          struct(lit(s).as("sub"),
-            slice(col(vecCol), s * subDim + 1, subDim).as("sqv"))): _*))
-          .as("sv"): _*)
-      .select(keep.map(col) :+ col("sv.sub").as("sub") :+
-        col("sv.sqv").as("sqv"): _*)
-
-  /** Exact integer squared L2 between two pre-quantized vectors. */
-  private def sqDist(a: Column, b: Column): Column =
-    dotPre(a, a) + dotPre(b, b) - lit(2L) * dotPre(a, b)
-
   /** Deterministic per-subspace codebook sample: the `codesPerSub`
     * vectors of smallest md5-hash rank (the k-means init policy),
     * sliced into (sub, code, cbv) tuples — m x codesPerSub x subDim
@@ -854,30 +838,37 @@ object Similarity {
     * vectors. Only the final encode pass touches the full data. Sampling
     * is hash-based, not rand(), so training is reproducible on any
     * partitioning. */
-  private def refineCodebook(subbed: DataFrame,
-      init: Seq[(Int, Long, Seq[Long])], iters: Int,
+  private def refineCodebook(vecs: DataFrame, vecCol: String,
+      init: Seq[(Int, Long, Seq[Long])], iters: Int, m: Int,
       subDim: Int, sampleMod: Int = 1): Seq[(Int, Long, Seq[Long])] = {
-    val spark = subbed.sparkSession
     val train =
-      if (sampleMod <= 1) subbed
-      else subbed.filter(
+      if (sampleMod <= 1) vecs
+      else vecs.filter(
         pmod(md5Long(col("vec_id").cast(org.apache.spark.sql.types.StringType)),
           lit(sampleMod.toLong)) === 0)
     var cb = init
     for (_ <- 0 until iters) {
-      // NOTE (r15): a row-local when-chain argmin (the encodeCodes
-      // rewrite applied here) was tried and measured SLOWER (q94 1.8 ->
-      // 5.5 s): the m x codesPerSub literal-distance tree in one
-      // projection blows past codegen limits, while this join fanout +
-      // min-aggregation keeps every distance a small codegen'd
-      // expression. Kept deliberately.
-      val updated = train.join(broadcast(codebookDf(spark, cb)), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("sqv"),
-          struct(sqDist(col("sqv"), col("cbv")).as("dist"),
-            col("code").as("c")).as("dc"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(first(col("sqv")).as("sqv"), min(col("dc")).getField("c").as("code"))
-        .select(col("sub"), col("code"), posexplode(col("sqv")).as(Seq("d", "v")))
+      // Row-local argmin via the NATIVE PqEncodeCodes kernel (r16). The
+      // r15 attempt at a row-local rewrite — the m x codesPerSub
+      // literal-distance EXPRESSION TREE in one projection — measured 3x
+      // slower (codegen blowup) and was reverted; the native kernel has
+      // no such tree, so the per-iteration broadcast-join x-codesPerSub
+      // fanout and the corpus x m argmin aggregation both disappear:
+      // each row computes its own m codes, explodes once to
+      // (sub, code, d, v), and only the (sub, code, d) mean-update
+      // aggregation shuffles. Identical integer math and (dist, code)
+      // tie-breaks (PqOpsSpec pins kernel == expression form; sqDist ==
+      // sn + |v|^2 - 2 dot over exact longs).
+      val st = graft.functions.PqOps.buildState(cb, m, subDim,
+        cb.map(_._2).max.toInt + 1)
+      val updated = train
+        .select(graft.functions.PqOps.encodeColumn(col(vecCol), st)
+            .as("codes"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .select(expr(s"pos div $subDim").cast("int").as("sub"),
+          element_at(col("codes"), expr(s"pos div $subDim").cast("int") + 1)
+            .as("code"),
+          pmod(col("pos"), lit(subDim)).cast("int").as("d"), col("v"))
         .groupBy(col("sub"), col("code"), col("d"))
         .agg(sum(col("v") + lit(KmOff)).as("s"), count(lit(1)).as("n"))
         .select(col("sub"), col("code"), col("d"),
@@ -1017,8 +1008,7 @@ object Similarity {
     val cb0 = sampleCodebookSeq(res, "rv", m, subDim, codesPerSub)
     val cbSeq =
       if (cbTrainIters <= 0) cb0
-      else refineCodebook(subRows(res, "rv", Seq("vec_id"), m, subDim),
-        cb0, cbTrainIters, subDim, cbSampleMod)
+      else refineCodebook(res, "rv", cb0, cbTrainIters, m, subDim, cbSampleMod)
     val codebook = codebookDf(e.sparkSession, cbSeq)
     val encoded = tracked(encodeCodes(res, "rv", Seq("vec_id", "cell"),
       cbSeq, m, subDim))
