@@ -27,13 +27,13 @@ import TextKit.tracked
   * 100 TB shape (the [[Bpe]] policy): the corpus is aggregated ONCE to
   * the word-frequency table; lexicon harvest explodes substrings of the
   * DISTINCT words only (vocabulary-bounded, maxPieceLen^2 pieces per
-  * word); the DP runs maxWordLen rounds of a keyed join between the
-  * position frontier (one row per surviving word) and the lexicon —
-  * work is vocab x maxWordLen x maxPieceLen, never corpus-scale. Round
-  * frontiers are lineage-truncated ([[Components.truncated]]) so the
-  * DP's 4-way frontier references never compound Catalyst re-analysis.
-  * Per-doc metering joins the segmented word table back to the corpus —
-  * the one corpus-scale pass, a dictionary join exactly like BPE encode.
+  * word); the DP itself is ROW-LOCAL (one native
+  * [[graft.functions.SubwordDp]] kernel over the word's matched pieces
+  * after a single lexicon equi-join) — work is
+  * vocab x maxWordLen x maxPieceLen, never corpus-scale, with no
+  * per-position rounds. Per-doc metering joins the segmented word table
+  * back to the corpus — the one corpus-scale pass, a dictionary join
+  * exactly like BPE encode.
   */
 object Unigram {
 
@@ -75,66 +75,79 @@ object Unigram {
       .filter(col("freq") >= minCount || length(col("piece")) === 1)
   }
 
-  /** Viterbi-segment every distinct corpus word against `lex`
-    * ((piece, freq), e.g. [[lexicon]]'s output): returns
-    * (word, wf, n_pieces, piece_freq_sum) under the integer objective.
-    * One DP round per position: the frontier at position j extends by
-    * every lexicon piece word[j..k), and position k keeps the min folded
-    * cost. Unreachable words (a char missing from the lexicon) fail
-    * loudly rather than dropping from the metering. */
-  def segmentWords(docs: DataFrame, lex: DataFrame): DataFrame = {
+  /** Both segmentation objectives for every distinct corpus word in ONE
+    * pass: (word, wf, m) where m = struct(v_np, v_fs, g_np, g_fs) from
+    * the native [[graft.functions.SubwordDp]] kernel. The word's
+    * candidate substrings (<= wordLen x MaxPieceLen, all positions)
+    * enumerate once, ONE equi-join against the lexicon keeps the
+    * matches, and the per-word DP runs row-locally over the collected
+    * matched pieces — replacing MaxWordLen join+aggregate ROUNDS per
+    * segmenter (and their per-round truncation jobs) with one join +
+    * one aggregation, shared by BOTH objectives (q245 runs both).
+    * Bit-identical results (UnigramSpec + the DuckDB oracles): the
+    * kernel mirrors the folded-cost Viterbi and the argmax-by-length
+    * greedy exactly, including duplicate-piece and tie behavior.
+    *
+    * The lexicon join broadcasts only under [[BroadcastPieceLimit]]
+    * rows (vocabulary-bounded by construction for corpus-harvested
+    * lexicons; a caller-supplied oversized one degrades to a shuffled
+    * join instead of OOMing the driver — the hint is a promise). */
+  private def segmented(docs: DataFrame, lex: DataFrame): DataFrame = {
     val words = tracked(wordFreq(docs))
-    // the horizon guard already scans word lengths — take the max while
-    // there, and run the DP only to the corpus's ACTUAL longest word
-    // (rounds past it are provably empty: dp(k) only feeds finals at
-    // length == k). sum/max over zero rows is NULL -> empty corpus = 0.
+    // horizon guard: the folded-cost stride is only collision-free while
+    // a word's clamped piece frequencies can't sum past Big (needs
+    // wordLen < 16; MaxWordLen = 12). Scans word lengths once.
     val maxLen = Option(words.agg(max(length(col("word")))).head.get(0))
       .fold(0)(_.asInstanceOf[Number].intValue)
     require(maxLen <= MaxWordLen,
       s"segmentWords: corpus max word length $maxLen exceeds " +
         s"MaxWordLen=$MaxWordLen — raise the horizon; silent truncation " +
         "would mis-meter")
-    val cost = (lit(Big) - least(col("freq"), lit(FreqClamp))).as("pcost")
-    // broadcast: the lexicon is vocabulary-bounded (MBs); without the
-    // hint each DP round shuffles BOTH the frontier and the lexicon for
-    // the piece equi-join — with it only the min-cost aggregation
-    // shuffles, halving the per-round exchanges
-    val pieces = tracked(lex.select(col("piece"), cost))
-    // dp(k) = one row per word reachable at position k with the min cost
-    val dpByPos = new Array[DataFrame](maxLen + 1)
-    dpByPos(0) = Components.truncated(
-      words.select(col("word"), lit(0L).as("cost")))
-    for (k <- 1 to maxLen) {
-      val branches = (math.max(0, k - MaxPieceLen) until k).map { j =>
-        dpByPos(j).filter(length(col("word")) >= k)
-          .select(col("word"),
-            col("word").substr(lit(j + 1), lit(k - j)).as("piece"),
-            col("cost"))
-      }
-      val cand = branches.reduce(_.unionByName(_))
-        .join(broadcast(pieces), Seq("piece"))
-        .select(col("word"), (col("cost") + col("pcost")).as("c"))
-      dpByPos(k) = Components.truncated(
-        cand.groupBy(col("word")).agg(min(col("c")).as("cost")))
-    }
-    val finals =
-      if (maxLen == 0) dpByPos(0).filter(lit(false)) // empty corpus
-      else (1 to maxLen).map(k =>
-        dpByPos(k).filter(length(col("word")) === k)).reduce(_.unionByName(_))
-    val out = words.join(finals, Seq("word"), "left")
-    // a NULL cost is an unsegmentable word — impossible while single
-    // chars ride the lexicon, so it must be a caller-supplied lexicon
-    // bug: fail loudly (the guard lives INSIDE the used column so
-    // pruning can never elide it)
-    val n = expr(s"(cost + ${Big - 1}) div $Big")
-    out.select(col("word"), col("wf"),
-        when(col("cost").isNull, raise_error(
-            concat(lit("unsegmentable word: "), col("word"))))
-          .otherwise(n).as("n_pieces"),
-        when(col("cost").isNull, raise_error(
-            concat(lit("unsegmentable word: "), col("word"))))
-          .otherwise(n * lit(Big) - col("cost")).as("piece_freq_sum"))
+    val pieces = tracked(lex.select(col("piece"), col("freq")))
+    val gate = (df: DataFrame) =>
+      if (pieces.count() <= BroadcastPieceLimit) broadcast(df) else df
+    val cands = words.select(col("word"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), s =>
+          transform(sequence(lit(1),
+              least(lit(MaxPieceLen), length(col("word")) - s + 1)), l =>
+            struct((s - 1).cast("int").as("pos"), l.cast("int").as("len"),
+              col("word").substr(s, l).as("piece")))))).as("c"))
+      .select(col("word"), col("c.pos").as("pos"), col("c.len").as("len"),
+        col("c.piece").as("piece"))
+    val matched = cands.join(gate(pieces), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("pos"), col("len"), col("freq")))
+        .as("pieces"))
+    val noPieces = array().cast(
+      "array<struct<pos:int,len:int,freq:bigint>>")
+    words.join(matched, Seq("word"), "left")
+      .select(col("word"), col("wf"),
+        graft.functions.SubwordDp(length(col("word")),
+          coalesce(col("pieces"), noPieces), Big, FreqClamp, MaxPieceLen)
+          .as("m"))
   }
+
+  /** Rows of [[segmented]] with NULL objective fields failed loudly —
+    * impossible while single chars ride the lexicon, so a NULL means a
+    * caller-supplied lexicon bug (the guard lives INSIDE the used
+    * columns so pruning can never elide it). */
+  private def failLoud(gate: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(gate.isNull, raise_error(
+      concat(lit("unsegmentable word: "), col("word")))).otherwise(v)
+
+  /** Largest lexicon (rows) the segmenter join will broadcast. */
+  val BroadcastPieceLimit = 5000000L
+
+  /** Viterbi-segment every distinct corpus word against `lex`
+    * ((piece, freq), e.g. [[lexicon]]'s output): returns
+    * (word, wf, n_pieces, piece_freq_sum) under the integer objective.
+    * Unreachable words (a char missing from the lexicon) fail loudly
+    * rather than dropping from the metering. */
+  def segmentWords(docs: DataFrame, lex: DataFrame): DataFrame =
+    segmented(docs, lex).select(col("word"), col("wf"),
+      failLoud(col("m.v_np"), col("m.v_np")).as("n_pieces"),
+      failLoud(col("m.v_np"), col("m.v_fs")).as("piece_freq_sum"))
 
   /** Corpus token metering under the unigram segmenter: per document,
     * word count and total subword pieces — the one corpus-scale pass, a
@@ -169,60 +182,28 @@ object Unigram {
     * to the lexicon with an argmax-by-length tail, one row of state per
     * distinct word, lineage-truncated per round. Work is
     * vocab x MaxWordLen x MaxPieceLen, never corpus-scale. */
-  def segmentWordsGreedy(docs: DataFrame, lex: DataFrame): DataFrame = {
-    val words = tracked(wordFreq(docs))
-    // same bounded horizon as segmentWords: rounds past the corpus's
-    // longest word leave the state bit-identical (active is empty)
-    val maxLen = Option(words.agg(max(length(col("word")))).head.get(0))
-      .fold(0)(_.asInstanceOf[Number].intValue)
-    require(maxLen <= MaxWordLen,
-      s"segmentWordsGreedy: corpus max word length $maxLen exceeds " +
-        s"MaxWordLen=$MaxWordLen")
-    val pieces = tracked(lex.select(col("piece"), col("freq")))
-    var state = Components.truncated(words.select(col("word"), col("wf"),
-      lit(0).as("pos"), lit(0L).as("np"), lit(0L).as("fs")))
-    for (_ <- 1 to maxLen) {
-      val active = state.filter(col("pos") < length(col("word")))
-      val done = state.filter(col("pos") >= length(col("word")))
-      val step = active
-        .select(col("word"), col("wf"), col("pos"), col("np"), col("fs"),
-          explode(sequence(lit(1),
-            least(lit(MaxPieceLen), length(col("word")) - col("pos"))))
-            .as("l"))
-        .select(col("word"), col("wf"), col("pos"), col("np"), col("fs"),
-          col("l"), col("word").substr(col("pos") + 1, col("l")).as("piece"))
-        .join(broadcast(pieces), Seq("piece"))
-        // longest match wins; equal lengths are the SAME piece string,
-        // so the struct argmax is deterministic
-        .groupBy(col("word"), col("wf"), col("pos"), col("np"), col("fs"))
-        .agg(max(struct(col("l"), col("freq"))).as("m"))
-        .select(col("word"), col("wf"),
-          (col("pos") + col("m.l")).as("pos"), (col("np") + 1).as("np"),
-          (col("fs") + col("m.freq")).as("fs"))
-      state = Components.truncated(step.unionByName(done))
-    }
-    val unfinished = state.filter(col("pos") < length(col("word"))).count()
-    require(unfinished == 0, // impossible while single chars ride the lex
-      s"segmentWordsGreedy: $unfinished words unmatchable — lexicon bug")
-    state.select(col("word"), col("wf"), col("np").as("n_pieces"),
-      col("fs").as("piece_freq_sum"))
-  }
+  def segmentWordsGreedy(docs: DataFrame, lex: DataFrame): DataFrame =
+    segmented(docs, lex).select(col("word"), col("wf"),
+      failLoud(col("m.g_np"), col("m.g_np")).as("n_pieces"),
+      failLoud(col("m.g_np"), col("m.g_fs")).as("piece_freq_sum"))
 
   /** Per-document metering under the greedy segmenter, alongside the
     * Viterbi count — the fertility comparison row (wp_tokens >=
     * uni_tokens always; equality when greedy happens to be optimal). */
   def meterGreedy(docs: DataFrame, lex: DataFrame): DataFrame = {
-    // both segmenters read the lexicon (and its possibly expensive
-    // harvest chain) — materialize it once, not once per segmenter
-    val lexL = TextKit.trackedLeaf(lex)
-    val segG = segmentWordsGreedy(docs, lexL)
-      .select(col("word"), col("n_pieces").as("np_g"))
-    val segV = segmentWords(docs, lexL)
-      .select(col("word"), col("n_pieces").as("np_v"))
+    // ONE segmented pass serves both objectives: the SubwordDp kernel
+    // computes the Viterbi and greedy counts together, so the lexicon
+    // harvest, the word table, the candidate join, and the per-word
+    // aggregation all run once — where the round form ran two full
+    // segmenters over a shared lexicon
+    val seg = segmented(docs, lex)
+      .select(col("word"),
+        failLoud(col("m.g_np"), col("m.g_np")).as("np_g"),
+        failLoud(col("m.v_np"), col("m.v_np")).as("np_v"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
-      .join(segG, Seq("word")).join(segV, Seq("word"))
+      .join(seg, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("np_g")).as("wp_tokens"),
