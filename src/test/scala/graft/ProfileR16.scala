@@ -208,6 +208,16 @@ object ProfileR16 {
         val txt = df.queryExecution.executedPlan.toString
         println("WSCG spans: " + "WholeStageCodegen".r.findAllIn(txt).length)
         txt.linesIterator.take(80).foreach(l => println("PLAN|" + l))
+      case "cc" =>
+        System.setProperty("graft.cc.debug", "1")
+        for (q <- Seq("q43_dedup_components", "q200_kcore",
+            "q64_components_stars", "q213_label_prop", "q133_dup_pagerank",
+            "q114_cluster_cap")) {
+          t(s"$q run1")(SparkEntry.queries(q)(spark, sf).count())
+          spark.catalog.clearCache()
+          t(s"$q run2")(SparkEntry.queries(q)(spark, sf).count())
+          spark.catalog.clearCache()
+        }
       case "s129" =>
         for (i <- 1 to 2) {
           val corpus = spark.read.parquet(s"$sf/documents.parquet")
